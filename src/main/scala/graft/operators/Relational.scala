@@ -1,0 +1,471 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** Relational analytics surface — the Spark-native equivalent of the
+  * reference's ad-hoc lakehouse query capability
+  * (`lib/commondb.py:85-125`, `execute_pd_query`), expressed as
+  * declarative DataFrame plans so Catalyst handles pushdown, pruning,
+  * join selection and AQE handles runtime re-planning.
+  *
+  * Scale notes (100 TB):
+  *  - dimension tables (region/nation/supplier/part/customer) stay
+  *    broadcast-side; fact-fact joins shuffle on join keys.
+  *  - every aggregate is a plain hash aggregate with map-side partial
+  *    aggregation; no driver-side collection anywhere.
+  *  - top-k uses orderBy+limit which Spark plans as
+  *    TakeOrderedAndProject (per-partition partial top-k, no full sort).
+  */
+object Relational {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 shape: single-pass grouped aggregation over the fact
+    * table with arithmetic measures. */
+  private val q01: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    l.filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${sqlAvg("l_quantity")} AS avg_qty,
+       |  ${sqlAvg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 shape: highly selective scan-side filter; verifies
+    * predicate pushdown reaches the parquet scan. */
+  private val q02: QFn = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+  private val q02Sql =
+    s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3 shape: dim⋈fact⋈fact with broadcastable customer side,
+    * grouped revenue, deterministic top-k (tiebreak on key). */
+  private val q03: QFn = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+  private val q03Sql =
+    s"""SELECT l_orderkey,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       |  o_orderpriority
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1996-06-30'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q4 shape: EXISTS → left-semi join (no row duplication,
+    * no distinct needed). */
+  private val q04: QFn = (s, d) => {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+  private val q04Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5 shape: star join across all dimensions; every dim side
+    * is broadcast, the only shuffle is the final aggregation. */
+  private val q05: QFn = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+  private val q05Sql =
+    s"""SELECT n_name,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name""".stripMargin
+
+  /** Window ranking: top-5 customers by lifetime spend within each
+    * nation. row_number with a unique tiebreak keeps it deterministic. */
+  private val q06: QFn = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("spend"))
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val w = Window.partitionBy("n_name").orderBy(col("spend").desc, col("c_custkey").asc)
+    spend.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("n_name", "rnk", "c_custkey", "c_name", "spend")
+  }
+  private val q06Sql =
+    s"""SELECT n_name, rnk, c_custkey, c_name, spend FROM (
+       |  SELECT n_name, c_custkey, c_name, spend,
+       |    ROW_NUMBER() OVER (PARTITION BY n_name
+       |                       ORDER BY spend DESC, c_custkey ASC) AS rnk
+       |  FROM (SELECT o_custkey, ${sqlSum("o_totalprice")} AS spend
+       |        FROM orders GROUP BY o_custkey) s
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |) t WHERE rnk <= 5""".stripMargin
+
+  /** Running total over a time series: exact decimal accumulation all
+    * the way through the window sum (cast to double only at the end). */
+  private val q07: QFn = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("rev_dec"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_rev", sum(col("rev_dec")).over(w).cast("double"))
+      .select(col("day"), col("rev_dec").cast("double").as("day_rev"), col("running_rev"))
+  }
+  private val q07Sql =
+    """SELECT day, CAST(rev_dec AS DOUBLE) AS day_rev,
+      |  CAST(SUM(rev_dec) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_rev
+      |FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |        SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev_dec
+      |      FROM orders GROUP BY 1) t""".stripMargin
+
+  /** COUNT(DISTINCT) per group (exact; at 100 TB the approx_ variant
+    * in ScaleOps is the right tool — this is the exact reference). */
+  private val q08: QFn = (s, d) => {
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+  private val q08Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Top-k by aggregated measure (TakeOrderedAndProject — partial
+    * top-k per partition, no global sort materialization). */
+  private val q09: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name", "p_brand")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+      .limit(10)
+  }
+  private val q09Sql =
+    s"""SELECT p_partkey, p_name, p_brand,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  ${sqlSum("l_quantity")} AS qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_partkey, p_name, p_brand
+       |ORDER BY revenue DESC, p_partkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** Aggregate filter (HAVING). */
+  private val q10: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .filter(col("n_customers") >= 50)
+  }
+  private val q10Sql =
+    s"""SELECT n_name, COUNT(*) AS n_customers,
+       |  ${sqlSum("c_acctbal")} AS total_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name HAVING COUNT(*) >= 50""".stripMargin
+
+  /** TPC-H Q12 shape: conditional aggregation (CASE inside SUM). */
+  private val q11: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val o = Tables.orders(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+  }
+  private val q11Sql =
+    """SELECT l_linestatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** ROLLUP grouping sets (nulls coalesced to 'ALL' so both engines
+    * emit an identical, null-free result). */
+  private val q12: QFn = (s, d) => {
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+  }
+  private val q12Sql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Set operations: INTERSECT + EXCEPT composition. */
+  private val q13: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val active96 = o.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey").as("custkey"))
+    val negative = c.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    building.intersect(active96).except(negative)
+  }
+  private val q13Sql =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin
+
+  /** Scalar-subquery shape: rows above 1.2× the group average
+    * (exact-decimal average so the threshold is engine-identical). */
+  private val q14: QFn = (s, d) => {
+    val p = Tables.part(s, d)
+    val avgByType = p.groupBy(col("p_type").as("t"))
+      .agg(davg(col("p_retailprice")).as("avg_price"))
+    p.join(broadcast(avgByType), col("p_type") === col("t"))
+      .filter(col("p_retailprice") > col("avg_price") * 1.03)
+      .select("p_partkey", "p_name", "p_type", "p_retailprice")
+  }
+  private val q14Sql =
+    s"""SELECT p_partkey, p_name, p_type, p_retailprice
+       |FROM part p
+       |JOIN (SELECT p_type AS t, ${sqlAvg("p_retailprice")} AS avg_price
+       |      FROM part GROUP BY p_type) a ON p.p_type = a.t
+       |WHERE p_retailprice > avg_price * 1.03""".stripMargin
+
+  /** Anti-join (NOT EXISTS): customers who never placed a large
+    * order. Filter applied below the join so the anti-join probe side
+    * shrinks before the shuffle. */
+  private val q15: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+  private val q15Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_totalprice > 450000)""".stripMargin
+
+  /** Exact interpolated percentiles per group (rounded to 6 dp to
+    * absorb last-ulp interpolation differences between engines). */
+  private val q16: QFn = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+  }
+  private val q16Sql =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Pivot: order counts, status × priority matrix. */
+  private val q17: QFn = (s, d) => {
+    val pri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val safe = Seq("urgent", "high", "medium", "not_specified", "low")
+    val piv = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", pri)
+      .agg(count(lit(1)))
+    pri.zip(safe).foldLeft(piv) { case (df, (p, a)) =>
+      df.withColumn(a, coalesce(col(s"`$p`"), lit(0L))).drop(p)
+    }
+  }
+  private val q17Sql =
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Monthly revenue time series (date_trunc shape). */
+  private val q18: QFn = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+  private val q18Sql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |  ${sqlSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** Reference-domain analog (datagen.py survey analytics): outcome
+    * rate per category — share of events with value above threshold. */
+  private val q19: QFn = (s, d) => {
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 5.0, 1L).otherwise(0L)).as("n_high"),
+        (sum(when(col("value") > 5.0, 1L).otherwise(0L)).cast("double") / count(lit(1))).as("high_rate"))
+  }
+  private val q19Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS n_high,
+      |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS high_rate
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Bucketed histogram (maps the reference's departure_delay
+    * distribution analysis, datagen.py:27). */
+  private val q20: QFn = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 5.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+  }
+  private val q20Sql =
+    """SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_revenue_filter" -> q02,
+    "q03_shipping_priority" -> q03,
+    "q04_order_priority" -> q04,
+    "q05_local_supplier" -> q05,
+    "q06_window_rank" -> q06,
+    "q07_running_total" -> q07,
+    "q08_distinct_users" -> q08,
+    "q09_topk_parts" -> q09,
+    "q10_having" -> q10,
+    "q11_case_agg" -> q11,
+    "q12_rollup" -> q12,
+    "q13_setops" -> q13,
+    "q14_above_avg" -> q14,
+    "q15_no_orders" -> q15,
+    "q16_percentiles" -> q16,
+    "q17_pivot" -> q17,
+    "q18_monthly_revenue" -> q18,
+    "q19_survey_satisfaction" -> q19,
+    "q20_value_buckets" -> q20)
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_revenue_filter" -> q02Sql,
+    "q03_shipping_priority" -> q03Sql,
+    "q04_order_priority" -> q04Sql,
+    "q05_local_supplier" -> q05Sql,
+    "q06_window_rank" -> q06Sql,
+    "q07_running_total" -> q07Sql,
+    "q08_distinct_users" -> q08Sql,
+    "q09_topk_parts" -> q09Sql,
+    "q10_having" -> q10Sql,
+    "q11_case_agg" -> q11Sql,
+    "q12_rollup" -> q12Sql,
+    "q13_setops" -> q13Sql,
+    "q14_above_avg" -> q14Sql,
+    "q15_no_orders" -> q15Sql,
+    "q16_percentiles" -> q16Sql,
+    "q17_pivot" -> q17Sql,
+    "q18_monthly_revenue" -> q18Sql,
+    "q19_survey_satisfaction" -> q19Sql,
+    "q20_value_buckets" -> q20Sql)
+}
