@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** Query-shaped lakehouse-maintenance semantics — the relational core
+  * of the reference's incremental-refresh loop
+  * (`check_lakehouse.py:100-160`): change-data compaction (latest
+  * version per key), MERGE/upsert application, and data-quality
+  * profiling of a freshly loaded table.
+  *
+  * The stateful file-level counterparts (registry, retention,
+  * compaction, streaming refresh) live in `graft.lakehouse`.
+  */
+object LakehouseOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** CDC compaction: keep only the latest record per key. This is the
+    * read-side of every merge-on-read lakehouse table; row_number with
+    * a total order (ts desc, event_id desc) keeps it deterministic.
+    * At 100 TB this is one shuffle on the key — no sort of the whole
+    * table, just per-key top-1. */
+  private val q21: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("event_type"), col("value"))
+  }
+  private val q21Sql =
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      |  event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      |WHERE rn = 1""".stripMargin
+
+  /** MERGE/upsert semantics (the Spark-native `heatwave_load` refresh,
+    * check_lakehouse.py:139-160): apply a change-set of per-customer
+    * balance deltas onto the customer snapshot. Left join + coalesce =
+    * matched-update; unmatched targets pass through. The change-set
+    * side is an aggregate (small) → broadcast; the snapshot is never
+    * re-shuffled. */
+  private val q22: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val delta = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice") * 0.0001).as("delta"))
+    c.join(broadcast(delta), col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_acctbal").as("old_bal"),
+        (col("c_acctbal") + coalesce(col("delta"), lit(0.0))).as("new_bal"),
+        col("delta").isNotNull.as("updated"))
+  }
+  private val q22Sql =
+    s"""SELECT c_custkey, c_acctbal AS old_bal,
+       |  c_acctbal + COALESCE(delta, 0.0) AS new_bal,
+       |  delta IS NOT NULL AS updated
+       |FROM customer
+       |LEFT JOIN (SELECT o_custkey, ${sqlSum("o_totalprice * 0.0001")} AS delta
+       |           FROM orders
+       |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+       |           GROUP BY o_custkey) ch ON c_custkey = o_custkey""".stripMargin
+
+  /** Post-load data-quality profile: the validation a lakehouse
+    * refresh runs before marking a load `is_apply=1` in the registry
+    * (check_lakehouse.py:113-118). Single-pass aggregation. */
+  private val q23: QFn = (s, d) => {
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_custkey"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_nonpositive_price"),
+      countDistinct(col("o_orderstatus")).as("n_status"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+  }
+  private val q23Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_custkey,
+      |  SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_nonpositive_price,
+      |  COUNT(DISTINCT o_orderstatus) AS n_status,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+      |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q21_cdc_latest" -> q21,
+    "q22_merge_upsert" -> q22,
+    "q23_dq_profile" -> q23)
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_cdc_latest" -> q21Sql,
+    "q22_merge_upsert" -> q22Sql,
+    "q23_dq_profile" -> q23Sql)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** Event-stream analytics in batch form. The Structured-Streaming
+  * twins (watermarked windows, stateful sessionization) live in
+  * `graft.streaming.EventStreams`; these batch versions define the
+  * semantics and are oracle-checkable.
+  */
+object SessionOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val GapUs = 1800L * 1000000L // 30-minute session gap
+
+  /** Gap-based sessionization: a session breaks when the user is idle
+    * > 30 min. Classic two-window formulation — lag to flag session
+    * starts, running sum to number them. One shuffle on user_id; both
+    * windows share the same partitioning so Spark plans a single
+    * exchange. Gap arithmetic in integer microseconds (exact). */
+  private val q50: QFn = (s, d) => {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy("user_id", "session_id")
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+  }
+  private val q50Sql =
+    s"""SELECT user_id, session_id,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       |  COUNT(*) AS n_events,
+       |  ${sqlSum("value")} AS total_value
+       |FROM (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM (
+       |    SELECT *, CASE WHEN prev_us IS NULL
+       |        OR epoch_us(ts) - prev_us > ${GapUs} THEN 1 ELSE 0 END AS is_new
+       |    FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+       |            ORDER BY ts, event_id) AS prev_us
+       |          FROM events) a) b) c
+       |GROUP BY user_id, session_id""".stripMargin
+
+  /** Tumbling 1-hour windows per event type — the batch shape of the
+    * watermarked streaming aggregate. Spark's `window()` on an
+    * epoch-aligned hour equals date_trunc('hour'). */
+  private val q51: QFn = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+  private val q51Sql =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+       |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS total_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate on it (codegen'd path, no UDF). */
+  private val q52: QFn = (s, d) => {
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+  }
+  private val q52Sql =
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS total_value
+       |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q50_sessionize" -> q50,
+    "q51_tumbling_counts" -> q51,
+    "q52_json_extract" -> q52)
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_sessionize" -> q50Sql,
+    "q51_tumbling_counts" -> q51Sql,
+    "q52_json_extract" -> q52Sql)
+}
