@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: exact dedup, n-gram near-dup detection,
+  * language ID, quality scoring, tokenization, fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` (split/transform/
+  * array_* higher-order functions) — no UDFs, so the whole pipeline
+  * stays inside whole-stage codegen and scales linearly.
+  */
+object TextOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Whitespace word split shared by several operators. */
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word-trigram shingles:
+    * transform(sequence(0, n-3), i -> w[i] ⧺ w[i+1] ⧺ w[i+2]). */
+  private def trigrams(c: Column): Column = {
+    val w = words(c)
+    array_distinct(transform(
+      sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+  }
+
+  /** Exact dedup: canonical fingerprint → group → keep-lowest-id
+    * decision table. At 100 TB this is one shuffle on a 128-bit hash —
+    * the grouped row set is tiny regardless of input size. */
+  private val q30: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+  }
+  private val q30Sql =
+    """SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Exact n-gram-set Jaccard near-dup pairs. Scale-correct plan: the
+    * pair space is generated ONLY from shared shingles (explode +
+    * self-join on the shingle), never a cross join; |∩| falls out of
+    * the join group count because shingle sets are distinct. */
+  private val q31: QFn = (s, d) => {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), trigrams(col("text")).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+    val e = g.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+    val a = e.select(col("doc_id").as("doc_a"), col("n_grams").as("na"), col("gram"))
+    val b = e.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"), col("gram"))
+    a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+  private val q31Sql =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |          for i in range(1, len(w)-1)]) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents) t)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      |    AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      |    >= 0.5""".stripMargin
+
+  /** Stopword lists for the language-ID heuristic (tiny, broadcast as
+    * literals into the expression — no join needed). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** N-gram/stopword-heuristic language ID: count marker-word hits per
+    * language, argmax with a fixed tie order ('unknown' when no
+    * marker hits). Deterministic, engine-identical integer logic. */
+  private val q36: QFn = (s, d) => {
+    val w = array_distinct(words(lower(col("text"))))
+    val hits = langMarkers.map { case (lang, ms) =>
+      lang -> size(array_intersect(w, array(ms.map(lit): _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // ties resolve to the first list entry (en, de, fr, es) — mirrors
+    // the ordered CASE chain in the oracle SQL
+    val predFixed = hits.foldRight(lit("unknown"): Column) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("meta_lang"), predFixed.as("pred_lang"))
+      .withColumn("agrees", col("pred_lang") === col("meta_lang"))
+  }
+  private val q36Sql = {
+    val hitExprs = langMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      lang -> s"len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')), [$list]))"
+    }
+    val best = hitExprs.map(_._2).reduceRight((a, b) => s"GREATEST($a, $b)")
+    val cases = hitExprs.map { case (lang, e) =>
+      s"WHEN $e = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, meta_lang, pred_lang, pred_lang = meta_lang AS agrees
+       |FROM (
+       |  SELECT doc_id, lang AS meta_lang,
+       |    CASE $cases ELSE 'unknown' END AS pred_lang
+       |  FROM (SELECT *, $best AS best FROM documents) t) u""".stripMargin
+  }
+
+  /** Text quality scoring: length / word-shape / stopword-ratio
+    * features combined into one deterministic score. */
+  private val q37: QFn = (s, d) => {
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val nChars = length(trim(col("text"))).cast("double")
+    val stopHits = size(array_intersect(array_distinct(w),
+      array(Seq("the", "a", "of", "and", "is", "to", "in").map(lit): _*))).cast("double")
+    val avgWordLen = (nChars - (nWords - 1.0)) / nWords
+    val score =
+      least(nWords / 100.0, lit(1.0)) * 0.4 +
+        when(avgWordLen.between(3.0, 8.0), 0.3).otherwise(0.0) +
+        least(stopHits / 5.0, lit(1.0)) * 0.3
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      avgWordLen.as("avg_word_len"),
+      score.as("quality_score"))
+  }
+  private val q37Sql =
+    """SELECT doc_id, n_words, avg_word_len,
+      |  LEAST(n_words / 100.0, 1.0) * 0.4 +
+      |  (CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
+      |  LEAST(stop_hits / 5.0, 1.0) * 0.3 AS quality_score
+      |FROM (
+      |  SELECT doc_id, len(w) AS n_words,
+      |    (CAST(length(trim(text)) AS DOUBLE) - (len(w) - 1.0)) / len(w)
+      |      AS avg_word_len,
+      |    CAST(len(list_intersect(list_distinct(w),
+      |      ['the','a','of','and','is','to','in'])) AS DOUBLE) AS stop_hits
+      |  FROM (SELECT *, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents) t) u""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single other chars). */
+  private val q38: QFn = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(words(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("re_tokens"))
+  }
+  private val q38Sql =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+      |    AS re_tokens
+      |FROM documents""".stripMargin
+
+  /** Canonical-form document fingerprint (case-fold + whitespace
+    * collapse + hash) — the key used for fuzzy-exact dedup. */
+  private val q39: QFn = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary")).as("fingerprint"))
+  }
+  private val q39Sql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q30_dedup_exact" -> q30,
+    "q31_ngram_jaccard" -> q31,
+    "q36_lang_id" -> q36,
+    "q37_quality_score" -> q37,
+    "q38_token_count" -> q38,
+    "q39_fingerprint" -> q39)
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Sql,
+    "q31_ngram_jaccard" -> q31Sql,
+    "q36_lang_id" -> q36Sql,
+    "q37_quality_score" -> q37Sql,
+    "q38_token_count" -> q38Sql,
+    "q39_fingerprint" -> q39Sql)
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Vector/similarity operators over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Determinism note: double dot products are accumulation-order
+  * dependent, so cross-engine parity routes each elementwise product
+  * through a DECIMAL(28,12) accumulator (exact sum) and casts the
+  * exact total to double. Scalar sqrt/division afterwards are IEEE
+  * deterministic. The cost is one exact decimal sum per pair — still
+  * codegen'd, still a single pass.
+  *
+  * Scale shape: probes are a small broadcast side; the big side is
+  * scanned once with no shuffle before the per-pair aggregation. For
+  * the banded/bucketed scale path see `q35_ann_lsh` in ScaleOps.
+  */
+object VectorOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val DecDot = DecimalType(28, 12)
+
+  /** Exact decimal sum of an exploded product column → double. */
+  private def exactSum(c: Column): Column = sum(c.cast(DecDot)).cast("double")
+
+  /** Per-vector L2 norms, exact-decimal accumulated. */
+  private def norms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(col("embedding")).as("x"))
+      .groupBy("vec_id")
+      .agg(sqrt(exactSum(col("x").cast("double") * col("x").cast("double"))).as("nrm"))
+
+  /** Brute-force cosine top-k: for each probe vector (vec_id < 5),
+    * the 3 nearest neighbors by cosine similarity. */
+  private val q34: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val nrm = norms(emb)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        posexplode(zip_with(col("pe"), col("ne"),
+          (a, b) => a.cast("double") * b.cast("double"))))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(exactSum(col("col")).as("dot"))
+    val withCos = pairs
+      .join(broadcast(nrm.withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("nrm", "np")), Seq("probe_id"))
+      .join(nrm.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("nrm", "nn"), Seq("neighbor_id"))
+      .withColumn("cosine", col("dot") / (col("np") * col("nn")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    withCos.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "neighbor_id", "rnk", "cosine")
+  }
+  private val q34Sql =
+    """WITH el AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(range(1, len(embedding)+1)) AS i
+      |  FROM embeddings),
+      |nrm AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(CAST(
+      |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+      |      AS DOUBLE)) AS nrm
+      |  FROM el GROUP BY vec_id),
+      |dots AS (
+      |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+      |    CAST(SUM(CAST(CAST(p.x AS DOUBLE) * CAST(e.x AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM el p JOIN el e ON p.i = e.i AND p.vec_id <> e.vec_id
+      |  WHERE p.vec_id < 5
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT probe_id, neighbor_id, dot / (np.nrm * nn.nrm) AS cosine
+      |  FROM dots
+      |  JOIN nrm np ON np.vec_id = probe_id
+      |  JOIN nrm nn ON nn.vec_id = neighbor_id)
+      |SELECT probe_id, neighbor_id, rnk, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      |  FROM cos) t
+      |WHERE rnk <= 3""".stripMargin
+
+  /** Per-label embedding statistics: count, exact-accumulated mean
+    * norm, mean first component — the profile pass before clustering. */
+  private val q40: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val nrm = norms(emb)
+    emb.join(nrm, Seq("vec_id"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        // norms are full-mantissa doubles whose decimal cast can differ
+        // by 1ulp@1e-12 between engines; round the final mean at 1e-6
+        // where the accumulated difference (~1e-13) cannot reach
+        round(sum(col("nrm").cast(DecDot)).cast("double") / count(lit(1)), 6).as("avg_norm"),
+        (sum(element_at(col("embedding"), 1).cast("double").cast(DecDot))
+          .cast("double") / count(lit(1))).as("avg_first"))
+  }
+  private val q40Sql =
+    """WITH nrm AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(CAST(
+      |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+      |      AS DOUBLE)) AS nrm
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+      |  GROUP BY vec_id)
+      |SELECT label, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_norm,
+      |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,12)))
+      |    AS DOUBLE) / COUNT(*) AS avg_first
+      |FROM embeddings JOIN nrm USING (vec_id)
+      |GROUP BY label""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q34_ann_cosine" -> q34,
+    "q40_embedding_stats" -> q40)
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_ann_cosine" -> q34Sql,
+    "q40_embedding_stats" -> q40Sql)
+}
