@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The 100-TB scale paths: sketch/LSH-based near-duplicate detection
+  * and approximate search. These trade the exact operators' quadratic
+  * or full-shuffle behavior for banded bucket joins whose shuffle
+  * volume is O(n · bands).
+  *
+  * All randomness is derived from xxhash64 with fixed integer seeds —
+  * fully deterministic, so results are stable across runs (the driver
+  * runs a rows-only check where DuckDB cannot express the hashing;
+  * `q32_minhash_pairs` ends in an exact-Jaccard verification so its
+  * final output IS oracle-checkable and shares q31's oracle).
+  */
+object ScaleOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val NumHashes = 64
+  private val BandSize = 4 // 16 bands × 4 rows: P(candidate) @ j=0.5 ≈ 0.65, @ j=0.9 ≈ 1.0
+  private val NumBands = NumHashes / BandSize
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  private def trigrams(c: Column): Column = {
+    val w = words(c)
+    array_distinct(transform(
+      sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+  }
+
+  /** doc_id → distinct trigram shingles (shared by q32). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), trigrams(col("text")).as("grams"))
+
+  /** MinHash signatures: 64 permutations simulated by seeded xxhash64;
+    * one nested higher-order expression, zero shuffles, O(|grams|·64)
+    * per-row compute — the canonical signature pass. */
+  private def minhashed(g: DataFrame): DataFrame =
+    g.withColumn("sig",
+      transform(sequence(lit(0), lit(NumHashes - 1)),
+        i => array_min(transform(col("grams"), gr => xxhash64(i, gr)))))
+
+  /** MinHash + LSH banded near-dup pairs, exact-Jaccard verified.
+    *
+    * Plan shape: signature (narrow) → explode 16 band keys per doc →
+    * shuffle on (band, band-signature) → within-bucket pair gen →
+    * distinct candidate pairs → exact verify via the two shingle sets.
+    * Shuffle volume is 16 rows/doc regardless of document size; the
+    * quadratic step only ever runs inside a bucket. */
+  private val q32: QFn = (s, d) => {
+    val g = shingled(s, d).cache()
+    val sig = minhashed(g)
+    val bands = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => xxhash64(slice(col("sig"), b * BandSize + 1, lit(BandSize))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ga = g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash 64-bit fingerprints: per bit position, sign of the sum of
+    * ±1 votes from each distinct word's hash. Output is the
+    * fingerprint table (the building block for hamming-distance
+    * dedup, see q43). */
+  private val q33: QFn = (s, d) => {
+    // bit b of the fingerprint = (Σ_words (hash>>b & 1 ? 1 : -1)) > 0;
+    // SQL expr because the Scala shiftright/shiftleft wrappers only
+    // take Int shift amounts (the SQL functions take expressions)
+    val sim = expr(
+      """aggregate(
+        |  zip_with(
+        |    aggregate(
+        |      transform(array_distinct(split(trim(lower(text)), '\\s+')),
+        |                t -> xxhash64(t)),
+        |      array_repeat(0L, 64),
+        |      (acc, h) -> zip_with(acc, sequence(0, 63),
+        |        (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1L, -1L))),
+        |    sequence(0, 63),
+        |    (a, b) -> if(a > 0, shiftleft(1L, b), 0L)),
+        |  0L, (x, y) -> x | y)""".stripMargin)
+    Tables.documents(s, d).select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via 4×16-bit band join + hamming verify
+    * (bit_count(a^b)) — same banded-bucket scale shape as q32. At
+    * hamming ≤ 3 the 4-band split is EXACT by pigeonhole: 3 differing
+    * bits cannot touch all 4 bands, so every qualifying pair shares at
+    * least one identical band. */
+  private val q43: QFn = (s, d) => {
+    val fp = q33(s, d).cache()
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Random-hyperplane LSH ANN: 8 seeded ±1 hyperplanes → 256 buckets;
+    * probes only compare against their own bucket. The scale path for
+    * q34 — the brute-force pass becomes a bucket-local pass. */
+  private val q35: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    // sign bit j = dot(v, h_j) > 0 with h_j[k] = ±1 from xxhash64(j,k)
+    val bucketExpr = expr(
+      """aggregate(
+        |  sequence(0, 7), 0,
+        |  (acc, j) -> acc | shiftleft(
+        |    if(aggregate(
+        |         zip_with(embedding,
+        |           transform(sequence(0, 63),
+        |             k -> if((xxhash64(j, k) & 1) = 1, 1.0D, -1.0D)),
+        |           (x, h) -> cast(x as double) * h),
+        |         0.0D, (a, x) -> a + x) > 0, 1, 0),
+        |    j))""".stripMargin)
+    val withBucket = emb.withColumn("bucket", bucketExpr)
+    val probes = withBucket.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
+    val cands = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+    val dot = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nrm = (v: Column) => sqrt(dot(v, v))
+    val scored = probes.join(cands, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("pe"), col("ne")) / (nrm(col("pe")) * nrm(col("ne"))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Approximate distinct counting (HLL++): the 100-TB substitute for
+    * q08's exact COUNT(DISTINCT). Sketch internals differ from
+    * DuckDB's, so rows-only here; the spec asserts <5% relative error
+    * against the exact count. */
+  private val q42: QFn = (s, d) => {
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q32_minhash_pairs" -> q32,
+    "q33_simhash" -> q33,
+    "q35_ann_lsh" -> q35,
+    "q42_approx_distinct" -> q42,
+    "q43_simhash_pairs" -> q43)
+
+  /** q32's verified output equals the exact trigram-Jaccard pair set:
+    * the lowest true pair in the test data sits at j≈0.89 where 16×4
+    * banding misses with p≈1e-7, and the exact-verify step removes all
+    * false positives — so it shares q31's oracle (same columns). The
+    * others are hash-seeded and rows-only by design. */
+  val oracleSql: Map[String, String] = Map(
+    "q32_minhash_pairs" -> TextOps.oracleSql("q31_ngram_jaccard"))
+}
