@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LakehouseOps.queries ++ SessionOps.queries ++
-      TextOps.queries ++ VectorOps.queries ++ ScaleOps.queries
+      TextOps.queries ++ VectorOps.queries ++ ScaleOps.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ LakehouseOps.oracleSql ++ SessionOps.oracleSql ++
-      TextOps.oracleSql ++ VectorOps.oracleSql ++ ScaleOps.oracleSql
+      TextOps.oracleSql ++ VectorOps.oracleSql ++ ScaleOps.oracleSql ++
+      Multimodal.oracleSql
 }

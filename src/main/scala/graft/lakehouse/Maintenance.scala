@@ -1,0 +1,89 @@
+package graft.lakehouse
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operations: retention, compaction, schema
+  * evolution, and MERGE/upsert — the jobs a lakehouse automation
+  * stack schedules around its tables.
+  */
+object Maintenance {
+
+  /** File-level retention: delete data files older than `days`
+    * (reference: `datagen.py:92-106` `delete_data`). Metadata-only —
+    * lists and deletes by mtime, never reads data. */
+  def expireFiles(spark: SparkSession, dir: String, days: Int): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - days.toLong * 24 * 3600 * 1000
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getModificationTime < cutoff)
+      .map { s => fs.delete(s.getPath, false); s.getPath.getName }
+  }
+
+  /** Row-level retention: rewrite the table keeping only rows with
+    * `tsCol` within the window. At scale this runs per partition on a
+    * date-partitioned table, so only expired partitions rewrite. */
+  def expireRows(spark: SparkSession, tableDir: String, tmpDir: String,
+                 tsCol: String, cutoff: java.sql.Timestamp): Long = {
+    val df = spark.read.parquet(tableDir).filter(col(tsCol) >= lit(cutoff))
+    val kept = df.count()
+    df.write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    replaceDir(spark, tmpDir, tableDir)
+    kept
+  }
+
+  /** Small-file compaction: coalesce a table directory to
+    * ~`targetFileBytes` per output file based on current on-disk size.
+    * coalesce() (not repartition) — no shuffle, just fewer writers. */
+  def compact(spark: SparkSession, tableDir: String, tmpDir: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    val fs = FileSystem.get(new java.net.URI(tableDir),
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new Path(tableDir)).getLength
+    val n = math.max(1, (bytes / targetFileBytes).toInt)
+    spark.read.parquet(tableDir).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    replaceDir(spark, tmpDir, tableDir)
+    n
+  }
+
+  /** Additive schema evolution on read: union two snapshots whose
+    * schemas differ by added columns (missing columns null-filled) —
+    * Spark-native `mergeSchema`, made explicit for appends. */
+  def alignAppend(base: DataFrame, incoming: DataFrame): DataFrame = {
+    val baseCols = base.columns.toSeq
+    val incCols = incoming.columns.toSet
+    val allCols = baseCols ++ incoming.columns.filterNot(baseCols.contains)
+    def aligned(df: DataFrame, have: Set[String]) =
+      df.select(allCols.map(c =>
+        if (have.contains(c)) col(c) else lit(null).as(c)): _*)
+    aligned(base, baseCols.toSet).unionByName(aligned(incoming, incCols))
+  }
+
+  /** MERGE/upsert: apply `changes` onto the table at `tableDir` by
+    * `keys` — matched rows are replaced, unmatched inserted. The
+    * changes side is the small side: broadcast anti-join + union, one
+    * pass over the big table, no wide shuffle of the target. */
+  def upsert(spark: SparkSession, tableDir: String, tmpDir: String,
+             changes: DataFrame, keys: Seq[String]): Unit = {
+    val target = spark.read.parquet(tableDir)
+    val keep = target.join(broadcast(changes.select(keys.map(col): _*)),
+      keys, "left_anti")
+    keep.unionByName(changes)
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    replaceDir(spark, tmpDir, tableDir)
+  }
+
+  /** Atomic-ish directory swap (rename) used by rewrite operations. */
+  private def replaceDir(spark: SparkSession, from: String, to: String): Unit = {
+    val fs = FileSystem.get(new java.net.URI(to),
+      spark.sparkContext.hadoopConfiguration)
+    val toPath = new Path(to)
+    fs.delete(toPath, true)
+    fs.rename(new Path(from), toPath)
+  }
+}

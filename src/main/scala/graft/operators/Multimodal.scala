@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through
+  * the engine as opaque `binary` columns with a typed metadata struct;
+  * decode/feature-extraction runs batch-wise over partitions so a real
+  * decoder (JNI/FFI or a Python worker at the end of the pipeline)
+  * slots in without changing the plan shape.
+  *
+  * The container has no media libraries, so `decodeStub` is a
+  * clearly-marked deterministic fake — the Spark-side contract
+  * (schema, batch iteration, partitioning) is real and tested.
+  */
+object Multimodal {
+
+  /** Metadata carried alongside every blob. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content_hash", StringType, nullable = false)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("feature", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** Build a blob table from the documents: payload as opaque binary +
+    * typed metadata. (Stands in for reading real image/audio files —
+    * same shape: binary column + metadata struct.) */
+  def blobTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        lit("text/fake-image").as("modality"),
+        md5(col("text").cast("binary")).as("content_hash")).as("meta"))
+
+  /** STUB decoder: deterministic fake "image decode + feature
+    * extract". A real implementation would replace the body of the
+    * per-batch function with an actual codec; everything around it
+    * (mapPartitions batching, row encoding, schema) stays. */
+  def decodeStub(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select("doc_id", "payload").rdd.mapPartitions { it =>
+      // one "decoder" per partition (where codec init would happen);
+      // per-row work is pure byte math so results are deterministic
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = bytes.length.toLong
+        // fake dimensions derived from content, as a real decode would
+        val h0 = bytes.take(8).foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+        val w = (math.abs(h0) % 640 + 1).toInt
+        val h = (math.abs(h0 / 640) % 480 + 1).toInt
+        // fake 8-dim feature: mean byte value per stride-8 lane
+        val feat = (0 until 8).map { lane =>
+          val lanes = bytes.indices.collect {
+            case i if i % 8 == lane => bytes(i) & 0xFF
+          }
+          if (lanes.isEmpty) 0.0 else lanes.sum.toDouble / lanes.length
+        }.toArray
+        Row(id, n, w, h, feat.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Oracle-checkable slice of the blob pipeline: metadata projection
+    * (byte length + content hash) — q41. */
+  val q41: (SparkSession, String) => DataFrame = (s, d) =>
+    blobTable(s, d).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.modality").as("modality"),
+      col("meta.content_hash").as("content_hash"))
+
+  val q41Sql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  'text/fake-image' AS modality, md5(text) AS content_hash
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_blob_meta" -> q41)
+  val oracleSql: Map[String, String] = Map(
+    "q41_blob_meta" -> q41Sql)
+}

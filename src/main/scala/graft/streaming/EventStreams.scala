@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analytics — the continuously-running form of
+  * the reference's polling refresh loop. Batch twins with oracles live
+  * in `graft.operators.SessionOps`; these operate on unbounded input
+  * with watermarks and managed state.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long,
+                        total_value: Double)
+
+  /** Streaming CSV/parquet directory source for the events schema —
+    * the `readStream` flavor of the incremental loader. */
+  def readEventStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+      .parquet(srcDir)
+
+  /** Watermarked tumbling 1-hour counts per event type — the
+    * streaming twin of q51. Late data beyond 2h is dropped (state is
+    * bounded; at scale watermark delay is the knob that caps state). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Stateful gap sessionization (30-min inactivity) — the streaming
+    * twin of q50, via flatMapGroupsWithState with EVENT-time timeout
+    * (wall-clock timeouts would be nondeterministic and keep the
+    * micro-batch engine spinning). One state object per active user;
+    * sessions emit on gap or when the watermark passes last+gap, so
+    * state is O(active users), not O(events). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              SessionOut(userId, new Timestamp(st.start), new Timestamp(st.last),
+                st.n, st.total)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.last <= gapMs =>
+                  cur = Some(st.copy(last = t, n = st.n + 1,
+                    total = st.total + e.value))
+                case Some(st) =>
+                  closed ::= SessionOut(userId, new Timestamp(st.start),
+                    new Timestamp(st.last), st.n, st.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lakehouse._
+
+/** Specs for the automation components (the reference's core loop:
+  * generate → detect → load → register → maintain). */
+class LakehouseSpec extends SparkSpec {
+
+  test("survey generator is deterministic and matches the reference domain") {
+    val a = SurveyGen.generate(spark, 1000, seed = 7).collect()
+    val b = SurveyGen.generate(spark, 1000, seed = 7).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val df = SurveyGen.generate(spark, 1000, seed = 7)
+    assert(df.columns.toSeq == Seq("id", "customer_type", "travel_type",
+      "departure_delay", "baggage_handling", "satisfaction"))
+    val delays = df.agg(min("departure_delay"), max("departure_delay")).head
+    assert(delays.getInt(0) >= 0 && delays.getInt(1) < 1600)
+    val sat = df.select("satisfaction").distinct().collect().map(_.getString(0)).toSet
+    assert(sat == Set("Neutral or Dissatisfied", "Satisfied"))
+  }
+
+  test("incremental loader: loads new files once, skips on re-run, records failures") {
+    val src = tmpDir("src")
+    val table = tmpDir("table") + "/t"
+    val reg = tmpDir("reg") + "/r"
+    val f1 = SurveyGen.writeArrival(spark, src, "datagen_202401010000.csv", 100, 1)
+    val f2 = SurveyGen.writeArrival(spark, src, "datagen_202401010001.csv", 50, 2)
+
+    val r1 = IncrementalLoader.run(spark, src, table, reg, SurveyGen.schema)
+    assert(r1.loaded.toSet == Set(f1, f2) && r1.skipped.isEmpty)
+    assert(spark.read.parquet(table).count() == 150)
+
+    // second pass: nothing new → nothing loaded, everything skipped
+    val r2 = IncrementalLoader.run(spark, src, table, reg, SurveyGen.schema)
+    assert(r2.loaded.isEmpty && r2.skipped.toSet == Set(f1, f2))
+    assert(spark.read.parquet(table).count() == 150)
+
+    // a third file arrives → only it is loaded
+    val f3 = SurveyGen.writeArrival(spark, src, "datagen_202401010002.csv", 25, 3)
+    val r3 = IncrementalLoader.run(spark, src, table, reg, SurveyGen.schema)
+    assert(r3.loaded == Seq(f3) && spark.read.parquet(table).count() == 175)
+
+    // registry recorded every attempt as ok
+    val regRows = LoadRegistry.read(spark, reg).collect()
+    assert(regRows.length == 3 && regRows.forall(_.getString(1) == "ok"))
+  }
+
+  test("row-level retention keeps only rows in the window") {
+    val dir = tmpDir("ret") + "/t"
+    Tables.events(spark, sfDir).write.parquet(dir)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val kept = Maintenance.expireRows(spark, dir, dir + "_tmp", "ts", cutoff)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == kept)
+    assert(after.filter(col("ts") < lit(cutoff)).count() == 0)
+    assert(kept > 0)
+  }
+
+  test("compaction reduces file count and preserves data") {
+    val dir = tmpDir("cmp") + "/t"
+    Tables.events(spark, sfDir).repartition(16).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeCnt = before.count()
+    val beforeSum = before.agg(sum("event_id")).head.getLong(0)
+    val filesBefore = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    Maintenance.compact(spark, dir, dir + "_tmp", targetFileBytes = 1L << 30)
+    val after = spark.read.parquet(dir)
+    val filesAfter = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore && filesAfter == 1)
+    assert(after.count() == beforeCnt)
+    assert(after.agg(sum("event_id")).head.getLong(0) == beforeSum)
+  }
+
+  test("upsert: matched rows replaced, unmatched inserted, rest untouched") {
+    import spark.implicits._
+    val dir = tmpDir("ups") + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v").write.parquet(dir)
+    val changes = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    Maintenance.upsert(spark, dir, dir + "_tmp", changes, Seq("k"))
+    val out = spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("schema evolution: additive columns align with null fill") {
+    import spark.implicits._
+    val base = Seq((1L, "x")).toDF("id", "name")
+    val incoming = Seq((2L, "y", 5.0)).toDF("id", "name", "score")
+    val merged = Maintenance.alignAppend(base, incoming)
+    assert(merged.columns.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 5.0)
+  }
+
+  test("file-level retention deletes only stale files") {
+    val dir = tmpDir("exp")
+    val fresh = new java.io.File(dir, "fresh.csv")
+    val stale = new java.io.File(dir, "stale.csv")
+    java.nio.file.Files.writeString(fresh.toPath, "a\n")
+    java.nio.file.Files.writeString(stale.toPath, "b\n")
+    stale.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    val deleted = Maintenance.expireFiles(spark, dir, days = 7)
+    assert(deleted == Seq("stale.csv"))
+    assert(fresh.exists() && !stale.exists())
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Invariant checks for the query surface (cross-engine value parity
+  * is the driver's DuckDB gate; these specs pin semantics and the
+  * relationships between exact and approximate operators). */
+class OperatorsSpec extends SparkSpec {
+
+  test("every query runs and every oracle key exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, name)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 aggregates reconcile with raw totals") {
+    val out = Relational.queries("q01_pricing_summary")(spark, sfDir)
+    val total = out.agg(sum("count_order")).head.getLong(0)
+    val raw = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp")).count()
+    assert(total == raw)
+  }
+
+  test("q32 minhash+LSH finds exactly the exact-Jaccard pair set") {
+    val exact = TextOps.queries("q31_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ScaleOps.queries("q32_minhash_pairs")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("q42 approx distinct within 5% of exact") {
+    val exact = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val approx = ScaleOps.queries("q42_approx_distinct")(spark, sfDir)
+    val joined = approx.join(exact, "event_type").collect()
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx_users").toDouble
+      val e = r.getAs[Long]("exact").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: $a vs $e")
+    }
+  }
+
+  test("q35 LSH ANN neighbors are a subset of valid ids with sane cosine") {
+    val rows = ScaleOps.queries("q35_ann_lsh")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= 1.000001)
+      assert(r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id"))
+    }
+  }
+
+  test("q34 brute-force ANN returns k=3 per probe, self excluded") {
+    val rows = VectorOps.queries("q34_ann_cosine")(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 5)
+    byProbe.values.foreach(g => assert(g.length == 3))
+  }
+
+  test("simhash separates near-dups from the population") {
+    // simhash can't guarantee hamming<=3 for trigram near-dups (a few
+    // changed words flip near-zero bit votes), but planted dups must
+    // sit FAR below the population's mean hamming distance
+    val fp = ScaleOps.queries("q33_simhash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    val planted = TextOps.queries("q31_ngram_jaccard")(spark, sfDir)
+      .filter(col("jaccard") > 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted.nonEmpty)
+    val ids = fp.keys.toSeq.sorted
+    val popMean = (for (i <- ids.indices; j <- (i + 1) until ids.size)
+      yield ham(ids(i), ids(j))).sum.toDouble / (ids.size * (ids.size - 1) / 2)
+    val dupMean = planted.map { case (a, b) => ham(a, b) }.sum.toDouble / planted.length
+    assert(dupMean < popMean / 2, s"dupMean=$dupMean popMean=$popMean")
+  }
+
+  test("multimodal decode stub: deterministic, right shape, partition-invariant") {
+    val blobs = operators.Multimodal.blobTable(spark, sfDir)
+    val f1 = operators.Multimodal.decodeStub(blobs).orderBy("doc_id").collect()
+    val f2 = operators.Multimodal.decodeStub(blobs.repartition(7)).orderBy("doc_id").collect()
+    assert(f1.length == blobs.count())
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    f1.foreach { r =>
+      assert(r.getSeq[Double](r.fieldIndex("feature")).length == 8)
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+/** Structured-Streaming specs via MemoryStream (no filesystem source
+  * needed; exercises watermarks and flatMapGroupsWithState state). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stateful sessionization closes a session on gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: two events 5 min apart (one session so far — no output)
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 7, "view", 2.0))
+    query.processAllAvailable()
+    // batch 2: event 2h later → previous session closes and emits
+    input.addData(Event(3, ts("2024-01-01 12:30:00"), 7, "click", 4.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions").as[SessionOut].collect()
+    query.stop()
+    assert(out.length == 1)
+    val sess = out.head
+    assert(sess.user_id == 7 && sess.n_events == 2 && sess.total_value == 3.0)
+    assert(sess.session_start == ts("2024-01-01 10:00:00"))
+    assert(sess.session_end == ts("2024-01-01 10:05:00"))
+  }
+
+  test("watermarked tumbling counts aggregate closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:40:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 11:20:00"), 3, "view", 3.0))
+    query.processAllAvailable()
+    // advance watermark far enough to close the 10:00 window
+    input.addData(Event(4, ts("2024-01-01 14:00:00"), 4, "view", 4.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("tumbling").collect()
+    query.stop()
+    val clicks10 = rows.find(r =>
+      r.getAs[Timestamp]("hour") == ts("2024-01-01 10:00:00") &&
+        r.getAs[String]("event_type") == "click")
+    assert(clicks10.isDefined)
+    assert(clicks10.get.getAs[Long]("n") == 2)
+    assert(clicks10.get.getAs[Double]("total_value") == 3.0)
+  }
+}
