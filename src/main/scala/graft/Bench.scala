@@ -37,6 +37,7 @@ object Bench {
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
+      spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

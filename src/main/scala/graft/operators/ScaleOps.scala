@@ -26,25 +26,16 @@ object ScaleOps {
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  private def trigrams(c: Column): Column = {
-    val w = words(c)
-    array_distinct(transform(
-      sequence(lit(0), size(w) - 3),
-      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-  }
-
-  /** doc_id → distinct trigram shingles (shared by q32). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), trigrams(col("text")).as("grams"))
-
-  /** MinHash signatures: 64 permutations simulated by seeded xxhash64;
-    * one nested higher-order expression, zero shuffles, O(|grams|·64)
-    * per-row compute — the canonical signature pass. */
-  private def minhashed(g: DataFrame): DataFrame =
-    g.withColumn("sig",
-      transform(sequence(lit(0), lit(NumHashes - 1)),
-        i => array_min(transform(col("grams"), gr => xxhash64(i, gr)))))
+  /** MinHash slot minima via ONE-PERMUTATION HASHING (Li/Owen/Zhang
+    * 2012): the shingle hash itself routes to one of 64 slots, min per
+    * slot — O(|grams|) total hashing instead of O(|grams|·64), with
+    * the whole path (TextOps.gramHashes → groupBy min) inside
+    * whole-stage codegen. Band signatures are aggregated directly from
+    * these rows — no signature arrays, no interpreted higher-order
+    * functions anywhere on the hot path. */
+  private def slotMins(e: DataFrame): DataFrame =
+    e.withColumn("slot", pmod(col("gram"), lit(NumHashes)).cast("int"))
+      .groupBy("doc_id", "slot").agg(min(col("gram")).as("mh"))
 
   /** MinHash + LSH banded near-dup pairs, exact-Jaccard verified.
     *
@@ -54,25 +45,19 @@ object ScaleOps {
     * Shuffle volume is 16 rows/doc regardless of document size; the
     * quadratic step only ever runs inside a bucket. */
   private val q32: QFn = (s, d) => {
-    val g = shingled(s, d).cache()
-    val sig = minhashed(g)
-    val bands = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-          b => xxhash64(slice(col("sig"), b * BandSize + 1, lit(BandSize))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val e = TextOps.gramHashes(s, d) // cached flat postings
+    // band signature = hash of the band's (slot, min) rows; an empty
+    // slot is simply absent, consistently on both sides of the join
+    val bands = slotMins(e)
+      .withColumn("band", (col("slot") / lit(BandSize)).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(hash(sort_array(collect_list(struct(col("slot"), col("mh"))))).as("bucket"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val ga = g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val gb = g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    cand.join(ga, "doc_a").join(gb, "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
+    TextOps.verifyJaccard(e, cand, 0.5)
   }
 
   /** SimHash 64-bit fingerprints: per bit position, sign of the sum of

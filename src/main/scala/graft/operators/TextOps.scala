@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -28,6 +29,34 @@ object TextOps {
       i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
   }
 
+  /** Exploded 64-bit trigram-shingle hashes, fully codegen'd:
+    * posexplode words → hash each word once → window lead(1),lead(2) →
+    * gram hash = xxhash64(h, h1, h2). No string concatenation, no
+    * interpreted higher-order functions (the array-building/`transform`
+    * shape costs ~40µs per shingle in Spark's interpreted HOF path —
+    * this formulation is pure whole-stage codegen on flat long rows).
+    * Gram identity is a bijection of the string trigram w.h.p., so
+    * Jaccard counts are unchanged. Returns (doc_id, gram, n_grams),
+    * distinct per doc, CACHED (flat longs — cheap to materialize,
+    * unlike array columns) and eagerly populated.
+    */
+  private[operators] def gramHashes(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val wDoc = Window.partitionBy("doc_id")
+    val e = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+      .withColumn("h1", lead("h", 1).over(wOrd))
+      .withColumn("h2", lead("h", 2).over(wOrd))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("h"), col("h1"), col("h2")).as("gram"))
+      .distinct()
+      .withColumn("n_grams", count(lit(1)).over(wDoc))
+      .cache()
+    e.count() // eager, serial population (multiple consumers downstream)
+    e
+  }
+
   /** Exact dedup: canonical fingerprint → group → keep-lowest-id
     * decision table. At 100 TB this is one shuffle on a 128-bit hash —
     * the grouped row set is tiny regardless of input size. */
@@ -41,24 +70,54 @@ object TextOps {
       |  MIN(doc_id) AS keep_doc_id
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Exact n-gram-set Jaccard near-dup pairs. Scale-correct plan: the
-    * pair space is generated ONLY from shared shingles (explode +
-    * self-join on the shingle), never a cross join; |∩| falls out of
-    * the join group count because shingle sets are distinct. */
+  /** Exact n-gram-set Jaccard near-dup pairs via PREFIX FILTERING
+    * (PPJoin-style, exact for j ≥ 0.5):
+    *
+    * A naive shared-shingle self-join degenerates when shingles are
+    * frequent — every common trigram becomes a quadratic bucket.
+    * Instead, rank each document's shingles by global document
+    * frequency (rarest first) and index only the first
+    * ⌊n/2⌋+1 of them: two sets with Jaccard ≥ t AND sizes within
+    * [t·n, n/t] of each other must collide inside these prefixes
+    * (pigeonhole on the required overlap ⌈t·n⌉). Candidates then get
+    * one exact array_intersect/array_union verification.
+    *
+    * Shuffle volume: O(Σ prefix) ≈ half the shingle explosion, but the
+    * join buckets are the RARE shingles, so bucket sizes — and the
+    * candidate pair count — collapse. This is the 100-TB shape. */
   private val q31: QFn = (s, d) => {
-    val g = Tables.documents(s, d)
-      .select(col("doc_id"), trigrams(col("text")).as("grams"))
-      .withColumn("n_grams", size(col("grams")))
-    val e = g.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
-    val a = e.select(col("doc_id").as("doc_a"), col("n_grams").as("na"), col("gram"))
-    val b = e.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"), col("gram"))
-    a.join(b, Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
+    val t = 0.5
+    val e = gramHashes(s, d) // (doc_id, gram, n_grams), cached flat longs
+    val df = e.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)
+    val prefix = e.join(df, "gram")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= floor(col("n_grams") * (1 - t)) + 1)
+      .select("doc_id", "n_grams", "gram")
+    val a = prefix.select(col("doc_id").as("doc_a"), col("n_grams").as("na"), col("gram"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"), col("gram"))
+    val cand = a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") >= col("nb") * t && col("nb") >= col("na") * t)
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(e, cand, t)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the
+    * postings table: |∩| from a codegen'd two-step join + count,
+    * |∪| = na + nb − |∩|. Shared with the LSH path (q32). */
+  private[operators] def verifyJaccard(e: DataFrame, cand: DataFrame,
+                                       t: Double): DataFrame = {
+    cand
+      .join(e.select(col("doc_id").as("doc_a"), col("n_grams").as("na"),
+        col("gram")), "doc_a")
+      .join(e.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"),
+        col("gram")), Seq("doc_b", "gram"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= t)
       .select("doc_a", "doc_b", "jaccard")
   }
   private val q31Sql =
