@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: 64-bit SimHash over an array of 64-bit
+  * token hashes (Charikar 2002). For each bit position, tokens vote
+  * ±1 by their hash bit; the fingerprint sets the bits with positive
+  * vote sums.
+  *
+  * This is the "extend Spark natively" path: a `UnaryExpression` with
+  * `doGenCode`, so the O(tokens·64) bit loop runs as generated Java
+  * inside whole-stage codegen — the same computation written with
+  * `aggregate`/`zip_with` higher-order functions executes interpreted,
+  * ~2 orders of magnitude slower per row.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) r |= (1L << b)
+      b += 1
+    }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val r = ctx.freshName("r")
+      s"""
+         |long[] $counts = new long[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $arr.getLong($i);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1L : -1L;
+         |    }
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] > 0) $r |= (1L << $b);
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-API and SQL-registration entry points for graft's native
+  * expressions. */
+object GraftFunctions {
+
+  /** `simhash64(tokenHashes)` as a Column. */
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      SimHash64(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash64].getName, "simhash64")
+
+  /** Register graft functions into an existing session's registry
+    * (library-user path; the `GraftExtensions` class is the
+    * spark.sql.extensions path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"), simhashInfo,
+      (children: Seq[Expression]) => SimHash64(children.head))
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * function library at session build time. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
+}

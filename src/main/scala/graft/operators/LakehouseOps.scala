@@ -95,13 +95,51 @@ object LakehouseOps {
       |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
       |FROM orders""".stripMargin
 
+  /** AS-OF join: for each event, the most recent order of the same
+    * key at-or-before the event time. Spark has no native as-of join;
+    * the composition is a range join + per-left-row top-1
+    * (row_number with a total order). At scale the range join shuffles
+    * on the equi-key and AQE handles the skew; the window shares the
+    * same partitioning. */
+  private val q24: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    ev.join(o, col("o_custkey") === col("user_id") &&
+        col("o_orderdate") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("o_orderkey").as("asof_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
+  }
+  private val q24Sql =
+    """SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      |  o_orderkey AS asof_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate
+      |FROM (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  LEFT JOIN orders o ON o.o_custkey = e.user_id
+      |                    AND o.o_orderdate <= e.ts) t
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
-    "q23_dq_profile" -> q23)
+    "q23_dq_profile" -> q23,
+    "q24_asof_join" -> q24)
 
   val oracleSql: Map[String, String] = Map(
     "q21_cdc_latest" -> q21Sql,
     "q22_merge_upsert" -> q22Sql,
-    "q23_dq_profile" -> q23Sql)
+    "q23_dq_profile" -> q23Sql,
+    "q24_asof_join" -> q24Sql)
 }

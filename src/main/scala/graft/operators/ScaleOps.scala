@@ -65,22 +65,15 @@ object ScaleOps {
     * fingerprint table (the building block for hamming-distance
     * dedup, see q43). */
   private val q33: QFn = (s, d) => {
-    // bit b of the fingerprint = (Σ_words (hash>>b & 1 ? 1 : -1)) > 0;
-    // SQL expr because the Scala shiftright/shiftleft wrappers only
-    // take Int shift amounts (the SQL functions take expressions)
-    val sim = expr(
-      """aggregate(
-        |  zip_with(
-        |    aggregate(
-        |      transform(array_distinct(split(trim(lower(text)), '\\s+')),
-        |                t -> xxhash64(t)),
-        |      array_repeat(0L, 64),
-        |      (acc, h) -> zip_with(acc, sequence(0, 63),
-        |        (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1L, -1L))),
-        |    sequence(0, 63),
-        |    (a, b) -> if(a > 0, shiftleft(1L, b), 0L)),
-        |  0L, (x, y) -> x | y)""".stripMargin)
-    Tables.documents(s, d).select(col("doc_id"), sim.as("simhash"))
+    // token hashes via a (cheap, ~|words|) higher-order transform; the
+    // O(|words|·64) bit-vote loop runs in the native codegen'd
+    // SimHash64 expression (graft.functions) — the same logic as a
+    // nested aggregate/zip_with HOF expression is ~100× slower
+    val tokens = transform(
+      array_distinct(split(trim(lower(col("text"))), "\\s+")),
+      t => xxhash64(t))
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(tokens).as("simhash"))
   }
 
   /** SimHash near-dup pairs via 4×16-bit band join + hamming verify
@@ -151,12 +144,26 @@ object ScaleOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Approximate quantiles (Greenwald-Khanna sketch): the 100-TB
+    * substitute for q16's exact percentiles — mergeable sketches, one
+    * pass, bounded memory. Sketch internals differ from DuckDB's →
+    * rows-only; spec asserts <1% relative error vs exact. */
+  private val q44: QFn = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_p50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("approx_p90"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q32_minhash_pairs" -> q32,
     "q33_simhash" -> q33,
     "q35_ann_lsh" -> q35,
     "q42_approx_distinct" -> q42,
-    "q43_simhash_pairs" -> q43)
+    "q43_simhash_pairs" -> q43,
+    "q44_approx_quantile" -> q44)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4

@@ -48,6 +48,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q44 approx quantiles within 1% of exact") {
+    val approx = ScaleOps.queries("q44_approx_quantile")(spark, sfDir)
+    val exact = Relational.queries("q16_percentiles")(spark, sfDir)
+    val joined = approx.join(exact, "o_orderstatus").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val rel = math.abs(r.getAs[Double]("approx_p50") - r.getAs[Double]("p50")) /
+        r.getAs[Double]("p50")
+      assert(rel < 0.01, s"${r.getString(0)}: $rel")
+    }
+  }
+
+  test("simhash64 native expression registers and runs in SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(transform(array('a','b','c'), t -> xxhash64(t))) AS s")
+      .head.getLong(0)
+    val r2 = spark.sql(
+      "SELECT simhash64(transform(array('a','b','c'), t -> xxhash64(t))) AS s")
+      .head.getLong(0)
+    assert(r == r2)
+    // interpreted eval path agrees with codegen
+    val viaEval = graft.functions.SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 2L, 3L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))).eval(null)
+    val viaSql = spark.sql("SELECT simhash64(array(1L, 2L, 3L))").head.getLong(0)
+    assert(viaEval == viaSql)
+  }
+
   test("q35 LSH ANN neighbors are a subset of valid ids with sane cosine") {
     val rows = ScaleOps.queries("q35_ann_lsh")(spark, sfDir).collect()
     assert(rows.nonEmpty)
