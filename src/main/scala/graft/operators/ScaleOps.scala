@@ -144,6 +144,56 @@ object ScaleOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** IVF-style ANN: coarse quantization by per-label mean centroids
+    * (deterministic stand-in for a k-means train step, which at 100 TB
+    * would run on a sample), nprobe=4 — each probe scans only the
+    * inverted lists of its 4 nearest centroids instead of the full
+    * collection. Rows-only (seeded/training-dependent); the spec pins
+    * shape and determinism, and recall is measured against exact q34. */
+  private val q45: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dot = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nrm = (v: Column) => sqrt(dot(v, v))
+    // "trained" coarse centroids: mean vector per label
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg(col("col").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cent_id"),
+        transform(col("pc"), p => p.getField("c")).as("cvec"))
+    // assign every vector to its nearest centroid (cosine)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+    val assigned = emb.join(broadcast(cents),
+        col("vec_id").isNotNull) // cross join against the tiny centroid set
+      .withColumn("sim", dot(col("embedding"), col("cvec")) /
+        (nrm(col("embedding")) * nrm(col("cvec"))))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("cent_id"))
+    // probes search their nprobe=4 nearest centroid lists
+    val wProbe = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cent_id").asc)
+    val probeLists = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .join(broadcast(cents), col("probe_id").isNotNull)
+      .withColumn("sim", dot(col("pe"), col("cvec")) /
+        (nrm(col("pe")) * nrm(col("cvec"))))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 4)
+      .select(col("probe_id"), col("pe"), col("cent_id"))
+    val wTop = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probeLists.join(assigned, Seq("cent_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("pe"), col("ne")) / (nrm(col("pe")) * nrm(col("ne"))))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Approximate quantiles (Greenwald-Khanna sketch): the 100-TB
     * substitute for q16's exact percentiles — mergeable sketches, one
     * pass, bounded memory. Sketch internals differ from DuckDB's →
@@ -163,7 +213,8 @@ object ScaleOps {
     "q35_ann_lsh" -> q35,
     "q42_approx_distinct" -> q42,
     "q43_simhash_pairs" -> q43,
-    "q44_approx_quantile" -> q44)
+    "q44_approx_quantile" -> q44,
+    "q45_ann_ivf" -> q45)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4

@@ -78,6 +78,20 @@ class OperatorsSpec extends SparkSpec {
     assert(viaEval == viaSql)
   }
 
+  test("q45 IVF ANN: deterministic, k<=3 per probe, reports recall vs exact") {
+    val ivf = ScaleOps.queries("q45_ann_ivf")(spark, sfDir).collect()
+    val ivf2 = ScaleOps.queries("q45_ann_ivf")(spark, sfDir).collect()
+    assert(ivf.map(_.toString).sorted.toSeq == ivf2.map(_.toString).sorted.toSeq)
+    val byProbe = ivf.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.nonEmpty)
+    byProbe.values.foreach(g => assert(g.length <= 3))
+    val exact = VectorOps.queries("q34_ann_cosine")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = ivf.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    info(s"IVF recall@3 = ${approx.intersect(exact).size.toDouble / exact.size}")
+  }
+
   test("q35 LSH ANN neighbors are a subset of valid ids with sane cosine") {
     val rows = ScaleOps.queries("q35_ann_lsh")(spark, sfDir).collect()
     assert(rows.nonEmpty)
