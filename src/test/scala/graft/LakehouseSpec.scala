@@ -46,6 +46,23 @@ class LakehouseSpec extends SparkSpec {
     assert(regRows.length == 3 && regRows.forall(_.getString(1) == "ok"))
   }
 
+  test("streaming loader: exactly-once across restarts via checkpoint") {
+    val src = tmpDir("ssrc")
+    val table = tmpDir("stable") + "/t"
+    val ckpt = tmpDir("sckpt") + "/c"
+    SurveyGen.writeArrival(spark, src, "drop1.csv", 100, 11)
+    SurveyGen.writeArrival(spark, src, "drop2.csv", 50, 12)
+    val q1 = StreamingLoader.runAvailableNow(spark, src, table, ckpt, SurveyGen.schema)
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(table).count() == 150)
+
+    // restart with a new file: only the new one is ingested
+    SurveyGen.writeArrival(spark, src, "drop3.csv", 25, 13)
+    val q2 = StreamingLoader.runAvailableNow(spark, src, table, ckpt, SurveyGen.schema)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(table).count() == 175)
+  }
+
   test("row-level retention keeps only rows in the window") {
     val dir = tmpDir("ret") + "/t"
     Tables.events(spark, sfDir).write.parquet(dir)
