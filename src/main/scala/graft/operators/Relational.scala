@@ -425,6 +425,137 @@ object Relational {
       |  COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
       |FROM events GROUP BY 1""".stripMargin
 
+  /** TPC-H Q17 shape — correlated scalar subquery: revenue from
+    * small-quantity lineitems, where "small" is relative to each
+    * part's own average quantity. De-correlated into an aggregate +
+    * broadcast join, which is how it should run at 100 TB: one pass
+    * to build the per-part thresholds (small — one row per part),
+    * broadcast, one pass over the fact table. */
+  private val q25: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val avgQty = l.groupBy(col("l_partkey").as("pk"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    l.join(broadcast(avgQty), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  private val q25Sql =
+    s"""SELECT p_brand,
+       |  ${sqlSum("l_extendedprice")} AS small_qty_revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN (SELECT l_partkey AS pk, ${sqlAvg("l_quantity")} AS avg_qty
+       |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE l_quantity < avg_qty * 0.5
+       |GROUP BY p_brand""".stripMargin
+
+  /** CUBE grouping sets over two dimensions (all four grouping
+    * combinations in ONE Expand + one shuffle; nulls coalesced so both
+    * engines emit identical rows). Expressed through `spark.sql` —
+    * the DataFrame `cube()` API trips Spark's ambiguous-self-join
+    * detector when the cube input is a join (the cube Expand
+    * duplicates join-tagged attributes); the SQL path builds the
+    * identical plan without the dataset-id tags. */
+  private val q26: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("g26_customer")
+    Tables.nation(s, d).createOrReplaceTempView("g26_nation")
+    s.sql(s"""
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        COALESCE(n_name, 'ALL') AS nation,
+        COUNT(*) AS n_customers,
+        ${sqlSum("c_acctbal")} AS total_bal
+      FROM g26_customer JOIN g26_nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE (c_mktsegment, n_name)""")
+  }
+  private val q26Sql =
+    s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       |  COALESCE(n_name, 'ALL') AS nation,
+       |  COUNT(*) AS n_customers, ${sqlSum("c_acctbal")} AS total_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY CUBE (c_mktsegment, n_name)""".stripMargin
+
+  /** FULL OUTER join of two daily series — order intake vs shipment
+    * activity; days present in only one side survive with zero-filled
+    * measures. Both sides pre-aggregate to one row per day before the
+    * join, so the outer join shuffles day-level rows, not facts. */
+  private val q27: QFn = (s, d) => {
+    val ordered = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 2001)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_ordered"))
+    val shipped = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 2001)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_shipped"))
+    ordered.join(shipped, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+  }
+  private val q27Sql =
+    """SELECT COALESCE(o.day, s.day) AS day,
+      |  COALESCE(n_ordered, 0) AS n_ordered,
+      |  COALESCE(n_shipped, 0) AS n_shipped
+      |FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n_ordered
+      |      FROM orders WHERE date_part('year', o_orderdate) = 2001 GROUP BY 1) o
+      |FULL OUTER JOIN
+      |     (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, COUNT(*) AS n_shipped
+      |      FROM lineitem WHERE date_part('year', l_shipdate) = 2001 GROUP BY 1) s
+      |ON o.day = s.day""".stripMargin
+
+  /** Sliding-window smoothing: 7-day moving average + day-over-day
+    * delta (lag) on daily revenue. Decimal end-to-end inside the
+    * window frame; cast to double only on output. */
+  private val q28: QFn = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("rev_dec"))
+    val wMa = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    val wLag = Window.orderBy("day")
+    daily
+      .withColumn("ma7",
+        sum(col("rev_dec")).over(wMa).cast("double") / count(lit(1)).over(wMa))
+      .withColumn("delta",
+        (col("rev_dec") - coalesce(lag(col("rev_dec"), 1).over(wLag),
+          col("rev_dec"))).cast("double"))
+      .select(col("day"), col("rev_dec").cast("double").as("day_rev"),
+        col("ma7"), col("delta"))
+  }
+  private val q28Sql =
+    """SELECT day, CAST(rev_dec AS DOUBLE) AS day_rev,
+      |  CAST(SUM(rev_dec) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS ma7,
+      |  CAST(rev_dec - COALESCE(LAG(rev_dec, 1) OVER (ORDER BY day), rev_dec)
+      |       AS DOUBLE) AS delta
+      |FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |        SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev_dec
+      |      FROM orders GROUP BY 1) t
+      |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Decile segmentation: ntile(10) over account balance (unique
+    * tiebreak → deterministic assignment), per-decile stats. */
+  private val q29: QFn = (s, d) => {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        dsum(col("c_acctbal")).as("total_bal"))
+  }
+  private val q29Sql =
+    s"""SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal,
+       |  MAX(c_acctbal) AS max_bal, ${sqlSum("c_acctbal")} AS total_bal
+       |FROM (SELECT c_acctbal,
+       |        NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+       |      FROM customer) t
+       |GROUP BY decile""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -445,7 +576,12 @@ object Relational {
     "q17_pivot" -> q17,
     "q18_monthly_revenue" -> q18,
     "q19_survey_satisfaction" -> q19,
-    "q20_value_buckets" -> q20)
+    "q20_value_buckets" -> q20,
+    "q25_small_qty_revenue" -> q25,
+    "q26_cube" -> q26,
+    "q27_full_outer_daily" -> q27,
+    "q28_moving_avg" -> q28,
+    "q29_deciles" -> q29)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -467,5 +603,10 @@ object Relational {
     "q17_pivot" -> q17Sql,
     "q18_monthly_revenue" -> q18Sql,
     "q19_survey_satisfaction" -> q19Sql,
-    "q20_value_buckets" -> q20Sql)
+    "q20_value_buckets" -> q20Sql,
+    "q25_small_qty_revenue" -> q25Sql,
+    "q26_cube" -> q26Sql,
+    "q27_full_outer_daily" -> q27Sql,
+    "q28_moving_avg" -> q28Sql,
+    "q29_deciles" -> q29Sql)
 }
