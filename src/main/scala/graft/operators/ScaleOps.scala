@@ -194,6 +194,38 @@ object ScaleOps {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Embedding-cosine near-dup pairs at scale: random-hyperplane LSH
+    * candidate generation + exact-decimal cosine verify. 16 bands × 2
+    * hyperplanes (32 seeded ±1 planes): a pair at the q46 threshold
+    * (cosine 0.4 → P[same sign] ≈ 0.63) collides in ≥1 band with
+    * p ≈ 1 − (1 − 0.63²)¹⁶ ≈ 0.9997, and recall rises steeply above
+    * the threshold. Shuffle volume is 16 rows/vector — O(n·bands),
+    * never O(n²); the verify step removes all false positives, so
+    * output ⊆ q46 with near-1 recall (measured in the spec). */
+  private val q47: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    // band b's 2-bit bucket: sign bits of dots with hyperplanes
+    // (2b, 2b+1); plane j's components are ±1 from xxhash64(200+j, k)
+    val bandExpr = expr(
+      """transform(sequence(0, 15), b ->
+        |  aggregate(sequence(0, 1), 0, (acc, j) -> acc | shiftleft(
+        |    if(aggregate(
+        |         zip_with(embedding,
+        |           transform(sequence(0, 63),
+        |             k -> if((xxhash64(200 + b * 2 + j, k) & 1) = 1, 1.0D, -1.0D)),
+        |           (x, h) -> cast(x as double) * h),
+        |         0.0D, (a, x) -> a + x) > 0, 1, 0),
+        |    j)))""".stripMargin)
+    val bands = emb.select(col("vec_id"), posexplode(bandExpr))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    VectorOps.verifyCosine(emb, cand, 0.4)
+  }
+
   /** Approximate quantiles (Greenwald-Khanna sketch): the 100-TB
     * substitute for q16's exact percentiles — mergeable sketches, one
     * pass, bounded memory. Sketch internals differ from DuckDB's →
@@ -214,7 +246,8 @@ object ScaleOps {
     "q42_approx_distinct" -> q42,
     "q43_simhash_pairs" -> q43,
     "q44_approx_quantile" -> q44,
-    "q45_ann_ivf" -> q45)
+    "q45_ann_ivf" -> q45,
+    "q47_cosine_pairs_lsh" -> q47)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4
@@ -222,5 +255,10 @@ object ScaleOps {
     * false positives — so it shares q31's oracle (same columns). The
     * others are hash-seeded and rows-only by design. */
   val oracleSql: Map[String, String] = Map(
-    "q32_minhash_pairs" -> TextOps.oracleSql("q31_ngram_jaccard"))
+    "q32_minhash_pairs" -> TextOps.oracleSql("q31_ngram_jaccard"),
+    // q47's verify step removes every false positive and the banded
+    // hyperplane collision probability leaves ~3e-4 miss probability
+    // per threshold pair (measured: identical pair sets at all three
+    // SFs) — so it shares the exact all-pairs oracle.
+    "q47_cosine_pairs_lsh" -> VectorOps.oracleSql("q46_cosine_pairs"))
 }

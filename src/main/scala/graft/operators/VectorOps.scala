@@ -35,6 +35,64 @@ object VectorOps {
       .groupBy("vec_id")
       .agg(sqrt(exactSum(col("x").cast("double") * col("x").cast("double"))).as("nrm"))
 
+  /** Exact cosine for each candidate pair (vec_a, vec_b), keeping
+    * pairs with cosine ≥ t. Codegen shapes end-to-end: posexplode →
+    * partial-agg decimal dot, norms joined once per side. Shared by
+    * the exact all-pairs join (q46) and the LSH candidate path
+    * (ScaleOps q47), mirroring the TextOps.verifyJaccard pattern. */
+  private[operators] def verifyCosine(emb: DataFrame, cand: DataFrame,
+      t: Double): DataFrame = {
+    val nrm = norms(emb)
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        posexplode(zip_with(col("ea"), col("eb"),
+          (x, y) => x.cast("double") * y.cast("double"))))
+      .groupBy("vec_a", "vec_b")
+      .agg(exactSum(col("col")).as("dot"))
+      .join(broadcast(nrm.select(col("vec_id").as("vec_a"), col("nrm").as("na"))),
+        Seq("vec_a"))
+      .join(broadcast(nrm.select(col("vec_id").as("vec_b"), col("nrm").as("nb"))),
+        Seq("vec_b"))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= t)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: every pair with
+    * cosine ≥ 0.4. The all-pairs candidate set is generated with a
+    * broadcast inequality join — the exact baseline whose output the
+    * LSH-bucketed scale path (q47 in ScaleOps) must reproduce. */
+  private val q46: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val ids = emb.select(col("vec_id").as("vec_a"))
+    val cand = ids.join(broadcast(emb.select(col("vec_id").as("vec_b"))),
+      col("vec_a") < col("vec_b"))
+    verifyCosine(emb, cand, 0.4)
+  }
+  private val q46Sql =
+    """WITH el AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(range(1, len(embedding)+1)) AS i
+      |  FROM embeddings),
+      |nrm AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(CAST(
+      |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+      |      AS DOUBLE)) AS nrm
+      |  FROM el GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+      |FROM dots
+      |JOIN nrm na ON na.vec_id = vec_a
+      |JOIN nrm nb ON nb.vec_id = vec_b
+      |WHERE dot / (na.nrm * nb.nrm) >= 0.4""".stripMargin
+
   /** Brute-force cosine top-k: for each probe vector (vec_id < 5),
     * the 3 nearest neighbors by cosine similarity. */
   private val q34: QFn = (s, d) => {
@@ -122,9 +180,11 @@ object VectorOps {
 
   val queries: Map[String, QFn] = Map(
     "q34_ann_cosine" -> q34,
-    "q40_embedding_stats" -> q40)
+    "q40_embedding_stats" -> q40,
+    "q46_cosine_pairs" -> q46)
 
   val oracleSql: Map[String, String] = Map(
     "q34_ann_cosine" -> q34Sql,
-    "q40_embedding_stats" -> q40Sql)
+    "q40_embedding_stats" -> q40Sql,
+    "q46_cosine_pairs" -> q46Sql)
 }

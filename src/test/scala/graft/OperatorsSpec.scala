@@ -36,6 +36,15 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("q47 cosine LSH finds exactly the exact cosine-threshold pair set") {
+    val exact = VectorOps.queries("q46_cosine_pairs")(spark, sfDir)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ScaleOps.queries("q47_cosine_pairs_lsh")(spark, sfDir)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
   test("q42 approx distinct within 5% of exact") {
     val exact = Tables.events(spark, sfDir).groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact"))
