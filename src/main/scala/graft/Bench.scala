@@ -16,7 +16,8 @@ object Bench {
   private val headline = Seq(
     "q01_pricing_summary", "q02_revenue_filter", "q03_shipping_priority",
     "q05_local_supplier", "q07_running_total", "q09_topk_parts",
-    "q21_cdc_latest", "q31_ngram_jaccard", "q32_minhash_pairs",
+    "q21_cdc_latest", "q24_asof_join", "q48_asof_native",
+    "q31_ngram_jaccard", "q32_minhash_pairs",
     "q34_ann_cosine", "q50_sessionize", "q51_tumbling_counts")
 
   def main(args: Array[String]): Unit = {

@@ -131,15 +131,39 @@ object LakehouseOps {
       |                    AND o.o_orderdate <= e.ts) t
       |WHERE rn = 1""".stripMargin
 
+  /** The same AS-OF join through the native Catalyst operator
+    * (graft.plans.AsOfJoin): one streaming merge per partition instead
+    * of materializing every (event, earlier-order) pair and window-
+    * discarding all but one. Output is identical to q24 → shares its
+    * oracle. */
+  private val q48: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsOf.join(ev, o,
+        col("user_id"), col("o_custkey"), col("ts"),
+        // orders carries TIMESTAMP_NTZ; the UTC session makes the
+        // cast to the events side's TIMESTAMP an identity
+        col("o_orderdate").cast("timestamp"),
+        tiebreak = Some(col("o_orderkey")))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("o_orderkey").as("asof_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
     "q23_dq_profile" -> q23,
-    "q24_asof_join" -> q24)
+    "q24_asof_join" -> q24,
+    "q48_asof_native" -> q48)
 
   val oracleSql: Map[String, String] = Map(
     "q21_cdc_latest" -> q21Sql,
     "q22_merge_upsert" -> q22Sql,
     "q23_dq_profile" -> q23Sql,
-    "q24_asof_join" -> q24Sql)
+    "q24_asof_join" -> q24Sql,
+    "q48_asof_native" -> q24Sql)
 }

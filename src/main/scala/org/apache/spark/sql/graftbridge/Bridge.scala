@@ -1,14 +1,22 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge for graft's native expressions.
-  * Lives under org.apache.spark.sql because the classic converters are
-  * private[sql] in Spark 4 — the canonical pattern for third-party
-  * Catalyst expression libraries. */
+/** Column ⇄ Expression and DataFrame ⇄ LogicalPlan bridge for graft's
+  * native expressions and plan nodes. Lives under org.apache.spark.sql
+  * because the classic converters are private[sql] in Spark 4 — the
+  * canonical pattern for third-party Catalyst extension libraries. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

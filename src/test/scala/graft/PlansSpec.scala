@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.operators.LakehouseOps
+import graft.plans.{AsOf, AsOfJoin, AsOfJoinExec}
+
+/** Specs for the custom Catalyst plan nodes. */
+class PlansSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("native as-of join output equals the composed range-join+window q24") {
+    val composed = LakehouseOps.queries("q24_asof_join")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val native = LakehouseOps.queries("q48_asof_native")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("as-of join plans one AsOfJoinExec and at most one exchange per side") {
+    val df = LakehouseOps.queries("q48_asof_native")(spark, sfDir)
+    df.count() // force AQE final plan
+    val plan = executed(df)
+    assert(plan.collect { case e: AsOfJoinExec => e }.size == 1, plan.toString)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, plan.toString)
+  }
+
+  test("left-only filters push below the as-of join") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val joined = AsOf.join(ev, o, col("user_id"), col("o_custkey"),
+      col("ts"), col("o_orderdate").cast("timestamp"), Some(col("o_orderkey")))
+      .filter(col("user_id") < 100)
+    val optimized = joined.queryExecution.optimizedPlan
+    // after pushdown the as-of node must be the top operator (no
+    // Filter above it) and the predicate must live in its left subtree
+    val asOf = optimized.collect { case a: AsOfJoin => a }
+    assert(asOf.size == 1)
+    assert(optimized.isInstanceOf[AsOfJoin], optimized.nodeName)
+    val leftHasFilter = asOf.head.left.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty
+    assert(leftHasFilter, optimized.treeString)
+    // and the result is the filtered subset of the unfiltered join
+    val full = AsOf.join(ev, o, col("user_id"), col("o_custkey"),
+      col("ts"), col("o_orderdate").cast("timestamp"), Some(col("o_orderkey")))
+      .collect().filter(_.getAs[Long]("user_id") < 100).map(_.toString).sorted.toSeq
+    assert(joined.collect().map(_.toString).sorted.toSeq == full)
+  }
+
+  test("as-of join: unmatched left rows null-extend") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 5L), (2L, 7L), (3L, 9L))
+      .toDF("k", "t")
+    val r = Seq((1L, 6L, "a"), (1L, 9L, "b"), (1L, 12L, "c"), (2L, 8L, "d"))
+      .toDF("rk", "rt", "v")
+    val out = AsOf.join(l, r, col("k"), col("rk"), col("t"), col("rt"))
+      .select("k", "t", "rt", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) "" else r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 10L, 9L, "b"),  // latest rt <= 10 is 9
+      (1L, 5L, -1L, ""),   // no rt <= 5
+      (2L, 7L, -1L, ""),   // rt=8 > 7
+      (3L, 9L, -1L, "")))  // key absent on the right
+  }
+
+  test("as-of join tiebreak picks the greatest tiebreak at equal times") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 1L), (1L, 10L, 3L), (1L, 10L, 2L)).toDF("rk", "rt", "tb")
+    val out = AsOf.join(l, r, col("k"), col("rk"), col("t"), col("rt"),
+      Some(col("tb"))).select("tb").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+}
