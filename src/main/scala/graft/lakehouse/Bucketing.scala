@@ -1,0 +1,37 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout management — the lakehouse answer to "this
+  * join shuffles 100 TB every night".
+  *
+  * Writing both sides of a recurring equi-join bucketed (and sorted)
+  * on the join key pins an identical HashPartitioning on disk; Spark's
+  * scan then reports that partitioning and EnsureRequirements plans
+  * the join with ZERO exchanges — the shuffle is paid once at write
+  * time, amortized over every subsequent join, which is exactly the
+  * economics a 100 TB fact table wants. (The reference's lakehouse
+  * reload, `check_lakehouse.py:139-160`, re-materializes tables on
+  * every refresh; bucketing is what makes the re-materialized layout
+  * join-efficient.)
+  */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed + sorted on
+    * `key`. Bucket count should be sized so one bucket of the LARGER
+    * table fits an executor's scan partition at the target scale. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Equi-join two tables previously written by [[writeBucketed]]
+    * with the same bucket count on `key`: plans with no exchange on
+    * either side. */
+  def coLocatedJoin(spark: SparkSession, tableA: String, tableB: String,
+      key: String): DataFrame =
+    spark.table(tableA).join(spark.table(tableB), Seq(key))
+}

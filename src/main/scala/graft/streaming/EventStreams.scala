@@ -40,6 +40,19 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact deduplication on event_id:
+    * `dropDuplicatesWithinWatermark` keeps one copy of each id seen
+    * within the watermark horizon and — unlike plain
+    * `dropDuplicates` — EVICTS state once the watermark passes, so
+    * state is O(ids per horizon), not O(ids ever). This is the
+    * streaming twin of q30's exact dedup, and the correct shape for
+    * at-least-once upstream feeds (file redelivery, Kafka replays). */
+  def dedupWithinWatermark(events: DataFrame,
+      horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful gap sessionization (30-min inactivity) — the streaming
     * twin of q50, via flatMapGroupsWithState with EVENT-time timeout
     * (wall-clock timeouts would be nondeterministic and keep the

@@ -20,6 +20,37 @@ class LakehouseSpec extends SparkSpec {
     assert(sat == Set("Neutral or Dissatisfied", "Satisfied"))
   }
 
+  test("bucketed tables co-locate: the join plans with zero exchanges") {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Bucketing.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    Bucketing.writeBucketed(customer, "b_customer", "o_custkey", 4)
+    // force a shuffled-join plan decision (no broadcast, no AQE
+    // re-plan) so the assertion targets the bucketing alone
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = Bucketing.coLocatedJoin(spark, "b_orders", "b_customer",
+        "o_custkey")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, joined.queryExecution.executedPlan.treeString)
+      assert(joined.count() == orders.count()) // every order has a customer
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("incremental loader: loads new files once, skips on re-run, records failures") {
     val src = tmpDir("src")
     val table = tmpDir("table") + "/t"

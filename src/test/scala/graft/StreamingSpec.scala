@@ -67,4 +67,29 @@ class StreamingSpec extends SparkSpec {
     assert(clicks10.get.getAs[Long]("n") == 2)
     assert(clicks10.get.getAs[Double]("total_value") == 3.0)
   }
+
+  test("streaming dedup drops redelivered ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0), // same-batch dup
+      Event(2, ts("2024-01-01 10:01:00"), 8, "view", 2.0))
+    query.processAllAvailable()
+    // cross-batch redelivery of id 1 within the horizon → dropped
+    input.addData(
+      Event(1, ts("2024-01-01 10:02:00"), 7, "click", 1.0),
+      Event(3, ts("2024-01-01 10:03:00"), 9, "click", 3.0))
+    query.processAllAvailable()
+
+    val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id"))
+    query.stop()
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
