@@ -1,0 +1,96 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Ad-hoc SQL execution surface — the Spark-native form of the
+  * reference's query API (`lib/commondb.py:80-123`: `execute_pd_query`
+  * returns rows + elapsed seconds, `execute_ddl_query` runs DDL,
+  * `execute_query` runs multi-statement scripts, `execute_callproc`
+  * runs named server-side routines).
+  *
+  * Mapping:
+  *  - result query + timing  → [[query]] (DataFrame + seconds)
+  *  - DDL                    → [[ddl]] (views/tables through the
+  *                             session catalog)
+  *  - multi-statement script → [[script]] (split on `;`, run in
+  *                             order, last result returned)
+  *  - stored procedure       → [[callProc]] over a registry of named
+  *                             Scala procedures (Spark has no
+  *                             server-side procs; a named function
+  *                             over DataFrames is the idiomatic
+  *                             equivalent)
+  *
+  * Timing is wall-clock to ACTION completion, not plan construction —
+  * lazy evaluation would otherwise report 0s for everything.
+  */
+object SqlRunner {
+
+  /** Register the driver-provided parquet tables as temp views so
+    * ad-hoc SQL can reference them by name. Routed through the typed
+    * per-table loaders (events needs the nanos-timestamp handling). */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+  }
+
+  /** Run one SELECT; returns the materialized result and elapsed
+    * seconds (rounded to 0.1s like the reference). */
+  def query(spark: SparkSession, sql: String): (DataFrame, Double) = {
+    val t0 = System.nanoTime()
+    val df = spark.sql(sql)
+    df.collect() // time to completion, mirroring cursor.execute+fetchall
+    (df, roundSec(t0))
+  }
+
+  /** Run one DDL/DML statement; returns elapsed seconds. */
+  def ddl(spark: SparkSession, sql: String): Double = {
+    val t0 = System.nanoTime()
+    spark.sql(sql).collect()
+    roundSec(t0)
+  }
+
+  /** Run a `;`-separated multi-statement script in order; returns the
+    * last statement's result (if any) and total elapsed seconds. */
+  def script(spark: SparkSession, sql: String): (Option[DataFrame], Double) = {
+    val t0 = System.nanoTime()
+    val stmts = sql.split(";").map(_.trim).filter(_.nonEmpty)
+    val last = stmts.foldLeft(Option.empty[DataFrame]) { (_, stmt) =>
+      val df = spark.sql(stmt)
+      df.collect()
+      Some(df)
+    }
+    (last, roundSec(t0))
+  }
+
+  /** Named-procedure registry (the `callproc` equivalent): procedures
+    * are Scala functions (SparkSession, args) => DataFrame registered
+    * by name. */
+  private val procs =
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Seq[String]) => DataFrame]
+
+  def registerProc(name: String)(
+      fn: (SparkSession, Seq[String]) => DataFrame): Unit =
+    procs.put(name, fn)
+
+  def callProc(spark: SparkSession, name: String,
+      args: Seq[String]): (DataFrame, Double) = {
+    val fn = procs.getOrElse(name,
+      throw new NoSuchElementException(s"no procedure named $name"))
+    val t0 = System.nanoTime()
+    val df = fn(spark, args)
+    df.collect()
+    (df, roundSec(t0))
+  }
+
+  private def roundSec(t0: Long): Double =
+    math.round((System.nanoTime() - t0) / 1e8) / 10.0
+}

@@ -150,20 +150,16 @@ object ScaleOps {
     * inverted lists of its 4 nearest centroids instead of the full
     * collection. Rows-only (seeded/training-dependent); the spec pins
     * shape and determinism, and recall is measured against exact q34. */
-  private val q45: QFn = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+  /** IVF search core: assign all vectors to their nearest coarse
+    * centroid (inverted lists), route each probe to its `nprobe`
+    * nearest centroids, scan only those lists. Shared by q45
+    * (label-mean centroids) and q49 (k-means-trained centroids). */
+  private[operators] def ivfSearch(emb: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val dot = (a: Column, b: Column) => aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val nrm = (v: Column) => sqrt(dot(v, v))
-    // "trained" coarse centroids: mean vector per label
-    val cents = emb
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy("label", "pos").agg(avg(col("col").cast("double")).as("c"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label").as("cent_id"),
-        transform(col("pc"), p => p.getField("c")).as("cvec"))
     // assign every vector to its nearest centroid (cosine)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
     val assigned = emb.join(broadcast(cents),
@@ -174,7 +170,7 @@ object ScaleOps {
       .filter(col("rk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
         col("cent_id"))
-    // probes search their nprobe=4 nearest centroid lists
+    // probes search their nprobe nearest centroid lists
     val wProbe = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cent_id").asc)
     val probeLists = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
@@ -182,7 +178,7 @@ object ScaleOps {
       .withColumn("sim", dot(col("pe"), col("cvec")) /
         (nrm(col("pe")) * nrm(col("cvec"))))
       .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= 4)
+      .filter(col("rk") <= nprobe)
       .select(col("probe_id"), col("pe"), col("cent_id"))
     val wTop = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     probeLists.join(assigned, Seq("cent_id"))
@@ -192,6 +188,31 @@ object ScaleOps {
       .filter(col("rnk") <= 3)
       .select(col("probe_id"), col("neighbor_id"), col("rnk"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  private val q45: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    // coarse centroids without a train step: mean vector per label
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg(col("col").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cent_id"),
+        transform(col("pc"), p => p.getField("c")).as("cvec"))
+    ivfSearch(emb, cents, nprobe = 4)
+  }
+
+  /** IVF with TRAINED coarse centroids: distributed Lloyd's k-means
+    * (KMeansVec, k=10, 5 iterations) replaces q45's label means —
+    * the real index-build path, where cluster geometry adapts to the
+    * data instead of to a labeling. Rows-only (training-dependent);
+    * the spec pins determinism and compares recall against exact
+    * q34. */
+  private val q49: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = KMeansVec.centroidsDF(s, KMeansVec.train(emb, k = 10, iters = 5))
+    ivfSearch(emb, cents, nprobe = 4)
   }
 
   /** Embedding-cosine near-dup pairs at scale: random-hyperplane LSH
@@ -247,7 +268,8 @@ object ScaleOps {
     "q43_simhash_pairs" -> q43,
     "q44_approx_quantile" -> q44,
     "q45_ann_ivf" -> q45,
-    "q47_cosine_pairs_lsh" -> q47)
+    "q47_cosine_pairs_lsh" -> q47,
+    "q49_ann_ivf_kmeans" -> q49)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4

@@ -20,6 +20,33 @@ class LakehouseSpec extends SparkSpec {
     assert(sat == Set("Neutral or Dissatisfied", "Satisfied"))
   }
 
+  test("sql runner: query, ddl, multi-statement script, and named procs") {
+    SqlRunner.registerTables(spark, sfDir)
+    val (res, secs) = SqlRunner.query(spark,
+      "SELECT COUNT(*) AS n FROM orders")
+    assert(res.head.getLong(0) > 0 && secs >= 0.0)
+
+    val dsecs = SqlRunner.ddl(spark,
+      "CREATE OR REPLACE TEMP VIEW big_orders AS " +
+        "SELECT * FROM orders WHERE o_totalprice > 100000")
+    assert(dsecs >= 0.0)
+    assert(spark.table("big_orders").count() > 0)
+
+    val (last, _) = SqlRunner.script(spark,
+      """CREATE OR REPLACE TEMP VIEW o97 AS
+        |  SELECT * FROM orders WHERE year(o_orderdate) = 1997;
+        |SELECT o_orderstatus, COUNT(*) AS n FROM o97 GROUP BY o_orderstatus
+        |""".stripMargin)
+    assert(last.isDefined && last.get.count() > 0)
+
+    SqlRunner.registerProc("top_customers") { (s, args) =>
+      s.sql(s"SELECT o_custkey, COUNT(*) AS n FROM orders " +
+        s"GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT ${args.head}")
+    }
+    val (out, _) = SqlRunner.callProc(spark, "top_customers", Seq("5"))
+    assert(out.count() == 5)
+  }
+
   test("bucketed tables co-locate: the join plans with zero exchanges") {
     val orders = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -101,6 +101,21 @@ class OperatorsSpec extends SparkSpec {
     info(s"IVF recall@3 = ${approx.intersect(exact).size.toDouble / exact.size}")
   }
 
+  test("q49 k-means IVF: training deterministic, recall >= label-centroid IVF floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val c1 = KMeansVec.train(emb, k = 10, iters = 5)
+    val c2 = KMeansVec.train(emb, k = 10, iters = 5)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.length == 10 && c1.forall(_.length == 64))
+    val exact = VectorOps.queries("q34_ann_cosine")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = ScaleOps.queries("q49_ann_ivf_kmeans")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(s"k-means IVF recall@3 = $recall")
+    assert(recall >= 0.2, s"recall collapsed: $recall")
+  }
+
   test("q35 LSH ANN neighbors are a subset of valid ids with sane cosine") {
     val rows = ScaleOps.queries("q35_ann_lsh")(spark, sfDir).collect()
     assert(rows.nonEmpty)
