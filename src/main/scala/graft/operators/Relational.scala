@@ -556,6 +556,27 @@ object Relational {
        |      FROM customer) t
        |GROUP BY decile""".stripMargin
 
+  /** String-function surface: regex extraction, case folding, length
+    * arithmetic — grouped by the extracted token. */
+  private val q55: QFn = (s, d) => {
+    val color = regexp_extract(col("p_name"), "^(\\w+)", 1)
+    val noun = regexp_extract(col("p_name"), "(\\w+)$", 1)
+    Tables.part(s, d)
+      .select(upper(color).as("color"), noun.as("noun"), col("p_name"))
+      .groupBy("color")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("noun")).as("n_nouns"),
+        min(length(col("p_name"))).as("min_name_len"),
+        max(length(col("p_name"))).as("max_name_len"))
+  }
+  private val q55Sql =
+    """SELECT upper(regexp_extract(p_name, '^(\w+)', 1)) AS color,
+      |  COUNT(*) AS n_parts,
+      |  COUNT(DISTINCT regexp_extract(p_name, '(\w+)$', 1)) AS n_nouns,
+      |  MIN(length(p_name)) AS min_name_len,
+      |  MAX(length(p_name)) AS max_name_len
+      |FROM part GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -581,7 +602,8 @@ object Relational {
     "q26_cube" -> q26,
     "q27_full_outer_daily" -> q27,
     "q28_moving_avg" -> q28,
-    "q29_deciles" -> q29)
+    "q29_deciles" -> q29,
+    "q55_string_funcs" -> q55)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -608,5 +630,6 @@ object Relational {
     "q26_cube" -> q26Sql,
     "q27_full_outer_daily" -> q27Sql,
     "q28_moving_avg" -> q28Sql,
-    "q29_deciles" -> q29Sql)
+    "q29_deciles" -> q29Sql,
+    "q55_string_funcs" -> q55Sql)
 }

@@ -250,13 +250,55 @@ object TextOps {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** Corpus vocabulary profile: top-20 terms by total frequency with
+    * document frequency — the pass that seeds stopword lists and
+    * tokenizer vocabularies. One explode + one shuffle; top-k via
+    * TakeOrderedAndProject. */
+  private val q53: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("term").asc)
+      .limit(20)
+  }
+  private val q53Sql =
+    """SELECT term, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id,
+      |        unnest(string_split_regex(trim(text), '\s+')) AS term
+      |      FROM documents) t
+      |WHERE length(term) > 0
+      |GROUP BY term
+      |ORDER BY n_total DESC, term ASC
+      |LIMIT 20""".stripMargin
+
+  /** Per-(lang, source) corpus profile with an array-valued sample:
+    * doc count, exact mean length, and the 3 lowest doc ids as a
+    * sorted array (deterministic collect_list shape). */
+  private val q54: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        graft.util.Exact.davg(col("n_chars").cast("double")).as("avg_chars"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, 3).as("sample_ids"))
+  }
+  private val q54Sql =
+    s"""SELECT lang, source, COUNT(*) AS n_docs,
+       |  ${graft.util.Exact.sqlAvg("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+       |  (list_sort(list(doc_id)))[1:3] AS sample_ids
+       |FROM documents GROUP BY lang, source""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
     "q36_lang_id" -> q36,
     "q37_quality_score" -> q37,
     "q38_token_count" -> q38,
-    "q39_fingerprint" -> q39)
+    "q39_fingerprint" -> q39,
+    "q53_top_terms" -> q53,
+    "q54_source_profile" -> q54)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -264,5 +306,7 @@ object TextOps {
     "q36_lang_id" -> q36Sql,
     "q37_quality_score" -> q37Sql,
     "q38_token_count" -> q38Sql,
-    "q39_fingerprint" -> q39Sql)
+    "q39_fingerprint" -> q39Sql,
+    "q53_top_terms" -> q53Sql,
+    "q54_source_profile" -> q54Sql)
 }
