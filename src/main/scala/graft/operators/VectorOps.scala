@@ -58,10 +58,12 @@ object VectorOps {
     * Shared by the exact all-pairs join (q46) and the LSH candidate
     * path (ScaleOps q47), mirroring the TextOps.verifyJaccard
     * pattern. */
-  private[operators] def verifyCosine(emb: DataFrame, cand: DataFrame,
-      t: Double): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
+  /** Broadcast of the id → L2-normalized double vector matrix — the
+    * build side of the GEMM-style fast paths. Sized like a broadcast
+    * hash join build (n·d doubles); past broadcast scale the same
+    * loops run over row-blocks. */
+  private def normalizedMatrix(
+      emb: DataFrame): org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]] = {
     val mat: Map[Long, Array[Double]] =
       emb.select(col("vec_id"), col("embedding")).collect().map { r =>
         val v = r.getSeq[Float](1).map(_.toDouble).toArray
@@ -72,7 +74,14 @@ object VectorOps {
         while (i < v.length) { v(i) *= inv; i += 1 }
         r.getLong(0) -> v
       }.toMap
-    val bc = s.sparkContext.broadcast(mat)
+    emb.sparkSession.sparkContext.broadcast(mat)
+  }
+
+  private[operators] def verifyCosine(emb: DataFrame, cand: DataFrame,
+      t: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bc = normalizedMatrix(emb)
     val survivors = cand.select(col("vec_a"), col("vec_b")).as[(Long, Long)]
       .filter { p =>
         val va = bc.value(p._1); val vb = bc.value(p._2)
@@ -141,28 +150,41 @@ object VectorOps {
       |WHERE dot / (na.nrm * nb.nrm) >= 0.4""".stripMargin
 
   /** Brute-force cosine top-k: for each probe vector (vec_id < 5),
-    * the 3 nearest neighbors by cosine similarity. */
+    * the 3 nearest neighbors by cosine similarity. Same two-phase
+    * shape as verifyCosine — a GEMM-style double-precision scoring
+    * pass ranks all pairs, then everything within 1e-6 of each
+    * probe's 3rd-best (a superset of the exact top-3, since double
+    * vs exact cosine differ by ≤ ~1e-13) is recomputed exactly and
+    * re-ranked, so the output is bit-identical to the oracle. */
   private val q34: QFn = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val nrm = norms(emb)
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-      .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        posexplode(zip_with(col("pe"), col("ne"),
-          (a, b) => a.cast("double") * b.cast("double"))))
-      .groupBy("probe_id", "neighbor_id")
-      .agg(exactSum(col("col")).as("dot"))
-    val withCos = pairs
-      .join(broadcast(nrm.withColumnRenamed("vec_id", "probe_id")
-        .withColumnRenamed("nrm", "np")), Seq("probe_id"))
-      .join(nrm.withColumnRenamed("vec_id", "neighbor_id")
-        .withColumnRenamed("nrm", "nn"), Seq("neighbor_id"))
-      .withColumn("cosine", col("dot") / (col("np") * col("nn")))
+    import s.implicits._
+    val bc = normalizedMatrix(emb)
+    val scored = emb.select(col("vec_id").as("neighbor_id"))
+      .join(broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"))),
+        col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id").as[(Long, Long)]
+      .map { p =>
+        val va = bc.value(p._1); val vb = bc.value(p._2)
+        var i = 0; var dot = 0.0
+        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+        (p._1, p._2, dot)
+      }.toDF("probe_id", "neighbor_id", "dcos")
     val w = Window.partitionBy("probe_id")
+      .orderBy(col("dcos").desc, col("neighbor_id").asc)
+    val ranked = scored.withColumn("rnk", row_number().over(w))
+    val third = ranked.filter(col("rnk") === 3)
+      .select(col("probe_id"), col("dcos").as("third"))
+    val cand = ranked.join(broadcast(third), Seq("probe_id"))
+      .filter(col("dcos") >= col("third") - 1e-6)
+      .select(col("probe_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+    val w2 = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    withCos.withColumn("rnk", row_number().over(w))
+    exactCosine(emb, cand, -2.0) // no threshold: rank below
+      .select(col("vec_a").as("probe_id"), col("vec_b").as("neighbor_id"),
+        col("cosine"))
+      .withColumn("rnk", row_number().over(w2))
       .filter(col("rnk") <= 3)
       .select("probe_id", "neighbor_id", "rnk", "cosine")
   }
