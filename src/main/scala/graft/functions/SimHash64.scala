@@ -96,16 +96,28 @@ object GraftFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       SimHash64(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
+  /** `trigram_hashes(words)` as a Column. */
+  def trigramHashes(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      TrigramHashes(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHash64].getName, "simhash64")
+
+  private val trigramInfo = new ExpressionInfo(
+    classOf[TrigramHashes].getName, "trigram_hashes")
 
   /** Register graft functions into an existing session's registry
     * (library-user path; the `GraftExtensions` class is the
     * spark.sql.extensions path). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo,
       (children: Seq[Expression]) => SimHash64(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("trigram_hashes"), trigramInfo,
+      (children: Seq[Expression]) => TrigramHashes(children.head))
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -117,6 +129,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("trigram_hashes"),
+      new ExpressionInfo(classOf[TrigramHashes].getName, "trigram_hashes"),
+      (children: Seq[Expression]) => TrigramHashes(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }

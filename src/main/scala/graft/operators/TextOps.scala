@@ -29,29 +29,25 @@ object TextOps {
       i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
   }
 
-  /** Exploded 64-bit trigram-shingle hashes, fully codegen'd:
-    * posexplode words → hash each word once → window lead(1),lead(2) →
-    * gram hash = xxhash64(h, h1, h2). No string concatenation, no
-    * interpreted higher-order functions (the array-building/`transform`
-    * shape costs ~40µs per shingle in Spark's interpreted HOF path —
-    * this formulation is pure whole-stage codegen on flat long rows).
+  /** Exploded 64-bit trigram-shingle hashes via the native
+    * `trigram_hashes` codegen expression (graft.functions): per-word
+    * xxhash64 + rolling 3-word combine + per-doc dedup, all in one
+    * generated loop per document — a MAP-ONLY scan. The previous
+    * formulation (posexplode → lead windows → distinct → count
+    * window) computed the same values through three full-data
+    * shuffles; gram values are bit-identical (same xxhash64 chain),
+    * so downstream MinHash/LSH signatures are unchanged.
     * Gram identity is a bijection of the string trigram w.h.p., so
     * Jaccard counts are unchanged. Returns (doc_id, gram, n_grams),
     * distinct per doc, CACHED (flat longs — cheap to materialize,
     * unlike array columns) and eagerly populated.
     */
   private[operators] def gramHashes(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
-    val wDoc = Window.partitionBy("doc_id")
     val e = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(words(col("text"))))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
-      .withColumn("h1", lead("h", 1).over(wOrd))
-      .withColumn("h2", lead("h", 2).over(wOrd))
-      .filter(col("h2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("h"), col("h1"), col("h2")).as("gram"))
-      .distinct()
-      .withColumn("n_grams", count(lit(1)).over(wDoc))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.trigramHashes(words(col("text"))).as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
       .cache()
     e.count() // eager, serial population (multiple consumers downstream)
     e

@@ -87,6 +87,34 @@ class OperatorsSpec extends SparkSpec {
     assert(viaEval == viaSql)
   }
 
+  test("trigram_hashes native expression: xxhash64-chain parity, dedup, edge cases") {
+    graft.functions.GraftFunctions.register(spark)
+    // same values as the built-in xxhash64 composition it replaces
+    val ok = spark.sql(
+      """SELECT trigram_hashes(array('a','b','c','d')) =
+        |  array(xxhash64(xxhash64('a'), xxhash64('b'), xxhash64('c')),
+        |        xxhash64(xxhash64('b'), xxhash64('c'), xxhash64('d'))) AS ok
+        |""".stripMargin).head.getBoolean(0)
+    assert(ok)
+    // repeated trigrams dedup; fewer than 3 words → empty
+    val dedup = spark.sql(
+      "SELECT size(trigram_hashes(array('a','b','c','a','b','c'))) AS n")
+      .head.getInt(0)
+    assert(dedup == 3) // abc, bca, cab — the 2nd abc dedups
+    assert(spark.sql("SELECT size(trigram_hashes(array('a','b'))) AS n")
+      .head.getInt(0) == 0)
+    // interpreted eval agrees with codegen
+    val viaEval = graft.functions.TrigramHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a", "b", "c", "d"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    val viaSql = spark.sql("SELECT trigram_hashes(array('a','b','c','d'))")
+      .head.getSeq[Long](0)
+    assert(viaEval == viaSql)
+  }
+
   test("q45 IVF ANN: deterministic, k<=3 per probe, reports recall vs exact") {
     val ivf = ScaleOps.queries("q45_ann_ivf")(spark, sfDir).collect()
     val ivf2 = ScaleOps.queries("q45_ann_ivf")(spark, sfDir).collect()
