@@ -73,6 +73,61 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** STUB resize: 1→1 batch transform to a fixed target geometry.
+    * The fake "resample" deterministically strides the source bytes to
+    * the target size; a real implementation swaps the inner loop for a
+    * codec call. Plumbing (schema, batch shape, partitioning) real. */
+  def resizeStub(blobs: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    val n = targetW.toLong * targetH
+    val rdd = blobs.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = new Array[Byte](n.toInt)
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (bytes.isEmpty) 0 else bytes((i * bytes.length / out.length) % bytes.length)
+          i += 1
+        }
+        Row(r.getLong(0), targetW, targetH, out)
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB frame sampling: the 1→N batch shape (one video blob emits a
+    * row per sampled frame, via iterator flatMap — no per-partition
+    * materialization, so an hour-long video streams). The fake
+    * "demux" slices the payload into fixed-size chunks and keeps
+    * every `everyN`-th; a real demuxer replaces the slicing only. */
+  def frameSampleStub(blobs: DataFrame, frameBytes: Int = 64,
+      everyN: Int = 4): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by everyN).iterator.map { f =>
+          Row(id, f, java.util.Arrays.copyOfRange(bytes,
+            f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Oracle-checkable slice of the blob pipeline: metadata projection
     * (byte length + content hash) — q41. */
   val q41: (SparkSession, String) => DataFrame = (s, d) =>

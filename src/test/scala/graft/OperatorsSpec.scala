@@ -178,6 +178,32 @@ class OperatorsSpec extends SparkSpec {
     assert(dupMean < popMean / 2, s"dupMean=$dupMean popMean=$popMean")
   }
 
+  test("multimodal resize + frame-sample: deterministic, partition-invariant, 1->N") {
+    val blobs = operators.Multimodal.blobTable(spark, sfDir)
+    val r1 = operators.Multimodal.resizeStub(blobs, 32, 24)
+      .orderBy("doc_id").collect()
+    val r2 = operators.Multimodal.resizeStub(blobs.repartition(5), 32, 24)
+      .orderBy("doc_id").collect()
+    assert(r1.length == blobs.count())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq)
+    assert(r1.map(key).toSeq == r2.map(key).toSeq)
+    r1.foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload").length == 32 * 24)
+      assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 24)
+    }
+    val frames = operators.Multimodal.frameSampleStub(blobs, frameBytes = 64,
+      everyN = 4).collect()
+    assert(frames.nonEmpty)
+    // 1->N: at least one blob yields multiple frames, indices stride 4
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.values.exists(_.length > 1))
+    frames.foreach { f =>
+      assert(f.getInt(1) % 4 == 0)
+      assert(f.getAs[Array[Byte]](2).length == 64)
+    }
+  }
+
   test("multimodal decode stub: deterministic, right shape, partition-invariant") {
     val blobs = operators.Multimodal.blobTable(spark, sfDir)
     val f1 = operators.Multimodal.decodeStub(blobs).orderBy("doc_id").collect()
