@@ -556,6 +556,17 @@ object Relational {
        |      FROM customer) t
        |GROUP BY decile""".stripMargin
 
+  /** q15's anti-join with the Bloom pre-filter (JoinOps.bloomAntiJoin):
+    * bloom-negative customers skip the join, only the sketch-positive
+    * minority shuffles. Identical output → shares q15's oracle. */
+  private val q56: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+      .select("o_custkey")
+    JoinOps.bloomAntiJoin(c, big, "c_custkey", "o_custkey")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
   /** String-function surface: regex extraction, case folding, length
     * arithmetic — grouped by the extracted token. */
   private val q55: QFn = (s, d) => {
@@ -603,7 +614,8 @@ object Relational {
     "q27_full_outer_daily" -> q27,
     "q28_moving_avg" -> q28,
     "q29_deciles" -> q29,
-    "q55_string_funcs" -> q55)
+    "q55_string_funcs" -> q55,
+    "q56_no_orders_bloom" -> q56)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -631,5 +643,6 @@ object Relational {
     "q27_full_outer_daily" -> q27Sql,
     "q28_moving_avg" -> q28Sql,
     "q29_deciles" -> q29Sql,
-    "q55_string_funcs" -> q55Sql)
+    "q55_string_funcs" -> q55Sql,
+    "q56_no_orders_bloom" -> q15Sql)
 }

@@ -40,6 +40,28 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: each event joins order-stream rows
+    * of the same user whose time falls in [event−1h, event]. Both
+    * sides carry watermarks, so the join state store evicts rows once
+    * the watermark passes the interval bound — bounded state on
+    * unbounded inputs, the streaming twin of the as-of/range join.
+    * Columns are pre-renamed; Spark rejects ambiguous names in
+    * stream-stream join conditions. */
+  def intervalJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_id"), col("ts").as("ev_ts"),
+        col("user_id").as("ev_user"))
+      .withWatermark("ev_ts", "1 hour")
+    val od = orders
+      .select(col("order_id"), col("ts").as("od_ts"),
+        col("user_id").as("od_user"), col("amount"))
+      .withWatermark("od_ts", "1 hour")
+    ev.join(od,
+      col("ev_user") === col("od_user") &&
+        col("od_ts") >= col("ev_ts") - expr("INTERVAL 1 HOUR") &&
+        col("od_ts") <= col("ev_ts"))
+  }
+
   /** Streaming exact deduplication on event_id:
     * `dropDuplicatesWithinWatermark` keeps one copy of each id seen
     * within the watermark horizon and — unlike plain

@@ -78,6 +78,33 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes: a year filter reads only that year's files") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft-part")
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("order_year", year(col("o_orderdate")))
+    Bucketing.writePartitioned(orders, s"$dir/orders", "order_year")
+    val all = Bucketing.readPartitioned(spark, s"$dir/orders")
+    val one = all.filter(col("order_year") === 1997)
+    // collect() drives THIS dataset's QueryExecution (count() would
+    // build a separate one and leave these metrics untouched)
+    assert(one.collect().length ==
+      orders.filter(col("order_year") === 1997).count())
+    val scan = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    assert(scan.head.partitionFilters.nonEmpty, scan.head.toString)
+    // post-execution metric: only the matching partition's files read
+    val pruned = scan.head.metrics("numFiles").value
+    all.collect()
+    val scanAll = all.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(pruned > 0 && pruned < scanAll.head.metrics("numFiles").value,
+      s"pruned=$pruned")
+  }
+
   test("incremental loader: loads new files once, skips on re-run, records failures") {
     val src = tmpDir("src")
     val table = tmpDir("table") + "/t"

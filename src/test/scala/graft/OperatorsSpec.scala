@@ -36,6 +36,22 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("bloom anti-join equals the plain anti-join, including null keys") {
+    import spark.implicits._
+    val plain = Relational.queries("q15_no_orders")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val bloom = Relational.queries("q56_no_orders_bloom")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloom.nonEmpty && bloom == plain)
+    // null left keys survive (NOT EXISTS semantics)
+    val l = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("k", "v")
+    val r = Seq(Tuple1(1L)).toDF("rk")
+    val out = JoinOps.bloomAntiJoin(l, r, "k", "rk")
+      .select("v").collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("b", "c"))
+  }
+
   test("q47 cosine LSH finds exactly the exact cosine-threshold pair set") {
     val exact = VectorOps.queries("q46_cosine_pairs")(spark, sfDir)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     assert(clicks10.get.getAs[Double]("total_value") == 3.0)
   }
 
+  test("stream-stream interval join matches users within the hour window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    case class Order(order_id: Long, ts: Timestamp, user_id: Long, amount: Double)
+    val evIn = MemoryStream[Event]
+    val odIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = EventStreams.intervalJoin(
+      evIn.toDF(),
+      odIn.toDF().toDF("order_id", "ts", "user_id", "amount"))
+    val query = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode(OutputMode.Append()).start()
+
+    evIn.addData(Event(1, ts("2024-01-01 10:30:00"), 7, "click", 1.0))
+    odIn.addData(
+      (100L, ts("2024-01-01 10:00:00"), 7L, 50.0),  // in window
+      (101L, ts("2024-01-01 09:00:00"), 7L, 60.0),  // too old
+      (102L, ts("2024-01-01 10:15:00"), 8L, 70.0))  // other user
+    query.processAllAvailable()
+    val rows = spark.table("ivjoin").collect()
+    query.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("order_id") == 100L)
+    assert(rows.head.getAs[Long]("event_id") == 1L)
+  }
+
   test("streaming dedup drops redelivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
