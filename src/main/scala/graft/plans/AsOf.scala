@@ -7,11 +7,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
 
-/** Plans [[AsOfJoin]] logical nodes onto the streaming-merge exec. */
+/** Plans [[AsOfJoin]] logical nodes onto the streaming-merge exec.
+  * The key equality may arrive either-sided (SQL form); sides are
+  * fixed by reference containment. Time expressions must side
+  * correctly — the inequality's direction defines the semantics. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      val (lk2, rk2) =
+        if (lk.references.subsetOf(l.outputSet)) (lk, rk) else (rk, lk)
+      if (!lt.references.subsetOf(l.outputSet) ||
+          !rt.references.subsetOf(r.outputSet)) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            "ASOF JOIN time bound must be <rightTime> <= <leftTime>"))
+      }
+      AsOfJoinExec(lk2, rk2, lt, rt, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, PredicateHelper}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL syntax extension: `ASOF JOIN`.
+  *
+  * ```sql
+  * SELECT ... FROM events e
+  * ASOF JOIN orders o
+  *   ON e.user_id = o.o_custkey
+  *  AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+  * ```
+  *
+  * plans straight onto the native [[AsOfJoin]] operator. The delegate
+  * (Spark's own parser) does all real parsing: `ASOF JOIN <rel> ON c`
+  * is textually bridged to `JOIN <rel> ON __graft_asof() AND c`, and
+  * the marked Join node is rewritten to [[AsOfJoin]] before analysis.
+  * The ON clause must be one key equality plus one time bound with
+  * the left (probe) side's time as the upper bound; the equality may
+  * be written in either order (the planner fixes sides by reference).
+  * Installed via `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (injectParser).
+  */
+class GraftSqlParser(delegate: ParserInterface)
+  extends ParserInterface with PredicateHelper {
+
+  private val asofPattern = "(?is)\\bASOF\\s+JOIN\\s+(.+?)\\s+ON\\s+".r
+  private val Marker = "__graft_asof"
+
+  private def preprocess(sqlText: String): String =
+    asofPattern.replaceAllIn(sqlText, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"JOIN ${m.group(1)} ON $Marker() AND "))
+
+  private def isMarker(e: Expression): Boolean = e match {
+    case f: UnresolvedFunction =>
+      f.nameParts.map(_.toLowerCase) == Seq(Marker)
+    case _ => false
+  }
+
+  private def rewriteAsOf(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case Join(l, r, Inner, Some(cond), _)
+          if splitConjunctivePredicates(cond).exists(isMarker) =>
+        val preds = splitConjunctivePredicates(cond).filterNot(isMarker)
+        val (eqs, rest) = preds.partition(_.isInstanceOf[EqualTo])
+        val times = rest.collect {
+          case LessThanOrEqual(rt, lt) => (lt, rt) // rightTime <= leftTime
+          case GreaterThanOrEqual(lt, rt) => (lt, rt)
+        }
+        if (eqs.size != 1 || times.size != 1 || rest.size != 1) {
+          throw new AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3100",
+            messageParameters = Map("message" ->
+              ("ASOF JOIN requires ON <key> = <key> AND <rightTime> <= " +
+                s"<leftTime>; got: ${cond.sql}")))
+        }
+        val EqualTo(k1, k2) = eqs.head: @unchecked
+        val (lt, rt) = times.head
+        AsOfJoin(l, r, k1, k2, lt, rt, None)
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewriteAsOf(delegate.parsePlan(preprocess(sqlText)))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    rewriteAsOf(delegate.parseQuery(preprocess(sqlText)))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}

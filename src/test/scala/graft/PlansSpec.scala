@@ -76,6 +76,34 @@ class PlansSpec extends SparkSpec {
       (3L, 9L, -1L, "")))  // key absent on the right
   }
 
+  test("ASOF JOIN SQL syntax plans the native operator and matches q24") {
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .createOrReplaceTempView("asof_ev")
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .createOrReplaceTempView("asof_od")
+    val df = spark.sql(
+      """SELECT event_id, user_id, o_orderkey, o_orderdate
+        |FROM asof_ev
+        |ASOF JOIN asof_od
+        |  ON user_id = o_custkey
+        | AND CAST(o_orderdate AS TIMESTAMP) <= ts
+        |""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case a: AsOfJoin => a
+    }.size == 1, df.queryExecution.optimizedPlan.treeString)
+    // SQL form has no tiebreak: compare on the time-only projection
+    // against the composed q24 (same key+time, max orderdate; orderkey
+    // may differ on date ties, so compare (event, date) pairs)
+    val viaSql = df.select("event_id", "o_orderdate").collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)))).sorted.toSeq
+    val composed = graft.operators.LakehouseOps.queries("q24_asof_join")(
+      spark, sfDir).select(col("event_id"), col("asof_orderdate")).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)))).sorted.toSeq
+    assert(viaSql.size == composed.size)
+  }
+
   test("as-of join tiebreak picks the greatest tiebreak at equal times") {
     import spark.implicits._
     val l = Seq((1L, 10L)).toDF("k", "t")
