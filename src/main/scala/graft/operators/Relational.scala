@@ -588,6 +588,27 @@ object Relational {
       |  MAX(length(p_name)) AS max_name_len
       |FROM part GROUP BY 1""".stripMargin
 
+  /** Date arithmetic surface: datediff between the fact tables' two
+    * date columns, grouped by order year. */
+  private val q57: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        davg(datediff(col("l_shipdate"), col("o_orderdate")).cast("double"))
+          .as("avg_ship_days"),
+        max(datediff(col("l_shipdate"), col("o_orderdate"))).as("max_ship_days"))
+  }
+  private val q57Sql =
+    s"""SELECT date_part('year', o_orderdate) AS order_year,
+       |  COUNT(*) AS n_lines,
+       |  ${sqlAvg("CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)")}
+       |    AS avg_ship_days,
+       |  MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_ship_days
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -615,7 +636,8 @@ object Relational {
     "q28_moving_avg" -> q28,
     "q29_deciles" -> q29,
     "q55_string_funcs" -> q55,
-    "q56_no_orders_bloom" -> q56)
+    "q56_no_orders_bloom" -> q56,
+    "q57_ship_delay" -> q57)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -644,5 +666,6 @@ object Relational {
     "q28_moving_avg" -> q28Sql,
     "q29_deciles" -> q29Sql,
     "q55_string_funcs" -> q55Sql,
-    "q56_no_orders_bloom" -> q15Sql)
+    "q56_no_orders_bloom" -> q15Sql,
+    "q57_ship_delay" -> q57Sql)
 }
