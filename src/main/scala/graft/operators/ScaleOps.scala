@@ -237,8 +237,11 @@ object ScaleOps {
         |           (x, h) -> cast(x as double) * h),
         |         0.0D, (a, x) -> a + x) > 0, 1, 0),
         |    j)))""".stripMargin)
+    // cached: both sides of the self-join read these 16·n rows, and
+    // the interpreted hyperplane expression must not run twice
     val bands = emb.select(col("vec_id"), posexplode(bandExpr))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+      .cache()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
