@@ -20,6 +20,40 @@ class LakehouseSpec extends SparkSpec {
     assert(sat == Set("Neutral or Dissatisfied", "Satisfied"))
   }
 
+  test("end-to-end automation loop: generate -> incremental load -> query -> retention") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-e2e")
+    val src = s"$root/arrivals"; val table = s"$root/survey"
+    val registry = s"$root/registry"
+    new java.io.File(src).mkdirs()
+    val schema = SurveyGen.generate(spark, 1, seed = 1).schema
+
+    // minute-1 drop arrives (datagen.py make_data equivalent)
+    SurveyGen.writeArrival(spark, src, "datagen_202401010000.csv", 500, seed = 1)
+    val r1 = IncrementalLoader.run(spark, src, table, registry, schema)
+    assert(r1.loaded.size == 1 && r1.skipped.isEmpty)
+
+    // minute-2 drop arrives; first file must NOT reload
+    SurveyGen.writeArrival(spark, src, "datagen_202401010001.csv", 300, seed = 2)
+    val r2 = IncrementalLoader.run(spark, src, table, registry, schema)
+    assert(r2.loaded.size == 1 && r2.skipped.size == 1)
+
+    // analytics over the loaded lakehouse table (commondb-style SQL)
+    spark.read.parquet(table).createOrReplaceTempView("survey_e2e")
+    val (res, _) = SqlRunner.query(spark,
+      "SELECT satisfaction, COUNT(*) AS n FROM survey_e2e GROUP BY 1")
+    assert(res.agg(sum("n")).head.getLong(0) == 800)
+
+    // registry reflects both loads with row counts
+    val reg = LoadRegistry.read(spark, registry)
+    assert(reg.count() == 2)
+    assert(reg.agg(sum("n_rows")).head.getLong(0) == 800)
+
+    // retention: nothing young enough to delete; then everything
+    assert(Maintenance.expireFiles(spark, src, days = 1).isEmpty)
+    assert(Maintenance.expireFiles(spark, src, days = 0).size == 2)
+  }
+
   test("sql runner: query, ddl, multi-statement script, and named procs") {
     SqlRunner.registerTables(spark, sfDir)
     val (res, secs) = SqlRunner.query(spark,
