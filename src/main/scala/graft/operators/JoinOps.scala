@@ -44,4 +44,29 @@ object JoinOps {
     val definiteKeep = left.filter(col(leftKey).isNotNull && !might)
     anti.union(definiteKeep)
   }
+
+  /** Salted equi-join for skewed keys.
+    *
+    * When one key carries a disproportionate share of `left`, the
+    * plain shuffle sends that whole share to ONE reducer. Salting
+    * splits it `salts` ways: each left row gets a uniform salt, the
+    * (smaller) right side is replicated once per salt value, and the
+    * join runs on (key, salt) — the hot key's rows now spread across
+    * `salts` reducers. Inner-join semantics are unchanged (every left
+    * row still meets every matching right row exactly once, under its
+    * own salt). AQE's skew-join handles moderate skew adaptively;
+    * explicit salting is for the pathological key that exceeds a
+    * single executor even after AQE splits, at the cost of a
+    * `salts`× replication of the right side. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salts: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+        salted(leftKey) === replicated(rightKey) &&
+          salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

@@ -36,6 +36,19 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("salted join equals the plain join on skewed data") {
+    import spark.implicits._
+    // hot key 1 carries 90% of the left side
+    val left = ((1 to 900).map(i => (1L, i)) ++
+      (1 to 100).map(i => (i.toLong + 1, i))).toDF("k", "v")
+    val right = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    val salted = JoinOps.saltedJoin(left, right, "k", "rk", salts = 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain && salted.nonEmpty)
+  }
+
   test("bloom anti-join equals the plain anti-join, including null keys") {
     import spark.implicits._
     val plain = Relational.queries("q15_no_orders")(spark, sfDir)
