@@ -85,11 +85,17 @@ object TextOps {
     val t = 0.5
     val e = gramHashes(s, d) // (doc_id, gram, n_grams), cached flat longs
     val df = e.groupBy("gram").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)
+    // per-doc prefix = the ⌊n(1−t)⌋+1 globally-rarest shingles. The
+    // rank-and-filter runs IN-ROW (collect per doc → array_sort →
+    // slice): sorting ~|doc| element arrays beats a partition-wide
+    // window sort of the whole postings table.
     val prefix = e.join(df, "gram")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= floor(col("n_grams") * (1 - t)) + 1)
-      .select("doc_id", "n_grams", "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(collect_list(struct(col("df"), col("gram"))).as("ranked"))
+      .select(col("doc_id"), col("n_grams"),
+        explode(expr(s"slice(array_sort(ranked), 1, " +
+          s"cast(floor(n_grams * ${1 - t}) + 1 as int))")).as("dg"))
+      .select(col("doc_id"), col("n_grams"), col("dg.gram").as("gram"))
     val a = prefix.select(col("doc_id").as("doc_a"), col("n_grams").as("na"), col("gram"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"), col("gram"))
     // count filter (PPJoin-style): the same shuffle that generates
