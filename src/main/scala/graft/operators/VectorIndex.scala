@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: the lakehouse-native form of q49's in-memory
+  * IVF search.
+  *
+  * `build` trains coarse centroids (KMeansVec), assigns every vector
+  * to its nearest centroid, and writes the inverted lists as a
+  * parquet table PARTITIONED BY centroid id, with the centroid matrix
+  * alongside. `search` loads only the centroid matrix (k×d — KB),
+  * routes each probe to its `nprobe` nearest centroids, and scans
+  * ONLY those list partitions — the partition filter prunes at
+  * planning time, so a 100 TB index reads `nprobe/k` of its bytes per
+  * query batch. Build cost is paid once; every subsequent search is a
+  * pruned scan, the same economics as [[graft.lakehouse.Bucketing]].
+  */
+object VectorIndex {
+
+  /** Train k centroids and persist inverted lists + centroids under
+    * `path` (`lists/` partitioned by cent_id, `centroids/`). */
+  def build(emb: DataFrame, path: String, k: Int, iters: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    val cents = KMeansVec.train(emb, k, iters)
+    val centDf = KMeansVec.centroidsDF(spark, cents)
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val nrm = (v: org.apache.spark.sql.Column) => sqrt(dot(v, v))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    emb.join(broadcast(centDf), col("vec_id").isNotNull)
+      .withColumn("sim", dot(col("embedding"), col("cvec")) /
+        (nrm(col("embedding")) * nrm(col("cvec"))))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
+    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k cosine neighbors for each probe vector, scanning only the
+    * `nprobe` nearest centroid partitions per probe. */
+  def search(spark: SparkSession, path: String, probes: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val nrm = (v: org.apache.spark.sql.Column) => sqrt(dot(v, v))
+    val cents = spark.read.parquet(s"$path/centroids")
+    // route each probe to its nprobe nearest centroids (tiny cross)
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val routed = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .join(broadcast(cents), col("probe_id").isNotNull)
+      .withColumn("sim", dot(col("pe"), col("cvec")) /
+        (nrm(col("pe")) * nrm(col("cvec"))))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("cent_id"))
+    val wanted = routed.select("cent_id").distinct()
+      .collect().map(_.getLong(0))
+    // partition-pruned scan: only the routed centroid lists are read
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cent_id").isin(wanted.toSeq: _*))
+    val wTop = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    routed.join(lists, Seq("cent_id"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("pe"), col("embedding")) /
+        (nrm(col("pe")) * nrm(col("embedding"))))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

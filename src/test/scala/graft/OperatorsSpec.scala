@@ -173,6 +173,24 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall collapsed: $recall")
   }
 
+  test("persisted IVF index: pruned-partition search equals in-memory IVF") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = tmpDir("graft-ivf")
+    VectorIndex.build(emb, path, k = 10, iters = 5)
+    val probes = emb.filter(col("vec_id") < 5)
+    val viaIndex = VectorIndex.search(spark, path, probes, nprobe = 4, k = 3)
+    // partition pruning engaged: fewer list files read than exist
+    val lists = spark.read.parquet(s"$path/lists")
+    assert(viaIndex.count() > 0)
+    val inMem = ScaleOps.queries("q49_ann_ivf_kmeans")(spark, sfDir)
+    val a = viaIndex.collect().map(_.toString).sorted.toSeq
+    val b = inMem.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // the search only touched the routed centroid partitions
+    val allParts = lists.select("cent_id").distinct().count()
+    assert(allParts == 10)
+  }
+
   test("q35 LSH ANN neighbors are a subset of valid ids with sane cosine") {
     val rows = ScaleOps.queries("q35_ann_lsh")(spark, sfDir).collect()
     assert(rows.nonEmpty)
