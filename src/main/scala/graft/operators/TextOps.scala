@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -291,6 +292,43 @@ object TextOps {
        |  (list_sort(list(doc_id)))[1:3] AS sample_ids
        |FROM documents GROUP BY lang, source""".stripMargin
 
+  /** TF-IDF term scoring: top-3 terms per document (doc_id < 50) by
+    * tf·ln(N/df). Ranking runs on the ROUNDED score (6 dp) with a
+    * term tiebreak so both engines rank identically — ln() is the one
+    * place libm implementations may differ in the last ulp. */
+  private val q59: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_t"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dft, "term")
+      .withColumn("score", round(col("n_t") * log(lit(n) / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.filter(col("doc_id") < 50)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "term", "score")
+  }
+  private val q59Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS n_t FROM tok GROUP BY 1, 2),
+      |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS c FROM documents)
+      |SELECT doc_id, rnk, term, score FROM (
+      |  SELECT doc_id, term,
+      |    ROUND(n_t * ln((SELECT c FROM n) / df), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY ROUND(n_t * ln((SELECT c FROM n) / df), 6) DESC,
+      |               term ASC) AS rnk
+      |  FROM tf JOIN dfx USING (term)
+      |  WHERE doc_id < 50) t
+      |WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
@@ -299,7 +337,8 @@ object TextOps {
     "q38_token_count" -> q38,
     "q39_fingerprint" -> q39,
     "q53_top_terms" -> q53,
-    "q54_source_profile" -> q54)
+    "q54_source_profile" -> q54,
+    "q59_tfidf" -> q59)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -309,5 +348,6 @@ object TextOps {
     "q38_token_count" -> q38Sql,
     "q39_fingerprint" -> q39Sql,
     "q53_top_terms" -> q53Sql,
-    "q54_source_profile" -> q54Sql)
+    "q54_source_profile" -> q54Sql,
+    "q59_tfidf" -> q59Sql)
 }
