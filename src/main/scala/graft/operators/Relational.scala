@@ -609,6 +609,32 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1""".stripMargin
 
+  /** Explicit GROUPING SETS (arbitrary set list — not derivable from
+    * ROLLUP/CUBE): per-(status), per-(priority), and grand total in
+    * one Expand + one shuffle, with grouping() flags distinguishing
+    * real nulls from set placeholders. */
+  private val q60: QFn = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("g60_orders")
+    s.sql(s"""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        GROUPING(o_orderstatus) AS g_status,
+        GROUPING(o_orderpriority) AS g_priority,
+        COUNT(*) AS n_orders,
+        ${sqlSum("o_totalprice")} AS revenue
+      FROM g60_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+  }
+  private val q60Sql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  GROUPING(o_orderstatus) AS g_status,
+       |  GROUPING(o_orderpriority) AS g_priority,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -637,7 +663,8 @@ object Relational {
     "q29_deciles" -> q29,
     "q55_string_funcs" -> q55,
     "q56_no_orders_bloom" -> q56,
-    "q57_ship_delay" -> q57)
+    "q57_ship_delay" -> q57,
+    "q60_grouping_sets" -> q60)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -667,5 +694,6 @@ object Relational {
     "q29_deciles" -> q29Sql,
     "q55_string_funcs" -> q55Sql,
     "q56_no_orders_bloom" -> q15Sql,
-    "q57_ship_delay" -> q57Sql)
+    "q57_ship_delay" -> q57Sql,
+    "q60_grouping_sets" -> q60Sql)
 }
