@@ -87,8 +87,8 @@ object LakehouseOps {
   }
   private val q23Sql =
     """SELECT COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_custkey,
-      |  SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_nonpositive_price,
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_custkey,
+      |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive_price,
       |  COUNT(DISTINCT o_orderstatus) AS n_status,
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
       |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,

@@ -267,10 +267,10 @@ object Relational {
   }
   private val q11Sql =
     """SELECT l_linestatus,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |      THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-      |      THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -408,7 +408,7 @@ object Relational {
   }
   private val q19Sql =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS n_high,
+      |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
       |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
       |    AS high_rate
       |FROM events GROUP BY event_type""".stripMargin

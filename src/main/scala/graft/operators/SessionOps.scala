@@ -45,9 +45,9 @@ object SessionOps {
        |  COUNT(*) AS n_events,
        |  ${sqlSum("value")} AS total_value
        |FROM (
-       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
        |      ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM (
        |    SELECT *, CASE WHEN prev_us IS NULL
        |        OR epoch_us(ts) - prev_us > ${GapUs} THEN 1 ELSE 0 END AS is_new

@@ -275,21 +275,24 @@ object TextOps {
       |ORDER BY n_total DESC, term ASC
       |LIMIT 20""".stripMargin
 
-  /** Per-(lang, source) corpus profile with an array-valued sample:
-    * doc count, exact mean length, and the 3 lowest doc ids as a
-    * sorted array (deterministic collect_list shape). */
+  /** Per-(lang, source) corpus profile with a deterministic sample:
+    * doc count, exact mean length, and the 3 lowest doc ids. The
+    * sample is emitted as a comma-joined STRING (not an array) so the
+    * result is sortable/hashable by any downstream pandas-style
+    * comparator. */
   private val q54: QFn = (s, d) => {
     Tables.documents(s, d)
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
         graft.util.Exact.davg(col("n_chars").cast("double")).as("avg_chars"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, 3).as("sample_ids"))
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, 3)).as("sample_ids"))
   }
   private val q54Sql =
     s"""SELECT lang, source, COUNT(*) AS n_docs,
        |  ${graft.util.Exact.sqlAvg("CAST(n_chars AS DOUBLE)")} AS avg_chars,
-       |  (list_sort(list(doc_id)))[1:3] AS sample_ids
+       |  array_to_string((list_sort(list(doc_id)))[1:3], ',') AS sample_ids
        |FROM documents GROUP BY lang, source""".stripMargin
 
   /** TF-IDF term scoring: top-3 terms per document (doc_id < 50) by

@@ -3,27 +3,40 @@
 
 Reads the parquet results dumped by `graft.Verify` (one dir per query)
 plus the oracle_sql.json it writes, runs each oracle in DuckDB against
-the same sf dir, and compares: row count, column names, and an
-order-insensitive hash of stringified values (columns sorted by name,
-rows sorted).
+the same sf dir, and compares the two PANDAS frames (via `.df()`, the
+same path the driver uses): row count, column names, and a hash of the
+stringified frame with columns sorted by name and rows sorted.
+
+Going through pandas is load-bearing: DuckDB returns SUM(int) as
+HUGEINT, which `.df()` converts to float64 — so `2` (Spark bigint) vs
+`2.0` (oracle) hash-differently, exactly as the driver sees it. The
+previous repr(fetchall()) comparison hid that drift (HUGEINT comes
+back as a Python int there) and passed queries the driver failed.
+Likewise pandas `sort_values` raises on array-valued (ndarray) cells —
+the driver reports those as ERR, and so do we.
 
 Usage: check_parity.py <sfDir> <verifyOutDir>
 """
-import json, sys, os, hashlib
+import hashlib
+import json
+import os
+import sys
+
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    # sort columns by name, stringify, sort rows
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(repr(r[i]) for i in order))
-    out.sort()
-    return out
+def canon_hash(df):
+    """Columns sorted by name, rows sorted, values stringified, md5."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    h = hashlib.md5()
+    for row in df.astype(str).itertuples(index=False):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
 def main(sf_dir, out_dir):
@@ -41,39 +54,47 @@ def main(sf_dir, out_dir):
     for name in names:
         try:
             mine = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            my_cols = list(mine.columns)
-            my_rows = mine.fetchall()
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"FAIL {name}: cannot read result: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: rows={len(my_rows)} (no oracle)")
+            print(f"ROWS-ONLY {name}: rows={len(mine)} (no oracle)")
             continue
         try:
-            orc = con.sql(oracles[name])
-            orc_cols = list(orc.columns)
-            orc_rows = orc.fetchall()
+            orc = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        if sorted(my_cols) != sorted(orc_cols):
-            print(f"FAIL {name}: columns {sorted(my_cols)} != {sorted(orc_cols)}")
+        if sorted(mine.columns) != sorted(orc.columns):
+            print(f"FAIL {name}: columns {sorted(mine.columns)} != "
+                  f"{sorted(orc.columns)}")
             n_fail += 1
             continue
-        if len(my_rows) != len(orc_rows):
-            print(f"FAIL {name}: rowcount {len(my_rows)} != {len(orc_rows)}")
+        if len(mine) != len(orc):
+            print(f"FAIL {name}: rowcount {len(mine)} != {len(orc)}")
             n_fail += 1
             continue
-        a, b = canon(my_rows, my_cols), canon(orc_rows, orc_cols)
-        if a != b:
-            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-            print(f"FAIL {name}: value mismatch; first diffs: {diffs}")
+        try:
+            ha, hb = canon_hash(mine), canon_hash(orc)
+        except Exception as e:
+            print(f"ERR {name}: hash failed (driver would report err): {e}")
             n_fail += 1
             continue
-        print(f"PASS {name}: rows={len(my_rows)}")
+        if ha != hb:
+            a = mine[sorted(mine.columns)].astype(str)
+            a = a.sort_values(by=list(a.columns)).head(3)
+            b = orc[sorted(orc.columns)].astype(str)
+            b = b.sort_values(by=list(b.columns)).head(3)
+            print(f"FAIL {name}: hash mismatch\n  spark dtypes: "
+                  f"{dict(mine.dtypes.astype(str))}\n  oracle dtypes: "
+                  f"{dict(orc.dtypes.astype(str))}\n  spark head: "
+                  f"{a.values.tolist()}\n  oracle head: {b.values.tolist()}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: rows={len(mine)}")
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(names) - n_pass - n_fail} rows-only")
