@@ -99,17 +99,24 @@ object TextOps {
     val a = prefix.select(col("doc_id").as("doc_a"), col("n_grams").as("na"), col("gram"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"), col("gram"))
     // count filter (PPJoin-style): the same shuffle that generates
-    // candidates also counts their prefix collisions c; total overlap
-    // is bounded by c + min(suffix sizes), and Jaccard ≥ t needs
-    // overlap ≥ ⌈t/(1+t)·(na+nb)⌉ — pairs that can't reach it never
-    // hit the exact verify (cuts the verify join ~1000×)
+    // candidates also counts their prefix collisions c. Uncounted
+    // shared grams live in suffix_a or suffix_b — and because the
+    // prefix is the SMALLEST grams of each set under one global total
+    // order, a (prefix_a ∩ suffix_b) gram and a (suffix_a ∩ prefix_b)
+    // gram cannot coexist (each would have to be both smaller and
+    // larger than the other), so ALL uncounted shared grams sit in one
+    // suffix: overlap ≤ c + max(suffix sizes). (`c + least(...)` is
+    // unsound for unequal sizes: na=8, nb=4, B⊂A, c=1 has overlap 4 —
+    // a true j=0.5 pair that least() would prune; spec-pinned.)
+    // Jaccard ≥ t needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉ — pairs that
+    // can't reach it never hit the exact verify.
     val cand = a.join(b, Seq("gram"))
       .filter(col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * t && col("nb") >= col("na") * t)
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("c"))
       .filter(col("c") +
-        least(col("na") - (floor(col("na") * (1 - t)) + 1),
+        greatest(col("na") - (floor(col("na") * (1 - t)) + 1),
           col("nb") - (floor(col("nb") * (1 - t)) + 1)) >=
         ceil((col("na") + col("nb")) * (t / (1 + t))))
       .select("doc_a", "doc_b")

@@ -36,6 +36,27 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("q31 count filter keeps unequal-size pairs at the size-ratio boundary") {
+    import spark.implicits._
+    // B's 4 shingles ⊂ A's 8 → jaccard exactly 0.5 = t with nb = t·na
+    // (the size-ratio boundary). The df ranking puts A's 4 unique
+    // (df=1) grams ahead of the shared (df=2) ones, so exactly ONE
+    // prefix-prefix collision exists (the smallest-hash shared gram);
+    // the former `c + least(suffixes)` count bound (1+1=2 < 4)
+    // wrongly pruned this qualifying pair — `c + greatest` (1+3=4)
+    // keeps it.
+    val ws = (0 until 10).map(i => s"w$i")
+    val docs = Seq(
+      (1L, ws.mkString(" ")),          // 8 trigram shingles
+      (2L, ws.take(6).mkString(" "))   // the first 4 of A's shingles
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("q31-boundary")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextOps.queries("q31_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0.5)))
+  }
+
   test("salted join equals the plain join on skewed data") {
     import spark.implicits._
     // hot key 1 carries 90% of the left side
