@@ -101,11 +101,29 @@ object GraftFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       TrigramHashes(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
+  /** `dot_product(a, b)` as a Column. */
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DotProduct(org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** `cosine_sim(a, b)` as a Column. */
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      CosineSim(org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHash64].getName, "simhash64")
 
   private val trigramInfo = new ExpressionInfo(
     classOf[TrigramHashes].getName, "trigram_hashes")
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, "dot_product")
+
+  private val cosInfo = new ExpressionInfo(
+    classOf[CosineSim].getName, "cosine_sim")
 
   /** Register graft functions into an existing session's registry
     * (library-user path; the `GraftExtensions` class is the
@@ -117,6 +135,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("trigram_hashes"), trigramInfo,
       (children: Seq[Expression]) => TrigramHashes(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_product"), dotInfo,
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"), cosInfo,
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
   }
 }
 
@@ -133,6 +157,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("trigram_hashes"),
       new ExpressionInfo(classOf[TrigramHashes].getName, "trigram_hashes"),
       (children: Seq[Expression]) => TrigramHashes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

@@ -2,25 +2,36 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType, StructField, StructType}
 
 /** Distributed Lloyd's k-means over an embedding column — the train
   * step for IVF coarse quantization (q49).
   *
-  * Shape at 100 TB: every iteration is two codegen aggregations over
-  * the exploded (vec, pos, x) view — assignment via a broadcast
-  * centroid join (n·k·d product rows flow through map-side partial
-  * aggregation, never materialized), then per-(cluster, pos) means.
-  * Only the k×d centroid matrix ever reaches the driver (k≈2¹⁰ even
-  * at scale ⇒ KB), which is what makes the loop legitimate: the DATA
-  * never collects, the model does. Deterministic: hash-ranked init,
-  * fixed iteration count, index tiebreaks.
+  * Shape at 100 TB: each iteration scores every (vector, centroid)
+  * pair IN-ROW against the broadcast k×d centroid matrix with the
+  * native codegen `dot_product` (n·k rows, no exploded join), then
+  * recomputes per-(cluster, pos) means over the exploded view with
+  * map-side partial aggregation. Only the k×d centroid matrix ever
+  * reaches the driver (k≈2¹⁰ even at scale ⇒ KB), which is what makes
+  * the loop legitimate: the DATA never collects, the model does.
+  *
+  * Deterministic end-to-end: hash-ranked init, fixed iteration count,
+  * index tiebreaks — and, crucially, the two float-sensitive steps are
+  * order-independent: assignment scores are computed in-row (one fixed
+  * accumulation order per pair, regardless of partitioning), and the
+  * centroid means accumulate through an exact DECIMAL(28,12) sum, so
+  * trained centroids are bit-stable across runs and cluster layouts.
+  * (A plain `sum(double)`/`avg(double)` here varies with partition
+  * merge order and silently made q49/VectorIndex nondeterministic.)
   */
 object KMeansVec {
+
+  private val DecC = DecimalType(28, 12)
 
   /** Train k centroids with `iters` Lloyd iterations. Returns the
     * centroid matrix (cent_id → components). */
   def train(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
     val el = emb.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
       .cache()
@@ -33,37 +44,26 @@ object KMeansVec {
       .limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
-    val spark = emb.sparkSession
+    val dp = graft.functions.GraftFunctions.dotProduct _
     (1 to iters).foreach { _ =>
-      val centRows = cents.zipWithIndex.flatMap { case (c, id) =>
-        c.zipWithIndex.map { case (v, pos) => Row(id, pos, v) }
-      }
-      val centEl = spark.createDataFrame(
-        spark.sparkContext.parallelize(centRows.toSeq, 1),
-        StructType(Seq(StructField("cent_id", IntegerType),
-          StructField("pos", IntegerType), StructField("c", DoubleType))))
-      // nearest centroid by squared euclidean distance:
+      val centDf = centroidsDF(spark, cents)
+      // nearest centroid by squared euclidean distance, scored in-row:
       // argmin |v−c|² = argmin (|c|² − 2·v·c); |v|² is constant per vec
-      val cNormSq = cents.map(c => c.map(x => x * x).sum)
-      val cNorms = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          cNormSq.zipWithIndex.map { case (n, id) => Row(id, n) }.toSeq, 1),
-        StructType(Seq(StructField("cent_id", IntegerType),
-          StructField("cn", DoubleType))))
-      val assign = el.join(broadcast(centEl), Seq("pos"))
-        .groupBy("vec_id", "cent_id")
-        .agg(sum(col("x") * col("c")).as("dot"))
-        .join(broadcast(cNorms), Seq("cent_id"))
-        .withColumn("score", col("cn") - lit(2.0) * col("dot"))
+      val assign = emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(centDf), col("vec_id").isNotNull)
+        .withColumn("score",
+          dp(col("cvec"), col("cvec")) - lit(2.0) * dp(col("embedding"), col("cvec")))
         .groupBy("vec_id")
         .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cent_id"))
+      // centroid update: exact decimal accumulation → bit-stable means
       val next = el.join(assign, Seq("vec_id"))
         .groupBy("cent_id", "pos")
-        .agg(avg(col("x")).as("c"))
+        .agg((sum(col("x").cast(DecC)).cast("double") / count(lit(1))).as("c"))
         .collect()
       val updated = cents.map(_.clone())
       next.foreach { r =>
-        updated(r.getAs[Int]("cent_id"))(r.getAs[Int]("pos")) = r.getAs[Double]("c")
+        updated(r.getAs[Long]("cent_id").toInt)(r.getAs[Int]("pos")) =
+          r.getAs[Double]("c")
       }
       cents = updated
     }
@@ -76,7 +76,7 @@ object KMeansVec {
     val rows = cents.zipWithIndex.map { case (c, id) => Row(id.toLong, c.toSeq) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),
-      StructType(Seq(StructField("cent_id", org.apache.spark.sql.types.LongType),
+      StructType(Seq(StructField("cent_id", LongType),
         StructField("cvec", ArrayType(DoubleType)))))
   }
 }

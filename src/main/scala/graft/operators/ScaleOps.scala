@@ -118,13 +118,12 @@ object ScaleOps {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
     val cands = withBucket
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
-    val dot = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val nrm = (v: Column) => sqrt(dot(v, v))
+    // codegen cosine (native expression) — the aggregate/zip_with HOF
+    // formulation of the same dot is interpreted and ~100× slower
     val scored = probes.join(cands, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("pe"), col("ne")) / (nrm(col("pe")) * nrm(col("ne"))))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineSim(col("pe"), col("ne")))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -156,16 +155,14 @@ object ScaleOps {
     * (label-mean centroids) and q49 (k-means-trained centroids). */
   private[operators] def ivfSearch(emb: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame = {
-    val dot = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val nrm = (v: Column) => sqrt(dot(v, v))
+    // all similarity scoring via the native codegen cosine_sim — the
+    // aggregate/zip_with HOF dot is interpreted and ~100× slower
+    val cos = graft.functions.GraftFunctions.cosineSim _
     // assign every vector to its nearest centroid (cosine)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
     val assigned = emb.join(broadcast(cents),
         col("vec_id").isNotNull) // cross join against the tiny centroid set
-      .withColumn("sim", dot(col("embedding"), col("cvec")) /
-        (nrm(col("embedding")) * nrm(col("cvec"))))
+      .withColumn("sim", cos(col("embedding"), col("cvec")))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
@@ -175,15 +172,14 @@ object ScaleOps {
     val probeLists = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .join(broadcast(cents), col("probe_id").isNotNull)
-      .withColumn("sim", dot(col("pe"), col("cvec")) /
-        (nrm(col("pe")) * nrm(col("cvec"))))
+      .withColumn("sim", cos(col("pe"), col("cvec")))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nprobe)
       .select(col("probe_id"), col("pe"), col("cent_id"))
     val wTop = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     probeLists.join(assigned, Seq("cent_id"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("pe"), col("ne")) / (nrm(col("pe")) * nrm(col("ne"))))
+      .withColumn("cosine", cos(col("pe"), col("ne")))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 3)
       .select(col("probe_id"), col("neighbor_id"), col("rnk"),

@@ -37,59 +37,34 @@ object VectorOps {
 
   /** Cosine-threshold verification of candidate pairs, two-phase:
     *
-    * Phase 1 — fast filter: a broadcast of the NORMALIZED vector
-    * matrix + a per-partition double-precision dot loop over the
-    * candidate pairs. This is the dense-GEMM shape (the standard
-    * brute-force similarity-join core): no shuffle, no interpreted
-    * higher-order functions, ~64 FLOPs/pair. The threshold gets a
-    * 1e-6 safety margin, far above the ~1e-13 double-vs-exact error
-    * bound, so no true pair can be dropped.
+    * Phase 1 — fast filter: join the candidate ids to the embedding
+    * table (both joins broadcast while the vectors fit a build side,
+    * sort-merge beyond) and score each pair IN-ROW with the native
+    * codegen `cosine_sim` expression (~3·64 FLOPs/pair, one generated
+    * loop, no interpreted HOFs, and — critically — NO driver
+    * materialization of the embedding matrix: the arrays never leave
+    * their rows, so the filter scales to any table size). The
+    * threshold gets a 1e-6 safety margin, far above the ~1e-13
+    * double-vs-exact error bound, so no true pair can be dropped —
+    * and the filter runs in the same codegen stage as the join, so
+    * non-survivors are never materialized.
     *
     * Phase 2 — exact recompute: survivors (a tiny set) go through the
     * DECIMAL-accumulated dot + exact norms, and the exact cosine
     * applies the real threshold — so the output is bit-identical to
     * the all-exact computation (and the DuckDB oracle).
     *
-    * The broadcast matrix is build-side-sized like a broadcast hash
-    * join (n·d doubles); past broadcast scale the same loop runs over
-    * row-blocks (block the candidate pairs by vec_a range and rebuild
-    * the broadcast per block).
-    *
     * Shared by the exact all-pairs join (q46) and the LSH candidate
     * path (ScaleOps q47), mirroring the TextOps.verifyJaccard
     * pattern. */
-  /** Broadcast of the id → L2-normalized double vector matrix — the
-    * build side of the GEMM-style fast paths. Sized like a broadcast
-    * hash join build (n·d doubles); past broadcast scale the same
-    * loops run over row-blocks. */
-  private def normalizedMatrix(
-      emb: DataFrame): org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]] = {
-    val mat: Map[Long, Array[Double]] =
-      emb.select(col("vec_id"), col("embedding")).collect().map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        var i = 0; var ss = 0.0
-        while (i < v.length) { ss += v(i) * v(i); i += 1 }
-        val inv = 1.0 / math.sqrt(ss)
-        i = 0
-        while (i < v.length) { v(i) *= inv; i += 1 }
-        r.getLong(0) -> v
-      }.toMap
-    emb.sparkSession.sparkContext.broadcast(mat)
-  }
-
   private[operators] def verifyCosine(emb: DataFrame, cand: DataFrame,
       t: Double): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
-    val bc = normalizedMatrix(emb)
-    val survivors = cand.select(col("vec_a"), col("vec_b")).as[(Long, Long)]
-      .filter { p =>
-        val va = bc.value(p._1); val vb = bc.value(p._2)
-        var i = 0; var dot = 0.0
-        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-        dot >= t - 1e-6
-      }
-      .toDF("vec_a", "vec_b")
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("fa"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("fb"))
+    val survivors = cand.select(col("vec_a"), col("vec_b"))
+      .join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .filter(graft.functions.GraftFunctions.cosineSim(col("fa"), col("fb")) >= t - 1e-6)
+      .select("vec_a", "vec_b")
     exactCosine(emb, survivors, t)
   }
 
@@ -151,26 +126,22 @@ object VectorOps {
 
   /** Brute-force cosine top-k: for each probe vector (vec_id < 5),
     * the 3 nearest neighbors by cosine similarity. Same two-phase
-    * shape as verifyCosine — a GEMM-style double-precision scoring
-    * pass ranks all pairs, then everything within 1e-6 of each
-    * probe's 3rd-best (a superset of the exact top-3, since double
-    * vs exact cosine differ by ≤ ~1e-13) is recomputed exactly and
-    * re-ranked, so the output is bit-identical to the oracle. */
+    * shape as verifyCosine — ONLY the probe side (a handful of
+    * vectors) is broadcast; the big side streams through a codegen
+    * `cosine_sim` scoring pass in its own partitions, so the plan is
+    * a single map-stage scan of the collection regardless of its
+    * size. Everything within 1e-6 of each probe's 3rd-best (a
+    * superset of the exact top-3, since double vs exact cosine
+    * differ by ≤ ~1e-13) is recomputed exactly and re-ranked, so the
+    * output is bit-identical to the oracle. */
   private val q34: QFn = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    import s.implicits._
-    val bc = normalizedMatrix(emb)
-    val scored = emb.select(col("vec_id").as("neighbor_id"))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .join(broadcast(emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"))),
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))),
         col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "neighbor_id").as[(Long, Long)]
-      .map { p =>
-        val va = bc.value(p._1); val vb = bc.value(p._2)
-        var i = 0; var dot = 0.0
-        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-        (p._1, p._2, dot)
-      }.toDF("probe_id", "neighbor_id", "dcos")
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.cosineSim(col("pe"), col("ne")).as("dcos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("dcos").desc, col("neighbor_id").asc)
     val ranked = scored.withColumn("rnk", row_number().over(w))
