@@ -40,7 +40,17 @@ object IncrementalLoader {
       .sorted
   }
 
-  /** One incremental load pass: new files → append → registry. */
+  /** One incremental load pass: new files → append → registry.
+    *
+    * The append is IDEMPOTENT under crashes: each source file's batch
+    * is written to a hidden `_staging` subdir (parquet readers ignore
+    * underscore paths), then published into the table with ONE atomic
+    * rename to a name derived deterministically from the source path.
+    * A crash mid-write leaves only invisible staging files; a crash
+    * after publish but before the registry records `ok` makes the next
+    * run redo the same load onto the SAME target name — replacing, not
+    * duplicating. (A bare `mode(Append)` here left half-written part
+    * files visible in the table and duplicated rows on retry.) */
   def run(spark: SparkSession, srcDir: String, tableDir: String,
           registryDir: String, schema: StructType): LoadResult = {
     val all = discover(spark, srcDir)
@@ -48,11 +58,24 @@ object IncrementalLoader {
       .collect().map(_.getString(0)).toSet
     val (skip, fresh) = all.partition(loaded.contains)
 
+    val fs = FileSystem.get(new java.net.URI(tableDir),
+      spark.sparkContext.hadoopConfiguration)
     val results = fresh.map { f =>
       try {
         val df = spark.read.schema(schema).option("header", "true").csv(f)
         val n = df.count()
-        df.write.mode(SaveMode.Append).parquet(tableDir)
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val stage = new Path(s"$tableDir/_staging/$tag")
+        df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        val part = fs.listStatus(stage)
+          .find(_.getPath.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
+          .getPath
+        val target = new Path(tableDir, s"ingest-$tag.snappy.parquet")
+        fs.delete(target, false) // crashed earlier attempt: replace, don't duplicate
+        require(fs.rename(part, target), s"publish $part -> $target failed")
+        fs.delete(stage, true)
         (f, LoadRegistry.StatusOk, n)
       } catch {
         case e: Exception =>

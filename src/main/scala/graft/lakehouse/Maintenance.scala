@@ -71,19 +71,80 @@ object Maintenance {
   def upsert(spark: SparkSession, tableDir: String, tmpDir: String,
              changes: DataFrame, keys: Seq[String]): Unit = {
     val target = spark.read.parquet(tableDir)
-    val keep = target.join(broadcast(changes.select(keys.map(col): _*)),
-      keys, "left_anti")
-    keep.unionByName(changes)
+    upsertPlan(target, changes, keys)
       .write.mode(SaveMode.Overwrite).parquet(tmpDir)
     replaceDir(spark, tmpDir, tableDir)
   }
 
-  /** Atomic-ish directory swap (rename) used by rewrite operations. */
+  private def upsertPlan(target: DataFrame, changes: DataFrame,
+                         keys: Seq[String]): DataFrame = {
+    val keep = target.join(broadcast(changes.select(keys.map(col): _*)),
+      keys, "left_anti")
+    keep.unionByName(changes)
+  }
+
+  // ---- crash-safe (versioned) twins: same semantics, but the table
+  // ---- stays readable through a crash at ANY step (VersionedTable).
+
+  /** [[expireRows]] on a [[VersionedTable]] root. */
+  def expireRowsVersioned(spark: SparkSession, root: String,
+                          tsCol: String, cutoff: java.sql.Timestamp): Long = {
+    VersionedTable.rewrite(spark, root)(_.filter(col(tsCol) >= lit(cutoff)))
+    VersionedTable.read(spark, root).count()
+  }
+
+  /** [[compact]] on a [[VersionedTable]] root. */
+  def compactVersioned(spark: SparkSession, root: String,
+                       targetFileBytes: Long = 128L << 20): Int = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(VersionedTable.currentPath(spark, root))
+    val bytes = fs.getContentSummary(cur).getLength
+    val n = math.max(1, (bytes / targetFileBytes).toInt)
+    VersionedTable.rewrite(spark, root)(_.coalesce(n))
+    n
+  }
+
+  /** [[upsert]] on a [[VersionedTable]] root. */
+  def upsertVersioned(spark: SparkSession, root: String,
+                      changes: DataFrame, keys: Seq[String]): Unit =
+    VersionedTable.rewrite(spark, root)(upsertPlan(_, changes, keys))
+
+  /** Directory swap used by the flat-dir rewrite operations. NOT
+    * delete-then-rename (a crash between those two loses the table):
+    * the live dir rotates to a `_backup` (hidden from parquet
+    * readers), the tmp dir renames into place, and only then is the
+    * backup dropped — so a recovery point exists through the whole
+    * swap window. A crash mid-swap is healed by [[recoverDir]]; for
+    * always-readable semantics use [[VersionedTable]] instead. */
   private def replaceDir(spark: SparkSession, from: String, to: String): Unit = {
     val fs = FileSystem.get(new java.net.URI(to),
       spark.sparkContext.hadoopConfiguration)
     val toPath = new Path(to)
-    fs.delete(toPath, true)
-    fs.rename(new Path(from), toPath)
+    val backup = new Path(to + "_backup")
+    fs.delete(backup, true)
+    if (fs.exists(toPath)) require(fs.rename(toPath, backup),
+      s"rotate $toPath -> $backup failed")
+    require(fs.rename(new Path(from), toPath), s"rename $from -> $toPath failed")
+    fs.delete(backup, true)
+  }
+
+  /** Heal a crash inside [[replaceDir]]'s swap window: if the live dir
+    * is missing, restore the completed tmp write if present (it has
+    * `_SUCCESS`), else the backup. Returns what it restored. */
+  def recoverDir(spark: SparkSession, tmpDir: String,
+                 tableDir: String): Option[String] = {
+    val fs = FileSystem.get(new java.net.URI(tableDir),
+      spark.sparkContext.hadoopConfiguration)
+    val live = new Path(tableDir)
+    if (fs.exists(live)) return None
+    val tmp = new Path(tmpDir)
+    val backup = new Path(tableDir + "_backup")
+    if (fs.exists(new Path(tmp, "_SUCCESS")) && fs.rename(tmp, live)) {
+      fs.delete(backup, true)
+      Some("tmp")
+    } else if (fs.exists(backup) && fs.rename(backup, live)) {
+      Some("backup")
+    } else None
   }
 }

@@ -29,11 +29,16 @@ object JoinOps {
     * "left_anti")`. The left side is read twice (two branches of the
     * union) — a bargain against shuffling it once whenever the scan
     * is cheaper than the exchange, which is the normal case for
-    * wide fact tables with selective exclusion sets. */
+    * wide fact tables with selective exclusion sets.
+    *
+    * Pass `expectedNumItems` (an upper bound is fine — it only sizes
+    * the filter) to skip the sizing `count()` and build the bloom in
+    * a single pass over the right side. */
   def bloomAntiJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      fpp: Double = 0.01): DataFrame = {
-    val nItems = math.max(right.count(), 1L)
+      fpp: Double = 0.01,
+      expectedNumItems: Option[Long] = None): DataFrame = {
+    val nItems = math.max(expectedNumItems.getOrElse(right.count()), 1L)
     val bf = right.stat.bloomFilter(rightKey, nItems, fpp)
     val bytes = { val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
     val might: Column = Bridge.column(BloomFilterMightContain(

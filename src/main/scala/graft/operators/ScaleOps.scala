@@ -82,7 +82,9 @@ object ScaleOps {
     * bits cannot touch all 4 bands, so every qualifying pair shares at
     * least one identical band. */
   private val q43: QFn = (s, d) => {
-    val fp = q33(s, d).cache()
+    val fp = graft.util.DfCache.getOrBuild(s, s"simhash:$d") {
+      val f = q33(s, d).cache(); f.count(); f
+    }
     val bands = fp.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
@@ -234,10 +236,15 @@ object ScaleOps {
         |         0.0D, (a, x) -> a + x) > 0, 1, 0),
         |    j)))""".stripMargin)
     // cached: both sides of the self-join read these 16·n rows, and
-    // the interpreted hyperplane expression must not run twice
-    val bands = emb.select(col("vec_id"), posexplode(bandExpr))
-      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
-      .cache()
+    // the interpreted hyperplane expression must not run twice.
+    // Memoized per (session, dir) — one cache, reused, releasable.
+    val bands = graft.util.DfCache.getOrBuild(s, s"bands47:$d") {
+      val b = emb.select(col("vec_id"), posexplode(bandExpr))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+        .cache()
+      b.count()
+      b
+    }
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

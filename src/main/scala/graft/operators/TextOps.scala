@@ -40,18 +40,22 @@ object TextOps {
     * Gram identity is a bijection of the string trigram w.h.p., so
     * Jaccard counts are unchanged. Returns (doc_id, gram, n_grams),
     * distinct per doc, CACHED (flat longs — cheap to materialize,
-    * unlike array columns) and eagerly populated.
+    * unlike array columns) and eagerly populated. Memoized per
+    * (session, dir) via [[graft.util.DfCache]] so repeated queries
+    * reuse ONE cache instead of leaking a new one per invocation
+    * (q31 and q32 share the postings build).
     */
-  private[operators] def gramHashes(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.trigramHashes(words(col("text"))).as("grams"))
-      .select(col("doc_id"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("gram"))
-      .cache()
-    e.count() // eager, serial population (multiple consumers downstream)
-    e
-  }
+  private[operators] def gramHashes(s: SparkSession, d: String): DataFrame =
+    graft.util.DfCache.getOrBuild(s, s"gramHashes:$d") {
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.trigramHashes(words(col("text"))).as("grams"))
+        .select(col("doc_id"), size(col("grams")).as("n_grams"),
+          explode(col("grams")).as("gram"))
+        .cache()
+      e.count() // eager, serial population (multiple consumers downstream)
+      e
+    }
 
   /** Exact dedup: canonical fingerprint → group → keep-lowest-id
     * decision table. At 100 TB this is one shuffle on a 128-bit hash —

@@ -220,6 +220,109 @@ class LakehouseSpec extends SparkSpec {
     assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("versioned table: readable through a crash at every commit step") {
+    import spark.implicits._
+    val root = tmpDir("vt") + "/t"
+    val v1 = VersionedTable.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    assert(v1 == 1 && VersionedTable.read(spark, root).count() == 2)
+
+    // crash DURING the next write: partial staging, never renamed —
+    // the table still serves v=1 (staging is underscore-hidden)
+    val stage = new java.io.File(s"$root/_stage_v=2"); stage.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stage, "part-00000.parquet").toPath, "garbage")
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 2)
+
+    // crash AFTER the visibility rename, BEFORE the prune: two
+    // complete versions on disk — read resolves the newer
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .write.parquet(s"$root/v=2")
+    assert(VersionedTable.currentVersion(spark, root).contains(2L))
+    assert(VersionedTable.read(spark, root).count() == 3)
+
+    // the next successful commit heals all leftovers
+    val v3 = VersionedTable.rewrite(spark, root)(_.filter(col("k") =!= 3L))
+    assert(v3 == 3 && VersionedTable.read(spark, root).count() == 2)
+    assert(!new java.io.File(s"$root/v=1").exists())
+    assert(!new java.io.File(s"$root/v=2").exists())
+    assert(!new java.io.File(s"$root/_stage_v=2").exists())
+  }
+
+  test("versioned table: migrates a legacy flat dir on first commit") {
+    import spark.implicits._
+    val root = tmpDir("vtm") + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.parquet(root)
+    // pre-migration reads fall back to the flat dir
+    assert(VersionedTable.currentVersion(spark, root).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 2)
+    VersionedTable.rewrite(spark, root)(_.filter(col("k") === 1L))
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // legacy flat files were pruned after the commit
+    assert(!new java.io.File(root).listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("versioned maintenance twins: retention, compaction, upsert") {
+    import spark.implicits._
+    val root = tmpDir("vmt") + "/t"
+    VersionedTable.init(spark, root, Tables.events(spark, sfDir))
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val kept = Maintenance.expireRowsVersioned(spark, root, "ts", cutoff)
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() == kept && kept > 0)
+    assert(after.filter(col("ts") < lit(cutoff)).count() == 0)
+
+    val n = Maintenance.compactVersioned(spark, root, targetFileBytes = 1L << 30)
+    assert(n == 1 && VersionedTable.read(spark, root).count() == kept)
+
+    val root2 = tmpDir("vmu") + "/t"
+    VersionedTable.init(spark, root2,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    Maintenance.upsertVersioned(spark, root2,
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "name"), Seq("k"))
+    val out = VersionedTable.read(spark, root2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("replaceDir crash window heals via recoverDir") {
+    import spark.implicits._
+    val dir = tmpDir("rcv") + "/t"
+    Seq((1L, "new")).toDF("k", "s").write.parquet(dir + "_tmp")
+    // simulate the crash point: live already rotated to backup, tmp
+    // not yet renamed in — the live dir is missing
+    Seq((1L, "old")).toDF("k", "s").write.parquet(dir + "_backup")
+    assert(!new java.io.File(dir).exists())
+    assert(Maintenance.recoverDir(spark, dir + "_tmp", dir).contains("tmp"))
+    assert(spark.read.parquet(dir).head.getString(1) == "new")
+    assert(!new java.io.File(dir + "_backup").exists())
+
+    // without a complete tmp, recovery restores the backup
+    val dir2 = tmpDir("rcv2") + "/t"
+    Seq((1L, "old")).toDF("k", "s").write.parquet(dir2 + "_backup")
+    assert(Maintenance.recoverDir(spark, dir2 + "_tmp", dir2).contains("backup"))
+    assert(spark.read.parquet(dir2).head.getString(1) == "old")
+  }
+
+  test("incremental load retry after a lost registry does not duplicate rows") {
+    val root = tmpDir("idem")
+    val src = s"$root/arrivals"; val table = s"$root/t"
+    val registry = s"$root/registry"
+    new java.io.File(src).mkdirs()
+    val schema = SurveyGen.generate(spark, 1, seed = 1).schema
+    SurveyGen.writeArrival(spark, src, "datagen_202401010000.csv", 200, seed = 3)
+    val r1 = IncrementalLoader.run(spark, src, table, registry, schema)
+    assert(r1.loaded.size == 1)
+    assert(spark.read.parquet(table).count() == 200)
+    // crash-after-publish-before-registry: the load happened but the
+    // registry never recorded it — the retry must replace, not append
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(registry))
+    val r2 = IncrementalLoader.run(spark, src, table, registry, schema)
+    assert(r2.loaded.size == 1)
+    assert(spark.read.parquet(table).count() == 200)
+  }
+
   test("schema evolution: additive columns align with null fill") {
     import spark.implicits._
     val base = Seq((1L, "x")).toDF("id", "name")
