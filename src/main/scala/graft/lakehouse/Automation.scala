@@ -1,0 +1,133 @@
+package graft.lakehouse
+
+import java.util.concurrent.atomic.AtomicBoolean
+import org.apache.spark.sql.SparkSession
+
+/** The continuously-running automation daemon — the reference's two
+  * long-lived processes folded into one schedulable loop:
+  *
+  *  - `datagen.py:129-133`: `schedule.every(1).minutes` → `make_data`
+  *    (write a CSV drop) and `schedule.every(1).hours` → `delete_data`
+  *    (retention on the drop dir);
+  *  - `check_lakehouse.py:96-127`: `UpdateLakehouse.run` — an
+  *    interval-polling thread that detects new files, loads them into
+  *    the lakehouse, and records every attempt in the registry, with
+  *    signal-driven clean shutdown.
+  *
+  * One [[Automation.tick]] = generate (optional) → detect+load
+  * (registry-deduped, crash-idempotent [[IncrementalLoader]]) →
+  * retention every `retainEvery` ticks. [[Automation.runLoop]] is the
+  * daemon entry (interval sleep, stop flag, bounded tick count for
+  * tests); `Automation.main` wires a SparkSession, a shutdown hook
+  * (SIGTERM → finish the current tick, then exit), and a per-tick
+  * report line.
+  *
+  * Scale posture: every tick's work is a distributed job over only
+  * the NEW files (discovery is a metadata listing; the registry read
+  * is a tiny parquet scan), so the daemon's steady-state cost is
+  * independent of table size.
+  */
+class Automation(spark: SparkSession, cfg: Automation.Config) {
+
+  private val stopRequested = new AtomicBoolean(false)
+  private var ticks = 0L
+
+  /** One scheduler cycle. Generate is first (mirroring the separate
+    * datagen process) so a tick's own drop is picked up by its load
+    * pass, like the reference's minute-aligned schedules. */
+  def tick(): Automation.TickReport = {
+    ticks += 1
+    val generated = if (cfg.generate) {
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMddHHmmss")
+        .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+      Some(SurveyGen.writeArrival(spark, cfg.srcDir,
+        s"datagen_${stamp}_$ticks.csv", cfg.rowsPerDrop,
+        seed = cfg.seedBase + ticks.toInt))
+    } else None
+    val load = IncrementalLoader.run(spark, cfg.srcDir, cfg.tableDir,
+      cfg.registryDir, SurveyGen.schema)
+    val expired =
+      if (ticks % cfg.retainEvery == 0)
+        Maintenance.expireFiles(spark, cfg.srcDir, cfg.retentionDays)
+      else Seq.empty
+    Automation.TickReport(ticks, generated, load, expired)
+  }
+
+  /** Interval poll loop (reference: `UpdateLakehouse.run`'s
+    * `while not stop: work; sleep(interval)`). `maxTicks <= 0` runs
+    * until [[stop]]; a stop request finishes the in-flight tick, so
+    * shutdown never tears a load in half. Returns the tick reports. */
+  def runLoop(intervalMillis: Long,
+              maxTicks: Long = -1L,
+              onTick: Automation.TickReport => Unit = _ => ()): Seq[Automation.TickReport] = {
+    val out = scala.collection.mutable.ArrayBuffer[Automation.TickReport]()
+    while (!stopRequested.get() && (maxTicks <= 0 || out.size < maxTicks)) {
+      val r = tick()
+      out += r
+      onTick(r)
+      val more = maxTicks <= 0 || out.size < maxTicks
+      if (more && !stopRequested.get() && intervalMillis > 0) {
+        try Thread.sleep(intervalMillis)
+        catch { case _: InterruptedException => stopRequested.set(true) }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Request a clean shutdown: the loop exits after the current tick. */
+  def stop(): Unit = stopRequested.set(true)
+}
+
+object Automation {
+
+  final case class Config(
+      srcDir: String,
+      tableDir: String,
+      registryDir: String,
+      rowsPerDrop: Long = 500L,
+      generate: Boolean = true,
+      retentionDays: Int = 7,
+      retainEvery: Int = 60,
+      seedBase: Int = 0)
+
+  final case class TickReport(
+      tick: Long,
+      generated: Option[String],
+      load: IncrementalLoader.LoadResult,
+      expired: Seq[String])
+
+  /** `runMain graft.lakehouse.Automation <rootDir> [intervalSec]
+    * [maxTicks]` — drops land in `<rootDir>/arrivals`, the lakehouse
+    * table in `<rootDir>/survey`, the registry in
+    * `<rootDir>/registry`. Ctrl-C / SIGTERM stops cleanly after the
+    * in-flight tick. */
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft_automation")
+    val intervalSec = if (args.length > 1) args(1).toLong else 60L
+    val maxTicks = if (args.length > 2) args(2).toLong else -1L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-automation")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(s"$root/arrivals").mkdirs()
+
+    val auto = new Automation(spark, Config(
+      srcDir = s"$root/arrivals",
+      tableDir = s"$root/survey",
+      registryDir = s"$root/registry"))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => auto.stop()))
+    println(s"[automation] polling every ${intervalSec}s under $root " +
+      "(Ctrl-C for clean shutdown)")
+    auto.runLoop(intervalSec * 1000, maxTicks, r =>
+      println(s"[automation] tick=${r.tick} generated=${r.generated.getOrElse("-")} " +
+        s"loaded=${r.load.loaded.size} skipped=${r.load.skipped.size} " +
+        s"failed=${r.load.failed.size} expired=${r.expired.size}"))
+    spark.stop()
+  }
+}

@@ -54,6 +54,29 @@ class LakehouseSpec extends SparkSpec {
     assert(Maintenance.expireFiles(spark, src, days = 0).size == 2)
   }
 
+  test("automation daemon: scheduler loop generates, loads, retains, stops cleanly") {
+    val root = tmpDir("auto")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    val cfg = Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/registry", rowsPerDrop = 100,
+      retainEvery = 2, retentionDays = 0)
+    val auto = new Automation(spark, cfg)
+    // two ticks through the real scheduler entry point
+    val reports = auto.runLoop(intervalMillis = 10, maxTicks = 2)
+    assert(reports.size == 2)
+    assert(reports.forall(r => r.generated.isDefined && r.load.loaded.size == 1))
+    assert(spark.read.parquet(s"$root/t").count() == 200)
+    assert(LoadRegistry.read(spark, s"$root/registry").count() == 2)
+    // retention fired on the retainEvery-th tick (days=0 expires all)
+    assert(reports(0).expired.isEmpty && reports(1).expired.size == 2)
+    // clean shutdown: stop() ends an unbounded loop after its tick
+    val auto2 = new Automation(spark, cfg.copy(generate = false))
+    val t = new Thread(() => { auto2.runLoop(intervalMillis = 5); () })
+    t.start(); Thread.sleep(300); auto2.stop(); t.join(30000)
+    assert(!t.isAlive)
+  }
+
   test("sql runner: query, ddl, multi-statement script, and named procs") {
     SqlRunner.registerTables(spark, sfDir)
     val (res, secs) = SqlRunner.query(spark,
