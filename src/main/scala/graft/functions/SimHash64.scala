@@ -113,6 +113,12 @@ object GraftFunctions {
       CosineSim(org.apache.spark.sql.graftbridge.Bridge.expression(a),
         org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
+  /** `hyperplane_bits(vec, base, planes)` as a Column. */
+  def hyperplaneBits(v: Column, base: Int, planes: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      HyperplaneBits(org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        base, planes))
+
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHash64].getName, "simhash64")
 
@@ -141,7 +147,17 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosInfo,
       (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
+      hyperplaneBuilder)
   }
+
+  /** SQL builder: base/planes must be foldable int literals. */
+  private[functions] val hyperplaneBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => HyperplaneBits(children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue(),
+      children(2).eval(null).asInstanceOf[Number].intValue())
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -165,6 +181,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
+      GraftFunctions.hyperplaneBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

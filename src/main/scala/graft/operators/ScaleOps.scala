@@ -104,18 +104,11 @@ object ScaleOps {
   private val q35: QFn = (s, d) => {
     val emb = Tables.embeddings(s, d)
     // sign bit j = dot(v, h_j) > 0 with h_j[k] = ±1 from xxhash64(j,k)
-    val bucketExpr = expr(
-      """aggregate(
-        |  sequence(0, 7), 0,
-        |  (acc, j) -> acc | shiftleft(
-        |    if(aggregate(
-        |         zip_with(embedding,
-        |           transform(sequence(0, 63),
-        |             k -> if((xxhash64(j, k) & 1) = 1, 1.0D, -1.0D)),
-        |           (x, h) -> cast(x as double) * h),
-        |         0.0D, (a, x) -> a + x) > 0, 1, 0),
-        |    j))""".stripMargin)
-    val withBucket = emb.withColumn("bucket", bucketExpr)
+    // — one codegen hyperplane_bits pass (bit-equal to the
+    // aggregate/zip_with SQL formulation, which runs interpreted at
+    // planes×dims lambda dispatches per row; parity spec-pinned)
+    val withBucket = emb.withColumn("bucket",
+      graft.functions.GraftFunctions.hyperplaneBits(col("embedding"), 0, 8))
     val probes = withBucket.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
     val cands = withBucket
@@ -218,39 +211,55 @@ object ScaleOps {
     * hyperplanes (32 seeded ±1 planes): a pair at the q46 threshold
     * (cosine 0.4 → P[same sign] ≈ 0.63) collides in ≥1 band with
     * p ≈ 1 − (1 − 0.63²)¹⁶ ≈ 0.9997, and recall rises steeply above
-    * the threshold. Shuffle volume is 16 rows/vector — O(n·bands),
-    * never O(n²); the verify step removes all false positives, so
-    * output ⊆ q46 with near-1 recall (measured in the spec). */
+    * the threshold. The verify step removes all false positives, so
+    * output ⊆ q46 with near-1 recall (measured in the spec).
+    *
+    * Plan shape: the only full-data exchange is the 16-rows-per-vector
+    * band table (O(n·bands), arrays carried along). Within-bucket
+    * candidate pairs are generated AND cosine-filtered inside one
+    * codegen join stage — they never hit an exchange, so the loose
+    * 2-bit buckets (needed for recall at this low threshold) cannot
+    * turn into a quadratic shuffle; only the handful of survivors
+    * reaches `distinct` + the exact-decimal recompute. */
   private val q47: QFn = (s, d) => {
     val emb = Tables.embeddings(s, d)
     // band b's 2-bit bucket: sign bits of dots with hyperplanes
-    // (2b, 2b+1); plane j's components are ±1 from xxhash64(200+j, k)
-    val bandExpr = expr(
-      """transform(sequence(0, 15), b ->
-        |  aggregate(sequence(0, 1), 0, (acc, j) -> acc | shiftleft(
-        |    if(aggregate(
-        |         zip_with(embedding,
-        |           transform(sequence(0, 63),
-        |             k -> if((xxhash64(200 + b * 2 + j, k) & 1) = 1, 1.0D, -1.0D)),
-        |           (x, h) -> cast(x as double) * h),
-        |         0.0D, (a, x) -> a + x) > 0, 1, 0),
-        |    j)))""".stripMargin)
-    // cached: both sides of the self-join read these 16·n rows, and
-    // the interpreted hyperplane expression must not run twice.
+    // (2b, 2b+1); plane j's components are ±1 from xxhash64(200+j, k).
+    // All 32 sign bits come from ONE codegen hyperplane_bits pass;
+    // each band then slices its 2 bits out of the packed signature.
+    // cached: both sides of the self-join read these 16·n rows.
     // Memoized per (session, dir) — one cache, reused, releasable.
     val bands = graft.util.DfCache.getOrBuild(s, s"bands47:$d") {
-      val b = emb.select(col("vec_id"), posexplode(bandExpr))
-        .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+      val b = emb
+        .withColumn("sig",
+          graft.functions.GraftFunctions.hyperplaneBits(col("embedding"), 200, 32))
+        .select(col("vec_id"), col("embedding"), col("sig"), posexplode(expr(
+          "transform(sequence(0, 15), b -> shiftright(sig, b * 2) & 3)")))
+        .select(col("vec_id"), col("embedding"), col("sig"),
+          col("pos").as("band"), col("col").as("bucket"))
         .cache()
       b.count()
       b
     }
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    VectorOps.verifyCosine(emb, cand, 0.4)
+    val x = bands.select(col("vec_id").as("vec_a"), col("embedding").as("fa"),
+      col("sig").as("sa"), col("band"), col("bucket"))
+    val y = bands.select(col("vec_id").as("vec_b"), col("embedding").as("fb"),
+      col("sig").as("sb"), col("band"), col("bucket"))
+    // Each colliding pair is evaluated ONLY in its first colliding
+    // band: from the packed signatures, "no band b' < band collides"
+    // ⇔ the low 2·band bits of (sa ^ sb) contain no all-zero 2-bit
+    // group — a handful of codegen bit ops that both dedups the work
+    // (a pair colliding in k bands was cosine-scored k times) and
+    // removes the `distinct` exchange entirely. 0x5555… masks each
+    // group's low bit after AND-folding the group's two bits.
+    val firstCollision = expr(
+      "((~(sa ^ sb)) & shiftright(~(sa ^ sb), 1) & 6148914691236517205" +
+        " & (shiftleft(cast(1 as bigint), band * 2) - 1)) = 0")
+    val survivors = x.join(y, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b") && firstCollision &&
+        graft.functions.GraftFunctions.cosineSim(col("fa"), col("fb")) >= 0.4 - 1e-6)
+      .select("vec_a", "vec_b")
+    VectorOps.verifyCosine(emb, survivors, 0.4)
   }
 
   /** Approximate quantiles (Greenwald-Khanna sketch): the 100-TB

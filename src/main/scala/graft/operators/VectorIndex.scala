@@ -24,7 +24,32 @@ object VectorIndex {
   def build(emb: DataFrame, path: String, k: Int, iters: Int = 5): Unit = {
     val spark = emb.sparkSession
     val cents = KMeansVec.train(emb, k, iters)
-    val centDf = KMeansVec.centroidsDF(spark, cents)
+    buildWith(emb, path, KMeansVec.centroidsDF(spark, cents))
+  }
+
+  /** Persist an index with PRE-TRAINED centroids (shared by [[build]]
+    * and useful to reuse one trained model across tables). */
+  def buildWith(emb: DataFrame, path: String, centDf: DataFrame): Unit = {
+    assign(emb, centDf)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
+    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Incremental append: route new vectors to the EXISTING trained
+    * centroids and append their inverted-list rows — an incremental
+    * load extends the index without retraining or rewriting the old
+    * lists (only the touched cent_id partitions gain files). The
+    * result is identical to batch-assigning old∪new against the same
+    * centroids (spec-pinned), because assignment is per-row. */
+  def add(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    val centDf = spark.read.parquet(s"$path/centroids")
+    assign(newVecs, centDf)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
+  /** Nearest-centroid assignment (cosine, index tiebreak) — the
+    * shared inverted-list builder. */
+  private def assign(emb: DataFrame, centDf: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cent_id").asc)
     emb.join(broadcast(centDf), col("vec_id").isNotNull)
@@ -33,8 +58,6 @@ object VectorIndex {
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
-    centDf.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Top-k cosine neighbors for each probe vector, scanning only the

@@ -137,6 +137,48 @@ class OperatorsSpec extends SparkSpec {
     assert(viaEval == viaSql)
   }
 
+  test("vector expressions: dot/cosine/hyperplane parity with the HOF formulations") {
+    graft.functions.GraftFunctions.register(spark)
+    // real embeddings: native codegen results must be BIT-equal to the
+    // interpreted aggregate/zip_with formulations they replace
+    Tables.embeddings(spark, sfDir).limit(50)
+      .createOrReplaceTempView("emb_parity")
+    val mism = spark.sql(
+      """SELECT count(*) AS bad FROM (
+        |  SELECT
+        |    dot_product(embedding, embedding) AS nd,
+        |    aggregate(zip_with(embedding, embedding,
+        |      (x, y) -> cast(x as double) * cast(y as double)),
+        |      0.0D, (a, x) -> a + x) AS hd,
+        |    cosine_sim(embedding, embedding) AS nc,
+        |    hyperplane_bits(embedding, 0, 8) AS nb,
+        |    aggregate(sequence(0, 7), 0, (acc, j) -> acc | shiftleft(
+        |      if(aggregate(zip_with(embedding,
+        |           transform(sequence(0, 63),
+        |             k -> if((xxhash64(j, k) & 1) = 1, 1.0D, -1.0D)),
+        |           (x, h) -> cast(x as double) * h),
+        |         0.0D, (a, x) -> a + x) > 0, 1, 0), j)) AS hb
+        |  FROM emb_parity) t
+        |WHERE nd <> hd OR nb <> hb OR abs(nc - 1.0D) > 1e-12
+        |""".stripMargin).head.getLong(0)
+    assert(mism == 0)
+    // interpreted eval path agrees with codegen for the binary exprs
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit3 = Literal.create(Seq(1.0f, 2.0f, 3.0f), ArrayType(FloatType))
+    assert(graft.functions.DotProduct(lit3, lit3).eval(null) == 14.0)
+    assert(graft.functions.CosineSim(lit3, lit3).eval(null) == 1.0)
+    val viaSql = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D))")
+      .head.getDouble(0)
+    assert(viaSql == 14.0)
+    val hpEval = graft.functions.HyperplaneBits(lit3, 0, 8).eval(null)
+    val hpSql = spark.sql(
+      "SELECT hyperplane_bits(array(1.0D, 2.0D, 3.0D), 0, 8)").head.getLong(0)
+    // float->double is exact for these values, so eval == codegen-sql
+    assert(hpEval == hpSql)
+  }
+
   test("trigram_hashes native expression: xxhash64-chain parity, dedup, edge cases") {
     graft.functions.GraftFunctions.register(spark)
     // same values as the built-in xxhash64 composition it replaces
@@ -210,6 +252,31 @@ class OperatorsSpec extends SparkSpec {
     // the search only touched the routed centroid partitions
     val allParts = lists.select("cent_id").distinct().count()
     assert(allParts == 10)
+  }
+
+  test("IVF index incremental add equals batch assignment; search unchanged") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    // one trained model, two index builds: batch(all) vs build(old)+add(fresh)
+    val cents = KMeansVec.centroidsDF(spark, KMeansVec.train(old, k = 10, iters = 3))
+    val pBatch = tmpDir("ivf-batch"); val pIncr = tmpDir("ivf-incr")
+    VectorIndex.buildWith(emb, pBatch, cents)
+    VectorIndex.buildWith(old, pIncr, cents)
+    VectorIndex.add(spark, pIncr, fresh)
+    // identical inverted lists...
+    val la = spark.read.parquet(s"$pBatch/lists")
+      .select("vec_id", "cent_id").collect().map(_.toString).sorted.toSeq
+    val lb = spark.read.parquet(s"$pIncr/lists")
+      .select("vec_id", "cent_id").collect().map(_.toString).sorted.toSeq
+    assert(la == lb && la.nonEmpty)
+    // ...and identical search results after the append
+    val probes = emb.filter(col("vec_id") < 5)
+    val sa = VectorIndex.search(spark, pBatch, probes, nprobe = 4, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val sb = VectorIndex.search(spark, pIncr, probes, nprobe = 4, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sa == sb && sa.nonEmpty)
   }
 
   test("q35 LSH ANN neighbors are a subset of valid ids with sane cosine") {
