@@ -97,11 +97,17 @@ object TextOps {
       .groupBy("doc_id", "n_grams")
       .agg(collect_list(struct(col("df"), col("gram"))).as("ranked"))
       .select(col("doc_id"), col("n_grams"),
-        explode(expr(s"slice(array_sort(ranked), 1, " +
-          s"cast(floor(n_grams * ${1 - t}) + 1 as int))")).as("dg"))
-      .select(col("doc_id"), col("n_grams"), col("dg.gram").as("gram"))
-    val a = prefix.select(col("doc_id").as("doc_a"), col("n_grams").as("na"), col("gram"))
-    val b = prefix.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"), col("gram"))
+        posexplode(expr(s"slice(array_sort(ranked), 1, " +
+          s"cast(floor(n_grams * ${1 - t}) + 1 as int))")))
+      // p = the gram's 1-based rank in the doc's full rarity order
+      // (the prefix IS the first entries of that order) — feeds the
+      // positional filter below
+      .select(col("doc_id"), col("n_grams"), (col("pos") + 1).as("p"),
+        col("col.gram").as("gram"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("n_grams").as("na"),
+      col("p").as("pa"), col("gram"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"),
+      col("p").as("pb"), col("gram"))
     // count filter (PPJoin-style): the same shuffle that generates
     // candidates also counts their prefix collisions c. Uncounted
     // shared grams live in suffix_a or suffix_b — and because the
@@ -114,15 +120,27 @@ object TextOps {
     // a true j=0.5 pair that least() would prune; spec-pinned.)
     // Jaccard ≥ t needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉ — pairs that
     // can't reach it never hit the exact verify.
+    //
+    // POSITIONAL filter (PPJoin's second bound, aggregate-safe form):
+    // a collision on a gram ranked pa-th in a and pb-th in b splits
+    // the overlap into grams strictly smaller (≤ min(pa−1, pb−1),
+    // since smaller common grams occupy earlier ranks in BOTH lists)
+    // and grams at-or-after (≤ 1 + min(na−pa, nb−pb), the remaining
+    // tail sizes) — so overlap ≤ min over collisions of
+    // min(pa−1,pb−1) + 1 + min(na−pa, nb−pb). Tighter than the count
+    // bound whenever a pair's only collisions sit deep in one prefix.
+    val required = ceil((col("na") + col("nb")) * (t / (1 + t)))
     val cand = a.join(b, Seq("gram"))
       .filter(col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * t && col("nb") >= col("na") * t)
       .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") +
-        greatest(col("na") - (floor(col("na") * (1 - t)) + 1),
-          col("nb") - (floor(col("nb") * (1 - t)) + 1)) >=
-        ceil((col("na") + col("nb")) * (t / (1 + t))))
+      .agg(count(lit(1)).as("c"),
+        min(least(col("pa") - 1, col("pb") - 1) + 1 +
+          least(col("na") - col("pa"), col("nb") - col("pb"))).as("posBound"))
+      .filter(col("posBound") >= required &&
+        col("c") +
+          greatest(col("na") - (floor(col("na") * (1 - t)) + 1),
+            col("nb") - (floor(col("nb") * (1 - t)) + 1)) >= required)
       .select("doc_a", "doc_b")
     verifyJaccard(e, cand, t)
   }
