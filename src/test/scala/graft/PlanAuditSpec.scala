@@ -56,4 +56,29 @@ class PlanAuditSpec extends SparkSpec {
     val ns = nodes(Relational.queries("q06_window_rank")(spark, sfDir))
     assert(ns.exists(_.isInstanceOf[WindowGroupLimitExec]), ns.map(_.nodeName).toString)
   }
+
+  test("ANN paths run on native codegen expressions, not interpreted HOFs") {
+    // q35 / q45 / q49 hot paths: every similarity score comes from the
+    // native cosine_sim (and q35's buckets from hyperplane_bits); no
+    // aggregate/zip_with lambda anywhere in the plan. q47 keeps
+    // exactly one zip_with: the DECIMAL-exact recompute of the tiny
+    // survivor set (the two-phase exactness contract), everything
+    // upstream of it codegen.
+    def planStr(q: String): String = {
+      val df = graft.operators.ScaleOps.queries(q)(spark, sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    Seq("q35_ann_lsh", "q45_ann_ivf").foreach { q =>
+      val p = planStr(q)
+      assert(p.contains("cosine_sim"), s"$q lost the native cosine")
+      assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
+        s"$q has interpreted HOFs on the hot path")
+    }
+    assert(planStr("q35_ann_lsh").contains("hyperplane_bits"))
+    val p47 = planStr("q47_cosine_pairs_lsh")
+    assert(p47.contains("hyperplane_bits") || p47.contains("InMemory"), p47.take(200))
+    assert(p47.sliding("zip_with".length).count(_ == "zip_with") <= 2,
+      "q47 grew interpreted HOFs beyond the exact-recompute phase")
+  }
 }
