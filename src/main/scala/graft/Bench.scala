@@ -33,8 +33,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/executor warmup so the first timed query isn't charged for it
+    // JVM/executor warmup so the first timed query isn't charged for
+    // it — including the parquet reader + codegen compile paths the
+    // first real query would otherwise pay (~1s observed on q01)
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .selectExpr("sum(n_nationkey)").collect()
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
