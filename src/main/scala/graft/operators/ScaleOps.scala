@@ -153,15 +153,19 @@ object ScaleOps {
     // all similarity scoring via the native codegen cosine_sim — the
     // aggregate/zip_with HOF dot is interpreted and ~100× slower
     val cos = graft.functions.GraftFunctions.cosineSim _
-    // assign every vector to its nearest centroid (cosine)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+    // assign every vector to its nearest centroid (cosine): a max_by
+    // AGGREGATION over the n·k scored rows — map-side partial agg, no
+    // sort — where a row_number window would shuffle-and-sort all n·k
+    // rows. struct(sim, -cent_id) reproduces the (sim desc, cent_id
+    // asc) tiebreak. first(embedding) is deterministic: it is
+    // constant per vec_id.
     val assigned = emb.join(broadcast(cents),
         col("vec_id").isNotNull) // cross join against the tiny centroid set
       .withColumn("sim", cos(col("embedding"), col("cvec")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-        col("cent_id"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"),
+        first(col("embedding")).as("ne"))
+      .select(col("vec_id").as("neighbor_id"), col("ne"), col("cent_id"))
     // probes search their nprobe nearest centroid lists
     val wProbe = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cent_id").asc)
     val probeLists = emb.filter(col("vec_id") < 5)

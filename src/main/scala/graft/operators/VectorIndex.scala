@@ -48,17 +48,20 @@ object VectorIndex {
   }
 
   /** Nearest-centroid assignment (cosine, index tiebreak) — the
-    * shared inverted-list builder. */
-  private def assign(emb: DataFrame, centDf: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id").asc)
+    * shared inverted-list builder. max_by aggregation over the n·k
+    * scored rows (map-side partial agg) instead of a row_number
+    * window (which would shuffle-and-sort all n·k rows);
+    * struct(sim, -cent_id) reproduces the (sim desc, cent_id asc)
+    * tiebreak, and first(embedding/label) is deterministic because
+    * both are constant per vec_id. */
+  private def assign(emb: DataFrame, centDf: DataFrame): DataFrame =
     emb.join(broadcast(centDf), col("vec_id").isNotNull)
       .withColumn("sim",
         graft.functions.GraftFunctions.cosineSim(col("embedding"), col("cvec")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"),
+        first(col("embedding")).as("embedding"), first(col("label")).as("label"))
       .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"))
-  }
 
   /** Top-k cosine neighbors for each probe vector, scanning only the
     * `nprobe` nearest centroid partitions per probe. */
