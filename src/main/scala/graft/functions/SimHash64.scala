@@ -119,6 +119,12 @@ object GraftFunctions {
       HyperplaneBits(org.apache.spark.sql.graftbridge.Bridge.expression(v),
         base, planes))
 
+  /** `minhash_bands(grams, numSlots, bandSize)` as a Column. */
+  def minhashBands(grams: Column, numSlots: Int, bandSize: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      MinHashBands(org.apache.spark.sql.graftbridge.Bridge.expression(grams),
+        numSlots, bandSize))
+
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHash64].getName, "simhash64")
 
@@ -151,11 +157,21 @@ object GraftFunctions {
       FunctionIdentifier("hyperplane_bits"),
       new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
       hyperplaneBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      minhashBuilder)
   }
 
   /** SQL builder: base/planes must be foldable int literals. */
   private[functions] val hyperplaneBuilder: Seq[Expression] => Expression =
     (children: Seq[Expression]) => HyperplaneBits(children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue(),
+      children(2).eval(null).asInstanceOf[Number].intValue())
+
+  /** SQL builder: numSlots/bandSize must be foldable int literals. */
+  private[functions] val minhashBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => MinHashBands(children(0),
       children(1).eval(null).asInstanceOf[Number].intValue(),
       children(2).eval(null).asInstanceOf[Number].intValue())
 }
@@ -185,6 +201,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_bits"),
       new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
       GraftFunctions.hyperplaneBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      GraftFunctions.minhashBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

@@ -26,32 +26,43 @@ object ScaleOps {
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** MinHash slot minima via ONE-PERMUTATION HASHING (Li/Owen/Zhang
-    * 2012): the shingle hash itself routes to one of 64 slots, min per
-    * slot — O(|grams|) total hashing instead of O(|grams|·64), with
-    * the whole path (TextOps.gramHashes → groupBy min) inside
-    * whole-stage codegen. Band signatures are aggregated directly from
-    * these rows — no signature arrays, no interpreted higher-order
-    * functions anywhere on the hot path. */
-  private def slotMins(e: DataFrame): DataFrame =
-    e.withColumn("slot", pmod(col("gram"), lit(NumHashes)).cast("int"))
-      .groupBy("doc_id", "slot").agg(min(col("gram")).as("mh"))
-
   /** MinHash + LSH banded near-dup pairs, exact-Jaccard verified.
     *
-    * Plan shape: signature (narrow) → explode 16 band keys per doc →
+    * The signature build is MAP-ONLY: `trigram_hashes` (distinct
+    * shingle hashes) → `minhash_bands` (one-permutation-hashing slot
+    * minima + 16 band signatures, one generated loop — see
+    * functions/MinHashBands.scala) runs in-row on the document scan.
+    * The previous formulation exploded the shingle postings and ran
+    * two groupBy shuffles to the same signatures; at 100 TB, where no
+    * postings cache exists, those were two full-data exchanges.
+    *
+    * Plan shape: map-only signatures → explode 16 band keys per doc →
     * shuffle on (band, band-signature) → within-bucket pair gen →
     * distinct candidate pairs → exact verify via the two shingle sets.
     * Shuffle volume is 16 rows/doc regardless of document size; the
     * quadratic step only ever runs inside a bucket. */
   private val q32: QFn = (s, d) => {
-    val e = TextOps.gramHashes(s, d) // cached flat postings
-    // band signature = hash of the band's (slot, min) rows; an empty
-    // slot is simply absent, consistently on both sides of the join
-    val bands = slotMins(e)
-      .withColumn("band", (col("slot") / lit(BandSize)).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(hash(sort_array(collect_list(struct(col("slot"), col("mh"))))).as("bucket"))
+    val e = TextOps.gramHashes(s, d) // cached flat postings (exact verify)
+    // cached (16 flat rows/doc): both sides of the bucket self-join
+    // read the signatures; without the cache the map-only build would
+    // run twice. Memoized per (session, dir), releasable.
+    val bands = graft.util.DfCache.getOrBuild(s, s"bands32:$d") {
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.GraftFunctions.trigramHashes(
+          words(col("text"))).as("grams"))
+        // docs with no shingles can't pair (and would otherwise all
+        // collide on the empty signature)
+        .filter(size(col("grams")) > 0)
+        .select(col("doc_id"), posexplode(
+          graft.functions.GraftFunctions.minhashBands(col("grams"), NumHashes, BandSize)))
+        // null = all-absent band (no distinguishing info; a shared
+        // constant bucket would pair every short doc quadratically)
+        .filter(col("col").isNotNull)
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+        .cache()
+      b.count()
+      b
+    }
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

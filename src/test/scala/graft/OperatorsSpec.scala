@@ -179,6 +179,41 @@ class OperatorsSpec extends SparkSpec {
     assert(hpEval == hpSql)
   }
 
+  test("minhash_bands: slot-min semantics, band locality, edge cases") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val mb = (c: org.apache.spark.sql.Column) =>
+      graft.functions.GraftFunctions.minhashBands(c, 64, 4)
+    val a = (0L until 64L)                 // slot s has min s
+    val b = a ++ a.map(_ + 64L)            // same slots, larger values
+    val c = a.updated(5, 5L - 64L)         // slot 5's min drops to -59
+    val sigs = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "grams")
+      .select(col("id"), mb(col("grams")).as("sig"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(sigs(0).size == 16)
+    // extra grams that change no slot minimum -> identical signatures
+    assert(sigs(0) == sigs(1))
+    // a changed minimum flips exactly its band (slot 5 -> band 1)
+    val diff = sigs(0).zip(sigs(2)).zipWithIndex.filter { case ((x, y), _) => x != y }
+    assert(diff.map(_._2) == Seq(1))
+    // all-absent bands are NULL (never a shared joinable constant)
+    val empty = Seq((1L, Seq.empty[Long])).toDF("id", "grams")
+      .select(mb(col("grams"))).head.getSeq[java.lang.Long](0)
+    assert(empty.size == 16 && empty.forall(_ == null))
+    // a single gram fills exactly one slot -> one non-null band
+    val one = Seq((1L, Seq(7L))).toDF("id", "grams")
+      .select(mb(col("grams"))).head.getSeq[java.lang.Long](0)
+    assert(one.count(_ != null) == 1 && one(1) != null) // slot 7 -> band 1
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val viaEval = graft.functions.MinHashBands(
+      Literal.create(a, ArrayType(LongType)), 64, 4)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(viaEval == sigs(0))
+  }
+
   test("trigram_hashes native expression: xxhash64-chain parity, dedup, edge cases") {
     graft.functions.GraftFunctions.register(spark)
     // same values as the built-in xxhash64 composition it replaces
