@@ -179,6 +179,27 @@ class OperatorsSpec extends SparkSpec {
     assert(hpEval == hpSql)
   }
 
+  test("DfCache: memoizes per key, rebuilds after release/eviction") {
+    import spark.implicits._
+    var builds = 0
+    def build() = graft.util.DfCache.getOrBuild(spark, "dfcache-spec") {
+      builds += 1
+      val df = Seq(1, 2, 3).toDF("x").cache(); df.count(); df
+    }
+    val a = build(); val b = build()
+    assert(builds == 1 && (a eq b)) // second call hits the memo
+    graft.util.DfCache.release(spark)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val c = build()
+    assert(builds == 2 && c.count() == 3) // rebuilt and cached again
+    assert(c.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // eviction behind our back (clearCache) is detected via storageLevel
+    spark.catalog.clearCache()
+    build()
+    assert(builds == 3)
+    graft.util.DfCache.release(spark)
+  }
+
   test("minhash_bands: slot-min semantics, band locality, edge cases") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
