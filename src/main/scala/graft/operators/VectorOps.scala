@@ -70,7 +70,11 @@ object VectorOps {
 
   /** Exact-decimal cosine for candidate pairs with the final
     * threshold; codegen shapes (posexplode → partial-agg decimal dot,
-    * norms joined per side). */
+    * norms joined per side). Norms are one scan+partial-agg over the
+    * table — measured FASTER than semi-joining down to the candidate
+    * vectors first (the distinct+semi-join shuffles cost more than
+    * the scan whenever phase 1 already reads the table, which every
+    * caller here does). */
   private def exactCosine(emb: DataFrame, cand: DataFrame,
       t: Double): DataFrame = {
     val nrm = norms(emb)
