@@ -60,6 +60,11 @@ object IncrementalLoader {
 
     val fs = FileSystem.get(new java.net.URI(tableDir),
       spark.sparkContext.hadoopConfiguration)
+    // version-aware: if the table has been rewritten into a
+    // VersionedTable (retention/compaction/upsert), publish into the
+    // CURRENT version dir — an append to the root would be invisible
+    // to versioned reads. Flat tables keep publishing to the root.
+    val liveDir = VersionedTable.currentPath(spark, tableDir)
     val results = fresh.map { f =>
       try {
         val df = spark.read.schema(schema).option("header", "true").csv(f)
@@ -72,7 +77,7 @@ object IncrementalLoader {
           .find(_.getPath.getName.startsWith("part-"))
           .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
           .getPath
-        val target = new Path(tableDir, s"ingest-$tag.snappy.parquet")
+        val target = new Path(liveDir, s"ingest-$tag.snappy.parquet")
         fs.delete(target, false) // crashed earlier attempt: replace, don't duplicate
         require(fs.rename(part, target), s"publish $part -> $target failed")
         fs.delete(stage, true)

@@ -346,6 +346,26 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 200)
   }
 
+  test("incremental loads stay visible after a versioned table rewrite") {
+    val root = tmpDir("vload")
+    val src = s"$root/arrivals"; val table = s"$root/t"
+    val registry = s"$root/registry"
+    new java.io.File(src).mkdirs()
+    val schema = SurveyGen.generate(spark, 1, seed = 1).schema
+    SurveyGen.writeArrival(spark, src, "datagen_202401010000.csv", 100, seed = 5)
+    IncrementalLoader.run(spark, src, table, registry, schema)
+    assert(VersionedTable.read(spark, table).count() == 100)
+    // a maintenance rewrite migrates the table to versioned layout...
+    Maintenance.compactVersioned(spark, table, targetFileBytes = 1L << 30)
+    assert(VersionedTable.currentVersion(spark, table).contains(1L))
+    // ...and the next load publishes INTO the current version, so
+    // versioned reads see old + new rows
+    SurveyGen.writeArrival(spark, src, "datagen_202401010001.csv", 50, seed = 6)
+    val r = IncrementalLoader.run(spark, src, table, registry, schema)
+    assert(r.loaded.size == 1)
+    assert(VersionedTable.read(spark, table).count() == 150)
+  }
+
   test("schema evolution: additive columns align with null fill") {
     import spark.implicits._
     val base = Seq((1L, "x")).toDF("id", "name")
