@@ -361,6 +361,30 @@ object TextOps {
       |  WHERE doc_id < 50) t
       |WHERE rnk <= 3""".stripMargin
 
+  /** Deterministic stratified sampling — the data-mixing primitive of
+    * a training pipeline: per (lang, source) stratum, take the 5 docs
+    * with the smallest md5(doc_id) (md5 is identical in every engine,
+    * so the "random" sample is reproducible anywhere, and a rerun on
+    * the grown corpus keeps most of the previous sample — hash-rank
+    * sampling is stable under appends, unlike RAND()). One shuffle;
+    * the rank filter plans WindowGroupLimit, so each partition keeps
+    * only k rows per stratum before the exchange. */
+  private val q61: QFn = (s, d) => {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("source"), col("doc_id"), col("rk"))
+  }
+  private val q61Sql =
+    """SELECT lang, source, doc_id, rk FROM (
+      |  SELECT lang, source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 5""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
@@ -370,7 +394,8 @@ object TextOps {
     "q39_fingerprint" -> q39,
     "q53_top_terms" -> q53,
     "q54_source_profile" -> q54,
-    "q59_tfidf" -> q59)
+    "q59_tfidf" -> q59,
+    "q61_stratified_sample" -> q61)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -381,5 +406,6 @@ object TextOps {
     "q39_fingerprint" -> q39Sql,
     "q53_top_terms" -> q53Sql,
     "q54_source_profile" -> q54Sql,
-    "q59_tfidf" -> q59Sql)
+    "q59_tfidf" -> q59Sql,
+    "q61_stratified_sample" -> q61Sql)
 }
