@@ -385,6 +385,38 @@ object TextOps {
       |  FROM documents) t
       |WHERE rk <= 5""".stripMargin
 
+  /** Token packing (sequence packing): the concat-then-chunk step of
+    * a pretraining pipeline — per source stream, documents are laid
+    * out in doc_id order and cut into 4096-token bins; a document's
+    * bin is determined by its starting offset (exclusive prefix sum
+    * of whitespace token counts). One shuffle per stream; the window
+    * partitioning is by source, so a 100 TB corpus packs its streams
+    * in parallel (a GLOBAL packing order would serialize into one
+    * reducer — per-stream is both the semantic and the scalable
+    * layout). Exact integer arithmetic end-to-end. */
+  private val q62: QFn = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("offset") / lit(4096)).cast("long"))
+  }
+  private val q62Sql =
+    """SELECT source, doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+      |  CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND 1 PRECEDING), 0) AS BIGINT) / 4096) AS BIGINT) AS bin_id
+      |FROM (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents) t""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
@@ -395,7 +427,8 @@ object TextOps {
     "q53_top_terms" -> q53,
     "q54_source_profile" -> q54,
     "q59_tfidf" -> q59,
-    "q61_stratified_sample" -> q61)
+    "q61_stratified_sample" -> q61,
+    "q62_token_packing" -> q62)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -407,5 +440,6 @@ object TextOps {
     "q53_top_terms" -> q53Sql,
     "q54_source_profile" -> q54Sql,
     "q59_tfidf" -> q59Sql,
-    "q61_stratified_sample" -> q61Sql)
+    "q61_stratified_sample" -> q61Sql,
+    "q62_token_packing" -> q62Sql)
 }
