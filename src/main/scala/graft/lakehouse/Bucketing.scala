@@ -48,4 +48,19 @@ object Bucketing {
     * prune directories before any file is opened. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Range-clustered layout (the CLUSTER BY of a table format):
+    * `repartitionByRange` + in-partition sort gives files with
+    * DISJOINT `key` ranges and tight per-row-group min/max stats, so
+    * a pushed range predicate skips whole row groups / files at scan
+    * time — the sort-heavy twin of [[writeBucketed]]'s equi-join
+    * layout. Also the right pre-layout for the as-of join's
+    * (key, time) ordering requirement. Sampling inside
+    * repartitionByRange is seeded by the data, so the layout is
+    * reproducible for a fixed input. */
+  def writeRangePartitioned(df: DataFrame, path: String, key: String,
+      files: Int): Unit =
+    df.repartitionByRange(files, df(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
 }

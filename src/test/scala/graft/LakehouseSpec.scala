@@ -162,6 +162,28 @@ class LakehouseSpec extends SparkSpec {
       s"pruned=$pruned")
   }
 
+  test("range-clustered layout: files carry disjoint key ranges in order") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val dir = tmpDir("rangepart") + "/t"
+    Bucketing.writeRangePartitioned(
+      Tables.events(spark, sfDir), dir, "event_id", files = 8)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin("event_id").as("lo"), fmax("event_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length == 8)
+    // each file's range is internally consistent and disjoint from
+    // the next — the property row-group min/max skipping relies on
+    perFile.foreach { case (lo, hi) => assert(lo <= hi) }
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ => ()
+    }
+    // content unchanged by the re-layout
+    assert(spark.read.parquet(dir).count() ==
+      Tables.events(spark, sfDir).count())
+  }
+
   test("incremental loader: loads new files once, skips on re-run, records failures") {
     val src = tmpDir("src")
     val table = tmpDir("table") + "/t"
