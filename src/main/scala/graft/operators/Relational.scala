@@ -184,7 +184,11 @@ object Relational {
        |) t WHERE rnk <= 5""".stripMargin
 
   /** Running total over a time series: exact decimal accumulation all
-    * the way through the window sum (cast to double only at the end). */
+    * the way through the window sum (cast to double only at the end).
+    * The unpartitioned window is scale-safe here: its input is the
+    * per-DAY aggregate — date-dimension-sized (thousands of rows at
+    * any data scale), not fact-sized. For ranking over fact-sized
+    * input see RankOps / q63. */
   private val q07: QFn = (s, d) => {
     val daily = Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
@@ -556,6 +560,28 @@ object Relational {
        |      FROM customer) t
        |GROUP BY decile""".stripMargin
 
+  /** q29's deciles through the SCALABLE exact-ranking path: a bare
+    * `ntile() OVER (ORDER BY ...)` sends every row to one reducer —
+    * fine until the table is a 100 TB fact. RankOps range-repartitions
+    * on the sort key and assigns exact global ranks with two
+    * distributed passes (only a partition-count array reaches the
+    * driver), then the NTILE bucket is pure arithmetic on the rank.
+    * Output is identical to q29 (total sort order + exact NTILE
+    * semantics) → shares its oracle; the spec pins equality. */
+  private val q63: QFn = (s, d) => {
+    val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+    val n = c.count()
+    RankOps.withGlobalRank(c,
+        Seq(col("c_acctbal").asc, col("c_custkey").asc),
+        partitions = 10, rankCol = "rk")
+      .withColumn("decile", RankOps.ntileFromRank(col("rk"), n, 10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        dsum(col("c_acctbal")).as("total_bal"))
+  }
+
   /** q15's anti-join with the Bloom pre-filter (JoinOps.bloomAntiJoin):
     * bloom-negative customers skip the join, only the sketch-positive
     * minority shuffles. Identical output → shares q15's oracle. */
@@ -661,6 +687,7 @@ object Relational {
     "q27_full_outer_daily" -> q27,
     "q28_moving_avg" -> q28,
     "q29_deciles" -> q29,
+    "q63_deciles_scalable" -> q63,
     "q55_string_funcs" -> q55,
     "q56_no_orders_bloom" -> q56,
     "q57_ship_delay" -> q57,
@@ -692,6 +719,7 @@ object Relational {
     "q27_full_outer_daily" -> q27Sql,
     "q28_moving_avg" -> q28Sql,
     "q29_deciles" -> q29Sql,
+    "q63_deciles_scalable" -> q29Sql, // identical output, shared oracle
     "q55_string_funcs" -> q55Sql,
     "q56_no_orders_bloom" -> q15Sql,
     "q57_ship_delay" -> q57Sql,

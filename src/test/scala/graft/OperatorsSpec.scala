@@ -57,6 +57,14 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0.5)))
   }
 
+  test("q63 distributed exact ranking equals the global-window deciles") {
+    val a = Relational.queries("q29_deciles")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Relational.queries("q63_deciles_scalable")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("salted join equals the plain join on skewed data") {
     import spark.implicits._
     // hot key 1 carries 90% of the left side
