@@ -100,13 +100,22 @@ object ScaleOps {
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
+    // evaluate each colliding pair ONLY at its first colliding band
+    // (earlier 16-bit groups of the xor must all be nonzero) — no
+    // duplicate hamming evaluations and no distinct exchange. Natural
+    // text gives BIASED simhash bits, so band buckets collide far
+    // more than uniformly; filtering before any exchange matters.
+    val xor = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val firstCollision =
+      (col("x.band") < 1 || xor.bitwiseAND(lit(65535L)) =!= 0) &&
+        (col("x.band") < 2 || shiftright(xor, 16).bitwiseAND(lit(65535L)) =!= 0) &&
+        (col("x.band") < 3 || shiftright(xor, 32).bitwiseAND(lit(65535L)) =!= 0)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(firstCollision && bit_count(xor) <= 3)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
+        bit_count(xor).as("hamming"))
   }
 
   /** Random-hyperplane LSH ANN: 8 seeded ±1 hyperplanes → 256 buckets;
