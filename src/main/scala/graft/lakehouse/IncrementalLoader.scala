@@ -9,7 +9,9 @@ import org.apache.spark.sql.types.StructType
   * reference's poll-and-refresh loop (`check_lakehouse.py:100-160`):
   * discover source files, skip the ones the registry already marks
   * loaded, append the rest to the lakehouse table, and record every
-  * attempt.
+  * attempt. Source format is pluggable (csv with header, json-lines,
+  * or any schema'd DataSource format) — the staging/publish/registry
+  * machinery is format-agnostic.
   *
   * Differences from the reference, on purpose:
   *  - registry-based dedup instead of newest-mtime polling (mtime
@@ -52,8 +54,9 @@ object IncrementalLoader {
     * duplicating. (A bare `mode(Append)` here left half-written part
     * files visible in the table and duplicated rows on retry.) */
   def run(spark: SparkSession, srcDir: String, tableDir: String,
-          registryDir: String, schema: StructType): LoadResult = {
-    val all = discover(spark, srcDir)
+          registryDir: String, schema: StructType,
+          format: String = "csv"): LoadResult = {
+    val all = discover(spark, srcDir, suffix = s".$format")
     val loaded = LoadRegistry.loadedPaths(spark, registryDir)
       .collect().map(_.getString(0)).toSet
     val (skip, fresh) = all.partition(loaded.contains)
@@ -67,7 +70,12 @@ object IncrementalLoader {
     val liveDir = VersionedTable.currentPath(spark, tableDir)
     val results = fresh.map { f =>
       try {
-        val df = spark.read.schema(schema).option("header", "true").csv(f)
+        val reader = spark.read.schema(schema)
+        val df = format match {
+          case "csv"  => reader.option("header", "true").csv(f)
+          case "json" => reader.json(f) // JSON-lines, one object per line
+          case other  => reader.format(other).load(f)
+        }
         val n = df.count()
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -350,6 +350,30 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.read.parquet(dir2).head.getString(1) == "old")
   }
 
+  test("incremental loader ingests json-lines sources through the same machinery") {
+    val root = tmpDir("jload")
+    val src = s"$root/arrivals"; val table = s"$root/t"
+    val registry = s"$root/registry"
+    new java.io.File(src).mkdirs()
+    // one JSON-lines drop, written the same single-file way CSVs are
+    val rows = SurveyGen.generate(spark, 120, seed = 9)
+    val tmp = s"$src/_tmp_json"
+    rows.coalesce(1).write.mode("overwrite").json(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(src, "drop_0001.json").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    val r = IncrementalLoader.run(spark, src, table, registry,
+      SurveyGen.schema, format = "json")
+    assert(r.loaded.size == 1 && r.failed.isEmpty)
+    assert(spark.read.parquet(table).count() == 120)
+    // re-run skips via the registry, same as csv
+    val r2 = IncrementalLoader.run(spark, src, table, registry,
+      SurveyGen.schema, format = "json")
+    assert(r2.loaded.isEmpty && r2.skipped.size == 1)
+  }
+
   test("incremental load retry after a lost registry does not duplicate rows") {
     val root = tmpDir("idem")
     val src = s"$root/arrivals"; val table = s"$root/t"
