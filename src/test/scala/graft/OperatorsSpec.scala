@@ -57,6 +57,20 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0.5)))
   }
 
+  test("ntileFromRank matches SQL NTILE across bucket-boundary cases") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // n<k, n=k, n=k+1, uneven remainders, k=1
+    for ((n, k) <- Seq((1, 10), (9, 10), (10, 10), (11, 10),
+      (95, 7), (100, 1), (37, 5))) {
+      val df = spark.range(1, n + 1).toDF("rk")
+      val mism = df
+        .withColumn("a", RankOps.ntileFromRank(col("rk"), n, k))
+        .withColumn("b", ntile(k).over(W.orderBy("rk")))
+        .filter(col("a") =!= col("b")).count()
+      assert(mism == 0, s"n=$n k=$k")
+    }
+  }
+
   test("q63 distributed exact ranking equals the global-window deciles") {
     val a = Relational.queries("q29_deciles")(spark, sfDir)
       .collect().map(_.toString).sorted.toSeq
