@@ -46,13 +46,16 @@ object IncrementalLoader {
     *
     * The append is IDEMPOTENT under crashes: each source file's batch
     * is written to a hidden `_staging` subdir (parquet readers ignore
-    * underscore paths), then published into the table with ONE atomic
-    * rename to a name derived deterministically from the source path.
-    * A crash mid-write leaves only invisible staging files; a crash
-    * after publish but before the registry records `ok` makes the next
-    * run redo the same load onto the SAME target name — replacing, not
-    * duplicating. (A bare `mode(Append)` here left half-written part
-    * files visible in the table and duplicated rows on retry.) */
+    * underscore paths), then published into the table as ONE object
+    * under a name derived deterministically from the source path — a
+    * single-object move appears atomically on posix, hdfs, and
+    * object stores alike (it is multi-file directory renames that are
+    * non-atomic on S3-class stores). A crash mid-write leaves only
+    * invisible staging files; a crash after publish but before the
+    * registry records `ok` makes the next run find the target already
+    * published and reuse it — never duplicating, never deleting live
+    * rows. (A bare `mode(Append)` here left half-written part files
+    * visible in the table and duplicated rows on retry.) */
   def run(spark: SparkSession, srcDir: String, tableDir: String,
           registryDir: String, schema: StructType,
           format: String = "csv"): LoadResult = {
@@ -86,8 +89,15 @@ object IncrementalLoader {
           .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
           .getPath
         val target = new Path(liveDir, s"ingest-$tag.snappy.parquet")
-        fs.delete(target, false) // crashed earlier attempt: replace, don't duplicate
-        require(fs.rename(part, target), s"publish $part -> $target failed")
+        // A crashed earlier attempt may have already published this
+        // exact content (the name is source-path-deterministic, and a
+        // single-object publish appears atomically on posix, hdfs, AND
+        // object stores — multi-file dir renames are the non-atomic
+        // case). Reuse it: delete-then-rename would open a window with
+        // the rows missing from the table.
+        if (!fs.exists(target)) {
+          require(fs.rename(part, target), s"publish $part -> $target failed")
+        }
         fs.delete(stage, true)
         (f, LoadRegistry.StatusOk, n)
       } catch {

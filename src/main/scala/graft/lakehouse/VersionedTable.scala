@@ -3,96 +3,151 @@ package graft.lakehouse
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** Crash-safe table commits without a table format: versioned
-  * directories + atomic-rename visibility.
+/** Crash-safe table commits without a table format: versioned data
+  * directories + single-object commit manifests.
   *
   * The reference gets transactional table swaps for free from its
-  * database (check_lakehouse.py:139-160); a parquet lakehouse has to
-  * build them. Delete-then-rename (the naive swap) loses the table if
-  * the process dies between the two steps. This protocol never has a
-  * moment where the current version is gone:
+  * database (check_lakehouse.py:139-160); a parquet lakehouse on an
+  * object-store mount (lakehouse_setup.sh:36 mounts the bucket via
+  * s3fs) has to build them. The protocol must therefore not lean on
+  * atomic directory rename: S3-class stores implement rename as a
+  * non-atomic copy+delete, so any rename-as-visibility scheme has a
+  * window where a reader sees a half-copied table. Visibility here is
+  * a SINGLE OBJECT WRITE — atomic on every object store (one PUT) and
+  * every filesystem — and data directories never move at all:
   *
   * {{{
   * root/
-  *   v=1/ ... parquet + _SUCCESS      <- current = highest complete v=N
-  *   _stage_v=2/ ...                  <- in-flight write (hidden: "_")
+  *   _commits/3      <- manifest: its existence commits version 3
+  *   _v-3/ ...       <- version 3's parquet + _SUCCESS (never renamed)
+  *   _v-4/ ...       <- in-flight write, invisible until _commits/4
   * }}}
   *
-  *  1. write the next version into `_stage_v=N` (underscore-prefixed,
-  *     so parquet readers ignore it even when scanning `root` flat);
+  *  1. write version N's data directly into its final dir `_v-N`;
   *  2. verify the writer completed (`_SUCCESS`);
-  *  3. `rename(_stage_v=N, v=N)` — one atomic metadata op makes the
-  *     new version current;
-  *  4. prune superseded `v=M` dirs (and pre-versioning flat files).
+  *  3. create `_commits/N` — one object; its existence IS the commit;
+  *  4. prune superseded versions and their manifests.
   *
-  * A crash before (3) leaves the old version untouched and current; a
-  * crash after (3) leaves BOTH versions complete and `read` resolves
-  * the highest; the orphaned stage/old dirs are cleaned by the next
-  * successful commit. At every step, `read` serves a complete table.
+  * A crash before (3) leaves `_v-N` unreferenced and invisible — the
+  * previous version stays current; a crash during (3) either created
+  * the manifest (committed — the data was already complete) or didn't
+  * (not committed); a crash during (4) leaves orphans that the next
+  * successful commit prunes. At every step, `read` serves a complete
+  * table. Readers racing a prune should read through a small version
+  * retention window at real scale (prune keeps only the current
+  * version here; widen by skipping (4) for the last K versions).
   *
-  * Legacy flat directories (parquet files directly under `root`) read
-  * as version 0 and are migrated by the first commit. Single-writer
-  * (the automation daemon); readers in other processes are safe at
-  * any crash point of a versioned table.
+  * Both dir names are underscore-prefixed WITHOUT an `=`: Spark hides
+  * `_foo` paths from directory scans only when the name has no `=`
+  * (`_v=3`-style names partition-discover as a `_v` column!), so
+  * `_v-N` / `_commits` are invisible to a flat `read(root)` while an
+  * explicitly-addressed `_v-N` still reads normally.
+  *
+  * Legacy layouts stay readable: round-2 `v=N` dirs resolve by the
+  * old highest-complete-version scan, flat parquet files read as
+  * version 0; the first commit migrates either to manifests. Single
+  * writer (the automation daemon); readers in other processes are
+  * safe at any crash point.
   */
 object VersionedTable {
 
-  private val Ver = "^v=(\\d+)$".r
+  private val LegacyVer = "^v=(\\d+)$".r
+  private val HiddenVer = "^_v-(\\d+)$".r
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  /** Highest complete version, if the table has any. */
+  private def commitsDir(root: String) = new Path(s"$root/_commits")
+
+  /** Highest committed version: max manifest under `_commits`, or the
+    * legacy highest-complete-`v=N` scan for pre-manifest tables. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsOf(spark, root)
+    val cd = commitsDir(root)
+    if (fs.exists(cd)) {
+      fs.listStatus(cd).toSeq
+        .flatMap(st => st.getPath.getName.toLongOption)
+        .maxOption
+    } else legacyVersion(fs, root)
+  }
+
+  /** Round-2 layout: highest `v=N` dir holding a `_SUCCESS`. */
+  private def legacyVersion(fs: FileSystem, root: String): Option[Long] = {
     val p = new Path(root)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case Ver(n) if st.isDirectory &&
+        case LegacyVer(n) if st.isDirectory &&
           fs.exists(new Path(st.getPath, "_SUCCESS")) => Some(n.toLong)
         case _ => None
       }
     }.maxOption
   }
 
-  /** Directory `read` resolves: the current version dir, or `root`
-    * itself for a pre-versioning flat table. */
+  /** Directory `read` resolves: the current version's data dir, or
+    * `root` itself for a pre-versioning flat table. */
   def currentPath(spark: SparkSession, root: String): String =
-    currentVersion(spark, root).map(n => s"$root/v=$n").getOrElse(root)
+    currentVersion(spark, root) match {
+      case Some(n) =>
+        val hidden = s"$root/_v-$n"
+        if (fsOf(spark, root).exists(new Path(hidden))) hidden
+        else s"$root/v=$n" // manifest migrated from a legacy layout
+      case None => root
+    }
 
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(currentPath(spark, root))
 
   /** Crash-safe commit of the next version. `writer` receives the
-    * hidden staging dir and must produce a complete parquet write
-    * there (Spark's committer emits `_SUCCESS` last). Returns the new
-    * version number. */
+    * version's (hidden, final) data dir and must produce a complete
+    * parquet write there (Spark's committer emits `_SUCCESS` last).
+    * Returns the new version number. */
   def commit(spark: SparkSession, root: String)(writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
+    // Activate the manifest protocol BEFORE any data lands: a legacy
+    // `v=N` table gets a manifest for its current version first, so a
+    // crash later in this commit can never make resolution fall back
+    // to the legacy scan and pick up our unpublished data dir.
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) legacyVersion(fs, root) match {
+      case Some(n) => publishManifest(fs, root, n)
+      case None    => fs.mkdirs(cd)
+    }
     val next = currentVersion(spark, root).getOrElse(0L) + 1L
-    val stage = new Path(s"$root/_stage_v=$next")
-    val live = new Path(s"$root/v=$next")
-    fs.delete(stage, true) // leftovers of a crashed attempt
-    fs.delete(live, true)  // (possible only if a crash interleaved rename+prune)
-    writer(stage.toString)
-    require(fs.exists(new Path(stage, "_SUCCESS")),
-      s"writer did not complete a parquet commit under $stage")
-    // atomic visibility: one rename makes v=next the current version
-    require(fs.rename(stage, live), s"rename $stage -> $live failed")
-    // prune superseded versions, stale staging dirs (ours was just
-    // renamed away — any left is from a crashed attempt), and
-    // pre-versioning flat files
+    val data = new Path(s"$root/_v-$next")
+    fs.delete(data, true) // leftovers of a crashed attempt
+    writer(data.toString)
+    require(fs.exists(new Path(data, "_SUCCESS")),
+      s"writer did not complete a parquet commit under $data")
+    // THE commit point: one object's existence flips visibility
+    publishManifest(fs, root, next)
+    // prune superseded data dirs (both layouts), stale round-2
+    // staging dirs, pre-versioning flat files, and old manifests
     fs.listStatus(new Path(root)).foreach { st =>
       st.getPath.getName match {
-        case Ver(n) if n.toLong < next => fs.delete(st.getPath, true)
+        case HiddenVer(n) if n.toLong < next => fs.delete(st.getPath, true)
+        case LegacyVer(_) => fs.delete(st.getPath, true)
         case name if name.startsWith("_stage_v=") => fs.delete(st.getPath, true)
         case _ if st.isFile => fs.delete(st.getPath, false)
         case _ => ()
       }
     }
+    fs.listStatus(cd).foreach { st =>
+      st.getPath.getName.toLongOption
+        .filter(_ < next).foreach(_ => fs.delete(st.getPath, false))
+    }
     next
+  }
+
+  /** Manifest creation: a single-object write (one PUT on an object
+    * store; create+close elsewhere). Its EXISTENCE is the commit —
+    * the content (the version number) is informational — so even the
+    * worst crash inside this call (file present, content unwritten)
+    * commits a version whose data is already complete. */
+  private def publishManifest(fs: FileSystem, root: String, n: Long): Unit = {
+    val out = fs.create(new Path(commitsDir(root), n.toString), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Read-transform-commit: the crash-safe form of every table

@@ -270,28 +270,59 @@ class LakehouseSpec extends SparkSpec {
     val root = tmpDir("vt") + "/t"
     val v1 = VersionedTable.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
     assert(v1 == 1 && VersionedTable.read(spark, root).count() == 2)
+    assert(new java.io.File(s"$root/_commits/1").exists())
 
-    // crash DURING the next write: partial staging, never renamed —
-    // the table still serves v=1 (staging is underscore-hidden)
-    val stage = new java.io.File(s"$root/_stage_v=2"); stage.mkdirs()
+    // crash DURING the next write: partial data dir, no manifest —
+    // the table still serves version 1
+    val partial = new java.io.File(s"$root/_v-2"); partial.mkdirs()
     java.nio.file.Files.writeString(
-      new java.io.File(stage, "part-00000.parquet").toPath, "garbage")
+      new java.io.File(partial, "part-00000.parquet").toPath, "garbage")
     assert(VersionedTable.currentVersion(spark, root).contains(1L))
     assert(VersionedTable.read(spark, root).count() == 2)
 
-    // crash AFTER the visibility rename, BEFORE the prune: two
-    // complete versions on disk — read resolves the newer
+    // crash AFTER the write completed (data + _SUCCESS) but BEFORE
+    // the manifest: still invisible. This is exactly the window where
+    // rename-as-visibility on an object store (rename = non-atomic
+    // copy+delete) would expose a half-copied version — here the data
+    // never moves and only the manifest object flips visibility.
+    org.apache.commons.io.FileUtils.deleteDirectory(partial)
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
-      .write.parquet(s"$root/v=2")
+      .write.parquet(s"$root/_v-2")
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 2)
+
+    // crash DURING manifest creation: worst case is an EMPTY manifest
+    // — existence alone commits, and the data was already complete
+    java.nio.file.Files.createFile(new java.io.File(s"$root/_commits/2").toPath)
     assert(VersionedTable.currentVersion(spark, root).contains(2L))
     assert(VersionedTable.read(spark, root).count() == 3)
 
-    // the next successful commit heals all leftovers
+    // crash BEFORE the prune left the superseded version on disk —
+    // read resolves the newer; the next commit heals all leftovers
+    assert(new java.io.File(s"$root/_v-1").exists())
     val v3 = VersionedTable.rewrite(spark, root)(_.filter(col("k") =!= 3L))
     assert(v3 == 3 && VersionedTable.read(spark, root).count() == 2)
+    assert(!new java.io.File(s"$root/_v-1").exists())
+    assert(!new java.io.File(s"$root/_v-2").exists())
+    assert(!new java.io.File(s"$root/_commits/1").exists())
+    assert(!new java.io.File(s"$root/_commits/2").exists())
+    assert(new java.io.File(s"$root/_commits/3").exists())
+  }
+
+  test("versioned table: round-2 v=N layout reads and migrates to manifests") {
+    import spark.implicits._
+    val root = tmpDir("vtl") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.parquet(s"$root/v=1")
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // the migration manifest lands BEFORE any new data is written, so
+    // a crash mid-first-commit can never resolve through the legacy
+    // scan into an unpublished data dir
+    val v2 = VersionedTable.rewrite(spark, root)(_.filter(col("k") === 1L))
+    assert(v2 == 2 && VersionedTable.read(spark, root).count() == 1)
     assert(!new java.io.File(s"$root/v=1").exists())
-    assert(!new java.io.File(s"$root/v=2").exists())
-    assert(!new java.io.File(s"$root/_stage_v=2").exists())
+    assert(new java.io.File(s"$root/_commits/2").exists())
+    assert(new java.io.File(s"$root/_v-2").exists())
   }
 
   test("versioned table: migrates a legacy flat dir on first commit") {
