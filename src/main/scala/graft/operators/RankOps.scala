@@ -18,19 +18,91 @@ import org.apache.spark.sql.types.LongType
   */
 object RankOps {
 
+  /** `partitions <= 0` means "follow the session": the same
+    * spark.sql.shuffle.partitions every other exchange in the job
+    * uses, so the rank pass scales with the cluster instead of a
+    * hardcoded constant. */
+  private def resolvePartitions(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Append a 1-based global rank in `sortCols` order. `sortCols`
     * must be a total order (add a unique tiebreak) for the rank to be
-    * deterministic. */
+    * deterministic. (The rank pass itself runs through `df.rdd` —
+    * rows leave codegen/columnar land for the two passes; callers
+    * re-enter Dataset land with the returned DataFrame.) */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
-      partitions: Int, rankCol: String): DataFrame = {
+      rankCol: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(partitions, sortCols: _*)
+    val sorted = df.repartitionByRange(resolvePartitions(df, partitions),
+        sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema.add(rankCol, LongType, nullable = false)
     val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(ranked, schema)
+  }
+
+  /** Append the EXCLUSIVE running sum of `valueCol` (long) within each
+    * `groupCols` group, ordered by `orderCols` — the distributed form
+    * of `sum(v) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED
+    * PRECEDING TO 1 PRECEDING)`, without ever serializing a group
+    * into one reducer (the scale hazard when one group dominates:
+    * a per-source unbounded window puts a 10 TB source through a
+    * single task). Same two-pass shape as [[withGlobalRank]]:
+    * range-repartition on (group, order) so partitions hold disjoint
+    * ordered slices, count each partition's per-group token total
+    * (pass 1 — only a partitions×groups-sized list reaches the
+    * driver, and range partitioning means each partition overlaps at
+    * most two groups' boundaries), broadcast the exclusive partition
+    * offsets, then add the local running sum (pass 2). `groupCols ++
+    * orderCols` must be a total order for determinism; nulls in
+    * `valueCol` contribute 0, as SUM ignores them. */
+  def withGroupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], valueCol: String, sumCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols = (groupCols ++ orderCols).map(col)
+    val sorted = df.repartitionByRange(resolvePartitions(df, partitions),
+        sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd // one lineage → both passes see identical partitioning
+    // pass 1: per-partition per-group totals, in partition order
+    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+      it.foreach { r =>
+        val k = gIdx.map(r.get)
+        val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+        m.update(k, m.getOrElse(k, 0L) + v)
+      }
+      Iterator.single((pid, m.toList))
+    }.collect()
+    val running = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    val offsets: Map[(Int, Seq[Any]), Long] =
+      partTotals.sortBy(_._1).iterator.flatMap { case (pid, groups) =>
+        groups.map { case (k, tot) =>
+          val o = running.getOrElse(k, 0L)
+          running.update(k, o + tot)
+          ((pid, k), o)
+        }
+      }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: local running sums seeded by the partition offsets
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cum = scala.collection.mutable.Map.empty[Seq[Any], Long]
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        val cur = cum.getOrElse(k, bc.value.getOrElse((pid, k), 0L))
+        val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+        cum.update(k, cur + v)
+        Row.fromSeq(r.toSeq :+ cur)
+      }
+    }
+    spark.createDataFrame(out, schema.add(sumCol, LongType, nullable = false))
   }
 
   /** SQL NTILE(k) bucket from a 1-based global rank over n rows:

@@ -573,7 +573,7 @@ object Relational {
     val n = c.count()
     RankOps.withGlobalRank(c,
         Seq(col("c_acctbal").asc, col("c_custkey").asc),
-        partitions = 10, rankCol = "rk")
+        rankCol = "rk") // partitions follow spark.sql.shuffle.partitions
       .withColumn("decile", RankOps.ntileFromRank(col("rk"), n, 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),

@@ -389,18 +389,21 @@ object TextOps {
     * a pretraining pipeline — per source stream, documents are laid
     * out in doc_id order and cut into 4096-token bins; a document's
     * bin is determined by its starting offset (exclusive prefix sum
-    * of whitespace token counts). One shuffle per stream; the window
-    * partitioning is by source, so a 100 TB corpus packs its streams
-    * in parallel (a GLOBAL packing order would serialize into one
-    * reducer — per-stream is both the semantic and the scalable
-    * layout). Exact integer arithmetic end-to-end. */
+    * of whitespace token counts). The prefix sums run through
+    * [[RankOps.withGroupedPrefixSum]]'s two-pass partition-offset
+    * scheme, NOT a per-source window: `PARTITION BY source` with an
+    * unbounded frame serializes each stream into one reducer, and a
+    * 100 TB corpus with a handful of sources would put ~10 TB through
+    * a single task. Here partitions hold range-disjoint (source,
+    * doc_id) slices, so one source's stream packs across many tasks
+    * while streams still pack independently (the semantic layout).
+    * Exact integer arithmetic end-to-end. */
   private val q62: QFn = (s, d) => {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    RankOps.withGroupedPrefixSum(base, Seq("source"), Seq("doc_id"),
+        valueCol = "n_tokens", sumCol = "offset")
       .withColumn("bin_id", floor(col("offset") / lit(4096)).cast("long"))
   }
   private val q62Sql =

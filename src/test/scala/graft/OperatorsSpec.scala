@@ -79,6 +79,51 @@ class OperatorsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("rank/prefix-sum parallelism follows spark.sql.shuffle.partitions") {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_acctbal")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val ranked = RankOps.withGlobalRank(c,
+        Seq(col("c_acctbal").asc, col("c_custkey").asc), rankCol = "rk")
+      assert(ranked.rdd.getNumPartitions == 7)
+      val summed = RankOps.withGroupedPrefixSum(
+        c.withColumn("v", lit(1L)), Seq("c_custkey"), Seq("c_acctbal"),
+        valueCol = "v", sumCol = "s")
+      assert(summed.rdd.getNumPartitions == 7)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("q62 packs a single dominant stream across many partitions") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // one source = the old per-source-window shape's worst case: the
+    // whole corpus would flow through ONE reducer. The prefix-sum
+    // path must both (a) spread the rows over the requested
+    // partitions and (b) reproduce the window semantics exactly.
+    val one = Tables.documents(spark, sfDir)
+      .select(lit("s0").as("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val packed = RankOps.withGroupedPrefixSum(one, Seq("source"),
+      Seq("doc_id"), valueCol = "n_tokens", sumCol = "offset",
+      partitions = 8)
+    val nonEmpty = packed.rdd
+      .mapPartitions(it => Iterator.single(it.size)).collect().count(_ > 0)
+    assert(packed.rdd.getNumPartitions == 8 && nonEmpty > 1,
+      s"single-source packing used $nonEmpty partition(s)")
+    val byWindow = one.withColumn("offset",
+      coalesce(sum("n_tokens").over(W.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    assert(packed.orderBy("doc_id").collect().map(_.toString).toSeq ==
+      byWindow.orderBy("doc_id").collect().map(_.toString).toSeq)
+    // and the shipped operator's physical plan carries no window at all
+    val plan = TextOps.queries("q62_token_packing")(spark, sfDir)
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, plan.treeString)
+  }
+
   test("salted join equals the plain join on skewed data") {
     import spark.implicits._
     // hot key 1 carries 90% of the left side
