@@ -245,15 +245,23 @@ object ScaleOps {
     * 2-bit buckets (needed for recall at this low threshold) cannot
     * turn into a quadratic shuffle; only the handful of survivors
     * reaches `distinct` + the exact-decimal recompute. */
-  private val q47: QFn = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+  private val q47: QFn = (s, d) =>
+    cosinePairsLsh(Tables.embeddings(s, d), 0.4, s"bands47:$d")
+
+  /** The LSH path behind [[VectorOps.cosinePairs]]'s size guard (and
+    * q47). `cacheKey` memoizes the band table per (session, key) —
+    * both sides of the self-join read it, so it must be cached or the
+    * signature build runs twice. */
+  private[operators] def cosinePairsLsh(emb: DataFrame, t: Double,
+      cacheKey: String): DataFrame = {
+    val s = emb.sparkSession
     // band b's 2-bit bucket: sign bits of dots with hyperplanes
     // (2b, 2b+1); plane j's components are ±1 from xxhash64(200+j, k).
     // All 32 sign bits come from ONE codegen hyperplane_bits pass;
     // each band then slices its 2 bits out of the packed signature.
     // cached: both sides of the self-join read these 16·n rows.
-    // Memoized per (session, dir) — one cache, reused, releasable.
-    val bands = graft.util.DfCache.getOrBuild(s, s"bands47:$d") {
+    // Memoized per (session, cacheKey) — one cache, reused, releasable.
+    val bands = graft.util.DfCache.getOrBuild(s, cacheKey) {
       val b = emb
         .withColumn("sig",
           graft.functions.GraftFunctions.hyperplaneBits(col("embedding"), 200, 32))
@@ -281,9 +289,9 @@ object ScaleOps {
         " & (shiftleft(cast(1 as bigint), band * 2) - 1)) = 0")
     val survivors = x.join(y, Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b") && firstCollision &&
-        graft.functions.GraftFunctions.cosineSim(col("fa"), col("fb")) >= 0.4 - 1e-6)
+        graft.functions.GraftFunctions.cosineSim(col("fa"), col("fb")) >= t - 1e-6)
       .select("vec_a", "vec_b")
-    VectorOps.verifyCosine(emb, survivors, 0.4)
+    VectorOps.verifyCosine(emb, survivors, t)
   }
 
   /** Approximate quantiles (Greenwald-Khanna sketch): the 100-TB

@@ -95,17 +95,41 @@ object VectorOps {
       .select("vec_a", "vec_b", "cosine")
   }
 
-  /** Embedding-cosine near-duplicate pairs, exact: every pair with
-    * cosine ≥ 0.4. The all-pairs candidate set is generated with a
-    * broadcast inequality join — the exact baseline whose output the
-    * LSH-bucketed scale path (q47 in ScaleOps) must reproduce. */
-  private val q46: QFn = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+  /** Exact all-pairs candidate generation: a broadcast inequality
+    * self-join — O(n²) pairs with the whole id column on the build
+    * side. This is the DECLARED exact baseline whose output the LSH
+    * path must reproduce; it is only affordable for small
+    * collections, which is why external callers go through
+    * [[cosinePairs]]'s size guard instead. */
+  private[operators] def exactPairs(emb: DataFrame, t: Double): DataFrame = {
     val ids = emb.select(col("vec_id").as("vec_a"))
     val cand = ids.join(broadcast(emb.select(col("vec_id").as("vec_b"))),
       col("vec_a") < col("vec_b"))
-    verifyCosine(emb, cand, 0.4)
+    verifyCosine(emb, cand, t)
   }
+
+  /** THE entry point for embedding-cosine near-dup pairs: dispatches
+    * on collection size. At or below `exactLimit` rows the exact
+    * O(n²) baseline runs (its cartesian candidate build is fine for
+    * a test set and a footgun beyond — the 100k default keeps the
+    * broadcast build side in the tens of MB); above it, the banded
+    * random-hyperplane LSH path generates candidates with an
+    * O(n·bands) shuffle instead. Both end in the same exact-decimal
+    * verify, and the spec pins that they produce the same pair set,
+    * so the dispatch is a pure plan-shape decision. `cacheKey` names
+    * the LSH band cache (defaults to the input's semantic hash). */
+  def cosinePairs(emb: DataFrame, t: Double,
+      exactLimit: Long = 100000L, cacheKey: String = ""): DataFrame = {
+    if (emb.count() <= exactLimit) exactPairs(emb, t)
+    else ScaleOps.cosinePairsLsh(emb, t,
+      if (cacheKey.nonEmpty) cacheKey
+      else s"cosinePairs:${emb.queryExecution.analyzed.semanticHash()}")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: every pair with
+    * cosine ≥ 0.4 — [[exactPairs]] as a query, the baseline the
+    * LSH-bucketed scale path (q47 in ScaleOps) must reproduce. */
+  private val q46: QFn = (s, d) => exactPairs(Tables.embeddings(s, d), 0.4)
   private val q46Sql =
     """WITH el AS (
       |  SELECT vec_id, unnest(embedding) AS x,

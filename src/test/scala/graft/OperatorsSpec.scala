@@ -124,6 +124,22 @@ class OperatorsSpec extends SparkSpec {
     assert(windows.isEmpty, plan.treeString)
   }
 
+  test("cosinePairs guard: exact at the limit, LSH above it, same pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val viaExact = VectorOps.cosinePairs(emb, 0.4, exactLimit = n)
+    val viaLsh = VectorOps.cosinePairs(emb, 0.4, exactLimit = n - 1,
+      cacheKey = "spec:cosinePairs")
+    // the exact baseline IS the broadcast cartesian; the dispatched
+    // LSH path must not contain one anywhere in its plan
+    assert(viaExact.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(!viaLsh.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(viaExact.collect().map(_.toString).sorted.toSeq ==
+      viaLsh.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("salted join equals the plain join on skewed data") {
     import spark.implicits._
     // hot key 1 carries 90% of the left side
