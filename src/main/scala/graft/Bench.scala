@@ -12,13 +12,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative cross-section: scan-agg, selective filter, joins,
-    * windows, CDC, dedup (exact + LSH), ANN, sessionization. */
+    * windows, CDC, dedup (exact + LSH), ANN, sessionization — PLUS
+    * every ANN/dedup/packing scale path, so a regression in the
+    * 100-TB shapes shows up in the round artifact, not only in
+    * ad-hoc Explain runs. */
   private val headline = Seq(
     "q01_pricing_summary", "q02_revenue_filter", "q03_shipping_priority",
     "q05_local_supplier", "q07_running_total", "q09_topk_parts",
     "q21_cdc_latest", "q24_asof_join", "q48_asof_native",
     "q31_ngram_jaccard", "q32_minhash_pairs",
-    "q34_ann_cosine", "q50_sessionize", "q51_tumbling_counts")
+    "q34_ann_cosine", "q50_sessionize", "q51_tumbling_counts",
+    "q35_ann_lsh", "q43_simhash_pairs", "q45_ann_ivf",
+    "q47_cosine_pairs_lsh", "q49_ann_ivf_kmeans",
+    "q61_stratified_sample", "q62_token_packing", "q63_deciles_scalable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
