@@ -47,11 +47,36 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     } else None
     val load = IncrementalLoader.run(spark, cfg.srcDir, cfg.tableDir,
       cfg.registryDir, SurveyGen.schema)
+    val vecLoad = cfg.vectorIndex.map(maintainIndex)
     val expired =
       if (ticks % cfg.retainEvery == 0)
         Maintenance.expireFiles(spark, cfg.srcDir, cfg.retentionDays)
       else Seq.empty
-    Automation.TickReport(ticks, generated, load, expired)
+    Automation.TickReport(ticks, generated, load, expired, vecLoad)
+  }
+
+  /** Embedding-table maintenance: incremental-load new vector drops,
+    * then route exactly the freshly landed rows into the persisted IVF
+    * index — `VectorIndex.add` assigns them to the EXISTING trained
+    * centroids and appends only the touched list partitions, so index
+    * upkeep costs O(new vectors), never a retrain or a rebuild. The
+    * first tick with data bootstraps the index (trains centroids
+    * once); every later tick appends. */
+  private def maintainIndex(
+      vc: Automation.VectorIndexConfig): IncrementalLoader.LoadResult = {
+    val r = IncrementalLoader.run(spark, vc.srcDir, vc.tableDir,
+      vc.registryDir, vc.schema, vc.format)
+    if (r.loaded.nonEmpty) {
+      // read back exactly the files this pass published
+      val live = VersionedTable.currentPath(spark, vc.tableDir)
+      val fresh = spark.read.parquet(
+        r.loaded.map(f => s"$live/${IncrementalLoader.publishedName(f)}"): _*)
+      if (graft.operators.VectorIndex.exists(spark, vc.indexPath))
+        graft.operators.VectorIndex.add(spark, vc.indexPath, fresh)
+      else
+        graft.operators.VectorIndex.build(fresh, vc.indexPath, vc.k, vc.iters)
+    }
+    r
   }
 
   /** Interval poll loop (reference: `UpdateLakehouse.run`'s
@@ -89,13 +114,29 @@ object Automation {
       generate: Boolean = true,
       retentionDays: Int = 7,
       retainEvery: Int = 60,
-      seedBase: Int = 0)
+      seedBase: Int = 0,
+      vectorIndex: Option[VectorIndexConfig] = None)
+
+  /** Embedding-pipeline config: where vector drops arrive, where the
+    * loaded table and the persisted IVF index live. Drops are
+    * JSON-lines by default (arrays don't fit CSV); `k`/`iters` only
+    * apply to the one-time bootstrap training. */
+  final case class VectorIndexConfig(
+      srcDir: String,
+      tableDir: String,
+      registryDir: String,
+      indexPath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      format: String = "json",
+      k: Int = 8,
+      iters: Int = 3)
 
   final case class TickReport(
       tick: Long,
       generated: Option[String],
       load: IncrementalLoader.LoadResult,
-      expired: Seq[String])
+      expired: Seq[String],
+      vecLoad: Option[IncrementalLoader.LoadResult] = None)
 
   /** `runMain graft.lakehouse.Automation <rootDir> [intervalSec]
     * [maxTicks]` — drops land in `<rootDir>/arrivals`, the lakehouse

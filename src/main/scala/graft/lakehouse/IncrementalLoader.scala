@@ -29,6 +29,18 @@ object IncrementalLoader {
   final case class LoadResult(loaded: Seq[String], skipped: Seq[String],
                               failed: Seq[String])
 
+  /** Deterministic publish tag for a source path — the table file a
+    * load of `f` publishes is `ingest-<tag>.snappy.parquet`, which
+    * lets downstream consumers (e.g. the automation's index
+    * maintenance) read back exactly the rows a load pass landed. */
+  def publishedTag(f: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Table file name a load of source path `f` publishes. */
+  def publishedName(f: String): String =
+    s"ingest-${publishedTag(f)}.snappy.parquet"
+
   /** Discover files under `srcDir` matching `suffix`. */
   def discover(spark: SparkSession, srcDir: String,
                suffix: String = ".csv"): Seq[String] = {
@@ -80,8 +92,7 @@ object IncrementalLoader {
           case other  => reader.format(other).load(f)
         }
         val n = df.count()
-        val tag = java.security.MessageDigest.getInstance("MD5")
-          .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val tag = publishedTag(f)
         val stage = new Path(s"$tableDir/_staging/$tag")
         df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
         val part = fs.listStatus(stage)

@@ -35,6 +35,14 @@ object VectorIndex {
     centDf.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Whether a built index (trained centroids) exists under `path`. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS")
+    org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .exists(p)
+  }
+
   /** Incremental append: route new vectors to the EXISTING trained
     * centroids and append their inverted-list rows — an incremental
     * load extends the index without retraining or rewriting the old

@@ -77,6 +77,53 @@ class LakehouseSpec extends SparkSpec {
     assert(!t.isAlive)
   }
 
+  test("automation tick maintains the persisted IVF index incrementally") {
+    import graft.operators.VectorIndex
+    val root = tmpDir("autoidx")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    new java.io.File(s"$root/varr").mkdirs()
+    val emb = Tables.embeddings(spark, sfDir)
+    // JSON-lines vector drops (arrays don't fit CSV), one file each
+    def drop(name: String, lo: Int, hi: Int): Unit = {
+      val tmp = s"$root/_tmp_$name"
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$root/varr", s"$name.json").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val cfg = Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/reg", generate = false,
+      vectorIndex = Some(Automation.VectorIndexConfig(
+        srcDir = s"$root/varr", tableDir = s"$root/vt",
+        registryDir = s"$root/vreg", indexPath = s"$root/idx",
+        schema = emb.schema)))
+    val auto = new Automation(spark, cfg)
+    drop("d1", 0, 60)
+    val r1 = auto.tick() // bootstrap: trains centroids on the first drop
+    assert(r1.vecLoad.exists(_.loaded.size == 1))
+    assert(VectorIndex.exists(spark, s"$root/idx"))
+    drop("d2", 60, 120)
+    val r2 = auto.tick() // incremental: add() — no retrain
+    assert(r2.vecLoad.exists(_.loaded.size == 1))
+    assert(spark.read.parquet(s"$root/idx/lists").count() ==
+      VersionedTable.read(spark, s"$root/vt").count())
+
+    // after >=2 ticks: search is identical to a batch rebuild over ALL
+    // loaded vectors with the same trained centroid model
+    val probes = emb.filter(col("vec_id") < 5)
+    val viaTicks = VectorIndex.search(spark, s"$root/idx", probes,
+      nprobe = 2, k = 3).collect().map(_.toString).sorted.toSeq
+    VectorIndex.buildWith(VersionedTable.read(spark, s"$root/vt"),
+      s"$root/idx_batch", spark.read.parquet(s"$root/idx/centroids"))
+    val viaBatch = VectorIndex.search(spark, s"$root/idx_batch", probes,
+      nprobe = 2, k = 3).collect().map(_.toString).sorted.toSeq
+    assert(viaTicks.nonEmpty && viaTicks == viaBatch)
+  }
+
   test("sql runner: query, ddl, multi-statement script, and named procs") {
     SqlRunner.registerTables(spark, sfDir)
     val (res, secs) = SqlRunner.query(spark,
@@ -225,6 +272,49 @@ class LakehouseSpec extends SparkSpec {
     val q2 = StreamingLoader.runAvailableNow(spark, src, table, ckpt, SurveyGen.schema)
     q2.awaitTermination(60000)
     assert(spark.read.parquet(table).count() == 175)
+  }
+
+  test("versioned streaming loader: crash-safe batches, exactly once") {
+    import spark.implicits._
+    val src = tmpDir("vssrc")
+    val root = tmpDir("vstable") + "/t"
+    val ckpt = tmpDir("vsckpt") + "/c"
+    SurveyGen.writeArrival(spark, src, "drop1.csv", 100, 21)
+    SurveyGen.writeArrival(spark, src, "drop2.csv", 50, 22)
+    val q1 = StreamingLoader.runVersionedAvailableNow(
+      spark, src, root, ckpt, SurveyGen.schema)
+    q1.awaitTermination(60000)
+    assert(VersionedTable.read(spark, root).count() == 150)
+
+    // a maintenance rewrite migrates the table to the manifest layout
+    Maintenance.compactVersioned(spark, root, targetFileBytes = 1L << 30)
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+
+    // crash WINDOW 1 — partial stage, nothing published: restart
+    // re-delivers the same batch id; the stage is replaced and the
+    // batch lands exactly once
+    val garbage = new java.io.File(s"$root/_streaming-stage/90")
+    garbage.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(garbage, "part-00000.parquet").toPath, "junk")
+    assert(VersionedTable.read(spark, root).count() == 150) // stage invisible
+    StreamingLoader.commitBatch(
+      SurveyGen.generate(spark, 25, seed = 23), root, batchId = 90)
+    assert(VersionedTable.read(spark, root).count() == 175)
+
+    // crash WINDOW 2 — published but not checkpointed: the restart
+    // re-delivers the batch; the existing target makes it a no-op
+    StreamingLoader.commitBatch(
+      SurveyGen.generate(spark, 25, seed = 23), root, batchId = 90)
+    assert(VersionedTable.read(spark, root).count() == 175)
+
+    // restart with a new drop: the checkpoint skips old files, the new
+    // batch publishes INTO the current version dir
+    SurveyGen.writeArrival(spark, src, "drop3.csv", 10, 24)
+    val q2 = StreamingLoader.runVersionedAvailableNow(
+      spark, src, root, ckpt, SurveyGen.schema)
+    q2.awaitTermination(60000)
+    assert(VersionedTable.read(spark, root).count() == 185)
   }
 
   test("row-level retention keeps only rows in the window") {
