@@ -82,13 +82,26 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      // 4× unrolled with ONE accumulator: same addition order as the
+      // simple loop (and the interpreted eval), so values stay
+      // bit-identical — the unroll only trims loop-bound checks and
+      // widens the JIT's scheduling window.
+      def body(idx: String) =
+        s"""if (!$a.isNullAt($idx) && !$b.isNullAt($idx)) {
+           |    $dot += ${elemJava(a, idx, left)} * ${elemJava(b, idx, right)};
+           |  }""".stripMargin
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $dot += ${elemJava(a, i, left)} * ${elemJava(b, i, right)};
-         |  }
+         |int $i = 0;
+         |for (; $i + 4 <= $n; $i += 4) {
+         |  ${body(i)}
+         |  ${body(s"$i + 1")}
+         |  ${body(s"$i + 2")}
+         |  ${body(s"$i + 3")}
+         |}
+         |for (; $i < $n; $i++) {
+         |  ${body(i)}
          |}
          |${ev.value} = $dot;
        """.stripMargin
@@ -139,15 +152,29 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xa = ctx.freshName("xa")
       val yb = ctx.freshName("yb")
+      // 4× unrolled, single accumulator per sum: identical addition
+      // order to the simple loop and the interpreted eval (see
+      // DotProduct) — bit-stable, just fewer loop-bound checks.
+      // Measured NEUTRAL at 64 dims on the ANN queries (join cost
+      // dominates); kept because it can only help at wider dims.
+      def body(idx: String) =
+        s"""if (!$a.isNullAt($idx) && !$b.isNullAt($idx)) {
+           |    double $xa = ${elemJava(a, idx, left)};
+           |    double $yb = ${elemJava(b, idx, right)};
+           |    $dot += $xa * $yb; $na += $xa * $xa; $nb += $yb * $yb;
+           |  }""".stripMargin
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    double $xa = ${elemJava(a, i, left)};
-         |    double $yb = ${elemJava(b, i, right)};
-         |    $dot += $xa * $yb; $na += $xa * $xa; $nb += $yb * $yb;
-         |  }
+         |int $i = 0;
+         |for (; $i + 4 <= $n; $i += 4) {
+         |  ${body(i)}
+         |  ${body(s"$i + 1")}
+         |  ${body(s"$i + 2")}
+         |  ${body(s"$i + 3")}
+         |}
+         |for (; $i < $n; $i++) {
+         |  ${body(i)}
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

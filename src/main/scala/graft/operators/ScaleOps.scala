@@ -248,25 +248,50 @@ object ScaleOps {
   private val q47: QFn = (s, d) =>
     cosinePairsLsh(Tables.embeddings(s, d), 0.4, s"bands47:$d")
 
-  /** The LSH path behind [[VectorOps.cosinePairs]]'s size guard (and
-    * q47). `cacheKey` memoizes the band table per (session, key) —
-    * both sides of the self-join read it, so it must be cached or the
-    * signature build runs twice. */
+  /** [[cosinePairsLsh]] with a SELECTIVE profile for high-cosine
+    * dedup: at t = 0.5 (P[same sign] = 2/3) a 3-bit band still
+    * collides with p³ ≈ 0.30 per band → ≥1 of 21 bands with
+    * p ≈ 1 − (1 − 0.30)²¹ ≈ 0.9994 at the threshold (→ 1 above it),
+    * while an unrelated pair (cosine ≈ 0) collides per band with only
+    * 2⁻³ vs the loose profile's 2⁻² — buckets are 2× more selective
+    * exactly where a high-threshold dedup would drown q47's profile
+    * in near-orthogonal candidates. (0.5 is the highest threshold the
+    * test corpus populates — its max pairwise cosine is ≈0.6.)
+    * Oracle-checked against the exact SQL at 0.5 (same shape as
+    * q46's) — so the profile's recall on this data is pinned to 1,
+    * not sampled. */
+  private val q64: QFn = (s, d) =>
+    cosinePairsLsh(Tables.embeddings(s, d), 0.5, s"bands64:$d",
+      bandBits = 3, numBands = 21, seedBase = 300)
+
+  /** The LSH path behind [[VectorOps.cosinePairs]]'s size guard, q47
+    * (2-bit bands, recall profile for low thresholds), and q64 (4-bit
+    * bands, selective profile for high-threshold dedup). `cacheKey`
+    * memoizes the band table per (session, key) — both sides of the
+    * self-join read it, so it must be cached or the signature build
+    * runs twice. `bandBits × numBands ≤ 64`: all sign bits pack into
+    * one long from ONE codegen `hyperplane_bits` pass. */
   private[operators] def cosinePairsLsh(emb: DataFrame, t: Double,
-      cacheKey: String): DataFrame = {
+      cacheKey: String, bandBits: Int = 2, numBands: Int = 16,
+      seedBase: Int = 200): DataFrame = {
+    require(bandBits >= 1 && bandBits * numBands <= 64,
+      s"bandBits=$bandBits × numBands=$numBands exceeds one packed long")
     val s = emb.sparkSession
-    // band b's 2-bit bucket: sign bits of dots with hyperplanes
-    // (2b, 2b+1); plane j's components are ±1 from xxhash64(200+j, k).
-    // All 32 sign bits come from ONE codegen hyperplane_bits pass;
-    // each band then slices its 2 bits out of the packed signature.
-    // cached: both sides of the self-join read these 16·n rows.
-    // Memoized per (session, cacheKey) — one cache, reused, releasable.
+    val planes = bandBits * numBands
+    val bucketMask = (1L << bandBits) - 1L
+    // band b's bucket: sign bits of dots with hyperplanes
+    // [b·bandBits, (b+1)·bandBits); plane j's components are ±1 from
+    // xxhash64(seedBase+j, k). All sign bits come from ONE codegen
+    // hyperplane_bits pass; each band slices its bits out of the
+    // packed signature. cached: both sides of the self-join read
+    // these numBands·n rows. Memoized per (session, cacheKey).
     val bands = graft.util.DfCache.getOrBuild(s, cacheKey) {
       val b = emb
-        .withColumn("sig",
-          graft.functions.GraftFunctions.hyperplaneBits(col("embedding"), 200, 32))
+        .withColumn("sig", graft.functions.GraftFunctions
+          .hyperplaneBits(col("embedding"), seedBase, planes))
         .select(col("vec_id"), col("embedding"), col("sig"), posexplode(expr(
-          "transform(sequence(0, 15), b -> shiftright(sig, b * 2) & 3)")))
+          s"transform(sequence(0, ${numBands - 1}), " +
+            s"b -> shiftright(sig, b * $bandBits) & $bucketMask)")))
         .select(col("vec_id"), col("embedding"), col("sig"),
           col("pos").as("band"), col("col").as("bucket"))
         .cache()
@@ -278,15 +303,23 @@ object ScaleOps {
     val y = bands.select(col("vec_id").as("vec_b"), col("embedding").as("fb"),
       col("sig").as("sb"), col("band"), col("bucket"))
     // Each colliding pair is evaluated ONLY in its first colliding
-    // band: from the packed signatures, "no band b' < band collides"
-    // ⇔ the low 2·band bits of (sa ^ sb) contain no all-zero 2-bit
-    // group — a handful of codegen bit ops that both dedups the work
-    // (a pair colliding in k bands was cosine-scored k times) and
-    // removes the `distinct` exchange entirely. 0x5555… masks each
-    // group's low bit after AND-folding the group's two bits.
+    // band: band b' collides ⇔ the bandBits-wide group b' of
+    // (sa ^ sb) is all-zero ⇔ group b' of ~(sa ^ sb) is all-one ⇔
+    // AND-folding each group of ~(sa ^ sb) down to its low bit leaves
+    // that bit set. So "no band before `band` collides" is: fold,
+    // mask the group low bits, restrict to the low band·bandBits
+    // bits, require zero — a handful of codegen bit ops that both
+    // dedup the work (a pair colliding in k bands was cosine-scored
+    // k times) and remove the `distinct` exchange entirely.
+    val folded = (0 until bandBits)
+      .map(sh => if (sh == 0) "(~(sa ^ sb))"
+                 else s"shiftright(~(sa ^ sb), $sh)")
+      .mkString(" & ")
+    val groupLowBits = (0 until numBands)
+      .map(i => 1L << (i * bandBits)).sum
     val firstCollision = expr(
-      "((~(sa ^ sb)) & shiftright(~(sa ^ sb), 1) & 6148914691236517205" +
-        " & (shiftleft(cast(1 as bigint), band * 2) - 1)) = 0")
+      s"(($folded) & ${groupLowBits}L" +
+        s" & (shiftleft(cast(1 as bigint), band * $bandBits) - 1)) = 0")
     val survivors = x.join(y, Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b") && firstCollision &&
         graft.functions.GraftFunctions.cosineSim(col("fa"), col("fb")) >= t - 1e-6)
@@ -316,7 +349,8 @@ object ScaleOps {
     "q44_approx_quantile" -> q44,
     "q45_ann_ivf" -> q45,
     "q47_cosine_pairs_lsh" -> q47,
-    "q49_ann_ivf_kmeans" -> q49)
+    "q49_ann_ivf_kmeans" -> q49,
+    "q64_cosine_pairs_hi" -> q64)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4
@@ -329,5 +363,9 @@ object ScaleOps {
     // hyperplane collision probability leaves ~3e-4 miss probability
     // per threshold pair (measured: identical pair sets at all three
     // SFs) — so it shares the exact all-pairs oracle.
-    "q47_cosine_pairs_lsh" -> VectorOps.oracleSql("q46_cosine_pairs"))
+    "q47_cosine_pairs_lsh" -> VectorOps.oracleSql("q46_cosine_pairs"),
+    // q64 is oracle-checked against the EXACT pair SQL at its own
+    // threshold: a hash match means the selective profile's recall on
+    // this data is exactly 1, not sampled.
+    "q64_cosine_pairs_hi" -> VectorOps.cosinePairsSql(0.5))
 }

@@ -130,8 +130,11 @@ object VectorOps {
     * cosine ≥ 0.4 — [[exactPairs]] as a query, the baseline the
     * LSH-bucketed scale path (q47 in ScaleOps) must reproduce. */
   private val q46: QFn = (s, d) => exactPairs(Tables.embeddings(s, d), 0.4)
-  private val q46Sql =
-    """WITH el AS (
+  /** The exact all-pairs SQL at threshold `t` — q46's oracle, and
+    * (at 0.7) the oracle that pins the selective LSH profile's
+    * recall to 1 (ScaleOps q64). */
+  private[operators] def cosinePairsSql(t: Double): String =
+    s"""WITH el AS (
       |  SELECT vec_id, unnest(embedding) AS x,
       |         unnest(range(1, len(embedding)+1)) AS i
       |  FROM embeddings),
@@ -150,7 +153,9 @@ object VectorOps {
       |FROM dots
       |JOIN nrm na ON na.vec_id = vec_a
       |JOIN nrm nb ON nb.vec_id = vec_b
-      |WHERE dot / (na.nrm * nb.nrm) >= 0.4""".stripMargin
+      |WHERE dot / (na.nrm * nb.nrm) >= $t""".stripMargin
+
+  private val q46Sql = cosinePairsSql(0.4)
 
   /** Brute-force cosine top-k: for each probe vector (vec_id < 5),
     * the 3 nearest neighbors by cosine similarity. Same two-phase

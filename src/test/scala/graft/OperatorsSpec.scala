@@ -124,6 +124,18 @@ class OperatorsSpec extends SparkSpec {
     assert(windows.isEmpty, plan.treeString)
   }
 
+  test("q64 selective-profile LSH equals the exact pair set at t=0.5") {
+    // sf0.001's max pairwise cosine is ~0.48 — empty at this
+    // threshold — so this spec runs at sf0.01, which populates it
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val exact = VectorOps.cosinePairs(emb, 0.5, exactLimit = Long.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    val lsh = ScaleOps.queries("q64_cosine_pairs_hi")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
   test("cosinePairs guard: exact at the limit, LSH above it, same pairs") {
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
