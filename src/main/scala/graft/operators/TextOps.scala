@@ -420,6 +420,118 @@ object TextOps {
       |      AS n_tokens
       |  FROM documents) t""".stripMargin
 
+  /** Chunk spans (the 1→N step after [[q62]]'s packing): a document
+    * whose token range [offset, offset+n) crosses bin boundaries is
+    * SPLIT — one row per (doc, bin) with the within-doc token range
+    * that lands in that bin. This is how documents longer than the
+    * context window actually reach training: explode off the packed
+    * layout, no extra shuffle (the spans derive arithmetically from
+    * the offsets q62 already computed). */
+  private val q65: QFn = (s, d) => {
+    val B = 4096L
+    q62(s, d)
+      .withColumn("bin_id", explode(sequence(col("bin_id"),
+        floor((col("offset") + col("n_tokens") - 1) / B).cast("long"))))
+      .withColumn("tok_start",
+        greatest(lit(0L), col("bin_id") * B - col("offset")))
+      .withColumn("tok_len",
+        least(col("n_tokens"), (col("bin_id") + 1) * B - col("offset"))
+          - col("tok_start"))
+      .select("source", "doc_id", "bin_id", "tok_start", "tok_len")
+  }
+  private val q65Sql =
+    // "offset" must be quoted when REFERENCED in DuckDB (reserved
+    // as the LIMIT/OFFSET keyword; the bare alias in q62Sql is fine)
+    s"""WITH packed AS ($q62Sql),
+      |spans AS (
+      |  SELECT source, doc_id, n_tokens, "offset",
+      |    unnest(generate_series(bin_id,
+      |      CAST(FLOOR(CAST("offset" + n_tokens - 1 AS DOUBLE) / 4096)
+      |        AS BIGINT))) AS b
+      |  FROM packed)
+      |SELECT source, doc_id, b AS bin_id,
+      |  GREATEST(0, b * 4096 - "offset") AS tok_start,
+      |  LEAST(n_tokens, (b + 1) * 4096 - "offset")
+      |    - GREATEST(0, b * 4096 - "offset") AS tok_len
+      |FROM spans""".stripMargin
+
+  /** Near-dup CLUSTERS: connected components over the q31 pair graph
+    * — the step that turns pairwise near-dup detection into an actual
+    * dedup decision (keep one representative per cluster; the
+    * cluster id IS the minimum member, so `cluster_id = doc_id`
+    * selects survivors). Hash-min label propagation: every doc starts
+    * as its own label, each round propagates labels across edges and
+    * keeps the per-doc minimum, until a fixpoint. Rounds needed =
+    * graph diameter — near-dup clusters are short chains in practice
+    * (and each round is ONE shuffle join over the edge list, labels
+    * cached, O(V+E) per round; for adversarial diameters the
+    * two-phase star-contraction variant converges in O(log²) rounds,
+    * same per-round shape). The DuckDB oracle is a recursive-CTE
+    * transitive closure — a completely different algorithm reaching
+    * the same fixpoint, so the hash-match is a strong equivalence
+    * check. */
+  private val q66: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val pairs = q31(s, d).select("doc_a", "doc_b")
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.select(col("doc_b"), col("doc_a"))).cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("lbl").as("lbl")).cache()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+  private val q66Sql =
+    s"""WITH RECURSIVE
+      |pairs AS ($q31Sql),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
+  /** Weighted deterministic sampling — the data-mixing knob: each
+    * language keeps a target fraction of its documents, decided by a
+    * hash threshold instead of RAND() (md5 is identical in every
+    * engine, so the sample is reproducible anywhere and stable under
+    * corpus appends). A doc survives iff the first 16 bits of
+    * md5(doc_id), read as hex text, sort below the language's
+    * threshold (hex strings compare exactly like the numbers they
+    * encode): en 90% (0xe666), de/es/fr 50% (0x8000), rest 25%
+    * (0x4000). Pure map-side filter — no shuffle, no state, scales
+    * linearly. */
+  private val q67: QFn = (s, d) => {
+    val threshold = when(col("lang") === "en", "e666")
+      .when(col("lang").isin("de", "es", "fr"), "8000")
+      .otherwise("4000")
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < threshold)
+      .select("doc_id", "lang", "source")
+  }
+  private val q67Sql =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |  CASE WHEN lang = 'en' THEN 'e666'
+      |       WHEN lang IN ('de', 'es', 'fr') THEN '8000'
+      |       ELSE '4000' END""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
@@ -431,7 +543,10 @@ object TextOps {
     "q54_source_profile" -> q54,
     "q59_tfidf" -> q59,
     "q61_stratified_sample" -> q61,
-    "q62_token_packing" -> q62)
+    "q62_token_packing" -> q62,
+    "q65_chunk_spans" -> q65,
+    "q66_dedup_clusters" -> q66,
+    "q67_weighted_sample" -> q67)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -444,5 +559,8 @@ object TextOps {
     "q54_source_profile" -> q54Sql,
     "q59_tfidf" -> q59Sql,
     "q61_stratified_sample" -> q61Sql,
-    "q62_token_packing" -> q62Sql)
+    "q62_token_packing" -> q62Sql,
+    "q65_chunk_spans" -> q65Sql,
+    "q66_dedup_clusters" -> q66Sql,
+    "q67_weighted_sample" -> q67Sql)
 }
