@@ -101,8 +101,16 @@ object VersionedTable {
   /** Crash-safe commit of the next version. `writer` receives the
     * version's (hidden, final) data dir and must produce a complete
     * parquet write there (Spark's committer emits `_SUCCESS` last).
-    * Returns the new version number. */
-  def commit(spark: SparkSession, root: String)(writer: String => Unit): Long = {
+    * Returns the new version number.
+    *
+    * `keepVersions` is the prune retention window: the newest K
+    * versions (data + manifest) survive the commit, so a reader that
+    * resolved version N-1 just before this commit can still finish
+    * its scan — at real scale, set it to cover the longest reader.
+    * The default keeps only the new current version (tightest
+    * storage, single-process semantics). */
+  def commit(spark: SparkSession, root: String, keepVersions: Int = 1)
+            (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
     // Activate the manifest protocol BEFORE any data lands: a legacy
@@ -122,12 +130,14 @@ object VersionedTable {
       s"writer did not complete a parquet commit under $data")
     // THE commit point: one object's existence flips visibility
     publishManifest(fs, root, next)
-    // prune superseded data dirs (both layouts), stale round-2
-    // staging dirs, pre-versioning flat files, and old manifests
+    // prune data dirs (both layouts) and manifests older than the
+    // retention window, stale round-2 staging dirs, and
+    // pre-versioning flat files (unreachable once versioned)
+    val cutoff = next - math.max(1, keepVersions)
     fs.listStatus(new Path(root)).foreach { st =>
       st.getPath.getName match {
-        case HiddenVer(n) if n.toLong < next => fs.delete(st.getPath, true)
-        case LegacyVer(_) => fs.delete(st.getPath, true)
+        case HiddenVer(n) if n.toLong <= cutoff => fs.delete(st.getPath, true)
+        case LegacyVer(n) if n.toLong <= cutoff => fs.delete(st.getPath, true)
         case name if name.startsWith("_stage_v=") => fs.delete(st.getPath, true)
         case _ if st.isFile => fs.delete(st.getPath, false)
         case _ => ()
@@ -135,9 +145,18 @@ object VersionedTable {
     }
     fs.listStatus(cd).foreach { st =>
       st.getPath.getName.toLongOption
-        .filter(_ < next).foreach(_ => fs.delete(st.getPath, false))
+        .filter(_ <= cutoff).foreach(_ => fs.delete(st.getPath, false))
     }
     next
+  }
+
+  /** Read a specific retained version (time travel within the
+    * retention window). */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, root)
+    val hidden = s"$root/_v-$version"
+    val dir = if (fs.exists(new Path(hidden))) hidden else s"$root/v=$version"
+    spark.read.parquet(dir)
   }
 
   /** Manifest creation: a single-object write (one PUT on an object
@@ -152,14 +171,16 @@ object VersionedTable {
 
   /** Read-transform-commit: the crash-safe form of every table
     * rewrite (retention, compaction, upsert). */
-  def rewrite(spark: SparkSession, root: String)(f: DataFrame => DataFrame): Long =
-    commit(spark, root) { stage =>
+  def rewrite(spark: SparkSession, root: String, keepVersions: Int = 1)
+             (f: DataFrame => DataFrame): Long =
+    commit(spark, root, keepVersions) { stage =>
       f(read(spark, root)).write.mode(SaveMode.Overwrite).parquet(stage)
     }
 
   /** Create (or replace) the table content as a new version. */
-  def init(spark: SparkSession, root: String, df: DataFrame): Long =
-    commit(spark, root) { stage =>
+  def init(spark: SparkSession, root: String, df: DataFrame,
+           keepVersions: Int = 1): Long =
+    commit(spark, root, keepVersions) { stage =>
       df.write.mode(SaveMode.Overwrite).parquet(stage)
     }
 }

@@ -532,6 +532,111 @@ object TextOps {
       |       WHEN lang IN ('de', 'es', 'fr') THEN '8000'
       |       ELSE '4000' END""".stripMargin
 
+  /** Mixing-ratio planner + sampler: give every source an EQUAL token
+    * share of the output corpus. Per-source keep rate = (T/S) / T_s
+    * clamped to 1 (T = corpus tokens, S = sources, T_s = the source's
+    * tokens), then the same deterministic md5-threshold keep rule as
+    * q67 — the rate maps to a 16-bit hex threshold and a doc survives
+    * iff its hash prefix sorts below it. The plan is two cheap
+    * aggregates (token totals — map-side partial agg) + a broadcast
+    * join + a map-side filter; nothing data-sized moves. Both engines
+    * compute the rate with the same two IEEE double divisions and the
+    * same floor, so the thresholds — and the sample — are identical. */
+  private val q68: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    val perSrc = toks.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val totals = perSrc.agg(sum(col("src_tokens")).as("total"),
+      count(lit(1)).as("nsrc"))
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .withColumn("rate",
+        least(lit(1.0), (col("total") / col("nsrc")) / col("src_tokens")))
+      .select(col("source"), col("rate"))
+    toks.join(broadcast(rates), "source")
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 4) <
+          lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+      .select("doc_id", "source", "n_tokens")
+  }
+  private val q68Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |ps AS (
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      |  FROM toks GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total,
+      |         COUNT(*) AS nsrc
+      |  FROM ps),
+      |rates AS (
+      |  SELECT source,
+      |    LEAST(1.0, (total / nsrc) / src_tokens) AS rate
+      |  FROM ps, tot)
+      |SELECT t.doc_id, t.source, t.n_tokens
+      |FROM toks t JOIN rates r USING (source)
+      |WHERE r.rate >= 1.0 OR
+      |  substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+      |    printf('%04x', CAST(FLOOR(r.rate * 65536) AS BIGINT))""".stripMargin
+
+  /** q66's clusters through STAR CONTRACTION (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the
+    * scale-canonical alternative to hash-min propagation: alternating
+    * large-star (hook every neighbor larger than the center to the
+    * center's minimum) and small-star (hook the not-larger neighbors
+    * and the center itself) rounds contract chains exponentially, so
+    * convergence is O(log² n) rounds on ANY graph shape — where
+    * hash-min needs one round per hop of the cluster diameter. Each
+    * round is one groupBy over the (bidirectional) edge list. Output
+    * ≡ q66 (shares its oracle): every doc labeled with its
+    * component's minimum member. */
+  private val q69: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val pairs = q31(s, d).select("doc_a", "doc_b")
+    // invariant: edges are directed child→parent, u > v strictly
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct().cache()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 15) {
+      // large-star: around each center c, hook every STRICTLY larger
+      // neighbor to m = min(Γ(c) ∪ {c})
+      val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = bidir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = bidir.filter(col("v") > col("u")).join(minsL, "u")
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star: around each center c (over the child→parent
+      // edges, so Γ⁻(c) = its parents, all < c), hook the parents and
+      // c itself to m = min(Γ⁻(c)); u > v holds in `large`, so
+      // min(v) < u and m needs no least(·, u)
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(minsS.select(col("u").as("a"), col("m").as("b")))
+        .toDF("u", "v")
+        .filter(col("u") =!= col("v")) // (m, m) self-hooks
+        .distinct().cache()
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edges.unpersist()
+      edges = small
+      rounds += 1
+    }
+    // fixpoint = star forest: every non-root points at its component
+    // min; roots and singletons label themselves
+    val labels = edges.groupBy("u").agg(min(col("v")).as("lbl"))
+      .withColumnRenamed("u", "doc_id")
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
@@ -546,7 +651,9 @@ object TextOps {
     "q62_token_packing" -> q62,
     "q65_chunk_spans" -> q65,
     "q66_dedup_clusters" -> q66,
-    "q67_weighted_sample" -> q67)
+    "q67_weighted_sample" -> q67,
+    "q68_mixing_planner" -> q68,
+    "q69_dedup_clusters_star" -> q69)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -562,5 +669,10 @@ object TextOps {
     "q62_token_packing" -> q62Sql,
     "q65_chunk_spans" -> q65Sql,
     "q66_dedup_clusters" -> q66Sql,
-    "q67_weighted_sample" -> q67Sql)
+    "q67_weighted_sample" -> q67Sql,
+    "q68_mixing_planner" -> q68Sql,
+    // star contraction reaches the same fixpoint as the propagation
+    // path AND the recursive-CTE closure — three algorithms, one
+    // oracle
+    "q69_dedup_clusters_star" -> q66Sql)
 }

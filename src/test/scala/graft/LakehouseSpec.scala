@@ -399,6 +399,24 @@ class LakehouseSpec extends SparkSpec {
     assert(new java.io.File(s"$root/_commits/3").exists())
   }
 
+  test("versioned table: retention window keeps readable old versions") {
+    import spark.implicits._
+    val root = tmpDir("vtk") + "/t"
+    VersionedTable.init(spark, root, Seq((1L, "a")).toDF("k", "s"),
+      keepVersions = 2)
+    VersionedTable.rewrite(spark, root, keepVersions = 2)(
+      _.withColumn("s", lit("b")))
+    VersionedTable.rewrite(spark, root, keepVersions = 2)(
+      _.withColumn("s", lit("c")))
+    // newest two versions retained (a reader mid-scan on v2 survives
+    // the v3 commit), older pruned
+    assert(VersionedTable.currentVersion(spark, root).contains(3L))
+    assert(!new java.io.File(s"$root/_v-1").exists())
+    assert(new java.io.File(s"$root/_v-2").exists())
+    assert(VersionedTable.read(spark, root).head.getString(1) == "c")
+    assert(VersionedTable.readVersion(spark, root, 2).head.getString(1) == "b")
+  }
+
   test("versioned table: round-2 v=N layout reads and migrates to manifests") {
     import spark.implicits._
     val root = tmpDir("vtl") + "/t"

@@ -124,6 +124,18 @@ class OperatorsSpec extends SparkSpec {
     assert(windows.isEmpty, plan.treeString)
   }
 
+  test("q69 star-contraction clusters equal q66 label propagation") {
+    val prop = TextOps.queries("q66_dedup_clusters")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val star = TextOps.queries("q69_dedup_clusters_star")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(prop.nonEmpty && star == prop)
+    // and the clusters are non-trivial: at least one multi-doc cluster
+    val multi = TextOps.queries("q66_dedup_clusters")(spark, sfDir)
+      .groupBy("cluster_id").count().filter(col("count") > 1).count()
+    assert(multi > 0)
+  }
+
   test("q64 selective-profile LSH equals the exact pair set at t=0.5") {
     // sf0.001's max pairwise cosine is ~0.48 — empty at this
     // threshold — so this spec runs at sf0.01, which populates it
