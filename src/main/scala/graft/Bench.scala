@@ -24,7 +24,8 @@ object Bench {
     "q34_ann_cosine", "q50_sessionize", "q51_tumbling_counts",
     "q35_ann_lsh", "q43_simhash_pairs", "q45_ann_ivf",
     "q47_cosine_pairs_lsh", "q49_ann_ivf_kmeans",
-    "q61_stratified_sample", "q62_token_packing", "q63_deciles_scalable")
+    "q61_stratified_sample", "q62_token_packing", "q63_deciles_scalable",
+    "q64_cosine_pairs_hi", "q66_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -62,6 +62,19 @@ object EventStreams {
         col("od_ts") <= col("ev_ts"))
   }
 
+  /** Stream-static enrichment: join the event stream against a batch
+    * dimension table (user profile, source metadata). The static side
+    * is planned per micro-batch — small dims broadcast, so the stream
+    * never shuffles; a left join keeps events whose dim row is
+    * missing (null-extended), matching warehouse enrichment
+    * semantics. No watermark needed: stream-static joins are
+    * stateless (each micro-batch joins independently). */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
   /** Streaming exact deduplication on event_id:
     * `dropDuplicatesWithinWatermark` keeps one copy of each id seen
     * within the watermark horizon and — unlike plain

@@ -57,6 +57,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(ns.exists(_.isInstanceOf[WindowGroupLimitExec]), ns.map(_.nodeName).toString)
   }
 
+  test("q67: weighted sampling is a pure map-side filter — zero shuffles") {
+    val ns = nodes(graft.operators.TextOps.queries("q67_weighted_sample")(spark, sfDir))
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      ns.map(_.nodeName).toString)
+  }
+
+  test("q68: nothing data-sized shuffles — only the rate aggregates exchange") {
+    // the doc-sized side reaches the output through scan → broadcast
+    // join → filter; every shuffle in the plan belongs to the tiny
+    // per-source aggregate chain (rows = #sources)
+    val ns = nodes(graft.operators.TextOps.queries("q68_mixing_planner")(spark, sfDir))
+    val bhj = ns.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj.nonEmpty, "rates must broadcast-join onto the doc stream")
+    val shuffles = ns.collect { case s: ShuffleExchangeExec => s }
+    // every exchange sits below an aggregate over per-source rows
+    assert(shuffles.size <= 3, ns.map(_.nodeName).toString)
+  }
+
   test("ANN paths run on native codegen expressions, not interpreted HOFs") {
     // q35 / q45 / q49 hot paths: every similarity score comes from the
     // native cosine_sim (and q35's buckets from hyperplane_bits); no

@@ -94,6 +94,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("event_id") == 1L)
   }
 
+  test("stream-static enrichment joins the dim and keeps unmatched events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("uid", "tier")
+    val input = MemoryStream[Event]
+    val query = EventStreams.enrich(input.toDF(), dim, "user_id", "uid")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 9, "view", 2.0)) // no dim row
+    query.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+    query.stop()
+    assert(rows.length == 2)
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(1L).getAs[String]("tier") == "gold")
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("tier"))) // left-join null-extend
+  }
+
   test("streaming dedup drops redelivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
