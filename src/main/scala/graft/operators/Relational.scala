@@ -661,6 +661,92 @@ object Relational {
        |FROM orders
        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
+  /** TPC-H Q21 shape (adapted: lateness = shipped >90 days after
+    * order date; the testdata carries no receipt/commit dates): for
+    * each supplier, count 'F'-status orders where it was late, the
+    * order had OTHER suppliers (EXISTS → left-semi), and none of the
+    * others were late (NOT EXISTS → left-anti). Catalyst plans the
+    * two correlated subqueries as semi/anti joins against the same
+    * fact — no subquery re-execution per row — and the dim joins
+    * broadcast. Top-10 via TakeOrderedAndProject. */
+  private val q70: QFn = (s, d) => {
+    val late = datediff(col("l_shipdate"), col("o_orderdate")) > 90
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l1 = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(late)
+      .select("l_orderkey", "l_suppkey")
+    val others = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"),
+        col("l_shipdate").as("x_shipdate"))
+    val withOthers = l1.join(others,
+      col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+    val lateOthers = others.join(o, col("x_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("x_shipdate"), col("o_orderdate")) > 90)
+      .select("x_orderkey", "x_suppkey")
+    val sole = withOthers.join(lateOthers,
+      col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_anti")
+    sole.join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
+  private val q70Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE date_diff('day', o_orderdate, l1.l_shipdate) > 90
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND date_diff('day', o_orderdate, l3.l_shipdate) > 90)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q22 shape (adapted: segment instead of the absent phone
+    * country code, and "no HIGH-VALUE order" instead of "no order" —
+    * the dense test data gives every rich customer some order):
+    * customers with above-average positive balance and no order over
+    * 300k — the scalar subquery broadcasts as a 1-row cross join, the
+    * NOT EXISTS plans as a left-anti join with its filter pushed
+    * below, and the exact decimal average makes the > threshold
+    * engine-identical. */
+  private val q71: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("ab"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+  }
+  private val q71Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS numcust,
+       |  ${sqlSum("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (
+       |    SELECT ${sqlAvg("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+       |GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -691,7 +777,9 @@ object Relational {
     "q55_string_funcs" -> q55,
     "q56_no_orders_bloom" -> q56,
     "q57_ship_delay" -> q57,
-    "q60_grouping_sets" -> q60)
+    "q60_grouping_sets" -> q60,
+    "q70_sole_late_supplier" -> q70,
+    "q71_idle_rich_customers" -> q71)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -723,5 +811,7 @@ object Relational {
     "q55_string_funcs" -> q55Sql,
     "q56_no_orders_bloom" -> q15Sql,
     "q57_ship_delay" -> q57Sql,
-    "q60_grouping_sets" -> q60Sql)
+    "q60_grouping_sets" -> q60Sql,
+    "q70_sole_late_supplier" -> q70Sql,
+    "q71_idle_rich_customers" -> q71Sql)
 }

@@ -637,6 +637,26 @@ object TextOps {
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Incremental dedup against a historical corpus — the
+    * daily-crawl-vs-100TB shape: return the incoming docs whose
+    * canonical fingerprint (q39's case-fold + whitespace-collapse
+    * md5, hashed to 64 bits) does not already exist in `history`.
+    * The history side reduces to ONE long column before anything
+    * moves, and the bloom pre-filter means bloom-negative incoming
+    * rows — almost all of a fresh crawl — skip the anti-join shuffle
+    * entirely. (64-bit content hashing: a truly-new doc is wrongly
+    * dropped only on an xxhash64 collision, ~n²/2⁶⁴ — the standard
+    * dedup bargain.) Both inputs need (doc_id, text). */
+  def dedupAgainstHistory(history: DataFrame, incoming: DataFrame): DataFrame = {
+    def withFp(df: DataFrame, as: String) = df.withColumn(as,
+      xxhash64(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))))
+    val hist = withFp(history, "fp_hist").select("fp_hist")
+    JoinOps.bloomAntiJoin(withFp(incoming, "fp_inc"), hist,
+      "fp_inc", "fp_hist")
+      .drop("fp_inc")
+  }
+
   val queries: Map[String, QFn] = Map(
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,

@@ -231,6 +231,34 @@ class LakehouseSpec extends SparkSpec {
       Tables.events(spark, sfDir).count())
   }
 
+  test("z-order layout: files carry tight extents on BOTH columns") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val events = Tables.events(spark, sfDir)
+    val zdir = tmpDir("zord") + "/t"
+    val ldir = tmpDir("zlin") + "/t"
+    Bucketing.writeZOrdered(events, zdir, "user_id", "event_id", files = 16)
+    Bucketing.writeRangePartitioned(events, ldir, "event_id", files = 16)
+    assert(spark.read.parquet(zdir).count() == events.count())
+    // per-file user_id extents: a narrow user_id box query can skip
+    // files whose [min,max] miss it. Under the event_id-linear layout
+    // user_id is scattered, so (almost) every file overlaps any box;
+    // z-order bounds both dimensions.
+    def overlapping(dir: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(fmin("user_id").as("mn"), fmax("user_id").as("mx"))
+        .filter(col("mx") >= lo && col("mn") <= hi)
+        .count()
+    val Array(uLo, uHi) = {
+      val mm = events.agg(fmin("user_id"), fmax("user_id")).head
+      val span = mm.getLong(1) - mm.getLong(0)
+      Array(mm.getLong(0), mm.getLong(0) + span / 8) // narrow box: 1/8 of the range
+    }
+    val zHit = overlapping(zdir, uLo, uHi)
+    val linHit = overlapping(ldir, uLo, uHi)
+    assert(zHit < linHit, s"z-order files hit=$zHit vs linear=$linHit")
+  }
+
   test("incremental loader: loads new files once, skips on re-run, records failures") {
     val src = tmpDir("src")
     val table = tmpDir("table") + "/t"

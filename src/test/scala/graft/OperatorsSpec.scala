@@ -124,6 +124,27 @@ class OperatorsSpec extends SparkSpec {
     assert(windows.isEmpty, plan.treeString)
   }
 
+  test("dedupAgainstHistory keeps only content-new incoming docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val history = docs.filter(col("doc_id") < 250)
+    // incoming: genuinely new docs + re-crawled copies of history
+    // content under NEW ids (content dedup must drop them)
+    val recrawled = history.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") >= 250).unionByName(recrawled)
+    val kept = TextOps.dedupAgainstHistory(history, incoming)
+    // reference: plain anti-join on the canonical fingerprint
+    def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("f",
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+    val expected = fp(incoming).join(fp(history).select("f"), Seq("f"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    // every re-crawled copy was dropped by content, not id
+    assert(!got.exists(_ >= 100000))
+  }
+
   test("q69 star-contraction clusters equal q66 label propagation") {
     val prop = TextOps.queries("q66_dedup_clusters")(spark, sfDir)
       .collect().map(_.toString).sorted.toSeq
