@@ -52,7 +52,14 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       if (ticks % cfg.retainEvery == 0)
         Maintenance.expireFiles(spark, cfg.srcDir, cfg.retentionDays)
       else Seq.empty
-    Automation.TickReport(ticks, generated, load, expired, vecLoad)
+    // periodic small-file compaction: steady ingestion produces one
+    // file per drop; the versioned rewrite keeps the table readable
+    // throughout and migrates a flat table on first compaction
+    val compacted =
+      if (cfg.compactEvery > 0 && ticks % cfg.compactEvery == 0)
+        Some(Maintenance.compactVersioned(spark, cfg.tableDir))
+      else None
+    Automation.TickReport(ticks, generated, load, expired, vecLoad, compacted)
   }
 
   /** Embedding-table maintenance: incremental-load new vector drops,
@@ -114,6 +121,7 @@ object Automation {
       generate: Boolean = true,
       retentionDays: Int = 7,
       retainEvery: Int = 60,
+      compactEvery: Int = 0, // 0 = no scheduled compaction
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None)
 
@@ -136,7 +144,8 @@ object Automation {
       generated: Option[String],
       load: IncrementalLoader.LoadResult,
       expired: Seq[String],
-      vecLoad: Option[IncrementalLoader.LoadResult] = None)
+      vecLoad: Option[IncrementalLoader.LoadResult] = None,
+      compacted: Option[Int] = None)
 
   /** `runMain graft.lakehouse.Automation <rootDir> [intervalSec]
     * [maxTicks]` — drops land in `<rootDir>/arrivals`, the lakehouse

@@ -128,6 +128,40 @@ object Multimodal {
     spark.createDataFrame(rdd, frameSchema)
   }
 
+  val embedSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = false),
+    StructField("label", StringType, nullable = false)))
+
+  /** STUB embedder: blob → unit-L2-norm `Array[Float]` — the bridge
+    * from the multimodal columns into the vector stack (its output
+    * schema IS the embeddings-table schema, so VectorIndex / ANN /
+    * near-dup operators consume it unchanged). The fake embedding is
+    * per-lane signed byte sums, L2-normalized — deterministic and
+    * content-sensitive; a real model inference (ONNX/JNI or a Python
+    * worker) replaces the per-row math, keeping the batch plumbing. */
+  def embedStub(blobs: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val raw = new Array[Double](dim)
+        var i = 0
+        while (i < bytes.length) {
+          val v = bytes(i) & 0xFF
+          raw(i % dim) += (if ((v & 1) == 1) v else -v)
+          i += 1
+        }
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        val emb = raw.map(x => if (nrm == 0) 0f else (x / nrm).toFloat)
+        Row(id, emb.toSeq, "blob")
+      }
+    }
+    spark.createDataFrame(rdd, embedSchema)
+  }
+
   /** Oracle-checkable slice of the blob pipeline: metadata projection
     * (byte length + content hash) — q41. */
   val q41: (SparkSession, String) => DataFrame = (s, d) =>

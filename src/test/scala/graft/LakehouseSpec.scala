@@ -124,6 +124,23 @@ class LakehouseSpec extends SparkSpec {
     assert(viaTicks.nonEmpty && viaTicks == viaBatch)
   }
 
+  test("automation tick compacts the table on schedule") {
+    val root = tmpDir("autocmp")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    val cfg = Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/reg", rowsPerDrop = 50,
+      compactEvery = 2)
+    val auto = new Automation(spark, cfg)
+    val reports = auto.runLoop(intervalMillis = 5, maxTicks = 2)
+    // tick 1: no compaction; tick 2: compacts the two ingest files
+    assert(reports(0).compacted.isEmpty && reports(1).compacted.contains(1))
+    assert(VersionedTable.currentVersion(spark, s"$root/t").isDefined)
+    assert(VersionedTable.read(spark, s"$root/t").count() == 100)
+    val cur = new java.io.File(VersionedTable.currentPath(spark, s"$root/t"))
+    assert(cur.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("sql runner: query, ddl, multi-statement script, and named procs") {
     SqlRunner.registerTables(spark, sfDir)
     val (res, secs) = SqlRunner.query(spark,

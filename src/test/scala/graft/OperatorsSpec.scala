@@ -523,6 +523,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal embed stub feeds the vector stack unchanged") {
+    val blobs = Multimodal.blobTable(spark, sfDir).limit(100)
+    val emb = Multimodal.embedStub(blobs, dim = 16)
+    // deterministic + partition-invariant
+    val a = emb.collect().map(_.toString).sorted.toSeq
+    val b = Multimodal.embedStub(blobs.repartition(7), dim = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // unit-L2-normalized
+    val norms = emb.select(
+      graft.functions.GraftFunctions.dotProduct(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // the embeddings-table schema: VectorIndex consumes it directly
+    val dir = tmpDir("mmidx") + "/idx"
+    VectorIndex.buildWith(emb, dir,
+      KMeansVec.centroidsDF(spark, KMeansVec.train(emb, k = 4, iters = 2)))
+    val hits = VectorIndex.search(spark, dir,
+      emb.filter(col("vec_id") < 3), nprobe = 2, k = 3)
+    assert(hits.groupBy("probe_id").count().collect().forall(_.getLong(1) == 3))
+  }
+
   test("multimodal decode stub: deterministic, right shape, partition-invariant") {
     val blobs = operators.Multimodal.blobTable(spark, sfDir)
     val f1 = operators.Multimodal.decodeStub(blobs).orderBy("doc_id").collect()
