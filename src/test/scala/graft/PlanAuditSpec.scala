@@ -76,6 +76,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 3, ns.map(_.nodeName).toString)
   }
 
+  test("PlanLint flags single-reducer windows and cartesians, clears the scale paths") {
+    import graft.util.PlanLint
+    // q29's global NTILE window is the canonical single-reducer shape
+    val w = PlanLint.check(Relational.queries("q29_deciles")(spark, sfDir))
+    assert(w.exists(_.kind == "single-partition-window"), w.toString)
+    // its RankOps twin is clean
+    assert(PlanLint.check(
+      Relational.queries("q63_deciles_scalable")(spark, sfDir)).isEmpty)
+    // q46's all-pairs candidate join is a deliberate (guarded) cartesian
+    val c = PlanLint.check(
+      graft.operators.VectorOps.queries("q46_cosine_pairs")(spark, sfDir))
+    assert(c.exists(_.kind == "cartesian"), c.toString)
+    // the LSH path is clean
+    assert(!PlanLint.check(
+      graft.operators.ScaleOps.queries("q47_cosine_pairs_lsh")(spark, sfDir))
+      .exists(_.kind == "cartesian"))
+    // the star-join and packing paths are clean
+    Seq("q05_local_supplier", "q70_sole_late_supplier").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
+    }
+  }
+
   test("ANN paths run on native codegen expressions, not interpreted HOFs") {
     // q35 / q45 / q49 hot paths: every similarity score comes from the
     // native cosine_sim (and q35's buckets from hyperplane_bits); no
