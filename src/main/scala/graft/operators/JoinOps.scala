@@ -50,6 +50,33 @@ object JoinOps {
     anti.union(definiteKeep)
   }
 
+  /** Banded range join: `left ⋈ right ON r ∈ [l + lower, l + upper]`
+    * with NO equi key — the shape Spark can only plan as a
+    * broadcast-nested-loop (every left row against every right row).
+    * Banding recovers a hash join: with band width w = upper − lower,
+    * a matching right value's bucket `floor(r/w)` can only be one of
+    * the (two) buckets covering `[l+lower, l+upper]`, so the left
+    * side explodes to those buckets, the join runs as an EQUI join on
+    * the bucket id, and the exact range predicate filters inside the
+    * join stage. Shuffle volume: ≤2× left + 1× right, vs the nested
+    * loop's |left|·|right| comparisons. (The as-of join covers the
+    * "latest earlier" case; this is the all-matches-in-window case —
+    * funnels, attribution, co-occurrence.) Columns `lCol`/`rCol` must
+    * be numeric (epoch seconds/micros for time). */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame,
+      lCol: String, rCol: String, lower: Long, upper: Long): DataFrame = {
+    require(upper > lower, s"empty band [$lower, $upper]")
+    val w = upper - lower
+    val l2 = left.withColumn("_lb", explode(sequence(
+      floor((col(lCol) + lower).cast("double") / w).cast("long"),
+      floor((col(lCol) + upper).cast("double") / w).cast("long"))))
+    val r2 = right.withColumn("_rb",
+      floor(col(rCol).cast("double") / w).cast("long"))
+    l2.join(r2, col("_lb") === col("_rb") &&
+        col(rCol) >= col(lCol) + lower && col(rCol) <= col(lCol) + upper)
+      .drop("_lb", "_rb")
+  }
+
   /** Salted equi-join for skewed keys.
     *
     * When one key carries a disproportionate share of `left`, the

@@ -85,13 +85,43 @@ object SessionOps {
        |  COUNT(*) AS n, ${sqlSum("value")} AS total_value
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Attribution funnel through the banded range join: every purchase
+    * within the hour AFTER any click (no user constraint — a pure
+    * range join, the shape Spark would otherwise nested-loop), daily
+    * totals. [[JoinOps.bandedRangeJoin]] turns it into an equi join
+    * on hour-wide time buckets: ≤2× clicks + 1× purchases shuffle
+    * instead of |clicks|·|purchases| comparisons. */
+  private val q72: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), unix_micros(col("ts")).as("b_us"),
+        col("value"))
+    JoinOps.bandedRangeJoin(clicks, buys, "c_us", "b_us",
+        lower = 0L, upper = 3600L * 1000000L)
+      .groupBy(floor(col("c_us") / (86400L * 1000000L)).cast("long")
+        .as("click_day"))
+      .agg(count(lit(1)).as("n_pairs"), dsum(col("value")).as("total_value"))
+  }
+  private val q72Sql =
+    s"""SELECT CAST(FLOOR(epoch_us(c.ts) / 86400000000) AS BIGINT) AS click_day,
+       |  COUNT(*) AS n_pairs, ${sqlSum("p.value")} AS total_value
+       |FROM events c JOIN events p
+       |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+       |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+       |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
-    "q52_json_extract" -> q52)
+    "q52_json_extract" -> q52,
+    "q72_click_attribution" -> q72)
 
   val oracleSql: Map[String, String] = Map(
     "q50_sessionize" -> q50Sql,
     "q51_tumbling_counts" -> q51Sql,
-    "q52_json_extract" -> q52Sql)
+    "q52_json_extract" -> q52Sql,
+    "q72_click_attribution" -> q72Sql)
 }

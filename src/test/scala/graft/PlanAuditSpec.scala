@@ -96,6 +96,12 @@ class PlanAuditSpec extends SparkSpec {
     Seq("q05_local_supplier", "q70_sole_late_supplier").foreach { q =>
       assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
     }
+    // the banded range join recovers an equi join from a pure range
+    // condition: no cartesian finding, no nested loop in the plan
+    val q72 = graft.operators.SessionOps.queries("q72_click_attribution")(spark, sfDir)
+    assert(PlanLint.check(q72).isEmpty)
+    assert(!q72.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
   }
 
   test("ANN paths run on native codegen expressions, not interpreted HOFs") {
