@@ -124,6 +124,38 @@ class OperatorsSpec extends SparkSpec {
     assert(windows.isEmpty, plan.treeString)
   }
 
+  test("corpus pipeline: stages compose, counts shrink, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val cfg = CorpusPipeline.Config(
+      minQuality = 0.4,
+      langKeepRates = Map("en" -> 0.9, "de" -> 0.5),
+      defaultKeepRate = 0.25,
+      binTokens = 2048L)
+    val (packed, r) = CorpusPipeline.run(docs, cfg)
+    assert(r.input >= r.afterQuality && r.afterQuality >= r.afterDedup &&
+      r.afterDedup >= r.afterSampling && r.afterSampling > 0)
+    assert(r.bins > 0)
+    // deterministic end to end
+    val (packed2, r2) = CorpusPipeline.run(docs, cfg)
+    assert(r2 == r)
+    assert(packed.collect().map(_.toString).sorted.toSeq ==
+      packed2.collect().map(_.toString).sorted.toSeq)
+    // packing invariant: within a stream, each offset = previous
+    // offset + previous n_tokens (exclusive prefix sum)
+    val rows = packed.orderBy("source", "doc_id")
+      .select("source", "n_tokens", "offset").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getString(0) == b.getString(0) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(1))
+      case _ => ()
+    }
+    // dedup stage: no two surviving docs share a fingerprint
+    val deduped = CorpusPipeline.dedupExact(docs)
+    val fps = deduped.select(
+      CorpusPipeline.canonicalFingerprint(col("text"))).collect()
+    assert(fps.length == fps.distinct.length)
+  }
+
   test("dedupAgainstHistory keeps only content-new incoming docs") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
