@@ -475,18 +475,24 @@ object TextOps {
     val pairs = q31(s, d).select("doc_a", "doc_b")
     val edges = pairs.toDF("src", "dst")
       .union(pairs.select(col("doc_b"), col("doc_a"))).cache()
+    // convergence via the label-sum: labels only ever DECREASE (min
+    // propagation), so the exact decimal sum is unchanged iff no
+    // label moved — one aggregate per round instead of a join+count
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).cache()
-    var changed = 1L
+    var prevSum = lblSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (!converged && rounds < 25) {
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("lbl"))
       val next = labels.union(prop)
         .groupBy("doc_id").agg(min("lbl").as("lbl")).cache()
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       rounds += 1
