@@ -207,6 +207,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.minhashBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+    ext.injectOptimizerRule(session => graft.plans.LintRule(session))
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

@@ -747,6 +747,37 @@ object Relational {
        |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
        |GROUP BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    * supplier(s) achieving the MAX — a scalar subquery over an
+    * aggregated view, decorrelated into a 1-row broadcast against the
+    * reused aggregate. The revenue is the exact decimal sum, so the
+    * double equality against the max is engine-identical. */
+  private val q73: QFn = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+  private val q73Sql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -779,7 +810,8 @@ object Relational {
     "q57_ship_delay" -> q57,
     "q60_grouping_sets" -> q60,
     "q70_sole_late_supplier" -> q70,
-    "q71_idle_rich_customers" -> q71)
+    "q71_idle_rich_customers" -> q71,
+    "q73_top_supplier" -> q73)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -813,5 +845,6 @@ object Relational {
     "q57_ship_delay" -> q57Sql,
     "q60_grouping_sets" -> q60Sql,
     "q70_sole_late_supplier" -> q70Sql,
-    "q71_idle_rich_customers" -> q71Sql)
+    "q71_idle_rich_customers" -> q71Sql,
+    "q73_top_supplier" -> q73Sql)
 }

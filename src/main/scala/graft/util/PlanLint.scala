@@ -33,7 +33,24 @@ object PlanLint {
     trees.flatMap(lint).distinct
   }
 
-  private def lint(plan: logical.LogicalPlan): Seq[Finding] =
+  // ---- session-wired mode: `spark.graft.lint=true` makes the
+  // ---- injected optimizer rule (GraftExtensions) record findings for
+  // ---- every optimized query; drain() reads and clears them.
+
+  private val recorded = new java.util.concurrent.ConcurrentLinkedQueue[Finding]
+
+  private[graft] def record(fs: Seq[Finding]): Unit =
+    fs.foreach { f => if (!recorded.contains(f)) recorded.add(f) }
+
+  /** Findings recorded by the injected lint rule since the last drain. */
+  def drain(): Seq[Finding] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    var f = recorded.poll()
+    while (f != null) { out += f; f = recorded.poll() }
+    out.toSeq
+  }
+
+  private[graft] def lint(plan: logical.LogicalPlan): Seq[Finding] =
     plan.collect {
       case w: logical.Window if w.partitionSpec.isEmpty =>
         Finding("single-partition-window",

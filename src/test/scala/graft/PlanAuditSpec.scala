@@ -104,6 +104,22 @@ class PlanAuditSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("session-wired lint rule records findings when enabled") {
+    import graft.util.PlanLint
+    // the extensions inject LintRule into this session (SparkSpec sets
+    // spark.sql.extensions=graft.functions.GraftExtensions)
+    spark.conf.set("spark.graft.lint", "true")
+    try {
+      PlanLint.drain()
+      Relational.queries("q29_deciles")(spark, sfDir).collect()
+      val found = PlanLint.drain()
+      assert(found.exists(_.kind == "single-partition-window"), found.toString)
+      // clean queries record nothing
+      Relational.queries("q05_local_supplier")(spark, sfDir).collect()
+      assert(!PlanLint.drain().exists(_.kind == "single-partition-window"))
+    } finally spark.conf.set("spark.graft.lint", "false")
+  }
+
   test("ANN paths run on native codegen expressions, not interpreted HOFs") {
     // q35 / q45 / q49 hot paths: every similarity score comes from the
     // native cosine_sim (and q35's buckets from hyperplane_bits); no
