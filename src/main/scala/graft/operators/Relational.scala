@@ -778,6 +778,41 @@ object Relational {
        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin
 
+  /** Window-function suite over one partitioned+ordered spec:
+    * dense_rank, percent_rank, cume_dist, lead, and a running
+    * first_value share a single Window operator (one shuffle + one
+    * sort for all five). The ratio functions round at 1e-6 — both
+    * engines divide the same exact integers, the round just pins the
+    * textual form. */
+  private val q74: QFn = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rnk", dense_rank().over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("cheapest_key", first(col("o_orderkey")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+  private val q74Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  DENSE_RANK() OVER w AS rnk,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+      |  LEAD(o_orderkey, 1) OVER w AS next_key,
+      |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_key
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-02-01'
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -811,7 +846,8 @@ object Relational {
     "q60_grouping_sets" -> q60,
     "q70_sole_late_supplier" -> q70,
     "q71_idle_rich_customers" -> q71,
-    "q73_top_supplier" -> q73)
+    "q73_top_supplier" -> q73,
+    "q74_window_suite" -> q74)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -846,5 +882,6 @@ object Relational {
     "q60_grouping_sets" -> q60Sql,
     "q70_sole_late_supplier" -> q70Sql,
     "q71_idle_rich_customers" -> q71Sql,
-    "q73_top_supplier" -> q73Sql)
+    "q73_top_supplier" -> q73Sql,
+    "q74_window_suite" -> q74Sql)
 }
