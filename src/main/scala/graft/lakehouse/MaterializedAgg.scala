@@ -1,0 +1,65 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Exact
+
+/** Incrementally-maintained grouped aggregate — the lakehouse answer
+  * to "recompute the dashboard after every load". Counts and decimal
+  * sums are ASSOCIATIVE partials, so each ingestion batch folds into
+  * the materialized state with one small merge:
+  *
+  *  1. partial-aggregate the NEW batch (map-side combine, rows =
+  *     touched keys);
+  *  2. union with the current state and re-aggregate (state is keyed
+  *     and compact — the merge scales with the key space, never with
+  *     the fact table);
+  *  3. commit the new state through [[VersionedTable]] — readable at
+  *     every crash point, and a crashed update simply retries.
+  *
+  * Sums accumulate in DECIMAL(28,6) end-to-end (`sum_` columns expose
+  * the double view), so the maintained state is bit-identical to a
+  * from-scratch aggregation of every batch — spec-pinned, no drift
+  * ever. Averages derive as sum/cnt at read time; min/max would fold
+  * the same way (associative); non-associative measures (exact
+  * distinct) need their own sketch (see q42's HLL twin).
+  */
+object MaterializedAgg {
+
+  /** `keys` group the view; `sums` are double-valued columns
+    * maintained as exact decimal sums (count is always kept). */
+  final case class Spec(keys: Seq[String], sums: Seq[String])
+
+  private def partial(batch: DataFrame, spec: Spec): DataFrame =
+    batch.groupBy(spec.keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        spec.sums.map(c =>
+          sum(col(c).cast(Exact.Dec)).as(s"dec_$c")): _*)
+
+  /** Fold one batch into the materialized state at `root`; returns
+    * the committed version. */
+  def update(spark: SparkSession, root: String, batch: DataFrame,
+      spec: Spec): Long = {
+    val p = partial(batch, spec)
+    val cur = if (VersionedTable.currentVersion(spark, root).isDefined)
+      Some(VersionedTable.read(spark, root)) else None
+    val merged = cur.map(_.unionByName(p)).getOrElse(p)
+      .groupBy(spec.keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")): _*)
+    VersionedTable.commit(spark, root) { stage =>
+      merged.write.mode("overwrite").parquet(stage)
+    }
+  }
+
+  /** Read the view: keys, cnt, and for each maintained sum the exact
+    * double total `sum_<col>` and the derived `avg_<col>`. */
+  def read(spark: SparkSession, root: String, spec: Spec): DataFrame = {
+    val st = VersionedTable.read(spark, root)
+    val cols = spec.keys.map(col) ++ Seq(col("cnt")) ++
+      spec.sums.flatMap(c => Seq(
+        col(s"dec_$c").cast("double").as(s"sum_$c"),
+        (col(s"dec_$c").cast("double") / col("cnt")).as(s"avg_$c")))
+    st.select(cols: _*)
+  }
+}

@@ -124,6 +124,31 @@ class LakehouseSpec extends SparkSpec {
     assert(viaTicks.nonEmpty && viaTicks == viaBatch)
   }
 
+  test("materialized aggregate: incremental folds equal a full recompute") {
+    val root = tmpDir("magg") + "/v"
+    val spec = MaterializedAgg.Spec(
+      keys = Seq("event_type"), sums = Seq("value"))
+    val ev = Tables.events(spark, sfDir)
+    val batches = Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+    batches.foreach(b => MaterializedAgg.update(spark, root, b, spec))
+    val view = MaterializedAgg.read(spark, root, spec)
+      .collect().map(_.toString).sorted.toSeq
+    // bit-identical to aggregating all batches from scratch (same
+    // exact decimal accumulator)
+    val full = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        graft.util.Exact.dsum(col("value")).as("sum_value"))
+      .withColumn("avg_value", col("sum_value") / col("cnt"))
+      .select("event_type", "cnt", "sum_value", "avg_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(view == full && view.nonEmpty)
+    // the state is versioned: one commit per batch, current = 3
+    assert(VersionedTable.currentVersion(spark, root).contains(3L))
+  }
+
   test("automation tick compacts the table on schedule") {
     val root = tmpDir("autocmp")
     new java.io.File(s"$root/arrivals").mkdirs()
