@@ -47,6 +47,17 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     } else None
     val load = IncrementalLoader.run(spark, cfg.srcDir, cfg.tableDir,
       cfg.registryDir, SurveyGen.schema)
+    // fold ONLY the freshly loaded rows into the materialized view —
+    // the dashboard the reference recomputes per refresh, maintained
+    // incrementally (merge cost = touched keys, not table size)
+    cfg.aggView.foreach { av =>
+      if (load.loaded.nonEmpty) {
+        val live = VersionedTable.currentPath(spark, cfg.tableDir)
+        val fresh = spark.read.parquet(
+          load.loaded.map(f => s"$live/${IncrementalLoader.publishedName(f)}"): _*)
+        MaterializedAgg.update(spark, av.root, fresh, av.spec)
+      }
+    }
     val vecLoad = cfg.vectorIndex.map(maintainIndex)
     val expired =
       if (ticks % cfg.retainEvery == 0)
@@ -123,7 +134,12 @@ object Automation {
       retainEvery: Int = 60,
       compactEvery: Int = 0, // 0 = no scheduled compaction
       seedBase: Int = 0,
-      vectorIndex: Option[VectorIndexConfig] = None)
+      vectorIndex: Option[VectorIndexConfig] = None,
+      aggView: Option[AggViewConfig] = None)
+
+  /** Materialized-view maintenance config: fold each tick's freshly
+    * loaded rows into [[MaterializedAgg]] state at `root`. */
+  final case class AggViewConfig(root: String, spec: MaterializedAgg.Spec)
 
   /** Embedding-pipeline config: where vector drops arrive, where the
     * loaded table and the persisted IVF index live. Drops are

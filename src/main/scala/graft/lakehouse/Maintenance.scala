@@ -52,16 +52,32 @@ object Maintenance {
   }
 
   /** Additive schema evolution on read: union two snapshots whose
-    * schemas differ by added columns (missing columns null-filled) —
-    * Spark-native `mergeSchema`, made explicit for appends. */
+    * schemas differ by added columns (missing columns null-filled)
+    * and/or WIDENED column types (int→long, long→double, … — resolved
+    * by Catalyst's own tightest-common-type rule, so the promotion
+    * matches what a SQL UNION would pick) — Spark-native
+    * `mergeSchema`, made explicit for appends. */
   def alignAppend(base: DataFrame, incoming: DataFrame): DataFrame = {
-    val baseCols = base.columns.toSeq
-    val incCols = incoming.columns.toSet
-    val allCols = baseCols ++ incoming.columns.filterNot(baseCols.contains)
-    def aligned(df: DataFrame, have: Set[String]) =
-      df.select(allCols.map(c =>
-        if (have.contains(c)) col(c) else lit(null).as(c)): _*)
-    aligned(base, baseCols.toSet).unionByName(aligned(incoming, incCols))
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    val baseTypes = base.schema.map(f => f.name -> f.dataType).toMap
+    val incTypes = incoming.schema.map(f => f.name -> f.dataType).toMap
+    val allCols = base.columns.toSeq ++
+      incoming.columns.filterNot(base.columns.contains)
+    val target = allCols.map { c =>
+      c -> ((baseTypes.get(c), incTypes.get(c)) match {
+        case (Some(a), Some(b)) if a != b =>
+          TypeCoercion.findTightestCommonType(a, b).getOrElse(a)
+        case (Some(a), _) => a
+        case (_, Some(b)) => b
+        case _ => throw new IllegalStateException(s"column $c in neither side")
+      })
+    }.toMap
+    def aligned(df: DataFrame, have: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(allCols.map { c =>
+        if (have.contains(c)) col(c).cast(target(c)).as(c)
+        else lit(null).cast(target(c)).as(c)
+      }: _*)
+    aligned(base, baseTypes).unionByName(aligned(incoming, incTypes))
   }
 
   /** MERGE/upsert: apply `changes` onto the table at `tableDir` by

@@ -149,6 +149,29 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.currentVersion(spark, root).contains(3L))
   }
 
+  test("automation tick maintains the materialized view incrementally") {
+    val root = tmpDir("autoagg")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    val spec = MaterializedAgg.Spec(
+      keys = Seq("satisfaction"), sums = Seq("departure_delay"))
+    val cfg = Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/reg", rowsPerDrop = 80,
+      aggView = Some(Automation.AggViewConfig(s"$root/view", spec)))
+    new Automation(spark, cfg).runLoop(intervalMillis = 5, maxTicks = 2)
+    val view = MaterializedAgg.read(spark, s"$root/view", spec)
+      .collect().map(_.toString).sorted.toSeq
+    val full = spark.read.parquet(s"$root/t")
+      .groupBy("satisfaction")
+      .agg(count(lit(1)).as("cnt"),
+        graft.util.Exact.dsum(col("departure_delay").cast("double"))
+          .as("sum_departure_delay"))
+      .withColumn("avg_departure_delay",
+        col("sum_departure_delay") / col("cnt"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(view == full && view.nonEmpty)
+  }
+
   test("automation tick compacts the table on schedule") {
     val root = tmpDir("autocmp")
     new java.io.File(s"$root/arrivals").mkdirs()
@@ -629,6 +652,20 @@ class LakehouseSpec extends SparkSpec {
     assert(merged.columns.toSeq == Seq("id", "name", "score"))
     val rows = merged.orderBy("id").collect()
     assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 5.0)
+  }
+
+  test("schema evolution: differing numeric types widen like SQL UNION") {
+    import spark.implicits._
+    val base = Seq((1, 10)).toDF("id", "v")            // int, int
+    val incoming = Seq((2L, 2.5, "z")).toDF("id", "v", "tag") // long, double, new col
+    val merged = Maintenance.alignAppend(base, incoming)
+    val types = merged.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("id") == "bigint" && types("v") == "double" &&
+      types("tag") == "string")
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 10.0 &&
+      rows(0).isNullAt(2))
+    assert(rows(1).getDouble(1) == 2.5 && rows(1).getString(2) == "z")
   }
 
   test("file-level retention deletes only stale files") {
