@@ -62,4 +62,50 @@ object MaterializedAgg {
         (col(s"dec_$c").cast("double") / col("cnt")).as(s"avg_$c")))
     st.select(cols: _*)
   }
+
+  // ---- streaming form: exactly-once folds keyed by micro-batch id.
+
+  private val BatchMarker = "^_batch-(\\d+)$".r
+
+  /** Highest micro-batch id folded into the state (the marker file
+    * lives INSIDE the committed version dir, so it is atomic with the
+    * state it describes). */
+  def lastFoldedBatch(spark: SparkSession, root: String): Option[Long] = {
+    if (VersionedTable.currentVersion(spark, root).isEmpty) return None
+    val dir = new org.apache.hadoop.fs.Path(
+      VersionedTable.currentPath(spark, root))
+    val fs = org.apache.hadoop.fs.FileSystem.get(dir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case BatchMarker(n) => Some(n.toLong)
+      case _ => None
+    }).maxOption
+  }
+
+  /** Fold a micro-batch EXACTLY ONCE: Structured Streaming re-delivers
+    * a batch whose foreachBatch crashed mid-commit, so the fold is
+    * idempotent by batchId — the id is recorded as a marker file
+    * inside the same versioned commit as the merged state (one
+    * atomic unit: either the new state AND its id are current, or
+    * neither). A re-delivered id folds nothing. Returns whether the
+    * batch was folded. */
+  def foldBatch(spark: SparkSession, root: String, batch: DataFrame,
+      spec: Spec, batchId: Long): Boolean = {
+    if (lastFoldedBatch(spark, root).exists(_ >= batchId)) return false
+    val p = partial(batch, spec)
+    val cur = if (VersionedTable.currentVersion(spark, root).isDefined)
+      Some(VersionedTable.read(spark, root)) else None
+    val merged = cur.map(_.unionByName(p)).getOrElse(p)
+      .groupBy(spec.keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")): _*)
+    VersionedTable.commit(spark, root) { stage =>
+      merged.write.mode("overwrite").parquet(stage)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),
+        spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(stage, s"_batch-$batchId"),
+        true).close()
+    }
+    true
+  }
 }

@@ -48,6 +48,27 @@ object StreamingLoader {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming materialized view: each micro-batch folds into
+    * [[MaterializedAgg]] state exactly once (idempotent by batch id —
+    * the id commits atomically with the state, so crash-and-redeliver
+    * folds nothing twice). The streaming dashboard: aggregate state
+    * grows with the KEY space while the stream is unbounded. */
+  def runAggView(spark: SparkSession, srcDir: String, viewRoot: String,
+      checkpointDir: String, schema: StructType,
+      spec: MaterializedAgg.Spec): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .csv(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        MaterializedAgg.foldBatch(spark, viewRoot, batch, spec, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Land ONE microbatch: crash-safe, idempotent, atomically visible.
     *
     * Structured Streaming checkpoints a batch only after this returns,
