@@ -163,9 +163,27 @@ object VersionedTable {
     * store; create+close elsewhere). Its EXISTENCE is the commit —
     * the content (the version number) is informational — so even the
     * worst crash inside this call (file present, content unwritten)
-    * commits a version whose data is already complete. */
+    * commits a version whose data is already complete.
+    *
+    * `overwrite = false` doubles as conflict DETECTION: two writers
+    * racing to the same next version can only create its manifest
+    * once, so the loser fails loudly here instead of both believing
+    * they committed. This catches the accidental-second-daemon case;
+    * it is not full multi-writer safety (the loser may already have
+    * overwritten the shared staged data dir before failing — true
+    * multi-writer needs per-writer staging names; the deployment
+    * model remains single-writer). A crashed attempt never conflicts
+    * with its own retry: if the manifest exists, that commit
+    * SUCCEEDED — data completes before the manifest — so the retry
+    * computes the next version. */
   private def publishManifest(fs: FileSystem, root: String, n: Long): Unit = {
-    val out = fs.create(new Path(commitsDir(root), n.toString), true)
+    val out =
+      try fs.create(new Path(commitsDir(root), n.toString), false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"concurrent commit detected: version $n of $root was published " +
+            "by another writer", e)
+      }
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 

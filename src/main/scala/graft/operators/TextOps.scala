@@ -663,6 +663,37 @@ object TextOps {
       .drop("fp_inc")
   }
 
+  /** Heavy hitters via count-min sketch: term frequencies estimated
+    * from ONE distributed pass whose only driver artifact is the
+    * sketch matrix (width×depth longs, tens of KB — `stat
+    * .countMinSketch` tree-aggregates partition sketches; mergeable,
+    * like the HLL/GK twins q42/q44). The q53 exact top-k needs a
+    * term-keyed shuffle; the sketch answers any term's count without
+    * one, at ε·N overestimate-only error. Output joins the exact
+    * counts for the top terms so the error is visible (rows-only —
+    * sketch internals are engine-specific; the spec pins the
+    * overestimate-only bound). */
+  private val q75: QFn = (s, d) => {
+    val terms = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val cms = terms.stat.countMinSketch("term",
+      eps = 0.0005, confidence = 0.99, seed = 42)
+    val top = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term").asc).limit(20).collect()
+    val rows = top.map(r => org.apache.spark.sql.Row(
+      r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("exact_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cms_n",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
@@ -679,7 +710,8 @@ object TextOps {
     "q66_dedup_clusters" -> q66,
     "q67_weighted_sample" -> q67,
     "q68_mixing_planner" -> q68,
-    "q69_dedup_clusters_star" -> q69)
+    "q69_dedup_clusters_star" -> q69,
+    "q75_heavy_hitters" -> q75)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,

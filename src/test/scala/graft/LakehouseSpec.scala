@@ -543,6 +543,25 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, root, 2).head.getString(1) == "b")
   }
 
+  test("versioned table: a racing writer's commit fails loudly") {
+    import spark.implicits._
+    val root = tmpDir("vtrace") + "/t"
+    VersionedTable.init(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    // another writer publishes version 2 between our version
+    // computation and our manifest create — simulate by pre-creating
+    // the manifest our commit will try to claim
+    val err = intercept[IllegalStateException] {
+      VersionedTable.commit(spark, root) { stage =>
+        java.nio.file.Files.createFile(
+          new java.io.File(s"$root/_commits/2").toPath) // the racer wins
+        Seq((9L, "x")).toDF("k", "s").write.parquet(stage)
+      }
+    }
+    assert(err.getMessage.contains("concurrent commit"))
+    // the racer's (empty-manifest) commit is current; ours never landed
+    assert(VersionedTable.currentVersion(spark, root).contains(2L))
+  }
+
   test("versioned table: round-2 v=N layout reads and migrates to manifests") {
     import spark.implicits._
     val root = tmpDir("vtl") + "/t"

@@ -124,6 +124,20 @@ class OperatorsSpec extends SparkSpec {
     assert(windows.isEmpty, plan.treeString)
   }
 
+  test("q75 count-min estimates are overestimate-only within the eps bound") {
+    val out = TextOps.queries("q75_heavy_hitters")(spark, sfDir).collect()
+    assert(out.length == 20)
+    val total = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    out.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"CMS underestimated ${r.getString(0)}")
+      assert(est - exact <= (0.0005 * total).ceil.toLong * 2,
+        s"${r.getString(0)}: est=$est exact=$exact total=$total")
+    }
+  }
+
   test("corpus pipeline: stages compose, counts shrink, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val cfg = CorpusPipeline.Config(
