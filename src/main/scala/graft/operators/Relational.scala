@@ -671,21 +671,29 @@ object Relational {
     * broadcast. Top-10 via TakeOrderedAndProject. */
   private val q70: QFn = (s, d) => {
     val late = datediff(col("l_shipdate"), col("o_orderdate")) > 90
-    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-      .select("o_orderkey", "o_orderdate")
-    val l1 = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(late)
-      .select("l_orderkey", "l_suppkey")
+    // "late line on an F order" is needed TWICE — as the driving set
+    // and as the NOT-EXISTS probe (lateOthers is the SAME relation,
+    // renamed) — so it is built once and cached, instead of scanning
+    // lineitem+orders again for the subquery side
+    val l1 = graft.util.DfCache.getOrBuild(s, s"late70:$d") {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val r = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+        .cache()
+      r.count()
+      r
+    }
     val others = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"),
-        col("l_shipdate").as("x_shipdate"))
+      .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
     val withOthers = l1.join(others,
       col("l_orderkey") === col("x_orderkey") &&
         col("l_suppkey") =!= col("x_suppkey"), "left_semi")
-    val lateOthers = others.join(o, col("x_orderkey") === col("o_orderkey"))
-      .filter(datediff(col("x_shipdate"), col("o_orderdate")) > 90)
-      .select("x_orderkey", "x_suppkey")
+    val lateOthers = l1.select(col("l_orderkey").as("x_orderkey"),
+      col("l_suppkey").as("x_suppkey"))
     val sole = withOthers.join(lateOthers,
       col("l_orderkey") === col("x_orderkey") &&
         col("l_suppkey") =!= col("x_suppkey"), "left_anti")
