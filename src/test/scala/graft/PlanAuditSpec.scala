@@ -104,6 +104,18 @@ class PlanAuditSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q70/q73: double-referenced subplans read the cache, not the fact twice") {
+    // Spark plans no ReusedExchange across the two references, so the
+    // shared relation must come from an InMemoryTableScan — a
+    // regression here silently doubles the fact-table scans
+    Seq("q70_sole_late_supplier", "q73_top_supplier").foreach { q =>
+      val df = Relational.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), s"$q lost its cached subplan")
+    }
+  }
+
   test("session-wired lint rule records findings when enabled") {
     import graft.util.PlanLint
     // the extensions inject LintRule into this session (SparkSpec sets
