@@ -85,6 +85,36 @@ object SessionOps {
        |  COUNT(*) AS n, ${sqlSum("value")} AS total_value
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Hopping (sliding) windows — the overlapping twin of q51: 1-hour
+    * windows advancing every 15 minutes, so each event lands in
+    * window/slide = 4 windows. Spark's `window(ts, len, slide)`
+    * expands each row to its covering windows BEFORE the shuffle
+    * (a 4× map-side explode, never a self-join), then aggregates like
+    * any tumbling window — the same plan shape the watermarked
+    * streaming version uses. Windows align to the epoch 15-minute
+    * grid, which DuckDB's `time_bucket` shares (its 2000-01-01 origin
+    * is a whole multiple of 15 min from the epoch). */
+  private val q78: QFn = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+  private val q78Sql =
+    s"""SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+       |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS total_value
+       |FROM (
+       |  SELECT event_type, value,
+       |    unnest(generate_series(
+       |      time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+       |      time_bucket(INTERVAL '15 minutes', ts),
+       |      INTERVAL '15 minutes')) AS ws
+       |  FROM events) t
+       |GROUP BY 1, 2""".stripMargin
+
   /** Attribution funnel through the banded range join: every purchase
     * within the hour AFTER any click (no user constraint — a pure
     * range join, the shape Spark would otherwise nested-loop), daily
@@ -117,11 +147,13 @@ object SessionOps {
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
     "q52_json_extract" -> q52,
-    "q72_click_attribution" -> q72)
+    "q72_click_attribution" -> q72,
+    "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
     "q50_sessionize" -> q50Sql,
     "q51_tumbling_counts" -> q51Sql,
     "q52_json_extract" -> q52Sql,
-    "q72_click_attribution" -> q72Sql)
+    "q72_click_attribution" -> q72Sql,
+    "q78_hopping_counts" -> q78Sql)
 }

@@ -464,7 +464,7 @@ object TextOps {
     * keeps the per-doc minimum, until a fixpoint. Rounds needed =
     * graph diameter — near-dup clusters are short chains in practice
     * (and each round is ONE shuffle join over the edge list, labels
-    * cached, O(V+E) per round; for adversarial diameters the
+    * cached, O(E) per round; for adversarial diameters the
     * two-phase star-contraction variant converges in O(log²) rounds,
     * same per-round shape). The DuckDB oracle is a recursive-CTE
     * transitive closure — a completely different algorithm reaching
@@ -475,14 +475,21 @@ object TextOps {
     val pairs = q31(s, d).select("doc_a", "doc_b")
     val edges = pairs.toDF("src", "dst")
       .union(pairs.select(col("doc_b"), col("doc_a"))).cache()
+    // Only edge-touched docs can ever leave their own label — iterate
+    // over the edge-INDUCED vertex set (near-dup pairs are a sliver of
+    // any real corpus) and left-join the result back at the end, so
+    // each round's join + min-aggregate run over |E|-sized inputs, not
+    // the whole document table.
+    //
     // convergence via the label-sum: labels only ever DECREASE (min
     // propagation), so the exact decimal sum is unchanged iff no
     // label moved — one aggregate per round instead of a join+count
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")).cache()
     var prevSum = lblSum(labels)
-    var converged = false
+    var converged = prevSum == null // no edges → nothing to propagate
     var rounds = 0
     while (!converged && rounds < 25) {
       val prop = edges
@@ -498,7 +505,9 @@ object TextOps {
       rounds += 1
     }
     edges.unpersist()
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
   private val q66Sql =
     s"""WITH RECURSIVE
@@ -663,6 +672,76 @@ object TextOps {
       .drop("fp_inc")
   }
 
+  /** Benchmark DECONTAMINATION — flag training docs that share any
+    * word trigram with a held-out benchmark/eval set (every 50th doc
+    * stands in for the benchmark corpus here). The shape that matters
+    * at 100 TB: benchmark corpora are small by construction, so the
+    * benchmark gram set BROADCASTS; the corpus side reuses the same
+    * map-only native `trigram_hashes` postings the near-dup family
+    * shares (memoized — q31/q32/q76 build them once), and the only
+    * shuffle is the per-doc aggregate of the few colliding rows.
+    * Output: contaminated docs with the count and fraction of their
+    * grams that appear in the benchmark (downstream drops or audits
+    * by `shared_frac`). */
+  private val q76: QFn = (s, d) => {
+    val e = gramHashes(s, d) // (doc_id, n_grams, gram) — distinct per doc
+    val bench = e.filter(col("doc_id") % 50 === 0).select("gram").distinct()
+    e.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("shared_frac"))
+  }
+  private val q76Sql =
+    """WITH gl AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |          for i in range(1, len(w)-1)]) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents) t),
+      |g AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      |      FROM gl),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id, COUNT(*) AS n_shared,
+      |  CAST(COUNT(*) AS DOUBLE) / n_grams AS shared_frac
+      |FROM g JOIN bench USING (gram)
+      |WHERE g.doc_id % 50 <> 0
+      |GROUP BY g.doc_id, n_grams""".stripMargin
+
+  /** Within-document repetition scoring (Gopher-style boilerplate
+    * signals): duplicate-word and duplicate-trigram fractions. The
+    * near-dup family (q31/q32/q43) finds CROSS-doc duplication; this
+    * finds SELF-repetition — templated/boilerplate text whose shingles
+    * mostly repeat — which near-dup pair mining never surfaces. Pure
+    * in-row array math (split / array_distinct / size), map-only: no
+    * shuffle at any scale. */
+  private val q77: QFn = (s, d) => {
+    val w = words(col("text"))
+    val n = size(w)
+    val totalTri = n - 2
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      n.as("n_words"),
+      (lit(1.0) - size(array_distinct(w)).cast("double") / n.cast("double"))
+        .as("dup_word_frac"),
+      when(n >= 3,
+        lit(1.0) - size(trigrams(col("text"))).cast("double")
+          / totalTri.cast("double"))
+        .otherwise(lit(0.0)).as("dup_tri_frac"))
+  }
+  private val q77Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents)
+      |SELECT doc_id, len(w) AS n_words,
+      |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |    AS dup_word_frac,
+      |  CASE WHEN len(w) >= 3 THEN
+      |    1.0 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |            for i in range(1, len(w)-1)])) AS DOUBLE) / (len(w) - 2)
+      |  ELSE 0.0 END AS dup_tri_frac
+      |FROM t""".stripMargin
+
   /** Heavy hitters via count-min sketch: term frequencies estimated
     * from ONE distributed pass whose only driver artifact is the
     * sketch matrix (width×depth longs, tens of KB — `stat
@@ -711,7 +790,9 @@ object TextOps {
     "q67_weighted_sample" -> q67,
     "q68_mixing_planner" -> q68,
     "q69_dedup_clusters_star" -> q69,
-    "q75_heavy_hitters" -> q75)
+    "q75_heavy_hitters" -> q75,
+    "q76_decontaminate" -> q76,
+    "q77_repetition" -> q77)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -732,5 +813,7 @@ object TextOps {
     // star contraction reaches the same fixpoint as the propagation
     // path AND the recursive-CTE closure — three algorithms, one
     // oracle
-    "q69_dedup_clusters_star" -> q66Sql)
+    "q69_dedup_clusters_star" -> q66Sql,
+    "q76_decontaminate" -> q76Sql,
+    "q77_repetition" -> q77Sql)
 }

@@ -124,6 +124,54 @@ class OperatorsSpec extends SparkSpec {
     assert(windows.isEmpty, plan.treeString)
   }
 
+  test("q76 flags exactly the docs sharing a trigram with the benchmark set") {
+    import spark.implicits._
+    // doc 0 (id % 50 == 0) is the benchmark. doc 1 shares exactly ONE
+    // trigram with it ("alpha beta gamma"); doc 2 shares none.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma other words here"),
+      (2L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("q76")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.queries("q76_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // doc 1 has 4 trigrams, 1 shared → frac 0.25; doc 2 absent
+    assert(out == Seq((1L, 1L, 0.25)))
+  }
+
+  test("q77 repetition fractions match hand-computed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a"),     // 5 words, 1 distinct; 3 trigrams, 1 distinct
+      (2L, "v w x y z"),     // all distinct
+      (3L, "p q")            // too short for trigrams
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("q77")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.queries("q77_repetition")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5, 1.0 - 1.0 / 5.0, 1.0 - 1.0 / 3.0),
+      (2L, 5, 0.0, 0.0),
+      (3L, 2, 0.0, 0.0)))
+  }
+
+  test("q78 hopping windows cover each event 4x and embed the tumbling counts") {
+    val hop = SessionOps.queries("q78_hopping_counts")(spark, sfDir)
+    val nEvents = Tables.events(spark, sfDir).count()
+    // 1h window / 15min hop → every event lands in exactly 4 windows
+    assert(hop.agg(sum("n")).head.getLong(0) == 4 * nEvents)
+    // hour-aligned hopping windows ARE the tumbling hour windows
+    val onHour = hop.filter(substring(col("window_start"), 15, 2) === "00")
+      .collect().map(_.toString).sorted.toSeq
+    val tumbling = SessionOps.queries("q51_tumbling_counts")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(onHour.nonEmpty && onHour == tumbling)
+  }
+
   test("q75 count-min estimates are overestimate-only within the eps bound") {
     val out = TextOps.queries("q75_heavy_hitters")(spark, sfDir).collect()
     assert(out.length == 20)

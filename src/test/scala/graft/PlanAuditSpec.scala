@@ -76,6 +76,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 3, ns.map(_.nodeName).toString)
   }
 
+  test("q76/q77: decontamination broadcasts the benchmark; repetition never shuffles") {
+    val ns76 = nodes(graft.operators.TextOps.queries("q76_decontaminate")(spark, sfDir))
+    assert(ns76.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "benchmark gram set must broadcast-join onto the corpus postings")
+    val ns77 = nodes(graft.operators.TextOps.queries("q77_repetition")(spark, sfDir))
+    assert(!ns77.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      ns77.map(_.nodeName).toString)
+  }
+
   test("PlanLint flags single-reducer windows and cartesians, clears the scale paths") {
     import graft.util.PlanLint
     // q29's global NTILE window is the canonical single-reducer shape
