@@ -2,6 +2,7 @@ package graft.lakehouse
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Crash-safe table commits without a table format: versioned data
   * directories + single-object commit manifests.
@@ -157,6 +158,45 @@ object VersionedTable {
     val hidden = s"$root/_v-$version"
     val dir = if (fs.exists(new Path(hidden))) hidden else s"$root/v=$version"
     spark.read.parquet(dir)
+  }
+
+  /** CDC feed between two retained versions (both inside the
+    * `keepVersions` time-travel window) — the change-data capture a
+    * table FORMAT would serve from stored change files, recovered here
+    * by snapshot difference, so downstream incremental consumers
+    * (index maintenance, MaterializedAgg backfills, replication) can
+    * ask "what changed between v_a and v_b" without replaying loads.
+    *
+    * Full-row multiset diff via `exceptAll` — ONE shuffle per side on
+    * the row hash, no driver materialization, scales like any
+    * aggregate. With `keyCols` the diff rows are further classified
+    * Delta-CDF-style: a changed key present on both sides emits
+    * `update_preimage` (old row) + `update_postimage` (new row);
+    * one-sided keys emit `insert` / `delete`. Key membership is
+    * decided by semi-joins against the OTHER side's diff keys — only
+    * changed rows ever join, so the classification cost follows the
+    * change volume, not the table size. */
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val from = readVersion(spark, root, fromV)
+    val to = readVersion(spark, root, toV)
+    val added = to.exceptAll(from)
+    val removed = from.exceptAll(to)
+    if (keyCols.isEmpty)
+      added.withColumn("_change_type", lit("insert"))
+        .unionByName(removed.withColumn("_change_type", lit("delete")))
+    else {
+      val addedKeys = added.select(keyCols.map(col): _*).distinct()
+      val removedKeys = removed.select(keyCols.map(col): _*).distinct()
+      added.join(removedKeys, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_postimage"))
+        .unionByName(added.join(removedKeys, keyCols, "left_anti")
+          .withColumn("_change_type", lit("insert")))
+        .unionByName(removed.join(addedKeys, keyCols, "left_semi")
+          .withColumn("_change_type", lit("update_preimage")))
+        .unionByName(removed.join(addedKeys, keyCols, "left_anti")
+          .withColumn("_change_type", lit("delete")))
+    }
   }
 
   /** Manifest creation: a single-object write (one PUT on an object

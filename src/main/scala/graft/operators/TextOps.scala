@@ -472,7 +472,11 @@ object TextOps {
     * check. */
   private val q66: QFn = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id")
-    val pairs = q31(s, d).select("doc_a", "doc_b")
+    // cache the pair set BEFORE deriving both edge directions — the
+    // union reads `pairs` twice, and uncached that runs the whole
+    // PPJoin + verify once per branch
+    val pairs = q31(s, d).select("doc_a", "doc_b").cache()
+    pairs.count() // eager: both union branches must hit the cache
     val edges = pairs.toDF("src", "dst")
       .union(pairs.select(col("doc_b"), col("doc_a"))).cache()
     // Only edge-touched docs can ever leave their own label — iterate
@@ -505,6 +509,7 @@ object TextOps {
       rounds += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
@@ -671,6 +676,74 @@ object TextOps {
       "fp_inc", "fp_hist")
       .drop("fp_inc")
   }
+
+  /** NEAR-dup dedup of an incoming batch against a historical corpus —
+    * the daily-crawl shape at trigram-Jaccard granularity
+    * ([[dedupAgainstHistory]] catches only EXACT re-crawls; a crawler
+    * re-fetching a page with a changed footer needs this one).
+    *
+    * `historyPostings` is a PRE-BUILT postings table
+    * (`hist_id, nb, gram` — the [[gramHashes]] layout): at 100 TB the
+    * corpus postings are maintained incrementally alongside the corpus
+    * (append per load through the versioned table), never rebuilt per
+    * batch — only the incoming batch is shingled here (map-only native
+    * `trigram_hashes`).
+    *
+    * ONE-SIDED prefix filter (PPJoin indexes one side; soundness needs
+    * no coordination with the probe side): a qualifying pair within
+    * the size band nb ≥ t·na needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉ ≥
+    * ⌈t·na⌉, and an incoming doc's suffix beyond its ⌊(1−t)·na⌋+1
+    * ranked grams holds < t·na grams — so every qualifying history
+    * match collides with the PREFIX. Prefix grams are ranked by
+    * HISTORY document frequency (unseen grams rank first), so probe
+    * buckets are the rare grams; frequent-gram buckets never see the
+    * incoming suffix. Survivor pairs get the exact-Jaccard verify
+    * against the full postings. Returns the incoming docs with NO
+    * history near-dup at threshold `t` (≥ 0.5 for prefix soundness). */
+  def nearDupAgainstHistory(historyPostings: DataFrame, incoming: DataFrame,
+      t: Double = 0.5): DataFrame = {
+    require(t >= 0.5 && t < 1.0, s"prefix bound needs t in [0.5, 1), got $t")
+    val hp = historyPostings.toDF("hist_id", "nb", "gram")
+    val hdf = hp.groupBy("gram").agg(count(lit(1)).as("df"))
+    val ip = incoming
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.trigramHashes(words(col("text")))
+          .as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("na"),
+        explode(col("grams")).as("gram"))
+    val prefix = ip.join(hdf, Seq("gram"), "left")
+      .select(col("doc_id"), col("na"), col("gram"),
+        coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("doc_id", "na")
+      .agg(collect_list(struct(col("df"), col("gram"))).as("ranked"))
+      .select(col("doc_id"), col("na"), explode(expr(
+        s"slice(array_sort(ranked), 1, " +
+          s"cast(floor(na * ${1 - t}) + 1 as int))")).as("r"))
+      .select(col("doc_id"), col("na"), col("r.gram").as("gram"))
+    val cand = prefix.join(hp, Seq("gram"))
+      .filter(col("nb") >= col("na") * t && col("nb") <= col("na") / t)
+      .select("doc_id", "hist_id").distinct()
+    val matched = cand
+      .join(ip.select(col("doc_id"), col("na"), col("gram")), Seq("doc_id"))
+      .join(hp, Seq("hist_id", "gram"))
+      .groupBy("doc_id", "hist_id", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")) >= t)
+      .select("doc_id").distinct()
+    incoming.join(matched, Seq("doc_id"), "left_anti")
+  }
+
+  /** Build the [[nearDupAgainstHistory]] postings layout
+    * (`hist_id, nb, gram`) from a (doc_id, text) corpus — what a
+    * 100 TB deployment materializes once and appends to per load. */
+  def historyPostings(history: DataFrame): DataFrame =
+    history
+      .select(col("doc_id").as("hist_id"),
+        graft.functions.GraftFunctions.trigramHashes(words(col("text")))
+          .as("grams"))
+      .select(col("hist_id"), size(col("grams")).as("nb"),
+        explode(col("grams")).as("gram"))
 
   /** Benchmark DECONTAMINATION — flag training docs that share any
     * word trigram with a held-out benchmark/eval set (every 50th doc

@@ -40,6 +40,20 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Watermarked HOPPING windows — the streaming twin of q78: 1-hour
+    * windows sliding every 15 minutes, so each event contributes to 4
+    * window states. Spark expands the covering windows map-side per
+    * event (never a self-join); state holds the open windows per type
+    * and evicts them once the watermark passes the window end. */
+  def hoppingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Stream-stream interval join: each event joins order-stream rows
     * of the same user whose time falls in [event−1h, event]. Both
     * sides carry watermarks, so the join state store evicts rows once

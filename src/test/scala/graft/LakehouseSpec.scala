@@ -543,6 +543,30 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, root, 2).head.getString(1) == "b")
   }
 
+  test("versioned table: changes() classifies insert/update/delete between versions") {
+    import spark.implicits._
+    val root = tmpDir("vtcdc") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), keepVersions = 3)
+    // v2: update k=2, delete k=3, insert k=4, keep k=1 untouched
+    VersionedTable.rewrite(spark, root, keepVersions = 3) { df =>
+      df.filter(col("k") =!= 3L)
+        .withColumn("s", when(col("k") === 2L, lit("B")).otherwise(col("s")))
+        .unionByName(Seq((4L, "d")).toDF("k", "s"))
+    }
+    val keyed = VersionedTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(keyed == Seq(
+      (2L, "B", "update_postimage"), (2L, "b", "update_preimage"),
+      (3L, "c", "delete"), (4L, "d", "insert")))
+    // unkeyed: the same rows as a plain insert/delete multiset diff
+    val flat = VersionedTable.changes(spark, root, 1L, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(flat == Map("insert" -> 2L, "delete" -> 2L))
+  }
+
   test("versioned table: a racing writer's commit fails loudly") {
     import spark.implicits._
     val root = tmpDir("vtrace") + "/t"

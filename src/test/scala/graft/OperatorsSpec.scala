@@ -239,6 +239,40 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_ >= 100000))
   }
 
+  test("nearDupAgainstHistory drops near-rewrites, equals the unfiltered verify") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val history = docs.filter(col("doc_id") < 250)
+    // incoming: the rest of the corpus (which q31 says contains
+    // near-dups of history docs) + light rewrites of history content
+    // under new ids — appended words keep trigram Jaccard >= 0.5 for
+    // long docs, which EXACT fingerprint dedup cannot catch
+    val rewritten = history.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val incoming = docs.filter(col("doc_id") >= 250).unionByName(rewritten)
+    val hp = TextOps.historyPostings(history)
+    val kept = TextOps.nearDupAgainstHistory(hp, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // reference: exact cross-Jaccard with NO prefix filter — the
+    // filtered path must drop exactly the same docs (prefix filtering
+    // is lossless at t >= 0.5)
+    val ip = TextOps.historyPostings(incoming).toDF("doc_id", "na", "gram")
+    val matched = ip.join(hp, Seq("gram"))
+      .groupBy("doc_id", "hist_id", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+        >= 0.5)
+      .select("doc_id").distinct()
+    val expected = incoming.join(matched, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == expected && kept.nonEmpty)
+    // the appended-word rewrites were caught as near-dups
+    assert(!kept.exists(_ >= 100000))
+    // and at least one organic incoming doc matched history too
+    assert(kept.size < incoming.count())
+  }
+
   test("q69 star-contraction clusters equal q66 label propagation") {
     val prop = TextOps.queries("q66_dedup_clusters")(spark, sfDir)
       .collect().map(_.toString).sorted.toSeq

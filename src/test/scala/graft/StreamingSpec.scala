@@ -68,6 +68,36 @@ class StreamingSpec extends SparkSpec {
     assert(clicks10.get.getAs[Double]("total_value") == 3.0)
   }
 
+  test("watermarked hopping counts: events land in all covering windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.hoppingCounts(input.toDF())
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:40:00"), 2, "click", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(3, ts("2024-01-01 14:00:00"), 3, "view", 4.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("hopping").collect()
+    query.stop()
+    val clicks = rows.filter(_.getAs[String]("event_type") == "click")
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("n"))).toMap
+    // event 1 covers starts 09:15..10:00 (until 10:15), event 2 covers
+    // 09:45..10:40 — overlap [09:45, 10:00] counts both
+    assert(clicks(ts("2024-01-01 09:30:00")) == 1)
+    assert(clicks(ts("2024-01-01 09:45:00")) == 2)
+    assert(clicks(ts("2024-01-01 10:00:00")) == 2)
+    assert(clicks(ts("2024-01-01 10:15:00")) == 1)
+    // each click event appears in exactly 4 windows
+    assert(clicks.values.sum == 8)
+  }
+
   test("stream-stream interval join matches users within the hour window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
