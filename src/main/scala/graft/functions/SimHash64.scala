@@ -125,6 +125,11 @@ object GraftFunctions {
       MinHashBands(org.apache.spark.sql.graftbridge.Bridge.expression(grams),
         numSlots, bandSize))
 
+  /** `normalize_text(s)` as a Column. */
+  def normalizeText(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      NormalizeText(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHash64].getName, "simhash64")
 
@@ -161,6 +166,10 @@ object GraftFunctions {
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       minhashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children.head))
   }
 
   /** SQL builder: base/planes must be foldable int literals. */
@@ -205,6 +214,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       GraftFunctions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -59,6 +59,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       }
     }
     val vecLoad = cfg.vectorIndex.map(maintainIndex)
+    val corpus = cfg.corpusDedup.map(maintainCorpus)
     val expired =
       if (ticks % cfg.retainEvery == 0)
         Maintenance.expireFiles(spark, cfg.srcDir, cfg.retentionDays)
@@ -70,7 +71,99 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       if (cfg.compactEvery > 0 && ticks % cfg.compactEvery == 0)
         Some(Maintenance.compactVersioned(spark, cfg.tableDir))
       else None
-    Automation.TickReport(ticks, generated, load, expired, vecLoad, compacted)
+    Automation.TickReport(ticks, generated, load, expired, vecLoad, compacted,
+      corpus)
+  }
+
+  /** Training-corpus curation: incremental-load document drops, then
+    * run each freshly landed batch through exact dedup (within the
+    * batch) and NEAR-dup dedup against the history postings table
+    * ([[graft.operators.TextOps.nearDupAgainstHistory]] — the
+    * crawl-vs-corpus shape), and append only the survivors to the
+    * curated corpus PLUS their shingles to the history postings — so
+    * the postings are maintained incrementally, never rebuilt, and
+    * dedup cost each tick follows the batch, not the corpus.
+    *
+    * Exactly-once without a second registry: each raw ingest file is
+    * processed into corpus/postings objects named by ITS OWN publish
+    * tag (staged, single-object move, reused if a crashed attempt
+    * already published them), and a `_done-<tag>` marker — created
+    * LAST — records completion. Every crash window replays
+    * idempotently: missing marker → reprocess, find the objects
+    * already published, reuse, re-mark. Files process in sorted
+    * order, so a later batch in the same tick dedups against an
+    * earlier batch's just-published postings. */
+  private def maintainCorpus(
+      cc: Automation.CorpusDedupConfig): Automation.CorpusReport = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.col
+    val load = IncrementalLoader.run(spark, cc.srcDir, cc.rawTableDir,
+      cc.registryDir, cc.schema, cc.format)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cc.corpusDir), spark.sparkContext.hadoopConfiguration)
+    val rawLive = VersionedTable.currentPath(spark, cc.rawTableDir)
+    val rawDir = new org.apache.hadoop.fs.Path(rawLive)
+    val doneDir = new org.apache.hadoop.fs.Path(s"${cc.corpusDir}/_done")
+    fs.mkdirs(doneDir)
+    val pending =
+      if (!fs.exists(rawDir)) Seq.empty
+      else fs.listStatus(rawDir).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("ingest-") && n.endsWith(".parquet"))
+        .filterNot { n =>
+          val tag = n.stripPrefix("ingest-").stripSuffix(".snappy.parquet")
+          fs.exists(new org.apache.hadoop.fs.Path(doneDir, s"done-$tag"))
+        }
+        .sorted
+    var kept = 0L
+    var dropped = 0L
+    pending.foreach { name =>
+      val tag = name.stripPrefix("ingest-").stripSuffix(".snappy.parquet")
+      val fresh = spark.read.parquet(s"$rawLive/$name")
+      val batchDeduped = graft.operators.CorpusPipeline.dedupExact(fresh)
+      val havePostings = fs.exists(
+        new org.apache.hadoop.fs.Path(cc.postingsDir)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(cc.postingsDir))
+          .exists(_.getPath.getName.endsWith(".parquet"))
+      val survivors =
+        if (!havePostings) batchDeduped
+        else graft.operators.TextOps.nearDupAgainstHistory(
+          spark.read.parquet(cc.postingsDir), batchDeduped, cc.t)
+      val nFresh = fresh.count()
+      val nKept = publishObject(fs, survivors, cc.corpusDir, s"batch-$tag")
+      publishObject(fs,
+        graft.operators.TextOps.historyPostings(survivors),
+        cc.postingsDir, s"batch-$tag")
+      // marker LAST: its existence = this raw file fully processed
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(doneDir, s"done-$tag"), false)
+      out.close()
+      kept += nKept
+      dropped += nFresh - nKept
+    }
+    Automation.CorpusReport(load, pending.size, kept, dropped)
+  }
+
+  /** Stage `df` and publish it as ONE parquet object `<name>.parquet`
+    * under `dir` — the IncrementalLoader publish pattern (single-object
+    * moves appear atomically everywhere; a crashed attempt's object is
+    * reused, never duplicated). Returns the row count. */
+  private def publishObject(fs: org.apache.hadoop.fs.FileSystem,
+      df: org.apache.spark.sql.DataFrame, dir: String, name: String): Long = {
+    import org.apache.spark.sql.SaveMode
+    val target = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
+    val stageDir = new org.apache.hadoop.fs.Path(s"$dir/_staging/$name")
+    val n = df.count()
+    if (!fs.exists(target)) {
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
+      val part = fs.listStatus(stageDir)
+        .find(_.getPath.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part under $stageDir"))
+        .getPath
+      require(fs.rename(part, target), s"publish $part -> $target failed")
+      fs.delete(stageDir, true)
+    }
+    n
   }
 
   /** Embedding-table maintenance: incremental-load new vector drops,
@@ -135,7 +228,8 @@ object Automation {
       compactEvery: Int = 0, // 0 = no scheduled compaction
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None,
-      aggView: Option[AggViewConfig] = None)
+      aggView: Option[AggViewConfig] = None,
+      corpusDedup: Option[CorpusDedupConfig] = None)
 
   /** Materialized-view maintenance config: fold each tick's freshly
     * loaded rows into [[MaterializedAgg]] state at `root`. */
@@ -155,13 +249,37 @@ object Automation {
       k: Int = 8,
       iters: Int = 3)
 
+  /** Corpus-curation config: where document drops arrive (JSON-lines
+    * by default: doc_id, text, lang, source), the raw landing table,
+    * the curated corpus dir, and the incrementally-maintained history
+    * postings dir the near-dup dedup probes. `t` is the trigram-Jaccard
+    * threshold (≥ 0.5). */
+  final case class CorpusDedupConfig(
+      srcDir: String,
+      rawTableDir: String,
+      registryDir: String,
+      corpusDir: String,
+      postingsDir: String,
+      schema: org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING"),
+      format: String = "json",
+      t: Double = 0.5)
+
+  /** Per-tick corpus curation outcome. `kept`/`dropped` are this
+    * tick's processed batches only (a crash-replayed batch whose
+    * objects already exist reports its rows as already published). */
+  final case class CorpusReport(load: IncrementalLoader.LoadResult,
+      batches: Int, kept: Long, dropped: Long)
+
   final case class TickReport(
       tick: Long,
       generated: Option[String],
       load: IncrementalLoader.LoadResult,
       expired: Seq[String],
       vecLoad: Option[IncrementalLoader.LoadResult] = None,
-      compacted: Option[Int] = None)
+      compacted: Option[Int] = None,
+      corpus: Option[CorpusReport] = None)
 
   /** `runMain graft.lakehouse.Automation <rootDir> [intervalSec]
     * [maxTicks]` — drops land in `<rootDir>/arrivals`, the lakehouse

@@ -829,6 +829,26 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_orderpriority
       |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin
 
+  /** The salted skew join driven as a query: lineitem ⋈ supplier
+    * through [[JoinOps.saltedJoin]], aggregated per supplier. The salt
+    * is uniform-random per left row, so nothing about the OUTPUT
+    * depends on it (inner-join semantics are exactly preserved; the
+    * aggregate is order-free exact decimal) — which is what lets a
+    * plain-SQL oracle check the skew-mitigation path end to end. */
+  private val q79: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+    JoinOps.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salts = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice")).as("revenue"))
+  }
+  private val q79Sql =
+    s"""SELECT s_name, COUNT(*) AS n_lines,
+       |  ${sqlSum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_name""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -863,7 +883,8 @@ object Relational {
     "q70_sole_late_supplier" -> q70,
     "q71_idle_rich_customers" -> q71,
     "q73_top_supplier" -> q73,
-    "q74_window_suite" -> q74)
+    "q74_window_suite" -> q74,
+    "q79_salted_join" -> q79)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -899,5 +920,6 @@ object Relational {
     "q70_sole_late_supplier" -> q70Sql,
     "q71_idle_rich_customers" -> q71Sql,
     "q73_top_supplier" -> q73Sql,
-    "q74_window_suite" -> q74Sql)
+    "q74_window_suite" -> q74Sql,
+    "q79_salted_join" -> q79Sql)
 }

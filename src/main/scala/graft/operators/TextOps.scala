@@ -815,6 +815,24 @@ object TextOps {
       |  ELSE 0.0 END AS dup_tri_frac
       |FROM t""".stripMargin
 
+  /** Canonical text normalization through the native `normalize_text`
+    * expression (trim + Unicode lower + whitespace collapse + NFD
+    * accent strip — the canonical form dedup fingerprints and
+    * cross-source matching key on). Map-only; the oracle is DuckDB's
+    * equivalent `strip_accents(lower(trim(regexp_replace(...))))`
+    * chain, so the two engines' Unicode pipelines are pinned equal on
+    * the corpus (the accent path itself is spec-pinned on synthetic
+    * docs — the test corpus is ASCII). */
+  private val q80: QFn = (s, d) => {
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.GraftFunctions.normalizeText(col("text")).as("norm"))
+  }
+  private val q80Sql =
+    """SELECT doc_id,
+      |  strip_accents(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |    AS norm
+      |FROM documents""".stripMargin
+
   /** Heavy hitters via count-min sketch: term frequencies estimated
     * from ONE distributed pass whose only driver artifact is the
     * sketch matrix (width×depth longs, tens of KB — `stat
@@ -865,7 +883,8 @@ object TextOps {
     "q69_dedup_clusters_star" -> q69,
     "q75_heavy_hitters" -> q75,
     "q76_decontaminate" -> q76,
-    "q77_repetition" -> q77)
+    "q77_repetition" -> q77,
+    "q80_normalize" -> q80)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -888,5 +907,6 @@ object TextOps {
     // oracle
     "q69_dedup_clusters_star" -> q66Sql,
     "q76_decontaminate" -> q76Sql,
-    "q77_repetition" -> q77Sql)
+    "q77_repetition" -> q77Sql,
+    "q80_normalize" -> q80Sql)
 }

@@ -190,13 +190,20 @@ class OperatorsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     val cfg = CorpusPipeline.Config(
       minQuality = 0.4,
+      maxRepetition = 0.95, // engages the q77-style repetition filter
       langKeepRates = Map("en" -> 0.9, "de" -> 0.5),
       defaultKeepRate = 0.25,
       binTokens = 2048L)
     val (packed, r) = CorpusPipeline.run(docs, cfg)
     assert(r.input >= r.afterQuality && r.afterQuality >= r.afterDedup &&
-      r.afterDedup >= r.afterSampling && r.afterSampling > 0)
+      r.afterDedup >= r.afterDecontam && r.afterDecontam >= r.afterSampling &&
+      r.afterSampling > 0)
     assert(r.bins > 0)
+    // with a benchmark: decontamination engages and only shrinks
+    val (_, rb) = CorpusPipeline.run(docs, cfg,
+      benchmark = Some(docs.filter(col("doc_id") === 0L)))
+    assert(rb.afterDecontam <= rb.afterDedup)
+    assert(rb.afterDecontam < r.afterDecontam) // doc 0's grams hit others
     // deterministic end to end
     val (packed2, r2) = CorpusPipeline.run(docs, cfg)
     assert(r2 == r)
@@ -373,6 +380,27 @@ class OperatorsSpec extends SparkSpec {
         r.getAs[Double]("p50")
       assert(rel < 0.01, s"${r.getString(0)}: $rel")
     }
+  }
+
+  test("normalize_text: accents, case, whitespace — matches the DuckDB oracle form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Héllo   WÖRLD  "),
+      (2L, "Çà et  LÀ\tñoño"),
+      (3L, "plain ascii")
+    ).toDF("id", "t")
+    // expected values verified against DuckDB's
+    // strip_accents(lower(trim(regexp_replace(s, '\s+', ' ', 'g'))))
+    val expected = Seq("hello world", "ca et la nono", "plain ascii")
+    val viaColumn = df.orderBy("id")
+      .select(graft.functions.GraftFunctions.normalizeText(col("t")))
+      .as[String].collect().toSeq
+    assert(viaColumn == expected)
+    df.createOrReplaceTempView("nrm")
+    val viaSql = spark.sql(
+      "SELECT normalize_text(t) FROM nrm ORDER BY id")
+      .as[String].collect().toSeq
+    assert(viaSql == expected)
   }
 
   test("simhash64 native expression registers and runs in SQL") {
