@@ -109,8 +109,21 @@ object VersionedTable {
     * resolved version N-1 just before this commit can still finish
     * its scan — at real scale, set it to cover the longest reader.
     * The default keeps only the new current version (tightest
-    * storage, single-process semantics). */
-  def commit(spark: SparkSession, root: String, keepVersions: Int = 1)
+    * storage, single-process semantics).
+    *
+    * `statsCols` names columns whose per-FILE min/max are collected
+    * into the commit manifest (one distributed aggregate over the
+    * fresh version, grouped by `input_file_name`): the Iceberg-style
+    * data-skipping index. [[readPruned]] then plans a scan from the
+    * manifest alone — no directory listing, no parquet footer reads —
+    * keeping only files whose range can satisfy the predicate. At
+    * 100 TB the listing+footer pass is the cold-start cost this
+    * removes; pair with `Bucketing.writeRangePartitioned`/
+    * `writeZOrdered` inside `writer` so file ranges are actually
+    * tight. The manifest's EXISTENCE is still the commit; stats are
+    * payload (legacy empty manifests stay valid). */
+  def commit(spark: SparkSession, root: String, keepVersions: Int = 1,
+             statsCols: Seq[String] = Nil)
             (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
@@ -129,8 +142,11 @@ object VersionedTable {
     writer(data.toString)
     require(fs.exists(new Path(data, "_SUCCESS")),
       s"writer did not complete a parquet commit under $data")
+    val stats =
+      if (statsCols.isEmpty) ""
+      else collectFileStats(spark, data.toString, statsCols)
     // THE commit point: one object's existence flips visibility
-    publishManifest(fs, root, next)
+    publishManifest(fs, root, next, stats)
     // prune data dirs (both layouts) and manifests older than the
     // retention window, stale round-2 staging dirs, and
     // pre-versioning flat files (unreachable once versioned)
@@ -158,6 +174,121 @@ object VersionedTable {
     val hidden = s"$root/_v-$version"
     val dir = if (fs.exists(new Path(hidden))) hidden else s"$root/v=$version"
     spark.read.parquet(dir)
+  }
+
+  // ---- data-skipping stats (Iceberg-style manifest payload) --------
+
+  /** Per-file stats carried in a commit manifest. `min`/`max` are the
+    * stringified column values (None = the file is all-NULL for that
+    * column → never pruned). */
+  final case class FileStat(file: String, rows: Long,
+      min: Map[String, Option[String]], max: Map[String, Option[String]])
+
+  private def esc(s: String): String = s
+    .replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case o    => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+  private val NullMark = "\\N"
+
+  /** One distributed aggregate over the fresh version dir: per-file
+    * row count + min/max of `cols`, serialized as manifest payload
+    * lines (`s \t file \t rows \t col \t min \t max`). Only the
+    * file-count-sized stat table reaches the driver. */
+  private def collectFileStats(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): String = {
+    import org.apache.spark.sql.functions.{count, input_file_name, max, min, lit}
+    val df = spark.read.parquet(dataDir)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))) :+
+      count(lit(1)).as("_rows")
+    val rows = df.withColumn("_file", input_file_name())
+      .groupBy("_file").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.flatMap { r =>
+      val file = new Path(r.getAs[String]("_file")).getName
+      val n = r.getAs[Long]("_rows")
+      cols.map { c =>
+        val mn = Option(r.getAs[String](s"min_$c")).map(esc).getOrElse(NullMark)
+        val mx = Option(r.getAs[String](s"max_$c")).map(esc).getOrElse(NullMark)
+        s"s\t${esc(file)}\t$n\t${esc(c)}\t$mn\t$mx"
+      }
+    }.sorted.mkString("\n")
+  }
+
+  /** The file stats a version's manifest carries (empty for manifests
+    * committed without `statsCols` and for legacy tables). */
+  def manifestStats(spark: SparkSession, root: String,
+      version: Long): Seq[FileStat] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(commitsDir(root), version.toString)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val perFile = content.split("\n").toSeq.filter(_.startsWith("s\t"))
+      .map(_.split("\t", -1))
+      .collect { case Array("s", f, n, c, mn, mx) =>
+        (unesc(f), n.toLong, unesc(c),
+          if (mn == NullMark) None else Some(unesc(mn)),
+          if (mx == NullMark) None else Some(unesc(mx)))
+      }
+    perFile.groupBy(t => (t._1, t._2)).map { case ((f, n), ts) =>
+      FileStat(f, n,
+        ts.map(t => t._3 -> t._4).toMap, ts.map(t => t._3 -> t._5).toMap)
+    }.toSeq.sortBy(_.file)
+  }
+
+  /** Data-skipping scan: plan the file list for `lower <= col <=
+    * upper` FROM THE MANIFEST ALONE — no directory listing, no parquet
+    * footer reads (the cold-start cost of a 100 TB scan). A file is
+    * kept iff its [min, max] range can intersect the bound (all-NULL
+    * or stat-less files are kept conservatively); the comparison runs
+    * through Spark casts in the table's own column type, so numeric,
+    * date and string bounds all compare correctly. Pair with the
+    * range-clustered / z-ordered writers so ranges are tight. The
+    * caller still applies the exact row-level filter. */
+  def prunedFiles(spark: SparkSession, root: String, colName: String,
+      lower: Any, upper: Any): Seq[String] = {
+    val version = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val dir = currentPath(spark, root)
+    val stats = manifestStats(spark, root, version)
+    require(stats.nonEmpty, s"version $version of $root carries no file stats")
+    val dt = spark.read.parquet(dir).schema(colName).dataType
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val st = stats.map(s =>
+      (s.file, s.min.getOrElse(colName, None), s.max.getOrElse(colName, None)))
+      .toDF("file", "mn", "mx")
+    st.filter(col("mn").isNull || col("mx").isNull ||
+        (col("mx").cast(dt) >= lit(lower) && col("mn").cast(dt) <= lit(upper)))
+      .select("file").collect().map(r => s"$dir/${r.getString(0)}").toSeq
+  }
+
+  /** [[prunedFiles]] + read: the manifest-planned range scan. */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+      lower: Any, upper: Any): DataFrame = {
+    val files = prunedFiles(spark, root, colName, lower, upper)
+    if (files.isEmpty) {
+      // preserve the schema on an empty plan
+      spark.read.parquet(currentPath(spark, root)).limit(0)
+    } else spark.read.parquet(files: _*)
   }
 
   /** CDC feed between two retained versions (both inside the
@@ -216,7 +347,8 @@ object VersionedTable {
     * with its own retry: if the manifest exists, that commit
     * SUCCEEDED — data completes before the manifest — so the retry
     * computes the next version. */
-  private def publishManifest(fs: FileSystem, root: String, n: Long): Unit = {
+  private def publishManifest(fs: FileSystem, root: String, n: Long,
+      payload: String = ""): Unit = {
     val out =
       try fs.create(new Path(commitsDir(root), n.toString), false)
       catch {
@@ -224,21 +356,24 @@ object VersionedTable {
           s"concurrent commit detected: version $n of $root was published " +
             "by another writer", e)
       }
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    val body =
+      if (payload.isEmpty) n.toString else s"$n\n$payload"
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   /** Read-transform-commit: the crash-safe form of every table
     * rewrite (retention, compaction, upsert). */
-  def rewrite(spark: SparkSession, root: String, keepVersions: Int = 1)
+  def rewrite(spark: SparkSession, root: String, keepVersions: Int = 1,
+              statsCols: Seq[String] = Nil)
              (f: DataFrame => DataFrame): Long =
-    commit(spark, root, keepVersions) { stage =>
+    commit(spark, root, keepVersions, statsCols) { stage =>
       f(read(spark, root)).write.mode(SaveMode.Overwrite).parquet(stage)
     }
 
   /** Create (or replace) the table content as a new version. */
   def init(spark: SparkSession, root: String, df: DataFrame,
-           keepVersions: Int = 1): Long =
-    commit(spark, root, keepVersions) { stage =>
+           keepVersions: Int = 1, statsCols: Seq[String] = Nil): Long =
+    commit(spark, root, keepVersions, statsCols) { stage =>
       df.write.mode(SaveMode.Overwrite).parquet(stage)
     }
 }

@@ -594,6 +594,39 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, root, 2).head.getString(1) == "b")
   }
 
+  test("manifest file stats prune a range scan from the manifest alone") {
+    import spark.implicits._
+    val root = tmpDir("vtstats") + "/t"
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("v", col("k") * 2)
+    // range-clustered files → disjoint per-file k ranges in the stats
+    VersionedTable.commit(spark, root, statsCols = Seq("k")) { stage =>
+      df.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .write.parquet(stage)
+    }
+    val stats = VersionedTable.manifestStats(spark, root, 1L)
+    assert(stats.size == 8)
+    assert(stats.forall(s => s.min("k").isDefined && s.rows > 0))
+    // a narrow range hits a strict subset of files
+    val files = VersionedTable.prunedFiles(spark, root, "k", 1000L, 1500L)
+    assert(files.nonEmpty && files.size < 8, files.toString)
+    // pruned scan + exact filter ≡ full scan + exact filter
+    val pruned = VersionedTable.readPruned(spark, root, "k", 1000L, 1500L)
+      .filter(col("k").between(1000L, 1500L))
+      .collect().map(_.toString).sorted.toSeq
+    val full = VersionedTable.read(spark, root)
+      .filter(col("k").between(1000L, 1500L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned == full && pruned.size == 501)
+    // a stats-less commit refuses to plan a pruned scan (loudly, not
+    // by silently scanning everything)
+    VersionedTable.rewrite(spark, root, keepVersions = 2)(identity)
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.prunedFiles(spark, root, "k", 0L, 1L)
+    }
+    assert(err.getMessage.contains("no file stats"))
+  }
+
   test("versioned table: changes() classifies insert/update/delete between versions") {
     import spark.implicits._
     val root = tmpDir("vtcdc") + "/t"
