@@ -183,6 +183,37 @@ object GraftFunctions {
     (children: Seq[Expression]) => MinHashBands(children(0),
       children(1).eval(null).asInstanceOf[Number].intValue(),
       children(2).eval(null).asInstanceOf[Number].intValue())
+
+  /** Table function `graft_version('root'[, version])` — SQL time
+    * travel over a [[graft.lakehouse.VersionedTable]]: no second arg
+    * reads the current committed version, an explicit version reads
+    * within the retention window. Registered via
+    * `injectTableFunction`, so `SELECT * FROM graft_version(...)`
+    * (and any SqlRunner script) joins versioned lakehouse tables like
+    * ordinary relations. */
+  private[functions] val graftVersionBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.nonEmpty && args.size <= 2,
+        "graft_version expects (rootPath[, version])")
+      val spark = SparkSession.active
+      val root = args.head.eval(null).toString
+      val df =
+        if (args.size == 1) graft.lakehouse.VersionedTable.read(spark, root)
+        else graft.lakehouse.VersionedTable.readVersion(spark, root,
+          args(1).eval(null).asInstanceOf[Number].longValue())
+      df.queryExecution.analyzed
+    }
+
+  private[functions] val graftVersionInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_version")
+
+  /** Register the table functions into an existing session (the
+    * runtime path; GraftExtensions covers session build time). */
+  def registerTableFunctions(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_version"), graftVersionInfo,
+      graftVersionBuilder)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -218,6 +249,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (children: Seq[Expression]) => NormalizeText(children.head)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_version"),
+      GraftFunctions.graftVersionInfo,
+      GraftFunctions.graftVersionBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -594,6 +594,29 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, root, 2).head.getString(1) == "b")
   }
 
+  test("graft_version table function: SQL time travel over versioned tables") {
+    import spark.implicits._
+    val root = tmpDir("vttvf") + "/t"
+    VersionedTable.init(spark, root, Seq((1L, "a")).toDF("k", "s"),
+      keepVersions = 2)
+    VersionedTable.rewrite(spark, root, keepVersions = 2)(
+      _.withColumn("s", lit("b")))
+    // current version through plain SQL (parser + injected TVF)
+    val cur = spark.sql(s"SELECT s FROM graft_version('$root')")
+      .collect().map(_.getString(0)).toSeq
+    assert(cur == Seq("b"))
+    // explicit version = time travel within the retention window
+    val old = spark.sql(s"SELECT s FROM graft_version('$root', 1)")
+      .collect().map(_.getString(0)).toSeq
+    assert(old == Seq("a"))
+    // joins like any relation, through the SqlRunner surface
+    val joined = SqlRunner.query(spark,
+      s"""SELECT cur.k, old.s AS old_s, cur.s AS new_s
+         |FROM graft_version('$root') cur
+         |JOIN graft_version('$root', 1) old ON cur.k = old.k""".stripMargin)
+    assert(joined._1.collect().map(_.toString).toSeq == Seq("[1,a,b]"))
+  }
+
   test("manifest file stats prune a range scan from the manifest alone") {
     import spark.implicits._
     val root = tmpDir("vtstats") + "/t"
