@@ -26,7 +26,8 @@ object Bench {
     "q47_cosine_pairs_lsh", "q49_ann_ivf_kmeans",
     "q61_stratified_sample", "q62_token_packing", "q63_deciles_scalable",
     "q64_cosine_pairs_hi", "q66_dedup_clusters", "q70_sole_late_supplier",
-    "q76_decontaminate", "q77_repetition", "q78_hopping_counts")
+    "q76_decontaminate", "q77_repetition", "q78_hopping_counts",
+    "q79_salted_join", "q80_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
