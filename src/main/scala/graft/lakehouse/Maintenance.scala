@@ -102,29 +102,43 @@ object Maintenance {
   // ---- crash-safe (versioned) twins: same semantics, but the table
   // ---- stays readable through a crash at ANY step (VersionedTable).
 
-  /** [[expireRows]] on a [[VersionedTable]] root. */
+  /** [[expireRows]] on a [[VersionedTable]] root. `statsCols` renews
+    * the data-skipping file stats in the new version's manifest. */
   def expireRowsVersioned(spark: SparkSession, root: String,
-                          tsCol: String, cutoff: java.sql.Timestamp): Long = {
-    VersionedTable.rewrite(spark, root)(_.filter(col(tsCol) >= lit(cutoff)))
+                          tsCol: String, cutoff: java.sql.Timestamp,
+                          statsCols: Seq[String] = Nil): Long = {
+    VersionedTable.rewrite(spark, root, statsCols = statsCols)(
+      _.filter(col(tsCol) >= lit(cutoff)))
     VersionedTable.read(spark, root).count()
   }
 
-  /** [[compact]] on a [[VersionedTable]] root. */
+  /** [[compact]] on a [[VersionedTable]] root. `sortCol` range-clusters
+    * the compacted files (disjoint per-file ranges — what makes
+    * manifest stats selective) and `statsCols` records their min/max
+    * in the new manifest, so scheduled compaction doubles as the
+    * data-skipping index refresh. */
   def compactVersioned(spark: SparkSession, root: String,
-                       targetFileBytes: Long = 128L << 20): Int = {
+                       targetFileBytes: Long = 128L << 20,
+                       sortCol: Option[String] = None,
+                       statsCols: Seq[String] = Nil): Int = {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
     val cur = new Path(VersionedTable.currentPath(spark, root))
     val bytes = fs.getContentSummary(cur).getLength
     val n = math.max(1, (bytes / targetFileBytes).toInt)
-    VersionedTable.rewrite(spark, root)(_.coalesce(n))
+    VersionedTable.rewrite(spark, root, statsCols = statsCols) { df =>
+      sortCol.fold(df.coalesce(n))(c =>
+        df.repartitionByRange(n, col(c)).sortWithinPartitions(c))
+    }
     n
   }
 
   /** [[upsert]] on a [[VersionedTable]] root. */
   def upsertVersioned(spark: SparkSession, root: String,
-                      changes: DataFrame, keys: Seq[String]): Unit =
-    VersionedTable.rewrite(spark, root)(upsertPlan(_, changes, keys))
+                      changes: DataFrame, keys: Seq[String],
+                      statsCols: Seq[String] = Nil): Unit =
+    VersionedTable.rewrite(spark, root, statsCols = statsCols)(
+      upsertPlan(_, changes, keys))
 
   /** Directory swap used by the flat-dir rewrite operations. NOT
     * delete-then-rename (a crash between those two loses the table):

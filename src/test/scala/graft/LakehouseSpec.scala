@@ -648,6 +648,15 @@ class LakehouseSpec extends SparkSpec {
       VersionedTable.prunedFiles(spark, root, "k", 0L, 1L)
     }
     assert(err.getMessage.contains("no file stats"))
+    // scheduled compaction doubles as the skipping-index refresh:
+    // range-clustered files + fresh stats → pruning works again
+    val nFiles = Maintenance.compactVersioned(spark, root,
+      targetFileBytes = 16L << 10, sortCol = Some("k"),
+      statsCols = Seq("k"))
+    if (nFiles > 1) {
+      val again = VersionedTable.prunedFiles(spark, root, "k", 1000L, 1500L)
+      assert(again.nonEmpty && again.size < nFiles, s"$nFiles -> $again")
+    }
   }
 
   test("versioned table: changes() classifies insert/update/delete between versions") {

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators._
+
+/** Randomized properties over the operators whose correctness rests on
+  * subtle bounds (the PPJoin filter chain, two-pass prefix sums, band
+  * arithmetic) — ScalaCheck drives the cases, each evaluated as a real
+  * Spark job on local data. Case counts are small: every case is a
+  * distributed run, and the point is adversarial structure, not volume.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, cases: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(cases)
+        .withMaxDiscardRatio(10f),
+      p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: q31 PPJoin pairs equal brute-force trigram Jaccard") {
+    import spark.implicits._
+    // small vocab → dense shingle sharing → the prefix/count/positional
+    // filters all engage; doc sizes straddle the size-ratio boundary
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val genDoc = for {
+      n <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = Gen.chooseNum(2, 8).flatMap(k => Gen.listOfN(k, genDoc))
+    val prop = Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val dir = tmpDir("prop31")
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = TextOps.queries("q31_ngram_jaccard")(spark, dir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          math.round(r.getDouble(2) * 1e9))).toMap
+      // brute force from the same word sequences, string trigrams
+      def grams(t: String): Set[String] = {
+        val w = t.trim.split("\\s+").toSeq
+        if (w.size < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val gs = texts.map(grams).zipWithIndex
+      val want = (for {
+        (ga, i) <- gs; (gb, j) <- gs
+        if i < j && ga.nonEmpty && gb.nonEmpty
+        inter = (ga & gb).size
+        jac = inter.toDouble / (ga.size + gb.size - inter)
+        if jac >= 0.5
+      } yield ((i.toLong, j.toLong), math.round(jac * 1e9))).toMap
+      got == want
+    }
+    check(prop, cases = 15)
+  }
+
+  test("property: grouped prefix sums equal the window formulation") {
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("g1", "g2", "g3")
+        v <- Gen.chooseNum(0L, 100L)
+      } yield (g, v))
+    } yield rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+    val prop = Prop.forAll(genRows) { rows =>
+      val df = rows.toDF("g", "ord", "v")
+      val got = RankOps.withGroupedPrefixSum(df, Seq("g"), Seq("ord"),
+        valueCol = "v", sumCol = "s", partitions = 3)
+        .select("g", "ord", "s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("ord")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val want = df.withColumn("s", coalesce(sum("v").over(w), lit(0L)))
+        .select("g", "ord", "s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      got == want
+    }
+    check(prop, cases = 12)
+  }
+
+  test("property: banded range join equals the naive range join (incl. negatives)") {
+    import spark.implicits._
+    val genCase = for {
+      nl <- Gen.chooseNum(1, 15)
+      nr <- Gen.chooseNum(1, 15)
+      ls <- Gen.listOfN(nl, Gen.chooseNum(-500L, 500L))
+      rs <- Gen.listOfN(nr, Gen.chooseNum(-500L, 500L))
+      lower <- Gen.chooseNum(-50L, 50L)
+      width <- Gen.chooseNum(1L, 120L)
+    } yield (ls, rs, lower, lower + width)
+    val prop = Prop.forAll(genCase) { case (ls, rs, lower, upper) =>
+      val left = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("lid", "lv")
+      val right = rs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("rid", "rv")
+      val got = JoinOps.bandedRangeJoin(left, right, "lv", "rv", lower, upper)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (lv, li) <- ls.zipWithIndex; (rv, ri) <- rs.zipWithIndex
+        if rv >= lv + lower && rv <= lv + upper
+      } yield (li.toLong, ri.toLong)).toSet
+      got == want
+    }
+    check(prop, cases = 20)
+  }
+
+  test("property: normalize_text is idempotent and whitespace-canonical") {
+    import graft.functions.NormalizeText
+    import org.apache.spark.unsafe.types.UTF8String
+    val genStr = Gen.listOfN(12, Gen.frequency(
+      (5, Gen.alphaNumChar),
+      (2, Gen.oneOf(' ', '\t', '\n')),
+      (2, Gen.oneOf('É', 'ü', 'ñ', 'Ç', 'à')),
+      (1, Gen.oneOf('!', '.', '\\'))
+    )).map(_.mkString)
+    val prop = Prop.forAll(genStr) { s =>
+      val once = NormalizeText.normalize(UTF8String.fromString(s)).toString
+      val twice = NormalizeText.normalize(UTF8String.fromString(once)).toString
+      val wsCanonical = !once.exists(c => c == '\t' || c == '\n') &&
+        !once.contains("  ") && once == once.trim
+      twice == once && wsCanonical
+    }
+    check(prop, cases = 200)
+  }
+}
