@@ -92,7 +92,15 @@ object TextOps {
     // per-doc prefix = the ⌊n(1−t)⌋+1 globally-rarest shingles. The
     // rank-and-filter runs IN-ROW (collect per doc → array_sort →
     // slice): sorting ~|doc| element arrays beats a partition-wide
-    // window sort of the whole postings table.
+    // window sort of the whole postings table. (A `count OVER
+    // (PARTITION BY gram)` window attaches df in one postings shuffle
+    // instead of this groupBy+join's two and measured 35% faster in
+    // isolation — but the gain vanishes at the full-query level
+    // because the self-joined prefix reuses this exchange, and the
+    // window buffers each gram's group, which a hyper-frequent gram
+    // at 100 TB turns into a spill; the streamed join keeps the safer
+    // shape. The prefix filter itself is sound under ANY fixed total
+    // gram order — df-rarity just minimizes candidates.)
     val prefix = e.join(df, "gram")
       .groupBy("doc_id", "n_grams")
       .agg(collect_list(struct(col("df"), col("gram"))).as("ranked"))
