@@ -69,7 +69,9 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     // throughout and migrates a flat table on first compaction
     val compacted =
       if (cfg.compactEvery > 0 && ticks % cfg.compactEvery == 0)
-        Some(Maintenance.compactVersioned(spark, cfg.tableDir))
+        Some(Maintenance.compactVersioned(spark, cfg.tableDir,
+          sortCol = cfg.compactClusterBy,
+          statsCols = cfg.compactClusterBy.toSeq))
       else None
     Automation.TickReport(ticks, generated, load, expired, vecLoad, compacted,
       corpus)
@@ -226,6 +228,10 @@ object Automation {
       retentionDays: Int = 7,
       retainEvery: Int = 60,
       compactEvery: Int = 0, // 0 = no scheduled compaction
+      // range-cluster scheduled compactions on this column and record
+      // its per-file min/max in the manifest — compaction doubles as
+      // the data-skipping index refresh (readPruned plans from it)
+      compactClusterBy: Option[String] = None,
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,

@@ -262,7 +262,7 @@ class LakehouseSpec extends SparkSpec {
     val cfg = Automation.Config(
       srcDir = s"$root/arrivals", tableDir = s"$root/t",
       registryDir = s"$root/reg", rowsPerDrop = 50,
-      compactEvery = 2)
+      compactEvery = 2, compactClusterBy = Some("id"))
     val auto = new Automation(spark, cfg)
     val reports = auto.runLoop(intervalMillis = 5, maxTicks = 2)
     // tick 1: no compaction; tick 2: compacts the two ingest files
@@ -271,6 +271,10 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.read(spark, s"$root/t").count() == 100)
     val cur = new java.io.File(VersionedTable.currentPath(spark, s"$root/t"))
     assert(cur.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // scheduled compaction refreshed the data-skipping stats
+    val v = VersionedTable.currentVersion(spark, s"$root/t").get
+    val stats = VersionedTable.manifestStats(spark, s"$root/t", v)
+    assert(stats.nonEmpty && stats.forall(_.min.contains("id")))
   }
 
   test("sql runner: query, ddl, multi-statement script, and named procs") {
