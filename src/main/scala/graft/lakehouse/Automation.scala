@@ -122,7 +122,12 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     pending.foreach { name =>
       val tag = name.stripPrefix("ingest-").stripSuffix(".snappy.parquet")
       val fresh = spark.read.parquet(s"$rawLive/$name")
-      val batchDeduped = graft.operators.CorpusPipeline.dedupExact(fresh)
+      // exact dedup first (cheap fingerprint pass shrinks the
+      // postings), then the greedy within-batch NEAR-dup drop — a
+      // drop re-delivering the same page under two ids plus a
+      // near-rewrite must land at most one survivor
+      val batchDeduped = graft.operators.TextOps.dropNearDupsWithinBatch(
+        graft.operators.CorpusPipeline.dedupExact(fresh), cc.t)
       val havePostings = fs.exists(
         new org.apache.hadoop.fs.Path(cc.postingsDir)) &&
         fs.listStatus(new org.apache.hadoop.fs.Path(cc.postingsDir))

@@ -85,9 +85,15 @@ object TextOps {
     * Shuffle volume: O(Σ prefix) ≈ half the shingle explosion, but the
     * join buckets are the RARE shingles, so bucket sizes — and the
     * candidate pair count — collapse. This is the 100-TB shape. */
-  private val q31: QFn = (s, d) => {
-    val t = 0.5
-    val e = gramHashes(s, d) // (doc_id, gram, n_grams), cached flat longs
+  private val q31: QFn = (s, d) =>
+    nearDupPairs(gramHashes(s, d), t = 0.5)
+
+  /** The PPJoin near-dup core over ANY postings table
+    * (doc_id, n_grams, gram — the [[gramHashes]] layout): prefix +
+    * count + positional filtering, then the exact-Jaccard verify.
+    * q31 runs it on the memoized corpus postings; the curation tick
+    * runs it on a single batch's postings. */
+  private[operators] def nearDupPairs(e: DataFrame, t: Double): DataFrame = {
     val df = e.groupBy("gram").agg(count(lit(1)).as("df"))
     // per-doc prefix = the ⌊n(1−t)⌋+1 globally-rarest shingles. The
     // rank-and-filter runs IN-ROW (collect per doc → array_sort →
@@ -740,6 +746,26 @@ object TextOps {
         (col("na") + col("nb") - col("shared")) >= t)
       .select("doc_id").distinct()
     incoming.join(matched, Seq("doc_id"), "left_anti")
+  }
+
+  /** Greedy WITHIN-batch near-dup drop: remove every doc that has a
+    * near-dup (trigram Jaccard ≥ t) with a SMALLER doc_id in the same
+    * set — the standard greedy batch-dedup policy (deterministic, one
+    * pass over the [[nearDupPairs]] output; for full
+    * connected-component survivor selection over a whole corpus see
+    * q66/q69 — on a transitive chain the greedy drop can remove a doc
+    * whose smaller neighbor was itself removed, which is the accepted
+    * bargain for a single-pass batch step). */
+  def dropNearDupsWithinBatch(docs: DataFrame, t: Double = 0.5): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.trigramHashes(words(col("text")))
+          .as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+    val losers = nearDupPairs(postings, t)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Build the [[nearDupAgainstHistory]] postings layout

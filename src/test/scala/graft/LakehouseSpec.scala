@@ -229,14 +229,16 @@ class LakehouseSpec extends SparkSpec {
     val r1 = auto.tick()
     assert(r1.corpus.get.kept == 2 && r1.corpus.get.dropped == 0)
     // tick 2: a near-rewrite of A (appended word — exact fingerprints
-    // would MISS it), an exact re-crawl of B under a new id, and a
-    // genuinely new doc C
+    // would MISS it), an exact re-crawl of B under a new id, a
+    // genuinely new doc C, and a near-rewrite of C in the SAME drop
+    // (the within-batch near-dup case)
     drop("d2.json", Seq(
       s"""{"doc_id": 11, "text": "$textA zz", "lang": "en", "source": "s"}""",
       s"""{"doc_id": 12, "text": "$textB", "lang": "en", "source": "s"}""",
-      s"""{"doc_id": 13, "text": "$textC", "lang": "en", "source": "s"}"""))
+      s"""{"doc_id": 13, "text": "$textC", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 14, "text": "$textC yy", "lang": "en", "source": "s"}"""))
     val r2 = auto.tick()
-    assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 2)
+    assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 3)
     val corpus = spark.read.parquet(s"$root/corpus").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(corpus == Seq(1L, 2L, 13L))
