@@ -264,27 +264,48 @@ object VersionedTable {
     * range-clustered / z-ordered writers so ranges are tight. The
     * caller still applies the exact row-level filter. */
   def prunedFiles(spark: SparkSession, root: String, colName: String,
-      lower: Any, upper: Any): Seq[String] = {
+      lower: Any, upper: Any): Seq[String] =
+    prunedFilesWhere(spark, root, Seq((colName, lower, upper)))
+
+  /** Conjunction form: keep files whose ranges can intersect EVERY
+    * `(col, lower, upper)` bound — the consumer shape for z-ordered
+    * layouts, where a 2-D box prunes on both interleaved columns. */
+  def prunedFilesWhere(spark: SparkSession, root: String,
+      bounds: Seq[(String, Any, Any)]): Seq[String] = {
+    require(bounds.nonEmpty, "at least one (col, lower, upper) bound")
     val version = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version"))
     val dir = currentPath(spark, root)
     val stats = manifestStats(spark, root, version)
     require(stats.nonEmpty, s"version $version of $root carries no file stats")
-    val dt = spark.read.parquet(dir).schema(colName).dataType
+    val schema = spark.read.parquet(dir).schema
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
-    val st = stats.map(s =>
-      (s.file, s.min.getOrElse(colName, None), s.max.getOrElse(colName, None)))
-      .toDF("file", "mn", "mx")
-    st.filter(col("mn").isNull || col("mx").isNull ||
-        (col("mx").cast(dt) >= lit(lower) && col("mn").cast(dt) <= lit(upper)))
+    val cols = bounds.map(_._1)
+    val st = stats.map(s => (s.file,
+        cols.map(c => s.min.getOrElse(c, None)),
+        cols.map(c => s.max.getOrElse(c, None))))
+      .toDF("file", "mns", "mxs")
+    val keep = bounds.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val dt = schema(c).dataType
+      val mn = col("mns").getItem(i)
+      val mx = col("mxs").getItem(i)
+      mn.isNull || mx.isNull ||
+        (mx.cast(dt) >= lit(lo) && mn.cast(dt) <= lit(hi))
+    }.reduce(_ && _)
+    st.filter(keep)
       .select("file").collect().map(r => s"$dir/${r.getString(0)}").toSeq
   }
 
   /** [[prunedFiles]] + read: the manifest-planned range scan. */
   def readPruned(spark: SparkSession, root: String, colName: String,
-      lower: Any, upper: Any): DataFrame = {
-    val files = prunedFiles(spark, root, colName, lower, upper)
+      lower: Any, upper: Any): DataFrame =
+    readPrunedWhere(spark, root, Seq((colName, lower, upper)))
+
+  /** [[prunedFilesWhere]] + read: the conjunction range scan. */
+  def readPrunedWhere(spark: SparkSession, root: String,
+      bounds: Seq[(String, Any, Any)]): DataFrame = {
+    val files = prunedFilesWhere(spark, root, bounds)
     if (files.isEmpty) {
       // preserve the schema on an empty plan
       spark.read.parquet(currentPath(spark, root)).limit(0)

@@ -665,6 +665,33 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("manifest stats prune a 2-D box over a z-ordered layout") {
+    import spark.implicits._
+    val root = tmpDir("vtz") + "/t"
+    // two independent dimensions — the layout z-orders both, so a
+    // narrow box prunes on the CONJUNCTION of the two stat ranges
+    val df = spark.range(0, 20000).toDF("i")
+      .select((col("i") % 141).as("x"), (col("i") % 133).as("y"),
+        col("i").as("payload"))
+    VersionedTable.commit(spark, root, statsCols = Seq("x", "y")) { stage =>
+      Bucketing.writeZOrdered(df, stage, "x", "y", files = 16)
+    }
+    val box = Seq(("x", 10L, 30L), ("y", 40L, 60L))
+    val files = VersionedTable.prunedFilesWhere(spark, root, box)
+    val all = VersionedTable.manifestStats(spark, root, 1L).size
+    assert(files.nonEmpty && files.size < all, s"$all -> ${files.size}")
+    // conjunction ⊆ each single-column pruning
+    val xOnly = VersionedTable.prunedFiles(spark, root, "x", 10L, 30L)
+    assert(files.toSet.subsetOf(xOnly.toSet))
+    val got = VersionedTable.readPrunedWhere(spark, root, box)
+      .filter(col("x").between(10L, 30L) && col("y").between(40L, 60L))
+      .collect().map(_.toString).sorted.toSeq
+    val want = VersionedTable.read(spark, root)
+      .filter(col("x").between(10L, 30L) && col("y").between(40L, 60L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("versioned table: changes() classifies insert/update/delete between versions") {
     import spark.implicits._
     val root = tmpDir("vtcdc") + "/t"

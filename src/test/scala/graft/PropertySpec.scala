@@ -111,6 +111,42 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 20)
   }
 
+  test("property: native as-of join equals the reference semantics on duplicate timestamps") {
+    import spark.implicits._
+    // few keys + a tiny timestamp domain → heavy duplicate-(key, time)
+    // collisions, the adversarial case for the streaming-merge exec's
+    // one-row buffer and the tiebreak ordering
+    val genCase = for {
+      nl <- Gen.chooseNum(1, 20)
+      nr <- Gen.chooseNum(0, 20)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 8L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 8L)))
+    } yield (ls, rs)
+    val prop = Prop.forAll(genCase) { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "lk", "lt")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "rk", "rt")
+      val got = graft.plans.AsOf.join(left, right,
+        col("lk"), col("rk"), col("lt"), col("rt"),
+        tiebreak = Some(col("rid")))
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // reference: per left row, the right row of the same key with
+      // the greatest rt <= lt, ties by greatest rid; none → null
+      val want = ls.zipWithIndex.map { case ((lk, lt), li) =>
+        val m = rs.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == lk && rt <= lt }
+          .sortBy { case ((_, rt), ri) => (rt, ri) }
+          .lastOption.map(_._2.toLong).getOrElse(-1L)
+        (li.toLong, m)
+      }.toSet
+      got == want
+    }
+    check(prop, cases = 15)
+  }
+
   test("property: normalize_text is idempotent and whitespace-canonical") {
     import graft.functions.NormalizeText
     import org.apache.spark.unsafe.types.UTF8String
