@@ -134,13 +134,30 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           .exists(_.getPath.getName.endsWith(".parquet"))
       val survivors =
         if (!havePostings) batchDeduped
-        else graft.operators.TextOps.nearDupAgainstHistory(
-          spark.read.parquet(cc.postingsDir), batchDeduped, cc.t)
+        else {
+          // prefix ranking reads the maintained (gram, df) view — no
+          // O(history) aggregate per batch. Folds below are
+          // at-least-once (a crash replay may re-fold one batch): an
+          // inflated df only perturbs the rarity heuristic, the
+          // survivor set is decided by the exact verify.
+          val dfView =
+            if (VersionedTable.currentVersion(spark, cc.gramDfDir).isDefined)
+              Some(MaterializedAgg
+                .read(spark, cc.gramDfDir,
+                  MaterializedAgg.Spec(Seq("gram"), Nil))
+                .select(col("gram"), col("cnt").as("df")))
+            else None
+          graft.operators.TextOps.nearDupAgainstHistory(
+            spark.read.parquet(cc.postingsDir), batchDeduped, cc.t, dfView)
+        }
       val nFresh = fresh.count()
       val nKept = publishObject(fs, survivors, cc.corpusDir, s"batch-$tag")
-      publishObject(fs,
-        graft.operators.TextOps.historyPostings(survivors),
-        cc.postingsDir, s"batch-$tag")
+      val survivorPostings =
+        graft.operators.TextOps.historyPostings(survivors)
+      publishObject(fs, survivorPostings, cc.postingsDir, s"batch-$tag")
+      MaterializedAgg.update(spark, cc.gramDfDir,
+        survivorPostings.select(col("gram")),
+        MaterializedAgg.Spec(Seq("gram"), Nil))
       // marker LAST: its existence = this raw file fully processed
       val out = fs.create(
         new org.apache.hadoop.fs.Path(doneDir, s"done-$tag"), false)
@@ -275,7 +292,12 @@ object Automation {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING, source STRING"),
       format: String = "json",
-      t: Double = 0.5)
+      t: Double = 0.5) {
+    /** The incrementally-maintained (gram, df) view feeding the
+      * near-dup prefix ranking — a [[MaterializedAgg]] root next to
+      * the postings. */
+    def gramDfDir: String = s"$postingsDir-df"
+  }
 
   /** Per-tick corpus curation outcome. `kept`/`dropped` are this
     * tick's processed batches only (a crash-replayed batch whose

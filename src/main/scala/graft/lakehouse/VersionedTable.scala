@@ -180,9 +180,11 @@ object VersionedTable {
 
   /** Per-file stats carried in a commit manifest. `min`/`max` are the
     * stringified column values (None = the file is all-NULL for that
-    * column → never pruned). */
+    * column → never pruned); `nulls` is the per-column null count
+    * (absent for manifests written before it was recorded). */
   final case class FileStat(file: String, rows: Long,
-      min: Map[String, Option[String]], max: Map[String, Option[String]])
+      min: Map[String, Option[String]], max: Map[String, Option[String]],
+      nulls: Map[String, Long] = Map.empty)
 
   private def esc(s: String): String = s
     .replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
@@ -214,7 +216,8 @@ object VersionedTable {
     val df = spark.read.parquet(dataDir)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))) :+
+        max(col(c)).cast("string").as(s"max_$c"),
+        count(col(c)).as(s"nn_$c"))) :+
       count(lit(1)).as("_rows")
     val rows = df.withColumn("_file", input_file_name())
       .groupBy("_file").agg(aggs.head, aggs.tail: _*)
@@ -225,7 +228,8 @@ object VersionedTable {
       cols.map { c =>
         val mn = Option(r.getAs[String](s"min_$c")).map(esc).getOrElse(NullMark)
         val mx = Option(r.getAs[String](s"max_$c")).map(esc).getOrElse(NullMark)
-        s"s\t${esc(file)}\t$n\t${esc(c)}\t$mn\t$mx"
+        val nulls = n - r.getAs[Long](s"nn_$c")
+        s"s\t${esc(file)}\t$n\t${esc(c)}\t$mn\t$mx\t$nulls"
       }
     }.sorted.mkString("\n")
   }
@@ -243,15 +247,66 @@ object VersionedTable {
       finally in.close()
     val perFile = content.split("\n").toSeq.filter(_.startsWith("s\t"))
       .map(_.split("\t", -1))
-      .collect { case Array("s", f, n, c, mn, mx) =>
-        (unesc(f), n.toLong, unesc(c),
-          if (mn == NullMark) None else Some(unesc(mn)),
-          if (mx == NullMark) None else Some(unesc(mx)))
+      .collect {
+        case Array("s", f, n, c, mn, mx) => // pre-null-count manifests
+          (unesc(f), n.toLong, unesc(c),
+            if (mn == NullMark) None else Some(unesc(mn)),
+            if (mx == NullMark) None else Some(unesc(mx)),
+            None: Option[Long])
+        case Array("s", f, n, c, mn, mx, nulls) =>
+          (unesc(f), n.toLong, unesc(c),
+            if (mn == NullMark) None else Some(unesc(mn)),
+            if (mx == NullMark) None else Some(unesc(mx)),
+            Some(nulls.toLong))
       }
     perFile.groupBy(t => (t._1, t._2)).map { case ((f, n), ts) =>
       FileStat(f, n,
-        ts.map(t => t._3 -> t._4).toMap, ts.map(t => t._3 -> t._5).toMap)
+        ts.map(t => t._3 -> t._4).toMap, ts.map(t => t._3 -> t._5).toMap,
+        ts.flatMap(t => t._6.map(t._3 -> _)).toMap)
     }.toSeq.sortBy(_.file)
+  }
+
+  /** Metadata-first range COUNT: `count(*)` for `lower <= col <=
+    * upper` where files FULLY CONTAINED in the bound (min ≥ lower,
+    * max ≤ upper, null count known) are answered from the manifest
+    * alone — `rows − nulls`, zero IO — and only files STRADDLING a
+    * boundary are scanned with the exact predicate. On a
+    * range-clustered layout that is ≤2 boundary files regardless of
+    * table size: the aggregate-pushdown-to-metadata shape table
+    * formats serve. Returns (count, filesScanned). */
+  def countWhere(spark: SparkSession, root: String, colName: String,
+      lower: Any, upper: Any): (Long, Int) = {
+    val version = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val dir = currentPath(spark, root)
+    val stats = manifestStats(spark, root, version)
+    require(stats.nonEmpty, s"version $version of $root carries no file stats")
+    val dt = spark.read.parquet(dir).schema(colName).dataType
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val st = stats.map(s => (s.file, s.rows,
+        s.min.getOrElse(colName, None), s.max.getOrElse(colName, None),
+        s.nulls.get(colName)))
+      .toDF("file", "rows", "mn", "mx", "nulls")
+    val overlaps = col("mn").isNull || col("mx").isNull ||
+      (col("mx").cast(dt) >= lit(lower) && col("mn").cast(dt) <= lit(upper))
+    val contained = col("mn").isNotNull && col("mx").isNotNull &&
+      col("nulls").isNotNull &&
+      col("mn").cast(dt) >= lit(lower) && col("mx").cast(dt) <= lit(upper)
+    val parts = st.filter(overlaps)
+      .select(col("file"), col("rows"), col("nulls"), contained.as("full"))
+      .collect()
+    val metaCount = parts.filter(_.getAs[Boolean]("full"))
+      .map(r => r.getAs[Long]("rows") - r.getAs[Long]("nulls")).sum
+    val boundary = parts.filter(!_.getAs[Boolean]("full"))
+      .map(r => s"$dir/${r.getAs[String]("file")}")
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spark.read.parquet(boundary.toSeq: _*)
+        .filter(col(colName).cast(dt) >= lit(lower) &&
+          col(colName).cast(dt) <= lit(upper))
+        .count()
+    (metaCount + scanned, boundary.length)
   }
 
   /** Data-skipping scan: plan the file list for `lower <= col <=

@@ -715,10 +715,18 @@ object TextOps {
     * against the full postings. Returns the incoming docs with NO
     * history near-dup at threshold `t` (≥ 0.5 for prefix soundness). */
   def nearDupAgainstHistory(historyPostings: DataFrame, incoming: DataFrame,
-      t: Double = 0.5): DataFrame = {
+      t: Double = 0.5, gramDf: Option[DataFrame] = None): DataFrame = {
     require(t >= 0.5 && t < 1.0, s"prefix bound needs t in [0.5, 1), got $t")
     val hp = historyPostings.toDF("hist_id", "nb", "gram")
-    val hdf = hp.groupBy("gram").agg(count(lit(1)).as("df"))
+    // the rarity ranking is a bucket-size HEURISTIC — the prefix
+    // filter is sound under ANY fixed gram order — so the df table can
+    // come from an incrementally-maintained (gram, df) view instead of
+    // this O(history) aggregate: the curation tick folds each batch's
+    // postings into a MaterializedAgg and passes it here, making the
+    // per-tick cost follow the batch. (A slightly stale or inflated df
+    // only perturbs candidate volume, never the survivor set.)
+    val hdf = gramDf.map(_.toDF("gram", "df"))
+      .getOrElse(hp.groupBy("gram").agg(count(lit(1)).as("df")))
     val ip = incoming
       .select(col("doc_id"),
         graft.functions.GraftFunctions.trigramHashes(words(col("text")))

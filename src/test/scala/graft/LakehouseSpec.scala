@@ -256,6 +256,17 @@ class LakehouseSpec extends SparkSpec {
     val corpus2 = spark.read.parquet(s"$root/corpus").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(corpus2 == corpus)
+    // the incrementally-folded (gram, df) view matches a from-scratch
+    // aggregate of the published postings (no batch lost or doubled
+    // on the clean path)
+    val viewDf = MaterializedAgg.read(spark, cc.gramDfDir,
+      MaterializedAgg.Spec(Seq("gram"), Nil))
+      .select("gram", "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val recount = spark.read.parquet(s"$root/postings")
+      .groupBy("gram").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viewDf == recount && viewDf.nonEmpty)
   }
 
   test("automation tick compacts the table on schedule") {
@@ -663,6 +674,26 @@ class LakehouseSpec extends SparkSpec {
       val again = VersionedTable.prunedFiles(spark, root, "k", 1000L, 1500L)
       assert(again.nonEmpty && again.size < nFiles, s"$nFiles -> $again")
     }
+  }
+
+  test("countWhere answers range counts from the manifest, scanning only boundaries") {
+    import spark.implicits._
+    val root = tmpDir("vtcnt") + "/t"
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("v", when(col("k") % 10 === 0, lit(null)).otherwise(col("k")))
+    VersionedTable.commit(spark, root, statsCols = Seq("k", "v")) { stage =>
+      df.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .write.parquet(stage)
+    }
+    // full range: every file fully contained → zero files scanned
+    val (all, s0) = VersionedTable.countWhere(spark, root, "k", 0L, 9999L)
+    assert(all == 10000L && s0 == 0)
+    // narrow range: interior files metadata-counted, ≤2 boundary scans
+    val (narrow, s1) = VersionedTable.countWhere(spark, root, "k", 1000L, 8999L)
+    assert(narrow == 8000L && s1 <= 2, s"scanned $s1")
+    // null-bearing column: nulls never counted, still metadata-only
+    val (nn, s2) = VersionedTable.countWhere(spark, root, "v", 0L, 9999L)
+    assert(nn == 9000L && s2 == 0)
   }
 
   test("manifest stats prune a 2-D box over a z-ordered layout") {
