@@ -25,7 +25,8 @@ object Bench {
     "q35_ann_lsh", "q43_simhash_pairs", "q45_ann_ivf",
     "q47_cosine_pairs_lsh", "q49_ann_ivf_kmeans",
     "q61_stratified_sample", "q62_token_packing", "q63_deciles_scalable",
-    "q64_cosine_pairs_hi", "q66_dedup_clusters", "q70_sole_late_supplier",
+    "q64_cosine_pairs_hi", "q66_dedup_clusters", "q69_dedup_clusters_star",
+    "q70_sole_late_supplier",
     "q76_decontaminate", "q77_repetition", "q78_hopping_counts",
     "q79_salted_join", "q80_normalize")
 

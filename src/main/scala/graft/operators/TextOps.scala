@@ -491,8 +491,16 @@ object TextOps {
     // PPJoin + verify once per branch
     val pairs = q31(s, d).select("doc_a", "doc_b").cache()
     pairs.count() // eager: both union branches must hit the cache
+    // localCheckpoint BREAKS THE LINEAGE, not just the physical plan:
+    // every round's DataFrame references the previous round's LOGICAL
+    // tree several times, so without truncation Catalyst re-analyzes
+    // an exponentially growing plan each round (caching only reuses
+    // the physical data). The checkpointed edge list is flat longs —
+    // cheap to materialize.
     val edges = pairs.toDF("src", "dst")
-      .union(pairs.select(col("doc_b"), col("doc_a"))).cache()
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .localCheckpoint(true)
+    pairs.unpersist()
     // Only edge-touched docs can ever leave their own label — iterate
     // over the edge-INDUCED vertex set (near-dup pairs are a sliver of
     // any real corpus) and left-join the result back at the end, so
@@ -505,7 +513,7 @@ object TextOps {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).cache()
+      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
     var prevSum = lblSum(labels)
     var converged = prevSum == null // no edges → nothing to propagate
     var rounds = 0
@@ -513,17 +521,15 @@ object TextOps {
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("lbl"))
+      // localCheckpoint, not cache: constant-size plan every round
       val next = labels.union(prop)
-        .groupBy("doc_id").agg(min("lbl").as("lbl")).cache()
+        .groupBy("doc_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
       labels = next
       rounds += 1
     }
-    edges.unpersist()
-    pairs.unpersist()
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
@@ -631,11 +637,16 @@ object TextOps {
   private val q69: QFn = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id")
     val pairs = q31(s, d).select("doc_a", "doc_b")
-    // invariant: edges are directed child→parent, u > v strictly
+    // invariant: edges are directed child→parent, u > v strictly.
+    // Each frame is localCheckpoint'd: a round's plan references its
+    // inputs many times (bidir twice via the union, large three
+    // times), so without a LINEAGE break Catalyst re-analyzes an
+    // exponentially growing logical tree every round — measured as
+    // the dominant cost of this loop long before any executor works.
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < 15) {
@@ -645,6 +656,7 @@ object TextOps {
       val minsL = bidir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val large = bidir.filter(col("v") > col("u")).join(minsL, "u")
         .select(col("v").as("u"), col("m").as("v")).distinct()
+        .localCheckpoint(true) // feeds minsS AND the small-star join
       // small-star: around each center c (over the child→parent
       // edges, so Γ⁻(c) = its parents, all < c), hook the parents and
       // c itself to m = min(Γ⁻(c)); u > v holds in `large`, so
@@ -655,10 +667,9 @@ object TextOps {
         .union(minsS.select(col("u").as("a"), col("m").as("b")))
         .toDF("u", "v")
         .filter(col("u") =!= col("v")) // (m, m) self-hooks
-        .distinct().cache()
+        .distinct().localCheckpoint(true)
       converged = small.count() == edges.count() &&
         small.exceptAll(edges).isEmpty
-      edges.unpersist()
       edges = small
       rounds += 1
     }
