@@ -27,14 +27,22 @@ import graft.util.Exact
 object MaterializedAgg {
 
   /** `keys` group the view; `sums` are double-valued columns
-    * maintained as exact decimal sums (count is always kept). */
-  final case class Spec(keys: Seq[String], sums: Seq[String])
+    * maintained as exact decimal sums (count is always kept);
+    * `distincts` are columns whose APPROX distinct count is
+    * maintained as a mergeable HLL sketch — the associative answer to
+    * the one aggregate exact folding cannot give (register-max union
+    * is order-independent, so the maintained sketch is bit-identical
+    * to a from-scratch build). */
+  final case class Spec(keys: Seq[String], sums: Seq[String],
+      distincts: Seq[String] = Nil)
 
   private def partial(batch: DataFrame, spec: Spec): DataFrame =
     batch.groupBy(spec.keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         spec.sums.map(c =>
-          sum(col(c).cast(Exact.Dec)).as(s"dec_$c")): _*)
+          sum(col(c).cast(Exact.Dec)).as(s"dec_$c")) ++
+        spec.distincts.map(c =>
+          hll_sketch_agg(col(c)).as(s"hll_$c")): _*)
 
   /** Fold one batch into the materialized state at `root`; returns
     * the committed version. */
@@ -46,7 +54,9 @@ object MaterializedAgg {
     val merged = cur.map(_.unionByName(p)).getOrElse(p)
       .groupBy(spec.keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
-        spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")): _*)
+        spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")) ++
+        spec.distincts.map(c =>
+          hll_union_agg(col(s"hll_$c")).as(s"hll_$c")): _*)
     VersionedTable.commit(spark, root) { stage =>
       merged.write.mode("overwrite").parquet(stage)
     }
@@ -59,7 +69,9 @@ object MaterializedAgg {
     val cols = spec.keys.map(col) ++ Seq(col("cnt")) ++
       spec.sums.flatMap(c => Seq(
         col(s"dec_$c").cast("double").as(s"sum_$c"),
-        (col(s"dec_$c").cast("double") / col("cnt")).as(s"avg_$c")))
+        (col(s"dec_$c").cast("double") / col("cnt")).as(s"avg_$c"))) ++
+      spec.distincts.map(c =>
+        hll_sketch_estimate(col(s"hll_$c")).as(s"approx_distinct_$c"))
     st.select(cols: _*)
   }
 
@@ -98,7 +110,9 @@ object MaterializedAgg {
     val merged = cur.map(_.unionByName(p)).getOrElse(p)
       .groupBy(spec.keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
-        spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")): _*)
+        spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")) ++
+        spec.distincts.map(c =>
+          hll_union_agg(col(s"hll_$c")).as(s"hll_$c")): _*)
     VersionedTable.commit(spark, root) { stage =>
       merged.write.mode("overwrite").parquet(stage)
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),

@@ -849,6 +849,34 @@ object Relational {
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY s_name""".stripMargin
 
+  /** RANGE window frame over a SPARSE daily series — trailing-7-DAY
+    * revenue, which differs from q28's 7-ROW moving average exactly
+    * where days are missing (a RANGE frame spans value distance, not
+    * row count). Integer day-number order key: numeric RANGE frames
+    * are engine-identical, where interval frames invite boundary
+    * semantics drift. Day-grain input → the unpartitioned window is
+    * scale-safe, as in q07/q28. */
+  private val q81: QFn = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("timestamp"))
+        .cast("long").as("day_num"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("rev_dec"))
+    val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .withColumn("trailing7", sum(col("rev_dec")).over(w).cast("double"))
+      .select(col("day_num"), col("rev_dec").cast("double").as("day_rev"),
+        col("trailing7"))
+  }
+  private val q81Sql =
+    """SELECT day_num, CAST(rev_dec AS DOUBLE) AS day_rev,
+      |  CAST(SUM(rev_dec) OVER (ORDER BY day_num
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing7
+      |FROM (SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01',
+      |        o_orderdate) AS BIGINT) AS day_num,
+      |        SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev_dec
+      |      FROM orders GROUP BY 1) t""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -884,7 +912,8 @@ object Relational {
     "q71_idle_rich_customers" -> q71,
     "q73_top_supplier" -> q73,
     "q74_window_suite" -> q74,
-    "q79_salted_join" -> q79)
+    "q79_salted_join" -> q79,
+    "q81_range_frame" -> q81)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -921,5 +950,6 @@ object Relational {
     "q71_idle_rich_customers" -> q71Sql,
     "q73_top_supplier" -> q73Sql,
     "q74_window_suite" -> q74Sql,
-    "q79_salted_join" -> q79Sql)
+    "q79_salted_join" -> q79Sql,
+    "q81_range_frame" -> q81Sql)
 }

@@ -147,6 +147,28 @@ class LakehouseSpec extends SparkSpec {
     assert(view == full && view.nonEmpty)
     // the state is versioned: one commit per batch, current = 3
     assert(VersionedTable.currentVersion(spark, root).contains(3L))
+    // HLL-maintained approx distinct: sketches union across folds
+    // (register-max merge ≡ a from-scratch sketch), users overlap
+    // across batches so naive count-summing would overcount
+    val droot = tmpDir("maggd") + "/v"
+    val dspec = MaterializedAgg.Spec(
+      keys = Seq("event_type"), sums = Nil, distincts = Seq("user_id"))
+    batches.foreach(b => MaterializedAgg.update(spark, droot, b, dspec))
+    val est = MaterializedAgg.read(spark, droot, dspec)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.05,
+        s"$k: est ${est(k)} vs exact $n")
+    }
+    // and the maintained sketch estimate equals a from-scratch sketch
+    val scratch = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est == scratch)
   }
 
   test("automation tick maintains the materialized view incrementally") {
