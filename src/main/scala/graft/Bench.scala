@@ -28,7 +28,7 @@ object Bench {
     "q64_cosine_pairs_hi", "q66_dedup_clusters", "q69_dedup_clusters_star",
     "q70_sole_late_supplier",
     "q76_decontaminate", "q77_repetition", "q78_hopping_counts",
-    "q79_salted_join", "q80_normalize")
+    "q79_salted_join", "q80_normalize", "q81_range_frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
