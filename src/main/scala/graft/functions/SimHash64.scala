@@ -130,6 +130,11 @@ object GraftFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       NormalizeText(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
+  /** `deflate_len(s)` as a Column. */
+  def deflateLen(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DeflateLen(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHash64].getName, "simhash64")
 
@@ -170,6 +175,10 @@ object GraftFunctions {
       FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (children: Seq[Expression]) => NormalizeText(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children.head))
   }
 
   /** SQL builder: base/planes must be foldable int literals. */
@@ -249,6 +258,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (children: Seq[Expression]) => NormalizeText(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children.head)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_version"),
       GraftFunctions.graftVersionInfo,

@@ -886,6 +886,149 @@ object TextOps {
       |    AS norm
       |FROM documents""".stripMargin
 
+  /** Duplicated-SPAN detection (the ExactSubstr dedup signal of Lee et
+    * al. 2022, at word-8-gram granularity): for every document, the
+    * count and fraction of its POSITIONAL word 8-grams that also occur
+    * in at least one other document. Cross-doc near-dup mining (q31/
+    * q32) finds whole-document pairs; this finds the duplicated
+    * REGIONS — boilerplate headers, license blocks, templated spans —
+    * inside otherwise-distinct documents, which is what substring-level
+    * dedup actually removes at training time.
+    *
+    * Shape at 100 TB: the span stream is a map-side explode (positional
+    * grams, ~1 row per token); duplicate grams come from one gram-keyed
+    * aggregate, the per-doc hit counts from a gram-keyed semi join +
+    * doc-keyed aggregate. Two passes over the exploded stream — caching
+    * it would pin 8× the corpus in memory (the round-4 PIECES finding:
+    * array/string caches cost far more than recompute), so recomputing
+    * the explode is the cheaper side of the bargain at every scale. */
+  private val q82: QFn = (s, d) => {
+    val w = words(col("text"))
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      greatest(size(w) - 7, lit(0)).cast("long").as("n_spans"), w.as("w"))
+    def spans(df: DataFrame): DataFrame = df.filter(col("n_spans") > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1L), col("n_spans")),
+        i => concat_ws(" ", slice(col("w"), i, lit(8))))).as("gram"))
+    val g = spans(docs)
+    val dup = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val hits = spans(docs).join(dup, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    docs.select("doc_id", "n_spans")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+            / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+  private val q82Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |d AS (SELECT doc_id, GREATEST(len(w)-7, 0) AS n_spans, w FROM t),
+      |g AS (SELECT doc_id, array_to_string(list_slice(w, i, i+7), ' ') AS gram
+      |      FROM (SELECT doc_id, w,
+      |              unnest(range(1, GREATEST(len(w)-7,0)+1)) AS i FROM d)),
+      |dup AS (SELECT gram FROM g GROUP BY gram
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, COUNT(*) AS n_dup FROM g
+      |         JOIN dup USING(gram) GROUP BY doc_id)
+      |SELECT d.doc_id, d.n_spans,
+      |  COALESCE(hits.n_dup, 0) AS n_dup_spans,
+      |  CASE WHEN d.n_spans > 0
+      |    THEN CAST(COALESCE(hits.n_dup,0) AS DOUBLE)/d.n_spans
+      |    ELSE 0.0 END AS dup_frac
+      |FROM d LEFT JOIN hits USING(doc_id)""".stripMargin
+
+  /** Token-rarity profile — the unigram-LM quality signal (CCNet-style
+    * perplexity filtering's shape) kept INTEGER-EXACT so any engine
+    * reproduces it bit-for-bit: per document, the token count, the sum
+    * of each token's corpus-wide collection frequency, and the rarest
+    * token's frequency. sum_cf/n_tokens is the doc's mean token
+    * commonness (a float divide left to the consumer — summing ln() or
+    * 1/cf doubles is accumulation-order-dependent and can never gate on
+    * a cross-engine hash). Shape: one term-keyed aggregate builds the
+    * vocabulary, the token stream joins it term-keyed (AQE broadcasts
+    * the vocab side when it is small; at web scale both sides shuffle
+    * on term — linear), then one doc-keyed aggregate. */
+  private val q83: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+    toks.join(cf, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"),
+        min(col("cf")).as("min_cf"))
+  }
+  private val q83Sql =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |t2 AS (SELECT * FROM t WHERE len(term) > 0),
+      |cf AS (SELECT term, COUNT(*) AS cf FROM t2 GROUP BY term)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(cf) AS BIGINT) AS sum_cf, MIN(cf) AS min_cf
+      |FROM t2 JOIN cf USING(term) GROUP BY doc_id""".stripMargin
+
+  /** PII redaction patterns, applied in order. Order is load-bearing:
+    * email first (its local part can contain digit runs), SSN before
+    * phone (both are dash-separated digit shapes, and xxx-xx-xxxx
+    * would otherwise be half-eaten by the phone pattern), IP before
+    * the credit-card digit-run pattern. Kept to portable regex
+    * constructs (classes, bounded repetition, word boundaries). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    // (?<!\w) not \b: a leading "(" has non-word chars on both sides,
+    // so \b can never anchor the "(555) ..." form
+    ("(?<!\\w)(?:\\+?1[-. ])?(?:\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b",
+      "<PHONE>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d(?:[ -]?\\d){12,15}\\b", "<CC>"))
+
+  /** PII redaction over a document table: emails, SSNs, phone numbers,
+    * IPv4 addresses, and credit-card digit runs replaced with typed
+    * placeholder tokens, plus an `n_redactions` count column (each
+    * pattern counted on the text as the PREVIOUS stages left it, so a
+    * span never counts twice). Pure map-side regexp work — zero
+    * shuffles at any scale — and deterministic, so redaction before
+    * fingerprinting makes re-crawls that rotate dynamic PII (session
+    * ids in emails, changing IPs) dedup identically. The test corpus
+    * carries no PII by construction, so semantics are spec-pinned on
+    * synthetic documents rather than oracle-checked. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val (red, n) = piiPatterns.foldLeft((col(textCol), lit(0))) {
+      case ((c, cnt), (p, tok)) =>
+        (regexp_replace(c, p, tok), cnt + regexp_count(c, lit(p)))
+    }
+    docs.withColumn("n_redactions", coalesce(n, lit(0)))
+      .withColumn(textCol, red)
+  }
+
+  /** Compression-ratio quality signal through the native `deflate_len`
+    * expression: compressed/raw byte ratio per document — the
+    * LZ77-window repetition detector (low ratio ⇒ templated/boiler-
+    * plate text; ≈1 ⇒ high-entropy noise; natural prose in between)
+    * that MassiveText/RefinedWeb-style pipelines gate on. Catches
+    * long-range and periodic repetition that q77's fixed-width shingle
+    * fractions miss. Map-only, zero shuffles at any scale. Rows-only:
+    * the oracle engine has no deflate — the spec pins monotonicity
+    * under repetition, determinism, and the null/empty edges. */
+  private val q84: QFn = (s, d) => {
+    val raw = octet_length(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), raw.as("n_bytes"),
+      graft.functions.GraftFunctions.deflateLen(col("text"))
+        .as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          col("deflate_bytes").cast("double") / col("n_bytes").cast("double"))
+          .otherwise(lit(1.0)))
+  }
+
   /** Heavy hitters via count-min sketch: term frequencies estimated
     * from ONE distributed pass whose only driver artifact is the
     * sketch matrix (width×depth longs, tens of KB — `stat
@@ -937,7 +1080,10 @@ object TextOps {
     "q75_heavy_hitters" -> q75,
     "q76_decontaminate" -> q76,
     "q77_repetition" -> q77,
-    "q80_normalize" -> q80)
+    "q80_normalize" -> q80,
+    "q82_dup_spans" -> q82,
+    "q83_token_rarity" -> q83,
+    "q84_compress_ratio" -> q84)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -961,5 +1107,7 @@ object TextOps {
     "q69_dedup_clusters_star" -> q66Sql,
     "q76_decontaminate" -> q76Sql,
     "q77_repetition" -> q77Sql,
-    "q80_normalize" -> q80Sql)
+    "q80_normalize" -> q80Sql,
+    "q82_dup_spans" -> q82Sql,
+    "q83_token_rarity" -> q83Sql)
 }

@@ -227,6 +227,57 @@ class LakehouseSpec extends SparkSpec {
       .agg(sum("cnt")).head.getLong(0) == 85)
   }
 
+  test("sketch view: maintained CMS ≡ from-scratch, streaming folds exactly once") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def bytes(c: CountMinSketch): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); c.writeTo(b); b.toByteArray
+    }
+    val root = tmpDir("sketchroot")
+    val spec = SketchView.Spec(column = "term")
+    def termsOf(parity: Int) = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === parity)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    SketchView.update(spark, root, termsOf(0), spec)
+    SketchView.update(spark, root, termsOf(1), spec)
+    val maintained = SketchView.current(spark, root).get
+    // counter matrices are sums ⇒ the two-batch fold is bit-identical
+    // to one sketch built over the whole stream
+    val scratch = termsOf(0).unionAll(termsOf(1))
+      .stat.countMinSketch("term", spec.eps, spec.confidence, spec.seed)
+    assert(java.util.Arrays.equals(bytes(maintained), bytes(scratch)))
+    // overestimate-only within the ε·N bound on the top terms
+    val exact = termsOf(0).unionAll(termsOf(1)).groupBy("term").count()
+      .orderBy(col("count").desc, col("term")).limit(10).collect()
+    val n = maintained.totalCount()
+    val ests = SketchView.estimate(spark, root,
+      exact.map(_.getString(0)).toSeq)
+    exact.foreach { r =>
+      val est = ests(r.getString(0))
+      assert(est >= r.getLong(1), s"${r.getString(0)} underestimated")
+      assert(est - r.getLong(1) <= math.ceil(spec.eps * n).toLong * 2,
+        s"${r.getString(0)}: est=$est exact=${r.getLong(1)} n=$n")
+    }
+    // streaming form: AvailableNow folds, exactly-once by batch id
+    val src = tmpDir("sketchsrc"); val ckpt = tmpDir("sketchckpt")
+    val sroot = tmpDir("sketchsroot")
+    val sspec = SketchView.Spec(column = "customer_type")
+    SurveyGen.writeArrival(spark, src, "d1.csv", 60, 31)
+    SketchView.runStream(spark, src, sroot, ckpt, SurveyGen.schema, sspec)
+      .awaitTermination(60000)
+    assert(SketchView.current(spark, sroot).get.totalCount() == 60)
+    // crash-redelivery: re-folding the last batch id is a no-op
+    val lastId = MaterializedAgg.lastFoldedBatch(spark, sroot).get
+    assert(!SketchView.foldBatch(spark, sroot,
+      SurveyGen.generate(spark, 40, seed = 32), sspec, lastId))
+    assert(SketchView.current(spark, sroot).get.totalCount() == 60)
+    // restart with a new drop: checkpoint resumes, next id folds
+    SurveyGen.writeArrival(spark, src, "d2.csv", 25, 33)
+    SketchView.runStream(spark, src, sroot, ckpt, SurveyGen.schema, sspec)
+      .awaitTermination(60000)
+    assert(SketchView.current(spark, sroot).get.totalCount() == 85)
+  }
+
   test("automation tick curates the corpus: near-dups vs history dropped exactly once") {
     val root = tmpDir("corpusauto")
     val cc = Automation.CorpusDedupConfig(

@@ -225,6 +225,89 @@ class OperatorsSpec extends SparkSpec {
     assert(fps.length == fps.distinct.length)
   }
 
+  test("redactPii: typed tokens, exact counts, clean/null text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact john.doe+x@example.com or 192.168.0.1 today"),
+      (2L, "ssn 123-45-6789 phone (555) 123-4567 card 4111 1111 1111 1111"),
+      (3L, "a clean document with no sensitive spans at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) == "contact <EMAIL> or <IP> today")
+    assert(r(1L).getInt(2) == 2)
+    assert(r(2L).getString(1) == "ssn <SSN> phone <PHONE> card <CC>")
+    assert(r(2L).getInt(2) == 3)
+    assert(r(3L).getString(1) == "a clean document with no sensitive spans at all")
+    assert(r(3L).getInt(2) == 0)
+    assert(r(4L).isNullAt(1) && r(4L).getInt(2) == 0)
+    // pipeline wiring: redaction runs before fingerprinting, so two
+    // re-crawls differing only in rotated PII dedup to one survivor
+    val crawls = Seq(
+      (10L, "report issues to alice@host1.example.com thanks for reading the page", "en", "web"),
+      (11L, "report issues to bob.smith@other2.example.org thanks for reading the page", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val (_, rep) = CorpusPipeline.run(crawls,
+      CorpusPipeline.Config(minQuality = 0.0, redactPii = true,
+        langKeepRates = Map("en" -> 1.0), binTokens = 64L))
+    assert(rep.afterDedup == 1, s"rotated-PII re-crawl must dedup: $rep")
+    val (_, repOff) = CorpusPipeline.run(crawls,
+      CorpusPipeline.Config(minQuality = 0.0, redactPii = false,
+        langKeepRates = Map("en" -> 1.0), binTokens = 64L))
+    assert(repOff.afterDedup == 2)
+  }
+
+  test("deflate_len: repetition compresses, determinism, type/null edges") {
+    val row = spark.sql(
+      """SELECT deflate_len(repeat('spam ', 200)) AS rep,
+        |  deflate_len(concat_ws(' ',
+        |    transform(sequence(1, 40), i -> md5(cast(i AS string))))) AS var,
+        |  deflate_len('') AS emp,
+        |  deflate_len(CAST(NULL AS string)) AS nul,
+        |  deflate_len(CAST('abcabc' AS binary)) AS bin,
+        |  deflate_len('abcabc') AS str""".stripMargin).head()
+    val repRatio = row.getInt(0) / 1000.0
+    val varRatio = row.getInt(1) / (40 * 33 - 1).toDouble
+    assert(repRatio < 0.1, s"repeated text must compress hard: $repRatio")
+    assert(varRatio > 0.3, s"high-entropy text must not: $varRatio")
+    assert(row.getInt(2) >= 0 && !row.isNullAt(2))
+    assert(row.isNullAt(3))
+    assert(row.getInt(4) == row.getInt(5)) // binary ≡ string bytes
+    // deterministic across evaluations (codegen and interpreted paths
+    // share one static kernel)
+    val q = TextOps.queries("q84_compress_ratio")(spark, sfDir)
+    val a = q.orderBy("doc_id").collect()
+    val b = q.orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(a.length > 0)
+    a.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio > 0.0 && ratio < 1.5, s"doc ${r.getLong(0)}: $ratio")
+    }
+  }
+
+  test("q82 dup spans: shared 8-gram runs flagged, disjoint docs clean") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = tmpDir("q82docs")
+    Seq(
+      (1L, s"one two $shared three four", "en", "a"),
+      (2L, s"$shared five six seven eight nine", "en", "b"),
+      (3L, "totally different words nothing in common with others here now", "en", "c"),
+      (4L, "short doc", "en", "d")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.queries("q82_dup_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the shared 10-word run yields 3 positional 8-grams in each doc
+    assert(out(1L).getLong(2) == 3 && out(2L).getLong(2) == 3)
+    assert(out(3L).getLong(2) == 0)
+    assert(out(4L).getLong(1) == 0 && out(4L).getLong(2) == 0 &&
+      out(4L).getDouble(3) == 0.0) // <8 words: no spans, frac 0 not NaN
+  }
+
   test("dedupAgainstHistory keeps only content-new incoming docs") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")

@@ -147,6 +147,61 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 15)
   }
 
+  test("property: LSH pair mining is sound; every high-cosine pair is found") {
+    import spark.implicits._
+    // Soundness is deterministic (the exact verify runs on every
+    // candidate); recall at cosine ≥ 0.9 is probabilistic per band but
+    // the 16-band miss probability there is < 1e-9 — far below
+    // ScalaCheck noise. Pairs in [t, 0.9) are NOT asserted found:
+    // that is the genuine LSH recall curve, pinned to 1 only where the
+    // oracle-backed q47/q64 equalities pin it on real data.
+    val caseId = new java.util.concurrent.atomic.AtomicInteger(0)
+    val genCase = for {
+      n <- Gen.chooseNum(8, 20)
+      dim <- Gen.oneOf(8, 16)
+      flat <- Gen.listOfN(n * dim, Gen.chooseNum(-1000, 1000))
+      nDup <- Gen.chooseNum(1, 3)
+    } yield (n, dim, flat, nDup)
+    val prop = Prop.forAll(genCase) { case (n, dim, flat, nDup) =>
+      val vecs: Vector[Array[Float]] = flat.map(_ / 1000.0f).grouped(dim)
+        .toVector.take(n).map { g =>
+          val a = g.toArray
+          a(0) = a(0) + (if (a(0) >= 0) 0.5f else -0.5f) // no zero vectors
+          a
+        }
+      // planted near-dups: tiny last-coordinate perturbation ⇒ cosine
+      // ≈ 0.9999 — squarely in the certain-recall regime
+      val dups = (0 until math.min(nDup, vecs.size)).map { i =>
+        val c = vecs(i).clone(); c(dim - 1) += 0.001f; (1000L + i, c)
+      }
+      val all = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++ dups
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+        while (k < a.length) {
+          d += a(k).toDouble * b(k); na += a(k).toDouble * a(k)
+          nb += b(k).toDouble * b(k); k += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      val byId = all.toMap
+      val t = 0.5
+      // exactLimit = 0 forces the LSH path through the public guard
+      val out = VectorOps.cosinePairs(all.toDF("vec_id", "embedding"), t,
+          exactLimit = 0L, cacheKey = s"lsh-prop:${caseId.incrementAndGet()}")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = all.map(_._1)
+      val expectHigh = (for {
+        a <- ids; b <- ids if a < b
+        if cos(byId(a), byId(b)) >= 0.9
+      } yield (a, b)).toSet
+      val unsound = out.filter { case (a, b) => cos(byId(a), byId(b)) < t - 1e-6 }
+      (Prop.propBoolean(unsound.isEmpty) :| s"unsound pairs: $unsound") &&
+        (Prop.propBoolean(expectHigh.subsetOf(out))
+          :| s"missed high-cosine pairs: ${expectHigh -- out}")
+    }
+    check(prop, 10)
+  }
+
   test("property: normalize_text is idempotent and whitespace-canonical") {
     import graft.functions.NormalizeText
     import org.apache.spark.unsafe.types.UTF8String
