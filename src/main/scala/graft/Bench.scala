@@ -28,7 +28,9 @@ object Bench {
     "q64_cosine_pairs_hi", "q66_dedup_clusters", "q69_dedup_clusters_star",
     "q70_sole_late_supplier",
     "q76_decontaminate", "q77_repetition", "q78_hopping_counts",
-    "q79_salted_join", "q80_normalize", "q81_range_frame")
+    "q79_salted_join", "q80_normalize", "q81_range_frame",
+    "q82_dup_spans", "q83_token_rarity", "q84_compress_ratio",
+    "q85_percentiles_scalable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

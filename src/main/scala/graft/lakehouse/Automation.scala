@@ -47,17 +47,22 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     } else None
     val load = IncrementalLoader.run(spark, cfg.srcDir, cfg.tableDir,
       cfg.registryDir, SurveyGen.schema)
-    // fold ONLY the freshly loaded rows into the materialized view —
+    // fold ONLY the freshly loaded rows into the maintained views —
     // the dashboard the reference recomputes per refresh, maintained
-    // incrementally (merge cost = touched keys, not table size)
-    cfg.aggView.foreach { av =>
-      if (load.loaded.nonEmpty) {
+    // incrementally (merge cost = touched keys / sketch size, never
+    // table size)
+    val freshRows =
+      if (load.loaded.isEmpty ||
+        (cfg.aggView.isEmpty && cfg.freqSketch.isEmpty)) None
+      else {
         val live = VersionedTable.currentPath(spark, cfg.tableDir)
-        val fresh = spark.read.parquet(
-          load.loaded.map(f => s"$live/${IncrementalLoader.publishedName(f)}"): _*)
-        MaterializedAgg.update(spark, av.root, fresh, av.spec)
+        Some(spark.read.parquet(
+          load.loaded.map(f => s"$live/${IncrementalLoader.publishedName(f)}"): _*))
       }
-    }
+    cfg.aggView.foreach { av => freshRows.foreach(f =>
+      MaterializedAgg.update(spark, av.root, f, av.spec)) }
+    cfg.freqSketch.foreach { fs => freshRows.foreach(f =>
+      SketchView.update(spark, fs.root, f, fs.spec)) }
     val vecLoad = cfg.vectorIndex.map(maintainIndex)
     val corpus = cfg.corpusDedup.map(maintainCorpus)
     val expired =
@@ -257,11 +262,16 @@ object Automation {
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,
+      freqSketch: Option[SketchViewConfig] = None,
       corpusDedup: Option[CorpusDedupConfig] = None)
 
   /** Materialized-view maintenance config: fold each tick's freshly
     * loaded rows into [[MaterializedAgg]] state at `root`. */
   final case class AggViewConfig(root: String, spec: MaterializedAgg.Spec)
+
+  /** Frequency-sketch maintenance config: fold each tick's freshly
+    * loaded rows into the [[SketchView]] count-min state at `root`. */
+  final case class SketchViewConfig(root: String, spec: SketchView.Spec)
 
   /** Embedding-pipeline config: where vector drops arrive, where the
     * loaded table and the persisted IVF index live. Drops are

@@ -54,6 +54,14 @@ object VersionedTable {
 
   private val LegacyVer = "^v=(\\d+)$".r
   private val HiddenVer = "^_v-(\\d+)$".r
+  private val AttemptVer = "^_v-(\\d+)-w.*$".r
+
+  /** A concurrent writer published this version first. Extends
+    * IllegalStateException so pre-existing double-writer detection
+    * call sites keep their contract; [[commitOptimistic]] catches it
+    * to rebase and retry. */
+  final class CommitConflictException(msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause)
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -85,14 +93,34 @@ object VersionedTable {
     }.maxOption
   }
 
+  /** The data dir version `n`'s manifest points at: an explicit
+    * `d`-line (optimistic commits use attempt-unique dir names), else
+    * the conventional `_v-n` / legacy `v=n`. */
+  private def dataDirOf(fs: FileSystem, root: String, n: Long): String = {
+    val p = new Path(commitsDir(root), n.toString)
+    val pointed =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.split("\n").find(_.startsWith("d\t")).map(_.drop(2))
+      }
+    pointed match {
+      case Some(dir) => s"$root/$dir"
+      case None =>
+        val hidden = s"$root/_v-$n"
+        if (fs.exists(new Path(hidden))) hidden
+        else s"$root/v=$n" // manifest migrated from a legacy layout
+    }
+  }
+
   /** Directory `read` resolves: the current version's data dir, or
     * `root` itself for a pre-versioning flat table. */
   def currentPath(spark: SparkSession, root: String): String =
     currentVersion(spark, root) match {
-      case Some(n) =>
-        val hidden = s"$root/_v-$n"
-        if (fsOf(spark, root).exists(new Path(hidden))) hidden
-        else s"$root/v=$n" // manifest migrated from a legacy layout
+      case Some(n) => dataDirOf(fsOf(spark, root), root, n)
       case None => root
     }
 
@@ -150,31 +178,38 @@ object VersionedTable {
     // prune data dirs (both layouts) and manifests older than the
     // retention window, stale round-2 staging dirs, and
     // pre-versioning flat files (unreachable once versioned)
-    val cutoff = next - math.max(1, keepVersions)
+    prune(fs, root, next - math.max(1, keepVersions))
+    next
+  }
+
+  /** Remove versions (data + manifest) at or below `cutoff`, stale
+    * staging dirs, losing/crashed optimistic attempt dirs whose target
+    * version is superseded, and pre-versioning flat files. */
+  private def prune(fs: FileSystem, root: String, cutoff: Long): Unit = {
     fs.listStatus(new Path(root)).foreach { st =>
       st.getPath.getName match {
         case HiddenVer(n) if n.toLong <= cutoff => fs.delete(st.getPath, true)
+        // an attempt dir below the cutoff is either a pruned winner or
+        // a loser/crash leftover for a version someone else won —
+        // never the live table, never an in-flight attempt (those
+        // target versions > cutoff)
+        case AttemptVer(n) if n.toLong <= cutoff => fs.delete(st.getPath, true)
         case LegacyVer(n) if n.toLong <= cutoff => fs.delete(st.getPath, true)
         case name if name.startsWith("_stage_v=") => fs.delete(st.getPath, true)
         case _ if st.isFile => fs.delete(st.getPath, false)
         case _ => ()
       }
     }
-    fs.listStatus(cd).foreach { st =>
+    fs.listStatus(commitsDir(root)).foreach { st =>
       st.getPath.getName.toLongOption
         .filter(_ <= cutoff).foreach(_ => fs.delete(st.getPath, false))
     }
-    next
   }
 
   /** Read a specific retained version (time travel within the
     * retention window). */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val fs = fsOf(spark, root)
-    val hidden = s"$root/_v-$version"
-    val dir = if (fs.exists(new Path(hidden))) hidden else s"$root/v=$version"
-    spark.read.parquet(dir)
-  }
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(dataDirOf(fsOf(spark, root), root, version))
 
   // ---- data-skipping stats (Iceberg-style manifest payload) --------
 
@@ -424,17 +459,73 @@ object VersionedTable {
     * SUCCEEDED — data completes before the manifest — so the retry
     * computes the next version. */
   private def publishManifest(fs: FileSystem, root: String, n: Long,
-      payload: String = ""): Unit = {
+      payload: String = "", dataDirName: Option[String] = None): Unit = {
     val out =
       try fs.create(new Path(commitsDir(root), n.toString), false)
       catch {
-        case e: java.io.IOException => throw new IllegalStateException(
+        case e: java.io.IOException => throw new CommitConflictException(
           s"concurrent commit detected: version $n of $root was published " +
             "by another writer", e)
       }
-    val body =
-      if (payload.isEmpty) n.toString else s"$n\n$payload"
+    val body = (Seq(n.toString) ++ dataDirName.map(d => s"d\t$d") ++
+      Option(payload).filter(_.nonEmpty)).mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit: the multi-writer form. Each
+    * attempt computes the new table contents FROM the current version
+    * (None for an uncreated table), stages them in an attempt-UNIQUE
+    * hidden dir — two racing writers can never touch each other's
+    * bytes — and then tries to take the next version number; the
+    * manifest's create-if-absent is the arbitration (one PUT — the
+    * same single-object primitive the whole protocol rides, so this is
+    * object-store safe end to end). The loser REBASES: re-reads the
+    * now-current version, recomputes, and retries against the next
+    * number. Readers resolve the winner's dir through the manifest's
+    * `d` pointer, so visibility remains exactly one object write.
+    *
+    * Serializability: a writer only ever publishes version base+1
+    * computed from base, and version numbers are taken exactly once —
+    * so committed history is a serial chain of read-modify-writes
+    * (the lost-update anomaly plain `commit` has under two daemons
+    * cannot happen). Losing attempt dirs are removed by their own
+    * retry, or — after a crash — by any later commit's prune sweep. */
+  def commitOptimistic(spark: SparkSession, root: String,
+      keepVersions: Int = 1, statsCols: Seq[String] = Nil,
+      maxRetries: Int = 5)
+      (compute: Option[DataFrame] => DataFrame): Long = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) legacyVersion(fs, root) match {
+      case Some(n) => publishManifest(fs, root, n)
+      case None    => fs.mkdirs(cd)
+    }
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(spark, root)
+      val next = base.getOrElse(0L) + 1L
+      val dirName = s"_v-$next-w${java.util.UUID.randomUUID().toString.take(8)}"
+      val data = new Path(s"$root/$dirName")
+      compute(base.map(_ => read(spark, root)))
+        .write.mode(SaveMode.Overwrite).parquet(data.toString)
+      require(fs.exists(new Path(data, "_SUCCESS")),
+        s"writer did not complete a parquet commit under $data")
+      val stats =
+        if (statsCols.isEmpty) ""
+        else collectFileStats(spark, data.toString, statsCols)
+      try {
+        publishManifest(fs, root, next, stats, Some(dirName))
+        prune(fs, root, next - math.max(1, keepVersions))
+        return next
+      } catch {
+        case e: CommitConflictException =>
+          fs.delete(data, true) // our attempt lost; its bytes are ours alone
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read-transform-commit: the crash-safe form of every table

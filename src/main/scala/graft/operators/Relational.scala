@@ -582,6 +582,56 @@ object Relational {
         dsum(col("c_acctbal")).as("total_bal"))
   }
 
+  /** q16's exact interpolated percentiles WITHOUT the per-group
+    * `percentile()` buffer: Spark's exact percentile aggregate holds
+    * every group's values in ONE task's memory — fine for 3 order
+    * statuses at sf0.1, an OOM at a 10-TB group. The scalable form is
+    * the q29→q63 move applied to quantiles: a 0-based in-group rank
+    * from [[RankOps.withGroupedPrefixSum]] (value ≡ 1 ⇒ exclusive
+    * count ⇒ rank; two passes, driver sees a partitions×groups list),
+    * group counts, then each requested percentile becomes TWO probe
+    * ranks (floor/ceil of h = (n−1)·p) — a broadcast equi-join picks
+    * those ≤ 2·|groups|·|ps| rows and linear interpolation
+    * `v_lo + (v_hi − v_lo)·frac` reproduces the aggregate's exact
+    * double arithmetic. Identical output → shares q16's oracle;
+    * equality is also spec-pinned. */
+  private val q85: QFn = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("v"), col("o_orderkey"))
+      .filter(col("v").isNotNull)
+      .withColumn("one", lit(1L))
+    val ranked = RankOps.withGroupedPrefixSum(base, Seq("o_orderstatus"),
+      Seq("v", "o_orderkey"), valueCol = "one", sumCol = "rank0")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val probes = ranked.groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("st"), explode(array(ps.map(lit): _*)).as("p"), col("n"))
+      .withColumn("h", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("frac", col("h") - floor(col("h")).cast("double"))
+      .select(col("st"), col("p"), col("frac"), explode(array(
+        struct(floor(col("h")).cast("long").as("want"), lit("lo").as("role")),
+        struct(ceil(col("h")).cast("long").as("want"), lit("hi").as("role"))))
+        .as("w"))
+      .select(col("st"), col("p"), col("frac"),
+        col("w.want").as("want"), col("w.role").as("role"))
+    val hits = ranked.select(col("o_orderstatus").as("g"),
+        col("rank0"), col("v"))
+      .join(broadcast(probes),
+        col("g") === col("st") && col("rank0") === col("want"))
+      .groupBy("st", "p", "frac")
+      .agg(max(when(col("role") === "lo", col("v"))).as("v_lo"),
+        max(when(col("role") === "hi", col("v"))).as("v_hi"))
+      .withColumn("pv",
+        round(col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"), 6))
+    hits.groupBy(col("st"))
+      .pivot("p", ps)
+      .agg(first(col("pv")))
+      .select(col("st").as("o_orderstatus"), col("`0.25`").as("p25"),
+        col("`0.5`").as("p50"), col("`0.75`").as("p75"),
+        col("`0.9`").as("p90"))
+  }
+
   /** q15's anti-join with the Bloom pre-filter (JoinOps.bloomAntiJoin):
     * bloom-negative customers skip the join, only the sketch-positive
     * minority shuffles. Identical output → shares q15's oracle. */
@@ -904,6 +954,7 @@ object Relational {
     "q28_moving_avg" -> q28,
     "q29_deciles" -> q29,
     "q63_deciles_scalable" -> q63,
+    "q85_percentiles_scalable" -> q85,
     "q55_string_funcs" -> q55,
     "q56_no_orders_bloom" -> q56,
     "q57_ship_delay" -> q57,
@@ -942,6 +993,7 @@ object Relational {
     "q28_moving_avg" -> q28Sql,
     "q29_deciles" -> q29Sql,
     "q63_deciles_scalable" -> q29Sql, // identical output, shared oracle
+    "q85_percentiles_scalable" -> q16Sql, // identical output, shared oracle
     "q55_string_funcs" -> q55Sql,
     "q56_no_orders_bloom" -> q15Sql,
     "q57_ship_delay" -> q57Sql,

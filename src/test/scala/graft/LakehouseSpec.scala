@@ -179,7 +179,9 @@ class LakehouseSpec extends SparkSpec {
     val cfg = Automation.Config(
       srcDir = s"$root/arrivals", tableDir = s"$root/t",
       registryDir = s"$root/reg", rowsPerDrop = 80,
-      aggView = Some(Automation.AggViewConfig(s"$root/view", spec)))
+      aggView = Some(Automation.AggViewConfig(s"$root/view", spec)),
+      freqSketch = Some(Automation.SketchViewConfig(s"$root/freq",
+        SketchView.Spec(column = "customer_type"))))
     new Automation(spark, cfg).runLoop(intervalMillis = 5, maxTicks = 2)
     val view = MaterializedAgg.read(spark, s"$root/view", spec)
       .collect().map(_.toString).sorted.toSeq
@@ -192,6 +194,16 @@ class LakehouseSpec extends SparkSpec {
         col("sum_departure_delay") / col("cnt"))
       .collect().map(_.toString).sorted.toSeq
     assert(view == full && view.nonEmpty)
+    // the tick-maintained frequency sketch ≡ one built over the table
+    val maintained = SketchView.current(spark, s"$root/freq").get
+    val table = spark.read.parquet(s"$root/t")
+    assert(maintained.totalCount() == table.count())
+    val scratch = table.stat.countMinSketch("customer_type",
+      0.0005, 0.99, 42)
+    table.select("customer_type").distinct().collect().foreach { r =>
+      assert(maintained.estimateCount(r.getString(0)) ==
+        scratch.estimateCount(r.getString(0)))
+    }
   }
 
   test("streaming materialized view folds each batch exactly once") {
@@ -225,6 +237,48 @@ class LakehouseSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(MaterializedAgg.read(spark, root, spec)
       .agg(sum("cnt")).head.getLong(0) == 85)
+  }
+
+  test("optimistic commit: loser rebases on conflict, history stays serial") {
+    import spark.implicits._
+    val root = tmpDir("optimistic")
+    VersionedTable.init(spark, root,
+      Seq((1L, "base")).toDF("id", "v"), keepVersions = 10)
+    var calls = 0
+    val v = VersionedTable.commitOptimistic(spark, root, keepVersions = 10) {
+      cur =>
+        calls += 1
+        if (calls == 1) {
+          // a second writer lands between our snapshot and our publish
+          VersionedTable.rewrite(spark, root, keepVersions = 10)(df =>
+            df.union(Seq((2L, "writer-b")).toDF("id", "v")))
+        }
+        cur.get.union(Seq((3L, s"writer-a-try$calls")).toDF("id", "v"))
+    }
+    // first attempt lost version 2 to writer B and REBASED: the retry
+    // recomputed from B's table, so B's row survives (no lost update)
+    assert(calls == 2)
+    assert(v == 3L)
+    val rows = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "base"), (2L, "writer-b"),
+      (3L, "writer-a-try2")))
+    // time travel resolves both conventional and pointer manifests
+    assert(VersionedTable.readVersion(spark, root, 2).count() == 2)
+    assert(VersionedTable.readVersion(spark, root, 3).count() == 3)
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(names.count(_.matches("_v-3-w.*")) == 1) // winner, manifest-pointed
+    assert(!names.exists(_.matches("_v-2-w.*"))) // loser removed by its retry
+    // CDC across the contested versions sees exactly the two inserts
+    val diff = VersionedTable.changes(spark, root, 1, 3, Seq("id"))
+    assert(diff.filter(col("_change_type") === "insert").count() == 2)
+    // uncreated table: compute receives None, first version lands as 1
+    val fresh = tmpDir("optfresh")
+    val v1 = VersionedTable.commitOptimistic(spark, fresh) { cur =>
+      assert(cur.isEmpty)
+      Seq((9L, "first")).toDF("id", "v")
+    }
+    assert(v1 == 1L && VersionedTable.read(spark, fresh).count() == 1)
   }
 
   test("sketch view: maintained CMS ≡ from-scratch, streaming folds exactly once") {

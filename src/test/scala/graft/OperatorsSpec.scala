@@ -79,6 +79,17 @@ class OperatorsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("q85 distributed exact percentiles equal the percentile() aggregate") {
+    val a = Relational.queries("q16_percentiles")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Relational.queries("q85_percentiles_scalable")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+    // and the scalable plan never serializes a group into one task
+    assert(graft.util.PlanLint.check(
+      Relational.queries("q85_percentiles_scalable")(spark, sfDir)).isEmpty)
+  }
+
   test("rank/prefix-sum parallelism follows spark.sql.shuffle.partitions") {
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_acctbal")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
