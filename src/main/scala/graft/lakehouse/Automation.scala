@@ -53,7 +53,8 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     // table size)
     val freshRows =
       if (load.loaded.isEmpty ||
-        (cfg.aggView.isEmpty && cfg.freqSketch.isEmpty)) None
+        (cfg.aggView.isEmpty && cfg.freqSketch.isEmpty &&
+          cfg.quantView.isEmpty)) None
       else {
         val live = VersionedTable.currentPath(spark, cfg.tableDir)
         Some(spark.read.parquet(
@@ -63,6 +64,8 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       MaterializedAgg.update(spark, av.root, f, av.spec)) }
     cfg.freqSketch.foreach { fs => freshRows.foreach(f =>
       SketchView.update(spark, fs.root, f, fs.spec)) }
+    cfg.quantView.foreach { qv => freshRows.foreach(f =>
+      QuantileView.update(spark, qv.root, f, qv.spec)) }
     val vecLoad = cfg.vectorIndex.map(maintainIndex)
     val corpus = cfg.corpusDedup.map(maintainCorpus)
     val expired =
@@ -78,8 +81,15 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           sortCol = cfg.compactClusterBy,
           statsCols = cfg.compactClusterBy.toSeq))
       else None
+    // scheduled orphan vacuum: crashed writers' leftovers (in-flight
+    // dirs no manifest references) reclaimed once they outlive the
+    // age threshold — the storage-hygiene twin of compaction
+    val vacuumed =
+      if (cfg.vacuumEvery > 0 && ticks % cfg.vacuumEvery == 0)
+        VersionedTable.vacuum(spark, cfg.tableDir, cfg.vacuumAgeMs)
+      else Seq.empty
     Automation.TickReport(ticks, generated, load, expired, vecLoad, compacted,
-      corpus)
+      corpus, vacuumed)
   }
 
   /** Training-corpus curation: incremental-load document drops, then
@@ -255,6 +265,8 @@ object Automation {
       retentionDays: Int = 7,
       retainEvery: Int = 60,
       compactEvery: Int = 0, // 0 = no scheduled compaction
+      vacuumEvery: Int = 0, // 0 = no scheduled orphan vacuum
+      vacuumAgeMs: Long = 24L * 3600 * 1000, // orphan age threshold
       // range-cluster scheduled compactions on this column and record
       // its per-file min/max in the manifest — compaction doubles as
       // the data-skipping index refresh (readPruned plans from it)
@@ -263,6 +275,7 @@ object Automation {
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,
       freqSketch: Option[SketchViewConfig] = None,
+      quantView: Option[QuantileViewConfig] = None,
       corpusDedup: Option[CorpusDedupConfig] = None)
 
   /** Materialized-view maintenance config: fold each tick's freshly
@@ -272,6 +285,10 @@ object Automation {
   /** Frequency-sketch maintenance config: fold each tick's freshly
     * loaded rows into the [[SketchView]] count-min state at `root`. */
   final case class SketchViewConfig(root: String, spec: SketchView.Spec)
+
+  /** Maintained-quantile config: fold each tick's freshly loaded rows
+    * into the [[QuantileView]] DDSketch state at `root`. */
+  final case class QuantileViewConfig(root: String, spec: QuantileView.Spec)
 
   /** Embedding-pipeline config: where vector drops arrive, where the
     * loaded table and the persisted IVF index live. Drops are
@@ -322,7 +339,8 @@ object Automation {
       expired: Seq[String],
       vecLoad: Option[IncrementalLoader.LoadResult] = None,
       compacted: Option[Int] = None,
-      corpus: Option[CorpusReport] = None)
+      corpus: Option[CorpusReport] = None,
+      vacuumed: Seq[String] = Seq.empty)
 
   /** `runMain graft.lakehouse.Automation <rootDir> [intervalSec]
     * [maxTicks]` — drops land in `<rootDir>/arrivals`, the lakehouse

@@ -101,6 +101,36 @@ object SketchView {
     terms.map(t => t -> cms.estimateCount(t)).toMap
   }
 
+  /** DataFrame-valued estimates: annotate an ARBITRARY term column
+    * with its maintained-sketch count — the distributed consumer shape
+    * (join a 100 TB candidate table against the frequency model)
+    * where [[estimate]]'s driver-side map cannot go. The KB-scale
+    * counter matrix broadcasts once; each partition deserializes it
+    * once and streams rows through `estimateCount` — no shuffle, no
+    * per-row deserialization, and the term table never moves. Before
+    * the first fold every estimate is 0, matching [[estimate]]. */
+  def estimateAll(spark: SparkSession, root: String, terms: DataFrame,
+      termCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val bytes = current(spark, root).map(toBytes)
+    bytes match {
+      case None => terms.withColumn("est_count", lit(0L))
+      case Some(b) =>
+        val bc = spark.sparkContext.broadcast(b)
+        val enc = org.apache.spark.sql.Encoders.row(terms.schema
+          .add(StructField("est_count", LongType, nullable = false)))
+        val idx = terms.schema.fieldIndex(termCol)
+        terms.mapPartitions { rows =>
+          val cms = fromBytes(bc.value)
+          rows.map { r =>
+            val t = r.get(idx)
+            val est = if (t == null) 0L else cms.estimateCount(t)
+            Row.fromSeq(r.toSeq :+ est)
+          }
+        }(enc).toDF(terms.columns :+ "est_count": _*)
+    }
+  }
+
   /** Streaming maintenance: every micro-batch of the file stream folds
     * into the sketch exactly once. State stays KB-scale while the
     * stream is unbounded. */

@@ -528,6 +528,50 @@ object VersionedTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Age-thresholded ORPHAN VACUUM — the cleanup [[prune]] cannot do.
+    * Each commit's prune sweep removes versions superseded past the
+    * retention window, but a crashed writer's in-flight leftovers
+    * target versions ABOVE that cutoff: an optimistic loser that died
+    * before deleting its attempt dir, or a plain commit that crashed
+    * after writing `_v-N` but before its manifest when no later commit
+    * ever lands. Those dirs are invisible to readers (underscore
+    * names, unreferenced by any manifest) but hold real bytes forever.
+    *
+    * A dir is deleted iff it is (a) a versioning-internal name
+    * (`_v-N`, `_v-N-w*` attempt, round-2 `_stage_v=*`), (b) referenced
+    * by NO retained manifest — the manifest set is the ground truth
+    * for liveness, exactly as in reads — and (c) older than
+    * `olderThanMs`. Age is the safety gate against deleting a LIVE
+    * writer's in-flight attempt (its dir is younger than any sane
+    * threshold; Delta/Iceberg vacuum make the same time-based
+    * bargain). Legacy `v=N` dirs are never touched: a pre-manifest
+    * table's liveness is not manifest-determined, so there is nothing
+    * safe to reclaim — and a table with no `_commits` at all vacuums
+    * nothing. Returns the deleted paths. */
+  def vacuum(spark: SparkSession, root: String,
+      olderThanMs: Long): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val rootP = new Path(root)
+    val cd = commitsDir(root)
+    if (!fs.exists(rootP) || !fs.exists(cd)) return Seq.empty
+    val referenced: Set[String] = fs.listStatus(cd).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .map(n => new Path(dataDirOf(fs, root, n)).getName).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val victims = fs.listStatus(rootP).toSeq.filter { st =>
+      val name = st.getPath.getName
+      val internal = name match {
+        case HiddenVer(_) => true
+        case AttemptVer(_) => true
+        case _ => name.startsWith("_stage_v=")
+      }
+      internal && !referenced.contains(name) &&
+        st.getModificationTime < cutoff
+    }
+    victims.foreach(st => fs.delete(st.getPath, true))
+    victims.map(_.getPath.toString)
+  }
+
   /** Read-transform-commit: the crash-safe form of every table
     * rewrite (retention, compaction, upsert). */
   def rewrite(spark: SparkSession, root: String, keepVersions: Int = 1,

@@ -181,7 +181,9 @@ class LakehouseSpec extends SparkSpec {
       registryDir = s"$root/reg", rowsPerDrop = 80,
       aggView = Some(Automation.AggViewConfig(s"$root/view", spec)),
       freqSketch = Some(Automation.SketchViewConfig(s"$root/freq",
-        SketchView.Spec(column = "customer_type"))))
+        SketchView.Spec(column = "customer_type"))),
+      quantView = Some(Automation.QuantileViewConfig(s"$root/quant",
+        QuantileView.Spec(column = "departure_delay"))))
     new Automation(spark, cfg).runLoop(intervalMillis = 5, maxTicks = 2)
     val view = MaterializedAgg.read(spark, s"$root/view", spec)
       .collect().map(_.toString).sorted.toSeq
@@ -204,6 +206,14 @@ class LakehouseSpec extends SparkSpec {
       assert(maintained.estimateCount(r.getString(0)) ==
         scratch.estimateCount(r.getString(0)))
     }
+    // the tick-maintained quantile sketch ≡ one built over the table
+    val qspec = QuantileView.Spec(column = "departure_delay")
+    val scratchQ = tmpDir("autoquant-scratch")
+    QuantileView.update(spark, scratchQ, table, qspec)
+    def qstate(r: String) = QuantileView.state(spark, r).get
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+    assert(qstate(s"$root/quant") == qstate(scratchQ))
+    assert(QuantileView.quantile(spark, s"$root/quant", qspec, 0.5).isDefined)
   }
 
   test("streaming materialized view folds each batch exactly once") {
@@ -281,6 +291,53 @@ class LakehouseSpec extends SparkSpec {
     assert(v1 == 1L && VersionedTable.read(spark, fresh).count() == 1)
   }
 
+  test("vacuum: old unreferenced orphans removed, live/retained/young spared") {
+    import spark.implicits._
+    val root = tmpDir("vacuum")
+    VersionedTable.init(spark, root, Seq((1L, "a")).toDF("id", "v"),
+      keepVersions = 10)
+    VersionedTable.rewrite(spark, root, keepVersions = 10)(df =>
+      df.union(Seq((2L, "b")).toDF("id", "v")))
+    // synthesize every orphan class a crash can leave: an optimistic
+    // loser's attempt dir, a plain commit that died pre-manifest, and
+    // a round-2 staging leftover
+    def mkOrphan(name: String): java.io.File = {
+      val d = new java.io.File(root, name)
+      d.mkdirs()
+      val f = new java.io.File(d, "part-junk.parquet")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      d
+    }
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    val loser = mkOrphan("_v-9-wdeadbeef")
+    val crashed = mkOrphan("_v-7")
+    val staging = mkOrphan("_stage_v=3")
+    Seq(loser, crashed, staging).foreach { d =>
+      d.listFiles().foreach(_.setLastModified(old)); d.setLastModified(old)
+    }
+    // a RETAINED old version must survive on age alone: age the v1 dir
+    val v1dir = new java.io.File(
+      VersionedTable.readVersion(spark, root, 1).inputFiles.head
+        .stripPrefix("file:")).getParentFile
+    v1dir.setLastModified(old)
+    // young in-flight attempt (a live writer): spared by the age gate
+    val young = mkOrphan("_v-9-wfresh001")
+
+    val deleted = VersionedTable.vacuum(spark, root, 3600 * 1000L)
+    assert(deleted.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet ==
+      Set("_v-9-wdeadbeef", "_v-7", "_stage_v=3"))
+    assert(!loser.exists() && !crashed.exists() && !staging.exists())
+    assert(young.exists() && v1dir.exists())
+    // the table and its time-travel window are untouched
+    assert(VersionedTable.read(spark, root).count() == 2)
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 1)
+    // a second vacuum finds nothing; a pre-manifest table vacuums nothing
+    assert(VersionedTable.vacuum(spark, root, 3600 * 1000L).isEmpty)
+    val legacy = tmpDir("vacuum-legacy")
+    new java.io.File(legacy, "v=1").mkdirs()
+    assert(VersionedTable.vacuum(spark, legacy, 0L).isEmpty)
+  }
+
   test("sketch view: maintained CMS ≡ from-scratch, streaming folds exactly once") {
     import org.apache.spark.util.sketch.CountMinSketch
     def bytes(c: CountMinSketch): Array[Byte] = {
@@ -312,6 +369,26 @@ class LakehouseSpec extends SparkSpec {
       assert(est - r.getLong(1) <= math.ceil(spec.eps * n).toLong * 2,
         s"${r.getString(0)}: est=$est exact=${r.getLong(1)} n=$n")
     }
+    // DataFrame-valued estimates ≡ the driver-side map, term table
+    // annotated in place (no shuffle), null terms → 0
+    import spark.implicits._
+    val termTable = termsOf(0).unionAll(termsOf(1)).distinct()
+      .withColumn("tag", length(col("term")))
+      .unionByName(Seq((null: String, 0))
+        .toDF("term", "tag").select(col("term"), col("tag")))
+    val annotated = SketchView.estimateAll(spark, root, termTable, "term")
+    assert(annotated.columns.toSeq == Seq("term", "tag", "est_count"))
+    val annMap = annotated.filter(col("term").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val direct = SketchView.estimate(spark, root, annMap.keys.toSeq)
+    assert(annMap == direct)
+    assert(annotated.filter(col("term").isNull)
+      .head.getLong(2) == 0L)
+    // before any fold: all zeros, schema preserved
+    val empty = SketchView.estimateAll(spark, tmpDir("sketchnone"),
+      termTable.limit(3), "term")
+    assert(empty.collect().forall(_.getLong(2) == 0L))
+
     // streaming form: AvailableNow folds, exactly-once by batch id
     val src = tmpDir("sketchsrc"); val ckpt = tmpDir("sketchckpt")
     val sroot = tmpDir("sketchsroot")
@@ -330,6 +407,78 @@ class LakehouseSpec extends SparkSpec {
     SketchView.runStream(spark, src, sroot, ckpt, SurveyGen.schema, sspec)
       .awaitTermination(60000)
     assert(SketchView.current(spark, sroot).get.totalCount() == 85)
+  }
+
+  test("quantile view: relative-error bound, order-independent folds, streaming exactly once") {
+    import spark.implicits._
+    val spec = QuantileView.Spec(column = "o_totalprice", alpha = 0.01)
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+
+    // three folds over disjoint slices, one deliberately repartitioned:
+    // integer bucket counts add, so the maintained state is
+    // BIT-IDENTICAL to a from-scratch build over the union — the same
+    // contract as the HLL and CMS members of the family
+    val root = tmpDir("qview")
+    QuantileView.update(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 0), spec)
+    QuantileView.update(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 1).repartition(7), spec)
+    QuantileView.update(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 2), spec)
+    val scratchRoot = tmpDir("qview-scratch")
+    QuantileView.update(spark, scratchRoot, orders, spec)
+    def stateSet(r: String) = QuantileView.state(spark, r).get
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+    assert(stateSet(root) == stateSet(scratchRoot))
+
+    // the DDSketch guarantee: every quantile within alpha relative
+    // error of the exact rank-ceil(q*n) value
+    val exactVals = orders.select("o_totalprice")
+      .collect().map(_.getDouble(0)).sorted
+    for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
+      val est = QuantileView.quantile(spark, root, spec, q).get
+      val ex = exactVals(math.max(0,
+        math.ceil(q * exactVals.length).toInt - 1))
+      val rel = math.abs(est - ex) / math.abs(ex)
+      info(f"q=$q%.2f exact=$ex%.2f est=$est%.2f rel=$rel%.5f")
+      assert(rel <= spec.alpha * 1.05, s"q=$q rel error $rel > alpha")
+    }
+
+    // signs and zeros: mirrored negative buckets, exact zero counts,
+    // nulls skipped
+    val mixed = Seq(-100.0, -10.0, -1.0, 0.0, 0.0, 1.0, 10.0, 100.0)
+      .map(Option(_)).:+(None: Option[Double]).toDF("v")
+    val mspec = QuantileView.Spec(column = "v", alpha = 0.01)
+    val mroot = tmpDir("qview-mixed")
+    QuantileView.update(spark, mroot, mixed, mspec)
+    val med = QuantileView.quantile(spark, mroot, mspec, 0.5).get
+    assert(med == 0.0, s"median of symmetric data: $med")
+    val lo = QuantileView.quantile(spark, mroot, mspec, 0.25).get
+    assert(math.abs(lo - (-10.0)) <= 10.0 * 0.011, s"q25: $lo")
+    assert(QuantileView.quantile(spark, mroot, mspec, 0.0).get < 0)
+    assert(QuantileView.quantile(spark, tmpDir("qview-none"), mspec,
+      0.5).isEmpty)
+
+    // streaming: AvailableNow folds exactly once; crash-redelivery of
+    // the last batch id is a no-op; restart folds only the new drop
+    val src = tmpDir("qvsrc"); val ckpt = tmpDir("qvckpt")
+    val sroot = tmpDir("qvsroot")
+    val sspec = QuantileView.Spec(column = "departure_delay")
+    SurveyGen.writeArrival(spark, src, "d1.csv", 60, 41)
+    QuantileView.runStream(spark, src, sroot, ckpt, SurveyGen.schema, sspec)
+      .awaitTermination(60000)
+    def totalCnt() = QuantileView.state(spark, sroot).get
+      .agg(sum("cnt")).head.getLong(0)
+    val afterFirst = totalCnt()
+    val lastId = MaterializedAgg.lastFoldedBatch(spark, sroot).get
+    assert(!QuantileView.foldBatch(spark, sroot,
+      SurveyGen.generate(spark, 40, seed = 42), sspec, lastId))
+    assert(totalCnt() == afterFirst)
+    SurveyGen.writeArrival(spark, src, "d2.csv", 25, 43)
+    QuantileView.runStream(spark, src, sroot, ckpt, SurveyGen.schema, sspec)
+      .awaitTermination(60000)
+    assert(totalCnt() == afterFirst + 25)
   }
 
   test("automation tick curates the corpus: near-dups vs history dropped exactly once") {
@@ -402,11 +551,21 @@ class LakehouseSpec extends SparkSpec {
     val cfg = Automation.Config(
       srcDir = s"$root/arrivals", tableDir = s"$root/t",
       registryDir = s"$root/reg", rowsPerDrop = 50,
-      compactEvery = 2, compactClusterBy = Some("id"))
+      compactEvery = 2, compactClusterBy = Some("id"),
+      vacuumEvery = 2, vacuumAgeMs = 3600 * 1000L)
+    // a crashed writer's leftover from "yesterday": the scheduled
+    // vacuum must reclaim it; the table itself must be untouched
+    val orphan = new java.io.File(s"$root/t", "_v-99-wcrashed")
+    orphan.mkdirs()
+    orphan.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
     val auto = new Automation(spark, cfg)
     val reports = auto.runLoop(intervalMillis = 5, maxTicks = 2)
     // tick 1: no compaction; tick 2: compacts the two ingest files
     assert(reports(0).compacted.isEmpty && reports(1).compacted.contains(1))
+    // tick 1: no vacuum; tick 2: the aged orphan is reclaimed
+    assert(reports(0).vacuumed.isEmpty)
+    assert(reports(1).vacuumed.exists(_.endsWith("_v-99-wcrashed")))
+    assert(!orphan.exists())
     assert(VersionedTable.currentVersion(spark, s"$root/t").isDefined)
     assert(VersionedTable.read(spark, s"$root/t").count() == 100)
     val cur = new java.io.File(VersionedTable.currentPath(spark, s"$root/t"))
