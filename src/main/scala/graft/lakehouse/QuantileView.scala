@@ -1,0 +1,145 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Incrementally-maintained QUANTILE sketch — the third member of the
+  * maintained-sketch family ([[MaterializedAgg]] keeps HLL distincts,
+  * [[SketchView]] a count-min frequency sketch; this keeps
+  * percentiles), built DDSketch-style (Masson et al., VLDB 2019):
+  * log-scale buckets with RELATIVE-error value guarantees.
+  *
+  * Why DDSketch and not KLL/t-digest/GK: those sketches' merges are
+  * ORDER-SENSITIVE — fold A then B and you hold different bytes than
+  * folding B then A — which breaks the family's core contract (the
+  * maintained state is bit-identical to a from-scratch build, so no
+  * drift accumulates over months of folds). DDSketch state is integer
+  * counts per log-bucket; folds are counter ADDITION — associative,
+  * commutative, order-independent — so the maintained view after any
+  * sequence of batches equals one build over their union exactly,
+  * like HLL's register-max and CMS's counter-add (spec-pinned).
+  *
+  * Spark shapes: bucket assignment is one in-row codegen expression
+  * (ceil(log_γ v)); per-batch counts are a groupBy over ≤ a few
+  * thousand bucket keys (log_γ spans 15 decades in ~2k buckets at
+  * α=1%) with map-side partial aggregation; the fold is a unionByName
+  * + re-aggregate of two bucket tables. Nothing data-sized ever
+  * reaches the driver — quantile queries read the KB-scale state.
+  *
+  * Guarantee: `quantile(q)` returns v̂ with |v̂ − v| ≤ α·|v| for the
+  * true q-quantile v (both signs handled by a mirrored negative
+  * histogram; zeros counted exactly; nulls skipped).
+  */
+object QuantileView {
+
+  /** `alpha` = guaranteed relative value error of every quantile. */
+  final case class Spec(column: String, alpha: Double = 0.01)
+
+  private def gamma(alpha: Double): Double = (1 + alpha) / (1 - alpha)
+
+  /** In-row bucket key: (sign, ceil(log_γ |v|)); zero → (0, 0). */
+  private def bucketCol(c: org.apache.spark.sql.Column, alpha: Double) = {
+    val lg = log(gamma(alpha), abs(c.cast("double")))
+    struct(signum(c.cast("double")).cast("int").as("sign"),
+      when(c.cast("double") === 0.0, 0L)
+        .otherwise(ceil(lg).cast("long")).as("bucket"))
+  }
+
+  /** One batch → its bucket-count table (sign, bucket, cnt). */
+  private def bucketize(batch: DataFrame, spec: Spec): DataFrame =
+    batch.filter(col(spec.column).isNotNull)
+      .select(bucketCol(col(spec.column), spec.alpha).as("b"))
+      .groupBy(col("b.sign").as("sign"), col("b.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Current state (sign, bucket, cnt) or empty. */
+  def state(spark: SparkSession, root: String): Option[DataFrame] =
+    VersionedTable.currentVersion(spark, root)
+      .map(_ => VersionedTable.read(spark, root))
+
+  private def commitState(spark: SparkSession, root: String,
+      merged: DataFrame, batchId: Option[Long]): Long =
+    VersionedTable.commit(spark, root) { stage =>
+      merged.coalesce(1).write.mode("overwrite").parquet(stage)
+      batchId.foreach { id =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),
+          spark.sparkContext.hadoopConfiguration)
+        fs.create(new org.apache.hadoop.fs.Path(stage, s"_batch-$id"),
+          true).close()
+      }
+    }
+
+  private def merge(spark: SparkSession, root: String, batch: DataFrame,
+      spec: Spec): DataFrame = {
+    val fresh = bucketize(batch, spec)
+    state(spark, root) match {
+      case None => fresh
+      case Some(cur) => cur.unionByName(fresh)
+        .groupBy("sign", "bucket").agg(sum(col("cnt")).as("cnt"))
+    }
+  }
+
+  /** Fold one batch into the maintained state. */
+  def update(spark: SparkSession, root: String, batch: DataFrame,
+      spec: Spec): Long =
+    commitState(spark, root, merge(spark, root, batch, spec), None)
+
+  /** Fold a micro-batch EXACTLY ONCE (idempotent by batchId; same
+    * marker protocol as [[MaterializedAgg.foldBatch]]). */
+  def foldBatch(spark: SparkSession, root: String, batch: DataFrame,
+      spec: Spec, batchId: Long): Boolean = {
+    if (MaterializedAgg.lastFoldedBatch(spark, root).exists(_ >= batchId))
+      return false
+    commitState(spark, root, merge(spark, root, batch, spec), Some(batchId))
+    true
+  }
+
+  /** The q-quantile estimate (0 ≤ q ≤ 1) with |v̂ − v| ≤ α·|v|, from
+    * the KB-scale state: negative buckets walk from the most negative
+    * (highest |bucket| first), then zeros, then positive ascending.
+    * Bucket i covers (γ^(i−1), γ^i]; the midpoint estimate 2γ^i/(γ+1)
+    * carries the α bound. Returns None before the first fold. */
+  def quantile(spark: SparkSession, root: String, spec: Spec,
+      q: Double): Option[Double] = {
+    require(q >= 0 && q <= 1, s"quantile $q out of [0,1]")
+    val g = gamma(spec.alpha)
+    state(spark, root).flatMap { st =>
+      val rows = st.collect().map(r =>
+        (r.getAs[Int]("sign"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+      if (rows.isEmpty) None
+      else {
+        // total order over the value line: negatives from most
+        // negative (largest |bucket|) up, then zeros, then positives
+        val ordered = rows.sortBy { case (s, b, _) =>
+          if (s < 0) (0, -b) else if (s == 0) (1, 0L) else (2, b)
+        }
+        val n = ordered.map(_._3).sum
+        val rank = math.max(1L, math.ceil(q * n).toLong)
+        var cum = 0L
+        ordered.find { case (_, _, c) => cum += c; cum >= rank }
+          .map { case (s, b, _) =>
+            val mag = 2.0 * math.pow(g, b.toDouble) / (g + 1)
+            if (s < 0) -mag else if (s == 0) 0.0 else mag
+          }
+      }
+    }
+  }
+
+  /** Streaming maintenance: each micro-batch folds exactly once. */
+  def runStream(spark: SparkSession, srcDir: String, viewRoot: String,
+      checkpointDir: String, schema: StructType, spec: Spec): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .csv(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(spark, viewRoot, batch, spec, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -220,4 +220,36 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, cases = 200)
   }
+
+  test("property: QuantileView within alpha of the exact rank value on any data") {
+    import spark.implicits._
+    import graft.lakehouse.QuantileView
+    // adversarial value lines: mixed signs, zeros, huge magnitude
+    // spreads, duplicates — and a random quantile per case
+    val genVal = Gen.frequency(
+      (4, Gen.chooseNum(-1e6, 1e6)),
+      (1, Gen.const(0.0)),
+      (1, Gen.chooseNum(-1.0, 1.0).map(_ * 1e-6)),
+      (1, Gen.oneOf(-1e9, 1e9)))
+    val genCase = for {
+      n <- Gen.chooseNum(1, 60)
+      vs <- Gen.listOfN(n, genVal)
+      q <- Gen.chooseNum(0.0, 1.0)
+    } yield (vs, q)
+    val spec = QuantileView.Spec(column = "v", alpha = 0.02)
+    val prop = Prop.forAll(genCase) { case (vs, q) =>
+      val root = tmpDir("prop-qv")
+      // fold in two arbitrary halves to exercise the merge path
+      val (a, b) = vs.splitAt(vs.length / 2)
+      if (a.nonEmpty) QuantileView.update(spark, root, a.toDF("v"), spec)
+      QuantileView.update(spark, root, b.toDF("v"), spec)
+      val est = QuantileView.quantile(spark, root, spec, q).get
+      val sorted = vs.sorted
+      val exact = sorted(math.max(0, math.ceil(q * vs.length).toInt - 1))
+      // |v̂ − v| ≤ α·|v| (+ulp headroom); exact zeros are exact
+      if (exact == 0.0) est == 0.0
+      else math.abs(est - exact) <= spec.alpha * 1.05 * math.abs(exact)
+    }
+    check(prop, cases = 30)
+  }
 }
