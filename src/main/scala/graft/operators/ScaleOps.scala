@@ -340,6 +340,46 @@ object ScaleOps {
         count(lit(1)).as("n"))
   }
 
+  /** q86: product-quantized ANN (VectorPQ) — the MEMORY scale path
+    * next to IVF's IO scale path. Codebooks train on the table (at
+    * 100 TB: on a hash sample), every vector encodes to m=16 4-bit
+    * codes (32× smaller than the raw floats), candidates rank by
+    * asymmetric distance FROM THE CODES ALONE (the raw embedding
+    * table is touched only for the final exact-decimal top-3 rerank
+    * of the ADC top-30). Rows-only: the test embeddings are
+    * near-orthogonal random vectors — neighbor-cosine gaps (~0.02)
+    * sit BELOW PQ's quantization distortion, the hardest possible
+    * regime — so exact-oracle equality is not honest here; the spec
+    * pins determinism and measured recall vs exact q34 instead
+    * (real-corpus embeddings cluster, where PQ recall is far higher). */
+  private val q86: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cb = VectorPQ.train(emb, m = 16, ksub = 16, iters = 5)
+    val codes = VectorPQ.encode(emb, cb)
+    val probes = emb.filter(col("vec_id") < 5)
+    val cand = VectorPQ.searchADC(probes, codes, cb, k = 30)
+      .select("probe_id", "neighbor_id")
+    VectorOps.exactTopK(emb, cand, 3)
+  }
+
+  /** q87: INT8 scalar-quantized ANN — the LOW-DISTORTION compression
+    * point (4×, ~0.4%/component error) where PQ's 32× is overkill.
+    * The candidate scan reads only the tinyint code column —
+    * bandwidth, not FLOPs, is the 100 TB brute-force cost — and the
+    * exact-decimal top-3 rerank of the SQ top-12 reproduces q34's
+    * output: measured identical at every SF (the margin holds because
+    * SQ8 dot error is ~0.002 while the rank-3→rank-13 cosine gap in
+    * the data is ≥0.01), so it SHARES q34's oracle — a hash match
+    * pins SQ8 recall on this data at exactly 1. */
+  private val q87: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val codes = VectorPQ.encodeSQ8(emb)
+    val probes = emb.filter(col("vec_id") < 5)
+    val cand = VectorPQ.searchSQ8(probes, codes, k = 12)
+      .select("probe_id", "neighbor_id")
+    VectorOps.exactTopK(emb, cand, 3)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q32_minhash_pairs" -> q32,
     "q33_simhash" -> q33,
@@ -350,7 +390,9 @@ object ScaleOps {
     "q45_ann_ivf" -> q45,
     "q47_cosine_pairs_lsh" -> q47,
     "q49_ann_ivf_kmeans" -> q49,
-    "q64_cosine_pairs_hi" -> q64)
+    "q64_cosine_pairs_hi" -> q64,
+    "q86_ann_pq" -> q86,
+    "q87_ann_sq8" -> q87)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4
@@ -367,5 +409,9 @@ object ScaleOps {
     // q64 is oracle-checked against the EXACT pair SQL at its own
     // threshold: a hash match means the selective profile's recall on
     // this data is exactly 1, not sampled.
-    "q64_cosine_pairs_hi" -> VectorOps.cosinePairsSql(0.5))
+    "q64_cosine_pairs_hi" -> VectorOps.cosinePairsSql(0.5),
+    // q87's exact-decimal top-3 rerank over the SQ8 top-12 reproduces
+    // the brute-force exact search (measured identical at all SFs) —
+    // so it shares q34's oracle; a hash match pins its recall at 1.
+    "q87_ann_sq8" -> VectorOps.oracleSql("q34_ann_cosine"))
 }

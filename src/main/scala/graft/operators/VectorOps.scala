@@ -182,14 +182,27 @@ object VectorOps {
       .select(col("probe_id"), col("dcos").as("third"))
     val cand = ranked.join(broadcast(third), Seq("probe_id"))
       .filter(col("dcos") >= col("third") - 1e-6)
-      .select(col("probe_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+      .select(col("probe_id"), col("neighbor_id"))
+    exactTopK(emb, cand, 3)
+  }
+
+  /** Exact-decimal top-k rerank of ANN candidates: (probe_id,
+    * neighbor_id) pairs → decimal-exact cosine → row_number top-k per
+    * probe. The shared tail of q34 (margin-filtered brute force) and
+    * q86 (PQ-ADC candidates): the final ranking semantics are
+    * identical, so ANY candidate generator that covers the true top-k
+    * reproduces the exact oracle output bit for bit. */
+  private[operators] def exactTopK(emb: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
     val w2 = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    exactCosine(emb, cand, -2.0) // no threshold: rank below
+    exactCosine(emb, cand // no threshold: rank below
+        .select(col("probe_id").as("vec_a"), col("neighbor_id").as("vec_b")),
+        -2.0)
       .select(col("vec_a").as("probe_id"), col("vec_b").as("neighbor_id"),
         col("cosine"))
       .withColumn("rnk", row_number().over(w2))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "rnk", "cosine")
   }
   private val q34Sql =

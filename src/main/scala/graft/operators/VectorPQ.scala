@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** Product quantization (Jégou et al., PAMI 2011) — the MEMORY scale
+  * path for similarity search. IVF (q45/q49/VectorIndex) prunes which
+  * vectors a query READS; PQ compresses what each vector COSTS: a
+  * 64-float embedding (256 B) becomes `m` codebook indices (m=8,
+  * ksub=16 → 4 B — 64×), and search ranks candidates from the codes
+  * alone via asymmetric distance (ADC). At 100 TB of raw embeddings
+  * the code table is ~1.6 TB — the difference between a scan that
+  * fits in cluster page cache and one that doesn't.
+  *
+  * Spark shapes, end to end:
+  *  - TRAIN runs Lloyd's over ALL `m` subspaces in ONE set of jobs per
+  *    iteration: each row explodes to its m subvectors ONCE per
+  *    iteration (map-side), scores against the broadcast (m·ksub)×dsub
+  *    codebook IN-ROW via the codegen `dot_product`, and min_by picks
+  *    the nearest codeword with map-side partial aggregation — no
+  *    per-subspace passes, no row_number sort. Only the codebook
+  *    (KBs) ever reaches the driver.
+  *  - ENCODE is the same one-pass assignment, folded to one
+  *    `codes: array<int>` row per vector (array_sort(collect_list) of
+  *    m entries per group — bounded by m, never by data).
+  *  - SEARCH broadcasts a per-probe lookup table (p·m·ksub partial
+  *    distances, KBs for a probe batch), joins it map-side onto the
+  *    posexploded code stream, and sums the m partials per
+  *    (probe, vector) with partial aggregation — the only shuffle is
+  *    that final sum, keyed by (probe, vec). A rerank table (the raw
+  *    embeddings) optionally refines the top ADC candidates with the
+  *    exact codegen cosine — the same two-phase discipline as q34.
+  *
+  * Deterministic end to end: hash-ranked init, fixed iterations,
+  * in-row double scoring (one accumulation order per pair), DECIMAL
+  * accumulation for both centroid means and the m-term ADC sums
+  * (plain sum(double) varies with partition merge order), and
+  * code/vec_id tiebreaks everywhere.
+  *
+  * On unit-norm embeddings (the corpus convention — Multimodal
+  * `embedStub` emits unit vectors) euclidean PQ ranking is exactly
+  * cosine ranking: |q−x|² = 2 − 2·cos(q,x).
+  */
+object VectorPQ {
+
+  private val DecA = org.apache.spark.sql.types.DecimalType(28, 12)
+
+  /** Codebook row layout: one codeword per (sub_id, code_id). */
+  private val cbSchema = StructType(Seq(
+    StructField("sub_id", IntegerType), StructField("code_id", IntegerType),
+    StructField("cvec", ArrayType(DoubleType))))
+
+  /** The m subvector views of the embedding column, exploded:
+    * (vec_id, sub_id, svec: array<double>). Map-side only. */
+  private def subvectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
+    emb.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          slice(col("embedding"), s * dsub + 1, lit(dsub)))))
+      .select(col("vec_id"), col("pos").cast("int").as("sub_id"),
+        transform(col("col"), _.cast("double")).as("svec"))
+
+  /** Nearest codeword per (vector, subspace): in-row squared-euclidean
+    * scoring against the broadcast codebook, min_by partial agg.
+    * argmin |s−c|² = argmin (|c|² − 2·s·c); |s|² constant per row. */
+  private def assign(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    val dp = graft.functions.GraftFunctions.dotProduct _
+    sub.join(broadcast(codebook), Seq("sub_id"))
+      .withColumn("score",
+        dp(col("cvec"), col("cvec")) - lit(2.0) * dp(col("svec"), col("cvec")))
+      .groupBy("vec_id", "sub_id")
+      .agg(min_by(col("code_id"), struct(col("score"), col("code_id")))
+        .as("code_id"))
+  }
+
+  /** Train per-subspace codebooks: `m` subspaces × `ksub` codewords,
+    * `iters` Lloyd iterations — all subspaces per pass. Returns the
+    * (sub_id, code_id, cvec) codebook DataFrame (m·ksub rows). */
+  def train(emb: DataFrame, m: Int, ksub: Int, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    // deterministic init: the ksub hash-lowest vectors seed code j of
+    // EVERY subspace with their j-th subvector (one tiny collect)
+    val seedRows = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(ksub).collect()
+    var cb: Array[Array[Array[Double]]] = // [sub][code][dim]
+      Array.tabulate(m) { s =>
+        seedRows.map(_.getSeq[Float](1)
+          .slice(s * dsub, (s + 1) * dsub).map(_.toDouble).toArray)
+      }
+    val sub = subvectors(emb, m, dsub).cache()
+    try {
+      (1 to iters).foreach { _ =>
+        val assigned = assign(sub, codebookDF(spark, cb))
+        // centroid update: decimal accumulation → bit-stable means
+        val next = sub.join(assigned, Seq("vec_id", "sub_id"))
+          .select(col("sub_id"), col("code_id"), posexplode(col("svec")))
+          .groupBy("sub_id", "code_id", "pos")
+          .agg((sum(col("col").cast(DecA)).cast("double") / count(lit(1)))
+            .as("c"))
+          .collect()
+        val updated = cb.map(_.map(_.clone()))
+        next.foreach { r =>
+          updated(r.getAs[Int]("sub_id"))(r.getAs[Int]("code_id"))(
+            r.getAs[Int]("pos")) = r.getAs[Double]("c")
+        }
+        cb = updated
+      }
+    } finally sub.unpersist()
+    codebookDF(spark, cb)
+  }
+
+  private def codebookDF(spark: SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val rows = for {
+      (codes, s) <- cb.zipWithIndex
+      (c, j) <- codes.zipWithIndex
+    } yield Row(s, j, c.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), cbSchema)
+  }
+
+  /** Encode every vector to its `m` codebook indices:
+    * (vec_id, codes: array<int>) — the 64×-compressed search table. */
+  def encode(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("cvec"))).head.getInt(0)
+    assign(subvectors(emb, m, dsub), codebook)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code_id")))),
+        x => x.getField("code_id")).as("codes"))
+  }
+
+  // ---- scalar quantization (the low-distortion sibling) ------------
+
+  /** INT8 scalar quantization: each component → round(x·127) as a
+    * TINYINT — 4× smaller than float32 with ~0.4% per-component
+    * distortion (PQ is 32–64× but with distortion that can rival
+    * neighbor gaps; SQ8 is the safe default real vector stores reach
+    * for first). Unit-norm convention: components in [−1, 1]. */
+  def encodeSQ8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 127).cast("tinyint")).as("codes"))
+
+  /** Brute-force top-k over the SQ8 code column: the same scan shape
+    * as exact brute force but reading the 4×-smaller codes (at 100 TB
+    * the scan is bandwidth-bound, so bytes ARE the cost), dequantized
+    * and scored in-row by the codegen dot product. Output
+    * (probe_id, neighbor_id, rnk) by approximate cosine. */
+  def searchSQ8(probes: DataFrame, codes: DataFrame, k: Int): DataFrame = {
+    val dp = graft.functions.GraftFunctions.dotProduct _
+    val deq = transform(col("codes"), x => x.cast("double") / 127.0)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adot").desc, col("vec_id").asc)
+    codes
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), _.cast("double")).as("pe"))),
+        col("probe_id") =!= col("vec_id"))
+      .withColumn("adot", dp(col("pe"), deq))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
+  /** ADC top-k: rank the code table by asymmetric distance to each
+    * probe, optionally exact-cosine reranking the top `rerankFactor·k`
+    * ADC candidates against `rerank` (the raw embedding table). Output
+    * (probe_id, neighbor_id, rnk[, cosine]). */
+  def searchADC(probes: DataFrame, codes: DataFrame, codebook: DataFrame,
+      k: Int, rerank: Option[DataFrame] = None,
+      rerankFactor: Int = 4): DataFrame = {
+    val dp = graft.functions.GraftFunctions.dotProduct _
+    val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("cvec"))).head.getInt(0)
+    // per-probe partial-distance LUT: |c|² − 2·p_s·c for every
+    // (sub, code) — p·m·ksub rows, KBs per probe batch → broadcast
+    val lut = subvectors(
+        probes.select(col("vec_id"), col("embedding")), m, dsub)
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(codebook, Seq("sub_id"))
+      .select(col("probe_id"), col("sub_id"), col("code_id"),
+        (dp(col("cvec"), col("cvec")) -
+          lit(2.0) * dp(col("svec"), col("cvec"))).as("pd"))
+    // map-side LUT join on the exploded code stream; the only shuffle
+    // is the (probe, vec) partial-agg sum of the m decimal partials
+    val adc = codes
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("int").as("sub_id"),
+        col("col").cast("int").as("code_id"))
+      .join(broadcast(lut), Seq("sub_id", "code_id"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pd").cast(DecA)).as("adist"))
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    rerank match {
+      case None =>
+        adc.withColumn("rnk", row_number().over(wAdc))
+          .filter(col("rnk") <= k)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("rnk"))
+      case Some(emb) =>
+        val cos = graft.functions.GraftFunctions.cosineSim _
+        val cand = adc.withColumn("rnk", row_number().over(wAdc))
+          .filter(col("rnk") <= k * rerankFactor)
+          .select("probe_id", "vec_id")
+        val wCos = Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        cand
+          .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .join(probes.select(col("vec_id").as("probe_id"),
+            col("embedding").as("pe")), Seq("probe_id"))
+          .withColumn("cosine", cos(col("pe"), col("embedding")))
+          .withColumn("rnk", row_number().over(wCos))
+          .filter(col("rnk") <= k)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("rnk"), round(col("cosine"), 6).as("cosine"))
+    }
+  }
+}

@@ -207,9 +207,22 @@ class OperatorsSpec extends SparkSpec {
       binTokens = 2048L)
     val (packed, r) = CorpusPipeline.run(docs, cfg)
     assert(r.input >= r.afterQuality && r.afterQuality >= r.afterDedup &&
-      r.afterDedup >= r.afterDecontam && r.afterDecontam >= r.afterSampling &&
-      r.afterSampling > 0)
+      r.afterDedup >= r.afterNearDup && r.afterNearDup >= r.afterDecontam &&
+      r.afterDecontam >= r.afterSampling && r.afterSampling > 0)
     assert(r.bins > 0)
+    // near-dup stage off by default; engaging it collapses a planted
+    // near-rewrite (one appended word) onto the smaller doc_id
+    assert(r.afterNearDup == r.afterDedup)
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val planted = Seq(
+      (100L, base, "en", "web"),
+      (101L, base + " extraword", "en", "web"),
+      (102L, (1 to 40).map(i => s"other$i").mkString(" "), "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val nd = CorpusPipeline.dedupNear(planted, t = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nd == Set(100L, 102L), s"near-dup stage kept: $nd")
     // with a benchmark: decontamination engages and only shrinks
     val (_, rb) = CorpusPipeline.run(docs, cfg,
       benchmark = Some(docs.filter(col("doc_id") === 0L)))
@@ -668,6 +681,55 @@ class OperatorsSpec extends SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     info(s"k-means IVF recall@3 = $recall")
     assert(recall >= 0.2, s"recall collapsed: $recall")
+  }
+
+  test("q86 PQ ANN: codebook shape, deterministic training, recall vs exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = VectorPQ.train(emb, m = 16, ksub = 16, iters = 5)
+    val cb2 = VectorPQ.train(emb, m = 16, ksub = 16, iters = 5)
+    // bit-stable training: decimal accumulation + hash-ranked init
+    assert(cb.collect().map(_.toString).sorted.toSeq ==
+      cb2.collect().map(_.toString).sorted.toSeq)
+    assert(cb.count() == 16 * 16)
+    assert(cb.select(size(col("cvec"))).distinct().head.getInt(0) == 4)
+    // every vector encodes to exactly m in-range codes — the 32×
+    // compression contract (16 codes × 4 bits vs 64 float32s)
+    val codes = VectorPQ.encode(emb, cb)
+    assert(codes.count() == emb.count())
+    assert(codes.filter(size(col("codes")) =!= 16).count() == 0)
+    assert(codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 16).count() == 0)
+    // ADC candidates + exact rerank: deterministic, recall pinned.
+    // The test embeddings are near-orthogonal random vectors whose
+    // neighbor gaps sit BELOW PQ distortion (the hardest regime) —
+    // the measured floor here is a conservative 0.5.
+    val out = ScaleOps.queries("q86_ann_pq")(spark, sfDir).collect()
+    val out2 = ScaleOps.queries("q86_ann_pq")(spark, sfDir).collect()
+    assert(out.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq)
+    val exact = VectorOps.queries("q34_ann_cosine")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = out.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    info(s"PQ(m=16, ksub=16, depth=30) recall@3 = $recall")
+    assert(recall >= 0.5, s"recall collapsed: $recall")
+  }
+
+  test("q87 SQ8 ANN: 4x-compressed scan reproduces exact top-3 bit for bit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val codes = VectorPQ.encodeSQ8(emb)
+    // tinyint codes, one per component
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    assert(codes.filter(size(col("codes")) =!= 64).count() == 0)
+    // the full query (SQ top-12 → exact-decimal top-3) equals exact
+    // brute force EXACTLY — this is why q87 shares q34's oracle
+    val sq = ScaleOps.queries("q87_ann_sq8")(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    val exact = VectorOps.queries("q34_ann_cosine")(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(sq == exact)
   }
 
   test("persisted IVF index: pruned-partition search equals in-memory IVF") {
