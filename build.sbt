@@ -27,8 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // a 25+-query run compiles a lot of whole-stage-codegen classes;
+  // a 38-query run compiles a lot of whole-stage-codegen classes;
   // the JVM default 240m code cache can fill near the end of the run
   // and silently de-optimize the tail queries to the interpreter
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=768m",
 )

@@ -217,12 +217,48 @@ object GraftFunctions {
   private[functions] val graftVersionInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_version")
 
+  /** Table function `graft_pruned('root', 'col', lower, upper)` — the
+    * SQL surface of manifest data skipping: the file list is planned
+    * from the commit manifest's per-file stats alone (no directory
+    * listing, no parquet footers — [[graft.lakehouse.VersionedTable
+    * .readPruned]]), and the exact row predicate is applied on top, so
+    * the result is semantically `graft_version('root') WHERE col
+    * BETWEEN lower AND upper` — just planned from KBs of metadata.
+    * Bounds may be numeric or string (date strings coerce through the
+    * column type, exactly as the manifest comparison does). */
+  private[functions] val graftPrunedBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 4,
+        "graft_pruned expects (rootPath, col, lower, upper)")
+      def v(e: Expression): Any = e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case o => o
+      }
+      val spark = SparkSession.active
+      val root = v(args(0)).toString
+      val c = v(args(1)).toString
+      val lo = v(args(2)); val hi = v(args(3))
+      val df = graft.lakehouse.VersionedTable.readPruned(spark, root, c, lo, hi)
+      import org.apache.spark.sql.functions.{col, lit}
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftPrunedInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_pruned")
+
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */
-  def registerTableFunctions(spark: SparkSession): Unit =
+  def registerTableFunctions(spark: SparkSession): Unit = {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_version"), graftVersionInfo,
       graftVersionBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_pruned"), graftPrunedInfo,
+      graftPrunedBuilder)
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -266,6 +302,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_version"),
       GraftFunctions.graftVersionInfo,
       GraftFunctions.graftVersionBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_pruned"),
+      GraftFunctions.graftPrunedInfo,
+      GraftFunctions.graftPrunedBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -920,6 +920,30 @@ class LakehouseSpec extends SparkSpec {
     assert(joined._1.collect().map(_.toString).toSeq == Seq("[1,a,b]"))
   }
 
+  test("graft_pruned table function: SQL range scan planned from the manifest") {
+    import spark.implicits._
+    val root = tmpDir("vtprunetvf") + "/t"
+    val df = spark.range(0, 10000).toDF("k").withColumn("v", col("k") * 3)
+    VersionedTable.commit(spark, root, statsCols = Seq("k")) { stage =>
+      df.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .write.parquet(stage)
+    }
+    val viaTvf = spark.sql(
+      s"SELECT k, v FROM graft_pruned('$root', 'k', 2000, 2500)")
+    // semantically the plain range query over the versioned table...
+    val viaFull = spark.sql(
+      s"SELECT k, v FROM graft_version('$root') WHERE k BETWEEN 2000 AND 2500")
+    assert(viaTvf.collect().map(_.toString).sorted.toSeq ==
+      viaFull.collect().map(_.toString).sorted.toSeq)
+    assert(viaTvf.count() == 501)
+    // ...but planned over a strict subset of the files
+    assert(viaTvf.inputFiles.length < viaFull.inputFiles.length)
+    // aggregates over the TVF behave like any relation
+    val agg = SqlRunner.query(spark,
+      s"SELECT SUM(v) AS sv FROM graft_pruned('$root', 'k', 0, 99)")
+    assert(agg._1.head.getLong(0) == (0L until 100L).map(_ * 3).sum)
+  }
+
   test("manifest file stats prune a range scan from the manifest alone") {
     import spark.implicits._
     val root = tmpDir("vtstats") + "/t"
