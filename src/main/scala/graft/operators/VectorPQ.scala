@@ -63,7 +63,15 @@ object VectorPQ {
 
   /** Nearest codeword per (vector, subspace): in-row squared-euclidean
     * scoring against the broadcast codebook, min_by partial agg.
-    * argmin |s−c|² = argmin (|c|² − 2·s·c); |s|² constant per row. */
+    * argmin |s−c|² = argmin (|c|² − 2·s·c); |s|² constant per row.
+    *
+    * Two rejected "optimizations" (both measured slower at sf0.1):
+    * an in-row transform-HOF argmin over a nested codebook literal
+    * (6.5→7.6 s warm — higher-order functions interpret their lambda,
+    * the standing repo lesson), and carrying svec through this
+    * aggregation via first() to skip the join back (6.5→9.3 s —
+    * array-valued agg buffers push the whole aggregate into the
+    * object-hash path, costing more than the cached-join re-read). */
   private def assign(sub: DataFrame, codebook: DataFrame): DataFrame = {
     val dp = graft.functions.GraftFunctions.dotProduct _
     sub.join(broadcast(codebook), Seq("sub_id"))
