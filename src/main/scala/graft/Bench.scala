@@ -30,7 +30,8 @@ object Bench {
     "q76_decontaminate", "q77_repetition", "q78_hopping_counts",
     "q79_salted_join", "q80_normalize", "q81_range_frame",
     "q82_dup_spans", "q83_token_rarity", "q84_compress_ratio",
-    "q85_percentiles_scalable", "q86_ann_pq", "q87_ann_sq8")
+    "q85_percentiles_scalable", "q86_ann_pq", "q87_ann_sq8",
+    "q88_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -249,6 +249,31 @@ object GraftFunctions {
   private[functions] val graftPrunedInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_pruned")
 
+  /** Table function `graft_changes('root', fromV, toV[, 'k1,k2'])` —
+    * the CDC feed ([[graft.lakehouse.VersionedTable.changes]]) as a
+    * SQL relation: rows that changed between two retained versions,
+    * classified via `_change_type` (insert/delete, plus
+    * update_preimage/update_postimage when key columns are named). */
+  private[functions] val graftChangesBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size >= 3 && args.size <= 4,
+        "graft_changes expects (rootPath, fromVersion, toVersion[, keyColsCsv])")
+      val spark = SparkSession.active
+      val root = args(0).eval(null).toString
+      val fromV = args(1).eval(null).asInstanceOf[Number].longValue()
+      val toV = args(2).eval(null).asInstanceOf[Number].longValue()
+      val keys =
+        if (args.size == 4) args(3).eval(null).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        else Seq.empty[String]
+      graft.lakehouse.VersionedTable.changes(spark, root, fromV, toV, keys)
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftChangesInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_changes")
+
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */
   def registerTableFunctions(spark: SparkSession): Unit = {
@@ -258,6 +283,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_pruned"), graftPrunedInfo,
       graftPrunedBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_changes"), graftChangesInfo,
+      graftChangesBuilder)
   }
 }
 
@@ -306,6 +334,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_pruned"),
       GraftFunctions.graftPrunedInfo,
       GraftFunctions.graftPrunedBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      GraftFunctions.graftChangesInfo,
+      GraftFunctions.graftChangesBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native codegen dense-vector kernels.
   *
@@ -30,6 +30,7 @@ trait VectorBinaryExpr extends BinaryExpression {
   private def elemOf(dt: DataType): Option[DataType] = dt match {
     case ArrayType(FloatType, _)  => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(ByteType, _)   => Some(ByteType) // SQ8 code columns
     case _                        => None
   }
 
@@ -37,7 +38,7 @@ trait VectorBinaryExpr extends BinaryExpression {
     (elemOf(left.dataType), elemOf(right.dataType)) match {
       case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float|double> arguments, got " +
+        s"$prettyName requires two array<float|double|tinyint> arguments, got " +
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
 
@@ -46,6 +47,7 @@ trait VectorBinaryExpr extends BinaryExpression {
     if (arr.isNullAt(i)) 0.0
     else side.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => arr.getFloat(i).toDouble
+      case ByteType  => arr.getByte(i).toDouble
       case _         => arr.getDouble(i)
     }
 
@@ -53,6 +55,7 @@ trait VectorBinaryExpr extends BinaryExpression {
   protected def elemJava(arr: String, i: String, side: Expression): String =
     side.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => s"(double) $arr.getFloat($i)"
+      case ByteType  => s"(double) $arr.getByte($i)"
       case _         => s"$arr.getDouble($i)"
     }
 }

@@ -143,11 +143,67 @@ object SessionOps {
        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
        |GROUP BY 1""".stripMargin
 
+  private val FunnelWindowUs = 3L * 86400L * 1000000L // 3-day stage window
+
+  /** Sequential conversion funnel: first view → first click within 3
+    * days of that view → first purchase within 3 days of that click,
+    * per user; output = users surviving each stage. Stage-wise
+    * conditional MIN aggregates: every aggregate and join keys on
+    * user_id, so after the first exchange the whole chain is
+    * co-partitioned — three same-key shuffles, no windows, no sort of
+    * the raw event stream (the window formulation would sort every
+    * user's full history; this only aggregates). The stage tables
+    * shrink monotonically, so each successive join is cheaper than
+    * the last. */
+  private val q88: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    def stageMin(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = stageMin("view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val c = stageMin("click").join(v, Seq("user_id"))
+      .filter(col("us") >= col("v_us") &&
+        col("us") <= col("v_us") + FunnelWindowUs)
+      .groupBy("user_id").agg(min(col("us")).as("c_us"))
+    val p = stageMin("purchase").join(c, Seq("user_id"))
+      .filter(col("us") >= col("c_us") &&
+        col("us") <= col("c_us") + FunnelWindowUs)
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("users")).withColumn("stage", lit("view"))
+      .unionByName(
+        c.agg(count(lit(1)).as("users")).withColumn("stage", lit("click")))
+      .unionByName(
+        p.agg(count(lit(1)).as("users")).withColumn("stage", lit("purchase")))
+      .select("stage", "users")
+  }
+  private val q88Sql =
+    s"""WITH v AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
+      |    AND epoch_us(e.ts) <= v.v_us + $FunnelWindowUs
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+      |    AND epoch_us(e.ts) <= c.c_us + $FunnelWindowUs
+      |  GROUP BY 1)
+      |SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+      |UNION ALL
+      |SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM p""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
     "q52_json_extract" -> q52,
     "q72_click_attribution" -> q72,
+    "q88_funnel" -> q88,
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
@@ -155,5 +211,6 @@ object SessionOps {
     "q51_tumbling_counts" -> q51Sql,
     "q52_json_extract" -> q52Sql,
     "q72_click_attribution" -> q72Sql,
-    "q78_hopping_counts" -> q78Sql)
+    "q78_hopping_counts" -> q78Sql,
+    "q88_funnel" -> q88Sql)
 }

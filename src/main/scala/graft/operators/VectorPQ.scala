@@ -159,19 +159,21 @@ object VectorPQ {
 
   /** Brute-force top-k over the SQ8 code column: the same scan shape
     * as exact brute force but reading the 4×-smaller codes (at 100 TB
-    * the scan is bandwidth-bound, so bytes ARE the cost), dequantized
-    * and scored in-row by the codegen dot product. Output
+    * the scan is bandwidth-bound, so bytes ARE the cost). The codegen
+    * dot product reads the tinyint codes DIRECTLY (no dequantize
+    * pass, no interpreted HOF on the hot path): dot(probe, codes) =
+    * 127·dot(probe, dequantized) — a constant positive scale, so the
+    * ranking is identical and the division never happens. Output
     * (probe_id, neighbor_id, rnk) by approximate cosine. */
   def searchSQ8(probes: DataFrame, codes: DataFrame, k: Int): DataFrame = {
     val dp = graft.functions.GraftFunctions.dotProduct _
-    val deq = transform(col("codes"), x => x.cast("double") / 127.0)
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adot").desc, col("vec_id").asc)
     codes
       .join(broadcast(probes.select(col("vec_id").as("probe_id"),
-        transform(col("embedding"), _.cast("double")).as("pe"))),
+        col("embedding").as("pe"))),
         col("probe_id") =!= col("vec_id"))
-      .withColumn("adot", dp(col("pe"), deq))
+      .withColumn("adot", dp(col("pe"), col("codes")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))

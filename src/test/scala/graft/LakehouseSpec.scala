@@ -918,6 +918,18 @@ class LakehouseSpec extends SparkSpec {
          |FROM graft_version('$root') cur
          |JOIN graft_version('$root', 1) old ON cur.k = old.k""".stripMargin)
     assert(joined._1.collect().map(_.toString).toSeq == Seq("[1,a,b]"))
+    // CDC between the two versions, straight from SQL: the k=1 row
+    // changed s from a to b → one preimage + one postimage
+    val cdc = spark.sql(
+      s"""SELECT _change_type, s FROM graft_changes('$root', 1, 2, 'k')
+         |ORDER BY _change_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cdc == Seq(("update_postimage", "b"), ("update_preimage", "a")))
+    // unkeyed form: plain multiset diff
+    val plain = spark.sql(
+      s"SELECT _change_type FROM graft_changes('$root', 1, 2)")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(plain == Seq("delete", "insert"))
   }
 
   test("graft_pruned table function: SQL range scan planned from the manifest") {

@@ -142,6 +142,34 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.lint", "false")
   }
 
+  test("q87/q88: SQ8 scan shape and windowless co-partitioned funnel") {
+    // q87's candidate phase reads the tinyint code column and scores
+    // through the native dot product — no interpreted HOFs beyond the
+    // exact-recompute tail (same contract as q47)
+    val df87 = graft.operators.ScaleOps.queries("q87_ann_sq8")(spark, sfDir)
+    df87.collect()
+    val p87 = df87.queryExecution.executedPlan.toString
+    assert(p87.contains("dot_product"), "q87 lost the native dot scoring")
+    // the candidate hot path reads tinyint codes straight in the
+    // codegen dot — the only HOFs left are the map-only encode
+    // (transform, n rows not n·p) and the exact-recompute zip_with
+    assert(p87.sliding("zip_with".length).count(_ == "zip_with") <= 2,
+      "q87 grew interpreted HOFs beyond the exact-recompute phase")
+    // q88 never sorts the event stream: no window exec anywhere, and
+    // every exchange keys on user_id (plus the final single-row
+    // stage-count aggregates)
+    val df88 = graft.operators.SessionOps.queries("q88_funnel")(spark, sfDir)
+    val ns = nodes(df88)
+    assert(!ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "q88 must not plan a window")
+    val shuffles = ns.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.forall(s =>
+      s.outputPartitioning.toString.contains("user_id") ||
+        s.outputPartitioning.toString.contains("SinglePartition")),
+      shuffles.map(_.outputPartitioning).mkString(", "))
+  }
+
   test("ANN paths run on native codegen expressions, not interpreted HOFs") {
     // q35 / q45 / q49 hot paths: every similarity score comes from the
     // native cosine_sim (and q35's buckets from hyperplane_bits); no
