@@ -179,6 +179,42 @@ object VectorPQ {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** Per-probe partial-distance LUT: |c|² − 2·p_s·c for every
+    * (sub, code) — p·m·ksub rows, KBs per probe batch → broadcast. */
+  private def probeLut(probes: DataFrame, codebook: DataFrame): DataFrame = {
+    val dp = graft.functions.GraftFunctions.dotProduct _
+    val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
+    val dsub = codebook.select(size(col("cvec"))).head.getInt(0)
+    subvectors(probes.select(col("vec_id"), col("embedding")), m, dsub)
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(codebook, Seq("sub_id"))
+      .select(col("probe_id"), col("sub_id"), col("code_id"),
+        (dp(col("cvec"), col("cvec")) -
+          lit(2.0) * dp(col("svec"), col("cvec"))).as("pd"))
+  }
+
+  /** ADC top-k over PER-PROBE candidate code rows
+    * (probe_id, vec_id, codes) — the routed-IVF consumer
+    * ([[VectorIndex.searchPQ]]), where each probe ranks only its own
+    * routed lists. Same LUT-join + decimal partial-agg shape as
+    * [[searchADC]]; returns (probe_id, neighbor_id). */
+  def adcTopK(probes: DataFrame, cand: DataFrame, codebook: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    cand.select(col("probe_id"), col("vec_id"), posexplode(col("codes")))
+      .select(col("probe_id"), col("vec_id"),
+        col("pos").cast("int").as("sub_id"),
+        col("col").cast("int").as("code_id"))
+      .join(broadcast(probeLut(probes, codebook)),
+        Seq("probe_id", "sub_id", "code_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pd").cast(DecA)).as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+  }
+
   /** ADC top-k: rank the code table by asymmetric distance to each
     * probe, optionally exact-cosine reranking the top `rerankFactor·k`
     * ADC candidates against `rerank` (the raw embedding table). Output
@@ -186,18 +222,7 @@ object VectorPQ {
   def searchADC(probes: DataFrame, codes: DataFrame, codebook: DataFrame,
       k: Int, rerank: Option[DataFrame] = None,
       rerankFactor: Int = 4): DataFrame = {
-    val dp = graft.functions.GraftFunctions.dotProduct _
-    val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
-    val dsub = codebook.select(size(col("cvec"))).head.getInt(0)
-    // per-probe partial-distance LUT: |c|² − 2·p_s·c for every
-    // (sub, code) — p·m·ksub rows, KBs per probe batch → broadcast
-    val lut = subvectors(
-        probes.select(col("vec_id"), col("embedding")), m, dsub)
-      .withColumnRenamed("vec_id", "probe_id")
-      .join(codebook, Seq("sub_id"))
-      .select(col("probe_id"), col("sub_id"), col("code_id"),
-        (dp(col("cvec"), col("cvec")) -
-          lit(2.0) * dp(col("svec"), col("cvec"))).as("pd"))
+    val lut = probeLut(probes, codebook)
     // map-side LUT join on the exploded code stream; the only shuffle
     // is the (probe, vec) partial-agg sum of the m decimal partials
     val adc = codes
