@@ -221,10 +221,17 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       val live = VersionedTable.currentPath(spark, vc.tableDir)
       val fresh = spark.read.parquet(
         r.loaded.map(f => s"$live/${IncrementalLoader.publishedName(f)}"): _*)
-      if (graft.operators.VectorIndex.exists(spark, vc.indexPath))
-        graft.operators.VectorIndex.add(spark, vc.indexPath, fresh)
-      else
-        graft.operators.VectorIndex.build(fresh, vc.indexPath, vc.k, vc.iters)
+      (graft.operators.VectorIndex.exists(spark, vc.indexPath), vc.pq) match {
+        case (false, None) =>
+          graft.operators.VectorIndex.build(fresh, vc.indexPath, vc.k, vc.iters)
+        case (true, None) =>
+          graft.operators.VectorIndex.add(spark, vc.indexPath, fresh)
+        case (false, Some((m, ksub))) =>
+          graft.operators.VectorIndex.buildPQ(fresh, vc.indexPath, vc.k,
+            m, ksub, vc.iters)
+        case (true, Some(_)) =>
+          graft.operators.VectorIndex.addPQ(spark, vc.indexPath, fresh)
+      }
     }
     r
   }
@@ -302,7 +309,11 @@ object Automation {
       schema: org.apache.spark.sql.types.StructType,
       format: String = "json",
       k: Int = 8,
-      iters: Int = 3)
+      iters: Int = 3,
+      // Some((m, ksub)) → maintain the PQ-compressed index instead:
+      // inverted lists hold codes, incremental loads route+encode
+      // against the bootstrap-trained models (VectorIndex.buildPQ)
+      pq: Option[(Int, Int)] = None)
 
   /** Corpus-curation config: where document drops arrive (JSON-lines
     * by default: doc_id, text, lang, source), the raw landing table,

@@ -122,6 +122,34 @@ class LakehouseSpec extends SparkSpec {
     val viaBatch = VectorIndex.search(spark, s"$root/idx_batch", probes,
       nprobe = 2, k = 3).collect().map(_.toString).sorted.toSeq
     assert(viaTicks.nonEmpty && viaTicks == viaBatch)
+
+    // PQ-compressed twin: same drops through a pq-configured tick —
+    // bootstrap trains both models, the second tick routes+encodes
+    val pqRoot = tmpDir("autoidxpq")
+    new java.io.File(s"$pqRoot/arrivals").mkdirs()
+    val pqCfg = Automation.Config(
+      srcDir = s"$pqRoot/arrivals", tableDir = s"$pqRoot/t",
+      registryDir = s"$pqRoot/reg", generate = false,
+      vectorIndex = Some(Automation.VectorIndexConfig(
+        srcDir = s"$root/varr", tableDir = s"$pqRoot/vt",
+        registryDir = s"$pqRoot/vreg", indexPath = s"$pqRoot/idx",
+        schema = emb.schema, pq = Some((16, 16)))))
+    val pqAuto = new Automation(spark, pqCfg)
+    pqAuto.tick() // bootstrap: trains centroids + codebooks on d1+d2
+    drop("d3", 120, 150)
+    pqAuto.tick() // incremental: addPQ with the stored models
+    assert(spark.read.parquet(s"$pqRoot/idx/codes").count() ==
+      VersionedTable.read(spark, s"$pqRoot/vt").count())
+    val viaPqTicks = VectorIndex.searchPQ(spark, s"$pqRoot/idx", probes,
+      VersionedTable.read(spark, s"$pqRoot/vt"), nprobe = 2, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    VectorIndex.buildPQWith(VersionedTable.read(spark, s"$pqRoot/vt"),
+      s"$pqRoot/idx_batch", spark.read.parquet(s"$pqRoot/idx/centroids"),
+      spark.read.parquet(s"$pqRoot/idx/codebook"))
+    val viaPqBatch = VectorIndex.searchPQ(spark, s"$pqRoot/idx_batch",
+      probes, VersionedTable.read(spark, s"$pqRoot/vt"), nprobe = 2, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaPqTicks.nonEmpty && viaPqTicks == viaPqBatch)
   }
 
   test("materialized aggregate: incremental folds equal a full recompute") {
