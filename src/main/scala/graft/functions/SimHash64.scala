@@ -113,6 +113,12 @@ object GraftFunctions {
       CosineSim(org.apache.spark.sql.graftbridge.Bridge.expression(a),
         org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
+  /** `vec_sub(a, b)` as a Column — element-wise residual. */
+  def vecSub(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      VecSub(org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
   /** `hyperplane_bits(vec, base, planes)` as a Column. */
   def hyperplaneBits(v: Column, base: Int, planes: Int): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
@@ -179,6 +185,10 @@ object GraftFunctions {
       FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_sub"),
+      new ExpressionInfo(classOf[VecSub].getName, "vec_sub"),
+      (children: Seq[Expression]) => VecSub(children(0), children(1)))
   }
 
   /** SQL builder: base/planes must be foldable int literals. */
@@ -326,6 +336,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sub"),
+      new ExpressionInfo(classOf[VecSub].getName, "vec_sub"),
+      (children: Seq[Expression]) => VecSub(children(0), children(1))))
     ext.injectTableFunction((
       FunctionIdentifier("graft_version"),
       GraftFunctions.graftVersionInfo,

@@ -187,3 +187,54 @@ case class CosineSim(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 }
+
+/** `vec_sub(a, b)` = per-element a(i) − b(i) over min(len) elements,
+  * as `array<double>` — the RESIDUAL builder for IVF-PQ (v − coarse
+  * centroid) and any delta-vs-model computation, kept codegen so the
+  * residual path never drops out of whole-stage compilation the way a
+  * `zip_with` lambda would. Null elements read as 0 (same vote rule
+  * as the dot/cosine kernels). */
+case class VecSub(left: Expression, right: Expression)
+  extends VectorBinaryExpr {
+
+  override def prettyName: String = "vec_sub"
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = elem(x, i, left) - elem(y, i, right)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val tmp = ctx.freshName("tmp")
+      def read(arr: String, idx: String, side: Expression) =
+        s"($arr.isNullAt($idx) ? 0.0 : ${elemJava(arr, idx, side)})"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double[] $tmp = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $tmp[$i] = ${read(a, i, left)} - ${read(b, i, right)};
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($tmp);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSub =
+    copy(left = newLeft, right = newRight)
+}

@@ -127,6 +127,36 @@ object QuantileView {
     }
   }
 
+  /** Batch form: several quantiles from ONE state read (the state is
+    * KBs; the collect happens once, not per q). */
+  def quantiles(spark: SparkSession, root: String, spec: Spec,
+      qs: Seq[Double]): Map[Double, Option[Double]] = {
+    // one read; quantile() per q would re-collect the state each time
+    val g = gamma(spec.alpha)
+    state(spark, root) match {
+      case None => qs.map(_ -> None).toMap
+      case Some(st) =>
+        val rows = st.collect().map(r =>
+          (r.getAs[Int]("sign"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+        if (rows.isEmpty) qs.map(_ -> None).toMap
+        else {
+          val ordered = rows.sortBy { case (s, b, _) =>
+            if (s < 0) (0, -b) else if (s == 0) (1, 0L) else (2, b)
+          }
+          val n = ordered.map(_._3).sum
+          val cum = ordered.scanLeft(0L)(_ + _._3).tail
+          qs.map { q =>
+            require(q >= 0 && q <= 1, s"quantile $q out of [0,1]")
+            val rank = math.max(1L, math.ceil(q * n).toLong)
+            val i = cum.indexWhere(_ >= rank)
+            val (s, b, _) = ordered(i)
+            val mag = 2.0 * math.pow(g, b.toDouble) / (g + 1)
+            q -> Some(if (s < 0) -mag else if (s == 0) 0.0 else mag)
+          }.toMap
+        }
+    }
+  }
+
   /** Streaming maintenance: each micro-batch folds exactly once. */
   def runStream(spark: SparkSession, srcDir: String, viewRoot: String,
       checkpointDir: String, schema: StructType, spec: Spec): StreamingQuery =

@@ -198,12 +198,47 @@ object SessionOps {
       |UNION ALL
       |SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM p""".stripMargin
 
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort_day, day_offset ≤ 14) the count of cohort members still
+    * active that day. Three aggregates: per-user first day, distinct
+    * (user, day) activity, then the (cohort, offset) rollup — the
+    * first two key on user_id (co-partitioned chain, map-side
+    * partials), and only the already-distinct activity pairs reach the
+    * final count. Day arithmetic in integer microseconds (exact). */
+  private val q89: QFn = (s, d) => {
+    val DayUs = 86400L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / DayUs).cast("long").as("d"))
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .withColumn("day_offset", col("d") - col("cohort_day"))
+      .filter(col("day_offset") <= 14)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .select("cohort_day", "day_offset", "n_users")
+  }
+  private val q89Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY 1)
+      |SELECT c.cohort_day, a.d - c.cohort_day AS day_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM act a JOIN cohort c ON a.user_id = c.user_id
+      |WHERE a.d - c.cohort_day <= 14
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
     "q52_json_extract" -> q52,
     "q72_click_attribution" -> q72,
     "q88_funnel" -> q88,
+    "q89_cohort_retention" -> q89,
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
@@ -212,5 +247,6 @@ object SessionOps {
     "q52_json_extract" -> q52Sql,
     "q72_click_attribution" -> q72Sql,
     "q78_hopping_counts" -> q78Sql,
-    "q88_funnel" -> q88Sql)
+    "q88_funnel" -> q88Sql,
+    "q89_cohort_retention" -> q89Sql)
 }

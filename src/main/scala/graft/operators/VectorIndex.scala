@@ -82,36 +82,70 @@ object VectorIndex {
     * full-precision table stays cold and is touched only by the
     * final rerank join. */
   def buildPQ(emb: DataFrame, path: String, k: Int, m: Int, ksub: Int,
-      iters: Int = 5): Unit = {
+      iters: Int = 5, residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
     val cents = KMeansVec.centroidsDF(spark, KMeansVec.train(emb, k, iters))
-    val codebook = VectorPQ.train(emb, m, ksub, iters)
-    buildPQWith(emb, path, cents, codebook)
+    // residual form trains the codebooks on v − centroid: what the
+    // codes must reconstruct is the within-cell offset, which has far
+    // less variance than raw vectors — more recall per bit, the
+    // standard production refinement (Jégou §IV)
+    val codebook =
+      if (residual) VectorPQ.train(residualView(emb, cents), m, ksub, iters)
+      else VectorPQ.train(emb, m, ksub, iters)
+    buildPQWith(emb, path, cents, codebook, residual)
   }
+
+  /** (vec_id, embedding = v − its coarse centroid, cent_id): the
+    * residual table, computed in-row by the codegen `vec_sub`. */
+  private def residualView(emb: DataFrame, centDf: DataFrame): DataFrame =
+    assign(emb, centDf)
+      .join(broadcast(centDf), Seq("cent_id"))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.vecSub(col("embedding"), col("cvec"))
+          .as("embedding"),
+        col("cent_id"))
+
+  private def isResidual(spark: SparkSession, path: String): Boolean =
+    org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/_residual"))
 
   /** [[buildPQ]] with pre-trained models (shared by incremental adds
     * and cross-table reuse). */
   def buildPQWith(emb: DataFrame, path: String, centDf: DataFrame,
-      codebook: DataFrame): Unit = {
-    assign(emb, centDf)
-      .select("vec_id", "embedding", "cent_id")
-      .join(VectorPQ.encode(emb, codebook), Seq("vec_id"))
+      codebook: DataFrame, residual: Boolean = false): Unit = {
+    val spark = emb.sparkSession
+    val table =
+      if (residual) residualView(emb, centDf)
+      else assign(emb, centDf).select("vec_id", "embedding", "cent_id")
+    table.select("vec_id", "cent_id")
+      .join(VectorPQ.encode(table.select("vec_id", "embedding"), codebook),
+        Seq("vec_id"))
       .select("vec_id", "codes", "cent_id")
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
     centDf.write.mode("overwrite").parquet(s"$path/centroids")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_residual")
+    if (residual) fs.create(marker, true).close() else fs.delete(marker, false)
   }
 
   /** Incremental append to a PQ index: route + encode new vectors
-    * with the EXISTING models; only the touched cent_id partitions
-    * gain files (assignment and encoding are per-row, so the result
-    * equals a batch rebuild with the same models — spec-pinned). */
+    * with the EXISTING models (residual layouts re-derive residuals
+    * against the stored centroids); only the touched cent_id
+    * partitions gain files (assignment and encoding are per-row, so
+    * the result equals a batch rebuild with the same models —
+    * spec-pinned). */
   def addPQ(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
     val centDf = spark.read.parquet(s"$path/centroids")
     val codebook = spark.read.parquet(s"$path/codebook")
-    assign(newVecs, centDf)
-      .select("vec_id", "embedding", "cent_id")
-      .join(VectorPQ.encode(newVecs, codebook), Seq("vec_id"))
+    val table =
+      if (isResidual(spark, path)) residualView(newVecs, centDf)
+      else assign(newVecs, centDf).select("vec_id", "embedding", "cent_id")
+    table.select("vec_id", "cent_id")
+      .join(VectorPQ.encode(table.select("vec_id", "embedding"), codebook),
+        Seq("vec_id"))
       .select("vec_id", "codes", "cent_id")
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
   }
@@ -135,15 +169,29 @@ object VectorIndex {
       .withColumn("sim", cos(col("pe"), col("cvec")))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nprobe)
-      .select(col("probe_id"), col("cent_id"))
+      .select(col("probe_id"), col("cent_id"), col("pe"), col("cvec"))
     val wanted = routed.select("cent_id").distinct()
       .collect().map(_.getLong(0))
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cent_id").isin(wanted.toSeq: _*))
-      .join(routed, Seq("cent_id"))
+      .join(routed.select("probe_id", "cent_id"), Seq("cent_id"))
       .filter(col("probe_id") =!= col("vec_id"))
-      .select("probe_id", "vec_id", "codes")
-    val cand = VectorPQ.adcTopK(probes, codes, codebook, k * rerankFactor)
+    val cand =
+      if (isResidual(spark, path)) {
+        // each routed centroid sees a DIFFERENT probe residual, so the
+        // LUT keys on (probe, cent) — still |probes|·nprobe·m·ksub
+        // rows, KBs — and candidates join their own slice
+        val lut = VectorPQ.lutKeyed(
+          routed.select(col("probe_id"), col("cent_id"),
+            graft.functions.GraftFunctions.vecSub(col("pe"), col("cvec"))
+              .as("embedding")),
+          Seq("probe_id", "cent_id"), codebook)
+        VectorPQ.adcTopKWith(lut,
+          codes.select("probe_id", "cent_id", "vec_id", "codes"),
+          Seq("probe_id", "cent_id"), k * rerankFactor)
+      } else VectorPQ.adcTopK(probes,
+        codes.select("probe_id", "vec_id", "codes"), codebook,
+        k * rerankFactor)
     VectorOps.exactTopK(emb, cand, k)
   }
 

@@ -53,13 +53,17 @@ object VectorPQ {
     StructField("cvec", ArrayType(DoubleType))))
 
   /** The m subvector views of the embedding column, exploded:
-    * (vec_id, sub_id, svec: array<double>). Map-side only. */
-  private def subvectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
-    emb.select(col("vec_id"), posexplode(
+    * (keyCols…, sub_id, svec: array<double>). Map-side only. */
+  private def subvectorsKeyed(df: DataFrame, keyCols: Seq[String],
+      m: Int, dsub: Int): DataFrame =
+    df.select(keyCols.map(col) :+ posexplode(
         transform(sequence(lit(0), lit(m - 1)), s =>
-          slice(col("embedding"), s * dsub + 1, lit(dsub)))))
-      .select(col("vec_id"), col("pos").cast("int").as("sub_id"),
-        transform(col("col"), _.cast("double")).as("svec"))
+          slice(col("embedding"), s * dsub + 1, lit(dsub)))): _*)
+      .select(keyCols.map(col) :+ col("pos").cast("int").as("sub_id") :+
+        transform(col("col"), _.cast("double")).as("svec"): _*)
+
+  private def subvectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
+    subvectorsKeyed(emb, Seq("vec_id"), m, dsub)
 
   /** Nearest codeword per (vector, subspace): in-row squared-euclidean
     * scoring against the broadcast codebook, min_by partial agg.
@@ -98,8 +102,8 @@ object VectorPQ {
       .limit(ksub).collect()
     var cb: Array[Array[Array[Double]]] = // [sub][code][dim]
       Array.tabulate(m) { s =>
-        seedRows.map(_.getSeq[Float](1)
-          .slice(s * dsub, (s + 1) * dsub).map(_.toDouble).toArray)
+        seedRows.map(_.getSeq[Number](1) // float embeddings OR double residuals
+          .slice(s * dsub, (s + 1) * dsub).map(_.doubleValue()).toArray)
       }
     val sub = subvectors(emb, m, dsub).cache()
     try {
@@ -179,41 +183,55 @@ object VectorPQ {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
-  /** Per-probe partial-distance LUT: |c|² − 2·p_s·c for every
-    * (sub, code) — p·m·ksub rows, KBs per probe batch → broadcast. */
-  private def probeLut(probes: DataFrame, codebook: DataFrame): DataFrame = {
+  /** Partial-distance LUT: |c|² − 2·q_s·c for every (sub, code) per
+    * LUT key (`keyCols` ∋ probe_id; the residual form adds cent_id,
+    * because each routed centroid sees a different probe residual) —
+    * |keys|·m·ksub rows, KBs per probe batch → broadcast. */
+  private[operators] def lutKeyed(queries: DataFrame, keyCols: Seq[String],
+      codebook: DataFrame): DataFrame = {
     val dp = graft.functions.GraftFunctions.dotProduct _
     val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
     val dsub = codebook.select(size(col("cvec"))).head.getInt(0)
-    subvectors(probes.select(col("vec_id"), col("embedding")), m, dsub)
-      .withColumnRenamed("vec_id", "probe_id")
+    subvectorsKeyed(queries, keyCols, m, dsub)
       .join(codebook, Seq("sub_id"))
-      .select(col("probe_id"), col("sub_id"), col("code_id"),
+      .select(keyCols.map(col) :+ col("sub_id") :+ col("code_id") :+
         (dp(col("cvec"), col("cvec")) -
-          lit(2.0) * dp(col("svec"), col("cvec"))).as("pd"))
+          lit(2.0) * dp(col("svec"), col("cvec"))).as("pd"): _*)
   }
 
+  private def probeLut(probes: DataFrame, codebook: DataFrame): DataFrame =
+    lutKeyed(probes.select(col("vec_id").as("probe_id"),
+      col("embedding")), Seq("probe_id"), codebook)
+
   /** ADC top-k over PER-PROBE candidate code rows
-    * (probe_id, vec_id, codes) — the routed-IVF consumer
-    * ([[VectorIndex.searchPQ]]), where each probe ranks only its own
-    * routed lists. Same LUT-join + decimal partial-agg shape as
-    * [[searchADC]]; returns (probe_id, neighbor_id). */
-  def adcTopK(probes: DataFrame, cand: DataFrame, codebook: DataFrame,
-      k: Int): DataFrame = {
+    * (lutKeys…, vec_id, codes) against a prebuilt broadcast LUT — the
+    * routed-IVF consumer ([[VectorIndex.searchPQ]]), where each probe
+    * ranks only its own routed lists (and, in residual form, each
+    * (probe, cent) pair has its own LUT slice). Same LUT-join +
+    * decimal partial-agg shape as [[searchADC]]; returns
+    * (probe_id, neighbor_id). */
+  private[operators] def adcTopKWith(lut: DataFrame, cand: DataFrame,
+      lutKeys: Seq[String], k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
-    cand.select(col("probe_id"), col("vec_id"), posexplode(col("codes")))
-      .select(col("probe_id"), col("vec_id"),
-        col("pos").cast("int").as("sub_id"),
-        col("col").cast("int").as("code_id"))
-      .join(broadcast(probeLut(probes, codebook)),
-        Seq("probe_id", "sub_id", "code_id"))
+    cand.select(lutKeys.map(col) :+ col("vec_id") :+
+        posexplode(col("codes")): _*)
+      .select(lutKeys.map(col) :+ col("vec_id") :+
+        col("pos").cast("int").as("sub_id") :+
+        col("col").cast("int").as("code_id"): _*)
+      .join(broadcast(lut), lutKeys ++ Seq("sub_id", "code_id"))
       .groupBy("probe_id", "vec_id")
       .agg(sum(col("pd").cast(DecA)).as("adist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
   }
+
+  /** ADC top-k over per-probe candidate code rows with a plain
+    * (non-residual) probe LUT. */
+  def adcTopK(probes: DataFrame, cand: DataFrame, codebook: DataFrame,
+      k: Int): DataFrame =
+    adcTopKWith(probeLut(probes, codebook), cand, Seq("probe_id"), k)
 
   /** ADC top-k: rank the code table by asymmetric distance to each
     * probe, optionally exact-cosine reranking the top `rerankFactor·k`

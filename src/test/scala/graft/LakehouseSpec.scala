@@ -464,6 +464,8 @@ class LakehouseSpec extends SparkSpec {
     // error of the exact rank-ceil(q*n) value
     val exactVals = orders.select("o_totalprice")
       .collect().map(_.getDouble(0)).sorted
+    val batch = QuantileView.quantiles(spark, root, spec,
+      Seq(0.01, 0.1, 0.5, 0.9, 0.99))
     for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
       val est = QuantileView.quantile(spark, root, spec, q).get
       val ex = exactVals(math.max(0,
@@ -471,6 +473,8 @@ class LakehouseSpec extends SparkSpec {
       val rel = math.abs(est - ex) / math.abs(ex)
       info(f"q=$q%.2f exact=$ex%.2f est=$est%.2f rel=$rel%.5f")
       assert(rel <= spec.alpha * 1.05, s"q=$q rel error $rel > alpha")
+      // the one-read batch form agrees with the per-q form
+      assert(batch(q).contains(est))
     }
 
     // signs and zeros: mirrored negative buckets, exact zero counts,

@@ -282,6 +282,29 @@ class OperatorsSpec extends SparkSpec {
     assert(repOff.afterDedup == 2)
   }
 
+  test("vec_sub: residual arithmetic, mixed element types, null edges") {
+    val r = spark.sql(
+      """SELECT vec_sub(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(0.5D, 3.0D)) AS a,
+        |       vec_sub(array(CAST(10 AS TINYINT)), array(0.25D)) AS b,
+        |       vec_sub(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS c
+        |""".stripMargin).head
+    assert(r.getSeq[Double](0) == Seq(1.0, -1.0))
+    assert(r.getSeq[Double](1) == Seq(9.75))
+    assert(r.isNullAt(2))
+    // Column API ≡ the zip_with formulation on real embeddings
+    val emb = Tables.embeddings(spark, sfDir).limit(20)
+      .select(col("vec_id"), col("embedding"))
+    val pair = emb.as("x").join(emb.as("y"),
+      col("x.vec_id") === col("y.vec_id") - 1)
+    val viaExpr = pair.select(graft.functions.GraftFunctions.vecSub(
+      col("x.embedding"), col("y.embedding")).as("d"))
+    val viaHof = pair.select(zip_with(col("x.embedding"), col("y.embedding"),
+      (a, b) => a.cast("double") - b.cast("double")).as("d"))
+    assert(viaExpr.collect().map(_.getSeq[Double](0)).toSeq ==
+      viaHof.collect().map(_.getSeq[Double](0)).toSeq)
+  }
+
   test("deflate_len: repetition compresses, determinism, type/null edges") {
     val row = spark.sql(
       """SELECT deflate_len(repeat('spam ', 200)) AS rep,
@@ -793,6 +816,29 @@ class OperatorsSpec extends SparkSpec {
       nprobe = 4, k = 3)
     assert(viaIncr.collect().map(_.toString).sorted.toSeq ==
       res.collect().map(_.toString).sorted.toSeq)
+
+    // RESIDUAL layout: codebooks trained on v − centroid (vec_sub),
+    // (probe, cent)-keyed LUT at search, marker-dispatched addPQ
+    val pRes = tmpDir("graft-ivfpq-res")
+    VectorIndex.buildPQ(emb, pRes, k = 10, m = 16, ksub = 16,
+      iters = 3, residual = true)
+    val resR = VectorIndex.searchPQ(spark, pRes, probes, emb,
+      nprobe = 4, k = 3)
+    val gotR = resR.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recallR = gotR.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-PQ residual recall@3 = $recallR")
+    assert(recallR >= 0.2, s"residual recall collapsed: $recallR")
+    // incremental add derives residuals from the stored models too
+    val pResIncr = tmpDir("graft-ivfpq-res-incr")
+    VectorIndex.buildPQWith(old, pResIncr,
+      spark.read.parquet(s"$pRes/centroids"),
+      spark.read.parquet(s"$pRes/codebook"), residual = true)
+    VectorIndex.addPQ(spark, pResIncr, fresh)
+    assert(spark.read.parquet(s"$pRes/codes")
+        .collect().map(_.toString).sorted.toSeq ==
+      spark.read.parquet(s"$pResIncr/codes")
+        .collect().map(_.toString).sorted.toSeq)
   }
 
   test("IVF index incremental add equals batch assignment; search unchanged") {
