@@ -284,6 +284,45 @@ object GraftFunctions {
   private[functions] val graftChangesInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_changes")
 
+  /** Table function `graft_quantiles('root', q1[, q2, …])` — the
+    * maintained [[graft.lakehouse.QuantileView]] DDSketch state as
+    * SQL: one (q, value) row per requested quantile, computed from the
+    * KB-scale state at PLAN time (the same plan-time resolution
+    * `graft_version` applies to version numbers). The α is read from
+    * the state's own marker, so SQL callers can never interpret the
+    * buckets at the wrong γ. */
+  private[functions] val graftQuantilesBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size >= 2,
+        "graft_quantiles expects (rootPath, q[, q...])")
+      val spark = SparkSession.active
+      val root = args(0).eval(null).toString
+      val qs = args.tail.map(_.eval(null) match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL 0.5
+        case n: Number => n.doubleValue()
+        case o => throw new IllegalArgumentException(s"non-numeric q: $o")
+      }).toSeq
+      val alpha = graft.lakehouse.QuantileView.storedAlpha(spark, root)
+        .getOrElse(throw new IllegalStateException(
+          s"$root holds no QuantileView state"))
+      val spec = graft.lakehouse.QuantileView.Spec(column = "", alpha = alpha)
+      val vals = graft.lakehouse.QuantileView.quantiles(spark, root, spec, qs)
+      val rows = qs.map(q =>
+        org.apache.spark.sql.Row(q, vals(q).map(Double.box).orNull))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftQuantilesInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_quantiles")
+
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */
   def registerTableFunctions(spark: SparkSession): Unit = {
@@ -296,6 +335,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_changes"), graftChangesInfo,
       graftChangesBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_quantiles"), graftQuantilesInfo,
+      graftQuantilesBuilder)
   }
 }
 
@@ -352,6 +394,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_changes"),
       GraftFunctions.graftChangesInfo,
       GraftFunctions.graftChangesBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_quantiles"),
+      GraftFunctions.graftQuantilesInfo,
+      GraftFunctions.graftQuantilesBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -60,19 +60,46 @@ object QuantileView {
       .map(_ => VersionedTable.read(spark, root))
 
   private def commitState(spark: SparkSession, root: String,
-      merged: DataFrame, batchId: Option[Long]): Long =
+      merged: DataFrame, spec: Spec, batchId: Option[Long]): Long =
     VersionedTable.commit(spark, root) { stage =>
       merged.coalesce(1).write.mode("overwrite").parquet(stage)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),
+        spark.sparkContext.hadoopConfiguration)
+      // the buckets are meaningless without the γ they were cut with:
+      // stamp α into the version dir (one `=`-free hidden marker, so
+      // flat scans never see it) and refuse folds/reads at another α
+      fs.create(new org.apache.hadoop.fs.Path(stage,
+        f"_alpha-${spec.alpha}%.9f"), true).close()
       batchId.foreach { id =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),
-          spark.sparkContext.hadoopConfiguration)
         fs.create(new org.apache.hadoop.fs.Path(stage, s"_batch-$id"),
           true).close()
       }
     }
 
+  /** The α the current state was bucketed with (None before the first
+    * fold; also None for pre-marker states, which predate the guard). */
+  def storedAlpha(spark: SparkSession, root: String): Option[Double] =
+    VersionedTable.currentVersion(spark, root).flatMap { _ =>
+      val dir = VersionedTable.currentPath(spark, root)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName)
+        .collectFirst { case n if n.startsWith("_alpha-") =>
+          n.stripPrefix("_alpha-").toDouble }
+    }
+
+  private def requireAlpha(spark: SparkSession, root: String,
+      spec: Spec): Unit =
+    storedAlpha(spark, root).foreach { a =>
+      require(math.abs(a - spec.alpha) < 1e-12,
+        s"state at $root was bucketed with alpha=$a; " +
+          s"reading or folding it at alpha=${spec.alpha} would be silently wrong")
+    }
+
   private def merge(spark: SparkSession, root: String, batch: DataFrame,
       spec: Spec): DataFrame = {
+    requireAlpha(spark, root, spec)
     val fresh = bucketize(batch, spec)
     state(spark, root) match {
       case None => fresh
@@ -84,7 +111,7 @@ object QuantileView {
   /** Fold one batch into the maintained state. */
   def update(spark: SparkSession, root: String, batch: DataFrame,
       spec: Spec): Long =
-    commitState(spark, root, merge(spark, root, batch, spec), None)
+    commitState(spark, root, merge(spark, root, batch, spec), spec, None)
 
   /** Fold a micro-batch EXACTLY ONCE (idempotent by batchId; same
     * marker protocol as [[MaterializedAgg.foldBatch]]). */
@@ -92,7 +119,8 @@ object QuantileView {
       spec: Spec, batchId: Long): Boolean = {
     if (MaterializedAgg.lastFoldedBatch(spark, root).exists(_ >= batchId))
       return false
-    commitState(spark, root, merge(spark, root, batch, spec), Some(batchId))
+    commitState(spark, root, merge(spark, root, batch, spec), spec,
+      Some(batchId))
     true
   }
 
@@ -104,6 +132,7 @@ object QuantileView {
   def quantile(spark: SparkSession, root: String, spec: Spec,
       q: Double): Option[Double] = {
     require(q >= 0 && q <= 1, s"quantile $q out of [0,1]")
+    requireAlpha(spark, root, spec)
     val g = gamma(spec.alpha)
     state(spark, root).flatMap { st =>
       val rows = st.collect().map(r =>
@@ -132,6 +161,7 @@ object QuantileView {
   def quantiles(spark: SparkSession, root: String, spec: Spec,
       qs: Seq[Double]): Map[Double, Option[Double]] = {
     // one read; quantile() per q would re-collect the state each time
+    requireAlpha(spark, root, spec)
     val g = gamma(spec.alpha)
     state(spark, root) match {
       case None => qs.map(_ -> None).toMap

@@ -477,6 +477,24 @@ class LakehouseSpec extends SparkSpec {
       assert(batch(q).contains(est))
     }
 
+    // alpha drift guard: the state's own marker refuses folds and
+    // reads at another gamma instead of being silently wrong
+    assert(QuantileView.storedAlpha(spark, root).contains(0.01))
+    val drifted = QuantileView.Spec(column = "o_totalprice", alpha = 0.05)
+    intercept[IllegalArgumentException] {
+      QuantileView.update(spark, root, orders, drifted)
+    }
+    intercept[IllegalArgumentException] {
+      QuantileView.quantile(spark, root, drifted, 0.5)
+    }
+    // SQL surface: graft_quantiles reads alpha from the marker and
+    // serves (q, value) rows == the programmatic batch form
+    val viaSql = spark.sql(
+      s"SELECT q, value FROM graft_quantiles('$root', 0.1, 0.5, 0.9)")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(batch(q).contains(viaSql(q)), s"q=$q: $viaSql vs $batch")
+
     // signs and zeros: mirrored negative buckets, exact zero counts,
     // nulls skipped
     val mixed = Seq(-100.0, -10.0, -1.0, 0.0, 0.0, 1.0, 10.0, 100.0)
