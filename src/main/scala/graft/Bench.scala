@@ -31,7 +31,7 @@ object Bench {
     "q79_salted_join", "q80_normalize", "q81_range_frame",
     "q82_dup_spans", "q83_token_rarity", "q84_compress_ratio",
     "q85_percentiles_scalable", "q86_ann_pq", "q87_ann_sq8",
-    "q88_funnel", "q89_cohort_retention")
+    "q88_funnel", "q89_cohort_retention", "q90_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -380,6 +380,45 @@ object ScaleOps {
     VectorOps.exactTopK(emb, cand, 3)
   }
 
+  /** q90: pairwise source-vocabulary overlap through the KMV/theta
+    * set sketch ([[SetSketch]]) — distinct-set UNION / INTERSECTION /
+    * Jaccard between every pair of sources from ONE partial-agg
+    * sketch-building pass (segments² algebra on KB sketches, never
+    * data²). On the test corpus every source vocabulary is far below
+    * k=256, so the sketches are EXACT and the output carries a real
+    * DuckDB oracle; beyond k the same query degrades gracefully to
+    * (k−1)/θ estimation (spec pins the estimation path separately on
+    * synthetic data that overflows k). */
+  private val q90: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    SetSketch.pairwiseOverlap(toks, "source", xxhash64(col("tok")), k = 256)
+  }
+  private val q90Sql =
+    """WITH t AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source,
+      |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE length(tok) > 0),
+      |card AS (SELECT source, COUNT(*) AS n FROM t GROUP BY 1),
+      |p AS (SELECT a.source AS seg_a, b.source AS seg_b
+      |      FROM card a JOIN card b ON a.source < b.source),
+      |inter AS (
+      |  SELECT x.source AS sa, y.source AS sb, COUNT(*) AS n
+      |  FROM t x JOIN t y ON x.tok = y.tok AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT p.seg_a, p.seg_b,
+      |  CAST(ca.n + cb.n - COALESCE(i.n, 0) AS BIGINT) AS est_union,
+      |  CAST(COALESCE(i.n, 0) AS BIGINT) AS est_intersect,
+      |  CAST(COALESCE(i.n, 0) AS DOUBLE)
+      |    / (ca.n + cb.n - COALESCE(i.n, 0)) AS est_jaccard
+      |FROM p
+      |JOIN card ca ON ca.source = p.seg_a
+      |JOIN card cb ON cb.source = p.seg_b
+      |LEFT JOIN inter i ON i.sa = p.seg_a AND i.sb = p.seg_b""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q32_minhash_pairs" -> q32,
     "q33_simhash" -> q33,
@@ -392,7 +431,8 @@ object ScaleOps {
     "q49_ann_ivf_kmeans" -> q49,
     "q64_cosine_pairs_hi" -> q64,
     "q86_ann_pq" -> q86,
-    "q87_ann_sq8" -> q87)
+    "q87_ann_sq8" -> q87,
+    "q90_source_overlap" -> q90)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4
@@ -413,5 +453,9 @@ object ScaleOps {
     // q87's exact-decimal top-3 rerank over the SQ8 top-12 reproduces
     // the brute-force exact search (measured identical at all SFs) —
     // so it shares q34's oracle; a hash match pins its recall at 1.
-    "q87_ann_sq8" -> VectorOps.oracleSql("q34_ann_cosine"))
+    "q87_ann_sq8" -> VectorOps.oracleSql("q34_ann_cosine"),
+    // q90's k exceeds every test-SF source vocabulary, so the KMV
+    // sketches are exact sets and the overlap algebra hash-matches
+    // the exact SQL; the >k estimation path is spec-pinned instead.
+    "q90_source_overlap" -> q90Sql)
 }

@@ -282,6 +282,38 @@ class OperatorsSpec extends SparkSpec {
     assert(repOff.afterDedup == 2)
   }
 
+  test("q90 KMV set sketch: estimation above k within bounds, folds order-free") {
+    // the oracle pins the exact regime (every test vocabulary < k);
+    // here the ESTIMATION path: two 12k-element segments overlapping
+    // in 4k values, k=256 → σ ≈ 1/√(k−1) ≈ 6%, assert 4σ
+    val k = 256
+    val a = spark.range(0, 12000).select(lit("a").as("seg"), col("id"))
+    val b = spark.range(8000, 20000).select(lit("b").as("seg"), col("id"))
+    val df = a.union(b)
+    def sketches(d: org.apache.spark.sql.DataFrame) = d.groupBy("seg")
+      .agg(SetSketch.kmvAgg(xxhash64(col("id")), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val sk = sketches(df)
+    val estA = SetSketch.estimate(sk("a"), k)
+    assert(math.abs(estA - 12000) / 12000 < 0.25, s"estA=$estA")
+    val un = SetSketch.estimateUnion(sk("a"), sk("b"), k)
+    assert(math.abs(un - 20000) / 20000 < 0.25, s"union=$un")
+    // intersection/difference error scales with the union size
+    val in = SetSketch.estimateIntersect(sk("a"), sk("b"), k)
+    assert(math.abs(in - 4000) < 0.25 * 20000, s"intersect=$in")
+    val dif = SetSketch.estimateDiff(sk("a"), sk("b"), k)
+    assert(math.abs(dif - 8000) < 0.25 * 20000, s"diff=$dif")
+    // k smallest of a SET: partitioning/merge order cannot change the
+    // sketch — the maintained-fold contract, bit-identical
+    val sk2 = sketches(df.repartition(17))
+    assert(sk.map { case (s, v) => s -> v.toSeq } ==
+      sk2.map { case (s, v) => s -> v.toSeq })
+    // below k the sketch IS the distinct set (exact estimates)
+    val tiny = sketches(
+      spark.range(0, 40).select(lit("a").as("seg"), col("id")))
+    assert(SetSketch.estimate(tiny("a"), k) == 40.0)
+  }
+
   test("vec_sub: residual arithmetic, mixed element types, null edges") {
     val r = spark.sql(
       """SELECT vec_sub(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
