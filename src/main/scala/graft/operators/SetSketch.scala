@@ -117,6 +117,66 @@ object SetSketch {
     ta.toSet.diff(tb.toSet).size / theta
   }
 
+  /** Maintained per-segment KMV view (the fourth maintained sketch,
+    * next to MaterializedAgg's HLL, SketchView's CMS and QuantileView's
+    * DDSketch): state = one (seg, sk) row per segment through
+    * [[graft.lakehouse.VersionedTable]]. A fold EXPLODES the stored
+    * sketches back to hashes, unions the fresh batch's hashes, and
+    * re-aggregates with the same KMV — sound because kmv(A ∪ kmv(B))
+    * = kmv(A ∪ B) whenever kmv(B) keeps B's k smallest (min-k is a
+    * lossless filter for further min-k), and order-independent, so
+    * the maintained state is BIT-IDENTICAL to a from-scratch build.
+    * Exactly-once streaming folds by batch id, same marker protocol
+    * as the other members. */
+  final case class ViewSpec(segCol: String, hashExpr: Column, k: Int = 256)
+
+  def update(spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, spec: ViewSpec): Long =
+    commitView(spark, root, merged(spark, root, batch, spec), None)
+
+  /** Fold a micro-batch exactly once (idempotent by batchId). */
+  def foldBatch(spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, spec: ViewSpec, batchId: Long): Boolean = {
+    if (graft.lakehouse.MaterializedAgg.lastFoldedBatch(spark, root)
+        .exists(_ >= batchId)) return false
+    commitView(spark, root, merged(spark, root, batch, spec), Some(batchId))
+    true
+  }
+
+  /** Current state as (seg, sk) pairs. */
+  def read(spark: org.apache.spark.sql.SparkSession,
+      root: String): Map[String, Array[Long]] =
+    graft.lakehouse.VersionedTable.currentVersion(spark, root)
+      .map(_ => graft.lakehouse.VersionedTable.read(spark, root)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+        .toMap)
+      .getOrElse(Map.empty)
+
+  private def merged(spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, spec: ViewSpec): DataFrame = {
+    val fresh = batch.select(col(spec.segCol).as("seg"),
+      spec.hashExpr.as("h"))
+    val all = graft.lakehouse.VersionedTable.currentVersion(spark, root) match {
+      case None => fresh
+      case Some(_) => graft.lakehouse.VersionedTable.read(spark, root)
+        .select(col("seg"), explode(col("sk")).as("h"))
+        .unionByName(fresh)
+    }
+    all.groupBy("seg").agg(kmvAgg(col("h"), spec.k).as("sk"))
+  }
+
+  private def commitView(spark: org.apache.spark.sql.SparkSession,
+      root: String, state: DataFrame, batchId: Option[Long]): Long =
+    graft.lakehouse.VersionedTable.commit(spark, root) { stage =>
+      state.coalesce(1).write.mode("overwrite").parquet(stage)
+      batchId.foreach { id =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),
+          spark.sparkContext.hadoopConfiguration)
+        fs.create(new org.apache.hadoop.fs.Path(stage, s"_batch-$id"),
+          true).close()
+      }
+    }
+
   /** Per-segment vocabulary sketches + pairwise set algebra: for every
     * pair of `segCol` values, estimated distinct-union / intersection
     * / Jaccard of their `hashCol` sets. ONE sketch-building pass over

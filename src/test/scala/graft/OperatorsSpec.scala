@@ -312,6 +312,27 @@ class OperatorsSpec extends SparkSpec {
     val tiny = sketches(
       spark.range(0, 40).select(lit("a").as("seg"), col("id")))
     assert(SetSketch.estimate(tiny("a"), k) == 40.0)
+
+    // maintained view: three folds over slices ≡ one from-scratch
+    // build, bit-identical (min-k is order-independent and a lossless
+    // filter for further min-k); exactly-once by batch id
+    val root = tmpDir("kmvview")
+    val spec = SetSketch.ViewSpec("seg", xxhash64(col("id")), k)
+    Seq(0, 1, 2).foreach { p =>
+      SetSketch.update(spark, root, df.filter(col("id") % 3 === p), spec)
+    }
+    val maintained = SetSketch.read(spark, root)
+    assert(maintained.map { case (s, v) => s -> v.toSeq } ==
+      sk.map { case (s, v) => s -> v.toSeq })
+    assert(SetSketch.foldBatch(spark, root,
+      spark.range(20000, 20010).select(lit("b").as("seg"), col("id")),
+      spec, batchId = 5L))
+    // crash-redelivery of the same batch id is a no-op
+    val afterFold = SetSketch.read(spark, root)
+    assert(!SetSketch.foldBatch(spark, root, df, spec, batchId = 5L))
+    assert(SetSketch.read(spark, root)
+      .map { case (s, v) => s -> v.toSeq } ==
+      afterFold.map { case (s, v) => s -> v.toSeq })
   }
 
   test("vec_sub: residual arithmetic, mixed element types, null edges") {
