@@ -221,16 +221,25 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       val live = VersionedTable.currentPath(spark, vc.tableDir)
       val fresh = spark.read.parquet(
         r.loaded.map(f => s"$live/${IncrementalLoader.publishedName(f)}"): _*)
-      (graft.operators.VectorIndex.exists(spark, vc.indexPath), vc.pq) match {
-        case (false, None) =>
-          graft.operators.VectorIndex.build(fresh, vc.indexPath, vc.k, vc.iters)
-        case (true, None) =>
-          graft.operators.VectorIndex.add(spark, vc.indexPath, fresh)
-        case (false, Some((m, ksub))) =>
-          graft.operators.VectorIndex.buildPQ(fresh, vc.indexPath, vc.k,
-            m, ksub, vc.iters)
-        case (true, Some(_)) =>
-          graft.operators.VectorIndex.addPQ(spark, vc.indexPath, fresh)
+      if (!graft.operators.VectorIndex.exists(spark, vc.indexPath))
+        vc.pq match {
+          case None => graft.operators.VectorIndex.build(
+            fresh, vc.indexPath, vc.k, vc.iters)
+          case Some((m, ksub)) => graft.operators.VectorIndex.buildPQ(
+            fresh, vc.indexPath, vc.k, m, ksub, vc.iters)
+        }
+      else {
+        // dispatch on the layout the index ON DISK actually has, and
+        // refuse a config that contradicts it — a daemon restarted
+        // with pq toggled would otherwise crash mid-tick reading the
+        // other layout's files
+        val storedPq = graft.operators.VectorIndex.isPQ(spark, vc.indexPath)
+        require(storedPq == vc.pq.isDefined,
+          s"index at ${vc.indexPath} is ${if (storedPq) "PQ" else "raw"} " +
+            s"but the config says ${if (vc.pq.isDefined) "PQ" else "raw"}; " +
+            "rebuild the index or fix VectorIndexConfig.pq")
+        if (storedPq) graft.operators.VectorIndex.addPQ(spark, vc.indexPath, fresh)
+        else graft.operators.VectorIndex.add(spark, vc.indexPath, fresh)
       }
     }
     r

@@ -77,22 +77,11 @@ object MaterializedAgg {
 
   // ---- streaming form: exactly-once folds keyed by micro-batch id.
 
-  private val BatchMarker = "^_batch-(\\d+)$".r
-
-  /** Highest micro-batch id folded into the state (the marker file
-    * lives INSIDE the committed version dir, so it is atomic with the
-    * state it describes). */
-  def lastFoldedBatch(spark: SparkSession, root: String): Option[Long] = {
-    if (VersionedTable.currentVersion(spark, root).isEmpty) return None
-    val dir = new org.apache.hadoop.fs.Path(
-      VersionedTable.currentPath(spark, root))
-    val fs = org.apache.hadoop.fs.FileSystem.get(dir.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
-      case BatchMarker(n) => Some(n.toLong)
-      case _ => None
-    }).maxOption
-  }
+  /** Highest micro-batch id folded into the state — the protocol now
+    * lives in [[VersionedTable.lastFoldedBatch]] (shared by every
+    * maintained view); kept here as the historical entry point. */
+  def lastFoldedBatch(spark: SparkSession, root: String): Option[Long] =
+    VersionedTable.lastFoldedBatch(spark, root)
 
   /** Fold a micro-batch EXACTLY ONCE: Structured Streaming re-delivers
     * a batch whose foreachBatch crashed mid-commit, so the fold is
@@ -115,10 +104,7 @@ object MaterializedAgg {
           hll_union_agg(col(s"hll_$c")).as(s"hll_$c")): _*)
     VersionedTable.commit(spark, root) { stage =>
       merged.write.mode("overwrite").parquet(stage)
-      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),
-        spark.sparkContext.hadoopConfiguration)
-      fs.create(new org.apache.hadoop.fs.Path(stage, s"_batch-$batchId"),
-        true).close()
+      VersionedTable.stampBatch(spark, stage, batchId)
     }
     true
   }

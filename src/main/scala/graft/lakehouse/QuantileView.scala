@@ -47,9 +47,13 @@ object QuantileView {
         .otherwise(ceil(lg).cast("long")).as("bucket"))
   }
 
-  /** One batch → its bucket-count table (sign, bucket, cnt). */
+  /** One batch → its bucket-count table (sign, bucket, cnt). NaN rows
+    * are skipped like nulls — under non-ANSI casts signum(NaN) and
+    * ceil(log NaN) both land on 0, which would silently count NaNs as
+    * exact zeros. */
   private def bucketize(batch: DataFrame, spec: Spec): DataFrame =
-    batch.filter(col(spec.column).isNotNull)
+    batch.filter(col(spec.column).isNotNull &&
+        !isnan(col(spec.column).cast("double")))
       .select(bucketCol(col(spec.column), spec.alpha).as("b"))
       .groupBy(col("b.sign").as("sign"), col("b.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -67,13 +71,13 @@ object QuantileView {
         spark.sparkContext.hadoopConfiguration)
       // the buckets are meaningless without the γ they were cut with:
       // stamp α into the version dir (one `=`-free hidden marker, so
-      // flat scans never see it) and refuse folds/reads at another α
+      // flat scans never see it) and refuse folds/reads at another α.
+      // Double.toString is locale-independent and round-trips exactly
+      // (an f"%.9f" both breaks under comma-decimal locales and fails
+      // its own guard for alphas needing more digits).
       fs.create(new org.apache.hadoop.fs.Path(stage,
-        f"_alpha-${spec.alpha}%.9f"), true).close()
-      batchId.foreach { id =>
-        fs.create(new org.apache.hadoop.fs.Path(stage, s"_batch-$id"),
-          true).close()
-      }
+        s"_alpha-${java.lang.Double.toString(spec.alpha)}"), true).close()
+      batchId.foreach(VersionedTable.stampBatch(spark, stage, _))
     }
 
   /** The α the current state was bucketed with (None before the first
@@ -117,7 +121,7 @@ object QuantileView {
     * marker protocol as [[MaterializedAgg.foldBatch]]). */
   def foldBatch(spark: SparkSession, root: String, batch: DataFrame,
       spec: Spec, batchId: Long): Boolean = {
-    if (MaterializedAgg.lastFoldedBatch(spark, root).exists(_ >= batchId))
+    if (VersionedTable.lastFoldedBatch(spark, root).exists(_ >= batchId))
       return false
     commitState(spark, root, merge(spark, root, batch, spec), spec,
       Some(batchId))
@@ -130,31 +134,8 @@ object QuantileView {
     * Bucket i covers (γ^(i−1), γ^i]; the midpoint estimate 2γ^i/(γ+1)
     * carries the α bound. Returns None before the first fold. */
   def quantile(spark: SparkSession, root: String, spec: Spec,
-      q: Double): Option[Double] = {
-    require(q >= 0 && q <= 1, s"quantile $q out of [0,1]")
-    requireAlpha(spark, root, spec)
-    val g = gamma(spec.alpha)
-    state(spark, root).flatMap { st =>
-      val rows = st.collect().map(r =>
-        (r.getAs[Int]("sign"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
-      if (rows.isEmpty) None
-      else {
-        // total order over the value line: negatives from most
-        // negative (largest |bucket|) up, then zeros, then positives
-        val ordered = rows.sortBy { case (s, b, _) =>
-          if (s < 0) (0, -b) else if (s == 0) (1, 0L) else (2, b)
-        }
-        val n = ordered.map(_._3).sum
-        val rank = math.max(1L, math.ceil(q * n).toLong)
-        var cum = 0L
-        ordered.find { case (_, _, c) => cum += c; cum >= rank }
-          .map { case (s, b, _) =>
-            val mag = 2.0 * math.pow(g, b.toDouble) / (g + 1)
-            if (s < 0) -mag else if (s == 0) 0.0 else mag
-          }
-      }
-    }
-  }
+      q: Double): Option[Double] =
+    quantiles(spark, root, spec, Seq(q))(q)
 
   /** Batch form: several quantiles from ONE state read (the state is
     * KBs; the collect happens once, not per q). */

@@ -59,12 +59,7 @@ object SketchView {
         spark.sparkContext.parallelize(
           Seq(Row(toBytes(merged), merged.totalCount())), 1),
         stateSchema).write.mode("overwrite").parquet(stage)
-      batchId.foreach { id =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),
-          spark.sparkContext.hadoopConfiguration)
-        fs.create(new org.apache.hadoop.fs.Path(stage, s"_batch-$id"),
-          true).close()
-      }
+      batchId.foreach(VersionedTable.stampBatch(spark, stage, _))
     }
 
   private def merge(spark: SparkSession, root: String, batch: DataFrame,
@@ -85,7 +80,7 @@ object SketchView {
     * Returns whether the batch was folded. */
   def foldBatch(spark: SparkSession, root: String, batch: DataFrame,
       spec: Spec, batchId: Long): Boolean = {
-    if (MaterializedAgg.lastFoldedBatch(spark, root).exists(_ >= batchId))
+    if (VersionedTable.lastFoldedBatch(spark, root).exists(_ >= batchId))
       return false
     commitMerged(spark, root, merge(spark, root, batch, spec), Some(batchId))
     true

@@ -572,6 +572,33 @@ object VersionedTable {
     victims.map(_.getPath.toString)
   }
 
+  // ---- exactly-once micro-batch markers ----------------------------
+  // The shared protocol of every maintained view (MaterializedAgg,
+  // SketchView, QuantileView, SetSketch): the folded batch id is a
+  // marker file INSIDE the version dir, so it commits atomically with
+  // the state (the manifest publishes after the dir is complete), and
+  // a crash-redelivered micro-batch sees its own id and no-ops.
+
+  private val BatchMarker = "^_batch-(-?\\d+)$".r
+
+  /** Highest micro-batch id stamped into the CURRENT version. */
+  def lastFoldedBatch(spark: SparkSession, root: String): Option[Long] = {
+    if (currentVersion(spark, root).isEmpty) return None
+    val dir = new Path(currentPath(spark, root))
+    val fs = fsOf(spark, dir.toString)
+    fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case BatchMarker(n) => Some(n.toLong)
+      case _ => None
+    }).maxOption
+  }
+
+  /** Stamp a micro-batch id into a version dir mid-commit (call from
+    * inside a [[commit]] writer, after the state is written). */
+  def stampBatch(spark: SparkSession, stageDir: String,
+      batchId: Long): Unit =
+    fsOf(spark, stageDir)
+      .create(new Path(stageDir, s"_batch-$batchId"), true).close()
+
   /** Read-transform-commit: the crash-safe form of every table
     * rewrite (retention, compaction, upsert). */
   def rewrite(spark: SparkSession, root: String, keepVersions: Int = 1,

@@ -137,7 +137,7 @@ object SetSketch {
   /** Fold a micro-batch exactly once (idempotent by batchId). */
   def foldBatch(spark: org.apache.spark.sql.SparkSession, root: String,
       batch: DataFrame, spec: ViewSpec, batchId: Long): Boolean = {
-    if (graft.lakehouse.MaterializedAgg.lastFoldedBatch(spark, root)
+    if (graft.lakehouse.VersionedTable.lastFoldedBatch(spark, root)
         .exists(_ >= batchId)) return false
     commitView(spark, root, merged(spark, root, batch, spec), Some(batchId))
     true
@@ -154,8 +154,12 @@ object SetSketch {
 
   private def merged(spark: org.apache.spark.sql.SparkSession, root: String,
       batch: DataFrame, spec: ViewSpec): DataFrame = {
-    val fresh = batch.select(col(spec.segCol).as("seg"),
-      spec.hashExpr.as("h"))
+    // segments normalize to non-null strings: null segments are
+    // dropped (nothing meaningful to sketch them under) and numeric
+    // segment columns stringify instead of failing reads later
+    val fresh = batch.filter(col(spec.segCol).isNotNull)
+      .select(col(spec.segCol).cast("string").as("seg"),
+        spec.hashExpr.as("h"))
     val all = graft.lakehouse.VersionedTable.currentVersion(spark, root) match {
       case None => fresh
       case Some(_) => graft.lakehouse.VersionedTable.read(spark, root)
@@ -169,12 +173,8 @@ object SetSketch {
       root: String, state: DataFrame, batchId: Option[Long]): Long =
     graft.lakehouse.VersionedTable.commit(spark, root) { stage =>
       state.coalesce(1).write.mode("overwrite").parquet(stage)
-      batchId.foreach { id =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stage),
-          spark.sparkContext.hadoopConfiguration)
-        fs.create(new org.apache.hadoop.fs.Path(stage, s"_batch-$id"),
-          true).close()
-      }
+      batchId.foreach(
+        graft.lakehouse.VersionedTable.stampBatch(spark, stage, _))
     }
 
   /** Per-segment vocabulary sketches + pairwise set algebra: for every
@@ -185,7 +185,11 @@ object SetSketch {
   def pairwiseOverlap(df: DataFrame, segCol: String, hashed: Column,
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    val sk = df.groupBy(segCol).agg(kmvAgg(hashed, k).as("sk"))
+    // null segments dropped, non-string segments stringified — same
+    // normalization as the maintained view
+    val sk = df.filter(col(segCol).isNotNull)
+      .groupBy(col(segCol).cast("string").as("seg"))
+      .agg(kmvAgg(hashed, k).as("sk"))
       .collect().map(r => (r.getString(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     val rows = for {

@@ -43,6 +43,13 @@ object VectorIndex {
       .exists(p)
   }
 
+  /** Whether the index at `path` has the PQ layout (codebook +
+    * compressed code lists) rather than raw inverted lists. */
+  def isPQ(spark: SparkSession, path: String): Boolean =
+    org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/codebook/_SUCCESS"))
+
   /** Incremental append: route new vectors to the EXISTING trained
     * centroids and append their inverted-list rows — an incremental
     * load extends the index without retraining or rewriting the old
@@ -110,11 +117,12 @@ object VectorIndex {
       .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(s"$path/_residual"))
 
-  /** [[buildPQ]] with pre-trained models (shared by incremental adds
-    * and cross-table reuse). */
-  def buildPQWith(emb: DataFrame, path: String, centDf: DataFrame,
-      codebook: DataFrame, residual: Boolean = false): Unit = {
-    val spark = emb.sparkSession
+  /** The shared route-assign (+ residual) → encode → partitioned
+    * codes-write pipeline of [[buildPQWith]] and [[addPQ]] — one
+    * definition, so incremental adds can never encode differently
+    * from batch builds. */
+  private def writeCodes(emb: DataFrame, path: String, centDf: DataFrame,
+      codebook: DataFrame, residual: Boolean, mode: String): Unit = {
     val table =
       if (residual) residualView(emb, centDf)
       else assign(emb, centDf).select("vec_id", "embedding", "cent_id")
@@ -122,7 +130,15 @@ object VectorIndex {
       .join(VectorPQ.encode(table.select("vec_id", "embedding"), codebook),
         Seq("vec_id"))
       .select("vec_id", "codes", "cent_id")
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
+      .write.mode(mode).partitionBy("cent_id").parquet(s"$path/codes")
+  }
+
+  /** [[buildPQ]] with pre-trained models (shared by incremental adds
+    * and cross-table reuse). */
+  def buildPQWith(emb: DataFrame, path: String, centDf: DataFrame,
+      codebook: DataFrame, residual: Boolean = false): Unit = {
+    val spark = emb.sparkSession
+    writeCodes(emb, path, centDf, codebook, residual, "overwrite")
     centDf.write.mode("overwrite").parquet(s"$path/centroids")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
     val fs = org.apache.hadoop.fs.FileSystem
@@ -137,18 +153,11 @@ object VectorIndex {
     * partitions gain files (assignment and encoding are per-row, so
     * the result equals a batch rebuild with the same models —
     * spec-pinned). */
-  def addPQ(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
-    val centDf = spark.read.parquet(s"$path/centroids")
-    val codebook = spark.read.parquet(s"$path/codebook")
-    val table =
-      if (isResidual(spark, path)) residualView(newVecs, centDf)
-      else assign(newVecs, centDf).select("vec_id", "embedding", "cent_id")
-    table.select("vec_id", "cent_id")
-      .join(VectorPQ.encode(table.select("vec_id", "embedding"), codebook),
-        Seq("vec_id"))
-      .select("vec_id", "codes", "cent_id")
-      .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
-  }
+  def addPQ(spark: SparkSession, path: String, newVecs: DataFrame): Unit =
+    writeCodes(newVecs, path,
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"),
+      isResidual(spark, path), "append")
 
   /** IVF-PQ search: route each probe to `nprobe` centroids, ADC-rank
     * ONLY the routed code partitions (partition-pruned scan of the
