@@ -177,6 +177,26 @@ object SetSketch {
         graft.lakehouse.VersionedTable.stampBatch(spark, stage, _))
     }
 
+  /** Streaming maintenance: each micro-batch of the file stream folds
+    * exactly once — the same AvailableNow shape as the other
+    * maintained views. */
+  def runStream(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      viewRoot: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      spec: ViewSpec): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .csv(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(spark, viewRoot, batch, spec, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Per-segment vocabulary sketches + pairwise set algebra: for every
     * pair of `segCol` values, estimated distinct-union / intersection
     * / Jaccard of their `hashCol` sets. ONE sketch-building pass over

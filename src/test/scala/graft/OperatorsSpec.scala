@@ -333,6 +333,28 @@ class OperatorsSpec extends SparkSpec {
     assert(SetSketch.read(spark, root)
       .map { case (s, v) => s -> v.toSeq } ==
       afterFold.map { case (s, v) => s -> v.toSeq })
+
+    // streaming twin: AvailableNow folds the drop exactly once; a
+    // restart with a new drop folds only the new one
+    val src = tmpDir("kmvsrc"); val ckpt = tmpDir("kmvckpt")
+    val sroot = tmpDir("kmvsroot")
+    val sspec = SetSketch.ViewSpec("customer_type", xxhash64(col("id")), k)
+    graft.lakehouse.SurveyGen.writeArrival(spark, src, "d1.csv", 60, 51)
+    SetSketch.runStream(spark, src, sroot, ckpt,
+      graft.lakehouse.SurveyGen.schema, sspec).awaitTermination(60000)
+    assert(SetSketch.read(spark, sroot).nonEmpty)
+    graft.lakehouse.SurveyGen.writeArrival(spark, src, "d2.csv", 25, 52)
+    SetSketch.runStream(spark, src, sroot, ckpt,
+      graft.lakehouse.SurveyGen.schema, sspec).awaitTermination(60000)
+    // the stream-maintained state ≡ one build over both drops (the
+    // order-independence contract, checked bit for bit)
+    val both = graft.lakehouse.SurveyGen.generate(spark, 60, 51)
+      .unionByName(graft.lakehouse.SurveyGen.generate(spark, 25, 52))
+    val scratch2 = both.groupBy(col("customer_type").cast("string").as("seg"))
+      .agg(SetSketch.kmvAgg(xxhash64(col("id")), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(SetSketch.read(spark, sroot)
+      .map { case (s, v) => s -> v.toSeq } == scratch2)
   }
 
   test("vec_sub: residual arithmetic, mixed element types, null edges") {
