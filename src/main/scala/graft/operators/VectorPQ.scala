@@ -233,20 +233,78 @@ object VectorPQ {
       k: Int): DataFrame =
     adcTopKWith(probeLut(probes, codebook), cand, Seq("probe_id"), k)
 
+  // ---- 4-bit packed codes (ksub ≤ 16): two codes per byte ----------
+
+  /** Pack an `array<int>` of m 4-bit codes into `array<byte>` of
+    * m/2 — the TRUE 4-bit storage layout (the plain int-array codes
+    * parquet-encode well, but the packed form halves the in-memory
+    * and shuffle width too). Code 2i lives in the low nibble, 2i+1 in
+    * the high, biased by −128 into the signed-byte range (ANSI casts
+    * refuse to wrap). Builtins only — packing stays inside codegen. */
+  def packCodes(codes: org.apache.spark.sql.Column,
+      m: Int): org.apache.spark.sql.Column = {
+    require(m % 2 == 0, s"m=$m must be even to pack nibble pairs")
+    transform(sequence(lit(0), lit(m / 2 - 1)), i =>
+      (element_at(codes, i * 2 + 1) +
+        element_at(codes, i * 2 + 2) * 16 - 128).cast("tinyint"))
+  }
+
+  /** [[encode]] + [[packCodes]]: (vec_id, codes: array<byte> m/2). */
+  def encodePacked(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
+    val ksub = codebook.agg(max(col("code_id"))).head.getInt(0) + 1
+    require(ksub <= 16, s"ksub=$ksub does not fit a nibble")
+    encode(emb, codebook)
+      .select(col("vec_id"), packCodes(col("codes"), m).as("codes"))
+  }
+
+  /** The exploded (vec_id, sub_id, code_id) stream from PLAIN codes. */
+  private def codeStream(codes: DataFrame): DataFrame =
+    codes.select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("int").as("sub_id"),
+        col("col").cast("int").as("code_id"))
+
+  /** The same stream from PACKED codes: explode m sub ids and unmask
+    * the right nibble — shiftright/bitwiseAND builtins, all codegen. */
+  private def packedCodeStream(codes: DataFrame, m: Int): DataFrame = {
+    val byte = element_at(col("codes"),
+      (col("sub_id") / 2).cast("int") + 1).cast("int") + 128 // unbias
+    codes.select(col("vec_id"), col("codes"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .select(col("vec_id"), col("sub_id"),
+        when(col("sub_id") % 2 === 0, byte.bitwiseAND(15))
+          .otherwise(shiftright(byte, 4).bitwiseAND(15))
+          .as("code_id"))
+  }
+
+  /** ADC top-k over the PACKED code table: identical ranking to
+    * [[searchADC]] on the unpacked codes (the nibbles are the same
+    * code values), reading half the bytes. */
+  def searchADCPacked(probes: DataFrame, packed: DataFrame,
+      codebook: DataFrame, k: Int, rerank: Option[DataFrame] = None,
+      rerankFactor: Int = 4): DataFrame = {
+    val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
+    searchADCStream(probes, packedCodeStream(packed, m), codebook, k,
+      rerank, rerankFactor)
+  }
+
   /** ADC top-k: rank the code table by asymmetric distance to each
     * probe, optionally exact-cosine reranking the top `rerankFactor·k`
     * ADC candidates against `rerank` (the raw embedding table). Output
     * (probe_id, neighbor_id, rnk[, cosine]). */
   def searchADC(probes: DataFrame, codes: DataFrame, codebook: DataFrame,
       k: Int, rerank: Option[DataFrame] = None,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 4): DataFrame =
+    searchADCStream(probes, codeStream(codes), codebook, k, rerank,
+      rerankFactor)
+
+  private def searchADCStream(probes: DataFrame, stream: DataFrame,
+      codebook: DataFrame, k: Int, rerank: Option[DataFrame],
+      rerankFactor: Int): DataFrame = {
     val lut = probeLut(probes, codebook)
     // map-side LUT join on the exploded code stream; the only shuffle
     // is the (probe, vec) partial-agg sum of the m decimal partials
-    val adc = codes
-      .select(col("vec_id"), posexplode(col("codes")))
-      .select(col("vec_id"), col("pos").cast("int").as("sub_id"),
-        col("col").cast("int").as("code_id"))
+    val adc = stream
       .join(broadcast(lut), Seq("sub_id", "code_id"))
       .filter(col("probe_id") =!= col("vec_id"))
       .groupBy("probe_id", "vec_id")

@@ -813,6 +813,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall collapsed: $recall")
   }
 
+  test("packed 4-bit PQ codes: half the bytes, identical ADC ranking") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = VectorPQ.train(emb, m = 16, ksub = 16, iters = 3)
+    val plain = VectorPQ.encode(emb, cb)
+    val packed = VectorPQ.encodePacked(emb, cb)
+    // half-width tinyint layout
+    assert(packed.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    assert(packed.filter(size(col("codes")) =!= 8).count() == 0)
+    // pack/unpack is lossless: the packed search ranks IDENTICALLY
+    val probes = emb.filter(col("vec_id") < 5)
+    val a = VectorPQ.searchADC(probes, plain, cb, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val b = VectorPQ.searchADCPacked(probes, packed, cb, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("q87 SQ8 ANN: 4x-compressed scan reproduces exact top-3 bit for bit") {
     val emb = Tables.embeddings(spark, sfDir)
     val codes = VectorPQ.encodeSQ8(emb)
