@@ -54,7 +54,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     val freshRows =
       if (load.loaded.isEmpty ||
         (cfg.aggView.isEmpty && cfg.freqSketch.isEmpty &&
-          cfg.quantView.isEmpty)) None
+          cfg.quantView.isEmpty && cfg.setSketch.isEmpty)) None
       else {
         val live = VersionedTable.currentPath(spark, cfg.tableDir)
         Some(spark.read.parquet(
@@ -66,6 +66,8 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       SketchView.update(spark, fs.root, f, fs.spec)) }
     cfg.quantView.foreach { qv => freshRows.foreach(f =>
       QuantileView.update(spark, qv.root, f, qv.spec)) }
+    cfg.setSketch.foreach { ss => freshRows.foreach(f =>
+      graft.operators.SetSketch.update(spark, ss.root, f, ss.spec)) }
     val vecLoad = cfg.vectorIndex.map(maintainIndex)
     val corpus = cfg.corpusDedup.map(maintainCorpus)
     val expired =
@@ -292,6 +294,7 @@ object Automation {
       aggView: Option[AggViewConfig] = None,
       freqSketch: Option[SketchViewConfig] = None,
       quantView: Option[QuantileViewConfig] = None,
+      setSketch: Option[SetSketchConfig] = None,
       corpusDedup: Option[CorpusDedupConfig] = None)
 
   /** Materialized-view maintenance config: fold each tick's freshly
@@ -305,6 +308,12 @@ object Automation {
   /** Maintained-quantile config: fold each tick's freshly loaded rows
     * into the [[QuantileView]] DDSketch state at `root`. */
   final case class QuantileViewConfig(root: String, spec: QuantileView.Spec)
+
+  /** Maintained set-sketch config: fold each tick's freshly loaded
+    * rows into the per-segment KMV state at `root`
+    * ([[graft.operators.SetSketch]]). */
+  final case class SetSketchConfig(root: String,
+      spec: graft.operators.SetSketch.ViewSpec)
 
   /** Embedding-pipeline config: where vector drops arrive, where the
     * loaded table and the persisted IVF index live. Drops are

@@ -211,7 +211,10 @@ class LakehouseSpec extends SparkSpec {
       freqSketch = Some(Automation.SketchViewConfig(s"$root/freq",
         SketchView.Spec(column = "customer_type"))),
       quantView = Some(Automation.QuantileViewConfig(s"$root/quant",
-        QuantileView.Spec(column = "departure_delay"))))
+        QuantileView.Spec(column = "departure_delay"))),
+      setSketch = Some(Automation.SetSketchConfig(s"$root/kmv",
+        graft.operators.SetSketch.ViewSpec("customer_type",
+          xxhash64(col("id")), k = 64))))
     new Automation(spark, cfg).runLoop(intervalMillis = 5, maxTicks = 2)
     val view = MaterializedAgg.read(spark, s"$root/view", spec)
       .collect().map(_.toString).sorted.toSeq
@@ -242,6 +245,16 @@ class LakehouseSpec extends SparkSpec {
       .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
     assert(qstate(s"$root/quant") == qstate(scratchQ))
     assert(QuantileView.quantile(spark, s"$root/quant", qspec, 0.5).isDefined)
+    // the tick-maintained KMV view ≡ one built over the table
+    val kspec = graft.operators.SetSketch.ViewSpec("customer_type",
+      xxhash64(col("id")), k = 64)
+    val kmvScratch = table
+      .filter(col("customer_type").isNotNull)
+      .groupBy(col("customer_type").cast("string").as("seg"))
+      .agg(graft.operators.SetSketch.kmvAgg(xxhash64(col("id")), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(graft.operators.SetSketch.read(spark, s"$root/kmv")
+      .map { case (s, v) => s -> v.toSeq } == kmvScratch)
   }
 
   test("streaming materialized view folds each batch exactly once") {
