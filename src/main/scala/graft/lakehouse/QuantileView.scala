@@ -47,13 +47,16 @@ object QuantileView {
         .otherwise(ceil(lg).cast("long")).as("bucket"))
   }
 
-  /** One batch → its bucket-count table (sign, bucket, cnt). NaN rows
-    * are skipped like nulls — under non-ANSI casts signum(NaN) and
-    * ceil(log NaN) both land on 0, which would silently count NaNs as
-    * exact zeros. */
+  /** One batch → its bucket-count table (sign, bucket, cnt). NaN and
+    * ±Infinity rows are skipped like nulls — under non-ANSI casts
+    * signum(NaN) and ceil(log NaN) both land on 0, silently counting
+    * NaNs as exact zeros, and ceil(log ∞) lands on Long.MaxValue,
+    * making quantile() return Infinity for high quantiles (or failing
+    * the job outright under ANSI). Only finite values bucket. */
   private def bucketize(batch: DataFrame, spec: Spec): DataFrame =
     batch.filter(col(spec.column).isNotNull &&
-        !isnan(col(spec.column).cast("double")))
+        !isnan(col(spec.column).cast("double")) &&
+        abs(col(spec.column).cast("double")) =!= Double.PositiveInfinity)
       .select(bucketCol(col(spec.column), spec.alpha).as("b"))
       .groupBy(col("b.sign").as("sign"), col("b.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -96,22 +96,46 @@ object SketchView {
     terms.map(t => t -> cms.estimateCount(t)).toMap
   }
 
+  // One broadcast per (root, committed version), reused across calls:
+  // a long-lived session (the automation daemon annotates terms every
+  // tick) would otherwise create a fresh executor-resident broadcast
+  // per call and never release any. When the state version advances,
+  // the stale broadcast is unpersisted (not destroyed — a consumer
+  // holding an unexecuted DataFrame over it can still lazily re-fetch
+  // from the driver) and the cache slot is replaced.
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+
+  private def sketchBroadcast(spark: SparkSession, root: String)
+      : Option[org.apache.spark.broadcast.Broadcast[Array[Byte]]] =
+    VersionedTable.currentVersion(spark, root).map { v =>
+      val hit = bcCache.get(root)
+      if (hit != null && hit._1 == v) hit._2
+      else {
+        val bytes = VersionedTable.read(spark, root)
+          .head.getAs[Array[Byte]]("sketch")
+        val fresh = spark.sparkContext.broadcast(bytes)
+        val prev = bcCache.put(root, (v, fresh))
+        if (prev != null) prev._2.unpersist(blocking = false)
+        fresh
+      }
+    }
+
   /** DataFrame-valued estimates: annotate an ARBITRARY term column
     * with its maintained-sketch count — the distributed consumer shape
     * (join a 100 TB candidate table against the frequency model)
     * where [[estimate]]'s driver-side map cannot go. The KB-scale
-    * counter matrix broadcasts once; each partition deserializes it
-    * once and streams rows through `estimateCount` — no shuffle, no
-    * per-row deserialization, and the term table never moves. Before
-    * the first fold every estimate is 0, matching [[estimate]]. */
+    * counter matrix broadcasts once PER COMMITTED VERSION (cached,
+    * reused across calls); each partition deserializes it once and
+    * streams rows through `estimateCount` — no shuffle, no per-row
+    * deserialization, and the term table never moves. Before the
+    * first fold every estimate is 0, matching [[estimate]]. */
   def estimateAll(spark: SparkSession, root: String, terms: DataFrame,
       termCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val bytes = current(spark, root).map(toBytes)
-    bytes match {
+    sketchBroadcast(spark, root) match {
       case None => terms.withColumn("est_count", lit(0L))
-      case Some(b) =>
-        val bc = spark.sparkContext.broadcast(b)
+      case Some(bc) =>
         val enc = org.apache.spark.sql.Encoders.row(terms.schema
           .add(StructField("est_count", LongType, nullable = false)))
         val idx = terms.schema.fieldIndex(termCol)

@@ -156,8 +156,12 @@ object SetSketch {
       batch: DataFrame, spec: ViewSpec): DataFrame = {
     // segments normalize to non-null strings: null segments are
     // dropped (nothing meaningful to sketch them under) and numeric
-    // segment columns stringify instead of failing reads later
-    val fresh = batch.filter(col(spec.segCol).isNotNull)
+    // segment columns stringify instead of failing reads later; null
+    // hash values are dropped too — the typed Long aggregator would
+    // decode a null as 0L and count it as a real member (xxhash64
+    // never yields null, but ViewSpec.hashExpr is user-supplied)
+    val fresh = batch.filter(col(spec.segCol).isNotNull &&
+        spec.hashExpr.isNotNull)
       .select(col(spec.segCol).cast("string").as("seg"),
         spec.hashExpr.as("h"))
     val all = graft.lakehouse.VersionedTable.currentVersion(spark, root) match {
@@ -205,9 +209,9 @@ object SetSketch {
   def pairwiseOverlap(df: DataFrame, segCol: String, hashed: Column,
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    // null segments dropped, non-string segments stringified — same
-    // normalization as the maintained view
-    val sk = df.filter(col(segCol).isNotNull)
+    // null segments and null hashes dropped, non-string segments
+    // stringified — same normalization as the maintained view
+    val sk = df.filter(col(segCol).isNotNull && hashed.isNotNull)
       .groupBy(col(segCol).cast("string").as("seg"))
       .agg(kmvAgg(hashed, k).as("sk"))
       .collect().map(r => (r.getString(0), r.getSeq[Long](1).toArray))
