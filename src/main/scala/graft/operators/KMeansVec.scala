@@ -28,17 +28,43 @@ object KMeansVec {
 
   private val DecC = DecimalType(28, 12)
 
-  /** Train k centroids with `iters` Lloyd iterations. Returns the
-    * centroid matrix (cent_id → components). */
-  def train(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+  /** The deterministic hash-rank training sample: the `n` vectors with
+    * the lowest xxhash64(vec_id) — the same order the init seed uses,
+    * so the seed set is always a prefix of the sample. TakeOrdered
+    * keeps one partial top-n per partition and merges once (never a
+    * full sort); the repartition spreads the merged sample back out
+    * for the iteration joins. When `n` covers the corpus this is the
+    * whole table and training is bit-identical to an unsampled run
+    * (assignment is in-row, means are decimal — layout-independent). */
+  private[operators] def hashSample(emb: DataFrame, n: Int): DataFrame =
+    emb
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(n)
+      .drop("h")
+      .repartition(col("vec_id"))
+
+  /** Train k centroids with `iters` Lloyd iterations over a BOUNDED
+    * deterministic sample — fitting a k×d model never needs the
+    * corpus, and at 100 TB an unsampled trainer would pay `iters`
+    * full-table scans before a single vector is indexed. The sample
+    * is the hash-lowest `trainSample` vectors (0 = auto: 128·k, ~100×
+    * the centroid count, FAISS-style practice); assignment/encode
+    * passes downstream still cover every vector. Returns the centroid
+    * matrix (cent_id → components). */
+  def train(emb: DataFrame, k: Int, iters: Int,
+      trainSample: Int = 0): Array[Array[Double]] = {
     val spark = emb.sparkSession
-    val el = emb.select(col("vec_id"), posexplode(col("embedding")))
+    val n = if (trainSample > 0) trainSample else 128 * k
+    val tr =
+      hashSample(emb.select(col("vec_id"), col("embedding")), n).cache()
+    val el = tr.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
       .cache()
     // deterministic pseudo-random init: k vectors with the lowest
     // xxhash64(vec_id) — order-free, seed-free, stable across runs
-    var cents: Array[Array[Double]] = emb
-      .select(col("vec_id"), col("embedding"))
+    // (a prefix of the training sample, so sampling never moves it)
+    var cents: Array[Array[Double]] = tr
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id"))
       .limit(k).collect()
@@ -49,7 +75,7 @@ object KMeansVec {
       val centDf = centroidsDF(spark, cents)
       // nearest centroid by squared euclidean distance, scored in-row:
       // argmin |v−c|² = argmin (|c|² − 2·v·c); |v|² is constant per vec
-      val assign = emb.select(col("vec_id"), col("embedding"))
+      val assign = tr
         .join(broadcast(centDf), col("vec_id").isNotNull)
         .withColumn("score",
           dp(col("cvec"), col("cvec")) - lit(2.0) * dp(col("embedding"), col("cvec")))
@@ -68,6 +94,7 @@ object KMeansVec {
       cents = updated
     }
     el.unpersist()
+    tr.unpersist()
     cents
   }
 

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** Train k centroids and persist inverted lists + centroids under
-    * `path` (`lists/` partitioned by cent_id, `centroids/`). */
-  def build(emb: DataFrame, path: String, k: Int, iters: Int = 5): Unit = {
+  /** Train k centroids (on KMeansVec's bounded hash-rank sample —
+    * never `iters` full scans) and persist inverted lists + centroids
+    * under `path` (`lists/` partitioned by cent_id, `centroids/`).
+    * The assignment pass still covers every vector. */
+  def build(emb: DataFrame, path: String, k: Int, iters: Int = 5,
+      trainSample: Int = 0): Unit = {
     val spark = emb.sparkSession
-    val cents = KMeansVec.train(emb, k, iters)
+    val cents = KMeansVec.train(emb, k, iters, trainSample)
     buildWith(emb, path, KMeansVec.centroidsDF(spark, cents))
   }
 
@@ -89,16 +92,25 @@ object VectorIndex {
     * full-precision table stays cold and is touched only by the
     * final rerank join. */
   def buildPQ(emb: DataFrame, path: String, k: Int, m: Int, ksub: Int,
-      iters: Int = 5, residual: Boolean = false): Unit = {
+      iters: Int = 5, residual: Boolean = false,
+      trainSample: Int = 0): Unit = {
     val spark = emb.sparkSession
-    val cents = KMeansVec.centroidsDF(spark, KMeansVec.train(emb, k, iters))
+    val cents = KMeansVec.centroidsDF(spark,
+      KMeansVec.train(emb, k, iters, trainSample))
     // residual form trains the codebooks on v − centroid: what the
     // codes must reconstruct is the within-cell offset, which has far
     // less variance than raw vectors — more recall per bit, the
-    // standard production refinement (Jégou §IV)
+    // standard production refinement (Jégou §IV). Both trainers run
+    // on bounded hash-rank samples — and the residual path samples
+    // BEFORE residualizing, so only sample-many vectors are ever
+    // centroid-assigned for training (the inner re-sample is then the
+    // identity on the same hash-lowest set).
     val codebook =
-      if (residual) VectorPQ.train(residualView(emb, cents), m, ksub, iters)
-      else VectorPQ.train(emb, m, ksub, iters)
+      if (residual) {
+        val n = VectorPQ.sampleSize(ksub, trainSample)
+        VectorPQ.train(residualView(KMeansVec.hashSample(emb, n), cents),
+          m, ksub, iters, n)
+      } else VectorPQ.train(emb, m, ksub, iters, trainSample)
     buildPQWith(emb, path, cents, codebook, residual)
   }
 

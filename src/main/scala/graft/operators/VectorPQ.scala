@@ -47,6 +47,11 @@ object VectorPQ {
 
   private val DecA = org.apache.spark.sql.types.DecimalType(28, 12)
 
+  /** The auto training-sample bound: max(64·ksub, 1024) — ~100 points
+    * per codeword, the public FAISS-style sizing. */
+  private[operators] def sampleSize(ksub: Int, trainSample: Int): Int =
+    if (trainSample > 0) trainSample else math.max(64 * ksub, 1024)
+
   /** Codebook row layout: one codeword per (sub_id, code_id). */
   private val cbSchema = StructType(Seq(
     StructField("sub_id", IntegerType), StructField("code_id", IntegerType),
@@ -87,16 +92,29 @@ object VectorPQ {
   }
 
   /** Train per-subspace codebooks: `m` subspaces × `ksub` codewords,
-    * `iters` Lloyd iterations — all subspaces per pass. Returns the
-    * (sub_id, code_id, cvec) codebook DataFrame (m·ksub rows). */
-  def train(emb: DataFrame, m: Int, ksub: Int, iters: Int = 5): DataFrame = {
+    * `iters` Lloyd iterations — all subspaces per pass, over a BOUNDED
+    * deterministic sample: fitting m·ksub codewords needs ~100 points
+    * per codeword, not the corpus, and an unsampled trainer pays
+    * `iters` full-table scans before a single vector encodes — the
+    * dominant index-build cost at 100 TB. The sample is the
+    * hash-lowest `trainSample` vectors (0 = auto: max(64·ksub, 1024),
+    * FAISS-style practice; the init seed is a prefix of it, so a
+    * sample that covers the corpus trains bit-identically to the
+    * unsampled form). [[encode]] still covers every vector in one
+    * pass. Returns the (sub_id, code_id, cvec) codebook DataFrame
+    * (m·ksub rows). */
+  def train(emb: DataFrame, m: Int, ksub: Int, iters: Int = 5,
+      trainSample: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     val d = emb.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
+    val n = sampleSize(ksub, trainSample)
+    val tr =
+      KMeansVec.hashSample(emb.select(col("vec_id"), col("embedding")), n)
     // deterministic init: the ksub hash-lowest vectors seed code j of
     // EVERY subspace with their j-th subvector (one tiny collect)
-    val seedRows = emb.select(col("vec_id"), col("embedding"))
+    val seedRows = tr
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id"))
       .limit(ksub).collect()
@@ -105,7 +123,7 @@ object VectorPQ {
         seedRows.map(_.getSeq[Number](1) // float embeddings OR double residuals
           .slice(s * dsub, (s + 1) * dsub).map(_.doubleValue()).toArray)
       }
-    val sub = subvectors(emb, m, dsub).cache()
+    val sub = subvectors(tr, m, dsub).cache()
     try {
       (1 to iters).foreach { _ =>
         val assigned = assign(sub, codebookDF(spark, cb))

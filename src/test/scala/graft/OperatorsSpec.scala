@@ -813,6 +813,34 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall collapsed: $recall")
   }
 
+  test("sampled trainers: bounded run == full train on the hash-lowest subset") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // the deterministic sample a bounded trainer sees: hash-lowest n
+    def lowest(n: Int) = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(n).drop("h")
+    // PQ codebooks: trainSample=200 over the corpus ≡ an unclipped run
+    // (sample covers input) over exactly that 200-vector subset — the
+    // sampled trainer is the full trainer on the deterministic sample,
+    // nothing else changes
+    val a = VectorPQ.train(emb, m = 16, ksub = 16, iters = 2,
+      trainSample = 200).collect().map(_.toString).sorted.toSeq
+    val b = VectorPQ.train(lowest(200), m = 16, ksub = 16, iters = 2,
+      trainSample = 1000).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 16 * 16)
+    // bit-stable across runs at a sub-corpus sample size
+    val a2 = VectorPQ.train(emb, m = 16, ksub = 16, iters = 2,
+      trainSample = 200).collect().map(_.toString).sorted.toSeq
+    assert(a == a2)
+    // coarse k-means: the same contract
+    val c1 = KMeansVec.train(emb, k = 8, iters = 2, trainSample = 100)
+    val c2 = KMeansVec.train(lowest(100), k = 8, iters = 2,
+      trainSample = 1000)
+    val c3 = KMeansVec.train(emb, k = 8, iters = 2, trainSample = 100)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.map(_.toSeq).toSeq == c3.map(_.toSeq).toSeq)
+  }
+
   test("packed 4-bit PQ codes: half the bytes, identical ADC ranking") {
     val emb = Tables.embeddings(spark, sfDir)
     val cb = VectorPQ.train(emb, m = 16, ksub = 16, iters = 3)
