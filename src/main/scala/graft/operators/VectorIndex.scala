@@ -92,7 +92,7 @@ object VectorIndex {
     * full-precision table stays cold and is touched only by the
     * final rerank join. */
   def buildPQ(emb: DataFrame, path: String, k: Int, m: Int, ksub: Int,
-      iters: Int = 5, residual: Boolean = false,
+      iters: Int = 5, residual: Boolean = false, packed: Boolean = false,
       trainSample: Int = 0): Unit = {
     val spark = emb.sparkSession
     val cents = KMeansVec.centroidsDF(spark,
@@ -111,7 +111,7 @@ object VectorIndex {
         VectorPQ.train(residualView(KMeansVec.hashSample(emb, n), cents),
           m, ksub, iters, n)
       } else VectorPQ.train(emb, m, ksub, iters, trainSample)
-    buildPQWith(emb, path, cents, codebook, residual)
+    buildPQWith(emb, path, cents, codebook, residual, packed)
   }
 
   /** (vec_id, embedding = v − its coarse centroid, cent_id): the
@@ -124,39 +124,62 @@ object VectorIndex {
           .as("embedding"),
         col("cent_id"))
 
-  private def isResidual(spark: SparkSession, path: String): Boolean =
+  private def hasMarker(spark: SparkSession, path: String,
+      name: String): Boolean =
     org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(s"$path/_residual"))
+      .exists(new org.apache.hadoop.fs.Path(s"$path/$name"))
+
+  private def setMarker(spark: SparkSession, path: String, name: String,
+      on: Boolean): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    if (on) fs.create(p, true).close() else fs.delete(p, false)
+  }
+
+  private def isResidual(spark: SparkSession, path: String): Boolean =
+    hasMarker(spark, path, "_residual")
+
+  private def isPacked(spark: SparkSession, path: String): Boolean =
+    hasMarker(spark, path, "_packed")
 
   /** The shared route-assign (+ residual) → encode → partitioned
     * codes-write pipeline of [[buildPQWith]] and [[addPQ]] — one
     * definition, so incremental adds can never encode differently
     * from batch builds. */
   private def writeCodes(emb: DataFrame, path: String, centDf: DataFrame,
-      codebook: DataFrame, residual: Boolean, mode: String): Unit = {
+      codebook: DataFrame, residual: Boolean, packed: Boolean,
+      mode: String): Unit = {
     val table =
       if (residual) residualView(emb, centDf)
       else assign(emb, centDf).select("vec_id", "embedding", "cent_id")
-    table.select("vec_id", "cent_id")
+    val plain = table.select("vec_id", "cent_id")
       .join(VectorPQ.encode(table.select("vec_id", "embedding"), codebook),
         Seq("vec_id"))
-      .select("vec_id", "codes", "cent_id")
-      .write.mode(mode).partitionBy("cent_id").parquet(s"$path/codes")
+    // packed layout: two 4-bit codes per signed byte — the list rows
+    // shrink to half width on disk AND through every downstream scan
+    val coded =
+      if (packed) {
+        val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
+        plain.select(col("vec_id"),
+          VectorPQ.packCodes(col("codes"), m).as("codes"), col("cent_id"))
+      } else plain.select("vec_id", "codes", "cent_id")
+    coded.write.mode(mode).partitionBy("cent_id").parquet(s"$path/codes")
   }
 
   /** [[buildPQ]] with pre-trained models (shared by incremental adds
-    * and cross-table reuse). */
+    * and cross-table reuse). `packed` stores the 4-bit nibble-pair
+    * layout (ksub ≤ 16) — half the list bytes, identical search. */
   def buildPQWith(emb: DataFrame, path: String, centDf: DataFrame,
-      codebook: DataFrame, residual: Boolean = false): Unit = {
+      codebook: DataFrame, residual: Boolean = false,
+      packed: Boolean = false): Unit = {
     val spark = emb.sparkSession
-    writeCodes(emb, path, centDf, codebook, residual, "overwrite")
+    writeCodes(emb, path, centDf, codebook, residual, packed, "overwrite")
     centDf.write.mode("overwrite").parquet(s"$path/centroids")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_residual")
-    if (residual) fs.create(marker, true).close() else fs.delete(marker, false)
+    setMarker(spark, path, "_residual", residual)
+    setMarker(spark, path, "_packed", packed)
   }
 
   /** Incremental append to a PQ index: route + encode new vectors
@@ -169,7 +192,7 @@ object VectorIndex {
     writeCodes(newVecs, path,
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebook"),
-      isResidual(spark, path), "append")
+      isResidual(spark, path), isPacked(spark, path), "append")
 
   /** IVF-PQ search: route each probe to `nprobe` centroids, ADC-rank
     * ONLY the routed code partitions (partition-pruned scan of the
@@ -193,8 +216,16 @@ object VectorIndex {
       .select(col("probe_id"), col("cent_id"), col("pe"), col("cvec"))
     val wanted = routed.select("cent_id").distinct()
       .collect().map(_.getLong(0))
-    val codes = spark.read.parquet(s"$path/codes")
+    // packed layouts scan half the list bytes and unpack in-row
+    // (codegen builtins) — the downstream ADC sees identical codes
+    val stored = spark.read.parquet(s"$path/codes")
       .filter(col("cent_id").isin(wanted.toSeq: _*))
+    val listed =
+      if (isPacked(spark, path)) {
+        val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
+        stored.withColumn("codes", VectorPQ.unpackCodes(col("codes"), m))
+      } else stored
+    val codes = listed
       .join(routed.select("probe_id", "cent_id"), Seq("cent_id"))
       .filter(col("probe_id") =!= col("vec_id"))
     val cand =

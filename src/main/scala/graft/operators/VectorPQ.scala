@@ -267,6 +267,18 @@ object VectorPQ {
         element_at(codes, i * 2 + 2) * 16 - 128).cast("tinyint"))
   }
 
+  /** The inverse of [[packCodes]]: an `array<byte>` of m/2 packed
+    * nibble pairs back to the `array<int>` of m codes — builtins only
+    * (element_at / shiftright / bitwiseAND), so unpacking runs inside
+    * codegen on the scan that reads the half-width lists. */
+  def unpackCodes(codes: org.apache.spark.sql.Column,
+      m: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(m - 1)), i => {
+      val byte = element_at(codes, (i / 2).cast("int") + 1).cast("int") + 128
+      when(i % 2 === 0, byte.bitwiseAND(15))
+        .otherwise(shiftright(byte, 4).bitwiseAND(15))
+    })
+
   /** [[encode]] + [[packCodes]]: (vec_id, codes: array<byte> m/2). */
   def encodePacked(emb: DataFrame, codebook: DataFrame): DataFrame = {
     val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1

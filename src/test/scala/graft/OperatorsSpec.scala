@@ -963,6 +963,72 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("packed IVF-PQ index: smaller lists, identical search, addPQ round-trips") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // ONE set of trained models, two storage layouts
+    val cents = KMeansVec.centroidsDF(spark,
+      KMeansVec.train(emb, k = 10, iters = 3))
+    val cb = VectorPQ.train(emb, m = 16, ksub = 16, iters = 3)
+    val pPlain = tmpDir("ivfpq-plain"); val pPacked = tmpDir("ivfpq-packed")
+    VectorIndex.buildPQWith(emb, pPlain, cents, cb)
+    VectorIndex.buildPQWith(emb, pPacked, cents, cb, packed = true)
+    // stored rows are the half-width nibble-pair layout
+    val stored = spark.read.parquet(s"$pPacked/codes")
+    assert(stored.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    assert(stored.filter(size(col("codes")) =!= 8).count() == 0)
+    assert(stored.count() == emb.count())
+    // The byte win is DECODED width (scan/cache/shuffle), not parquet
+    // at rest: parquet dictionary-encodes the nibble-valued ints to
+    // ~4 bits already (measured: the packed files are no smaller),
+    // but every decoded row carries 16 unsafe ints (~76 B) vs 8 bytes
+    // (~24 B). Measure through the columnar cache's own accounting.
+    def cachedBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      val before = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      df.cache().count()
+      val after = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      df.unpersist(blocking = true)
+      after - before
+    }
+    val bp = cachedBytes(
+      spark.read.parquet(s"$pPlain/codes").select("vec_id", "codes"))
+    val bq = cachedBytes(
+      spark.read.parquet(s"$pPacked/codes").select("vec_id", "codes"))
+    info(s"decoded codes bytes: plain=$bp packed=$bq (${bq.toDouble / bp})")
+    assert(bq < bp && bq > 0)
+    // identical search results: unpack-on-scan is lossless
+    val probes = emb.filter(col("vec_id") < 5)
+    val a = VectorIndex.searchPQ(spark, pPlain, probes, emb, nprobe = 4, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val b = VectorIndex.searchPQ(spark, pPacked, probes, emb, nprobe = 4, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // incremental add re-derives the packed layout from the marker:
+    // build(old) + addPQ(fresh) ≡ batch build over everything
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val pIncr = tmpDir("ivfpq-packed-incr")
+    VectorIndex.buildPQWith(old, pIncr, cents, cb, packed = true)
+    VectorIndex.addPQ(spark, pIncr, fresh)
+    assert(spark.read.parquet(s"$pIncr/codes")
+        .collect().map(_.toString).sorted.toSeq ==
+      stored.collect().map(_.toString).sorted.toSeq)
+    assert(VectorIndex.searchPQ(spark, pIncr, probes, emb, nprobe = 4, k = 3)
+      .collect().map(_.toString).sorted.toSeq == a)
+    // packed composes with the residual layout (both markers)
+    val pResPacked = tmpDir("ivfpq-res-packed")
+    VectorIndex.buildPQ(emb, pResPacked, k = 10, m = 16, ksub = 16,
+      iters = 3, residual = true, packed = true)
+    val pRes = tmpDir("ivfpq-res")
+    VectorIndex.buildPQ(emb, pRes, k = 10, m = 16, ksub = 16,
+      iters = 3, residual = true)
+    assert(VectorIndex.searchPQ(spark, pResPacked, probes, emb,
+        nprobe = 4, k = 3).collect().map(_.toString).sorted.toSeq ==
+      VectorIndex.searchPQ(spark, pRes, probes, emb,
+        nprobe = 4, k = 3).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("IVF index incremental add equals batch assignment; search unchanged") {
     val emb = Tables.embeddings(spark, sfDir)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
