@@ -341,8 +341,8 @@ object ScaleOps {
   }
 
   /** q86: product-quantized ANN (VectorPQ) — the MEMORY scale path
-    * next to IVF's IO scale path. Codebooks train on the table (at
-    * 100 TB: on a hash sample), every vector encodes to m=16 4-bit
+    * next to IVF's IO scale path. Codebooks train on the bounded
+    * hash-rank sample, every vector encodes to m=16 4-bit
     * codes (32× smaller than the raw floats), candidates rank by
     * asymmetric distance FROM THE CODES ALONE (the raw embedding
     * table is touched only for the final exact-decimal top-3 rerank
@@ -360,6 +360,45 @@ object ScaleOps {
     val cand = VectorPQ.searchADC(probes, codes, cb, k = 30)
       .select("probe_id", "neighbor_id")
     VectorOps.exactTopK(emb, cand, 3)
+  }
+
+  /** Deterministic on-disk location for `dir`'s prebuilt IVF-PQ index.
+    * Keyed on the embeddings file's length + mtime (a regenerated
+    * corpus can never silently reuse a stale index) and on a layout
+    * version (bumped if the index format changes). */
+  def pqIndexPath(s: SparkSession, dir: String): String = {
+    val st = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
+    val key = Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(s"$dir:${st.getLen}:${st.getModificationTime}"))
+    s"${sys.props("java.io.tmpdir")}/graft_pqidx_v1_$key"
+  }
+
+  /** Build the production-config IVF-PQ index for `dir` once
+    * (residual encoding + 4-bit packed lists) and return its path.
+    * The bench warms this up BEFORE timing q91, so the q91 row is a
+    * stable SEARCH-path number — the index-build cost (train + encode)
+    * is q86's row and is paid once per corpus, not per query. */
+  def ensurePqIndex(s: SparkSession, dir: String): String = {
+    val path = pqIndexPath(s, dir)
+    if (!VectorIndex.isPQ(s, path))
+      VectorIndex.buildPQ(Tables.embeddings(s, dir), path, k = 10, m = 16,
+        ksub = 16, iters = 5, residual = true, packed = true)
+    path
+  }
+
+  /** q91: ANN search over the PREBUILT persisted IVF-PQ index — what
+    * every query after the first pays at 100 TB: centroid routing, a
+    * partition-pruned scan of the packed code lists, broadcast-LUT
+    * ADC, and an exact-decimal rerank of the routed top-12. Rows-only
+    * (training-dependent); the packed-index spec pins plain ≡ packed
+    * and the shared-oracle q87 pins the rerank discipline. */
+  private val q91: QFn = (s, d) => {
+    val path = ensurePqIndex(s, d)
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+    VectorIndex.searchPQ(s, path, probes, emb, nprobe = 4, k = 3)
   }
 
   /** q87: INT8 scalar-quantized ANN — the LOW-DISTORTION compression
@@ -432,7 +471,8 @@ object ScaleOps {
     "q64_cosine_pairs_hi" -> q64,
     "q86_ann_pq" -> q86,
     "q87_ann_sq8" -> q87,
-    "q90_source_overlap" -> q90)
+    "q90_source_overlap" -> q90,
+    "q91_ann_pq_search" -> q91)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4

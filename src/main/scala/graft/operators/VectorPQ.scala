@@ -179,6 +179,23 @@ object VectorPQ {
       transform(col("embedding"),
         x => round(x.cast("double") * 127).cast("tinyint")).as("codes"))
 
+  /** These are probe-BATCH operators: the probe side is broadcast
+    * (searchSQ8 joins it nested-loop against every code row; the ADC
+    * searches broadcast a p·m·ksub partial-distance LUT), so cost and
+    * broadcast size grow linearly with the probe count. The guard
+    * makes an oversized probe table a loud error instead of a silent
+    * p×n explosion — the same boundary discipline as
+    * [[VectorOps.cosinePairs]]'s `exactLimit`. Raise `probeLimit`
+    * deliberately, or split the probe set into batches. */
+  private def requireProbeBatch(probes: DataFrame, probeLimit: Long,
+      who: String): Unit = {
+    val p = probes.count()
+    require(p <= probeLimit,
+      s"$who got $p probes > probeLimit=$probeLimit: it broadcasts " +
+        "per-probe state, so cost grows linearly with probes - batch " +
+        "the probe set or raise probeLimit deliberately")
+  }
+
   /** Brute-force top-k over the SQ8 code column: the same scan shape
     * as exact brute force but reading the 4×-smaller codes (at 100 TB
     * the scan is bandwidth-bound, so bytes ARE the cost). The codegen
@@ -187,7 +204,9 @@ object VectorPQ {
     * 127·dot(probe, dequantized) — a constant positive scale, so the
     * ranking is identical and the division never happens. Output
     * (probe_id, neighbor_id, rnk) by approximate cosine. */
-  def searchSQ8(probes: DataFrame, codes: DataFrame, k: Int): DataFrame = {
+  def searchSQ8(probes: DataFrame, codes: DataFrame, k: Int,
+      probeLimit: Long = 4096L): DataFrame = {
+    requireProbeBatch(probes, probeLimit, "searchSQ8")
     val dp = graft.functions.GraftFunctions.dotProduct _
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adot").desc, col("vec_id").asc)
@@ -312,7 +331,8 @@ object VectorPQ {
     * code values), reading half the bytes. */
   def searchADCPacked(probes: DataFrame, packed: DataFrame,
       codebook: DataFrame, k: Int, rerank: Option[DataFrame] = None,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 4, probeLimit: Long = 4096L): DataFrame = {
+    requireProbeBatch(probes, probeLimit, "searchADCPacked")
     val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
     searchADCStream(probes, packedCodeStream(packed, m), codebook, k,
       rerank, rerankFactor)
@@ -324,9 +344,11 @@ object VectorPQ {
     * (probe_id, neighbor_id, rnk[, cosine]). */
   def searchADC(probes: DataFrame, codes: DataFrame, codebook: DataFrame,
       k: Int, rerank: Option[DataFrame] = None,
-      rerankFactor: Int = 4): DataFrame =
+      rerankFactor: Int = 4, probeLimit: Long = 4096L): DataFrame = {
+    requireProbeBatch(probes, probeLimit, "searchADC")
     searchADCStream(probes, codeStream(codes), codebook, k, rerank,
       rerankFactor)
+  }
 
   private def searchADCStream(probes: DataFrame, stream: DataFrame,
       codebook: DataFrame, k: Int, rerank: Option[DataFrame],

@@ -1029,6 +1029,39 @@ class OperatorsSpec extends SparkSpec {
         nprobe = 4, k = 3).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("probe-batch guards refuse oversized probe sets at the boundary") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // all three probe-broadcast searches are guarded; the refusal
+    // fires on the probe count BEFORE any scan work starts
+    intercept[IllegalArgumentException] {
+      VectorPQ.searchSQ8(emb, VectorPQ.encodeSQ8(emb), k = 3,
+        probeLimit = 10)
+    }
+    val cb = VectorPQ.train(emb, m = 16, ksub = 16, iters = 1)
+    intercept[IllegalArgumentException] {
+      VectorPQ.searchADC(emb, VectorPQ.encode(emb, cb), cb, k = 3,
+        probeLimit = 10)
+    }
+    intercept[IllegalArgumentException] {
+      VectorPQ.searchADCPacked(emb, VectorPQ.encodePacked(emb, cb), cb,
+        k = 3, probeLimit = 10)
+    }
+    // at or below the bound the same calls plan fine
+    val probes = emb.filter(col("vec_id") < 5)
+    assert(VectorPQ.searchSQ8(probes, VectorPQ.encodeSQ8(emb), k = 3,
+      probeLimit = 10).count() > 0)
+  }
+
+  test("q91 prebuilt-index search: deterministic, k<=3 per probe") {
+    val out = ScaleOps.queries("q91_ann_pq_search")(spark, sfDir).collect()
+    val out2 = ScaleOps.queries("q91_ann_pq_search")(spark, sfDir).collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      out2.map(_.toString).sorted.toSeq)
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("probe_id")).values
+      .foreach(g => assert(g.length <= 3))
+  }
+
   test("IVF index incremental add equals batch assignment; search unchanged") {
     val emb = Tables.embeddings(spark, sfDir)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
