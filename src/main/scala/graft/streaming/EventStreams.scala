@@ -102,6 +102,102 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class FunnelEv(us: Long, tpe: String)
+  case class FunnelBuf(evs: List[FunnelEv], lastMs: Long)
+  case class FunnelOut(user_id: Long, stage: String, reached_us: Long)
+
+  /** Stage-ordered conversion funnel — the streaming twin of q88
+    * (operators/SessionOps.scala): first `stages(0)` → first
+    * `stages(1)` within `windowUs` of it → … per user, one output row
+    * per (user, stage reached).
+    *
+    * Shape: flatMapGroupsWithState buffers each user's STAGE-RELEVANT
+    * events (other types are dropped on entry) and replays q88's
+    * stage-wise conditional-min logic when the user FINALIZES — the
+    * event-time timeout fires once the watermark passes the user's
+    * last activity + `idleGapMs`. Finalize-time evaluation (rather
+    * than incremental stage tracking) is what makes out-of-order
+    * arrival safe: a late-but-in-watermark first view shifts every
+    * stage window earlier, which incremental tracking cannot undo.
+    *
+    * State is bounded two ways: only `stages` types are kept, and
+    * once a first-stage event exists every event past
+    * `v + (stages.length−1)·windowUs` is pruned — it can never
+    * qualify for any stage (windows chain forward from v; a LATER
+    * first view only tightens the bound, never loosens it).
+    *
+    * Equality with batch q88 holds when `idleGapMs` exceeds the max
+    * intra-user event gap (otherwise a user splits into activity
+    * spans and only the first span funnels — the streaming-native
+    * semantics); the spec pins stage-count equality across a
+    * checkpoint restart. */
+  def funnel(events: Dataset[Event],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      windowUs: Long = 3L * 86400L * 1000000L,
+      idleGapMs: Long = 30L * 86400L * 1000L,
+      watermarkDelay: String = "1 day")
+      (implicit spark: SparkSession): Dataset[FunnelOut] = {
+    import spark.implicits._
+    val stageSet = stages.toSet
+    val tailUs = (stages.length - 1).toLong * windowUs
+
+    // q88's stage-wise conditional mins over one user's buffered
+    // events: v = min first-stage; each later stage = min of its type
+    // within [prev, prev + windowUs]
+    def finalize(userId: Long, evs: List[FunnelEv]): Iterator[FunnelOut] = {
+      val byType = evs.groupBy(_.tpe)
+      var reached = List.empty[FunnelOut]
+      var cur = byType.getOrElse(stages.head, Nil)
+        .map(_.us).minOption
+      cur.foreach(us => reached ::= FunnelOut(userId, stages.head, us))
+      stages.tail.foreach { st =>
+        cur = cur.flatMap { prev =>
+          byType.getOrElse(st, Nil).map(_.us)
+            .filter(us => us >= prev && us <= prev + windowUs).minOption
+        }
+        cur.foreach(us => reached ::= FunnelOut(userId, st, us))
+      }
+      reached.reverse.iterator
+    }
+
+    def prune(evs: List[FunnelEv]): List[FunnelEv] =
+      evs.filter(_.tpe == stages.head).map(_.us).minOption match {
+        case Some(v) => evs.filter(_.us <= v + tailUs)
+        case None => evs
+      }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(b => finalize(userId, b.evs))
+              .getOrElse(Iterator.empty)
+            state.remove()
+            out
+          } else {
+            // microsecond-exact epoch (batch q88 compares unix_micros)
+            val fresh = batch.filter(e => stageSet(e.event_type))
+              .map(e => FunnelEv(
+                math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                  e.ts.getNanos / 1000L, e.event_type))
+              .toList
+            val lastMs = fresh.map(_.us / 1000) ++:
+              state.getOption.map(_.lastMs).toList
+            if (lastMs.nonEmpty) {
+              val buf = FunnelBuf(
+                prune(state.getOption.map(_.evs).getOrElse(Nil) ++ fresh),
+                lastMs.max)
+              state.update(buf)
+              state.setTimeoutTimestamp(buf.lastMs + idleGapMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stateful gap sessionization (30-min inactivity) — the streaming
     * twin of q50, via flatMapGroupsWithState with EVENT-time timeout
     * (wall-clock timeouts would be nondeterministic and keep the

@@ -40,6 +40,98 @@ class StreamingSpec extends SparkSpec {
     assert(sess.session_end == ts("2024-01-01 10:05:00"))
   }
 
+  test("streaming funnel equals batch q88 stage counts across restarts") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batch = graft.operators.SessionOps.queries("q88_funnel")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val src = tmpDir("funnel-src"); val chk = tmpDir("funnel-chk")
+    val outDir = tmpDir("funnel-out")
+    // rewrite the events through Spark (micros ts) and split by TIME:
+    // a restart-boundary mid-stream, with each drop ahead of the
+    // watermark the previous run checkpointed
+    val evN = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = evN.agg(min(col("ts")), max(col("ts"))).head
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val mid = new Timestamp((lo.getTime + hi.getTime) / 2)
+    def sentinel(daysAfter: Long) = Seq((
+      -1L, new Timestamp(hi.getTime + daysAfter * 86400000L),
+      -1L, "noop", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    // each run is a fresh query resuming the same checkpoint
+    def run(): Unit = {
+      val q = EventStreams.funnel(
+        EventStreams.readEventStream(spark, src).as[Event],
+        idleGapMs = 365L * 86400000L)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    evN.filter(col("ts") <= lit(mid)).repartition(2)
+      .write.mode("append").parquet(src)
+    run() // drop 1
+    evN.filter(col("ts") > lit(mid)).repartition(2)
+      .write.mode("append").parquet(src)
+    run() // drop 2, after restart
+    // two sentinel runs: the first advances the watermark past every
+    // user's timeout; event-time timeouts FIRE in the next batch,
+    // which the second sentinel triggers (both across restarts)
+    sentinel(500).write.mode("append").parquet(src)
+    run()
+    sentinel(600).write.mode("append").parquet(src)
+    run()
+
+    val got = spark.read.parquet(outDir).groupBy("stage").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("view", "click", "purchase").foreach { st =>
+      assert(got.getOrElse(st, 0L) == batch(st),
+        s"stage $st: streaming=${got.get(st)} batch=${batch(st)}")
+    }
+  }
+
+  test("streaming funnel finalize handles a late-but-in-watermark first view") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnel(input.toDS(),
+      windowUs = 3600L * 1000000L, idleGapMs = 3600000L,
+      watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode(OutputMode.Append()).start()
+
+    // click arrives BEFORE the view that qualifies it (out of order);
+    // the view lands one batch later, still inside the watermark
+    input.addData(Event(2, ts("2024-01-01 10:30:00"), 7, "click", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0))
+    query.processAllAvailable()
+    // advance the watermark past the timeout, then trigger the
+    // timeout-firing batch
+    input.addData(Event(3, ts("2024-01-01 20:00:00"), 9, "noop", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-01 23:00:00"), 9, "noop", 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("funnel_late")
+      .as[graft.streaming.EventStreams.FunnelOut].collect()
+    query.stop()
+    // finalize-time replay credits BOTH stages — incremental stage
+    // tracking would have dropped the out-of-order view
+    assert(out.map(o => (o.stage, o.reached_us)).toSet == Set(
+      ("view", ts("2024-01-01 10:00:00").getTime * 1000),
+      ("click", ts("2024-01-01 10:30:00").getTime * 1000)))
+    assert(out.forall(_.user_id == 7))
+  }
+
   test("watermarked tumbling counts aggregate closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
