@@ -344,6 +344,65 @@ object VersionedTable {
     (metaCount + scanned, boundary.length)
   }
 
+  /** Conjunction form of [[countWhere]]: `count(*)` for an N-D box
+    * (every `lower <= col <= upper` bound at once) — the consumer
+    * shape for z-ordered layouts, where both interleaved columns
+    * carry tight per-file extents. A file answers from metadata alone
+    * when it is fully contained in EVERY bound and at most ONE of the
+    * bounded columns has nulls in it (per-column null counts compose
+    * exactly only then: count = rows − that column's nulls; with two
+    * null-bearing columns the overlap is unknowable from per-column
+    * stats, so the file conservatively joins the boundary scan).
+    * Returns (count, filesScanned). */
+  def countWhereAll(spark: SparkSession, root: String,
+      bounds: Seq[(String, Any, Any)]): (Long, Int) = {
+    require(bounds.nonEmpty, "at least one (col, lower, upper) bound")
+    val version = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val dir = currentPath(spark, root)
+    val stats = manifestStats(spark, root, version)
+    require(stats.nonEmpty, s"version $version of $root carries no file stats")
+    val schema = spark.read.parquet(dir).schema
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val cols = bounds.map(_._1)
+    val st = stats.map(s => (s.file, s.rows,
+        cols.map(c => s.min.getOrElse(c, None)),
+        cols.map(c => s.max.getOrElse(c, None)),
+        cols.map(c => s.nulls.get(c))))
+      .toDF("file", "rows", "mns", "mxs", "nulls")
+    val dims = bounds.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val dt = schema(c).dataType
+      val mn = col("mns").getItem(i); val mx = col("mxs").getItem(i)
+      val overlap = mn.isNull || mx.isNull ||
+        (mx.cast(dt) >= lit(lo) && mn.cast(dt) <= lit(hi))
+      val contained = mn.isNotNull && mx.isNotNull &&
+        col("nulls").getItem(i).isNotNull &&
+        mn.cast(dt) >= lit(lo) && mx.cast(dt) <= lit(hi)
+      (overlap, contained)
+    }
+    val parts = st.filter(dims.map(_._1).reduce(_ && _))
+      .select(col("file"), col("rows"), col("nulls"),
+        dims.map(_._2).reduce(_ && _).as("full"))
+      .collect()
+    val (meta, boundary) = parts.partition { r =>
+      r.getAs[Boolean]("full") &&
+        r.getAs[Seq[Long]]("nulls").count(_ > 0L) <= 1
+    }
+    val metaCount = meta
+      .map(r => r.getAs[Long]("rows") - r.getAs[Seq[Long]]("nulls").sum).sum
+    val files = boundary.map(r => s"$dir/${r.getAs[String]("file")}")
+    val scanned =
+      if (files.isEmpty) 0L
+      else spark.read.parquet(files.toSeq: _*)
+        .filter(bounds.map { case (c, lo, hi) =>
+          val dt = schema(c).dataType
+          col(c).cast(dt) >= lit(lo) && col(c).cast(dt) <= lit(hi)
+        }.reduce(_ && _))
+        .count()
+    (metaCount + scanned, files.length)
+  }
+
   /** Data-skipping scan: plan the file list for `lower <= col <=
     * upper` FROM THE MANIFEST ALONE — no directory listing, no parquet
     * footer reads (the cold-start cost of a 100 TB scan). A file is

@@ -1081,6 +1081,56 @@ class LakehouseSpec extends SparkSpec {
     assert(nn == 9000L && s2 == 0)
   }
 
+  test("countWhereAll: metadata-only N-D box counts, boundary-only scans") {
+    import spark.implicits._
+    val root = tmpDir("vtcnta") + "/t"
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("v", when(col("k") % 10 === 0, lit(null)).otherwise(col("k")))
+      .withColumn("u", when(col("k") % 7 === 0, lit(null)).otherwise(col("k")))
+      .withColumn("w", col("k") % 100)
+    VersionedTable.commit(spark, root, statsCols = Seq("k", "v", "u", "w")) {
+      stage =>
+        df.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+          .write.parquet(stage)
+    }
+    // full box on two null-free columns: every file metadata-counted
+    val (all, s0) = VersionedTable.countWhereAll(spark, root,
+      Seq(("k", 0L, 9999L), ("w", 0L, 99L)))
+    assert(all == 10000L && s0 == 0)
+    // narrow k, full w: interior files from metadata, ≤2 boundary scans
+    val (narrow, s1) = VersionedTable.countWhereAll(spark, root,
+      Seq(("k", 1000L, 8999L), ("w", 0L, 99L)))
+    assert(narrow == 8000L && s1 <= 2, s"scanned $s1")
+    // ONE null-bearing column composes exactly from per-column stats
+    val (nv, s2) = VersionedTable.countWhereAll(spark, root,
+      Seq(("k", 0L, 9999L), ("v", 0L, 9999L)))
+    assert(nv == 9000L && s2 == 0)
+    // TWO null-bearing columns cannot (their overlap is unknowable):
+    // the files fall back to an exact scan — correctness over metadata
+    val want = df.filter(col("v").isNotNull && col("u").isNotNull).count()
+    val (uv, s3) = VersionedTable.countWhereAll(spark, root,
+      Seq(("v", 0L, 9999L), ("u", 0L, 9999L)))
+    assert(uv == want && s3 == 8, s"count $uv vs $want, scanned $s3")
+
+    // z-ordered layout: a narrow 2-D box scans only the box-straddling
+    // files and still counts exactly
+    val zroot = tmpDir("vtcntz") + "/t"
+    val zdf = spark.range(0, 20000).toDF("i")
+      .select((col("i") % 141).as("x"), (col("i") % 133).as("y"),
+        col("i").as("payload"))
+    VersionedTable.commit(spark, zroot, statsCols = Seq("x", "y")) { stage =>
+      Bucketing.writeZOrdered(zdf, stage, "x", "y", files = 16)
+    }
+    val box = Seq(("x", 10L, 30L), ("y", 40L, 60L))
+    val zwant = VersionedTable.read(spark, zroot)
+      .filter(col("x").between(10L, 30L) && col("y").between(40L, 60L))
+      .count()
+    val (zcnt, s4) = VersionedTable.countWhereAll(spark, zroot, box)
+    val zfiles = VersionedTable.manifestStats(spark, zroot, 1L).size
+    assert(zcnt == zwant && zcnt > 0)
+    assert(s4 < zfiles, s"scanned $s4 of $zfiles")
+  }
+
   test("manifest stats prune a 2-D box over a z-ordered layout") {
     import spark.implicits._
     val root = tmpDir("vtz") + "/t"
