@@ -68,7 +68,8 @@ object KMeansVec {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id"))
       .limit(k).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](1) // float embeddings OR rotated doubles
+        .map(_.doubleValue()).toArray)
 
     val dp = graft.functions.GraftFunctions.dotProduct _
     (1 to iters).foreach { _ =>

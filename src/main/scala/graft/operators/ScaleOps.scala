@@ -372,19 +372,20 @@ object ScaleOps {
       .getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3
       .stringHash(s"$dir:${st.getLen}:${st.getModificationTime}"))
-    s"${sys.props("java.io.tmpdir")}/graft_pqidx_v1_$key"
+    s"${sys.props("java.io.tmpdir")}/graft_pqidx_v2_$key"
   }
 
-  /** Build the production-config IVF-PQ index for `dir` once
-    * (residual encoding + 4-bit packed lists) and return its path.
-    * The bench warms this up BEFORE timing q91, so the q91 row is a
-    * stable SEARCH-path number — the index-build cost (train + encode)
-    * is q86's row and is paid once per corpus, not per query. */
+  /** Build the production-config IVF-PQ index for `dir` once (OPQ
+    * rotation + residual encoding + 4-bit packed lists) and return
+    * its path. The bench warms this up BEFORE timing q91, so the q91
+    * row is a stable SEARCH-path number — the index-build cost
+    * (train + encode) is q86's row and is paid once per corpus, not
+    * per query. */
   def ensurePqIndex(s: SparkSession, dir: String): String = {
     val path = pqIndexPath(s, dir)
     if (!VectorIndex.isPQ(s, path))
       VectorIndex.buildPQ(Tables.embeddings(s, dir), path, k = 10, m = 16,
-        ksub = 16, iters = 5, residual = true, packed = true)
+        ksub = 16, iters = 5, residual = true, packed = true, opq = true)
     path
   }
 

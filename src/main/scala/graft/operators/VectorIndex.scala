@@ -93,10 +93,23 @@ object VectorIndex {
     * final rerank join. */
   def buildPQ(emb: DataFrame, path: String, k: Int, m: Int, ksub: Int,
       iters: Int = 5, residual: Boolean = false, packed: Boolean = false,
-      trainSample: Int = 0): Unit = {
+      opq: Boolean = false, trainSample: Int = 0): Unit = {
     val spark = emb.sparkSession
+    // OPQ is a pre-transform: learn R on the bounded sample, rotate
+    // the corpus in-row (native dot products), and run the WHOLE
+    // existing pipeline — coarse routing, residual, codebooks, packing
+    // — in rotated space. Cosine/euclidean rankings are rotation-
+    // invariant, so routing quality is unchanged and the final exact
+    // rerank stays on the RAW embeddings (VectorOps.exactTopK).
+    val (table, rot) =
+      if (opq) {
+        val r = VectorOPQ.trainRotation(emb, m, ksub,
+          trainSample = trainSample)
+        (emb.withColumn("embedding",
+          VectorOPQ.rotateCol(r, col("embedding"))), Some(r))
+      } else (emb, None)
     val cents = KMeansVec.centroidsDF(spark,
-      KMeansVec.train(emb, k, iters, trainSample))
+      KMeansVec.train(table, k, iters, trainSample))
     // residual form trains the codebooks on v − centroid: what the
     // codes must reconstruct is the within-cell offset, which has far
     // less variance than raw vectors — more recall per bit, the
@@ -108,10 +121,10 @@ object VectorIndex {
     val codebook =
       if (residual) {
         val n = VectorPQ.sampleSize(ksub, trainSample)
-        VectorPQ.train(residualView(KMeansVec.hashSample(emb, n), cents),
+        VectorPQ.train(residualView(KMeansVec.hashSample(table, n), cents),
           m, ksub, iters, n)
-      } else VectorPQ.train(emb, m, ksub, iters, trainSample)
-    buildPQWith(emb, path, cents, codebook, residual, packed)
+      } else VectorPQ.train(table, m, ksub, iters, trainSample)
+    buildPQWith(emb, path, cents, codebook, residual, packed, rot)
   }
 
   /** (vec_id, embedding = v − its coarse centroid, cent_id): the
@@ -170,16 +183,32 @@ object VectorIndex {
 
   /** [[buildPQ]] with pre-trained models (shared by incremental adds
     * and cross-table reuse). `packed` stores the 4-bit nibble-pair
-    * layout (ksub ≤ 16) — half the list bytes, identical search. */
+    * layout (ksub ≤ 16) — half the list bytes, identical search.
+    * `rotation` is the OPQ matrix the models were trained under;
+    * `emb` arrives RAW and is rotated here, so callers reusing stored
+    * models never rotate twice. (Like the _residual/_packed markers,
+    * an in-place rebuild is not crash-atomic — an index that must
+    * publish atomically goes through VersionedTable's manifest flip,
+    * the discipline the automation daemon applies to tables.) */
   def buildPQWith(emb: DataFrame, path: String, centDf: DataFrame,
       codebook: DataFrame, residual: Boolean = false,
-      packed: Boolean = false): Unit = {
+      packed: Boolean = false,
+      rotation: Option[Array[Array[Double]]] = None): Unit = {
     val spark = emb.sparkSession
-    writeCodes(emb, path, centDf, codebook, residual, packed, "overwrite")
+    val table = rotation.map(r => emb.withColumn("embedding",
+      VectorOPQ.rotateCol(r, col("embedding")))).getOrElse(emb)
+    writeCodes(table, path, centDf, codebook, residual, packed, "overwrite")
     centDf.write.mode("overwrite").parquet(s"$path/centroids")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
     setMarker(spark, path, "_residual", residual)
     setMarker(spark, path, "_packed", packed)
+    rotation match {
+      case Some(r) => VectorOPQ.rotationDF(spark, r)
+        .write.mode("overwrite").parquet(s"$path/rotation")
+      case None => org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$path/rotation"), true)
+    }
   }
 
   /** Incremental append to a PQ index: route + encode new vectors
@@ -188,8 +217,20 @@ object VectorIndex {
     * partitions gain files (assignment and encoding are per-row, so
     * the result equals a batch rebuild with the same models —
     * spec-pinned). */
+  private def hasRotation(spark: SparkSession, path: String): Boolean =
+    hasMarker(spark, path, "rotation/_SUCCESS")
+
+  /** Rotate `df`'s embedding with the index's stored OPQ matrix when
+    * one exists — the shared entry transform of adds and searches. */
+  private def applyRotation(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    if (hasRotation(spark, path))
+      df.withColumn("embedding", VectorOPQ.rotateCol(
+        VectorOPQ.loadRotation(spark, s"$path/rotation"), col("embedding")))
+    else df
+
   def addPQ(spark: SparkSession, path: String, newVecs: DataFrame): Unit =
-    writeCodes(newVecs, path,
+    writeCodes(applyRotation(spark, path, newVecs), path,
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebook"),
       isResidual(spark, path), isPacked(spark, path), "append")
@@ -207,7 +248,12 @@ object VectorIndex {
     val codebook = spark.read.parquet(s"$path/codebook")
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("cent_id").asc)
-    val routed = probes
+    // OPQ indexes route and ADC-rank in rotated space (rotate the
+    // probes; centroids/codes are already rotated); the final exact
+    // rerank below stays on the RAW embeddings — cosine is rotation-
+    // invariant, so the two spaces rank consistently
+    val probesEff = applyRotation(spark, path, probes)
+    val routed = probesEff
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .join(broadcast(cents), col("probe_id").isNotNull)
       .withColumn("sim", cos(col("pe"), col("cvec")))
@@ -241,7 +287,7 @@ object VectorIndex {
         VectorPQ.adcTopKWith(lut,
           codes.select("probe_id", "cent_id", "vec_id", "codes"),
           Seq("probe_id", "cent_id"), k * rerankFactor)
-      } else VectorPQ.adcTopK(probes,
+      } else VectorPQ.adcTopK(probesEff,
         codes.select("probe_id", "vec_id", "codes"), codebook,
         k * rerankFactor)
     VectorOps.exactTopK(emb, cand, k)
