@@ -198,6 +198,61 @@ object EventStreams {
       }
   }
 
+  case class CohortBuf(days: List[Long], lastMs: Long)
+  case class CohortOut(user_id: Long, cohort_day: Long, day_offset: Long)
+
+  /** Streaming twin of q89's cohort retention: one row per
+    * (user, active day within `maxOffsetDays` of their first day),
+    * emitted when the user FINALIZES (event-time timeout) — the
+    * downstream `groupBy(cohort_day, day_offset).count()` is the
+    * batch query's survivor matrix. Finalize-time emission for the
+    * same reason as [[funnel]]: a late-but-in-watermark EARLIER first
+    * day re-bases every offset, which incremental emission cannot
+    * retract. State per user is the distinct day set within
+    * [min, min + maxOffsetDays] — ≤ maxOffsetDays+1 longs (later days
+    * are pruned on every update; a later LOWER min only tightens the
+    * bound) — plus the last-activity clock. All event types count,
+    * matching the batch query. */
+  def cohortOffsets(events: Dataset[Event], maxOffsetDays: Int = 14,
+      idleGapMs: Long = 30L * 86400L * 1000L,
+      watermarkDelay: String = "1 day")
+      (implicit spark: SparkSession): Dataset[CohortOut] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortBuf, CohortOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[CohortBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map { b =>
+              val cohort = b.days.min
+              b.days.filter(_ <= cohort + maxOffsetDays).distinct.sorted
+                .map(d => CohortOut(userId, cohort, d - cohort))
+            }.getOrElse(Nil)
+            state.remove()
+            out.iterator
+          } else {
+            val evs = batch.toList
+            val freshDays = evs.map(e => math.floorDiv(
+              math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000L, DayUs))
+            val lastMs = evs.map(_.ts.getTime) ++:
+              state.getOption.map(_.lastMs).toList
+            if (lastMs.nonEmpty) {
+              val all = (state.getOption.map(_.days).getOrElse(Nil) ++
+                freshDays).distinct
+              val mn = all.min
+              state.update(CohortBuf(
+                all.filter(_ <= mn + maxOffsetDays), lastMs.max))
+              state.setTimeoutTimestamp(lastMs.max + idleGapMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stateful gap sessionization (30-min inactivity) — the streaming
     * twin of q50, via flatMapGroupsWithState with EVENT-time timeout
     * (wall-clock timeouts would be nondeterministic and keep the

@@ -96,6 +96,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cohort retention equals batch q89 across restarts") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batch = graft.operators.SessionOps.queries("q89_cohort_retention")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val src = tmpDir("cohort-src"); val chk = tmpDir("cohort-chk")
+    val outDir = tmpDir("cohort-out")
+    val evN = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = evN.agg(min(col("ts")), max(col("ts"))).head
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val mid = new Timestamp((lo.getTime + hi.getTime) / 2)
+    def sentinel(daysAfter: Long) = Seq((
+      -1L, new Timestamp(hi.getTime + daysAfter * 86400000L),
+      -1L, "noop", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(): Unit = {
+      val q = EventStreams.cohortOffsets(
+        EventStreams.readEventStream(spark, src).as[Event],
+        idleGapMs = 365L * 86400000L)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    evN.filter(col("ts") <= lit(mid)).repartition(2)
+      .write.mode("append").parquet(src)
+    run()
+    evN.filter(col("ts") > lit(mid)).repartition(2)
+      .write.mode("append").parquet(src)
+    run()
+    sentinel(500).write.mode("append").parquet(src)
+    run()
+    sentinel(600).write.mode("append").parquet(src)
+    run()
+
+    // the per-user rows aggregate to exactly the batch survivor
+    // matrix (sentinel users excluded: they are not in the batch
+    // input, only in the stream to advance the watermark)
+    val got = spark.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .groupBy("cohort_day", "day_offset").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == batch, {
+      val onlyGot = (got.keySet -- batch.keySet).take(5)
+      val onlyBatch = (batch.keySet -- got.keySet).take(5)
+      s"stream-only=$onlyGot batch-only=$onlyBatch " +
+        s"diffs=${batch.keySet.intersect(got.keySet)
+          .filter(k => batch(k) != got(k)).take(5).map(k =>
+            s"$k: ${got(k)} vs ${batch(k)}")}"
+    })
+  }
+
   test("streaming funnel finalize handles a late-but-in-watermark first view") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
