@@ -81,7 +81,8 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       if (cfg.compactEvery > 0 && ticks % cfg.compactEvery == 0)
         Some(Maintenance.compactVersioned(spark, cfg.tableDir,
           sortCol = cfg.compactClusterBy,
-          statsCols = cfg.compactClusterBy.toSeq))
+          statsCols =
+            (cfg.compactClusterBy.toSeq ++ cfg.compactStatsCols).distinct))
       else None
     // scheduled orphan vacuum: crashed writers' leftovers (in-flight
     // dirs no manifest references) reclaimed once they outlive the
@@ -289,6 +290,11 @@ object Automation {
       // its per-file min/max in the manifest — compaction doubles as
       // the data-skipping index refresh (readPruned plans from it)
       compactClusterBy: Option[String] = None,
+      // extra columns whose per-file stats the compaction manifest
+      // records beyond the cluster key — the multi-column skipping
+      // index countWhereAll/readPrunedWhere consume (the cluster key
+      // gets tight ranges from the sort; these ride along as-is)
+      compactStatsCols: Seq[String] = Nil,
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,

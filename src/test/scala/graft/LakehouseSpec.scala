@@ -615,6 +615,7 @@ class LakehouseSpec extends SparkSpec {
       srcDir = s"$root/arrivals", tableDir = s"$root/t",
       registryDir = s"$root/reg", rowsPerDrop = 50,
       compactEvery = 2, compactClusterBy = Some("id"),
+      compactStatsCols = Seq("departure_delay"),
       vacuumEvery = 2, vacuumAgeMs = 3600 * 1000L)
     // a crashed writer's leftover from "yesterday": the scheduled
     // vacuum must reclaim it; the table itself must be untouched
@@ -633,10 +634,19 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.read(spark, s"$root/t").count() == 100)
     val cur = new java.io.File(VersionedTable.currentPath(spark, s"$root/t"))
     assert(cur.listFiles().count(_.getName.endsWith(".parquet")) == 1)
-    // scheduled compaction refreshed the data-skipping stats
+    // scheduled compaction refreshed the data-skipping stats — for
+    // the cluster key AND the configured extra stats column, so the
+    // multi-column consumers (countWhereAll/readPrunedWhere) can plan
+    // boxes off the freshly compacted manifest
     val v = VersionedTable.currentVersion(spark, s"$root/t").get
     val stats = VersionedTable.manifestStats(spark, s"$root/t", v)
     assert(stats.nonEmpty && stats.forall(_.min.contains("id")))
+    assert(stats.forall(_.min.contains("departure_delay")))
+    val (n, scanned) = VersionedTable.countWhereAll(spark, s"$root/t",
+      Seq(("id", Long.MinValue, Long.MaxValue),
+        ("departure_delay", -10000, 10000)))
+    assert(n == 100L && scanned == 0,
+      s"metadata-only box count failed: n=$n scanned=$scanned")
   }
 
   test("sql runner: query, ddl, multi-statement script, and named procs") {
