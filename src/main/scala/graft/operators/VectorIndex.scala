@@ -262,16 +262,15 @@ object VectorIndex {
       .select(col("probe_id"), col("cent_id"), col("pe"), col("cvec"))
     val wanted = routed.select("cent_id").distinct()
       .collect().map(_.getLong(0))
-    // packed layouts scan half the list bytes and unpack in-row
-    // (codegen builtins) — the downstream ADC sees identical codes
-    val stored = spark.read.parquet(s"$path/codes")
+    // packed layouts scan half the list bytes; the nibble unmask
+    // happens per exploded row inside the ADC stream (builtins, no
+    // interpreted HOF) — the downstream join sees identical codes
+    val packedM =
+      if (isPacked(spark, path))
+        Some(codebook.agg(max(col("sub_id"))).head.getInt(0) + 1)
+      else None
+    val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cent_id").isin(wanted.toSeq: _*))
-    val listed =
-      if (isPacked(spark, path)) {
-        val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
-        stored.withColumn("codes", VectorPQ.unpackCodes(col("codes"), m))
-      } else stored
-    val codes = listed
       .join(routed.select("probe_id", "cent_id"), Seq("cent_id"))
       .filter(col("probe_id") =!= col("vec_id"))
     val cand =
@@ -286,10 +285,10 @@ object VectorIndex {
           Seq("probe_id", "cent_id"), codebook)
         VectorPQ.adcTopKWith(lut,
           codes.select("probe_id", "cent_id", "vec_id", "codes"),
-          Seq("probe_id", "cent_id"), k * rerankFactor)
+          Seq("probe_id", "cent_id"), k * rerankFactor, packedM)
       } else VectorPQ.adcTopK(probesEff,
         codes.select("probe_id", "vec_id", "codes"), codebook,
-        k * rerankFactor)
+        k * rerankFactor, packedM)
     VectorOps.exactTopK(emb, cand, k)
   }
 

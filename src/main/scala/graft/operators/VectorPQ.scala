@@ -248,14 +248,32 @@ object VectorPQ {
     * decimal partial-agg shape as [[searchADC]]; returns
     * (probe_id, neighbor_id). */
   private[operators] def adcTopKWith(lut: DataFrame, cand: DataFrame,
-      lutKeys: Seq[String], k: Int): DataFrame = {
+      lutKeys: Seq[String], k: Int,
+      packedM: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
-    cand.select(lutKeys.map(col) :+ col("vec_id") :+
-        posexplode(col("codes")): _*)
-      .select(lutKeys.map(col) :+ col("vec_id") :+
-        col("pos").cast("int").as("sub_id") :+
-        col("col").cast("int").as("code_id"): _*)
+    // the (…, vec_id, sub_id, code_id) stream — packed lists unmask
+    // their nibble per exploded row with builtins (shiftright /
+    // bitwiseAND), NEVER a transform HOF: its lambda interprets, and
+    // this is the per-candidate search scan
+    val stream = packedM match {
+      case Some(m) =>
+        val byte = element_at(col("codes"),
+          (col("sub_id") / 2).cast("int") + 1).cast("int") + 128 // unbias
+        cand.select(lutKeys.map(col) :+ col("vec_id") :+ col("codes") :+
+            explode(sequence(lit(0), lit(m - 1))).as("sub_id"): _*)
+          .select(lutKeys.map(col) :+ col("vec_id") :+ col("sub_id") :+
+            when(col("sub_id") % 2 === 0, byte.bitwiseAND(15))
+              .otherwise(shiftright(byte, 4).bitwiseAND(15))
+              .as("code_id"): _*)
+      case None =>
+        cand.select(lutKeys.map(col) :+ col("vec_id") :+
+            posexplode(col("codes")): _*)
+          .select(lutKeys.map(col) :+ col("vec_id") :+
+            col("pos").cast("int").as("sub_id") :+
+            col("col").cast("int").as("code_id"): _*)
+    }
+    stream
       .join(broadcast(lut), lutKeys ++ Seq("sub_id", "code_id"))
       .groupBy("probe_id", "vec_id")
       .agg(sum(col("pd").cast(DecA)).as("adist"))
@@ -265,10 +283,12 @@ object VectorPQ {
   }
 
   /** ADC top-k over per-probe candidate code rows with a plain
-    * (non-residual) probe LUT. */
+    * (non-residual) probe LUT. `packedM = Some(m)` reads 4-bit packed
+    * candidate lists (stream-unmasked, builtins only). */
   def adcTopK(probes: DataFrame, cand: DataFrame, codebook: DataFrame,
-      k: Int): DataFrame =
-    adcTopKWith(probeLut(probes, codebook), cand, Seq("probe_id"), k)
+      k: Int, packedM: Option[Int] = None): DataFrame =
+    adcTopKWith(probeLut(probes, codebook), cand, Seq("probe_id"), k,
+      packedM)
 
   // ---- 4-bit packed codes (ksub ≤ 16): two codes per byte ----------
 
@@ -286,10 +306,11 @@ object VectorPQ {
         element_at(codes, i * 2 + 2) * 16 - 128).cast("tinyint"))
   }
 
-  /** The inverse of [[packCodes]]: an `array<byte>` of m/2 packed
-    * nibble pairs back to the `array<int>` of m codes — builtins only
-    * (element_at / shiftright / bitwiseAND), so unpacking runs inside
-    * codegen on the scan that reads the half-width lists. */
+  /** The inverse of [[packCodes]] as a column transform — for
+    * materializing a plain view of packed codes (migrations, debug).
+    * NOT for hot paths: `transform`'s lambda runs interpreted; the
+    * search scans stream-unmask per exploded row with builtins
+    * instead ([[adcTopKWith]]'s packedM branch). */
   def unpackCodes(codes: org.apache.spark.sql.Column,
       m: Int): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(m - 1)), i => {
