@@ -323,6 +323,44 @@ object GraftFunctions {
   private[functions] val graftQuantilesInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_quantiles")
 
+  /** Table function `graft_count_where('root', col, lo, hi[, col2,
+    * lo2, hi2, …])` — aggregate-pushdown-to-metadata as SQL: the
+    * range/box `count(*)` answered from the commit manifest's
+    * per-file stats ([[graft.lakehouse.VersionedTable.countWhereAll]])
+    * with only boundary-straddling files scanned. Returns one row
+    * (cnt, files_scanned) — the second column is the honesty knob: 0
+    * means the count never touched data. */
+  private[functions] val graftCountWhereBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size >= 4 && (args.size - 1) % 3 == 0,
+        "graft_count_where expects (rootPath, col, lower, upper" +
+          "[, col2, lower2, upper2, ...])")
+      def v(e: Expression): Any = e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case o => o
+      }
+      val spark = SparkSession.active
+      val root = v(args(0)).toString
+      val bounds = args.tail.grouped(3)
+        .map(g => (v(g(0)).toString, v(g(1)), v(g(2)))).toSeq
+      val (n, scanned) = graft.lakehouse.VersionedTable
+        .countWhereAll(spark, root, bounds)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("files_scanned",
+          org.apache.spark.sql.types.IntegerType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(n, scanned)), 1), schema)
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftCountWhereInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_count_where")
+
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */
   def registerTableFunctions(spark: SparkSession): Unit = {
@@ -338,6 +376,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_quantiles"), graftQuantilesInfo,
       graftQuantilesBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_count_where"), graftCountWhereInfo,
+      graftCountWhereBuilder)
   }
 }
 
@@ -398,6 +439,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_quantiles"),
       GraftFunctions.graftQuantilesInfo,
       GraftFunctions.graftQuantilesBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_count_where"),
+      GraftFunctions.graftCountWhereInfo,
+      GraftFunctions.graftCountWhereBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -1122,6 +1122,13 @@ class LakehouseSpec extends SparkSpec {
       Seq(("v", 0L, 9999L), ("u", 0L, 9999L)))
     assert(uv == want && s3 == 8, s"count $uv vs $want, scanned $s3")
 
+    // SQL surface: the same box count through the table function,
+    // with files_scanned exposed as the did-it-touch-data knob
+    val sqlRow = spark.sql(
+      s"SELECT cnt, files_scanned FROM graft_count_where('$root', " +
+        "'k', 1000, 8999, 'w', 0, 99)").head
+    assert(sqlRow.getLong(0) == 8000L && sqlRow.getInt(1) <= 2)
+
     // z-ordered layout: a narrow 2-D box scans only the box-straddling
     // files and still counts exactly
     val zroot = tmpDir("vtcntz") + "/t"

@@ -21,6 +21,54 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: countWhereAll equals the exact box count on any layout") {
+    import spark.implicits._
+    import graft.lakehouse.VersionedTable
+    // adversarial structure: random values WITH nulls in both bounded
+    // columns (the ≤1-null-column metadata rule must degrade to a
+    // scan, never to a wrong count), random file partitioning (so
+    // containment/straddle/miss classes all occur), random box bounds
+    // (possibly empty or inverted)
+    val genRow = for {
+      a <- Gen.frequency((4, Gen.chooseNum(-50L, 50L).map(Option(_))),
+        (1, Gen.const(Option.empty[Long])))
+      b <- Gen.frequency((4, Gen.chooseNum(-50L, 50L).map(Option(_))),
+        (1, Gen.const(Option.empty[Long])))
+    } yield (a, b)
+    val genCase = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, genRow)
+      parts <- Gen.chooseNum(1, 5)
+      lo1 <- Gen.chooseNum(-60L, 60L); w1 <- Gen.chooseNum(-5L, 60L)
+      lo2 <- Gen.chooseNum(-60L, 60L); w2 <- Gen.chooseNum(-5L, 60L)
+      sorted <- Gen.oneOf(true, false)
+    } yield (rows, parts, lo1, lo1 + w1, lo2, lo2 + w2, sorted)
+    val prop = Prop.forAll(genCase) {
+      case (rows, parts, lo1, hi1, lo2, hi2, sorted) =>
+        val df = rows.zipWithIndex.map { case ((a, b), i) =>
+          (i.toLong, a.map(Long.box).orNull, b.map(Long.box).orNull)
+        }.toDF("id", "a", "b")
+          .select(col("id"), col("a").cast("long"), col("b").cast("long"))
+        val root = tmpDir("propcnt") + "/t"
+        VersionedTable.commit(spark, root, statsCols = Seq("a", "b")) {
+          stage =>
+            val laid =
+              if (sorted)
+                df.repartitionByRange(parts, col("a"))
+                  .sortWithinPartitions("a")
+              else df.repartition(parts)
+            laid.write.parquet(stage)
+        }
+        val (got, scanned) = VersionedTable.countWhereAll(spark, root,
+          Seq(("a", lo1, hi1), ("b", lo2, hi2)))
+        val want = df.filter(col("a").between(lo1, hi1) &&
+          col("b").between(lo2, hi2)).count()
+        val nFiles = VersionedTable.manifestStats(spark, root, 1L).size
+        got == want && scanned <= nFiles
+    }
+    check(prop, cases = 25)
+  }
+
   test("property: q31 PPJoin pairs equal brute-force trigram Jaccard") {
     import spark.implicits._
     // small vocab → dense shingle sharing → the prefix/count/positional
