@@ -229,7 +229,8 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           case None => graft.operators.VectorIndex.build(
             fresh, vc.indexPath, vc.k, vc.iters)
           case Some((m, ksub)) => graft.operators.VectorIndex.buildPQ(
-            fresh, vc.indexPath, vc.k, m, ksub, vc.iters)
+            fresh, vc.indexPath, vc.k, m, ksub, vc.iters,
+            residual = vc.pqResidual, packed = vc.pqPacked, opq = vc.pqOpq)
         }
       else {
         // dispatch on the layout the index ON DISK actually has, and
@@ -337,7 +338,14 @@ object Automation {
       // Some((m, ksub)) → maintain the PQ-compressed index instead:
       // inverted lists hold codes, incremental loads route+encode
       // against the bootstrap-trained models (VectorIndex.buildPQ)
-      pq: Option[(Int, Int)] = None)
+      pq: Option[(Int, Int)] = None,
+      // production storage tiers for the PQ index (ignored for raw):
+      // residual codebooks, 4-bit packed lists, OPQ rotation — adds
+      // dispatch off the on-disk markers, so these only shape the
+      // one-time bootstrap build
+      pqResidual: Boolean = false,
+      pqPacked: Boolean = false,
+      pqOpq: Boolean = false)
 
   /** Corpus-curation config: where document drops arrive (JSON-lines
     * by default: doc_id, text, lang, source), the raw landing table,

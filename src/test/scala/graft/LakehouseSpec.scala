@@ -133,9 +133,13 @@ class LakehouseSpec extends SparkSpec {
       vectorIndex = Some(Automation.VectorIndexConfig(
         srcDir = s"$root/varr", tableDir = s"$pqRoot/vt",
         registryDir = s"$pqRoot/vreg", indexPath = s"$pqRoot/idx",
-        schema = emb.schema, pq = Some((16, 16)))))
+        schema = emb.schema, pq = Some((16, 16)),
+        // the full production storage config: residual codebooks,
+        // 4-bit packed lists, OPQ rotation — incremental ticks must
+        // dispatch all three off the on-disk markers
+        pqResidual = true, pqPacked = true, pqOpq = true)))
     val pqAuto = new Automation(spark, pqCfg)
-    pqAuto.tick() // bootstrap: trains centroids + codebooks on d1+d2
+    pqAuto.tick() // bootstrap: trains rotation + centroids + codebooks
     drop("d3", 120, 150)
     pqAuto.tick() // incremental: addPQ with the stored models
     assert(spark.read.parquet(s"$pqRoot/idx/codes").count() ==
@@ -145,7 +149,10 @@ class LakehouseSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     VectorIndex.buildPQWith(VersionedTable.read(spark, s"$pqRoot/vt"),
       s"$pqRoot/idx_batch", spark.read.parquet(s"$pqRoot/idx/centroids"),
-      spark.read.parquet(s"$pqRoot/idx/codebook"))
+      spark.read.parquet(s"$pqRoot/idx/codebook"),
+      residual = true, packed = true,
+      rotation = Some(graft.operators.VectorOPQ.loadRotation(spark,
+        s"$pqRoot/idx/rotation")))
     val viaPqBatch = VectorIndex.searchPQ(spark, s"$pqRoot/idx_batch",
       probes, VersionedTable.read(spark, s"$pqRoot/vt"), nprobe = 2, k = 3)
       .collect().map(_.toString).sorted.toSeq
