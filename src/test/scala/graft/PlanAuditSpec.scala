@@ -194,4 +194,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p47.sliding("zip_with".length).count(_ == "zip_with") <= 2,
       "q47 grew interpreted HOFs beyond the exact-recompute phase")
   }
+
+  test("q91: pruned packed-list scan, builtin unmask, bounded lambdas") {
+    val df = graft.operators.ScaleOps.queries("q91_ann_pq_search")(
+      spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // exact rerank through the native cosine; nibble unmask through
+    // builtin bit ops (shiftright), never a transform lambda on the
+    // candidate stream
+    assert(p.contains("cosine_sim"), "rerank lost the native cosine")
+    assert(p.contains("shiftright"), "packed unmask should be bit builtins")
+    // the codes scan only reads the routed centroid partitions
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "codes scan is not partition-pruned")
+    // the only lambdas left construct the PROBE-sized LUT (subvector
+    // slicing of a handful of probe rows) — bounded, never data-sized
+    assert(p.sliding("lambdafunction".length)
+      .count(_ == "lambdafunction") <= 8,
+      "q91 grew interpreted HOFs beyond the probe-sized LUT build")
+  }
 }
