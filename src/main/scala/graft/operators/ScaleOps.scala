@@ -420,6 +420,51 @@ object ScaleOps {
     VectorOps.exactTopK(emb, cand, 3)
   }
 
+  /** q92: cluster-balanced semantic mixing — the SemDeDup-adjacent
+    * "topic rebalance" a training pipeline runs between dedup and
+    * sampling: cluster the embedding space with the (sample-trained)
+    * k-means, give every cluster an EQUAL share of the output corpus
+    * (q68's equal-share planner over LEARNED semantic cells instead
+    * of source labels), and keep vectors through q67's deterministic
+    * md5-threshold rule. Output: the per-cluster mixing report
+    * (cent_id, n, keep_rate, n_kept).
+    *
+    * Scale shape: one broadcast-scored assignment pass (n·k in-row
+    * codegen cosines, map-side max_by), two k-row aggregates, a
+    * broadcast rate join, and a map-side hash filter — the only
+    * data-sized exchange is the assignment groupBy on vec_id.
+    * Rows-only (centroids are trained); the spec pins determinism,
+    * conservation, and that rebalancing never widens the cluster-size
+    * spread. */
+  private val q92: QFn = (s, d) => {
+    val cos = graft.functions.GraftFunctions.cosineSim _
+    val emb = Tables.embeddings(s, d)
+    val cents = KMeansVec.centroidsDF(s,
+      KMeansVec.train(emb, k = 8, iters = 3))
+    val assigned = emb.join(broadcast(cents), col("vec_id").isNotNull)
+      .withColumn("sim", cos(col("embedding"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id")))
+        .as("cent_id"))
+    val counts = assigned.groupBy("cent_id").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("nc"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("kr",
+        least(lit(1.0), (col("total").cast("double") / col("nc")) / col("n")))
+      .select(col("cent_id"), col("n"), col("kr"))
+    val kept = assigned.join(broadcast(rates.select("cent_id", "kr")),
+        Seq("cent_id"))
+      .filter(col("kr") >= 1.0 ||
+        substring(md5(col("vec_id").cast("string")), 1, 4) <
+          lpad(lower(hex(floor(col("kr") * 65536).cast("long"))), 4, "0"))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n"), round(col("kr"), 6).as("keep_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("cent_id")
+  }
+
   /** q90: pairwise source-vocabulary overlap through the KMV/theta
     * set sketch ([[SetSketch]]) — distinct-set UNION / INTERSECTION /
     * Jaccard between every pair of sources from ONE partial-agg
@@ -473,7 +518,8 @@ object ScaleOps {
     "q86_ann_pq" -> q86,
     "q87_ann_sq8" -> q87,
     "q90_source_overlap" -> q90,
-    "q91_ann_pq_search" -> q91)
+    "q91_ann_pq_search" -> q91,
+    "q92_semantic_mix" -> q92)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4

@@ -1139,6 +1139,32 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("q92 semantic mix: deterministic, conserving, never widens the spread") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = ScaleOps.queries("q92_semantic_mix")(spark, sfDir).collect()
+    val out2 = ScaleOps.queries("q92_semantic_mix")(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+    // every vector lands in exactly one cluster; keeps never exceed
+    // members; rates are genuine probabilities
+    assert(out.map(_.getAs[Long]("n")).sum == emb.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n"))
+      val kr = r.getAs[Double]("keep_rate")
+      assert(kr > 0.0 && kr <= 1.0)
+    }
+    // the whole point: rebalancing can only TIGHTEN the cluster-size
+    // spread (largest clusters are down-sampled toward the mean;
+    // clusters at/below the mean keep everything)
+    val before = out.map(_.getAs[Long]("n"))
+    val after = out.map(_.getAs[Long]("n_kept")).filter(_ > 0)
+    assert(after.nonEmpty)
+    val spreadBefore = before.max.toDouble / before.min
+    val spreadAfter = after.max.toDouble / after.min
+    info(s"cluster-size spread: $spreadBefore -> $spreadAfter")
+    assert(spreadAfter <= spreadBefore * 1.05 + 1e-9,
+      s"rebalance widened the spread: $spreadBefore -> $spreadAfter")
+  }
+
   test("IVF index incremental add equals batch assignment; search unchanged") {
     val emb = Tables.embeddings(spark, sfDir)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
