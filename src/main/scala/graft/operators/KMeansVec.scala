@@ -56,6 +56,9 @@ object KMeansVec {
       trainSample: Int = 0): Array[Array[Double]] = {
     val spark = emb.sparkSession
     val n = if (trainSample > 0) trainSample else 128 * k
+    require(n >= k,
+      s"trainSample=$n < k=$k would silently train fewer centroids; " +
+        "raise the sample bound")
     val tr =
       hashSample(emb.select(col("vec_id"), col("embedding")), n).cache()
     val el = tr.select(col("vec_id"), posexplode(col("embedding")))

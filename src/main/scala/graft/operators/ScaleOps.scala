@@ -441,11 +441,15 @@ object ScaleOps {
     val emb = Tables.embeddings(s, d)
     val cents = KMeansVec.centroidsDF(s,
       KMeansVec.train(emb, k = 8, iters = 3))
+    // cached: counts (→ rates) and kept both read the assignment, and
+    // without the cache the n·k broadcast-scored pass would run twice
+    // — (vec_id, cent_id) longs are far cheaper to hold than rescore
     val assigned = emb.join(broadcast(cents), col("vec_id").isNotNull)
       .withColumn("sim", cos(col("embedding"), col("cvec")))
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id")))
         .as("cent_id"))
+      .cache()
     val counts = assigned.groupBy("cent_id").agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum(col("n")).as("total"),
       count(lit(1)).as("nc"))
@@ -455,9 +459,7 @@ object ScaleOps {
       .select(col("cent_id"), col("n"), col("kr"))
     val kept = assigned.join(broadcast(rates.select("cent_id", "kr")),
         Seq("cent_id"))
-      .filter(col("kr") >= 1.0 ||
-        substring(md5(col("vec_id").cast("string")), 1, 4) <
-          lpad(lower(hex(floor(col("kr") * 65536).cast("long"))), 4, "0"))
+      .filter(TextOps.keepByRate(col("vec_id"), col("kr")))
       .groupBy("cent_id").agg(count(lit(1)).as("n_kept"))
     rates.join(kept, Seq("cent_id"), "left")
       .select(col("cent_id"), col("n"), round(col("kr"), 6).as("keep_rate"),

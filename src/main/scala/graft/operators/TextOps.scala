@@ -20,6 +20,17 @@ object TextOps {
   /** Whitespace word split shared by several operators. */
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
+  /** The deterministic rate→threshold keep rule the mixing samplers
+    * share (q68, ScaleOps q92): a row survives iff the first 16 bits
+    * of md5(id) sort below floor(rate·65536) — engine-identical (both
+    * sides compute the same IEEE product and floor), append-stable,
+    * pure map-side. One definition so a threshold-encoding fix can
+    * never drift between the samplers. */
+  private[operators] def keepByRate(id: Column, rate: Column): Column =
+    rate >= 1.0 ||
+      substring(md5(id.cast("string")), 1, 4) <
+        lpad(lower(hex(floor(rate * 65536).cast("long"))), 4, "0")
+
   /** Distinct word-trigram shingles:
     * transform(sequence(0, n-3), i -> w[i] ⧺ w[i+1] ⧺ w[i+2]). */
   private def trigrams(c: Column): Column = {
@@ -595,9 +606,7 @@ object TextOps {
         least(lit(1.0), (col("total") / col("nsrc")) / col("src_tokens")))
       .select(col("source"), col("rate"))
     toks.join(broadcast(rates), "source")
-      .filter(col("rate") >= 1.0 ||
-        substring(md5(col("doc_id").cast("string")), 1, 4) <
-          lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+      .filter(keepByRate(col("doc_id"), col("rate")))
       .select("doc_id", "source", "n_tokens")
   }
   private val q68Sql =

@@ -209,6 +209,7 @@ object VectorIndex {
         .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(s"$path/rotation"), true)
     }
+    setMarker(spark, path, "_rotation", rotation.isDefined)
   }
 
   /** Incremental append to a PQ index: route + encode new vectors
@@ -217,8 +218,13 @@ object VectorIndex {
     * partitions gain files (assignment and encoding are per-row, so
     * the result equals a batch rebuild with the same models —
     * spec-pinned). */
+  // an EXPLICIT marker like _residual/_packed — detecting the
+  // rotation off the committer's rotation/_SUCCESS would silently
+  // read as "no rotation" on object-store committers configured not
+  // to write success files, and an unrotated probe against a rotated
+  // index is a silent recall collapse, not an error
   private def hasRotation(spark: SparkSession, path: String): Boolean =
-    hasMarker(spark, path, "rotation/_SUCCESS")
+    hasMarker(spark, path, "_rotation")
 
   /** Rotate `df`'s embedding with the index's stored OPQ matrix when
     * one exists — the shared entry transform of adds and searches. */

@@ -110,8 +110,15 @@ object VectorPQ {
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
     val n = sampleSize(ksub, trainSample)
-    val tr =
-      KMeansVec.hashSample(emb.select(col("vec_id"), col("embedding")), n)
+    require(n >= ksub,
+      s"trainSample=$n < ksub=$ksub would silently train a smaller " +
+        "codebook; raise the sample bound")
+    // cache the sample: the seed collect and the subvector explosion
+    // would otherwise each re-run the corpus TakeOrdered (and, in the
+    // residual path, the centroid-assignment join above it)
+    val tr = KMeansVec
+      .hashSample(emb.select(col("vec_id"), col("embedding")), n)
+      .cache()
     // deterministic init: the ksub hash-lowest vectors seed code j of
     // EVERY subspace with their j-th subvector (one tiny collect)
     val seedRows = tr
@@ -141,7 +148,7 @@ object VectorPQ {
         }
         cb = updated
       }
-    } finally sub.unpersist()
+    } finally { sub.unpersist(); tr.unpersist() }
     codebookDF(spark, cb)
   }
 
@@ -189,11 +196,13 @@ object VectorPQ {
     * deliberately, or split the probe set into batches. */
   private def requireProbeBatch(probes: DataFrame, probeLimit: Long,
       who: String): Unit = {
-    val p = probes.count()
-    require(p <= probeLimit,
-      s"$who got $p probes > probeLimit=$probeLimit: it broadcasts " +
-        "per-probe state, so cost grows linearly with probes - batch " +
-        "the probe set or raise probeLimit deliberately")
+    // limit+count early-exits the probe plan at probeLimit+1 rows —
+    // the guard must not itself cost a corpus-sized scan
+    val over = probes.limit((probeLimit + 1).toInt).count() > probeLimit
+    require(!over,
+      s"$who got more than probeLimit=$probeLimit probes: it " +
+        "broadcasts per-probe state, so cost grows linearly with " +
+        "probes - batch the probe set or raise probeLimit deliberately")
   }
 
   /** Brute-force top-k over the SQ8 code column: the same scan shape

@@ -120,17 +120,26 @@ object EventStreams {
     * arrival safe: a late-but-in-watermark first view shifts every
     * stage window earlier, which incremental tracking cannot undo.
     *
-    * State is bounded two ways: only `stages` types are kept, and
-    * once a first-stage event exists every event past
-    * `v + (stages.length−1)·windowUs` is pruned — it can never
-    * qualify for any stage (windows chain forward from v; a LATER
-    * first view only tightens the bound, never loosens it).
+    * State is bounded: only `stages` types are kept; once a
+    * first-stage event exists every event past
+    * `v + (stages.length−1)·windowUs` is pruned (windows chain
+    * forward from v; a LATER first view only tightens the bound); and
+    * while NO first-stage event exists, everything below the current
+    * watermark is pruned — a future view must carry ts ≥ watermark,
+    * so a sub-watermark click/purchase with no stored view above it
+    * can never be reached by any stage chain.
     *
-    * Equality with batch q88 holds when `idleGapMs` exceeds the max
-    * intra-user event gap (otherwise a user splits into activity
-    * spans and only the first span funnels — the streaming-native
-    * semantics); the spec pins stage-count equality across a
-    * checkpoint restart. */
+    * The idle clock runs on ALL of the user's events (not just stage
+    * types): any activity defers finalization, exactly like
+    * [[sessionize]]'s gap — and it keeps the re-armed timeout at or
+    * above the watermark (a stage-only clock could re-arm a
+    * timestamp the watermark already passed, which Spark rejects and
+    * fails the query on). Equality with batch q88 holds when
+    * `idleGapMs` exceeds the max intra-user event gap; otherwise each
+    * idle-separated activity span funnels independently (the
+    * streaming-native semantics — a user can emit a stage row per
+    * span). The spec pins stage-count equality across checkpoint
+    * restarts. */
   def funnel(events: Dataset[Event],
       stages: Seq[String] = Seq("view", "click", "purchase"),
       windowUs: Long = 3L * 86400L * 1000000L,
@@ -160,10 +169,10 @@ object EventStreams {
       reached.reverse.iterator
     }
 
-    def prune(evs: List[FunnelEv]): List[FunnelEv] =
+    def prune(evs: List[FunnelEv], wmUs: Long): List[FunnelEv] =
       evs.filter(_.tpe == stages.head).map(_.us).minOption match {
         case Some(v) => evs.filter(_.us <= v + tailUs)
-        case None => evs
+        case None => evs.filter(_.us >= wmUs)
       }
 
     events
@@ -178,21 +187,23 @@ object EventStreams {
             state.remove()
             out
           } else {
+            val evs = batch.toList
             // microsecond-exact epoch (batch q88 compares unix_micros)
-            val fresh = batch.filter(e => stageSet(e.event_type))
+            val fresh = evs.filter(e => stageSet(e.event_type))
               .map(e => FunnelEv(
                 math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
                   e.ts.getNanos / 1000L, e.event_type))
-              .toList
-            val lastMs = fresh.map(_.us / 1000) ++:
-              state.getOption.map(_.lastMs).toList
-            if (lastMs.nonEmpty) {
-              val buf = FunnelBuf(
-                prune(state.getOption.map(_.evs).getOrElse(Nil) ++ fresh),
-                lastMs.max)
-              state.update(buf)
-              state.setTimeoutTimestamp(buf.lastMs + idleGapMs)
-            }
+            // the idle clock runs on EVERY event of the user's
+            val lastMs = (evs.map(_.ts.getTime) ++
+              state.getOption.map(_.lastMs)).max
+            val buf = FunnelBuf(
+              prune(state.getOption.map(_.evs).getOrElse(Nil) ++ fresh,
+                state.getCurrentWatermarkMs() * 1000L),
+              lastMs)
+            state.update(buf)
+            // belt and braces: never re-arm below the watermark
+            state.setTimeoutTimestamp(math.max(
+              buf.lastMs + idleGapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
@@ -246,7 +257,9 @@ object EventStreams {
               val mn = all.min
               state.update(CohortBuf(
                 all.filter(_ <= mn + maxOffsetDays), lastMs.max))
-              state.setTimeoutTimestamp(lastMs.max + idleGapMs)
+              // never re-arm below the watermark (Spark rejects it)
+              state.setTimeoutTimestamp(math.max(lastMs.max + idleGapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             Iterator.empty
           }

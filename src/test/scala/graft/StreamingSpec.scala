@@ -155,6 +155,43 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("streaming funnel survives a stage-quiet batch after a watermark jump") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnel(input.toDS(),
+      windowUs = 3600L * 1000000L, idleGapMs = 3600000L,
+      watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("funnel_quiet")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 7 views at 10:00 (idle timeout would be 11:00)
+    input.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0))
+    query.processAllAvailable()
+    // another user pushes the watermark to 21:00
+    input.addData(Event(2, ts("2024-01-01 23:00:00"), 9, "noop", 0.0))
+    query.processAllAvailable()
+    // user 7 returns with ONLY a non-stage event: a stage-only idle
+    // clock would re-arm the 11:00 timeout BELOW the 21:00 watermark
+    // and Spark would fail the whole query — the clock must run on
+    // every event
+    input.addData(Event(3, ts("2024-01-01 23:30:00"), 7, "noop", 0.0))
+    query.processAllAvailable()
+    // advance + fire the timeout
+    input.addData(Event(4, ts("2024-01-03 12:00:00"), 9, "noop", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(5, ts("2024-01-04 12:00:00"), 9, "noop", 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("funnel_quiet")
+      .as[graft.streaming.EventStreams.FunnelOut].collect()
+    query.stop()
+    assert(out.map(o => (o.user_id, o.stage)).toSet ==
+      Set((7L, "view")))
+  }
+
   test("streaming funnel finalize handles a late-but-in-watermark first view") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
