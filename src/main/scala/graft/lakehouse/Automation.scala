@@ -82,7 +82,8 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         Some(Maintenance.compactVersioned(spark, cfg.tableDir,
           sortCol = cfg.compactClusterBy,
           statsCols =
-            (cfg.compactClusterBy.toSeq ++ cfg.compactStatsCols).distinct))
+            (cfg.compactClusterBy.toSeq ++ cfg.compactStatsCols).distinct,
+          bloomCols = cfg.compactBloomCols))
       else None
     // scheduled orphan vacuum: crashed writers' leftovers (in-flight
     // dirs no manifest references) reclaimed once they outlive the
@@ -296,6 +297,10 @@ object Automation {
       // index countWhereAll/readPrunedWhere consume (the cluster key
       // gets tight ranges from the sort; these ride along as-is)
       compactStatsCols: Seq[String] = Nil,
+      // columns getting per-file bloom filters in the compaction
+      // manifest — point-lookup pruning (prunedFilesEq) for
+      // high-cardinality ids whose ranges overlap every file
+      compactBloomCols: Seq[String] = Nil,
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,

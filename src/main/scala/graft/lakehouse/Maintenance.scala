@@ -120,13 +120,15 @@ object Maintenance {
   def compactVersioned(spark: SparkSession, root: String,
                        targetFileBytes: Long = 128L << 20,
                        sortCol: Option[String] = None,
-                       statsCols: Seq[String] = Nil): Int = {
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil): Int = {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
     val cur = new Path(VersionedTable.currentPath(spark, root))
     val bytes = fs.getContentSummary(cur).getLength
     val n = math.max(1, (bytes / targetFileBytes).toInt)
-    VersionedTable.rewrite(spark, root, statsCols = statsCols) { df =>
+    VersionedTable.rewrite(spark, root, statsCols = statsCols,
+      bloomCols = bloomCols) { df =>
       sortCol.fold(df.coalesce(n))(c =>
         df.repartitionByRange(n, col(c)).sortWithinPartitions(c))
     }

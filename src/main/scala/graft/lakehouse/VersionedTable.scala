@@ -151,7 +151,8 @@ object VersionedTable {
     * tight. The manifest's EXISTENCE is still the commit; stats are
     * payload (legacy empty manifests stay valid). */
   def commit(spark: SparkSession, root: String, keepVersions: Int = 1,
-             statsCols: Seq[String] = Nil)
+             statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+             bloomBits: Int = 8192, bloomHashes: Int = 4)
             (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
@@ -173,8 +174,13 @@ object VersionedTable {
     val stats =
       if (statsCols.isEmpty) ""
       else collectFileStats(spark, data.toString, statsCols)
+    val blooms =
+      if (bloomCols.isEmpty) ""
+      else collectFileBlooms(spark, data.toString, bloomCols,
+        bloomBits, bloomHashes)
+    val payload = Seq(stats, blooms).filter(_.nonEmpty).mkString("\n")
     // THE commit point: one object's existence flips visibility
-    publishManifest(fs, root, next, stats)
+    publishManifest(fs, root, next, payload)
     // prune data dirs (both layouts) and manifests older than the
     // retention window, stale round-2 staging dirs, and
     // pre-versioning flat files (unreachable once versioned)
@@ -267,6 +273,111 @@ object VersionedTable {
         s"s\t${esc(file)}\t$n\t${esc(c)}\t$mn\t$mx\t$nulls"
       }
     }.sorted.mkString("\n")
+  }
+
+  /** Per-file, per-column bloom filters for POINT-lookup pruning —
+    * the index min/max ranges cannot provide when values scatter
+    * across files (high-cardinality ids, hashes): a range overlaps
+    * almost every file, a bloom rules most of them out. One
+    * distributed aggregate per bloomed column: k bit positions per
+    * non-null value via the builtin `xxhash64(value, j)` (j = hash
+    * index), `collect_set` of the ≤`bits` positions per file, driver
+    * packs them into a BitSet → base64 manifest line
+    * (`b \t file \t col \t bits \t k \t b64`). Legacy readers ignore
+    * the lines (the stats parser keeps only `s\t`). Size: bits/8
+    * bytes per (file, col) — KBs per thousand files. */
+  private def collectFileBlooms(spark: SparkSession, dataDir: String,
+      cols: Seq[String], bits: Int, k: Int): String = {
+    import org.apache.spark.sql.functions.{explode, input_file_name, lit,
+      pmod, sequence, xxhash64, collect_set}
+    require(bits > 0 && bits % 8 == 0, s"bloomBits=$bits must be byte-sized")
+    require(k >= 1 && k <= 16, s"bloomHashes=$k out of range")
+    val df = spark.read.parquet(dataDir).withColumn("_file", input_file_name())
+    cols.flatMap { c =>
+      df.filter(col(c).isNotNull)
+        .select(col("_file"), col(c).as("_v"),
+          explode(sequence(lit(0), lit(k - 1))).as("_j"))
+        .select(col("_file"),
+          pmod(xxhash64(col("_v"), col("_j")), lit(bits.toLong))
+            .cast("int").as("_bit"))
+        .groupBy("_file").agg(collect_set(col("_bit")).as("_bits"))
+        .collect()
+        .map { r =>
+          val bs = new java.util.BitSet(bits)
+          r.getSeq[Int](1).foreach(bs.set)
+          val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+          val file = new Path(r.getString(0)).getName
+          s"b\t${esc(file)}\t${esc(c)}\t$bits\t$k\t$b64"
+        }
+    }.sorted.mkString("\n")
+  }
+
+  /** The blooms a version's manifest carries:
+    * (file, col) → (bits, k, bitset). */
+  def manifestBlooms(spark: SparkSession, root: String, version: Long)
+      : Map[(String, String), (Int, Int, java.util.BitSet)] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(commitsDir(root), version.toString)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split("\n").toSeq.filter(_.startsWith("b\t"))
+      .map(_.split("\t", -1))
+      .collect { case Array("b", f, c, bits, k, b64) =>
+        (unesc(f), unesc(c)) -> (bits.toInt, k.toInt,
+          java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64)))
+      }.toMap
+  }
+
+  /** The driver-side twin of the write-side `xxhash64(value, j)` bit:
+    * the SAME builtin hash evaluated on a literal cast to the
+    * column's type, so membership checks see exactly the bits the
+    * manifest recorded. */
+  private def bloomBit(value: Any, dt: org.apache.spark.sql.types.DataType,
+      j: Int, bits: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val internal = Cast(Literal(value), dt, Some("UTC")).eval(null)
+    val h = XxHash64(Seq(Literal(internal, dt), Literal(j)), 42L)
+      .eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, bits.toLong).toInt
+  }
+
+  /** Point-lookup file pruning: keep only files whose bloom MAY
+    * contain `value` (files without a bloom for `colName` are kept
+    * conservatively — so the result is always sound, never silently
+    * wrong). Where min/max ranges overlap everywhere, this is the
+    * planner a needle-in-100-TB id lookup needs. */
+  def prunedFilesEq(spark: SparkSession, root: String, colName: String,
+      value: Any): Seq[String] = {
+    val version = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val dir = currentPath(spark, root)
+    val stats = manifestStats(spark, root, version)
+    require(stats.nonEmpty, s"version $version of $root carries no file stats")
+    val blooms = manifestBlooms(spark, root, version)
+    val dt = spark.read.parquet(dir).schema(colName).dataType
+    stats.map(_.file).filter { f =>
+      blooms.get((f, colName)) match {
+        case None => true // no bloom recorded → cannot rule out
+        case Some((bits, k, bs)) =>
+          (0 until k).forall(j => bs.get(bloomBit(value, dt, j, bits)))
+      }
+    }.map(f => s"$dir/$f")
+  }
+
+  /** [[prunedFilesEq]] + read + the exact equality filter: the
+    * manifest-planned point lookup. */
+  def readPointLookup(spark: SparkSession, root: String, colName: String,
+      value: Any): DataFrame = {
+    val files = prunedFilesEq(spark, root, colName, value)
+    val base =
+      if (files.isEmpty) spark.read.parquet(currentPath(spark, root)).limit(0)
+      else spark.read.parquet(files: _*)
+    val dt = base.schema(colName).dataType
+    base.filter(col(colName) === org.apache.spark.sql.functions
+      .lit(value).cast(dt))
   }
 
   /** The file stats a version's manifest carries (empty for manifests
@@ -661,9 +772,9 @@ object VersionedTable {
   /** Read-transform-commit: the crash-safe form of every table
     * rewrite (retention, compaction, upsert). */
   def rewrite(spark: SparkSession, root: String, keepVersions: Int = 1,
-              statsCols: Seq[String] = Nil)
+              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
              (f: DataFrame => DataFrame): Long =
-    commit(spark, root, keepVersions, statsCols) { stage =>
+    commit(spark, root, keepVersions, statsCols, bloomCols) { stage =>
       f(read(spark, root)).write.mode(SaveMode.Overwrite).parquet(stage)
     }
 

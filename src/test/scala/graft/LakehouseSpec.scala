@@ -623,6 +623,7 @@ class LakehouseSpec extends SparkSpec {
       registryDir = s"$root/reg", rowsPerDrop = 50,
       compactEvery = 2, compactClusterBy = Some("id"),
       compactStatsCols = Seq("departure_delay"),
+      compactBloomCols = Seq("id"),
       vacuumEvery = 2, vacuumAgeMs = 3600 * 1000L)
     // a crashed writer's leftover from "yesterday": the scheduled
     // vacuum must reclaim it; the table itself must be untouched
@@ -654,6 +655,11 @@ class LakehouseSpec extends SparkSpec {
         ("departure_delay", -10000, 10000)))
     assert(n == 100L && scanned == 0,
       s"metadata-only box count failed: n=$n scanned=$scanned")
+    // ...and per-file blooms for the configured point-lookup column
+    assert(VersionedTable.manifestBlooms(spark, s"$root/t", v).nonEmpty)
+    assert(VersionedTable.readPointLookup(spark, s"$root/t", "id", 1L)
+      .count() == VersionedTable.read(spark, s"$root/t")
+      .filter(col("id") === 1L).count())
   }
 
   test("sql runner: query, ddl, multi-statement script, and named procs") {
@@ -1153,6 +1159,55 @@ class LakehouseSpec extends SparkSpec {
     val zfiles = VersionedTable.manifestStats(spark, zroot, 1L).size
     assert(zcnt == zwant && zcnt > 0)
     assert(s4 < zfiles, s"scanned $s4 of $zfiles")
+  }
+
+  test("manifest blooms prune point lookups where min/max ranges cannot") {
+    import spark.implicits._
+    val root = tmpDir("vtbloom") + "/t"
+    // values SCATTERED across files by hash: every file's [min, max]
+    // covers nearly the whole domain, so range pruning keeps
+    // everything — the bloom is the only thing that can say no
+    val df = spark.range(0, 20000).toDF("i")
+      .select((col("i") * 2654435761L % 1000003L).as("id"),
+        concat(lit("u"), (col("i") % 4096).cast("string")).as("tag"),
+        col("i").as("payload"))
+    VersionedTable.commit(spark, root, statsCols = Seq("id"),
+      bloomCols = Seq("id", "tag")) { stage =>
+        df.repartition(16).write.parquet(stage)
+      }
+    val nFiles = VersionedTable.manifestStats(spark, root, 1L).size
+    assert(nFiles == 16)
+    assert(VersionedTable.manifestBlooms(spark, root, 1L).size == 32)
+    // range pruning is useless on this layout (sanity of the setup)
+    assert(VersionedTable.prunedFiles(spark, root, "id", 500000L, 500100L)
+      .size == nFiles)
+
+    // soundness: every present value's lookup finds EXACTLY its rows
+    val sample = df.limit(50).collect()
+    sample.foreach { r =>
+      val id = r.getLong(0)
+      val want = df.filter(col("id") === id).count()
+      val got = VersionedTable.readPointLookup(spark, root, "id", id)
+      assert(got.count() == want, s"id=$id")
+    }
+    // string column: same contract through the cast/hash parity
+    val tag = sample.head.getString(1)
+    assert(VersionedTable.readPointLookup(spark, root, "tag", tag).count() ==
+      df.filter(col("tag") === tag).count())
+
+    // selectivity: absent values prune to (almost) nothing — with
+    // bits=8192, k=4 and ~1250 values/file the per-file fpp is well
+    // under 5%, so probing 40 absent ids averages ≪ 1 file each
+    val absentHits = (1 to 40).map { i =>
+      VersionedTable.prunedFilesEq(spark, root, "id",
+        2000000L + i).size
+    }.sum
+    info(s"absent-id files kept across 40 probes: $absentHits / ${40 * nFiles}")
+    assert(absentHits < 40 * nFiles / 4,
+      s"bloom not selective: $absentHits")
+    // files without a bloom for the column are kept conservatively
+    assert(VersionedTable.prunedFilesEq(spark, root, "payload", 7L)
+      .size == nFiles)
   }
 
   test("manifest stats prune a 2-D box over a z-ordered layout") {
