@@ -361,6 +361,30 @@ object GraftFunctions {
   private[functions] val graftCountWhereInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_count_where")
 
+  /** Table function `graft_lookup('root', col, value)` — the
+    * manifest-bloom point lookup ([[graft.lakehouse.VersionedTable
+    * .readPointLookup]]) as SQL: only files whose per-file bloom may
+    * contain `value` are read (bloomless files conservatively
+    * included), then the exact equality filter applies. */
+  private[functions] val graftLookupBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 3,
+        "graft_lookup expects (rootPath, col, value)")
+      def v(e: Expression): Any = e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case o => o
+      }
+      val spark = SparkSession.active
+      graft.lakehouse.VersionedTable.readPointLookup(spark,
+        v(args(0)).toString, v(args(1)).toString, v(args(2)))
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftLookupInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_lookup")
+
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */
   def registerTableFunctions(spark: SparkSession): Unit = {
@@ -379,6 +403,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_count_where"), graftCountWhereInfo,
       graftCountWhereBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_lookup"), graftLookupInfo,
+      graftLookupBuilder)
   }
 }
 
@@ -443,6 +470,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_count_where"),
       GraftFunctions.graftCountWhereInfo,
       GraftFunctions.graftCountWhereBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_lookup"),
+      GraftFunctions.graftLookupInfo,
+      GraftFunctions.graftLookupBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -1208,6 +1208,13 @@ class LakehouseSpec extends SparkSpec {
     // files without a bloom for the column are kept conservatively
     assert(VersionedTable.prunedFilesEq(spark, root, "payload", 7L)
       .size == nFiles)
+    // SQL surface: the same lookup through the table function
+    val id0 = sample.head.getLong(0)
+    assert(spark.sql(s"SELECT * FROM graft_lookup('$root', 'id', $id0)")
+      .count() == df.filter(col("id") === id0).count())
+    assert(spark.sql(
+      s"SELECT * FROM graft_lookup('$root', 'tag', '$tag')")
+      .count() == df.filter(col("tag") === tag).count())
   }
 
   test("manifest stats prune a 2-D box over a z-ordered layout") {
