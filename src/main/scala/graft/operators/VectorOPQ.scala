@@ -133,7 +133,7 @@ object VectorOPQ {
     val have = Array.fill(d)(false)
     var j = 0
     while (j < d) {
-      if (sig(j) > 1e-12 * sigMax) {
+      if (sig(j) > 1e-8 * sigMax) {
         var i = 0
         while (i < d) {
           var s = 0.0; var k = 0
@@ -141,6 +141,36 @@ object VectorOPQ {
           u(i)(j) = s / sig(j); i += 1
         }
         have(j) = true
+      }
+      j += 1
+    }
+    // modified Gram-Schmidt over the filled columns IN ORDER: with
+    // near-degenerate σ the raw M·vⱼ/σⱼ columns are noise-dominated
+    // and lose mutual orthogonality, which would make R = V·Uᵀ
+    // non-orthogonal (property-caught on duplicated-vector samples);
+    // a column that collapses under re-orthonormalization is demoted
+    // to the basis-completion pass below
+    j = 0
+    while (j < d) {
+      if (have(j)) {
+        var jj = 0
+        while (jj < j) {
+          if (have(jj)) {
+            var dot = 0.0; var i = 0
+            while (i < d) { dot += u(i)(j) * u(i)(jj); i += 1 }
+            i = 0
+            while (i < d) { u(i)(j) -= dot * u(i)(jj); i += 1 }
+          }
+          jj += 1
+        }
+        var nrm = 0.0
+        var i = 0
+        while (i < d) { nrm += u(i)(j) * u(i)(j); i += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 1e-6) {
+          i = 0
+          while (i < d) { u(i)(j) /= nrm; i += 1 }
+        } else have(j) = false
       }
       j += 1
     }

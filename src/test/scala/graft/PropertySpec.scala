@@ -69,6 +69,62 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 25)
   }
 
+  test("property: OPQ rotation is orthogonal on degenerate vector sets") {
+    import spark.implicits._
+    // adversarial structure for the Jacobi/Procrustes path: tiny
+    // samples, duplicated vectors, zero vectors, constant components
+    // — rank-deficient covariances force the Gram-Schmidt completion
+    val genVec = Gen.frequency(
+      (4, Gen.listOfN(8, Gen.chooseNum(-5, 5).map(_.toDouble / 2))),
+      (1, Gen.const(List.fill(8)(0.0))),
+      (1, Gen.const(List.fill(8)(1.0))))
+    val genSet = for {
+      n <- Gen.chooseNum(2, 12)
+      vs <- Gen.listOfN(n, genVec)
+      dup <- Gen.oneOf(true, false)
+    } yield if (dup) vs ++ vs.take(2) else vs
+    val prop = Prop.forAll(genSet) { vs =>
+      val emb = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      val r = VectorOPQ.trainRotation(emb, m = 4, ksub = 2, sweeps = 2,
+        lloydIters = 2, trainSample = 100)
+      val d = r.length
+      // exactly orthogonal even when singular values vanish
+      (0 until d).forall { i =>
+        (0 until d).forall { j =>
+          val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+        }
+      }
+    }
+    check(prop, cases = 20)
+  }
+
+  test("property: 4-bit pack/unpack round-trips any code array") {
+    import spark.implicits._
+    val genCodes = for {
+      half <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(half * 2, Gen.chooseNum(0, 15))
+    } yield cs
+    val prop = Prop.forAll(Gen.chooseNum(1, 6).flatMap(k =>
+      Gen.listOfN(k, genCodes))) { rows =>
+      // group by m: pack/unpack must round-trip per arity
+      rows.groupBy(_.length).forall { case (m, grp) =>
+        val df = grp.zipWithIndex.map { case (cs, i) => (i.toLong, cs) }
+          .toDF("vec_id", "codes")
+        val back = df
+          .select(col("vec_id"),
+            VectorPQ.unpackCodes(VectorPQ.packCodes(col("codes"), m), m)
+              .as("codes"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList)
+          .toMap
+        grp.zipWithIndex.forall { case (cs, i) => back(i.toLong) == cs }
+      }
+    }
+    check(prop, cases = 15)
+  }
+
   test("property: q31 PPJoin pairs equal brute-force trigram Jaccard") {
     import spark.implicits._
     // small vocab → dense shingle sharing → the prefix/count/positional
