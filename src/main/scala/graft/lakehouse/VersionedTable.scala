@@ -529,7 +529,11 @@ object VersionedTable {
 
   /** Conjunction form: keep files whose ranges can intersect EVERY
     * `(col, lower, upper)` bound — the consumer shape for z-ordered
-    * layouts, where a 2-D box prunes on both interleaved columns. */
+    * layouts, where a 2-D box prunes on both interleaved columns.
+    * POINT-width bounds (lower == upper) additionally consult the
+    * manifest blooms when the column carries them, so an equality
+    * inside a box prunes like [[prunedFilesEq]] — range and bloom
+    * skipping compose in one planner. */
   def prunedFilesWhere(spark: SparkSession, root: String,
       bounds: Seq[(String, Any, Any)]): Seq[String] = {
     require(bounds.nonEmpty, "at least one (col, lower, upper) bound")
@@ -553,8 +557,24 @@ object VersionedTable {
       mn.isNull || mx.isNull ||
         (mx.cast(dt) >= lit(lo) && mn.cast(dt) <= lit(hi))
     }.reduce(_ && _)
-    st.filter(keep)
-      .select("file").collect().map(r => s"$dir/${r.getString(0)}").toSeq
+    val ranged = st.filter(keep)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val points = bounds.filter { case (_, lo, hi) => lo == hi }
+    val kept =
+      if (points.isEmpty) ranged
+      else {
+        val blooms = manifestBlooms(spark, root, version)
+        ranged.filter { f =>
+          points.forall { case (c, v, _) =>
+            blooms.get((f, c)) match {
+              case None => true // no bloom recorded → cannot rule out
+              case Some((bits, k, bs)) => (0 until k).forall(j =>
+                bs.get(bloomBit(v, schema(c).dataType, j, bits)))
+            }
+          }
+        }
+      }
+    kept.map(f => s"$dir/$f")
   }
 
   /** [[prunedFiles]] + read: the manifest-planned range scan. */

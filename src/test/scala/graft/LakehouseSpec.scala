@@ -1217,6 +1217,60 @@ class LakehouseSpec extends SparkSpec {
       .count() == df.filter(col("tag") === tag).count())
   }
 
+  test("point-width box bounds compose bloom pruning with range pruning") {
+    import spark.implicits._
+    val root = tmpDir("vtbloombox") + "/t"
+    // ids hash-scattered (range pruning keeps everything), payload
+    // monotone (range pruning works) — a box of (id = v, payload
+    // range) exercises BOTH planners in one prunedFilesWhere call
+    val df = spark.range(0, 20000).toDF("i")
+      .select((col("i") * 2654435761L % 1000003L).as("id"),
+        col("i").as("payload"))
+    VersionedTable.commit(spark, root, statsCols = Seq("id", "payload"),
+      bloomCols = Seq("id")) { stage =>
+        df.repartition(16).write.parquet(stage)
+      }
+    val nFiles = VersionedTable.manifestStats(spark, root, 1L).size
+    val present = df.limit(5).collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    present.foreach { case (id, pay) =>
+      // a point-width id bound prunes AT LEAST as hard as
+      // prunedFilesEq: the box planner also applies the id range
+      // stats, which can rule out a bloom false positive
+      val box = Seq(("id", id, id), ("payload", 0L, 20000L))
+      val got = VersionedTable.prunedFilesWhere(spark, root, box).toSet
+      val eq = VersionedTable.prunedFilesEq(spark, root, "id", id).toSet
+      assert(got.subsetOf(eq), s"id=$id: box pruning kept a file the bloom excluded")
+      assert(got.size < nFiles, s"id=$id kept all $nFiles files")
+      // and the planned scan still answers exactly
+      val rows = VersionedTable.readPrunedWhere(spark, root, box)
+        .filter(col("id") === id).count()
+      assert(rows == df.filter(col("id") === id).count(), s"id=$id")
+      // the payload range composes: a box excluding the row's payload
+      // band can prune below the bloom's file set
+      val narrow = VersionedTable.prunedFilesWhere(spark, root,
+        Seq(("id", id, id), ("payload", pay, pay + 10L)))
+      assert(narrow.toSet.subsetOf(got))
+    }
+    // absent ids: bloom says no almost everywhere
+    val absentKept = (1 to 20).map { i =>
+      VersionedTable.prunedFilesWhere(spark, root,
+        Seq(("id", 2000000L + i, 2000000L + i))).size
+    }.sum
+    assert(absentKept < 20 * nFiles / 4, s"not selective: $absentKept")
+    // a RANGE-width id bound must NOT consult the bloom (membership
+    // of a range can't be tested bit-wise) — it plans exactly like
+    // the pure range planner
+    val r = present.head._1
+    assert(VersionedTable.prunedFilesWhere(spark, root,
+      Seq(("id", r, r + 1L))).toSet ==
+      VersionedTable.prunedFiles(spark, root, "id", r, r + 1L).toSet)
+    // bloomless column with a point bound: conservative
+    assert(VersionedTable.prunedFilesWhere(spark, root,
+      Seq(("payload", 7L, 7L))).size ==
+      VersionedTable.prunedFiles(spark, root, "payload", 7L, 7L).size)
+  }
+
   test("manifest stats prune a 2-D box over a z-ordered layout") {
     import spark.implicits._
     val root = tmpDir("vtz") + "/t"
