@@ -1,0 +1,279 @@
+package graft.plans
+
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertStarAction, LogicalPlan, MergeAction, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.LongType
+
+import graft.lakehouse.VersionedTable
+
+/** SQL DML over [[VersionedTable]] roots — the write half of the SQL
+  * surface (the read half being the `graft_*` table functions).
+  *
+  * ```sql
+  * DELETE FROM graft.`/data/events` WHERE ts < '2020-01-01';
+  * UPDATE graft.`/data/users` SET status = 'gone' WHERE id = 7;
+  * MERGE INTO graft.`/data/users` t USING updates s
+  *   ON t.id = s.id
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *;
+  * ```
+  *
+  * Spark's OWN parser does all the parsing (these are the standard v2
+  * DML plans); [[GraftSqlParser]] rewrites plans whose target is the
+  * two-part name `graft.<root path>` onto these commands, and each
+  * command runs the corresponding crash-safe [[VersionedTable.rewrite]]
+  * — visibility is the usual one-object manifest PUT, a reader mid-scan
+  * on the previous version survives, and time travel across the DML
+  * works within the retention window (`spark.graft.dml.keepVersions`).
+  * The manifest's data-skipping payload is PRESERVED: whatever
+  * stats/bloom columns the current version carries are re-collected
+  * for the post-DML version, so a DELETE never silently degrades
+  * point-lookup or range pruning.
+  *
+  * MERGE supports the upsert idiom (unconditional `UPDATE SET *` /
+  * `INSERT *` / `DELETE` actions, ON = conjunction of same-named
+  * column equalities); conditional or column-list actions fail loudly
+  * at parse time. Sources with duplicate keys are refused at run time
+  * (a multi-match MERGE would silently duplicate target rows).
+  */
+object GraftDml {
+
+  /** Matches a DML target of the form `graft.<path>`, with or without
+    * an alias, e.g. `DELETE FROM graft.`/tmp/t` x WHERE x.k = 1`. */
+  object GraftTarget {
+    def unapply(plan: LogicalPlan): Option[(String, Option[String])] =
+      plan match {
+        case SubqueryAlias(id, UnresolvedRelation(Seq(g, path), _, _))
+            if g.equalsIgnoreCase("graft") => Some((path, Some(id.name)))
+        case UnresolvedRelation(Seq(g, path), _, _)
+            if g.equalsIgnoreCase("graft") => Some((path, None))
+        case _ => None
+      }
+  }
+
+  /** Opaque carrier for parsed (still-unresolved) expressions: a
+    * plain field of `Expression` type on a command node is traversed
+    * by `QueryPlan.expressions`, so the analyzer would try (and fail)
+    * to resolve DML predicates against the command's nonexistent
+    * children. Wrapped, they stay invisible until [[run]] builds the
+    * DataFrame plans they actually resolve against. */
+  final case class Raw[T](value: T)
+
+  private[plans] def fail(message: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" -> message))
+
+  /** The stats/bloom columns the CURRENT manifest carries — re-collect
+    * these for the post-DML version so skipping never degrades. */
+  private def carriedIndex(spark: SparkSession,
+      root: String): (Seq[String], Seq[String]) =
+    VersionedTable.currentVersion(spark, root) match {
+      case None => (Nil, Nil)
+      case Some(v) =>
+        val st = VersionedTable.manifestStats(spark, root, v)
+        val stats = st.flatMap(s => s.min.keys ++ s.max.keys).distinct
+        val blooms = VersionedTable.manifestBlooms(spark, root, v)
+          .keys.map(_._2).toSeq.distinct
+        (stats, blooms)
+    }
+
+  private def keepVersions(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.dml.keepVersions", "1").toInt
+
+  /** Run `f` as a crash-safe rewrite that preserves the manifest's
+    * skipping payload; returns (rowsBefore, rowsAfter). */
+  private[plans] def rewriteCounted(spark: SparkSession, root: String)
+      (f: DataFrame => DataFrame): (Long, Long) = {
+    val before = VersionedTable.read(spark, root).count()
+    val (stats, blooms) = carriedIndex(spark, root)
+    VersionedTable.rewrite(spark, root, keepVersions(spark), stats, blooms)(f)
+    val after = VersionedTable.read(spark, root).count()
+    (before, after)
+  }
+
+  private[plans] def aliased(df: DataFrame, alias: Option[String]): DataFrame =
+    alias.fold(df)(df.as(_))
+
+  /** Resolve an assignment key's column name against the target schema
+    * (case-insensitive; the qualifier, if any, is the table alias). */
+  private[plans] def assignedColumn(columns: Seq[String],
+      key: Expression): String = {
+    val parts = key match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts
+      case other => fail(s"unsupported UPDATE assignment target: ${other.sql}")
+    }
+    columns.find(_.equalsIgnoreCase(parts.last)).getOrElse(
+      fail(s"UPDATE SET target `${parts.mkString(".")}` is not a " +
+        s"top-level column of the table (columns: ${columns.mkString(", ")})"))
+  }
+}
+
+/** `DELETE FROM graft.`root` WHERE cond` — rows where cond is TRUE are
+  * removed (NULL keeps, per SQL semantics); returns deleted_rows. */
+case class GraftDeleteCommand(root: String, alias: Option[String],
+    cond: GraftDml.Raw[Expression]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (before, after) = GraftDml.rewriteCounted(spark, root) { df =>
+      GraftDml.aliased(df, alias)
+        .filter(!coalesce(Bridge.column(cond.value), lit(false)))
+    }
+    Seq(Row(before - after))
+  }
+}
+
+/** `UPDATE graft.`root` SET a = e1, b = e2 [WHERE cond]` — every RHS
+  * sees the OLD row (one select, not chained withColumn, so
+  * `SET a = b, b = a` swaps); returns updated_rows (rows matching
+  * cond, whether or not any value changed). */
+case class GraftUpdateCommand(root: String, alias: Option[String],
+    assignments: GraftDml.Raw[Seq[Assignment]],
+    cond: GraftDml.Raw[Option[Expression]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("updated_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val condCol: Column = cond.value
+      .map(c => coalesce(Bridge.column(c), lit(false))).getOrElse(lit(true))
+    val updated = GraftDml.aliased(VersionedTable.read(spark, root), alias)
+      .filter(condCol).count()
+    GraftDml.rewriteCounted(spark, root) { df0 =>
+      val df = GraftDml.aliased(df0, alias)
+      val assign: Map[String, Column] = assignments.value.map { a =>
+        GraftDml.assignedColumn(df0.columns.toSeq, a.key) ->
+          Bridge.column(a.value)
+      }.toMap
+      df.select(df0.columns.toSeq.map { c =>
+        assign.get(c) match {
+          case Some(v) => when(condCol, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+    Seq(Row(updated))
+  }
+}
+
+/** The upsert-idiom MERGE (see [[GraftDml]]): unconditional
+  * `UPDATE SET *` / `DELETE` on match, `INSERT *` on no-match, keys
+  * from the ON conjunction's same-named equalities. Returns
+  * (matched_rows, rows_before, rows_after) — matched_rows counts
+  * TARGET rows hit by the matched action. */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+    keys: Seq[String], updateMatched: Boolean, deleteMatched: Boolean,
+    insertUnmatched: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("matched_rows", LongType, nullable = false)(),
+    AttributeReference("rows_before", LongType, nullable = false)(),
+    AttributeReference("rows_after", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src0 = Bridge.ofRows(spark, source)
+    val tgt0 = VersionedTable.read(spark, root)
+    val tgtCols = tgt0.columns.toSeq
+    val resolvedKeys = keys.map { k =>
+      tgtCols.find(_.equalsIgnoreCase(k)).getOrElse(GraftDml.fail(
+        s"MERGE key `$k` is not a column of the target " +
+          s"(columns: ${tgtCols.mkString(", ")})"))
+    }
+    // project the source onto the target schema by (ci) name — needed
+    // for UPDATE SET * / INSERT *; for pure DELETE only keys needed
+    val src =
+      if (updateMatched || insertUnmatched) {
+        val srcCols = src0.columns.toSeq
+        src0.select(tgtCols.map { c =>
+          srcCols.find(_.equalsIgnoreCase(c)).map(s => col(s).as(c))
+            .getOrElse(GraftDml.fail(
+              s"MERGE source lacks target column `$c` required by SET */INSERT *"))
+        }: _*)
+      } else src0.select(resolvedKeys.map(col): _*)
+    // a key matching >1 source row would silently duplicate the target
+    val dup = src.groupBy(resolvedKeys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    if (dup > 0) GraftDml.fail(
+      s"MERGE source has duplicate keys on (${resolvedKeys.mkString(", ")}); " +
+        "a multi-match merge would duplicate target rows")
+    val srcKeys = src.select(resolvedKeys.map(col): _*)
+
+    // matched TARGET rows, counted on the pre-DML version (the
+    // change-set is the small side → broadcast anti; parquet count()
+    // reads only footers)
+    val matched =
+      if (updateMatched || deleteMatched)
+        tgt0.count() -
+          tgt0.join(broadcast(srcKeys), resolvedKeys, "left_anti").count()
+      else 0L
+
+    val (before, after) = GraftDml.rewriteCounted(spark, root) { t =>
+      val kept =
+        if (updateMatched || deleteMatched)
+          t.join(broadcast(srcKeys), resolvedKeys, "left_anti")
+        else t
+      // the pure upsert needs NO source-side join (every source row
+      // lands); only update-only / insert-only must split the source
+      // by match, which shuffles the target's key column once
+      def tKeys = t.select(resolvedKeys.map(col): _*).distinct()
+      (updateMatched, insertUnmatched) match {
+        case (true, true) => kept.unionByName(src)
+        case (true, false) =>
+          kept.unionByName(src.join(tKeys, resolvedKeys, "left_semi"))
+        case (false, true) =>
+          kept.unionByName(src.join(tKeys, resolvedKeys, "left_anti"))
+        case (false, false) => kept
+      }
+    }
+    Seq(Row(matched, before, after))
+  }
+}
+
+object GraftMergeCommand extends PredicateHelper {
+
+  /** Validate the parsed MERGE shape and build the command; called
+    * from the parser so unsupported forms fail at parse time. */
+  def from(root: String, source: LogicalPlan, cond: Expression,
+      matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
+      notMatchedBySourceActions: Seq[MergeAction],
+      withSchemaEvolution: Boolean): GraftMergeCommand = {
+    if (withSchemaEvolution)
+      GraftDml.fail("MERGE WITH SCHEMA EVOLUTION is not supported on graft tables")
+    if (notMatchedBySourceActions.nonEmpty)
+      GraftDml.fail("WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
+    val (updateMatched, deleteMatched) = matchedActions match {
+      case Seq() => (false, false)
+      case Seq(UpdateStarAction(None)) => (true, false)
+      case Seq(DeleteAction(None)) => (false, true)
+      case other => GraftDml.fail(
+        "graft MERGE supports one unconditional WHEN MATCHED THEN " +
+          s"UPDATE SET * or DELETE; got: ${other.mkString(", ")}")
+    }
+    val insertUnmatched = notMatchedActions match {
+      case Seq() => false
+      case Seq(InsertStarAction(None)) => true
+      case other => GraftDml.fail(
+        "graft MERGE supports one unconditional WHEN NOT MATCHED THEN " +
+          s"INSERT *; got: ${other.mkString(", ")}")
+    }
+    if (!updateMatched && !deleteMatched && !insertUnmatched)
+      GraftDml.fail("MERGE needs at least one action")
+    val keys = splitConjunctivePredicates(cond).map {
+      case EqualTo(a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute,
+          b: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => GraftDml.fail(
+        "graft MERGE ON must be a conjunction of same-named column " +
+          s"equalities (t.k = s.k); got: ${other.sql}")
+    }
+    GraftMergeCommand(root, source, keys, updateMatched, deleteMatched,
+      insertUnmatched)
+  }
+}

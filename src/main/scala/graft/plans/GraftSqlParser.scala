@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, PredicateHelper}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Join, LogicalPlan, MergeIntoTable, UpdateTable}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** SQL syntax extension: `ASOF JOIN`.
@@ -67,8 +67,24 @@ class GraftSqlParser(delegate: ParserInterface)
         AsOfJoin(l, r, k1, k2, lt, rt, None)
     }
 
+  /** DML statements targeting `graft.<root>` become [[GraftDml]]
+    * commands over VersionedTable rewrites (top-level match only —
+    * DML cannot nest, and a CTE-wrapped form should hit Spark's own
+    * resolution error rather than lose its CTE definitions). */
+  private def rewriteDml(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(GraftDml.GraftTarget(root, alias), cond) =>
+      GraftDeleteCommand(root, alias, GraftDml.Raw(cond))
+    case UpdateTable(GraftDml.GraftTarget(root, alias), assigns, cond) =>
+      GraftUpdateCommand(root, alias, GraftDml.Raw(assigns), GraftDml.Raw(cond))
+    case MergeIntoTable(GraftDml.GraftTarget(root, _), source, cond,
+        matched, notMatched, notMatchedBySource, schemaEvolution) =>
+      GraftMergeCommand.from(root, source, cond, matched, notMatched,
+        notMatchedBySource, schemaEvolution)
+    case p => p
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewriteAsOf(delegate.parsePlan(preprocess(sqlText)))
+    rewriteDml(rewriteAsOf(delegate.parsePlan(preprocess(sqlText))))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     rewriteAsOf(delegate.parseQuery(preprocess(sqlText)))

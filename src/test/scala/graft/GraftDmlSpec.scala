@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lakehouse.VersionedTable
+
+/** SQL DML (DELETE / UPDATE / MERGE) over VersionedTable roots through
+  * the parser extension — `graft.plans.GraftDml`. */
+class GraftDmlSpec extends SparkSpec {
+
+  private def freshTable(prefix: String): String = {
+    import spark.implicits._
+    val root = tmpDir(prefix) + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+        .toDF("k", "s", "v"),
+      keepVersions = 4)
+    root
+  }
+
+  test("DELETE FROM removes matching rows, advances the version, keeps time travel") {
+    val root = freshTable("dmldel")
+    spark.conf.set("spark.graft.dml.keepVersions", "4")
+    try {
+      val res = spark.sql(s"DELETE FROM graft.`$root` WHERE v >= 30").collect()
+      assert(res.map(_.getLong(0)).toSeq == Seq(2L))
+      assert(VersionedTable.read(spark, root).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      // previous version still readable within the retention window
+      assert(VersionedTable.readVersion(spark, root, 1L).count() == 4)
+      assert(VersionedTable.currentVersion(spark, root).contains(2L))
+    } finally spark.conf.unset("spark.graft.dml.keepVersions")
+  }
+
+  test("DELETE with a NULL predicate keeps the row (SQL semantics)") {
+    import spark.implicits._
+    val root = tmpDir("dmlnull") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+        .toDF("k", "v"), keepVersions = 2)
+    val deleted = spark.sql(s"DELETE FROM graft.`$root` WHERE v > 10")
+      .collect().head.getLong(0)
+    assert(deleted == 1L)
+    assert(VersionedTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("DELETE supports a target alias with qualified predicate columns") {
+    val root = freshTable("dmlalias")
+    spark.sql(s"DELETE FROM graft.`$root` x WHERE x.k = 1")
+    assert(VersionedTable.read(spark, root).count() == 3)
+  }
+
+  test("UPDATE SET evaluates every RHS against the OLD row (swap works)") {
+    import spark.implicits._
+    val root = tmpDir("dmlswap") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, 100L, 200L), (2L, 7L, 8L)).toDF("k", "a", "b"),
+      keepVersions = 2)
+    val updated = spark.sql(
+      s"UPDATE graft.`$root` SET a = b, b = a WHERE k = 1")
+      .collect().head.getLong(0)
+    assert(updated == 1L)
+    val rows = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 200L, 100L), (2L, 7L, 8L)))
+  }
+
+  test("UPDATE without WHERE hits every row; expressions may reference columns") {
+    val root = freshTable("dmlall")
+    val updated = spark.sql(
+      s"UPDATE graft.`$root` SET v = v + 1, s = upper(s)")
+      .collect().head.getLong(0)
+    assert(updated == 4L)
+    val rows = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("A", 11L), ("B", 21L), ("C", 31L), ("D", 41L)))
+  }
+
+  test("UPDATE SET on a non-column fails loudly") {
+    val root = freshTable("dmlbadcol")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$root` SET nope = 1 WHERE k = 1").collect()
+    }
+    assert(e.getMessage.contains("not a top-level column"))
+  }
+
+  test("MERGE upsert: UPDATE SET * + INSERT *") {
+    import spark.implicits._
+    val root = freshTable("dmlmerge")
+    Seq((2L, "B!", 22L), (9L, "i", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_changes")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$root` t USING dml_changes s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) == (1L, 4L, 5L))
+    val rows = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "B!", 22L), (3L, "c", 30L),
+      (4L, "d", 40L), (9L, "i", 90L)))
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE is a keyed delete") {
+    import spark.implicits._
+    val root = freshTable("dmlmergedel")
+    Seq(Tuple1(1L), Tuple1(3L), Tuple1(99L)).toDF("k")
+      .createOrReplaceTempView("dml_kill")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$root` t USING dml_kill s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin).collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) == (2L, 4L, 2L))
+    assert(VersionedTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("MERGE insert-only inserts exactly the unmatched source rows") {
+    import spark.implicits._
+    val root = freshTable("dmlmergeins")
+    Seq((4L, "dupe", 0L), (7L, "new", 70L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_ins")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$root` USING dml_ins s
+         |ON graft.k = s.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect().head
+    assert((res.getLong(1), res.getLong(2)) == (4L, 5L))
+    // the matched k=4 row is untouched, only k=7 inserted
+    val rows = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (7L, "new")))
+  }
+
+  test("MERGE refuses duplicate source keys instead of duplicating rows") {
+    import spark.implicits._
+    val root = freshTable("dmlmergedup")
+    Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_dup")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING dml_dup s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+  }
+
+  test("MERGE rejects conditional / column-list actions at parse time") {
+    val root = freshTable("dmlmergebad")
+    val e1 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING dml_x s ON t.k = s.k
+           |WHEN MATCHED AND s.v > 5 THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e1.getMessage.contains("unconditional"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING dml_x s ON t.k > s.k
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("same-named column"))
+  }
+
+  test("DML preserves the manifest's stats and bloom skipping payload") {
+    import spark.implicits._
+    val root = tmpDir("dmlstats") + "/t"
+    val df = spark.range(0, 4000).toDF("i")
+      .select(col("i").as("k"), (col("i") * 2654435761L % 99991L).as("id"))
+    VersionedTable.commit(spark, root, keepVersions = 2,
+      statsCols = Seq("k"), bloomCols = Seq("id")) { stage =>
+        df.repartition(8).write.parquet(stage)
+      }
+    spark.sql(s"DELETE FROM graft.`$root` WHERE k < 1000")
+    val v = VersionedTable.currentVersion(spark, root).get
+    assert(v == 2L)
+    val st = VersionedTable.manifestStats(spark, root, v)
+    assert(st.nonEmpty && st.forall(_.min.contains("k")),
+      "post-DML manifest lost its k stats")
+    assert(VersionedTable.manifestBlooms(spark, root, v).nonEmpty,
+      "post-DML manifest lost its id blooms")
+    // and the refreshed skipping index still plans correctly
+    val got = VersionedTable.readPruned(spark, root, "k", 3000L, 3999L)
+      .filter(col("k").between(3000L, 3999L)).count()
+    assert(got == 1000L)
+  }
+
+  test("DML statements run through SqlRunner scripts") {
+    val root = freshTable("dmlrunner")
+    graft.lakehouse.SqlRunner.script(spark,
+      s"DELETE FROM graft.`$root` WHERE k = 4; " +
+        s"UPDATE graft.`$root` SET v = 0 WHERE k = 1;")
+    val rows = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 0L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("non-graft DML still resolves through Spark's own path (and fails there)") {
+    intercept[Exception] {
+      spark.sql("DELETE FROM some_missing_table WHERE x = 1")
+    }
+  }
+}
