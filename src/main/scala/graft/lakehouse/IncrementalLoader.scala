@@ -82,7 +82,7 @@ object IncrementalLoader {
     // VersionedTable (retention/compaction/upsert), publish into the
     // CURRENT version dir — an append to the root would be invisible
     // to versioned reads. Flat tables keep publishing to the root.
-    val liveDir = VersionedTable.currentPath(spark, tableDir)
+    val liveDir = VersionedTable.appendablePath(spark, tableDir)
     val results = fresh.map { f =>
       try {
         val reader = spark.read.schema(schema)

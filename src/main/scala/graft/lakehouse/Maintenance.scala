@@ -124,8 +124,15 @@ object Maintenance {
                        bloomCols: Seq[String] = Nil): Int = {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
-    val cur = new Path(VersionedTable.currentPath(spark, root))
-    val bytes = fs.getContentSummary(cur).getLength
+    // sum the version's actual FILE list — under a delta manifest the
+    // current dir holds only the newest files, not the table; a
+    // not-yet-versioned (flat/legacy) table sizes by its dir
+    val bytes = VersionedTable.currentVersion(spark, root) match {
+      case Some(_) => VersionedTable.currentFiles(spark, root)
+        .map(f => fs.getFileStatus(new Path(s"$root/$f")).getLen).sum
+      case None => fs.getContentSummary(
+        new Path(VersionedTable.currentPath(spark, root))).getLength
+    }
     val n = math.max(1, (bytes / targetFileBytes).toInt)
     VersionedTable.rewrite(spark, root, statsCols = statsCols,
       bloomCols = bloomCols) { df =>

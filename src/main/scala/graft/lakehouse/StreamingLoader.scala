@@ -87,7 +87,7 @@ object StreamingLoader {
     val spark = batch.sparkSession
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
-    val liveDir = VersionedTable.currentPath(spark, root)
+    val liveDir = VersionedTable.appendablePath(spark, root)
     val target = new Path(liveDir, f"batch-$batchId%09d.snappy.parquet")
     if (fs.exists(target)) return // re-delivered after a crash: already landed
     val stage = new Path(s"$root/_streaming-stage/$batchId")

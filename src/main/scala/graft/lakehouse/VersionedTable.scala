@@ -124,8 +124,70 @@ object VersionedTable {
       case None => root
     }
 
+  /** The explicit data-file list a version's manifest carries
+    * (ROOT-relative `f\t` lines — written by [[commitDelta]]), or None
+    * for a conventional whole-dir version. When present, the list IS
+    * the version's data: files may live in several retained version
+    * dirs, which is what lets a commit carry untouched files forward
+    * by reference instead of copying table-sized bytes. */
+  def filesOf(spark: SparkSession, root: String,
+      version: Long): Option[Seq[String]] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(commitsDir(root), version.toString)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val fl = content.split("\n").toSeq.filter(_.startsWith("f\t"))
+      .map(l => unesc(l.drop(2)))
+    if (fl.isEmpty) None else Some(fl)
+  }
+
+  /** The current version's data files as ROOT-relative paths — the
+    * carried-file input of a [[commitDelta]]. Manifest f-lines when
+    * present, else a listing of the version dir. */
+  def currentFiles(spark: SparkSession, root: String): Seq[String] = {
+    val version = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    filesOf(spark, root, version).getOrElse {
+      val fs = fsOf(spark, root)
+      val dir = new Path(dataDirOf(fs, root, version))
+      val dirName = dir.getName
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && isDataFile(st.getPath.getName))
+        .map(st => s"$dirName/${st.getPath.getName}")
+    }
+  }
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Resolve a manifest file key to an absolute path: delta-commit
+    * keys are root-relative (they contain a `/`); legacy keys are
+    * bare names inside the version dir. */
+  private def resolveFile(root: String, dir: String, key: String): String =
+    if (key.contains('/')) s"$root/$key" else s"$dir/$key"
+
   def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(currentPath(spark, root))
+    currentVersion(spark, root) match {
+      case Some(n) => readVersion(spark, root, n)
+      case None => spark.read.parquet(root)
+    }
+
+  /** The live dir for IN-PLACE single-object appends (the incremental
+    * loaders' visibility model: dir scan = table). Refuses file-list
+    * (delta) versions, where an in-place append would be INVISIBLE to
+    * readers resolving the manifest's file list — those tables append
+    * through [[appendDelta]] instead. */
+  def appendablePath(spark: SparkSession, root: String): String = {
+    currentVersion(spark, root).foreach { v =>
+      require(filesOf(spark, root, v).isEmpty,
+        s"version $v of $root is a file-list (delta) commit: in-place " +
+          "appends are invisible to its readers — use appendDelta")
+    }
+    currentPath(spark, root)
+  }
 
   /** Crash-safe commit of the next version. `writer` receives the
     * version's (hidden, final) data dir and must produce a complete
@@ -188,12 +250,168 @@ object VersionedTable {
     next
   }
 
+  /** FILE-GRANULAR (copy-on-write) commit: version `N+1` = `carried`
+    * files of earlier versions, REFERENCED not copied, plus whatever
+    * `writer` adds under the new `_v-(N+1)` dir. The manifest gains
+    * `f\t<root-relative path>` lines enumerating the version's exact
+    * file set; readers resolve those instead of a directory scan.
+    *
+    * This is what makes mutation cost follow the AFFECTED data, not
+    * the table: a DELETE touching 2 of 10 000 files rewrites 2 files
+    * and re-references 9 998 (at 100 TB, the difference between a
+    * seconds-long surgical commit and a full-table rewrite). The
+    * commit point is unchanged — one manifest PUT — so every crash
+    * window of [[commit]] carries over verbatim: an unpublished
+    * `_v-(N+1)` is invisible, and carried files belong to RETAINED
+    * older versions, which [[prune]] and [[vacuum]] keep alive for as
+    * long as any retained manifest references them.
+    *
+    * `carried` entries are root-relative `<verdir>/<name>` refs —
+    * [[currentFiles]] produces them. `writer` MAY write nothing (a
+    * pure drop/carry commit, e.g. a delete confined to whole files);
+    * if it writes, the parquet commit must complete (`_SUCCESS`).
+    * Stats/blooms for carried files are COPIED from the previous
+    * manifest when present (no re-scan); files the previous manifest
+    * carried no stats for are re-scanned when `statsCols` asks for
+    * stats, and pruning treats stat-less files conservatively either
+    * way. Single-writer, like [[commit]]. */
+  def commitDelta(spark: SparkSession, root: String, carried: Seq[String],
+      keepVersions: Int = 1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 8192,
+      bloomHashes: Int = 4)(writer: String => Unit): Long = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) legacyVersion(fs, root) match {
+      case Some(n) => publishManifest(fs, root, n)
+      case None    => fs.mkdirs(cd)
+    }
+    carried.foreach { r =>
+      require(r.nonEmpty && !r.startsWith("/") && !r.contains("..") &&
+        r.count(_ == '/') == 1,
+        s"carried ref must be a root-relative <verdir>/<file> path: $r")
+    }
+    val base = currentVersion(spark, root)
+    require(base.nonEmpty || carried.isEmpty,
+      s"carried refs into an uncommitted table: $root")
+    val next = base.getOrElse(0L) + 1L
+    val stage = new Path(s"$root/_v-$next")
+    fs.delete(stage, true)
+    writer(stage.toString)
+    // ensure the version dir exists even for a write-nothing delta —
+    // batch markers and dataDirOf resolution expect it
+    fs.mkdirs(stage)
+    val newNames = fs.listStatus(stage).toSeq
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
+      .map(_.getPath.getName).sorted
+    if (newNames.nonEmpty)
+      require(fs.exists(new Path(stage, "_SUCCESS")),
+        s"writer did not complete a parquet commit under $stage")
+    val newRefs = newNames.map(n => s"_v-$next/$n")
+    val all = carried ++ newRefs
+    require(all.nonEmpty,
+      "empty delta commit: nothing carried and nothing written")
+
+    // previous manifest payload, keyed root-relative, for carry-over
+    val (prevStats, prevBlooms) = base match {
+      case None => (Map.empty[String, FileStat],
+        Map.empty[(String, String), (Int, Int, java.util.BitSet)])
+      case Some(v) =>
+        val dirName = new Path(dataDirOf(fs, root, v)).getName
+        def rel(f: String) = if (f.contains('/')) f else s"$dirName/$f"
+        (manifestStats(spark, root, v).map(s => rel(s.file) -> s).toMap,
+          manifestBlooms(spark, root, v).map { case ((f, c), b) =>
+            (rel(f), c) -> b
+          }.toMap)
+    }
+    // carried files' stats/blooms are COPIED forward even when no
+    // columns are requested — carrying the skipping index is free;
+    // only the files this commit touches need (re)scanning, and
+    // stat-less files read conservatively anyway
+    val statsPayload = {
+      val copied = carried.filter(prevStats.contains)
+        .flatMap(r => statLines(r, prevStats(r)))
+      val fresh =
+        if (statsCols.isEmpty) ""
+        else {
+          val rescan = carried.filterNot(prevStats.contains)
+            .map(r => s"$root/$r")
+          val scanned = (rescan ++ (if (newNames.nonEmpty)
+            Seq(stage.toString) else Nil))
+          if (scanned.isEmpty) ""
+          else collectFileStats(spark, scanned, statsCols, relKeys = true)
+        }
+      (copied ++ Option(fresh).filter(_.nonEmpty)).sorted.mkString("\n")
+    }
+    val bloomPayload = {
+      val copied = carried.flatMap { r =>
+        prevBlooms.collect { case ((f, c), (bits, k, bs)) if f == r =>
+          bloomLine(r, c, bits, k, bs)
+        }
+      }
+      val fresh =
+        if (bloomCols.isEmpty) ""
+        else {
+          val rescan = carried
+            .filter(r => bloomCols.exists(c => !prevBlooms.contains((r, c))))
+            .map(r => s"$root/$r")
+          val scanned = (rescan ++ (if (newNames.nonEmpty)
+            Seq(stage.toString) else Nil))
+          if (scanned.isEmpty) ""
+          else collectFileBlooms(spark, scanned, bloomCols, bloomBits,
+            bloomHashes, relKeys = true)
+        }
+      (copied ++ Option(fresh).filter(_.nonEmpty)).sorted.mkString("\n")
+    }
+    val fLines = all.map(r => s"f\t${esc(r)}").sorted.mkString("\n")
+    val payload = Seq(statsPayload, bloomPayload, fLines)
+      .filter(_.nonEmpty).mkString("\n")
+    publishManifest(fs, root, next, payload)
+    prune(fs, root, next - math.max(1, keepVersions))
+    next
+  }
+
+  /** Append-only delta: new version = every current file (by
+    * reference) + whatever `writer` adds — O(batch) work however big
+    * the table is, with full commit semantics (manifest PUT, time
+    * travel, retention). */
+  def appendDelta(spark: SparkSession, root: String, keepVersions: Int = 1,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
+      (writer: String => Unit): Long =
+    commitDelta(spark, root, currentFiles(spark, root), keepVersions,
+      statsCols, bloomCols)(writer)
+
+  /** The f-line refs of a manifest, fs-level (no SparkSession). */
+  private def manifestFileRefs(fs: FileSystem, root: String,
+      n: Long): Seq[String] = {
+    val p = new Path(commitsDir(root), n.toString)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split("\n").toSeq.filter(_.startsWith("f\t"))
+      .map(l => unesc(l.drop(2)))
+  }
+
   /** Remove versions (data + manifest) at or below `cutoff`, stale
     * staging dirs, losing/crashed optimistic attempt dirs whose target
-    * version is superseded, and pre-versioning flat files. */
+    * version is superseded, and pre-versioning flat files. A dir below
+    * the cutoff SURVIVES while any retained manifest still references
+    * files inside it (delta commits carry files forward by reference);
+    * once every referencing manifest is itself pruned, a later sweep
+    * reclaims it. */
   private def prune(fs: FileSystem, root: String, cutoff: Long): Unit = {
+    val retained = fs.listStatus(commitsDir(root)).toSeq
+      .flatMap(_.getPath.getName.toLongOption).filter(_ > cutoff)
+    val referenced: Set[String] = retained.flatMap { n =>
+      new Path(dataDirOf(fs, root, n)).getName +:
+        manifestFileRefs(fs, root, n).map(_.takeWhile(_ != '/'))
+    }.toSet
     fs.listStatus(new Path(root)).foreach { st =>
-      st.getPath.getName match {
+      val name = st.getPath.getName
+      name match {
+        case _ if referenced.contains(name) => ()
         case HiddenVer(n) if n.toLong <= cutoff => fs.delete(st.getPath, true)
         // an attempt dir below the cutoff is either a pruned winner or
         // a loser/crash leftover for a version someone else won —
@@ -201,7 +419,7 @@ object VersionedTable {
         // target versions > cutoff)
         case AttemptVer(n) if n.toLong <= cutoff => fs.delete(st.getPath, true)
         case LegacyVer(n) if n.toLong <= cutoff => fs.delete(st.getPath, true)
-        case name if name.startsWith("_stage_v=") => fs.delete(st.getPath, true)
+        case _ if name.startsWith("_stage_v=") => fs.delete(st.getPath, true)
         case _ if st.isFile => fs.delete(st.getPath, false)
         case _ => ()
       }
@@ -215,7 +433,12 @@ object VersionedTable {
   /** Read a specific retained version (time travel within the
     * retention window). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(dataDirOf(fsOf(spark, root), root, version))
+    filesOf(spark, root, version) match {
+      case Some(files) =>
+        spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      case None =>
+        spark.read.parquet(dataDirOf(fsOf(spark, root), root, version))
+    }
 
   // ---- data-skipping stats (Iceberg-style manifest payload) --------
 
@@ -247,14 +470,27 @@ object VersionedTable {
   }
   private val NullMark = "\\N"
 
+  /** Key a scanned file: delta commits (`relKeys`) use the
+    * root-relative `<verdir>/<name>` form so references across
+    * version dirs stay unambiguous; whole-dir commits keep the bare
+    * name (legacy manifest compatibility). */
+  private def fileKey(abs: String, relKeys: Boolean): String = {
+    val p = new Path(abs)
+    if (relKeys) s"${p.getParent.getName}/${p.getName}" else p.getName
+  }
+
   /** One distributed aggregate over the fresh version dir: per-file
     * row count + min/max of `cols`, serialized as manifest payload
     * lines (`s \t file \t rows \t col \t min \t max`). Only the
     * file-count-sized stat table reaches the driver. */
   private def collectFileStats(spark: SparkSession, dataDir: String,
-      cols: Seq[String]): String = {
+      cols: Seq[String]): String =
+    collectFileStats(spark, Seq(dataDir), cols, relKeys = false)
+
+  private def collectFileStats(spark: SparkSession, sources: Seq[String],
+      cols: Seq[String], relKeys: Boolean): String = {
     import org.apache.spark.sql.functions.{count, input_file_name, max, min, lit}
-    val df = spark.read.parquet(dataDir)
+    val df = spark.read.parquet(sources: _*)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"),
@@ -264,7 +500,7 @@ object VersionedTable {
       .groupBy("_file").agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.flatMap { r =>
-      val file = new Path(r.getAs[String]("_file")).getName
+      val file = fileKey(r.getAs[String]("_file"), relKeys)
       val n = r.getAs[Long]("_rows")
       cols.map { c =>
         val mn = Option(r.getAs[String](s"min_$c")).map(esc).getOrElse(NullMark)
@@ -273,6 +509,21 @@ object VersionedTable {
         s"s\t${esc(file)}\t$n\t${esc(c)}\t$mn\t$mx\t$nulls"
       }
     }.sorted.mkString("\n")
+  }
+
+  /** Re-serialize a previous manifest's stats for a carried file under
+    * its root-relative key — a delta commit copies instead of
+    * re-scanning. */
+  private def statLines(key: String, s: FileStat): Seq[String] = {
+    val cols = (s.min.keySet ++ s.max.keySet).toSeq.sorted
+    cols.map { c =>
+      val mn = s.min.getOrElse(c, None).map(esc).getOrElse(NullMark)
+      val mx = s.max.getOrElse(c, None).map(esc).getOrElse(NullMark)
+      s.nulls.get(c) match {
+        case Some(nu) => s"s\t${esc(key)}\t${s.rows}\t${esc(c)}\t$mn\t$mx\t$nu"
+        case None => s"s\t${esc(key)}\t${s.rows}\t${esc(c)}\t$mn\t$mx"
+      }
+    }
   }
 
   /** Per-file, per-column bloom filters for POINT-lookup pruning —
@@ -287,12 +538,17 @@ object VersionedTable {
     * the lines (the stats parser keeps only `s\t`). Size: bits/8
     * bytes per (file, col) — KBs per thousand files. */
   private def collectFileBlooms(spark: SparkSession, dataDir: String,
-      cols: Seq[String], bits: Int, k: Int): String = {
+      cols: Seq[String], bits: Int, k: Int): String =
+    collectFileBlooms(spark, Seq(dataDir), cols, bits, k, relKeys = false)
+
+  private def collectFileBlooms(spark: SparkSession, sources: Seq[String],
+      cols: Seq[String], bits: Int, k: Int, relKeys: Boolean): String = {
     import org.apache.spark.sql.functions.{explode, input_file_name, lit,
       pmod, sequence, xxhash64, collect_set}
     require(bits > 0 && bits % 8 == 0, s"bloomBits=$bits must be byte-sized")
     require(k >= 1 && k <= 16, s"bloomHashes=$k out of range")
-    val df = spark.read.parquet(dataDir).withColumn("_file", input_file_name())
+    val df = spark.read.parquet(sources: _*)
+      .withColumn("_file", input_file_name())
     cols.flatMap { c =>
       df.filter(col(c).isNotNull)
         .select(col("_file"), col(c).as("_v"),
@@ -306,10 +562,17 @@ object VersionedTable {
           val bs = new java.util.BitSet(bits)
           r.getSeq[Int](1).foreach(bs.set)
           val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
-          val file = new Path(r.getString(0)).getName
+          val file = fileKey(r.getString(0), relKeys)
           s"b\t${esc(file)}\t${esc(c)}\t$bits\t$k\t$b64"
         }
     }.sorted.mkString("\n")
+  }
+
+  /** Re-serialize a previous manifest's bloom for a carried file. */
+  private def bloomLine(key: String, c: String, bits: Int, k: Int,
+      bs: java.util.BitSet): String = {
+    val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+    s"b\t${esc(key)}\t${esc(c)}\t$bits\t$k\t$b64"
   }
 
   /** The blooms a version's manifest carries:
@@ -357,14 +620,15 @@ object VersionedTable {
     val stats = manifestStats(spark, root, version)
     require(stats.nonEmpty, s"version $version of $root carries no file stats")
     val blooms = manifestBlooms(spark, root, version)
-    val dt = spark.read.parquet(dir).schema(colName).dataType
-    stats.map(_.file).filter { f =>
+    val dt = read(spark, root).schema(colName).dataType
+    val universe = filesOf(spark, root, version).getOrElse(stats.map(_.file))
+    universe.filter { f =>
       blooms.get((f, colName)) match {
         case None => true // no bloom recorded → cannot rule out
         case Some((bits, k, bs)) =>
           (0 until k).forall(j => bs.get(bloomBit(value, dt, j, bits)))
       }
-    }.map(f => s"$dir/$f")
+    }.map(f => resolveFile(root, dir, f))
   }
 
   /** [[prunedFilesEq]] + read + the exact equality filter: the
@@ -373,7 +637,7 @@ object VersionedTable {
       value: Any): DataFrame = {
     val files = prunedFilesEq(spark, root, colName, value)
     val base =
-      if (files.isEmpty) spark.read.parquet(currentPath(spark, root)).limit(0)
+      if (files.isEmpty) read(spark, root).limit(0)
       else spark.read.parquet(files: _*)
     val dt = base.schema(colName).dataType
     base.filter(col(colName) === org.apache.spark.sql.functions
@@ -427,16 +691,24 @@ object VersionedTable {
     val dir = currentPath(spark, root)
     val stats = manifestStats(spark, root, version)
     require(stats.nonEmpty, s"version $version of $root carries no file stats")
-    val dt = spark.read.parquet(dir).schema(colName).dataType
+    val dt = read(spark, root).schema(colName).dataType
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
-    val st = stats.map(s => (s.file, s.rows,
-        s.min.getOrElse(colName, None), s.max.getOrElse(colName, None),
-        s.nulls.get(colName)))
-      .toDF("file", "rows", "mn", "mx", "nulls")
+    // stat-less files (possible under delta manifests) cannot be
+    // metadata-answered: all-null stats → overlap, never contained
+    val byFile = stats.map(s => s.file -> s).toMap
+    val universe = filesOf(spark, root, version).getOrElse(stats.map(_.file))
+    val st = universe.map { f =>
+      val s = byFile.get(f)
+      (f, s.map(_.rows),
+        s.flatMap(_.min.getOrElse(colName, None)),
+        s.flatMap(_.max.getOrElse(colName, None)),
+        s.flatMap(_.nulls.get(colName)))
+    }.toDF("file", "rows", "mn", "mx", "nulls")
     val overlaps = col("mn").isNull || col("mx").isNull ||
       (col("mx").cast(dt) >= lit(lower) && col("mn").cast(dt) <= lit(upper))
-    val contained = col("mn").isNotNull && col("mx").isNotNull &&
+    val contained = col("rows").isNotNull &&
+      col("mn").isNotNull && col("mx").isNotNull &&
       col("nulls").isNotNull &&
       col("mn").cast(dt) >= lit(lower) && col("mx").cast(dt) <= lit(upper)
     val parts = st.filter(overlaps)
@@ -445,7 +717,7 @@ object VersionedTable {
     val metaCount = parts.filter(_.getAs[Boolean]("full"))
       .map(r => r.getAs[Long]("rows") - r.getAs[Long]("nulls")).sum
     val boundary = parts.filter(!_.getAs[Boolean]("full"))
-      .map(r => s"$dir/${r.getAs[String]("file")}")
+      .map(r => resolveFile(root, dir, r.getAs[String]("file")))
     val scanned =
       if (boundary.isEmpty) 0L
       else spark.read.parquet(boundary.toSeq: _*)
@@ -473,15 +745,19 @@ object VersionedTable {
     val dir = currentPath(spark, root)
     val stats = manifestStats(spark, root, version)
     require(stats.nonEmpty, s"version $version of $root carries no file stats")
-    val schema = spark.read.parquet(dir).schema
+    val schema = read(spark, root).schema
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
     val cols = bounds.map(_._1)
-    val st = stats.map(s => (s.file, s.rows,
-        cols.map(c => s.min.getOrElse(c, None)),
-        cols.map(c => s.max.getOrElse(c, None)),
-        cols.map(c => s.nulls.get(c))))
-      .toDF("file", "rows", "mns", "mxs", "nulls")
+    val byFile = stats.map(s => s.file -> s).toMap
+    val universe = filesOf(spark, root, version).getOrElse(stats.map(_.file))
+    val st = universe.map { f =>
+      val s = byFile.get(f)
+      (f, s.map(_.rows),
+        cols.map(c => s.flatMap(_.min.getOrElse(c, None))),
+        cols.map(c => s.flatMap(_.max.getOrElse(c, None))),
+        cols.map(c => s.flatMap(_.nulls.get(c))))
+    }.toDF("file", "rows", "mns", "mxs", "nulls")
     val dims = bounds.zipWithIndex.map { case ((c, lo, hi), i) =>
       val dt = schema(c).dataType
       val mn = col("mns").getItem(i); val mx = col("mxs").getItem(i)
@@ -494,7 +770,7 @@ object VersionedTable {
     }
     val parts = st.filter(dims.map(_._1).reduce(_ && _))
       .select(col("file"), col("rows"), col("nulls"),
-        dims.map(_._2).reduce(_ && _).as("full"))
+        (col("rows").isNotNull && dims.map(_._2).reduce(_ && _)).as("full"))
       .collect()
     val (meta, boundary) = parts.partition { r =>
       r.getAs[Boolean]("full") &&
@@ -502,7 +778,7 @@ object VersionedTable {
     }
     val metaCount = meta
       .map(r => r.getAs[Long]("rows") - r.getAs[Seq[Long]]("nulls").sum).sum
-    val files = boundary.map(r => s"$dir/${r.getAs[String]("file")}")
+    val files = boundary.map(r => resolveFile(root, dir, r.getAs[String]("file")))
     val scanned =
       if (files.isEmpty) 0L
       else spark.read.parquet(files.toSeq: _*)
@@ -542,14 +818,19 @@ object VersionedTable {
     val dir = currentPath(spark, root)
     val stats = manifestStats(spark, root, version)
     require(stats.nonEmpty, s"version $version of $root carries no file stats")
-    val schema = spark.read.parquet(dir).schema
+    val schema = read(spark, root).schema
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
     val cols = bounds.map(_._1)
-    val st = stats.map(s => (s.file,
-        cols.map(c => s.min.getOrElse(c, None)),
-        cols.map(c => s.max.getOrElse(c, None))))
-      .toDF("file", "mns", "mxs")
+    // universe = the manifest's file LIST when present (delta commits);
+    // files the manifest carries no stats for are kept conservatively
+    val byFile = stats.map(s => s.file -> s).toMap
+    val universe = filesOf(spark, root, version).getOrElse(stats.map(_.file))
+    val st = universe.map { f =>
+      val s = byFile.get(f)
+      (f, cols.map(c => s.flatMap(_.min.getOrElse(c, None))),
+        cols.map(c => s.flatMap(_.max.getOrElse(c, None))))
+    }.toDF("file", "mns", "mxs")
     val keep = bounds.zipWithIndex.map { case ((c, lo, hi), i) =>
       val dt = schema(c).dataType
       val mn = col("mns").getItem(i)
@@ -574,7 +855,7 @@ object VersionedTable {
           }
         }
       }
-    kept.map(f => s"$dir/$f")
+    kept.map(f => resolveFile(root, dir, f))
   }
 
   /** [[prunedFiles]] + read: the manifest-planned range scan. */
@@ -588,7 +869,7 @@ object VersionedTable {
     val files = prunedFilesWhere(spark, root, bounds)
     if (files.isEmpty) {
       // preserve the schema on an empty plan
-      spark.read.parquet(currentPath(spark, root)).limit(0)
+      read(spark, root).limit(0)
     } else spark.read.parquet(files: _*)
   }
 
@@ -746,7 +1027,8 @@ object VersionedTable {
     if (!fs.exists(rootP) || !fs.exists(cd)) return Seq.empty
     val referenced: Set[String] = fs.listStatus(cd).toSeq
       .flatMap(st => st.getPath.getName.toLongOption)
-      .map(n => new Path(dataDirOf(fs, root, n)).getName).toSet
+      .flatMap(n => new Path(dataDirOf(fs, root, n)).getName +:
+        manifestFileRefs(fs, root, n).map(_.takeWhile(_ != '/'))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val victims = fs.listStatus(rootP).toSeq.filter { st =>
       val name = st.getPath.getName

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.lakehouse.VersionedTable
+
+/** File-granular (copy-on-write) commits: `commitDelta`/`appendDelta`
+  * — versions that REFERENCE untouched files and write only new ones,
+  * so mutation cost follows affected data, not table size. */
+class DeltaCommitSpec extends SparkSpec {
+
+  private def fs(root: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def initTable(prefix: String, files: Int = 4,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): String = {
+    val root = tmpDir(prefix) + "/t"
+    val df = spark.range(0, 4000).toDF("k")
+      .select(col("k"), (col("k") % 97L).as("v"),
+        (col("k") * 2654435761L % 99991L).as("id"))
+    VersionedTable.commit(spark, root, keepVersions = 8,
+      statsCols = statsCols, bloomCols = bloomCols) { stage =>
+      df.repartitionByRange(files, col("k"))
+        .sortWithinPartitions("k").write.parquet(stage)
+    }
+    root
+  }
+
+  test("appendDelta: new version references old files, copies nothing") {
+    import spark.implicits._
+    val root = initTable("deltaapp")
+    val v1Files = VersionedTable.currentFiles(spark, root)
+    assert(v1Files.size == 4 && v1Files.forall(_.startsWith("_v-1/")))
+    val v2 = VersionedTable.appendDelta(spark, root, keepVersions = 8) {
+      stage => Seq((9001L, 1L, 1L), (9002L, 2L, 2L)).toDF("k", "v", "id")
+        .coalesce(1).write.parquet(stage)
+    }
+    assert(v2 == 2L)
+    // the new dir holds ONLY the appended file(s)
+    val v2Own = fs(root).listStatus(new Path(s"$root/_v-2")).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(v2Own.size == 1, "append copied more than the batch")
+    // the manifest's file list spans both dirs
+    val refs = VersionedTable.filesOf(spark, root, 2L).get
+    assert(refs.count(_.startsWith("_v-1/")) == 4)
+    assert(refs.count(_.startsWith("_v-2/")) == 1)
+    // read = old ∪ new; time travel still serves v1
+    assert(VersionedTable.read(spark, root).count() == 4002)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") >= 9000L).count() == 2)
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 4000)
+  }
+
+  test("commitDelta drop-only: carried subset, no writer output") {
+    val root = initTable("deltadrop")
+    val files = VersionedTable.currentFiles(spark, root)
+    // drop one whole file (range boundaries are sample-approximate, so
+    // derive expectations from the file's actual contents)
+    val dropped = spark.read.parquet(s"$root/${files.head}")
+    val droppedKs = dropped.select("k").collect().map(_.getLong(0)).toSet
+    val keep = files.tail
+    val v2 = VersionedTable.commitDelta(spark, root, keep,
+      keepVersions = 8) { _ => () }
+    assert(v2 == 2L)
+    val left = VersionedTable.read(spark, root)
+    assert(left.count() == 4000L - droppedKs.size)
+    assert(left.filter(col("k").isin(droppedKs.toSeq.take(50): _*))
+      .count() == 0)
+  }
+
+  test("commitDelta rewrite: replace one file, carry the rest; exact result") {
+    val root = initTable("deltarw")
+    val files = VersionedTable.currentFiles(spark, root)
+    val (affected, kept) = files.partition(_ == files.head)
+    val affectedDf = spark.read.parquet(affected.map(f => s"$root/$f"): _*)
+    val affKs = affectedDf.select("k").collect().map(_.getLong(0))
+    val affOdd = affKs.count(_ % 2L == 1L)
+    VersionedTable.commitDelta(spark, root, kept, keepVersions = 8) { stage =>
+      affectedDf.filter(col("k") % 2L === 0L)
+        .write.parquet(stage)
+    }
+    val got = VersionedTable.read(spark, root)
+    // odd rows of the affected file are gone, everything else untouched
+    assert(got.count() == 4000L - affOdd)
+    val gotKs = got.select("k").collect().map(_.getLong(0)).toSet
+    assert(affKs.filter(_ % 2L == 1L).forall(!gotKs.contains(_)))
+    assert(affKs.filter(_ % 2L == 0L).forall(gotKs.contains))
+  }
+
+  test("delta commits carry stats + blooms; skipping stays exact and selective") {
+    import spark.implicits._
+    val root = initTable("deltastats", statsCols = Seq("k"),
+      bloomCols = Seq("id"))
+    VersionedTable.appendDelta(spark, root, keepVersions = 8,
+      statsCols = Seq("k"), bloomCols = Seq("id")) { stage =>
+      Seq((9001L, 1L, 77777L)).toDF("k", "v", "id")
+        .coalesce(1).write.parquet(stage)
+    }
+    val st = VersionedTable.manifestStats(spark, root, 2L)
+    assert(st.size == 5, s"expected stats for all 5 files, got ${st.size}")
+    assert(st.forall(_.min.contains("k")))
+    // carried stats are byte-identical copies, not rescans
+    val v1 = VersionedTable.manifestStats(spark, root, 1L)
+      .map(s => s"_v-1/${s.file}" -> s).toMap
+    st.filter(_.file.startsWith("_v-1/")).foreach { s =>
+      val o = v1(s.file)
+      assert(s.min == o.min && s.max == o.max && s.rows == o.rows)
+    }
+    // range pruning over the composite version: exact and a strict subset
+    val pruned = VersionedTable.prunedFiles(spark, root, "k", 100L, 200L)
+    assert(pruned.size < 5 && pruned.nonEmpty)
+    val got = VersionedTable.readPruned(spark, root, "k", 100L, 200L)
+      .filter(col("k").between(100L, 200L)).count()
+    assert(got == 101L)
+    // bloom point lookup reaches into BOTH dirs
+    assert(VersionedTable.readPointLookup(spark, root, "id", 77777L)
+      .count() == 1L)
+    val anyV1Id = VersionedTable.readVersion(spark, root, 1L)
+      .select("id").head.getLong(0)
+    assert(VersionedTable.readPointLookup(spark, root, "id", anyV1Id)
+      .count() >= 1L)
+  }
+
+  test("appendDelta without statsCols still copies carried stats; new file scans conservatively") {
+    import spark.implicits._
+    val root = initTable("deltacons", statsCols = Seq("k"))
+    VersionedTable.appendDelta(spark, root, keepVersions = 8) { stage =>
+      Seq((50L, 1L, 1L)).toDF("k", "v", "id") // k=50 also lives in file 1
+        .coalesce(1).write.parquet(stage)
+    }
+    val st = VersionedTable.manifestStats(spark, root, 2L)
+    assert(st.size == 4, "carried stats lost or new file unexpectedly scanned")
+    // the stat-less new file is kept conservatively by every planner
+    val pruned = VersionedTable.prunedFiles(spark, root, "k", 3000L, 3100L)
+    assert(pruned.exists(_.contains("_v-2/")),
+      "stat-less file was wrongly pruned")
+    assert(VersionedTable.readPruned(spark, root, "k", 40L, 60L)
+      .filter(col("k").between(40L, 60L)).count() == 22L)
+    // countWhere: stat-less file joins the boundary scan, count exact
+    val (cnt, scanned) = VersionedTable.countWhere(spark, root, "k", 40L, 60L)
+    assert(cnt == 22L, s"countWhere=$cnt")
+    assert(scanned >= 1)
+  }
+
+  test("prune keeps referenced dirs alive; a full rewrite releases them") {
+    import spark.implicits._
+    val root = initTable("deltaprune")
+    // keepVersions = 1: v1's manifest goes, but its DIR must survive —
+    // v2 references its files
+    VersionedTable.appendDelta(spark, root, keepVersions = 1) { stage =>
+      Seq((9001L, 1L, 1L)).toDF("k", "v", "id")
+        .coalesce(1).write.parquet(stage)
+    }
+    val f = fs(root)
+    assert(!f.exists(new Path(s"$root/_commits/1")), "manifest 1 retained")
+    assert(f.exists(new Path(s"$root/_v-1")), "referenced dir deleted!")
+    assert(VersionedTable.read(spark, root).count() == 4001)
+    // a full (dir-based) rewrite drops the references → next prune
+    // reclaims both old dirs
+    VersionedTable.rewrite(spark, root, keepVersions = 1)(df => df)
+    assert(!f.exists(new Path(s"$root/_v-1")), "_v-1 outlived its references")
+    assert(!f.exists(new Path(s"$root/_v-2")), "_v-2 outlived its references")
+    assert(VersionedTable.read(spark, root).count() == 4001)
+  }
+
+  test("vacuum spares dirs referenced by delta manifests") {
+    import spark.implicits._
+    val root = initTable("deltavac")
+    VersionedTable.appendDelta(spark, root, keepVersions = 1) { stage =>
+      Seq((9001L, 1L, 1L)).toDF("k", "v", "id")
+        .coalesce(1).write.parquet(stage)
+    }
+    // _v-1 is old enough to vacuum by age but still referenced
+    val deleted = VersionedTable.vacuum(spark, root, olderThanMs = -1L)
+    assert(!deleted.exists(_.contains("_v-1")),
+      s"vacuum deleted a referenced dir: $deleted")
+    assert(VersionedTable.read(spark, root).count() == 4001)
+  }
+
+  test("crash window: staged delta without manifest is invisible; retry lands") {
+    import spark.implicits._
+    val root = initTable("deltacrash")
+    val carried = VersionedTable.currentFiles(spark, root)
+    // simulate a crash AFTER staging, BEFORE the manifest PUT
+    val stage = new Path(s"$root/_v-2")
+    Seq((9001L, 1L, 1L)).toDF("k", "v", "id")
+      .coalesce(1).write.parquet(stage.toString)
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 4000)
+    // the retry replays the same delta and commits
+    val v2 = VersionedTable.appendDelta(spark, root, keepVersions = 8) {
+      s => Seq((9001L, 1L, 1L)).toDF("k", "v", "id")
+        .coalesce(1).write.parquet(s)
+    }
+    assert(v2 == 2L)
+    assert(VersionedTable.read(spark, root).count() == 4001)
+  }
+
+  test("changes() works across a delta commit (CDC over file-list versions)") {
+    import spark.implicits._
+    val root = initTable("deltacdc")
+    val files = VersionedTable.currentFiles(spark, root)
+    val droppedRows = spark.read.parquet(s"$root/${files.head}").count()
+    // drop the first file AND add two rows in one delta
+    VersionedTable.commitDelta(spark, root, files.tail,
+      keepVersions = 8) { stage =>
+      Seq((9001L, 1L, 1L), (9002L, 2L, 2L)).toDF("k", "v", "id")
+        .coalesce(1).write.parquet(stage)
+    }
+    val byType = VersionedTable.changes(spark, root, 1L, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType == Map("insert" -> 2L, "delete" -> droppedRows))
+  }
+
+  test("in-place append paths refuse delta-manifest tables loudly") {
+    import spark.implicits._
+    val root = initTable("deltaguard")
+    VersionedTable.appendDelta(spark, root, keepVersions = 8) { stage =>
+      Seq((9001L, 1L, 1L)).toDF("k", "v", "id")
+        .coalesce(1).write.parquet(stage)
+    }
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.appendablePath(spark, root)
+    }
+    assert(e.getMessage.contains("appendDelta"))
+  }
+
+  test("empty delta commit refuses; carry-into-uncommitted refuses") {
+    val root = tmpDir("deltaempty") + "/t"
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, root, Nil)(_ => ())
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, root, Seq("_v-1/x.parquet"))(_ => ())
+    }
+    // bad refs refused
+    val t = initTable("deltabadref")
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, t, Seq("/abs/path.parquet"))(_ => ())
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, t, Seq("../escape.parquet"))(_ => ())
+    }
+  }
+}
