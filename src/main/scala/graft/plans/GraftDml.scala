@@ -86,13 +86,58 @@ object GraftDml {
   private def keepVersions(spark: SparkSession): Int =
     spark.conf.get("spark.graft.dml.keepVersions", "1").toInt
 
-  /** Run `f` as a crash-safe rewrite that preserves the manifest's
-    * skipping payload; returns (rowsBefore, rowsAfter). */
-  private[plans] def rewriteCounted(spark: SparkSession, root: String)
-      (f: DataFrame => DataFrame): (Long, Long) = {
+  /** FILE-GRANULAR DML mutation: only the files that actually contain
+    * rows selected by `affectedRows` are rewritten (through
+    * `rewriteFile`); every other file is carried into the new version
+    * by manifest reference — at 100 TB a DELETE touching 2 of 10 000
+    * files costs 2 file rewrites + one manifest PUT, not a table
+    * rewrite. `extra` rows (MERGE inserts) land as new files in the
+    * same commit. Affected-file discovery is one predicate-pushdown
+    * scan grouped by `input_file_name` — parquet stats skip files with
+    * no matching row groups, so the scan itself prunes.
+    *
+    * The manifest's skipping payload is preserved: carried files'
+    * stats/blooms copy forward byte-identical inside [[VersionedTable
+    * .commitDelta]]; rewritten/new files re-collect whatever columns
+    * the current manifest indexes. A no-op mutation (nothing affected,
+    * nothing to add) commits NO new version. Flat/legacy tables fall
+    * back to a full migrating rewrite. Returns (before, after). */
+  private[plans] def mutateFiles(spark: SparkSession, root: String)(
+      affectedRows: DataFrame => DataFrame,
+      rewriteFile: DataFrame => DataFrame,
+      extra: Option[DataFrame]): (Long, Long) = {
+    import org.apache.spark.sql.functions.input_file_name
     val before = VersionedTable.read(spark, root).count()
     val (stats, blooms) = carriedIndex(spark, root)
-    VersionedTable.rewrite(spark, root, keepVersions(spark), stats, blooms)(f)
+    val kv = keepVersions(spark)
+    VersionedTable.currentVersion(spark, root) match {
+      case None => // pre-versioning layout: first commit migrates it
+        VersionedTable.rewrite(spark, root, kv, stats, blooms) { df =>
+          extra.fold(rewriteFile(df))(e => rewriteFile(df).unionByName(e))
+        }
+      case Some(_) =>
+        val files = VersionedTable.currentFiles(spark, root)
+        val df = VersionedTable.read(spark, root)
+        val rel = affectedRows(df)
+          .select(input_file_name().as("_f")).distinct()
+          .collect().map { r =>
+            val p = new org.apache.hadoop.fs.Path(r.getString(0))
+            s"${p.getParent.getName}/${p.getName}"
+          }.toSet
+        val affected = files.filter(rel)
+        val carried = files.filterNot(rel)
+        if (affected.isEmpty && extra.isEmpty)
+          return (before, before) // nothing to do: no new version
+        VersionedTable.commitDelta(spark, root, carried, kv,
+          stats, blooms) { stage =>
+          val pieces =
+            (if (affected.nonEmpty)
+              Seq(rewriteFile(spark.read.parquet(
+                affected.map(f => s"$root/$f"): _*)))
+            else Nil) ++ extra.toSeq
+          pieces.reduce(_ unionByName _).write.parquet(stage)
+        }
+    }
     val after = VersionedTable.read(spark, root).count()
     (before, after)
   }
@@ -123,10 +168,11 @@ case class GraftDeleteCommand(root: String, alias: Option[String],
     Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (before, after) = GraftDml.rewriteCounted(spark, root) { df =>
-      GraftDml.aliased(df, alias)
-        .filter(!coalesce(Bridge.column(cond.value), lit(false)))
-    }
+    val condCol = coalesce(Bridge.column(cond.value), lit(false))
+    val (before, after) = GraftDml.mutateFiles(spark, root)(
+      df => GraftDml.aliased(df, alias).filter(condCol),
+      df => GraftDml.aliased(df, alias).filter(!condCol),
+      None)
     Seq(Row(before - after))
   }
 }
@@ -144,21 +190,21 @@ case class GraftUpdateCommand(root: String, alias: Option[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val condCol: Column = cond.value
       .map(c => coalesce(Bridge.column(c), lit(false))).getOrElse(lit(true))
+    val columns = VersionedTable.read(spark, root).columns.toSeq
     val updated = GraftDml.aliased(VersionedTable.read(spark, root), alias)
       .filter(condCol).count()
-    GraftDml.rewriteCounted(spark, root) { df0 =>
-      val df = GraftDml.aliased(df0, alias)
-      val assign: Map[String, Column] = assignments.value.map { a =>
-        GraftDml.assignedColumn(df0.columns.toSeq, a.key) ->
-          Bridge.column(a.value)
-      }.toMap
-      df.select(df0.columns.toSeq.map { c =>
+    val assign: Map[String, Column] = assignments.value.map { a =>
+      GraftDml.assignedColumn(columns, a.key) -> Bridge.column(a.value)
+    }.toMap
+    GraftDml.mutateFiles(spark, root)(
+      df => GraftDml.aliased(df, alias).filter(condCol),
+      df0 => GraftDml.aliased(df0, alias).select(columns.map { c =>
         assign.get(c) match {
           case Some(v) => when(condCol, v).otherwise(col(c)).as(c)
           case None => col(c)
         }
-      }: _*)
-    }
+      }: _*),
+      None)
     Seq(Row(updated))
   }
 }
@@ -213,24 +259,26 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
           tgt0.join(broadcast(srcKeys), resolvedKeys, "left_anti").count()
       else 0L
 
-    val (before, after) = GraftDml.rewriteCounted(spark, root) { t =>
-      val kept =
-        if (updateMatched || deleteMatched)
-          t.join(broadcast(srcKeys), resolvedKeys, "left_anti")
-        else t
-      // the pure upsert needs NO source-side join (every source row
-      // lands); only update-only / insert-only must split the source
-      // by match, which shuffles the target's key column once
-      def tKeys = t.select(resolvedKeys.map(col): _*).distinct()
+    // the pure upsert needs NO source-side join (every source row
+    // lands); only update-only / insert-only must split the source by
+    // match, which shuffles the target's key column once
+    def tKeys = tgt0.select(resolvedKeys.map(col): _*).distinct()
+    val extra: Option[org.apache.spark.sql.DataFrame] =
       (updateMatched, insertUnmatched) match {
-        case (true, true) => kept.unionByName(src)
+        case (true, true) => Some(src)
         case (true, false) =>
-          kept.unionByName(src.join(tKeys, resolvedKeys, "left_semi"))
+          Some(src.join(tKeys, resolvedKeys, "left_semi"))
         case (false, true) =>
-          kept.unionByName(src.join(tKeys, resolvedKeys, "left_anti"))
-        case (false, false) => kept
+          Some(src.join(tKeys, resolvedKeys, "left_anti"))
+        case (false, false) => None
       }
-    }
+    val hasMatchedAction = updateMatched || deleteMatched
+    val (before, after) = GraftDml.mutateFiles(spark, root)(
+      t => if (hasMatchedAction)
+        t.join(broadcast(srcKeys), resolvedKeys, "left_semi")
+      else t.limit(0),
+      t => t.join(broadcast(srcKeys), resolvedKeys, "left_anti"),
+      extra)
     Seq(Row(matched, before, after))
   }
 }

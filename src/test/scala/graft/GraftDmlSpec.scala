@@ -186,6 +186,40 @@ class GraftDmlSpec extends SparkSpec {
     assert(got == 1000L)
   }
 
+  test("DML is file-granular: a narrow DELETE rewrites only affected files") {
+    val root = tmpDir("dmlfg") + "/t"
+    val df = spark.range(0, 4000).toDF("k").withColumn("v", col("k") % 7L)
+    VersionedTable.commit(spark, root, keepVersions = 4,
+      statsCols = Seq("k")) { stage =>
+      df.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .write.parquet(stage)
+    }
+    val deleted = spark.sql(s"DELETE FROM graft.`$root` WHERE k = 17")
+      .collect().head.getLong(0)
+    assert(deleted == 1L)
+    // 7 of 8 files carried by reference; exactly one rewritten
+    val refs = VersionedTable.filesOf(spark, root, 2L).get
+    assert(refs.count(_.startsWith("_v-1/")) == 7, s"carried: $refs")
+    assert(refs.count(_.startsWith("_v-2/")) == 1)
+    assert(VersionedTable.read(spark, root).count() == 3999)
+    assert(VersionedTable.read(spark, root).filter(col("k") === 17L)
+      .count() == 0)
+    // the skipping index still covers every file of the new version
+    assert(VersionedTable.manifestStats(spark, root, 2L).size == 8)
+    // a DELETE matching nothing commits NO new version
+    val none = spark.sql(s"DELETE FROM graft.`$root` WHERE k = -5")
+      .collect().head.getLong(0)
+    assert(none == 0L)
+    assert(VersionedTable.currentVersion(spark, root).contains(2L))
+    // UPDATE is file-granular too
+    spark.sql(s"UPDATE graft.`$root` SET v = -1 WHERE k = 3999")
+    val refs3 = VersionedTable.filesOf(spark, root, 3L).get
+    assert(refs3.count(_.startsWith("_v-3/")) == 1)
+    assert(refs3.size == 8)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("v") === -1L).count() == 1)
+  }
+
   test("DML statements run through SqlRunner scripts") {
     val root = freshTable("dmlrunner")
     graft.lakehouse.SqlRunner.script(spark,
