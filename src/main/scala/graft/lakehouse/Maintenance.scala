@@ -142,11 +142,14 @@ object Maintenance {
     n
   }
 
-  /** [[upsert]] on a [[VersionedTable]] root. */
+  /** [[upsert]] on a [[VersionedTable]] root. `keepVersions` widens
+    * the retention window (CDC consumers like JoinView.syncDim need
+    * the pre-upsert version to stay readable until they catch up). */
   def upsertVersioned(spark: SparkSession, root: String,
                       changes: DataFrame, keys: Seq[String],
-                      statsCols: Seq[String] = Nil): Unit =
-    VersionedTable.rewrite(spark, root, statsCols = statsCols)(
+                      statsCols: Seq[String] = Nil,
+                      keepVersions: Int = 1): Unit =
+    VersionedTable.rewrite(spark, root, keepVersions, statsCols)(
       upsertPlan(_, changes, keys))
 
   /** Directory swap used by the flat-dir rewrite operations. NOT

@@ -118,8 +118,11 @@ object GraftDml {
       case Some(_) =>
         val files = VersionedTable.currentFiles(spark, root)
         val df = VersionedTable.read(spark, root)
-        val rel = affectedRows(df)
-          .select(input_file_name().as("_f")).distinct()
+        // bind input_file_name BEFORE affectedRows runs: a join in
+        // there (MERGE's key probe) makes the plan multi-source, and
+        // input_file_name refuses to bind across sources
+        val rel = affectedRows(df.withColumn("_graft_input_file", input_file_name()))
+          .select(col("_graft_input_file")).distinct()
           .collect().map { r =>
             val p = new org.apache.hadoop.fs.Path(r.getString(0))
             s"${p.getParent.getName}/${p.getName}"
