@@ -246,9 +246,18 @@ object VectorIndex {
     * compressed lists — the raw vectors never stream), then
     * exact-decimal rerank the top `k·rerankFactor` candidates against
     * `emb` (the cold full-precision table). Output
-    * (probe_id, neighbor_id, rnk, cosine) like [[search]]. */
+    * (probe_id, neighbor_id, rnk, cosine) like [[search]].
+    *
+    * `allowed` makes it a FILTERED search — top-k among the vectors in
+    * the given (vec_id) set only (the training-pipeline shape "nearest
+    * neighbors among lang = 'en'"). The filter applies to the code
+    * stream BEFORE ADC ranking (pre-filter, not post-filter: a
+    * selective predicate cannot silently empty the top-k), so its cost
+    * rides the routed scan. With a very selective filter, widen
+    * `nprobe` — the allowed vectors may concentrate in few cells. */
   def searchPQ(spark: SparkSession, path: String, probes: DataFrame,
-      emb: DataFrame, nprobe: Int, k: Int, rerankFactor: Int = 4): DataFrame = {
+      emb: DataFrame, nprobe: Int, k: Int, rerankFactor: Int = 4,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosineSim _
     val cents = spark.read.parquet(s"$path/centroids")
     val codebook = spark.read.parquet(s"$path/codebook")
@@ -275,8 +284,11 @@ object VectorIndex {
       if (isPacked(spark, path))
         Some(codebook.agg(max(col("sub_id"))).head.getInt(0) + 1)
       else None
-    val codes = spark.read.parquet(s"$path/codes")
+    val codesAll = spark.read.parquet(s"$path/codes")
       .filter(col("cent_id").isin(wanted.toSeq: _*))
+    val codesAllowed = allowed.fold(codesAll)(a =>
+      codesAll.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    val codes = codesAllowed
       .join(routed.select("probe_id", "cent_id"), Seq("cent_id"))
       .filter(col("probe_id") =!= col("vec_id"))
     val cand =
@@ -299,9 +311,10 @@ object VectorIndex {
   }
 
   /** Top-k cosine neighbors for each probe vector, scanning only the
-    * `nprobe` nearest centroid partitions per probe. */
+    * `nprobe` nearest centroid partitions per probe. `allowed`
+    * restricts the candidate set (pre-filter) like [[searchPQ]]. */
   def search(spark: SparkSession, path: String, probes: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
+      nprobe: Int, k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     // codegen cosine — the HOF dot is interpreted, ~100× slower
     val cos = graft.functions.GraftFunctions.cosineSim _
     val cents = spark.read.parquet(s"$path/centroids")
@@ -318,8 +331,10 @@ object VectorIndex {
     val wanted = routed.select("cent_id").distinct()
       .collect().map(_.getLong(0))
     // partition-pruned scan: only the routed centroid lists are read
-    val lists = spark.read.parquet(s"$path/lists")
+    val listsAll = spark.read.parquet(s"$path/lists")
       .filter(col("cent_id").isin(wanted.toSeq: _*))
+    val lists = allowed.fold(listsAll)(a =>
+      listsAll.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
     val wTop = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     routed.join(lists, Seq("cent_id"))

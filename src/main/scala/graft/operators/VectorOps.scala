@@ -264,13 +264,73 @@ object VectorOps {
       |FROM embeddings JOIN nrm USING (vec_id)
       |GROUP BY label""".stripMargin
 
+  /** q93: FILTERED exact top-k — q34's brute force restricted to an
+    * allowed neighbor set (even labels ≈ half the collection): the
+    * training-pipeline shape "nearest neighbors among lang = 'en'".
+    * PRE-filtered (the scan streams only allowed vectors), same
+    * two-phase margin + exact-decimal rerank, so the output is
+    * bit-identical to the oracle. The index-backed scale path is
+    * `VectorIndex.searchPQ(..., allowed = …)`, spec-pinned against
+    * this exact baseline. */
+  private val q93: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val scored = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))),
+        col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.cosineSim(col("pe"), col("ne")).as("dcos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dcos").desc, col("neighbor_id").asc)
+    val ranked = scored.withColumn("rnk", row_number().over(w))
+    val third = ranked.filter(col("rnk") === 3)
+      .select(col("probe_id"), col("dcos").as("third"))
+    val cand = ranked.join(broadcast(third), Seq("probe_id"))
+      .filter(col("dcos") >= col("third") - 1e-6)
+      .select(col("probe_id"), col("neighbor_id"))
+    exactTopK(emb, cand, 3)
+  }
+  private val q93Sql =
+    """WITH lab AS (
+      |  SELECT vec_id FROM embeddings WHERE label % 2 = 0),
+      |el AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(range(1, len(embedding)+1)) AS i
+      |  FROM embeddings),
+      |nrm AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(CAST(
+      |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+      |      AS DOUBLE)) AS nrm
+      |  FROM el GROUP BY vec_id),
+      |dots AS (
+      |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+      |    CAST(SUM(CAST(CAST(p.x AS DOUBLE) * CAST(e.x AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM el p JOIN el e ON p.i = e.i AND p.vec_id <> e.vec_id
+      |  JOIN lab ON lab.vec_id = e.vec_id
+      |  WHERE p.vec_id < 5
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT probe_id, neighbor_id, dot / (np.nrm * nn.nrm) AS cosine
+      |  FROM dots
+      |  JOIN nrm np ON np.vec_id = probe_id
+      |  JOIN nrm nn ON nn.vec_id = neighbor_id)
+      |SELECT probe_id, neighbor_id, rnk, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      |  FROM cos) t
+      |WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q34_ann_cosine" -> q34,
     "q40_embedding_stats" -> q40,
-    "q46_cosine_pairs" -> q46)
+    "q46_cosine_pairs" -> q46,
+    "q93_ann_filtered" -> q93)
 
   val oracleSql: Map[String, String] = Map(
     "q34_ann_cosine" -> q34Sql,
     "q40_embedding_stats" -> q40Sql,
-    "q46_cosine_pairs" -> q46Sql)
+    "q46_cosine_pairs" -> q46Sql,
+    "q93_ann_filtered" -> q93Sql)
 }

@@ -963,6 +963,54 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("filtered ANN: allowed-set search equals the exact filtered baseline") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val allowed = emb.filter(col("label") % 2 === 0).select("vec_id")
+    val probes = emb.filter(col("vec_id") < 5)
+    val exactDf = VectorOps.queries("q93_ann_filtered")(spark, sfDir)
+    val exact = exactDf.collect().map(_.toString).sorted.toSeq
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rnk"))).sorted.toSeq
+
+    // raw IVF with full routing (nprobe = every cell): the filtered
+    // scan covers the whole allowed set → EXACTLY the q93 baseline
+    // ((probe, neighbor, rnk) — search() rounds its cosine column)
+    val pIvf = tmpDir("graft-ivf-filt")
+    VectorIndex.build(emb, pIvf, k = 10, iters = 5)
+    val viaIvf = VectorIndex.search(spark, pIvf, probes, nprobe = 10,
+      k = 3, allowed = Some(allowed))
+    assert(triples(viaIvf) == triples(exactDf))
+
+    // IVF-PQ, full production config: with full routing and a rerank
+    // pool wider than the allowed set, the exact rerank reproduces the
+    // baseline bit for bit
+    val pPq = tmpDir("graft-ivfpq-filt")
+    VectorIndex.buildPQ(emb, pPq, k = 10, m = 16, ksub = 16, iters = 3,
+      residual = true, packed = true, opq = true)
+    val viaPq = VectorIndex.searchPQ(spark, pPq, probes, emb,
+      nprobe = 10, k = 3, rerankFactor = 200, allowed = Some(allowed))
+    assert(viaPq.collect().map(_.toString).sorted.toSeq == exact)
+
+    // the selective config never leaks a disallowed neighbor and keeps
+    // useful recall (pre-filter: the top-k can't silently empty)
+    val sel = VectorIndex.searchPQ(spark, pPq, probes, emb,
+      nprobe = 4, k = 3, rerankFactor = 4, allowed = Some(allowed))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val selRows = sel.collect()
+    assert(selRows.nonEmpty)
+    assert(selRows.forall(r => allowedIds(r.getAs[Long]("neighbor_id"))),
+      "filtered search returned a disallowed neighbor")
+    val exactPairs = VectorOps.queries("q93_ann_filtered")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val selPairs = selRows
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = selPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    info(s"filtered IVF-PQ recall@3 (nprobe=4, rf=4) = $recall")
+    assert(recall >= 0.2, s"filtered recall collapsed: $recall")
+  }
+
   test("packed IVF-PQ index: smaller lists, identical search, addPQ round-trips") {
     val emb = Tables.embeddings(spark, sfDir)
     // ONE set of trained models, two storage layouts
