@@ -385,6 +385,24 @@ object GraftFunctions {
   private[functions] val graftLookupInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_lookup")
 
+  /** Table function `graft_history('root')` — the retained version
+    * log ([[graft.lakehouse.VersionedTable.history]]) as SQL: one row
+    * per retained version with commit time, file count, delta flag,
+    * data dir and pinning tags. Metadata-only (one `_commits`
+    * listing); joins against `graft_version`/`graft_changes` make
+    * audit queries one-liners. */
+  private[functions] val graftHistoryBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_history expects (rootPath)")
+      val spark = SparkSession.active
+      graft.lakehouse.VersionedTable.history(spark, args.head.eval(null).toString)
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftHistoryInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_history")
+
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */
   def registerTableFunctions(spark: SparkSession): Unit = {
@@ -406,6 +424,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_lookup"), graftLookupInfo,
       graftLookupBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_history"), graftHistoryInfo,
+      graftHistoryBuilder)
   }
 }
 
@@ -474,6 +495,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lookup"),
       GraftFunctions.graftLookupInfo,
       GraftFunctions.graftLookupBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      GraftFunctions.graftHistoryInfo,
+      GraftFunctions.graftHistoryBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -150,6 +150,13 @@ object VersionedTable {
   def currentFiles(spark: SparkSession, root: String): Seq[String] = {
     val version = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version"))
+    filesAt(spark, root, version)
+  }
+
+  /** [[currentFiles]] for an arbitrary RETAINED version — the carried
+    * set a [[rollback]] re-references. */
+  def filesAt(spark: SparkSession, root: String,
+      version: Long): Seq[String] =
     filesOf(spark, root, version).getOrElse {
       val fs = fsOf(spark, root)
       val dir = new Path(dataDirOf(fs, root, version))
@@ -158,7 +165,6 @@ object VersionedTable {
         .filter(st => st.isFile && isDataFile(st.getPath.getName))
         .map(st => s"$dirName/${st.getPath.getName}")
     }
-  }
 
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
@@ -274,11 +280,17 @@ object VersionedTable {
     * manifest when present (no re-scan); files the previous manifest
     * carried no stats for are re-scanned when `statsCols` asks for
     * stats, and pruning treats stat-less files conservatively either
-    * way. Single-writer, like [[commit]]. */
+    * way. Single-writer, like [[commit]].
+    *
+    * `statsFrom` names the version whose manifest seeds the carried
+    * files' stats/blooms (default: the current version). A
+    * [[rollback]] carries files of an OLDER version, so its skipping
+    * index lives in that version's manifest, not the current one. */
   def commitDelta(spark: SparkSession, root: String, carried: Seq[String],
       keepVersions: Int = 1, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 8192,
-      bloomHashes: Int = 4)(writer: String => Unit): Long = {
+      bloomHashes: Int = 4, statsFrom: Option[Long] = None)
+      (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
     val cd = commitsDir(root)
@@ -313,7 +325,7 @@ object VersionedTable {
       "empty delta commit: nothing carried and nothing written")
 
     // previous manifest payload, keyed root-relative, for carry-over
-    val (prevStats, prevBlooms) = base match {
+    val (prevStats, prevBlooms) = statsFrom.orElse(base) match {
       case None => (Map.empty[String, FileStat],
         Map.empty[(String, String), (Int, Int, java.util.BitSet)])
       case Some(v) =>
@@ -400,10 +412,13 @@ object VersionedTable {
     * the cutoff SURVIVES while any retained manifest still references
     * files inside it (delta commits carry files forward by reference);
     * once every referencing manifest is itself pruned, a later sweep
-    * reclaims it. */
+    * reclaims it. TAGGED versions are pinned: their manifest (and so
+    * their files) survives any cutoff until the tag is dropped. */
   private def prune(fs: FileSystem, root: String, cutoff: Long): Unit = {
+    val pinned = taggedVersions(fs, root).values.toSet
     val retained = fs.listStatus(commitsDir(root)).toSeq
-      .flatMap(_.getPath.getName.toLongOption).filter(_ > cutoff)
+      .flatMap(_.getPath.getName.toLongOption)
+      .filter(n => n > cutoff || pinned(n))
     val referenced: Set[String] = retained.flatMap { n =>
       new Path(dataDirOf(fs, root, n)).getName +:
         manifestFileRefs(fs, root, n).map(_.takeWhile(_ != '/'))
@@ -426,7 +441,8 @@ object VersionedTable {
     }
     fs.listStatus(commitsDir(root)).foreach { st =>
       st.getPath.getName.toLongOption
-        .filter(_ <= cutoff).foreach(_ => fs.delete(st.getPath, false))
+        .filter(n => n <= cutoff && !pinned(n))
+        .foreach(_ => fs.delete(st.getPath, false))
     }
   }
 
@@ -439,6 +455,141 @@ object VersionedTable {
       case None =>
         spark.read.parquet(dataDirOf(fsOf(spark, root), root, version))
     }
+
+  // ---- named tags (snapshot pins) -----------------------------------
+
+  private def tagsDir(root: String) = new Path(s"$root/_tags")
+
+  /** All tags fs-level: name → pinned version. Non-numeric tag files
+    * (a crashed partial write) are ignored — a tag PUT is one small
+    * object, so in practice the file either exists complete or not. */
+  private def taggedVersions(fs: FileSystem, root: String): Map[String, Long] = {
+    val td = tagsDir(root)
+    if (!fs.exists(td)) return Map.empty
+    fs.listStatus(td).toSeq.filter(_.isFile).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      content.toLongOption.map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  /** Pin `version` (default: current) under a NAME that survives the
+    * retention window: [[prune]] never removes a tagged version's
+    * manifest, and the manifest keeps every file it references alive
+    * (the liveness rule reads and [[vacuum]] already follow) — so a
+    * tag is a durable named snapshot at zero copy cost, the
+    * Iceberg-tag shape. One small-object PUT, create-if-absent unless
+    * `replace` (same arbitration primitive as the commit manifest).
+    * Returns the pinned version. */
+  def tag(spark: SparkSession, root: String, name: String,
+      version: Option[Long] = None, replace: Boolean = false): Long = {
+    require(name.nonEmpty && !name.contains('/') && !name.startsWith(".") &&
+      name != "_SUCCESS", s"bad tag name: '$name'")
+    val fs = fsOf(spark, root)
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    require(fs.exists(new Path(commitsDir(root), v.toString)),
+      s"version $v of $root is not retained — nothing to pin")
+    fs.mkdirs(tagsDir(root))
+    val out =
+      try fs.create(new Path(tagsDir(root), name), replace)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"tag '$name' already exists on $root (pass replace=true to move it)", e)
+      }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** The version a tag pins, if the tag exists. */
+  def tagVersion(spark: SparkSession, root: String, name: String): Option[Long] =
+    taggedVersions(fsOf(spark, root), root).get(name)
+
+  /** All tags: name → pinned version. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] =
+    taggedVersions(fsOf(spark, root), root)
+
+  /** Time travel by name. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    tagVersion(spark, root, name) match {
+      case Some(v) => readVersion(spark, root, v)
+      case None => throw new IllegalStateException(
+        s"no tag '$name' on $root")
+    }
+
+  /** Remove a tag. The version it pinned stays retained until the
+    * NEXT commit's prune sweep (or [[vacuum]]) reclaims it — dropping
+    * a pin never deletes bytes by itself. Returns whether it existed. */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean =
+    fsOf(spark, root).delete(new Path(tagsDir(root), name), false)
+
+  /** ROLLBACK as a forward commit: the new current version references
+    * exactly `toVersion`'s file set — history is never rewritten (the
+    * bad versions stay readable within retention for forensics), no
+    * data bytes are copied (the files are re-referenced, file-list
+    * style), and the skipping stats/blooms ride over from
+    * `toVersion`'s manifest. The commit point is the usual single
+    * manifest PUT. `toVersion` must still be retained — pin releases
+    * with [[tag]] if rollback targets must outlive the window. */
+  def rollback(spark: SparkSession, root: String, toVersion: Long,
+      keepVersions: Int = 1): Long = {
+    val fs = fsOf(spark, root)
+    require(fs.exists(new Path(commitsDir(root), toVersion.toString)),
+      s"version $toVersion of $root is not retained — cannot roll back to it")
+    commitDelta(spark, root, filesAt(spark, root, toVersion),
+      keepVersions, statsFrom = Some(toVersion))(_ => ())
+  }
+
+  /** Roll back to the version a tag pins. */
+  def rollbackTo(spark: SparkSession, root: String, name: String,
+      keepVersions: Int = 1): Long =
+    rollback(spark, root, tagVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(s"no tag '$name' on $root")),
+      keepVersions)
+
+  /** The retained version log as a DataFrame — (version, committed_at
+    * = manifest mtime, n_files, delta = file-list commit, data_dir,
+    * tags). Metadata-only: one `_commits` listing + one listing per
+    * whole-dir version; file-list versions count their f-lines. A
+    * pre-manifest (legacy) table has no log → empty. SQL surface:
+    * `graft_history('root')`. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType),
+      StructField("n_files", LongType, nullable = false),
+      StructField("delta", BooleanType, nullable = false),
+      StructField("data_dir", StringType),
+      StructField("tags", ArrayType(StringType), nullable = false)))
+    val fs = fsOf(spark, root)
+    val cd = commitsDir(root)
+    if (!fs.exists(cd))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val byVersion = taggedVersions(fs, root).toSeq.groupBy(_._2)
+      .map { case (v, ts) => v -> ts.map(_._1).sorted }
+    val rows = fs.listStatus(cd).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption
+        .map(n => (n, st.getModificationTime)))
+      .sortBy(_._1)
+      .map { case (n, mtime) =>
+        val fl = filesOf(spark, root, n)
+        val dir = new Path(dataDirOf(fs, root, n))
+        val nFiles = fl.map(_.size.toLong).getOrElse(
+          if (fs.exists(dir))
+            fs.listStatus(dir).count(st =>
+              st.isFile && isDataFile(st.getPath.getName)).toLong
+          else 0L)
+        Row(n, new java.sql.Timestamp(mtime), nFiles, fl.nonEmpty,
+          dir.getName, byVersion.getOrElse(n, Seq.empty))
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
 
   // ---- data-skipping stats (Iceberg-style manifest payload) --------
 

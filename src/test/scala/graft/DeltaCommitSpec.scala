@@ -227,6 +227,100 @@ class DeltaCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("appendDelta"))
   }
 
+  test("tags pin versions through pruning; dropTag releases on the next sweep") {
+    val root = initTable("tagpin")
+    assert(VersionedTable.tag(spark, root, "baseline") == 1L)
+    // keepVersions = 1 → only the newest version normally survives
+    (2 to 4).foreach { i =>
+      VersionedTable.rewrite(spark, root, keepVersions = 1)(
+        _.filter(col("k") < 1000L * i))
+    }
+    assert(VersionedTable.currentVersion(spark, root).contains(4L))
+    // the tagged manifest (and the files it references) survived
+    assert(fs(root).exists(new Path(s"$root/_commits/1")))
+    assert(!fs(root).exists(new Path(s"$root/_commits/2")))
+    assert(VersionedTable.readTag(spark, root, "baseline").count() == 4000)
+    assert(VersionedTable.tags(spark, root) == Map("baseline" -> 1L))
+    // immutable unless replace; replace moves the pin
+    intercept[IllegalStateException] {
+      VersionedTable.tag(spark, root, "baseline")
+    }
+    assert(VersionedTable.tag(spark, root, "baseline",
+      replace = true) == 4L)
+    // un-pinned version 1 is reclaimed by the next commit's sweep
+    VersionedTable.rewrite(spark, root, keepVersions = 1)(df => df)
+    assert(!fs(root).exists(new Path(s"$root/_commits/1")))
+    assert(!fs(root).exists(new Path(s"$root/_v-1")))
+    // a tag on a pruned version refuses loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.tag(spark, root, "gone", version = Some(2L))
+    }
+    // dropTag: pin removed, no bytes deleted until the next sweep
+    assert(VersionedTable.dropTag(spark, root, "baseline"))
+    assert(!VersionedTable.dropTag(spark, root, "baseline"))
+    assert(VersionedTable.tags(spark, root).isEmpty)
+    assert(fs(root).exists(new Path(s"$root/_commits/4")))
+  }
+
+  test("rollback: forward commit re-referencing the target's files, stats carried") {
+    val root = initTable("rollb", statsCols = Seq("k"))
+    val v1 = VersionedTable.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    VersionedTable.rewrite(spark, root, keepVersions = 8,
+      statsCols = Seq("k"))(_.filter(col("k") < 100L)) // the "bad" commit
+    assert(VersionedTable.read(spark, root).count() == 100)
+    val v3 = VersionedTable.rollback(spark, root, 1L, keepVersions = 8)
+    assert(v3 == 3L)
+    // content is exactly version 1's; history was not rewritten
+    assert(VersionedTable.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq == v1)
+    assert(VersionedTable.readVersion(spark, root, 2L).count() == 100)
+    // zero data bytes copied: the rollback version dir holds no data
+    // files, every f-line points into _v-1
+    val own = fs(root).listStatus(new Path(s"$root/_v-3")).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(own.isEmpty, "rollback copied data bytes")
+    val refs = VersionedTable.filesOf(spark, root, 3L).get
+    assert(refs.nonEmpty && refs.forall(_.startsWith("_v-1/")))
+    // the skipping index rode over from version 1's manifest
+    val stats = VersionedTable.manifestStats(spark, root, 3L)
+    assert(stats.size == refs.size && stats.forall(_.min.contains("k")))
+    val pruned = VersionedTable.prunedFiles(spark, root, "k", 0L, 10L)
+    assert(pruned.size < refs.size, "manifest skipping dead after rollback")
+    // rollbackTo by tag name
+    VersionedTable.tag(spark, root, "good", version = Some(3L))
+    VersionedTable.rewrite(spark, root, keepVersions = 8)(
+      _.filter(col("k") < 1L))
+    assert(VersionedTable.rollbackTo(spark, root, "good") == 5L)
+    assert(VersionedTable.read(spark, root).count() == 4000)
+  }
+
+  test("history + graft_history: the retained version log with tags") {
+    val root = initTable("hist")
+    VersionedTable.appendDelta(spark, root, keepVersions = 8) { stage =>
+      import spark.implicits._
+      Seq((9001L, 1L, 1L)).toDF("k", "v", "id")
+        .coalesce(1).write.parquet(stage)
+    }
+    VersionedTable.tag(spark, root, "v1-pin", version = Some(1L))
+    val h = VersionedTable.history(spark, root)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h(0).getLong(2) == 4 && !h(0).getBoolean(3)) // 4 files, whole-dir
+    assert(h(1).getLong(2) == 5 && h(1).getBoolean(3))  // 4 carried + 1 new
+    assert(h(0).getSeq[String](5) == Seq("v1-pin") &&
+      h(1).getSeq[String](5).isEmpty)
+    assert(h.forall(_.getTimestamp(1) != null))
+    // same log through SQL
+    val viaSql = spark.sql(
+      s"SELECT version, n_files, delta, tags FROM graft_history('$root') " +
+        "ORDER BY version").collect()
+    assert(viaSql.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(viaSql(0).getSeq[String](3) == Seq("v1-pin"))
+    // legacy/uncommitted table → empty log, not an error
+    assert(VersionedTable.history(spark, tmpDir("histnone")).count() == 0)
+  }
+
   test("empty delta commit refuses; carry-into-uncommitted refuses") {
     val root = tmpDir("deltaempty") + "/t"
     intercept[IllegalArgumentException] {
