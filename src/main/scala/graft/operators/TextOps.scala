@@ -982,6 +982,49 @@ object TextOps {
       |  CAST(SUM(cf) AS BIGINT) AS sum_cf, MIN(cf) AS min_cf
       |FROM t2 JOIN cf USING(term) GROUP BY doc_id""".stripMargin
 
+  /** q94: corpus-self-trained unigram LM scoring — mean token
+    * surprisal −ln P(term | corpus) per document, the classic
+    * "LM quality" pipeline signal (high = rare/garbled text, low =
+    * stopword-heavy boilerplate; both tails get filtered). Unlike
+    * q83's raw counts this is the probability-model form: P from the
+    * corpus's own term frequencies, so no external model ships.
+    * Shape for 100 TB: explode → per-(doc,term) tf (one shuffle,
+    * map-side combine — the join input is DISTINCT pairs, not raw
+    * tokens), vocab = one more agg over tf, then a term-keyed join
+    * and a per-doc weighted mean. Per-token ln is rounded to 6 dp
+    * (libm last-ulp differences — q59's lesson) and the weighted sum
+    * runs through the exact decimal accumulator, so the mean is
+    * bit-identical cross-engine. */
+  private val q94: QFn = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_t"))
+    val vocab = tf.groupBy("term").agg(sum(col("n_t")).as("n_corpus"))
+    val total = vocab.agg(sum(col("n_corpus"))).head.getLong(0)
+    tf.join(vocab, Seq("term"))
+      .withColumn("surp",
+        round(log(lit(total.toDouble) / col("n_corpus")), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("n_t")).as("n_tokens"),
+        round(sum((col("n_t") * col("surp")).cast(graft.util.Exact.Dec))
+          .cast("double") / sum(col("n_t")), 6).as("avg_surprisal"))
+      .select("doc_id", "n_tokens", "avg_surprisal")
+  }
+  private val q94Sql =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS n_t
+      |  FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+      |vocab AS (SELECT term, SUM(n_t) AS n_corpus FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_corpus) AS DOUBLE) AS c FROM vocab)
+      |SELECT doc_id, CAST(SUM(n_t) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(n_t * ROUND(ln((SELECT c FROM tot) / n_corpus), 6)
+      |      AS DECIMAL(28,6))) AS DOUBLE) / SUM(n_t), 6) AS avg_surprisal
+      |FROM tf JOIN vocab USING (term)
+      |GROUP BY doc_id""".stripMargin
+
   /** PII redaction patterns, applied in order. Order is load-bearing:
     * email first (its local part can contain digit runs), SSN before
     * phone (both are dash-separated digit shapes, and xxx-xx-xxxx
@@ -1092,7 +1135,8 @@ object TextOps {
     "q80_normalize" -> q80,
     "q82_dup_spans" -> q82,
     "q83_token_rarity" -> q83,
-    "q84_compress_ratio" -> q84)
+    "q84_compress_ratio" -> q84,
+    "q94_unigram_surprisal" -> q94)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1118,5 +1162,6 @@ object TextOps {
     "q77_repetition" -> q77Sql,
     "q80_normalize" -> q80Sql,
     "q82_dup_spans" -> q82Sql,
-    "q83_token_rarity" -> q83Sql)
+    "q83_token_rarity" -> q83Sql,
+    "q94_unigram_surprisal" -> q94Sql)
 }
