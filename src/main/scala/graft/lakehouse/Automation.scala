@@ -79,11 +79,23 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     // throughout and migrates a flat table on first compaction
     val compacted =
       if (cfg.compactEvery > 0 && ticks % cfg.compactEvery == 0)
-        Some(Maintenance.compactVersioned(spark, cfg.tableDir,
-          sortCol = cfg.compactClusterBy,
-          statsCols =
-            (cfg.compactClusterBy.toSeq ++ cfg.compactStatsCols).distinct,
-          bloomCols = cfg.compactBloomCols))
+        cfg.compactSmallFileBytes match {
+          // file-granular: pack only the small files, carry the rest
+          // by reference — tick cost follows the fresh files, not the
+          // table
+          case Some(thresh) =>
+            Some(Maintenance.compactSmallFiles(spark, cfg.tableDir,
+              smallFileBytes = thresh,
+              sortCol = cfg.compactClusterBy,
+              statsCols = cfg.compactStatsCols,
+              bloomCols = cfg.compactBloomCols)._2)
+          case None =>
+            Some(Maintenance.compactVersioned(spark, cfg.tableDir,
+              sortCol = cfg.compactClusterBy,
+              statsCols =
+                (cfg.compactClusterBy.toSeq ++ cfg.compactStatsCols).distinct,
+              bloomCols = cfg.compactBloomCols))
+        }
       else None
     // scheduled orphan vacuum: crashed writers' leftovers (in-flight
     // dirs no manifest references) reclaimed once they outlive the
@@ -301,6 +313,11 @@ object Automation {
       // manifest — point-lookup pruning (prunedFilesEq) for
       // high-cardinality ids whose ranges overlap every file
       compactBloomCols: Seq[String] = Nil,
+      // when set, scheduled compaction is FILE-GRANULAR: only files
+      // below this size are packed (Maintenance.compactSmallFiles);
+      // right-sized files carry by reference, so tick cost follows
+      // the fresh ingestion, not the table
+      compactSmallFileBytes: Option[Long] = None,
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,

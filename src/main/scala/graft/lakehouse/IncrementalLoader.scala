@@ -82,7 +82,15 @@ object IncrementalLoader {
     // VersionedTable (retention/compaction/upsert), publish into the
     // CURRENT version dir — an append to the root would be invisible
     // to versioned reads. Flat tables keep publishing to the root.
-    val liveDir = VersionedTable.appendablePath(spark, tableDir)
+    // FILE-LIST (delta-manifest) tables — file-granular compaction or
+    // SQL DML landed — can't take in-place appends at all (invisible
+    // to manifest readers), so each batch becomes an appendDelta
+    // commit instead: same one-PUT-per-batch visibility, same
+    // deterministic in-version file name for crash idempotence.
+    val isDelta = VersionedTable.currentVersion(spark, tableDir).exists(v =>
+      VersionedTable.filesOf(spark, tableDir, v).nonEmpty)
+    val liveDir =
+      if (isDelta) null else VersionedTable.appendablePath(spark, tableDir)
     val results = fresh.map { f =>
       try {
         val reader = spark.read.schema(schema)
@@ -93,6 +101,24 @@ object IncrementalLoader {
         }
         val n = df.count()
         val tag = publishedTag(f)
+        if (isDelta) {
+          // a crash between the manifest PUT and the registry write
+          // re-runs this load: the current manifest already references
+          // this source's deterministic file name → no second append
+          val already = VersionedTable.currentFiles(spark, tableDir)
+            .exists(_.endsWith(s"/${publishedName(f)}"))
+          if (!already)
+            VersionedTable.appendDelta(spark, tableDir) { stage =>
+              df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+              val part = fs.listStatus(new Path(stage))
+                .find(_.getPath.getName.startsWith("part-"))
+                .getOrElse(throw new IllegalStateException(
+                  s"no part file under $stage")).getPath
+              require(fs.rename(part, new Path(stage, publishedName(f))),
+                s"rename $part -> ${publishedName(f)} failed")
+            }
+          (f, LoadRegistry.StatusOk, n)
+        } else {
         val stage = new Path(s"$tableDir/_staging/$tag")
         df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
         val part = fs.listStatus(stage)
@@ -111,6 +137,7 @@ object IncrementalLoader {
         }
         fs.delete(stage, true)
         (f, LoadRegistry.StatusOk, n)
+        }
       } catch {
         case e: Exception =>
           (f, LoadRegistry.StatusFailed, 0L)

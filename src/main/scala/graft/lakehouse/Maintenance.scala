@@ -142,6 +142,58 @@ object Maintenance {
     n
   }
 
+  /** FILE-GRANULAR compaction: bin-pack only the files SMALLER than
+    * `smallFileBytes` into ~`targetFileBytes` outputs and carry every
+    * already-right-sized file by reference ([[VersionedTable
+    * .commitDelta]]) — the steady-state maintenance shape at 100 TB,
+    * where a tick's ingestion adds a handful of small files to a
+    * table of thousands of good ones and [[compactVersioned]]'s
+    * full-table rewrite would be a table-sized IO bill for a
+    * KB-sized problem. Cost follows the SMALL files only: read
+    * Σsmall bytes, write Σsmall bytes, one manifest PUT; carried
+    * files keep their manifest stats/blooms without a re-scan.
+    *
+    * `sortCol` range-clusters the packed output (its stats stay
+    * selective); `statsCols`/`bloomCols` index the fresh files.
+    * Returns (files packed, files written); (n, 0) with n < 2 means
+    * nothing needed packing. Skips nothing silently: a table whose
+    * every file is small degenerates to [[compactVersioned]]'s
+    * behavior through the same code path. */
+  def compactSmallFiles(spark: SparkSession, root: String,
+                        smallFileBytes: Long = 32L << 20,
+                        targetFileBytes: Long = 128L << 20,
+                        sortCol: Option[String] = None,
+                        statsCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil,
+                        keepVersions: Int = 1): (Int, Int) = {
+    // a not-yet-versioned (flat/legacy) table has no file manifest to
+    // carry references through — its first compaction is the full
+    // rewrite that migrates it into versioning; every later one is
+    // file-granular
+    if (VersionedTable.currentVersion(spark, root).isEmpty) {
+      val n = compactVersioned(spark, root, targetFileBytes, sortCol,
+        (sortCol.toSeq ++ statsCols).distinct, bloomCols)
+      return (-1, n)
+    }
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val sized = VersionedTable.currentFiles(spark, root)
+      .map(f => f -> fs.getFileStatus(new Path(s"$root/$f")).getLen)
+    val (small, big) = sized.partition(_._2 < smallFileBytes)
+    if (small.size < 2) return (small.size, 0) // nothing to merge
+    val n = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
+    VersionedTable.commitDelta(spark, root, big.map(_._1), keepVersions,
+      statsCols = (sortCol.toSeq ++ statsCols).distinct,
+      bloomCols = bloomCols) { stage =>
+      val df = spark.read.parquet(small.map(f => s"$root/${f._1}"): _*)
+      sortCol.fold(df.coalesce(n))(c =>
+          df.repartitionByRange(n, col(c)).sortWithinPartitions(c))
+        .write.parquet(stage)
+    }
+    (small.size, n)
+  }
+
   /** [[upsert]] on a [[VersionedTable]] root. `keepVersions` widens
     * the retention window (CDC consumers like JoinView.syncDim need
     * the pre-upsert version to stay readable until they catch up). */
