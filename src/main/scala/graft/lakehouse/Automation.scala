@@ -46,7 +46,10 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         seed = cfg.seedBase + ticks.toInt))
     } else None
     val load = IncrementalLoader.run(spark, cfg.srcDir, cfg.tableDir,
-      cfg.registryDir, SurveyGen.schema)
+      cfg.registryDir, SurveyGen.schema,
+      audit =
+        if (cfg.auditChecks.isEmpty) None
+        else Some(DataQuality.violations(_, cfg.auditChecks)))
     // fold ONLY the freshly loaded rows into the maintained views —
     // the dashboard the reference recomputes per refresh, maintained
     // incrementally (merge cost = touched keys / sketch size, never
@@ -56,9 +59,22 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         (cfg.aggView.isEmpty && cfg.freqSketch.isEmpty &&
           cfg.quantView.isEmpty && cfg.setSketch.isEmpty)) None
       else {
-        val live = VersionedTable.currentPath(spark, cfg.tableDir)
-        Some(spark.read.parquet(
-          load.loaded.map(f => s"$live/${IncrementalLoader.publishedName(f)}"): _*))
+        // delta tables keep each batch's file in its own version dir —
+        // resolve through the manifest refs, not the current dir
+        val isDelta = VersionedTable.currentVersion(spark, cfg.tableDir)
+          .exists(v => VersionedTable.filesOf(spark, cfg.tableDir, v).nonEmpty)
+        val paths =
+          if (isDelta) {
+            val refs = VersionedTable.currentFiles(spark, cfg.tableDir)
+            load.loaded.flatMap(f => refs
+              .find(_.endsWith(s"/${IncrementalLoader.publishedName(f)}"))
+              .map(r => s"${cfg.tableDir}/$r"))
+          } else {
+            val live = VersionedTable.currentPath(spark, cfg.tableDir)
+            load.loaded.map(f =>
+              s"$live/${IncrementalLoader.publishedName(f)}")
+          }
+        Some(spark.read.parquet(paths: _*))
       }
     cfg.aggView.foreach { av => freshRows.foreach(f =>
       MaterializedAgg.update(spark, av.root, f, av.spec)) }
@@ -318,6 +334,10 @@ object Automation {
       // right-sized files carry by reference, so tick cost follows
       // the fresh ingestion, not the table
       compactSmallFileBytes: Option[Long] = None,
+      // write-audit-publish gate on every load: batches violating any
+      // check are QUARANTINED (registry-terminal, never retried,
+      // never visible in the table) instead of published
+      auditChecks: Seq[DataQuality.Check] = Nil,
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,

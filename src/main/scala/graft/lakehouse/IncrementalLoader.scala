@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.StructType
 object IncrementalLoader {
 
   final case class LoadResult(loaded: Seq[String], skipped: Seq[String],
-                              failed: Seq[String])
+                              failed: Seq[String],
+                              quarantined: Seq[(String, Seq[String])] = Nil)
 
   /** Deterministic publish tag for a source path — the table file a
     * load of `f` publishes is `ingest-<tag>.snappy.parquet`, which
@@ -70,11 +71,12 @@ object IncrementalLoader {
     * visible in the table and duplicated rows on retry.) */
   def run(spark: SparkSession, srcDir: String, tableDir: String,
           registryDir: String, schema: StructType,
-          format: String = "csv"): LoadResult = {
+          format: String = "csv",
+          audit: Option[DataFrame => Seq[String]] = None): LoadResult = {
     val all = discover(spark, srcDir, suffix = s".$format")
-    val loaded = LoadRegistry.loadedPaths(spark, registryDir)
+    val settled = LoadRegistry.settledPaths(spark, registryDir)
       .collect().map(_.getString(0)).toSet
-    val (skip, fresh) = all.partition(loaded.contains)
+    val (skip, fresh) = all.partition(settled.contains)
 
     val fs = FileSystem.get(new java.net.URI(tableDir),
       spark.sparkContext.hadoopConfiguration)
@@ -101,7 +103,14 @@ object IncrementalLoader {
         }
         val n = df.count()
         val tag = publishedTag(f)
-        if (isDelta) {
+        // the audit half of write-audit-publish: the batch is gated
+        // BEFORE anything becomes visible — a rejected drop never
+        // reaches the table, and quarantine is terminal (the registry
+        // keeps it from retrying; the source file stays for triage)
+        val bad = audit.map(_(df)).getOrElse(Nil)
+        if (bad.nonEmpty) {
+          (f, LoadRegistry.StatusQuarantined, n, bad)
+        } else if (isDelta) {
           // a crash between the manifest PUT and the registry write
           // re-runs this load: the current manifest already references
           // this source's deterministic file name → no second append
@@ -117,7 +126,7 @@ object IncrementalLoader {
               require(fs.rename(part, new Path(stage, publishedName(f))),
                 s"rename $part -> ${publishedName(f)} failed")
             }
-          (f, LoadRegistry.StatusOk, n)
+          (f, LoadRegistry.StatusOk, n, Nil)
         } else {
         val stage = new Path(s"$tableDir/_staging/$tag")
         df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
@@ -136,17 +145,22 @@ object IncrementalLoader {
           require(fs.rename(part, target), s"publish $part -> $target failed")
         }
         fs.delete(stage, true)
-        (f, LoadRegistry.StatusOk, n)
+        (f, LoadRegistry.StatusOk, n, Nil)
         }
       } catch {
         case e: Exception =>
-          (f, LoadRegistry.StatusFailed, 0L)
+          (f, LoadRegistry.StatusFailed, 0L, Nil)
       }
     }
-    if (results.nonEmpty) LoadRegistry.record(spark, registryDir, results)
+    if (results.nonEmpty)
+      LoadRegistry.record(spark, registryDir,
+        results.map { case (f, st, n, _) => (f, st, n) })
     LoadResult(
-      loaded = results.collect { case (f, LoadRegistry.StatusOk, _) => f },
+      loaded = results.collect { case (f, LoadRegistry.StatusOk, _, _) => f },
       skipped = skip,
-      failed = results.collect { case (f, LoadRegistry.StatusFailed, _) => f })
+      failed = results.collect { case (f, LoadRegistry.StatusFailed, _, _) => f },
+      quarantined = results.collect {
+        case (f, LoadRegistry.StatusQuarantined, _, bad) => (f, bad)
+      })
   }
 }

@@ -16,6 +16,9 @@ object LoadRegistry {
 
   val StatusOk = "ok"
   val StatusFailed = "failed"
+  /** Data-quality audit rejected the batch: deterministic, so unlike
+    * `failed` (transient errors, retried) it is never retried. */
+  val StatusQuarantined = "quarantined"
 
   /** Read the registry; empty DataFrame (right schema) if absent. */
   def read(spark: SparkSession, registryDir: String): DataFrame = {
@@ -45,5 +48,13 @@ object LoadRegistry {
   def loadedPaths(spark: SparkSession, registryDir: String): DataFrame =
     read(spark, registryDir)
       .filter(col("status") === StatusOk)
+      .select("path").distinct()
+
+  /** Paths the loader must not attempt again: loaded OR quarantined
+    * (audit rejections are deterministic — retrying re-rejects). */
+  def settledPaths(spark: SparkSession, registryDir: String): DataFrame =
+    read(spark, registryDir)
+      .filter(col("status") === StatusOk ||
+        col("status") === StatusQuarantined)
       .select("path").distinct()
 }

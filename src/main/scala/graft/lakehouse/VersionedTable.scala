@@ -221,7 +221,39 @@ object VersionedTable {
   def commit(spark: SparkSession, root: String, keepVersions: Int = 1,
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
              bloomBits: Int = 8192, bloomHashes: Int = 4)
-            (writer: String => Unit): Long = {
+            (writer: String => Unit): Long =
+    commitGated(spark, root, keepVersions, statsCols, bloomCols,
+      bloomBits, bloomHashes, None)(writer)
+
+  /** Audit gate failed: the staged version was discarded and the
+    * table still serves its previous version — nothing published. */
+  final class AuditFailedException(val violations: Seq[String])
+    extends RuntimeException(
+      s"audit failed, commit not published:\n  ${violations.mkString("\n  ")}")
+
+  /** WRITE-AUDIT-PUBLISH commit: like [[commit]], but between the
+    * completed stage write and the manifest PUT, `audit` inspects the
+    * staged (still-invisible) data — typically
+    * `DataQuality.violations(_, checks)`. A non-empty violation list
+    * DELETES the staged dir and throws [[AuditFailedException]]; the
+    * single-object commit point means readers can never observe the
+    * rejected data at any point in the window. This is the WAP
+    * pattern without a branch mechanism: the hidden unpublished
+    * version dir IS the audit branch, and the manifest PUT is the
+    * fast-forward. */
+  def commitAudited(spark: SparkSession, root: String,
+      keepVersions: Int = 1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)
+      (writer: String => Unit)
+      (audit: DataFrame => Seq[String]): Long =
+    commitGated(spark, root, keepVersions, statsCols, bloomCols,
+      8192, 4, Some(audit))(writer)
+
+  private def commitGated(spark: SparkSession, root: String,
+      keepVersions: Int, statsCols: Seq[String], bloomCols: Seq[String],
+      bloomBits: Int, bloomHashes: Int,
+      audit: Option[DataFrame => Seq[String]])
+      (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
     // Activate the manifest protocol BEFORE any data lands: a legacy
@@ -239,6 +271,13 @@ object VersionedTable {
     writer(data.toString)
     require(fs.exists(new Path(data, "_SUCCESS")),
       s"writer did not complete a parquet commit under $data")
+    audit.foreach { a =>
+      val bad = a(spark.read.parquet(data.toString))
+      if (bad.nonEmpty) {
+        fs.delete(data, true)
+        throw new AuditFailedException(bad)
+      }
+    }
     val stats =
       if (statsCols.isEmpty) ""
       else collectFileStats(spark, data.toString, statsCols)

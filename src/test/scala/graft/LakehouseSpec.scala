@@ -1499,6 +1499,110 @@ class LakehouseSpec extends SparkSpec {
     assert(rows(1).getDouble(1) == 2.5 && rows(1).getString(2) == "z")
   }
 
+  test("DataQuality.violations: every check type, one aggregate pass, clean batch empty") {
+    import spark.implicits._
+    import graft.lakehouse.DataQuality._
+    val df = Seq(
+      (1L, Some("a"), 10.0, "en"),
+      (2L, Some("b"), 20.0, "en"),
+      (2L, None, 99.0, "xx"), // dup id, null name, out-of-range v, bad lang
+      (4L, Some("d"), 30.0, "de")
+    ).toDF("id", "name", "v", "lang")
+    val checks = Seq(
+      NotNull(Seq("name")), Unique(Seq("id")), InRange("v", 0.0, 50.0),
+      InSet("lang", Seq("en", "de")), MinRows(10),
+      MaxNullFraction("name", 0.1))
+    val bad = violations(df, checks)
+    assert(bad.size == 6, s"expected all six to fire: $bad")
+    assert(bad.exists(_.startsWith("not_null(name): 1")))
+    assert(bad.exists(_.startsWith("unique(id): 1")))
+    assert(bad.exists(_.startsWith("in_range(v, 0.0, 50.0): 1")))
+    assert(bad.exists(_.startsWith("in_set(lang): 1")))
+    assert(bad.exists(_.startsWith("min_rows(10): batch has only 4")))
+    assert(bad.exists(_.startsWith("max_null_fraction(name")))
+    // clean batch → no violations (nulls allowed where not checked)
+    val clean = Seq((1L, Some("a"), 10.0, "en"), (2L, Some("b"), 20.0, "de"))
+      .toDF("id", "name", "v", "lang")
+    assert(violations(clean, checks.filterNot(_.isInstanceOf[MinRows])).isEmpty)
+    assert(violations(clean, Nil).isEmpty)
+  }
+
+  test("commitAudited: write-audit-publish — a dirty stage never becomes visible") {
+    import spark.implicits._
+    import graft.lakehouse.DataQuality
+    val root = tmpDir("wap") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), keepVersions = 4)
+    val checks = Seq(DataQuality.NotNull(Seq("name")),
+      DataQuality.Unique(Seq("id")))
+    // clean commit publishes
+    val v2 = VersionedTable.commitAudited(spark, root, keepVersions = 4) {
+      stage => Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+        .write.parquet(stage)
+    }(DataQuality.violations(_, checks))
+    assert(v2 == 2L && VersionedTable.read(spark, root).count() == 3)
+    // dirty commit: audit rejects, stage deleted, table untouched
+    val e = intercept[VersionedTable.AuditFailedException] {
+      VersionedTable.commitAudited(spark, root, keepVersions = 4) {
+        stage => Seq((1L, "a"), (1L, null), (3L, "c")).toDF("id", "name")
+          .write.parquet(stage)
+      }(DataQuality.violations(_, checks))
+    }
+    assert(e.violations.size == 2)
+    assert(VersionedTable.currentVersion(spark, root).contains(2L))
+    assert(VersionedTable.read(spark, root).count() == 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_v-3")),
+      "rejected stage dir left behind")
+    // the next clean commit reuses the freed version number
+    val v3 = VersionedTable.commitAudited(spark, root, keepVersions = 4) {
+      stage => Seq((9L, "z")).toDF("id", "name").write.parquet(stage)
+    }(DataQuality.violations(_, checks))
+    assert(v3 == 3L)
+  }
+
+  test("loader audit gate quarantines bad drops terminally; good drops load") {
+    import graft.lakehouse.DataQuality
+    val root = tmpDir("quarantine")
+    val src = s"$root/arrivals"; val table = s"$root/t"
+    new java.io.File(src).mkdirs()
+    val schema = SurveyGen.generate(spark, 1, seed = 1).schema
+    SurveyGen.writeArrival(spark, src, "good.csv", 50, seed = 1)
+    // a truncated drop: header only, zero rows
+    val badFile = new java.io.File(src, "bad.csv")
+    java.nio.file.Files.writeString(badFile.toPath,
+      schema.fieldNames.mkString(",") + "\n")
+    val audit = Some((df: org.apache.spark.sql.DataFrame) =>
+      DataQuality.violations(df, Seq(DataQuality.MinRows(10))))
+    val r1 = IncrementalLoader.run(spark, src, table, s"$root/reg", schema,
+      audit = audit)
+    assert(r1.loaded.size == 1 && r1.quarantined.size == 1)
+    assert(r1.quarantined.head._1.endsWith("bad.csv"))
+    assert(r1.quarantined.head._2.head.startsWith("min_rows(10)"))
+    assert(spark.read.parquet(table).count() == 50)
+    // quarantine is terminal: the rerun skips it (no audit re-run)
+    val r2 = IncrementalLoader.run(spark, src, table, s"$root/reg", schema,
+      audit = audit)
+    assert(r2.loaded.isEmpty && r2.quarantined.isEmpty &&
+      r2.skipped.size == 2)
+    // registry records the quarantine for triage
+    val reg = LoadRegistry.read(spark, s"$root/reg")
+    assert(reg.filter(org.apache.spark.sql.functions.col("status") ===
+      LoadRegistry.StatusQuarantined).count() == 1)
+    // daemon wiring: a tick with auditChecks quarantines the same way
+    val cfg = Automation.Config(
+      srcDir = src, tableDir = table, registryDir = s"$root/reg",
+      generate = false, auditChecks = Seq(DataQuality.MinRows(10)))
+    val bad2 = new java.io.File(src, "bad2.csv")
+    java.nio.file.Files.writeString(bad2.toPath,
+      schema.fieldNames.mkString(",") + "\n")
+    val reports = new Automation(spark, cfg).runLoop(
+      intervalMillis = 5, maxTicks = 1)
+    assert(reports.head.load.quarantined.size == 1)
+    assert(spark.read.parquet(table).count() == 50)
+  }
+
   test("file-level retention deletes only stale files") {
     val dir = tmpDir("exp")
     val fresh = new java.io.File(dir, "fresh.csv")
