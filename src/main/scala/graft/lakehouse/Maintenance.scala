@@ -186,12 +186,41 @@ object Maintenance {
     VersionedTable.commitDelta(spark, root, big.map(_._1), keepVersions,
       statsCols = (sortCol.toSeq ++ statsCols).distinct,
       bloomCols = bloomCols) { stage =>
-      val df = spark.read.parquet(small.map(f => s"$root/${f._1}"): _*)
+      // DV-applied read: rewriting a small file PURGES its deletion
+      // vector (the carried big files keep theirs via the manifest)
+      val v = VersionedTable.currentVersion(spark, root).get
+      val df = VersionedTable.readFilesWithDv(spark, root, v,
+        small.map(f => s"$root/${f._1}"))
       sortCol.fold(df.coalesce(n))(c =>
           df.repartitionByRange(n, col(c)).sortWithinPartitions(c))
         .write.parquet(stage)
     }
     (small.size, n)
+  }
+
+  /** Materialize merge-on-read deletes: rewrite ONLY the files that
+    * carry a deletion vector (their DV-applied bytes become plain
+    * files), carry every clean file by reference, and drop all `dv`
+    * manifest lines — the background step that keeps the read-side
+    * anti-join amortized to recently-deleted files. Returns the
+    * number of files rewritten (0 = no vectors, no new version). */
+  def purgeDeletes(spark: SparkSession, root: String,
+                   keepVersions: Int = 1, statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Int = {
+    val v = VersionedTable.currentVersion(spark, root).getOrElse(return 0)
+    val dv = VersionedTable.deleteVectors(spark, root, v)
+    if (dv.isEmpty) return 0
+    val files = VersionedTable.currentFiles(spark, root)
+    // rewritten files get NEW refs, so their dv lines don't carry;
+    // carried (vector-free) files have no lines to carry — the new
+    // manifest is vector-free by construction
+    val (affected, carried) = files.partition(dv.contains)
+    VersionedTable.commitDelta(spark, root, carried, keepVersions,
+      statsCols = statsCols, bloomCols = bloomCols) { stage =>
+      VersionedTable.readFilesWithDv(spark, root, v,
+        affected.map(f => s"$root/$f")).write.parquet(stage)
+    }
+    affected.size
   }
 
   /** [[upsert]] on a [[VersionedTable]] root. `keepVersions` widens

@@ -91,6 +91,68 @@ object SqlRunner {
     (df, roundSec(t0))
   }
 
+  private def oneRow(spark: SparkSession, names: Seq[String],
+      values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val fields = names.zip(values).map {
+      case (n, _: Long) => StructField(n, LongType)
+      case (n, _: Int) => StructField(n, IntegerType)
+      case (n, _: Boolean) => StructField(n, BooleanType)
+      case (n, _) => StructField(n, StringType)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(R(values: _*)), 1),
+      StructType(fields))
+  }
+
+  // Built-in MAINTENANCE procedures — the SQL-ops surface of the
+  // versioned lakehouse, so an operator can drive snapshots, rollback,
+  // vacuum and compaction from a SQL console without touching Scala:
+  //   CALL-style: SqlRunner.callProc(spark, "graft_tag", Seq(root, name))
+  registerProc("graft_tag") { (s, a) =>
+    require(a.size >= 2, "graft_tag(root, name[, version])")
+    val v = VersionedTable.tag(s, a(0), a(1),
+      version = a.lift(2).map(_.toLong), replace = true)
+    oneRow(s, Seq("tag", "version"), Seq(a(1), v))
+  }
+  registerProc("graft_drop_tag") { (s, a) =>
+    require(a.size == 2, "graft_drop_tag(root, name)")
+    oneRow(s, Seq("tag", "existed"),
+      Seq(a(1), VersionedTable.dropTag(s, a(0), a(1))))
+  }
+  registerProc("graft_rollback") { (s, a) =>
+    require(a.size >= 2 && a.size <= 3,
+      "graft_rollback(root, versionOrTag[, keepVersions])")
+    val keep = a.lift(2).map(_.toInt).getOrElse(1)
+    val v = a(1).toLongOption match {
+      case Some(n) => VersionedTable.rollback(s, a(0), n, keep)
+      case None => VersionedTable.rollbackTo(s, a(0), a(1), keep)
+    }
+    oneRow(s, Seq("new_version"), Seq(v))
+  }
+  registerProc("graft_vacuum") { (s, a) =>
+    require(a.size == 2, "graft_vacuum(root, olderThanMs)")
+    val deleted = VersionedTable.vacuum(s, a(0), a(1).toLong)
+    oneRow(s, Seq("deleted"), Seq(deleted.size.toLong))
+  }
+  registerProc("graft_purge_deletes") { (s, a) =>
+    require(a.nonEmpty && a.size <= 2,
+      "graft_purge_deletes(root[, keepVersions])")
+    val n = Maintenance.purgeDeletes(s, a(0),
+      keepVersions = a.lift(1).map(_.toInt).getOrElse(1))
+    oneRow(s, Seq("rewritten"), Seq(n.toLong))
+  }
+  registerProc("graft_compact") { (s, a) =>
+    require(a.nonEmpty && a.size <= 3,
+      "graft_compact(root[, smallFileBytes[, sortCol]])")
+    val (packed, written) = Maintenance.compactSmallFiles(s, a(0),
+      smallFileBytes = a.lift(1).map(_.toLong).getOrElse(32L << 20),
+      sortCol = a.lift(2))
+    oneRow(s, Seq("packed", "written"),
+      Seq(packed.toLong, written.toLong))
+  }
+
   private def roundSec(t0: Long): Double =
     math.round((System.nanoTime() - t0) / 1e8) / 10.0
 }

@@ -2,7 +2,7 @@ package graft.lakehouse
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, regexp_extract}
 
 /** Crash-safe table commits without a table format: versioned data
   * directories + single-object commit manifests.
@@ -166,8 +166,14 @@ object VersionedTable {
         .map(st => s"$dirName/${st.getPath.getName}")
     }
 
+  /** Deletion-vector sidecar objects: a VISIBLE leaf name (Spark's
+    * file index silently drops `_`/`.`-prefixed leaves, so a hidden
+    * name would be unreadable) that data-file listings exclude. */
+  private def isDvFile(name: String): Boolean =
+    name.startsWith("dv-") && name.endsWith(".parquet")
+
   private def isDataFile(name: String): Boolean =
-    !name.startsWith("_") && !name.startsWith(".")
+    !name.startsWith("_") && !name.startsWith(".") && !isDvFile(name)
 
   /** Resolve a manifest file key to an absolute path: delta-commit
     * keys are root-relative (they contain a `/`); legacy keys are
@@ -328,7 +334,8 @@ object VersionedTable {
   def commitDelta(spark: SparkSession, root: String, carried: Seq[String],
       keepVersions: Int = 1, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 8192,
-      bloomHashes: Int = 4, statsFrom: Option[Long] = None)
+      bloomHashes: Int = 4, statsFrom: Option[Long] = None,
+      dv: Seq[(String, String, Long)] = Nil)
       (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
@@ -387,8 +394,9 @@ object VersionedTable {
         else {
           val rescan = carried.filterNot(prevStats.contains)
             .map(r => s"$root/$r")
-          val scanned = (rescan ++ (if (newNames.nonEmpty)
-            Seq(stage.toString) else Nil))
+          // explicit new-file paths, not the stage dir: the stage may
+          // also hold a visible dv sidecar with a different schema
+          val scanned = rescan ++ newNames.map(n => s"$stage/$n")
           if (scanned.isEmpty) ""
           else collectFileStats(spark, scanned, statsCols, relKeys = true)
         }
@@ -406,16 +414,29 @@ object VersionedTable {
           val rescan = carried
             .filter(r => bloomCols.exists(c => !prevBlooms.contains((r, c))))
             .map(r => s"$root/$r")
-          val scanned = (rescan ++ (if (newNames.nonEmpty)
-            Seq(stage.toString) else Nil))
+          val scanned = rescan ++ newNames.map(n => s"$stage/$n")
           if (scanned.isEmpty) ""
           else collectFileBlooms(spark, scanned, bloomCols, bloomBits,
             bloomHashes, relKeys = true)
         }
       (copied ++ Option(fresh).filter(_.nonEmpty)).sorted.mkString("\n")
     }
+    // deletion-vector lines: carried files keep their vector (a
+    // commit that re-references a file must re-reference its hidden
+    // deletes — dropping the line would RESURRECT deleted rows);
+    // rewritten files' vectors drop (the rewrite read was DV-applied,
+    // so the new bytes are purged); explicit `dv` entries override.
+    val prevDv = statsFrom.orElse(base)
+      .map(v => deleteVectors(spark, root, v))
+      .getOrElse(Map.empty[String, (String, Long)])
+    val overridden = dv.map(_._1).toSet
+    val dvLines = (carried.filterNot(overridden)
+        .flatMap(f => prevDv.get(f).map { case (ref, c) => (f, ref, c) })
+      ++ dv)
+      .map { case (f, ref, c) => s"dv\t${esc(f)}\t${esc(ref)}\t$c" }
+      .sorted.mkString("\n")
     val fLines = all.map(r => s"f\t${esc(r)}").sorted.mkString("\n")
-    val payload = Seq(statsPayload, bloomPayload, fLines)
+    val payload = Seq(statsPayload, bloomPayload, dvLines, fLines)
       .filter(_.nonEmpty).mkString("\n")
     publishManifest(fs, root, next, payload)
     prune(fs, root, next - math.max(1, keepVersions))
@@ -441,8 +462,11 @@ object VersionedTable {
     val content =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    content.split("\n").toSeq.filter(_.startsWith("f\t"))
-      .map(l => unesc(l.drop(2)))
+    content.split("\n").toSeq.collect {
+      case l if l.startsWith("f\t") => unesc(l.drop(2))
+      // a dv ref pins its parent dir exactly like a data-file ref
+      case l if l.startsWith("dv\t") => unesc(l.split("\t")(2))
+    }
   }
 
   /** Remove versions (data + manifest) at or below `cutoff`, stale
@@ -486,14 +510,188 @@ object VersionedTable {
   }
 
   /** Read a specific retained version (time travel within the
-    * retention window). */
+    * retention window). Rows hidden by the version's deletion vectors
+    * (merge-on-read deletes — see [[deleteWhere]]) are filtered out;
+    * a version with no vectors takes the plain-scan fast path. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    if (deleteVectors(spark, root, version).isEmpty)
+      rawReadVersion(spark, root, version)
+    else scanWithRefs(spark, root, version).drop(DvFileCol, DvPosCol)
+
+  /** The physical scan of a version — deleted-but-not-purged rows
+    * INCLUDED. The input of every DV-aware consumer. */
+  private def rawReadVersion(spark: SparkSession, root: String,
+      version: Long): DataFrame =
     filesOf(spark, root, version) match {
       case Some(files) =>
         spark.read.parquet(files.map(f => s"$root/$f"): _*)
       case None =>
         spark.read.parquet(dataDirOf(fsOf(spark, root), root, version))
     }
+
+  // ---- merge-on-read deletion vectors ------------------------------
+  //
+  // A DELETE that touches a sliver of rows across many files should
+  // not pay a file rewrite per touched file: a MoR delete publishes a
+  // deletion VECTOR — one tiny parquet of (file, pos) physical row
+  // positions — plus the usual single manifest PUT. Readers anti-join
+  // the scan against the vector on (`_metadata.file_path` suffix,
+  // `_metadata.row_index`); the vector parquet is small, so the join
+  // broadcasts and the scan stays vectorized. Data files are carried
+  // by reference, byte-untouched, with their stats/blooms intact
+  // (physical min/max remain valid conservative bounds over the
+  // visible subset). Compaction / CoW rewrites purge vectors for the
+  // files they rewrite; commits that carry a file forward carry its
+  // vector line with it, so appends never resurrect deleted rows.
+  // Manifest line: `dv \t <fileref> \t <dvref> \t <deletedCount>`.
+
+  private[graft] val DvFileCol = "_graft_dv_file"
+  private[graft] val DvPosCol = "_graft_dv_pos"
+  private val FileRefRe = "([^/]+/[^/]+)$"
+
+  /** The deletion vectors a version's manifest carries:
+    * root-relative data-file ref -> (dv-parquet ref, deleted rows). */
+  def deleteVectors(spark: SparkSession, root: String,
+      version: Long): Map[String, (String, Long)] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(commitsDir(root), version.toString)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split("\n").toSeq.filter(_.startsWith("dv\t")).map { l =>
+      val parts = l.split("\t")
+      unesc(parts(1)) -> (unesc(parts(2)), parts(3).toLong)
+    }.toMap
+  }
+
+  /** The (file, pos) rows of a version's vectors, or None when it has
+    * none. Rows for files absent from a given scan simply never match
+    * the anti-join, so one frame serves every partial scan. */
+  private def dvRowsDf(spark: SparkSession, root: String,
+      dv: Map[String, (String, Long)]): Option[DataFrame] =
+    if (dv.isEmpty) None
+    else {
+      val refs = dv.values.map(_._1).toSeq.distinct.map(r => s"$root/$r")
+      Some(spark.read.parquet(refs: _*)
+        .select(col("file").as("_dv_file"), col("pos").as("_dv_pos")))
+    }
+
+  private def antiDv(scan: DataFrame, rows: DataFrame): DataFrame =
+    scan.join(rows, scan(DvFileCol) === rows("_dv_file") &&
+      scan(DvPosCol) === rows("_dv_pos"), "left_anti")
+
+  /** The VISIBLE rows of a version, with the hidden position-key
+    * columns [[DvFileCol]] (root-relative file ref) / [[DvPosCol]]
+    * (physical row index) riding along — what MoR mutation and
+    * file-granular CoW DML plan from. Filters/joins preserve the
+    * hidden columns; a caller's projection must not drop them. */
+  private[graft] def scanWithRefs(spark: SparkSession, root: String,
+      version: Long): DataFrame = {
+    val keyed = rawReadVersion(spark, root, version)
+      .withColumn(DvFileCol,
+        regexp_extract(col("_metadata.file_path"), FileRefRe, 1))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    dvRowsDf(spark, root, deleteVectors(spark, root, version))
+      .fold(keyed)(antiDv(keyed, _))
+  }
+
+  private[graft] def scanWithRefs(spark: SparkSession,
+      root: String): DataFrame =
+    scanWithRefs(spark, root, currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version")))
+
+  /** Read a subset of a version's files with its deletion vectors
+    * applied — the partial-scan form every pruned/boundary read uses
+    * (plain scan when the version carries no vectors). */
+  private[graft] def readFilesWithDv(spark: SparkSession, root: String,
+      version: Long, absFiles: Seq[String]): DataFrame = {
+    val dv = deleteVectors(spark, root, version)
+    val raw = spark.read.parquet(absFiles: _*)
+    dvRowsDf(spark, root, dv).fold(raw) { rows =>
+      val keyed = raw
+        .withColumn(DvFileCol,
+          regexp_extract(col("_metadata.file_path"), FileRefRe, 1))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+      antiDv(keyed, rows).drop(DvFileCol, DvPosCol)
+    }
+  }
+
+  /** Publish `df` as ONE parquet object `name` inside `dir` (staged
+    * write, single-part coalesce, rename into place). */
+  private def writeSingleObject(spark: SparkSession, df: DataFrame,
+      dir: String, name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, "_dv_stage")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    require(fs.rename(part, new Path(dir, name)),
+      s"publish $part -> $dir/$name failed")
+    fs.delete(tmp, true)
+  }
+
+  /** MERGE-ON-READ mutation core: hide the visible rows `pick`
+    * selects behind a deletion vector and append `extra` as new data
+    * files, in ONE commit — every current data file is carried by
+    * reference (stats/blooms ride over byte-identical), the new
+    * vector consolidates all prior vector rows plus the fresh
+    * positions into a single object, and visibility is the usual one
+    * manifest PUT. At 100 TB a delete touching 0.1% of rows in 10 000
+    * files costs one position-sized parquet + one PUT, not 10 000
+    * file rewrites. `pick` transforms the [[scanWithRefs]] frame and
+    * must return a SUBSET of its rows with the hidden key columns
+    * intact (filters and semi-joins qualify). Returns rows hidden. */
+  def deleteAndAppend(spark: SparkSession, root: String,
+      keepVersions: Int = 1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)(
+      pick: DataFrame => DataFrame,
+      extra: Option[DataFrame]): Long = {
+    val version = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    val files = filesAt(spark, root, version)
+    val dv = deleteVectors(spark, root, version)
+    val newDel = pick(scanWithRefs(spark, root, version))
+      .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .persist()
+    try {
+      val perFile = newDel.groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val hidden = perFile.values.sum
+      if (hidden == 0L && extra.isEmpty) return 0L
+      val dvRef = s"_v-${version + 1}/dv-${version + 1}.parquet"
+      val counts = files.flatMap { f =>
+        val c = dv.get(f).map(_._2).getOrElse(0L) + perFile.getOrElse(f, 0L)
+        if (c > 0) Some((f, dvRef, c)) else None
+      }
+      commitDelta(spark, root, files, keepVersions, statsCols,
+          bloomCols, dv = counts) { stage =>
+        extra.foreach(_.write.parquet(stage))
+        if (counts.nonEmpty) {
+          val all = dvRowsDf(spark, root, dv).fold(newDel)(prev =>
+            prev.select(col("_dv_file").as("file"),
+              col("_dv_pos").as("pos")).unionByName(newDel))
+          writeSingleObject(spark, all, stage,
+            s"dv-${version + 1}.parquet")
+        }
+      }
+      hidden
+    } finally { newDel.unpersist(false); () }
+  }
+
+  /** MERGE-ON-READ DELETE: rows where `cond` is TRUE disappear from
+    * every read path (reads, pruned scans, point lookups, metadata
+    * counts, CDC) without touching a single data file — the
+    * metadata-priced twin of the file-granular CoW DELETE. Vectors
+    * are purged back to plain files by compaction, any full rewrite,
+    * or [[Maintenance.purgeDeletes]]. Returns rows deleted. */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column, keepVersions: Int = 1,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    deleteAndAppend(spark, root, keepVersions, statsCols, bloomCols)(
+      _.filter(cond), None)
 
   // ---- named tags (snapshot pins) -----------------------------------
 
@@ -828,7 +1026,8 @@ object VersionedTable {
     val files = prunedFilesEq(spark, root, colName, value)
     val base =
       if (files.isEmpty) read(spark, root).limit(0)
-      else spark.read.parquet(files: _*)
+      else readFilesWithDv(spark, root,
+        currentVersion(spark, root).get, files)
     val dt = base.schema(colName).dataType
     base.filter(col(colName) === org.apache.spark.sql.functions
       .lit(value).cast(dt))
@@ -888,29 +1087,42 @@ object VersionedTable {
     // metadata-answered: all-null stats → overlap, never contained
     val byFile = stats.map(s => s.file -> s).toMap
     val universe = filesOf(spark, root, version).getOrElse(stats.map(_.file))
+    // deletion vectors: stats describe the PHYSICAL file, so a
+    // fully-contained dv'd file answers rows − deleted only when the
+    // column has no nulls (per-file stats can't say how deleted and
+    // null rows overlap); otherwise it joins the boundary scan, which
+    // is DV-applied.
+    val dv = deleteVectors(spark, root, version)
+    val dirName = new Path(dir).getName
+    def dvCount(f: String): Long = dv
+      .get(if (f.contains('/')) f else s"$dirName/$f").map(_._2)
+      .getOrElse(0L)
     val st = universe.map { f =>
       val s = byFile.get(f)
       (f, s.map(_.rows),
         s.flatMap(_.min.getOrElse(colName, None)),
         s.flatMap(_.max.getOrElse(colName, None)),
-        s.flatMap(_.nulls.get(colName)))
-    }.toDF("file", "rows", "mn", "mx", "nulls")
+        s.flatMap(_.nulls.get(colName)), dvCount(f))
+    }.toDF("file", "rows", "mn", "mx", "nulls", "deleted")
     val overlaps = col("mn").isNull || col("mx").isNull ||
       (col("mx").cast(dt) >= lit(lower) && col("mn").cast(dt) <= lit(upper))
     val contained = col("rows").isNotNull &&
       col("mn").isNotNull && col("mx").isNotNull &&
       col("nulls").isNotNull &&
+      (col("deleted") === 0L || col("nulls") === 0L) &&
       col("mn").cast(dt) >= lit(lower) && col("mx").cast(dt) <= lit(upper)
     val parts = st.filter(overlaps)
-      .select(col("file"), col("rows"), col("nulls"), contained.as("full"))
+      .select(col("file"), col("rows"), col("nulls"), col("deleted"),
+        contained.as("full"))
       .collect()
     val metaCount = parts.filter(_.getAs[Boolean]("full"))
-      .map(r => r.getAs[Long]("rows") - r.getAs[Long]("nulls")).sum
+      .map(r => r.getAs[Long]("rows") - r.getAs[Long]("nulls") -
+        r.getAs[Long]("deleted")).sum
     val boundary = parts.filter(!_.getAs[Boolean]("full"))
       .map(r => resolveFile(root, dir, r.getAs[String]("file")))
     val scanned =
       if (boundary.isEmpty) 0L
-      else spark.read.parquet(boundary.toSeq: _*)
+      else readFilesWithDv(spark, root, version, boundary.toSeq)
         .filter(col(colName).cast(dt) >= lit(lower) &&
           col(colName).cast(dt) <= lit(upper))
         .count()
@@ -941,13 +1153,22 @@ object VersionedTable {
     val cols = bounds.map(_._1)
     val byFile = stats.map(s => s.file -> s).toMap
     val universe = filesOf(spark, root, version).getOrElse(stats.map(_.file))
+    // deletion vectors: same rule as countWhere — a dv'd file only
+    // answers from metadata when every bounded column is null-free
+    // in it (then count = rows − nulls(=0) − deleted); the ≤1-null
+    // composition rule below collapses to exactly that.
+    val dv = deleteVectors(spark, root, version)
+    val dirName = new Path(dir).getName
+    def dvCount(f: String): Long = dv
+      .get(if (f.contains('/')) f else s"$dirName/$f").map(_._2)
+      .getOrElse(0L)
     val st = universe.map { f =>
       val s = byFile.get(f)
       (f, s.map(_.rows),
         cols.map(c => s.flatMap(_.min.getOrElse(c, None))),
         cols.map(c => s.flatMap(_.max.getOrElse(c, None))),
-        cols.map(c => s.flatMap(_.nulls.get(c))))
-    }.toDF("file", "rows", "mns", "mxs", "nulls")
+        cols.map(c => s.flatMap(_.nulls.get(c))), dvCount(f))
+    }.toDF("file", "rows", "mns", "mxs", "nulls", "deleted")
     val dims = bounds.zipWithIndex.map { case ((c, lo, hi), i) =>
       val dt = schema(c).dataType
       val mn = col("mns").getItem(i); val mx = col("mxs").getItem(i)
@@ -959,19 +1180,21 @@ object VersionedTable {
       (overlap, contained)
     }
     val parts = st.filter(dims.map(_._1).reduce(_ && _))
-      .select(col("file"), col("rows"), col("nulls"),
+      .select(col("file"), col("rows"), col("nulls"), col("deleted"),
         (col("rows").isNotNull && dims.map(_._2).reduce(_ && _)).as("full"))
       .collect()
     val (meta, boundary) = parts.partition { r =>
       r.getAs[Boolean]("full") &&
-        r.getAs[Seq[Long]]("nulls").count(_ > 0L) <= 1
+        r.getAs[Seq[Long]]("nulls").count(_ > 0L) <=
+          (if (r.getAs[Long]("deleted") > 0L) 0 else 1)
     }
     val metaCount = meta
-      .map(r => r.getAs[Long]("rows") - r.getAs[Seq[Long]]("nulls").sum).sum
+      .map(r => r.getAs[Long]("rows") - r.getAs[Seq[Long]]("nulls").sum -
+        r.getAs[Long]("deleted")).sum
     val files = boundary.map(r => resolveFile(root, dir, r.getAs[String]("file")))
     val scanned =
       if (files.isEmpty) 0L
-      else spark.read.parquet(files.toSeq: _*)
+      else readFilesWithDv(spark, root, version, files.toSeq)
         .filter(bounds.map { case (c, lo, hi) =>
           val dt = schema(c).dataType
           col(c).cast(dt) >= lit(lo) && col(c).cast(dt) <= lit(hi)
@@ -1060,7 +1283,8 @@ object VersionedTable {
     if (files.isEmpty) {
       // preserve the schema on an empty plan
       read(spark, root).limit(0)
-    } else spark.read.parquet(files: _*)
+    } else readFilesWithDv(spark, root,
+      currentVersion(spark, root).get, files)
   }
 
   /** CDC feed between two retained versions (both inside the

@@ -71,7 +71,7 @@ object GraftDml {
 
   /** The stats/bloom columns the CURRENT manifest carries — re-collect
     * these for the post-DML version so skipping never degrades. */
-  private def carriedIndex(spark: SparkSession,
+  private[plans] def carriedIndex(spark: SparkSession,
       root: String): (Seq[String], Seq[String]) =
     VersionedTable.currentVersion(spark, root) match {
       case None => (Nil, Nil)
@@ -83,8 +83,20 @@ object GraftDml {
         (stats, blooms)
     }
 
-  private def keepVersions(spark: SparkSession): Int =
+  private[plans] def keepVersions(spark: SparkSession): Int =
     spark.conf.get("spark.graft.dml.keepVersions", "1").toInt
+
+  /** DML write strategy: `cow` (default) rewrites the affected files;
+    * `mor` hides affected rows behind a deletion vector (one tiny
+    * parquet + one manifest PUT, zero data-file rewrites — the right
+    * price when deletes touch a sliver of many files). Flat/legacy
+    * tables always take the migrating CoW path. */
+  private[plans] def morMode(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.dml.mode", "cow").toLowerCase match {
+      case "cow" => false
+      case "mor" => true
+      case other => fail(s"spark.graft.dml.mode must be cow|mor, got: $other")
+    }
 
   /** FILE-GRANULAR DML mutation: only the files that actually contain
     * rows selected by `affectedRows` are rewritten (through
@@ -106,7 +118,6 @@ object GraftDml {
       affectedRows: DataFrame => DataFrame,
       rewriteFile: DataFrame => DataFrame,
       extra: Option[DataFrame]): (Long, Long) = {
-    import org.apache.spark.sql.functions.input_file_name
     val before = VersionedTable.read(spark, root).count()
     val (stats, blooms) = carriedIndex(spark, root)
     val kv = keepVersions(spark)
@@ -115,18 +126,16 @@ object GraftDml {
         VersionedTable.rewrite(spark, root, kv, stats, blooms) { df =>
           extra.fold(rewriteFile(df))(e => rewriteFile(df).unionByName(e))
         }
-      case Some(_) =>
+      case Some(v) =>
         val files = VersionedTable.currentFiles(spark, root)
-        val df = VersionedTable.read(spark, root)
-        // bind input_file_name BEFORE affectedRows runs: a join in
-        // there (MERGE's key probe) makes the plan multi-source, and
-        // input_file_name refuses to bind across sources
-        val rel = affectedRows(df.withColumn("_graft_input_file", input_file_name()))
-          .select(col("_graft_input_file")).distinct()
-          .collect().map { r =>
-            val p = new org.apache.hadoop.fs.Path(r.getString(0))
-            s"${p.getParent.getName}/${p.getName}"
-          }.toSet
+        // the DV-aware keyed scan carries the root-relative file ref
+        // as a hidden column — single-source-safe even when a join in
+        // affectedRows (MERGE's key probe) makes the plan multi-source
+        // (input_file_name refuses to bind there), and rows already
+        // hidden by a deletion vector can never mark a file affected
+        val rel = affectedRows(VersionedTable.scanWithRefs(spark, root))
+          .select(col(VersionedTable.DvFileCol)).distinct()
+          .collect().map(_.getString(0)).toSet
         val affected = files.filter(rel)
         val carried = files.filterNot(rel)
         if (affected.isEmpty && extra.isEmpty)
@@ -135,8 +144,10 @@ object GraftDml {
           stats, blooms) { stage =>
           val pieces =
             (if (affected.nonEmpty)
-              Seq(rewriteFile(spark.read.parquet(
-                affected.map(f => s"$root/$f"): _*)))
+              // DV-applied read: the rewrite purges the affected
+              // files' vectors along with the rows it removes
+              Seq(rewriteFile(VersionedTable.readFilesWithDv(spark,
+                root, v, affected.map(f => s"$root/$f"))))
             else Nil) ++ extra.toSeq
           pieces.reduce(_ unionByName _).write.parquet(stage)
         }
@@ -172,6 +183,14 @@ case class GraftDeleteCommand(root: String, alias: Option[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val condCol = coalesce(Bridge.column(cond.value), lit(false))
+    if (GraftDml.morMode(spark) &&
+        VersionedTable.currentVersion(spark, root).nonEmpty) {
+      val (stats, blooms) = GraftDml.carriedIndex(spark, root)
+      val hidden = VersionedTable.deleteAndAppend(spark, root,
+        GraftDml.keepVersions(spark), stats, blooms)(
+        df => GraftDml.aliased(df, alias).filter(condCol), None)
+      return Seq(Row(hidden))
+    }
     val (before, after) = GraftDml.mutateFiles(spark, root)(
       df => GraftDml.aliased(df, alias).filter(condCol),
       df => GraftDml.aliased(df, alias).filter(!condCol),
@@ -199,6 +218,23 @@ case class GraftUpdateCommand(root: String, alias: Option[String],
     val assign: Map[String, Column] = assignments.value.map { a =>
       GraftDml.assignedColumn(columns, a.key) -> Bridge.column(a.value)
     }.toMap
+    if (GraftDml.morMode(spark) &&
+        VersionedTable.currentVersion(spark, root).nonEmpty) {
+      // MoR UPDATE = vector-hide the old rows + append the new images
+      // as fresh files, one commit — no untouched row is rewritten
+      if (updated > 0) {
+        val (stats, blooms) = GraftDml.carriedIndex(spark, root)
+        val images = GraftDml
+          .aliased(VersionedTable.read(spark, root), alias)
+          .filter(condCol)
+          .select(columns.map(c =>
+            assign.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        VersionedTable.deleteAndAppend(spark, root,
+          GraftDml.keepVersions(spark), stats, blooms)(
+          df => GraftDml.aliased(df, alias).filter(condCol), Some(images))
+      }
+      return Seq(Row(updated))
+    }
     GraftDml.mutateFiles(spark, root)(
       df => GraftDml.aliased(df, alias).filter(condCol),
       df0 => GraftDml.aliased(df0, alias).select(columns.map { c =>
@@ -276,6 +312,21 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
         case (false, false) => None
       }
     val hasMatchedAction = updateMatched || deleteMatched
+    if (GraftDml.morMode(spark) &&
+        VersionedTable.currentVersion(spark, root).nonEmpty) {
+      // MoR MERGE: matched target rows vector-hide, the source-side
+      // change set appends — cost follows the change volume only
+      val (stats, blooms) = GraftDml.carriedIndex(spark, root)
+      val before = tgt0.count()
+      VersionedTable.deleteAndAppend(spark, root,
+        GraftDml.keepVersions(spark), stats, blooms)(
+        t => if (hasMatchedAction)
+          t.join(broadcast(srcKeys), resolvedKeys, "left_semi")
+        else t.limit(0),
+        extra)
+      val after = VersionedTable.read(spark, root).count()
+      return Seq(Row(matched, before, after))
+    }
     val (before, after) = GraftDml.mutateFiles(spark, root)(
       t => if (hasMatchedAction)
         t.join(broadcast(srcKeys), resolvedKeys, "left_semi")

@@ -1603,6 +1603,37 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 50)
   }
 
+  test("built-in SQL procs drive tag/rollback/vacuum/compact from a console") {
+    import spark.implicits._
+    val root = tmpDir("sqlproc") + "/t"
+    VersionedTable.init(spark, root,
+      (1L to 100L).toDF("k").repartition(4), keepVersions = 4)
+    // snapshot, break the table, roll back by tag — all through procs
+    val (t1, _) = SqlRunner.callProc(spark, "graft_tag", Seq(root, "good"))
+    assert(t1.head.getLong(1) == 1L)
+    VersionedTable.rewrite(spark, root, keepVersions = 4)(_.filter($"k" < 5))
+    assert(VersionedTable.read(spark, root).count() == 4)
+    val (rb, _) = SqlRunner.callProc(spark, "graft_rollback",
+      Seq(root, "good", "4"))
+    assert(rb.head.getLong(0) == 3L)
+    assert(VersionedTable.read(spark, root).count() == 100)
+    // numeric rollback target also accepted
+    val (rb2, _) = SqlRunner.callProc(spark, "graft_rollback",
+      Seq(root, "2", "4"))
+    assert(rb2.head.getLong(0) == 4L &&
+      VersionedTable.read(spark, root).count() == 4)
+    // compact: everything is "small" → packs into one file
+    SqlRunner.callProc(spark, "graft_rollback", Seq(root, "good", "4"))
+    val (cp, _) = SqlRunner.callProc(spark, "graft_compact",
+      Seq(root, (64L << 20).toString, "k"))
+    assert(cp.head.getLong(1) >= 1L)
+    assert(VersionedTable.read(spark, root).count() == 100)
+    val (dt, _) = SqlRunner.callProc(spark, "graft_drop_tag", Seq(root, "good"))
+    assert(dt.head.getBoolean(1))
+    val (vc, _) = SqlRunner.callProc(spark, "graft_vacuum", Seq(root, "0"))
+    assert(vc.head.getLong(0) >= 0L)
+  }
+
   test("file-level retention deletes only stale files") {
     val dir = tmpDir("exp")
     val fresh = new java.io.File(dir, "fresh.csv")
