@@ -120,8 +120,17 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       if (cfg.vacuumEvery > 0 && ticks % cfg.vacuumEvery == 0)
         VersionedTable.vacuum(spark, cfg.tableDir, cfg.vacuumAgeMs)
       else Seq.empty
+    // scheduled ED resolution: CDC landings (upsertByKey) pile up
+    // equality deletes; one scan converts them to positions so reads
+    // stop paying the key-join
+    val resolved =
+      if (cfg.resolveDeletesEvery > 0 && ticks % cfg.resolveDeletesEvery == 0)
+        Some(VersionedTable.resolveEqualityDeletes(spark, cfg.tableDir,
+          statsCols = cfg.compactStatsCols,
+          bloomCols = cfg.compactBloomCols))
+      else None
     Automation.TickReport(ticks, generated, load, expired, vecLoad, compacted,
-      corpus, vacuumed)
+      corpus, vacuumed, resolved)
   }
 
   /** Training-corpus curation: incremental-load document drops, then
@@ -334,6 +343,12 @@ object Automation {
       // right-sized files carry by reference, so tick cost follows
       // the fresh ingestion, not the table
       compactSmallFileBytes: Option[Long] = None,
+      // periodically convert accumulated equality deletes (deleteByKey
+      // / upsertByKey CDC landings) into the positional vector — one
+      // scan that takes the key-join off every subsequent read and
+      // restores metadata-exact counts; scheduled compaction then
+      // bounds how long any vector lives
+      resolveDeletesEvery: Int = 0, // 0 = never
       // write-audit-publish gate on every load: batches violating any
       // check are QUARANTINED (registry-terminal, never retried,
       // never visible in the table) instead of published
@@ -425,7 +440,8 @@ object Automation {
       vecLoad: Option[IncrementalLoader.LoadResult] = None,
       compacted: Option[Int] = None,
       corpus: Option[CorpusReport] = None,
-      vacuumed: Seq[String] = Seq.empty)
+      vacuumed: Seq[String] = Seq.empty,
+      resolvedDeletes: Option[Long] = None)
 
   /** `runMain graft.lakehouse.Automation <rootDir> [intervalSec]
     * [maxTicks]` — drops land in `<rootDir>/arrivals`, the lakehouse

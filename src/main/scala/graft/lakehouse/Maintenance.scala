@@ -207,6 +207,11 @@ object Maintenance {
   def purgeDeletes(spark: SparkSession, root: String,
                    keepVersions: Int = 1, statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil): Int = {
+    // equality deletes first resolve to positions (one scan, one
+    // commit) so the rewrite below touches ONLY files that actually
+    // hold deleted rows — never the full ED scope
+    VersionedTable.resolveEqualityDeletes(spark, root, keepVersions,
+      statsCols, bloomCols)
     val v = VersionedTable.currentVersion(spark, root).getOrElse(return 0)
     val dv = VersionedTable.deleteVectors(spark, root, v)
     if (dv.isEmpty) return 0

@@ -136,6 +136,13 @@ object SqlRunner {
     val deleted = VersionedTable.vacuum(s, a(0), a(1).toLong)
     oneRow(s, Seq("deleted"), Seq(deleted.size.toLong))
   }
+  registerProc("graft_resolve_deletes") { (s, a) =>
+    require(a.nonEmpty && a.size <= 2,
+      "graft_resolve_deletes(root[, keepVersions])")
+    val n = VersionedTable.resolveEqualityDeletes(s, a(0),
+      keepVersions = a.lift(1).map(_.toInt).getOrElse(1))
+    oneRow(s, Seq("converted"), Seq(n))
+  }
   registerProc("graft_purge_deletes") { (s, a) =>
     require(a.nonEmpty && a.size <= 2,
       "graft_purge_deletes(root[, keepVersions])")

@@ -48,6 +48,32 @@ object StreamingLoader {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming MERGE-ON-READ UPSERT: each micro-batch of change rows
+    * lands through [[VersionedTable.upsertByKey]] — one commit that
+    * equality-deletes the batch's keys and appends the new images,
+    * O(batch) however big the table is (no scan per micro-batch: THE
+    * CDC-ingestion shape at 100 TB). Exactly-once across restarts by
+    * the batch-marker protocol: the marker commits atomically with
+    * the version, so a crash-redelivered batch no-ops. The table must
+    * be initialized ([[VersionedTable.init]]) before the stream
+    * starts; batches must be unique and non-null per key. */
+  def runVersionedUpsert(spark: SparkSession, srcDir: String,
+      root: String, checkpointDir: String, schema: StructType,
+      keyCols: Seq[String]): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .csv(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        VersionedTable.upsertByKey(spark, root, batch, keyCols,
+          batchId = Some(batchId))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming materialized view: each micro-batch folds into
     * [[MaterializedAgg]] state exactly once (idempotent by batch id —
     * the id commits atomically with the state, so crash-and-redeliver

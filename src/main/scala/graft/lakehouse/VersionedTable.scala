@@ -2,7 +2,7 @@ package graft.lakehouse
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
 
 /** Crash-safe table commits without a table format: versioned data
   * directories + single-object commit manifests.
@@ -166,11 +166,13 @@ object VersionedTable {
         .map(st => s"$dirName/${st.getPath.getName}")
     }
 
-  /** Deletion-vector sidecar objects: a VISIBLE leaf name (Spark's
-    * file index silently drops `_`/`.`-prefixed leaves, so a hidden
-    * name would be unreadable) that data-file listings exclude. */
+  /** Delete sidecar objects (positional `dv-`, equality `ed-`): a
+    * VISIBLE leaf name (Spark's file index silently drops `_`/`.`-
+    * prefixed leaves, so a hidden name would be unreadable) that
+    * data-file listings exclude. */
   private def isDvFile(name: String): Boolean =
-    name.startsWith("dv-") && name.endsWith(".parquet")
+    (name.startsWith("dv-") || name.startsWith("ed-")) &&
+      name.endsWith(".parquet")
 
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".") && !isDvFile(name)
@@ -335,7 +337,8 @@ object VersionedTable {
       keepVersions: Int = 1, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 8192,
       bloomHashes: Int = 4, statsFrom: Option[Long] = None,
-      dv: Seq[(String, String, Long)] = Nil)
+      dv: Seq[(String, String, Long)] = Nil,
+      edOverride: Option[Seq[EqDelete]] = None)
       (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
@@ -435,8 +438,23 @@ object VersionedTable {
       ++ dv)
       .map { case (f, ref, c) => s"dv\t${esc(f)}\t${esc(ref)}\t$c" }
       .sorted.mkString("\n")
+    // equality-delete lines: carried by default (a commit that keeps a
+    // file in an ED's scope must keep the ED — dropping it would
+    // resurrect deleted keys), but scope-FILTERED: a line whose seq
+    // covers no file in the new manifest is garbage (every file it
+    // applied to was rewritten through an ED-applied read) and drops
+    // automatically, so full rewrites and complete compactions
+    // self-clean. `edOverride` replaces the carry set outright
+    // (deleteByKey adds a line; resolveEqualityDeletes drops them all).
+    val prevEds = statsFrom.orElse(base)
+      .map(v => equalityDeletes(spark, root, v)).getOrElse(Nil)
+    val edLines = edOverride.getOrElse(prevEds)
+      .filter(e => all.exists(f => refSeq(f) <= e.seq))
+      .map(e => s"ed\t${esc(e.ref)}\t${e.seq}\t" +
+        s"${e.keyCols.mkString(",")}\t${e.count}")
+      .sorted.mkString("\n")
     val fLines = all.map(r => s"f\t${esc(r)}").sorted.mkString("\n")
-    val payload = Seq(statsPayload, bloomPayload, dvLines, fLines)
+    val payload = Seq(statsPayload, bloomPayload, dvLines, edLines, fLines)
       .filter(_.nonEmpty).mkString("\n")
     publishManifest(fs, root, next, payload)
     prune(fs, root, next - math.max(1, keepVersions))
@@ -464,8 +482,9 @@ object VersionedTable {
       finally in.close()
     content.split("\n").toSeq.collect {
       case l if l.startsWith("f\t") => unesc(l.drop(2))
-      // a dv ref pins its parent dir exactly like a data-file ref
+      // dv/ed refs pin their parent dir exactly like a data-file ref
       case l if l.startsWith("dv\t") => unesc(l.split("\t")(2))
+      case l if l.startsWith("ed\t") => unesc(l.split("\t")(1))
     }
   }
 
@@ -511,10 +530,12 @@ object VersionedTable {
 
   /** Read a specific retained version (time travel within the
     * retention window). Rows hidden by the version's deletion vectors
-    * (merge-on-read deletes — see [[deleteWhere]]) are filtered out;
-    * a version with no vectors takes the plain-scan fast path. */
+    * (merge-on-read deletes — see [[deleteWhere]]) or equality
+    * deletes (see [[deleteByKey]]) are filtered out; a version with
+    * neither takes the plain-scan fast path. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    if (deleteVectors(spark, root, version).isEmpty)
+    if (deleteVectors(spark, root, version).isEmpty &&
+        equalityDeletes(spark, root, version).isEmpty)
       rawReadVersion(spark, root, version)
     else scanWithRefs(spark, root, version).drop(DvFileCol, DvPosCol)
 
@@ -582,6 +603,102 @@ object VersionedTable {
     scan.join(rows, scan(DvFileCol) === rows("_dv_file") &&
       scan(DvPosCol) === rows("_dv_pos"), "left_anti")
 
+  // ---- merge-on-read equality deletes ------------------------------
+  //
+  // The positional vector above needs a table scan at COMMIT time (to
+  // find the row positions); an equality delete moves that scan to
+  // read/maintenance time: the commit just publishes the KEY VALUES —
+  // the shape CDC ingestion needs, where a micro-batch of upserts
+  // must land in O(batch) regardless of table size. Scoping is by
+  // SEQUENCE: a file ref `_v-N/...` encodes the version dir it was
+  // written in, and an equality delete with seq S applies only to
+  // files with N <= S — so a key re-inserted AFTER the delete lands
+  // in a younger dir and stays visible, with zero extra bookkeeping
+  // (Iceberg's sequence-number rule, re-expressed on dir-encoded
+  // refs). Readers apply a broadcast anti-join on the key columns
+  // plus the seq guard. `resolveEqualityDeletes` converts EDs to a
+  // positional vector in one scan (restoring metadata-exact counts);
+  // rewrites read ED-applied, so a fully-rewritten table self-cleans
+  // through commitDelta's scope filter.
+  // Manifest line: `ed \t <edref> \t <seq> \t <k1,k2,...> \t <count>`
+  // (`count` = distinct key tuples published, NOT rows deleted — the
+  // commit never scans the data, so the row count is unknowable).
+
+  /** One equality-delete manifest line: `ref` is the root-relative
+    * key-tuple parquet, `seq` the version whose files it applies to
+    * (refs in dirs <= seq), `count` the number of key tuples. */
+  final case class EqDelete(ref: String, seq: Long,
+      keyCols: Seq[String], count: Long)
+
+  /** The equality deletes a version's manifest carries. */
+  def equalityDeletes(spark: SparkSession, root: String,
+      version: Long): Seq[EqDelete] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(commitsDir(root), version.toString)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split("\n").toSeq.filter(_.startsWith("ed\t")).map { l =>
+      val parts = l.split("\t")
+      EqDelete(unesc(parts(1)), parts(2).toLong,
+        parts(3).split(",").toSeq, parts(4).toLong)
+    }
+  }
+
+  /** The version-dir sequence a root-relative file ref was written
+    * at; pre-versioning refs read as 0 (oldest — always in scope). */
+  private def refSeq(ref: String): Long = ref.takeWhile(_ != '/') match {
+    case HiddenVer(n) => n.toLong
+    case LegacyVer(n) => n.toLong
+    case _ => 0L
+  }
+
+  /** Column twin of [[refSeq]] over a [[DvFileCol]]-style ref. */
+  private def refSeqCol(ref: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val digits = regexp_extract(ref, "^(?:_v-|v=)(\\d+)/", 1)
+    when(digits === "", lit(0L)).otherwise(digits.cast("long"))
+  }
+
+  /** All of a version's published key tuples as `_ed_<col>` columns
+    * plus `_ed_seq` — the broadcast side of the read-path anti-join. */
+  private def edFrame(spark: SparkSession, root: String,
+      eds: Seq[EqDelete]): DataFrame = {
+    val keyCols = eds.head.keyCols
+    eds.map(e => spark.read.parquet(s"$root/${e.ref}")
+        .select(keyCols.map(c => col(c).as(s"_ed_$c")): _*)
+        .withColumn("_ed_seq", lit(e.seq)))
+      .reduce(_ unionByName _)
+  }
+
+  private def edCond(scan: DataFrame, edf: DataFrame,
+      keyCols: Seq[String]): org.apache.spark.sql.Column =
+    keyCols.map(c => scan(c) === edf(s"_ed_$c")).reduce(_ && _) &&
+      refSeqCol(scan(DvFileCol)) <= edf("_ed_seq")
+
+  /** Drop the rows a version's equality deletes hide. Null key
+    * values never equal anything, so null-keyed data rows always
+    * survive (and [[deleteByKey]] never publishes null tuples). */
+  private def antiEd(scan: DataFrame, spark: SparkSession, root: String,
+      eds: Seq[EqDelete]): DataFrame =
+    if (eds.isEmpty) scan
+    else {
+      val edf = edFrame(spark, root, eds)
+      scan.join(org.apache.spark.sql.functions.broadcast(edf),
+        edCond(scan, edf, eds.head.keyCols), "left_anti")
+    }
+
+  /** The complement: the visible rows the equality deletes WILL hide
+    * — what [[resolveEqualityDeletes]] turns into positions. */
+  private def semiEd(scan: DataFrame, spark: SparkSession, root: String,
+      eds: Seq[EqDelete]): DataFrame = {
+    val edf = edFrame(spark, root, eds)
+    scan.join(org.apache.spark.sql.functions.broadcast(edf),
+      edCond(scan, edf, eds.head.keyCols), "left_semi")
+  }
+
   /** The VISIBLE rows of a version, with the hidden position-key
     * columns [[DvFileCol]] (root-relative file ref) / [[DvPosCol]]
     * (physical row index) riding along — what MoR mutation and
@@ -593,8 +710,9 @@ object VersionedTable {
       .withColumn(DvFileCol,
         regexp_extract(col("_metadata.file_path"), FileRefRe, 1))
       .withColumn(DvPosCol, col("_metadata.row_index"))
-    dvRowsDf(spark, root, deleteVectors(spark, root, version))
+    val dvd = dvRowsDf(spark, root, deleteVectors(spark, root, version))
       .fold(keyed)(antiDv(keyed, _))
+    antiEd(dvd, spark, root, equalityDeletes(spark, root, version))
   }
 
   private[graft] def scanWithRefs(spark: SparkSession,
@@ -603,18 +721,22 @@ object VersionedTable {
       throw new IllegalStateException(s"$root has no committed version")))
 
   /** Read a subset of a version's files with its deletion vectors
-    * applied — the partial-scan form every pruned/boundary read uses
-    * (plain scan when the version carries no vectors). */
+    * AND equality deletes applied — the partial-scan form every
+    * pruned/boundary read uses (plain scan when the version carries
+    * neither). */
   private[graft] def readFilesWithDv(spark: SparkSession, root: String,
       version: Long, absFiles: Seq[String]): DataFrame = {
     val dv = deleteVectors(spark, root, version)
+    val eds = equalityDeletes(spark, root, version)
     val raw = spark.read.parquet(absFiles: _*)
-    dvRowsDf(spark, root, dv).fold(raw) { rows =>
+    if (dv.isEmpty && eds.isEmpty) raw
+    else {
       val keyed = raw
         .withColumn(DvFileCol,
           regexp_extract(col("_metadata.file_path"), FileRefRe, 1))
         .withColumn(DvPosCol, col("_metadata.row_index"))
-      antiDv(keyed, rows).drop(DvFileCol, DvPosCol)
+      val dvd = dvRowsDf(spark, root, dv).fold(keyed)(antiDv(keyed, _))
+      antiEd(dvd, spark, root, eds).drop(DvFileCol, DvPosCol)
     }
   }
 
@@ -651,23 +773,37 @@ object VersionedTable {
       extra: Option[DataFrame]): Long = {
     val version = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root has no committed version"))
+    hideAndAppend(spark, root, version, keepVersions, statsCols,
+      bloomCols, pick(scanWithRefs(spark, root, version)), extra, None)
+  }
+
+  /** Shared MoR commit tail: `picked` (a [[scanWithRefs]]-shaped
+    * frame) hides behind the consolidated positional vector, `extra`
+    * appends, `edOverride` optionally replaces the equality-delete
+    * carry set ([[resolveEqualityDeletes]] passes Some(Nil) — its
+    * vector subsumes them). */
+  private def hideAndAppend(spark: SparkSession, root: String,
+      version: Long, keepVersions: Int, statsCols: Seq[String],
+      bloomCols: Seq[String], picked: DataFrame,
+      extra: Option[DataFrame],
+      edOverride: Option[Seq[EqDelete]]): Long = {
     val files = filesAt(spark, root, version)
     val dv = deleteVectors(spark, root, version)
-    val newDel = pick(scanWithRefs(spark, root, version))
+    val newDel = picked
       .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
       .persist()
     try {
       val perFile = newDel.groupBy("file").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val hidden = perFile.values.sum
-      if (hidden == 0L && extra.isEmpty) return 0L
+      if (hidden == 0L && extra.isEmpty && edOverride.isEmpty) return 0L
       val dvRef = s"_v-${version + 1}/dv-${version + 1}.parquet"
       val counts = files.flatMap { f =>
         val c = dv.get(f).map(_._2).getOrElse(0L) + perFile.getOrElse(f, 0L)
         if (c > 0) Some((f, dvRef, c)) else None
       }
       commitDelta(spark, root, files, keepVersions, statsCols,
-          bloomCols, dv = counts) { stage =>
+          bloomCols, dv = counts, edOverride = edOverride) { stage =>
         extra.foreach(_.write.parquet(stage))
         if (counts.nonEmpty) {
           val all = dvRowsDf(spark, root, dv).fold(newDel)(prev =>
@@ -692,6 +828,112 @@ object VersionedTable {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
     deleteAndAppend(spark, root, keepVersions, statsCols, bloomCols)(
       _.filter(cond), None)
+
+  /** The equality-delete commit core: publish `keys`' distinct
+    * non-null key tuples as an `ed-` sidecar scoped to the CURRENT
+    * files, optionally append `extra` as new data files (which land
+    * in the next version dir — ABOVE the scope, so an upsert's fresh
+    * rows are never hidden by its own delete), stamp a streaming
+    * batch marker. O(keys + extra) — the table is never scanned. */
+  private def edCommit(spark: SparkSession, root: String,
+      keys: DataFrame, keyCols: Seq[String], keepVersions: Int,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      extra: Option[DataFrame], batchId: Option[Long]): Long = {
+    require(keyCols.nonEmpty &&
+      keyCols.forall(c => !c.contains(",") && !c.contains("\t")),
+      s"bad equality-delete key columns: $keyCols")
+    val version = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    // streaming redelivery after a crash: the marker committed with
+    // the state, so the same batch folds exactly once
+    if (batchId.exists(id => lastFoldedBatch(spark, root).exists(_ >= id)))
+      return 0L
+    val prevEds = equalityDeletes(spark, root, version)
+    prevEds.headOption.foreach(e => require(e.keyCols == keyCols,
+      s"equality-delete key mismatch: table uses ${e.keyCols.mkString(",")}" +
+        s", got ${keyCols.mkString(",")}"))
+    val clean = keys.select(keyCols.map(col): _*).na.drop("any").distinct()
+    val n = clean.count()
+    if (n == 0 && extra.isEmpty) return 0L
+    val files = filesAt(spark, root, version)
+    val edRef = s"_v-${version + 1}/ed-${version + 1}.parquet"
+    val newEd =
+      if (n > 0) Seq(EqDelete(edRef, version, keyCols, n)) else Nil
+    commitDelta(spark, root, files, keepVersions, statsCols, bloomCols,
+        edOverride = Some(prevEds ++ newEd)) { stage =>
+      extra.foreach(_.write.parquet(stage))
+      if (n > 0)
+        writeSingleObject(spark, clean, stage, s"ed-${version + 1}.parquet")
+      batchId.foreach { id =>
+        fsOf(spark, root).create(new Path(stage, s"_batch-$id"), true).close()
+      }
+    }
+    n
+  }
+
+  /** EQUALITY DELETE: rows whose key tuple appears in `keys` (and
+    * that were committed at or before the current version) disappear
+    * from every read path — WITHOUT scanning the table: the commit
+    * publishes only the key tuples themselves, O(keys) however big
+    * the table is. The price moves to reads (a broadcast anti-join
+    * per scan) and to metadata counts (ED-scoped files fall back to
+    * boundary scans) until [[resolveEqualityDeletes]] converts the
+    * keys to a positional vector, or a rewrite materializes them.
+    * Null key tuples are dropped (null never equals anything). All
+    * equality deletes on a table must share one key-column set.
+    * Returns the number of distinct key tuples published. */
+  def deleteByKey(spark: SparkSession, root: String, keys: DataFrame,
+      keyCols: Seq[String], keepVersions: Int = 1,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    edCommit(spark, root, keys, keyCols, keepVersions, statsCols,
+      bloomCols, None, None)
+
+  /** MERGE-ON-READ UPSERT: one commit that equality-deletes `batch`'s
+    * keys (hiding any older image) and appends `batch` as fresh data
+    * files (in the next version dir — above the delete's scope, so
+    * the new images stay visible). O(batch) commit cost regardless of
+    * table size: THE landing shape for CDC ingestion at 100 TB, where
+    * a positional MERGE would scan the table per micro-batch. The
+    * batch must be null-key-free and unique per key (the latest image
+    * per key — refused otherwise, like [[Maintenance.upsert]]).
+    * `batchId` makes a streaming redelivery fold exactly once. */
+  def upsertByKey(spark: SparkSession, root: String, batch: DataFrame,
+      keyCols: Seq[String], keepVersions: Int = 1,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      batchId: Option[Long] = None): Long = {
+    val total = batch.count()
+    if (total == 0) return 0L
+    val distinctKeys = batch.select(keyCols.map(col): _*)
+      .na.drop("any").distinct().count()
+    require(distinctKeys == total,
+      s"upsertByKey batch must be unique and non-null per key " +
+        s"(${keyCols.mkString(",")}): $total rows, $distinctKeys distinct keys")
+    edCommit(spark, root, batch, keyCols, keepVersions, statsCols,
+      bloomCols, Some(batch), batchId)
+  }
+
+  /** Convert every equality delete into the positional vector in ONE
+    * scan: the matched visible rows' (file, pos) merge into the
+    * consolidated `dv-` sidecar and the `ed` lines drop — reads stop
+    * paying the key-join, metadata counts are exact again, and
+    * [[Maintenance.purgeDeletes]] can then rewrite just the vectored
+    * files. The background half of the equality-delete bargain.
+    * Returns rows converted (0 = no EDs, no commit). */
+  def resolveEqualityDeletes(spark: SparkSession, root: String,
+      keepVersions: Int = 1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    val version = currentVersion(spark, root).getOrElse(return 0L)
+    val eds = equalityDeletes(spark, root, version)
+    if (eds.isEmpty) return 0L
+    val keyed = rawReadVersion(spark, root, version)
+      .withColumn(DvFileCol,
+        regexp_extract(col("_metadata.file_path"), FileRefRe, 1))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    val visible = dvRowsDf(spark, root, deleteVectors(spark, root, version))
+      .fold(keyed)(antiDv(keyed, _))
+    hideAndAppend(spark, root, version, keepVersions, statsCols,
+      bloomCols, semiEd(visible, spark, root, eds), None, Some(Nil))
+  }
 
   // ---- named tags (snapshot pins) -----------------------------------
 
@@ -1093,22 +1335,29 @@ object VersionedTable {
     // null rows overlap); otherwise it joins the boundary scan, which
     // is DV-applied.
     val dv = deleteVectors(spark, root, version)
+    // equality deletes hide an UNKNOWN number of rows per scoped file
+    // (the commit never counted them), so any file in ED scope must
+    // take the boundary scan — which is ED-applied, keeping the total
+    // exact at the price the ED commit deferred.
+    val eds = equalityDeletes(spark, root, version)
     val dirName = new Path(dir).getName
-    def dvCount(f: String): Long = dv
-      .get(if (f.contains('/')) f else s"$dirName/$f").map(_._2)
-      .getOrElse(0L)
+    def rel(f: String): String =
+      if (f.contains('/')) f else s"$dirName/$f"
+    def dvCount(f: String): Long = dv.get(rel(f)).map(_._2).getOrElse(0L)
+    def edScoped(f: String): Boolean =
+      eds.exists(e => refSeq(rel(f)) <= e.seq)
     val st = universe.map { f =>
       val s = byFile.get(f)
       (f, s.map(_.rows),
         s.flatMap(_.min.getOrElse(colName, None)),
         s.flatMap(_.max.getOrElse(colName, None)),
-        s.flatMap(_.nulls.get(colName)), dvCount(f))
-    }.toDF("file", "rows", "mn", "mx", "nulls", "deleted")
+        s.flatMap(_.nulls.get(colName)), dvCount(f), edScoped(f))
+    }.toDF("file", "rows", "mn", "mx", "nulls", "deleted", "ed")
     val overlaps = col("mn").isNull || col("mx").isNull ||
       (col("mx").cast(dt) >= lit(lower) && col("mn").cast(dt) <= lit(upper))
     val contained = col("rows").isNotNull &&
       col("mn").isNotNull && col("mx").isNotNull &&
-      col("nulls").isNotNull &&
+      col("nulls").isNotNull && !col("ed") &&
       (col("deleted") === 0L || col("nulls") === 0L) &&
       col("mn").cast(dt) >= lit(lower) && col("mx").cast(dt) <= lit(upper)
     val parts = st.filter(overlaps)
@@ -1158,17 +1407,22 @@ object VersionedTable {
     // in it (then count = rows − nulls(=0) − deleted); the ≤1-null
     // composition rule below collapses to exactly that.
     val dv = deleteVectors(spark, root, version)
+    // same ED rule as countWhere: scoped files can't be
+    // metadata-answered, the (ED-applied) boundary scan keeps it exact
+    val eds = equalityDeletes(spark, root, version)
     val dirName = new Path(dir).getName
-    def dvCount(f: String): Long = dv
-      .get(if (f.contains('/')) f else s"$dirName/$f").map(_._2)
-      .getOrElse(0L)
+    def rel(f: String): String =
+      if (f.contains('/')) f else s"$dirName/$f"
+    def dvCount(f: String): Long = dv.get(rel(f)).map(_._2).getOrElse(0L)
+    def edScoped(f: String): Boolean =
+      eds.exists(e => refSeq(rel(f)) <= e.seq)
     val st = universe.map { f =>
       val s = byFile.get(f)
       (f, s.map(_.rows),
         cols.map(c => s.flatMap(_.min.getOrElse(c, None))),
         cols.map(c => s.flatMap(_.max.getOrElse(c, None))),
-        cols.map(c => s.flatMap(_.nulls.get(c))), dvCount(f))
-    }.toDF("file", "rows", "mns", "mxs", "nulls", "deleted")
+        cols.map(c => s.flatMap(_.nulls.get(c))), dvCount(f), edScoped(f))
+    }.toDF("file", "rows", "mns", "mxs", "nulls", "deleted", "ed")
     val dims = bounds.zipWithIndex.map { case ((c, lo, hi), i) =>
       val dt = schema(c).dataType
       val mn = col("mns").getItem(i); val mx = col("mxs").getItem(i)
@@ -1181,7 +1435,8 @@ object VersionedTable {
     }
     val parts = st.filter(dims.map(_._1).reduce(_ && _))
       .select(col("file"), col("rows"), col("nulls"), col("deleted"),
-        (col("rows").isNotNull && dims.map(_._2).reduce(_ && _)).as("full"))
+        (col("rows").isNotNull && !col("ed") &&
+          dims.map(_._2).reduce(_ && _)).as("full"))
       .collect()
     val (meta, boundary) = parts.partition { r =>
       r.getAs[Boolean]("full") &&
