@@ -927,6 +927,36 @@ object Relational {
       |        SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev_dec
       |      FROM orders GROUP BY 1) t""".stripMargin
 
+  /** Top-3 parts per supplier by revenue — the per-group top-k that,
+    * unlike q09's global top-k, CANNOT funnel through one reducer:
+    * the rank window keys on l_suppkey, and Spark's WindowGroupLimit
+    * pushes the `rk <= 3` bound below the sort so each partition keeps
+    * 3 rows per group before any shuffle-wide work. Revenue sums are
+    * exact decimal; ties break on part key, so the output is fully
+    * deterministic. */
+  private val q96: QFn = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("revenue").desc, col("l_partkey").asc)
+    rev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("l_suppkey"), col("l_partkey"), col("revenue"),
+        col("rk").cast("long").as("rk"))
+  }
+  private val q96Sql =
+    s"""SELECT l_suppkey, l_partkey, revenue, rk FROM (
+       |  SELECT l_suppkey, l_partkey, revenue,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+       |      ORDER BY revenue DESC, l_partkey ASC) AS BIGINT) AS rk
+       |  FROM (
+       |    SELECT l_suppkey, l_partkey,
+       |      ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |    FROM lineitem GROUP BY 1, 2) r) t
+       |WHERE rk <= 3""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -964,7 +994,8 @@ object Relational {
     "q73_top_supplier" -> q73,
     "q74_window_suite" -> q74,
     "q79_salted_join" -> q79,
-    "q81_range_frame" -> q81)
+    "q81_range_frame" -> q81,
+    "q96_topk_per_group" -> q96)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1003,5 +1034,6 @@ object Relational {
     "q73_top_supplier" -> q73Sql,
     "q74_window_suite" -> q74Sql,
     "q79_salted_join" -> q79Sql,
-    "q81_range_frame" -> q81Sql)
+    "q81_range_frame" -> q81Sql,
+    "q96_topk_per_group" -> q96Sql)
 }

@@ -232,6 +232,45 @@ object SessionOps {
       |WHERE a.d - c.cohort_day <= 14
       |GROUP BY 1, 2""".stripMargin
 
+  /** Gaps-and-islands: per-user CONSECUTIVE-DAY activity streaks via
+    * the classic `day − row_number()` grouping (consecutive days share
+    * the difference; any gap shifts it). Day arithmetic in integer
+    * microseconds like q89 (exact, tz-free). Both the distinct and the
+    * window key on user_id, and the whole chain is partition-parallel
+    * — no global window, so the shape holds at any user count. */
+  private val q95: QFn = (s, d) => {
+    val DayUs = 86400L * 1000000L
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / DayUs).cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("d"))
+    days
+      .withColumn("grp", col("d") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("best_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+  }
+  private val q95Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, d,
+      |    d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM act),
+      |streaks AS (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, MAX(len) AS best_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM streaks GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
@@ -239,6 +278,7 @@ object SessionOps {
     "q72_click_attribution" -> q72,
     "q88_funnel" -> q88,
     "q89_cohort_retention" -> q89,
+    "q95_gaps_islands" -> q95,
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
@@ -248,5 +288,6 @@ object SessionOps {
     "q72_click_attribution" -> q72Sql,
     "q78_hopping_counts" -> q78Sql,
     "q88_funnel" -> q88Sql,
-    "q89_cohort_retention" -> q89Sql)
+    "q89_cohort_retention" -> q89Sql,
+    "q95_gaps_islands" -> q95Sql)
 }

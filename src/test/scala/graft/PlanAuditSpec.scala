@@ -57,6 +57,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(ns.exists(_.isInstanceOf[WindowGroupLimitExec]), ns.map(_.nodeName).toString)
   }
 
+  test("q96: per-group top-k bounds below the sort, agg keeps map-side partials") {
+    val ns = nodes(Relational.queries("q96_topk_per_group")(spark, sfDir))
+    // the rk <= 3 filter must push into WindowGroupLimit so each
+    // partition keeps 3 rows per supplier before the window sort pays
+    assert(ns.exists(_.isInstanceOf[WindowGroupLimitExec]), ns.map(_.nodeName).toString)
+    // the revenue aggregate keeps a partial (map-side) stage
+    val aggs = ns.filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.size >= 2, aggs.map(_.nodeName).toString)
+  }
+
   test("q67: weighted sampling is a pure map-side filter — zero shuffles") {
     val ns = nodes(graft.operators.TextOps.queries("q67_weighted_sample")(spark, sfDir))
     assert(!ns.exists(_.isInstanceOf[ShuffleExchangeExec]),

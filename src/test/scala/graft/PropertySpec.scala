@@ -69,6 +69,119 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 25)
   }
 
+  test("property: MoR delete/upsert op sequences equal the multiset model") {
+    import spark.implicits._
+    import graft.lakehouse.{Maintenance, VersionedTable}
+    // adversarial structure: positional deletes (scan-time positions),
+    // equality deletes (seq-scoped keys), upserts (delete + append in
+    // one commit), plain appends (can re-insert a deleted key ABOVE an
+    // ED's scope), and resolve/purge (tier conversions that must be
+    // invisible) interleave in random order — the visible rows must
+    // always equal a trivial in-memory multiset model, and metadata
+    // counts must stay exact through every tier combination
+    sealed trait Op
+    case class Append(rows: List[(Long, Long)]) extends Op
+    case class DeleteRange(lo: Long, hi: Long) extends Op
+    case class DeleteKeys(ks: List[Long]) extends Op
+    case class Upsert(rows: Map[Long, Long]) extends Op
+    case object Resolve extends Op
+    case object Purge extends Op
+    val genRows = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 99L))))
+    val genOp: Gen[Op] = Gen.frequency(
+      (3, genRows.map(Append(_))),
+      (3, Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 15L))
+        .map { case (lo, w) => DeleteRange(lo, lo + w) }),
+      (3, Gen.chooseNum(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 30L))).map(DeleteKeys(_))),
+      (3, genRows.map(rs => Upsert(rs.toMap))),
+      (1, Gen.const(Resolve)),
+      (1, Gen.const(Purge)))
+    val genCase = for {
+      init <- Gen.listOfN(12,
+        Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 99L)))
+      parts <- Gen.chooseNum(1, 3)
+      ops <- Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, genOp))
+    } yield (init, parts, ops)
+    val prop = Prop.forAll(genCase) { case (init, parts, ops) =>
+      val root = tmpDir("propmor") + "/t"
+      VersionedTable.commit(spark, root, keepVersions = 99,
+        statsCols = Seq("k"), bloomCols = Seq("k")) { stage =>
+        init.toDF("k", "v").repartition(parts).write.parquet(stage)
+      }
+      var model: List[(Long, Long)] = init
+      ops.foreach {
+        case Append(rows) =>
+          VersionedTable.appendDelta(spark, root, keepVersions = 99) { st =>
+            rows.toDF("k", "v").coalesce(1).write.parquet(st)
+          }
+          model = model ++ rows
+        case DeleteRange(lo, hi) =>
+          VersionedTable.deleteWhere(spark, root,
+            col("k").between(lo, hi), keepVersions = 99)
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case DeleteKeys(ks) =>
+          VersionedTable.deleteByKey(spark, root, ks.toDF("k"),
+            Seq("k"), keepVersions = 99)
+          model = model.filterNot { case (k, _) => ks.contains(k) }
+        case Upsert(rows) =>
+          VersionedTable.upsertByKey(spark, root, rows.toList.toDF("k", "v"),
+            Seq("k"), keepVersions = 99)
+          model = model.filterNot { case (k, _) => rows.contains(k) } ++ rows
+        case Resolve =>
+          VersionedTable.resolveEqualityDeletes(spark, root, keepVersions = 99)
+        case Purge =>
+          Maintenance.purgeDeletes(spark, root, keepVersions = 99,
+            statsCols = Seq("k"))
+      }
+      val got = VersionedTable.read(spark, root).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      val (cnt, _) = VersionedTable.countWhere(spark, root, "k", 5L, 20L)
+      got == model.sorted &&
+        cnt == model.count { case (k, _) => k >= 5L && k <= 20L }
+    }
+    check(prop, cases = 8)
+  }
+
+  test("property: native as-of join equals the composed form on duplicate timestamps") {
+    import spark.implicits._
+    // the native merge's subtle edge is TIES: duplicate right
+    // timestamps under one key (tiebreak decides), duplicate left
+    // timestamps, keys with no match at all — tiny domains make all
+    // three dense in every case
+    val genLeft = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 6L))))
+    val genRight = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 6L))))
+    val prop = Prop.forAll(Gen.zip(genLeft, genRight)) {
+      case (lRows, rRows) =>
+        val left = lRows.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "t").repartition(3)
+        val right = rRows.zipWithIndex
+          .map { case ((k, rt), j) => (j.toLong, k, rt) }
+          .toDF("rid", "rk", "rt").repartition(2)
+        val native = graft.plans.AsOf.join(left, right,
+            col("k"), col("rk"), col("t"), col("rt"),
+            tiebreak = Some(col("rid")))
+          .select("lid", "rid", "rt")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lid")
+          .orderBy(col("rt").desc, col("rid").desc)
+        val composed = left
+          .join(right, col("rk") === col("k") && col("rt") <= col("t"), "left")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("lid", "rid", "rt")
+        def key(r: org.apache.spark.sql.Row): (Long, Long, Long) =
+          (r.getLong(0),
+            if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+            if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+        val n = native.collect().map(key).sorted
+        val c = composed.collect().map(key).sorted
+        n.sameElements(c)
+    }
+    check(prop, cases = 20)
+  }
+
   test("property: OPQ rotation is orthogonal on degenerate vector sets") {
     import spark.implicits._
     // adversarial structure for the Jacobi/Procrustes path: tiny
