@@ -314,16 +314,35 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     val hasMatchedAction = updateMatched || deleteMatched
     if (GraftDml.morMode(spark) &&
         VersionedTable.currentVersion(spark, root).nonEmpty) {
-      // MoR MERGE: matched target rows vector-hide, the source-side
-      // change set appends — cost follows the change volume only
       val (stats, blooms) = GraftDml.carriedIndex(spark, root)
+      val kv = GraftDml.keepVersions(spark)
       val before = tgt0.count()
-      VersionedTable.deleteAndAppend(spark, root,
-        GraftDml.keepVersions(spark), stats, blooms)(
-        t => if (hasMatchedAction)
-          t.join(broadcast(srcKeys), resolvedKeys, "left_semi")
-        else t.limit(0),
-        extra)
+      // the pure-upsert and pure-delete idioms take the EQUALITY-
+      // delete commit — O(source), no position-finding scan of the
+      // target (the CDC landing shape) — when the semantics match:
+      // no null source keys (a null key never equality-matches, but
+      // the positional form would still INSERT such a row), and any
+      // existing EDs on the table share this key set
+      val v = VersionedTable.currentVersion(spark, root).get
+      val edCompatible = VersionedTable.equalityDeletes(spark, root, v)
+        .forall(_.keyCols == resolvedKeys) &&
+        srcKeys.na.drop("any").count() == srcKeys.count()
+      (updateMatched, deleteMatched, insertUnmatched) match {
+        case (true, false, true) if edCompatible =>
+          VersionedTable.upsertByKey(spark, root, src, resolvedKeys,
+            kv, stats, blooms)
+        case (false, true, false) if edCompatible =>
+          VersionedTable.deleteByKey(spark, root, srcKeys, resolvedKeys,
+            kv, stats, blooms)
+        case _ =>
+          // positional MoR: matched target rows vector-hide, the
+          // source-side change set appends
+          VersionedTable.deleteAndAppend(spark, root, kv, stats, blooms)(
+            t => if (hasMatchedAction)
+              t.join(broadcast(srcKeys), resolvedKeys, "left_semi")
+            else t.limit(0),
+            extra)
+      }
       val after = VersionedTable.read(spark, root).count()
       return Seq(Row(matched, before, after))
     }

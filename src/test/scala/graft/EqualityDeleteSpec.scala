@@ -221,6 +221,62 @@ class EqualityDeleteSpec extends SparkSpec {
       (42L, 4242L, "update_postimage"), (8888L, 1L, "insert")))
   }
 
+  test("SQL MERGE mor mode takes the scanless equality-delete commit") {
+    import spark.implicits._
+    val root = initTable("edmerge")
+    val v1Files = VersionedTable.currentFiles(spark, root)
+    spark.conf.set("spark.graft.dml.mode", "mor")
+    spark.conf.set("spark.graft.dml.keepVersions", "8")
+    try {
+      // pure-upsert idiom → equality delete + append, NO positional
+      // vector, no file rewritten
+      Seq((50L, 5000L), (99999L, 1L)).toDF("k", "v")
+        .createOrReplaceTempView("ed_merge_src")
+      val m = spark.sql(
+        s"""MERGE INTO graft.`$root` t USING ed_merge_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""").collect().head
+      assert(m.getLong(0) == 1L)
+      val v2 = VersionedTable.currentVersion(spark, root).get
+      assert(VersionedTable.equalityDeletes(spark, root, v2).nonEmpty,
+        "upsert idiom must commit an equality delete")
+      assert(VersionedTable.deleteVectors(spark, root, v2).isEmpty,
+        "no position scan, no positional vector")
+      assert(v1Files.toSet.subsetOf(
+        VersionedTable.currentFiles(spark, root).toSet))
+      val now = VersionedTable.read(spark, root)
+      assert(now.count() == 4001)
+      assert(now.filter(col("k") === 50L).select("v").head.getLong(0) == 5000L)
+
+      // pure-delete idiom → a second ed line, still no vector
+      Seq(Tuple1(60L)).toDF("k").createOrReplaceTempView("ed_del_src")
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING ed_del_src s ON t.k = s.k
+            WHEN MATCHED THEN DELETE""")
+      val v3 = VersionedTable.currentVersion(spark, root).get
+      assert(VersionedTable.equalityDeletes(spark, root, v3).size == 2)
+      assert(VersionedTable.deleteVectors(spark, root, v3).isEmpty)
+      assert(VersionedTable.read(spark, root).count() == 4000)
+
+      // update-only MERGE needs the key split → positional fallback
+      Seq((70L, 7000L), (88888L, 2L)).toDF("k", "v")
+        .createOrReplaceTempView("ed_upd_src")
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING ed_upd_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *""")
+      val v4 = VersionedTable.currentVersion(spark, root).get
+      assert(VersionedTable.deleteVectors(spark, root, v4).nonEmpty,
+        "update-only takes the positional path")
+      val after = VersionedTable.read(spark, root)
+      assert(after.count() == 4000)
+      assert(after.filter(col("k") === 70L).select("v").head.getLong(0) == 7000L)
+      assert(after.filter(col("k") === 88888L).count() == 0)
+    } finally {
+      spark.conf.unset("spark.graft.dml.mode")
+      spark.conf.unset("spark.graft.dml.keepVersions")
+    }
+  }
+
   test("automation tick resolves equality deletes on schedule") {
     import spark.implicits._
     import graft.lakehouse.Automation
