@@ -266,6 +266,78 @@ object EventStreams {
       }
   }
 
+  case class StreakBuf(islands: List[(Long, Long)], lastMs: Long)
+  case class StreakOut(user_id: Long, best_streak: Long,
+      n_streaks: Long, active_days: Long)
+
+  /** Insert one active day into a disjoint, gap-separated island
+    * list: covered days no-op, adjacent islands extend or MERGE (a
+    * day can bridge two), isolated days open a new island — so the
+    * state IS the gaps-and-islands structure, maintained in O(1)
+    * islands per event instead of recomputed from a day set. */
+  private[graft] def insertDay(islands: List[(Long, Long)],
+      d: Long): List[(Long, Long)] =
+    if (islands.exists(i => d >= i._1 && d <= i._2)) islands
+    else {
+      val left = islands.find(_._2 == d - 1)
+      val right = islands.find(_._1 == d + 1)
+      (left, right) match {
+        case (Some(l), Some(r)) =>
+          (l._1, r._2) :: islands.filterNot(i => i == l || i == r)
+        case (Some(l), None) => (l._1, d) :: islands.filterNot(_ == l)
+        case (None, Some(r)) => (d, r._2) :: islands.filterNot(_ == r)
+        case (None, None) => (d, d) :: islands
+      }
+    }
+
+  /** Streaming twin of q95's gaps-and-islands: per-user consecutive-
+    * day streak stats (best / count / active days), emitted when the
+    * user finalizes (event-time timeout). Finalize-time emission like
+    * [[funnel]]/[[cohortOffsets]]: best_streak is holistic — one
+    * late-but-in-watermark day can MERGE two islands and change every
+    * number, which incremental emission cannot retract. State per
+    * user is the merged interval list — O(islands), not O(events) or
+    * O(days): out-of-order arrival within the watermark only ever
+    * extends/merges intervals, never splits them. The idle clock runs
+    * on every event; timeouts clamp to watermark+1. */
+  def dailyStreaks(events: Dataset[Event],
+      idleGapMs: Long = 30L * 86400L * 1000L,
+      watermarkDelay: String = "1 day")
+      (implicit spark: SparkSession): Dataset[StreakOut] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakBuf, StreakOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[StreakBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map { b =>
+              val lens = b.islands.map { case (s, e) => e - s + 1 }
+              StreakOut(userId, lens.max, lens.size.toLong, lens.sum)
+            }.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val evs = batch.toList
+            if (evs.nonEmpty || state.exists) {
+              val freshDays = evs.map(e => math.floorDiv(
+                math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                  e.ts.getNanos / 1000L, DayUs))
+              val islands = freshDays.foldLeft(
+                state.getOption.map(_.islands).getOrElse(Nil))(insertDay)
+              val lastMs = (evs.map(_.ts.getTime) ++
+                state.getOption.map(_.lastMs)).max
+              state.update(StreakBuf(islands, lastMs))
+              state.setTimeoutTimestamp(math.max(lastMs + idleGapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stateful gap sessionization (30-min inactivity) — the streaming
     * twin of q50, via flatMapGroupsWithState with EVENT-time timeout
     * (wall-clock timeouts would be nondeterministic and keep the

@@ -143,6 +143,26 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 8)
   }
 
+  test("property: streak interval-merge is arrival-order independent") {
+    // the streaming streaks state folds days one at a time in ARRIVAL
+    // order (duplicates, gaps, bridges); the result must always equal
+    // the islands of the sorted distinct day set — else a reordered
+    // micro-batch would change a user's streak stats
+    val genDays = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 20L)))
+    val prop = Prop.forAll(genDays) { days =>
+      val folded = days.foldLeft(List.empty[(Long, Long)])(
+        graft.streaming.EventStreams.insertDay).sorted
+      val expected = days.distinct.sorted
+        .foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: tail, d) if d == e + 1 => (s, d) :: tail
+          case (acc, d) => (d, d) :: acc
+        }.reverse
+      folded == expected
+    }
+    check(prop, cases = 200)
+  }
+
   test("property: native as-of join equals the composed form on duplicate timestamps") {
     import spark.implicits._
     // the native merge's subtle edge is TIES: duplicate right
