@@ -852,6 +852,17 @@ object VersionedTable {
     prevEds.headOption.foreach(e => require(e.keyCols == keyCols,
       s"equality-delete key mismatch: table uses ${e.keyCols.mkString(",")}" +
         s", got ${keyCols.mkString(",")}"))
+    // appended files must carry the table's exact column set: the
+    // version scan unions files by name, so a drifted CDC batch would
+    // corrupt reads silently (use Maintenance.alignAppend shapes for
+    // schema evolution, then upsert)
+    extra.foreach { e =>
+      val tbl = readVersion(spark, root, version).columns.map(_.toLowerCase).toSet
+      val got = e.columns.map(_.toLowerCase).toSet
+      require(got == tbl,
+        s"upsert batch schema drift: batch has ${got.toSeq.sorted
+          .mkString(",")}, table has ${tbl.toSeq.sorted.mkString(",")}")
+    }
     val clean = keys.select(keyCols.map(col): _*).na.drop("any").distinct()
     val n = clean.count()
     if (n == 0 && extra.isEmpty) return 0L

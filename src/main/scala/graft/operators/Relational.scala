@@ -957,6 +957,49 @@ object Relational {
        |    FROM lineitem GROUP BY 1, 2) r) t
        |WHERE rk <= 3""".stripMargin
 
+  /** Reorder velocity: per nation, the share of consecutive-order
+    * gaps ≤ 7 days. The lag window keys on o_custkey (partition-
+    * parallel at any customer count); the dim chain
+    * (customer→nation) broadcasts; deterministic tiebreak on order
+    * key pins tie pairing so both engines see identical gaps. */
+  private val q97: QFn = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, d)
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("quick",
+        when(datediff(col("o_orderdate"), col("prev")) <= 7, 1L)
+          .otherwise(0L))
+    gaps
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("quick")).as("quick_gaps"),
+        (sum(col("quick")).cast("double") / count(lit(1))).as("quick_rate"))
+  }
+  private val q97Sql =
+    """WITH g AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |q AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN date_diff('day', prev, o_orderdate) <= 7
+      |      THEN 1 ELSE 0 END AS quick
+      |  FROM g WHERE prev IS NOT NULL)
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(quick) AS BIGINT) AS quick_gaps,
+      |  CAST(SUM(quick) AS DOUBLE) / COUNT(*) AS quick_rate
+      |FROM q
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -995,7 +1038,8 @@ object Relational {
     "q74_window_suite" -> q74,
     "q79_salted_join" -> q79,
     "q81_range_frame" -> q81,
-    "q96_topk_per_group" -> q96)
+    "q96_topk_per_group" -> q96,
+    "q97_reorder_rate" -> q97)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1035,5 +1079,6 @@ object Relational {
     "q74_window_suite" -> q74Sql,
     "q79_salted_join" -> q79Sql,
     "q81_range_frame" -> q81Sql,
-    "q96_topk_per_group" -> q96Sql)
+    "q96_topk_per_group" -> q96Sql,
+    "q97_reorder_rate" -> q97Sql)
 }

@@ -63,6 +63,127 @@ object VectorIndex {
     val centDf = spark.read.parquet(s"$path/centroids")
     assign(newVecs, centDf)
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+    unremove(spark, path, newVecs)
+  }
+
+  // ---- tombstones: logical deletes from a built index --------------
+  //
+  // The FAISS remove_ids analog at lakehouse economics: removing a
+  // vector from a partitioned inverted-list store should not rewrite
+  // list partitions inline — a REMOVE is one tiny parquet append to
+  // `tombstones/`, searches pre-filter the (broadcast) tombstone set
+  // BEFORE top-k (so k live results still return), and
+  // [[vacuumTombstones]] later rewrites ONLY the affected cent_id
+  // partitions. The corpus-curation shape: dedup/decontamination
+  // delete documents daily; their vectors must vanish from ANN
+  // results immediately, while the index rewrite happens on the
+  // maintenance schedule.
+
+  /** Logically delete `ids` (a vec_id frame) from the index at
+    * `path`: subsequent [[search]]/[[searchPQ]] calls never return
+    * them. O(ids) — no list partition is touched. Re-[[add]]ing a
+    * removed vec_id un-removes it. */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).na.drop().distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def fsOf(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  private[operators] def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fsOf(spark, path).exists(dir))
+      Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
+  /** Drop tombstoned rows from a list/code stream (no-op when the
+    * index has no tombstones). Pre-top-k, like the `allowed` filter. */
+  private def dropTombstoned(spark: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    tombstones(spark, path).fold(rows)(t =>
+      rows.join(broadcast(t.select("vec_id").distinct()),
+        Seq("vec_id"), "left_anti"))
+
+  /** Re-adding a removed vec_id revives it: drop its tombstone. The
+    * tombstone set is small by contract (pending-vacuum deletes), so
+    * the rewrite collects it driver-side — never the lists. */
+  private def unremove(spark: SparkSession, path: String,
+      newVecs: DataFrame): Unit =
+    tombstones(spark, path).foreach { t =>
+      import spark.implicits._
+      val keep = t.select("vec_id").distinct()
+        .join(newVecs.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSeq
+      val dir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      val fs = fsOf(spark, path)
+      if (keep.isEmpty) { fs.delete(dir, true); () }
+      else {
+        val tmp = s"$path/_tombstones_new"
+        keep.toDF("vec_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(dir, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dir),
+          s"tombstone rewrite swap failed for $path")
+      }
+    }
+
+  /** Materialize tombstones: rewrite ONLY the cent_id partitions that
+    * hold tombstoned rows, then clear the tombstone set. Idempotent
+    * across crashes — the staged rewrite commits `_affected` (the
+    * partition worklist) before any partition is touched, so a re-run
+    * RESUMES the swap from the existing stage instead of recomputing
+    * from half-swapped lists; tombstones clear last, so searches stay
+    * correct through every window. Single-writer, like the builds.
+    * Returns the number of tombstoned ids materialized. */
+  def vacuumTombstones(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    val t = tombstones(spark, path).getOrElse(return 0L)
+    val sub = if (isPQ(spark, path)) "codes" else "lists"
+    val stage = s"$path/_vacuum_stage"
+    val affectedFile = new org.apache.hadoop.fs.Path(s"$stage/_affected")
+    val staged = fs.exists(affectedFile)
+    val tIds = t.select("vec_id").distinct()
+    val n = tIds.count()
+    val affected: Seq[Long] =
+      if (staged) {
+        // crashed mid-swap: resume from the committed worklist
+        val in = fs.open(affectedFile)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.split("\n").toSeq.filter(_.nonEmpty).map(_.toLong)
+      } else {
+        val all = spark.read.parquet(s"$path/$sub")
+        // partition-column type inference reads cent_id back as int
+        val hit = all.join(broadcast(tIds), Seq("vec_id"), "left_semi")
+          .select(col("cent_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (hit.nonEmpty) {
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+          all.filter(col("cent_id").isin(hit: _*))
+            .join(broadcast(tIds), Seq("vec_id"), "left_anti")
+            .write.partitionBy("cent_id").parquet(stage)
+          val out = fs.create(affectedFile, true)
+          try out.write(hit.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        }
+        hit
+      }
+    affected.foreach { c =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub/cent_id=$c")
+      val src = new org.apache.hadoop.fs.Path(s"$stage/cent_id=$c")
+      fs.delete(dst, true)
+      // a fully-tombstoned partition has no staged dir — deletion IS
+      // the rewrite; a resumed run finds src already moved and no-ops
+      if (fs.exists(src)) require(fs.rename(src, dst),
+        s"vacuum swap failed for partition cent_id=$c")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    n
   }
 
   /** Nearest-centroid assignment (cosine, index tiebreak) — the
@@ -235,11 +356,13 @@ object VectorIndex {
         VectorOPQ.loadRotation(spark, s"$path/rotation"), col("embedding")))
     else df
 
-  def addPQ(spark: SparkSession, path: String, newVecs: DataFrame): Unit =
+  def addPQ(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
     writeCodes(applyRotation(spark, path, newVecs), path,
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebook"),
       isResidual(spark, path), isPacked(spark, path), "append")
+    unremove(spark, path, newVecs)
+  }
 
   /** IVF-PQ search: route each probe to `nprobe` centroids, ADC-rank
     * ONLY the routed code partitions (partition-pruned scan of the
@@ -284,8 +407,9 @@ object VectorIndex {
       if (isPacked(spark, path))
         Some(codebook.agg(max(col("sub_id"))).head.getInt(0) + 1)
       else None
-    val codesAll = spark.read.parquet(s"$path/codes")
-      .filter(col("cent_id").isin(wanted.toSeq: _*))
+    val codesAll = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/codes")
+        .filter(col("cent_id").isin(wanted.toSeq: _*)))
     val codesAllowed = allowed.fold(codesAll)(a =>
       codesAll.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
     val codes = codesAllowed
@@ -331,8 +455,9 @@ object VectorIndex {
     val wanted = routed.select("cent_id").distinct()
       .collect().map(_.getLong(0))
     // partition-pruned scan: only the routed centroid lists are read
-    val listsAll = spark.read.parquet(s"$path/lists")
-      .filter(col("cent_id").isin(wanted.toSeq: _*))
+    val listsAll = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/lists")
+        .filter(col("cent_id").isin(wanted.toSeq: _*)))
     val lists = allowed.fold(listsAll)(a =>
       listsAll.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
     val wTop = Window.partitionBy("probe_id")

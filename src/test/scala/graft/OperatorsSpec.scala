@@ -895,6 +895,66 @@ class OperatorsSpec extends SparkSpec {
     assert(allParts == 10)
   }
 
+  test("index tombstones: logical delete, vacuum materializes, re-add revives") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = tmpDir("graft-ivf-ts")
+    VectorIndex.build(emb, path, k = 10, iters = 5)
+    val probes = emb.filter(col("vec_id") < 5)
+    val before = VectorIndex.search(spark, path, probes, nprobe = 4, k = 3)
+      .collect()
+    // remove the top-1 neighbor of probe 0: searches must never
+    // return it again, and a full k=3 result must still come back
+    val victim = before.filter(r => r.getLong(0) == 0L && r.getInt(2) == 1)
+      .head.getLong(1)
+    VectorIndex.remove(spark, path, Seq(victim).toDF("vec_id"))
+    val after = VectorIndex.search(spark, path, probes, nprobe = 4, k = 3)
+    assert(after.filter(col("neighbor_id") === victim).count() == 0)
+    assert(after.filter(col("probe_id") === 0L).count() == 3,
+      "pre-top-k filtering must keep k live results")
+    // expected = brute-force over the index WITHOUT the victim
+    val expect = VectorIndex.search(spark, path, probes, nprobe = 4, k = 3,
+      allowed = Some(emb.filter(col("vec_id") =!= victim)
+        .select("vec_id")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(after.collect().map(_.toString).sorted.toSeq == expect)
+    // vacuum rewrites only the victim's partition; results unchanged
+    val listDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("cent_id="))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(VectorIndex.vacuumTombstones(spark, path) == 1L)
+    assert(spark.read.parquet(s"$path/lists")
+      .filter(col("vec_id") === victim).count() == 0)
+    val touched = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("cent_id="))
+      .count(f => listDirs.get(f.getName).forall(_ != f.lastModified()))
+    assert(touched == 1, s"vacuum must rewrite exactly the one affected partition, touched $touched")
+    val afterVac = VectorIndex.search(spark, path, probes, nprobe = 4, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterVac == expect)
+    // vacuum with no tombstones is a no-op
+    assert(VectorIndex.vacuumTombstones(spark, path) == 0L)
+    // re-adding a removed id revives it: remove another id, then add
+    // its row back — the tombstone drops and search returns it
+    VectorIndex.remove(spark, path, Seq(victim).toDF("vec_id"))
+    VectorIndex.add(spark, path, emb.filter(col("vec_id") === victim))
+    val revived = VectorIndex.search(spark, path, probes, nprobe = 4, k = 3)
+    assert(revived.collect().map(_.toString).sorted.toSeq ==
+      before.map(_.toString).sorted.toSeq,
+      "re-add must revive the removed vector exactly")
+    // PQ tier: tombstones filter the code stream the same way
+    val pqPath = tmpDir("graft-ivfpq-ts")
+    VectorIndex.buildPQ(emb, pqPath, k = 10, m = 16, ksub = 16, iters = 3)
+    VectorIndex.remove(spark, pqPath, Seq(victim).toDF("vec_id"))
+    val pqRes = VectorIndex.searchPQ(spark, pqPath, probes, emb,
+      nprobe = 4, k = 3)
+    assert(pqRes.filter(col("neighbor_id") === victim).count() == 0)
+    assert(pqRes.filter(col("probe_id") === 0L).count() == 3)
+    assert(VectorIndex.vacuumTombstones(spark, pqPath) == 1L)
+    assert(spark.read.parquet(s"$pqPath/codes")
+      .filter(col("vec_id") === victim).count() == 0)
+  }
+
   test("IVF-PQ index: pruned compressed lists, rerank recall, incremental add") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = tmpDir("graft-ivfpq")
