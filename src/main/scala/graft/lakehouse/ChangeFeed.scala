@@ -63,17 +63,25 @@ object ChangeFeed {
     * as inserts — the backfill — and starts from there. Returns the
     * `(from, to)` range drained, or None when already caught up. */
   def drain(spark: SparkSession, root: String, consumerRoot: String,
-      keyCols: Seq[String] = Nil)(f: DataFrame => Unit): Option[(Long, Long)] = {
+      keyCols: Seq[String] = Nil)(f: DataFrame => Unit): Option[(Long, Long)] =
+    drainRange(spark, root, consumerRoot, keyCols)((cdc, _, _) => f(cdc))
+
+  /** [[drain]] with the `(from, to)` range passed to the consumer —
+    * for consumers that stamp `to` into their own state to make the
+    * at-least-once redelivery idempotent (see CdcAggView). */
+  def drainRange(spark: SparkSession, root: String, consumerRoot: String,
+      keyCols: Seq[String] = Nil)(
+      f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val cur = VersionedTable.currentVersion(spark, root).getOrElse(return None)
     position(spark, consumerRoot) match {
       case Some(from) if from >= cur => None
       case Some(from) =>
-        f(VersionedTable.changes(spark, root, from, cur, keyCols))
+        f(VersionedTable.changes(spark, root, from, cur, keyCols), from, cur)
         commitPosition(spark, consumerRoot, cur)
         Some((from, cur))
       case None =>
         f(VersionedTable.readVersion(spark, root, cur)
-          .withColumn("_change_type", lit("insert")))
+          .withColumn("_change_type", lit("insert")), 0L, cur)
         commitPosition(spark, consumerRoot, cur)
         Some((0L, cur))
     }

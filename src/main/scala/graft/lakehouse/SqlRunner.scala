@@ -136,6 +136,16 @@ object SqlRunner {
     val deleted = VersionedTable.vacuum(s, a(0), a(1).toLong)
     oneRow(s, Seq("deleted"), Seq(deleted.size.toLong))
   }
+  registerProc("graft_sync_agg") { (s, a) =>
+    require(a.size == 4,
+      "graft_sync_agg(srcRoot, viewRoot, keysCsv, sumsCsv)")
+    val spec = MaterializedAgg.Spec(
+      a(2).split(",").toSeq.filter(_.nonEmpty),
+      a(3).split(",").toSeq.filter(_.nonEmpty))
+    val r = CdcAggView.sync(s, a(0), a(1), spec)
+    oneRow(s, Seq("from_version", "to_version"),
+      Seq(r.map(_._1).getOrElse(-1L), r.map(_._2).getOrElse(-1L)))
+  }
   registerProc("graft_resolve_deletes") { (s, a) =>
     require(a.nonEmpty && a.size <= 2,
       "graft_resolve_deletes(root[, keepVersions])")
