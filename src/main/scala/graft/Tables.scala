@@ -25,14 +25,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long and truncate to microseconds
-    * (same truncation DuckDB applies, so oracles agree). Integer `div`
-    * — a double roundtrip would lose precision on int64 nanos. */
+  /** `events.parquet` has shipped with two `ts` encodings across
+    * driver revisions: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects — read nanos as long, integer-`div` to micros; a double
+    * roundtrip would lose precision on int64 nanos) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as
+    * TIMESTAMP_NTZ). Both normalize to TimestampType; every session
+    * here pins `spark.sql.session.timeZone=UTC`, so the NTZ cast is
+    * the same wall=instant mapping DuckDB's naive oracle uses. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
