@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, PredicateHelper}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -83,11 +83,44 @@ class GraftSqlParser(delegate: ParserInterface)
     case p => p
   }
 
+  /** Read-position `graft.<root>` names resolve AT PARSE TIME to the
+    * [[graft.sources.GraftDataSource]] relation — `SELECT * FROM
+    * graft.`/data/t``, joins, CTEs. The parser is the seam because
+    * Spark's SQL-on-files analyzer rule serves only FileFormat
+    * providers and fails analysis BEFORE injected resolution rules
+    * run. Only names whose path has a committed version rewrite
+    * (anything else keeps Spark's normal resolution error), INSERT
+    * targets are left alone (writes go through the DML commands or
+    * the DataFrame writer — never a raw parquet insert that would
+    * bypass the commit protocol), and DML targets were already
+    * consumed by [[rewriteDml]]. */
+  private def rewriteGraftReads(plan: LogicalPlan): LogicalPlan =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case None => plan
+      case Some(spark) =>
+        val insertTargets = plan.collect {
+          case i: org.apache.spark.sql.catalyst.plans.logical
+                .InsertIntoStatement => i.table
+        }.toSet
+        plan.transformUp {
+          case u @ UnresolvedRelation(Seq(g, path), _, _)
+              if g.equalsIgnoreCase("graft") && !insertTargets.contains(u) &&
+                scala.util.Try(graft.lakehouse.VersionedTable
+                  .currentVersion(spark, path)).toOption.flatten.nonEmpty =>
+            org.apache.spark.sql.execution.datasources.LogicalRelation(
+              new graft.sources.GraftDataSource().createRelation(
+                spark.sqlContext, Map("path" -> path)),
+              false)
+        }
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewriteDml(rewriteAsOf(delegate.parsePlan(preprocess(sqlText))))
+    rewriteGraftReads(
+      rewriteDml(rewriteAsOf(delegate.parsePlan(preprocess(sqlText)))))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    rewriteAsOf(delegate.parseQuery(preprocess(sqlText)))
+    rewriteGraftReads(
+      rewriteAsOf(delegate.parseQuery(preprocess(sqlText))))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
