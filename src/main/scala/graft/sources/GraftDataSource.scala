@@ -58,7 +58,8 @@ import graft.lakehouse.VersionedTable
   * writer racing readers keeps every commit-protocol guarantee.
   */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -140,6 +141,46 @@ final class GraftDataSource extends RelationProvider
       case SaveMode.Ignore => create()
     }
     createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming: versions as offsets ------------------------------
+
+  private def cdcOf(parameters: Map[String, String]): Boolean =
+    parameters.get("cdc").forall(_.toBoolean)
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftStreamSource.schemaFor(sqlContext.sparkSession,
+      rootOf(parameters), cdcOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val base = parameters.get("startingVersion") match {
+      case Some("earliest") => -1L
+      case Some(n) => n.toLong
+      case None => VersionedTable.currentVersion(spark, root).getOrElse(0L)
+    }
+    new GraftStreamSource(spark, root, csv(parameters, "keyCols"),
+      cdcOf(parameters), base)
+  }
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = rootOf(parameters)
+    require(partitionColumns.isEmpty,
+      "format(\"graft\") sink does not take partitionBy — cluster " +
+        "inside the batch instead (Bucketing.*)")
+    new GraftStreamSink(sqlContext.sparkSession, root,
+      parameters.getOrElse("mode", "append"), csv(parameters, "keyCols"),
+      csv(parameters, "statsCols"), csv(parameters, "bloomCols"),
+      parameters.get("keepVersions").map(_.toInt).getOrElse(1))
   }
 }
 

@@ -19,4 +19,30 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-wrap a batch DataFrame's physical rows as a STREAMING frame —
+    * what a v1 streaming `Source.getBatch` must return
+    * (`isStreaming = true`; the constructor is private[sql], hence
+    * the bridge). The inner plan executes lazily, once, when the
+    * micro-batch runs. */
+  def internalStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** The inverse seam, for a v1 streaming `Sink.addBatch`: the
+    * incoming micro-batch Dataset is still streaming-marked (batch
+    * verbs like `write`/`count` refuse it), so re-wrap its physical
+    * rows as a BATCH frame — the same move Spark's own
+    * ForeachBatchSink makes. Lazy: the incremental plan executes when
+    * the batch frame is consumed (deterministic within the trigger,
+    * the contract foreachBatch consumers already rely on). */
+  def internalBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
