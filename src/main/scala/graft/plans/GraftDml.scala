@@ -398,3 +398,57 @@ object GraftMergeCommand extends PredicateHelper {
       insertUnmatched)
   }
 }
+
+/** `INSERT INTO graft.`root` <query>` / `INSERT OVERWRITE graft.`root`
+  * <query>` — the query result lands through the commit protocol:
+  * plain INSERT is an O(batch) [[VersionedTable.appendDelta]] (every
+  * current file carried by manifest reference, stats/blooms copied
+  * forward byte-identical), OVERWRITE a full [[VersionedTable.commit]]
+  * replacing the content; visibility is the usual single manifest
+  * PUT, time travel works across the insert, and whatever skipping
+  * columns the current manifest carries are (re)collected for the new
+  * version. Positional column matching with implicit casts (standard
+  * INSERT semantics; arity mismatch fails loudly), `BY NAME` matches
+  * case-insensitively. An uncommitted root is created by the first
+  * insert (its first commit migrates legacy layouts). */
+case class GraftInsertCommand(root: String, query: LogicalPlan,
+    overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df0 = Bridge.ofRows(spark, query)
+    val (stats, blooms) = GraftDml.carriedIndex(spark, root)
+    val kv = GraftDml.keepVersions(spark)
+    val current = VersionedTable.currentVersion(spark, root)
+    val aligned = current match {
+      case None => df0 // creating: the query's schema IS the table's
+      case Some(_) =>
+        val tgt = VersionedTable.read(spark, root).schema
+        if (byName) {
+          val srcCols = df0.columns.toSeq
+          df0.select(tgt.toSeq.map { f =>
+            srcCols.find(_.equalsIgnoreCase(f.name))
+              .map(s => col(s"`$s`").cast(f.dataType).as(f.name))
+              .getOrElse(GraftDml.fail(
+                s"INSERT BY NAME source lacks target column `${f.name}` " +
+                  s"(source columns: ${srcCols.mkString(", ")})"))
+          }: _*)
+        } else {
+          if (df0.columns.length != tgt.length) GraftDml.fail(
+            s"INSERT has ${df0.columns.length} columns but the table " +
+              s"has ${tgt.length}; use BY NAME or match the schema")
+          df0.select(df0.columns.toSeq.zip(tgt).map { case (s, f) =>
+            col(s"`$s`").cast(f.dataType).as(f.name)
+          }: _*)
+        }
+    }
+    def write(stage: String): Unit =
+      aligned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(stage)
+    if (current.isEmpty || overwrite)
+      VersionedTable.commit(spark, root, kv, stats, blooms)(write)
+    else
+      VersionedTable.appendDelta(spark, root, kv, stats, blooms)(write)
+    Nil
+  }
+}

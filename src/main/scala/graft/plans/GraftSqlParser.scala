@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRel
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, PredicateHelper}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Join, LogicalPlan, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** SQL syntax extension: `ASOF JOIN`.
@@ -80,6 +80,15 @@ class GraftSqlParser(delegate: ParserInterface)
         matched, notMatched, notMatchedBySource, schemaEvolution) =>
       GraftMergeCommand.from(root, source, cond, matched, notMatched,
         notMatchedBySource, schemaEvolution)
+    case i @ InsertIntoStatement(GraftDml.GraftTarget(root, _), _, _,
+        query, overwrite, _, byName) =>
+      if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
+        GraftDml.fail("partitioned INSERT is not supported on graft " +
+          "tables — cluster inside the query (Bucketing.*) instead")
+      if (i.userSpecifiedCols.nonEmpty)
+        GraftDml.fail("INSERT with a column list is not supported on " +
+          "graft tables — use INSERT INTO ... BY NAME")
+      GraftInsertCommand(root, query, overwrite, byName)
     case p => p
   }
 
@@ -89,22 +98,30 @@ class GraftSqlParser(delegate: ParserInterface)
     * Spark's SQL-on-files analyzer rule serves only FileFormat
     * providers and fails analysis BEFORE injected resolution rules
     * run. Only names whose path has a committed version rewrite
-    * (anything else keeps Spark's normal resolution error), INSERT
-    * targets are left alone (writes go through the DML commands or
-    * the DataFrame writer — never a raw parquet insert that would
-    * bypass the commit protocol), and DML targets were already
-    * consumed by [[rewriteDml]]. */
+    * (anything else keeps Spark's normal resolution error). WRITE
+    * targets — INSERT/DELETE/UPDATE/MERGE — are left alone so
+    * [[rewriteDml]] (which runs after this) still sees them as
+    * two-part names; their SOURCE sides (MERGE USING, INSERT's query)
+    * DO rewrite here, which is what lets a graft table feed another
+    * graft table's DML. */
   private def rewriteGraftReads(plan: LogicalPlan): LogicalPlan =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case None => plan
       case Some(spark) =>
-        val insertTargets = plan.collect {
-          case i: org.apache.spark.sql.catalyst.plans.logical
-                .InsertIntoStatement => i.table
-        }.toSet
+        def bare(p: LogicalPlan): Seq[LogicalPlan] = p match {
+          case SubqueryAlias(_, u: UnresolvedRelation) => Seq(u)
+          case u: UnresolvedRelation => Seq(u)
+          case _ => Nil
+        }
+        val writeTargets = plan.collect {
+          case i: InsertIntoStatement => bare(i.table)
+          case d: DeleteFromTable => bare(d.table)
+          case u: UpdateTable => bare(u.table)
+          case m: MergeIntoTable => bare(m.targetTable)
+        }.flatten.toSet
         plan.transformUp {
           case u @ UnresolvedRelation(Seq(g, path), _, _)
-              if g.equalsIgnoreCase("graft") && !insertTargets.contains(u) &&
+              if g.equalsIgnoreCase("graft") && !writeTargets.contains(u) &&
                 scala.util.Try(graft.lakehouse.VersionedTable
                   .currentVersion(spark, path)).toOption.flatten.nonEmpty =>
             org.apache.spark.sql.execution.datasources.LogicalRelation(
@@ -115,8 +132,8 @@ class GraftSqlParser(delegate: ParserInterface)
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewriteGraftReads(
-      rewriteDml(rewriteAsOf(delegate.parsePlan(preprocess(sqlText)))))
+    rewriteDml(
+      rewriteGraftReads(rewriteAsOf(delegate.parsePlan(preprocess(sqlText)))))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     rewriteGraftReads(

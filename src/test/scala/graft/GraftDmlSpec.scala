@@ -235,4 +235,74 @@ class GraftDmlSpec extends SparkSpec {
       spark.sql("DELETE FROM some_missing_table WHERE x = 1")
     }
   }
+
+  test("INSERT INTO graft appends an O(batch) delta; OVERWRITE replaces") {
+    val root = freshTable("dmlins")
+    spark.conf.set("spark.graft.dml.keepVersions", "4")
+    try {
+      val v1Files = VersionedTable.currentFiles(spark, root)
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (5, 'e', 50)")
+      assert(VersionedTable.currentVersion(spark, root).contains(2L))
+      // append carried every version-1 file by reference
+      val v2Files = VersionedTable.currentFiles(spark, root)
+      assert(v1Files.forall(v2Files.contains))
+      assert(VersionedTable.read(spark, root).count() == 5)
+      // positional insert casts (ints arrive as int, table holds long)
+      assert(VersionedTable.read(spark, root)
+        .filter(col("k") === 5L && col("v") === 50L).count() == 1)
+      spark.sql(s"INSERT OVERWRITE graft.`$root` VALUES (9, 'z', 90)")
+      assert(VersionedTable.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq((9L, "z", 90L)))
+      // time travel across both inserts survives in the window
+      assert(VersionedTable.readVersion(spark, root, 2L).count() == 5)
+    } finally spark.conf.unset("spark.graft.dml.keepVersions")
+  }
+
+  test("INSERT BY NAME reorders; arity mismatch and column lists fail loudly") {
+    val root = freshTable("dmlinsname")
+    spark.sql(
+      s"INSERT INTO graft.`$root` BY NAME SELECT 55 AS v, 'e' AS s, 5 AS k")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 5L && col("v") === 55L && col("s") === "e")
+      .count() == 1)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (6, 'f')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` (k, s, v) VALUES (6, 'f', 60)")
+    }
+    // nothing landed from the failures
+    assert(VersionedTable.read(spark, root).count() == 5)
+  }
+
+  test("graft tables feed graft DML: INSERT ... SELECT and MERGE USING graft sources") {
+    import spark.implicits._
+    val base = tmpDir("dmlcross")
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    VersionedTable.init(spark, src,
+      Seq((2L, "B", 200L), (7L, "g", 70L)).toDF("k", "s", "v"),
+      keepVersions = 4)
+    val dst0 = freshTable("dmlcross-dst")
+    // INSERT INTO ... SELECT FROM graft.`src` (read rewrite inside DML)
+    spark.sql(
+      s"INSERT INTO graft.`$dst0` SELECT * FROM graft.`$src` WHERE k = 7")
+    assert(VersionedTable.read(spark, dst0)
+      .filter(col("k") === 7L).count() == 1)
+    // MERGE USING a graft source updates 2 and leaves the rest
+    spark.sql(
+      s"""MERGE INTO graft.`$dst0` t USING (SELECT * FROM graft.`$src`) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").collect()
+    val rows = VersionedTable.read(spark, dst0).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L),
+      (4L, "d", 40L), (7L, "g", 70L)))
+    // an uncommitted root is created by its first INSERT ... SELECT
+    spark.sql(s"INSERT INTO graft.`$dst` SELECT * FROM graft.`$src`")
+    assert(VersionedTable.currentVersion(spark, dst).contains(1L))
+    assert(VersionedTable.read(spark, dst).count() == 2)
+  }
 }

@@ -137,4 +137,30 @@ class GraftStreamSpec extends SparkSpec {
     assert(VersionedTable.equalityDeletes(spark, dst,
       VersionedTable.currentVersion(spark, dst).get).nonEmpty)
   }
+
+  test("compaction is CDC-invisible: rewrite commits produce empty change batches") {
+    val root = tmpDir("gstream-compact") + "/t"
+    import spark.implicits._
+    VersionedTable.init(spark, root,
+      (1L to 40L).map(i => (i, s"s$i")).toDF("id", "s"), keepVersions = 10)
+    val q = spark.readStream.format("graft")
+      .load(root) // changes after stream start only
+      .writeStream.format("memory").queryName("gsrc_compact").start()
+    try {
+      q.processAllAvailable()
+      // an identity rewrite commits a NEW version with every row in
+      // fresh files — the net diff must be empty (no spurious CDC)
+      VersionedTable.rewrite(spark, root, keepVersions = 10)(df => df)
+      q.processAllAvailable()
+      assert(spark.table("gsrc_compact").isEmpty)
+      // a real change after the rewrite still flows
+      VersionedTable.appendDelta(spark, root, keepVersions = 10) { st =>
+        Seq((99L, "x")).toDF("id", "s").write.parquet(st)
+      }
+      q.processAllAvailable()
+      assert(spark.table("gsrc_compact").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq ==
+        Seq((99L, "insert")))
+    } finally q.stop()
+  }
 }

@@ -489,4 +489,43 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, cases = 30)
   }
+
+  test("property: native as-of join equals the reference rule on duplicate-timestamp data") {
+    import spark.implicits._
+    // adversarial structure: few keys (collisions), few distinct
+    // timestamps (exact duplicates on BOTH sides), null-extension
+    // (keys with no eligible right row), and a tiebreak column so the
+    // expected row is unique
+    val genLeft = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 8L)
+    } yield (k, t)))
+    val genRight = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 8L)
+      v <- Gen.chooseNum(0L, 999L)
+    } yield (k, t, v)))
+    val prop = Prop.forAll(Gen.zip(genLeft, genRight)) {
+      case (ls, rs) =>
+        val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "t")
+        val r = rs.zipWithIndex.map { case ((k, t, v), j) =>
+          (j.toLong, k, t, v)
+        }.toDF("rid", "rk", "rt", "rv")
+        val got = graft.plans.AsOf.join(l, r, col("k"), col("rk"),
+            col("t"), col("rt"), tiebreak = Some(col("rid")))
+          .select("lid", "rid").collect()
+          .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+          .toSet
+        // reference rule, computed directly: per left row the right
+        // row with max (rt, rid) among rk = k && rt <= t
+        val want = ls.zipWithIndex.map { case ((k, t), i) =>
+          val m = rs.zipWithIndex
+            .filter { case ((rk, rt, _), _) => rk == k && rt <= t }
+            .sortBy { case ((_, rt, _), j) => (rt, j.toLong) }
+            .lastOption.map(_._2.toLong).getOrElse(-1L)
+          (i.toLong, m)
+        }.toSet
+        got == want
+    }
+    check(prop, cases = 30)
+  }
 }
