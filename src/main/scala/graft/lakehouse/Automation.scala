@@ -49,7 +49,8 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       cfg.registryDir, SurveyGen.schema,
       audit =
         if (cfg.auditChecks.isEmpty) None
-        else Some(DataQuality.violations(_, cfg.auditChecks)))
+        else Some(DataQuality.violations(_, cfg.auditChecks)),
+      keepVersions = cfg.loadKeepVersions)
     // fold ONLY the freshly loaded rows into the maintained views —
     // the dashboard the reference recomputes per refresh, maintained
     // incrementally (merge cost = touched keys / sketch size, never
@@ -129,8 +130,19 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           statsCols = cfg.compactStatsCols,
           bloomCols = cfg.compactBloomCols))
       else None
+    // CDC consumers AFTER maintenance: compaction/resolution commits
+    // are net-empty diffs, so syncing here drains this tick's real
+    // changes in one range instead of two
+    val mirrored = cfg.mirror
+      .filter(m => m.every <= 1 || ticks % m.every == 0)
+      .flatMap(m => ChangeFeed.mirror(spark, cfg.tableDir, m.dstRoot,
+        m.keyCols, m.keepVersions))
+    val cdcSynced = cfg.cdcAgg
+      .filter(c => c.every <= 1 || ticks % c.every == 0)
+      .flatMap(c => CdcAggView.sync(spark, cfg.tableDir, c.viewRoot,
+        c.spec, c.keepVersions))
     Automation.TickReport(ticks, generated, load, expired, vecLoad, compacted,
-      corpus, vacuumed, resolved)
+      corpus, vacuumed, resolved, mirrored, cdcSynced)
   }
 
   /** Training-corpus curation: incremental-load document drops, then
@@ -349,6 +361,13 @@ object Automation {
       // restores metadata-exact counts; scheduled compaction then
       // bounds how long any vector lives
       resolveDeletesEvery: Int = 0, // 0 = never
+      // manifest retention for delta-table loads: CDC consumers
+      // (mirror/cdcAgg, external ChangeFeed drains, the streaming
+      // source) diff RETAINED versions, so this must exceed the
+      // versions committed between two drains (loads land one commit
+      // per file on delta tables) — a too-narrow window now fails
+      // loudly at the consumer instead of partial-reading
+      loadKeepVersions: Int = 1,
       // write-audit-publish gate on every load: batches violating any
       // check are QUARANTINED (registry-terminal, never retried,
       // never visible in the table) instead of published
@@ -359,7 +378,24 @@ object Automation {
       freqSketch: Option[SketchViewConfig] = None,
       quantView: Option[QuantileViewConfig] = None,
       setSketch: Option[SetSketchConfig] = None,
-      corpusDedup: Option[CorpusDedupConfig] = None)
+      corpusDedup: Option[CorpusDedupConfig] = None,
+      mirror: Option[MirrorConfig] = None,
+      cdcAgg: Option[CdcAggConfig] = None)
+
+  /** Downstream-mirror maintenance: every `every` ticks, drain the
+    * main table's CDC and apply the net changes to a keyed mirror at
+    * `dstRoot` via [[ChangeFeed.mirror]] — O(changes) per sync, MoR
+    * commits, position tracked in the mirror's own `_cdc` marker.
+    * The table must be key-unique per `keyCols`. */
+  final case class MirrorConfig(dstRoot: String, keyCols: Seq[String],
+      every: Int = 1, keepVersions: Int = 1)
+
+  /** Retraction-aggregate maintenance: every `every` ticks,
+    * [[CdcAggView.sync]] the main table's CDC into the grouped
+    * sums/counts view at `viewRoot` — updates and deletes retract
+    * exactly (unlike the append-only [[AggViewConfig]] fold). */
+  final case class CdcAggConfig(viewRoot: String,
+      spec: MaterializedAgg.Spec, every: Int = 1, keepVersions: Int = 4)
 
   /** Materialized-view maintenance config: fold each tick's freshly
     * loaded rows into [[MaterializedAgg]] state at `root`. */
@@ -441,7 +477,9 @@ object Automation {
       compacted: Option[Int] = None,
       corpus: Option[CorpusReport] = None,
       vacuumed: Seq[String] = Seq.empty,
-      resolvedDeletes: Option[Long] = None)
+      resolvedDeletes: Option[Long] = None,
+      mirrored: Option[(Long, Long)] = None,
+      cdcSynced: Option[(Long, Long)] = None)
 
   /** `runMain graft.lakehouse.Automation <rootDir> [intervalSec]
     * [maxTicks]` — drops land in `<rootDir>/arrivals`, the lakehouse

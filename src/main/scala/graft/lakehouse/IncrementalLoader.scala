@@ -72,7 +72,8 @@ object IncrementalLoader {
   def run(spark: SparkSession, srcDir: String, tableDir: String,
           registryDir: String, schema: StructType,
           format: String = "csv",
-          audit: Option[DataFrame => Seq[String]] = None): LoadResult = {
+          audit: Option[DataFrame => Seq[String]] = None,
+          keepVersions: Int = 1): LoadResult = {
     val all = discover(spark, srcDir, suffix = s".$format")
     val settled = LoadRegistry.settledPaths(spark, registryDir)
       .collect().map(_.getString(0)).toSet
@@ -117,7 +118,7 @@ object IncrementalLoader {
           val already = VersionedTable.currentFiles(spark, tableDir)
             .exists(_.endsWith(s"/${publishedName(f)}"))
           if (!already)
-            VersionedTable.appendDelta(spark, tableDir) { stage =>
+            VersionedTable.appendDelta(spark, tableDir, keepVersions) { stage =>
               df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
               val part = fs.listStatus(new Path(stage))
                 .find(_.getPath.getName.startsWith("part-"))

@@ -540,14 +540,28 @@ object VersionedTable {
     else scanWithRefs(spark, root, version).drop(DvFileCol, DvPosCol)
 
   /** The physical scan of a version — deleted-but-not-purged rows
-    * INCLUDED. The input of every DV-aware consumer. */
+    * INCLUDED. The input of every DV-aware consumer.
+    *
+    * A version with NO manifest under an existing `_commits` dir was
+    * PRUNED: it must fail loudly, never fall back to its version-dir
+    * listing — on a delta table that listing is a PARTIAL snapshot
+    * (carried files live in older dirs), and a silent partial read
+    * would corrupt every consumer diffing versions (CDC `changes`,
+    * the streaming source, mirrors). Widen `keepVersions` to cover
+    * the longest reader/consumer lag instead. */
   private def rawReadVersion(spark: SparkSession, root: String,
       version: Long): DataFrame =
     filesOf(spark, root, version) match {
       case Some(files) =>
         spark.read.parquet(files.map(f => s"$root/$f"): _*)
       case None =>
-        spark.read.parquet(dataDirOf(fsOf(spark, root), root, version))
+        val fs = fsOf(spark, root)
+        if (fs.exists(commitsDir(root)) &&
+            !fs.exists(new Path(commitsDir(root), version.toString)))
+          throw new IllegalStateException(
+            s"version $version of $root is not retained (its manifest " +
+              "was pruned) — widen keepVersions to cover this reader")
+        spark.read.parquet(dataDirOf(fs, root, version))
     }
 
   // ---- merge-on-read deletion vectors ------------------------------
@@ -1765,5 +1779,35 @@ object VersionedTable {
            keepVersions: Int = 1, statsCols: Seq[String] = Nil): Long =
     commit(spark, root, keepVersions, statsCols) { stage =>
       df.write.mode(SaveMode.Overwrite).parquet(stage)
+    }
+
+  /** The newest version whose manifest was committed at or before
+    * `epochMillis` — the `TIMESTAMP AS OF` resolution rule (manifest
+    * creation IS the commit, so its mtime is the commit time). Only
+    * RETAINED versions resolve; None when every retained commit is
+    * younger. */
+  def versionAsOfTimestamp(spark: SparkSession, root: String,
+      epochMillis: Long): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) return None
+    fs.listStatus(cd).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption
+        .filter(_ => st.getModificationTime <= epochMillis))
+      .maxOption
+  }
+
+  /** [[init]] as a FILE-LIST (delta-manifest) commit: the created
+    * table's manifests carry explicit file refs, so every later
+    * append — incl. [[IncrementalLoader]] batches — lands as its own
+    * `appendDelta` VERSION instead of an in-place object publish.
+    * That per-batch version history is what CDC consumers (the
+    * streaming source, `ChangeFeed` drains, daemon mirror/cdcAgg
+    * ticks) diff; pair with a `keepVersions` covering their lag. */
+  def initDelta(spark: SparkSession, root: String, df: DataFrame,
+      keepVersions: Int = 1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long =
+    commitDelta(spark, root, Nil, keepVersions, statsCols, bloomCols) {
+      stage => df.write.mode(SaveMode.Overwrite).parquet(stage)
     }
 }

@@ -1645,4 +1645,86 @@ class LakehouseSpec extends SparkSpec {
     assert(deleted == Seq("stale.csv"))
     assert(fresh.exists() && !stale.exists())
   }
+
+  test("daemon CDC consumer ticks: keyed mirror and retraction aggregate follow the table") {
+    import spark.implicits._
+    val root = tmpDir("autocdc")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def arrive(name: String, rows: Seq[(Long, String, Int)]): Unit = {
+      val body = rows.map { case (id, ct, delay) =>
+        s"$id,$ct,Business,$delay,3,satisfied"
+      }.mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/arrivals/$name"),
+        (s"id,customer_type,travel_type,departure_delay," +
+          s"baggage_handling,satisfaction\n" + body).getBytes("UTF-8"))
+      ()
+    }
+    // delta-manifest table => every load is its own CDC-visible
+    // version; retention must cover the consumers' one-tick lag
+    VersionedTable.initDelta(spark, s"$root/t",
+      Seq((1L, "Loyal", "Business", 10, 3, "satisfied"))
+        .toDF("id", "customer_type", "travel_type", "departure_delay",
+          "baggage_handling", "satisfaction")
+        .select(col("id"), col("customer_type"), col("travel_type"),
+          col("departure_delay").cast("int"),
+          col("baggage_handling").cast("int"), col("satisfaction")),
+      keepVersions = 16)
+    val spec = MaterializedAgg.Spec(Seq("customer_type"),
+      Seq("departure_delay"))
+    val cfg = Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/reg", generate = false,
+      loadKeepVersions = 16,
+      mirror = Some(Automation.MirrorConfig(s"$root/mirror", Seq("id"),
+        keepVersions = 4)),
+      cdcAgg = Some(Automation.CdcAggConfig(s"$root/aggv", spec)))
+    val auto = new Automation(spark, cfg)
+    arrive("d1.csv", Seq((2L, "Loyal", 5), (3L, "disloyal", 7)))
+    val r1 = auto.tick()
+    assert(r1.mirrored.nonEmpty && r1.cdcSynced.nonEmpty)
+    def tableLatest: Set[(Long, String, Int)] =
+      VersionedTable.read(spark, s"$root/t")
+        .select("id", "customer_type", "departure_delay").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    def mirrorRows: Set[(Long, String, Int)] =
+      VersionedTable.read(spark, s"$root/mirror")
+        .select("id", "customer_type", "departure_delay").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(mirrorRows == tableLatest)
+    // two more drops in one tick (two versions), incl. nothing-new tick
+    arrive("d2.csv", Seq((4L, "Loyal", 2)))
+    arrive("d3.csv", Seq((5L, "disloyal", 9)))
+    val r2 = auto.tick()
+    assert(r2.mirrored.nonEmpty)
+    assert(mirrorRows == tableLatest && mirrorRows.size == 5)
+    val r3 = auto.tick() // caught up: consumers no-op
+    assert(r3.mirrored.isEmpty && r3.cdcSynced.isEmpty)
+    // retraction view equals a from-scratch aggregate at every point
+    val got = CdcAggView.read(spark, s"$root/aggv", spec)
+      .select("customer_type", "cnt", "sum_departure_delay").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = VersionedTable.read(spark, s"$root/t")
+      .groupBy("customer_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("departure_delay").cast("double")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("reading a pruned delta version fails loudly instead of partial-reading") {
+    import spark.implicits._
+    val root = tmpDir("prunedread") + "/t"
+    VersionedTable.initDelta(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    VersionedTable.appendDelta(spark, root) { st =>
+      Seq((2L, "b")).toDF("k", "s").write.parquet(st)
+    } // keepVersions=1: version 1's manifest pruned, its DIR still
+      // referenced (carried file) — the partial-listing trap
+    val e = intercept[IllegalStateException] {
+      VersionedTable.readVersion(spark, root, 1L).count()
+    }
+    assert(e.getMessage.contains("not retained"))
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
 }
