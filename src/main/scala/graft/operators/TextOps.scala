@@ -1101,6 +1101,8 @@ object TextOps {
       .orderBy(col("exact_n").desc, col("term").asc).limit(20).collect()
     val rows = top.map(r => org.apache.spark.sql.Row(
       r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    // driver-side assembly is legal ONLY because `limit(20)` above
+    // bounds `top` to a constant regardless of corpus size
     s.createDataFrame(
       s.sparkContext.parallelize(rows.toSeq, 1),
       org.apache.spark.sql.types.StructType(Seq(

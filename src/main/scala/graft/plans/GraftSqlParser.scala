@@ -119,15 +119,46 @@ class GraftSqlParser(delegate: ParserInterface)
           case u: UpdateTable => bare(u.table)
           case m: MergeIntoTable => bare(m.targetTable)
         }.flatten.toSet
+        def committed(path: String): Boolean =
+          scala.util.Try(graft.lakehouse.VersionedTable
+            .currentVersion(spark, path)).toOption.flatten.nonEmpty
+        def relation(path: String, opts: Map[String, String]) =
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            new graft.sources.GraftDataSource().createRelation(
+              spark.sqlContext, opts + ("path" -> path)),
+            false)
         plan.transformUp {
           case u @ UnresolvedRelation(Seq(g, path), _, _)
               if g.equalsIgnoreCase("graft") && !writeTargets.contains(u) &&
-                scala.util.Try(graft.lakehouse.VersionedTable
-                  .currentVersion(spark, path)).toOption.flatten.nonEmpty =>
-            org.apache.spark.sql.execution.datasources.LogicalRelation(
-              new graft.sources.GraftDataSource().createRelation(
-                spark.sqlContext, Map("path" -> path)),
-              false)
+                committed(path) =>
+            relation(path, Map.empty)
+          // SQL time travel: `VERSION AS OF <n | 'tag'>` resolves to
+          // the versionAsOf/tag read options; `TIMESTAMP AS OF t`
+          // picks the newest version committed at or before t (the
+          // manifest's own mtime — its creation IS the commit)
+          case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+              UnresolvedRelation(Seq(g, path), _, _), ts, ver)
+              if g.equalsIgnoreCase("graft") && committed(path) =>
+            ver match {
+              case Some(v) =>
+                val key =
+                  if (v.toLongOption.isDefined) "versionAsOf" else "tag"
+                relation(path, Map(key -> v))
+              case None =>
+                val e = ts.getOrElse(GraftDml.fail(
+                  "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+                val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+                  e, org.apache.spark.sql.types.TimestampType,
+                  Some(spark.conf.get("spark.sql.session.timeZone")))
+                  .eval(null)
+                if (micros == null) GraftDml.fail(
+                  s"cannot evaluate TIMESTAMP AS OF ${e.sql}")
+                val v = graft.lakehouse.VersionedTable.versionAsOfTimestamp(
+                  spark, path, micros.asInstanceOf[Long] / 1000L)
+                  .getOrElse(GraftDml.fail(
+                    s"no retained version of $path at or before ${e.sql}"))
+                relation(path, Map("versionAsOf" -> v.toString))
+            }
         }
     }
 

@@ -299,22 +299,33 @@ final class ManifestSkipping(
     Cast(Literal(UTF8String.fromString(s), StringType), dt, Some(zone))
       .eval(null)
 
+  // memoized per (file, column): at 10^5 manifest files a query's
+  // listFiles evaluates every (file, filter) pair on the driver, and
+  // re-casting stat strings per query would dominate plan time
+  private val extentCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      Option[Extent]]()
+
   private def extent(ref: String, c: String, dt: DataType): Option[Extent] =
-    statOf(ref).flatMap { s =>
-      (s.min.keySet ++ s.max.keySet ++ s.nulls.keySet)
-        .find(_.equalsIgnoreCase(c)).map { k =>
-          val mnS = s.min.getOrElse(k, None)
-          val mxS = s.max.getOrElse(k, None)
-          Extent(
-            allNull = s.min.contains(k) && mnS.isEmpty && mxS.isEmpty,
-            mayNull = s.nulls.get(k).forall(_ > 0L),
-            mn = mnS.map(internal(dt, _)).filter(_ != null),
-            mx = mxS.map(internal(dt, _)).filter(_ != null))
-        }
-    }
+    extentCache.computeIfAbsent((ref, c.toLowerCase), _ =>
+      statOf(ref).flatMap { s =>
+        (s.min.keySet ++ s.max.keySet ++ s.nulls.keySet)
+          .find(_.equalsIgnoreCase(c)).map { k =>
+            val mnS = s.min.getOrElse(k, None)
+            val mxS = s.max.getOrElse(k, None)
+            Extent(
+              allNull = s.min.contains(k) && mnS.isEmpty && mxS.isEmpty,
+              mayNull = s.nulls.get(k).forall(_ > 0L),
+              mn = mnS.map(internal(dt, _)).filter(_ != null),
+              mx = mxS.map(internal(dt, _)).filter(_ != null))
+          }
+      })
+
+  private val ordCache =
+    new java.util.concurrent.ConcurrentHashMap[DataType, Ordering[Any]]()
 
   private def ord(dt: DataType): Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(dt)
+    ordCache.computeIfAbsent(dt, TypeUtils.getInterpretedOrdering)
 
   private sealed trait Op
   private case object EQ extends Op

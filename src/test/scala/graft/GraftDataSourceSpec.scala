@@ -188,4 +188,57 @@ class GraftDataSourceSpec extends SparkSpec {
     cmp.collect()
     assert(scanOf(cmp).metrics("numFiles").value == 1L)
   }
+
+  test("SQL time travel: VERSION AS OF number and tag, TIMESTAMP AS OF commit time") {
+    val root = tmpDir("dsrc-sqltt") + "/t"
+    import spark.implicits._
+    VersionedTable.init(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), keepVersions = 10)
+    VersionedTable.tag(spark, root, "first")
+    Thread.sleep(80)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(80)
+    VersionedTable.appendDelta(spark, root, keepVersions = 10) { st =>
+      Seq((3L, "c")).toDF("id", "s").write.parquet(st)
+    }
+    def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(n(s"SELECT count(*) FROM graft.`$root`") == 3)
+    assert(n(s"SELECT count(*) FROM graft.`$root` VERSION AS OF 1") == 2)
+    assert(n(s"SELECT count(*) FROM graft.`$root` VERSION AS OF 'first'") == 2)
+    val mid = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tMid))
+    assert(n(s"SELECT count(*) FROM graft.`$root` TIMESTAMP AS OF '$mid'") == 2)
+    // a timestamp before every retained commit fails loudly
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT count(*) FROM graft.`$root` TIMESTAMP AS OF '1999-01-01'")
+    }
+  }
+
+  test("timestamp-typed skipping: a date-range filter prunes a time-clustered table") {
+    val root = tmpDir("dsrc-ts") + "/t"
+    VersionedTable.commit(spark, root, statsCols = Seq("ts")) { stage =>
+      Bucketing.writeRangePartitioned(
+        Tables.events(spark, sfDir), stage, "ts", files = 4)
+    }
+    val all = spark.read.format("graft").load(root)
+    // the last file's open range: strictly above the 3rd file's max
+    val cut = all.selectExpr("percentile(cast(ts as double), 0.9)")
+      .head().getDouble(0)
+    val cutTs = new java.sql.Timestamp((cut * 1000).toLong)
+    val late = all.filter(col("ts") > lit(cutTs))
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("ts") > lit(cutTs)).count()
+    assert(late.collect().length == expected && expected > 0)
+    // stat strings round-trip through the timestamp cast: only the
+    // trailing file(s) can hold rows above the 90th percentile
+    assert(scanOf(late).metrics("numFiles").value < 4,
+      scanOf(late).metadata.toString)
+    // string-literal comparison coerces and prunes the same way
+    val none = all.filter(col("ts") < "1990-01-01 00:00:00")
+    none.collect()
+    assert(scanOf(none).metrics("numFiles").value == 0L)
+  }
 }
