@@ -166,7 +166,9 @@ final class GraftDataSource extends RelationProvider
       case None => VersionedTable.currentVersion(spark, root).getOrElse(0L)
     }
     new GraftStreamSource(spark, root, csv(parameters, "keyCols"),
-      cdcOf(parameters), base)
+      cdcOf(parameters), base,
+      parameters.get("maxVersionsPerBatch").map(_.toLong)
+        .getOrElse(Long.MaxValue))
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -274,7 +276,13 @@ final class GraftMorRelation(sqlCtx: SQLContext, root: String,
   * through the column type's interpreted ordering after casting the
   * manifest's string stats back (the same cast `countWhere` plans
   * with); bloom membership recomputes the write side's
-  * `xxhash64(value, j)` bits exactly. */
+  * `xxhash64(value, j)` bits exactly.
+  *
+  * Timestamp caveat (inherited from the manifest format, same as
+  * `countWhere`): TIMESTAMP stats are rendered and re-parsed through
+  * the SESSION time zone, so writers and readers must agree on
+  * `spark.sql.session.timeZone` for timestamp pruning to be exact —
+  * every session this library builds pins UTC. */
 final class ManifestSkipping(
     schema: StructType, zone: String,
     stats: Map[String, VersionedTable.FileStat],

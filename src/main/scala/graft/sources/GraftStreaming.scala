@@ -33,16 +33,39 @@ import graft.lakehouse.VersionedTable
   * committed after the stream starts. `keyCols`: comma-separated key
   * for update_preimage/update_postimage classification. `cdc=false`:
   * drop the `_change_type` column and emit only inserts — the
-  * append-only consumption shape.
+  * append-only consumption shape. `maxVersionsPerBatch=N` paces a
+  * BACKLOG: each micro-batch spans at most N versions past the last
+  * produced one (the `maxFilesPerTrigger` analog — a month of
+  * accumulated commits must not become one giant batch), at the
+  * price of the per-batch net-diff guarantee holding per N-version
+  * window rather than across the whole backlog.
   */
 final class GraftStreamSource(spark: SparkSession, root: String,
-    keyCols: Seq[String], cdc: Boolean, base: Long) extends Source {
+    keyCols: Seq[String], cdc: Boolean, base: Long,
+    maxVersionsPerBatch: Long = Long.MaxValue) extends Source {
 
   override val schema: StructType =
     GraftStreamSource.schemaFor(spark, root, cdc)
 
+  /** Highest version a produced batch ends at — the cap's anchor for
+    * backlog pacing. Recovery-safe: the engine replays the
+    * checkpointed range through [[getBatch]] before polling
+    * [[getOffset]] again, and getBatch advances this watermark, so a
+    * restart never caps below what the checkpoint already covers. */
+  @volatile private var produced: Long = -1L
+
   override def getOffset: Option[Offset] =
-    VersionedTable.currentVersion(spark, root).map(LongOffset(_))
+    VersionedTable.currentVersion(spark, root).map { cur =>
+      val anchor = if (produced >= 0L) produced else base
+      // backlog pacing: never promise more than N versions past the
+      // last produced batch (a month of backlog must not become one
+      // giant micro-batch). anchor < 0 (earliest-backfill first
+      // batch) is inherently one snapshot read — leave it uncapped.
+      val capped =
+        if (maxVersionsPerBatch == Long.MaxValue || anchor < 0L) cur
+        else math.min(cur, anchor + maxVersionsPerBatch)
+      LongOffset(capped)
+    }
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -52,6 +75,7 @@ final class GraftStreamSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = ver(end)
     val from = start.map(ver).getOrElse(base)
+    produced = math.max(produced, to)
     val batch =
       if (from >= to) // no new commits (or a rolled-back head): empty
         VersionedTable.readVersion(spark, root, to).limit(0)

@@ -163,4 +163,29 @@ class GraftStreamSpec extends SparkSpec {
         Seq((99L, "insert")))
     } finally q.stop()
   }
+
+  test("maxVersionsPerBatch paces a backlog across multiple micro-batches") {
+    val root = tmpDir("gstream-pace") + "/t"
+    import spark.implicits._
+    VersionedTable.init(spark, root,
+      Seq((0L, "base")).toDF("id", "s"), keepVersions = 12)
+    for (i <- 1L to 5L) // backlog: versions 2..6 before the stream starts
+      VersionedTable.appendDelta(spark, root, keepVersions = 12) { st =>
+        Seq((i, s"v$i")).toDF("id", "s").write.parquet(st)
+      }
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1") // changes after v1
+      .option("maxVersionsPerBatch", "2")
+      .load(root)
+      .writeStream.format("memory").queryName("gsrc_pace").start()
+    try {
+      q.processAllAvailable()
+      // everything arrived...
+      assert(spark.table("gsrc_pace").collect().map(_.getLong(0)).sorted
+        .toSeq == (1L to 5L))
+      // ...across >= ceil(5/2) = 3 paced batches, not one giant one
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      assert(fed >= 3, s"expected >=3 paced batches, got $fed")
+    } finally q.stop()
+  }
 }
