@@ -403,6 +403,79 @@ object GraftFunctions {
   private[functions] val graftHistoryInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_history")
 
+  /** Table function `graft_files('root')` — the current version's
+    * per-file skipping index as a relation: one row per (file,
+    * stats column) with rows / min / max / null count, plus the
+    * file's deletion-vector count and equality-delete scoping; files
+    * without stats emit one null-column row. Metadata-only (one
+    * manifest read) — the observability surface for "why did this
+    * query prune (or not)". */
+  private[functions] val graftFilesBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_files expects (rootPath)")
+      val spark = SparkSession.active
+      val root = args.head.eval(null).toString
+      import graft.lakehouse.VersionedTable
+      val version = VersionedTable.currentVersion(spark, root)
+        .getOrElse(throw new IllegalStateException(
+          s"$root has no committed version"))
+      val files = VersionedTable.filesAt(spark, root, version)
+      val stats = VersionedTable.manifestStats(spark, root, version)
+      val statOf = stats.map(s => s.file -> s).toMap
+      def bare(ref: String) = ref.drop(ref.indexOf('/') + 1)
+      val dv = VersionedTable.deleteVectors(spark, root, version)
+      val eds = VersionedTable.equalityDeletes(spark, root, version)
+      def edScoped(ref: String): Boolean = {
+        val seq = ref.takeWhile(_ != '/') match {
+          case s if s.startsWith("_v-") => s.drop(3).toLongOption.getOrElse(0L)
+          case s if s.startsWith("v=") => s.drop(2).toLongOption.getOrElse(0L)
+          case _ => 0L
+        }
+        eds.exists(seq <= _.seq)
+      }
+      val rows = files.flatMap { ref =>
+        val s = statOf.get(ref).orElse(statOf.get(bare(ref)))
+        val deleted = dv.get(ref).map(_._2).getOrElse(0L)
+        val cols = s.map(st =>
+          (st.min.keySet ++ st.max.keySet ++ st.nulls.keySet).toSeq.sorted)
+          .getOrElse(Nil)
+        if (cols.isEmpty)
+          Seq(org.apache.spark.sql.Row(ref, s.map(_.rows).map(Long.box).orNull,
+            deleted, edScoped(ref), null, null, null, null))
+        else cols.map { c =>
+          val st = s.get
+          org.apache.spark.sql.Row(ref, Long.box(st.rows), deleted,
+            edScoped(ref), c,
+            st.min.getOrElse(c, None).orNull, st.max.getOrElse(c, None).orNull,
+            st.nulls.get(c).map(Long.box).orNull)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("deleted",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ed_scoped",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("column",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("min",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("max",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nulls",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftFilesInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_files")
+
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */
   def registerTableFunctions(spark: SparkSession): Unit = {
@@ -427,6 +500,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_history"), graftHistoryInfo,
       graftHistoryBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_files"), graftFilesInfo,
+      graftFilesBuilder)
   }
 }
 
@@ -499,6 +575,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_history"),
       GraftFunctions.graftHistoryInfo,
       GraftFunctions.graftHistoryBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_files"),
+      GraftFunctions.graftFilesInfo,
+      GraftFunctions.graftFilesBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -129,6 +129,9 @@ final class GraftDataSource extends RelationProvider
     mode match {
       case SaveMode.Overwrite => create()
       case SaveMode.Append if exists =>
+        GraftDataSource.requireSameSchema(
+          VersionedTable.read(spark, root).schema, data.schema,
+          s"""format("graft") append to $root""")
         VersionedTable.appendDelta(spark, root, keep, statsCols, bloomCols) {
           st => data.write.mode(SaveMode.Overwrite).parquet(st)
         }
@@ -529,6 +532,27 @@ final class ManifestSkipping(
         Some(c(n).startsWith(p))
       case _ => None
     }
+  }
+}
+
+object GraftDataSource {
+  /** Drift guard for APPEND paths: a parquet union resolves columns
+    * by name from a sampled footer, so a batch with renamed/retyped/
+    * extra columns would land silently shadowed or invisible instead
+    * of failing. Appends therefore require the exact column set and
+    * types (case-insensitive names, any order); schema evolution is
+    * an explicit `Maintenance.alignAppend` + full commit. */
+  private[sources] def requireSameSchema(current: StructType,
+      batch: StructType, ctx: String): Unit = {
+    def norm(st: StructType) =
+      st.map(f => f.name.toLowerCase -> f.dataType).toMap
+    require(norm(current) == norm(batch),
+      s"$ctx schema drift: batch columns " +
+        s"(${batch.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .sorted.mkString(", ")}) != table columns " +
+        s"(${current.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .sorted.mkString(", ")}) — evolve explicitly with " +
+        "Maintenance.alignAppend and a full commit")
   }
 }
 

@@ -147,6 +147,9 @@ final class GraftStreamSink(spark: SparkSession, root: String,
       }
       ()
     } else {
+      GraftDataSource.requireSameSchema(
+        VersionedTable.read(spark, root).schema, batch.schema,
+        s"""format("graft") streaming append to $root""")
       VersionedTable.appendDelta(spark, root, keepVersions, statsCols,
         bloomCols) { stage =>
         batch.write.mode(SaveMode.Overwrite).parquet(stage)

@@ -241,4 +241,53 @@ class GraftDataSourceSpec extends SparkSpec {
     none.collect()
     assert(scanOf(none).metrics("numFiles").value == 0L)
   }
+
+  test("append schema-drift guard: renamed/extra/retyped columns fail loudly") {
+    val root = tmpDir("dsrc-drift") + "/t"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graft").mode("overwrite").save(root)
+    // extra column
+    val e1 = intercept[IllegalArgumentException] {
+      Seq((2L, "b", 1)).toDF("id", "s", "extra")
+        .write.format("graft").mode("append").save(root)
+    }
+    assert(e1.getMessage.contains("schema drift"))
+    // retyped column
+    intercept[IllegalArgumentException] {
+      Seq((2, "b")).toDF("id", "s")
+        .write.format("graft").mode("append").save(root)
+    }
+    // same columns in another ORDER are fine (parquet resolves by name)
+    Seq(("c", 3L)).toDF("s", "id")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 2)
+    // nothing from the refused batches landed
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 2L).count() == 0)
+  }
+
+  test("graft_files TVF: the per-file skipping index as a relation") {
+    val root = clusteredTable("dsrc-files")
+    val df = spark.sql(s"SELECT * FROM graft_files('$root')")
+    // 4 files x 2 stats columns
+    assert(df.count() == 8)
+    assert(df.select("file").distinct().count() == 4)
+    val eid = df.filter(col("column") === "event_id")
+    // range-clustered: min/max strings present and disjoint in order
+    val ranges = eid.select("min", "max").collect()
+      .map(r => (r.getString(0).toLong, r.getString(1).toLong)).sortBy(_._1)
+    assert(ranges.length == 4 && ranges.forall { case (lo, hi) => lo <= hi })
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    })
+    assert(df.filter(col("deleted") =!= 0L).isEmpty)
+    // a MoR delete surfaces in the deleted column
+    VersionedTable.deleteWhere(spark, root, col("event_id") % 101 === 0)
+    val after = spark.sql(s"SELECT * FROM graft_files('$root')")
+    assert(after.filter(col("deleted") > 0L).count() > 0)
+    // rows stat still describes the PHYSICAL file
+    assert(after.groupBy("file").agg(first("rows")).collect().nonEmpty)
+  }
 }
