@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LakehouseOps.queries ++ SessionOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ ScaleOps.queries ++
-      Multimodal.queries ++ TypedOps.queries
+      Multimodal.queries ++ TypedOps.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ LakehouseOps.oracleSql ++ SessionOps.oracleSql ++
       TextOps.oracleSql ++ VectorOps.oracleSql ++ ScaleOps.oracleSql ++
-      Multimodal.oracleSql ++ TypedOps.oracleSql
+      Multimodal.oracleSql ++ TypedOps.oracleSql ++ GraphOps.oracleSql
 }

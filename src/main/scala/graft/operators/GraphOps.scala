@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed graph-authority scoring (PageRank, Brin & Page 1998) —
+  * the link-graph quality signal large-crawl curation pipelines use
+  * for URL-level filtering (CommonCrawl-derived corpora rank hosts by
+  * centrality before sampling; the reference's survey data has no web
+  * graph, so q98 scores the bipartite customer↔part co-purchase graph
+  * the same way).
+  *
+  * Scale shape (100 TB of edges):
+  *  - the edge list is hash-partitioned by `src` ONCE and
+  *    `localCheckpoint`ed — `Dataset.localCheckpoint` preserves the
+  *    physical partitioning in the resulting `LogicalRDD`, so every
+  *    iteration's edges⋈ranks join re-shuffles only the V-sized rank
+  *    state, never the E-sized edge list.
+  *  - per iteration: one join (edges ⋈ ranks, co-partitioned big
+  *    side) + one aggregation (contributions by dst, map-side partial
+  *    agg bounds the shuffle at O(V) per partition). No collect — the
+  *    only driver value is the node COUNT.
+  *  - rank state is `localCheckpoint`ed per round: the loop re-reads
+  *    flat (node, rank, deg) rows, and the logical plan stays
+  *    constant-size instead of growing by two joins per iteration
+  *    (the q66 lineage lesson).
+  *  - float determinism: contributions accumulate through an exact
+  *    DECIMAL(38,18) sum (order-independent; a plain `sum(double)`
+  *    varies with partition merge order), and everything else is
+  *    scalar IEEE arithmetic on identical inputs — so the iterates
+  *    are bit-identical across runs, layouts, AND engines (the DuckDB
+  *    oracle unrolls the same recurrence over the same decimal sums).
+  */
+object GraphOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Decimal contribution accumulator: per-term rounding error ≤5e-19
+    * against rank masses ~1/V — far below any reported digit. (Not
+    * [[graft.util.Exact.Dec]]: scale 6 is price-grained; rank
+    * contributions need the full 18.) */
+  private val DecR = org.apache.spark.sql.types.DecimalType(38, 18)
+
+  /** Damped PageRank over a directed edge list `(src, dst)`.
+    *
+    * Node set = nodes with at least one OUT-edge (for an undirected
+    * graph fed as both directions — the q98 shape — that is every
+    * node, and total rank mass is conserved). Fixed `iters` rounds of
+    *   r'(v) = (1−d)/N + d · Σ_{u→v} r(u)/outdeg(u)
+    * — fixed-round, not convergence-tested, so the result is a pure
+    * function of the graph and the oracle can unroll it. Returns
+    * (node, rank). */
+  def pagerank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    // E-sized side partitioned by the join key once, lineage cut; every
+    // iteration reuses this layout and shuffles only the rank state
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val n = deg.count() // scalar to the driver — the model, not the data
+    require(n > 0, "pagerank on an empty edge list")
+    val base = lit((1.0 - damping) / n)
+    var ranks = deg
+      .select(col("node"), lit(1.0 / n).as("rank"), col("deg"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c").cast(DecR)).cast("double").as("in"))
+      ranks = deg
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (base + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"),
+          col("deg"))
+        .localCheckpoint(true)
+    }
+    ranks.select("node", "rank")
+  }
+
+  /** q98: co-purchase authority — PageRank over the bipartite
+    * customer↔part graph (distinct orders⋈lineitem pairs, both
+    * directions; node ids disambiguated as 2·custkey / 2·partkey+1).
+    * Top 25 by rounded rank, node tiebreak, so the cutoff is
+    * deterministic in both engines. */
+  private val q98: QFn = (s, d) => {
+    val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    pagerank(e0.union(e0.select(col("dst"), col("src"))), iters = 5)
+      .select(col("node").as("node_id"), round(col("rank"), 9).as("pr"))
+      .orderBy(col("pr").desc, col("node_id"))
+      .limit(25)
+  }
+
+  /** The same recurrence unrolled: DuckDB has no aggregation in
+    * recursive CTEs, and a fixed-round recurrence is strictly more
+    * oracle-friendly anyway — same decimal-exact contribution sums,
+    * same IEEE scalar ops, so the hash must match bit-for-bit. */
+  private val q98Sql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT deg.node,
+         |    (1.0 - 0.85)/(SELECT cnt FROM n) + 0.85*COALESCE(s.c, 0.0) AS r
+         |  FROM deg LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(CAST(rp.r / dd.d AS DECIMAL(38,18))) AS DOUBLE) AS c
+         |    FROM edges e
+         |    JOIN r${i - 1} rp ON rp.node = e.src
+         |    JOIN deg dd ON dd.node = e.src
+         |    GROUP BY e.dst) s ON s.node = deg.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |e0 AS (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_partkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM deg),
+       |r0 AS (SELECT node, 1.0/(SELECT cnt FROM n) AS r FROM deg),
+       |$steps
+       |SELECT node AS node_id, ROUND(r, 9) AS pr FROM r5
+       |ORDER BY pr DESC, node_id LIMIT 25""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map("q98_pagerank" -> q98)
+  val oracleSql: Map[String, String] = Map("q98_pagerank" -> q98Sql)
+}

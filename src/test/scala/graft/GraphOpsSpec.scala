@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala reference of the same fixed-round recurrence
+    * (driver-side, exact BigDecimal contribution sums) — an
+    * independent implementation the distributed one must match. */
+  private def refPagerank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val out = edges.groupBy(_._1)
+    val nodes = out.keySet
+    val n = nodes.size
+    var r = nodes.map(v => v -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.filter(e => nodes.contains(e._2))
+        .groupBy(_._2)
+        .map { case (v, es) =>
+          v -> es.map { case (u, _) =>
+            BigDecimal(r(u) / out(u).size).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+          }.sum.toDouble
+        }
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pagerank matches an independent driver-side recurrence") {
+    // undirected path a-b-c plus a d-e pair: mixed degrees, two components
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+    val got = GraphOps.pagerank(es.toDF("src", "dst"), iters = 4)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    val want = refPagerank(es, iters = 4)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12,
+      s"node $v: $r vs ${want(v)}") }
+  }
+
+  test("pagerank conserves rank mass on an undirected graph") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 6L))
+    val both = e0 ++ e0.map(_.swap)
+    val total = GraphOps.pagerank(both.toDF("src", "dst"), iters = 6)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+    // higher-degree nodes outrank leaves
+    val r = GraphOps.pagerank(both.toDF("src", "dst"), iters = 6)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r(1L) > r(4L) && r(2L) > r(4L))
+  }
+
+  test("q98 emits a deterministic top-25 of bipartite authorities") {
+    val out = GraphOps.queries("q98_pagerank")(spark, sfDir).collect()
+    assert(out.length == 25)
+    assert(out.map(_.getLong(0)).distinct.length == 25)
+    // ranks are positive and sorted under the declared ordering
+    val prs = out.map(_.getDouble(1))
+    assert(prs.forall(_ > 0))
+    assert(prs.sameElements(prs.sortBy(-_)))
+    // bipartite ids decode to real keys: odd = part, even = customer
+    assert(out.map(_.getLong(0)).forall(_ >= 0))
+  }
+}
