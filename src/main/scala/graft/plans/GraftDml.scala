@@ -452,3 +452,65 @@ case class GraftInsertCommand(root: String, query: LogicalPlan,
     Nil
   }
 }
+
+/** `CREATE TABLE graft.`root` AS SELECT …` — DDL entry into the
+  * versioned-table protocol from pure SQL. `CREATE OR REPLACE`
+  * overwrites (a new version — the old one stays time-travelable
+  * within retention); `IF NOT EXISTS` no-ops against an existing
+  * table WITHOUT evaluating the query. Data-skipping index columns
+  * come from TBLPROPERTIES (`'graft.statsCols'='a,b'`,
+  * `'graft.bloomCols'='id'`); a REPLACE with no properties carries
+  * the previous version's index columns forward, same as DML. */
+case class GraftCtasCommand(root: String, query: LogicalPlan,
+    ifNotExists: Boolean, replace: Boolean, orCreate: Boolean,
+    statsCols: Seq[String], bloomCols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = VersionedTable.currentVersion(spark, root).nonEmpty
+    if (exists && ifNotExists) return Nil
+    if (exists && !replace) GraftDml.fail(
+      s"graft table $root already exists — use CREATE OR REPLACE TABLE " +
+        "or IF NOT EXISTS")
+    if (!exists && replace && !orCreate) GraftDml.fail(
+      s"REPLACE TABLE: no committed graft table at $root — " +
+        "use CREATE OR REPLACE TABLE")
+    val df = Bridge.ofRows(spark, query)
+    val (carriedStats, carriedBlooms) = GraftDml.carriedIndex(spark, root)
+    val stats = if (statsCols.nonEmpty) statsCols else carriedStats
+    val blooms = if (bloomCols.nonEmpty) bloomCols else carriedBlooms
+    VersionedTable.commit(spark, root, GraftDml.keepVersions(spark),
+      stats, blooms) { stage =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    }
+    Nil
+  }
+}
+
+/** Plain `CREATE TABLE graft.`root` (schema)` — an EMPTY committed
+  * version 0 whose single schema-bearing parquet file makes the table
+  * immediately readable (and INSERT-able / streamable) by every graft
+  * consumer. */
+case class GraftCreateTableCommand(root: String,
+    tableSchema: GraftDml.Raw[org.apache.spark.sql.types.StructType],
+    ifNotExists: Boolean, statsCols: Seq[String], bloomCols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (VersionedTable.currentVersion(spark, root).nonEmpty) {
+      if (ifNotExists) return Nil
+      GraftDml.fail(s"graft table $root already exists")
+    }
+    // one EMPTY part file, not zero: a fileless dir has no schema to
+    // infer, which would break every later read of version 0
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], tableSchema.value).repartition(1)
+    VersionedTable.commit(spark, root, GraftDml.keepVersions(spark),
+      statsCols, bloomCols) { stage =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    }
+    Nil
+  }
+}

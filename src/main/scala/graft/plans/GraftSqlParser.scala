@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRel
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, PredicateHelper}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.{CreateTable, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UpdateTable}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** SQL syntax extension: `ASOF JOIN`.
@@ -89,7 +90,46 @@ class GraftSqlParser(delegate: ParserInterface)
         GraftDml.fail("INSERT with a column list is not supported on " +
           "graft tables — use INSERT INTO ... BY NAME")
       GraftInsertCommand(root, query, overwrite, byName)
+    // DDL: CTAS / CREATE OR REPLACE … AS SELECT / plain CREATE TABLE
+    case CreateTableAsSelect(UnresolvedIdentifier(Seq(g, path), _), parts,
+        query, spec, _, ifNotExists, _) if g.equalsIgnoreCase("graft") =>
+      requireUnpartitioned(parts)
+      val (st, bl) = indexProps(spec)
+      GraftCtasCommand(path, query, ifNotExists, replace = false,
+        orCreate = false, st, bl)
+    case ReplaceTableAsSelect(UnresolvedIdentifier(Seq(g, path), _), parts,
+        query, spec, _, orCreate, _) if g.equalsIgnoreCase("graft") =>
+      requireUnpartitioned(parts)
+      val (st, bl) = indexProps(spec)
+      GraftCtasCommand(path, query, ifNotExists = false, replace = true,
+        orCreate, st, bl)
+    case CreateTable(UnresolvedIdentifier(Seq(g, path), _), cols, parts,
+        spec, ifNotExists) if g.equalsIgnoreCase("graft") =>
+      requireUnpartitioned(parts)
+      val (st, bl) = indexProps(spec)
+      GraftCreateTableCommand(path,
+        GraftDml.Raw(StructType(cols.map(_.toV1Column))), ifNotExists, st, bl)
     case p => p
+  }
+
+  private def requireUnpartitioned(
+      parts: Seq[org.apache.spark.sql.connector.expressions.Transform]): Unit =
+    if (parts.nonEmpty) GraftDml.fail(
+      "PARTITIONED BY is not supported on graft tables — cluster inside " +
+        "the query (Bucketing.*) and index via TBLPROPERTIES " +
+        "('graft.statsCols'/'graft.bloomCols') instead")
+
+  /** Data-skipping index columns from literal TBLPROPERTIES. */
+  private def indexProps(spec: TableSpecBase): (Seq[String], Seq[String]) = {
+    val props = spec match {
+      case u: UnresolvedTableSpec => u.properties
+      case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+        t.properties
+      case _ => Map.empty[String, String]
+    }
+    def csv(k: String): Seq[String] = props.getOrElse(k, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    (csv("graft.statsCols"), csv("graft.bloomCols"))
   }
 
   /** Read-position `graft.<root>` names resolve AT PARSE TIME to the

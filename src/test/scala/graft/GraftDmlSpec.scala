@@ -305,4 +305,83 @@ class GraftDmlSpec extends SparkSpec {
     assert(VersionedTable.currentVersion(spark, dst).contains(1L))
     assert(VersionedTable.read(spark, dst).count() == 2)
   }
+
+  test("CTAS creates a committed graft table from pure SQL") {
+    val root = tmpDir("ctas") + "/t"
+    spark.sql(s"""CREATE TABLE graft.`$root` AS
+      SELECT id AS k, id * 10 AS v FROM range(5)""")
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(spark.sql(s"SELECT sum(v) FROM graft.`$root`").head.getLong(0)
+      == 100L)
+    // second CREATE refuses; IF NOT EXISTS no-ops without a new version
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$root` AS SELECT 1 AS x")
+    }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$root` AS SELECT 1 AS x")
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("CREATE OR REPLACE commits a new version; the old one time-travels") {
+    val root = tmpDir("ctasrep") + "/t"
+    spark.conf.set("spark.graft.dml.keepVersions", "3")
+    try {
+      spark.sql(s"CREATE TABLE graft.`$root` AS SELECT id FROM range(3)")
+      // plain REPLACE of a MISSING table still fails
+      intercept[Exception] {
+        spark.sql(s"REPLACE TABLE graft.`${root}_nope` AS SELECT 1 AS x")
+      }
+      spark.sql(
+        s"CREATE OR REPLACE TABLE graft.`$root` AS SELECT id FROM range(7)")
+      assert(VersionedTable.read(spark, root).count() == 7)
+      assert(VersionedTable.readVersion(spark, root, 1L).count() == 3)
+    } finally spark.conf.unset("spark.graft.dml.keepVersions")
+  }
+
+  test("CTAS TBLPROPERTIES wire the data-skipping index; REPLACE carries it") {
+    val root = tmpDir("ctasidx") + "/t"
+    spark.sql(s"""CREATE TABLE graft.`$root`
+      TBLPROPERTIES ('graft.statsCols' = 'k', 'graft.bloomCols' = 'k')
+      AS SELECT id AS k, id * 2 AS v FROM range(10)""")
+    val v1 = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.manifestStats(spark, root, v1)
+      .exists(_.min.contains("k")))
+    assert(VersionedTable.manifestBlooms(spark, root, v1)
+      .keys.exists(_._2 == "k"))
+    // REPLACE with no properties: index columns carry forward
+    spark.sql(
+      s"CREATE OR REPLACE TABLE graft.`$root` AS SELECT id AS k FROM range(4)")
+    val v2 = VersionedTable.currentVersion(spark, root).get
+    assert(v2 > v1)
+    assert(VersionedTable.manifestStats(spark, root, v2)
+      .exists(_.min.contains("k")))
+  }
+
+  test("plain CREATE TABLE commits an empty readable version; INSERT fills it") {
+    val root = tmpDir("ctempty") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (k BIGINT, s STRING)")
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 0)
+    assert(VersionedTable.read(spark, root).schema.map(_.name)
+      == Seq("k", "s"))
+    spark.sql(s"INSERT INTO graft.`$root` SELECT id, 'x' FROM range(3)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`").head.getLong(0)
+      == 3L)
+    // IF NOT EXISTS no-ops; a second bare CREATE refuses
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$root` (z INT)")
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("k", "s"))
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$root` (z INT)")
+    }
+  }
+
+  test("CTAS reads graft sources: table-to-table derivation in one statement") {
+    val src = tmpDir("ctassrc") + "/t"
+    val dst = tmpDir("ctasdst") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$src` AS SELECT id, id % 2 AS g FROM range(10)")
+    spark.sql(s"""CREATE TABLE graft.`$dst` AS
+      SELECT g, count(*) AS n FROM graft.`$src` GROUP BY g""")
+    assert(spark.sql(s"SELECT sum(n) FROM graft.`$dst`").head.getLong(0)
+      == 10L)
+  }
 }
