@@ -34,7 +34,7 @@ object Bench {
     "q88_funnel", "q89_cohort_retention", "q90_source_overlap",
     "q91_ann_pq_search", "q92_semantic_mix", "q93_ann_filtered",
     "q94_unigram_surprisal", "q95_gaps_islands", "q96_topk_per_group",
-    "q97_reorder_rate", "q98_pagerank")
+    "q97_reorder_rate", "q98_pagerank", "q99_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -62,10 +62,8 @@ object GraphOps {
     val n = deg.count() // scalar to the driver — the model, not the data
     require(n > 0, "pagerank on an empty edge list")
     val base = lit((1.0 - damping) / n)
-    var ranks = deg
-      .select(col("node"), lit(1.0 / n).as("rank"), col("deg"))
-      .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"), col("deg"))
+    (1 to iters).foreach { i =>
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
@@ -76,7 +74,12 @@ object GraphOps {
         .select(col("node"),
           (base + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"),
           col("deg"))
-        .localCheckpoint(true)
+      // each round references the previous ONCE, so the plan grows
+      // linearly — an eager per-round cut would cost a full job per
+      // iteration in driver round-trips. Cut the lineage every 4
+      // rounds instead: depth stays bounded for long runs while a
+      // typical 5-20 round PageRank executes as a handful of jobs.
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select("node", "rank")
   }

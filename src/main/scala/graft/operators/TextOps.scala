@@ -1025,6 +1025,64 @@ object TextOps {
       |FROM tf JOIN vocab USING (term)
       |GROUP BY doc_id""".stripMargin
 
+  /** q99: TEMPERATURE-weighted source mixing — the α-smoothed
+    * sampling standard multilingual/multi-source LLM corpora use
+    * (XLM-R / mT5, α≈0.3): source i gets share p_i = n_i^α / Σ n_j^α
+    * of a target budget (half the corpus here), flattening the head
+    * sources and boosting the tail — q68's equal-share planner is the
+    * α→0 limit, proportional sampling the α→1 limit. Rates clamp at 1
+    * (a boosted tail source cannot be sampled above itself; the
+    * residual shortfall is a second-pass epoch-repeat decision, not
+    * this operator's). Same scale shape as q68: two map-side-partial
+    * aggregates over K sources, broadcast rate join, map-side
+    * deterministic md5-threshold filter — nothing data-sized moves.
+    * Cross-engine determinism: n^α goes through libm pow, so it is
+    * rounded to 6 dp (the q59 ln lesson) and the K-term weight sum
+    * runs through the exact decimal accumulator; after that the rate
+    * is one fixed IEEE expression on identical inputs in both
+    * engines, so the 16-bit thresholds — and the sample — match
+    * exactly. */
+  private val q99: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    val perSrc = toks.groupBy("source")
+      .agg(sum(col("n_tokens")).as("n"))
+      .withColumn("w", round(pow(col("n").cast("double"), lit(0.3)), 6))
+    val totals = perSrc.agg(sum(col("n")).as("total"),
+      sum(col("w").cast(graft.util.Exact.Dec)).cast("double").as("wsum"))
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        lit(0.5) * col("total") * col("w") / col("wsum") / col("n")))
+      .select(col("source"), col("rate"))
+    toks.join(broadcast(rates), "source")
+      .filter(keepByRate(col("doc_id"), col("rate")))
+      .select("doc_id", "source", "n_tokens")
+  }
+  private val q99Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |ps AS (
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n,
+      |    ROUND(POW(CAST(SUM(n_tokens) AS DOUBLE), 0.3), 6) AS w
+      |  FROM toks GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |    CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wsum
+      |  FROM ps),
+      |rates AS (
+      |  SELECT source,
+      |    LEAST(1.0, 0.5 * total * w / wsum / n) AS rate
+      |  FROM ps, tot)
+      |SELECT t.doc_id, t.source, t.n_tokens
+      |FROM toks t JOIN rates r USING (source)
+      |WHERE r.rate >= 1.0 OR
+      |  substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+      |    printf('%04x', CAST(FLOOR(r.rate * 65536) AS BIGINT))""".stripMargin
+
   /** PII redaction patterns, applied in order. Order is load-bearing:
     * email first (its local part can contain digit runs), SSN before
     * phone (both are dash-separated digit shapes, and xxx-xx-xxxx
@@ -1138,7 +1196,8 @@ object TextOps {
     "q82_dup_spans" -> q82,
     "q83_token_rarity" -> q83,
     "q84_compress_ratio" -> q84,
-    "q94_unigram_surprisal" -> q94)
+    "q94_unigram_surprisal" -> q94,
+    "q99_temperature_mix" -> q99)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1165,5 +1224,6 @@ object TextOps {
     "q80_normalize" -> q80Sql,
     "q82_dup_spans" -> q82Sql,
     "q83_token_rarity" -> q83Sql,
-    "q94_unigram_surprisal" -> q94Sql)
+    "q94_unigram_surprisal" -> q94Sql,
+    "q99_temperature_mix" -> q99Sql)
 }

@@ -29,14 +29,18 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("pagerank matches an independent driver-side recurrence") {
-    // undirected path a-b-c plus a d-e pair: mixed degrees, two components
+    // undirected path a-b-c plus a d-e pair: mixed degrees, two
+    // components; 9 rounds cross the every-4 lineage cut twice, so the
+    // checkpointed and un-checkpointed segments must agree bit-wise
     val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
-    val got = GraphOps.pagerank(es.toDF("src", "dst"), iters = 4)
-      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
-    val want = refPagerank(es, iters = 4)
-    assert(got.keySet == want.keySet)
-    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12,
-      s"node $v: $r vs ${want(v)}") }
+    Seq(4, 9).foreach { iters =>
+      val got = GraphOps.pagerank(es.toDF("src", "dst"), iters)
+        .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      val want = refPagerank(es, iters)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12,
+        s"node $v @ $iters iters: $r vs ${want(v)}") }
+    }
   }
 
   test("pagerank conserves rank mass on an undirected graph") {

@@ -1391,4 +1391,27 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
     }
   }
+
+  test("q99: temperature mixing is deterministic and boosts the tail sources") {
+    import org.apache.spark.sql.functions._
+    val a = graft.operators.TextOps.queries("q99_temperature_mix")(spark, sfDir)
+    val b = graft.operators.TextOps.queries("q99_temperature_mix")(spark, sfDir)
+    val ra = a.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ra == b.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(ra.nonEmpty && ra.distinct.size == ra.size)
+    // alpha = 0.3 flattens: the sampled share of the LARGEST source is
+    // below its corpus share (head suppressed), relative to tokens
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(trim(col("text")), "\\s+"))
+        .cast("long").as("n"))
+    val corpus = toks.groupBy("source").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy("source").agg(sum("n_tokens").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top = corpus.maxBy(_._2)._1
+    val corpusShare = corpus(top).toDouble / corpus.values.sum
+    val sampleShare = sampled.getOrElse(top, 0L).toDouble / sampled.values.sum
+    assert(sampleShare < corpusShare,
+      s"head source $top: sample share $sampleShare !< corpus $corpusShare")
+  }
 }
