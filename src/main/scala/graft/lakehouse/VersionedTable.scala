@@ -2,7 +2,8 @@ package graft.lakehouse
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_extract, when}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Crash-safe table commits without a table format: versioned data
   * directories + single-object commit manifests.
@@ -338,7 +339,8 @@ object VersionedTable {
       bloomCols: Seq[String] = Nil, bloomBits: Int = 8192,
       bloomHashes: Int = 4, statsFrom: Option[Long] = None,
       dv: Seq[(String, String, Long)] = Nil,
-      edOverride: Option[Seq[EqDelete]] = None)
+      edOverride: Option[Seq[EqDelete]] = None,
+      schemaOverride: Option[(StructType, Seq[String])] = None)
       (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
@@ -454,8 +456,16 @@ object VersionedTable {
         s"${e.keyCols.mkString(",")}\t${e.count}")
       .sorted.mkString("\n")
     val fLines = all.map(r => s"f\t${esc(r)}").sorted.mkString("\n")
-    val payload = Seq(statsPayload, bloomPayload, dvLines, edLines, fLines)
-      .filter(_.nonEmpty).mkString("\n")
+    // logical-schema line: an explicit override (ALTER) wins; else a
+    // delta commit CARRIES the previous declaration — its files are
+    // carried too, so the mapping they need must survive with them
+    val hLine = schemaOverride
+      .orElse(statsFrom.orElse(base)
+        .flatMap(v => manifestSchemaLine(spark, root, v)))
+      .map { case (s, dropped) => schemaLine(s, dropped) }
+      .getOrElse("")
+    val payload = Seq(hLine, statsPayload, bloomPayload, dvLines, edLines,
+      fLines).filter(_.nonEmpty).mkString("\n")
     publishManifest(fs, root, next, payload)
     prune(fs, root, next - math.max(1, keepVersions))
     next
@@ -535,9 +545,14 @@ object VersionedTable {
     * neither takes the plain-scan fast path. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     if (deleteVectors(spark, root, version).isEmpty &&
-        equalityDeletes(spark, root, version).isEmpty)
-      rawReadVersion(spark, root, version)
-    else scanWithRefs(spark, root, version).drop(DvFileCol, DvPosCol)
+        equalityDeletes(spark, root, version).isEmpty) {
+      val base = rawReadVersion(spark, root, version)
+      manifestSchema(spark, root, version) match {
+        case Some(s) => projectLogical(base, s)
+        case None => base
+      }
+    } else // scanWithRefs projects to the logical schema itself
+      scanWithRefs(spark, root, version).drop(DvFileCol, DvPosCol)
 
   /** The physical scan of a version — deleted-but-not-purged rows
     * INCLUDED. The input of every DV-aware consumer.
@@ -550,10 +565,18 @@ object VersionedTable {
     * the streaming source, mirrors). Widen `keepVersions` to cover
     * the longest reader/consumer lag instead. */
   private def rawReadVersion(spark: SparkSession, root: String,
-      version: Long): DataFrame =
+      version: Long): DataFrame = {
+    // an evolved table's file set is schema-MIXED (files predating an
+    // ADD/RENAME lack the new physical column), so the scan must read
+    // under the explicit physical union schema — footer-inferred
+    // schemas would make the scan depend on WHICH file Spark sampled
+    val rd = manifestSchema(spark, root, version) match {
+      case Some(s) => spark.read.schema(physicalReadSchema(s))
+      case None => spark.read
+    }
     filesOf(spark, root, version) match {
       case Some(files) =>
-        spark.read.parquet(files.map(f => s"$root/$f"): _*)
+        rd.parquet(files.map(f => s"$root/$f"): _*)
       case None =>
         val fs = fsOf(spark, root)
         if (fs.exists(commitsDir(root)) &&
@@ -561,8 +584,9 @@ object VersionedTable {
           throw new IllegalStateException(
             s"version $version of $root is not retained (its manifest " +
               "was pruned) — widen keepVersions to cover this reader")
-        spark.read.parquet(dataDirOf(fs, root, version))
+        rd.parquet(dataDirOf(fs, root, version))
     }
+  }
 
   // ---- merge-on-read deletion vectors ------------------------------
   //
@@ -726,7 +750,16 @@ object VersionedTable {
       .withColumn(DvPosCol, col("_metadata.row_index"))
     val dvd = dvRowsDf(spark, root, deleteVectors(spark, root, version))
       .fold(keyed)(antiDv(keyed, _))
-    antiEd(dvd, spark, root, equalityDeletes(spark, root, version))
+    val scanned = antiEd(dvd, spark, root,
+      equalityDeletes(spark, root, version))
+    // evolved tables: consumers filter/pick on LOGICAL names (a MoR
+    // DELETE's predicate must see a renamed column's pre-rename
+    // values), so project here — keeping the hidden DV key columns
+    manifestSchema(spark, root, version) match {
+      case Some(s) =>
+        projectLogical(scanned, s, extra = Seq(DvFileCol, DvPosCol))
+      case None => scanned
+    }
   }
 
   private[graft] def scanWithRefs(spark: SparkSession,
@@ -742,15 +775,25 @@ object VersionedTable {
       version: Long, absFiles: Seq[String]): DataFrame = {
     val dv = deleteVectors(spark, root, version)
     val eds = equalityDeletes(spark, root, version)
-    val raw = spark.read.parquet(absFiles: _*)
-    if (dv.isEmpty && eds.isEmpty) raw
-    else {
-      val keyed = raw
-        .withColumn(DvFileCol,
-          regexp_extract(col("_metadata.file_path"), FileRefRe, 1))
-        .withColumn(DvPosCol, col("_metadata.row_index"))
-      val dvd = dvRowsDf(spark, root, dv).fold(keyed)(antiDv(keyed, _))
-      antiEd(dvd, spark, root, eds).drop(DvFileCol, DvPosCol)
+    val sch = manifestSchema(spark, root, version)
+    val raw = sch match {
+      case Some(s) => spark.read.schema(physicalReadSchema(s))
+        .parquet(absFiles: _*)
+      case None => spark.read.parquet(absFiles: _*)
+    }
+    val visible =
+      if (dv.isEmpty && eds.isEmpty) raw
+      else {
+        val keyed = raw
+          .withColumn(DvFileCol,
+            regexp_extract(col("_metadata.file_path"), FileRefRe, 1))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+        val dvd = dvRowsDf(spark, root, dv).fold(keyed)(antiDv(keyed, _))
+        antiEd(dvd, spark, root, eds).drop(DvFileCol, DvPosCol)
+      }
+    sch match {
+      case Some(s) => projectLogical(visible, s)
+      case None => visible
     }
   }
 
@@ -1585,8 +1628,20 @@ object VersionedTable {
     * change volume, not the table size. */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
       keyCols: Seq[String] = Nil): DataFrame = {
-    val from = readVersion(spark, root, fromV)
+    val from0 = readVersion(spark, root, fromV)
     val to = readVersion(spark, root, toV)
+    // an ALTER between the versions makes the schemas differ; diff
+    // under the TO version's logical schema (renames resolved through
+    // their recorded pre-names, adds null-backfilled, widens cast) so
+    // a metadata-only ALTER commit is an EMPTY change batch instead
+    // of an analysis error mid-stream
+    val from =
+      if (from0.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          to.schema.fields.map(f => (f.name, f.dataType)).toSeq) from0
+      else {
+        val logical = manifestSchema(spark, root, toV).getOrElse(to.schema)
+        alignToLogical(from0, logical)
+      }
     val added = to.exceptAll(from)
     val removed = from.exceptAll(to)
     if (keyCols.isEmpty)
@@ -1764,6 +1819,228 @@ object VersionedTable {
       batchId: Long): Unit =
     fsOf(spark, stageDir)
       .create(new Path(stageDir, s"_batch-$batchId"), true).close()
+
+  // ---- schema evolution (metadata-only ALTER) ----------------------
+  //
+  // The table's LOGICAL schema can diverge from the parquet files'
+  // physical one: ADD / DROP / RENAME COLUMN (and a safe type widen)
+  // are each ONE manifest PUT that carries every data file by
+  // reference — at 100 TB the difference between an instant DDL and a
+  // full-table rewrite. The manifest gains a schema line
+  // (`h \t <StructType json> \t <dropped physical names…>`); legacy
+  // readers ignore it (every parser here keys on its own line tag).
+  //
+  // Read model: files are scanned under the PHYSICAL UNION schema
+  // (logical fields plus each field's pre-rename names, absent
+  // columns nulled by the parquet reader), then projected to the
+  // logical schema — a renamed field reads
+  // `coalesce(newName, oldName…)`, which is correct for ANY mix of
+  // pre- and post-rename files because each file has exactly one of
+  // the names. Pre-rename names ride in the field metadata
+  // (`graft.prev`, newest write name first is the field name itself);
+  // physical names of DROPPED fields are tombstoned on the h-line so
+  // a later ADD cannot recycle a name whose stale bytes still exist
+  // in carried files. Writers (INSERT / MERGE / compaction / CoW
+  // rewrites) align to the logical schema, so every REWRITTEN file
+  // converges to logical = physical; a FULL rewrite commit drops the
+  // h-line entirely and the table self-heals to a plain one.
+
+  /** Field-metadata key holding a column's pre-rename physical names. */
+  private val PrevKey = "graft.prev"
+
+  private def prevNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PrevKey))
+      f.metadata.getStringArray(PrevKey).toSeq
+    else Nil
+
+  /** The logical schema a version's manifest declares (plus dropped-
+    * name tombstones), if the table has been ALTERed. */
+  def manifestSchema(spark: SparkSession, root: String,
+      version: Long): Option[StructType] =
+    manifestSchemaLine(spark, root, version).map(_._1)
+
+  /** Physical names no longer reachable from the logical schema —
+    * refused for re-ADD/RENAME targets (stale bytes survive in
+    * carried files). */
+  def droppedNames(spark: SparkSession, root: String,
+      version: Long): Seq[String] =
+    manifestSchemaLine(spark, root, version).map(_._2).getOrElse(Nil)
+
+  private def manifestSchemaLine(spark: SparkSession, root: String,
+      version: Long): Option[(StructType, Seq[String])] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(commitsDir(root), version.toString)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split("\n").find(_.startsWith("h\t")).map { l =>
+      val parts = l.split("\t", -1)
+      (DataType.fromJson(unesc(parts(1))).asInstanceOf[StructType],
+        parts.drop(2).map(unesc).toSeq)
+    }
+  }
+
+  private def schemaLine(s: StructType, dropped: Seq[String]): String =
+    (Seq("h", esc(s.json)) ++ dropped.map(esc)).mkString("\t")
+
+  /** The union scan schema: every logical field at its logical type,
+    * plus each field's pre-rename physical names (same type — renames
+    * never retype). Files lacking a column null it (standard parquet
+    * behavior under an explicit read schema). */
+  private[graft] def physicalReadSchema(s: StructType): StructType = {
+    val extra = s.fields.flatMap(f =>
+      prevNames(f).filterNot(p => s.fieldNames.contains(p))
+        .map(p => org.apache.spark.sql.types.StructField(p, f.dataType)))
+    StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType,
+        f.nullable)) ++ extra)
+  }
+
+  /** Project a physical-union scan to the logical schema: renamed
+    * fields coalesce newest-name-first (each file carries exactly one
+    * of the names). `extra` appends hidden passthrough columns (the
+    * MoR DV keys). */
+  private def projectLogical(df: DataFrame, s: StructType,
+      extra: Seq[String] = Nil): DataFrame = {
+    val cols = s.fields.toSeq.map { f =>
+      val sources = f.name +: prevNames(f)
+      val c =
+        if (sources.size == 1) col(s"`${f.name}`")
+        else coalesce(sources.map(n => col(s"`$n`")): _*)
+      c.as(f.name)
+    } ++ extra.map(col)
+    df.select(cols: _*)
+  }
+
+  /** The current logical schema: the manifest's declared one, or the
+    * physical schema for never-ALTERed tables (metadata stripped so
+    * ALTER starts from a clean slate). */
+  private def logicalSchemaOf(spark: SparkSession, root: String,
+      version: Long): (StructType, Seq[String]) =
+    manifestSchemaLine(spark, root, version).getOrElse {
+      val phys = rawReadVersion(spark, root, version).schema
+      (StructType(phys.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          f.nullable))), Nil)
+    }
+
+  /** Metadata-only schema change: ONE delta commit carrying every
+    * current file by reference, whose manifest declares the new
+    * logical schema. `xform` receives (current logical schema,
+    * tombstoned names) and returns the new pair. */
+  def alterSchema(spark: SparkSession, root: String, keepVersions: Int = 1)
+      (xform: (StructType, Seq[String]) => (StructType, Seq[String])): Long = {
+    val v = currentVersion(spark, root).getOrElse(throw
+      new IllegalStateException(s"$root has no committed version to ALTER"))
+    val (cur, dropped) = logicalSchemaOf(spark, root, v)
+    val (next, nextDropped) = xform(cur, dropped)
+    commitDelta(spark, root, currentFiles(spark, root), keepVersions,
+      schemaOverride = Some((next, nextDropped)))(_ => ())
+  }
+
+  private def allNamesInUse(s: StructType, dropped: Seq[String]): Set[String] =
+    (s.fields.flatMap(f => f.name +: prevNames(f)) ++ dropped)
+      .map(_.toLowerCase).toSet
+
+  /** ALTER TABLE … ADD COLUMN: appears as NULL in every existing row,
+    * writable from the next INSERT on. Refuses any name ever used
+    * physically (live, pre-rename, or dropped) — stale bytes in
+    * carried files must not resurface under a recycled name. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      dataType: DataType, keepVersions: Int = 1): Long =
+    alterSchema(spark, root, keepVersions) { (s, dropped) =>
+      require(!allNamesInUse(s, dropped).contains(name.toLowerCase),
+        s"column name `$name` is already in use (live, pre-rename, or " +
+          "dropped) on $root — pick a fresh name")
+      (StructType(s.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType)), dropped)
+    }
+
+  /** ALTER TABLE … DROP COLUMN: metadata-only; the bytes stay in the
+    * files (unread) until rewrites purge them. The column's physical
+    * names are tombstoned against recycling. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+      keepVersions: Int = 1): Long =
+    alterSchema(spark, root, keepVersions) { (s, dropped) =>
+      val f = s.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        GraftSchemaError(s"no column `$name` on $root"))
+      require(s.fields.length > 1, s"cannot drop the only column of $root")
+      (StructType(s.fields.filterNot(_ eq f)),
+        (dropped ++ (f.name +: prevNames(f))).distinct)
+    }
+
+  /** ALTER TABLE … RENAME COLUMN: metadata-only; old files keep the
+    * bytes under the old name, and reads coalesce newest-first. New
+    * writes use the new name. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String, keepVersions: Int = 1): Long =
+    alterSchema(spark, root, keepVersions) { (s, dropped) =>
+      val f = s.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        GraftSchemaError(s"no column `$from` on $root"))
+      require(!allNamesInUse(s, dropped).contains(to.toLowerCase),
+        s"rename target `$to` is already in use (live, pre-rename, or " +
+          s"dropped) on $root")
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putStringArray(PrevKey, (f.name +: prevNames(f)).toArray).build()
+      (StructType(s.fields.map(x =>
+        if (x eq f)
+          org.apache.spark.sql.types.StructField(to, f.dataType,
+            f.nullable, md)
+        else x)), dropped)
+    }
+
+  /** Widenings Spark 4's vectorized parquet reader performs in-scan,
+    * so a metadata-only retype stays a zero-rewrite commit. */
+  private val SafeWiden: Set[(DataType, DataType)] = {
+    import org.apache.spark.sql.types._
+    Set((ByteType, ShortType), (ByteType, IntegerType),
+      (ByteType, LongType), (ShortType, IntegerType),
+      (ShortType, LongType), (IntegerType, LongType),
+      (FloatType, DoubleType), (IntegerType, DoubleType),
+      (ByteType, DoubleType), (ShortType, DoubleType))
+  }
+
+  /** ALTER TABLE … ALTER COLUMN TYPE, restricted to reader-performed
+    * widenings (int→long, float→double, …): metadata-only, existing
+    * files read at the wide type in the vectorized scan. Anything
+    * else must rewrite (`rewrite` + cast) instead. */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+      to: DataType, keepVersions: Int = 1): Long =
+    alterSchema(spark, root, keepVersions) { (s, dropped) =>
+      val f = s.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        GraftSchemaError(s"no column `$name` on $root"))
+      require(SafeWiden.contains((f.dataType, to)),
+        s"${f.dataType.simpleString} -> ${to.simpleString} is not a " +
+          "reader-safe widening; use rewrite() with a cast instead")
+      (StructType(s.fields.map(x =>
+        if (x eq f)
+          org.apache.spark.sql.types.StructField(f.name, to, f.nullable,
+            f.metadata)
+        else x)), dropped)
+    }
+
+  private def GraftSchemaError(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  /** Project an OLDER version's frame onto a newer logical schema:
+    * renamed fields resolve through their recorded pre-names, absent
+    * fields null-backfill, widened fields cast. The cross-ALTER CDC
+    * alignment ([[changes]]). */
+  private def alignToLogical(df: DataFrame, s: StructType): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    df.select(s.fields.toSeq.map { f =>
+      val present = (f.name +: prevNames(f))
+        .filter(n => have.contains(n.toLowerCase))
+      val c = present match {
+        case Seq() => lit(null)
+        case Seq(one) => col(s"`$one`")
+        case many => coalesce(many.map(n => col(s"`$n`")): _*)
+      }
+      c.cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   /** Read-transform-commit: the crash-safe form of every table
     * rewrite (retention, compaction, upsert). */

@@ -514,3 +514,41 @@ case class GraftCreateTableCommand(root: String,
     Nil
   }
 }
+
+/** `ALTER TABLE graft.`root` ADD/DROP/RENAME/ALTER COLUMN` —
+  * metadata-only schema evolution: each op is ONE delta commit
+  * carrying every data file by reference (see the schema-evolution
+  * section of [[VersionedTable]]). Supported forms: top-level ADD
+  * COLUMN (no position/default), DROP COLUMN [IF EXISTS], RENAME
+  * COLUMN, and ALTER COLUMN … TYPE restricted to reader-safe
+  * widenings; nested fields and other ALTER verbs fail loudly. */
+case class GraftAlterCommand(root: String, op: GraftAlterCommand.Op)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftAlterCommand._
+    val kv = GraftDml.keepVersions(spark)
+    op match {
+      case Add(name, dt) =>
+        VersionedTable.addColumn(spark, root, name, dt, kv)
+      case Drop(name, ifExists) =>
+        val cur = VersionedTable.read(spark, root).schema
+        if (ifExists && !cur.fieldNames.exists(_.equalsIgnoreCase(name))) ()
+        else VersionedTable.dropColumn(spark, root, name, kv)
+      case Rename(from, to) =>
+        VersionedTable.renameColumn(spark, root, from, to, kv)
+      case Widen(name, dt) =>
+        VersionedTable.widenColumn(spark, root, name, dt, kv)
+    }
+    Nil
+  }
+}
+
+object GraftAlterCommand {
+  sealed trait Op
+  final case class Add(name: String, dataType: org.apache.spark.sql.types.DataType) extends Op
+  final case class Drop(name: String, ifExists: Boolean) extends Op
+  final case class Rename(from: String, to: String) extends Op
+  final case class Widen(name: String, dataType: org.apache.spark.sql.types.DataType) extends Op
+}

@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRel
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, PredicateHelper}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-import org.apache.spark.sql.catalyst.plans.logical.{CreateTable, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteFromTable, DropColumns, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UpdateTable}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** SQL syntax extension: `ASOF JOIN`.
@@ -109,7 +109,56 @@ class GraftSqlParser(delegate: ParserInterface)
       val (st, bl) = indexProps(spec)
       GraftCreateTableCommand(path,
         GraftDml.Raw(StructType(cols.map(_.toV1Column))), ifNotExists, st, bl)
+    // DDL: metadata-only ALTER TABLE schema evolution
+    case AddColumns(GraftAlterTable(root), cols) =>
+      val c = cols match {
+        case Seq(one) => one
+        case _ => GraftDml.fail(
+          "graft ALTER TABLE supports one ADD COLUMN per statement")
+      }
+      if (c.path.nonEmpty) GraftDml.fail(
+        "nested ADD COLUMN is not supported on graft tables")
+      if (c.position.nonEmpty || c.default.nonEmpty) GraftDml.fail(
+        "ADD COLUMN position/default are not supported on graft tables")
+      GraftAlterCommand(root, GraftAlterCommand.Add(c.colName, c.dataType))
+    case DropColumns(GraftAlterTable(root), cols, ifExists) =>
+      val name = cols match {
+        case Seq(UnresolvedFieldName(Seq(n))) => n
+        case _ => GraftDml.fail("graft ALTER TABLE supports one " +
+          "top-level DROP COLUMN per statement")
+      }
+      GraftAlterCommand(root, GraftAlterCommand.Drop(name, ifExists))
+    case RenameColumn(GraftAlterTable(root),
+        UnresolvedFieldName(Seq(from)), to) =>
+      GraftAlterCommand(root, GraftAlterCommand.Rename(from, to))
+    case AlterColumns(GraftAlterTable(root), specs) =>
+      val s = specs match {
+        case Seq(one) => one
+        case _ => GraftDml.fail(
+          "graft ALTER TABLE supports one ALTER COLUMN per statement")
+      }
+      val name = s.column match {
+        case UnresolvedFieldName(Seq(n)) => n
+        case _ => GraftDml.fail(
+          "nested ALTER COLUMN is not supported on graft tables")
+      }
+      val dt = s.newDataType.getOrElse(GraftDml.fail(
+        "graft ALTER COLUMN supports only TYPE widening " +
+          "(int->long, float->double, ...)"))
+      if (s.newNullability.nonEmpty || s.newComment.nonEmpty ||
+          s.newPosition.nonEmpty || s.newDefaultExpression.nonEmpty)
+        GraftDml.fail("graft ALTER COLUMN supports only TYPE widening")
+      GraftAlterCommand(root, GraftAlterCommand.Widen(name, dt))
     case p => p
+  }
+
+  /** Matches an ALTER target `graft.<root>` (an UnresolvedTable). */
+  private object GraftAlterTable {
+    def unapply(plan: LogicalPlan): Option[String] = plan match {
+      case UnresolvedTable(Seq(g, path), _, _)
+          if g.equalsIgnoreCase("graft") => Some(path)
+      case _ => None
+    }
   }
 
   private def requireUnpartitioned(

@@ -91,11 +91,17 @@ final class GraftDataSource extends RelationProvider
     val version = resolveVersion(spark, root, parameters)
     val refs = VersionedTable.filesAt(spark, root, version)
     val absFiles = refs.map(r => s"$root/$r")
-    val dataSchema =
+    // an ALTERed table serves its manifest-declared LOGICAL schema;
+    // the physical union read + rename-coalesce projection live in
+    // readFilesWithDv, so such tables take the inner-plan relation
+    // (same seam as merge-on-read versions)
+    val evolved = VersionedTable.manifestSchema(spark, root, version)
+    val dataSchema = evolved.getOrElse {
       if (absFiles.isEmpty) new StructType()
       else spark.read.parquet(absFiles: _*).schema
+    }
     val skipper = ManifestSkipping(spark, root, version, dataSchema)
-    val mor =
+    val mor = evolved.nonEmpty ||
       VersionedTable.deleteVectors(spark, root, version).nonEmpty ||
         VersionedTable.equalityDeletes(spark, root, version).nonEmpty
     if (!mor) {

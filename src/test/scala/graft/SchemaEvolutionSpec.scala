@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import graft.lakehouse.VersionedTable
+
+/** Metadata-only ALTER TABLE over versioned roots: the manifest
+  * schema line, the physical-union + coalesce read model, and the SQL
+  * surface. */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(prefix: String, kv: Int = 4): String = {
+    val root = tmpDir(prefix) + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v"),
+      keepVersions = kv)
+    root
+  }
+
+  test("ADD COLUMN is metadata-only; old rows null; INSERT fills; time travel keeps the old schema") {
+    val root = fresh("sevoadd")
+    val before = VersionedTable.currentFiles(spark, root).sorted
+    VersionedTable.addColumn(spark, root, "lang", StringType,
+      keepVersions = 4)
+    // every data file carried by reference — zero rewrites
+    assert(VersionedTable.currentFiles(spark, root).sorted == before)
+    val t = VersionedTable.read(spark, root)
+    assert(t.columns.toSeq == Seq("k", "s", "v", "lang"))
+    assert(t.filter(col("lang").isNull).count() == 3)
+    // the pre-ALTER version still serves its own schema
+    assert(VersionedTable.readVersion(spark, root, 1L).columns.toSeq
+      == Seq("k", "s", "v"))
+    spark.conf.set("spark.graft.dml.keepVersions", "4")
+    try spark.sql(
+      s"INSERT INTO graft.`$root` VALUES (4, 'd', 40, 'en')")
+    finally spark.conf.unset("spark.graft.dml.keepVersions")
+    val rows = VersionedTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(rows(4L).contains("en") && rows(1L).isEmpty)
+    // re-adding an existing name refuses
+    intercept[Exception] {
+      VersionedTable.addColumn(spark, root, "lang", StringType)
+    }
+  }
+
+  test("RENAME COLUMN: pre-rename bytes stay readable; writes use the new name; SQL + format(graft) serve logical") {
+    val root = fresh("sevoren")
+    spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN s TO label")
+    val t = VersionedTable.read(spark, root)
+    assert(t.columns.toSeq == Seq("k", "label", "v"))
+    // values written under the OLD physical name surface via coalesce
+    assert(t.filter(col("label") === "b").select("k").head.getLong(0) == 2L)
+    // a mixed file set: append post-rename rows, both generations read
+    spark.conf.set("spark.graft.dml.keepVersions", "4")
+    try spark.sql(s"INSERT INTO graft.`$root` VALUES (9, 'z', 90)")
+    finally spark.conf.unset("spark.graft.dml.keepVersions")
+    val labels = spark.sql(
+      s"SELECT label FROM graft.`$root` ORDER BY k").collect()
+      .map(_.getString(0)).toSeq
+    assert(labels == Seq("a", "b", "c", "z"))
+    assert(spark.read.format("graft").load(root)
+      .filter(col("label") === "z").count() == 1)
+    // renaming onto a used name refuses; renaming back onto the
+    // tombstoned old physical name refuses too
+    intercept[Exception] {
+      VersionedTable.renameColumn(spark, root, "label", "v")
+    }
+    intercept[Exception] {
+      VersionedTable.renameColumn(spark, root, "label", "s")
+    }
+  }
+
+  test("DROP COLUMN tombstones its physical names against recycling; full rewrite self-heals") {
+    val root = fresh("sevodrop")
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN s")
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("k", "v"))
+    // the dropped physical name cannot come back while files carry it
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN s STRING")
+    }
+    // DROP IF EXISTS of a missing column no-ops
+    val v = VersionedTable.currentVersion(spark, root).get
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN IF EXISTS nope")
+    assert(VersionedTable.currentVersion(spark, root).contains(v))
+    // a full rewrite purges the stale bytes and drops the h-line —
+    // after it, the name is free again
+    VersionedTable.rewrite(spark, root, keepVersions = 4)(df => df)
+    assert(VersionedTable.manifestSchema(spark, root,
+      VersionedTable.currentVersion(spark, root).get).isEmpty)
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN s STRING")
+    assert(VersionedTable.read(spark, root).columns.toSeq
+      == Seq("k", "v", "s"))
+  }
+
+  test("ALTER COLUMN TYPE widens in-scan (int->long); non-widenings refuse") {
+    val root = fresh("sevowide")
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN v TYPE BIGINT")
+    val t = VersionedTable.read(spark, root)
+    assert(t.schema("v").dataType == LongType)
+    // the INT-typed files read at the widened type
+    assert(t.agg(sum("v")).head.getLong(0) == 60L)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN s TYPE INT")
+    }
+  }
+
+  test("DML predicates on a renamed column see pre-rename values; rewrites heal files to the logical names") {
+    val root = fresh("sevodml")
+    spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN v TO score")
+    spark.conf.set("spark.graft.dml.keepVersions", "6")
+    try {
+      spark.sql(s"UPDATE graft.`$root` SET score = score + 1 WHERE k = 2")
+      val got = VersionedTable.read(spark, root).orderBy("k")
+        .select("score").collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(10, 21, 30))
+      spark.sql(s"DELETE FROM graft.`$root` WHERE score >= 30")
+      assert(VersionedTable.read(spark, root).count() == 2)
+    } finally spark.conf.unset("spark.graft.dml.keepVersions")
+  }
+
+  test("MoR equality-delete path composes with an evolved schema") {
+    val root = fresh("sevomor")
+    VersionedTable.renameColumn(spark, root, "s", "label", keepVersions = 6)
+    // keyed MoR delete (equality-delete sidecar, zero rewrites), then
+    // read through the logical projection
+    VersionedTable.deleteByKey(spark, root,
+      Seq(2L).toDF("k"), Seq("k"), keepVersions = 6)
+    val t = VersionedTable.read(spark, root).orderBy("k")
+    assert(t.select("label").collect().map(_.getString(0)).toSeq
+      == Seq("a", "c"))
+  }
+
+  test("CDC across an ALTER boundary: metadata-only commit = empty batch; later changes speak the new schema") {
+    val root = fresh("sevocdc", kv = 8)
+    // v1 -> v2 is the ALTER itself: zero row changes
+    VersionedTable.renameColumn(spark, root, "s", "label", keepVersions = 8)
+    assert(VersionedTable.changes(spark, root, 1L, 2L, Seq("k")).count() == 0)
+    // v2 -> v3 inserts; the change rows carry the renamed column
+    spark.conf.set("spark.graft.dml.keepVersions", "8")
+    try spark.sql(s"INSERT INTO graft.`$root` VALUES (5, 'e', 50)")
+    finally spark.conf.unset("spark.graft.dml.keepVersions")
+    val c = VersionedTable.changes(spark, root, 2L, 3L, Seq("k"))
+    assert(c.columns.contains("label"))
+    assert(c.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("label"),
+        r.getAs[String]("_change_type"))).toSeq == Seq((5L, "e", "insert")))
+    // straddling diff (pre-ALTER -> post-INSERT) aligns too
+    assert(VersionedTable.changes(spark, root, 1L, 3L, Seq("k"))
+      .count() == 1)
+    // ADD COLUMN boundary: empty batch, then an insert carries it
+    VersionedTable.addColumn(spark, root, "lang", StringType,
+      keepVersions = 8)
+    assert(VersionedTable.changes(spark, root, 3L, 4L, Seq("k")).count() == 0)
+  }
+
+  test("streaming/CDC-free consumers: compaction of an evolved table converges physical to logical") {
+    val root = fresh("sevocompact")
+    VersionedTable.renameColumn(spark, root, "s", "label", keepVersions = 6)
+    VersionedTable.rewrite(spark, root, keepVersions = 6)(df => df)
+    // post-rewrite the files carry the logical name physically
+    val files = VersionedTable.currentFiles(spark, root)
+    val phys = spark.read.parquet(files.map(f => s"$root/$f"): _*).schema
+    assert(phys.fieldNames.toSeq == Seq("k", "label", "v"))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("label") === "a").count() == 1)
+  }
+}
