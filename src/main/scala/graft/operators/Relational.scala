@@ -1000,6 +1000,79 @@ object Relational {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** q100: calendar GAP-FILL with linear interpolation — the
+    * `time_bucket_gapfill`/`interpolate` operator time-series stores
+    * ship natively, over a genuinely sparse series (one supplier's
+    * daily shipped quantity: ~150 ship days across a ~2-year
+    * calendar). Missing days interpolate between their bracketing
+    * observations: v = v_prev + (v_next − v_prev)·Δ/span.
+    *
+    * Scale shape: the heavy half (the daily aggregate) is a
+    * distributed map-side-partial agg; everything after runs on
+    * CALENDAR-sized rows (≤ tens of K for decades of days — model
+    * data, not corpus data), so the global bracket windows are
+    * single-partition by CONSTRUCTION, not by accident (q27's
+    * documented day-grain convention). Bracket days come from
+    * running max/min over null-skipping CASE projections — portable
+    * to the oracle verbatim — and the bracket VALUES join back from
+    * the (broadcast) daily aggregate, so no ignore-nulls struct
+    * tricks the two engines could disagree on. The interpolation
+    * arithmetic is scalar IEEE on decimal-exact inputs: hash-exact
+    * with no rounding. */
+  private val q100: QFn = (s, d) => {
+    val daily = Tables.lineitem(s, d)
+      .filter(col("l_suppkey") === 1)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val cal = daily.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val wP = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val m = cal.join(daily, Seq("day"), "left")
+      .withColumn("pd", max(when(col("qty").isNotNull, col("day"))).over(wP))
+      .withColumn("nd", min(when(col("qty").isNotNull, col("day"))).over(wN))
+    m.join(broadcast(daily.select(col("day").as("pd"), col("qty").as("pq"))),
+        Seq("pd"))
+      .join(broadcast(daily.select(col("day").as("nd"), col("qty").as("nq"))),
+        Seq("nd"))
+      .select(col("day"),
+        when(col("qty").isNotNull, col("qty"))
+          .otherwise(col("pq") + (col("nq") - col("pq")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")))).as("qty"),
+        when(col("qty").isNotNull, lit("actual")).otherwise(lit("interp"))
+          .as("src"))
+  }
+  private val q100Sql =
+    s"""WITH daily AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS day,
+       |    ${sqlSum("l_quantity")} AS qty
+       |  FROM lineitem WHERE l_suppkey = 1 GROUP BY 1),
+       |bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+       |cal AS (
+       |  SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+       |    AS day FROM bounds),
+       |m AS (
+       |  SELECT c.day, d.qty,
+       |    MAX(CASE WHEN d.qty IS NOT NULL THEN c.day END) OVER
+       |      (ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |       CURRENT ROW) AS pd,
+       |    MIN(CASE WHEN d.qty IS NOT NULL THEN c.day END) OVER
+       |      (ORDER BY c.day ROWS BETWEEN CURRENT ROW AND
+       |       UNBOUNDED FOLLOWING) AS nd
+       |  FROM cal c LEFT JOIN daily d USING (day))
+       |SELECT m.day,
+       |  CASE WHEN m.qty IS NOT NULL THEN m.qty
+       |    ELSE p.qty + (n.qty - p.qty) *
+       |      (CAST(date_diff('day', m.pd, m.day) AS DOUBLE) /
+       |        date_diff('day', m.pd, m.nd)) END AS qty,
+       |  CASE WHEN m.qty IS NOT NULL THEN 'actual' ELSE 'interp' END AS src
+       |FROM m
+       |JOIN daily p ON p.day = m.pd
+       |JOIN daily n ON n.day = m.nd""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -1039,7 +1112,8 @@ object Relational {
     "q79_salted_join" -> q79,
     "q81_range_frame" -> q81,
     "q96_topk_per_group" -> q96,
-    "q97_reorder_rate" -> q97)
+    "q97_reorder_rate" -> q97,
+    "q100_gapfill_interp" -> q100)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1080,5 +1154,6 @@ object Relational {
     "q79_salted_join" -> q79Sql,
     "q81_range_frame" -> q81Sql,
     "q96_topk_per_group" -> q96Sql,
-    "q97_reorder_rate" -> q97Sql)
+    "q97_reorder_rate" -> q97Sql,
+    "q100_gapfill_interp" -> q100Sql)
 }
