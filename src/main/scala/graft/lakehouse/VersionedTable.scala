@@ -2024,6 +2024,69 @@ object VersionedTable {
   private def GraftSchemaError(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
+  /** AUTO-EVOLVING append — the automation-side consumer of schema
+    * evolution: accept a drifted batch by evolving the LOGICAL schema
+    * (new batch columns ADD as nullable; batch-widened types widen
+    * when the reader can serve them in-scan) and appending the batch
+    * aligned to the evolved schema, all in ONE delta commit (schema
+    * line + new files + carried refs behind a single manifest PUT —
+    * no intermediate version where the column exists but its first
+    * batch doesn't). Batch columns MISSING from the table null-fill
+    * on alignment (never dropped from the schema); name recycling
+    * (tombstoned/pre-rename names) and non-widenable retypes refuse
+    * loudly — silent coercion is how drifted feeds corrupt tables.
+    * The no-drift case stays a plain [[appendDelta]] (no h-line, no
+    * evolved read path). */
+  def appendDeltaEvolve(spark: SparkSession, root: String,
+      batch: DataFrame, keepVersions: Int = 1,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      return commit(spark, root, keepVersions, statsCols, bloomCols) { st =>
+        batch.write.mode(SaveMode.Overwrite).parquet(st)
+      })
+    val (cur, dropped) = logicalSchemaOf(spark, root, v)
+    val used = allNamesInUse(cur, dropped)
+    val curByName = cur.fields.map(f => f.name.toLowerCase -> f).toMap
+    val widened = cur.fields.map { f =>
+      batch.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(b) if b.dataType == f.dataType => f
+        case Some(b) if SafeWiden.contains((f.dataType, b.dataType)) =>
+          // batch is wider: widen the table (metadata-only, in-scan)
+          org.apache.spark.sql.types.StructField(f.name, b.dataType,
+            f.nullable, f.metadata)
+        case Some(b) if SafeWiden.contains((b.dataType, f.dataType)) =>
+          f // batch is safely narrower: lossless cast on align
+        case Some(b) =>
+          GraftSchemaError(s"batch column `${f.name}` has incompatible " +
+            s"type ${b.dataType.simpleString} (table: " +
+            s"${f.dataType.simpleString}) — silent coercion is how " +
+            "drifted feeds corrupt tables; fix the feed or rewrite")
+        case None => f // absent in batch: null-fills on align
+      }
+    }
+    val fresh = batch.schema.fields
+      .filterNot(b => curByName.contains(b.name.toLowerCase))
+    fresh.foreach(b => require(!used.contains(b.name.toLowerCase),
+      s"batch column `${b.name}` collides with a pre-rename or dropped " +
+        s"physical name on $root — rename the feed column"))
+    val evolved = StructType(widened ++ fresh.map(b =>
+      org.apache.spark.sql.types.StructField(b.name, b.dataType)))
+    val changed = evolved.fields.map(f => (f.name, f.dataType)).toSeq !=
+      cur.fields.map(f => (f.name, f.dataType)).toSeq
+    val aligned = batch.select(evolved.fields.toSeq.map { f =>
+      if (batch.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val hadLine = manifestSchemaLine(spark, root, v).nonEmpty
+    commitDelta(spark, root, currentFiles(spark, root), keepVersions,
+      statsCols, bloomCols,
+      schemaOverride =
+        if (changed || hadLine) Some((evolved, dropped)) else None) { st =>
+      aligned.write.mode(SaveMode.Overwrite).parquet(st)
+    }
+  }
+
   /** Project an OLDER version's frame onto a newer logical schema:
     * renamed fields resolve through their recorded pre-names, absent
     * fields null-backfill, widened fields cast. The cross-ALTER CDC

@@ -135,11 +135,19 @@ final class GraftDataSource extends RelationProvider
     mode match {
       case SaveMode.Overwrite => create()
       case SaveMode.Append if exists =>
-        GraftDataSource.requireSameSchema(
-          VersionedTable.read(spark, root).schema, data.schema,
-          s"""format("graft") append to $root""")
-        VersionedTable.appendDelta(spark, root, keep, statsCols, bloomCols) {
-          st => data.write.mode(SaveMode.Overwrite).parquet(st)
+        // mergeSchema (Delta's option name): accept drifted batches by
+        // metadata-only schema evolution — adds/widens in the SAME
+        // commit as the batch; without it drift stays a loud error
+        if (parameters.get("mergeSchema").exists(_.toBoolean))
+          VersionedTable.appendDeltaEvolve(spark, root, data, keep,
+            statsCols, bloomCols)
+        else {
+          GraftDataSource.requireSameSchema(
+            VersionedTable.read(spark, root).schema, data.schema,
+            s"""format("graft") append to $root""")
+          VersionedTable.appendDelta(spark, root, keep, statsCols, bloomCols) {
+            st => data.write.mode(SaveMode.Overwrite).parquet(st)
+          }
         }
       case SaveMode.Append => create()
       case SaveMode.ErrorIfExists if exists =>

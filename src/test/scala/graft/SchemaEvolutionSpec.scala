@@ -154,6 +154,51 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(VersionedTable.changes(spark, root, 3L, 4L, Seq("k")).count() == 0)
   }
 
+  test("appendDeltaEvolve: drifted batches evolve the schema in the same commit") {
+    val root = fresh("sevoauto", kv = 8)
+    // extra column + wider int type in one batch: ONE commit
+    val v0 = VersionedTable.currentVersion(spark, root).get
+    val batch = Seq((10L, "x", 100L, "en"))
+      .toDF("k", "s", "v", "lang") // v long (table: int), lang new
+    VersionedTable.appendDeltaEvolve(spark, root, batch, keepVersions = 8)
+    assert(VersionedTable.currentVersion(spark, root).contains(v0 + 1))
+    val t = VersionedTable.read(spark, root)
+    assert(t.schema("v").dataType == LongType)
+    assert(t.columns.toSeq == Seq("k", "s", "v", "lang"))
+    assert(t.count() == 4)
+    assert(t.filter(col("lang").isNull).count() == 3)
+    // no-drift appends stay plain (no h-line)
+    val root2 = fresh("sevoauto2", kv = 8)
+    VersionedTable.appendDeltaEvolve(spark, root2,
+      Seq((5L, "e", 50)).toDF("k", "s", "v"), keepVersions = 8)
+    assert(VersionedTable.manifestSchema(spark, root2,
+      VersionedTable.currentVersion(spark, root2).get).isEmpty)
+    // an incompatible retype refuses loudly
+    intercept[Exception] {
+      VersionedTable.appendDeltaEvolve(spark, root2,
+        Seq((6L, "f", "not-an-int")).toDF("k", "s", "v"))
+    }
+    // a batch column colliding with a tombstoned name refuses
+    VersionedTable.dropColumn(spark, root2, "s", keepVersions = 8)
+    intercept[Exception] {
+      VersionedTable.appendDeltaEvolve(spark, root2,
+        Seq((7L, 70, "boom")).toDF("k", "v", "s"))
+    }
+  }
+
+  test("format(graft) append with mergeSchema evolves; without it drift still refuses") {
+    val root = fresh("sevomerge", kv = 8)
+    val drifted = Seq((11L, "y", 110, 0.5)).toDF("k", "s", "v", "score")
+    intercept[Exception] {
+      drifted.write.format("graft").mode("append").save(root)
+    }
+    drifted.write.format("graft").mode("append")
+      .option("mergeSchema", "true").option("keepVersions", "8").save(root)
+    val t = spark.read.format("graft").load(root)
+    assert(t.columns.toSeq == Seq("k", "s", "v", "score"))
+    assert(t.filter(col("score").isNotNull).count() == 1)
+  }
+
   test("streaming/CDC-free consumers: compaction of an evolved table converges physical to logical") {
     val root = fresh("sevocompact")
     VersionedTable.renameColumn(spark, root, "s", "label", keepVersions = 6)
