@@ -1083,6 +1083,54 @@ object TextOps {
       |  substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
       |    printf('%04x', CAST(FLOOR(r.rate * 65536) AS BIGINT))""".stripMargin
 
+  /** q101: EDIT-DISTANCE fuzzy join — pairs of parts whose names are
+    * exactly one edit apart (substitution, insertion, or deletion),
+    * via the SymSpell deletion-neighborhood index (public: Garbe's
+    * symmetric-delete algorithm): two strings at distance ≤1 MUST
+    * share a member of their ≤1-deletion neighborhoods (substitution:
+    * delete the differing position from both; indel: the deletion of
+    * the inserted char IS the shorter string), so an equi-join on
+    * neighborhood keys finds every candidate without the quadratic
+    * all-pairs scan the oracle runs.
+    *
+    * Scale shape: the neighborhood explodes DISTINCT names, not rows
+    * — duplicate-heavy corpora (every "red widget") would otherwise
+    * square their group sizes inside each key bucket before the
+    * verify could drop them. Name-level pairs verify with the codegen
+    * `levenshtein`, then map back to key pairs through two joins on
+    * the (broadcastable) name groups. Everything is equi-join +
+    * map-side explode; candidate volume is bounded by (L+1)·distinct
+    * names. */
+  private val q101: QFn = (s, d) => {
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey").as("pk"), lower(col("p_name")).as("name"))
+    val names = parts.select("name").distinct()
+    // i = 0 keeps the string; i = k deletes character k (1-based)
+    val keys = names
+      .select(col("name"), explode(sequence(lit(0), length(col("name"))))
+        .as("i"))
+      .select(col("name"),
+        when(col("i") === 0, col("name"))
+          .otherwise(concat(
+            expr("substring(name, 1, i - 1)"),
+            expr("substring(name, i + 1, length(name))"))).as("key"))
+    val cand = keys.select(col("key"), col("name").as("na"))
+      .join(keys.select(col("key"), col("name").as("nb")), Seq("key"))
+      .filter(col("na") < col("nb"))
+      .select("na", "nb").distinct()
+      .filter(levenshtein(col("na"), col("nb")) === 1)
+    val both = cand.union(cand.select(col("nb"), col("na")))
+    both
+      .join(parts.select(col("name").as("na"), col("pk").as("key_a")), Seq("na"))
+      .join(parts.select(col("name").as("nb"), col("pk").as("key_b")), Seq("nb"))
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b")
+  }
+  private val q101Sql =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      |WHERE levenshtein(lower(a.p_name), lower(b.p_name)) = 1""".stripMargin
+
   /** PII redaction patterns, applied in order. Order is load-bearing:
     * email first (its local part can contain digit runs), SSN before
     * phone (both are dash-separated digit shapes, and xxx-xx-xxxx
@@ -1197,7 +1245,8 @@ object TextOps {
     "q83_token_rarity" -> q83,
     "q84_compress_ratio" -> q84,
     "q94_unigram_surprisal" -> q94,
-    "q99_temperature_mix" -> q99)
+    "q99_temperature_mix" -> q99,
+    "q101_fuzzy_join" -> q101)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1225,5 +1274,6 @@ object TextOps {
     "q82_dup_spans" -> q82Sql,
     "q83_token_rarity" -> q83Sql,
     "q94_unigram_surprisal" -> q94Sql,
-    "q99_temperature_mix" -> q99Sql)
+    "q99_temperature_mix" -> q99Sql,
+    "q101_fuzzy_join" -> q101Sql)
 }
