@@ -109,8 +109,14 @@ final class GraftDataSource extends RelationProvider
       HadoopFsRelation(index, new StructType(), dataSchema, None,
         new ParquetFileFormat, Map.empty)(spark)
     } else {
+      // real byte size (one LIST per version dir): BaseRelation's
+      // default is conf.defaultSizeInBytes ≈ infinite, which would
+      // silently stop Catalyst from BROADCASTING small MoR/evolved
+      // dim tables in joins
+      val bytes =
+        new GraftFileIndex(spark, root, refs, skipper).sizeInBytes
       new GraftMorRelation(sqlContext, root, version, refs, dataSchema,
-        skipper)
+        skipper, bytes)
     }
   }
 
@@ -257,12 +263,18 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   * partially-translated pushdown stays exact). */
 final class GraftMorRelation(sqlCtx: SQLContext, root: String,
     version: Long, refs: Seq[String], val schema: StructType,
-    skipper: ManifestSkipping)
+    skipper: ManifestSkipping, bytes: Long)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = sqlCtx
 
   override def needConversion: Boolean = false
+
+  /** Manifest-derived size — lets Catalyst broadcast small MoR/
+    * evolved tables instead of defaulting to "infinite". The DV/ED
+    * anti-joins only REMOVE rows, so the physical byte total stays a
+    * sound upper bound. */
+  override def sizeInBytes: Long = bytes
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {

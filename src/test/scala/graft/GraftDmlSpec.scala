@@ -384,4 +384,18 @@ class GraftDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(n) FROM graft.`$dst`").head.getLong(0)
       == 10L)
   }
+
+  test("DDL statements run through SqlRunner scripts end to end") {
+    val base = tmpDir("ddlrunner")
+    graft.lakehouse.SqlRunner.script(spark,
+      s"""CREATE TABLE graft.`$base/t` AS SELECT id AS k, id * 2 AS v FROM range(5);
+         |ALTER TABLE graft.`$base/t` RENAME COLUMN v TO score;
+         |ALTER TABLE graft.`$base/t` ADD COLUMN tag STRING;
+         |INSERT INTO graft.`$base/t` VALUES (9, 18, 'x');
+         |""".stripMargin)
+    val t = VersionedTable.read(spark, base + "/t")
+    assert(t.columns.toSeq == Seq("k", "score", "tag"))
+    assert(t.count() == 6)
+    assert(t.filter(col("tag") === "x").select("score").head.getLong(0) == 18L)
+  }
 }

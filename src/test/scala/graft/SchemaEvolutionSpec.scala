@@ -199,6 +199,19 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(t.filter(col("score").isNotNull).count() == 1)
   }
 
+  test("evolved tables keep a real sizeInBytes: small dims still broadcast in joins") {
+    val root = fresh("sevobcast")
+    VersionedTable.renameColumn(spark, root, "s", "label", keepVersions = 4)
+    val dim = spark.read.format("graft").load(root)
+    val fact = spark.range(10000L).select(col("id").as("k"),
+      (col("id") % 7).as("grp"))
+    val joined = fact.join(dim, "k")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small evolved dim did not broadcast:\n$plan")
+  }
+
   test("streaming/CDC-free consumers: compaction of an evolved table converges physical to logical") {
     val root = fresh("sevocompact")
     VersionedTable.renameColumn(spark, root, "s", "label", keepVersions = 6)
