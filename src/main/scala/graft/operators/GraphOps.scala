@@ -42,6 +42,15 @@ object GraphOps {
     * contributions need the full 18.) */
   private val DecR = org.apache.spark.sql.types.DecimalType(38, 18)
 
+  /** Run `body` with AQE disabled — checkpoints taken inside report a
+    * concrete outputPartitioning instead of adaptive-unknown. */
+  private def withoutAqe[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Damped PageRank over a directed edge list `(src, dst)`.
     *
     * Node set = nodes with at least one OUT-edge (for an undirected
@@ -54,11 +63,18 @@ object GraphOps {
   def pagerank(edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     // E-sized side partitioned by the join key once, lineage cut; every
-    // iteration reuses this layout and shuffles only the rank state
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(true)
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // iteration reuses this layout and shuffles only the rank state.
+    // The checkpoints are taken with AQE OFF: under AQE the physical
+    // plan is adaptive and Dataset.localCheckpoint records
+    // UnknownPartitioning in its LogicalRDD, so every round would
+    // silently re-exchange the E-sized edge list (observed: 5 edge
+    // shuffles in the 5-round plan; 0 after this).
+    val (e, deg) = withoutAqe(edges.sparkSession) {
+      val e0 = edges.select(col("src"), col("dst"))
+        .repartition(col("src")).localCheckpoint(true)
+      (e0, e0.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint(true))
+    }
     val n = deg.count() // scalar to the driver — the model, not the data
     require(n > 0, "pagerank on an empty edge list")
     val base = lit((1.0 - damping) / n)

@@ -224,4 +224,16 @@ class PlanAuditSpec extends SparkSpec {
       .count(_ == "lambdafunction") <= 8,
       "q91 grew interpreted HOFs beyond the probe-sized LUT build")
   }
+
+  test("q98: edge-list partitioning survives the checkpoint — only rank state re-exchanges") {
+    val df = graft.operators.GraphOps.queries("q98_pagerank")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the AQE-off checkpoint records a concrete hashpartitioning(src)
+    // on the edge LogicalRDD; losing it (e.g. an AQE-wrapped
+    // checkpoint) re-exchanges the E-sized edge list every round and
+    // roughly doubles the exchange count (observed 10 vs 6 at 5 rounds)
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n <= 6, s"q98 plan grew to $n exchanges - edge partitioning lost?\n$plan")
+  }
 }
