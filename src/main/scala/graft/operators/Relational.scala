@@ -1073,6 +1073,65 @@ object Relational {
        |JOIN daily p ON p.day = m.pd
        |JOIN daily n ON n.day = m.nd""".stripMargin
 
+  /** q102: market-basket ASSOCIATION RULES over co-ordered parts —
+    * support / directional confidence / lift for every part pair
+    * co-occurring in ≥2 orders (an absolute floor: at any scale a
+    * 1-order pair is noise, and the ratios carry the scale).
+    *
+    * Scale shape: the pair generation is a self-join ON THE ORDER KEY
+    * — output is Σ basket²,  linear when baskets are bounded (retail
+    * baskets are; a pathological mega-basket would need a basket-size
+    * cap upstream) — then one hash-agg per pair. Per-part order
+    * counts join back on each side of the pair (key-partitioned
+    * shuffle joins; at 100 TB neither side is broadcastable and AQE
+    * picks the strategy). Ratios are long/long→double divisions with
+    * identical operand order in both engines; rounded at 6 dp. */
+  private val q102: QFn = (s, d) => {
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val totals = b.agg(countDistinct(col("o")).as("n_orders"))
+    val cnt = b.groupBy("p").agg(count(lit(1)).as("n_p"))
+    val pairs = b.select(col("o"), col("p").as("part_a"))
+      .join(b.select(col("o"), col("p").as("part_b")), Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(cnt.select(col("p").as("part_a"), col("n_p").as("n_a")),
+        Seq("part_a"))
+      .join(cnt.select(col("p").as("part_b"), col("n_p").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_ab"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_ba"),
+        round((col("n_ab").cast("double") * col("n_orders")) /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+  private val q102Sql =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b),
+      |cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM b GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS part_a, b2.p AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, n_ab,
+      |  ROUND(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+      |  ROUND(CAST(n_ab AS DOUBLE) / ca.n_p, 6) AS conf_ab,
+      |  ROUND(CAST(n_ab AS DOUBLE) / cb.n_p, 6) AS conf_ba,
+      |  ROUND((CAST(n_ab AS DOUBLE) * n_orders) / (ca.n_p * cb.n_p), 6)
+      |    AS lift
+      |FROM pairs
+      |JOIN cnt ca ON ca.p = part_a
+      |JOIN cnt cb ON cb.p = part_b
+      |CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -1113,7 +1172,8 @@ object Relational {
     "q81_range_frame" -> q81,
     "q96_topk_per_group" -> q96,
     "q97_reorder_rate" -> q97,
-    "q100_gapfill_interp" -> q100)
+    "q100_gapfill_interp" -> q100,
+    "q102_association_rules" -> q102)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1155,5 +1215,6 @@ object Relational {
     "q81_range_frame" -> q81Sql,
     "q96_topk_per_group" -> q96Sql,
     "q97_reorder_rate" -> q97Sql,
-    "q100_gapfill_interp" -> q100Sql)
+    "q100_gapfill_interp" -> q100Sql,
+    "q102_association_rules" -> q102Sql)
 }
