@@ -136,7 +136,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     val mirrored = cfg.mirror
       .filter(m => m.every <= 1 || ticks % m.every == 0)
       .flatMap(m => ChangeFeed.mirror(spark, cfg.tableDir, m.dstRoot,
-        m.keyCols, m.keepVersions))
+        m.keyCols, m.keepVersions, evolveSchema = m.evolveSchema))
     val cdcSynced = cfg.cdcAgg
       .filter(c => c.every <= 1 || ticks % c.every == 0)
       .flatMap(c => CdcAggView.sync(spark, cfg.tableDir, c.viewRoot,
@@ -388,7 +388,8 @@ object Automation {
     * commits, position tracked in the mirror's own `_cdc` marker.
     * The table must be key-unique per `keyCols`. */
   final case class MirrorConfig(dstRoot: String, keyCols: Seq[String],
-      every: Int = 1, keepVersions: Int = 1)
+      every: Int = 1, keepVersions: Int = 1,
+      evolveSchema: Boolean = false)
 
   /** Retraction-aggregate maintenance: every `every` ticks,
     * [[CdcAggView.sync]] the main table's CDC into the grouped

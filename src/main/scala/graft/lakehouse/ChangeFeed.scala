@@ -100,7 +100,8 @@ object ChangeFeed {
     * at most one image per key). Returns the drained range. */
   def mirror(spark: SparkSession, srcRoot: String, dstRoot: String,
       keyCols: Seq[String], keepVersions: Int = 1,
-      transform: DataFrame => DataFrame = identity): Option[(Long, Long)] = {
+      transform: DataFrame => DataFrame = identity,
+      evolveSchema: Boolean = false): Option[(Long, Long)] = {
     val consumerRoot = s"$dstRoot/_cdc"
     drain(spark, srcRoot, consumerRoot, keyCols) { cdc =>
       val dels = cdc.filter(col("_change_type") === "delete")
@@ -108,6 +109,21 @@ object ChangeFeed {
       val ups = transform(cdc.filter(
           col("_change_type").isin("insert", "update_postimage"))
         .drop("_change_type"))
+      // upstream ALTER: the CDC frame speaks the source's NEW logical
+      // schema and the upsert drift guard would refuse it. Opt-in
+      // propagation ADOPTS the source's schema line (rename mappings
+      // included — the mirror's files carry the source's historical
+      // names, so the mapping applies verbatim); only meaningful for
+      // shape-preserving transforms.
+      if (evolveSchema &&
+          VersionedTable.currentVersion(spark, dstRoot).nonEmpty) {
+        def norm(s: org.apache.spark.sql.types.StructType) =
+          s.fields.map(f => f.name.toLowerCase).toSeq
+        val tgt = VersionedTable.read(spark, dstRoot).schema
+        if (norm(tgt) != norm(ups.schema))
+          VersionedTable.adoptSchema(spark, dstRoot, srcRoot,
+            VersionedTable.currentVersion(spark, srcRoot).get, keepVersions)
+      }
       if (VersionedTable.currentVersion(spark, dstRoot).isEmpty)
         VersionedTable.init(spark, dstRoot, ups, keepVersions)
       else {

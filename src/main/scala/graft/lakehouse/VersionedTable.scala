@@ -2024,6 +2024,29 @@ object VersionedTable {
   private def GraftSchemaError(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
+  /** Adopt another table's logical schema line — the CDC-mirror
+    * consumer of schema evolution: a mirror's files were written
+    * under the source's HISTORICAL logical names (cold-start snapshot
+    * + shape-preserving upserts), so the source's rename mapping
+    * applies to the mirror's own files verbatim, and adopting the
+    * line is the only correct propagation (the post-ALTER CDC frame
+    * alone cannot distinguish a rename from a drop+add). Tombstones
+    * merge with the mirror's own. Metadata-only: one delta commit
+    * carrying every file. Refuses when the source has no schema line
+    * (a full source rewrite discarded the mapping — rewrite the
+    * mirror too). */
+  def adoptSchema(spark: SparkSession, root: String, fromRoot: String,
+      fromVersion: Long, keepVersions: Int = 1): Long = {
+    val (s, dropped) = manifestSchemaLine(spark, fromRoot, fromVersion)
+      .getOrElse(throw new IllegalStateException(
+        s"$fromRoot@$fromVersion declares no logical schema to adopt — " +
+          "its mapping was discarded by a full rewrite; rewrite this " +
+          "mirror to converge instead"))
+    alterSchema(spark, root, keepVersions) { (_, ownDropped) =>
+      (s, (ownDropped ++ dropped).distinct)
+    }
+  }
+
   /** AUTO-EVOLVING append — the automation-side consumer of schema
     * evolution: accept a drifted batch by evolving the LOGICAL schema
     * (new batch columns ADD as nullable; batch-widened types widen

@@ -212,6 +212,48 @@ class SchemaEvolutionSpec extends SparkSpec {
       s"small evolved dim did not broadcast:\n$plan")
   }
 
+  test("CDC mirrors propagate upstream schema evolution by adopting the source's schema line") {
+    import graft.lakehouse.ChangeFeed
+    val src = fresh("sevomirsrc", kv = 10)
+    val dst = tmpDir("sevomirdst") + "/m"
+    // cold-start snapshot
+    ChangeFeed.mirror(spark, src, dst, Seq("k"), keepVersions = 10,
+      evolveSchema = true)
+    assert(VersionedTable.read(spark, dst).count() == 3)
+    // upstream: rename + add + new data in separate commits
+    VersionedTable.renameColumn(spark, src, "s", "label", keepVersions = 10)
+    VersionedTable.addColumn(spark, src, "lang", StringType,
+      keepVersions = 10)
+    spark.conf.set("spark.graft.dml.keepVersions", "10")
+    try {
+      spark.sql(s"INSERT INTO graft.`$src` VALUES (7, 'g', 70, 'en')")
+      spark.sql(s"UPDATE graft.`$src` SET label = 'B' WHERE k = 2")
+    } finally spark.conf.unset("spark.graft.dml.keepVersions")
+    ChangeFeed.mirror(spark, src, dst, Seq("k"), keepVersions = 10,
+      evolveSchema = true)
+    val m = VersionedTable.read(spark, dst)
+    assert(m.columns.toSeq == Seq("k", "label", "v", "lang"))
+    val rows = m.orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("label"),
+        Option(r.getAs[String]("lang")))).toSeq
+    // pre-rename mirror files still serve their values under `label`
+    assert(rows == Seq((1L, "a", None), (2L, "B", None), (3L, "c", None),
+      (7L, "g", Some("en"))))
+    // and the mirror equals the source exactly
+    assert(m.orderBy("k").collect().toSeq ==
+      VersionedTable.read(spark, src)
+        .select("k", "label", "v", "lang").orderBy("k").collect().toSeq)
+    // without opt-in, the drift stays a loud refusal
+    val dst2 = tmpDir("sevomirdst2") + "/m"
+    // position dst2 at the pre-ALTER snapshot shape by copying the flow
+    VersionedTable.init(spark, dst2,
+      Seq((1L, "x", 1)).toDF("k", "s", "v"), keepVersions = 10)
+    // fake a consumer position so the next drain delivers post-ALTER rows
+    intercept[Exception] {
+      ChangeFeed.mirror(spark, src, dst2, Seq("k"), keepVersions = 10)
+    }
+  }
+
   test("streaming/CDC-free consumers: compaction of an evolved table converges physical to logical") {
     val root = fresh("sevocompact")
     VersionedTable.renameColumn(spark, root, "s", "label", keepVersions = 6)
