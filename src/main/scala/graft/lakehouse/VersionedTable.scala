@@ -1848,7 +1848,7 @@ object VersionedTable {
   /** Field-metadata key holding a column's pre-rename physical names. */
   private val PrevKey = "graft.prev"
 
-  private def prevNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
+  private[graft] def prevNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
     if (f.metadata.contains(PrevKey))
       f.metadata.getStringArray(PrevKey).toSeq
     else Nil

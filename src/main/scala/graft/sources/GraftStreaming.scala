@@ -88,8 +88,28 @@ final class GraftStreamSource(spark: SparkSession, root: String,
       if (cdc) batch
       else batch.filter(col("_change_type") === "insert")
         .drop("_change_type")
+    // a mid-stream upstream ALTER makes the batch speak a NEWER
+    // logical schema than this stream declared at start. Serve the
+    // DECLARED schema so the long-running query keeps a stable shape:
+    // renamed columns map back through the source's recorded
+    // pre-names, columns added upstream stay invisible, columns
+    // dropped upstream null-fill, and retyped columns cast to the
+    // declared type (widens are value-preserving for in-range data).
+    // A restart re-derives the source schema and picks everything up.
+    val logical = VersionedTable.manifestSchema(spark, root, to)
+    def srcFor(n: String): Option[String] =
+      if (shaped.columns.exists(_.equalsIgnoreCase(n))) Some(n)
+      else logical.flatMap(_.fields.find(f =>
+        VersionedTable.prevNames(f).exists(_.equalsIgnoreCase(n)))
+        .map(_.name))
+        .filter(s => shaped.columns.exists(_.equalsIgnoreCase(s)))
     Bridge.internalStreaming(
-      shaped.select(schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*))
+      shaped.select(schema.fields.toSeq.map { f =>
+        srcFor(f.name) match {
+          case Some(s) => col(s"`$s`").cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*))
   }
 
   override def stop(): Unit = ()

@@ -188,4 +188,49 @@ class GraftStreamSpec extends SparkSpec {
       assert(fed >= 3, s"expected >=3 paced batches, got $fed")
     } finally q.stop()
   }
+
+  test("a running stream survives an upstream ALTER: declared schema stays stable") {
+    val root = tmpDir("gstream-alter") + "/t"
+    import spark.implicits._
+    VersionedTable.init(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), keepVersions = 10)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "earliest")
+      .option("keyCols", "id")
+      .load(root)
+      .writeStream.format("memory").queryName("gsrc_alter").start()
+    try {
+      q.processAllAvailable()
+      // upstream renames s -> label and adds a column, then inserts
+      VersionedTable.renameColumn(spark, root, "s", "label",
+        keepVersions = 10)
+      VersionedTable.addColumn(spark, root, "note",
+        org.apache.spark.sql.types.StringType, keepVersions = 10)
+      spark.conf.set("spark.graft.dml.keepVersions", "10")
+      try spark.sql(s"INSERT INTO graft.`$root` VALUES (3, 'c', 'n3')")
+      finally spark.conf.unset("spark.graft.dml.keepVersions")
+      q.processAllAvailable()
+      // the stream still speaks its declared (pre-ALTER) schema: the
+      // renamed column's values arrive under the OLD name; the added
+      // column stays invisible
+      val t = spark.table("gsrc_alter")
+      assert(t.columns.toSeq == Seq("id", "s", "_change_type"))
+      assert(t.filter(col("id") === 3L).select("s").head.getString(0)
+        == "c")
+      // a RESTARTED stream (fresh declared schema) sees the new shape
+      q.stop()
+      val q2 = spark.readStream.format("graft")
+        .option("startingVersion", "earliest").option("keyCols", "id")
+        .load(root)
+        .writeStream.format("memory").queryName("gsrc_alter2").start()
+      try {
+        q2.processAllAvailable()
+        val t2 = spark.table("gsrc_alter2")
+        assert(t2.columns.toSeq ==
+          Seq("id", "label", "note", "_change_type"))
+        assert(t2.filter(col("id") === 1L).select("label").head
+          .getString(0) == "a")
+      } finally q2.stop()
+    } finally if (q.isActive) q.stop()
+  }
 }
