@@ -271,7 +271,45 @@ object SessionOps {
       |  CAST(SUM(len) AS BIGINT) AS active_days
       |FROM streaks GROUP BY 1""".stripMargin
 
+  /** q103: event-path TRANSITION MATRIX — per-user event sequences
+    * (ordered by time, event-id tiebreak) reduced to first-order
+    * Markov transition counts and probabilities, the "what do users
+    * do next" product-analytics primitive. One lead window keyed on
+    * user_id (partition-parallel at any user count), one hash-agg
+    * over (from, to) pairs, per-from totals joined back broadcast
+    * (state-type cardinality is model-sized). Probability = long
+    * division rounded 6 dp, identical in both engines. */
+  private val q103: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val steps = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy("from_type").agg(sum("n").as("total"))
+    steps.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("p"))
+  }
+  private val q103Sql =
+    """WITH steps AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS total
+      |  FROM pairs GROUP BY 1)
+      |SELECT from_type, to_type, n,
+      |  ROUND(CAST(n AS DOUBLE) / total, 6) AS p
+      |FROM pairs JOIN tot USING (from_type)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q103_transition_matrix" -> q103,
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
     "q52_json_extract" -> q52,
@@ -282,6 +320,7 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q103_transition_matrix" -> q103Sql,
     "q50_sessionize" -> q50Sql,
     "q51_tumbling_counts" -> q51Sql,
     "q52_json_extract" -> q52Sql,
