@@ -1132,6 +1132,57 @@ object Relational {
       |JOIN cnt cb ON cb.p = part_b
       |CROSS JOIN tot""".stripMargin
 
+  /** q104: robust OUTLIER DETECTION per event type — median, MAD
+    * (median absolute deviation), and the count of modified-z
+    * outliers (0.6745·|v−med|/MAD > 3.5, Iglewicz–Hoaglin, public) —
+    * the heavy-tail-safe screen a quality pipeline runs where mean/
+    * stddev would be dragged by the very outliers it hunts.
+    *
+    * Two grouped exact medians (`percentile`, interpolated — DuckDB
+    * `quantile_cont` parity is the q16 precedent) with the medians
+    * broadcast back between passes; the group count is model-sized.
+    * Like q16, the per-group value buffering is the SMALL-GROUP form;
+    * q85's RankOps prefix-sum machinery is the declared scale path
+    * for groups too large to buffer. */
+  private val q104: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+    val mad = dev
+      .select(col("event_type"), abs(col("v") - col("med")).as("ad"))
+      .groupBy("event_type")
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(lit(0.6745) * abs(col("v") - col("med")) / col("mad")
+          > lit(3.5), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), col("n"), col("n_outliers"))
+  }
+  private val q104Sql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+      |  WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, quantile_cont(v, 0.5) AS med
+      |  FROM ev GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, e.v, m.med FROM ev e JOIN med m
+      |  USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(ABS(v - med), 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, ROUND(d.med, 6) AS med, ROUND(a.mad, 6) AS mad,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN 0.6745 * ABS(d.v - d.med) / a.mad > 3.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY d.event_type, d.med, a.mad""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
@@ -1173,7 +1224,8 @@ object Relational {
     "q96_topk_per_group" -> q96,
     "q97_reorder_rate" -> q97,
     "q100_gapfill_interp" -> q100,
-    "q102_association_rules" -> q102)
+    "q102_association_rules" -> q102,
+    "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1216,5 +1268,6 @@ object Relational {
     "q96_topk_per_group" -> q96Sql,
     "q97_reorder_rate" -> q97Sql,
     "q100_gapfill_interp" -> q100Sql,
-    "q102_association_rules" -> q102Sql)
+    "q102_association_rules" -> q102Sql,
+    "q104_mad_outliers" -> q104Sql)
 }
