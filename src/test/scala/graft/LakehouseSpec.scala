@@ -1713,6 +1713,38 @@ class LakehouseSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("daemon tick propagates a source ALTER to the mirror (evolveSchema)") {
+    import spark.implicits._
+    val root = tmpDir("autoevo")
+    new java.io.File(s"$root/none").mkdirs()
+    VersionedTable.initDelta(spark, s"$root/t",
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "s", "v"),
+      keepVersions = 16)
+    val cfg = Automation.Config(
+      srcDir = s"$root/none", tableDir = s"$root/t",
+      registryDir = s"$root/reg", generate = false,
+      loadKeepVersions = 16,
+      mirror = Some(Automation.MirrorConfig(s"$root/mirror", Seq("id"),
+        keepVersions = 4, evolveSchema = true)))
+    val auto = new Automation(spark, cfg)
+    auto.tick() // cold-start snapshot
+    assert(VersionedTable.read(spark, s"$root/mirror").columns.toSeq
+      == Seq("id", "s", "v"))
+    // upstream schema change + keyed upsert between ticks
+    VersionedTable.renameColumn(spark, s"$root/t", "s", "label",
+      keepVersions = 16)
+    VersionedTable.upsertByKey(spark, s"$root/t",
+      Seq((2L, "B", 21), (3L, "c", 30)).toDF("id", "label", "v"),
+      Seq("id"), keepVersions = 16)
+    val r = auto.tick()
+    assert(r.mirrored.nonEmpty)
+    val m = VersionedTable.read(spark, s"$root/mirror")
+    assert(m.columns.toSeq == Seq("id", "label", "v"))
+    assert(m.orderBy("id").collect().map(r0 =>
+      (r0.getLong(0), r0.getString(1), r0.getInt(2))).toSeq
+      == Seq((1L, "a", 10), (2L, "B", 21), (3L, "c", 30)))
+  }
+
   test("reading a pruned delta version fails loudly instead of partial-reading") {
     import spark.implicits._
     val root = tmpDir("prunedread") + "/t"
