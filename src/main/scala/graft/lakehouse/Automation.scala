@@ -105,13 +105,15 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
               smallFileBytes = thresh,
               sortCol = cfg.compactClusterBy,
               statsCols = cfg.compactStatsCols,
-              bloomCols = cfg.compactBloomCols)._2)
+              bloomCols = cfg.compactBloomCols,
+              zorderCols = cfg.compactZOrder)._2)
           case None =>
             Some(Maintenance.compactVersioned(spark, cfg.tableDir,
               sortCol = cfg.compactClusterBy,
               statsCols =
                 (cfg.compactClusterBy.toSeq ++ cfg.compactStatsCols).distinct,
-              bloomCols = cfg.compactBloomCols))
+              bloomCols = cfg.compactBloomCols,
+              zorderCols = cfg.compactZOrder))
         }
       else None
     // scheduled orphan vacuum: crashed writers' leftovers (in-flight
@@ -341,6 +343,12 @@ object Automation {
       // its per-file min/max in the manifest — compaction doubles as
       // the data-skipping index refresh (readPruned plans from it)
       compactClusterBy: Option[String] = None,
+      // TWO-dimensional cluster layout for scheduled compactions:
+      // Morton-interleave these columns and range-cluster on the
+      // z-value (Bucketing.zorderLayout), so the manifest carries
+      // tight extents on BOTH — the countWhereAll / readPrunedWhere
+      // box-query layout. Overrides compactClusterBy when set.
+      compactZOrder: Option[(String, String)] = None,
       // extra columns whose per-file stats the compaction manifest
       // records beyond the cluster key — the multi-column skipping
       // index countWhereAll/readPrunedWhere consume (the cluster key

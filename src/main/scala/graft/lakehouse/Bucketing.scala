@@ -75,7 +75,18 @@ object Bucketing {
     * steps per key, all codegen. This is the multi-dimensional data-
     * skipping layout of the big table formats, without the format. */
   def writeZOrdered(df: DataFrame, path: String, colA: String,
-      colB: String, files: Int): Unit = {
+      colB: String, files: Int): Unit =
+    zorderLayout(df, colA, colB, files)
+      .write.mode("overwrite").parquet(path)
+
+  /** The z-ordered clustering as a TRANSFORMATION — what
+    * [[writeZOrdered]] writes, and what compaction feeds into a
+    * versioned commit ([[Maintenance.compactVersioned]] with
+    * `zorderCols`): re-clustering maintenance is how a table whose
+    * ingestion order scatters both query dimensions gets its
+    * skipping index back without a layout-aware writer. */
+  def zorderLayout(df: DataFrame, colA: String, colB: String,
+      files: Int): DataFrame = {
     val stats = df.agg(
       min(col(colA)).cast("double").as("_amin"),
       max(col(colA)).cast("double").as("_amax"),
@@ -92,7 +103,6 @@ object Bucketing {
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z", "_amin", "_amax", "_bmin", "_bmax")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Morton bit spread: 16-bit value → its bits at even positions of

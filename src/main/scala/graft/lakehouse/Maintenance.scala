@@ -121,7 +121,8 @@ object Maintenance {
                        targetFileBytes: Long = 128L << 20,
                        sortCol: Option[String] = None,
                        statsCols: Seq[String] = Nil,
-                       bloomCols: Seq[String] = Nil): Int = {
+                       bloomCols: Seq[String] = Nil,
+                       zorderCols: Option[(String, String)] = None): Int = {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
     // sum the version's actual FILE list — under a delta manifest the
@@ -134,13 +135,23 @@ object Maintenance {
         new Path(VersionedTable.currentPath(spark, root))).getLength
     }
     val n = math.max(1, (bytes / targetFileBytes).toInt)
-    VersionedTable.rewrite(spark, root, statsCols = statsCols,
-      bloomCols = bloomCols) { df =>
-      sortCol.fold(df.coalesce(n))(c =>
-        df.repartitionByRange(n, col(c)).sortWithinPartitions(c))
-    }
+    VersionedTable.rewrite(spark, root,
+      statsCols = (zorderCols.toSeq.flatMap(z => Seq(z._1, z._2)) ++
+        statsCols).distinct,
+      bloomCols = bloomCols)(df => layout(df, n, sortCol, zorderCols))
     n
   }
+
+  /** The compaction output layout: z-order beats a single sort key
+    * when queries box on TWO dimensions (√files skipping on each);
+    * otherwise range-cluster on `sortCol`, else plain bin-packing. */
+  private def layout(df: DataFrame, n: Int, sortCol: Option[String],
+      zorderCols: Option[(String, String)]): DataFrame =
+    zorderCols match {
+      case Some((a, b)) => Bucketing.zorderLayout(df, a, b, n)
+      case None => sortCol.fold(df.coalesce(n))(c =>
+        df.repartitionByRange(n, col(c)).sortWithinPartitions(c))
+    }
 
   /** FILE-GRANULAR compaction: bin-pack only the files SMALLER than
     * `smallFileBytes` into ~`targetFileBytes` outputs and carry every
@@ -165,14 +176,16 @@ object Maintenance {
                         sortCol: Option[String] = None,
                         statsCols: Seq[String] = Nil,
                         bloomCols: Seq[String] = Nil,
-                        keepVersions: Int = 1): (Int, Int) = {
+                        keepVersions: Int = 1,
+                        zorderCols: Option[(String, String)] = None)
+                       : (Int, Int) = {
     // a not-yet-versioned (flat/legacy) table has no file manifest to
     // carry references through — its first compaction is the full
     // rewrite that migrates it into versioning; every later one is
     // file-granular
     if (VersionedTable.currentVersion(spark, root).isEmpty) {
       val n = compactVersioned(spark, root, targetFileBytes, sortCol,
-        (sortCol.toSeq ++ statsCols).distinct, bloomCols)
+        (sortCol.toSeq ++ statsCols).distinct, bloomCols, zorderCols)
       return (-1, n)
     }
     val fs = FileSystem.get(new java.net.URI(root),
@@ -184,16 +197,16 @@ object Maintenance {
     val n = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
     VersionedTable.commitDelta(spark, root, big.map(_._1), keepVersions,
-      statsCols = (sortCol.toSeq ++ statsCols).distinct,
+      statsCols = (sortCol.toSeq ++
+        zorderCols.toSeq.flatMap(z => Seq(z._1, z._2)) ++
+        statsCols).distinct,
       bloomCols = bloomCols) { stage =>
       // DV-applied read: rewriting a small file PURGES its deletion
       // vector (the carried big files keep theirs via the manifest)
       val v = VersionedTable.currentVersion(spark, root).get
       val df = VersionedTable.readFilesWithDv(spark, root, v,
         small.map(f => s"$root/${f._1}"))
-      sortCol.fold(df.coalesce(n))(c =>
-          df.repartitionByRange(n, col(c)).sortWithinPartitions(c))
-        .write.parquet(stage)
+      layout(df, n, sortCol, zorderCols).write.parquet(stage)
     }
     (small.size, n)
   }

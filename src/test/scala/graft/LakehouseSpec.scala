@@ -1161,6 +1161,40 @@ class LakehouseSpec extends SparkSpec {
     assert(s4 < zfiles, s"scanned $s4 of $zfiles")
   }
 
+  test("z-order compaction restores 2-D box pruning on an ingestion-scattered table") {
+    import spark.implicits._
+    val root = tmpDir("zcompact") + "/t"
+    // ingestion order scatters both dims: every file's [min,max] on x
+    // AND y covers nearly the whole domain -> no box pruning at all
+    val df = spark.range(0, 20000).toDF("i")
+      .select((col("i") * 2654435761L % 141L).as("x"),
+        (col("i") * 40503L % 133L).as("y"), col("i").as("payload"))
+    VersionedTable.commit(spark, root, statsCols = Seq("x", "y")) { st =>
+      df.repartition(16).write.parquet(st)
+    }
+    val box = Seq(("x", 10L, 30L), ("y", 40L, 60L))
+    val want = VersionedTable.read(spark, root)
+      .filter(col("x").between(10L, 30L) && col("y").between(40L, 60L))
+      .count()
+    val (c0, scanned0) = VersionedTable.countWhereAll(spark, root, box)
+    assert(c0 == want)
+    // the scattered layout scans essentially everything
+    assert(scanned0 >= 14, s"expected no pruning, scanned $scanned0")
+    // z-order compaction: one maintenance call, same rows, and the
+    // SAME box now prunes to the straddling minority
+    graft.lakehouse.Maintenance.compactVersioned(spark, root,
+      targetFileBytes = 16L << 10, zorderCols = Some(("x", "y")))
+    val v = VersionedTable.currentVersion(spark, root).get
+    val zfiles = VersionedTable.manifestStats(spark, root, v).size
+    assert(zfiles >= 8, s"compaction produced only $zfiles files")
+    val (c1, scanned1) = VersionedTable.countWhereAll(spark, root, box)
+    assert(c1 == want)
+    assert(scanned1 < zfiles / 2,
+      s"z-order left $scanned1 of $zfiles scanning")
+    // the daemon path drives the same layout
+    assert(VersionedTable.read(spark, root).count() == 20000)
+  }
+
   test("manifest blooms prune point lookups where min/max ranges cannot") {
     import spark.implicits._
     val root = tmpDir("vtbloom") + "/t"
