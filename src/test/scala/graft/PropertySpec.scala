@@ -528,4 +528,96 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, cases = 30)
   }
+
+  test("property: random ALTER/append sequences equal a driver-side model") {
+    import spark.implicits._
+    import graft.lakehouse.VersionedTable
+    import org.apache.spark.sql.types.LongType
+    // stateful model check for schema evolution: apply a random
+    // sequence of ADD / RENAME / DROP / APPEND to both the versioned
+    // table and an in-driver model, comparing the full logical
+    // relation after EVERY op — adversarial structure is the
+    // interleaving (rename-then-append mixes file generations,
+    // add-then-rename chains pre-name lists, drop mid-sequence
+    // exercises projection pruning), not data volume.
+    val genSeed = for {
+      kinds <- Gen.listOfN(6, Gen.chooseNum(0, 3))
+      idxs <- Gen.listOfN(6, Gen.chooseNum(0, 97))
+      vals <- Gen.listOfN(24, Gen.frequency(
+        (4, Gen.chooseNum(-99L, 99L).map(Option(_))),
+        (1, Gen.const(Option.empty[Long]))))
+    } yield (kinds, idxs, vals)
+    val prop = Prop.forAll(genSeed) { case (kinds, idxs, vals) =>
+      val root = tmpDir("sevoprop") + "/t"
+      var cols = Vector("v1", "v2")
+      var fresh = 0
+      def freshName(pfx: String): String = { fresh += 1; s"$pfx$fresh" }
+      var nextK = 100L
+      var model = Vector(
+        (1L, Map("v1" -> Option(10L), "v2" -> Option(20L))),
+        (2L, Map("v1" -> Option(11L), "v2" -> Option.empty[Long])))
+      VersionedTable.initDelta(spark, root,
+        Seq((1L, Option(10L), Option(20L)), (2L, Option(11L), None))
+          .toDF("k", "v1", "v2"),
+        keepVersions = 64)
+      var vi = 0
+      def nextVal(): Option[Long] = { vi += 1; vals((vi - 1) % vals.size) }
+      def agree(): Prop = {
+        val t = VersionedTable.read(spark, root)
+        val colsOk = t.columns.toSeq == ("k" +: cols)
+        val got = t.collect().map { r =>
+          (r.getLong(0), cols.zipWithIndex.map { case (c, j) =>
+            c -> Option(r.get(j + 1)).map(_.asInstanceOf[Long])
+          }.toMap)
+        }.sortBy(_._1).toVector
+        val want = model.sortBy(_._1)
+        Prop(colsOk && got == want) :| s"cols=${t.columns.toSeq} got=$got want=$want"
+      }
+      val steps = kinds.zip(idxs).map { case (kind, idx) =>
+        kind match {
+          case 0 =>
+            val c = freshName("a")
+            VersionedTable.addColumn(spark, root, c, LongType, 64)
+            cols :+= c
+            model = model.map { case (k, m) =>
+              (k, m + (c -> Option.empty[Long])) }
+          case 1 =>
+            val at = idx % cols.size
+            val from = cols(at); val to = freshName("r")
+            VersionedTable.renameColumn(spark, root, from, to, 64)
+            cols = cols.updated(at, to)
+            model = model.map { case (k, m) =>
+              (k, (m - from) + (to -> m(from))) }
+          case 2 if cols.size >= 2 =>
+            val at = idx % cols.size
+            val dead = cols(at)
+            VersionedTable.dropColumn(spark, root, dead, 64)
+            cols = cols.patch(at, Nil, 1)
+            model = model.map { case (k, m) => (k, m - dead) }
+          case _ =>
+            val rows = (1 to 2).map { _ =>
+              nextK += 1
+              (nextK, cols.map(c => c -> nextVal()).toMap)
+            }
+            val batch = rows.map { case (k, m) =>
+              org.apache.spark.sql.Row.fromSeq(
+                k +: cols.map(c => m(c).map(Long.box).orNull))
+            }
+            val schema = org.apache.spark.sql.types.StructType(
+              org.apache.spark.sql.types.StructField("k", LongType) +:
+                cols.map(c =>
+                  org.apache.spark.sql.types.StructField(c, LongType)))
+            val df = spark.createDataFrame(
+              spark.sparkContext.parallelize(batch, 1), schema)
+            VersionedTable.appendDelta(spark, root, 64) { st =>
+              df.write.parquet(st)
+            }
+            model = model ++ rows
+        }
+        agree()
+      }
+      steps.reduce(_ && _)
+    }
+    check(prop, 8)
+  }
 }
