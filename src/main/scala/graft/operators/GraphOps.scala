@@ -149,6 +149,94 @@ object GraphOps {
        |ORDER BY pr DESC, node_id LIMIT 25""".stripMargin
   }
 
-  val queries: Map[String, QFn] = Map("q98_pagerank" -> q98)
-  val oracleSql: Map[String, String] = Map("q98_pagerank" -> q98Sql)
+  /** q105: TRIANGLE COUNTS + local clustering coefficient over the
+    * thresholded co-purchase projection (part–part edges co-ordered
+    * in ≥2 orders — q102's pair set). The node-iterator shape that
+    * scales: orient every edge from the (degree, id)-SMALLER endpoint
+    * to the larger, so each triangle is enumerated exactly once from
+    * its smallest corner and the wedge join's fanout is bounded by
+    * out-degree ≤ O(√E) on any graph (the arboricity argument behind
+    * every distributed triangle count — a hub of degree d never fans
+    * out d²). Wedges = dir ⋈ dir on the middle vertex; closure =
+    * equi-join against the directed edge set; per-node credit =
+    * explode the 3 corners. Coefficient = 2·tri / (deg·(deg−1)),
+    * identical IEEE in both engines, 6 dp.
+    *
+    * Note the contrast with q98: PageRank is iterative (fixed-round
+    * recurrence), triangles are a pure 2-join dataflow — the two
+    * canonical distributed-graph shapes, both over the same derived
+    * edge relation. */
+  private val q105: QFn = (s, d) => {
+    val b = Tables.orders(s, d).select("o_orderkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = b.select(col("o"), col("p").as("x"))
+      .join(b.select(col("o"), col("p").as("y")), Seq("o"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("x", "y")
+    val sym = pairs.union(pairs.select(col("y"), col("x")))
+      .toDF("u", "v")
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    // direct each edge small→large under the (deg, id) total order
+    val dir = sym
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select("u", "v")
+    val wedges = dir.select(col("u").as("a"), col("v").as("b"))
+      .join(dir.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+    val tri = wedges.join(dir.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("u"), "left")
+      .select(col("u").as("part"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(coalesce(col("n_tri"), lit(0L)).cast("double") * lit(2.0) /
+          (col("deg") * (col("deg") - 1)), 6).as("clustering"))
+  }
+  private val q105Sql =
+    """WITH b AS (
+      |  SELECT DISTINCT o_orderkey AS o, l_partkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |pairs AS (
+      |  SELECT a.p AS x, b2.p AS y FROM b a JOIN b b2
+      |  ON a.o = b2.o AND a.p < b2.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (SELECT x AS u, y AS v FROM pairs
+      |  UNION ALL SELECT y, x FROM pairs),
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+      |  GROUP BY u),
+      |dir AS (
+      |  SELECT s.u, s.v FROM sym s
+      |  JOIN deg a ON a.u = s.u JOIN deg b ON b.u = s.v
+      |  WHERE a.deg < b.deg OR (a.deg = b.deg AND s.u < s.v)),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM dir e1 JOIN dir e2 ON e1.v = e2.u
+      |  JOIN dir e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pn AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT a AS u FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) t GROUP BY u)
+      |SELECT d.u AS part, d.deg,
+      |  COALESCE(pn.n_tri, 0) AS n_tri,
+      |  ROUND(CAST(COALESCE(pn.n_tri, 0) AS DOUBLE) * 2.0 /
+      |    (d.deg * (d.deg - 1)), 6) AS clustering
+      |FROM deg d LEFT JOIN pn ON pn.u = d.u
+      |WHERE d.deg >= 2""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q98_pagerank" -> q98,
+    "q105_triangles" -> q105)
+  val oracleSql: Map[String, String] = Map(
+    "q98_pagerank" -> q98Sql,
+    "q105_triangles" -> q105Sql)
 }
