@@ -166,7 +166,14 @@ object GraphOps {
     * recurrence), triangles are a pure 2-join dataflow — the two
     * canonical distributed-graph shapes, both over the same derived
     * edge relation. */
-  private val q105: QFn = (s, d) => {
+  /** Thresholded co-purchase projection (part–part edges co-ordered
+    * in ≥2 orders — q102's pair set), BOTH directions: the shared
+    * derived edge relation under q105's triangles and q107's 2-hop
+    * reach. The ≥2-support threshold is also the scale lever: it is
+    * what keeps the projection's degree distribution bounded, so the
+    * wedge/neighbor joins downstream never fan a raw hub out
+    * quadratically. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val b = Tables.orders(s, d).select("o_orderkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
@@ -178,8 +185,23 @@ object GraphOps {
       .groupBy("x", "y").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select("x", "y")
-    val sym = pairs.union(pairs.select(col("y"), col("x")))
-      .toDF("u", "v")
+    pairs.union(pairs.select(col("y"), col("x"))).toDF("u", "v")
+  }
+
+  /** The same projection as a DuckDB CTE prefix (b, pairs, sym). */
+  private val coPurchaseCte =
+    """WITH b AS (
+      |  SELECT DISTINCT o_orderkey AS o, l_partkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |pairs AS (
+      |  SELECT a.p AS x, b2.p AS y FROM b a JOIN b b2
+      |  ON a.o = b2.o AND a.p < b2.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (SELECT x AS u, y AS v FROM pairs
+      |  UNION ALL SELECT y, x FROM pairs)""".stripMargin
+
+  private val q105: QFn = (s, d) => {
+    val sym = coPurchaseEdges(s, d)
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     // direct each edge small→large under the (deg, id) total order
     val dir = sym
@@ -202,16 +224,8 @@ object GraphOps {
         round(coalesce(col("n_tri"), lit(0L)).cast("double") * lit(2.0) /
           (col("deg") * (col("deg") - 1)), 6).as("clustering"))
   }
-  private val q105Sql =
-    """WITH b AS (
-      |  SELECT DISTINCT o_orderkey AS o, l_partkey AS p
-      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-      |pairs AS (
-      |  SELECT a.p AS x, b2.p AS y FROM b a JOIN b b2
-      |  ON a.o = b2.o AND a.p < b2.p
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-      |sym AS (SELECT x AS u, y AS v FROM pairs
-      |  UNION ALL SELECT y, x FROM pairs),
+  private val q105Sql = coPurchaseCte +
+    """,
       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
       |  GROUP BY u),
       |dir AS (
@@ -233,10 +247,52 @@ object GraphOps {
       |FROM deg d LEFT JOIN pn ON pn.u = d.u
       |WHERE d.deg >= 2""".stripMargin
 
+  /** q107: 2-HOP REACH — |{v : dist(u,v) ≤ 2}| per node over the
+    * co-purchase projection, the neighborhood-size signal behind
+    * "related items" breadth and influence-radius ranking. The third
+    * canonical distributed-graph shape next to q98 (iterative) and
+    * q105 (oriented 2-join): a single self-join on the SYMMETRIC edge
+    * list whose fanout is Σ deg² — bounded here by the projection's
+    * support threshold (the standard k-hop mitigation: threshold or
+    * cap hub degrees BEFORE expanding; a raw power-law graph would
+    * need the q79 salting treatment instead). The union+distinct
+    * dedups (1-hop ∪ 2-hop) pairs with map-side partial aggregation
+    * — the only full shuffle is keyed on the pair, then the per-node
+    * count is a second, V-sized aggregate. Exact, hash-checked:
+    * output (part, deg, reach_2hop). */
+  private val q107: QFn = (s, d) => {
+    val sym = coPurchaseEdges(s, d).localCheckpoint(true)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val two = sym.select(col("u"), col("v").as("m"))
+      .join(sym.select(col("u").as("m"), col("v").as("w")), Seq("m"))
+      .filter(col("w") =!= col("u"))
+      .select(col("u"), col("w").as("v"))
+    val reach = sym.select("u", "v").union(two).distinct()
+      .groupBy("u").agg(count(lit(1)).as("reach_2hop"))
+    deg.join(reach, Seq("u"))
+      .select(col("u").as("part"), col("deg"), col("reach_2hop"))
+  }
+  private val q107Sql = coPurchaseCte +
+    """,
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+      |  GROUP BY u),
+      |two AS (
+      |  SELECT a.u, b2.v FROM sym a JOIN sym b2 ON a.v = b2.u
+      |  WHERE b2.v <> a.u),
+      |reach AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS reach_2hop FROM (
+      |    SELECT DISTINCT u, v FROM (
+      |      SELECT u, v FROM sym UNION ALL SELECT u, v FROM two)) r
+      |  GROUP BY u)
+      |SELECT deg.u AS part, deg.deg, reach.reach_2hop
+      |FROM deg JOIN reach ON reach.u = deg.u""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q98_pagerank" -> q98,
-    "q105_triangles" -> q105)
+    "q105_triangles" -> q105,
+    "q107_khop_reach" -> q107)
   val oracleSql: Map[String, String] = Map(
     "q98_pagerank" -> q98Sql,
-    "q105_triangles" -> q105Sql)
+    "q105_triangles" -> q105Sql,
+    "q107_khop_reach" -> q107Sql)
 }

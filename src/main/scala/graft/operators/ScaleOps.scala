@@ -506,6 +506,47 @@ object ScaleOps {
       |JOIN card cb ON cb.source = p.seg_b
       |LEFT JOIN inter i ON i.sa = p.seg_a AND i.sb = p.seg_b""".stripMargin
 
+  /** q108: SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): embedding-space near-duplicate
+    * removal WITHIN k-means clusters. The all-pairs cosine screen
+    * (q46's shape) is O(n²) at corpus scale; SemDeDup's bargain is to
+    * pay pairwise cost only INSIDE coarse clusters — O(Σ|cluster|²),
+    * tunable by k — accepting that cross-cluster near-dups (rare: a
+    * near-dup pair lands in one cluster unless it straddles a
+    * boundary) are missed. Build: sample-bounded Lloyd training
+    * (KMeansVec — the 100-TB trainer), broadcast centroid assignment
+    * (map-side, in-row argmin), within-cluster self-join + native
+    * codegen cosine, then the dropNearDupsWithinBatch policy — drop
+    * every vector with a SMALLER-id neighbor at cosine ≥ τ in its
+    * cluster (greedy, deterministic, no iteration). Rows-only
+    * (training-dependent clustering); the spec pins the two defining
+    * invariants — no kept pair within a cluster at ≥ τ, every dropped
+    * vector has a smaller in-cluster ≥ τ witness — plus determinism. */
+  private val q108: QFn = (s, d) => {
+    val tau = 0.4
+    val emb = Tables.embeddings(s, d)
+    val dp = graft.functions.GraftFunctions.dotProduct _
+    val cos = graft.functions.GraftFunctions.cosineSim _
+    val cents = KMeansVec.centroidsDF(s, KMeansVec.train(emb, k = 8, iters = 3))
+    val assigned = emb
+      .join(broadcast(cents), col("vec_id").isNotNull)
+      .withColumn("score",
+        dp(col("cvec"), col("cvec")) - lit(2.0) * dp(col("embedding"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cent_id"),
+        first(col("embedding")).as("embedding"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("i"), col("embedding").as("ei"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("j"), col("embedding").as("ej"))
+    // pair generation + cosine filter fuse into one codegen join
+    // stage per cluster key — only ≥τ survivors reach the shuffle
+    val dropped = a.join(b, Seq("cent_id"))
+      .filter(col("i") < col("j") && cos(col("ei"), col("ej")) >= tau)
+      .select(col("j").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("dup").isNull.as("kept"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q32_minhash_pairs" -> q32,
     "q33_simhash" -> q33,
@@ -521,7 +562,8 @@ object ScaleOps {
     "q87_ann_sq8" -> q87,
     "q90_source_overlap" -> q90,
     "q91_ann_pq_search" -> q91,
-    "q92_semantic_mix" -> q92)
+    "q92_semantic_mix" -> q92,
+    "q108_semantic_dedup" -> q108)
 
   /** q32's verified output equals the exact trigram-Jaccard pair set:
     * the lowest true pair in the test data sits at j≈0.89 where 16×4

@@ -1025,6 +1025,71 @@ object TextOps {
       |FROM tf JOIN vocab USING (term)
       |GROUP BY doc_id""".stripMargin
 
+  /** q106: DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling", public):
+    * per-document log importance weight log(p_target(x)/p_raw(x))
+    * under hashed bag-of-words models — the standard
+    * select-toward-a-target-distribution signal (here: target = the
+    * corpus's own `lang = 'en'` slice, the "quality reference"
+    * stand-in). Features are md5-bucketed unigrams (first 2 hex chars
+    * → 256 buckets, STRING-keyed so neither engine parses hex — the
+    * keepByRate trick); both categorical models are Laplace-smoothed
+    * over the 256-bucket space, so buckets unseen in the target still
+    * get finite ratios. Scale shape: explode → (doc, bucket) counts
+    * (ONE data-sized shuffle, map-side combine), the two model
+    * aggregates are ≤256 rows each, the log-ratio table joins back
+    * BROADCAST, and the per-doc weighted sum is the second shuffle —
+    * nothing else is data-sized; the models themselves are KBs
+    * regardless of corpus size. Cross-engine determinism: the
+    * smoothed ratio is one fixed IEEE expression on identical
+    * long-derived doubles, its ln rounds to 6 dp (q59/q94's libm
+    * lesson), and the per-doc weighted sum runs through the exact
+    * decimal accumulator — hash-exact. */
+  private val q106: QFn = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("term")), 1, 2).as("b"))
+    val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val models = tok.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val t = models.agg(sum(col("cr")), sum(col("ct"))).head
+    val (tr, tt) = (t.getLong(0).toDouble, t.getLong(1).toDouble)
+    val lr = models.select(col("b"),
+      round(log(((col("ct") + 1.0) / (tt + 256.0))
+        / ((col("cr") + 1.0) / (tr + 256.0))), 6).as("lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum((col("n") * col("lr")).cast(graft.util.Exact.Dec))
+          .cast("double"), 6).as("dsir_logw"))
+      .select("doc_id", "n_tokens", "dsir_logw")
+  }
+  private val q106Sql =
+    """WITH t AS (SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tok AS (SELECT doc_id, lang, substr(md5(term), 1, 2) AS b
+      |  FROM t WHERE len(term) > 0),
+      |db AS (SELECT doc_id, b, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+      |models AS (SELECT b, COUNT(*) AS cr,
+      |    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+      |  FROM tok GROUP BY 1),
+      |tots AS (SELECT CAST(SUM(cr) AS DOUBLE) AS tr,
+      |    CAST(SUM(ct) AS DOUBLE) AS tt FROM models),
+      |lr AS (SELECT models.b,
+      |    ROUND(ln(((models.ct + 1.0) / (tots.tt + 256.0))
+      |           / ((models.cr + 1.0) / (tots.tr + 256.0))), 6) AS lr
+      |  FROM models CROSS JOIN tots)
+      |SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(db.n * lr.lr AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |    AS dsir_logw
+      |FROM db JOIN lr USING (b)
+      |GROUP BY 1""".stripMargin
+
   /** q99: TEMPERATURE-weighted source mixing — the α-smoothed
     * sampling standard multilingual/multi-source LLM corpora use
     * (XLM-R / mT5, α≈0.3): source i gets share p_i = n_i^α / Σ n_j^α
@@ -1246,7 +1311,8 @@ object TextOps {
     "q84_compress_ratio" -> q84,
     "q94_unigram_surprisal" -> q94,
     "q99_temperature_mix" -> q99,
-    "q101_fuzzy_join" -> q101)
+    "q101_fuzzy_join" -> q101,
+    "q106_dsir_weights" -> q106)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1275,5 +1341,6 @@ object TextOps {
     "q83_token_rarity" -> q83Sql,
     "q94_unigram_surprisal" -> q94Sql,
     "q99_temperature_mix" -> q99Sql,
-    "q101_fuzzy_join" -> q101Sql)
+    "q101_fuzzy_join" -> q101Sql,
+    "q106_dsir_weights" -> q106Sql)
 }

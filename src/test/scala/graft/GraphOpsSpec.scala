@@ -66,4 +66,28 @@ class GraphOpsSpec extends SparkSpec {
     // bipartite ids decode to real keys: odd = part, even = customer
     assert(out.map(_.getLong(0)).forall(_ >= 0))
   }
+
+  test("q107 matches a driver-side BFS on the same projection") {
+    // independent plain-Scala reimplementation: baskets → ≥2-support
+    // part pairs → adjacency → exact 2-hop reach per node
+    val baskets = Tables.orders(spark, sfDir).select("o_orderkey")
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = baskets.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = adj.map { case (u, n1) =>
+      val n2 = n1.flatMap(adj(_)) - u
+      u -> (n1.size.toLong, (n1 ++ n2).size.toLong)
+    }
+    val got = GraphOps.queries("q107_khop_reach")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"got ${got.size} nodes, want ${want.size}")
+  }
 }

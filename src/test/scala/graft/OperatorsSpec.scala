@@ -1414,4 +1414,60 @@ class OperatorsSpec extends SparkSpec {
     assert(sampleShare < corpusShare,
       s"head source $top: sample share $sampleShare !< corpus $corpusShare")
   }
+
+  test("q108: semantic dedup keeps no within-cluster pair above tau " +
+      "and every drop has a smaller kept-or-dropped witness") {
+    import org.apache.spark.sql.functions._
+    val tau = 0.4
+    val out = graft.operators.ScaleOps.queries("q108_semantic_dedup")(spark, sfDir)
+    val out2 = graft.operators.ScaleOps.queries("q108_semantic_dedup")(spark, sfDir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).distinct.length == rows.length && rows.nonEmpty)
+    assert(rows.sortBy(_._1).sameElements(
+      out2.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1)), "training/assignment must be deterministic")
+    // exact within-cluster cosines, driver-side (sf0.001 is tiny)
+    val emb = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosine(x: Array[Double], y: Array[Double]): Double = {
+      val (d, nx, ny) = x.indices.foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, nx, ny), i) => (d + x(i) * y(i), nx + x(i) * x(i), ny + y(i) * y(i))
+      }
+      d / math.sqrt(nx * ny)
+    }
+    val byCluster = rows.groupBy(_._2)
+    byCluster.values.foreach { cl =>
+      val kept = cl.filter(_._3).map(_._1).sorted
+      for (i <- kept.indices; j <- (i + 1) until kept.length)
+        assert(cosine(emb(kept(i)), emb(kept(j))) < tau,
+          s"kept pair ${kept(i)},${kept(j)} above tau")
+      // greedy policy: a dropped vector has a SMALLER in-cluster
+      // neighbor at >= tau (kept or itself dropped — the batch policy)
+      cl.filterNot(_._3).foreach { case (v, _, _) =>
+        val ids = cl.map(_._1)
+        assert(ids.exists(u => u < v && cosine(emb(u), emb(v)) >= tau),
+          s"dropped $v has no smaller witness")
+      }
+    }
+    // the screen actually fires on this data
+    assert(rows.exists(!_._3), "no duplicates dropped — tau too high for the data?")
+  }
+
+  test("q106: DSIR weights separate the target slice from the rest") {
+    import org.apache.spark.sql.functions._
+    val w = graft.operators.TextOps.queries("q106_dsir_weights")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val byLang = w.join(docs, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg("dsir_logw")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the importance weight log(p_en/p_raw) must rank the target
+    // slice above the non-target mean — otherwise the model learned
+    // nothing and selection would be noise
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} !> other mean ${byLang(false)}")
+    // weights are per-doc total log-ratios: finite, one row per doc
+    val n = w.count()
+    assert(n == docs.count() && w.select("doc_id").distinct().count() == n)
+  }
 }
