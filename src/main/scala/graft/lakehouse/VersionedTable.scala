@@ -2,7 +2,7 @@ package graft.lakehouse
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_extract, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, regexp_extract, sum, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Crash-safe table commits without a table format: versioned data
@@ -240,6 +240,134 @@ object VersionedTable {
     extends RuntimeException(
       s"audit failed, commit not published:\n  ${violations.mkString("\n  ")}")
 
+  /** A declared CHECK constraint rejected the write: the staged data
+    * was discarded and the table still serves its previous version. */
+  final class ConstraintViolatedException(val violations: Seq[String])
+    extends RuntimeException(
+      s"CHECK constraint violated, commit not published:\n  " +
+        violations.mkString("\n  "))
+
+  /** Declared CHECK constraints of the current version:
+    * (name, predicate SQL). Empty for unconstrained tables. */
+  def constraintsOf(spark: SparkSession, root: String): Seq[(String, String)] =
+    currentVersion(spark, root)
+      .map(v => manifestConstraints(spark, root, v)).getOrElse(Nil)
+
+  /** `k\t<name>\t<predicate>` manifest lines of version `n`. */
+  private def manifestConstraints(spark: SparkSession, root: String,
+      n: Long): Seq[(String, String)] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(commitsDir(root), n.toString)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split("\n").toSeq.collect {
+      case l if l.startsWith("k\t") =>
+        val parts = l.split("\t", -1)
+        (unesc(parts(1)), unesc(parts(2)))
+    }
+  }
+
+  private def constraintLines(cs: Seq[(String, String)]): String =
+    cs.map { case (n, p) => s"k\t${esc(n)}\t${esc(p)}" }
+      .sorted.mkString("\n")
+
+  /** Evaluate every constraint in ONE aggregate pass over `df` (the
+    * DataQuality shape — map-side partials, never one job per rule):
+    * a row passes a CHECK when the predicate is TRUE or NULL (the SQL
+    * standard's unknown-passes rule). Returns human-readable
+    * violation strings, empty when all hold. */
+  private def constraintViolations(df: DataFrame,
+      cs: Seq[(String, String)]): Seq[String] = {
+    if (cs.isEmpty) return Nil
+    val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
+      coalesce(sum(when(!coalesce(expr(p).cast("boolean"), lit(true)),
+        1L).otherwise(0L)), lit(0L)).as(s"v$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    cs.zipWithIndex.collect { case ((n, p), i) if row.getLong(i) > 0 =>
+      s"CHECK `$n` ($p): ${row.getLong(i)} violating row(s)"
+    }
+  }
+
+  /** Enforce `cs` on `df`; on violation delete `stage` and refuse —
+    * the single-object commit point means readers never saw it. */
+  private def enforceConstraints(fs: FileSystem, stage: Path,
+      df: DataFrame, cs: Seq[(String, String)]): Unit = {
+    val bad = constraintViolations(df, cs)
+    if (bad.nonEmpty) {
+      fs.delete(stage, true)
+      throw new ConstraintViolatedException(bad)
+    }
+  }
+
+  /** ADD CONSTRAINT … CHECK (predicate): validates the EXISTING table
+    * in one aggregate pass (a declaration the data already violates
+    * refuses — adding it would make every later commit unexplainably
+    * fail), then lands the declaration as a METADATA-ONLY delta commit
+    * (every file carried by reference, one manifest PUT — the ALTER
+    * shape, instant at any table size). From then on EVERY write path
+    * — full commits, delta appends, DML, MoR upserts, streaming
+    * batches, optimistic commits — checks the rows it writes and
+    * refuses violating batches atomically; carried files are never
+    * re-scanned (the whole table holds by induction). A row passes
+    * when the predicate is TRUE or NULL (SQL's unknown-passes rule).
+    * The analog of Delta's table CHECK constraints, re-expressed on
+    * the manifest protocol. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      predicate: String, keepVersions: Int = 1): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"bad constraint name: `$name`")
+    val prev = constraintsOf(spark, root)
+    require(!prev.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint `$name` already exists on $root")
+    // parse eagerly: an unparseable predicate must fail THIS DDL, not
+    // the next innocent commit
+    spark.sessionState.sqlParser.parseExpression(predicate)
+    val bad = constraintViolations(read(spark, root), Seq(name -> predicate))
+    if (bad.nonEmpty) throw new ConstraintViolatedException(
+      bad.map(_ + " in the existing data — constraint not added"))
+    commitDelta(spark, root, currentFiles(spark, root), keepVersions,
+      constraintsOverride = Some(prev :+ (name -> predicate)))(_ => ())
+  }
+
+  /** DROP CONSTRAINT: one metadata-only delta commit without the
+    * named declaration. `ifExists` no-ops (returning the current
+    * version) when absent; otherwise absence refuses. */
+  def dropConstraint(spark: SparkSession, root: String, name: String,
+      ifExists: Boolean = false, keepVersions: Int = 1): Long = {
+    val prev = constraintsOf(spark, root)
+    if (!prev.exists(_._1.equalsIgnoreCase(name))) {
+      if (ifExists) return currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"$root has no committed version"))
+      throw new IllegalArgumentException(
+        s"no constraint `$name` on $root")
+    }
+    commitDelta(spark, root, currentFiles(spark, root), keepVersions,
+      constraintsOverride =
+        Some(prev.filterNot(_._1.equalsIgnoreCase(name))))(_ => ())
+  }
+
+  /** Top-level column names a constraint predicate references. */
+  private def constraintRefs(spark: SparkSession, p: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(p).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }
+
+  /** DROP/RENAME COLUMN refuses while a CHECK constraint references
+    * the column (the Delta rule): the declaration would silently go
+    * stale — the operator must drop or re-declare it explicitly. */
+  private def requireUnconstrained(spark: SparkSession, root: String,
+      colName: String, verb: String): Unit =
+    constraintsOf(spark, root).foreach { case (n, p) =>
+      require(!constraintRefs(spark, p).exists(_.equalsIgnoreCase(colName)),
+        s"cannot $verb column `$colName` on $root: CHECK constraint " +
+          s"`$n` ($p) references it — drop the constraint first")
+    }
+
   /** WRITE-AUDIT-PUBLISH commit: like [[commit]], but between the
     * completed stage write and the manifest PUT, `audit` inspects the
     * staged (still-invisible) data — typically
@@ -274,7 +402,8 @@ object VersionedTable {
       case Some(n) => publishManifest(fs, root, n)
       case None    => fs.mkdirs(cd)
     }
-    val next = currentVersion(spark, root).getOrElse(0L) + 1L
+    val base = currentVersion(spark, root)
+    val next = base.getOrElse(0L) + 1L
     val data = new Path(s"$root/_v-$next")
     fs.delete(data, true) // leftovers of a crashed attempt
     writer(data.toString)
@@ -287,6 +416,13 @@ object VersionedTable {
         throw new AuditFailedException(bad)
       }
     }
+    // declared CHECK constraints persist across FULL rewrites (unlike
+    // the logical-schema h-line, they are declarative intent, never
+    // derivable from the data) and gate every row this commit writes
+    val cs = base.map(v => manifestConstraints(spark, root, v))
+      .getOrElse(Nil)
+    if (cs.nonEmpty)
+      enforceConstraints(fs, data, spark.read.parquet(data.toString), cs)
     val stats =
       if (statsCols.isEmpty) ""
       else collectFileStats(spark, data.toString, statsCols)
@@ -294,7 +430,8 @@ object VersionedTable {
       if (bloomCols.isEmpty) ""
       else collectFileBlooms(spark, data.toString, bloomCols,
         bloomBits, bloomHashes)
-    val payload = Seq(stats, blooms).filter(_.nonEmpty).mkString("\n")
+    val payload = Seq(constraintLines(cs), stats, blooms)
+      .filter(_.nonEmpty).mkString("\n")
     // THE commit point: one object's existence flips visibility
     publishManifest(fs, root, next, payload)
     // prune data dirs (both layouts) and manifests older than the
@@ -340,7 +477,8 @@ object VersionedTable {
       bloomHashes: Int = 4, statsFrom: Option[Long] = None,
       dv: Seq[(String, String, Long)] = Nil,
       edOverride: Option[Seq[EqDelete]] = None,
-      schemaOverride: Option[(StructType, Seq[String])] = None)
+      schemaOverride: Option[(StructType, Seq[String])] = None,
+      constraintsOverride: Option[Seq[(String, String)]] = None)
       (writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
@@ -374,6 +512,17 @@ object VersionedTable {
     val all = carried ++ newRefs
     require(all.nonEmpty,
       "empty delta commit: nothing carried and nothing written")
+
+    // CHECK constraints: carried forward (or replaced by add/drop);
+    // enforced on the NEW files only — carried files passed when they
+    // were committed, so the whole table holds by induction and a
+    // delta append stays O(batch) even on a constrained 100 TB table
+    val cs = constraintsOverride.getOrElse(
+      statsFrom.orElse(base)
+        .map(v => manifestConstraints(spark, root, v)).getOrElse(Nil))
+    if (cs.nonEmpty && newNames.nonEmpty)
+      enforceConstraints(fs, stage,
+        spark.read.parquet(newNames.map(n => s"$stage/$n"): _*), cs)
 
     // previous manifest payload, keyed root-relative, for carry-over
     val (prevStats, prevBlooms) = statsFrom.orElse(base) match {
@@ -464,7 +613,8 @@ object VersionedTable {
         .flatMap(v => manifestSchemaLine(spark, root, v)))
       .map { case (s, dropped) => schemaLine(s, dropped) }
       .getOrElse("")
-    val payload = Seq(hLine, statsPayload, bloomPayload, dvLines, edLines,
+    val payload = Seq(hLine, constraintLines(cs), statsPayload,
+      bloomPayload, dvLines, edLines,
       fLines).filter(_.nonEmpty).mkString("\n")
     publishManifest(fs, root, next, payload)
     prune(fs, root, next - math.max(1, keepVersions))
@@ -1731,11 +1881,19 @@ object VersionedTable {
         .write.mode(SaveMode.Overwrite).parquet(data.toString)
       require(fs.exists(new Path(data, "_SUCCESS")),
         s"writer did not complete a parquet commit under $data")
+      // constraints gate and carry exactly as in the plain commit; a
+      // violating attempt never reaches the manifest race
+      val cs = base.map(v => manifestConstraints(spark, root, v))
+        .getOrElse(Nil)
+      if (cs.nonEmpty)
+        enforceConstraints(fs, data, spark.read.parquet(data.toString), cs)
       val stats =
         if (statsCols.isEmpty) ""
         else collectFileStats(spark, data.toString, statsCols)
+      val payload = Seq(constraintLines(cs), stats)
+        .filter(_.nonEmpty).mkString("\n")
       try {
-        publishManifest(fs, root, next, stats, Some(dirName))
+        publishManifest(fs, root, next, payload, Some(dirName))
         prune(fs, root, next - math.max(1, keepVersions))
         return next
       } catch {
@@ -1962,7 +2120,8 @@ object VersionedTable {
     * files (unread) until rewrites purge them. The column's physical
     * names are tombstoned against recycling. */
   def dropColumn(spark: SparkSession, root: String, name: String,
-      keepVersions: Int = 1): Long =
+      keepVersions: Int = 1): Long = {
+    requireUnconstrained(spark, root, name, "drop")
     alterSchema(spark, root, keepVersions) { (s, dropped) =>
       val f = s.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         GraftSchemaError(s"no column `$name` on $root"))
@@ -1970,12 +2129,14 @@ object VersionedTable {
       (StructType(s.fields.filterNot(_ eq f)),
         (dropped ++ (f.name +: prevNames(f))).distinct)
     }
+  }
 
   /** ALTER TABLE … RENAME COLUMN: metadata-only; old files keep the
     * bytes under the old name, and reads coalesce newest-first. New
     * writes use the new name. */
   def renameColumn(spark: SparkSession, root: String, from: String,
-      to: String, keepVersions: Int = 1): Long =
+      to: String, keepVersions: Int = 1): Long = {
+    requireUnconstrained(spark, root, from, "rename")
     alterSchema(spark, root, keepVersions) { (s, dropped) =>
       val f = s.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
         GraftSchemaError(s"no column `$from` on $root"))
@@ -1990,6 +2151,7 @@ object VersionedTable {
             f.nullable, md)
         else x)), dropped)
     }
+  }
 
   /** Widenings Spark 4's vectorized parquet reader performs in-scan,
     * so a metadata-only retype stays a zero-rewrite commit. */

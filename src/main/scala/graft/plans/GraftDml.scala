@@ -540,6 +540,10 @@ case class GraftAlterCommand(root: String, op: GraftAlterCommand.Op)
         VersionedTable.renameColumn(spark, root, from, to, kv)
       case Widen(name, dt) =>
         VersionedTable.widenColumn(spark, root, name, dt, kv)
+      case AddCheck(name, predicate) =>
+        VersionedTable.addConstraint(spark, root, name, predicate, kv)
+      case DropCheck(name, ifExists) =>
+        VersionedTable.dropConstraint(spark, root, name, ifExists, kv)
     }
     Nil
   }
@@ -551,4 +555,6 @@ object GraftAlterCommand {
   final case class Drop(name: String, ifExists: Boolean) extends Op
   final case class Rename(from: String, to: String) extends Op
   final case class Widen(name: String, dataType: org.apache.spark.sql.types.DataType) extends Op
+  final case class AddCheck(name: String, predicate: String) extends Op
+  final case class DropCheck(name: String, ifExists: Boolean) extends Op
 }

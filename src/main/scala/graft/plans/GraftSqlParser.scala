@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterTh
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedTable}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteFromTable, DropColumns, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteFromTable, DropColumns, DropConstraint, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UpdateTable}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** SQL syntax extension: `ASOF JOIN`.
@@ -149,6 +149,22 @@ class GraftSqlParser(delegate: ParserInterface)
           s.newPosition.nonEmpty || s.newDefaultExpression.nonEmpty)
         GraftDml.fail("graft ALTER COLUMN supports only TYPE widening")
       GraftAlterCommand(root, GraftAlterCommand.Widen(name, dt))
+    // DDL: declarative CHECK constraints (enforced on every write).
+    // The parser wraps ADD CONSTRAINT's target in a validation scan
+    // (Filter(NOT cond, UnresolvedRelation)) — dig the relation out.
+    case a @ AddCheckConstraint(child, cc) =>
+      child.collectFirst {
+        case UnresolvedRelation(Seq(g, path), _, _)
+            if g.equalsIgnoreCase("graft") => path
+      } match {
+        case Some(root) => GraftAlterCommand(root,
+          GraftAlterCommand.AddCheck(cc.name, cc.condition))
+        case None => a
+      }
+    case DropConstraint(GraftAlterTable(root), name, ifExists, cascade) =>
+      if (cascade) GraftDml.fail(
+        "DROP CONSTRAINT ... CASCADE is not supported on graft tables")
+      GraftAlterCommand(root, GraftAlterCommand.DropCheck(name, ifExists))
     case p => p
   }
 
@@ -207,6 +223,10 @@ class GraftSqlParser(delegate: ParserInterface)
           case d: DeleteFromTable => bare(d.table)
           case u: UpdateTable => bare(u.table)
           case m: MergeIntoTable => bare(m.targetTable)
+          // ADD CONSTRAINT wraps its target in a validation scan —
+          // keep the two-part name so rewriteDml can claim the DDL
+          case a: AddCheckConstraint =>
+            a.child.collect { case u: UnresolvedRelation => u }
         }.flatten.toSet
         def committed(path: String): Boolean =
           scala.util.Try(graft.lakehouse.VersionedTable

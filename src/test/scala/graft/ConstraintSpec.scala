@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lakehouse.VersionedTable
+import graft.lakehouse.VersionedTable.ConstraintViolatedException
+
+/** Declarative table CHECK constraints: manifest-persisted, enforced
+  * on every write path, metadata-only to declare (the Delta-
+  * constraints analog on the commit protocol). */
+class ConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String = {
+    val root = tmpDir(prefix) + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "s", "v"),
+      keepVersions = 4)
+    root
+  }
+
+  test("addConstraint is metadata-only; violating delta append refused atomically") {
+    val root = freshTable("ck1")
+    val v1 = VersionedTable.addConstraint(spark, root, "pos_v", "v > 0",
+      keepVersions = 4)
+    assert(v1 == 2L)
+    assert(VersionedTable.constraintsOf(spark, root) == Seq("pos_v" -> "v > 0"))
+    // the declaration carried every file by reference: zero data files
+    // in the new version dir
+    val vdir = new java.io.File(s"$root/_v-2")
+    assert(!vdir.exists() || vdir.listFiles().forall(f =>
+      f.getName.startsWith("_") || f.getName.startsWith(".")))
+
+    val bad = Seq((4L, "x", -5L), (5L, "y", 50L)).toDF("k", "s", "v")
+    val e = intercept[ConstraintViolatedException] {
+      VersionedTable.appendDelta(spark, root, keepVersions = 4) { stage =>
+        bad.write.parquet(stage)
+      }
+    }
+    assert(e.getMessage.contains("pos_v") && e.getMessage.contains("1 violating"))
+    // atomic refusal: version unchanged, stage discarded, reads intact
+    assert(VersionedTable.currentVersion(spark, root).contains(2L))
+    assert(!new java.io.File(s"$root/_v-3").exists())
+    assert(VersionedTable.read(spark, root).count() == 3)
+
+    // a clean batch lands
+    VersionedTable.appendDelta(spark, root, keepVersions = 4) { stage =>
+      Seq((6L, "z", 60L)).toDF("k", "s", "v").write.parquet(stage)
+    }
+    assert(VersionedTable.read(spark, root).count() == 4)
+  }
+
+  test("constraints persist across full rewrites and gate them") {
+    val root = freshTable("ck2")
+    VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
+    // full rewrite keeps the declaration (unlike the schema h-line:
+    // constraints are intent, not data-derivable)
+    VersionedTable.rewrite(spark, root) { df => df.filter(col("k") =!= 2L) }
+    assert(VersionedTable.constraintsOf(spark, root)
+      == Seq("pos_v" -> "v > 0"))
+    // and a full rewrite that VIOLATES refuses with nothing published
+    val before = VersionedTable.currentVersion(spark, root).get
+    intercept[ConstraintViolatedException] {
+      VersionedTable.rewrite(spark, root) { df =>
+        df.withColumn("v", col("v") - lit(1000L))
+      }
+    }
+    assert(VersionedTable.currentVersion(spark, root).contains(before))
+    assert(VersionedTable.read(spark, root).agg(min("v")).head.getLong(0) > 0)
+  }
+
+  test("adding a constraint the existing data violates refuses without a commit") {
+    val root = freshTable("ck3")
+    intercept[ConstraintViolatedException] {
+      VersionedTable.addConstraint(spark, root, "big_v", "v > 15")
+    }
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.constraintsOf(spark, root).isEmpty)
+  }
+
+  test("NULL predicate rows pass (SQL unknown-passes rule); drop re-opens the gate") {
+    val root = tmpDir("ck4") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, Some(5L)), (2L, None)).toDF("k", "v"), keepVersions = 4)
+    VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
+    // a NULL v passes the CHECK on append too
+    VersionedTable.appendDelta(spark, root, keepVersions = 4) { stage =>
+      Seq((3L, Option.empty[Long])).toDF("k", "v").write.parquet(stage)
+    }
+    assert(VersionedTable.read(spark, root).count() == 3)
+    intercept[ConstraintViolatedException] {
+      VersionedTable.appendDelta(spark, root, keepVersions = 4) { stage =>
+        Seq((4L, Some(-1L))).toDF("k", "v").write.parquet(stage)
+      }
+    }
+    VersionedTable.dropConstraint(spark, root, "pos_v")
+    assert(VersionedTable.constraintsOf(spark, root).isEmpty)
+    VersionedTable.appendDelta(spark, root, keepVersions = 4) { stage =>
+      Seq((4L, Some(-1L))).toDF("k", "v").write.parquet(stage)
+    }
+    assert(VersionedTable.read(spark, root).count() == 4)
+    // ifExists no-ops, plain drop of a missing name refuses
+    VersionedTable.dropConstraint(spark, root, "gone", ifExists = true)
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropConstraint(spark, root, "gone")
+    }
+  }
+
+  test("SQL surface: ADD CONSTRAINT CHECK gates INSERT; DROP CONSTRAINT releases") {
+    val root = freshTable("ck5")
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT pos_v CHECK (v > 0)")
+    assert(VersionedTable.constraintsOf(spark, root).map(_._1) == Seq("pos_v"))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (9, 'q', -1)")
+    }
+    assert(e.getMessage.contains("pos_v"))
+    assert(VersionedTable.read(spark, root).count() == 3)
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (9, 'q', 90)")
+    assert(VersionedTable.read(spark, root).count() == 4)
+    spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT pos_v")
+    assert(VersionedTable.constraintsOf(spark, root).isEmpty)
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (10, 'w', -7)")
+    assert(VersionedTable.read(spark, root).count() == 5)
+  }
+
+  test("MoR upsert images are checked; pure key deletes commit scanlessly") {
+    val root = freshTable("ck6")
+    VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
+    intercept[ConstraintViolatedException] {
+      VersionedTable.upsertByKey(spark, root,
+        Seq((2L, "b2", -20L)).toDF("k", "s", "v"), Seq("k"))
+    }
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 2L).head.getString(1) == "b")
+    VersionedTable.upsertByKey(spark, root,
+      Seq((2L, "b2", 25L)).toDF("k", "s", "v"), Seq("k"))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 2L).head.getLong(2) == 25L)
+    // a keys-only delete writes no data files — no check, no scan
+    VersionedTable.deleteByKey(spark, root, Seq(Tuple1(1L)).toDF("k"), Seq("k"))
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
+  test("optimistic commits enforce and carry constraints") {
+    val root = freshTable("ck7")
+    VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
+    VersionedTable.commitOptimistic(spark, root, keepVersions = 4) { cur =>
+      cur.get.withColumn("v", col("v") + lit(1L))
+    }
+    assert(VersionedTable.constraintsOf(spark, root)
+      == Seq("pos_v" -> "v > 0"))
+    val before = VersionedTable.currentVersion(spark, root).get
+    intercept[ConstraintViolatedException] {
+      VersionedTable.commitOptimistic(spark, root, keepVersions = 4) { cur =>
+        cur.get.withColumn("v", lit(-1L))
+      }
+    }
+    assert(VersionedTable.currentVersion(spark, root).contains(before))
+  }
+
+  test("DROP/RENAME COLUMN refuse while a constraint references the column") {
+    val root = freshTable("ck8")
+    VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "v")
+    }
+    assert(e1.getMessage.contains("pos_v"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "v", "val")
+    }
+    assert(e2.getMessage.contains("pos_v"))
+    // unconstrained columns still evolve freely
+    VersionedTable.renameColumn(spark, root, "s", "label")
+    assert(VersionedTable.read(spark, root).columns.toSeq
+      == Seq("k", "label", "v"))
+    // after dropping the constraint the column frees up
+    VersionedTable.dropConstraint(spark, root, "pos_v")
+    VersionedTable.renameColumn(spark, root, "v", "val")
+    assert(VersionedTable.read(spark, root).columns.toSeq
+      == Seq("k", "label", "val"))
+  }
+}
