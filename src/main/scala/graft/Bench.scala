@@ -37,7 +37,8 @@ object Bench {
     "q97_reorder_rate", "q98_pagerank", "q99_temperature_mix",
     "q100_gapfill_interp", "q101_fuzzy_join", "q102_association_rules",
     "q103_transition_matrix", "q104_mad_outliers", "q105_triangles",
-    "q106_dsir_weights", "q107_khop_reach", "q108_semantic_dedup")
+    "q106_dsir_weights", "q107_khop_reach", "q108_semantic_dedup",
+    "q109_ewma", "q110_rfm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -403,6 +403,32 @@ object GraftFunctions {
   private[functions] val graftHistoryInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_history")
 
+  /** Table function `graft_constraints('root')` — the table's
+    * declared CHECK constraints as a relation: one row per
+    * (name, predicate). Metadata-only (one manifest read) — the
+    * observability surface for "what will this table refuse", pairing
+    * with `graft_files`/`graft_history` for audit one-liners. */
+  private[functions] val graftConstraintsBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_constraints expects (rootPath)")
+      val spark = SparkSession.active
+      val cs = graft.lakehouse.VersionedTable
+        .constraintsOf(spark, args.head.eval(null).toString)
+      val rows = cs.map { case (n, p) => org.apache.spark.sql.Row(n, p) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("predicate",
+            org.apache.spark.sql.types.StringType))))
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftConstraintsInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_constraints")
+
   /** Table function `graft_files('root')` — the current version's
     * per-file skipping index as a relation: one row per (file,
     * stats column) with rows / min / max / null count, plus the
@@ -503,6 +529,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_files"), graftFilesInfo,
       graftFilesBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_constraints"), graftConstraintsInfo,
+      graftConstraintsBuilder)
   }
 }
 
@@ -579,6 +608,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_files"),
       GraftFunctions.graftFilesInfo,
       GraftFunctions.graftFilesBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_constraints"),
+      GraftFunctions.graftConstraintsInfo,
+      GraftFunctions.graftConstraintsBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -149,6 +149,13 @@ object IncrementalLoader {
         (f, LoadRegistry.StatusOk, n, Nil)
         }
       } catch {
+        // a declared table CHECK constraint rejected the batch: the
+        // refusal is DETERMINISTIC (same drop → same violation), so it
+        // quarantines like an audit rejection — terminal in the
+        // registry, never retried, source file kept for triage.
+        // Plain failures stay transient (retried next tick).
+        case e: VersionedTable.ConstraintViolatedException =>
+          (f, LoadRegistry.StatusQuarantined, 0L, e.violations)
         case e: Exception =>
           (f, LoadRegistry.StatusFailed, 0L, Nil)
       }

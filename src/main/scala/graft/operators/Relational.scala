@@ -1183,7 +1183,67 @@ object Relational {
       |FROM dev d JOIN mad a USING (event_type)
       |GROUP BY d.event_type, d.med, a.mad""".stripMargin
 
+  /** q110: RFM SEGMENTATION (Recency/Frequency/Monetary quintiles —
+    * the classic direct-marketing customer segmentation, Hughes 1994):
+    * per customer, last order date / order count / exact-decimal
+    * lifetime spend, each metric quintiled over ALL customers, the
+    * three digits concatenated into the familiar "555"-style segment,
+    * aggregated to (segment, n_customers, avg_monetary). Bucket 5 =
+    * most recent / most frequent / highest spend (ascending ntile).
+    *
+    * Scale shape: the global quintiles are the q29-vs-q63 hazard —
+    * `ntile(5) OVER (ORDER BY …)` funnels every customer through ONE
+    * reducer — so all three rankings run through RankOps.withGlobalRank
+    * (range-repartition + two-pass zipWithIndex, partitions follow the
+    * session) + arithmetic NTILE, which q63's shared oracle pins equal
+    * to the window function. Three rank passes over customer-grain
+    * rows (each O(C) with a partition-count driver array), one
+    * map-side-partial aggregate per metric build, and a ≤125-row
+    * result. Total (metric, custkey) orders make every tiebreak
+    * deterministic; customers with no orders are out of scope (no
+    * RFM without a purchase). */
+  private val q110: QFn = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c"))
+      .agg(max(col("o_orderdate")).as("r"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast(Dec)).as("m"))
+    val n = per.count()
+    val ranked = Seq(("r", "rb"), ("f", "fb"), ("m", "mb"))
+      .foldLeft(per) { case (df, (metric, bucket)) =>
+        RankOps.withGlobalRank(df,
+            Seq(col(metric).asc, col("c").asc), rankCol = "rk")
+          .withColumn(bucket, RankOps.ntileFromRank(col("rk"), n, 5))
+          .drop("rk")
+      }
+    ranked
+      .withColumn("segment", concat(col("rb").cast("string"),
+        col("fb").cast("string"), col("mb").cast("string")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("m")).cast("double") / count(lit(1)), 6)
+          .as("avg_monetary"))
+  }
+  private val q110Sql =
+    """WITH per AS (
+      |  SELECT o_custkey AS c, MAX(o_orderdate) AS r,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS m
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT c, m,
+      |    NTILE(5) OVER (ORDER BY r, c) AS rb,
+      |    NTILE(5) OVER (ORDER BY f, c) AS fb,
+      |    NTILE(5) OVER (ORDER BY m, c) AS mb
+      |  FROM per)
+      |SELECT CAST(rb AS VARCHAR) || CAST(fb AS VARCHAR) ||
+      |    CAST(mb AS VARCHAR) AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+      |FROM s GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q110_rfm" -> q110,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_shipping_priority" -> q03,
@@ -1254,6 +1314,7 @@ object Relational {
     "q28_moving_avg" -> q28Sql,
     "q29_deciles" -> q29Sql,
     "q63_deciles_scalable" -> q29Sql, // identical output, shared oracle
+    "q110_rfm" -> q110Sql,
     "q85_percentiles_scalable" -> q16Sql, // identical output, shared oracle
     "q55_string_funcs" -> q55Sql,
     "q56_no_orders_bloom" -> q15Sql,

@@ -308,7 +308,68 @@ object SessionOps {
       |  ROUND(CAST(n AS DOUBLE) / total, 6) AS p
       |FROM pairs JOIN tot USING (from_type)""".stripMargin
 
+  /** q109: truncated EWMA smoothing of the per-type daily value series
+    * — the classic time-series denoiser (monitoring dashboards,
+    * anomaly baselines; the EWMA control chart, Roberts 1959). The
+    * exact recursive form s_t = α·v_t + (1−α)·s_{t−1} is a sequential
+    * scan; the distributed (and oracle-checkable) form truncates the
+    * exponential tail: s_t ≈ Σ_{j<14} w_j·v_{t−j} / Σ_{j<14} w_j with
+    * w_j = α(1−α)^j, normalized over the weights actually present so
+    * series heads are well-defined. Tail mass below the cut is
+    * (1−α)^14 ≈ 0.7% at α = 0.3 — noise-floor relative error.
+    *
+    * Scale shape: the heavy half (daily aggregate) is ONE shuffle
+    * with map-side partials; the 14 lag terms all ride ONE window
+    * spec (one exchange + sort keyed on event_type — partition-
+    * parallel at any type count, the q74 single-spec discipline).
+    * Cross-engine exact: the weights are LITERAL doubles embedded in
+    * both engines' plans (shortest-round-trip repr — no runtime pow
+    * to drift), daily sums ride the decimal accumulator, and the
+    * weighted chain is one fixed left-associated IEEE expression on
+    * identical inputs — hash-exact at 6 dp. */
+  private val alpha109 = 0.3
+  private val weights109: Seq[Double] =
+    (0 until 14).map(j => alpha109 * math.pow(1 - alpha109, j))
+  private val q109: QFn = (s, d) => {
+    val DayUs = 86400L * 1000000L
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / DayUs).cast("long").as("d"),
+        col("value"))
+      .groupBy("event_type", "d")
+      .agg(dsum(col("value")).as("v"))
+    val w = Window.partitionBy("event_type").orderBy(col("d"))
+    val lags = weights109.zipWithIndex.map { case (wt, j) =>
+      (wt, lag(col("v"), j).over(w))
+    }
+    val num = lags.map { case (wt, l) =>
+      coalesce(l, lit(0.0)) * lit(wt) }.reduce(_ + _)
+    val den = lags.map { case (wt, l) =>
+      when(l.isNull, lit(0.0)).otherwise(lit(wt)) }.reduce(_ + _)
+    daily
+      .withColumn("ewma", round(num / den, 6))
+      .select(col("event_type"), col("d").as("day"),
+        round(col("v"), 6).as("daily_value"), col("ewma"))
+  }
+  private val q109Sql = {
+    val num = weights109.zipWithIndex.map { case (wt, j) =>
+      s"COALESCE(LAG(v, $j) OVER w, 0.0) * $wt" }.mkString(" + ")
+    val den = weights109.zipWithIndex.map { case (wt, j) =>
+      s"CASE WHEN LAG(v, $j) OVER w IS NULL THEN 0.0 ELSE $wt END" }
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+       |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, d AS day, ROUND(v, 6) AS daily_value,
+       |  ROUND(($num) / ($den), 6) AS ewma
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY d)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q109_ewma" -> q109,
     "q103_transition_matrix" -> q103,
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
@@ -320,6 +381,7 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q109_ewma" -> q109Sql,
     "q103_transition_matrix" -> q103Sql,
     "q50_sessionize" -> q50Sql,
     "q51_tumbling_counts" -> q51Sql,

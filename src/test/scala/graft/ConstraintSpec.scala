@@ -117,8 +117,13 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 3)
     spark.sql(s"INSERT INTO graft.`$root` VALUES (9, 'q', 90)")
     assert(VersionedTable.read(spark, root).count() == 4)
+    // the observability TVF serves the declarations from SQL
+    assert(spark.sql(s"SELECT * FROM graft_constraints('$root')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("pos_v", "v > 0")))
     spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT pos_v")
     assert(VersionedTable.constraintsOf(spark, root).isEmpty)
+    assert(spark.sql(s"SELECT * FROM graft_constraints('$root')").count() == 0)
     spark.sql(s"INSERT INTO graft.`$root` VALUES (10, 'w', -7)")
     assert(VersionedTable.read(spark, root).count() == 5)
   }
@@ -156,6 +161,37 @@ class ConstraintSpec extends SparkSpec {
       }
     }
     assert(VersionedTable.currentVersion(spark, root).contains(before))
+  }
+
+  test("loader quarantines constraint-violating drops terminally") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.lakehouse.{IncrementalLoader, LoadRegistry}
+    val root = tmpDir("ckq")
+    val src = s"$root/arrivals"; val table = s"$root/t"
+    new java.io.File(src).mkdirs()
+    VersionedTable.initDelta(spark, table, Seq((1L, 10L)).toDF("k", "v"),
+      keepVersions = 4)
+    VersionedTable.addConstraint(spark, table, "pos_v", "v > 0",
+      keepVersions = 4)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    java.nio.file.Files.writeString(
+      new java.io.File(src, "good.csv").toPath, "k,v\n2,20\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(src, "bad.csv").toPath, "k,v\n3,-3\n")
+    val r1 = IncrementalLoader.run(spark, src, table, s"$root/reg", schema,
+      keepVersions = 4)
+    assert(r1.loaded.size == 1 && r1.loaded.head.endsWith("good.csv"))
+    assert(r1.quarantined.size == 1 &&
+      r1.quarantined.head._1.endsWith("bad.csv"))
+    assert(r1.quarantined.head._2.exists(_.contains("pos_v")))
+    assert(VersionedTable.read(spark, table).count() == 2)
+    // terminal: the rerun skips the quarantined drop (no retry loop)
+    val r2 = IncrementalLoader.run(spark, src, table, s"$root/reg", schema,
+      keepVersions = 4)
+    assert(r2.loaded.isEmpty && r2.quarantined.isEmpty && r2.skipped.size == 2)
+    assert(LoadRegistry.read(spark, s"$root/reg")
+      .filter(col("status") === LoadRegistry.StatusQuarantined).count() == 1)
   }
 
   test("DROP/RENAME COLUMN refuse while a constraint references the column") {
