@@ -333,6 +333,27 @@ object VersionedTable {
       constraintsOverride = Some(prev :+ (name -> predicate)))(_ => ())
   }
 
+  /** Replace the table's WHOLE constraint set in one metadata-only
+    * commit — the `CREATE [OR REPLACE] TABLE … CONSTRAINT … CHECK`
+    * form, where the statement declares the complete definition.
+    * Validates every predicate against the current data in ONE
+    * aggregate pass (trivially empty for a fresh CREATE). */
+  def setConstraints(spark: SparkSession, root: String,
+      cs: Seq[(String, String)], keepVersions: Int = 1): Long = {
+    require(cs.map(_._1.toLowerCase).distinct.size == cs.size,
+      s"duplicate constraint names in ${cs.map(_._1)}")
+    cs.foreach { case (n, p) =>
+      require(n.nonEmpty && !n.exists(c => c == '\t' || c == '\n'),
+        s"bad constraint name: `$n`")
+      spark.sessionState.sqlParser.parseExpression(p)
+    }
+    val bad = constraintViolations(read(spark, root), cs)
+    if (bad.nonEmpty) throw new ConstraintViolatedException(
+      bad.map(_ + " in the existing data — constraints not set"))
+    commitDelta(spark, root, currentFiles(spark, root), keepVersions,
+      constraintsOverride = Some(cs))(_ => ())
+  }
+
   /** DROP CONSTRAINT: one metadata-only delta commit without the
     * named declaration. `ifExists` no-ops (returning the current
     * version) when absent; otherwise absence refuses. */

@@ -494,7 +494,8 @@ case class GraftCtasCommand(root: String, query: LogicalPlan,
   * consumer. */
 case class GraftCreateTableCommand(root: String,
     tableSchema: GraftDml.Raw[org.apache.spark.sql.types.StructType],
-    ifNotExists: Boolean, statsCols: Seq[String], bloomCols: Seq[String])
+    ifNotExists: Boolean, statsCols: Seq[String], bloomCols: Seq[String],
+    checks: Seq[(String, String)] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
 
@@ -511,6 +512,9 @@ case class GraftCreateTableCommand(root: String,
       statsCols, bloomCols) { stage =>
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
     }
+    if (checks.nonEmpty)
+      VersionedTable.setConstraints(spark, root, checks,
+        GraftDml.keepVersions(spark))
     Nil
   }
 }

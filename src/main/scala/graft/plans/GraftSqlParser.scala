@@ -108,7 +108,8 @@ class GraftSqlParser(delegate: ParserInterface)
       requireUnpartitioned(parts)
       val (st, bl) = indexProps(spec)
       GraftCreateTableCommand(path,
-        GraftDml.Raw(StructType(cols.map(_.toV1Column))), ifNotExists, st, bl)
+        GraftDml.Raw(StructType(cols.map(_.toV1Column))), ifNotExists, st, bl,
+        checkConstraints(spec))
     // DDL: metadata-only ALTER TABLE schema evolution
     case AddColumns(GraftAlterTable(root), cols) =>
       val c = cols match {
@@ -183,6 +184,20 @@ class GraftSqlParser(delegate: ParserInterface)
       "PARTITIONED BY is not supported on graft tables — cluster inside " +
         "the query (Bucketing.*) and index via TBLPROPERTIES " +
         "('graft.statsCols'/'graft.bloomCols') instead")
+
+  /** Declared CHECK constraints of a CREATE/REPLACE statement; any
+    * other constraint kind (PRIMARY KEY / FOREIGN KEY / UNIQUE) is
+    * refused loudly — graft enforces only CHECK. */
+  private def checkConstraints(
+      spec: TableSpecBase): Seq[(String, String)] = spec match {
+    case u: UnresolvedTableSpec => u.constraints.map {
+      case c: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+        (c.name, c.condition)
+      case other => GraftDml.fail("only CHECK constraints are supported " +
+        s"on graft tables, got: ${other.getClass.getSimpleName}")
+    }
+    case _ => Nil
+  }
 
   /** Data-skipping index columns from literal TBLPROPERTIES. */
   private def indexProps(spec: TableSpecBase): (Seq[String], Seq[String]) = {

@@ -128,6 +128,30 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 5)
   }
 
+  test("CREATE TABLE with inline CHECK declares and enforces from row one") {
+    val root = tmpDir("ck9") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (k BIGINT, v BIGINT, " +
+      "CONSTRAINT pos_v CHECK (v > 0))")
+    assert(VersionedTable.constraintsOf(spark, root)
+      == Seq("pos_v" -> "v > 0"))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (1, -1)")
+    }
+    assert(e.getMessage.contains("pos_v"))
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 10)")
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // (CTAS constraints are a Spark grammar restriction: "Constraints
+    // may not be specified in a CTAS statement" — declare post-hoc
+    // with ALTER ... ADD CONSTRAINT, which validates the data.)
+
+    // non-CHECK constraint kinds refuse at parse time
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${tmpDir("ck9d")}/t` " +
+        "(k BIGINT PRIMARY KEY, v BIGINT)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("check"))
+  }
+
   test("MoR upsert images are checked; pure key deletes commit scanlessly") {
     val root = freshTable("ck6")
     VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
