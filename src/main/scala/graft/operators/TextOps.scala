@@ -18,7 +18,7 @@ object TextOps {
   type QFn = (SparkSession, String) => DataFrame
 
   /** Whitespace word split shared by several operators. */
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  private[operators] def words(c: Column): Column = split(trim(c), "\\s+")
 
   /** The deterministic rate→threshold keep rule the mixing samplers
     * share (q68, ScaleOps q92): a row survives iff the first 16 bits

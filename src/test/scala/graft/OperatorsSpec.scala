@@ -1453,6 +1453,50 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(!_._3), "no duplicates dropped — tau too high for the data?")
   }
 
+  test("DsirView: batch-folded model is bit-identical to scratch; " +
+      "full-fold score reproduces q106") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DsirView
+    val root = tmpDir("dsirview") + "/m"
+    val docs = Tables.documents(spark, sfDir)
+    // fold in 3 uneven batches (order-independence is the contract)
+    Seq(docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1))
+      .foreach(b => DsirView.update(spark, root, b))
+    // maintained counts == one-shot counts, bit for bit
+    val scratch = tmpDir("dsirscratch") + "/m"
+    DsirView.update(spark, scratch, docs)
+    val a = DsirView.model(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = DsirView.model(spark, scratch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // scoring the corpus against the fully-folded model == q106
+    val got = DsirView.score(spark, root, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val want = graft.operators.TextOps.queries("q106_dsir_weights")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got == want)
+    // a doc with vocabulary the model has never seen still scores
+    // (every token falls to the smoothed unseen ratio, no drop)
+    import spark.implicits._
+    val novel = Seq((999999L, "zzqx qxzz zzqx", "en", "srcX", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s = DsirView.score(spark, root, novel).collect()
+    assert(s.length == 1 && s.head.getLong(1) == 3L)
+    // tiny model (a handful of buckets) + disjoint-vocab probe: every
+    // probe token takes the UNSEEN-bucket smoothed ratio — the score
+    // must exist and be finite, not empty (the inner-join trap)
+    val tiny = tmpDir("dsirtiny") + "/m"
+    DsirView.update(spark, tiny,
+      Seq((1L, "alpha beta", "en", "s", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val s2 = DsirView.score(spark, tiny, novel).collect()
+    assert(s2.length == 1 && !s2.head.getDouble(2).isNaN)
+  }
+
   test("q106: DSIR weights separate the target slice from the rest") {
     import org.apache.spark.sql.functions._
     val w = graft.operators.TextOps.queries("q106_dsir_weights")(spark, sfDir)
