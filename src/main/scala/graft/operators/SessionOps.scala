@@ -368,8 +368,52 @@ object SessionOps {
        |WINDOW w AS (PARTITION BY event_type ORDER BY d)""".stripMargin
   }
 
+  /** q111: CONVERSION-LATENCY percentiles per signup-week cohort —
+    * "how long from first click to first purchase", the funnel-depth
+    * twin of q88's stage counts (that query counts WHO converts; this
+    * one distributes WHEN). Per user: first click / first purchase
+    * timestamps (one conditional-min aggregate — map-side partials,
+    * user-keyed shuffle), converters = both present with purchase not
+    * before click; cohort = the first click's calendar day (integer
+    * micro-arithmetic like q89 — tz-free, engine-exact); per cohort
+    * the exact interpolated p50/p90 of latency-in-seconds (the q16
+    * small-group percentile form — days are bounded and each holds
+    * ≤ users/day; q85's RankOps machinery is the declared path when
+    * a group outgrows one task). Latency = integer-micros difference
+    * over 1e6 — one IEEE division on identical longs. */
+  private val q111: QFn = (s, d) => {
+    val DayUs = 86400L * 1000000L
+    val f = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "click", col("us"))).as("c"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"))
+      .filter(col("c").isNotNull && col("p").isNotNull && col("p") >= col("c"))
+      .withColumn("cohort_day", floor(col("c") / DayUs).cast("long"))
+      .withColumn("lag_s", (col("p") - col("c")) / 1000000.0)
+    f.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_converters"),
+        round(percentile(col("lag_s"), lit(0.5)), 6).as("p50_s"),
+        round(percentile(col("lag_s"), lit(0.9)), 6).as("p90_s"))
+  }
+  private val q111Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(FLOOR(c / 86400000000) AS BIGINT) AS cohort_day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_converters,
+      |  ROUND(quantile_cont((p - c) / 1000000.0, 0.5), 6) AS p50_s,
+      |  ROUND(quantile_cont((p - c) / 1000000.0, 0.9), 6) AS p90_s
+      |FROM f
+      |WHERE c IS NOT NULL AND p IS NOT NULL AND p >= c
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q109_ewma" -> q109,
+    "q111_conversion_lag" -> q111,
     "q103_transition_matrix" -> q103,
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
@@ -382,6 +426,7 @@ object SessionOps {
 
   val oracleSql: Map[String, String] = Map(
     "q109_ewma" -> q109Sql,
+    "q111_conversion_lag" -> q111Sql,
     "q103_transition_matrix" -> q103Sql,
     "q50_sessionize" -> q50Sql,
     "q51_tumbling_counts" -> q51Sql,

@@ -620,4 +620,49 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, 8)
   }
+
+  test("property: CHECK constraint accepts exactly the batches the model accepts") {
+    import spark.implicits._
+    import graft.lakehouse.VersionedTable
+    // adversarial structure: random threshold, random batches mixing
+    // nulls (must PASS — SQL's unknown-passes rule), boundary values
+    // (exactly T must refuse for `v > T`), and clean rows; the table
+    // must hold exactly the union of accepted batches afterwards
+    val genCase = for {
+      t <- Gen.chooseNum(-10L, 10L)
+      init <- Gen.listOfN(4, Gen.frequency(
+        (3, Gen.chooseNum(1L, 30L).map(d => Option(t + d))),
+        (1, Gen.const(Option.empty[Long]))))
+      batches <- Gen.listOfN(4, Gen.listOfN(3, Gen.frequency(
+        (3, Gen.chooseNum(-5L, 5L).map(d => Option(t + d))),
+        (1, Gen.const(Option.empty[Long])))))
+    } yield (t, init, batches)
+    val prop = Prop.forAll(genCase) { case (t, init, batches) =>
+      val root = tmpDir("ckprop") + "/t"
+      VersionedTable.init(spark, root,
+        init.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v"),
+        keepVersions = 64)
+      VersionedTable.addConstraint(spark, root, "thr", s"v > $t", 64)
+      var expected = init
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        val ok = b.forall(v => v.isEmpty || v.get > t)
+        val df = b.zipWithIndex
+          .map { case (v, i) => (100L * (bi + 1) + i, v) }.toDF("k", "v")
+        try {
+          VersionedTable.appendDelta(spark, root, 64) { st =>
+            df.write.parquet(st)
+          }
+          assert(ok, s"violating batch $b accepted at threshold $t")
+          expected = expected ++ b
+        } catch {
+          case _: VersionedTable.ConstraintViolatedException =>
+            assert(!ok, s"clean batch $b refused at threshold $t")
+        }
+      }
+      val got = VersionedTable.read(spark, root).select("v")
+        .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      got.sorted.sameElements(expected.sorted)
+    }
+    check(prop, 6)
+  }
 }
