@@ -1045,7 +1045,8 @@ object TextOps {
     * long-derived doubles, its ln rounds to 6 dp (q59/q94's libm
     * lesson), and the per-doc weighted sum runs through the exact
     * decimal accumulator — hash-exact. */
-  private val q106: QFn = (s, d) => {
+  private val q106: QFn = (s, d) => dsirWeights(s, d)
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(words(col("text"))).as("term"))
@@ -1068,7 +1069,9 @@ object TextOps {
           .cast("double"), 6).as("dsir_logw"))
       .select("doc_id", "n_tokens", "dsir_logw")
   }
-  private val q106Sql =
+  /** Shared q106 model CTE chain (everything up to the final
+    * per-doc weight), reused verbatim by q112's oracle. */
+  private val dsirCte =
     """WITH t AS (SELECT doc_id, lang,
       |    unnest(string_split_regex(trim(text), '\s+')) AS term
       |  FROM documents),
@@ -1083,12 +1086,41 @@ object TextOps {
       |lr AS (SELECT models.b,
       |    ROUND(ln(((models.ct + 1.0) / (tots.tt + 256.0))
       |           / ((models.cr + 1.0) / (tots.tr + 256.0))), 6) AS lr
-      |  FROM models CROSS JOIN tots)
-      |SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_tokens,
-      |  ROUND(CAST(SUM(CAST(db.n * lr.lr AS DECIMAL(28,6))) AS DOUBLE), 6)
-      |    AS dsir_logw
-      |FROM db JOIN lr USING (b)
-      |GROUP BY 1""".stripMargin
+      |  FROM models CROSS JOIN tots),
+      |w AS (
+      |  SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_tokens,
+      |    ROUND(CAST(SUM(CAST(db.n * lr.lr AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |      AS dsir_logw
+      |  FROM db JOIN lr USING (b)
+      |  GROUP BY 1)""".stripMargin
+  private val q106Sql = dsirCte + "\nSELECT doc_id, n_tokens, dsir_logw FROM w"
+
+  /** q112: DSIR importance RESAMPLING — the selection stage that
+    * completes q106's pipeline (weights → resample): each document is
+    * kept with probability min(1, p_target(x)/p_raw(x)) = min(1,
+    * exp(dsir_logw)) — clipped importance sampling, so the kept set's
+    * feature distribution moves toward the target. Deterministic and
+    * append-stable via the shared md5-threshold rule (`keepByRate`,
+    * one definition with q61/q67/q99): re-crawled docs keep or drop
+    * identically, and the decision is MAP-SIDE once the ≤256-row
+    * weight model is joined (q106's shape — nothing data-sized moves
+    * beyond the two aggregates). Rate = round(exp(logw), 6) (the q59
+    * libm discipline); the 16-bit threshold is then identical fixed
+    * arithmetic in both engines — hash-exact sample. */
+  private val q112: QFn = (s, d) => {
+    dsirWeights(s, d)
+      .withColumn("rate", least(lit(1.0), round(exp(col("dsir_logw")), 6)))
+      .filter(keepByRate(col("doc_id"), col("rate")))
+      .select("doc_id", "n_tokens", "dsir_logw")
+  }
+  private val q112Sql = dsirCte +
+    """
+      |SELECT doc_id, n_tokens, dsir_logw
+      |FROM (SELECT w.*,
+      |    LEAST(1.0, ROUND(EXP(dsir_logw), 6)) AS rate FROM w) r
+      |WHERE r.rate >= 1.0 OR
+      |  substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 4) <
+      |    printf('%04x', CAST(FLOOR(r.rate * 65536) AS BIGINT))""".stripMargin
 
   /** q99: TEMPERATURE-weighted source mixing — the α-smoothed
     * sampling standard multilingual/multi-source LLM corpora use
@@ -1312,7 +1344,8 @@ object TextOps {
     "q94_unigram_surprisal" -> q94,
     "q99_temperature_mix" -> q99,
     "q101_fuzzy_join" -> q101,
-    "q106_dsir_weights" -> q106)
+    "q106_dsir_weights" -> q106,
+    "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1342,5 +1375,6 @@ object TextOps {
     "q94_unigram_surprisal" -> q94Sql,
     "q99_temperature_mix" -> q99Sql,
     "q101_fuzzy_join" -> q101Sql,
-    "q106_dsir_weights" -> q106Sql)
+    "q106_dsir_weights" -> q106Sql,
+    "q112_dsir_resample" -> q112Sql)
 }

@@ -385,4 +385,105 @@ object EventStreams {
           }
       }
   }
+
+  /** open day → 6-dp-scaled decimal sum; closed (day, value) NEWEST
+    * first, capped at terms−1. */
+  case class EwmaBuf(openDays: Map[Long, Long],
+      closed: List[(Long, Double)], lastMs: Long)
+  case class EwmaOut(event_type: String, day: Long,
+      daily_value: Double, ewma: Double)
+
+  /** Streaming twin of q109's truncated EWMA: per event type, each
+    * calendar day's value total smooths against the previous (up to)
+    * 13 OBSERVED days, emitted when the WATERMARK closes the day —
+    * append-mode-final, no retraction needed, because a day's sum
+    * can only change while late events can still arrive. Per-type
+    * state is O(1): the open days' sums (bounded by the watermark
+    * delay) plus the last 13 closed values — never the event stream.
+    *
+    * Bit-equality with the batch rows is engineered, not approximate:
+    * per-event values accumulate as 6-dp SCALED LONGS (the integer
+    * form of the decimal accumulator — order-independent, so
+    * arrival order and batch boundaries cannot move the sum), and
+    * the weighted chain replays q109's literal weights in the same
+    * left-associated IEEE order, absent terms contributing the same
+    * `+ 0.0·w` the batch coalesce does. The spec pins row equality
+    * with `q109_ewma` on every watermark-closed day across an
+    * AvailableNow restart. */
+  def dailyEwma(events: Dataset[Event], alpha: Double = 0.3,
+      terms: Int = 14, watermarkDelay: String = "1 day",
+      idleGapMs: Long = 30L * 86400L * 1000L)
+      (implicit spark: SparkSession): Dataset[EwmaOut] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000L
+    val weights = (0 until terms).map(j => alpha * math.pow(1 - alpha, j))
+
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def scaled(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact
+
+    // q109's chain verbatim: num = Σ w_j·v_j left-assoc with absent
+    // terms as 0.0; den = Σ (present ? w_j : 0.0)
+    def ewmaOf(series: List[Double]): Double = {
+      var num = 0.0; var den = 0.0
+      (0 until terms).foreach { j =>
+        val present = j < series.length
+        num = num + weights(j) * (if (present) series(j) else 0.0)
+        den = den + (if (present) weights(j) else 0.0)
+      }
+      r6(num / den)
+    }
+
+    def finalizeDays(tpe: String, buf: EwmaBuf,
+        wmUs: Long): (EwmaBuf, List[EwmaOut]) = {
+      val ready = buf.openDays.keys
+        .filter(d => (d + 1) * DayUs <= wmUs).toList.sorted
+      var closed = buf.closed
+      val outs = ready.map { d =>
+        val v = new java.math.BigDecimal(buf.openDays(d))
+          .movePointLeft(6).doubleValue
+        val out = EwmaOut(tpe, d, r6(v), ewmaOf(v :: closed.map(_._2)))
+        closed = ((d, v) :: closed).take(terms - 1)
+        out
+      }
+      (buf.copy(openDays = buf.openDays -- ready, closed = closed), outs)
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaBuf, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, batch: Iterator[Event], state: GroupState[EwmaBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (state.hasTimedOut) {
+            val (buf2, outs) = finalizeDays(tpe, state.get, wmUs)
+            if (buf2.openDays.isEmpty) state.remove()
+            else {
+              state.update(buf2)
+              state.setTimeoutTimestamp(math.max(buf2.lastMs + idleGapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            outs.iterator
+          } else {
+            val evs = batch.toList
+            var buf = state.getOption.getOrElse(EwmaBuf(Map.empty, Nil, 0L))
+            evs.foreach { e =>
+              val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000L
+              val d = math.floorDiv(us, DayUs)
+              buf = buf.copy(openDays = buf.openDays +
+                (d -> (buf.openDays.getOrElse(d, 0L) + scaled(e.value))))
+            }
+            val lastMs = (evs.map(_.ts.getTime) :+ buf.lastMs).max
+            val (buf2, outs) = finalizeDays(tpe, buf.copy(lastMs = lastMs), wmUs)
+            state.update(buf2)
+            state.setTimeoutTimestamp(math.max(lastMs + idleGapMs,
+              state.getCurrentWatermarkMs() + 1))
+            outs.iterator
+          }
+      }
+  }
 }

@@ -215,6 +215,65 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("streaming daily EWMA equals batch q109 bit-for-bit across restarts") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batch = graft.operators.SessionOps.queries("q109_ewma")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+
+    val src = tmpDir("ewma-src"); val chk = tmpDir("ewma-chk")
+    val outDir = tmpDir("ewma-out")
+    val evN = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = evN.agg(min(col("ts")), max(col("ts"))).head
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val mid = new Timestamp((lo.getTime + hi.getTime) / 2)
+    def sentinel(daysAfter: Long) = Seq((
+      -1L, new Timestamp(hi.getTime + daysAfter * 86400000L),
+      -1L, "noop", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(): Unit = {
+      val q = EventStreams.dailyEwma(
+        EventStreams.readEventStream(spark, src).as[Event],
+        idleGapMs = 365L * 86400000L)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // restart mid-stream: open-day sums and the closed-13 ring must
+    // survive the checkpoint for the weighted chain to stay exact
+    evN.filter(col("ts") <= lit(mid)).repartition(2)
+      .write.mode("append").parquet(src)
+    run()
+    evN.filter(col("ts") > lit(mid)).repartition(2)
+      .write.mode("append").parquet(src)
+    run()
+    sentinel(500).write.mode("append").parquet(src)
+    run()
+    sentinel(600).write.mode("append").parquet(src)
+    run()
+
+    val got = spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "noop")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"))
+        -> (r.getAs[Double]("daily_value"), r.getAs[Double]("ewma")))
+      .toMap
+    // the sentinel watermark closes every real day → full equality
+    assert(got == batch, {
+      val onlyGot = (got.keySet -- batch.keySet).take(5)
+      val onlyBatch = (batch.keySet -- got.keySet).take(5)
+      s"stream-only=$onlyGot batch-only=$onlyBatch " +
+        s"diffs=${batch.keySet.intersect(got.keySet)
+          .filter(k => batch(k) != got(k)).take(5).map(k =>
+            s"$k: ${got(k)} vs ${batch(k)}")}"
+    })
+  }
+
   test("streaming funnel survives a stage-quiet batch after a watermark jump") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
