@@ -221,9 +221,35 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
             spark.read.parquet(cc.postingsDir), batchDeduped, cc.t, dfView)
         }
       val nFresh = fresh.count()
-      val nKept = publishObject(fs, survivors, cc.corpusDir, s"batch-$tag")
+      // optional DSIR stage: fold the batch's token counts into the
+      // maintained importance model (DsirView — KBs at any corpus
+      // size), then keep each survivor w.p. min(1, exp(logw)) via the
+      // shared deterministic md5 threshold (q112's clipped importance
+      // resampling). Fold-then-score, so the model always includes
+      // the batch it scores (defined from the very first tick). The
+      // fold is at-least-once like the (gram, df) view: a crash
+      // replay re-folds one batch, which only perturbs FUTURE
+      // batches' rates — this batch's published object already
+      // exists and is reused, so the corpus itself stays exactly-once.
+      val selected = cc.dsirTargetLang match {
+        case None => survivors
+        case Some(lang) =>
+          import org.apache.spark.sql.functions.{broadcast, exp, least, lit, round}
+          graft.operators.DsirView.update(spark, cc.dsirModelDir,
+            survivors, lang)
+          val rates = graft.operators.DsirView
+            .score(spark, cc.dsirModelDir, survivors)
+            .select(col("doc_id"),
+              least(lit(1.0), round(exp(col("dsir_logw")), 6)).as("rate"))
+          survivors.join(rates, Seq("doc_id"))
+            .filter(graft.operators.TextOps.keepByRate(col("doc_id"), col("rate")))
+            .drop("rate")
+      }
+      val nKept = publishObject(fs, selected, cc.corpusDir, s"batch-$tag")
+      // history postings cover the PUBLISHED set: near-dup history
+      // must mirror what is actually in the corpus
       val survivorPostings =
-        graft.operators.TextOps.historyPostings(survivors)
+        graft.operators.TextOps.historyPostings(selected)
       publishObject(fs, survivorPostings, cc.postingsDir, s"batch-$tag")
       MaterializedAgg.update(spark, cc.gramDfDir,
         survivorPostings.select(col("gram")),
@@ -464,11 +490,16 @@ object Automation {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING, source STRING"),
       format: String = "json",
-      t: Double = 0.5) {
+      t: Double = 0.5,
+      dsirTargetLang: Option[String] = None) {
     /** The incrementally-maintained (gram, df) view feeding the
       * near-dup prefix ranking — a [[MaterializedAgg]] root next to
       * the postings. */
     def gramDfDir: String = s"$postingsDir-df"
+    /** The incrementally-maintained DSIR importance model
+      * ([[graft.operators.DsirView]]) — present when
+      * `dsirTargetLang` enables per-tick importance resampling. */
+    def dsirModelDir: String = s"$postingsDir-dsir"
   }
 
   /** Per-tick corpus curation outcome. `kept`/`dropped` are this

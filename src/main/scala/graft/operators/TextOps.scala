@@ -26,7 +26,7 @@ object TextOps {
     * sides compute the same IEEE product and floor), append-stable,
     * pure map-side. One definition so a threshold-encoding fix can
     * never drift between the samplers. */
-  private[operators] def keepByRate(id: Column, rate: Column): Column =
+  private[graft] def keepByRate(id: Column, rate: Column): Column =
     rate >= 1.0 ||
       substring(md5(id.cast("string")), 1, 4) <
         lpad(lower(hex(floor(rate * 65536).cast("long"))), 4, "0")

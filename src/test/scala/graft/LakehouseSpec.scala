@@ -615,6 +615,62 @@ class LakehouseSpec extends SparkSpec {
     assert(viewDf == recount && viewDf.nonEmpty)
   }
 
+  test("automation tick resamples the corpus by maintained DSIR weights") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("corpusdsir")
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings", dsirTargetLang = Some("en"))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false, corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/drops/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    // en and fr vocabularies are DISJOINT, so the importance ratio is
+    // decisive: en docs get logw >> 0 (rate clips to 1 — always kept),
+    // fr docs logw << 0 (rate ≈ 0 — always dropped); texts are all
+    // distinct so the dedup stages pass everything through
+    def enDoc(id: Int) = (1 to 40).map(i => s"en${id}w$i").mkString(" ")
+    def frDoc(id: Int) = (1 to 40).map(i => s"fr${id}w$i").mkString(" ")
+    drop("d1.json", Seq(
+      s"""{"doc_id": 1, "text": "${enDoc(1)}", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 2, "text": "${frDoc(2)}", "lang": "fr", "source": "s"}""",
+      s"""{"doc_id": 3, "text": "${enDoc(3)}", "lang": "en", "source": "s"}"""))
+    val r1 = auto.tick()
+    assert(r1.corpus.get.kept == 2 && r1.corpus.get.dropped == 1)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the maintained model folded ALL survivors (pre-resample): both
+    // vocabularies count, with ct covering only the en slice
+    val m1 = graft.operators.DsirView.model(spark, cc.dsirModelDir)
+      .agg(org.apache.spark.sql.functions.sum("cr"),
+        org.apache.spark.sql.functions.sum("ct")).head
+    assert(m1.getLong(0) == 120L && m1.getLong(1) == 80L)
+    // tick 2: the model keeps folding and the decision stays decisive
+    drop("d2.json", Seq(
+      s"""{"doc_id": 11, "text": "${frDoc(11)}", "lang": "fr", "source": "s"}""",
+      s"""{"doc_id": 12, "text": "${enDoc(12)}", "lang": "en", "source": "s"}"""))
+    val r2 = auto.tick()
+    assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 1)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 12L))
+    val m2 = graft.operators.DsirView.model(spark, cc.dsirModelDir)
+      .agg(org.apache.spark.sql.functions.sum("cr"),
+        org.apache.spark.sql.functions.sum("ct")).head
+    assert(m2.getLong(0) == 200L && m2.getLong(1) == 120L)
+    // near-dup history mirrors the PUBLISHED corpus, not the scored
+    // batch: the dropped fr docs left no postings behind
+    val postDocs = spark.read.parquet(s"$root/postings")
+      .select("hist_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(postDocs == Seq(1L, 3L, 12L))
+  }
+
   test("automation tick compacts the table on schedule") {
     val root = tmpDir("autocmp")
     new java.io.File(s"$root/arrivals").mkdirs()
