@@ -162,6 +162,54 @@ object Multimodal {
     spark.createDataFrame(rdd, embedSchema)
   }
 
+  /** Distinct per-video frame hashes: frame demux (the 1→N stub) →
+    * 64-bit content hash per frame. With a real decoder the hash
+    * becomes a perceptual hash (pHash/videohash — public practice for
+    * near-dup video detection); the DISTRIBUTED shape is identical
+    * either way: frames never leave the executor as bytes, only
+    * (doc_id, hash) longs shuffle. */
+  def frameHashes(blobs: DataFrame, frameBytes: Int = 64,
+      everyN: Int = 4): DataFrame =
+    frameSampleStub(blobs, frameBytes, everyN)
+      .select(col("doc_id"), xxhash64(col("frame")).as("fh"))
+      .distinct()
+
+  /** NEAR-DUP VIDEO pairs by frame-hash Jaccard — the multimodal twin
+    * of q31's document near-dup: videos sharing ≥ `t` of their
+    * distinct sampled-frame hashes (re-encodes, trims, and re-uploads
+    * share most frames; unrelated videos share none). Postings-join
+    * shape: the frame-hash table self-joins ON THE HASH — candidate
+    * volume follows shared-frame buckets, never |videos|² — then one
+    * pair-keyed aggregate and a broadcast-free count join. At crawl
+    * scale a hot bucket (an intro card shared by thousands of
+    * videos) is the q31 prefix-filter / q32 banding lever; the
+    * composition here keeps the exact form. */
+  def nearDupVideoPairs(blobs: DataFrame, t: Double,
+      frameBytes: Int = 64, everyN: Int = 4): DataFrame = {
+    val fh = frameHashes(blobs, frameBytes, everyN).localCheckpoint(true)
+    val nf = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    fh.select(col("doc_id").as("a"), col("fh"))
+      .join(fh.select(col("doc_id").as("b"), col("fh")), Seq("fh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(nf.select(col("doc_id").as("a"), col("nf").as("na")), Seq("a"))
+      .join(nf.select(col("doc_id").as("b"), col("nf").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= t)
+      .select("a", "b", "inter", "jaccard")
+  }
+
+  /** Greedy near-dup video drop: remove every video with a SMALLER-id
+    * near-dup (the dropNearDupsWithinBatch policy, applied to blobs).
+    * Returns the surviving blob rows unchanged. */
+  def dropNearDupVideos(blobs: DataFrame, t: Double,
+      frameBytes: Int = 64, everyN: Int = 4): DataFrame = {
+    val dropped = nearDupVideoPairs(blobs, t, frameBytes, everyN)
+      .select(col("b").as("doc_id")).distinct()
+    blobs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Oracle-checkable slice of the blob pipeline: metadata projection
     * (byte length + content hash) — q41. */
   val q41: (SparkSession, String) => DataFrame = (s, d) =>

@@ -1332,6 +1332,38 @@ class OperatorsSpec extends SparkSpec {
     assert(dupMean < popMean / 2, s"dupMean=$dupMean popMean=$popMean")
   }
 
+  test("multimodal near-dup videos: frame-hash Jaccard finds the re-upload") {
+    import spark.implicits._
+    // A = 4 frames; B = A plus one appended frame (a trailing-card
+    // re-upload: jaccard 4/5); C = unrelated
+    val fb = 64
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate(fb)(i => ((seed * 31 + i * 7) % 251).toByte)
+    val a = (0 until 4).flatMap(frame).toArray
+    val b = a ++ frame(99)
+    val c = (10 until 14).flatMap(frame).toArray
+    val blobs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "payload")
+    val pairs = operators.Multimodal
+      .nearDupVideoPairs(blobs, t = 0.7, frameBytes = fb, everyN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 4L, 0.8)),
+      pairs.mkString(","))
+    val kept = operators.Multimodal
+      .dropNearDupVideos(blobs, t = 0.7, frameBytes = fb, everyN = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L)) // B dropped: smaller near-dup A exists
+    // below the threshold nothing pairs and everything survives
+    assert(operators.Multimodal
+      .nearDupVideoPairs(blobs, t = 0.9, frameBytes = fb, everyN = 1)
+      .count() == 0)
+    // and the real blob table runs end to end deterministically
+    val real = operators.Multimodal.blobTable(spark, sfDir).limit(50)
+    val p1 = operators.Multimodal.nearDupVideoPairs(real, 0.5).collect()
+    val p2 = operators.Multimodal.nearDupVideoPairs(real, 0.5).collect()
+    assert(p1.map(_.toString).sorted.sameElements(p2.map(_.toString).sorted))
+  }
+
   test("multimodal resize + frame-sample: deterministic, partition-invariant, 1->N") {
     val blobs = operators.Multimodal.blobTable(spark, sfDir)
     val r1 = operators.Multimodal.resizeStub(blobs, 32, 24)
