@@ -38,7 +38,8 @@ object Bench {
     "q100_gapfill_interp", "q101_fuzzy_join", "q102_association_rules",
     "q103_transition_matrix", "q104_mad_outliers", "q105_triangles",
     "q106_dsir_weights", "q107_khop_reach", "q108_semantic_dedup",
-    "q109_ewma", "q110_rfm", "q111_conversion_lag", "q112_dsir_resample")
+    "q109_ewma", "q110_rfm", "q111_conversion_lag", "q112_dsir_resample",
+    "q113_session_stats", "q114_unpivot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1242,8 +1242,34 @@ object Relational {
       |  ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
       |FROM s GROUP BY 1""".stripMargin
 
+  /** q114: UNPIVOT (melt) — the inverse of q17's pivot, exercised as a
+    * round trip: the status × priority count matrix pivots wide and
+    * `unpivot` melts it back to long form. The oracle is the plain
+    * GROUP BY the round trip must reproduce — a one-line SQL check of
+    * a two-operator composition. Scale: both legs aggregate before
+    * reshaping (the matrix is |status|×|priority|, model-sized);
+    * unpivot itself is a zero-shuffle map-side Expand. */
+  private val q114: QFn = (s, d) => {
+    val pri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val wide = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", pri)
+      .agg(count(lit(1)))
+    wide.unpivot(
+        ids = Array(col("o_orderstatus")),
+        values = pri.map(p => col(s"`$p`")).toArray,
+        variableColumnName = "o_orderpriority",
+        valueColumnName = "n")
+      .filter(col("n").isNotNull)
+  }
+  private val q114Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q110_rfm" -> q110,
+    "q114_unpivot" -> q114,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_shipping_priority" -> q03,
@@ -1315,6 +1341,7 @@ object Relational {
     "q29_deciles" -> q29Sql,
     "q63_deciles_scalable" -> q29Sql, // identical output, shared oracle
     "q110_rfm" -> q110Sql,
+    "q114_unpivot" -> q114Sql,
     "q85_percentiles_scalable" -> q16Sql, // identical output, shared oracle
     "q55_string_funcs" -> q55Sql,
     "q56_no_orders_bloom" -> q15Sql,

@@ -411,9 +411,77 @@ object SessionOps {
       |WHERE c IS NOT NULL AND p IS NOT NULL AND p >= c
       |GROUP BY 1""".stripMargin
 
+  /** q113: per-ENTRY-TYPE session quality — the classic web-analytics
+    * rollup (entries, bounce rate, depth, dwell) over q50's gap
+    * sessions: a session's entry is its FIRST event's type, a bounce
+    * is a single-event session. The break/id windows share the
+    * user-keyed partitioning; the entry row_number keys on
+    * (user, session) — both partition-parallel at any user count —
+    * then two map-side-partial aggregates. Durations in integer
+    * micros (exact); the three
+    * ratios are single IEEE divisions on exact longs, 6 dp —
+    * hash-exact. */
+  private val q113: QFn = (s, d) => {
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val sessions = ev
+      .withColumn("rn", row_number().over(wSess))
+      .groupBy("user_id", "session_id")
+      .agg(min(when(col("rn") === 1, col("event_type"))).as("entry_type"),
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+    sessions.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("bounce_rate"),
+        round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+          .as("avg_events"),
+        round(sum(col("dur_us")).cast("double") / count(lit(1)) / 1000000.0,
+          6).as("avg_duration_s"))
+  }
+  private val q113Sql =
+    s"""WITH ev AS (
+       |  SELECT *,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM (
+       |    SELECT *, CASE WHEN prev_us IS NULL
+       |        OR us - prev_us > ${GapUs} THEN 1 ELSE 0 END AS is_new
+       |    FROM (SELECT *, epoch_us(ts) AS us,
+       |            LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+       |              ORDER BY ts, event_id) AS prev_us
+       |          FROM events) a) b),
+       |sessions AS (
+       |  SELECT user_id, session_id,
+       |    MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+       |    COUNT(*) AS n_events,
+       |    MAX(us) - MIN(us) AS dur_us
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+       |          ORDER BY us, event_id) AS rn FROM ev) e
+       |  GROUP BY 1, 2)
+       |SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+       |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+       |  ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+       |    AS avg_duration_s
+       |FROM sessions GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q109_ewma" -> q109,
     "q111_conversion_lag" -> q111,
+    "q113_session_stats" -> q113,
     "q103_transition_matrix" -> q103,
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
@@ -427,6 +495,7 @@ object SessionOps {
   val oracleSql: Map[String, String] = Map(
     "q109_ewma" -> q109Sql,
     "q111_conversion_lag" -> q111Sql,
+    "q113_session_stats" -> q113Sql,
     "q103_transition_matrix" -> q103Sql,
     "q50_sessionize" -> q50Sql,
     "q51_tumbling_counts" -> q51Sql,
