@@ -478,10 +478,53 @@ object SessionOps {
        |    AS avg_duration_s
        |FROM sessions GROUP BY 1""".stripMargin
 
+  /** q115: WINSORIZATION — the numeric-cleaning standard for training
+    * pipelines (clip a heavy-tailed feature at its [p05, p95] before
+    * normalization, so one corrupt reading can't dominate a batch
+    * statistic): per event type, exact interpolated p05/p95 (q16's
+    * percentile form; q85's RankOps is the outgrown-group path),
+    * values clipped in-row, and the before/after means reported so the
+    * clipping's effect is visible. Two passes over the fact rows (the
+    * bounds pass aggregates to K rows, BROADCAST back — nothing
+    * data-sized moves twice through a shuffle); bounds round to 6 dp
+    * BEFORE clipping so both engines clip on identical operands, means
+    * through the exact decimal accumulator — hash-exact. */
+  private val q115: QFn = (s, d) => {
+    val base = Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val bounds = base.groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(0.05)), 6).as("p05"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95"))
+    base.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type", "p05", "p95")
+      .agg(count(lit(1)).as("n"),
+        round(dsum(col("value")) / count(lit(1)), 6).as("mean_raw"),
+        round(dsum(col("w")) / count(lit(1)), 6).as("mean_winsorized"))
+      .select("event_type", "n", "p05", "p95", "mean_raw", "mean_winsorized")
+  }
+  private val q115Sql =
+    s"""WITH base AS (
+       |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+       |bounds AS (
+       |  SELECT event_type,
+       |    ROUND(quantile_cont(value, 0.05), 6) AS p05,
+       |    ROUND(quantile_cont(value, 0.95), 6) AS p95
+       |  FROM base GROUP BY 1)
+       |SELECT base.event_type, CAST(COUNT(*) AS BIGINT) AS n, p05, p95,
+       |  ROUND(${graft.util.Exact.sqlSum("value")} / COUNT(*), 6)
+       |    AS mean_raw,
+       |  ROUND(${graft.util.Exact.sqlSum("LEAST(GREATEST(value, p05), p95)")}
+       |    / COUNT(*), 6) AS mean_winsorized
+       |FROM base JOIN bounds USING (event_type)
+       |GROUP BY 1, 3, 4""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q109_ewma" -> q109,
     "q111_conversion_lag" -> q111,
     "q113_session_stats" -> q113,
+    "q115_winsorize" -> q115,
     "q103_transition_matrix" -> q103,
     "q50_sessionize" -> q50,
     "q51_tumbling_counts" -> q51,
@@ -496,6 +539,7 @@ object SessionOps {
     "q109_ewma" -> q109Sql,
     "q111_conversion_lag" -> q111Sql,
     "q113_session_stats" -> q113Sql,
+    "q115_winsorize" -> q115Sql,
     "q103_transition_matrix" -> q103Sql,
     "q50_sessionize" -> q50Sql,
     "q51_tumbling_counts" -> q51Sql,
