@@ -1332,6 +1332,39 @@ class OperatorsSpec extends SparkSpec {
     assert(dupMean < popMean / 2, s"dupMean=$dupMean popMean=$popMean")
   }
 
+  test("BPE trainer: classic corpus learns the canonical merges, " +
+      "deterministic, fertility falls with vocab") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    // the Sennrich et al. example dictionary: low x5, lower x2,
+    // newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, numMerges = 6)
+    // (e,s) count 9 ties (s,t</w>) 9 -> lexicographic pick; then the
+    // merged es meets t</w> 9 times; then (l,o) 7
+    assert(merges.take(3) == Seq(("e", "s"), ("es", "t</w>"), ("l", "o")),
+      merges.toString)
+    // deterministic under repartitioning
+    assert(BpeTrainer.train(docs.repartition(7), numMerges = 6) == merges)
+    // fertility (tokens per word) is monotone non-increasing in the
+    // merge count, and the full table beats the char baseline
+    val f = (0 to 6 by 2).map { k =>
+      BpeTrainer.segment(docs, merges.take(k))
+        .head.getAs[Double]("fertility")
+    }
+    assert(f.zip(f.tail).forall { case (a, b) => b <= a }, f.toString)
+    assert(f.last < f.head)
+    // segmenting an unseen word still terminates and counts sensibly
+    val probe = Seq((2L, "lowest")).toDF("doc_id", "text")
+    val seg = BpeTrainer.segment(probe, merges).head
+    assert(seg.getAs[Long]("n_words") == 1L &&
+      seg.getAs[Long]("n_tokens") >= 1L)
+    // the sample bound keeps training runnable on a truncated dict
+    assert(BpeTrainer.train(docs, numMerges = 3, maxWords = 2).nonEmpty)
+  }
+
   test("multimodal near-dup videos: frame-hash Jaccard finds the re-upload") {
     import spark.implicits._
     // A = 4 frames; B = A plus one appended frame (a trailing-card
