@@ -39,7 +39,8 @@ object Bench {
     "q103_transition_matrix", "q104_mad_outliers", "q105_triangles",
     "q106_dsir_weights", "q107_khop_reach", "q108_semantic_dedup",
     "q109_ewma", "q110_rfm", "q111_conversion_lag", "q112_dsir_resample",
-    "q113_session_stats", "q114_unpivot", "q115_winsorize")
+    "q113_session_stats", "q114_unpivot", "q115_winsorize",
+    "q116_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

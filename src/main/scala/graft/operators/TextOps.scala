@@ -1317,7 +1317,29 @@ object TextOps {
           org.apache.spark.sql.types.LongType))))
   }
 
+  /** q116: TOKENIZER-FERTILITY profile — train a sample-bounded BPE
+    * table on the corpus itself (BpeTrainer: vocabulary-sized rounds,
+    * argmax-only driver traffic) and report per-source mean fertility
+    * (subword tokens per word) — the number a tokenizer/vocab sweep
+    * optimizes, and a per-source data-quality signal (high fertility =
+    * vocabulary the tokenizer serves poorly). Rows-only: BPE training
+    * is not SQL-expressible; determinism and the canonical merge
+    * sequence are spec-pinned on BpeTrainer itself. */
+  private val q116: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = BpeTrainer.train(docs, numMerges = 40, maxWords = 2000)
+    BpeTrainer.segment(docs, merges)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") / sum(col("n_words")), 6)
+          .as("fertility"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q116_bpe_fertility" -> q116,
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
     "q36_lang_id" -> q36,
