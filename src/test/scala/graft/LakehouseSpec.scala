@@ -853,6 +853,39 @@ class LakehouseSpec extends SparkSpec {
     assert(zHit < linHit, s"z-order files hit=$zHit vs linear=$linHit")
   }
 
+  test("3-column z-order bounds every dimension; n=2 matches the pair form") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    import spark.implicits._
+    // deterministic 3-D data: all three dims scattered vs each other
+    val df = (0 until 4096).map { i =>
+      (i.toLong, ((i * 2654435761L) % 4096L + 4096L) % 4096L,
+        ((i * 40503L) % 4096L + 4096L) % 4096L)
+    }.toDF("x", "y", "z")
+    val zdir = tmpDir("z3") + "/t"
+    val ldir = tmpDir("z3lin") + "/t"
+    Bucketing.writeZOrdered(df, zdir, Seq("x", "y", "z"), files = 27)
+    Bucketing.writeRangePartitioned(df, ldir, "x", files = 27)
+    assert(spark.read.parquet(zdir).count() == 4096)
+    // a narrow box on EACH non-sort dimension overlaps fewer files
+    // under the 3-D interleave than under the x-linear layout
+    def hits(dir: String, c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir).groupBy(input_file_name())
+        .agg(fmin(c).as("mn"), fmax(c).as("mx"))
+        .filter(col("mx") >= lo && col("mn") <= hi).count()
+    Seq("y", "z").foreach { c =>
+      val zh = hits(zdir, c, 0L, 4096L / 8)
+      val lh = hits(ldir, c, 0L, 4096L / 8)
+      assert(zh < lh, s"dim $c: z3 hit=$zh vs linear=$lh")
+    }
+    // the generalized interleave reproduces the 2-column ladder's
+    // layout exactly (same z-values, same range clustering)
+    val a = Bucketing.zorderLayout(df, "x", "y", files = 9)
+      .collect().map(_.toSeq).toSet
+    val b = Bucketing.zorderLayout(df, Seq("x", "y"), files = 9)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("incremental loader: loads new files once, skips on re-run, records failures") {
     val src = tmpDir("src")
     val table = tmpDir("table") + "/t"
