@@ -1338,8 +1338,93 @@ object TextOps {
           .as("fertility"))
   }
 
+  /** q117: language ID by RANKED N-GRAM PROFILES (Cavnar & Trenkle
+    * 1994 — the classic "out-of-place" text categorizer), self-trained
+    * and self-evaluated: per-language top-30 term profiles rank by
+    * (count desc, term) from the corpus's own labels, each doc's
+    * top-20 profile compares against every language by the
+    * out-of-place distance Σ |rank_doc − rank_lang| (absent terms pay
+    * the max penalty), argmin classifies, and the output is the
+    * CONFUSION MATRIX — the language-ID quality surface q36's
+    * stopword heuristic cannot produce. All-integer arithmetic and
+    * total-order tiebreaks ⇒ hash-exact. Scale shape: two
+    * (key, term)-grouped map-side-partial aggregates; the language
+    * profile table is K·|langs| rows — broadcast; per-doc distance is
+    * one |langs|-way fanout of the doc's ≤20 profile rows, then two
+    * small aggregates. Nothing data-sized moves except the token
+    * explode. */
+  private val q117: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = 30; val DK = 20
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val langProf = toks.groupBy("lang", "term")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lr", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("term").asc)))
+      .filter(col("lr") <= K)
+      .select(col("lang").as("cand_lang"), col("term"), col("lr"))
+    val docProf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dr", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("n").desc, col("term").asc)))
+      .filter(col("dr") <= DK)
+      .select("doc_id", "term", "dr")
+    val langs = langProf.select("cand_lang").distinct()
+    val dist = docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("cand_lang", "term"), "left")
+      .groupBy("doc_id", "cand_lang")
+      .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(K.toLong)))
+        .as("dist"))
+    val pred = dist.groupBy("doc_id")
+      .agg(min_by(col("cand_lang"), struct(col("dist"), col("cand_lang")))
+        .as("pred_lang"))
+    pred
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        col("lang").as("true_lang")), Seq("doc_id"))
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+  }
+  private val q117Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, lang, term FROM toks WHERE len(term) > 0),
+      |lp AS (
+      |  SELECT lang AS cand_lang, term, lr FROM (
+      |    SELECT lang, term, ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY COUNT(*) DESC, term) AS lr
+      |    FROM t GROUP BY lang, term) x WHERE lr <= 30),
+      |dp AS (
+      |  SELECT doc_id, term, dr FROM (
+      |    SELECT doc_id, term, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY COUNT(*) DESC, term) AS dr
+      |    FROM t GROUP BY doc_id, term) x WHERE dr <= 20),
+      |langs AS (SELECT DISTINCT cand_lang FROM lp),
+      |dist AS (
+      |  SELECT dp.doc_id, langs.cand_lang,
+      |    SUM(COALESCE(ABS(dp.dr - lp.lr), 30)) AS dist
+      |  FROM dp CROSS JOIN langs
+      |  LEFT JOIN lp ON lp.cand_lang = langs.cand_lang
+      |    AND lp.term = dp.term
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, cand_lang AS pred_lang FROM (
+      |    SELECT doc_id, cand_lang, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id ORDER BY dist, cand_lang) AS rn
+      |    FROM dist) p WHERE rn = 1)
+      |SELECT d.lang AS true_lang, pred.pred_lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM pred JOIN documents d USING (doc_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q116_bpe_fertility" -> q116,
+    "q117_langid_profiles" -> q117,
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
     "q36_lang_id" -> q36,
@@ -1398,5 +1483,6 @@ object TextOps {
     "q99_temperature_mix" -> q99Sql,
     "q101_fuzzy_join" -> q101Sql,
     "q106_dsir_weights" -> q106Sql,
+    "q117_langid_profiles" -> q117Sql,
     "q112_dsir_resample" -> q112Sql)
 }

@@ -621,6 +621,36 @@ class PropertySpec extends SparkSpec {
     check(prop, 8)
   }
 
+  test("property: BPE segmentation conserves words and compresses monotonically") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    // random corpora over a small alphabet: repeated subword structure
+    // guarantees learnable merges; the invariants must hold regardless
+    val genWord = for {
+      n <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genCase = for {
+      nw <- Gen.chooseNum(3, 25)
+      ws <- Gen.listOfN(nw, genWord)
+      k <- Gen.chooseNum(1, 8)
+    } yield (ws, k)
+    val prop = Prop.forAll(genCase) { case (ws, k) =>
+      val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val merges = BpeTrainer.train(docs, numMerges = k)
+      val base = BpeTrainer.segment(docs, Nil).head
+      val seg = BpeTrainer.segment(docs, merges).head
+      // zero merges: one token per character; merges only compress;
+      // the word count is invariant under any merge table
+      base.getAs[Long]("n_tokens") == ws.map(_.length).sum.toLong &&
+        base.getAs[Long]("n_words") == ws.length.toLong &&
+        seg.getAs[Long]("n_words") == ws.length.toLong &&
+        seg.getAs[Long]("n_tokens") <= base.getAs[Long]("n_tokens") &&
+        seg.getAs[Long]("n_tokens") >= ws.length.toLong
+    }
+    check(prop, 8)
+  }
+
   test("property: CHECK constraint accepts exactly the batches the model accepts") {
     import spark.implicits._
     import graft.lakehouse.VersionedTable
