@@ -40,7 +40,9 @@ object Bench {
     "q106_dsir_weights", "q107_khop_reach", "q108_semantic_dedup",
     "q109_ewma", "q110_rfm", "q111_conversion_lag", "q112_dsir_resample",
     "q113_session_stats", "q114_unpivot", "q115_winsorize",
-    "q116_bpe_fertility", "q117_langid_profiles")
+    "q116_bpe_fertility", "q117_langid_profiles",
+    "q118_nation_volume", "q119_market_share", "q120_order_count_dist",
+    "q121_disjunctive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1267,9 +1267,152 @@ object Relational {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** q118: NATION-PAIR trade volume (TPC-H Q7 shape): revenue shipped
+    * from each supplier nation to each DIFFERENT customer nation per
+    * ship year — the two-dimension-table double star: the fact joins
+    * supplier⋈nation once and customer⋈nation once (both broadcast
+    * chains), the anti-diagonal filter runs in-row, and ONE shuffle
+    * (the final agg) remains. */
+  private val q118: QFn = (s, d) => {
+    val n = Tables.nation(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+  private val q118Sql =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS l_year,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE sn.n_name <> cn.n_name
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q119: MARKET SHARE (TPC-H Q8 shape): within the AMERICA region's
+    * customer revenue, the share supplied by NATION_1's suppliers per
+    * order year — the conditional-aggregate-over-star form (share =
+    * case-summed numerator / total, both through the exact decimal
+    * accumulator, ONE pass). Ratio is one IEEE division on identical
+    * decimal-derived doubles, 6 dp. */
+  private val q119: QFn = (s, d) => {
+    val n = Tables.nation(s, d)
+    val nat = "NATION_1"
+    val base = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+        col("n_regionkey"))), col("c_nationkey") === col("cnk"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .withColumn("vol", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    base.groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === nat, col("vol")).otherwise(lit(0.0))
+          .cast(Dec)).cast("double") /
+        sum(col("vol").cast(Dec)).cast("double"), 6).as("mkt_share"))
+  }
+  private val q119Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  ROUND(
+      |    CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_1'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |      AS DECIMAL(28,6))) AS DOUBLE) /
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS DOUBLE), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE r_name = 'AMERICA'
+      |GROUP BY 1""".stripMargin
+
+  /** q120: ORDER-COUNT DISTRIBUTION (TPC-H Q13 shape): how many
+    * customers placed exactly k orders — INCLUDING k = 0, which is
+    * the point: the LEFT join keeps orderless customers, the first
+    * aggregate counts the non-null side (count of o_orderkey, not
+    * count(*)), the second aggregates the distribution. Both
+    * aggregates keep map-side partials; the distribution is at most
+    * max-orders rows. */
+  private val q120: QFn = (s, d) => {
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+  private val q120Sql =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1) cc
+      |GROUP BY 1""".stripMargin
+
+  /** q121: DISJUNCTIVE-PREDICATE revenue (TPC-H Q19 shape): an OR of
+    * three (brand, size-band, quantity-band) conjunctions over
+    * part⋈lineitem — the predicate form that defeats naive pushdown
+    * unless the optimizer distributes the OR (Spark pushes the common
+    * `p_partkey` join and evaluates the disjunction in-row post-join;
+    * part broadcasts). One scalar decimal-sum output. */
+  private val q121: QFn = (s, d) => {
+    val p = Tables.part(s, d)
+    val branch = (Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey")))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+    branch.agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .as("revenue"))
+  }
+  private val q121Sql =
+    s"""SELECT ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+       |    AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+       |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q110_rfm" -> q110,
     "q114_unpivot" -> q114,
+    "q118_nation_volume" -> q118,
+    "q119_market_share" -> q119,
+    "q120_order_count_dist" -> q120,
+    "q121_disjunctive" -> q121,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_shipping_priority" -> q03,
@@ -1342,6 +1485,10 @@ object Relational {
     "q63_deciles_scalable" -> q29Sql, // identical output, shared oracle
     "q110_rfm" -> q110Sql,
     "q114_unpivot" -> q114Sql,
+    "q118_nation_volume" -> q118Sql,
+    "q119_market_share" -> q119Sql,
+    "q120_order_count_dist" -> q120Sql,
+    "q121_disjunctive" -> q121Sql,
     "q85_percentiles_scalable" -> q16Sql, // identical output, shared oracle
     "q55_string_funcs" -> q55Sql,
     "q56_no_orders_bloom" -> q15Sql,
