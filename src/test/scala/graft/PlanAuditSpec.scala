@@ -52,6 +52,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size == 1, shuffles.toString)
   }
 
+  test("q118/q121: double star keeps one shuffle; disjunction rides a broadcast join") {
+    // q118 joins two dim chains (supplier->nation, customer->nation)
+    // plus the orders key join - the orders join shuffles or
+    // broadcasts per AQE, but the final aggregate must be the ONLY
+    // exchange beyond it (no dim chain may shuffle)
+    val sh118 = nodes(Relational.queries("q118_nation_volume")(spark, sfDir))
+      .filter(_.isInstanceOf[ShuffleExchangeExec])
+    assert(sh118.size <= 2, sh118.map(_.nodeName).toString)
+    val ns121 = nodes(Relational.queries("q121_disjunctive")(spark, sfDir))
+    assert(ns121.exists(_.nodeName.contains("BroadcastHashJoin")),
+      ns121.map(_.nodeName).toString)
+    assert(!ns121.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+  }
+
   test("q06: rank filter plans WindowGroupLimit (per-partition top-k)") {
     val ns = nodes(Relational.queries("q06_window_rank")(spark, sfDir))
     assert(ns.exists(_.isInstanceOf[WindowGroupLimitExec]), ns.map(_.nodeName).toString)
