@@ -1406,9 +1406,47 @@ object Relational {
        |  OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** q122: PRODUCT-LINE PROFIT by supplier nation and year (TPC-H Q9
+    * shape, cost proxied by `p_retailprice` — the testdata carries no
+    * partsupp): profit = Σ extprice·(1−disc) − retailprice·qty per
+    * (nation, year), parts filtered by a name pattern (Q9's LIKE).
+    * Star discipline: part/supplier/nation broadcast, orders joins on
+    * the fact key, ONE aggregate shuffle; both product terms
+    * accumulate through the exact decimal sum so the difference is
+    * engine-identical. */
+  private val q122: QFn = (s, d) => {
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+        dsum(col("p_retailprice") * col("l_quantity"))).as("profit"))
+  }
+  private val q122Sql =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} -
+       |  ${sqlSum("p_retailprice * l_quantity")} AS profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%gear%'
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q110_rfm" -> q110,
     "q114_unpivot" -> q114,
+    "q122_product_margin" -> q122,
     "q118_nation_volume" -> q118,
     "q119_market_share" -> q119,
     "q120_order_count_dist" -> q120,
@@ -1486,6 +1524,7 @@ object Relational {
     "q110_rfm" -> q110Sql,
     "q114_unpivot" -> q114Sql,
     "q118_nation_volume" -> q118Sql,
+    "q122_product_margin" -> q122Sql,
     "q119_market_share" -> q119Sql,
     "q120_order_count_dist" -> q120Sql,
     "q121_disjunctive" -> q121Sql,
