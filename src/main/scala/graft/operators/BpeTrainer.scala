@@ -71,6 +71,12 @@ object BpeTrainer {
     var words = dict.map { case (w, n) => (initSymbols(w), n) }
       .rdd.cache()
     val merges = Vector.newBuilder[(String, String)]
+    // each round's pair-count fold is the ONLY action — it
+    // materializes the current (cached) dictionary, after which the
+    // PREVIOUS round's cache is safe to release; lineage is cut every
+    // 16 rounds so long trainings keep constant-size plans (the
+    // q66/q98 lesson)
+    var prev: Option[org.apache.spark.rdd.RDD[(Vector[String], Long)]] = None
     var round = 0
     var done = false
     while (round < numMerges && !done) {
@@ -86,19 +92,24 @@ object BpeTrainer {
               (y._2 == x._2 && y._3 < x._3)))) y
           else x
         }
+      prev.foreach(_.unpersist(false))
+      prev = None
       if (best._1 < 2) done = true // a pair seen once cannot compress
       else {
         val (_, a, b) = best
         merges += ((a, b))
-        val prev = words
+        prev = Some(words)
         words = words.map { case (sym, n) =>
           (applyMerge(sym, a, b), n)
         }.cache()
-        words.count() // materialize before unpersisting the parent
-        prev.unpersist(false)
         round += 1
+        if (round % 16 == 0) {
+          words.localCheckpoint()
+          words.count()
+        }
       }
     }
+    prev.foreach(_.unpersist(false))
     words.unpersist(false)
     merges.result()
   }
