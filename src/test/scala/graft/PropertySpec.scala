@@ -621,6 +621,73 @@ class PropertySpec extends SparkSpec {
     check(prop, 8)
   }
 
+  test("property: z-order is monotone in each dimension with the others fixed") {
+    import spark.implicits._
+    import graft.lakehouse.Bucketing
+    // the defining Morton property: fixing all other coordinates, the
+    // curve position grows with the remaining one — so files=1 layout
+    // order must be ascending in the varied column (any interleave
+    // bug that scrambles lanes or clobbers the sign bit breaks this)
+    val genCase = for {
+      n <- Gen.chooseNum(2, 4) // column count
+      vary <- Gen.chooseNum(0, n - 1)
+      fixed <- Gen.listOfN(n, Gen.chooseNum(0L, 1000L))
+      // spaced values: distinct 16-bit buckets, so the order check
+      // never trips over a bucket collision's arbitrary tie order
+      xs <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 60L))
+        .map(_.distinct.map(_ * 1000L))
+    } yield (n, vary, fixed, xs)
+    val prop = Prop.forAll(genCase) { case (n, vary, fixed, xs) =>
+      val cols = (0 until n).map(i => s"c$i")
+      val rows = xs.map(x => org.apache.spark.sql.Row.fromSeq(
+        (0 until n).map(i => if (i == vary) x else fixed(i))))
+      val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), schema)
+      val ordered = Bucketing.zorderLayout(df, cols, files = 1)
+        .collect().map(_.getLong(vary))
+      ordered.sameElements(ordered.sorted)
+    }
+    check(prop, 8)
+  }
+
+  test("property: DSIR model folds are order- and split-independent") {
+    import spark.implicits._
+    import graft.operators.DsirView
+    val genWord = Gen.listOfN(3, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    val genDoc = for {
+      nw <- Gen.chooseNum(1, 8)
+      ws <- Gen.listOfN(nw, genWord)
+      lang <- Gen.oneOf("en", "fr")
+    } yield (ws.mkString(" "), lang)
+    val genCase = for {
+      nd <- Gen.chooseNum(2, 10)
+      docs <- Gen.listOfN(nd, genDoc)
+      cuts <- Gen.listOfN(nd, Gen.chooseNum(0, 2)) // batch assignment
+    } yield (docs, cuts)
+    val prop = Prop.forAll(genCase) { case (docs, cuts) =>
+      val df = docs.zipWithIndex.map { case ((t, l), i) =>
+        (i.toLong, t, l, "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val scratch = tmpDir("dsirp0") + "/m"
+      DsirView.update(spark, scratch, df)
+      val folded = tmpDir("dsirp1") + "/m"
+      // fold batch 2, then 0, then 1 — order ≠ id order
+      Seq(2, 0, 1).foreach { b =>
+        val ids = cuts.zipWithIndex.collect { case (c, i) if c == b => i.toLong }
+        if (ids.nonEmpty)
+          DsirView.update(spark, folded,
+            df.filter(col("doc_id").isin(ids: _*)))
+      }
+      def m(root: String) = DsirView.model(spark, root).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      m(folded) == m(scratch)
+    }
+    check(prop, 6)
+  }
+
   test("property: BPE segmentation conserves words and compresses monotonically") {
     import spark.implicits._
     import graft.operators.BpeTrainer
