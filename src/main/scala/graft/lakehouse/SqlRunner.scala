@@ -153,6 +153,41 @@ object SqlRunner {
       keepVersions = a.lift(1).map(_.toInt).getOrElse(1))
     oneRow(s, Seq("converted"), Seq(n))
   }
+  // On-demand DATA-QUALITY audit from the console: a compact check
+  // spec ("not_null:a,b;unique:k;in_range:v,0,100;in_set:s,x,y;
+  // min_rows:10;max_null_frac:v,0.1") compiles to DataQuality's
+  // single-pass aggregate over the table's CURRENT version — one row
+  // per violation (empty = clean), so an operator can gate a manual
+  // promote/rollback decision without any Scala.
+  registerProc("graft_audit") { (s, a) =>
+    require(a.size == 2, "graft_audit(root, checkSpec)")
+    val checks = a(1).split(";").toSeq.map(_.trim).filter(_.nonEmpty).map {
+      spec =>
+        val (kind, rest) = spec.span(_ != ':')
+        val args = rest.stripPrefix(":").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        kind.trim match {
+          case "not_null" => DataQuality.NotNull(args)
+          case "unique" => DataQuality.Unique(args)
+          case "in_range" =>
+            require(args.size == 3, s"in_range:col,lo,hi — got $spec")
+            DataQuality.InRange(args(0), args(1).toDouble, args(2).toDouble)
+          case "in_set" =>
+            require(args.size >= 2, s"in_set:col,v1[,v2…] — got $spec")
+            DataQuality.InSet(args.head, args.tail)
+          case "min_rows" => DataQuality.MinRows(args.head.toLong)
+          case "max_null_frac" =>
+            require(args.size == 2, s"max_null_frac:col,frac — got $spec")
+            DataQuality.MaxNullFraction(args(0), args(1).toDouble)
+          case other =>
+            throw new IllegalArgumentException(s"unknown check: $other")
+        }
+    }
+    val bad = DataQuality.violations(VersionedTable.read(s, a(0)), checks)
+    import s.implicits._
+    bad.toDF("violation")
+  }
+
   registerProc("graft_purge_deletes") { (s, a) =>
     require(a.nonEmpty && a.size <= 2,
       "graft_purge_deletes(root[, keepVersions])")

@@ -671,6 +671,29 @@ class LakehouseSpec extends SparkSpec {
     assert(postDocs == Seq(1L, 3L, 12L))
   }
 
+  test("graft_audit proc runs a DQ spec over the current version") {
+    import spark.implicits._
+    val root = tmpDir("auditproc") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, Some(10L), "a"), (2L, None, "b"), (2L, Some(200L), "zz"))
+        .toDF("k", "v", "s"))
+    val bad = SqlRunner.callProc(spark, "graft_audit", Seq(root,
+      "not_null:v;unique:k;in_range:v,0,100;in_set:s,a,b;min_rows:10"))
+      ._1.collect().map(_.getString(0))
+    // every declared rule fires on this crafted table
+    assert(bad.exists(_.startsWith("not_null")), bad.mkString("|"))
+    assert(bad.exists(_.startsWith("unique")), bad.mkString("|"))
+    assert(bad.exists(_.startsWith("in_range")), bad.mkString("|"))
+    assert(bad.exists(_.startsWith("in_set")), bad.mkString("|"))
+    assert(bad.exists(_.startsWith("min_rows")), bad.mkString("|"))
+    // a satisfied spec returns zero rows; unknown checks refuse loudly
+    assert(SqlRunner.callProc(spark, "graft_audit",
+      Seq(root, "min_rows:1"))._1.count() == 0)
+    intercept[IllegalArgumentException] {
+      SqlRunner.callProc(spark, "graft_audit", Seq(root, "bogus:x"))
+    }
+  }
+
   test("automation tick compacts the table on schedule") {
     val root = tmpDir("autocmp")
     new java.io.File(s"$root/arrivals").mkdirs()
