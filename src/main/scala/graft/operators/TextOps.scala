@@ -1422,9 +1422,59 @@ object TextOps {
       |FROM pred JOIN documents d USING (doc_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** q123: PMI COLLOCATIONS (Church & Hanks 1990 — pointwise mutual
+    * information over document co-occurrence): for term pairs sharing
+    * ≥3 documents, pmi = ln(df_ab·N / (df_a·df_b)) — the classic
+    * collocation/phrase-mining signal (high = terms that travel
+    * together far beyond chance; the association-rule lift of q102 in
+    * log form, on text). Per-doc DISTINCT terms bound the pair
+    * explosion at Σ t_doc² (the q102 bounded-basket argument; a
+    * min-df prefilter is the scale lever for heavy-tailed vocab);
+    * doc-keyed self-join, pair-keyed aggregate, term-keyed df joins.
+    * All counts exact integers < 2⁵³, so the ratio's double products
+    * are exact and the single ln rounds at 6 dp — hash-exact. */
+  private val q123: QFn = (s, d) => {
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val dfT = dt.groupBy("term").agg(count(lit(1)).as("dft"))
+    val nDocs = Tables.documents(s, d).count().toDouble
+    dt.select(col("doc_id"), col("term").as("a"))
+      .join(dt.select(col("doc_id"), col("term").as("b")), Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= 3)
+      .join(dfT.select(col("term").as("a"), col("dft").as("df_a")), Seq("a"))
+      .join(dfT.select(col("term").as("b"), col("dft").as("df_b")), Seq("b"))
+      .withColumn("pmi",
+        round(log(col("df_ab").cast("double") * lit(nDocs) /
+          (col("df_a").cast("double") * col("df_b"))), 6))
+      .select("a", "b", "df_ab", "pmi")
+  }
+  private val q123Sql =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(trim(text), '\s+')) AS term
+      |    FROM documents) t WHERE len(term) > 0),
+      |dft AS (SELECT term, COUNT(*) AS dft FROM dt GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+      |pairs AS (
+      |  SELECT x.term AS a, y.term AS b, COUNT(*) AS df_ab
+      |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT a, b, df_ab,
+      |  ROUND(LN(CAST(df_ab AS DOUBLE) * (SELECT nd FROM n) /
+      |    (CAST(fa.dft AS DOUBLE) * fb.dft)), 6) AS pmi
+      |FROM pairs
+      |JOIN dft fa ON fa.term = pairs.a
+      |JOIN dft fb ON fb.term = pairs.b""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q116_bpe_fertility" -> q116,
     "q117_langid_profiles" -> q117,
+    "q123_pmi_collocations" -> q123,
     "q30_dedup_exact" -> q30,
     "q31_ngram_jaccard" -> q31,
     "q36_lang_id" -> q36,
@@ -1484,5 +1534,6 @@ object TextOps {
     "q101_fuzzy_join" -> q101Sql,
     "q106_dsir_weights" -> q106Sql,
     "q117_langid_profiles" -> q117Sql,
+    "q123_pmi_collocations" -> q123Sql,
     "q112_dsir_resample" -> q112Sql)
 }
