@@ -1443,9 +1443,56 @@ object Relational {
        |WHERE p_name LIKE '%gear%'
        |GROUP BY 1, 2""".stripMargin
 
+  /** q124: BENFORD first-digit screening of order totals — the
+    * classic forensic-accounting / data-quality test (Benford 1938;
+    * fabricated or truncated monetary data departs from the
+    * log-uniform first-digit law). Digits extract EXACTLY: totals go
+    * to integer cents (floor(x·100), one identical IEEE op) and the
+    * first digit is the first character of the bigint's decimal
+    * string — no log10 near power-of-ten boundaries to drift. The
+    * expected shares log10(1+1/d) embed as LITERAL
+    * shortest-round-trip doubles in BOTH engines (the q109 trick), so
+    * shares, expectations, and deviations are all hash-exact. One
+    * map-side digit projection + one 9-row aggregate. */
+  private val benfordShares: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1 + 1.0 / d))
+  private val q124: QFn = (s, d) => {
+    val totals = Tables.orders(s, d)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+    val n = totals.count().toDouble
+    val expected = benfordShares.tail.foldLeft(
+      when(col("digit") === "1", lit(benfordShares.head._2))) {
+      case (acc, (dg, sh)) => acc.when(col("digit") === dg.toString, lit(sh))
+    }
+    totals
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      .withColumn("share", round(col("n_orders").cast("double") / n, 6))
+      .withColumn("benford", round(expected, 6))
+      .withColumn("abs_dev", round(abs(
+        col("n_orders").cast("double") / n - expected), 6))
+  }
+  private val q124Sql = {
+    val cases = benfordShares.map { case (dg, sh) =>
+      s"WHEN digit = '$dg' THEN $sh" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS digit FROM (
+       |    SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+       |    FROM orders) c WHERE cents > 0),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM t)
+       |SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nd FROM n), 6) AS share,
+       |  ROUND(CASE $cases END, 6) AS benford,
+       |  ROUND(ABS(CAST(COUNT(*) AS DOUBLE) / (SELECT nd FROM n) -
+       |    CASE $cases END), 6) AS abs_dev
+       |FROM t GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "q110_rfm" -> q110,
     "q114_unpivot" -> q114,
+    "q124_benford" -> q124,
     "q122_product_margin" -> q122,
     "q118_nation_volume" -> q118,
     "q119_market_share" -> q119,
@@ -1525,6 +1572,7 @@ object Relational {
     "q114_unpivot" -> q114Sql,
     "q118_nation_volume" -> q118Sql,
     "q122_product_margin" -> q122Sql,
+    "q124_benford" -> q124Sql,
     "q119_market_share" -> q119Sql,
     "q120_order_count_dist" -> q120Sql,
     "q121_disjunctive" -> q121Sql,
