@@ -1489,10 +1489,67 @@ object Relational {
        |FROM t GROUP BY 1""".stripMargin
   }
 
+  /** q125: per-nation GINI COEFFICIENT of customer lifetime revenue —
+    * the standard concentration/inequality measure (revenue-skew
+    * monitoring; "does one whale dominate this market"). The sorted
+    * form G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending in-group
+    * ranks — a GLOBAL-ordering statistic, computed WITHOUT the
+    * one-reducer window: in-group ranks come from
+    * `RankOps.withGroupedPrefixSum` (the q85 machinery — two passes,
+    * a partitions×groups list to the driver), Σ i·x and Σx accumulate
+    * as exact decimals (i·x overflows double's 2⁵³ quanta at real
+    * scale — decimal is correctness here, not just determinism), and
+    * the closed form is one IEEE expression per nation at 6 dp. Ties
+    * need no care: swapping equal x's leaves Σ i·x unchanged, so any
+    * total order gives the same Gini. Hash-exact. */
+  private val q125: QFn = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("rev"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey"), col("rev"))
+      .withColumn("one", lit(1L))
+    val ranked = RankOps.withGroupedPrefixSum(rev, Seq("nation"),
+      Seq("rev", "o_custkey"), valueCol = "one", sumCol = "rank0")
+      .withColumn("i", col("rank0") + 1L)
+    ranked.groupBy("nation")
+      .agg(count(lit(1)).as("n_customers"),
+        sum((col("i") * col("rev"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("six"),
+        sum(col("rev")).as("sx"))
+      .select(col("nation"), col("n_customers"),
+        round((lit(2.0) * col("six").cast("double") -
+          (col("n_customers") + 1).cast("double") * col("sx").cast("double"))
+          / (col("n_customers").cast("double") * col("sx").cast("double")),
+          6).as("gini"))
+  }
+  private val q125Sql =
+    """WITH rev AS (
+      |  SELECT n_name AS nation, o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT nation, rev, CAST(ROW_NUMBER() OVER (PARTITION BY nation
+      |    ORDER BY rev, o_custkey) AS BIGINT) AS i
+      |  FROM rev)
+      |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  ROUND((2.0 * CAST(SUM(CAST(i * rev AS DECIMAL(38,6))) AS DOUBLE) -
+      |    CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+      |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 6)
+      |    AS gini
+      |FROM ranked GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q110_rfm" -> q110,
     "q114_unpivot" -> q114,
     "q124_benford" -> q124,
+    "q125_gini" -> q125,
     "q122_product_margin" -> q122,
     "q118_nation_volume" -> q118,
     "q119_market_share" -> q119,
@@ -1573,6 +1630,7 @@ object Relational {
     "q118_nation_volume" -> q118Sql,
     "q122_product_margin" -> q122Sql,
     "q124_benford" -> q124Sql,
+    "q125_gini" -> q125Sql,
     "q119_market_share" -> q119Sql,
     "q120_order_count_dist" -> q120Sql,
     "q121_disjunctive" -> q121Sql,
