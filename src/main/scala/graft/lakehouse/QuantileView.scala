@@ -171,6 +171,30 @@ object QuantileView {
     }
   }
 
+  /** WINSORIZE a batch against the MAINTAINED quantile state: clip
+    * `spec.column` to the sketch's [pLo, pHi] estimates — q115's
+    * cleaning pass without its per-batch bounds scan. At 100 TB the
+    * difference is structural: exact bounds need two passes over the
+    * batch (and drift batch-to-batch); the maintained DDSketch serves
+    * α-accurate CORPUS-WIDE bounds from KBs of state, so clipping is
+    * pure MAP-SIDE work with bounds that are stable across the whole
+    * ingestion history — fold each batch, then clip the next against
+    * the state-so-far (the DsirView fold-then-use cadence). Refuses
+    * before the first fold (clipping against nothing would silently
+    * pass everything). */
+  def clip(spark: SparkSession, root: String, batch: DataFrame,
+      spec: Spec, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo < pHi, s"pLo=$pLo must be below pHi=$pHi")
+    val qs = quantiles(spark, root, spec, Seq(pLo, pHi))
+    val (lo, hi) = (qs(pLo), qs(pHi)) match {
+      case (Some(l), Some(h)) => (l, h)
+      case _ => throw new IllegalStateException(
+        s"no folded quantile state at $root — fold a batch before clipping")
+    }
+    batch.withColumn(spec.column,
+      least(greatest(col(spec.column), lit(lo)), lit(hi)))
+  }
+
   /** Streaming maintenance: each micro-batch folds exactly once. */
   def runStream(spark: SparkSession, srcDir: String, viewRoot: String,
       checkpointDir: String, schema: StructType, spec: Spec): StreamingQuery =

@@ -170,6 +170,24 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 2)
   }
 
+  test("MoR deletes pass the gate (no data files); CoW rewrites re-check") {
+    val root = freshTable("ck10")
+    VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
+    // a positional deletion vector writes only a dv- sidecar — no data
+    // files, no constraint scan, and the carried files hold by
+    // induction
+    VersionedTable.deleteWhere(spark, root, col("k") === 1L)
+    assert(VersionedTable.read(spark, root).count() == 2)
+    assert(VersionedTable.constraintsOf(spark, root)
+      == Seq("pos_v" -> "v > 0"))
+    // purging the vectors rewrites files — the rewritten bytes go
+    // through the gate and still satisfy the constraint
+    graft.lakehouse.Maintenance.purgeDeletes(spark, root)
+    assert(VersionedTable.read(spark, root).count() == 2)
+    assert(VersionedTable.constraintsOf(spark, root)
+      == Seq("pos_v" -> "v > 0"))
+  }
+
   test("optimistic commits enforce and carry constraints") {
     val root = freshTable("ck7")
     VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")

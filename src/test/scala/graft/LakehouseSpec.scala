@@ -671,6 +671,26 @@ class LakehouseSpec extends SparkSpec {
     assert(postDocs == Seq(1L, 3L, 12L))
   }
 
+  test("QuantileView.clip winsorizes a batch against the maintained state") {
+    import spark.implicits._
+    val root = tmpDir("qclip") + "/m"
+    val spec = QuantileView.Spec(column = "v", alpha = 0.01)
+    QuantileView.update(spark, root,
+      (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), spec)
+    val batch = Seq((1L, -1e9), (2L, 500.0), (3L, 1e9)).toDF("k", "v")
+    val out = QuantileView.clip(spark, root, batch, spec).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // outliers clip to the sketch's p05/p95 (within α=1% of 50/950);
+    // in-range values pass through untouched
+    assert(math.abs(out(1L) - 50.0) <= 0.01 * 50.0 + 1e-9, out(1L).toString)
+    assert(math.abs(out(3L) - 950.0) <= 0.01 * 950.0 + 1e-9, out(3L).toString)
+    assert(out(2L) == 500.0)
+    // clipping against an unfolded root refuses loudly
+    intercept[IllegalStateException] {
+      QuantileView.clip(spark, tmpDir("qclip2") + "/m", batch, spec)
+    }
+  }
+
   test("graft_audit proc runs a DQ spec over the current version") {
     import spark.implicits._
     val root = tmpDir("auditproc") + "/t"
