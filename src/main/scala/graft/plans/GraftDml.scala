@@ -492,6 +492,33 @@ case class GraftCtasCommand(root: String, query: LogicalPlan,
   * version 0 whose single schema-bearing parquet file makes the table
   * immediately readable (and INSERT-able / streamable) by every graft
   * consumer. */
+/** `DESCRIBE [TABLE] graft.`root`` — the logical schema (renamed /
+  * evolved columns included) plus a graft metadata section: current
+  * version, file count, and every declared CHECK constraint — the
+  * console's one-stop "what is this table" answer. Metadata-only
+  * (one manifest read; no data touched). */
+case class GraftDescribeCommand(root: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = VersionedTable.read(spark, root)
+    val cols = df.schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    val version = VersionedTable.currentVersion(spark, root)
+    val meta = version match {
+      case None => Seq(Row("# graft", "", ""), Row("layout", "flat", ""))
+      case Some(v) =>
+        Seq(Row("", "", ""), Row("# graft", "", ""),
+          Row("version", v.toString, ""),
+          Row("files", VersionedTable.currentFiles(spark, root)
+            .size.toString, "")) ++
+          VersionedTable.constraintsOf(spark, root).map { case (n, p) =>
+            Row(s"constraint $n", s"CHECK ($p)", "")
+          }
+    }
+    cols ++ meta
+  }
+}
+
 case class GraftCreateTableCommand(root: String,
     tableSchema: GraftDml.Raw[org.apache.spark.sql.types.StructType],
     ifNotExists: Boolean, statsCols: Seq[String], bloomCols: Seq[String],

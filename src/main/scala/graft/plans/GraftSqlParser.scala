@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterTh
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedTable}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteFromTable, DropColumns, DropConstraint, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, InsertIntoStatement, Join, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UpdateTable}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** SQL syntax extension: `ASOF JOIN`.
@@ -150,6 +150,16 @@ class GraftSqlParser(delegate: ParserInterface)
           s.newPosition.nonEmpty || s.newDefaultExpression.nonEmpty)
         GraftDml.fail("graft ALTER COLUMN supports only TYPE widening")
       GraftAlterCommand(root, GraftAlterCommand.Widen(name, dt))
+    // DESCRIBE over a graft root: logical schema + version/files/
+    // constraints metadata section (standard 3-column output shape)
+    case d @ DescribeRelation(child, _, _, out) =>
+      child.collectFirst {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView(
+            Seq(g, path), _, _) if g.equalsIgnoreCase("graft") => path
+      } match {
+        case Some(root) => GraftDescribeCommand(root, out)
+        case None => d
+      }
     // DDL: declarative CHECK constraints (enforced on every write).
     // The parser wraps ADD CONSTRAINT's target in a validation scan
     // (Filter(NOT cond, UnresolvedRelation)) — dig the relation out.

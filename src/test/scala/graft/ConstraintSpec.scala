@@ -236,6 +236,23 @@ class ConstraintSpec extends SparkSpec {
       .filter(col("status") === LoadRegistry.StatusQuarantined).count() == 1)
   }
 
+  test("DESCRIBE graft.`root` shows schema, version, files, constraints") {
+    val root = freshTable("ckdesc")
+    VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
+    val rows = spark.sql(s"DESCRIBE graft.`$root`").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.take(3).toSeq ==
+      Seq(("k", "bigint"), ("s", "string"), ("v", "bigint")))
+    assert(rows.contains(("version", "2")))
+    assert(rows.exists { case (n, _) => n == "files" })
+    assert(rows.contains(("constraint pos_v", "CHECK (v > 0)")))
+    // renamed columns describe under their logical name
+    VersionedTable.renameColumn(spark, root, "s", "label")
+    val rows2 = spark.sql(s"DESCRIBE TABLE graft.`$root`").collect()
+      .map(_.getString(0))
+    assert(rows2.contains("label") && !rows2.contains("s"))
+  }
+
   test("DROP/RENAME COLUMN refuse while a constraint references the column") {
     val root = freshTable("ck8")
     VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")
