@@ -52,7 +52,21 @@ object BpeTrainer {
 
   /** Learn `numMerges` merges from the corpus' `textCol`. Returns the
     * ordered merge table. `maxWords > 0` bounds the dictionary to the
-    * hash-lowest N distinct words (deterministic sample). */
+    * hash-lowest N distinct words (deterministic sample).
+    *
+    * Execution shape: when `maxWords` bounds the dictionary, the
+    * model-sized work moves DRIVER-LOCAL — the bounded (word, count)
+    * table is collected ONCE (≤ maxWords rows, the same primitive
+    * KMeansVec uses for its k×d model) and the merge loop runs in
+    * memory with incremental pair-count maintenance. Total job count
+    * is then independent of `numMerges`: one dictionary aggregate +
+    * one collect, versus one distributed job PER MERGE — at a real
+    * tokenizer's 30k–50k merges that is the difference between
+    * seconds and hours of pure scheduling overhead. The distributed
+    * loop remains for the unbounded (`maxWords == 0`) case. Both
+    * paths implement the identical greedy argmax (count desc, then
+    * lexicographic pair) and <2-count stop rule, so the learned merge
+    * table is bit-identical between them (spec-pinned). */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
       maxWords: Int = 0): Seq[(String, String)] = {
     val spark = docs.sparkSession
@@ -63,11 +77,18 @@ object BpeTrainer {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-    if (maxWords > 0)
+    if (maxWords > 0) {
       dict = dict.toDF("w", "n")
         .withColumn("h", xxhash64(col("w")))
         .orderBy(col("h"), col("w")).limit(maxWords)
         .select("w", "n").as[(String, Long)]
+      // bounded dictionary ⇒ model-sized: collect once, merge locally.
+      // The local loop is order-independent (counts are sums, argmax
+      // is total, per-word rewrites are independent), so the collect
+      // order cannot affect the learned table.
+      val local = dict.collect().map { case (w, n) => (initSymbols(w), n) }
+      return mergeLoopLocal(local, numMerges)
+    }
     var words = dict.map { case (w, n) => (initSymbols(w), n) }
       .rdd.cache()
     val merges = Vector.newBuilder[(String, String)]
@@ -111,6 +132,69 @@ object BpeTrainer {
     }
     prev.foreach(_.unpersist(false))
     words.unpersist(false)
+    merges.result()
+  }
+
+  /** Driver-local merge loop over a bounded, already-collected
+    * dictionary. Incremental: pair counts and a pair→word index are
+    * maintained across rounds, so each merge touches only the words
+    * that contain the merged pair (classic fast-BPE bookkeeping) —
+    * O(affected words) per round instead of O(dictionary). Semantics
+    * are exactly the distributed fold's: weighted overlapping
+    * adjacent-pair counts, argmax by (count desc, pair lexicographic),
+    * stop when the best pair's count < 2. */
+  private[operators] def mergeLoopLocal(
+      dict: Array[(Vector[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms = mutable.ArrayBuffer.from(dict.map(_._1))
+    val counts = dict.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    // word sets go stale as merges rewrite words — harmless: a stale
+    // member's subtract/re-add below is a no-op, and exact counts (not
+    // the index) drive the argmax and the stop rule.
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def tally(i: Int, sign: Long): Unit = {
+      val s = syms(i); val n = counts(i) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + n
+        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { tally(i, 1L); i += 1 }
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      var bestP = ("", "")
+      var bestC = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && c > 0L &&
+            (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+          bestP = p; bestC = c
+        }
+      }
+      if (bestC < 2L) done = true
+      else {
+        val (a, b) = bestP
+        merges += ((a, b))
+        // snapshot: tally(+1) on rewritten words inserts into
+        // pairWords sets; iterate a frozen copy of the affected set
+        val affected =
+          pairWords.get((a, b)).map(_.toArray).getOrElse(Array.emptyIntArray)
+        affected.foreach { w =>
+          tally(w, -1L)
+          syms(w) = applyMerge(syms(w), a, b)
+          tally(w, 1L)
+        }
+        round += 1
+      }
+    }
     merges.result()
   }
 

@@ -1365,6 +1365,55 @@ class OperatorsSpec extends SparkSpec {
     assert(BpeTrainer.train(docs, numMerges = 3, maxWords = 2).nonEmpty)
   }
 
+  test("BPE driver-local loop: bit-identical to the distributed path, " +
+      "job count independent of numMerges") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    // vocabulary (10 distinct words) well under maxWords ⇒ the bounded
+    // and unbounded paths see the SAME dictionary; the learned merge
+    // table must be bit-identical between the distributed loop
+    // (maxWords=0) and the driver-local loop (maxWords>0)
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3,
+      "newer" -> 4, "lowest" -> 1, "wide" -> 2, "new" -> 7,
+      "widen" -> 2, "slow" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text), (2L, text.reverse.reverse)).toDF("doc_id", "text")
+    val dist = BpeTrainer.train(docs, numMerges = 12)
+    val local = BpeTrainer.train(docs, numMerges = 12, maxWords = 1000)
+    assert(local == dist, s"local=$local dist=$dist")
+    // and under repartitioning
+    assert(BpeTrainer.train(docs.repartition(5), numMerges = 12,
+      maxWords = 1000) == local)
+    // job-count independence: training with 3× the merges must not
+    // schedule more jobs (the bounded path runs ONE dictionary
+    // aggregate + collect; merges are driver-local)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(numMerges: Int): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try {
+        BpeTrainer.train(docs, numMerges, maxWords = 1000)
+        // listener events post asynchronously — poll until stable
+        var last = -1
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val now = jobs.get()
+          if (now == last) same += 1 else { same = 0; last = now }
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val j4 = countJobs(4)
+    val j12 = countJobs(12)
+    assert(j12 <= j4 + 1, s"j4=$j4 j12=$j12: job count grew with merges")
+  }
+
   test("multimodal near-dup videos: frame-hash Jaccard finds the re-upload") {
     import spark.implicits._
     // A = 4 frames; B = A plus one appended frame (a trailing-card
