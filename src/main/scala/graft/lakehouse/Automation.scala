@@ -189,6 +189,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         .sorted
     var kept = 0L
     var dropped = 0L
+    var annRemoved = 0L
     pending.foreach { name =>
       val tag = name.stripPrefix("ingest-").stripSuffix(".snappy.parquet")
       val fresh = spark.read.parquet(s"$rawLive/$name")
@@ -234,16 +235,28 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       val selected = cc.dsirTargetLang match {
         case None => survivors
         case Some(lang) =>
-          import org.apache.spark.sql.functions.{broadcast, exp, least, lit, round}
+          import org.apache.spark.sql.functions.{coalesce, exp, least, lit, round}
           graft.operators.DsirView.update(spark, cc.dsirModelDir,
             survivors, lang)
-          val rates = graft.operators.DsirView
-            .score(spark, cc.dsirModelDir, survivors)
-            .select(col("doc_id"),
-              least(lit(1.0), round(exp(col("dsir_logw")), 6)).as("rate"))
-          survivors.join(rates, Seq("doc_id"))
-            .filter(graft.operators.TextOps.keepByRate(col("doc_id"), col("rate")))
-            .drop("rate")
+          // an unfolded model (first batch tokenized entirely empty)
+          // carries no information — neutral weights, don't crash the tick
+          if (!graft.operators.DsirView.hasState(spark, cc.dsirModelDir))
+            survivors
+          else {
+            val rates = graft.operators.DsirView
+              .score(spark, cc.dsirModelDir, survivors)
+              .select(col("doc_id"),
+                least(lit(1.0), round(exp(col("dsir_logw")), 6)).as("rate"))
+            // LEFT join: a survivor whose text tokenizes to zero tokens
+            // gets no score row — importance resampling must not turn
+            // into a hard filter on it; missing rate = 1.0 (logw 0, the
+            // neutral weight), so the doc rides through deterministically
+            survivors.join(rates, Seq("doc_id"), "left")
+              .withColumn("rate", coalesce(col("rate"), lit(1.0)))
+              .filter(graft.operators.TextOps
+                .keepByRate(col("doc_id"), col("rate")))
+              .drop("rate")
+          }
       }
       val nKept = publishObject(fs, selected, cc.corpusDir, s"batch-$tag")
       // history postings cover the PUBLISHED set: near-dup history
@@ -254,6 +267,30 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       MaterializedAgg.update(spark, cc.gramDfDir,
         survivorPostings.select(col("gram")),
         MaterializedAgg.Spec(Seq("gram"), Nil))
+      // ANN coupling: a document the curation stages dropped THIS
+      // batch must vanish from the maintained vector index's search
+      // results the same tick — tombstone its vector
+      // (VectorIndex.remove: O(dropped) append, searches pre-filter
+      // the broadcast tombstone set, no list partition touched). A
+      // crash replay re-appends the same ids; reads and vacuum dedup
+      // the tombstone set, so the replay stays idempotent. The index
+      // rewrite itself happens on the annVacuumEvery cadence below.
+      cc.annIndexPath.foreach { ix =>
+        if (graft.operators.VectorIndex.exists(spark, ix)) {
+          // diff against the PUBLISHED object, not the lazy `selected`
+          // plan: the gram-df commit above may have GC'd the view
+          // version that plan's prefix-ranking stage read, and the
+          // published object is also what a crash replay actually kept
+          val droppedIds = fresh
+            .select(col("doc_id").cast("long").as("vec_id")).distinct()
+            .join(spark.read.parquet(s"${cc.corpusDir}/batch-$tag.parquet")
+              .select(col("doc_id").cast("long").as("vec_id"))
+              .distinct(), Seq("vec_id"), "left_anti")
+          val nd = droppedIds.count()
+          if (nd > 0) graft.operators.VectorIndex.remove(spark, ix, droppedIds)
+          annRemoved += nd
+        }
+      }
       // marker LAST: its existence = this raw file fully processed
       val out = fs.create(
         new org.apache.hadoop.fs.Path(doneDir, s"done-$tag"), false)
@@ -261,7 +298,18 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       kept += nKept
       dropped += nFresh - nKept
     }
-    Automation.CorpusReport(load, pending.size, kept, dropped)
+    // scheduled tombstone materialization: rewrite only the affected
+    // list partitions, then clear the set — the index-side twin of
+    // scheduled compaction
+    val annVacuumed = cc.annIndexPath match {
+      case Some(ix) if cc.annVacuumEvery > 0 &&
+          ticks % cc.annVacuumEvery == 0 &&
+          graft.operators.VectorIndex.exists(spark, ix) =>
+        graft.operators.VectorIndex.vacuumTombstones(spark, ix)
+      case _ => 0L
+    }
+    Automation.CorpusReport(load, pending.size, kept, dropped,
+      annRemoved, annVacuumed)
   }
 
   /** Stage `df` and publish it as ONE parquet object `<name>.parquet`
@@ -302,14 +350,25 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       val live = VersionedTable.currentPath(spark, vc.tableDir)
       val fresh = spark.read.parquet(
         r.loaded.map(f => s"$live/${IncrementalLoader.publishedName(f)}"): _*)
-      if (!graft.operators.VectorIndex.exists(spark, vc.indexPath))
-        vc.pq match {
-          case None => graft.operators.VectorIndex.build(
-            fresh, vc.indexPath, vc.k, vc.iters)
-          case Some((m, ksub)) => graft.operators.VectorIndex.buildPQ(
-            fresh, vc.indexPath, vc.k, m, ksub, vc.iters,
-            residual = vc.pqResidual, packed = vc.pqPacked, opq = vc.pqOpq)
-        }
+      if (!graft.operators.VectorIndex.exists(spark, vc.indexPath)) {
+        // bootstrap trains the one-time centroid/codebook geometry —
+        // from the WHOLE loaded table, not just this tick's drop, and
+        // only once enough vectors have landed
+        // (minBootstrapVectors): add() never retrains, so centroids
+        // fitted to a 3-vector first drop would freeze a degenerate
+        // geometry forever. Below the floor the build DEFERS — the
+        // rows are safe in the table, and a later tick bootstraps
+        // from all of them.
+        val all = spark.read.parquet(live)
+        if (all.count() >= math.max(1L, vc.minBootstrapVectors.toLong))
+          vc.pq match {
+            case None => graft.operators.VectorIndex.build(
+              all, vc.indexPath, vc.k, vc.iters)
+            case Some((m, ksub)) => graft.operators.VectorIndex.buildPQ(
+              all, vc.indexPath, vc.k, m, ksub, vc.iters,
+              residual = vc.pqResidual, packed = vc.pqPacked, opq = vc.pqOpq)
+          }
+      }
       else {
         // dispatch on the layout the index ON DISK actually has, and
         // refuse a config that contradicts it — a daemon restarted
@@ -473,7 +532,13 @@ object Automation {
       // one-time bootstrap build
       pqResidual: Boolean = false,
       pqPacked: Boolean = false,
-      pqOpq: Boolean = false)
+      pqOpq: Boolean = false,
+      // defer the one-time bootstrap build until this many vectors
+      // have landed in the table — add() never retrains, so the
+      // centroid geometry is only as good as the bootstrap sample.
+      // Builds read the whole loaded table, so deferred rows are
+      // included once the floor is met. 0 = build on first data.
+      minBootstrapVectors: Int = 0)
 
   /** Corpus-curation config: where document drops arrive (JSON-lines
     * by default: doc_id, text, lang, source), the raw landing table,
@@ -491,7 +556,14 @@ object Automation {
           "doc_id BIGINT, text STRING, lang STRING, source STRING"),
       format: String = "json",
       t: Double = 0.5,
-      dsirTargetLang: Option[String] = None) {
+      dsirTargetLang: Option[String] = None,
+      // when the corpus documents also live in a maintained
+      // VectorIndex (vec_id = doc_id), curation drops tombstone their
+      // vectors the SAME tick — searches stop returning them
+      // immediately; annVacuumEvery schedules the partition rewrite
+      // (0 = tombstones persist until an external vacuum)
+      annIndexPath: Option[String] = None,
+      annVacuumEvery: Int = 0) {
     /** The incrementally-maintained (gram, df) view feeding the
       * near-dup prefix ranking — a [[MaterializedAgg]] root next to
       * the postings. */
@@ -504,9 +576,13 @@ object Automation {
 
   /** Per-tick corpus curation outcome. `kept`/`dropped` are this
     * tick's processed batches only (a crash-replayed batch whose
-    * objects already exist reports its rows as already published). */
+    * objects already exist reports its rows as already published).
+    * `annRemoved` = vectors tombstoned in the linked index this tick;
+    * `annVacuumed` = tombstones materialized by this tick's scheduled
+    * vacuum. */
   final case class CorpusReport(load: IncrementalLoader.LoadResult,
-      batches: Int, kept: Long, dropped: Long)
+      batches: Int, kept: Long, dropped: Long,
+      annRemoved: Long = 0L, annVacuumed: Long = 0L)
 
   final case class TickReport(
       tick: Long,

@@ -54,12 +54,28 @@ object DsirView {
       .select(col("b"), col("cnt").as("cr"),
         col("sum_tgt").cast("long").as("ct"))
 
+  /** True once at least one non-empty batch has been folded at `root`
+    * — the precondition [[score]] enforces with a loud refusal.
+    * Callers that can fall back to neutral weights (rate 1.0) should
+    * gate on this instead of catching. */
+  def hasState(spark: SparkSession, root: String): Boolean =
+    graft.lakehouse.VersionedTable.currentVersion(spark, root).isDefined && {
+      val t = model(spark, root).agg(sum(col("cr"))).head
+      !t.isNullAt(0) && t.getLong(0) > 0L
+    }
+
   /** Score `docs` against the model-so-far: per-doc log importance
     * weight, the exact q106 formula on the maintained counts. The
     * model side is ≤256 rows (broadcast); only the batch explodes. */
   def score(spark: SparkSession, root: String, docs: DataFrame): DataFrame = {
     val m = model(spark, root)
     val t = m.agg(sum(col("cr")), sum(col("ct"))).head
+    // loud refusal over a bare NPE (the QuantileView.clip convention):
+    // an unfolded model (score before any update, or every folded doc
+    // tokenized empty) has null sums
+    require(!t.isNullAt(0) && t.getLong(0) > 0L,
+      s"no folded DSIR state at $root — fold a non-empty batch " +
+        "(DsirView.update) before scoring")
     val (tr, tt) = (t.getLong(0).toDouble, t.getLong(1).toDouble)
     val lr = m.select(col("b"),
       round(log(((col("ct") + 1.0) / (tt + Buckets))

@@ -159,6 +159,52 @@ class LakehouseSpec extends SparkSpec {
     assert(viaPqTicks.nonEmpty && viaPqTicks == viaPqBatch)
   }
 
+  test("vector-index bootstrap defers below minBootstrapVectors — " +
+      "a tiny first drop cannot freeze the centroid geometry") {
+    import graft.operators.VectorIndex
+    val root = tmpDir("autoidxboot")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    new java.io.File(s"$root/varr").mkdirs()
+    val emb = Tables.embeddings(spark, sfDir)
+    def drop(name: String, lo: Int, hi: Int): Unit = {
+      val tmp = s"$root/_tmp_$name"
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$root/varr", s"$name.json").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/reg", generate = false,
+      vectorIndex = Some(Automation.VectorIndexConfig(
+        srcDir = s"$root/varr", tableDir = s"$root/vt",
+        registryDir = s"$root/vreg", indexPath = s"$root/idx",
+        schema = emb.schema, minBootstrapVectors = 50))))
+    drop("d1", 0, 3) // 3 vectors: below the floor
+    val r1 = auto.tick()
+    assert(r1.vecLoad.exists(_.loaded.size == 1))
+    assert(!VectorIndex.exists(spark, s"$root/idx"),
+      "bootstrap must defer: k-means on a 3-vector drop would freeze " +
+        "a degenerate geometry forever")
+    drop("d2", 3, 70) // floor met across BOTH drops
+    auto.tick()
+    assert(VectorIndex.exists(spark, s"$root/idx"))
+    // the deferred tick's rows are in the index too — the bootstrap
+    // build reads the whole loaded table, not just the triggering drop
+    assert(spark.read.parquet(s"$root/idx/lists").count() == 70L)
+    assert(spark.read.parquet(s"$root/idx/lists")
+      .filter(col("vec_id") < 3).count() == 3,
+      "deferred first-drop vectors must be indexed")
+    val probes = emb.filter(col("vec_id") < 3)
+    val hits = VectorIndex.search(spark, s"$root/idx", probes,
+      nprobe = 8, k = 1)
+    assert(hits.groupBy("probe_id").count().count() == 3,
+      "deferred first-drop vectors must be searchable probes")
+  }
+
   test("materialized aggregate: incremental folds equal a full recompute") {
     val root = tmpDir("magg") + "/v"
     val spec = MaterializedAgg.Spec(
@@ -669,6 +715,143 @@ class LakehouseSpec extends SparkSpec {
       .select("hist_id").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(postDocs == Seq(1L, 3L, 12L))
+  }
+
+  test("curation drops tombstone the linked ANN index the same tick; " +
+      "scheduled vacuum materializes; crash replay idempotent") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val root = tmpDir("corpusannidx")
+    val emb = Tables.embeddings(spark, sfDir)
+    // index whose vec_ids ARE the corpus doc ids: remap six base
+    // vectors onto the ids the drops below use; filler ids 100..139
+    // keep enough live neighbors for a full-k search after the drops
+    val mapping = Seq((0L, 1L), (1L, 2L), (2L, 11L), (3L, 12L),
+      (4L, 13L), (5L, 14L)).toDF("vec_id", "new_id")
+    val docVecs = emb.join(mapping, "vec_id")
+      .select(col("new_id").as("vec_id"), col("embedding"), col("label"))
+    val vecs = docVecs.unionByName(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 140))
+    val idx = s"$root/idx"
+    VectorIndex.buildPQ(vecs, idx, k = 4, m = 16, ksub = 16, iters = 3)
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      annIndexPath = Some(idx), annVacuumEvery = 3)
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false, corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/drops/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    drop("d1.json", Seq(
+      s"""{"doc_id": 1, "text": "$textA", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 2, "text": "$textB", "lang": "en", "source": "s"}"""))
+    val r1 = auto.tick()
+    assert(r1.corpus.get.kept == 2 && r1.corpus.get.annRemoved == 0)
+    def doneMarkers(): Set[String] = new java.io.File(s"$root/corpus/_done")
+      .listFiles().map(_.getName).filter(_.startsWith("done-")).toSet
+    val tick1Markers = doneMarkers()
+    // tick 2: 11 = near-rewrite of A, 12 = exact dup of B, 13 = new,
+    // 14 = within-batch near-dup of 13 → drops {11, 12, 14}
+    drop("d2.json", Seq(
+      s"""{"doc_id": 11, "text": "$textA zz", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 12, "text": "$textB", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 13, "text": "$textC", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 14, "text": "$textC yy", "lang": "en", "source": "s"}"""))
+    val r2 = auto.tick()
+    assert(r2.corpus.get.dropped == 3 && r2.corpus.get.annRemoved == 3)
+    assert(r2.corpus.get.annVacuumed == 0, "vacuum is on the tick-3 cadence")
+    // SAME tick: the dropped docs' vectors are tombstoned (no code
+    // partition touched yet) and searches never return them — with a
+    // full k of live neighbors still coming back
+    assert(new java.io.File(s"$idx/tombstones").exists())
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id").isin(11L, 12L, 14L)).count() == 3,
+      "tombstone phase must not rewrite list partitions")
+    val probes = vecs.filter(col("vec_id").isin(1L, 13L))
+    val hits = VectorIndex.searchPQ(spark, idx, probes, vecs,
+      nprobe = 4, k = 3)
+    assert(hits.filter(col("neighbor_id").isin(11L, 12L, 14L)).count() == 0,
+      "dropped docs must vanish from ANN results the tick they drop")
+    assert(hits.groupBy("probe_id").count().collect()
+      .forall(_.getLong(1) == 3L), "full k live results per probe")
+    // materialize NOW: the plan reads tombstone files the scheduled
+    // vacuum below deletes
+    val hitRows = hits.collect().map(_.toString).sorted.toSeq
+    // crash replay: lose tick-2's done marker — the batch reprocesses
+    // (tombstones re-append; reads dedup), then the tick-3 scheduled
+    // vacuum materializes exactly the 3 distinct ids and clears the set
+    val d2Marker = (doneMarkers() -- tick1Markers).head
+    assert(new java.io.File(s"$root/corpus/_done/$d2Marker").delete())
+    val r3 = auto.tick()
+    assert(r3.corpus.get.batches == 1 && r3.corpus.get.annRemoved == 3)
+    assert(r3.corpus.get.annVacuumed == 3)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id").isin(11L, 12L, 14L)).count() == 0,
+      "vacuum must physically drop the tombstoned codes")
+    val hits2 = VectorIndex.searchPQ(spark, idx, probes, vecs,
+      nprobe = 4, k = 3)
+    assert(hits2.collect().map(_.toString).sorted.toSeq == hitRows,
+      "vacuum must not change search results")
+    // the replayed batch reused its published objects: corpus unchanged
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 13L))
+  }
+
+  test("DSIR stage keeps zero-token survivors (left join, neutral rate) " +
+      "and an all-empty first batch defers the model") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("corpusdsir0")
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings", dsirTargetLang = Some("en"))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false, corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/drops/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    // tick 1: the ONLY doc tokenizes empty — the unfolded model must
+    // not crash the tick, and the doc rides through at neutral weight
+    drop("d1.json", Seq(
+      s"""{"doc_id": 1, "text": "   ", "lang": "en", "source": "s"}"""))
+    val r1 = auto.tick()
+    assert(r1.corpus.get.kept == 1 && r1.corpus.get.dropped == 0)
+    assert(!graft.operators.DsirView.hasState(spark, cc.dsirModelDir))
+    // tick 2: a real en doc folds the model; a second zero-token doc
+    // in the same batch gets NO score row — the left join must keep it
+    // (importance resampling, not a hard filter)
+    val en = (1 to 40).map(i => s"enw$i").mkString(" ")
+    drop("d2.json", Seq(
+      s"""{"doc_id": 2, "text": "$en", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 3, "text": "\\t ", "lang": "en", "source": "s"}"""))
+    val r2 = auto.tick()
+    assert(r2.corpus.get.kept == 2 && r2.corpus.get.dropped == 0,
+      "zero-token survivor must not be silently dropped by the DSIR join")
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // the guard refuses loudly on a model that only ever folded
+    // zero-token batches (sums are null) instead of NPE-ing
+    val emptyRoot = s"$root/m0"
+    graft.operators.DsirView.update(spark, emptyRoot,
+      spark.read.parquet(s"$root/corpus").filter(col("doc_id") < 0), "en")
+    intercept[IllegalArgumentException] {
+      graft.operators.DsirView.score(spark, emptyRoot,
+        spark.read.parquet(s"$root/corpus"))
+    }
   }
 
   test("QuantileView.clip winsorizes a batch against the maintained state") {
