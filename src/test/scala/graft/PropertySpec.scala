@@ -69,6 +69,100 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 25)
   }
 
+  test("property: manifest skipping never changes results — pruned " +
+      "graft scan ≡ full scan + filter on any predicate and layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import graft.lakehouse.VersionedTable
+    // adversarial structure: random nullable values, random file
+    // partitioning (containment/straddle/miss/all-null files all
+    // occur), and random PUSHABLE predicates — every leaf below maps
+    // to a source filter the ManifestSkipping oracle actually
+    // evaluates against per-file stats and blooms, composed under
+    // AND/OR/NOT. Soundness bar: the pruned scan may read fewer
+    // files, never different rows.
+    sealed trait P
+    case class CmpA(op: Int, v: Long) extends P // = < <= > >=
+    case class InA(vs: List[Long]) extends P
+    case object NullA extends P
+    case object NotNullA extends P
+    case class EqS(v: String) extends P
+    case class StartsS(pfx: String) extends P
+    case class EqId(v: Long) extends P // bloom point-lookup path
+    case class And(l: P, r: P) extends P
+    case class Or(l: P, r: P) extends P
+    case class Neg(x: P) extends P
+    def render(p: P): Column = p match {
+      case CmpA(0, v) => col("a") === v
+      case CmpA(1, v) => col("a") < v
+      case CmpA(2, v) => col("a") <= v
+      case CmpA(3, v) => col("a") > v
+      case CmpA(_, v) => col("a") >= v
+      case InA(vs)    => col("a").isin(vs: _*)
+      case NullA      => col("a").isNull
+      case NotNullA   => col("a").isNotNull
+      case EqS(v)     => col("s") === v
+      case StartsS(x) => col("s").startsWith(x)
+      case EqId(v)    => col("id") === v
+      case And(l, r)  => render(l) && render(r)
+      case Or(l, r)   => render(l) || render(r)
+      case Neg(x)     => !render(x)
+    }
+    val genLeaf: Gen[P] = Gen.frequency(
+      (4, for { op <- Gen.chooseNum(0, 4); v <- Gen.chooseNum(-45L, 45L) }
+        yield CmpA(op, v)),
+      (2, Gen.chooseNum(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-45L, 45L))).map(InA(_))),
+      (1, Gen.const(NullA)),
+      (1, Gen.const(NotNullA)),
+      (2, Gen.oneOf("ant", "bee", "cat", "dog", "zzz").map(EqS(_))),
+      (1, Gen.oneOf("a", "b", "c", "d", "z").map(StartsS(_))),
+      (2, Gen.chooseNum(0L, 70L).map(EqId(_))))
+    def genP(depth: Int): Gen[P] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(
+        (3, genLeaf),
+        (2, Gen.zip(genP(depth - 1), genP(depth - 1))
+          .map { case (l, r) => And(l, r) }),
+        (2, Gen.zip(genP(depth - 1), genP(depth - 1))
+          .map { case (l, r) => Or(l, r) }),
+        (1, genP(depth - 1).map(Neg(_))))
+    val genRow = for {
+      a <- Gen.frequency((4, Gen.chooseNum(-40L, 40L).map(Option(_))),
+        (1, Gen.const(Option.empty[Long])))
+      s <- Gen.frequency((4, Gen.oneOf("ant", "bee", "cat", "dog", "eel")
+        .map(Option(_))), (1, Gen.const(Option.empty[String])))
+    } yield (a, s)
+    val genCase = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, genRow)
+      parts <- Gen.chooseNum(1, 5)
+      sorted <- Gen.oneOf(true, false)
+      pred <- genP(2)
+    } yield (rows, parts, sorted, pred)
+    val prop = Prop.forAll(genCase) { case (rows, parts, sorted, pred) =>
+      val df = rows.zipWithIndex.map { case ((a, s), i) =>
+        (i.toLong, a.map(Long.box).orNull, s.orNull)
+      }.toDF("id", "a", "s")
+        .select(col("id"), col("a").cast("long"), col("s"))
+      val root = tmpDir("propskip") + "/t"
+      VersionedTable.commit(spark, root,
+        statsCols = Seq("a", "s"), bloomCols = Seq("id")) { stage =>
+        val laid =
+          if (sorted) df.repartitionByRange(parts, col("a"))
+            .sortWithinPartitions("a")
+          else df.repartition(parts)
+        laid.write.parquet(stage)
+      }
+      val c = render(pred)
+      val got = spark.read.format("graft").load(root).filter(c)
+        .collect().map(_.toString).sorted.toSeq
+      val want = df.filter(c).collect().map(_.toString).sorted.toSeq
+      got == want
+    }
+    check(prop, cases = 30)
+  }
+
   test("property: MoR delete/upsert op sequences equal the multiset model") {
     import spark.implicits._
     import graft.lakehouse.{Maintenance, VersionedTable}
