@@ -71,6 +71,7 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
+      graft.util.PhaseTimer.drain() // discard any stale phase records
       val t0 = System.nanoTime()
       // a crashed query must NOT read as a fast success — record it
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -78,14 +79,22 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, (System.nanoTime() - t0) / 1e9, ok, graft.util.PhaseTimer.drain())
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // per-phase rows for the iterative queries (PageRank rounds,
+    // k-means training, CC sweeps): separates per-job fixed overhead —
+    // which a loaded driver multiplies — from real compute, so a
+    // round-over-round regression names the phase that moved
+    val phases = results.collect { case (k, _, _, ph) if ph.nonEmpty =>
+      "\"" + k + "\":" + ph.map { case (p, s) =>
+        "\"" + p + f"""\":$s%.3f""" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"phases":$phases,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

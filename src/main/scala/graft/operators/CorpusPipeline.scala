@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * the test tables:
   *
   * {{{
-  * quality filter → exact content dedup → per-language weighted
-  * sampling → per-stream token packing
+  * quality filter → exact content dedup → near-dup drop →
+  * decontamination → DSIR importance resampling → temperature source
+  * mixing → per-language weighted sampling → per-stream token packing
   * }}}
   *
   * Each stage is also exposed on its own. Everything is one lazy
-  * DataFrame flow — no stage materializes until the caller acts — and
+  * DataFrame flow — no stage materializes until the caller acts (the
+  * one exception: the DSIR stage fits its ≤256-row model eagerly,
+  * like every model-fitting operator in the library) — and
   * every stage keeps the scale shapes of its query twin: the quality
   * filter and the sampler are map-side-only, dedup is one shuffle on
   * the 128-bit fingerprint with map-side partial min, and packing
@@ -32,13 +35,22 @@ object CorpusPipeline {
       langKeepRates: Map[String, Double] = Map("en" -> 1.0),
       defaultKeepRate: Double = 0.25,
       binTokens: Long = 4096L,
-      partitions: Int = 0)
+      partitions: Int = 0,
+      // Some(lang) → clipped DSIR importance resampling toward that
+      // language slice, after decontamination (dsirResample)
+      dsirTargetLang: Option[String] = None,
+      // Some(alpha) → temperature-weighted source mixing over a
+      // mixBudgetFrac token budget, after the DSIR stage
+      mixAlpha: Option[Double] = None,
+      mixBudgetFrac: Double = 0.5)
 
   /** Row counts after each stage (each is one count job over the lazy
-    * prefix of the flow). */
+    * prefix of the flow). `afterDsir`/`afterMixing` are present only
+    * when their stage is configured on. */
   final case class Report(input: Long, afterQuality: Long,
       afterDedup: Long, afterNearDup: Long, afterDecontam: Long,
-      afterSampling: Long, bins: Long)
+      afterSampling: Long, bins: Long,
+      afterDsir: Option[Long] = None, afterMixing: Option[Long] = None)
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
@@ -117,6 +129,49 @@ object CorpusPipeline {
   def dedupNear(docs: DataFrame, t: Double): DataFrame =
     TextOps.dropNearDupsWithinBatch(docs, t)
 
+  /** q99's TEMPERATURE-weighted source mixing as a pipeline stage:
+    * source i keeps share n_i^alpha / Σ n_j^alpha of a `budgetFrac`
+    * token budget (α≈0.3 is the XLM-R/mT5 practice — flattens head
+    * sources, boosts the tail; rates clamp at 1). Same scale shape as
+    * the query twin: two K-row aggregates, broadcast rate join,
+    * map-side deterministic md5-threshold keep — append-stable, so
+    * re-planning on a grown corpus keeps prior decisions wherever the
+    * rates do not move. */
+  def mixByTemperature(docs: DataFrame, alpha: Double,
+      budgetFrac: Double = 0.5): DataFrame = {
+    val toks = docs.withColumn("_nt", size(words(col("text"))).cast("long"))
+    val perSrc = toks.groupBy("source").agg(sum(col("_nt")).as("n"))
+      .withColumn("w", round(pow(col("n").cast("double"), alpha), 6))
+    val totals = perSrc.agg(sum(col("n")).as("total"),
+      sum(col("w").cast(graft.util.Exact.Dec)).cast("double").as("wsum"))
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .withColumn("_rate", least(lit(1.0),
+        lit(budgetFrac) * col("total") * col("w") / col("wsum") / col("n")))
+      .select(col("source"), col("_rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(TextOps.keepByRate(col("doc_id"), col("_rate")))
+      .drop("_rate")
+      .select(docs.columns.map(col): _*)
+  }
+
+  /** q112's clipped DSIR importance resampling as a pipeline stage:
+    * weights against the corpus's own `targetLang` slice
+    * ([[TextOps.dsirLogWeights]] — the one shared definition), keep
+    * w.p. min(1, exp(logw)) via the deterministic md5 threshold. A
+    * doc whose text tokenizes empty has no feature row and rides
+    * through at the neutral rate 1.0 — importance resampling, never a
+    * hard filter (the daemon-stage rule). The model is two ≤256-row
+    * aggregates; only the token explode is data-sized. */
+  def dsirResample(docs: DataFrame, targetLang: String): DataFrame = {
+    val rates = TextOps.dsirLogWeights(docs, targetLang)
+      .select(col("doc_id"),
+        least(lit(1.0), round(exp(col("dsir_logw")), 6)).as("_rate"))
+    docs.join(rates, Seq("doc_id"), "left")
+      .withColumn("_rate", coalesce(col("_rate"), lit(1.0)))
+      .filter(TextOps.keepByRate(col("doc_id"), col("_rate")))
+      .drop("_rate")
+  }
+
   /** q67's deterministic per-language weighted sampling: keep rate →
     * 16-bit md5-hex threshold, map-side filter, append-stable. */
   def weightedSample(docs: DataFrame, rates: Map[String, Double],
@@ -158,7 +213,13 @@ object CorpusPipeline {
       if (cfg.nearDupThreshold < 1.0) dedupNear(deduped, cfg.nearDupThreshold)
       else deduped
     val clean = benchmark.fold(nearDeduped)(b => decontaminate(nearDeduped, b))
-    val sampled = weightedSample(clean, cfg.langKeepRates, cfg.defaultKeepRate)
+    // mixing stages: distribution-shaping AFTER content hygiene
+    // (importance toward the target slice, then source temperature),
+    // BEFORE the flat per-language sample and packing
+    val dsired = cfg.dsirTargetLang.fold(clean)(l => dsirResample(clean, l))
+    val mixed = cfg.mixAlpha.fold(dsired)(a =>
+      mixByTemperature(dsired, a, cfg.mixBudgetFrac))
+    val sampled = weightedSample(mixed, cfg.langKeepRates, cfg.defaultKeepRate)
     val packed = packTokens(sampled, cfg.binTokens, cfg.partitions)
     val report = Report(
       input = docs.count(),
@@ -167,7 +228,9 @@ object CorpusPipeline {
       afterNearDup = nearDeduped.count(),
       afterDecontam = clean.count(),
       afterSampling = sampled.count(),
-      bins = packed.agg(countDistinct(col("source"), col("bin_id"))).head.getLong(0))
+      bins = packed.agg(countDistinct(col("source"), col("bin_id"))).head.getLong(0),
+      afterDsir = cfg.dsirTargetLang.map(_ => dsired.count()),
+      afterMixing = cfg.mixAlpha.map(_ => mixed.count()))
     (packed, report)
   }
 }

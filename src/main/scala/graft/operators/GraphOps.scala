@@ -51,6 +51,19 @@ object GraphOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Shuffle width for the V-sized rank state: one partition per
+    * ~64k nodes, capped at the cluster's parallelism. The rank update
+    * is V rows per round — scheduling the ambient shuffle width (32
+    * locally, thousands on a big cluster) over ~100k rows makes every
+    * round mostly task-launch overhead; deriving the width from N
+    * keeps per-round job shape proportional to the state. Decimal
+    * contribution sums keep the iterates bit-identical at ANY width. */
+  private[graft] def rankStateParts(spark: SparkSession, n: Long): Int = {
+    val rowsPer = 1L << 16
+    val maxP = math.max(1, spark.sparkContext.defaultParallelism).toLong
+    math.max(1L, math.min(maxP, (n + rowsPer - 1) / rowsPer)).toInt
+  }
+
   /** Damped PageRank over a directed edge list `(src, dst)`.
     *
     * Node set = nodes with at least one OUT-edge (for an undirected
@@ -59,9 +72,13 @@ object GraphOps {
     *   r'(v) = (1−d)/N + d · Σ_{u→v} r(u)/outdeg(u)
     * — fixed-round, not convergence-tested, so the result is a pure
     * function of the graph and the oracle can unroll it. Returns
-    * (node, rank). */
+    * (node, rank), checkpointed — the iteration work happens HERE (and
+    * is phase-accounted via [[graft.util.PhaseTimer]]: `pr_edges` =
+    * edge layout + degree state, `pr_rounds` = all rank rounds), not
+    * at the caller's first action. */
   def pagerank(edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
     // E-sized side partitioned by the join key once, lineage cut; every
     // iteration reuses this layout and shuffles only the rank state.
     // The checkpoints are taken with AQE OFF: under AQE the physical
@@ -69,35 +86,52 @@ object GraphOps {
     // UnknownPartitioning in its LogicalRDD, so every round would
     // silently re-exchange the E-sized edge list (observed: 5 edge
     // shuffles in the 5-round plan; 0 after this).
-    val (e, deg) = withoutAqe(edges.sparkSession) {
-      val e0 = edges.select(col("src"), col("dst"))
-        .repartition(col("src")).localCheckpoint(true)
-      (e0, e0.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg")).localCheckpoint(true))
+    val (e, deg, n) = graft.util.PhaseTimer.time("pr_edges") {
+      withoutAqe(spark) {
+        val e0 = edges.select(col("src"), col("dst"))
+          .repartition(col("src")).localCheckpoint(true)
+        val d0 = e0.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        val cnt = d0.count() // scalar to the driver — the model, not the data
+        require(cnt > 0, "pagerank on an empty edge list")
+        // re-lay the V-sized state at its size-derived width so every
+        // round's aggregate + rank join schedule O(N/64k) tasks, not
+        // the ambient shuffle width
+        (e0, d0.repartition(rankStateParts(spark, cnt), col("node"))
+          .localCheckpoint(true), cnt)
+      }
     }
-    val n = deg.count() // scalar to the driver — the model, not the data
-    require(n > 0, "pagerank on an empty edge list")
-    val base = lit((1.0 - damping) / n)
-    var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"), col("deg"))
-    (1 to iters).foreach { i =>
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy("node")
-        .agg(sum(col("c").cast(DecR)).cast("double").as("in"))
-      ranks = deg
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (base + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"),
-          col("deg"))
-      // each round references the previous ONCE, so the plan grows
-      // linearly — an eager per-round cut would cost a full job per
-      // iteration in driver round-trips. Cut the lineage every 4
-      // rounds instead: depth stays bounded for long runs while a
-      // typical 5-20 round PageRank executes as a handful of jobs.
-      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+    graft.util.PhaseTimer.time("pr_rounds") {
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevSp = spark.conf.get(spKey)
+      spark.conf.set(spKey, rankStateParts(spark, n).toString)
+      try {
+        val base = lit((1.0 - damping) / n)
+        var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"), col("deg"))
+        (1 to iters).foreach { i =>
+          val contribs = e
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+            .groupBy("node")
+            .agg(sum(col("c").cast(DecR)).cast("double").as("in"))
+          ranks = deg
+            .join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (base + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"),
+              col("deg"))
+          // each round references the previous ONCE, so the plan grows
+          // linearly — an eager per-round cut would cost a full job per
+          // iteration in driver round-trips. Cut the lineage every 4
+          // rounds instead: depth stays bounded for long runs while a
+          // typical 5-20 round PageRank executes as a handful of jobs.
+          if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+        }
+        // materialize the tail rounds HERE, inside the scoped shuffle
+        // width (a lazy return would run them later under the ambient
+        // conf) — and hand the caller a V-sized checkpointed result
+        ranks.select("node", "rank").localCheckpoint(true)
+      } finally spark.conf.set(spKey, prevSp)
     }
-    ranks.select("node", "rank")
   }
 
   /** q98: co-purchase authority — PageRank over the bipartite

@@ -53,7 +53,13 @@ object KMeansVec {
     * passes downstream still cover every vector. Returns the centroid
     * matrix (cent_id → components). */
   def train(emb: DataFrame, k: Int, iters: Int,
-      trainSample: Int = 0): Array[Array[Double]] = {
+      trainSample: Int = 0): Array[Array[Double]] =
+    graft.util.PhaseTimer.time("kmeans_train") {
+      trainImpl(emb, k, iters, trainSample)
+    }
+
+  private def trainImpl(emb: DataFrame, k: Int, iters: Int,
+      trainSample: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession
     val n = if (trainSample > 0) trainSample else 128 * k
     require(n >= k,

@@ -501,7 +501,9 @@ object TextOps {
     // union reads `pairs` twice, and uncached that runs the whole
     // PPJoin + verify once per branch
     val pairs = q31(s, d).select("doc_a", "doc_b").cache()
-    pairs.count() // eager: both union branches must hit the cache
+    // eager: both union branches must hit the cache (and the pair
+    // build is phase-accounted apart from the CC rounds)
+    graft.util.PhaseTimer.time("cc_pairs")(pairs.count())
     // localCheckpoint BREAKS THE LINEAGE, not just the physical plan:
     // every round's DataFrame references the previous round's LOGICAL
     // tree several times, so without truncation Catalyst re-analyzes
@@ -528,18 +530,20 @@ object TextOps {
     var prevSum = lblSum(labels)
     var converged = prevSum == null // no edges → nothing to propagate
     var rounds = 0
-    while (!converged && rounds < 25) {
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("lbl"))
-      // localCheckpoint, not cache: constant-size plan every round
-      val next = labels.union(prop)
-        .groupBy("doc_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
-      val s = lblSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      rounds += 1
+    graft.util.PhaseTimer.time("cc_rounds") {
+      while (!converged && rounds < 25) {
+        val prop = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id"), col("lbl"))
+        // localCheckpoint, not cache: constant-size plan every round
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+        val s = lblSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        rounds += 1
+      }
     }
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -652,13 +656,15 @@ object TextOps {
     // times), so without a LINEAGE break Catalyst re-analyzes an
     // exponentially growing logical tree every round — measured as
     // the dominant cost of this loop long before any executor works.
-    var edges = pairs
-      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
-      .distinct().localCheckpoint(true)
+    var edges = graft.util.PhaseTimer.time("cc_pairs") {
+      pairs
+        .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .distinct().localCheckpoint(true)
+    }
     var converged = edges.isEmpty
     var rounds = 0
-    while (!converged && rounds < 15) {
+    graft.util.PhaseTimer.time("cc_rounds") { while (!converged && rounds < 15) {
       // large-star: around each center c, hook every STRICTLY larger
       // neighbor to m = min(Γ(c) ∪ {c})
       val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -681,7 +687,7 @@ object TextOps {
         small.exceptAll(edges).isEmpty
       edges = small
       rounds += 1
-    }
+    } }
     // fixpoint = star forest: every non-root points at its component
     // min; roots and singletons label themselves
     val labels = edges.groupBy("u").agg(min(col("v")).as("lbl"))
@@ -1046,8 +1052,16 @@ object TextOps {
     * lesson), and the per-doc weighted sum runs through the exact
     * decimal accumulator — hash-exact. */
   private val q106: QFn = (s, d) => dsirWeights(s, d)
-  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  private def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirLogWeights(Tables.documents(s, d), targetLang = "en")
+
+  /** q106's DSIR weight computation over ANY (doc_id, lang, text)
+    * frame — the one definition the query, the CorpusPipeline
+    * `dsirResample` stage, and the specs share. Docs whose text
+    * tokenizes empty get no row (no features → no weight). */
+  private[graft] def dsirLogWeights(docs: DataFrame,
+      targetLang: String): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), col("lang"),
         explode(words(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
@@ -1056,8 +1070,11 @@ object TextOps {
     val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
     val models = tok.groupBy("b").agg(
       count(lit(1)).as("cr"),
-      count(when(col("lang") === "en", 1)).as("ct"))
+      count(when(col("lang") === targetLang, 1)).as("ct"))
     val t = models.agg(sum(col("cr")), sum(col("ct"))).head
+    // an all-empty corpus has no features: no rows, not an NPE
+    if (t.isNullAt(0)) return db.select(col("doc_id"),
+      lit(0L).as("n_tokens"), lit(0.0).as("dsir_logw"))
     val (tr, tt) = (t.getLong(0).toDouble, t.getLong(1).toDouble)
     val lr = models.select(col("b"),
       round(log(((col("ct") + 1.0) / (tt + 256.0))

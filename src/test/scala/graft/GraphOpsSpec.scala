@@ -55,6 +55,56 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(1L) > r(4L) && r(2L) > r(4L))
   }
 
+  test("pagerank job count is per-CHECKPOINT, not per-round, and the " +
+      "rank state lands at its size-derived partition width") {
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(iters: Int): (Int, Int) = {
+      // AQE off: adaptive execution splits one action into several
+      // query-stage jobs, which would make the count nondeterministic
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try {
+        import spark.implicits._
+        val r = GraphOps.pagerank(es.toDF("src", "dst"), iters)
+        var last = -1; var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val now = jobs.get()
+          if (now == last) same += 1 else { same = 0; last = now }
+        }
+        (jobs.get(), r.rdd.getNumPartitions)
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set(key, prev)
+      }
+    }
+    val (j4, p4) = countJobs(4)
+    val (j8, _) = countJobs(8)
+    val (j12, _) = countJobs(12)
+    // marginal jobs per 4-round block: one lineage checkpoint plus at
+    // most one broadcast-collect per round — CONSTANT across blocks
+    // and ≤ 6. A per-round-per-stage job regression (or a per-round
+    // edge shuffle) breaks both the linearity and the bound.
+    assert(j8 - j4 == j12 - j8,
+      s"j4=$j4 j8=$j8 j12=$j12: per-round job cost is not constant")
+    assert(j8 - j4 <= 6, s"marginal jobs per 4 rounds = ${j8 - j4}")
+    // 5 nodes << 64k rows/partition ⇒ the V-sized rank state (and the
+    // returned result) lives in ONE partition, not the ambient width
+    assert(GraphOps.rankStateParts(spark, 5L) == 1)
+    assert(p4 == 1, s"rank state landed in $p4 partitions")
+    assert(GraphOps.rankStateParts(spark, 1L << 20) ==
+      math.min(16, spark.sparkContext.defaultParallelism))
+  }
+
   test("q98 emits a deterministic top-25 of bipartite authorities") {
     val out = GraphOps.queries("q98_pagerank")(spark, sfDir).collect()
     assert(out.length == 25)

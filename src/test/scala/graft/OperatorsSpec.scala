@@ -249,6 +249,51 @@ class OperatorsSpec extends SparkSpec {
     assert(fps.length == fps.distinct.length)
   }
 
+  test("corpus pipeline mixing stages: facade ≡ the standalone q112/q99 " +
+      "operators, zero-token docs ride neutral, deterministic in run()") {
+    val docs = Tables.documents(spark, sfDir)
+    // the DSIR stage over the raw table keeps exactly q112's sample,
+    // plus any zero-token docs (which q112 has no feature rows for
+    // and the stage keeps at the neutral rate by contract)
+    val emptyIds = docs
+      .filter(coalesce(length(trim(col("text"))), lit(0)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaStage = CorpusPipeline.dsirResample(docs, "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaQuery = graft.SparkEntry.queries("q112_dsir_resample")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaStage == viaQuery ++ emptyIds)
+    // the temperature stage keeps exactly q99's sample
+    val mixStage = CorpusPipeline.mixByTemperature(docs, 0.3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mixQuery = graft.SparkEntry.queries("q99_temperature_mix")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixStage == mixQuery && mixStage.nonEmpty)
+    // zero-token doc rides the DSIR stage at the neutral rate
+    import spark.implicits._
+    val withEmpty = Seq(
+      (1L, "regular english text tokens here", "en", "web"),
+      (2L, "   ", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    assert(CorpusPipeline.dsirResample(withEmpty, "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet.contains(2L))
+    // in run(): stages engage in order, counts stay monotone,
+    // end-to-end deterministic
+    val cfg = CorpusPipeline.Config(minQuality = 0.4,
+      dsirTargetLang = Some("en"), mixAlpha = Some(0.3))
+    val (p1, r1) = CorpusPipeline.run(docs, cfg)
+    assert(r1.afterDsir.exists(_ <= r1.afterDecontam))
+    assert(r1.afterMixing.exists(_ <= r1.afterDsir.get))
+    assert(r1.afterSampling <= r1.afterMixing.get && r1.afterSampling > 0)
+    val (p2, r2) = CorpusPipeline.run(docs, cfg)
+    assert(r2 == r1)
+    assert(p1.collect().map(_.toString).sorted.toSeq ==
+      p2.collect().map(_.toString).sorted.toSeq)
+    // stages off → report fields absent and flow unchanged vs before
+    val (_, rOff) = CorpusPipeline.run(docs,
+      CorpusPipeline.Config(minQuality = 0.4))
+    assert(rOff.afterDsir.isEmpty && rOff.afterMixing.isEmpty)
+  }
+
   test("redactPii: typed tokens, exact counts, clean/null text untouched") {
     import spark.implicits._
     val docs = Seq(

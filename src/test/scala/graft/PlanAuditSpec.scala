@@ -239,15 +239,20 @@ class PlanAuditSpec extends SparkSpec {
       "q91 grew interpreted HOFs beyond the probe-sized LUT build")
   }
 
-  test("q98: edge-list partitioning survives the checkpoint — only rank state re-exchanges") {
+  test("q98: rank rounds materialize inside pagerank — the caller's plan " +
+      "is a top-k over the checkpointed V-sized state") {
     val df = graft.operators.GraphOps.queries("q98_pagerank")(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the AQE-off checkpoint records a concrete hashpartitioning(src)
-    // on the edge LogicalRDD; losing it (e.g. an AQE-wrapped
-    // checkpoint) re-exchanges the E-sized edge list every round and
-    // roughly doubles the exchange count (observed 10 vs 6 at 5 rounds)
+    // pagerank returns a checkpointed result (rounds run inside, under
+    // the size-derived shuffle width and phase accounting), so the
+    // caller's executed plan must be a TakeOrdered over a LogicalRDD —
+    // re-appearing joins/exchanges here mean the checkpoint was lost
+    // and the iteration lineage leaked into every downstream action
+    assert(plan.contains("TakeOrderedAndProject"), plan)
     val n = "Exchange".r.findAllIn(plan).length
-    assert(n <= 6, s"q98 plan grew to $n exchanges - edge partitioning lost?\n$plan")
+    assert(n == 0, s"q98 caller plan has $n exchanges — result " +
+      s"checkpoint lost?\n$plan")
+    assert(!plan.contains("Join"), s"q98 iteration lineage leaked\n$plan")
   }
 }
