@@ -161,28 +161,42 @@ object SqlRunner {
   // promote/rollback decision without any Scala.
   registerProc("graft_audit") { (s, a) =>
     require(a.size == 2, "graft_audit(root, checkSpec)")
-    val checks = a(1).split(";").toSeq.map(_.trim).filter(_.nonEmpty).map {
-      spec =>
-        val (kind, rest) = spec.span(_ != ':')
-        val args = rest.stripPrefix(":").split(",").toSeq
-          .map(_.trim).filter(_.nonEmpty)
-        kind.trim match {
-          case "not_null" => DataQuality.NotNull(args)
-          case "unique" => DataQuality.Unique(args)
-          case "in_range" =>
-            require(args.size == 3, s"in_range:col,lo,hi — got $spec")
-            DataQuality.InRange(args(0), args(1).toDouble, args(2).toDouble)
-          case "in_set" =>
-            require(args.size >= 2, s"in_set:col,v1[,v2…] — got $spec")
-            DataQuality.InSet(args.head, args.tail)
-          case "min_rows" => DataQuality.MinRows(args.head.toLong)
-          case "max_null_frac" =>
-            require(args.size == 2, s"max_null_frac:col,frac — got $spec")
-            DataQuality.MaxNullFraction(args(0), args(1).toDouble)
-          case other =>
-            throw new IllegalArgumentException(s"unknown check: $other")
+    // mini-grammar: ';' separates checks, ',' separates args; a
+    // LITERAL ';' or ',' inside an in_set value escapes as '\;' /
+    // '\,'. Every parse failure names the offending spec — a raw
+    // NumberFormatException out of a 6-check string is undebuggable.
+    def unesc(x: String) = x.replace("\\;", ";").replace("\\,", ",")
+    val checks = a(1).split("(?<!\\\\);").toSeq.map(_.trim)
+      .filter(_.nonEmpty).map { spec =>
+        try {
+          val (kind, rest) = spec.span(_ != ':')
+          val args = rest.stripPrefix(":").split("(?<!\\\\),").toSeq
+            .map(x => unesc(x.trim)).filter(_.nonEmpty)
+          kind.trim match {
+            case "not_null" => DataQuality.NotNull(args)
+            case "unique" => DataQuality.Unique(args)
+            case "in_range" =>
+              require(args.size == 3, s"in_range:col,lo,hi — got $spec")
+              DataQuality.InRange(args(0), args(1).toDouble, args(2).toDouble)
+            case "in_set" =>
+              require(args.size >= 2, s"in_set:col,v1[,v2…] — got $spec")
+              DataQuality.InSet(args.head, args.tail)
+            case "min_rows" => DataQuality.MinRows(args.head.toLong)
+            case "max_null_frac" =>
+              require(args.size == 2, s"max_null_frac:col,frac — got $spec")
+              DataQuality.MaxNullFraction(args(0), args(1).toDouble)
+            case other =>
+              throw new IllegalArgumentException(s"unknown check: $other")
+          }
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains(spec) =>
+            throw e // already names the spec
+          case e @ (_: NumberFormatException | _: RuntimeException) =>
+            throw new IllegalArgumentException(
+              s"bad check spec `$spec`: ${e.getMessage}", e)
         }
-    }
+      }
     val bad = DataQuality.violations(VersionedTable.read(s, a(0)), checks)
     import s.implicits._
     bad.toDF("violation")

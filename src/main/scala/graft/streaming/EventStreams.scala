@@ -460,8 +460,17 @@ object EventStreams {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           if (state.hasTimedOut) {
             val (buf2, outs) = finalizeDays(tpe, state.get, wmUs)
-            if (buf2.openDays.isEmpty) state.remove()
-            else {
+            if (buf2.openDays.isEmpty && buf2.closed.isEmpty) state.remove()
+            else if (buf2.openDays.isEmpty) {
+              // idle type: open days drained, but the ≤13-day CLOSED
+              // history must survive the idle gap — q109's batch chain
+              // lags across observed-day gaps, so dropping it would
+              // restart the EWMA from scratch when the type resumes
+              // (divergence from the batch twin). A few doubles per
+              // type; no new timeout — nothing is left to finalize
+              // until fresh data re-arms one.
+              state.update(buf2)
+            } else {
               state.update(buf2)
               state.setTimeoutTimestamp(math.max(buf2.lastMs + idleGapMs,
                 state.getCurrentWatermarkMs() + 1))

@@ -895,6 +895,20 @@ class LakehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SqlRunner.callProc(spark, "graft_audit", Seq(root, "bogus:x"))
     }
+    // in_set values containing the grammar's delimiters escape as
+    // \, and \; — "a" and "b" pass, "zz" still fires
+    val esc = SqlRunner.callProc(spark, "graft_audit",
+      Seq(root, """in_set:s,a,b,x\,y,p\;q"""))._1.collect()
+      .map(_.getString(0))
+    assert(esc.length == 1 && esc.head.startsWith("in_set"),
+      esc.mkString("|"))
+    // a malformed number names the offending spec, not a bare
+    // NumberFormatException out of a multi-check string
+    val e = intercept[IllegalArgumentException] {
+      SqlRunner.callProc(spark, "graft_audit",
+        Seq(root, "min_rows:1;in_range:v,zero,100"))
+    }
+    assert(e.getMessage.contains("in_range:v,zero,100"), e.getMessage)
   }
 
   test("automation tick compacts the table on schedule") {

@@ -274,6 +274,56 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("daily EWMA closed history survives an idle-gap eviction — " +
+      "a resuming type lags across the gap like the batch chain") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStreams.dailyEwma(input.toDS(), alpha = 0.3,
+      terms = 14, watermarkDelay = "1 day", idleGapMs = 5L * 86400000L)
+      .writeStream.format("memory").queryName("ewma_idle")
+      .outputMode(OutputMode.Append()).start()
+    // type A: two observed days, then silence past the 5-day idle gap
+    input.addData(Event(1, ts("2024-01-01 06:00:00"), 1, "A", 10.0))
+    input.addData(Event(2, ts("2024-01-02 06:00:00"), 1, "A", 20.0))
+    query.processAllAvailable()
+    // B pushes the watermark far past A's idle deadline; the NEXT
+    // batch fires A's timeout with its open days drained — the old
+    // code evicted the closed ring here and A restarted from scratch
+    input.addData(Event(3, ts("2024-01-21 06:00:00"), 2, "B", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-22 06:00:00"), 2, "B", 1.0))
+    query.processAllAvailable()
+    // A resumes after the gap; two more B days close A's new day
+    input.addData(Event(5, ts("2024-01-31 06:00:00"), 1, "A", 30.0))
+    query.processAllAvailable()
+    input.addData(Event(6, ts("2024-02-10 06:00:00"), 2, "B", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(7, ts("2024-02-11 06:00:00"), 2, "B", 1.0))
+    query.processAllAvailable()
+    query.stop()
+    val aRows = spark.sql("select * from ewma_idle")
+      .filter($"event_type" === "A")
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Double]("ewma"))
+      .sortBy(_._1)
+    assert(aRows.length == 3, aRows.mkString(","))
+    // the resumed day's chain is [30, 20, 10] — the pre-gap closed
+    // days STILL lag it (q109's batch semantics: observed days only,
+    // gaps don't reset), reproduced in the exact left-assoc order
+    val w = (0 until 14).map(j => 0.3 * math.pow(0.7, j))
+    var num = 0.0; var den = 0.0
+    Seq(30.0, 20.0, 10.0).zipWithIndex.foreach { case (v, j) =>
+      num += w(j) * v; den += w(j)
+    }
+    (3 until 14).foreach { j => num += w(j) * 0.0; den += 0.0 }
+    val expect = BigDecimal(num / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(aRows.last._2 == expect,
+      s"resumed-day ewma ${aRows.last._2} != $expect — closed history " +
+        "was evicted with the idle state")
+  }
+
   test("streaming funnel survives a stage-quiet batch after a watermark jump") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
