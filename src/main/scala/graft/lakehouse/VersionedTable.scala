@@ -1,8 +1,8 @@
 package graft.lakehouse
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, regexp_extract, sum, when}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, regexp_extract, struct, sum, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Crash-safe table commits without a table format: versioned data
@@ -382,12 +382,19 @@ object VersionedTable {
     * the column (the Delta rule): the declaration would silently go
     * stale — the operator must drop or re-declare it explicitly. */
   private def requireUnconstrained(spark: SparkSession, root: String,
-      colName: String, verb: String): Unit =
+      colName: String, verb: String): Unit = {
+    // for a nested path, refuse when a constraint references the ROOT
+    // column — predicate analysis resolves getField through the top
+    // name, so any `meta.x` predicate reports `meta` (conservative:
+    // protects every subfield under a referenced struct)
+    val rootSeg = colName.split("\\.").head
     constraintsOf(spark, root).foreach { case (n, p) =>
-      require(!constraintRefs(spark, p).exists(_.equalsIgnoreCase(colName)),
+      require(!constraintRefs(spark, p).exists(r =>
+        r.equalsIgnoreCase(colName) || r.equalsIgnoreCase(rootSeg)),
         s"cannot $verb column `$colName` on $root: CHECK constraint " +
           s"`$n` ($p) references it — drop the constraint first")
     }
+  }
 
   /** WRITE-AUDIT-PUBLISH commit: like [[commit]], but between the
     * completed stage write and the manifest PUT, `audit` inspects the
@@ -541,9 +548,34 @@ object VersionedTable {
     val cs = constraintsOverride.getOrElse(
       statsFrom.orElse(base)
         .map(v => manifestConstraints(spark, root, v)).getOrElse(Nil))
-    if (cs.nonEmpty && newNames.nonEmpty)
-      enforceConstraints(fs, stage,
-        spark.read.parquet(newNames.map(n => s"$stage/$n"): _*), cs)
+    if (cs.nonEmpty && newNames.nonEmpty) {
+      val newDf = spark.read.parquet(newNames.map(n => s"$stage/$n"): _*)
+      // a schema-evolution append can land files that LACK a
+      // constrained column — extend the batch with typed nulls from
+      // the table's logical schema so predicates evaluate under the
+      // documented NULL-passes rule instead of dying mid-commit as an
+      // unresolved column; a predicate over a column the TABLE does
+      // not know either still refuses, with a clear message
+      val aligned = statsFrom.orElse(base) match {
+        case None => newDf
+        case Some(v) =>
+          val (ls, _) = logicalSchemaOf(spark, root, v)
+          val have = newDf.columns.map(_.toLowerCase).toSet
+          ls.fields.filterNot(f => have(f.name.toLowerCase))
+            .foldLeft(newDf)((d, f) =>
+              d.withColumn(f.name, lit(null).cast(f.dataType)))
+      }
+      try enforceConstraints(fs, stage, aligned, cs)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          fs.delete(stage, true)
+          throw new IllegalArgumentException(
+            "constraint/schema mismatch: a CHECK predicate did not " +
+              s"analyze against the batch schema " +
+              s"(${aligned.schema.map(_.name).mkString(", ")}) — " +
+              e.getMessage, e)
+      }
+    }
 
     // previous manifest payload, keyed root-relative, for carry-over
     val (prevStats, prevBlooms) = statsFrom.orElse(base) match {
@@ -2069,26 +2101,72 @@ object VersionedTable {
     * never retype). Files lacking a column null it (standard parquet
     * behavior under an explicit read schema). */
   private[graft] def physicalReadSchema(s: StructType): StructType = {
-    val extra = s.fields.flatMap(f =>
-      prevNames(f).filterNot(p => s.fieldNames.contains(p))
-        .map(p => org.apache.spark.sql.types.StructField(p, f.dataType)))
-    StructType(s.fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name, f.dataType,
-        f.nullable)) ++ extra)
+    // recursive: a renamed STRUCT SUBFIELD adds its pre-name as a
+    // sibling INSIDE the struct's read schema; files lacking a nested
+    // subfield null it (parquet schema-clipping is nested-aware)
+    def expand(st: StructType): StructType = {
+      val deep = st.fields.map { f =>
+        f.dataType match {
+          case inner: StructType =>
+            org.apache.spark.sql.types.StructField(f.name, expand(inner),
+              f.nullable, f.metadata)
+          case _ => f
+        }
+      }
+      val extra = deep.flatMap(f =>
+        prevNames(f).filterNot(p => st.fieldNames.contains(p))
+          .map(p => org.apache.spark.sql.types.StructField(p, f.dataType)))
+      StructType(deep.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          f.nullable)) ++ extra)
+    }
+    expand(s)
+  }
+
+  /** True when `st` (recursively) holds a renamed subfield — the only
+    * case the logical projection must REBUILD a struct value by
+    * coalescing sub-sources; nested adds/drops are already handled by
+    * the clipped read schema. */
+  private def hasNestedRename(st: StructType): Boolean =
+    st.fields.exists(f => prevNames(f).nonEmpty || (f.dataType match {
+      case inner: StructType => hasNestedRename(inner)
+      case _ => false
+    }))
+
+  /** Metadata-free copy (cast targets must not carry graft.prev). */
+  private def cleanType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        cleanType(f.dataType), f.nullable)))
+    case other => other
   }
 
   /** Project a physical-union scan to the logical schema: renamed
     * fields coalesce newest-name-first (each file carries exactly one
-    * of the names). `extra` appends hidden passthrough columns (the
-    * MoR DV keys). */
+    * of the names), recursively through structs — a struct holding a
+    * renamed subfield is REBUILT member-by-member, with whole-struct
+    * nulls preserved (struct() of null members is a non-null struct).
+    * `extra` appends hidden passthrough columns (the MoR DV keys). */
   private def projectLogical(df: DataFrame, s: StructType,
       extra: Seq[String] = Nil): DataFrame = {
+    def resolve(src: Column, f: org.apache.spark.sql.types.StructField): Column =
+      f.dataType match {
+        case inner: StructType if hasNestedRename(inner) =>
+          val members = inner.fields.toSeq.map { g =>
+            val srcs = (g.name +: prevNames(g)).map(n => src.getField(n))
+            val c = if (srcs.size == 1) srcs.head else coalesce(srcs: _*)
+            resolve(c, g).as(g.name)
+          }
+          when(src.isNull, lit(null).cast(cleanType(inner)))
+            .otherwise(struct(members: _*))
+        case _ => src
+      }
     val cols = s.fields.toSeq.map { f =>
       val sources = f.name +: prevNames(f)
       val c =
         if (sources.size == 1) col(s"`${f.name}`")
         else coalesce(sources.map(n => col(s"`$n`")): _*)
-      c.as(f.name)
+      resolve(c, f).as(f.name)
     } ++ extra.map(col)
     df.select(cols: _*)
   }
@@ -2123,54 +2201,130 @@ object VersionedTable {
     (s.fields.flatMap(f => f.name +: prevNames(f)) ++ dropped)
       .map(_.toLowerCase).toSet
 
+  // ---- nested paths: `meta.width` addresses subfield `width` of
+  // struct column `meta`, any depth. The SAME h-line carries nested
+  // evolution — the logical StructType serializes nested metadata,
+  // the physical read schema expands pre-names inside structs, and
+  // the logical projection rebuilds renamed structs member-wise.
+  // Tombstones for nested names are recorded as dotted paths.
+
+  /** Split a dotted column path; a plain name has an empty parent. */
+  private def splitPath(name: String): (Seq[String], String) = {
+    val parts = name.split("\\.").toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad column path `$name`")
+    (parts.init, parts.last)
+  }
+
+  /** Rewrite the struct level `path` addresses inside `s` with
+    * `edit`; every segment must name a struct-typed field. */
+  private def rewriteAt(s: StructType, path: Seq[String],
+      context: String)(edit: StructType => StructType): StructType =
+    path match {
+      case Seq() => edit(s)
+      case head +: rest =>
+        val i = s.fields.indexWhere(_.name.equalsIgnoreCase(head))
+        if (i < 0) GraftSchemaError(s"no column `$head` on $context")
+        val f = s.fields(i)
+        val inner = f.dataType match {
+          case st: StructType => st
+          case other => GraftSchemaError(
+            s"`$head` on $context is ${other.simpleString}, not a struct")
+        }
+        StructType(s.fields.updated(i,
+          org.apache.spark.sql.types.StructField(f.name,
+            rewriteAt(inner, rest, context)(edit), f.nullable, f.metadata)))
+    }
+
+  /** Names in use at one struct level: live + pre-rename there, plus
+    * the leaf of every dotted tombstone under `parent`. */
+  private def namesInUseAt(s: StructType, dropped: Seq[String],
+      parent: Seq[String]): Set[String] = {
+    val prefix = parent.mkString(".").toLowerCase match {
+      case "" => ""
+      case p => p + "."
+    }
+    val localTombs = dropped.map(_.toLowerCase)
+      .filter(d => d.startsWith(prefix) && !d.stripPrefix(prefix).contains('.'))
+      .map(_.stripPrefix(prefix))
+    allNamesInUse(s, Nil) ++ localTombs
+  }
+
   /** ALTER TABLE … ADD COLUMN: appears as NULL in every existing row,
     * writable from the next INSERT on. Refuses any name ever used
     * physically (live, pre-rename, or dropped) — stale bytes in
-    * carried files must not resurface under a recycled name. */
+    * carried files must not resurface under a recycled name. A dotted
+    * `name` (`meta.extra`) adds a SUBFIELD to the addressed struct,
+    * with the collision check scoped to that struct level. */
   def addColumn(spark: SparkSession, root: String, name: String,
-      dataType: DataType, keepVersions: Int = 1): Long =
+      dataType: DataType, keepVersions: Int = 1): Long = {
+    val (parent, leaf) = splitPath(name)
     alterSchema(spark, root, keepVersions) { (s, dropped) =>
-      require(!allNamesInUse(s, dropped).contains(name.toLowerCase),
-        s"column name `$name` is already in use (live, pre-rename, or " +
-          "dropped) on $root — pick a fresh name")
-      (StructType(s.fields :+
-        org.apache.spark.sql.types.StructField(name, dataType)), dropped)
+      (rewriteAt(s, parent, root) { inner =>
+        require(!namesInUseAt(inner, dropped, parent)
+            .contains(leaf.toLowerCase),
+          s"column name `$name` is already in use (live, pre-rename, or " +
+            s"dropped) on $root — pick a fresh name")
+        StructType(inner.fields :+
+          org.apache.spark.sql.types.StructField(leaf, dataType))
+      }, dropped)
     }
+  }
 
   /** ALTER TABLE … DROP COLUMN: metadata-only; the bytes stay in the
     * files (unread) until rewrites purge them. The column's physical
-    * names are tombstoned against recycling. */
+    * names are tombstoned against recycling (dotted paths for nested
+    * subfields). */
   def dropColumn(spark: SparkSession, root: String, name: String,
       keepVersions: Int = 1): Long = {
     requireUnconstrained(spark, root, name, "drop")
+    val (parent, leaf) = splitPath(name)
     alterSchema(spark, root, keepVersions) { (s, dropped) =>
-      val f = s.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
-        GraftSchemaError(s"no column `$name` on $root"))
-      require(s.fields.length > 1, s"cannot drop the only column of $root")
-      (StructType(s.fields.filterNot(_ eq f)),
-        (dropped ++ (f.name +: prevNames(f))).distinct)
+      var tombs = Seq.empty[String]
+      val next = rewriteAt(s, parent, root) { inner =>
+        val f = inner.fields.find(_.name.equalsIgnoreCase(leaf)).getOrElse(
+          GraftSchemaError(s"no column `$name` on $root"))
+        require(inner.fields.length > 1,
+          if (parent.isEmpty) s"cannot drop the only column of $root"
+          else s"cannot drop the only subfield of `${parent.mkString(".")}` " +
+            s"on $root — drop the struct column instead")
+        val prefix = parent.map(p => s"$p.").mkString
+        tombs = (f.name +: prevNames(f)).map(n => s"$prefix$n")
+        StructType(inner.fields.filterNot(_ eq f))
+      }
+      (next, (dropped ++ tombs).distinct)
     }
   }
 
   /** ALTER TABLE … RENAME COLUMN: metadata-only; old files keep the
     * bytes under the old name, and reads coalesce newest-first. New
-    * writes use the new name. */
+    * writes use the new name. A dotted `from` renames a struct
+    * SUBFIELD (`to` is the bare new leaf name); old files' structs
+    * resolve through the member-wise rebuild in the logical
+    * projection. */
   def renameColumn(spark: SparkSession, root: String, from: String,
       to: String, keepVersions: Int = 1): Long = {
     requireUnconstrained(spark, root, from, "rename")
+    require(!to.contains('.'),
+      s"rename target `$to` must be a bare name — the field stays in " +
+        "its struct (moving between structs is a data rewrite)")
+    val (parent, leaf) = splitPath(from)
     alterSchema(spark, root, keepVersions) { (s, dropped) =>
-      val f = s.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
-        GraftSchemaError(s"no column `$from` on $root"))
-      require(!allNamesInUse(s, dropped).contains(to.toLowerCase),
-        s"rename target `$to` is already in use (live, pre-rename, or " +
-          s"dropped) on $root")
-      val md = new org.apache.spark.sql.types.MetadataBuilder()
-        .putStringArray(PrevKey, (f.name +: prevNames(f)).toArray).build()
-      (StructType(s.fields.map(x =>
-        if (x eq f)
-          org.apache.spark.sql.types.StructField(to, f.dataType,
-            f.nullable, md)
-        else x)), dropped)
+      (rewriteAt(s, parent, root) { inner =>
+        val f = inner.fields.find(_.name.equalsIgnoreCase(leaf)).getOrElse(
+          GraftSchemaError(s"no column `$from` on $root"))
+        require(!namesInUseAt(inner, dropped, parent)
+            .contains(to.toLowerCase),
+          s"rename target `$to` is already in use (live, pre-rename, or " +
+            s"dropped) on $root")
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray(PrevKey, (f.name +: prevNames(f)).toArray).build()
+        StructType(inner.fields.map(x =>
+          if (x eq f)
+            org.apache.spark.sql.types.StructField(to, f.dataType,
+              f.nullable, md)
+          else x))
+      }, dropped)
     }
   }
 
@@ -2295,19 +2449,42 @@ object VersionedTable {
 
   /** Project an OLDER version's frame onto a newer logical schema:
     * renamed fields resolve through their recorded pre-names, absent
-    * fields null-backfill, widened fields cast. The cross-ALTER CDC
-    * alignment ([[changes]]). */
+    * fields null-backfill, widened fields cast — recursively through
+    * structs (a nested rename/add between the two versions rebuilds
+    * the struct member-wise from whichever physical names the old
+    * frame carries). The cross-ALTER CDC alignment ([[changes]]). */
   private def alignToLogical(df: DataFrame, s: StructType): DataFrame = {
-    val have = df.columns.map(_.toLowerCase).toSet
+    def alignField(src: Column, srcType: DataType,
+        f: org.apache.spark.sql.types.StructField): Column =
+      (f.dataType, srcType) match {
+        case (want: StructType, have: StructType) =>
+          val members = want.fields.toSeq.map { g =>
+            val hit = (g.name +: prevNames(g)).flatMap(n =>
+              have.fields.find(_.name.equalsIgnoreCase(n)))
+            val c = hit match {
+              case Seq() => lit(null).cast(cleanType(g.dataType))
+              case hs =>
+                val cs = hs.map(h => alignField(src.getField(h.name),
+                  h.dataType, g))
+                if (cs.size == 1) cs.head else coalesce(cs: _*)
+            }
+            c.as(g.name)
+          }
+          when(src.isNull, lit(null).cast(cleanType(want)))
+            .otherwise(struct(members: _*))
+        case (want, _) => src.cast(want)
+      }
+    val have = df.schema.fields
     df.select(s.fields.toSeq.map { f =>
       val present = (f.name +: prevNames(f))
-        .filter(n => have.contains(n.toLowerCase))
+        .flatMap(n => have.find(_.name.equalsIgnoreCase(n)))
       val c = present match {
-        case Seq() => lit(null)
-        case Seq(one) => col(s"`$one`")
-        case many => coalesce(many.map(n => col(s"`$n`")): _*)
+        case Seq() => lit(null).cast(cleanType(f.dataType))
+        case hs =>
+          val cs = hs.map(h => alignField(col(s"`${h.name}`"), h.dataType, f))
+          if (cs.size == 1) cs.head else coalesce(cs: _*)
       }
-      c.cast(f.dataType).as(f.name)
+      c.as(f.name)
     }: _*)
   }
 

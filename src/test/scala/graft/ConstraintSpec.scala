@@ -50,6 +50,35 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 4)
   }
 
+  test("delta append lacking a constrained column: NULL-passes rule, " +
+      "not an unresolved-column crash; unknown predicate column refuses clearly") {
+    val root = freshTable("ckdrift")
+    VersionedTable.addConstraint(spark, root, "pos_v", "v > 0",
+      keepVersions = 4)
+    // writer lands files WITHOUT column v (the schema-evolution append
+    // shape): the predicate must evaluate with v as typed null —
+    // NULL passes CHECK — instead of dying as an unresolved column
+    VersionedTable.appendDelta(spark, root, keepVersions = 4) { stage =>
+      Seq((7L, "q")).toDF("k", "s").write.parquet(stage)
+    }
+    assert(VersionedTable.read(spark, root).count() == 4)
+    // ...and the gate still fires when the column IS present and bad
+    intercept[ConstraintViolatedException] {
+      VersionedTable.appendDelta(spark, root, keepVersions = 4) { stage =>
+        Seq((8L, "r", -1L)).toDF("k", "s", "v").write.parquet(stage)
+      }
+    }
+    // a predicate over a column the TABLE does not know at all cannot
+    // even be declared — the front door refuses eagerly, so the only
+    // unresolved-column path a delta append can hit is the
+    // missing-in-batch one handled above
+    intercept[Exception] {
+      VersionedTable.addConstraint(spark, root, "ghost", "no_such_col > 0",
+        keepVersions = 4)
+    }
+    assert(VersionedTable.read(spark, root).count() == 4)
+  }
+
   test("constraints persist across full rewrites and gate them") {
     val root = freshTable("ck2")
     VersionedTable.addConstraint(spark, root, "pos_v", "v > 0")

@@ -93,6 +93,116 @@ class SchemaEvolutionSpec extends SparkSpec {
       == Seq("k", "v", "s"))
   }
 
+  test("NESTED evolution: add/rename/drop struct subfields are " +
+      "metadata-only and read correctly across mixed-generation files") {
+    val root = tmpDir("sevonest") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, "img", 640), (2L, "vid", 1280)).toDF("k", "kind", "width")
+        .select(col("k"), struct(col("kind"), col("width")).as("meta")),
+      keepVersions = 12)
+    val before = VersionedTable.currentFiles(spark, root).sorted
+
+    // ADD a subfield: zero rewrites; old rows null it
+    VersionedTable.addColumn(spark, root, "meta.codec", StringType,
+      keepVersions = 12)
+    assert(VersionedTable.currentFiles(spark, root).sorted == before)
+    val t1 = VersionedTable.read(spark, root)
+    assert(t1.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("kind", "width", "codec"))
+    assert(t1.filter(col("meta.codec").isNull).count() == 2)
+    // a new-generation file fills it; both generations read
+    VersionedTable.appendDelta(spark, root, keepVersions = 12) { stage =>
+      Seq((3L, "aud", 0, "flac")).toDF("k", "kind", "width", "codec")
+        .select(col("k"), struct(col("kind"), col("width"),
+          col("codec")).as("meta"))
+        .write.parquet(stage)
+    }
+    assert(VersionedTable.read(spark, root)
+      .filter(col("meta.codec") === "flac").select("k").head.getLong(0) == 3L)
+
+    // RENAME a subfield: pre-rename bytes resolve member-wise
+    VersionedTable.renameColumn(spark, root, "meta.width", "w",
+      keepVersions = 12)
+    val t2 = VersionedTable.read(spark, root)
+    assert(t2.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("kind", "w", "codec"))
+    assert(t2.select(col("k"), col("meta.w")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 640, 2L -> 1280, 3L -> 0))
+    // a post-rename generation writes the NEW name; plus a
+    // whole-struct-null row, which must STAY null through the rebuild
+    VersionedTable.appendDelta(spark, root, keepVersions = 12) { stage =>
+      Seq((4L, Some(("img", 320, "webp"))), (5L, None))
+        .toDF("k", "m")
+        .select(col("k"), col("m").cast(
+          "struct<kind:string,w:int,codec:string>").as("meta"))
+        .write.parquet(stage)
+    }
+    val t3 = VersionedTable.read(spark, root)
+    assert(t3.filter(col("meta").isNull).select("k").head.getLong(0) == 5L)
+    assert(t3.select(col("k"), col("meta.w")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toMap == Map(1L -> 640, 2L -> 1280, 3L -> 0, 4L -> 320, 5L -> -1))
+
+    // DML on the renamed nested field: predicate resolves over BOTH
+    // generations (1280 was written under the old physical name)
+    spark.conf.set("spark.graft.dml.keepVersions", "12")
+    try {
+      spark.sql(s"DELETE FROM graft.`$root` WHERE meta.w = 1280")
+      assert(VersionedTable.read(spark, root).count() == 4)
+      spark.sql(s"UPDATE graft.`$root` SET k = 40 WHERE meta.w = 320")
+    } finally spark.conf.unset("spark.graft.dml.keepVersions")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 40L).select(col("meta.codec"))
+      .head.getString(0) == "webp")
+
+    // DROP a subfield: disappears; its dotted name is tombstoned
+    VersionedTable.dropColumn(spark, root, "meta.kind", keepVersions = 12)
+    val t4 = VersionedTable.read(spark, root)
+    assert(t4.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("w", "codec"))
+    intercept[Exception] {
+      VersionedTable.addColumn(spark, root, "meta.kind", StringType)
+    }
+    // ...but the same leaf name in ANOTHER scope is fine
+    VersionedTable.addColumn(spark, root, "kind", StringType,
+      keepVersions = 12)
+
+    // full rewrite self-heals: physical = logical, h-line gone
+    VersionedTable.rewrite(spark, root, keepVersions = 12)(df => df)
+    assert(VersionedTable.manifestSchema(spark, root,
+      VersionedTable.currentVersion(spark, root).get).isEmpty)
+    assert(VersionedTable.read(spark, root)
+      .select(col("meta.w")).collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).sorted.toSeq ==
+      Seq(-1, 0, 320, 640)) // -1 = the whole-struct-null row
+  }
+
+  test("CDC across a NESTED rename speaks the new schema on both sides") {
+    val root = tmpDir("sevonestcdc") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, "img", 640)).toDF("k", "kind", "width")
+        .select(col("k"), struct(col("kind"), col("width")).as("meta")),
+      keepVersions = 12)
+    VersionedTable.renameColumn(spark, root, "meta.width", "w",
+      keepVersions = 12)
+    VersionedTable.appendDelta(spark, root, keepVersions = 12) { stage =>
+      Seq((2L, "vid", 99)).toDF("k", "kind", "w")
+        .select(col("k"), struct(col("kind"), col("w")).as("meta"))
+        .write.parquet(stage)
+    }
+    // diff across the ALTER boundary: the pre-rename version aligns
+    // onto the new logical schema, so the only change is the insert
+    val ch = VersionedTable.changes(spark, root, 1L,
+      VersionedTable.currentVersion(spark, root).get, keyCols = Seq("k"))
+    val rows = ch.select(col("_change_type"), col("k"), col("meta.w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == Seq(("insert", 2L, 99)), rows.mkString(","))
+  }
+
   test("ALTER COLUMN TYPE widens in-scan (int->long); non-widenings refuse") {
     val root = fresh("sevowide")
     spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN v TYPE BIGINT")
