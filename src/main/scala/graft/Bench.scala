@@ -42,7 +42,10 @@ object Bench {
     "q113_session_stats", "q114_unpivot", "q115_winsorize",
     "q116_bpe_fertility", "q117_langid_profiles",
     "q118_nation_volume", "q119_market_share", "q120_order_count_dist",
-    "q121_disjunctive", "q122_product_margin", "q123_pmi_collocations", "q124_benford", "q125_gini")
+    "q121_disjunctive", "q122_product_margin", "q123_pmi_collocations",
+    "q124_benford", "q125_gini",
+    "q126_big_orders", "q127_returned_revenue", "q128_promo_share",
+    "q129_supplier_cnt", "q130_min_cost_supplier", "q131_important_parts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

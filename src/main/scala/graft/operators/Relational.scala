@@ -1545,7 +1545,223 @@ object Relational {
       |    AS gini
       |FROM ranked GROUP BY 1""".stripMargin
 
+  /** q126: LARGE-VOLUME orders (TPC-H Q18 shape) — customers whose
+    * single order exceeds a quantity threshold: the IN-(grouped
+    * HAVING) subquery decorrelated into aggregate + join, the
+    * 100-TB plan being one map-side-partial fact aggregate (order-
+    * grained, far smaller than the fact) joined back to orders on the
+    * already-shuffled key, customer broadcast. Decimal quantity sums
+    * so the HAVING cut is engine-identical. */
+  private val q126: QFn = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(Dec)).as("tq"))
+      .filter(col("tq") > 250)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("tq").cast("double").as("total_qty"))
+  }
+  private val q126Sql =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS tq
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 250)
+      |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+      |  CAST(tq AS DOUBLE) AS total_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** q127: RETURNED-ITEM revenue (TPC-H Q10 shape) — the customers
+    * who returned the most value in a half-year window: selective
+    * date + returnflag filters reach the scans, the order⋈lineitem
+    * join shuffles on the shared key, customer/nation broadcast, and
+    * the top-20 plans as TakeOrderedAndProject (per-partition partial
+    * top-k). Exact decimal revenue → the desc cut and the tiebreak
+    * (c_custkey) are engine-identical. */
+  private val q127: QFn = (s, d) => {
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        col("l_extendedprice"), col("l_discount"))
+      .groupBy("c_custkey", "c_name", "nation")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  private val q127Sql =
+    s"""SELECT c_custkey, c_name, n_name AS nation,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM orders
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-07-01'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q128: PROMO revenue share by ship month (TPC-H Q14 shape) —
+    * conditional-aggregate ratio: both the promo slice and the total
+    * accumulate as exact decimals in ONE pass (no second scan, no
+    * join of two aggregates), part broadcast, ratio one fixed IEEE
+    * expression at 6 dp. */
+  private val q128: QFn = (s, d) => {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(Dec)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(Dec))).as("p"),
+        sum(rev).as("t"))
+      .select(col("month"),
+        round(lit(100.0) * col("p").cast("double") / col("t").cast("double"),
+          6).as("promo_share"),
+        col("p").cast("double").as("promo_revenue"))
+  }
+  private val q128Sql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |  ROUND(100.0 *
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS DOUBLE), 6) AS promo_share,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+      |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
+  /** q129: SUPPLIER COUNT by part attributes (TPC-H Q16 shape,
+    * adapted: the part↔supplier relation comes from observed lineitem
+    * pairs — no partsupp table — and the NOT-IN exclusion set is the
+    * negative-balance suppliers): the NOT IN becomes a broadcast
+    * anti-join BEFORE the expensive distinct, the pair-distinct is
+    * the only fact-sized shuffle, and the count-distinct rides its
+    * partial-aggregate expansion. */
+  private val q129: QFn = (s, d) => {
+    val pairs = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey").distinct()
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    pairs
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+  private val q129Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN
+      |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q130: MIN-COST supplier per part (TPC-H Q2 shape, adapted: the
+    * "supply cost" is each supplier's observed average unit price for
+    * the part, from lineitem — no partsupp table). The correlated
+    * MIN subquery decorrelates into a per-part aggregate joined back
+    * on (part, price) equality — safe on doubles ONLY because both
+    * sides derive from the same exact decimal sums, so the min and
+    * the candidates are bit-identical in both engines (the q73
+    * discipline). Ties keep every achieving supplier (set semantics).
+    * Both aggregates are map-side-partial; the join key reuses the
+    * part-grained shuffle. */
+  private val q130: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val unit = l.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(col("l_extendedprice").cast(Dec)).cast("double") /
+        sum(col("l_quantity").cast(Dec)).cast("double")).as("unit_price"))
+    val best = unit.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("unit_price")).as("mn"))
+    unit.join(best,
+        col("l_partkey") === col("pk") && col("unit_price") === col("mn"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), round(col("unit_price"), 6).as("unit_price"))
+  }
+  private val q130Sql =
+    """WITH unit AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS unit_price
+      |  FROM lineitem GROUP BY 1, 2),
+      |best AS (
+      |  SELECT l_partkey AS pk, MIN(unit_price) AS mn
+      |  FROM unit GROUP BY 1)
+      |SELECT u.l_partkey AS p_partkey, s_suppkey, s_name,
+      |  ROUND(u.unit_price, 6) AS unit_price
+      |FROM unit u
+      |JOIN best b ON u.l_partkey = b.pk AND u.unit_price = b.mn
+      |JOIN supplier ON u.l_suppkey = s_suppkey""".stripMargin
+
+  /** q131: IMPORTANT PARTS by value share (TPC-H Q11 shape, adapted
+    * to lineitem value): parts holding more than 0.05% of total traded
+    * value — the global-scalar HAVING decorrelated into a 1-row
+    * broadcast against the reused part-value aggregate (cached: Spark
+    * plans no ReusedExchange across the two references, the q73
+    * lesson). Decimal sums both sides ⇒ the share cut is
+    * engine-identical. */
+  private val q131: QFn = (s, d) => {
+    val v = graft.util.DfCache.getOrBuild(s, s"pval131:$d") {
+      val r = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Dec)).as("pval"))
+        .cache()
+      r.count()
+      r
+    }
+    val tot = v.agg(sum(col("pval")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("pval").cast("double") >
+        col("tot").cast("double") * 0.0005)
+      .select(col("l_partkey").as("p_partkey"),
+        col("pval").cast("double").as("part_value"))
+  }
+  private val q131Sql =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS pval
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey AS p_partkey, CAST(pval AS DOUBLE) AS part_value
+      |FROM v
+      |WHERE CAST(pval AS DOUBLE) >
+      |  (SELECT CAST(SUM(pval) AS DOUBLE) FROM v) * 0.0005""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q126_big_orders" -> q126,
+    "q127_returned_revenue" -> q127,
+    "q128_promo_share" -> q128,
+    "q129_supplier_cnt" -> q129,
+    "q130_min_cost_supplier" -> q130,
+    "q131_important_parts" -> q131,
     "q110_rfm" -> q110,
     "q114_unpivot" -> q114,
     "q124_benford" -> q124,
@@ -1599,6 +1815,12 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q126_big_orders" -> q126Sql,
+    "q127_returned_revenue" -> q127Sql,
+    "q128_promo_share" -> q128Sql,
+    "q129_supplier_cnt" -> q129Sql,
+    "q130_min_cost_supplier" -> q130Sql,
+    "q131_important_parts" -> q131Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_revenue_filter" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,
