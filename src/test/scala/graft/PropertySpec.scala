@@ -163,6 +163,110 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 30)
   }
 
+  test("property: random NESTED alter/append sequences equal the " +
+      "in-memory schema model") {
+    import graft.lakehouse.VersionedTable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // abstract ops interpreted against the live state (indices mod
+    // current arity; fresh names from a deterministic counter, so
+    // every generated sequence is valid): add/rename/drop a SUBFIELD
+    // of struct column m, or append rows under the current logical
+    // schema — including whole-struct-null and partial rows. The
+    // model is a plain map rowId → Option[subfield values]; reads
+    // after ANY prefix must reproduce it exactly (mixed-generation
+    // files, member-wise rename rebuild, null preservation).
+    sealed trait Op
+    case class AddSub(seed: Int) extends Op
+    case class RenameSub(seed: Int) extends Op
+    case class DropSub(seed: Int) extends Op
+    case class Append(rows: List[(Boolean, List[Option[Long]])]) extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      (2, Gen.chooseNum(0, 999).map(AddSub(_))),
+      (2, Gen.chooseNum(0, 999).map(RenameSub(_))),
+      (1, Gen.chooseNum(0, 999).map(DropSub(_))),
+      (4, Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, Gen.zip(
+        Gen.frequency((5, Gen.const(false)), (1, Gen.const(true))),
+        Gen.listOfN(4, Gen.frequency(
+          (3, Gen.chooseNum(-99L, 99L).map(Option(_))),
+          (1, Gen.const(Option.empty[Long]))))).map {
+        case (isNull, vs) => (isNull, vs) })).map(Append(_))))
+    val genCase = Gen.chooseNum(4, 8).flatMap(n => Gen.listOfN(n, genOp))
+    val prop = Prop.forAll(genCase) { ops =>
+      val root = tmpDir("propnest") + "/t"
+      var fields = Vector("f0")
+      var fresh = 1
+      var nextRow = 2L
+      // model: rowId → None (null struct) | Some(name → Option[value])
+      var model = Map[Long, Option[Map[String, Option[Long]]]](
+        0L -> Some(Map("f0" -> Some(10L))), 1L -> None)
+      def schema = StructType(Seq(StructField("k", LongType),
+        StructField("m", StructType(fields.map(f =>
+          StructField(f, LongType))))))
+      def mkDf(rows: Seq[(Long, Option[Map[String, Option[Long]]])]) =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map { case (k, m) =>
+            Row(k, m.map(vals => Row(fields.map(f =>
+              vals.getOrElse(f, None).map(Long.box).orNull): _*)).orNull)
+          }, 1), schema)
+      VersionedTable.init(spark, root,
+        mkDf(model.toSeq.sortBy(_._1)), keepVersions = 40)
+      ops.foreach {
+        case AddSub(_) =>
+          val n = s"f$fresh"; fresh += 1
+          VersionedTable.addColumn(spark, root, s"m.$n", LongType,
+            keepVersions = 40)
+          fields = fields :+ n // existing rows: absent key = null
+        case RenameSub(seed) =>
+          val from = fields(seed % fields.size)
+          val to = s"f$fresh"; fresh += 1
+          VersionedTable.renameColumn(spark, root, s"m.$from", to,
+            keepVersions = 40)
+          fields = fields.map(f => if (f == from) to else f)
+          model = model.view.mapValues(_.map(m =>
+            m.map { case (k, v) => (if (k == from) to else k) -> v }))
+            .toMap
+        case DropSub(seed) if fields.size > 1 =>
+          val victim = fields(seed % fields.size)
+          VersionedTable.dropColumn(spark, root, s"m.$victim",
+            keepVersions = 40)
+          fields = fields.filterNot(_ == victim)
+          model = model.view.mapValues(_.map(_ - victim)).toMap
+        case DropSub(_) => () // single subfield: dropping refuses
+        case Append(rows) =>
+          val staged = rows.map { case (isNull, vs) =>
+            val k = nextRow; nextRow += 1
+            val m = if (isNull) None
+              else Some(fields.zipWithIndex.map { case (f, i) =>
+                f -> vs.lift(i).flatten }.toMap)
+            (k, m)
+          }
+          VersionedTable.appendDelta(spark, root, keepVersions = 40) {
+            stage => mkDf(staged).write.parquet(stage) }
+          model = model ++ staged.map { case (k, m) => k -> m }
+      }
+      val got = VersionedTable.read(spark, root).collect().map { r =>
+        val k = r.getLong(r.fieldIndex("k"))
+        val mi = r.fieldIndex("m")
+        val m =
+          if (r.isNullAt(mi)) None
+          else {
+            val sr = r.getStruct(mi)
+            Some(fields.map { f =>
+              val i = sr.fieldIndex(f)
+              f -> (if (sr.isNullAt(i)) None else Some(sr.getLong(i)))
+            }.toMap)
+          }
+        k -> m
+      }.toMap
+      // normalize the model the same way: every live field present
+      val want = model.view.mapValues(_.map(m =>
+        fields.map(f => f -> m.getOrElse(f, None)).toMap)).toMap
+      got == want
+    }
+    check(prop, cases = 8)
+  }
+
   test("property: MoR delete/upsert op sequences equal the multiset model") {
     import spark.implicits._
     import graft.lakehouse.{Maintenance, VersionedTable}
