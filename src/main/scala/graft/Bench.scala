@@ -45,7 +45,8 @@ object Bench {
     "q121_disjunctive", "q122_product_margin", "q123_pmi_collocations",
     "q124_benford", "q125_gini",
     "q126_big_orders", "q127_returned_revenue", "q128_promo_share",
-    "q129_supplier_cnt", "q130_min_cost_supplier", "q131_important_parts")
+    "q129_supplier_cnt", "q130_min_cost_supplier", "q131_important_parts",
+    "q132_bm25", "q133_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

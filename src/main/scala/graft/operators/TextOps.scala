@@ -1488,7 +1488,157 @@ object TextOps {
       |JOIN dft fa ON fa.term = pairs.a
       |JOIN dft fb ON fb.term = pairs.b""".stripMargin
 
+  /** q132: BM25 RETRIEVAL — top-10 documents per query under the
+    * classic Okapi ranking (Robertson & Walker; k1=1.2, b=0.75), the
+    * retrieval primitive behind RAG corpus serving and
+    * dedup-by-retrieval. Query terms are a literal 3-query set (the
+    * operator's API takes any (query_id, term) frame). Scale shape:
+    * tf = per-(doc, term) counts (ONE data-sized shuffle, map-side
+    * combine), df/dl/avgdl ride tiny aggregates, the QUERY side
+    * broadcasts onto the tf stream — at web scale this is the
+    * standard impact-ordered postings traversal re-expressed as a
+    * broadcast semi-join, with nothing corpus-sized moving except the
+    * one tf aggregate. Cross-engine exact: idf and each term's
+    * contribution round at 6 dp (the q59 libm discipline), the ≤|q|
+    * per-doc sum runs through the decimal accumulator, top-10 breaks
+    * ties on doc_id. */
+  private val q132: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val (k1, b) = (1.2, 0.75)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val nDocs = Tables.documents(s, d).count()
+    val avgdl = dl.agg((sum(col("dl").cast(graft.util.Exact.Dec))
+      .cast("double") / count(lit(1))).as("a")).head.getDouble(0)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = Seq(
+      ("q1", "spark"), ("q1", "join"), ("q1", "merge"),
+      ("q2", "window"), ("q2", "sort"), ("q2", "order"),
+      ("q3", "data"), ("q3", "stream"), ("q3", "batch"))
+      .toDF("query_id", "term")
+    val idf = df.join(broadcast(qterms.select("term").distinct()),
+        Seq("term"))
+      .select(col("term"), round(log(
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)
+          + 1.0), 6).as("idf"))
+    val contrib = tf
+      .join(broadcast(qterms.join(idf, Seq("term"))), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / lit(avgdl))), 6)
+          .as("c"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c").cast(graft.util.Exact.Dec)).cast("double")
+        .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        round(col("score"), 6).as("score"))
+  }
+  private val q132Sql =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |t2 AS (SELECT * FROM t WHERE len(term) > 0),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY 1),
+      |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+      |  CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM dl),
+      |q(query_id, term) AS (VALUES
+      |  ('q1','spark'),('q1','join'),('q1','merge'),
+      |  ('q2','window'),('q2','sort'),('q2','order'),
+      |  ('q3','data'),('q3','stream'),('q3','batch')),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |idf AS (SELECT df.term,
+      |    ROUND(LN((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5)
+      |      / (df + 0.5) + 1.0), 6) AS idf
+      |  FROM df JOIN (SELECT DISTINCT term FROM q) qt USING (term)),
+      |c AS (SELECT q.query_id, tf.doc_id,
+      |    ROUND(idf.idf * (tf.tf * (1.2 + 1.0)) /
+      |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+      |        (SELECT avgdl FROM stats))), 6) AS c
+      |  FROM tf JOIN q USING (term) JOIN idf ON idf.term = tf.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id),
+      |scored AS (SELECT query_id, doc_id,
+      |    CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
+      |  FROM c GROUP BY 1, 2)
+      |SELECT query_id, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS INTEGER) AS rnk,
+      |  ROUND(score, 6) AS score
+      |FROM scored
+      |QUALIFY rnk <= 10""".stripMargin
+
+  /** q133: CONTAMINATION SCORE — the continuous form of q76's binary
+    * decontamination: per document, the fraction of its DISTINCT word
+    * trigrams that appear anywhere in the benchmark slice (doc_id %
+    * 101 == 0, a deterministic eval-set stand-in). The graded signal
+    * real pipelines threshold (WMDP/GSM8K-style n-gram overlap
+    * auditing) rather than hard-drop. Scale shape: the benchmark gram
+    * set is eval-set-sized → BROADCAST; the corpus side is one
+    * map-side distinct-gram explode + a semi-join + one doc-keyed
+    * aggregate — nothing corpus-sized shuffles except the per-doc
+    * count. Integer counts + one 6-dp ratio ⇒ hash-exact. */
+  private val q133: QFn = (s, d) => {
+    val w = words(col("text"))
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      greatest(size(w) - 2, lit(0)).cast("long").as("np"), w.as("w"))
+    def grams(df: DataFrame): DataFrame = df.filter(col("np") > 0)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1L), col("np")),
+        i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("gram"))
+    val bench = grams(base.filter(col("doc_id") % 101 === 0))
+      .select("gram").distinct()
+    val perDoc = grams(base).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = grams(base).join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    base.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
+  private val q133Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |d AS (SELECT doc_id, GREATEST(len(w)-2, 0) AS np, w FROM t),
+      |g AS (SELECT DISTINCT doc_id,
+      |        array_to_string(list_slice(w, i, i+2), ' ') AS gram
+      |      FROM (SELECT doc_id, w,
+      |              unnest(range(1, GREATEST(len(w)-2,0)+1)) AS i FROM d)),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+      |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM g
+      |         JOIN bench USING (gram) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(pd.n_grams, 0) AS n_grams,
+      |  COALESCE(hits.n_hit, 0) AS n_hit,
+      |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+      |    THEN ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE)
+      |      / pd.n_grams, 6)
+      |    ELSE 0.0 END AS contamination
+      |FROM d
+      |LEFT JOIN pd USING (doc_id)
+      |LEFT JOIN hits USING (doc_id)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q132_bm25" -> q132,
+    "q133_contamination" -> q133,
     "q116_bpe_fertility" -> q116,
     "q117_langid_profiles" -> q117,
     "q123_pmi_collocations" -> q123,
@@ -1522,6 +1672,8 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q132_bm25" -> q132Sql,
+    "q133_contamination" -> q133Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_ngram_jaccard" -> q31Sql,
     "q36_lang_id" -> q36Sql,
