@@ -1,0 +1,115 @@
+package graft.lakehouse
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained BM25 retrieval index — the maintained-view
+  * form of `q132_bm25`, for the corpus that GROWS batch by batch (the
+  * crawl/curation shape): each fold appends the batch's postings and
+  * doc-length rows as idempotent single objects and folds the
+  * vocabulary statistics (df per term, doc/token totals) into KB-to-
+  * vocabulary-sized [[MaterializedAgg]] state, so indexing cost per
+  * batch is O(batch) — never a corpus re-tokenization — and a search
+  * is the standard postings traversal: query terms + idf broadcast
+  * onto the postings scan, one per-(query, doc) decimal aggregate,
+  * top-k per query.
+  *
+  * Exactly-once by monotonic `batchId` (the [[MaterializedAgg.foldBatch]]
+  * protocol): postings/dl objects are NAMED by the id (a crashed
+  * attempt's object is reused, never duplicated) and both stat folds
+  * record the id inside their own committed state — every crash
+  * window replays idempotently, and a re-delivered batch folds
+  * nothing. Fold order makes the `tot` fold the completion marker:
+  * [[update]] probes it first, so a fully-folded batch short-circuits.
+  *
+  * Search is BIT-IDENTICAL to the batch `q132_bm25` once the same
+  * documents have been folded (any batch split, any order) — both
+  * paths score through the ONE shared
+  * [[graft.operators.TextOps.bm25TopK]] definition and the maintained
+  * statistics are exact integer/decimal folds (spec-pinned).
+  *
+  * Assumes `idCol` is unique across folded batches (the curated-
+  * corpus invariant — exact dedup runs upstream); re-folding the same
+  * doc under two batch ids would double its df contributions.
+  */
+object RetrievalView {
+
+  private val dfSpec = MaterializedAgg.Spec(keys = Seq("term"), sums = Nil)
+  private val totSpec =
+    MaterializedAgg.Spec(keys = Seq("hast"), sums = Seq("dl"))
+
+  private def fsOf(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Stage `df` and publish it as the ONE object `<dir>/batch-<id>
+    * .parquet` (single-object moves appear atomically; an existing
+    * target is a crashed attempt's completed publish — reused). */
+  private def publishObject(spark: SparkSession, df: DataFrame,
+      dir: String, id: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val target = new Path(dir, s"batch-$id.parquet")
+    if (fs.exists(target)) return
+    val stageDir = new Path(s"$dir/_staging/batch-$id")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
+    val part = fs.listStatus(stageDir)
+      .find(_.getPath.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part under $stageDir"))
+      .getPath
+    fs.mkdirs(new Path(dir))
+    require(fs.rename(part, target), s"publish $part -> $target failed")
+    fs.delete(stageDir, true)
+  }
+
+  /** Fold one document batch into the index at `root`. Returns false
+    * when `batchId` was already fully folded (re-delivery). */
+  def update(spark: SparkSession, root: String, docsBatch: DataFrame,
+      batchId: Long, textCol: String = "text",
+      idCol: String = "doc_id"): Boolean = {
+    // tot folds LAST, so its recorded id == "this batch is complete"
+    if (VersionedTable.lastFoldedBatch(spark, s"$root/tot")
+        .exists(_ >= batchId)) return false
+    val (tf, dl) = graft.operators.TextOps.bm25Index(docsBatch,
+      textCol, idCol)
+    publishObject(spark, tf, s"$root/postings", batchId)
+    publishObject(spark, dl, s"$root/dl", batchId)
+    // df = one row per distinct (doc, term) — exactly the postings
+    // rows, so the keyed count folds the per-term document frequency
+    MaterializedAgg.foldBatch(spark, s"$root/df",
+      spark.read.parquet(s"$root/postings/batch-$batchId.parquet")
+        .select("term"), dfSpec, batchId)
+    // doc totals keyed by has-tokens: nDocs = Σ cnt over both keys,
+    // avgdl = the true-key sum/count (matching q132, whose dl frame
+    // excludes zero-token docs while nDocs counts every doc)
+    val perDoc = docsBatch.select(col(idCol).as("doc_id")).distinct()
+      .join(spark.read.parquet(s"$root/dl/batch-$batchId.parquet"),
+        Seq("doc_id"), "left")
+      .select(col("dl").isNotNull.as("hast"),
+        coalesce(col("dl"), lit(0L)).as("dl"))
+    MaterializedAgg.foldBatch(spark, s"$root/tot", perDoc, totSpec, batchId)
+    true
+  }
+
+  /** BM25 top-`k` documents per query over everything folded so far.
+    * `qterms` is a (query_id, term) frame. */
+  def search(spark: SparkSession, root: String, qterms: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(VersionedTable.currentVersion(spark, s"$root/tot").isDefined,
+      s"no folded retrieval state at $root — fold a batch " +
+        "(RetrievalView.update) before searching")
+    val tot = MaterializedAgg.read(spark, s"$root/tot", totSpec)
+      .select(col("hast"), col("cnt"), col("sum_dl")).collect()
+    val nDocs = tot.map(_.getLong(1)).sum
+    val withTok = tot.find(_.getBoolean(0))
+    require(withTok.isDefined && nDocs > 0,
+      s"retrieval state at $root has no tokenized documents")
+    val avgdl = withTok.get.getDouble(2) / withTok.get.getLong(1)
+    val df = MaterializedAgg.read(spark, s"$root/df", dfSpec)
+      .select(col("term"), col("cnt").as("df"))
+    graft.operators.TextOps.bm25TopK(
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/dl"),
+      df, nDocs, avgdl, qterms, k)
+  }
+}

@@ -1502,24 +1502,31 @@ object TextOps {
     * contribution round at 6 dp (the q59 libm discipline), the ≤|q|
     * per-doc sum runs through the decimal accumulator, top-10 breaks
     * ties on doc_id. */
-  private val q132: QFn = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val (k1, b) = (1.2, 0.75)
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+  /** The batch index frames q132 builds in one pass — also the shape
+    * [[graft.lakehouse.RetrievalView]] maintains incrementally:
+    * tf = per-(doc, term) counts, dl = per-doc token counts. */
+  private[graft] def bm25Index(docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val nDocs = Tables.documents(s, d).count()
-    val avgdl = dl.agg((sum(col("dl").cast(graft.util.Exact.Dec))
-      .cast("double") / count(lit(1))).as("a")).head.getDouble(0)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = Seq(
-      ("q1", "spark"), ("q1", "join"), ("q1", "merge"),
-      ("q2", "window"), ("q2", "sort"), ("q2", "order"),
-      ("q3", "data"), ("q3", "stream"), ("q3", "batch"))
-      .toDF("query_id", "term")
+    (toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+  }
+
+  /** Okapi BM25 top-k over prepared index frames — the ONE scoring
+    * definition q132 (batch) and the maintained RetrievalView share,
+    * so the incremental index is oracle-pinned through the query.
+    * Cross-engine/cross-path exact: idf and per-term contributions at
+    * 6-dp ln, per-doc sums through the decimal accumulator, doc_id
+    * tiebreak. */
+  private[graft] def bm25TopK(tf: DataFrame, dl: DataFrame,
+      df: DataFrame, nDocs: Long, avgdl: Double, qterms: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (k1, b) = (1.2, 0.75)
     val idf = df.join(broadcast(qterms.select("term").distinct()),
         Seq("term"))
       .select(col("term"), round(log(
@@ -1539,9 +1546,29 @@ object TextOps {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("rnk"),
         round(col("score"), 6).as("score"))
+  }
+
+  /** The q132 literal query set (the operator API takes any
+    * (query_id, term) frame). */
+  private[graft] def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("q1", "spark"), ("q1", "join"), ("q1", "merge"),
+      ("q2", "window"), ("q2", "sort"), ("q2", "order"),
+      ("q3", "data"), ("q3", "stream"), ("q3", "batch"))
+      .toDF("query_id", "term")
+  }
+
+  private val q132: QFn = (s, d) => {
+    val (tf, dl) = bm25Index(Tables.documents(s, d))
+    val nDocs = Tables.documents(s, d).count()
+    val avgdl = dl.agg((sum(col("dl").cast(graft.util.Exact.Dec))
+      .cast("double") / count(lit(1))).as("a")).head.getDouble(0)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25TopK(tf, dl, df, nDocs, avgdl, bm25Queries(s), k = 10)
   }
   private val q132Sql =
     """WITH t AS (SELECT doc_id,
