@@ -95,6 +95,27 @@ object StreamingLoader {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming retrieval indexing: each document micro-batch folds
+    * into the maintained BM25 index ([[RetrievalView]]) exactly once —
+    * micro-batch ids are monotonic by construction, which is precisely
+    * the view's idempotency contract, so crash-and-redeliver indexes
+    * nothing twice. Drops are JSON-lines (doc_id, text, lang, source)
+    * like the corpus-curation feeds. */
+  def runRetrievalView(spark: SparkSession, srcDir: String,
+      indexRoot: String, checkpointDir: String,
+      schema: StructType): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        RetrievalView.update(spark, indexRoot, batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Land ONE microbatch: crash-safe, idempotent, atomically visible.
     *
     * Structured Streaming checkpoints a batch only after this returns,

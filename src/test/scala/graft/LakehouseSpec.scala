@@ -854,6 +854,68 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("RetrievalView: incremental BM25 folds ≡ the batch q132 " +
+      "bit-for-bit; re-delivery folds nothing; unfolded root refuses") {
+    val root = tmpDir("retrv") + "/ix"
+    val docs = Tables.documents(spark, sfDir)
+    val qterms = graft.operators.TextOps.bm25Queries(spark)
+    // three batches, mixed partitionings — the maintained statistics
+    // must fold to exactly the batch q132's global tf/df/dl/avgdl
+    assert(RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 3 === 0), 1L))
+    assert(RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 3 === 1).repartition(7), 2L))
+    assert(RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 3 === 2), 3L))
+    val got = RetrievalView.search(spark, root, qterms, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.SparkEntry.queries("q132_bm25")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      "maintained index must reproduce the batch BM25 exactly")
+    // re-delivered batch id folds nothing and changes nothing
+    assert(!RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 3 === 1), 2L))
+    assert(RetrievalView.search(spark, root, qterms, k = 10)
+      .collect().map(_.toString).sorted.toSeq == got)
+    // an unfolded root refuses loudly instead of scoring nothing
+    intercept[IllegalArgumentException] {
+      RetrievalView.search(spark, tmpDir("retrv-none") + "/ix", qterms)
+    }
+  }
+
+  test("streaming retrieval view: AvailableNow micro-batches fold the " +
+      "BM25 index exactly once across a restart; search ≡ batch q132") {
+    val root = tmpDir("retrstream")
+    val src = s"$root/drops"; val ckpt = s"$root/ckpt"
+    val ix = s"$root/ix"
+    new java.io.File(src).mkdirs()
+    val docs = Tables.documents(spark, sfDir)
+    def drop(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      val tmp = s"$root/_tmp_$name"
+      docs.filter(cond).coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(src, s"$name.json").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    drop("d1", col("doc_id") % 2 === 0)
+    StreamingLoader.runRetrievalView(spark, src, ix, ckpt, docs.schema)
+      .awaitTermination(120000)
+    drop("d2", col("doc_id") % 2 === 1)
+    // restart: the checkpoint resumes past d1 — folding it twice would
+    // double its df contributions and move every idf
+    StreamingLoader.runRetrievalView(spark, src, ix, ckpt, docs.schema)
+      .awaitTermination(120000)
+    val qterms = graft.operators.TextOps.bm25Queries(spark)
+    val got = RetrievalView.search(spark, ix, qterms, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.SparkEntry.queries("q132_bm25")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("QuantileView.clip winsorizes a batch against the maintained state") {
     import spark.implicits._
     val root = tmpDir("qclip") + "/m"
