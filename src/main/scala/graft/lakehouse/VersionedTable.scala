@@ -2342,21 +2342,27 @@ object VersionedTable {
   /** ALTER TABLE … ALTER COLUMN TYPE, restricted to reader-performed
     * widenings (int→long, float→double, …): metadata-only, existing
     * files read at the wide type in the vectorized scan. Anything
-    * else must rewrite (`rewrite` + cast) instead. */
+    * else must rewrite (`rewrite` + cast) instead. A dotted `name`
+    * widens a struct SUBFIELD (the nested reader widens in-scan the
+    * same way). */
   def widenColumn(spark: SparkSession, root: String, name: String,
-      to: DataType, keepVersions: Int = 1): Long =
+      to: DataType, keepVersions: Int = 1): Long = {
+    val (parent, leaf) = splitPath(name)
     alterSchema(spark, root, keepVersions) { (s, dropped) =>
-      val f = s.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
-        GraftSchemaError(s"no column `$name` on $root"))
-      require(SafeWiden.contains((f.dataType, to)),
-        s"${f.dataType.simpleString} -> ${to.simpleString} is not a " +
-          "reader-safe widening; use rewrite() with a cast instead")
-      (StructType(s.fields.map(x =>
-        if (x eq f)
-          org.apache.spark.sql.types.StructField(f.name, to, f.nullable,
-            f.metadata)
-        else x)), dropped)
+      (rewriteAt(s, parent, root) { inner =>
+        val f = inner.fields.find(_.name.equalsIgnoreCase(leaf)).getOrElse(
+          GraftSchemaError(s"no column `$name` on $root"))
+        require(SafeWiden.contains((f.dataType, to)),
+          s"${f.dataType.simpleString} -> ${to.simpleString} is not a " +
+            "reader-safe widening; use rewrite() with a cast instead")
+        StructType(inner.fields.map(x =>
+          if (x eq f)
+            org.apache.spark.sql.types.StructField(f.name, to, f.nullable,
+              f.metadata)
+          else x))
+      }, dropped)
     }
+  }
 
   private def GraftSchemaError(msg: String): Nothing =
     throw new IllegalArgumentException(msg)

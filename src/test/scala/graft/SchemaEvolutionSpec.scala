@@ -171,14 +171,29 @@ class SchemaEvolutionSpec extends SparkSpec {
     VersionedTable.addColumn(spark, root, "kind", StringType,
       keepVersions = 12)
 
+    // WIDEN a subfield: int -> long, metadata-only, in-scan over the
+    // mixed generations (every live file wrote w/width as int32)
+    VersionedTable.widenColumn(spark, root, "meta.w", LongType,
+      keepVersions = 12)
+    assert(VersionedTable.read(spark, root)
+      .schema("meta").dataType.asInstanceOf[
+        org.apache.spark.sql.types.StructType]("w").dataType == LongType)
+    assert(VersionedTable.read(spark, root)
+      .select(col("meta.w")).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq ==
+      Seq(-1L, 0L, 320L, 640L))
+    intercept[Exception] { // non-widening refuses
+      VersionedTable.widenColumn(spark, root, "meta.codec", LongType)
+    }
+
     // full rewrite self-heals: physical = logical, h-line gone
     VersionedTable.rewrite(spark, root, keepVersions = 12)(df => df)
     assert(VersionedTable.manifestSchema(spark, root,
       VersionedTable.currentVersion(spark, root).get).isEmpty)
     assert(VersionedTable.read(spark, root)
       .select(col("meta.w")).collect()
-      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).sorted.toSeq ==
-      Seq(-1, 0, 320, 640)) // -1 = the whole-struct-null row
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq ==
+      Seq(-1L, 0L, 320L, 640L)) // -1 = the whole-struct-null row
   }
 
   test("CDC across a NESTED rename speaks the new schema on both sides") {
