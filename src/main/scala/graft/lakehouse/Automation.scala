@@ -291,6 +291,35 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           annRemoved += nd
         }
       }
+      // retrieval coupling: fold the PUBLISHED batch into the
+      // maintained BM25 index so the curated corpus is searchable the
+      // tick it lands. RetrievalView's idempotency wants a MONOTONIC
+      // batch id; the daemon assigns each tag a sequence id ONCE
+      // (persisted under _seq before folding, single-writer), so a
+      // crash replay folds under the SAME id and the view's
+      // exactly-once protocol absorbs it.
+      cc.retrievalDir.foreach { rx =>
+        val rfs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(rx), spark.sparkContext.hadoopConfiguration)
+        val seqDir = new org.apache.hadoop.fs.Path(s"$rx/_seq")
+        rfs.mkdirs(seqDir)
+        val tagFile = new org.apache.hadoop.fs.Path(seqDir, tag)
+        val id =
+          if (rfs.exists(tagFile)) {
+            val in = rfs.open(tagFile)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim.toLong
+            finally in.close()
+          } else {
+            val next = rfs.listStatus(seqDir).length + 1L
+            val out = rfs.create(tagFile, false)
+            try out.write(next.toString.getBytes("UTF-8"))
+            finally out.close()
+            next
+          }
+        RetrievalView.update(spark, rx,
+          spark.read.parquet(s"${cc.corpusDir}/batch-$tag.parquet"), id)
+      }
       // marker LAST: its existence = this raw file fully processed
       val out = fs.create(
         new org.apache.hadoop.fs.Path(doneDir, s"done-$tag"), false)
@@ -563,7 +592,11 @@ object Automation {
       // immediately; annVacuumEvery schedules the partition rewrite
       // (0 = tombstones persist until an external vacuum)
       annIndexPath: Option[String] = None,
-      annVacuumEvery: Int = 0) {
+      annVacuumEvery: Int = 0,
+      // when set, every PUBLISHED batch folds into a maintained BM25
+      // index (RetrievalView) at this root the same tick — the
+      // curated corpus is searchable as it lands
+      retrievalDir: Option[String] = None) {
     /** The incrementally-maintained (gram, df) view feeding the
       * near-dup prefix ranking — a [[MaterializedAgg]] root next to
       * the postings. */

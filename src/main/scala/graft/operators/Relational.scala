@@ -1755,7 +1755,108 @@ object Relational {
       |WHERE CAST(pval AS DOUBLE) >
       |  (SELECT CAST(SUM(pval) AS DOUBLE) FROM v) * 0.0005""".stripMargin
 
+  /** q134: per-brand PEARSON CORRELATION between quantity and
+    * extended price — the screening statistic for pricing-model
+    * sanity and feature-redundancy checks. NOT `corr()`: a double
+    * moment accumulator is merge-order-dependent and can never gate
+    * on a cross-engine hash. All five moments (Σx Σy Σxy Σx² Σy²)
+    * accumulate as exact decimals in ONE map-side-partial pass, the
+    * closed form is one fixed IEEE expression at 6 dp. */
+  private val q134: QFn = (s, d) => {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val dd = org.apache.spark.sql.types.DecimalType(38, 6)
+    val m = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(dd)).cast("double").as("sx"),
+        sum(y.cast(dd)).cast("double").as("sy"),
+        sum((x * y).cast(dd)).cast("double").as("sxy"),
+        sum((x * x).cast(dd)).cast("double").as("sxx"),
+        sum((y * y).cast(dd)).cast("double").as("syy"))
+    m.select(col("p_brand"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("pearson_r"))
+  }
+  private val q134Sql =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  ROUND((COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice
+      |      AS DECIMAL(38,6))) AS DOUBLE)
+      |    - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |      * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE))
+      |  / SQRT((COUNT(*) * CAST(SUM(CAST(l_quantity * l_quantity
+      |      AS DECIMAL(38,6))) AS DOUBLE)
+      |    - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |      * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE))
+      |    * (COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice
+      |      AS DECIMAL(38,6))) AS DOUBLE)
+      |    - CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+      |      * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE))),
+      |    6) AS pearson_r
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
+  /** q135: LAG-k AUTOCORRELATION of daily order revenue (lags 1–7) —
+    * the weekly-seasonality screen. The fact table reduces FIRST to
+    * the day-grained series (exact decimal sums, one map-side-partial
+    * aggregate); the series is date-cardinality-sized, so the 7
+    * lagged alignments are broadcast self-joins over a tiny frame —
+    * nothing fact-sized moves twice. Pearson over the aligned pairs
+    * with the same decimal-moment discipline as q134; lags with
+    * fewer than 3 aligned days report nothing. */
+  private val q135: QFn = (s, d) => {
+    import s.implicits._
+    val dd = org.apache.spark.sql.types.DecimalType(38, 6)
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("DAY", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(dd)).as("rev"))
+    val lags = Seq.tabulate(7)(i => i + 1).toDF("lag")
+    val pairs = daily.select(col("day"), col("rev").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(daily.select(col("day").as("d2"), col("rev").as("y")),
+        col("d2") === col("day") + expr("make_interval(0,0,0,lag)"))
+    val m = pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dd)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dd)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dd)).cast("double").as("syy"))
+      .filter(col("n") >= 3)
+    m.select(col("lag"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("autocorr"))
+  }
+  private val q135Sql =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT l.lag, a.rev AS x, b.rev AS y
+      |  FROM daily a
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |  JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INTEGER))),
+      |m AS (
+      |  SELECT lag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM pairs GROUP BY 1 HAVING COUNT(*) >= 3)
+      |SELECT CAST(lag AS INTEGER) AS lag, n,
+      |  ROUND((n * sxy - sx * sy) /
+      |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr
+      |FROM m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q134_correlation" -> q134,
+    "q135_autocorr" -> q135,
     "q126_big_orders" -> q126,
     "q127_returned_revenue" -> q127,
     "q128_promo_share" -> q128,
@@ -1815,6 +1916,8 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q134_correlation" -> q134Sql,
+    "q135_autocorr" -> q135Sql,
     "q126_big_orders" -> q126Sql,
     "q127_returned_revenue" -> q127Sql,
     "q128_promo_share" -> q128Sql,

@@ -117,21 +117,27 @@ class GraftSqlParser(delegate: ParserInterface)
         case _ => GraftDml.fail(
           "graft ALTER TABLE supports one ADD COLUMN per statement")
       }
-      if (c.path.nonEmpty) GraftDml.fail(
-        "nested ADD COLUMN is not supported on graft tables")
       if (c.position.nonEmpty || c.default.nonEmpty) GraftDml.fail(
         "ADD COLUMN position/default are not supported on graft tables")
-      GraftAlterCommand(root, GraftAlterCommand.Add(c.colName, c.dataType))
+      // a nested path (ADD COLUMN meta.codec) joins to the dotted
+      // form the engine's struct-path rewriter takes
+      val prefix = c.path.toSeq.flatMap {
+        case UnresolvedFieldName(parts) => parts
+        case other => GraftDml.fail(s"unsupported ADD COLUMN path: $other")
+      }
+      GraftAlterCommand(root, GraftAlterCommand.Add(
+        (prefix :+ c.colName).mkString("."), c.dataType))
     case DropColumns(GraftAlterTable(root), cols, ifExists) =>
       val name = cols match {
-        case Seq(UnresolvedFieldName(Seq(n))) => n
+        case Seq(UnresolvedFieldName(parts)) => parts.mkString(".")
         case _ => GraftDml.fail("graft ALTER TABLE supports one " +
-          "top-level DROP COLUMN per statement")
+          "DROP COLUMN per statement")
       }
       GraftAlterCommand(root, GraftAlterCommand.Drop(name, ifExists))
     case RenameColumn(GraftAlterTable(root),
-        UnresolvedFieldName(Seq(from)), to) =>
-      GraftAlterCommand(root, GraftAlterCommand.Rename(from, to))
+        UnresolvedFieldName(parts), to) =>
+      GraftAlterCommand(root, GraftAlterCommand.Rename(
+        parts.mkString("."), to))
     case AlterColumns(GraftAlterTable(root), specs) =>
       val s = specs match {
         case Seq(one) => one
@@ -139,9 +145,9 @@ class GraftSqlParser(delegate: ParserInterface)
           "graft ALTER TABLE supports one ALTER COLUMN per statement")
       }
       val name = s.column match {
-        case UnresolvedFieldName(Seq(n)) => n
+        case UnresolvedFieldName(parts) => parts.mkString(".")
         case _ => GraftDml.fail(
-          "nested ALTER COLUMN is not supported on graft tables")
+          "graft ALTER COLUMN takes a (possibly nested) column name")
       }
       val dt = s.newDataType.getOrElse(GraftDml.fail(
         "graft ALTER COLUMN supports only TYPE widening " +

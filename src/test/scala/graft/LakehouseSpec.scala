@@ -916,6 +916,57 @@ class LakehouseSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("corpus tick folds published batches into the maintained " +
+      "retrieval index; replay leaves it bit-identical") {
+    import spark.implicits._
+    val root = tmpDir("corpusretr")
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      retrievalDir = Some(s"$root/rx"))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false, corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/drops/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    drop("d1.json", Seq(
+      s"""{"doc_id": 1, "text": "$textA", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 2, "text": "$textB", "lang": "en", "source": "s"}"""))
+    auto.tick()
+    drop("d2.json", Seq(
+      s"""{"doc_id": 12, "text": "$textB", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 13, "text": "$textC", "lang": "en", "source": "s"}"""))
+    auto.tick()
+    // published corpus = {1, 2, 13}; the tick-maintained index must
+    // equal a one-shot fold of exactly the published corpus
+    val qterms = Seq(("q1", "alpha1"), ("q1", "beta2"), ("q2", "gamma3"))
+      .toDF("query_id", "term")
+    val got = RetrievalView.search(spark, s"$root/rx", qterms, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    RetrievalView.update(spark, s"$root/rx-oneshot",
+      spark.read.parquet(s"$root/corpus"), 1L)
+    val want = RetrievalView.search(spark, s"$root/rx-oneshot", qterms,
+      k = 10).collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    // lost-marker replay: the batch reprocesses under its PERSISTED
+    // sequence id, so the exactly-once fold absorbs it
+    val done = new java.io.File(s"$root/corpus/_done").listFiles()
+      .filter(_.getName.startsWith("done-"))
+    assert(done.nonEmpty)
+    done.foreach(f => assert(f.delete()))
+    auto.tick()
+    assert(RetrievalView.search(spark, s"$root/rx", qterms, k = 10)
+      .collect().map(_.toString).sorted.toSeq == got)
+  }
+
   test("QuantileView.clip winsorizes a batch against the maintained state") {
     import spark.implicits._
     val root = tmpDir("qclip") + "/m"

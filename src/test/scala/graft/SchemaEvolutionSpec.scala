@@ -196,6 +196,29 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq(-1L, 0L, 320L, 640L)) // -1 = the whole-struct-null row
   }
 
+  test("SQL ALTER TABLE evolves NESTED subfields through dotted paths") {
+    val root = tmpDir("sevonestsql") + "/t"
+    VersionedTable.init(spark, root,
+      Seq((1L, "img", 640), (2L, "vid", 1280)).toDF("k", "kind", "width")
+        .select(col("k"), struct(col("kind"), col("width")).as("meta")),
+      keepVersions = 12)
+    spark.conf.set("spark.graft.dml.keepVersions", "12")
+    try {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN meta.codec STRING")
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN meta.width TO w")
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN meta.w TYPE BIGINT")
+      spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN meta.kind")
+    } finally spark.conf.unset("spark.graft.dml.keepVersions")
+    val t = VersionedTable.read(spark, root)
+    assert(t.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fields.toSeq
+      .map(f => (f.name, f.dataType)) ==
+      Seq(("w", LongType), ("codec", StringType)))
+    assert(t.select(col("k"), col("meta.w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 640L, 2L -> 1280L))
+  }
+
   test("CDC across a NESTED rename speaks the new schema on both sides") {
     val root = tmpDir("sevonestcdc") + "/t"
     VersionedTable.init(spark, root,
