@@ -1854,7 +1854,116 @@ object Relational {
       |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr
       |FROM m""".stripMargin
 
+  /** q136: pairwise WELCH t-TESTS between market segments on order
+    * value — "does segment X really spend more than Y?" with unequal
+    * variances assumed (the honest default). ONE decimal-moment pass
+    * over the fact table (n, Σx, Σx² per segment — map-side partial),
+    * then the K²-pair statistics on the K-row aggregate: t and the
+    * Welch–Satterthwaite df are fixed IEEE expressions at 6 dp.
+    * Ordered pairs (a < b) so the output is a deterministic set. */
+  private val q136: QFn = (s, d) => {
+    val dd = org.apache.spark.sql.types.DecimalType(38, 6)
+    val m = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dd)).cast("double").as("sx"),
+        sum((col("o_totalprice") * col("o_totalprice")).cast(dd))
+          .cast("double").as("sxx"))
+      .select(col("seg"), col("n"), (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("v"))
+    val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
+      col("mean").as("ma"), col("v").as("va"))
+    val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("v").as("vb"))
+    val se2 = col("va") / col("na") + col("vb") / col("nb")
+    a.crossJoin(broadcast(b)).filter(col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("na"), col("nb"),
+        round((col("ma") - col("mb")) / sqrt(se2), 6).as("t_stat"),
+        round(se2 * se2 /
+          ((col("va") / col("na")) * (col("va") / col("na"))
+            / (col("na") - 1) +
+           (col("vb") / col("nb")) * (col("vb") / col("nb"))
+            / (col("nb") - 1)), 6).as("welch_df"))
+  }
+  private val q136Sql =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS seg, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |      / COUNT(*) AS mean,
+      |    (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+      |        AS DOUBLE)
+      |      - CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |        * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |        / COUNT(*)) / (COUNT(*) - 1) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1)
+      |SELECT a.seg AS seg_a, b.seg AS seg_b,
+      |  a.n AS na, b.n AS nb,
+      |  ROUND((a.mean - b.mean) /
+      |    SQRT(a.v / a.n + b.v / b.n), 6) AS t_stat,
+      |  ROUND((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+      |    ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
+      |     (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) AS welch_df
+      |FROM m a JOIN m b ON a.seg < b.seg""".stripMargin
+
+  /** q137: two-sample KOLMOGOROV–SMIRNOV distance between URGENT and
+    * LOW orders' value distributions — the classic distribution-drift
+    * test, in the shape that scales: aggregate FIRST to per-distinct-
+    * value group counts (one map-side-partial shuffle), then the
+    * cumulative ECDFs run as DISTRIBUTED prefix sums over the
+    * value-ordered distinct table (`RankOps.withGroupedPrefixSum` —
+    * never a single-reducer global window), and the supremum is one
+    * max aggregate. Integer cumulative counts ⇒ the ECDF ratios and
+    * their |diff| are identical IEEE in both engines; one 6-dp row. */
+  private val q137: QFn = (s, d) => {
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_totalprice").as("v"),
+        (col("o_orderpriority") === "1-URGENT").as("g1"))
+    val pv = base.groupBy("v")
+      .agg(count(when(col("g1"), 1)).as("c1"),
+        count(when(!col("g1"), 1)).as("c2"))
+      .withColumn("one", lit(1))
+    val s1 = RankOps.withGroupedPrefixSum(pv, Seq("one"), Seq("v"),
+      valueCol = "c1", sumCol = "p1")
+    val s2 = RankOps.withGroupedPrefixSum(s1, Seq("one"), Seq("v"),
+      valueCol = "c2", sumCol = "p2")
+    val tot = pv.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    s2.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs((col("p1") + col("c1")).cast("double") / col("n1") -
+          (col("p2") + col("c2")).cast("double") / col("n2")).as("dd"))
+      .groupBy("n1", "n2")
+      .agg(round(max(col("dd")), 6).as("ks_d"))
+  }
+  private val q137Sql =
+    """WITH base AS (
+      |  SELECT o_totalprice AS v,
+      |    o_orderpriority = '1-URGENT' AS g1
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |pv AS (
+      |  SELECT v, COUNT(CASE WHEN g1 THEN 1 END) AS c1,
+      |    COUNT(CASE WHEN NOT g1 THEN 1 END) AS c2
+      |  FROM base GROUP BY 1),
+      |c AS (
+      |  SELECT v, SUM(c1) OVER (ORDER BY v) AS s1,
+      |    SUM(c2) OVER (ORDER BY v) AS s2
+      |  FROM pv),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |  CAST(SUM(c2) AS BIGINT) AS n2 FROM pv)
+      |SELECT n1, n2,
+      |  ROUND(MAX(ABS(CAST(s1 AS DOUBLE) / n1
+      |    - CAST(s2 AS DOUBLE) / n2)), 6) AS ks_d
+      |FROM c, tot GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q136_welch_ttest" -> q136,
+    "q137_ks_test" -> q137,
     "q134_correlation" -> q134,
     "q135_autocorr" -> q135,
     "q126_big_orders" -> q126,
@@ -1916,6 +2025,8 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q136_welch_ttest" -> q136Sql,
+    "q137_ks_test" -> q137Sql,
     "q134_correlation" -> q134Sql,
     "q135_autocorr" -> q135Sql,
     "q126_big_orders" -> q126Sql,

@@ -267,6 +267,52 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 8)
   }
 
+  test("property: RetrievalView search is invariant to batch split and " +
+      "fold order of the same corpus") {
+    import spark.implicits._
+    import graft.lakehouse.RetrievalView
+    // random small corpora over a tiny vocabulary (dense collisions),
+    // random partition into 1-4 batches — the maintained statistics
+    // must fold to the same index regardless of how the corpus was
+    // split, pinned by search equality against a one-shot fold
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+    val genDoc = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCase = for {
+      n <- Gen.chooseNum(2, 14)
+      docs <- Gen.listOfN(n, genDoc)
+      cuts <- Gen.listOfN(n, Gen.chooseNum(0, 3))
+    } yield (docs, cuts)
+    val qterms = Seq(("q1", "ant"), ("q1", "bee"), ("q2", "cat"),
+      ("q2", "gnu")).toDF("query_id", "term")
+    val prop = Prop.forAll(genCase) { case (docs0, cuts0) =>
+      // one doc always tokenizes non-empty, so search never refuses
+      val docs = "ant bee cat" :: docs0
+      val cuts = 0 :: cuts0
+      val rows = docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "s")
+      }
+      def df(sel: Seq[(Long, String, String, String)]) =
+        sel.toDF("doc_id", "text", "lang", "source")
+      val split = tmpDir("propretr") + "/a"
+      val oneShot = tmpDir("propretr") + "/b"
+      val groups = rows.zip(cuts).groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      groups.zipWithIndex.foreach { case (g, i) =>
+        RetrievalView.update(spark, split, df(g), i + 1L)
+      }
+      RetrievalView.update(spark, oneShot, df(rows), 1L)
+      val a = RetrievalView.search(spark, split, qterms, k = 20)
+        .collect().map(_.toString).sorted.toSeq
+      val b = RetrievalView.search(spark, oneShot, qterms, k = 20)
+        .collect().map(_.toString).sorted.toSeq
+      a == b
+    }
+    check(prop, cases = 12)
+  }
+
   test("property: MoR delete/upsert op sequences equal the multiset model") {
     import spark.implicits._
     import graft.lakehouse.{Maintenance, VersionedTable}
