@@ -495,12 +495,20 @@ object TextOps {
     * transitive closure — a completely different algorithm reaching
     * the same fixpoint, so the hash-match is a strong equivalence
     * check. */
-  private val q66: QFn = (s, d) => {
-    val docs = Tables.documents(s, d).select("doc_id")
+  private val q66: QFn = (s, d) =>
+    clusterLabels(Tables.documents(s, d), q31(s, d))
+
+  /** Hash-min connected-component labels over a near-dup pair set:
+    * (doc_id, cluster_id = component min) for every doc in `docs` —
+    * singletons label themselves. The q66 engine as a reusable
+    * primitive (the leakage-guarded splitter below keys on it). */
+  private[graft] def clusterLabels(docs0: DataFrame,
+      pairs0: DataFrame): DataFrame = {
+    val docs = docs0.select("doc_id")
     // cache the pair set BEFORE deriving both edge directions — the
     // union reads `pairs` twice, and uncached that runs the whole
     // PPJoin + verify once per branch
-    val pairs = q31(s, d).select("doc_a", "doc_b").cache()
+    val pairs = pairs0.select("doc_a", "doc_b").cache()
     // eager: both union branches must hit the cache (and the pair
     // build is phase-accounted apart from the CC rounds)
     graft.util.PhaseTimer.time("cc_pairs")(pairs.count())
@@ -800,6 +808,40 @@ object TextOps {
     val losers = nearDupPairs(postings, t)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Deterministic TRAIN/VAL/TEST corpus split with a NEAR-DUP
+    * LEAKAGE guard: near-duplicate documents must land in the SAME
+    * split — a test doc with a train near-twin leaks evaluation
+    * signal straight into training — so the split key is the doc's
+    * near-dup CLUSTER id ([[clusterLabels]], the q66 hash-min CC over
+    * the PPJoin pair set), never the doc id. The md5-threshold rule
+    * on the cluster id makes the split append-stable like every
+    * sampler here: re-splitting a grown corpus keeps prior
+    * assignments wherever clusters did not merge. Adds `split`
+    * (train/val/test) and keeps `cluster_id` for audit. Scale shape:
+    * the pair mining is the banded PPJoin (bounded candidates), the
+    * CC loop runs on the edge-induced sliver, and the split decision
+    * is map-side. */
+  def splitByCluster(docs: DataFrame, t: Double = 0.5,
+      valFrac: Double = 0.1, testFrac: Double = 0.1): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1.0,
+      s"bad split fractions: val=$valFrac test=$testFrac")
+    val postings = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.trigramHashes(words(col("text")))
+          .as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+    val labels = clusterLabels(docs, nearDupPairs(postings, t))
+    def hex(x: Double) =
+      f"${math.min(65535L, (x * 65536).toLong)}%04x"
+    val h = substring(md5(col("cluster_id").cast("string")), 1, 4)
+    docs.join(labels, Seq("doc_id"))
+      .withColumn("split",
+        when(h < lit(hex(testFrac)), "test")
+          .when(h < lit(hex(testFrac + valFrac)), "val")
+          .otherwise("train"))
   }
 
   /** Build the [[nearDupAgainstHistory]] postings layout

@@ -294,6 +294,43 @@ class OperatorsSpec extends SparkSpec {
     assert(rOff.afterDsir.isEmpty && rOff.afterMixing.isEmpty)
   }
 
+  test("splitByCluster: near-dups never straddle splits, fractions " +
+      "track, deterministic under repartitioning") {
+    import spark.implicits._
+    // 200 distinct base docs + 50 planted near-rewrites (one appended
+    // word — same cluster as their base under t=0.5)
+    def text(i: Int) = (1 to 30).map(j => s"w${i}x$j").mkString(" ")
+    val base = (1 to 200).map(i => (i.toLong, text(i), "en", "web"))
+    val twins = (1 to 50).map(i =>
+      (1000L + i, text(i) + " extra", "en", "web"))
+    val docs = (base ++ twins).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.splitByCluster(docs, t = 0.5,
+      valFrac = 0.2, testFrac = 0.2)
+    val m = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 250)
+    // the leakage guard: every planted twin lands with its base
+    (1 to 50).foreach(i =>
+      assert(m(i.toLong) == m(1000L + i), s"near-dup pair $i straddles"))
+    // all three splits populated, train dominant, val/test in a loose
+    // binomial band around 20% of the 200 clusters
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(counts("train") > counts("val") &&
+      counts("train") > counts("test"), counts.toString)
+    assert(counts("val") >= 15 && counts("val") <= 95, counts.toString)
+    assert(counts("test") >= 15 && counts("test") <= 95, counts.toString)
+    // deterministic and layout-invariant
+    val m2 = TextOps.splitByCluster(docs.repartition(7), 0.5, 0.2, 0.2)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m2 == m)
+    intercept[IllegalArgumentException] {
+      TextOps.splitByCluster(docs, 0.5, valFrac = 0.6, testFrac = 0.5)
+    }
+  }
+
   test("redactPii: typed tokens, exact counts, clean/null text untouched") {
     import spark.implicits._
     val docs = Seq(

@@ -239,6 +239,25 @@ class PlanAuditSpec extends SparkSpec {
       "q91 grew interpreted HOFs beyond the probe-sized LUT build")
   }
 
+  test("q137: the ECDF cumulative sums plan WITHOUT a Window operator") {
+    val df = graft.operators.Relational.queries("q137_ks_test")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the KS cumulatives run as RankOps' two-pass prefix sums — a
+    // `SUM(...) OVER (ORDER BY v)` would plan a single-partition
+    // Window over every distinct value and serialize the whole ECDF
+    assert(!plan.contains("Window"), s"q137 grew a Window operator\n$plan")
+  }
+
+  test("q132: query terms and idf broadcast onto the tf stream") {
+    val df = graft.operators.TextOps.queries("q132_bm25")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the query side must never shuffle the corpus-sized tf stream:
+    // qterms⋈idf and the rate join are broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q98: rank rounds materialize inside pagerank — the caller's plan " +
       "is a top-k over the checkpointed V-sized state") {
     val df = graft.operators.GraphOps.queries("q98_pagerank")(spark, sfDir)
