@@ -967,6 +967,77 @@ class LakehouseSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq == got)
   }
 
+  test("curation tick with EVERYTHING on: DSIR drops vanish from ANN " +
+      "and never reach the retrieval index; survivors searchable in both") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val root = tmpDir("corpusall")
+    val emb = Tables.embeddings(spark, sfDir)
+    // vectors for the corpus doc ids 1, 2, 3, 11, 12 + filler
+    val mapping = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 11L), (4L, 12L))
+      .toDF("vec_id", "new_id")
+    val vecs = emb.join(mapping, "vec_id")
+      .select(col("new_id").as("vec_id"), col("embedding"), col("label"))
+      .unionByName(emb.filter(col("vec_id") >= 100 && col("vec_id") < 140))
+    val idx = s"$root/idx"
+    VectorIndex.build(vecs, idx, k = 4, iters = 3)
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      dsirTargetLang = Some("en"),
+      annIndexPath = Some(idx), annVacuumEvery = 0,
+      retrievalDir = Some(s"$root/rx"))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false, corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/drops/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def enDoc(id: Int) = (1 to 40).map(i => s"en${id}w$i").mkString(" ")
+    def frDoc(id: Int) = (1 to 40).map(i => s"fr${id}w$i").mkString(" ")
+    // tick 1: 1 and 3 are en (kept), 2 is fr (DSIR-dropped)
+    drop("d1.json", Seq(
+      s"""{"doc_id": 1, "text": "${enDoc(1)}", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 2, "text": "${frDoc(2)}", "lang": "fr", "source": "s"}""",
+      s"""{"doc_id": 3, "text": "${enDoc(3)}", "lang": "en", "source": "s"}"""))
+    val r1 = auto.tick()
+    assert(r1.corpus.get.kept == 2 && r1.corpus.get.dropped == 1)
+    assert(r1.corpus.get.annRemoved == 1, "the DSIR drop must tombstone ANN")
+    // tick 2: 11 fr (dropped), 12 en (kept)
+    drop("d2.json", Seq(
+      s"""{"doc_id": 11, "text": "${frDoc(11)}", "lang": "fr", "source": "s"}""",
+      s"""{"doc_id": 12, "text": "${enDoc(12)}", "lang": "en", "source": "s"}"""))
+    val r2 = auto.tick()
+    assert(r2.corpus.get.kept == 1 && r2.corpus.get.annRemoved == 1)
+    // ANN: dropped docs (2, 11) gone from search, full k live
+    val probes = vecs.filter(col("vec_id").isin(1L, 3L))
+    val hits = VectorIndex.search(spark, idx, probes, nprobe = 4, k = 3)
+    assert(hits.filter(col("neighbor_id").isin(2L, 11L)).count() == 0)
+    assert(hits.groupBy("probe_id").count().collect()
+      .forall(_.getLong(1) == 3L))
+    // retrieval: survivors searchable, dropped docs never indexed
+    val qEn = Seq(("k", "en1w5"), ("k", "en12w7")).toDF("query_id", "term")
+    val gotEn = RetrievalView.search(spark, s"$root/rx", qEn, k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotEn == Set(1L, 12L), gotEn.toString)
+    val qFr = Seq(("k", "fr2w5"), ("k", "fr11w3")).toDF("query_id", "term")
+    assert(RetrievalView.search(spark, s"$root/rx", qFr, k = 10)
+      .count() == 0, "DSIR-dropped docs must never reach the index")
+    // crash replay of tick 2: every coupling stays bit-stable
+    val done = new java.io.File(s"$root/corpus/_done").listFiles()
+      .filter(_.getName.startsWith("done-"))
+    done.foreach(f => assert(f.delete()))
+    auto.tick()
+    assert(RetrievalView.search(spark, s"$root/rx", qEn, k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 12L))
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 12L))
+  }
+
   test("QuantileView.clip winsorizes a batch against the maintained state") {
     import spark.implicits._
     val root = tmpDir("qclip") + "/m"
