@@ -42,7 +42,12 @@ object CorpusPipeline {
       // Some(alpha) → temperature-weighted source mixing over a
       // mixBudgetFrac token budget, after the DSIR stage
       mixAlpha: Option[Double] = None,
-      mixBudgetFrac: Double = 0.5)
+      mixBudgetFrac: Double = 0.5,
+      // Some((valFrac, testFrac)) → leakage-guarded train/val/test
+      // split (TextOps.splitByCluster) after sampling; packing then
+      // runs per (source, split) so bins never straddle splits
+      splitFracs: Option[(Double, Double)] = None,
+      splitNearDupT: Double = 0.5)
 
   /** Row counts after each stage (each is one count job over the lazy
     * prefix of the flow). `afterDsir`/`afterMixing` are present only
@@ -50,7 +55,8 @@ object CorpusPipeline {
   final case class Report(input: Long, afterQuality: Long,
       afterDedup: Long, afterNearDup: Long, afterDecontam: Long,
       afterSampling: Long, bins: Long,
-      afterDsir: Option[Long] = None, afterMixing: Option[Long] = None)
+      afterDsir: Option[Long] = None, afterMixing: Option[Long] = None,
+      splitCounts: Option[Map[String, Long]] = None)
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
@@ -187,12 +193,15 @@ object CorpusPipeline {
   }
 
   /** q62's per-stream token packing: exclusive prefix sums via the
-    * two-pass partition-offset scheme, bin = offset / binTokens. */
+    * two-pass partition-offset scheme, bin = offset / binTokens.
+    * `groupCols` defaults to per-source streams; the split-aware run
+    * packs per (source, split) so a bin never straddles a split. */
   def packTokens(docs: DataFrame, binTokens: Long,
-      partitions: Int = 0): DataFrame = {
-    val base = docs.select(col("source"), col("doc_id"),
-      size(words(col("text"))).cast("long").as("n_tokens"))
-    RankOps.withGroupedPrefixSum(base, Seq("source"), Seq("doc_id"),
+      partitions: Int = 0,
+      groupCols: Seq[String] = Seq("source")): DataFrame = {
+    val base = docs.select(groupCols.map(col) ++ Seq(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens")): _*)
+    RankOps.withGroupedPrefixSum(base, groupCols, Seq("doc_id"),
         valueCol = "n_tokens", sumCol = "offset", partitions = partitions)
       .withColumn("bin_id", floor(col("offset") / binTokens).cast("long"))
   }
@@ -220,7 +229,16 @@ object CorpusPipeline {
     val mixed = cfg.mixAlpha.fold(dsired)(a =>
       mixByTemperature(dsired, a, cfg.mixBudgetFrac))
     val sampled = weightedSample(mixed, cfg.langKeepRates, cfg.defaultKeepRate)
-    val packed = packTokens(sampled, cfg.binTokens, cfg.partitions)
+    // split LAST among the selection stages: assignments key on
+    // near-dup clusters so no eval doc has a train near-twin
+    val divided = cfg.splitFracs.fold(sampled) { case (v, t) =>
+      TextOps.splitByCluster(sampled, cfg.splitNearDupT, v, t)
+        .drop("cluster_id")
+    }
+    val packed = packTokens(divided, cfg.binTokens, cfg.partitions,
+      groupCols =
+        if (cfg.splitFracs.isDefined) Seq("source", "split")
+        else Seq("source"))
     val report = Report(
       input = docs.count(),
       afterQuality = scored.count(),
@@ -230,7 +248,9 @@ object CorpusPipeline {
       afterSampling = sampled.count(),
       bins = packed.agg(countDistinct(col("source"), col("bin_id"))).head.getLong(0),
       afterDsir = cfg.dsirTargetLang.map(_ => dsired.count()),
-      afterMixing = cfg.mixAlpha.map(_ => mixed.count()))
+      afterMixing = cfg.mixAlpha.map(_ => mixed.count()),
+      splitCounts = cfg.splitFracs.map(_ => divided.groupBy("split")
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap))
     (packed, report)
   }
 }

@@ -331,6 +331,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("corpus pipeline split stage: split-aware packing never lets a " +
+      "bin straddle a split, streams restart at zero") {
+    val docs = Tables.documents(spark, sfDir)
+    val cfg = CorpusPipeline.Config(minQuality = 0.0,
+      langKeepRates = Map.empty, defaultKeepRate = 1.0,
+      splitFracs = Some((0.2, 0.2)), binTokens = 2048L)
+    val (packed, r) = CorpusPipeline.run(docs, cfg)
+    assert(r.splitCounts.exists(m =>
+      m.values.sum == r.afterSampling &&
+        m.keySet.subsetOf(Set("train", "val", "test")) &&
+        m.getOrElse("train", 0L) > 0L), r.splitCounts.toString)
+    // exclusive prefix sums WITHIN each (source, split) stream — a
+    // bin spanning a split boundary would leak eval tokens into a
+    // train pack
+    val rows = packed.orderBy("source", "split", "doc_id")
+      .select("source", "split", "n_tokens", "offset").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getString(0) == b.getString(0) &&
+          a.getString(1) == b.getString(1) =>
+        assert(b.getLong(3) == a.getLong(3) + a.getLong(2))
+      case _ => ()
+    }
+    val starts = packed.groupBy("source", "split")
+      .agg(min(col("offset")).as("o")).collect()
+    assert(starts.nonEmpty && starts.forall(_.getAs[Long]("o") == 0L))
+  }
+
   test("redactPii: typed tokens, exact counts, clean/null text untouched") {
     import spark.implicits._
     val docs = Seq(
