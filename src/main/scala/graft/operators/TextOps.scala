@@ -1705,7 +1705,49 @@ object TextOps {
       |LEFT JOIN pd USING (doc_id)
       |LEFT JOIN hits USING (doc_id)""".stripMargin
 
+  /** q138: EPOCH-REPEAT planner — temperature-weighted source budgets
+    * where boosted sources may exceed one pass over their data (the
+    * mT5/LLaMA-style repeat-factor table): with a 2×-corpus token
+    * budget and α=0.3 shares, source i's plan is `epochs` full passes
+    * plus a fractional keep rate for the last partial pass. The >1
+    * complement of q99 (whose per-doc rates clamp at 1 — this is the
+    * second-pass decision that operator documents as out of scope).
+    * Two K-row aggregates, all arithmetic fixed IEEE on decimal-exact
+    * inputs (pow at 6 dp — the q59 libm lesson), floor/frac at the
+    * same double in both engines; hash-exact. */
+  private val q138: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), size(words(col("text"))).cast("long").as("nt"))
+    val perSrc = toks.groupBy("source").agg(sum(col("nt")).as("n"))
+      .withColumn("w", round(pow(col("n").cast("double"), lit(0.3)), 6))
+    val totals = perSrc.agg(sum(col("n")).as("total"),
+      sum(col("w").cast(graft.util.Exact.Dec)).cast("double").as("wsum"))
+    val ratio = lit(2.0) * col("total") * col("w") / col("wsum") / col("n")
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n").as("n_tokens"),
+        floor(ratio).cast("long").as("epochs"),
+        round(ratio - floor(ratio), 6).as("frac"))
+  }
+  private val q138Sql =
+    """WITH ps AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+'))
+      |      AS BIGINT)) AS BIGINT) AS n,
+      |    ROUND(POW(CAST(SUM(CAST(len(string_split_regex(trim(text),
+      |      '\s+')) AS BIGINT)) AS DOUBLE), 0.3), 6) AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |    CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wsum
+      |  FROM ps)
+      |SELECT source, n AS n_tokens,
+      |  CAST(FLOOR(2.0 * total * w / wsum / n) AS BIGINT) AS epochs,
+      |  ROUND(2.0 * total * w / wsum / n
+      |    - FLOOR(2.0 * total * w / wsum / n), 6) AS frac
+      |FROM ps, tot""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q138_epoch_plan" -> q138,
     "q132_bm25" -> q132,
     "q133_contamination" -> q133,
     "q116_bpe_fertility" -> q116,
@@ -1741,6 +1783,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q138_epoch_plan" -> q138Sql,
     "q132_bm25" -> q132Sql,
     "q133_contamination" -> q133Sql,
     "q30_dedup_exact" -> q30Sql,
