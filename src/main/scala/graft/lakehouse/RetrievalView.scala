@@ -72,7 +72,13 @@ object RetrievalView {
         .exists(_ >= batchId)) return false
     val (tf, dl) = graft.operators.TextOps.bm25Index(docsBatch,
       textCol, idCol)
-    publishObject(spark, tf, s"$root/postings", batchId)
+    // postings publish TERM-SORTED: every row group then carries a
+    // tight term min/max, so a search's pushed `term IN (…)` filter
+    // row-group-skips the (corpus-sized) postings scan down to the
+    // query vocabulary
+    publishObject(spark,
+      tf.coalesce(1).sortWithinPartitions("term", "doc_id"),
+      s"$root/postings", batchId)
     publishObject(spark, dl, s"$root/dl", batchId)
     // df = one row per distinct (doc, term) — exactly the postings
     // rows, so the keyed count folds the per-term document frequency
@@ -107,8 +113,15 @@ object RetrievalView {
     val avgdl = withTok.get.getDouble(2) / withTok.get.getLong(1)
     val df = MaterializedAgg.read(spark, s"$root/df", dfSpec)
       .select(col("term"), col("cnt").as("df"))
+    // the query vocabulary is tiny — collect it and PUSH the IN
+    // filter into the postings scan, where the term-sorted batch
+    // objects' row-group stats skip everything but the query terms
+    // (the broadcast semi-join alone never reaches the parquet reader)
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
     graft.operators.TextOps.bm25TopK(
-      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/postings")
+        .filter(col("term").isin(terms: _*)),
       spark.read.parquet(s"$root/dl"),
       df, nDocs, avgdl, qterms, k)
   }

@@ -867,12 +867,17 @@ class LakehouseSpec extends SparkSpec {
       docs.filter(col("doc_id") % 3 === 1).repartition(7), 2L))
     assert(RetrievalView.update(spark, root,
       docs.filter(col("doc_id") % 3 === 2), 3L))
-    val got = RetrievalView.search(spark, root, qterms, k = 10)
-      .collect().map(_.toString).sorted.toSeq
+    val search = RetrievalView.search(spark, root, qterms, k = 10)
+    val got = search.collect().map(_.toString).sorted.toSeq
     val want = graft.SparkEntry.queries("q132_bm25")(spark, sfDir)
       .collect().map(_.toString).sorted.toSeq
     assert(got.nonEmpty && got == want,
       "maintained index must reproduce the batch BM25 exactly")
+    // the query-vocabulary IN filter reaches the postings parquet
+    // scan — the row-group-skipping lever over term-sorted objects
+    assert(search.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [In(term"),
+      "term filter must push into the postings scan")
     // re-delivered batch id folds nothing and changes nothing
     assert(!RetrievalView.update(spark, root,
       docs.filter(col("doc_id") % 3 === 1), 2L))
