@@ -1961,7 +1961,195 @@ object Relational {
       |    - CAST(s2 AS DOUBLE) / n2)), 6) AS ks_d
       |FROM c, tot GROUP BY 1, 2""".stripMargin
 
+  /** q139: TPC-H Q20 shape (the correlated `qty > 0.5 * (SELECT
+    * SUM…)` availability screen, re-keyed to shipped volume since the
+    * test schema carries no partsupp): which (supplier, part) pairs
+    * DOMINATED a part's 1995 supply — shipped strictly more than half
+    * of the part's total quantity? De-correlated the way Q20 should
+    * run at scale: the filtered fact aggregates ONCE per
+    * (part, supplier) and ONCE per part (both map-side partial), the
+    * two aggregates join on the part key (AQE co-partitions — the
+    * per-part side is a pure reduction of the per-supplier side, no
+    * second fact scan in the logical sense but both stay linear), the
+    * dominance predicate is exact decimal (`2·sq > tq` — no float
+    * threshold), and only then does the supplier dim broadcast on.
+    * The share is the one float in the row: exact decimals cast to
+    * double, one IEEE divide, 6 dp. */
+  private val q139: QFn = (s, d) => {
+    val l95 = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val perSupp = l95.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast(Dec)).as("sq"))
+    val perPart = perSupp.groupBy("l_partkey")
+      .agg(sum(col("sq")).as("tq"))
+    perSupp.join(perPart, Seq("l_partkey"))
+      .filter(col("sq") * 2 > col("tq"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        col("sq").cast("double").as("supp_qty"),
+        col("tq").cast("double").as("part_qty"),
+        round(col("sq").cast("double") / col("tq").cast("double"), 6)
+          .as("share"))
+  }
+  private val q139Sql =
+    """WITH l95 AS (
+      |  SELECT * FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01'),
+      |ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq
+      |  FROM l95 GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey, SUM(sq) AS tq FROM ps GROUP BY 1)
+      |SELECT ps.l_partkey, ps.l_suppkey, s_name,
+      |  CAST(sq AS DOUBLE) AS supp_qty,
+      |  CAST(tq AS DOUBLE) AS part_qty,
+      |  ROUND(CAST(sq AS DOUBLE) / CAST(tq AS DOUBLE), 6) AS share
+      |FROM ps JOIN pt USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE sq * 2 > tq""".stripMargin
+
+  /** q140: PEARSON CHI-SQUARE test of independence between customer
+    * market segment and order priority — "do segments order with
+    * different urgency profiles?" The scale shape: ONE grouped count
+    * over the fact join builds the K×M contingency table (map-side
+    * partial; the table itself is dozens of rows no matter the data
+    * size), margins are re-aggregations of that tiny table, and the
+    * statistic folds the per-cell contributions — each rounded to
+    * 6 dp and summed through the exact decimal accumulator so the
+    * total is order-independent and bit-identical cross-engine.
+    * Expected counts multiply margins as DOUBLES (row·col totals
+    * overflow int64 at ~1e12 rows — the double product is the
+    * overflow-safe form and scalar IEEE is deterministic). */
+  private val q140: QFn = (s, d) => {
+    val obs = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("seg").agg(sum(col("o")).as("rt"))
+    val colT = obs.groupBy("prio").agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).cast("double").as("n"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n")
+    val od = col("o").cast("double")
+    obs.join(rowT, Seq("seg")).join(colT, Seq("prio")).crossJoin(broadcast(n))
+      .select(round((od - e) * (od - e) / e, 6).as("cell"),
+        col("seg"), col("prio"))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("seg")) - 1) *
+          (countDistinct(col("prio")) - 1)).as("dof"),
+        round(sum(col("cell").cast(Dec)).cast("double"), 6).as("chi2"))
+  }
+  private val q140Sql =
+    """WITH obs AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+      |    COUNT(*) AS o
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT seg, SUM(o) AS rt FROM obs GROUP BY 1),
+      |ct AS (SELECT prio, SUM(o) AS ct FROM obs GROUP BY 1),
+      |n AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+      |cell AS (
+      |  SELECT seg, prio,
+      |    ROUND((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM n))
+      |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM n))
+      |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM n)), 6) AS cell
+      |  FROM obs JOIN rt USING (seg) JOIN ct USING (prio))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT prio) - 1)
+      |    AS BIGINT) AS dof,
+      |  ROUND(CAST(SUM(CAST(cell AS DECIMAL(28,6))) AS DOUBLE), 6) AS chi2
+      |FROM cell""".stripMargin
+
+  /** q141: MANN–WHITNEY U rank-sum test between two market segments'
+    * order values — the non-parametric sibling of q136 (no normality
+    * assumed), with midranks for ties and the tie-corrected normal
+    * approximation. The 100-TB shape mirrors q137: aggregate FIRST to
+    * per-distinct-value group counts (one map-side-partial shuffle —
+    * ranks depend only on the value order, so the value-keyed
+    * aggregate is lossless), run the cumulative count as a
+    * DISTRIBUTED prefix sum over the value-ordered distinct table
+    * (`RankOps.withGroupedPrefixSum`, never a single-reducer window),
+    * and fold the rank sum in INT128 decimals — 2·Σmidrank stays
+    * integer-exact (midranks are half-integers; rank sums reach n²≈
+    * 1e24 at 1e12 rows, past int64 but inside decimal(38)). The z
+    * statistic is one fixed IEEE expression over the exact totals. */
+  private val q141: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+      .select(col("o_totalprice").as("v"),
+        (col("c_mktsegment") === "AUTOMOBILE").as("g1"))
+    val pv = base.groupBy("v")
+      .agg(count(when(col("g1"), 1)).as("c1"),
+        count(when(!col("g1"), 1)).as("c2"))
+      .withColumn("ctot", col("c1") + col("c2"))
+      .withColumn("one", lit(1))
+    val cum = RankOps.withGroupedPrefixSum(pv, Seq("one"), Seq("v"),
+      valueCol = "ctot", sumCol = "cum")
+    // 2·midrank of every row at value v = 2·cum + ctot + 1 (exact int)
+    val tot = cum.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c1").cast(dec38) *
+        (col("cum") * 2 + col("ctot") + 1).cast(dec38)).as("r1x2"),
+      sum((col("ctot").cast(dec38) * col("ctot").cast(dec38) *
+        col("ctot").cast(dec38) - col("ctot").cast(dec38))).as("ties"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = n1d + n2d
+    val u1 = (col("r1x2").cast("double") - n1d * (n1d + 1)) / 2
+    val varU = n1d * n2d / 12 *
+      ((nd + 1) - col("ties").cast("double") / (nd * (nd - 1)))
+    tot.select(col("n1"), col("n2"),
+      round(u1, 6).as("u1"),
+      round((u1 - n1d * n2d / 2) / sqrt(varU), 6).as("z_stat"))
+  }
+  private val q141Sql =
+    """WITH base AS (
+      |  SELECT o_totalprice AS v, c_mktsegment = 'AUTOMOBILE' AS g1
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')),
+      |pv AS (
+      |  SELECT v, COUNT(CASE WHEN g1 THEN 1 END) AS c1,
+      |    COUNT(CASE WHEN NOT g1 THEN 1 END) AS c2,
+      |    COUNT(*) AS ctot
+      |  FROM base GROUP BY 1),
+      |cum AS (
+      |  SELECT v, c1, c2, ctot,
+      |    COALESCE(SUM(ctot) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM pv),
+      |tot AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c2) AS BIGINT) AS n2,
+      |    SUM(CAST(c1 AS DECIMAL(38,0)) *
+      |      CAST(cum * 2 + ctot + 1 AS DECIMAL(38,0))) AS r1x2,
+      |    SUM(CAST(ctot AS DECIMAL(38,0)) * CAST(ctot AS DECIMAL(38,0)) *
+      |      CAST(ctot AS DECIMAL(38,0)) - CAST(ctot AS DECIMAL(38,0)))
+      |      AS ties
+      |  FROM cum)
+      |SELECT n1, n2,
+      |  ROUND((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2, 6) AS u1,
+      |  ROUND(((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2
+      |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+      |    / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12 *
+      |      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+      |        - CAST(ties AS DOUBLE) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))), 6) AS z_stat
+      |FROM tot""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q139_dominant_supplier" -> q139,
+    "q140_chi_square" -> q140,
+    "q141_mannwhitney" -> q141,
     "q136_welch_ttest" -> q136,
     "q137_ks_test" -> q137,
     "q134_correlation" -> q134,
@@ -2025,6 +2213,9 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q139_dominant_supplier" -> q139Sql,
+    "q140_chi_square" -> q140Sql,
+    "q141_mannwhitney" -> q141Sql,
     "q136_welch_ttest" -> q136Sql,
     "q137_ks_test" -> q137Sql,
     "q134_correlation" -> q134Sql,

@@ -1746,7 +1746,79 @@ object TextOps {
       |    - FLOOR(2.0 * total * w / wsum / n), 6) AS frac
       |FROM ps, tot""".stripMargin
 
+  /** q142: ZIPF SLOPE per source — the log–log regression slope of
+    * term frequency against frequency rank, the classic corpus-health
+    * screen (natural text sits near −1; log-uniform synthetic junk,
+    * boilerplate floods, and template spam bend the curve). Scale
+    * shape: term frequencies are ONE map-side-partial aggregate; the
+    * per-source rank keeps only the TOP-1000 terms through a
+    * rank-limited window (Spark plans a WindowGroupLimit — partial
+    * per-partition top-k before the shuffle, so a 10-billion-term
+    * vocabulary never serializes through one task), and the
+    * regression folds 4 moment sums over ≤1000 rows per source.
+    * Cross-engine bit-equality: ln() rounded to 6 dp per point
+    * (libm last-ulp — q59's lesson), moment products rounded then
+    * accumulated as exact decimals, slope one fixed IEEE expression.
+    * Ties in frequency break on the term string so both engines rank
+    * identically. */
+  private val q142: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("freq").desc, col("term").asc)
+    val pts = tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 1000)
+      .select(col("source"),
+        round(log(col("rk").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+    val dec = graft.util.Exact.Dec
+    pts.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(dec)).as("sxy"),
+        sum(round(col("x") * col("x"), 6).cast(dec)).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_terms") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+  }
+  private val q142Sql =
+    """WITH t AS (SELECT source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS freq
+      |  FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT source,
+      |    ROUND(ln(CAST(rk AS DOUBLE)), 6) AS x,
+      |    ROUND(ln(CAST(freq AS DOUBLE)), 6) AS y
+      |  FROM (SELECT source, freq,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY freq DESC, term ASC) AS rk
+      |    FROM tf) r
+      |  WHERE rk <= 1000),
+      |m AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+      |    SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS sxy,
+      |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS sxx
+      |  FROM pts GROUP BY 1)
+      |SELECT source, n_terms,
+      |  ROUND((n_terms * CAST(sxy AS DOUBLE) -
+      |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (n_terms * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+      |FROM m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q142_zipf_slope" -> q142,
     "q138_epoch_plan" -> q138,
     "q132_bm25" -> q132,
     "q133_contamination" -> q133,
@@ -1783,6 +1855,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q142_zipf_slope" -> q142Sql,
     "q138_epoch_plan" -> q138Sql,
     "q132_bm25" -> q132Sql,
     "q133_contamination" -> q133Sql,

@@ -1737,4 +1737,104 @@ class OperatorsSpec extends SparkSpec {
     val n = w.count()
     assert(n == docs.count() && w.select("doc_id").distinct().count() == n)
   }
+
+  test("q139: exactly the pairs shipping a strict majority of the " +
+      "part's 1995 volume, share consistent") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Relational
+      .queries("q139_dominant_supplier")(spark, sfDir).collect()
+    // brute force from the fact table
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perPair = l.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> v.map(_._3).sum }
+    val perPart = l.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val want = perPair.filter { case ((p, _), q) => q * 2 > perPart(p) }.keySet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    got.foreach { r =>
+      assert(r.getDouble(3) * 2 > r.getDouble(4), s"non-majority row $r")
+      assert(math.abs(r.getDouble(5) - r.getDouble(3) / r.getDouble(4)) < 1e-5)
+    }
+  }
+
+  test("q140: chi-square statistic matches a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.Relational
+      .queries("q140_chi_square")(spark, sfDir).head()
+    val obs = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val segs = obs.keySet.map(_._1)
+    val prios = obs.keySet.map(_._2)
+    val n = obs.values.sum.toDouble
+    val rt = segs.map(s0 => s0 ->
+      obs.collect { case ((s1, _), c) if s1 == s0 => c }.sum.toDouble).toMap
+    val ct = prios.map(p0 => p0 ->
+      obs.collect { case ((_, p1), c) if p1 == p0 => c }.sum.toDouble).toMap
+    val chi2 = obs.map { case ((s0, p0), o) =>
+      val e = rt(s0) * ct(p0) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(row.getLong(0) == obs.size.toLong)
+    assert(row.getLong(1) == (segs.size - 1).toLong * (prios.size - 1))
+    assert(math.abs(row.getDouble(2) - chi2) < 1e-3,
+      s"chi2 ${row.getDouble(2)} != $chi2")
+  }
+
+  test("q141: Mann-Whitney U and tie-corrected z match a driver-side " +
+      "midrank computation") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.Relational
+      .queries("q141_mannwhitney")(spark, sfDir).head()
+    val vs = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+      .select(col("o_totalprice"), col("c_mktsegment")).collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "AUTOMOBILE"))
+    val sorted = vs.sortBy(_._1)
+    // midranks: rows at equal value share the mean of their positions
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      ranks(sorted(i)._1) = (i + 1 + j) / 2.0 // mean of ranks i+1..j
+      i = j
+    }
+    val n1 = vs.count(_._2).toDouble
+    val n2 = vs.length - n1
+    val r1 = vs.filter(_._2).map(t => ranks(t._1)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2
+    val nn = n1 + n2
+    val ties = sorted.groupBy(_._1).values
+      .map(g => math.pow(g.length, 3) - g.length).sum
+    val z = (u1 - n1 * n2 / 2) /
+      math.sqrt(n1 * n2 / 12 * ((nn + 1) - ties / (nn * (nn - 1))))
+    assert(row.getLong(0) == n1.toLong && row.getLong(1) == n2.toLong)
+    assert(math.abs(row.getDouble(2) - u1) < 1e-4,
+      s"u1 ${row.getDouble(2)} != $u1")
+    assert(math.abs(row.getDouble(3) - z) < 1e-4,
+      s"z ${row.getDouble(3)} != $z")
+  }
+
+  test("q142: per-source Zipf slope is the top-1000 log-log regression, " +
+      "near -1 for natural-ish text") {
+    val got = graft.operators.TextOps
+      .queries("q142_zipf_slope")(spark, sfDir).collect()
+    val nSources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(got.length == nSources, "one slope row per source")
+    got.foreach { r =>
+      val (n, slope) = (r.getLong(1), r.getDouble(2))
+      assert(n > 0 && n <= 1000, s"rank cap violated: $r")
+      // frequency is non-increasing in rank, so the fit cannot tilt up
+      assert(slope < 0, s"non-negative Zipf slope: $r")
+    }
+  }
 }
