@@ -249,6 +249,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"q137 grew a Window operator\n$plan")
   }
 
+  test("q141: midrank cumulatives plan WITHOUT a Window operator") {
+    val df = graft.operators.Relational.queries("q141_mannwhitney")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the cumulative counts behind the midranks run as RankOps'
+    // two-pass prefix sums — `SUM(...) OVER (ORDER BY v)` would plan
+    // a single-partition Window over every distinct order value
+    assert(!plan.contains("Window"), s"q141 grew a Window operator\n$plan")
+  }
+
+  test("q142: the per-source top-1000 rank plans WindowGroupLimit") {
+    val ns = nodes(graft.operators.TextOps.queries("q142_zipf_slope")(spark, sfDir))
+    // rk <= 1000 must push into the window so each partition keeps a
+    // bounded top-k of its vocabulary before the source shuffle — the
+    // lever that keeps a 10-billion-term vocabulary off one task
+    assert(ns.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      ns.map(_.nodeName).toString)
+  }
+
   test("q132: query terms and idf broadcast onto the tf stream") {
     val df = graft.operators.TextOps.queries("q132_bm25")(spark, sfDir)
     df.collect()
