@@ -337,6 +337,15 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         graft.operators.VectorIndex.vacuumTombstones(spark, ix)
       case _ => 0L
     }
+    // scheduled retrieval-index consolidation: the per-batch postings
+    // objects merge into a range-sorted compact generation and the
+    // superseded objects vacuum — search cost tracks data, not ticks
+    cc.retrievalDir.foreach { rx =>
+      if (cc.retrievalCompactEvery > 0 &&
+          ticks % cc.retrievalCompactEvery == 0 &&
+          RetrievalView.compact(spark, rx))
+        RetrievalView.vacuumCompacted(spark, rx)
+    }
     Automation.CorpusReport(load, pending.size, kept, dropped,
       annRemoved, annVacuumed)
   }
@@ -596,7 +605,12 @@ object Automation {
       // when set, every PUBLISHED batch folds into a maintained BM25
       // index (RetrievalView) at this root the same tick — the
       // curated corpus is searchable as it lands
-      retrievalDir: Option[String] = None) {
+      retrievalDir: Option[String] = None,
+      // every N ticks, consolidate the retrieval index's per-batch
+      // objects into range-sorted compact generations and vacuum the
+      // superseded ones (RetrievalView.compact) — keeps search linear
+      // in data instead of fold count (0 = never)
+      retrievalCompactEvery: Int = 0) {
     /** The incrementally-maintained (gram, df) view feeding the
       * near-dup prefix ranking — a [[MaterializedAgg]] root next to
       * the postings. */

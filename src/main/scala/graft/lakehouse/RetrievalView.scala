@@ -97,6 +97,145 @@ object RetrievalView {
     true
   }
 
+  /** The LIVE object set of a postings/dl dir under the compaction
+    * protocol: the newest `_compact-<id>` MARKER (a zero-byte object
+    * whose single PUT is compaction's atomic visibility point) claims
+    * every batch id ≤ id — the live set is that marker's
+    * `compact-<id>-p*.parquet` parts plus every `batch-i.parquet`
+    * with i > id. Parts without their marker are a crashed attempt
+    * and are ignored; `batch-i` objects at or below the marker are
+    * superseded and ignored (kept until [[vacuumCompacted]]). */
+  private def liveFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return Nil
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    val compactId = names.collect {
+      case n if n.startsWith("_compact-") => n.stripPrefix("_compact-").toLong
+    }.sorted.lastOption
+    val live = names.filter { n =>
+      val isBatch = n.startsWith("batch-") && n.endsWith(".parquet")
+      val batchId = if (isBatch)
+        n.stripPrefix("batch-").stripSuffix(".parquet").toLong else -1L
+      compactId match {
+        case None => isBatch
+        case Some(c) =>
+          (isBatch && batchId > c) ||
+            (n.startsWith(s"compact-$c-p") && n.endsWith(".parquet"))
+      }
+    }
+    live.sorted.map(n => s"$dir/$n").toSeq
+  }
+
+  private def readLive(spark: SparkSession, dir: String): DataFrame = {
+    val files = liveFiles(spark, dir)
+    require(files.nonEmpty, s"no live retrieval objects under $dir")
+    spark.read.parquet(files: _*)
+  }
+
+  /** COMPACT the per-batch postings/dl objects into range-partitioned
+    * sorted object sets — the maintenance pass that keeps `search`
+    * linear in data, not in fold count (10k daily folds = 10k tiny
+    * objects per dir; a scan's task-per-file floor and footer reads
+    * dominate long before the data does). Postings re-sort GLOBALLY by
+    * (term, doc_id) via a range repartition, so each output object
+    * covers a disjoint term range — file-level AND row-group-level
+    * stats both prune a searched term — and dl sorts by doc_id the
+    * same way. Output width is SIZE-DERIVED (input bytes /
+    * `maxPartitionBytes`), so compaction parallelism and object count
+    * scale with the corpus, never with fold count.
+    *
+    * Crash-safe and idempotent: parts stage under hidden names, are
+    * renamed to `compact-<id>-p<k>.parquet`, and become visible only
+    * when the zero-byte `_compact-<id>` MARKER lands (one PUT — the
+    * same single-object-visibility primitive the whole store rides).
+    * A crash before the marker leaves ignored orphans that a re-run
+    * overwrites; a re-run after the marker is a no-op (returns
+    * false). Folds may continue after compaction — new `batch-i`
+    * objects (i > id) ride alongside the compact set until the next
+    * pass. */
+  def compact(spark: SparkSession, root: String): Boolean = {
+    val upTo = VersionedTable.lastFoldedBatch(spark, s"$root/tot")
+      .getOrElse(return false)
+    var did = false
+    for ((dir, sortCols) <- Seq(
+        s"$root/postings" -> Seq("term", "doc_id"),
+        s"$root/dl" -> Seq("doc_id"))) {
+      val fs = fsOf(spark, dir)
+      if (!fs.exists(new Path(dir, s"_compact-$upTo"))) {
+        // claim only ids ≤ upTo: a fold landing batch-(upTo+1) while
+        // this pass runs must stay OUTSIDE the marker's claim or its
+        // rows would count twice (once compacted, once as the live
+        // batch object)
+        val files = liveFiles(spark, dir).filter { f =>
+          val nm = new Path(f).getName
+          !nm.startsWith("batch-") ||
+            nm.stripPrefix("batch-").stripSuffix(".parquet").toLong <= upTo
+        }
+        if (files.size > 1) {
+          val df = spark.read.parquet(files: _*)
+          val bytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+          val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+          val width = math.max(1, math.ceil(bytes.toDouble / maxPart).toInt)
+          val stageDir = new Path(s"$dir/_staging/compact-$upTo")
+          df.repartitionByRange(width, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
+          val parts = fs.listStatus(stageDir)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .sortBy(_.getPath.getName)
+          parts.zipWithIndex.foreach { case (st, k) =>
+            val target = new Path(dir, s"compact-$upTo-p$k.parquet")
+            if (fs.exists(target)) fs.delete(target, false) // crashed attempt
+            require(fs.rename(st.getPath, target),
+              s"compact rename ${st.getPath} -> $target failed")
+          }
+          fs.create(new Path(dir, s"_compact-$upTo")).close() // visibility
+          fs.delete(stageDir, true)
+          did = true
+        }
+      }
+    }
+    did
+  }
+
+  /** Delete objects SUPERSEDED by the newest compaction marker —
+    * batch objects the marker claims and older compact generations —
+    * once older than `olderThanMs` (the same time-based reader-grace
+    * bargain `VersionedTable.vacuum` strikes). */
+  def vacuumCompacted(spark: SparkSession, root: String,
+      olderThanMs: Long = 0L): Int = {
+    val now = System.currentTimeMillis()
+    var n = 0
+    for (dir <- Seq(s"$root/postings", s"$root/dl")) {
+      val fs = fsOf(spark, dir)
+      val p = new Path(dir)
+      if (fs.exists(p)) {
+        val st = fs.listStatus(p)
+        val compactId = st.map(_.getPath.getName).collect {
+          case nm if nm.startsWith("_compact-") =>
+            nm.stripPrefix("_compact-").toLong
+        }.sorted.lastOption
+        compactId.foreach { c =>
+          st.foreach { s0 =>
+            val nm = s0.getPath.getName
+            val superseded =
+              (nm.startsWith("batch-") && nm.endsWith(".parquet") &&
+                nm.stripPrefix("batch-").stripSuffix(".parquet").toLong <= c) ||
+              (nm.startsWith("compact-") && nm.endsWith(".parquet") &&
+                !nm.startsWith(s"compact-$c-p")) ||
+              (nm.startsWith("_compact-") &&
+                nm.stripPrefix("_compact-").toLong < c)
+            if (superseded && now - s0.getModificationTime >= olderThanMs) {
+              fs.delete(s0.getPath, false); n += 1
+            }
+          }
+        }
+      }
+    }
+    n
+  }
+
   /** BM25 top-`k` documents per query over everything folded so far.
     * `qterms` is a (query_id, term) frame. */
   def search(spark: SparkSession, root: String, qterms: DataFrame,
@@ -120,9 +259,9 @@ object RetrievalView {
     val terms = qterms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     graft.operators.TextOps.bm25TopK(
-      spark.read.parquet(s"$root/postings")
+      readLive(spark, s"$root/postings")
         .filter(col("term").isin(terms: _*)),
-      spark.read.parquet(s"$root/dl"),
+      readLive(spark, s"$root/dl"),
       df, nDocs, avgdl, qterms, k)
   }
 }

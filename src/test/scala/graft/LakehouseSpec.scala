@@ -889,6 +889,56 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("RetrievalView.compact: marker-gated object consolidation — " +
+      "search identical through compaction, post-compact folds, crash " +
+      "orphans, and vacuum") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("retrvc") + "/ix"
+    val docs = Tables.documents(spark, sfDir)
+    val qterms = graft.operators.TextOps.bm25Queries(spark)
+    val want = graft.SparkEntry.queries("q132_bm25")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 3 === 0), 1L))
+    assert(RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 3 === 1), 2L))
+    // compact claims batches 1-2; search over compact + nothing else
+    assert(RetrievalView.compact(spark, root))
+    assert(!RetrievalView.compact(spark, root), "re-compact must no-op")
+    // fold AFTER compaction: the new batch rides alongside the
+    // compact set until the next pass
+    assert(RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 3 === 2), 3L))
+    val got = RetrievalView.search(spark, root, qterms, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "compacted index must reproduce the batch BM25")
+    // a crashed attempt's orphan parts (no marker) are invisible
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val orphan = new Path(s"$root/postings/compact-99-p0.parquet")
+    val out = fs.create(orphan); out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(RetrievalView.search(spark, root, qterms, k = 10)
+      .collect().map(_.toString).sorted.toSeq == want,
+      "orphan compact parts without a marker must be ignored")
+    fs.delete(orphan, false)
+    // second compact claims batch 3 into a new generation; vacuum
+    // removes the superseded batch objects and the old generation
+    assert(RetrievalView.compact(spark, root))
+    assert(RetrievalView.vacuumCompacted(spark, root) > 0)
+    val names = fs.listStatus(new Path(s"$root/postings"))
+      .map(_.getPath.getName)
+    assert(!names.exists(_.startsWith("batch-")),
+      s"superseded batch objects must vacuum: ${names.toSeq}")
+    assert(names.count(_.startsWith("_compact-")) == 1,
+      s"old generations must vacuum: ${names.toSeq}")
+    val post = RetrievalView.search(spark, root, qterms, k = 10)
+    assert(post.collect().map(_.toString).sorted.toSeq == want,
+      "search must survive vacuum on the live generation")
+    // term pushdown still reaches the compacted, range-sorted objects
+    assert(post.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [In(term"))
+  }
+
   test("streaming retrieval view: AvailableNow micro-batches fold the " +
       "BM25 index exactly once across a restart; search ≡ batch q132") {
     val root = tmpDir("retrstream")
@@ -929,7 +979,8 @@ class LakehouseSpec extends SparkSpec {
       srcDir = s"$root/drops", rawTableDir = s"$root/raw",
       registryDir = s"$root/reg", corpusDir = s"$root/corpus",
       postingsDir = s"$root/postings",
-      retrievalDir = Some(s"$root/rx"))
+      retrievalDir = Some(s"$root/rx"),
+      retrievalCompactEvery = 1)
     val auto = new Automation(spark, Automation.Config(
       srcDir = s"$root/arrivals", tableDir = s"$root/survey",
       registryDir = s"$root/sreg", generate = false, corpusDedup = Some(cc)))
@@ -970,6 +1021,14 @@ class LakehouseSpec extends SparkSpec {
     auto.tick()
     assert(RetrievalView.search(spark, s"$root/rx", qterms, k = 10)
       .collect().map(_.toString).sorted.toSeq == got)
+    // retrievalCompactEvery=1: the tick consolidated the per-batch
+    // objects into a marker-gated compact generation and vacuumed the
+    // superseded ones — search above already proved bit-stability
+    val pnames = new java.io.File(s"$root/rx/postings").listFiles()
+      .map(_.getName)
+    assert(pnames.exists(_.startsWith("_compact-")), pnames.toSeq.toString)
+    assert(!pnames.exists(_.startsWith("batch-")),
+      s"superseded batch objects must vacuum: ${pnames.toSeq}")
   }
 
   test("curation tick with EVERYTHING on: DSIR drops vanish from ANN " +
