@@ -1612,7 +1612,7 @@ object TextOps {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     bm25TopK(tf, dl, df, nDocs, avgdl, bm25Queries(s), k = 10)
   }
-  private val q132Sql =
+  private[operators] val q132Sql =
     """WITH t AS (SELECT doc_id,
       |    unnest(string_split_regex(trim(text), '\s+')) AS term
       |  FROM documents),

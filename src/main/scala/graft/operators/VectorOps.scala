@@ -322,15 +322,104 @@ object VectorOps {
       |  FROM cos) t
       |WHERE rnk <= 3""".stripMargin
 
+  /** q143: HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the
+    * standard RAG serving pattern: a lexical BM25 top-10 (exactly
+    * q132's ranked list) and a dense cosine top-10 (exact-decimal
+    * rerank, q34's tail at k=10) fuse per query by
+    * RRF(d) = Σ 1/(60 + rank_list(d)) (Cormack & Clarke SIGIR'09),
+    * full-outer on the item so a doc ranked by only one modality
+    * still scores. Scale shape: both lists are top-k-bounded (the
+    * fusion join touches ≤ 2k rows per query, never a corpus), the
+    * probe set broadcasts, and the fused window ranks ≤ 2k rows per
+    * query. Determinism: ranks are ints, the RRF term is one fixed
+    * IEEE expression, ordering tiebreaks on doc_id, score rounds to
+    * 6 dp only at output. */
+  private val q143: QFn = (s, d) => {
+    import s.implicits._
+    val text = graft.operators.TextOps.queries("q132_bm25")(s, d)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rt"))
+    val emb = Tables.embeddings(s, d)
+    val cand = emb.select(col("vec_id").as("neighbor_id"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"))))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id")
+    val dense = exactTopK(emb, cand, 10)
+    val mapping = Seq(("q1", 0L), ("q2", 1L), ("q3", 2L))
+      .toDF("query_id", "probe_id")
+    val vr = dense.join(broadcast(mapping), Seq("probe_id"))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("rv"))
+    val fused = text.join(vr, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+  private val q143Sql =
+    s"""WITH text_ranks AS (
+       |  SELECT query_id, doc_id, rnk AS rt
+       |  FROM (${graft.operators.TextOps.q132Sql}) tq),
+       |el AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |         unnest(range(1, len(embedding)+1)) AS i
+       |  FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id, SQRT(CAST(SUM(CAST(
+       |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+       |      AS DOUBLE)) AS nrm
+       |  FROM el GROUP BY vec_id),
+       |dots AS (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    CAST(SUM(CAST(CAST(p.x AS DOUBLE) * CAST(e.x AS DOUBLE)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM el p JOIN el e ON p.i = e.i AND p.vec_id <> e.vec_id
+       |  WHERE p.vec_id < 3
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT probe_id, neighbor_id, dot / (np.nrm * nn.nrm) AS cosine
+       |  FROM dots
+       |  JOIN nrm np ON np.vec_id = probe_id
+       |  JOIN nrm nn ON nn.vec_id = neighbor_id),
+       |dense AS (
+       |  SELECT probe_id, neighbor_id, rnk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |    FROM cos) t
+       |  WHERE rnk <= 10),
+       |m(query_id, probe_id) AS (VALUES ('q1', 0), ('q2', 1), ('q3', 2)),
+       |vec_ranks AS (
+       |  SELECT m.query_id, neighbor_id AS doc_id, rnk AS rv
+       |  FROM dense JOIN m USING (probe_id)),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + rt), CAST(0 AS DOUBLE)) +
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + rv), CAST(0 AS DOUBLE))
+       |      AS rrf
+       |  FROM text_ranks FULL JOIN vec_ranks USING (query_id, doc_id))
+       |SELECT query_id, doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rnk,
+       |  ROUND(rrf, 6) AS rrf_score
+       |FROM fused
+       |QUALIFY rnk <= 10""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q34_ann_cosine" -> q34,
     "q40_embedding_stats" -> q40,
     "q46_cosine_pairs" -> q46,
-    "q93_ann_filtered" -> q93)
+    "q93_ann_filtered" -> q93,
+    "q143_hybrid_rrf" -> q143)
 
   val oracleSql: Map[String, String] = Map(
     "q34_ann_cosine" -> q34Sql,
     "q40_embedding_stats" -> q40Sql,
     "q46_cosine_pairs" -> q46Sql,
-    "q93_ann_filtered" -> q93Sql)
+    "q93_ann_filtered" -> q93Sql,
+    "q143_hybrid_rrf" -> q143Sql)
 }

@@ -1823,6 +1823,27 @@ class OperatorsSpec extends SparkSpec {
       s"z ${row.getDouble(3)} != $z")
   }
 
+  test("q143: RRF fuses the lexical and dense lists — scores bounded, " +
+      "per-query top-10, rank order consistent") {
+    val got = graft.operators.VectorOps
+      .queries("q143_hybrid_rrf")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set("q1", "q2", "q3"))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 10)
+      val sorted = rows.sortBy(_._3)
+      // scores non-increasing in rank; every score is a sum of at
+      // most two reciprocal-rank terms, each ≤ 1/61
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 >= b._4, s"rank order broke: $a then $b")
+      case _ => }
+      rows.foreach { r =>
+        assert(r._4 > 0 && r._4 <= 2.0 / 61 + 1e-9, r.toString)
+      }
+    }
+  }
+
   test("q142: per-source Zipf slope is the top-1000 log-log regression, " +
       "near -1 for natural-ish text") {
     val got = graft.operators.TextOps
