@@ -116,6 +116,32 @@ object StreamingLoader {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream embedding drops into an EXISTING [[graft.operators.VectorIndex]]
+    * (built once offline; streaming never retrains centroids — the
+    * routing geometry must stay fixed for adds to equal a rebuild).
+    * Exactly-once across restarts by the index's own batch-marker
+    * protocol ([[graft.operators.VectorIndex.addIdempotent]]): a
+    * re-delivered microbatch folds nothing. JSON drops with an
+    * `embedding` array column decode through the given schema. */
+  def runVectorIndexAdd(spark: SparkSession, srcDir: String,
+      indexPath: String, checkpointDir: String,
+      schema: StructType): StreamingQuery = {
+    require(graft.operators.VectorIndex.exists(spark, indexPath),
+      s"no built index at $indexPath — VectorIndex.build before streaming adds")
+    spark.readStream
+      .schema(schema)
+      .json(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.VectorIndex.addIdempotent(spark, indexPath,
+          batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Land ONE microbatch: crash-safe, idempotent, atomically visible.
     *
     * Structured Streaming checkpoints a batch only after this returns,

@@ -66,6 +66,49 @@ object VectorIndex {
     unremove(spark, path, newVecs)
   }
 
+  /** Exactly-once form of [[add]] for streaming/replayed feeds: the
+    * batch's list rows land under DETERMINISTIC per-centroid object
+    * names (`lists/cent_id=c/batch-<id>-p0.parquet` — the
+    * `repartition(cent_id)` puts each centroid's rows in exactly one
+    * task, so one object per touched centroid, identical across
+    * replays of the same batch), and the `_batches/batch-<id>` marker
+    * lands LAST as the commit point. A crash anywhere inside replays
+    * idempotently: staged-but-unrenamed work is invisible, a
+    * half-renamed attempt's objects are REPLACED by the rerun (same
+    * rows — Structured Streaming re-delivers the same batch), and a
+    * marked batch returns false without touching the index. Returns
+    * true when the batch folded. */
+  def addIdempotent(spark: SparkSession, path: String,
+      newVecs: DataFrame, batchId: Long): Boolean = {
+    val fs = fsOf(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/batch-$batchId")
+    if (fs.exists(marker)) return false
+    val centDf = spark.read.parquet(s"$path/centroids")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_staging/add-$batchId")
+    assign(newVecs, centDf).repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(stage.toString)
+    fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("cent_id=")).foreach { d =>
+        val cent = d.getPath.getName
+        val parts = fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            s"$path/lists/$cent/batch-$batchId-p$i.parquet")
+          fs.mkdirs(target.getParent)
+          if (fs.exists(target)) fs.delete(target, false) // crashed attempt
+          require(fs.rename(p.getPath, target),
+            s"add rename ${p.getPath} -> $target failed")
+        }
+      }
+    fs.delete(stage, true)
+    unremove(spark, path, newVecs)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker).close() // commit point: batch folded exactly once
+    true
+  }
+
   // ---- tombstones: logical deletes from a built index --------------
   //
   // The FAISS remove_ids analog at lakehouse economics: removing a

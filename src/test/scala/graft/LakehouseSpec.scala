@@ -971,6 +971,54 @@ class LakehouseSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming ANN adds: AvailableNow micro-batches fold into the " +
+      "built index exactly once across a restart; search ≡ one-shot " +
+      "assignment of the full set") {
+    import graft.operators.VectorIndex
+    val root = tmpDir("annstream")
+    val src = s"$root/drops"; val ckpt = s"$root/ckpt"
+    val idx = s"$root/idx"; val ref = s"$root/ref"
+    new java.io.File(src).mkdirs()
+    val emb = Tables.embeddings(spark, sfDir)
+    val seed = emb.filter(col("vec_id") < 60)
+    VectorIndex.build(seed, idx, k = 4, iters = 3)
+    // reference: the SAME centroids assigned over the full set in one
+    // shot — streamed adds must reproduce its search results exactly
+    VectorIndex.buildWith(emb.filter(col("vec_id") < 140),
+      ref, spark.read.parquet(s"$idx/centroids"))
+    def drop(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      val tmp = s"$root/_tmp_$name"
+      emb.filter(cond).coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(src, s"$name.json").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    drop("d1", col("vec_id") >= 60 && col("vec_id") < 100)
+    StreamingLoader.runVectorIndexAdd(spark, src, idx, ckpt, emb.schema)
+      .awaitTermination(120000)
+    drop("d2", col("vec_id") >= 100 && col("vec_id") < 140)
+    // restart: the checkpoint resumes past d1 — re-adding it would
+    // duplicate its inverted-list rows and corrupt every search
+    StreamingLoader.runVectorIndexAdd(spark, src, idx, ckpt, emb.schema)
+      .awaitTermination(120000)
+    val probes = emb.filter(col("vec_id").isin(0L, 65L, 120L))
+    def hits(path: String) =
+      VectorIndex.search(spark, path, probes, nprobe = 4, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+    val got = hits(idx)
+    assert(got.nonEmpty && got == hits(ref),
+      "streamed index must equal the one-shot assignment")
+    // a replayed batch id folds nothing and changes nothing
+    assert(!VectorIndex.addIdempotent(spark, idx,
+      emb.filter(col("vec_id") >= 60 && col("vec_id") < 100), 0L))
+    assert(hits(idx) == got)
+    // no duplicate list rows slipped in
+    val lists = spark.read.parquet(s"$idx/lists")
+    assert(lists.count() == lists.select("vec_id").distinct().count())
+  }
+
   test("corpus tick folds published batches into the maintained " +
       "retrieval index; replay leaves it bit-identical") {
     import spark.implicits._
