@@ -136,6 +136,24 @@ object SqlRunner {
     val deleted = VersionedTable.vacuum(s, a(0), a(1).toLong)
     oneRow(s, Seq("deleted"), Seq(deleted.size.toLong))
   }
+  // write–audit–publish branch lifecycle from the SQL console
+  registerProc("graft_create_branch") { (s, a) =>
+    require(a.size == 2, "graft_create_branch(root, name)")
+    oneRow(s, Seq("branch", "base_version"),
+      Seq(a(1), VersionedTable.createBranch(s, a(0), a(1))))
+  }
+  registerProc("graft_publish_branch") { (s, a) =>
+    require(a.size >= 2 && a.size <= 3,
+      "graft_publish_branch(root, name[, force])")
+    val v = VersionedTable.publishBranch(s, a(0), a(1),
+      force = a.lift(2).exists(_.toBoolean))
+    oneRow(s, Seq("branch", "new_version"), Seq(a(1), v))
+  }
+  registerProc("graft_drop_branch") { (s, a) =>
+    require(a.size == 2, "graft_drop_branch(root, name)")
+    oneRow(s, Seq("branch", "existed"),
+      Seq(a(1), VersionedTable.dropBranch(s, a(0), a(1))))
+  }
   registerProc("graft_sync_agg") { (s, a) =>
     require(a.size == 4,
       "graft_sync_agg(srcRoot, viewRoot, keysCsv, sumsCsv)")

@@ -1299,6 +1299,206 @@ object VersionedTable {
       throw new IllegalStateException(s"no tag '$name' on $root")),
       keepVersions)
 
+  // ---- named branches: write–audit–publish on an isolated ref ------
+  //
+  // The TRUE WAP form ([[commitAudited]] is the branchless shortcut):
+  // a branch snapshots main's current file set zero-copy into its own
+  // ref, takes APPENDS in isolation (staged under branch-scoped
+  // `_v-b-<name>-<k>` dirs that main's readers never resolve), is
+  // audited by reading the REF (main stays live and untouched the
+  // whole time), and publishes as ONE file-list commit on main — the
+  // usual single-manifest PUT, so the audited data flips visible
+  // atomically. The branch's BASE manifest is pinned with an internal
+  // tag, so retention sweeps on main can't prune the schema /
+  // constraints / stats the branch resolves against, however long the
+  // audit takes. Single-writer per branch (manifest create-if-absent,
+  // like [[commit]]); appends enforce the base version's CHECK
+  // constraints batch-locally, so publish stays O(1) by the same
+  // induction as [[commitDelta]].
+  //
+  // Scope: branches take APPENDS (the WAP shape — stage a load, audit
+  // it, publish). Branching a version carrying merge-on-read deletes
+  // refuses (purge/compact first); branch-side DML is not offered —
+  // audit failures DROP the branch, they don't edit it.
+
+  private def branchesDir(root: String) = new Path(s"$root/_branches")
+  private def branchPin(name: String) = s"_branch_$name"
+  private val BranchName = "^[A-Za-z0-9_]+$".r
+
+  /** (base version, head seq, root-relative files) of a branch. */
+  private def branchState(fs: FileSystem, root: String,
+      name: String): Option[(Long, Long, Seq[String])] = {
+    val bd = new Path(branchesDir(root), name)
+    if (!fs.exists(bd)) return None
+    fs.listStatus(bd).toSeq.flatMap(_.getPath.getName.toLongOption)
+      .maxOption.map { h =>
+        val in = fs.open(new Path(bd, h.toString))
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = content.split("\n").toSeq
+        val base = lines.find(_.startsWith("base\t")).getOrElse(
+          throw new IllegalStateException(
+            s"branch '$name' manifest $h on $root lacks a base line"))
+          .drop(5).toLong
+        (base, h, lines.filter(_.startsWith("f\t")).map(l => unesc(l.drop(2))))
+      }
+  }
+
+  private def writeBranchManifest(fs: FileSystem, root: String,
+      name: String, seq: Long, base: Long, files: Seq[String]): Unit = {
+    val bd = new Path(branchesDir(root), name)
+    fs.mkdirs(bd)
+    val payload = (s"base\t$base" +: files.sorted.map(f => s"f\t${esc(f)}"))
+      .mkString("\n")
+    val out =
+      try fs.create(new Path(bd, seq.toString), false)
+      catch {
+        case e: java.io.IOException => throw new CommitConflictException(
+          s"branch '$name' seq $seq on $root already exists — " +
+            "a concurrent branch writer won", e)
+      }
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Create branch `name` from main's current version: a zero-copy
+    * ref to its exact file set, plus an internal pin tag holding the
+    * base manifest (schema, constraints, stats) against retention
+    * sweeps for the branch's whole life. Returns the base version. */
+  def createBranch(spark: SparkSession, root: String,
+      name: String): Long = {
+    require(BranchName.findFirstIn(name).isDefined,
+      s"bad branch name '$name' — use [A-Za-z0-9_]+")
+    val fs = fsOf(spark, root)
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    require(!fs.exists(new Path(branchesDir(root), name)),
+      s"branch '$name' already exists on $root")
+    require(deleteVectors(spark, root, base).isEmpty &&
+      equalityDeletes(spark, root, base).isEmpty,
+      s"version $base of $root carries merge-on-read deletes — " +
+        "purgeDeletes/compact before branching")
+    tag(spark, root, branchPin(name), Some(base))
+    writeBranchManifest(fs, root, name, 1L, base,
+      filesAt(spark, root, base))
+    base
+  }
+
+  /** All branches: name → (base version, head seq). */
+  def branches(spark: SparkSession, root: String): Map[String, (Long, Long)] = {
+    val fs = fsOf(spark, root)
+    val bd = branchesDir(root)
+    if (!fs.exists(bd)) Map.empty
+    else fs.listStatus(bd).toSeq.filter(_.isDirectory).flatMap { d =>
+      branchState(fs, root, d.getPath.getName)
+        .map(s => d.getPath.getName -> (s._1, s._2))
+    }.toMap
+  }
+
+  /** Read a branch head — the AUDIT surface: main's logical schema at
+    * the (pinned) base version projects over the branch's file set,
+    * exactly as a main read would after publish. */
+  def readBranch(spark: SparkSession, root: String,
+      name: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    val (base, _, files) = branchState(fs, root, name).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' on $root"))
+    val rd = manifestSchema(spark, root, base) match {
+      case Some(s) => spark.read.schema(physicalReadSchema(s))
+      case None => spark.read
+    }
+    val df = rd.parquet(files.map(f => s"$root/$f"): _*)
+    manifestSchema(spark, root, base)
+      .map(s => projectLogical(df, s)).getOrElse(df)
+  }
+
+  /** Append a batch to a branch: data stages under the branch-scoped
+    * `_v-b-<name>-<seq>` dir (invisible to main), the base version's
+    * CHECK constraints enforce on the batch (violations refuse and
+    * delete the stage — same contract as [[commitDelta]]), and the
+    * branch ref advances by one manifest create-if-absent. Returns
+    * the new branch seq. */
+  def appendToBranch(spark: SparkSession, root: String, name: String,
+      df: DataFrame): Long = {
+    val fs = fsOf(spark, root)
+    val (base, head, files) = branchState(fs, root, name).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' on $root"))
+    val next = head + 1L
+    val stage = new Path(s"$root/_v-b-$name-$next")
+    fs.delete(stage, true)
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(stage.toString)
+    val newNames = fs.listStatus(stage).toSeq
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
+      .map(_.getPath.getName).sorted
+    require(newNames.nonEmpty, "empty branch append")
+    val cs = manifestConstraints(spark, root, base)
+    if (cs.nonEmpty) {
+      val newDf = spark.read.parquet(newNames.map(n => s"$stage/$n"): _*)
+      val (ls, _) = logicalSchemaOf(spark, root, base)
+      val have = newDf.columns.map(_.toLowerCase).toSet
+      val aligned = ls.fields.filterNot(f => have(f.name.toLowerCase))
+        .foldLeft(newDf)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      enforceConstraints(fs, stage, aligned, cs)
+    }
+    writeBranchManifest(fs, root, name, next, base,
+      files ++ newNames.map(n => s"_v-b-$name-$next/$n"))
+    next
+  }
+
+  /** PUBLISH a branch onto main: one file-list commit referencing the
+    * branch head's exact file set (base files by reference, branch
+    * appends in place — zero copy, stats of the base files carried
+    * from the base manifest), refusing when main advanced past the
+    * branch base (the branch would silently drop those commits; pass
+    * `force = true` for replace semantics). The branch ref and its
+    * pin are consumed; the published `_v-b-*` dirs survive because
+    * main's manifest now references them. Returns main's new version. */
+  def publishBranch(spark: SparkSession, root: String, name: String,
+      keepVersions: Int = 1, force: Boolean = false): Long = {
+    val fs = fsOf(spark, root)
+    val (base, _, files) = branchState(fs, root, name).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' on $root"))
+    val cur = currentVersion(spark, root).getOrElse(base)
+    require(force || cur == base,
+      s"main advanced past branch '$name' base ($base -> $cur) — " +
+        "its commits would vanish from the published snapshot; " +
+        "re-create the branch from current, or pass force=true " +
+        "for replace semantics")
+    val v = commitDelta(spark, root, files, keepVersions,
+      statsFrom = Some(base))(_ => ())
+    fs.delete(new Path(branchesDir(root), name), true)
+    dropTag(spark, root, branchPin(name))
+    v
+  }
+
+  /** Drop a branch: delete its ref, release its base pin, and delete
+    * its staged `_v-b-<name>-*` dirs unless a retained MAIN manifest
+    * references them (a published branch's dirs are live data).
+    * Returns whether the branch existed. */
+  def dropBranch(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    require(BranchName.findFirstIn(name).isDefined,
+      s"bad branch name '$name' — use [A-Za-z0-9_]+")
+    val fs = fsOf(spark, root)
+    val bd = new Path(branchesDir(root), name)
+    if (!fs.exists(bd)) return false
+    fs.delete(bd, true)
+    dropTag(spark, root, branchPin(name))
+    val referenced: Set[String] =
+      fs.listStatus(commitsDir(root)).toSeq
+        .flatMap(_.getPath.getName.toLongOption)
+        .flatMap(n => manifestFileRefs(fs, root, n)
+          .map(_.takeWhile(_ != '/'))).toSet
+    fs.listStatus(new Path(root)).toSeq.foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(s"_v-b-$name-") && !referenced.contains(nm))
+        fs.delete(st.getPath, true)
+    }
+    true
+  }
+
   /** The retained version log as a DataFrame — (version, committed_at
     * = manifest mtime, n_files, delta = file-list commit, data_dir,
     * tags). Metadata-only: one `_commits` listing + one listing per
@@ -1985,17 +2185,24 @@ object VersionedTable {
     val rootP = new Path(root)
     val cd = commitsDir(root)
     if (!fs.exists(rootP) || !fs.exists(cd)) return Seq.empty
-    val referenced: Set[String] = fs.listStatus(cd).toSeq
+    val referenced: Set[String] = (fs.listStatus(cd).toSeq
       .flatMap(st => st.getPath.getName.toLongOption)
       .flatMap(n => new Path(dataDirOf(fs, root, n)).getName +:
-        manifestFileRefs(fs, root, n).map(_.takeWhile(_ != '/'))).toSet
+        manifestFileRefs(fs, root, n).map(_.takeWhile(_ != '/')))
+      // live branches' refs pin their staged `_v-b-*` dirs (and any
+      // base dirs their manifests carry) exactly like main manifests
+      ++ branches(spark, root).keys.toSeq
+        .flatMap(b => branchState(fs, root, b).toSeq
+          .flatMap(_._3.map(_.takeWhile(_ != '/'))))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val victims = fs.listStatus(rootP).toSeq.filter { st =>
       val name = st.getPath.getName
       val internal = name match {
         case HiddenVer(_) => true
         case AttemptVer(_) => true
-        case _ => name.startsWith("_stage_v=")
+        // a crashed dropBranch's orphan stage dirs (no branch ref, no
+        // manifest reference) age out here like any other orphan
+        case _ => name.startsWith("_stage_v=") || name.startsWith("_v-b-")
       }
       internal && !referenced.contains(name) &&
         st.getModificationTime < cutoff

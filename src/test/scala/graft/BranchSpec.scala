@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.lakehouse.VersionedTable
+
+/** Named branches — the true write–audit–publish lifecycle: isolated
+  * appends on a zero-copy ref, audit against the ref, one-PUT atomic
+  * publish, retention-proof base pinning, and conflict refusal. */
+class BranchSpec extends SparkSpec {
+
+  private def fs(root: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def initTable(prefix: String): String = {
+    import spark.implicits._
+    val root = tmpDir(prefix) + "/t"
+    VersionedTable.commit(spark, root, keepVersions = 8) { stage =>
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+        .coalesce(1).write.parquet(stage)
+    }
+    root
+  }
+
+  test("branch lifecycle: isolated appends, audit read, atomic publish") {
+    import spark.implicits._
+    val root = initTable("br")
+    val base = VersionedTable.createBranch(spark, root, "load_jan")
+    assert(base == 1L)
+    assert(VersionedTable.branches(spark, root) ==
+      Map("load_jan" -> (1L, 1L)))
+    // two isolated appends; main sees NOTHING of them
+    VersionedTable.appendToBranch(spark, root, "load_jan",
+      Seq((4L, 40L)).toDF("k", "v"))
+    VersionedTable.appendToBranch(spark, root, "load_jan",
+      Seq((5L, 50L)).toDF("k", "v"))
+    assert(VersionedTable.read(spark, root).count() == 3,
+      "main must not see unpublished branch appends")
+    // the audit surface: the ref reads base ∪ appends
+    val audit = VersionedTable.readBranch(spark, root, "load_jan")
+    assert(audit.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // publish: one commit, atomically visible, zero-copy
+    val v = VersionedTable.publishBranch(spark, root, "load_jan")
+    assert(v == 2L)
+    assert(VersionedTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // the branch is consumed; its staged dirs survive as live data
+    assert(VersionedTable.branches(spark, root).isEmpty)
+    assert(fs(root).exists(new Path(s"$root/_v-b-load_jan-2")))
+    // time travel to the pre-publish version still works
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 3)
+  }
+
+  test("branch appends enforce the base version's CHECK constraints") {
+    import spark.implicits._
+    val root = initTable("brck")
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    VersionedTable.createBranch(spark, root, "risky")
+    intercept[VersionedTable.ConstraintViolatedException] {
+      VersionedTable.appendToBranch(spark, root, "risky",
+        Seq((9L, -1L)).toDF("k", "v"))
+    }
+    // the refused stage is deleted; the branch head did not advance
+    assert(!fs(root).exists(new Path(s"$root/_v-b-risky-2")))
+    assert(VersionedTable.branches(spark, root)("risky")._2 == 1L)
+    // a clean batch lands, and publish carries the constraint forward
+    VersionedTable.appendToBranch(spark, root, "risky",
+      Seq((9L, 90L)).toDF("k", "v"))
+    VersionedTable.publishBranch(spark, root, "risky")
+    intercept[VersionedTable.ConstraintViolatedException] {
+      VersionedTable.appendDelta(spark, root) { stage =>
+        Seq((10L, -5L)).toDF("k", "v").coalesce(1).write.parquet(stage)
+      }
+    }
+  }
+
+  test("publish refuses when main advanced past the branch base; " +
+      "force replaces; drop cleans staged dirs") {
+    import spark.implicits._
+    val root = initTable("brconf")
+    VersionedTable.createBranch(spark, root, "stale")
+    VersionedTable.appendToBranch(spark, root, "stale",
+      Seq((6L, 60L)).toDF("k", "v"))
+    // main advances independently
+    VersionedTable.appendDelta(spark, root, keepVersions = 8) { stage =>
+      Seq((7L, 70L)).toDF("k", "v").coalesce(1).write.parquet(stage)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.publishBranch(spark, root, "stale")
+    }
+    // drop: the ref, its pin, and its staged dirs all go
+    assert(VersionedTable.dropBranch(spark, root, "stale"))
+    assert(!VersionedTable.dropBranch(spark, root, "stale"))
+    assert(!fs(root).exists(new Path(s"$root/_v-b-stale-2")))
+    assert(VersionedTable.tags(spark, root).isEmpty)
+    // force path: a re-created branch publishes over the advanced main
+    VersionedTable.createBranch(spark, root, "replace")
+    VersionedTable.appendToBranch(spark, root, "replace",
+      Seq((8L, 80L)).toDF("k", "v"))
+    VersionedTable.publishBranch(spark, root, "replace", force = true)
+    val ks = VersionedTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == Seq(1L, 2L, 3L, 7L, 8L),
+      s"force publish must replace with the branch snapshot: $ks")
+  }
+
+  test("the pinned base survives aggressive retention for the " +
+      "branch's whole life; the pin releases on publish") {
+    import spark.implicits._
+    val root = initTable("brpin")
+    VersionedTable.createBranch(spark, root, "slow_audit")
+    VersionedTable.appendToBranch(spark, root, "slow_audit",
+      Seq((6L, 60L)).toDF("k", "v"))
+    // keepVersions=1 sweeps: without the pin, version 1's manifest
+    // (the branch's schema/constraint anchor) would be pruned here
+    (1 to 3).foreach { i =>
+      VersionedTable.commit(spark, root, keepVersions = 1) { stage =>
+        Seq((100L + i, 1L)).toDF("k", "v").coalesce(1).write.parquet(stage)
+      }
+    }
+    assert(VersionedTable.readBranch(spark, root, "slow_audit")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 6L),
+      "the branch must read through retention sweeps on main")
+    VersionedTable.publishBranch(spark, root, "slow_audit", force = true)
+    assert(VersionedTable.tags(spark, root).isEmpty, "pin must release")
+    // vacuum never touches the published (referenced) branch dirs
+    VersionedTable.vacuum(spark, root, olderThanMs = 0L)
+    assert(VersionedTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("branch procs drive the whole lifecycle from the SQL console") {
+    import spark.implicits._
+    import graft.lakehouse.SqlRunner
+    val root = initTable("brsql")
+    val created = SqlRunner.callProc(spark, "graft_create_branch",
+      Seq(root, "sqlbr"))._1.head()
+    assert(created.getString(0) == "sqlbr" && created.getLong(1) == 1L)
+    VersionedTable.appendToBranch(spark, root, "sqlbr",
+      Seq((6L, 60L)).toDF("k", "v"))
+    val pub = SqlRunner.callProc(spark, "graft_publish_branch",
+      Seq(root, "sqlbr"))._1.head()
+    assert(pub.getLong(1) == 2L)
+    assert(VersionedTable.read(spark, root).count() == 4)
+    assert(!SqlRunner.callProc(spark, "graft_drop_branch",
+      Seq(root, "gone"))._1.head().getBoolean(1))
+  }
+
+  test("branching a version with merge-on-read deletes refuses; " +
+      "crashed-drop orphans age out of vacuum") {
+    import spark.implicits._
+    val root = initTable("brmor")
+    VersionedTable.deleteWhere(spark, root, col("v") === 20L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.createBranch(spark, root, "overmor")
+    }
+    graft.lakehouse.Maintenance.purgeDeletes(spark, root)
+    VersionedTable.createBranch(spark, root, "ok")
+    VersionedTable.appendToBranch(spark, root, "ok",
+      Seq((6L, 60L)).toDF("k", "v"))
+    // simulate a crashed dropBranch: ref gone, staged dir left behind
+    fs(root).delete(new Path(s"$root/_branches/ok"), true)
+    assert(fs(root).exists(new Path(s"$root/_v-b-ok-2")))
+    VersionedTable.vacuum(spark, root, olderThanMs = 0L)
+    assert(!fs(root).exists(new Path(s"$root/_v-b-ok-2")),
+      "an orphaned branch stage dir must age out of vacuum")
+  }
+}
