@@ -429,6 +429,36 @@ object GraftFunctions {
   private[functions] val graftConstraintsInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_constraints")
 
+  /** Table function `graft_branches('root')` — the live write-audit-
+    * publish branches as a relation: one row per (branch, base
+    * version, head seq). Metadata-only (one `_branches` listing) —
+    * the observability pair of the `graft_create_branch`/
+    * `graft_publish_branch` procs. */
+  private[functions] val graftBranchesBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_branches expects (rootPath)")
+      val spark = SparkSession.active
+      val bs = graft.lakehouse.VersionedTable
+        .branches(spark, args.head.eval(null).toString)
+      val rows = bs.toSeq.sortBy(_._1).map { case (n, (base, head)) =>
+        org.apache.spark.sql.Row(n, base, head)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("branch",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("base_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("head_seq",
+            org.apache.spark.sql.types.LongType))))
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftBranchesInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_branches")
+
   /** Table function `graft_files('root')` — the current version's
     * per-file skipping index as a relation: one row per (file,
     * stats column) with rows / min / max / null count, plus the
@@ -532,6 +562,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_constraints"), graftConstraintsInfo,
       graftConstraintsBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_branches"), graftBranchesInfo,
+      graftBranchesBuilder)
   }
 }
 
@@ -612,6 +645,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_constraints"),
       GraftFunctions.graftConstraintsInfo,
       GraftFunctions.graftConstraintsBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_branches"),
+      GraftFunctions.graftBranchesInfo,
+      GraftFunctions.graftBranchesBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -2146,7 +2146,86 @@ object Relational {
       |          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))), 6) AS z_stat
       |FROM tot""".stripMargin
 
+  /** q144: KRUSKAL–WALLIS H test across ALL market segments on order
+    * value — the K-group generalization of q141 (one-way ANOVA on
+    * ranks, no normality assumed): midranks with ties, per-group rank
+    * sums, H = 12/(n(n+1))·Σ R_g²/n_g − 3(n+1), tie-corrected by
+    * 1 − Σ(t³−t)/(n³−n). Same scale discipline as q141: one
+    * per-(value, group) count aggregate, the cumulative count as a
+    * DISTRIBUTED prefix sum over the per-value totals, 2·Σmidrank
+    * folded integer-exact per group in decimal(38); the K per-group
+    * R²/n terms round to 6 dp and fold through the decimal
+    * accumulator (a plain double sum over groups would be
+    * accumulation-order-dependent), H one fixed IEEE expression. */
+  private val q144: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice").as("v"), col("c_mktsegment").as("g"))
+    val pvg = base.groupBy("v", "g").agg(count(lit(1)).as("c"))
+    val pv = pvg.groupBy("v").agg(sum(col("c")).as("ctot"))
+      .withColumn("one", lit(1))
+    val cum = RankOps.withGroupedPrefixSum(pv, Seq("one"), Seq("v"),
+      valueCol = "ctot", sumCol = "cum")
+    val rg = pvg.join(cum.select("v", "ctot", "cum"), Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c").cast(dec38) *
+          (col("cum") * 2 + col("ctot") + 1).cast(dec38)).as("rgx2"))
+    val ties = cum.agg(sum(col("ctot").cast(dec38) *
+      col("ctot").cast(dec38) * col("ctot").cast(dec38) -
+      col("ctot").cast(dec38)).as("ties"))
+    // per-group term (2R_g)²/(4 n_g) = R_g²/n_g, 6-dp then exact fold
+    val terms = rg.select(col("ng"),
+      round(col("rgx2").cast("double") * col("rgx2").cast("double") /
+        (lit(4.0) * col("ng")), 6).as("t"))
+      .agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("t").cast(Dec)).cast("double").as("sum_r2n"))
+    val nd = col("n").cast("double")
+    val h = lit(12.0) / (nd * (nd + 1)) * col("sum_r2n") -
+      lit(3.0) * (nd + 1)
+    terms.crossJoin(broadcast(ties))
+      .select(col("n"), (col("k") - 1).as("dof"),
+        round(h / (lit(1.0) - col("ties").cast("double") /
+          (nd * nd * nd - nd)), 6).as("h_stat"))
+  }
+  private val q144Sql =
+    """WITH base AS (
+      |  SELECT o_totalprice AS v, c_mktsegment AS g
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |pvg AS (SELECT v, g, COUNT(*) AS c FROM base GROUP BY 1, 2),
+      |pv AS (SELECT v, SUM(c) AS ctot FROM pvg GROUP BY 1),
+      |cum AS (
+      |  SELECT v, ctot,
+      |    COALESCE(SUM(ctot) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM pv),
+      |rg AS (
+      |  SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+      |    SUM(CAST(c AS DECIMAL(38,0)) *
+      |      CAST(cum * 2 + ctot + 1 AS DECIMAL(38,0))) AS rgx2
+      |  FROM pvg JOIN cum USING (v) GROUP BY 1),
+      |ties AS (
+      |  SELECT SUM(CAST(ctot AS DECIMAL(38,0)) * CAST(ctot AS DECIMAL(38,0)) *
+      |    CAST(ctot AS DECIMAL(38,0)) - CAST(ctot AS DECIMAL(38,0))) AS ties
+      |  FROM cum),
+      |terms AS (
+      |  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(CAST(ROUND(CAST(rgx2 AS DOUBLE) * CAST(rgx2 AS DOUBLE) /
+      |      (4.0 * ng), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_r2n
+      |  FROM rg)
+      |SELECT n, k - 1 AS dof,
+      |  ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * sum_r2n
+      |      - 3 * (CAST(n AS DOUBLE) + 1))
+      |    / (1.0 - CAST(ties AS DOUBLE) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |        - CAST(n AS DOUBLE))), 6) AS h_stat
+      |FROM terms, ties""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q144_kruskal_wallis" -> q144,
     "q139_dominant_supplier" -> q139,
     "q140_chi_square" -> q140,
     "q141_mannwhitney" -> q141,
@@ -2213,6 +2292,7 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q144_kruskal_wallis" -> q144Sql,
     "q139_dominant_supplier" -> q139Sql,
     "q140_chi_square" -> q140Sql,
     "q141_mannwhitney" -> q141Sql,

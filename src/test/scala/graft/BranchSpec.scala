@@ -139,6 +139,10 @@ class BranchSpec extends SparkSpec {
     val created = SqlRunner.callProc(spark, "graft_create_branch",
       Seq(root, "sqlbr"))._1.head()
     assert(created.getString(0) == "sqlbr" && created.getLong(1) == 1L)
+    // the observability pair: graft_branches TVF lists the live ref
+    val tvf = spark.sql(s"SELECT * FROM graft_branches('$root')").head()
+    assert(tvf.getString(0) == "sqlbr" && tvf.getLong(1) == 1L &&
+      tvf.getLong(2) == 1L)
     VersionedTable.appendToBranch(spark, root, "sqlbr",
       Seq((6L, 60L)).toDF("k", "v"))
     val pub = SqlRunner.callProc(spark, "graft_publish_branch",

@@ -1844,6 +1844,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q144: Kruskal-Wallis H matches a driver-side midrank computation") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.Relational
+      .queries("q144_kruskal_wallis")(spark, sfDir).head()
+    val vs = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice"), col("c_mktsegment")).collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    val sorted = vs.map(_._1).sorted
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+      ranks(sorted(i)) = (i + 1 + j) / 2.0
+      i = j
+    }
+    val n = vs.length.toDouble
+    val groups = vs.groupBy(_._2)
+    val sumR2N = groups.values.map { g =>
+      val r = g.map(t => ranks(t._1)).sum
+      r * r / g.length
+    }.sum
+    val ties = sorted.toSeq.groupBy(identity).values
+      .map(g => math.pow(g.length, 3) - g.length).sum
+    val h = (12.0 / (n * (n + 1)) * sumR2N - 3 * (n + 1)) /
+      (1.0 - ties / (n * n * n - n))
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == groups.size - 1L)
+    assert(math.abs(row.getDouble(2) - h) < 1e-3,
+      s"H ${row.getDouble(2)} != $h")
+  }
+
   test("q142: per-source Zipf slope is the top-1000 log-log regression, " +
       "near -1 for natural-ish text") {
     val got = graft.operators.TextOps
