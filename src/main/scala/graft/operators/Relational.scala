@@ -2224,7 +2224,120 @@ object Relational {
       |        - CAST(n AS DOUBLE))), 6) AS h_stat
       |FROM terms, ties""".stripMargin
 
+  /** q145: A/B TWO-PROPORTION z-TEST — the experimentation readout:
+    * customers hash deterministically into arms (first md5 hex digit
+    * of the key, the same cross-engine-stable assignment the
+    * stratified sampler q61 rides — never `rand()`), conversion =
+    * placed ≥1 URGENT order, and the pooled-variance z compares arm
+    * conversion rates. Scale shape: the converted-customer set is one
+    * distinct (map-side partial) joined key-on-key to the customer
+    * dim, then ONE aggregate row; every input to z is an integer
+    * count, the statistic one fixed IEEE expression at 6 dp. */
+  private val q145: QFn = (s, d) => {
+    val conv = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("converted", lit(true))
+    val armed = Tables.customer(s, d).select("c_custkey")
+      .withColumn("arm_a",
+        substring(md5(col("c_custkey").cast("string")), 1, 1) < "8")
+      .join(conv, Seq("c_custkey"), "left")
+      .select(col("arm_a"),
+        coalesce(col("converted"), lit(false)).as("conv"))
+    val t = armed.agg(
+      count(when(col("arm_a"), 1)).as("n_a"),
+      count(when(col("arm_a") && col("conv"), 1)).as("x_a"),
+      count(when(!col("arm_a"), 1)).as("n_b"),
+      count(when(!col("arm_a") && col("conv"), 1)).as("x_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val xa = col("x_a").cast("double"); val xb = col("x_b").cast("double")
+    val p = (xa + xb) / (na + nb)
+    t.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round((xa / na - xb / nb) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)), 6)
+        .as("z_stat"))
+  }
+  private val q145Sql =
+    """WITH conv AS (
+      |  SELECT DISTINCT o_custkey AS c_custkey, TRUE AS converted
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |armed AS (
+      |  SELECT substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8'
+      |      AS arm_a,
+      |    COALESCE(converted, FALSE) AS conv
+      |  FROM customer c LEFT JOIN conv USING (c_custkey)),
+      |t AS (
+      |  SELECT CAST(COUNT(CASE WHEN arm_a THEN 1 END) AS BIGINT) AS n_a,
+      |    CAST(COUNT(CASE WHEN arm_a AND conv THEN 1 END) AS BIGINT) AS x_a,
+      |    CAST(COUNT(CASE WHEN NOT arm_a THEN 1 END) AS BIGINT) AS n_b,
+      |    CAST(COUNT(CASE WHEN NOT arm_a AND conv THEN 1 END) AS BIGINT)
+      |      AS x_b
+      |  FROM armed)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  ROUND((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+      |    SQRT((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |      * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+      |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+      |    AS z_stat
+      |FROM t""".stripMargin
+
+  /** q146: REVENUE LIFT (cumulative-gain / CAP curve) — "the top
+    * decile of customers carries what share of revenue?": per-customer
+    * decimal revenue, a GLOBAL decile via `RankOps.withGlobalRank` +
+    * `ntileFromRank` (two-pass range-partitioned ranking — NTILE's
+    * single-reducer window trap at billions of customers), then the
+    * cumulative share over the 10-row decile aggregate (a window over
+    * EXACTLY 10 rows at any data size — the one place an unpartitioned
+    * window is genuinely scale-free). Decimal sums end-to-end; the
+    * two shares are fixed IEEE divides at 6 dp. */
+  private val q146: QFn = (s, d) => {
+    val rev = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(Dec)).as("rev"))
+    val n = rev.count()
+    val ranked = RankOps.withGlobalRank(rev,
+      Seq(col("rev").desc, col("o_custkey").asc), "rk")
+    val dec = ranked
+      .withColumn("decile", RankOps.ntileFromRank(col("rk"), n, 10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("drev"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dec.agg(sum(col("drev"))).head.getDecimal(0)
+    dec.withColumn("cum", sum(col("drev")).over(w))
+      .select(col("decile"), col("n_cust"),
+        col("drev").cast("double").as("decile_rev"),
+        round(col("drev").cast("double") / lit(tot.doubleValue()), 6)
+          .as("rev_share"),
+        round(col("cum").cast("double") / lit(tot.doubleValue()), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+  private val q146Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      |  FROM orders GROUP BY 1),
+      |dec AS (
+      |  SELECT NTILE(10) OVER (ORDER BY rev DESC, o_custkey ASC)
+      |    AS decile, rev
+      |  FROM rev),
+      |agg AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |    SUM(rev) AS drev
+      |  FROM dec GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(drev) AS DOUBLE) AS t FROM agg)
+      |SELECT decile, n_cust, CAST(drev AS DOUBLE) AS decile_rev,
+      |  ROUND(CAST(drev AS DOUBLE) / (SELECT t FROM tot), 6) AS rev_share,
+      |  ROUND(CAST(SUM(drev) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / (SELECT t FROM tot), 6) AS cum_share
+      |FROM agg ORDER BY decile""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q145_ab_test" -> q145,
+    "q146_revenue_lift" -> q146,
     "q144_kruskal_wallis" -> q144,
     "q139_dominant_supplier" -> q139,
     "q140_chi_square" -> q140,
@@ -2292,6 +2405,8 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q145_ab_test" -> q145Sql,
+    "q146_revenue_lift" -> q146Sql,
     "q144_kruskal_wallis" -> q144Sql,
     "q139_dominant_supplier" -> q139Sql,
     "q140_chi_square" -> q140Sql,

@@ -1844,6 +1844,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q145: A/B z-test partitions every customer once and matches a " +
+      "driver-side pooled-variance recomputation") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.Relational
+      .queries("q145_ab_test")(spark, sfDir).head()
+    val (na, xa, nb, xb) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(na + nb == Tables.customer(spark, sfDir).count(),
+      "every customer lands in exactly one arm")
+    assert(xa <= na && xb <= nb && xa + xb > 0)
+    val p = (xa + xb).toDouble / (na + nb)
+    val z = (xa.toDouble / na - xb.toDouble / nb) /
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(row.getDouble(4) - z) < 1e-5,
+      s"z ${row.getDouble(4)} != $z")
+  }
+
+  test("q146: revenue lift deciles cover all customers, shares sum to 1, " +
+      "cumulative share is monotone with top-decile dominance") {
+    val rows = graft.operators.Relational
+      .queries("q146_revenue_lift")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val nCust = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-6,
+      "cumulative share must end at 1")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) < b.getDouble(4) + 1e-9)
+      assert(a.getDouble(3) >= b.getDouble(3) - 1e-6,
+        "revenue share must fall with decile")
+    case _ => }
+    assert(rows.head.getDouble(3) > 0.1,
+      "the top decile must out-earn a uniform split")
+  }
+
   test("q144: Kruskal-Wallis H matches a driver-side midrank computation") {
     import org.apache.spark.sql.functions._
     val row = graft.operators.Relational
