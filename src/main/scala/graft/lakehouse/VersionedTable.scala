@@ -1424,7 +1424,12 @@ object VersionedTable {
     val (base, head, files) = branchState(fs, root, name).getOrElse(
       throw new IllegalStateException(s"no branch '$name' on $root"))
     val next = head + 1L
-    val stage = new Path(s"$root/_v-b-$name-$next")
+    // the dir name carries a UNIQUE suffix beyond the seq: a later
+    // branch GENERATION (drop/publish + re-create) restarts seqs at 1,
+    // and a bare `_v-b-<name>-<seq>` would collide with — and delete —
+    // a published prior generation's live data dir
+    val stage = new Path(s"$root/_v-b-$name-$next-" +
+      java.util.UUID.randomUUID().toString.take(8))
     fs.delete(stage, true)
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(stage.toString)
@@ -1443,7 +1448,7 @@ object VersionedTable {
       enforceConstraints(fs, stage, aligned, cs)
     }
     writeBranchManifest(fs, root, name, next, base,
-      files ++ newNames.map(n => s"_v-b-$name-$next/$n"))
+      files ++ newNames.map(n => s"${stage.getName}/$n"))
     next
   }
 

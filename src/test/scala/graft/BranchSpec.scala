@@ -13,6 +13,10 @@ class BranchSpec extends SparkSpec {
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
 
+  private def staged(root: String, prefix: String): Seq[String] =
+    fs(root).listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(prefix))
+
   private def initTable(prefix: String): String = {
     import spark.implicits._
     val root = tmpDir(prefix) + "/t"
@@ -48,7 +52,7 @@ class BranchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
     // the branch is consumed; its staged dirs survive as live data
     assert(VersionedTable.branches(spark, root).isEmpty)
-    assert(fs(root).exists(new Path(s"$root/_v-b-load_jan-2")))
+    assert(staged(root, "_v-b-load_jan-2").nonEmpty)
     // time travel to the pre-publish version still works
     assert(VersionedTable.readVersion(spark, root, 1L).count() == 3)
   }
@@ -63,7 +67,7 @@ class BranchSpec extends SparkSpec {
         Seq((9L, -1L)).toDF("k", "v"))
     }
     // the refused stage is deleted; the branch head did not advance
-    assert(!fs(root).exists(new Path(s"$root/_v-b-risky-2")))
+    assert(staged(root, "_v-b-risky-2").isEmpty)
     assert(VersionedTable.branches(spark, root)("risky")._2 == 1L)
     // a clean batch lands, and publish carries the constraint forward
     VersionedTable.appendToBranch(spark, root, "risky",
@@ -93,7 +97,7 @@ class BranchSpec extends SparkSpec {
     // drop: the ref, its pin, and its staged dirs all go
     assert(VersionedTable.dropBranch(spark, root, "stale"))
     assert(!VersionedTable.dropBranch(spark, root, "stale"))
-    assert(!fs(root).exists(new Path(s"$root/_v-b-stale-2")))
+    assert(staged(root, "_v-b-stale-2").isEmpty)
     assert(VersionedTable.tags(spark, root).isEmpty)
     // force path: a re-created branch publishes over the advanced main
     VersionedTable.createBranch(spark, root, "replace")
@@ -167,9 +171,9 @@ class BranchSpec extends SparkSpec {
       Seq((6L, 60L)).toDF("k", "v"))
     // simulate a crashed dropBranch: ref gone, staged dir left behind
     fs(root).delete(new Path(s"$root/_branches/ok"), true)
-    assert(fs(root).exists(new Path(s"$root/_v-b-ok-2")))
+    assert(staged(root, "_v-b-ok-2").nonEmpty)
     VersionedTable.vacuum(spark, root, olderThanMs = 0L)
-    assert(!fs(root).exists(new Path(s"$root/_v-b-ok-2")),
+    assert(staged(root, "_v-b-ok-2").isEmpty,
       "an orphaned branch stage dir must age out of vacuum")
   }
 }

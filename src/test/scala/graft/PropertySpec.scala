@@ -1006,4 +1006,60 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, 6)
   }
+
+  test("property: branch lifecycle tracks an in-memory model under " +
+      "random op sequences") {
+    import graft.lakehouse.VersionedTable
+    import spark.implicits._
+    // ops: 0 = append to branch, 1 = append to main, 2 = publish
+    // (force), 3 = drop + recreate branch. The model: main is a set
+    // of longs; the branch is a set snapshotted at create and grown
+    // by branch appends; publish replaces main with the branch set.
+    val genOps = Gen.listOfN(6, Gen.chooseNum(0, 3))
+    var caseId = 0
+    val prop = Prop.forAll(genOps) { ops =>
+      caseId += 1
+      val root = tmpDir(s"propbr$caseId") + "/t"
+      var next = 1000L
+      VersionedTable.commit(spark, root) { stage =>
+        Seq(1L, 2L).toDF("k").coalesce(1).write.parquet(stage)
+      }
+      var mainModel = Set(1L, 2L)
+      VersionedTable.createBranch(spark, root, "b")
+      var branchModel = mainModel
+      ops.foreach { op =>
+        next += 1
+        op match {
+          case 0 =>
+            VersionedTable.appendToBranch(spark, root, "b",
+              Seq(next).toDF("k"))
+            branchModel += next
+          case 1 =>
+            VersionedTable.appendDelta(spark, root, keepVersions = 8) {
+              stage => Seq(next).toDF("k").coalesce(1).write.parquet(stage)
+            }
+            mainModel += next
+          case 2 =>
+            VersionedTable.publishBranch(spark, root, "b", force = true)
+            mainModel = branchModel
+            VersionedTable.createBranch(spark, root, "b")
+            branchModel = mainModel
+          case _ =>
+            VersionedTable.dropBranch(spark, root, "b")
+            VersionedTable.createBranch(spark, root, "b")
+            branchModel = mainModel
+        }
+        val gotMain = VersionedTable.read(spark, root)
+          .collect().map(_.getLong(0)).toSet
+        val gotBranch = VersionedTable.readBranch(spark, root, "b")
+          .collect().map(_.getLong(0)).toSet
+        assert(gotMain == mainModel,
+          s"main $gotMain != model $mainModel after ops $ops")
+        assert(gotBranch == branchModel,
+          s"branch $gotBranch != model $branchModel after ops $ops")
+      }
+      true
+    }
+    check(prop, 8)
+  }
 }
