@@ -171,4 +171,126 @@ object IncrementalLoader {
         case (f, LoadRegistry.StatusQuarantined, _, bad) => (f, bad)
       })
   }
+
+  // ---- branch-gated loads: whole-load write–audit–publish ----------
+  //
+  // `run`'s audit gates each DROP; a branch gates the whole LOAD —
+  // every fresh file of the tick (or several ticks) lands as isolated
+  // appends on one branch, the auditor reads the UNION (cross-batch
+  // checks: day-level row counts, reconciliation against a control
+  // total, distribution drift), and exactly one publish makes the
+  // whole load visible atomically — or one discard returns every file
+  // to the fresh pool. Registry statuses carry the lifecycle:
+  // staged (settled while the branch lives) → ok on publish /
+  // released on discard (count precedence keeps the log append-only).
+
+  /** Load every fresh drop into branch `branch` of the table (created
+    * from main's current version when absent). Per-file
+    * crash-idempotent: each file's rows land under its deterministic
+    * published name, so a replay after a crash between the branch
+    * append and the registry write finds the name in the branch
+    * manifest and skips. CHECK-constraint refusals quarantine
+    * terminally, exactly like [[run]]. Nothing touches main. */
+  def runToBranch(spark: SparkSession, srcDir: String, tableDir: String,
+      registryDir: String, schema: StructType, format: String = "csv",
+      branch: String = "ingest"): LoadResult = {
+    val all = discover(spark, srcDir, suffix = s".$format")
+    val settled = LoadRegistry.settledPaths(spark, registryDir)
+      .collect().map(_.getString(0)).toSet
+    val (skip, fresh) = all.partition(settled.contains)
+    val fs = FileSystem.get(new java.net.URI(tableDir),
+      spark.sparkContext.hadoopConfiguration)
+    if (fresh.nonEmpty &&
+        !VersionedTable.branches(spark, tableDir).contains(branch))
+      VersionedTable.createBranch(spark, tableDir, branch)
+    val results = fresh.map { f =>
+      try {
+        val reader = spark.read.schema(schema)
+        val df = format match {
+          case "csv"  => reader.option("header", "true").csv(f)
+          case "json" => reader.json(f)
+          case other  => reader.format(other).load(f)
+        }
+        val n = df.count()
+        val already = VersionedTable.branchFiles(spark, tableDir, branch)
+          .exists(_.endsWith(s"/${publishedName(f)}"))
+        if (!already)
+          VersionedTable.appendToBranchWith(spark, tableDir, branch) {
+            stage =>
+              df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+              val part = fs.listStatus(new Path(stage))
+                .find(_.getPath.getName.startsWith("part-"))
+                .getOrElse(throw new IllegalStateException(
+                  s"no part file under $stage")).getPath
+              require(fs.rename(part, new Path(stage, publishedName(f))),
+                s"rename $part -> ${publishedName(f)} failed")
+          }
+        (f, LoadRegistry.StatusStaged, n, Seq.empty[String])
+      } catch {
+        case e: VersionedTable.ConstraintViolatedException =>
+          (f, LoadRegistry.StatusQuarantined, 0L, e.violations)
+        case _: Exception =>
+          (f, LoadRegistry.StatusFailed, 0L, Seq.empty[String])
+      }
+    }
+    if (results.nonEmpty)
+      LoadRegistry.record(spark, registryDir,
+        results.map { case (f, st, n, _) => (f, st, n) })
+    LoadResult(
+      loaded = results.collect {
+        case (f, LoadRegistry.StatusStaged, _, _) => f },
+      skipped = skip,
+      failed = results.collect {
+        case (f, LoadRegistry.StatusFailed, _, _) => f },
+      quarantined = results.collect {
+        case (f, LoadRegistry.StatusQuarantined, _, bad) => (f, bad)
+      })
+  }
+
+  /** The staged-but-unpublished paths a discard would release (and a
+    * publish would flip `ok`): staged-count > released-count, no `ok`
+    * row yet. */
+  private def stagedPaths(spark: SparkSession,
+      registryDir: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, when}
+    LoadRegistry.read(spark, registryDir)
+      .groupBy("path")
+      .agg(
+        count(when(col("status") === LoadRegistry.StatusOk, 1)).as("n_ok"),
+        count(when(col("status") === LoadRegistry.StatusStaged, 1)).as("n_s"),
+        count(when(col("status") === LoadRegistry.StatusReleased, 1))
+          .as("n_r"))
+      .filter(col("n_ok") === 0 && col("n_s") > col("n_r"))
+      .select("path").collect().map(_.getString(0)).toSeq
+  }
+
+  /** PUBLISH the staged branch: the whole audited load flips visible
+    * in one commit, then the staged registry rows flip `ok`
+    * (publish-then-record — a crash between leaves the paths settled
+    * as staged, which is correct: the data IS in main). */
+  def publishStagedBranch(spark: SparkSession, tableDir: String,
+      registryDir: String, branch: String = "ingest",
+      keepVersions: Int = 1, force: Boolean = false): Long = {
+    val staged = stagedPaths(spark, registryDir)
+    val v = VersionedTable.publishBranch(spark, tableDir, branch,
+      keepVersions, force)
+    if (staged.nonEmpty)
+      LoadRegistry.record(spark, registryDir,
+        staged.map(p => (p, LoadRegistry.StatusOk, 0L)))
+    v
+  }
+
+  /** DISCARD the staged branch: record `released` FIRST (a crash
+    * before the drop re-stages the already-present files as a no-op
+    * next tick — never loses them), then drop the branch. Every
+    * released file returns to the fresh pool. */
+  def discardStagedBranch(spark: SparkSession, tableDir: String,
+      registryDir: String, branch: String = "ingest"): Seq[String] = {
+    val staged = stagedPaths(spark, registryDir)
+    if (staged.nonEmpty)
+      LoadRegistry.record(spark, registryDir,
+        staged.map(p => (p, LoadRegistry.StatusReleased, 0L)))
+    VersionedTable.dropBranch(spark, tableDir, branch)
+    staged
+  }
 }

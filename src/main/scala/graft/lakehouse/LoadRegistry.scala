@@ -19,6 +19,15 @@ object LoadRegistry {
   /** Data-quality audit rejected the batch: deterministic, so unlike
     * `failed` (transient errors, retried) it is never retried. */
   val StatusQuarantined = "quarantined"
+  /** Loaded into an UNPUBLISHED branch (write–audit–publish): settled
+    * while the branch lives, flipped `ok` on publish, `released` on
+    * discard. */
+  val StatusStaged = "staged"
+  /** A staged load's branch was DISCARDED: the file returns to the
+    * fresh pool and reloads next tick. The registry stays append-only
+    * — precedence is by COUNT (staged > released ⇒ settled), so a
+    * re-stage after a release settles again without any row updates. */
+  val StatusReleased = "released"
 
   /** Read the registry; empty DataFrame (right schema) if absent. */
   def read(spark: SparkSession, registryDir: String): DataFrame = {
@@ -50,11 +59,20 @@ object LoadRegistry {
       .filter(col("status") === StatusOk)
       .select("path").distinct()
 
-  /** Paths the loader must not attempt again: loaded OR quarantined
-    * (audit rejections are deterministic — retrying re-rejects). */
+  /** Paths the loader must not attempt again: loaded, quarantined
+    * (audit rejections are deterministic — retrying re-rejects), or
+    * staged into a still-live branch (count precedence: a path with
+    * more `staged` than `released` rows is currently branch-held;
+    * a discard appends `released`, unsettling it without rewriting
+    * the append-only registry). One aggregate over the registry. */
   def settledPaths(spark: SparkSession, registryDir: String): DataFrame =
     read(spark, registryDir)
-      .filter(col("status") === StatusOk ||
-        col("status") === StatusQuarantined)
-      .select("path").distinct()
+      .groupBy("path")
+      .agg(
+        count(when(col("status") === StatusOk, 1)).as("n_ok"),
+        count(when(col("status") === StatusQuarantined, 1)).as("n_q"),
+        count(when(col("status") === StatusStaged, 1)).as("n_s"),
+        count(when(col("status") === StatusReleased, 1)).as("n_r"))
+      .filter(col("n_ok") > 0 || col("n_q") > 0 || col("n_s") > col("n_r"))
+      .select("path")
 }

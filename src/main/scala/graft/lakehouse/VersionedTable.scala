@@ -1395,6 +1395,14 @@ object VersionedTable {
     }.toMap
   }
 
+  /** A branch head's root-relative file refs (the branch analog of
+    * [[currentFiles]] — loaders probe it for already-staged
+    * deterministic names on crash replay). */
+  def branchFiles(spark: SparkSession, root: String,
+      name: String): Seq[String] =
+    branchState(fsOf(spark, root), root, name).map(_._3).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' on $root"))
+
   /** Read a branch head — the AUDIT surface: main's logical schema at
     * the (pinned) base version projects over the branch's file set,
     * exactly as a main read would after publish. */
@@ -1419,7 +1427,16 @@ object VersionedTable {
     * branch ref advances by one manifest create-if-absent. Returns
     * the new branch seq. */
   def appendToBranch(spark: SparkSession, root: String, name: String,
-      df: DataFrame): Long = {
+      df: DataFrame): Long =
+    appendToBranchWith(spark, root, name)(stage =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage))
+
+  /** [[appendToBranch]] with caller-controlled file layout: `writer`
+    * receives the stage dir and must complete a parquet write there
+    * (it may rename parts to deterministic names — the
+    * crash-idempotence lever `IncrementalLoader` uses). */
+  def appendToBranchWith(spark: SparkSession, root: String,
+      name: String)(writer: String => Unit): Long = {
     val fs = fsOf(spark, root)
     val (base, head, files) = branchState(fs, root, name).getOrElse(
       throw new IllegalStateException(s"no branch '$name' on $root"))
@@ -1431,8 +1448,7 @@ object VersionedTable {
     val stage = new Path(s"$root/_v-b-$name-$next-" +
       java.util.UUID.randomUUID().toString.take(8))
     fs.delete(stage, true)
-    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(stage.toString)
+    writer(stage.toString)
     val newNames = fs.listStatus(stage).toSeq
       .filter(st => st.isFile && isDataFile(st.getPath.getName))
       .map(_.getPath.getName).sorted

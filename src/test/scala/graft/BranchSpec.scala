@@ -157,6 +157,63 @@ class BranchSpec extends SparkSpec {
       Seq(root, "gone"))._1.head().getBoolean(1))
   }
 
+  test("branch-gated loader: whole-load audit across drops — stage, " +
+      "discard returns files to the pool, publish flips them loaded") {
+    import spark.implicits._
+    import graft.lakehouse.{IncrementalLoader, LoadRegistry}
+    val root = initTable("brload")
+    val dir = tmpDir("brload-src")
+    val reg = tmpDir("brload-reg") + "/reg"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v BIGINT")
+    def drop(name: String, rows: Seq[(Long, Long)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$name.json"),
+        rows.map { case (k, v) => s"""{"k": $k, "v": $v}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    drop("d1", Seq((10L, 100L)))
+    drop("d2", Seq((11L, 110L)))
+    val r1 = IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json")
+    assert(r1.loaded.size == 2 && r1.failed.isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 3,
+      "staged loads must not touch main")
+    assert(VersionedTable.readBranch(spark, root, "ingest").count() == 5)
+    // settled while the branch lives: a re-run stages nothing
+    val r2 = IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json")
+    assert(r2.loaded.isEmpty && r2.skipped.size == 2)
+    // the whole-load audit fails (say, a missing control file):
+    // discard returns every staged file to the fresh pool
+    val released = IncrementalLoader.discardStagedBranch(spark, root, reg)
+    assert(released.size == 2)
+    assert(VersionedTable.branches(spark, root).isEmpty)
+    // next tick: the released drops re-stage alongside the new one
+    drop("d3", Seq((12L, 120L)))
+    val r3 = IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json")
+    assert(r3.loaded.toSet.size == 3, r3.toString)
+    // audit passes now: one publish, everything visible atomically
+    IncrementalLoader.publishStagedBranch(spark, root, reg)
+    assert(VersionedTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(LoadRegistry.loadedPaths(spark, reg).count() == 3)
+    // published files never reload
+    val r4 = IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json")
+    assert(r4.loaded.isEmpty && r4.skipped.size == 3)
+    // a CHECK constraint refuses a staged drop terminally
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    drop("bad", Seq((13L, -1L)))
+    val r5 = IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json")
+    assert(r5.quarantined.size == 1 && r5.loaded.isEmpty)
+    assert(IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json").skipped.size == 4,
+      "a quarantined drop must never retry")
+  }
+
   test("branching a version with merge-on-read deletes refuses; " +
       "crashed-drop orphans age out of vacuum") {
     import spark.implicits._
