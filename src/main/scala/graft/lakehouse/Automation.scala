@@ -45,12 +45,43 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         s"datagen_${stamp}_$ticks.csv", cfg.rowsPerDrop,
         seed = cfg.seedBase + ticks.toInt))
     } else None
-    val load = IncrementalLoader.run(spark, cfg.srcDir, cfg.tableDir,
-      cfg.registryDir, SurveyGen.schema,
-      audit =
-        if (cfg.auditChecks.isEmpty) None
-        else Some(DataQuality.violations(_, cfg.auditChecks)),
-      keepVersions = cfg.loadKeepVersions)
+    val load = cfg.branchGate match {
+      // whole-LOAD gate: stage every fresh drop on one branch, audit
+      // the UNION (cross-batch checks per-drop audits can't express —
+      // tick-level row floors, reconciliation), publish once or
+      // discard (released files retry next tick). Needs a VERSIONED
+      // committed base — a flat (pre-versioning) table takes the
+      // plain path below until it is migrated.
+      case Some(checks)
+          if VersionedTable.currentVersion(spark, cfg.tableDir).isDefined =>
+        val r = IncrementalLoader.runToBranch(spark, cfg.srcDir,
+          cfg.tableDir, cfg.registryDir, SurveyGen.schema)
+        if (r.loaded.isEmpty) r
+        else {
+          val bad = DataQuality.violations(
+            VersionedTable.readBranch(spark, cfg.tableDir, "ingest"),
+            checks)
+          if (bad.isEmpty) {
+            IncrementalLoader.publishStagedBranch(spark, cfg.tableDir,
+              cfg.registryDir, keepVersions = cfg.loadKeepVersions)
+            r
+          } else {
+            // the whole load is held back: nothing published, nothing
+            // folds downstream; files return to the pool (reported
+            // as failed = transient, retried)
+            val released = IncrementalLoader.discardStagedBranch(spark,
+              cfg.tableDir, cfg.registryDir)
+            r.copy(loaded = Nil, failed = r.failed ++ released)
+          }
+        }
+      case _ =>
+        IncrementalLoader.run(spark, cfg.srcDir, cfg.tableDir,
+          cfg.registryDir, SurveyGen.schema,
+          audit =
+            if (cfg.auditChecks.isEmpty) None
+            else Some(DataQuality.violations(_, cfg.auditChecks)),
+          keepVersions = cfg.loadKeepVersions)
+    }
     // fold ONLY the freshly loaded rows into the maintained views —
     // the dashboard the reference recomputes per refresh, maintained
     // incrementally (merge cost = touched keys / sketch size, never
@@ -503,6 +534,13 @@ object Automation {
       // check are QUARANTINED (registry-terminal, never retried,
       // never visible in the table) instead of published
       auditChecks: Seq[DataQuality.Check] = Nil,
+      // whole-LOAD write–audit–publish: when set, each tick's fresh
+      // drops stage onto ONE branch, these checks run against the
+      // whole branch read (cross-batch — tick row floors,
+      // reconciliation totals), and the tick publishes on pass /
+      // discards on fail (released files retry next tick). A flat
+      // (pre-versioning) table loads plainly until migrated.
+      branchGate: Option[Seq[DataQuality.Check]] = None,
       seedBase: Int = 0,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,

@@ -214,6 +214,39 @@ class BranchSpec extends SparkSpec {
       "a quarantined drop must never retry")
   }
 
+  test("daemon branchGate: a tick-level row floor holds the whole " +
+      "load back, released drops publish with the next tick's") {
+    import graft.lakehouse.{Automation, DataQuality, SurveyGen}
+    val root = tmpDir("brgate")
+    val table = s"$root/t"
+    // a VERSIONED base (the gate's precondition; flat tables load
+    // plainly until migrated)
+    val seedDir = s"$root/seed"
+    SurveyGen.writeArrival(spark, seedDir, "seed.csv", 10, seed = 1)
+    val seed = spark.read.schema(SurveyGen.schema)
+      .option("header", "true").csv(s"$seedDir/seed.csv")
+    VersionedTable.commit(spark, table, keepVersions = 8) { stage =>
+      seed.coalesce(1).write.parquet(stage)
+    }
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = table,
+      registryDir = s"$root/reg", rowsPerDrop = 500L,
+      loadKeepVersions = 8,
+      branchGate = Some(Seq(DataQuality.MinRows(610)))))
+    // tick 1: one 500-row drop stages, the whole-load floor (610 over
+    // base 10 + staged 500 = 510) fails -> discarded, nothing publishes
+    val r1 = auto.tick()
+    assert(r1.load.loaded.isEmpty && r1.load.failed.size == 1, r1.toString)
+    assert(VersionedTable.read(spark, table).count() == 10,
+      "a held-back load must not touch main")
+    assert(VersionedTable.branches(spark, table).isEmpty)
+    // tick 2: the released drop re-stages WITH the new one — 1010
+    // rows clear the floor, one publish lands both atomically
+    val r2 = auto.tick()
+    assert(r2.load.loaded.size == 2, r2.toString)
+    assert(VersionedTable.read(spark, table).count() == 1010)
+  }
+
   test("branching a version with merge-on-read deletes refuses; " +
       "crashed-drop orphans age out of vacuum") {
     import spark.implicits._
