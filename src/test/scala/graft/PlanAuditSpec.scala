@@ -150,6 +150,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PlanLint sweep of q139-q146: scale paths clean; the documented " +
+      "exceptions are exactly the bounded shapes") {
+    import graft.util.PlanLint
+    // fully clean: two-aggregate star (q139), prefix-sum midranks
+    // (q141), capped window ranks (q142), A/B counts (q145)
+    Seq("q139_dominant_supplier", "q141_mannwhitney",
+      "q145_ab_test").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
+    }
+    assert(PlanLint.check(
+      graft.operators.TextOps.queries("q142_zipf_slope")(spark, sfDir))
+      .isEmpty)
+    // q140/q144 cross-join a ONE-ROW broadcast scalar (the grand
+    // total / tie correction) onto a K-row aggregate — the flagged
+    // cartesian multiplies by exactly 1 at any data size (q137's
+    // established shape)
+    Seq("q140_chi_square", "q144_kruskal_wallis").foreach { q =>
+      val f = PlanLint.check(Relational.queries(q)(spark, sfDir))
+      assert(f.forall(_.kind == "cartesian"), s"$q: $f")
+    }
+    // q143's dense side is the deliberate guarded brute-force baseline
+    // (3 probes x N) — the cartesian is probe-bounded, like q46's
+    val f143 = PlanLint.check(
+      graft.operators.VectorOps.queries("q143_hybrid_rrf")(spark, sfDir))
+    assert(f143.forall(_.kind == "cartesian"), f143.toString)
+    // q146's only window runs over the 10-row decile aggregate — the
+    // one place a single-partition window is genuinely scale-free
+    val f146 = PlanLint.check(
+      Relational.queries("q146_revenue_lift")(spark, sfDir))
+    assert(f146.forall(_.kind == "single-partition-window"), f146.toString)
+  }
+
   test("session-wired lint rule records findings when enabled") {
     import graft.util.PlanLint
     // the extensions inject LintRule into this session (SparkSpec sets
