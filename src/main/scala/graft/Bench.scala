@@ -49,7 +49,8 @@ object Bench {
     "q132_bm25", "q133_contamination", "q134_correlation", "q135_autocorr", "q136_welch_ttest", "q137_ks_test", "q138_epoch_plan",
     "q139_dominant_supplier", "q140_chi_square", "q141_mannwhitney",
     "q142_zipf_slope", "q143_hybrid_rrf", "q144_kruskal_wallis",
-    "q145_ab_test", "q146_revenue_lift")
+    "q145_ab_test", "q146_revenue_lift", "q147_seasonality",
+    "q148_changepoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

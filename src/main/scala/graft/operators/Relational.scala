@@ -2335,7 +2335,128 @@ object Relational {
       |    / (SELECT t FROM tot), 6) AS cum_share
       |FROM agg ORDER BY decile""".stripMargin
 
+  /** q147: WEEKLY SEASONALITY STRENGTH of daily order revenue — the
+    * STL-style variance-ratio screen (Hyndman's F_s):
+    * F = max(0, 1 − Var(residual)/Var(series)) where the residual
+    * removes the day-of-week means. The fact table reduces FIRST to
+    * the day-grained decimal series (one map-side-partial aggregate —
+    * everything after runs on ~years-of-days rows); day-of-week means
+    * are fixed IEEE doubles at 6 dp (q136's discipline), per-day
+    * squared deviations round to 6 dp and fold through the exact
+    * decimal accumulator, the ratio is one fixed expression. */
+  private val q147: QFn = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(Dec)).cast("double").as("rev"))
+      .select(col("day"), col("rev"), dayofweek(col("day")).as("dow"))
+    val dowMean = daily.groupBy("dow")
+      .agg((sum(col("rev").cast(Dec)).cast("double") / count(lit(1)))
+        .as("dmean"))
+    val overall = daily.agg(
+      (sum(col("rev").cast(Dec)).cast("double") / count(lit(1))).as("gmean"),
+      count(lit(1)).as("n"))
+    daily.join(broadcast(dowMean), Seq("dow")).crossJoin(broadcast(overall))
+      .select(col("n"),
+        round((col("rev") - col("gmean")) * (col("rev") - col("gmean")), 6)
+          .as("tot2"),
+        round((col("rev") - col("dmean")) * (col("rev") - col("dmean")), 6)
+          .as("res2"))
+      .groupBy("n")
+      .agg(
+        round(sum(col("tot2").cast(Dec)).cast("double") / col("n"), 6)
+          .as("var_total"),
+        round(sum(col("res2").cast(Dec)).cast("double") / col("n"), 6)
+          .as("var_residual"),
+        round(greatest(lit(0.0),
+          lit(1.0) - sum(col("res2").cast(Dec)).cast("double") /
+            sum(col("tot2").cast(Dec)).cast("double")), 6)
+          .as("seasonality_strength"))
+  }
+  private val q147Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1),
+      |d2 AS (SELECT day, rev, dayofweek(day) + 1 AS dow FROM daily),
+      |dm AS (
+      |  SELECT dow, CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE)
+      |      / COUNT(*) AS dmean
+      |  FROM d2 GROUP BY 1),
+      |ov AS (
+      |  SELECT CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE)
+      |      / COUNT(*) AS gmean,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM d2),
+      |sq AS (
+      |  SELECT n, ROUND((rev - gmean) * (rev - gmean), 6) AS tot2,
+      |    ROUND((rev - dmean) * (rev - dmean), 6) AS res2
+      |  FROM d2 JOIN dm USING (dow), ov)
+      |SELECT n,
+      |  ROUND(CAST(SUM(CAST(tot2 AS DECIMAL(28,6))) AS DOUBLE) / n, 6)
+      |    AS var_total,
+      |  ROUND(CAST(SUM(CAST(res2 AS DECIMAL(28,6))) AS DOUBLE) / n, 6)
+      |    AS var_residual,
+      |  ROUND(GREATEST(0.0, 1.0 -
+      |    CAST(SUM(CAST(res2 AS DECIMAL(28,6))) AS DOUBLE) /
+      |    CAST(SUM(CAST(tot2 AS DECIMAL(28,6))) AS DOUBLE)), 6)
+      |    AS seasonality_strength
+      |FROM sq GROUP BY n""".stripMargin
+
+  /** q148: CUSUM CHANGE-POINT screen on the daily order-count series
+    * — where does the cumulative deviation from the global mean peak
+    * (Page 1954's shape, the level-shift detector)? The fact reduces
+    * to day-grained integer counts; the cumulative count runs as a
+    * DISTRIBUTED prefix sum (`RankOps.withGroupedPrefixSum` — a date
+    * series outlives driver memory at sensor scale) and
+    * S_i = prefix_i − i·(N/D) is one fixed IEEE expression over exact
+    * integers; the argmax takes a day-tiebroken max aggregate. */
+  private val q148: QFn = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("one", lit(1))
+    val cum = RankOps.withGroupedPrefixSum(daily, Seq("one"), Seq("day"),
+      valueCol = "c", sumCol = "cumBefore")
+    val rk = RankOps.withGlobalRank(cum, Seq(col("day").asc), "i")
+    val tot = daily.agg(sum(col("c")).as("nn"), count(lit(1)).as("dd"))
+    val sAbs = abs((col("cumBefore") + col("c")).cast("double") -
+      col("i").cast("double") *
+        (col("nn").cast("double") / col("dd").cast("double")))
+    val scored = rk.crossJoin(broadcast(tot))
+      .select(col("day"), round(sAbs, 6).as("s_abs"))
+    // deterministic argmax: max |S|, earliest day on ties
+    val m = scored.agg(max(col("s_abs")).as("s_abs"))
+    scored.join(broadcast(m), Seq("s_abs"))
+      .groupBy("s_abs").agg(min(col("day")).as("change_day"))
+      .select(col("change_day"), col("s_abs"))
+  }
+  private val q148Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+      |  FROM orders GROUP BY 1),
+      |cum AS (
+      |  SELECT day, c,
+      |    COALESCE(SUM(c) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cumBefore,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS i
+      |  FROM daily),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+      |  CAST(COUNT(*) AS BIGINT) AS dd FROM daily),
+      |scored AS (
+      |  SELECT day,
+      |    ROUND(ABS(CAST(cumBefore + c AS DOUBLE) -
+      |      CAST(i AS DOUBLE) *
+      |        (CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE))), 6) AS s_abs
+      |  FROM cum, tot),
+      |m AS (SELECT MAX(s_abs) AS s_abs FROM scored)
+      |SELECT MIN(day) AS change_day, s_abs
+      |FROM scored JOIN m USING (s_abs)
+      |GROUP BY s_abs""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q147_seasonality" -> q147,
+    "q148_changepoint" -> q148,
     "q145_ab_test" -> q145,
     "q146_revenue_lift" -> q146,
     "q144_kruskal_wallis" -> q144,
@@ -2405,6 +2526,8 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q147_seasonality" -> q147Sql,
+    "q148_changepoint" -> q148Sql,
     "q145_ab_test" -> q145Sql,
     "q146_revenue_lift" -> q146Sql,
     "q144_kruskal_wallis" -> q144Sql,

@@ -1880,6 +1880,43 @@ class OperatorsSpec extends SparkSpec {
       "the top decile must out-earn a uniform split")
   }
 
+  test("q147/q148: seasonality strength and CUSUM changepoint match " +
+      "driver-side recomputations on the daily series") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1.getTime)
+    // q147: variance ratio with day-of-week means removed
+    val r147 = graft.operators.Relational
+      .queries("q147_seasonality")(spark, sfDir).head()
+    val revs = daily.map(_._2)
+    val g = revs.sum / revs.length
+    val dowOf = daily.map(t => (t._1.toLocalDate.getDayOfWeek, t._2))
+    val dm = dowOf.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sum / v.length }
+    val varTot = revs.map(x => (x - g) * (x - g)).sum / revs.length
+    val varRes = dowOf.map { case (k, x) =>
+      (x - dm(k)) * (x - dm(k)) }.sum / revs.length
+    assert(r147.getLong(0) == daily.length)
+    assert(math.abs(r147.getDouble(3) - (1 - varRes / varTot)) < 1e-3,
+      s"F ${r147.getDouble(3)} != ${1 - varRes / varTot}")
+    assert(r147.getDouble(3) > 0 && r147.getDouble(3) < 1)
+    // q148: the |CUSUM| peak day
+    val r148 = graft.operators.Relational
+      .queries("q148_changepoint")(spark, sfDir).head()
+    val n = daily.map(_._3).sum.toDouble
+    val mean = n / daily.length
+    var cum = 0.0
+    val s = daily.map { t => cum += t._3 - mean; math.abs(cum) }
+    val best = s.max
+    val bestDay = daily(s.indexOf(best))._1
+    assert(r148.getDate(0).toLocalDate == bestDay.toLocalDate,
+      s"day ${r148.getDate(0)} != $bestDay")
+    assert(math.abs(r148.getDouble(1) - best) < 1e-4)
+  }
+
   test("q144: Kruskal-Wallis H matches a driver-side midrank computation") {
     import org.apache.spark.sql.functions._
     val row = graft.operators.Relational
