@@ -47,7 +47,12 @@ object CorpusPipeline {
       // split (TextOps.splitByCluster) after sampling; packing then
       // runs per (source, split) so bins never straddle splits
       splitFracs: Option[(Double, Double)] = None,
-      splitNearDupT: Double = 0.5)
+      splitNearDupT: Double = 0.5,
+      // Some((root, minP)) → MODEL-BASED quality gate (the GPT-3/
+      // LLaMA classifier stage): drop docs the trained
+      // [[QualityModel]] at `root` scores below minP; runs with the
+      // heuristic quality filter, before dedup
+      modelGate: Option[(String, Double)] = None)
 
   /** Row counts after each stage (each is one count job over the lazy
     * prefix of the flow). `afterDsir`/`afterMixing` are present only
@@ -56,7 +61,8 @@ object CorpusPipeline {
       afterDedup: Long, afterNearDup: Long, afterDecontam: Long,
       afterSampling: Long, bins: Long,
       afterDsir: Option[Long] = None, afterMixing: Option[Long] = None,
-      splitCounts: Option[Map[String, Long]] = None)
+      splitCounts: Option[Map[String, Long]] = None,
+      afterModelGate: Option[Long] = None)
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
@@ -217,7 +223,15 @@ object CorpusPipeline {
       (if (cfg.maxRepetition < 1.0)
         repetitionScore(col("text")) <= cfg.maxRepetition
       else lit(true)))
-    val deduped = dedupExact(scored)
+    // model-based gate: broadcast-join scoring (QualityModel.score is
+    // scan + broadcast join + one doc-keyed aggregate — linear)
+    val gated = cfg.modelGate.fold(scored) { case (root, minP) =>
+      scored.join(
+        QualityModel.score(scored.sparkSession, root, scored)
+          .filter(col("quality_p") >= minP).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    val deduped = dedupExact(gated)
     val nearDeduped =
       if (cfg.nearDupThreshold < 1.0) dedupNear(deduped, cfg.nearDupThreshold)
       else deduped
@@ -250,7 +264,8 @@ object CorpusPipeline {
       afterDsir = cfg.dsirTargetLang.map(_ => dsired.count()),
       afterMixing = cfg.mixAlpha.map(_ => mixed.count()),
       splitCounts = cfg.splitFracs.map(_ => divided.groupBy("split")
-        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap),
+      afterModelGate = cfg.modelGate.map(_ => gated.count()))
     (packed, report)
   }
 }

@@ -1880,6 +1880,56 @@ class OperatorsSpec extends SparkSpec {
       "the top decile must out-earn a uniform split")
   }
 
+  test("QualityModel: the trained classifier separates the labeled " +
+      "slice, scores deterministically with zero UDFs, and gates the " +
+      "pipeline") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("qmodel") + "/m"
+    val docs = Tables.documents(spark, sfDir)
+    // the GPT-3 weak-label setup: positives = the curated corpus,
+    // negatives = crawl-like junk (deterministic noise tokens)
+    val noiseText = concat_ws(" ", transform(sequence(lit(1), lit(30)),
+      i => concat(lit("nz"), substring(md5(concat(
+        col("doc_id").cast("string"), lit("_"), i.cast("string"))), 1, 6))))
+    val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      noiseText.as("text"), lit("xx").as("lang"), lit("noise").as("source"),
+      col("n_chars"))
+    val labeled = docs.withColumn("label", lit(1.0))
+      .unionByName(neg.withColumn("label", lit(0.0)))
+    graft.operators.QualityModel.train(labeled, root)
+    val mixed = docs.unionByName(neg)
+    val scored = graft.operators.QualityModel.score(spark, root, mixed)
+    val joined = scored.join(mixed.select("doc_id", "source"), "doc_id")
+    val m = joined.groupBy(col("source") === "noise")
+      .agg(avg("quality_p")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(false) > m(true) + 0.5,
+      s"corpus mean ${m(false)} !>> noise mean ${m(true)}")
+    val acc = joined.filter(
+      (col("quality_p") >= 0.5) === (col("source") =!= "noise")).count()
+      .toDouble / mixed.count()
+    assert(acc >= 0.9, s"train-set accuracy $acc < 0.9")
+    // deterministic scoring; every doc scored exactly once
+    assert(scored.count() == mixed.count())
+    assert(scored.collect().map(_.toString).sorted.toSeq ==
+      graft.operators.QualityModel.score(spark, root, mixed)
+        .collect().map(_.toString).sorted.toSeq)
+    // the 100-TB scoring path: broadcast join, no UDFs, no ml classes
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), "scoring must stay UDF-free")
+    // pipeline gate composes: exactly the above-threshold docs pass in
+    val (_, rep) = graft.operators.CorpusPipeline.run(mixed,
+      graft.operators.CorpusPipeline.Config(minQuality = 0.0,
+        langKeepRates = Map("en" -> 1.0, "de" -> 1.0, "fr" -> 1.0,
+          "es" -> 1.0, "zh" -> 1.0, "xx" -> 1.0), defaultKeepRate = 1.0,
+        modelGate = Some((root, 0.5))))
+    val wantKept = scored.filter(col("quality_p") >= 0.5).count()
+    assert(rep.afterModelGate.contains(wantKept),
+      s"gate kept ${rep.afterModelGate} vs scored-above $wantKept")
+  }
+
   test("q147/q148: seasonality strength and CUSUM changepoint match " +
       "driver-side recomputations on the daily series") {
     import org.apache.spark.sql.functions._
