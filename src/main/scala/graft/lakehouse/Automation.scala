@@ -223,7 +223,14 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     var annRemoved = 0L
     pending.foreach { name =>
       val tag = name.stripPrefix("ingest-").stripSuffix(".snappy.parquet")
-      val fresh = spark.read.parquet(s"$rawLive/$name")
+      val raw = spark.read.parquet(s"$rawLive/$name")
+      // model gate first, when configured: the classifier's broadcast-
+      // join scoring is map-side-cheap and shrinks everything after
+      val fresh = cc.modelGate.fold(raw) { case (mroot, minP) =>
+        raw.join(graft.operators.QualityModel.score(spark, mroot, raw)
+          .filter(col("quality_p") >= minP).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
       // exact dedup first (cheap fingerprint pass shrinks the
       // postings), then the greedy within-batch NEAR-dup drop — a
       // drop re-delivering the same page under two ids plus a
@@ -252,7 +259,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           graft.operators.TextOps.nearDupAgainstHistory(
             spark.read.parquet(cc.postingsDir), batchDeduped, cc.t, dfView)
         }
-      val nFresh = fresh.count()
+      val nFresh = raw.count()
       // optional DSIR stage: fold the batch's token counts into the
       // maintained importance model (DsirView — KBs at any corpus
       // size), then keep each survivor w.p. min(1, exp(logw)) via the
@@ -311,8 +318,10 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           // diff against the PUBLISHED object, not the lazy `selected`
           // plan: the gram-df commit above may have GC'd the view
           // version that plan's prefix-ranking stage read, and the
-          // published object is also what a crash replay actually kept
-          val droppedIds = fresh
+          // published object is also what a crash replay actually kept.
+          // Diff from the RAW batch: a model-gated doc is a curation
+          // drop too — its vector must vanish like a dedup drop's
+          val droppedIds = raw
             .select(col("doc_id").cast("long").as("vec_id")).distinct()
             .join(spark.read.parquet(s"${cc.corpusDir}/batch-$tag.parquet")
               .select(col("doc_id").cast("long").as("vec_id"))
@@ -643,6 +652,11 @@ object Automation {
       // when set, every PUBLISHED batch folds into a maintained BM25
       // index (RetrievalView) at this root the same tick — the
       // curated corpus is searchable as it lands
+      // Some((modelRoot, minP)) → MODEL-BASED quality gate
+      // ([[graft.operators.QualityModel]]): each raw batch drops docs
+      // the trained classifier scores below minP BEFORE dedup; gated
+      // docs count as curation drops (ANN tombstones included)
+      modelGate: Option[(String, Double)] = None,
       retrievalDir: Option[String] = None,
       // every N ticks, consolidate the retrieval index's per-batch
       // objects into range-sorted compact generations and vacuum the

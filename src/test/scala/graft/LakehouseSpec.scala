@@ -1079,6 +1079,52 @@ class LakehouseSpec extends SparkSpec {
       s"superseded batch objects must vacuum: ${pnames.toSeq}")
   }
 
+  test("corpus tick model gate: classifier-dropped docs never reach " +
+      "the corpus and count as curation drops") {
+    import spark.implicits._
+    val root = tmpDir("corpusmodel")
+    // train the quality model: corpus docs vs deterministic noise
+    val docs = Tables.documents(spark, sfDir)
+    val noiseText = concat_ws(" ", transform(sequence(lit(1), lit(30)),
+      i => concat(lit("nz"), substring(md5(concat(
+        col("doc_id").cast("string"), lit("_"), i.cast("string"))), 1, 6))))
+    val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      noiseText.as("text"))
+    val labeled = docs.select(col("doc_id"), col("text"))
+      .withColumn("label", lit(1.0))
+      .unionByName(neg.withColumn("label", lit(0.0)))
+    graft.operators.QualityModel.train(labeled, s"$root/model")
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      modelGate = Some((s"$root/model", 0.5)))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false, corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    val good1 = docs.filter(col("doc_id") === 1L).head().getAs[String]("text")
+    val good2 = docs.filter(col("doc_id") === 2L).head().getAs[String]("text")
+    val junk = (1 to 30).map(i => s"nz${i}xq${i * 7}zz").mkString(" ")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/drops/d1.json"),
+      Seq(
+        s"""{"doc_id": 1, "text": ${ujsonStr(good1)}, "lang": "en", "source": "s"}""",
+        s"""{"doc_id": 2, "text": ${ujsonStr(good2)}, "lang": "en", "source": "s"}""",
+        s"""{"doc_id": 3, "text": ${ujsonStr(junk)}, "lang": "en", "source": "s"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val r = auto.tick()
+    assert(r.corpus.get.kept == 2 && r.corpus.get.dropped == 1,
+      r.corpus.toString)
+    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "the gated doc must never reach the corpus")
+  }
+
+  private def ujsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   test("curation tick with EVERYTHING on: DSIR drops vanish from ANN " +
       "and never reach the retrieval index; survivors searchable in both") {
     import spark.implicits._
