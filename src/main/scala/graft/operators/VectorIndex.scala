@@ -109,6 +109,66 @@ object VectorIndex {
     true
   }
 
+  /** Consolidate FRAGMENTED inverted-list partitions — the
+    * maintenance pass for streamed ingestion: [[addIdempotent]] lands
+    * one object per touched centroid per batch, so 10k daily batches
+    * leave each partition with thousands of tiny objects and every
+    * search pays a task-per-file floor and footer reads. Partitions
+    * holding ≥ `minFiles` data files rewrite into one consolidated
+    * object each; the rest are untouched (cost follows fragmentation,
+    * not index size). Same crash-safe shape as [[vacuumTombstones]]:
+    * staged rewrite, committed worklist, per-partition delete+rename
+    * swap, resumable mid-swap. Batch markers are untouched — a
+    * replayed batch id still folds nothing after compaction. Like
+    * vacuum, runs in the single-maintenance-writer window (no
+    * concurrent adds mid-swap). Returns the partitions rewritten. */
+  def compactLists(spark: SparkSession, path: String,
+      minFiles: Int = 4): Long = {
+    val fs = fsOf(spark, path)
+    val sub = if (isPQ(spark, path)) "codes" else "lists"
+    val subDir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    if (!fs.exists(subDir)) return 0L
+    val stage = s"$path/_listcompact_stage"
+    val affectedFile = new org.apache.hadoop.fs.Path(s"$stage/_affected")
+    val affected: Seq[Long] =
+      if (fs.exists(affectedFile)) {
+        // crashed mid-swap: resume from the committed worklist
+        val in = fs.open(affectedFile)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.split("\n").toSeq.filter(_.nonEmpty).map(_.toLong)
+      } else {
+        val hit = fs.listStatus(subDir).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("cent_id="))
+          .filter(d => fs.listStatus(d.getPath)
+            .count(s0 => s0.isFile &&
+              s0.getPath.getName.endsWith(".parquet")) >= minFiles)
+          .map(_.getPath.getName.stripPrefix("cent_id=").toLong)
+        if (hit.nonEmpty) {
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+          spark.read.parquet(subDir.toString)
+            .filter(col("cent_id").isin(hit: _*))
+            .repartition(col("cent_id")) // one object per partition
+            .write.partitionBy("cent_id").parquet(stage)
+          val out = fs.create(affectedFile, true)
+          try out.write(hit.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        }
+        hit
+      }
+    affected.foreach { c =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub/cent_id=$c")
+      val src = new org.apache.hadoop.fs.Path(s"$stage/cent_id=$c")
+      fs.delete(dst, true)
+      if (fs.exists(src)) require(fs.rename(src, dst),
+        s"compact swap failed for partition cent_id=$c")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    affected.size.toLong
+  }
+
   // ---- tombstones: logical deletes from a built index --------------
   //
   // The FAISS remove_ids analog at lakehouse economics: removing a

@@ -1019,6 +1019,39 @@ class LakehouseSpec extends SparkSpec {
     assert(lists.count() == lists.select("vec_id").distinct().count())
   }
 
+  test("VectorIndex.compactLists: fragmented streamed partitions " +
+      "consolidate; search identical, replay markers intact") {
+    import graft.operators.VectorIndex
+    val idx = tmpDir("annlc") + "/idx"
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorIndex.build(emb.filter(col("vec_id") < 40), idx, k = 3, iters = 3)
+    (0 until 4).foreach { i =>
+      assert(VectorIndex.addIdempotent(spark, idx,
+        emb.filter(col("vec_id") >= 40 + i * 20 &&
+          col("vec_id") < 60 + i * 20), i.toLong))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    def nFiles: Int = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/lists")).toSeq
+      .filter(_.getPath.getName.startsWith("cent_id="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(s0 => s0.getPath.getName.endsWith(".parquet"))).sum
+    val before = nFiles
+    val probes = emb.filter(col("vec_id").isin(0L, 50L, 110L))
+    def hits = VectorIndex.search(spark, idx, probes, nprobe = 3, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val want = hits
+    assert(VectorIndex.compactLists(spark, idx, minFiles = 2) > 0)
+    assert(nFiles < before, s"no consolidation: $before -> $nFiles")
+    assert(hits == want, "search must be identical through compaction")
+    // idempotent re-run; batch markers still absorb replays
+    assert(VectorIndex.compactLists(spark, idx, minFiles = 2) == 0L)
+    assert(!VectorIndex.addIdempotent(spark, idx,
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 60), 0L))
+    assert(hits == want)
+  }
+
   test("corpus tick folds published batches into the maintained " +
       "retrieval index; replay leaves it bit-identical") {
     import spark.implicits._
