@@ -236,6 +236,41 @@ object RetrievalView {
     n
   }
 
+  /** HYBRID retrieval over the two MAINTAINED indexes — the RAG
+    * serving pattern end-to-end on lakehouse state: the BM25 view at
+    * `root` produces the lexical top-`kEach` per query, the persisted
+    * [[graft.operators.VectorIndex]] at `annPath` produces the dense
+    * top-`kEach` per probe (partition-pruned IVF, tombstones
+    * honored), and `mapping` (query_id, probe_id) pairs them so
+    * reciprocal-rank fusion RRF(d) = Σ 1/(60 + rank) scores the
+    * union — a doc found by only one modality still ranks (the q143
+    * fusion semantics, served from incremental state instead of
+    * corpus recomputation). Both lists are top-k-bounded, so the
+    * fusion join touches ≤ 2·kEach rows per query at any corpus
+    * size. */
+  def searchHybrid(spark: SparkSession, root: String, annPath: String,
+      qterms: DataFrame, probes: DataFrame, mapping: DataFrame,
+      k: Int = 10, nprobe: Int = 8, kEach: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = search(spark, root, qterms, kEach)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rt"))
+    val dense = graft.operators.VectorIndex
+      .search(spark, annPath, probes, nprobe, kEach)
+      .join(broadcast(mapping), Seq("probe_id"))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("rv"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
   /** BM25 top-`k` documents per query over everything folded so far.
     * `qterms` is a (query_id, term) frame. */
   def search(spark: SparkSession, root: String, qterms: DataFrame,

@@ -1019,6 +1019,47 @@ class LakehouseSpec extends SparkSpec {
     assert(lists.count() == lists.select("vec_id").distinct().count())
   }
 
+  test("searchHybrid: RRF over the maintained BM25 view and the " +
+      "persisted ANN index equals a driver-side fusion of the two lists") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val root = tmpDir("hybrid")
+    val rx = s"$root/rx"; val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(RetrievalView.update(spark, rx, docs, 1L))
+    VectorIndex.build(emb, idx, k = 4, iters = 3)
+    val qterms = graft.operators.TextOps.bm25Queries(spark)
+    val probes = emb.filter(col("vec_id") < 3)
+    val mapping = Seq(("q1", 0L), ("q2", 1L), ("q3", 2L))
+      .toDF("query_id", "probe_id")
+    val got = RetrievalView.searchHybrid(spark, rx, idx, qterms, probes,
+      mapping, k = 10, nprobe = 4, kEach = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    // independent fusion from the two constituent searches
+    val lex = RetrievalView.search(spark, rx, qterms, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val mp = Map(0L -> "q1", 1L -> "q2", 2L -> "q3")
+    val dense = VectorIndex.search(spark, idx, probes, nprobe = 4, k = 10)
+      .collect().map(r => (mp(r.getLong(0)), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val want = (lex.keySet ++ dense.keySet).toSeq.map { key =>
+      val rrf = lex.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (key._1, key._2, rrf)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+        .map { case ((q, d, s), i) =>
+          (q, d, i + 1, BigDecimal(s)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toSet
+    assert(got.toSet == want, s"hybrid mismatch:\n got ${got.toSet}\nwant $want")
+    // every query returns full k from a corpus this size
+    assert(got.groupBy(_._1).values.forall(_.size == 10))
+  }
+
   test("VectorIndex.compactLists: fragmented streamed partitions " +
       "consolidate; search identical, replay markers intact") {
     import graft.operators.VectorIndex
