@@ -1007,6 +1007,56 @@ class PropertySpec extends SparkSpec {
     check(prop, 6)
   }
 
+  test("property: retrieval view folds/compaction/vacuum keep search " +
+      "equal to the one-shot index under random op sequences") {
+    import graft.lakehouse.RetrievalView
+    val docs = Tables.documents(spark, sfDir)
+    val qterms = graft.operators.TextOps.bm25Queries(spark)
+    def batch(i: Int) = docs.filter(col("doc_id") % 3 === i.toLong)
+    // reference results for each folded-prefix set, from one-shot roots
+    val refRoot = tmpDir("proprx-ref")
+    val refs: Map[Int, Seq[String]] = (1 to 3).map { n =>
+      val r = s"$refRoot/$n"
+      (0 until n).foreach(i => RetrievalView.update(spark, r, batch(i),
+        i.toLong + 1))
+      n -> RetrievalView.search(spark, r, qterms, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+    }.toMap
+    // ops: 0 = fold next batch, 1 = re-deliver a random folded id,
+    // 2 = compact, 3 = compact + vacuum
+    val genOps = Gen.listOfN(6, Gen.chooseNum(0, 3))
+    var caseId = 0
+    val prop = Prop.forAll(genOps) { ops =>
+      caseId += 1
+      val root = tmpDir(s"proprx$caseId") + "/ix"
+      var folded = 0
+      RetrievalView.update(spark, root, batch(0), 1L); folded = 1
+      ops.foreach { op =>
+        op match {
+          case 0 if folded < 3 =>
+            RetrievalView.update(spark, root, batch(folded),
+              folded.toLong + 1)
+            folded += 1
+          case 1 =>
+            val id = 1L + (caseId + folded) % folded
+            assert(!RetrievalView.update(spark, root,
+              batch((id - 1).toInt), id), "re-delivery must fold nothing")
+          case 2 => RetrievalView.compact(spark, root)
+          case 3 =>
+            if (RetrievalView.compact(spark, root)) ()
+            RetrievalView.vacuumCompacted(spark, root)
+          case _ => ()
+        }
+        val got = RetrievalView.search(spark, root, qterms, k = 10)
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == refs(folded),
+          s"search diverged after ops $ops at folded=$folded")
+      }
+      true
+    }
+    check(prop, 6)
+  }
+
   test("property: branch lifecycle tracks an in-memory model under " +
       "random op sequences") {
     import graft.lakehouse.VersionedTable
