@@ -459,6 +459,34 @@ object GraftFunctions {
   private[functions] val graftBranchesInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_branches")
 
+  /** Table function `graft_bm25('root', 'space separated terms'[, k])`
+    * — BM25 top-k over the MAINTAINED retrieval index
+    * ([[graft.lakehouse.RetrievalView]]) straight from SQL: one row
+    * per (doc_id, rnk, score) for the given query. The search plan is
+    * the library's own (pushed term filter over the term-sorted
+    * postings objects). */
+  private[functions] val graftBm25Builder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size >= 2 && args.size <= 3,
+        "graft_bm25 expects (rootPath, queryTerms[, k])")
+      val spark = SparkSession.active
+      import spark.implicits._
+      val terms = args(1).eval(null).toString.trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      require(terms.nonEmpty, "graft_bm25: empty query")
+      val k = if (args.size == 3)
+        args(2).eval(null).toString.toInt else 10
+      val qterms = terms.map(("q", _)).toDF("query_id", "term")
+      graft.lakehouse.RetrievalView
+        .search(spark, args.head.eval(null).toString, qterms, k)
+        .select("doc_id", "rnk", "score")
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftBm25Info = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_bm25")
+
   /** Table function `graft_files('root')` — the current version's
     * per-file skipping index as a relation: one row per (file,
     * stats column) with rows / min / max / null count, plus the
@@ -565,6 +593,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_branches"), graftBranchesInfo,
       graftBranchesBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_bm25"), graftBm25Info,
+      graftBm25Builder)
   }
 }
 
@@ -649,6 +680,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_branches"),
       GraftFunctions.graftBranchesInfo,
       GraftFunctions.graftBranchesBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bm25"),
+      GraftFunctions.graftBm25Info,
+      GraftFunctions.graftBm25Builder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

@@ -154,6 +154,12 @@ object SqlRunner {
     oneRow(s, Seq("branch", "existed"),
       Seq(a(1), VersionedTable.dropBranch(s, a(0), a(1))))
   }
+  registerProc("graft_retrieval_compact") { (s, a) =>
+    require(a.size == 1, "graft_retrieval_compact(root)")
+    val did = RetrievalView.compact(s, a(0))
+    val vacuumed = if (did) RetrievalView.vacuumCompacted(s, a(0)) else 0
+    oneRow(s, Seq("compacted", "vacuumed"), Seq(did, vacuumed.toLong))
+  }
   registerProc("graft_sync_agg") { (s, a) =>
     require(a.size == 4,
       "graft_sync_agg(srcRoot, viewRoot, keysCsv, sumsCsv)")

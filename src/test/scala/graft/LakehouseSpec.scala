@@ -883,6 +883,23 @@ class LakehouseSpec extends SparkSpec {
       docs.filter(col("doc_id") % 3 === 1), 2L))
     assert(RetrievalView.search(spark, root, qterms, k = 10)
       .collect().map(_.toString).sorted.toSeq == got)
+    // the SQL surface: graft_bm25 serves the q1 list from the console
+    val sqlHits = spark.sql(
+      s"SELECT * FROM graft_bm25('$root', 'spark join merge')")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val q1 = RetrievalView.search(spark, root,
+      graft.operators.TextOps.bm25Queries(spark)
+        .filter(col("query_id") === "q1"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(sqlHits == q1, s"graft_bm25 $sqlHits != library $q1")
+    // ...and the compaction proc
+    val pc = SqlRunner.callProc(spark, "graft_retrieval_compact",
+      Seq(root))._1.head()
+    assert(pc.getBoolean(0) && pc.getLong(1) > 0, pc.toString)
+    assert(spark.sql(
+      s"SELECT * FROM graft_bm25('$root', 'spark join merge')")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet == q1,
+      "SQL search must survive compaction")
     // an unfolded root refuses loudly instead of scoring nothing
     intercept[IllegalArgumentException] {
       RetrievalView.search(spark, tmpDir("retrv-none") + "/ix", qterms)
