@@ -1057,6 +1057,57 @@ class PropertySpec extends SparkSpec {
     check(prop, 6)
   }
 
+  test("property: streamed ANN adds/replays/compaction keep search " +
+      "equal to the one-shot assignment under random op sequences") {
+    import graft.operators.VectorIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    def batch(i: Int) = emb.filter(col("vec_id") >= 40 + i * 20 &&
+      col("vec_id") < 60 + i * 20)
+    val probes = emb.filter(col("vec_id").isin(0L, 45L, 95L))
+    // shared centroids + per-prefix reference search results
+    val refRoot = tmpDir("propann-ref")
+    VectorIndex.build(emb.filter(col("vec_id") < 40), s"$refRoot/0",
+      k = 3, iters = 3)
+    val cents = spark.read.parquet(s"$refRoot/0/centroids")
+    val refs: Map[Int, Seq[String]] = (0 to 3).map { n =>
+      val r = s"$refRoot/u$n"
+      VectorIndex.buildWith(emb.filter(col("vec_id") < 40 + n * 20),
+        r, cents)
+      n -> VectorIndex.search(spark, r, probes, nprobe = 3, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+    }.toMap
+    // ops: 0 = add next batch, 1 = replay a random folded id,
+    // 2 = compactLists
+    val genOps = Gen.listOfN(5, Gen.chooseNum(0, 2))
+    var caseId = 0
+    val prop = Prop.forAll(genOps) { ops =>
+      caseId += 1
+      val idx = tmpDir(s"propann$caseId") + "/idx"
+      VectorIndex.buildWith(emb.filter(col("vec_id") < 40), idx, cents)
+      var folded = 0
+      ops.foreach { op =>
+        op match {
+          case 0 if folded < 3 =>
+            assert(VectorIndex.addIdempotent(spark, idx, batch(folded),
+              folded.toLong))
+            folded += 1
+          case 1 if folded > 0 =>
+            val id = (caseId + folded) % folded
+            assert(!VectorIndex.addIdempotent(spark, idx, batch(id),
+              id.toLong), "replay must fold nothing")
+          case 2 => VectorIndex.compactLists(spark, idx, minFiles = 2)
+          case _ => ()
+        }
+        val got = VectorIndex.search(spark, idx, probes, nprobe = 3, k = 5)
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == refs(folded),
+          s"search diverged after ops $ops at folded=$folded")
+      }
+      true
+    }
+    check(prop, 6)
+  }
+
   test("property: branch lifecycle tracks an in-memory model under " +
       "random op sequences") {
     import graft.lakehouse.VersionedTable
