@@ -461,6 +461,12 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         else graft.operators.VectorIndex.add(spark, vc.indexPath, fresh)
       }
     }
+    // scheduled list consolidation: per-tick adds fragment the
+    // partitions; compaction keeps search cost tracking data, not
+    // tick count (the ANN twin of retrievalCompactEvery)
+    if (vc.compactListsEvery > 0 && ticks % vc.compactListsEvery == 0 &&
+        graft.operators.VectorIndex.exists(spark, vc.indexPath))
+      graft.operators.VectorIndex.compactLists(spark, vc.indexPath)
     r
   }
 
@@ -623,7 +629,12 @@ object Automation {
       // centroid geometry is only as good as the bootstrap sample.
       // Builds read the whole loaded table, so deferred rows are
       // included once the floor is met. 0 = build on first data.
-      minBootstrapVectors: Int = 0)
+      minBootstrapVectors: Int = 0,
+      // every N ticks, consolidate fragmented inverted-list
+      // partitions (VectorIndex.compactLists — per-tick adds leave
+      // one object per touched centroid per batch; search pays a
+      // task-per-file floor without this). 0 = never.
+      compactListsEvery: Int = 0)
 
   /** Corpus-curation config: where document drops arrive (JSON-lines
     * by default: doc_id, text, lang, source), the raw landing table,

@@ -520,7 +520,54 @@ object SessionOps {
        |FROM base JOIN bounds USING (event_type)
        |GROUP BY 1, 3, 4""".stripMargin
 
+  /** q149: BURSTINESS (Fano factor / index of dispersion) of daily
+    * event counts per type — the burst-detection screen: a Poisson
+    * stream sits at 1, campaign spikes and bot floods push it up. The
+    * fact reduces to day-grained integer counts (one map-side-partial
+    * aggregate), the second pass folds exact integer/decimal moments
+    * per type (counts², summed in decimal(38) — day counts reach 1e8
+    * at sensor scale and their squares pass int64), and variance/mean
+    * is one fixed IEEE expression at 6 dp. */
+  private val q149: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val DayUs = 86400L * 1000000L
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / DayUs).cast("long").as("dy"))
+      .groupBy("event_type", "dy")
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("sx"),
+        sum((col("c").cast(dec38) * col("c").cast(dec38))).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sx").cast("double") / col("n_days"), 6)
+          .as("mean_daily"),
+        round((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n_days")) / col("n_days") /
+          (col("sx").cast("double") / col("n_days")), 6).as("fano"))
+  }
+  private val q149Sql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS dy,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS sx,
+      |    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  ROUND(CAST(sx AS DOUBLE) / n_days, 6) AS mean_daily,
+      |  ROUND((CAST(sxx AS DOUBLE) -
+      |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_days) / n_days /
+      |    (CAST(sx AS DOUBLE) / n_days), 6) AS fano
+      |FROM m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q149_burstiness" -> q149,
     "q109_ewma" -> q109,
     "q111_conversion_lag" -> q111,
     "q113_session_stats" -> q113,
@@ -536,6 +583,7 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q149_burstiness" -> q149Sql,
     "q109_ewma" -> q109Sql,
     "q111_conversion_lag" -> q111Sql,
     "q113_session_stats" -> q113Sql,

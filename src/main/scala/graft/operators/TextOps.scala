@@ -1817,7 +1817,50 @@ object TextOps {
       |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
       |FROM m""".stripMargin
 
+  /** q150: PER-SOURCE LOG-NORMAL LENGTH FIT — document token counts
+    * are canonically log-normal; the fitted (μ, σ) of ln(length) per
+    * source is the standard length-distribution drift screen (a
+    * source whose σ collapses went template; a μ shift means the
+    * extractor changed). One map-side length projection, per-source
+    * decimal moments of the 6-dp-rounded ln (the q94 discipline), μ/σ
+    * fixed IEEE expressions. */
+  private val q150: QFn = (s, d) => {
+    val dec = graft.util.Exact.Dec
+    val x = round(log(size(words(col("text"))).cast("double")), 6)
+    val base = Tables.documents(s, d)
+      .filter(size(words(col("text"))) > 0)
+      .select(col("source"), x.as("x"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(round(col("x") * col("x"), 6).cast(dec)).as("sxx"))
+      .select(col("source"), col("n_docs"),
+        round(col("sx").cast("double") / col("n_docs"), 6).as("mu"),
+        round(sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n_docs")) / col("n_docs")), 6).as("sigma"))
+  }
+  private val q150Sql =
+    """WITH t AS (
+      |  SELECT source,
+      |    ROUND(ln(CAST(len(string_split_regex(trim(text), '\s+'))
+      |      AS DOUBLE)), 6) AS x
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+      |m AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS sxx
+      |  FROM t GROUP BY 1)
+      |SELECT source, n_docs,
+      |  ROUND(CAST(sx AS DOUBLE) / n_docs, 6) AS mu,
+      |  ROUND(SQRT((CAST(sxx AS DOUBLE) -
+      |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / n_docs), 6)
+      |    AS sigma
+      |FROM m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q150_length_lognormal" -> q150,
     "q142_zipf_slope" -> q142,
     "q138_epoch_plan" -> q138,
     "q132_bm25" -> q132,
@@ -1855,6 +1898,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q150_length_lognormal" -> q150Sql,
     "q142_zipf_slope" -> q142Sql,
     "q138_epoch_plan" -> q138Sql,
     "q132_bm25" -> q132Sql,

@@ -1930,6 +1930,55 @@ class OperatorsSpec extends SparkSpec {
       s"gate kept ${rep.afterModelGate} vs scored-above $wantKept")
   }
 
+  test("q149/q150: burstiness and lognormal length fit match " +
+      "driver-side moment computations") {
+    import org.apache.spark.sql.functions._
+    // q149: Fano factor per event type
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / (86400L * 1000000L)).as("dy"))
+      .groupBy("event_type", "dy").count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val want149 = daily.groupBy(_._1).map { case (t, rows) =>
+      val cs = rows.map(_._2.toDouble)
+      val n = cs.length
+      val mean = cs.sum / n
+      val v = cs.map(c => (c - mean) * (c - mean)).sum / n
+      t -> (n.toLong, v / mean)
+    }
+    val got149 = graft.operators.SessionOps
+      .queries("q149_burstiness")(spark, sfDir).collect()
+    assert(got149.length == want149.size)
+    got149.foreach { r =>
+      val (n, fano) = want149(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(3) - fano) < 1e-4,
+        s"${r.getString(0)}: fano ${r.getDouble(3)} != $fano")
+      assert(r.getDouble(3) > 0)
+    }
+    // q150: per-source lognormal (mu, sigma) of token counts
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .filter(_._2 > 0)
+    val want150 = lens.groupBy(_._1).map { case (src, rows) =>
+      val xs = rows.map(t => math.log(t._2.toDouble))
+      val mu = xs.sum / xs.length
+      val sg = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / xs.length)
+      src -> (rows.length.toLong, mu, sg)
+    }
+    val got150 = graft.operators.TextOps
+      .queries("q150_length_lognormal")(spark, sfDir).collect()
+    assert(got150.length == want150.size)
+    got150.foreach { r =>
+      val (n, mu, sg) = want150(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - mu) < 1e-3 &&
+        math.abs(r.getDouble(3) - sg) < 1e-3, r.toString)
+    }
+  }
+
   test("q147/q148: seasonality strength and CUSUM changepoint match " +
       "driver-side recomputations on the daily series") {
     import org.apache.spark.sql.functions._
