@@ -100,7 +100,7 @@ class LakehouseSpec extends SparkSpec {
       vectorIndex = Some(Automation.VectorIndexConfig(
         srcDir = s"$root/varr", tableDir = s"$root/vt",
         registryDir = s"$root/vreg", indexPath = s"$root/idx",
-        schema = emb.schema)))
+        schema = emb.schema, compactListsEvery = 2)))
     val auto = new Automation(spark, cfg)
     drop("d1", 0, 60)
     val r1 = auto.tick() // bootstrap: trains centroids on the first drop
@@ -111,6 +111,8 @@ class LakehouseSpec extends SparkSpec {
     assert(r2.vecLoad.exists(_.loaded.size == 1))
     assert(spark.read.parquet(s"$root/idx/lists").count() ==
       VersionedTable.read(spark, s"$root/vt").count())
+    drop("d3r", 120, 180); auto.tick()
+    drop("d4r", 180, 240); auto.tick() // tick 4: compactListsEvery fires
 
     // after >=2 ticks: search is identical to a batch rebuild over ALL
     // loaded vectors with the same trained centroid model
@@ -122,6 +124,17 @@ class LakehouseSpec extends SparkSpec {
     val viaBatch = VectorIndex.search(spark, s"$root/idx_batch", probes,
       nprobe = 2, k = 3).collect().map(_.toString).sorted.toSeq
     assert(viaTicks.nonEmpty && viaTicks == viaBatch)
+    // compactListsEvery=2 fired on tick 2: no partition carries the
+    // per-tick fragmentation (≥ the compaction threshold of files)
+    val lfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val perPart = lfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/idx/lists")).toSeq
+      .filter(_.getPath.getName.startsWith("cent_id="))
+      .map(d => lfs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+    assert(perPart.forall(_ < 4),
+      s"tick compaction left fragmented partitions: $perPart")
 
     // PQ-compressed twin: same drops through a pq-configured tick —
     // bootstrap trains both models, the second tick routes+encodes
