@@ -467,6 +467,27 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     if (vc.compactListsEvery > 0 && ticks % vc.compactListsEvery == 0 &&
         graft.operators.VectorIndex.exists(spark, vc.indexPath))
       graft.operators.VectorIndex.compactLists(spark, vc.indexPath)
+    // scheduled geometry refresh: re-fit centroids/codebooks on the
+    // ids the index serves today (retrain semi-joins them against the
+    // loaded table — vacuumed curation drops never resurrect) and
+    // flip the new generation live with one marker write. The daemon
+    // is the single maintenance writer, so superseded generations
+    // vacuum immediately.
+    if (vc.retrainEvery > 0 && ticks % vc.retrainEvery == 0 &&
+        graft.operators.VectorIndex.exists(spark, vc.indexPath)) {
+      val table = spark.read.parquet(
+        VersionedTable.currentPath(spark, vc.tableDir))
+      graft.operators.VectorIndex.retrain(spark, vc.indexPath, table,
+        (df, p) => vc.pq match {
+          case None =>
+            graft.operators.VectorIndex.build(df, p, vc.k, vc.iters)
+          case Some((m, ksub)) =>
+            graft.operators.VectorIndex.buildPQ(df, p, vc.k, m, ksub,
+              vc.iters, residual = vc.pqResidual, packed = vc.pqPacked,
+              opq = vc.pqOpq)
+        })
+      graft.operators.VectorIndex.vacuumGenerations(spark, vc.indexPath)
+    }
     r
   }
 
@@ -634,7 +655,15 @@ object Automation {
       // partitions (VectorIndex.compactLists — per-tick adds leave
       // one object per touched centroid per batch; search pays a
       // task-per-file floor without this). 0 = never.
-      compactListsEvery: Int = 0)
+      compactListsEvery: Int = 0,
+      // every N ticks, RE-FIT the index geometry on what the index
+      // holds today and flip it live atomically
+      // (VectorIndex.retrain + vacuumGenerations): add() routes
+      // through frozen bootstrap centroids, so a drifting or growing
+      // corpus slowly decays routing quality — the retrain tick is
+      // the standing answer, using the same k/iters/pq knobs as the
+      // bootstrap. 0 = never retrain.
+      retrainEvery: Int = 0)
 
   /** Corpus-curation config: where document drops arrive (JSON-lines
     * by default: doc_id, text, lang, source), the raw landing table,

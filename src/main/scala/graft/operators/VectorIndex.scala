@@ -16,8 +16,50 @@ import org.apache.spark.sql.functions._
   * planning time, so a 100 TB index reads `nprobe/k` of its bytes per
   * query batch. Build cost is paid once; every subsequent search is a
   * pruned scan, the same economics as [[graft.lakehouse.Bucketing]].
+  *
+  * GENERATIONS: an index root may carry `_gens/gen-<N>` marker
+  * objects; the live data dirs then sit under `<path>/g<N>` for the
+  * highest N, and a flat legacy index (no markers) lives at `path`
+  * itself. [[retrain]] builds a complete NEW generation beside the
+  * live one and commits it by creating the next marker — a
+  * SINGLE-OBJECT write, atomic on every store (the VersionedTable
+  * manifest discipline applied to the index): searches see the old
+  * geometry until the marker lands and the new one after, never a
+  * half-built mix. A crashed retrain leaves an unmarked `g<N>` dir
+  * that stays invisible and is overwritten by the next attempt.
+  * `_batches` (streaming exactly-once markers) stays at the TOP
+  * level, above generations: a retrain rebuilds from content that
+  * already contains every folded batch, so a replayed batch id must
+  * keep folding to nothing in the new generation too. Every public
+  * entry point resolves the live root first; resolution inside a
+  * generation dir is the identity (a `g<N>` dir never holds `_gens`),
+  * so internal reuse of the public predicates stays correct.
   */
 object VectorIndex {
+
+  /** Resolve the LIVE data root of the index at `path`: the highest
+    * committed generation dir, or `path` itself for flat/legacy
+    * layouts (and for brand-new paths about to be built). */
+  private[operators] def dataRoot(spark: SparkSession, path: String): String = {
+    val fs = fsOf(spark, path)
+    val gens = new org.apache.hadoop.fs.Path(s"$path/_gens")
+    if (!fs.exists(gens)) path
+    else {
+      val ns = fs.listStatus(gens).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+      if (ns.isEmpty) path else s"$path/g${ns.max}"
+    }
+  }
+
+  /** Committed generation number (0 = flat/legacy layout). */
+  private[operators] def currentGen(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val gens = new org.apache.hadoop.fs.Path(s"$path/_gens")
+    if (!fs.exists(gens)) 0L
+    else fs.listStatus(gens).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+      .foldLeft(0L)(math.max)
+  }
 
   /** Train k centroids (on KMeansVec's bounded hash-rank sample —
     * never `iters` full scans) and persist inverted lists + centroids
@@ -33,25 +75,24 @@ object VectorIndex {
   /** Persist an index with PRE-TRAINED centroids (shared by [[build]]
     * and useful to reuse one trained model across tables). */
   def buildWith(emb: DataFrame, path: String, centDf: DataFrame): Unit = {
+    val rt = dataRoot(emb.sparkSession, path)
     assign(emb, centDf)
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
-    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$rt/lists")
+    centDf.write.mode("overwrite").parquet(s"$rt/centroids")
   }
 
   /** Whether a built index (trained centroids) exists under `path`. */
   def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS")
-    org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      .exists(p)
+    val p = new org.apache.hadoop.fs.Path(
+      s"${dataRoot(spark, path)}/centroids/_SUCCESS")
+    fsOf(spark, path).exists(p)
   }
 
   /** Whether the index at `path` has the PQ layout (codebook +
     * compressed code lists) rather than raw inverted lists. */
   def isPQ(spark: SparkSession, path: String): Boolean =
-    org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(s"$path/codebook/_SUCCESS"))
+    fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(
+      s"${dataRoot(spark, path)}/codebook/_SUCCESS"))
 
   /** Incremental append: route new vectors to the EXISTING trained
     * centroids and append their inverted-list rows — an incremental
@@ -60,10 +101,11 @@ object VectorIndex {
     * result is identical to batch-assigning old∪new against the same
     * centroids (spec-pinned), because assignment is per-row. */
   def add(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
-    val centDf = spark.read.parquet(s"$path/centroids")
+    val rt = dataRoot(spark, path)
+    val centDf = spark.read.parquet(s"$rt/centroids")
     assign(newVecs, centDf)
-      .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
-    unremove(spark, path, newVecs)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$rt/lists")
+    unremove(spark, rt, newVecs)
   }
 
   /** Exactly-once form of [[add]] for streaming/replayed feeds: the
@@ -81,10 +123,14 @@ object VectorIndex {
   def addIdempotent(spark: SparkSession, path: String,
       newVecs: DataFrame, batchId: Long): Boolean = {
     val fs = fsOf(spark, path)
+    // the batch ledger lives ABOVE generations: a retrain's rebuild
+    // already contains every folded batch, so replayed ids must keep
+    // no-oping against the new generation too
     val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/batch-$batchId")
     if (fs.exists(marker)) return false
-    val centDf = spark.read.parquet(s"$path/centroids")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/_staging/add-$batchId")
+    val rt = dataRoot(spark, path)
+    val centDf = spark.read.parquet(s"$rt/centroids")
+    val stage = new org.apache.hadoop.fs.Path(s"$rt/_staging/add-$batchId")
     assign(newVecs, centDf).repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(stage.toString)
     fs.listStatus(stage)
@@ -95,7 +141,7 @@ object VectorIndex {
           .sortBy(_.getPath.getName)
         parts.zipWithIndex.foreach { case (p, i) =>
           val target = new org.apache.hadoop.fs.Path(
-            s"$path/lists/$cent/batch-$batchId-p$i.parquet")
+            s"$rt/lists/$cent/batch-$batchId-p$i.parquet")
           fs.mkdirs(target.getParent)
           if (fs.exists(target)) fs.delete(target, false) // crashed attempt
           require(fs.rename(p.getPath, target),
@@ -103,7 +149,7 @@ object VectorIndex {
         }
       }
     fs.delete(stage, true)
-    unremove(spark, path, newVecs)
+    unremove(spark, rt, newVecs)
     fs.mkdirs(marker.getParent)
     fs.create(marker).close() // commit point: batch folded exactly once
     true
@@ -125,10 +171,11 @@ object VectorIndex {
   def compactLists(spark: SparkSession, path: String,
       minFiles: Int = 4): Long = {
     val fs = fsOf(spark, path)
+    val rt = dataRoot(spark, path)
     val sub = if (isPQ(spark, path)) "codes" else "lists"
-    val subDir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val subDir = new org.apache.hadoop.fs.Path(s"$rt/$sub")
     if (!fs.exists(subDir)) return 0L
-    val stage = s"$path/_listcompact_stage"
+    val stage = s"$rt/_listcompact_stage"
     val affectedFile = new org.apache.hadoop.fs.Path(s"$stage/_affected")
     val affected: Seq[Long] =
       if (fs.exists(affectedFile)) {
@@ -159,7 +206,7 @@ object VectorIndex {
         hit
       }
     affected.foreach { c =>
-      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub/cent_id=$c")
+      val dst = new org.apache.hadoop.fs.Path(s"$rt/$sub/cent_id=$c")
       val src = new org.apache.hadoop.fs.Path(s"$stage/cent_id=$c")
       fs.delete(dst, true)
       if (fs.exists(src)) require(fs.rename(src, dst),
@@ -188,47 +235,50 @@ object VectorIndex {
     * removed vec_id un-removes it. */
   def remove(spark: SparkSession, path: String, ids: DataFrame): Unit =
     ids.select(col("vec_id")).na.drop().distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(s"${dataRoot(spark, path)}/tombstones")
 
   private def fsOf(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
 
+  // the tombstone helpers take the RESOLVED data root (callers hold it
+  // already); tombstones are per-generation state — a retrain excludes
+  // them from its rebuild, so a fresh generation starts clean
   private[operators] def tombstones(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (fsOf(spark, path).exists(dir))
+      root: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    if (fsOf(spark, root).exists(dir))
       Some(spark.read.parquet(dir.toString))
     else None
   }
 
   /** Drop tombstoned rows from a list/code stream (no-op when the
     * index has no tombstones). Pre-top-k, like the `allowed` filter. */
-  private def dropTombstoned(spark: SparkSession, path: String,
+  private def dropTombstoned(spark: SparkSession, root: String,
       rows: DataFrame): DataFrame =
-    tombstones(spark, path).fold(rows)(t =>
+    tombstones(spark, root).fold(rows)(t =>
       rows.join(broadcast(t.select("vec_id").distinct()),
         Seq("vec_id"), "left_anti"))
 
   /** Re-adding a removed vec_id revives it: drop its tombstone. The
     * tombstone set is small by contract (pending-vacuum deletes), so
     * the rewrite collects it driver-side — never the lists. */
-  private def unremove(spark: SparkSession, path: String,
+  private def unremove(spark: SparkSession, root: String,
       newVecs: DataFrame): Unit =
-    tombstones(spark, path).foreach { t =>
+    tombstones(spark, root).foreach { t =>
       import spark.implicits._
       val keep = t.select("vec_id").distinct()
         .join(newVecs.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
         .collect().map(_.getLong(0)).toSeq
-      val dir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-      val fs = fsOf(spark, path)
+      val dir = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+      val fs = fsOf(spark, root)
       if (keep.isEmpty) { fs.delete(dir, true); () }
       else {
-        val tmp = s"$path/_tombstones_new"
+        val tmp = s"$root/_tombstones_new"
         keep.toDF("vec_id").coalesce(1).write.mode("overwrite").parquet(tmp)
         fs.delete(dir, true)
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dir),
-          s"tombstone rewrite swap failed for $path")
+          s"tombstone rewrite swap failed for $root")
       }
     }
 
@@ -243,9 +293,10 @@ object VectorIndex {
   def vacuumTombstones(spark: SparkSession, path: String): Long = {
     import spark.implicits._
     val fs = fsOf(spark, path)
-    val t = tombstones(spark, path).getOrElse(return 0L)
+    val rt = dataRoot(spark, path)
+    val t = tombstones(spark, rt).getOrElse(return 0L)
     val sub = if (isPQ(spark, path)) "codes" else "lists"
-    val stage = s"$path/_vacuum_stage"
+    val stage = s"$rt/_vacuum_stage"
     val affectedFile = new org.apache.hadoop.fs.Path(s"$stage/_affected")
     val staged = fs.exists(affectedFile)
     val tIds = t.select("vec_id").distinct()
@@ -259,7 +310,7 @@ object VectorIndex {
           finally in.close()
         content.split("\n").toSeq.filter(_.nonEmpty).map(_.toLong)
       } else {
-        val all = spark.read.parquet(s"$path/$sub")
+        val all = spark.read.parquet(s"$rt/$sub")
         // partition-column type inference reads cent_id back as int
         val hit = all.join(broadcast(tIds), Seq("vec_id"), "left_semi")
           .select(col("cent_id").cast("long")).distinct()
@@ -276,7 +327,7 @@ object VectorIndex {
         hit
       }
     affected.foreach { c =>
-      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub/cent_id=$c")
+      val dst = new org.apache.hadoop.fs.Path(s"$rt/$sub/cent_id=$c")
       val src = new org.apache.hadoop.fs.Path(s"$stage/cent_id=$c")
       fs.delete(dst, true)
       // a fully-tombstoned partition has no staged dir — deletion IS
@@ -284,8 +335,85 @@ object VectorIndex {
       if (fs.exists(src)) require(fs.rename(src, dst),
         s"vacuum swap failed for partition cent_id=$c")
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rt/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    n
+  }
+
+  // ---- retrain: commit a freshly-fitted geometry atomically --------
+
+  /** RETRAIN the index from its own current contents: re-fit
+    * centroids/codebooks on what the index holds TODAY and commit the
+    * result as a new generation with one marker write (atomic on
+    * every store — searches see old geometry until the flip, new
+    * after, never a mix). This is the answer to centroid drift:
+    * [[add]]/[[addPQ]] never retrain, so an index bootstrapped on an
+    * early slice serves every later vector through frozen geometry —
+    * routing quality decays as the corpus grows or shifts.
+    *
+    * `source` is the FULL-PRECISION vector table (vec_id, embedding,
+    * label) — the rebuild input is `source` SEMI-JOINED to the ids
+    * the live generation actually serves, minus tombstones. The live
+    * id set — not raw `source` — is authoritative: curation deletes
+    * that were already vacuumed out of the lists no longer appear in
+    * any id list, and rebuilding from the raw table would silently
+    * RESURRECT them. The new generation starts with no tombstones
+    * (its input already excludes them); `_batches` markers persist
+    * above generations, so replayed streaming batches keep no-oping.
+    *
+    * `build` writes a complete index at the staged path it is given —
+    * pass the same `VectorIndex.build`/`buildPQ` call the index was
+    * created with (the daemon derives it from its config). Crash
+    * windows: before the marker lands the staged `g<N>` dir is
+    * invisible and the next attempt deletes and rewrites it. Runs in
+    * the single-maintenance-writer window like vacuum/compact.
+    * Returns the committed generation number. */
+  def retrain(spark: SparkSession, path: String, source: DataFrame,
+      build: (DataFrame, String) => Unit): Long = {
+    require(exists(spark, path), s"no index at $path to retrain")
+    val fs = fsOf(spark, path)
+    val rt = dataRoot(spark, path)
+    val sub = if (isPQ(spark, path)) "codes" else "lists"
+    val live = dropTombstoned(spark, rt,
+      spark.read.parquet(s"$rt/$sub").select("vec_id")).distinct()
+    val survivors = source.join(live, Seq("vec_id"), "left_semi")
+    val next = currentGen(spark, path) + 1L
+    val stageRoot = s"$path/g$next"
+    fs.delete(new org.apache.hadoop.fs.Path(stageRoot), true) // crashed try
+    build(survivors, stageRoot)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$stageRoot/centroids/_SUCCESS")),
+      s"retrain build left no complete index at $stageRoot")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_gens/gen-$next")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close() // commit point: generation flips live
+    next
+  }
+
+  /** Delete SUPERSEDED generation data: every committed `g<M>` below
+    * the live one, plus the flat legacy dirs once a generation has
+    * taken over. Separate from [[retrain]] so readers mid-scan on the
+    * old geometry get a grace window (call it on the maintenance
+    * cadence, like tombstone vacuum). Returns roots deleted. */
+  def vacuumGenerations(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val cur = currentGen(spark, path)
+    if (cur == 0L) return 0L
+    var n = 0L
+    (1L until cur).foreach { m =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/g$m")
+      if (fs.exists(d)) { fs.delete(d, true); n += 1 }
+    }
+    val legacy = Seq("lists", "codes", "centroids", "codebook", "rotation",
+      "tombstones", "_residual", "_packed", "_rotation", "_staging",
+      "_vacuum_stage", "_listcompact_stage", "_tombstones_new")
+    val hadFlat = legacy.exists(s =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$s")))
+    legacy.foreach { s =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$s")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    if (hadFlat) n += 1
     n
   }
 
@@ -385,7 +513,7 @@ object VectorIndex {
     * codes-write pipeline of [[buildPQWith]] and [[addPQ]] — one
     * definition, so incremental adds can never encode differently
     * from batch builds. */
-  private def writeCodes(emb: DataFrame, path: String, centDf: DataFrame,
+  private def writeCodes(emb: DataFrame, root: String, centDf: DataFrame,
       codebook: DataFrame, residual: Boolean, packed: Boolean,
       mode: String): Unit = {
     val table =
@@ -402,7 +530,7 @@ object VectorIndex {
         plain.select(col("vec_id"),
           VectorPQ.packCodes(col("codes"), m).as("codes"), col("cent_id"))
       } else plain.select("vec_id", "codes", "cent_id")
-    coded.write.mode(mode).partitionBy("cent_id").parquet(s"$path/codes")
+    coded.write.mode(mode).partitionBy("cent_id").parquet(s"$root/codes")
   }
 
   /** [[buildPQ]] with pre-trained models (shared by incremental adds
@@ -411,29 +539,28 @@ object VectorIndex {
     * `rotation` is the OPQ matrix the models were trained under;
     * `emb` arrives RAW and is rotated here, so callers reusing stored
     * models never rotate twice. (Like the _residual/_packed markers,
-    * an in-place rebuild is not crash-atomic — an index that must
-    * publish atomically goes through VersionedTable's manifest flip,
-    * the discipline the automation daemon applies to tables.) */
+    * an in-place rebuild is not crash-atomic — a rebuild that must
+    * publish atomically goes through [[retrain]]'s generation flip.) */
   def buildPQWith(emb: DataFrame, path: String, centDf: DataFrame,
       codebook: DataFrame, residual: Boolean = false,
       packed: Boolean = false,
       rotation: Option[Array[Array[Double]]] = None): Unit = {
     val spark = emb.sparkSession
+    val rt = dataRoot(spark, path)
     val table = rotation.map(r => emb.withColumn("embedding",
       VectorOPQ.rotateCol(r, col("embedding")))).getOrElse(emb)
-    writeCodes(table, path, centDf, codebook, residual, packed, "overwrite")
-    centDf.write.mode("overwrite").parquet(s"$path/centroids")
-    codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    setMarker(spark, path, "_residual", residual)
-    setMarker(spark, path, "_packed", packed)
+    writeCodes(table, rt, centDf, codebook, residual, packed, "overwrite")
+    centDf.write.mode("overwrite").parquet(s"$rt/centroids")
+    codebook.write.mode("overwrite").parquet(s"$rt/codebook")
+    setMarker(spark, rt, "_residual", residual)
+    setMarker(spark, rt, "_packed", packed)
     rotation match {
       case Some(r) => VectorOPQ.rotationDF(spark, r)
-        .write.mode("overwrite").parquet(s"$path/rotation")
-      case None => org.apache.hadoop.fs.FileSystem
-        .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(s"$path/rotation"), true)
+        .write.mode("overwrite").parquet(s"$rt/rotation")
+      case None => fsOf(spark, path)
+        .delete(new org.apache.hadoop.fs.Path(s"$rt/rotation"), true)
     }
-    setMarker(spark, path, "_rotation", rotation.isDefined)
+    setMarker(spark, rt, "_rotation", rotation.isDefined)
   }
 
   /** Incremental append to a PQ index: route + encode new vectors
@@ -460,11 +587,12 @@ object VectorIndex {
     else df
 
   def addPQ(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
-    writeCodes(applyRotation(spark, path, newVecs), path,
-      spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/codebook"),
-      isResidual(spark, path), isPacked(spark, path), "append")
-    unremove(spark, path, newVecs)
+    val rt = dataRoot(spark, path)
+    writeCodes(applyRotation(spark, rt, newVecs), rt,
+      spark.read.parquet(s"$rt/centroids"),
+      spark.read.parquet(s"$rt/codebook"),
+      isResidual(spark, rt), isPacked(spark, rt), "append")
+    unremove(spark, rt, newVecs)
   }
 
   /** IVF-PQ search: route each probe to `nprobe` centroids, ADC-rank
@@ -485,15 +613,16 @@ object VectorIndex {
       emb: DataFrame, nprobe: Int, k: Int, rerankFactor: Int = 4,
       allowed: Option[DataFrame] = None): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosineSim _
-    val cents = spark.read.parquet(s"$path/centroids")
-    val codebook = spark.read.parquet(s"$path/codebook")
+    val rt = dataRoot(spark, path)
+    val cents = spark.read.parquet(s"$rt/centroids")
+    val codebook = spark.read.parquet(s"$rt/codebook")
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("cent_id").asc)
     // OPQ indexes route and ADC-rank in rotated space (rotate the
     // probes; centroids/codes are already rotated); the final exact
     // rerank below stays on the RAW embeddings — cosine is rotation-
     // invariant, so the two spaces rank consistently
-    val probesEff = applyRotation(spark, path, probes)
+    val probesEff = applyRotation(spark, rt, probes)
     val routed = probesEff
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .join(broadcast(cents), col("probe_id").isNotNull)
@@ -507,11 +636,11 @@ object VectorIndex {
     // happens per exploded row inside the ADC stream (builtins, no
     // interpreted HOF) — the downstream join sees identical codes
     val packedM =
-      if (isPacked(spark, path))
+      if (isPacked(spark, rt))
         Some(codebook.agg(max(col("sub_id"))).head.getInt(0) + 1)
       else None
-    val codesAll = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/codes")
+    val codesAll = dropTombstoned(spark, rt,
+      spark.read.parquet(s"$rt/codes")
         .filter(col("cent_id").isin(wanted.toSeq: _*)))
     val codesAllowed = allowed.fold(codesAll)(a =>
       codesAll.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
@@ -519,7 +648,7 @@ object VectorIndex {
       .join(routed.select("probe_id", "cent_id"), Seq("cent_id"))
       .filter(col("probe_id") =!= col("vec_id"))
     val cand =
-      if (isResidual(spark, path)) {
+      if (isResidual(spark, rt)) {
         // each routed centroid sees a DIFFERENT probe residual, so the
         // LUT keys on (probe, cent) — still |probes|·nprobe·m·ksub
         // rows, KBs — and candidates join their own slice
@@ -544,7 +673,8 @@ object VectorIndex {
       nprobe: Int, k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     // codegen cosine — the HOF dot is interpreted, ~100× slower
     val cos = graft.functions.GraftFunctions.cosineSim _
-    val cents = spark.read.parquet(s"$path/centroids")
+    val rt = dataRoot(spark, path)
+    val cents = spark.read.parquet(s"$rt/centroids")
     // route each probe to its nprobe nearest centroids (tiny cross)
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("cent_id").asc)
@@ -558,8 +688,8 @@ object VectorIndex {
     val wanted = routed.select("cent_id").distinct()
       .collect().map(_.getLong(0))
     // partition-pruned scan: only the routed centroid lists are read
-    val listsAll = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/lists")
+    val listsAll = dropTombstoned(spark, rt,
+      spark.read.parquet(s"$rt/lists")
         .filter(col("cent_id").isin(wanted.toSeq: _*)))
     val lists = allowed.fold(listsAll)(a =>
       listsAll.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))

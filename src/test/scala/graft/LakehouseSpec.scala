@@ -218,6 +218,70 @@ class LakehouseSpec extends SparkSpec {
       "deferred first-drop vectors must be searchable probes")
   }
 
+  test("vector-index retrain tick: geometry refits and flips atomically, " +
+      "vacuumed drops never resurrect") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val root = tmpDir("autoidxrt")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    new java.io.File(s"$root/varr").mkdirs()
+    val emb = Tables.embeddings(spark, sfDir)
+    def drop(name: String, lo: Int, hi: Int): Unit = {
+      val tmp = s"$root/_tmp_$name"
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$root/varr", s"$name.json").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/reg", generate = false,
+      vectorIndex = Some(Automation.VectorIndexConfig(
+        srcDir = s"$root/varr", tableDir = s"$root/vt",
+        registryDir = s"$root/vreg", indexPath = s"$root/idx",
+        schema = emb.schema, k = 6, retrainEvery = 2))))
+    drop("d1", 0, 40)
+    auto.tick() // bootstrap: centroids fitted to the first 40 only
+    val bootCents = spark.read.parquet(s"$root/idx/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    // a curation drop, fully VACUUMED before the retrain — the
+    // resurrect trap: the loaded table still holds this row
+    VectorIndex.remove(spark, s"$root/idx", Seq(7L).toDF("vec_id"))
+    assert(VectorIndex.vacuumTombstones(spark, s"$root/idx") == 1L)
+    drop("d2", 40, 120)
+    auto.tick() // tick 2: add, then retrainEvery fires + gen vacuum
+    // the flip committed generation 1 and vacuumed the flat legacy
+    assert(new java.io.File(s"$root/idx/_gens/gen-1").exists())
+    assert(!new java.io.File(s"$root/idx/lists").exists(),
+      "superseded flat layout must be vacuumed by the tick")
+    // geometry REFIT on today's content (0..120 minus the drop) — not
+    // the frozen 40-vector bootstrap sample
+    val newCents = spark.read.parquet(s"$root/idx/g1/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(newCents != bootCents, "retrain must refit the centroids")
+    // vacuumed drop stays dropped; everything else serves — search
+    // equals a fresh build on the live survivor set
+    val probes = emb.filter(col("vec_id") < 5)
+    val viaTick = VectorIndex.search(spark, s"$root/idx", probes,
+      nprobe = 6, k = 3).collect().map(_.toString).sorted.toSeq
+    val refPath = s"$root/idx_ref"
+    VectorIndex.build(VersionedTable.read(spark, s"$root/vt")
+      .filter(col("vec_id") =!= 7L), refPath, k = 6, iters = 3)
+    val viaRef = VectorIndex.search(spark, refPath, probes,
+      nprobe = 6, k = 3).collect().map(_.toString).sorted.toSeq
+    assert(viaTick.nonEmpty && viaTick == viaRef)
+    assert(viaTick.count(_.contains(",7,")) == 0)
+    // later ticks keep adding through the NEW generation
+    drop("d3", 120, 160)
+    auto.tick()
+    val after = VectorIndex.search(spark, s"$root/idx",
+      emb.filter(col("vec_id") === 130L), nprobe = 6, k = 1)
+    assert(after.count() == 1L, "post-retrain adds must land in the live generation")
+  }
+
   test("materialized aggregate: incremental folds equal a full recompute") {
     val root = tmpDir("magg") + "/v"
     val spec = MaterializedAgg.Spec(

@@ -1064,6 +1064,73 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("vec_id") === victim).count() == 0)
   }
 
+  test("index retrain: atomic generation flip rebuilds from live content only") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = tmpDir("graft-ivf-rt")
+    // bootstrap geometry fitted to an early slice, then grow the index
+    // through frozen centroids — the drift shape retrain answers
+    VectorIndex.build(emb.filter(col("vec_id") < 50), path, k = 6, iters = 5)
+    VectorIndex.add(spark, path, emb.filter(col("vec_id") >= 50))
+    // one curation drop already VACUUMED (physically gone from the
+    // lists) and one still pending as a tombstone
+    val gone = 7L; val pending = 11L
+    VectorIndex.remove(spark, path, Seq(gone).toDF("vec_id"))
+    assert(VectorIndex.vacuumTombstones(spark, path) == 1L)
+    VectorIndex.remove(spark, path, Seq(pending).toDF("vec_id"))
+    val probes = emb.filter(col("vec_id") < 5)
+    assert(VectorIndex.retrain(spark, path, emb,
+      (df, p) => VectorIndex.build(df, p, k = 6, iters = 5)) == 1L)
+    // the committed generation lives under g1; the flat legacy dirs
+    // are superseded but still present until the vacuum
+    assert(new java.io.File(s"$path/_gens/gen-1").exists())
+    assert(new java.io.File(s"$path/g1/lists").exists())
+    // retrain fed the build exactly the LIVE set: both drops excluded
+    // (the vacuumed one must NOT resurrect from the source table),
+    // geometry refit on the survivors — bit-identical to a fresh
+    // build on that set (deterministic hash-rank training)
+    val survivors = emb.filter(!col("vec_id").isin(gone, pending))
+    val ref = tmpDir("graft-ivf-rt-ref")
+    VectorIndex.build(survivors, ref, k = 6, iters = 5)
+    def full(p: String) = VectorIndex
+      .search(spark, p, probes, nprobe = 6, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val got = full(path)
+    assert(got == full(ref))
+    assert(got.nonEmpty)
+    // the new generation starts clean: no tombstones to vacuum
+    assert(VectorIndex.vacuumTombstones(spark, path) == 0L)
+    // generation vacuum drops the superseded flat data; results hold
+    assert(VectorIndex.vacuumGenerations(spark, path) >= 1L)
+    assert(!new java.io.File(s"$path/lists").exists())
+    assert(full(path) == got)
+    // crashed NEXT attempt: an unmarked stage dir stays invisible and
+    // the following retrain overwrites it
+    new java.io.File(s"$path/g2/junk").mkdirs()
+    assert(full(path) == got)
+    assert(VectorIndex.retrain(spark, path, emb,
+      (df, p) => VectorIndex.build(df, p, k = 6, iters = 5)) == 2L)
+    assert(full(path) == got)
+    // PQ tier: retrain preserves the packed/residual layout the
+    // daemon's config re-issues, and the generation search matches a
+    // fresh PQ build on the same survivor set
+    val pqPath = tmpDir("graft-ivfpq-rt")
+    VectorIndex.buildPQ(emb, pqPath, k = 6, m = 16, ksub = 16, iters = 3,
+      residual = true, packed = true)
+    VectorIndex.remove(spark, pqPath, Seq(gone, pending).toDF("vec_id"))
+    assert(VectorIndex.retrain(spark, pqPath, emb,
+      (df, p) => VectorIndex.buildPQ(df, p, k = 6, m = 16, ksub = 16,
+        iters = 3, residual = true, packed = true)) == 1L)
+    val pqRef = tmpDir("graft-ivfpq-rt-ref")
+    VectorIndex.buildPQ(survivors, pqRef, k = 6, m = 16, ksub = 16,
+      iters = 3, residual = true, packed = true)
+    def fullPQ(p: String) = VectorIndex
+      .searchPQ(spark, p, probes, emb, nprobe = 6, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val gotPQ = fullPQ(pqPath)
+    assert(gotPQ == fullPQ(pqRef) && gotPQ.nonEmpty)
+  }
+
   test("IVF-PQ index: pruned compressed lists, rerank recall, incremental add") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = tmpDir("graft-ivfpq")
