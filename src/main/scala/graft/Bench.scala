@@ -50,7 +50,10 @@ object Bench {
     "q139_dominant_supplier", "q140_chi_square", "q141_mannwhitney",
     "q142_zipf_slope", "q143_hybrid_rrf", "q144_kruskal_wallis",
     "q145_ab_test", "q146_revenue_lift", "q147_seasonality",
-    "q148_changepoint", "q149_burstiness", "q150_length_lognormal")
+    "q148_changepoint", "q149_burstiness", "q150_length_lognormal",
+    "q151_hhi", "q152_heaps_beta", "q153_theil",
+    "q154_priority_class", "q155_spearman", "q156_jsd_drift",
+    "q157_gopher_rules", "q158_bigram_surprisal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

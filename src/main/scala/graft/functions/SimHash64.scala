@@ -403,6 +403,44 @@ object GraftFunctions {
   private[functions] val graftHistoryInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_history")
 
+  /** Table function `graft_ticks('historyDir')` — the automation
+    * daemon's persisted per-tick operations log
+    * ([[graft.lakehouse.Automation.recordTick]]) as SQL: one row per
+    * completed tick with wall time and every stage's counters (NULL =
+    * stage not scheduled that tick). Trend one-liners — `SELECT
+    * avg(wall_ms) FROM graft_ticks('…') WHERE tick > …`, drop-rate
+    * spikes, load-failure audits — run over it like any table. */
+  private[functions] val graftTicksBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_ticks expects (historyDir)")
+      val spark = SparkSession.active
+      graft.lakehouse.VersionedTable
+        .read(spark, args.head.eval(null).toString)
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftTicksInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_ticks")
+
+  /** Table function `graft_catalog('catRoot')` — the multi-table
+    * catalog's CURRENT snapshot as a relation: one row per
+    * (catalog_version, table, root, version). Metadata-only (one
+    * catalog-object read) — the audit surface for "which table
+    * versions does this transaction boundary pin". */
+  private[functions] val graftCatalogBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_catalog expects (catalogRoot)")
+      val spark = SparkSession.active
+      graft.lakehouse.Catalog
+        .asDataFrame(spark, args.head.eval(null).toString)
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftCatalogInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_catalog")
+
   /** Table function `graft_constraints('root')` — the table's
     * declared CHECK constraints as a relation: one row per
     * (name, predicate). Metadata-only (one manifest read) — the
@@ -596,6 +634,12 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_bm25"), graftBm25Info,
       graftBm25Builder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ticks"), graftTicksInfo,
+      graftTicksBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_catalog"), graftCatalogInfo,
+      graftCatalogBuilder)
   }
 }
 

@@ -37,6 +37,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     * pass, like the reference's minute-aligned schedules. */
   def tick(): Automation.TickReport = {
     ticks += 1
+    val tickStartNanos = System.nanoTime()
     val generated = if (cfg.generate) {
       val stamp = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMddHHmmss")
@@ -174,8 +175,18 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       .filter(c => c.every <= 1 || ticks % c.every == 0)
       .flatMap(c => CdcAggView.sync(spark, cfg.tableDir, c.viewRoot,
         c.spec, c.keepVersions))
-    Automation.TickReport(ticks, generated, load, expired, vecLoad, compacted,
-      corpus, vacuumed, resolved, mirrored, cdcSynced)
+    val report = Automation.TickReport(ticks, generated, load, expired,
+      vecLoad, compacted, corpus, vacuumed, resolved, mirrored, cdcSynced)
+    // durable observability: one row per COMPLETED tick appended to a
+    // versioned history table (O(1-row) delta commit). The row is the
+    // tick's commit record — a crash mid-tick leaves no row, and the
+    // replayed tick's idempotent re-run records once. Written LAST so
+    // wall_ms covers the whole tick's work.
+    cfg.historyDir.foreach { h =>
+      Automation.recordTick(spark, h, report,
+        (System.nanoTime() - tickStartNanos) / 1000000L)
+    }
+    report
   }
 
   /** Training-corpus curation: incremental-load document drops, then
@@ -578,6 +589,14 @@ object Automation {
       // (pre-versioning) table loads plainly until migrated.
       branchGate: Option[Seq[DataQuality.Check]] = None,
       seedBase: Int = 0,
+      // when set, every completed tick appends ONE metrics row to a
+      // versioned history table here (tick number, wall time, files
+      // loaded/failed/quarantined, corpus keeps/drops, maintenance
+      // counters) — the daemon's durable operations log, queryable as
+      // SQL via the graft_ticks TVF. A month of minute-ticks is ~43k
+      // rows: negligible storage, and trend queries (tick duration
+      // drift, drop-rate spikes) run over it like any other table.
+      historyDir: Option[String] = None,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,
       freqSketch: Option[SketchViewConfig] = None,
@@ -735,6 +754,61 @@ object Automation {
       resolvedDeletes: Option[Long] = None,
       mirrored: Option[(Long, Long)] = None,
       cdcSynced: Option[(Long, Long)] = None)
+
+  /** One row of the persisted tick-history table (`Config.historyDir`)
+    * — the flattened [[TickReport]] plus wall time and commit
+    * timestamp. Absent optional stages record as NULL, so "did the
+    * compaction tick fire" is a SQL IS NOT NULL, distinct from
+    * "fired and touched 0 files". */
+  final case class TickHistoryRow(
+      tick: Long, ts: java.sql.Timestamp, wall_ms: Long,
+      generated: Option[String],
+      files_loaded: Int, files_skipped: Int, files_failed: Int,
+      files_quarantined: Int, files_expired: Int,
+      compacted: Option[Int], vec_loaded: Option[Int],
+      corpus_batches: Option[Int], corpus_kept: Option[Long],
+      corpus_dropped: Option[Long], ann_removed: Option[Long],
+      ann_vacuumed: Option[Long],
+      orphans_vacuumed: Int, resolved_deletes: Option[Long],
+      mirror_from: Option[Long], mirror_to: Option[Long],
+      cdc_from: Option[Long], cdc_to: Option[Long])
+
+  /** Append one [[TickHistoryRow]] for a completed tick to the
+    * versioned history table at `dir` (created on first record). An
+    * O(1-row) delta commit — the daemon's operations log costs one
+    * tiny object + one manifest per tick regardless of table size. */
+  def recordTick(spark: SparkSession, dir: String, r: TickReport,
+      wallMs: Long): Unit = {
+    import spark.implicits._
+    val row = TickHistoryRow(
+      tick = r.tick,
+      ts = new java.sql.Timestamp(System.currentTimeMillis()),
+      wall_ms = wallMs,
+      generated = r.generated,
+      files_loaded = r.load.loaded.size,
+      files_skipped = r.load.skipped.size,
+      files_failed = r.load.failed.size,
+      files_quarantined = r.load.quarantined.size,
+      files_expired = r.expired.size,
+      compacted = r.compacted,
+      vec_loaded = r.vecLoad.map(_.loaded.size),
+      corpus_batches = r.corpus.map(_.batches),
+      corpus_kept = r.corpus.map(_.kept),
+      corpus_dropped = r.corpus.map(_.dropped),
+      ann_removed = r.corpus.map(_.annRemoved),
+      ann_vacuumed = r.corpus.map(_.annVacuumed),
+      orphans_vacuumed = r.vacuumed.size,
+      resolved_deletes = r.resolvedDeletes,
+      mirror_from = r.mirrored.map(_._1), mirror_to = r.mirrored.map(_._2),
+      cdc_from = r.cdcSynced.map(_._1), cdc_to = r.cdcSynced.map(_._2))
+    val df = Seq(row).toDF().coalesce(1)
+    if (VersionedTable.currentVersion(spark, dir).isEmpty)
+      VersionedTable.initDelta(spark, dir, df)
+    else
+      VersionedTable.appendDelta(spark, dir) { stage =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+      }
+  }
 
   /** `runMain graft.lakehouse.Automation <rootDir> [intervalSec]
     * [maxTicks]` — drops land in `<rootDir>/arrivals`, the lakehouse

@@ -1,0 +1,209 @@
+package graft.lakehouse
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table ATOMIC commits: a catalog whose versions pin a
+  * consistent (table → version) map, flipped with ONE single-object
+  * PUT — the cross-table transaction the per-table commit protocol
+  * cannot give (Iceberg gets this from a catalog with multi-table
+  * commit support; Delta historically does not have it at all).
+  * The reference automates several MySQL tables behind one schema
+  * (`check_lakehouse.py:139-160` loads every changed table in one
+  * pass) where cross-table consistency is the database's job; here
+  * the engine IS the store, so the catalog supplies it.
+  *
+  * Layout: `catRoot/_catalog/<N>` — one text object per catalog
+  * version, lines `t\t<name>\t<tableRoot>\t<tableVersion>`. The
+  * object's EXISTENCE is the commit (the VersionedTable manifest
+  * discipline applied one level up); `create(overwrite = false)` is
+  * the arbitration, so two racing transactions can never both
+  * publish the same catalog version.
+  *
+  * Transaction protocol ([[commitAll]]):
+  *   1. every staged write commits a NEW VERSION on its own table —
+  *      durable, crash-safe, but INVISIBLE to catalog readers, who
+  *      resolve table versions only through the catalog;
+  *   2. one catalog PUT publishes the full map: every table of the
+  *      previous snapshot carries over at its pinned version, the
+  *      written tables advance to their new versions.
+  * A crash between 1 and 2 leaves the catalog serving the OLD
+  * snapshot of every table — consistent, nothing half-visible; the
+  * orphaned table versions are ordinary retained history and age out
+  * through each table's own `keepVersions` sweep. A reader holding
+  * snapshot N keeps a consistent multi-table view even while
+  * transactions land, as long as each table's retention covers the
+  * longest reader (the same contract single-table readers already
+  * have).
+  *
+  * Snapshot isolation across tables: [[read]] resolves name → pinned
+  * version through the CURRENT catalog version, taken once per
+  * [[Snapshot]]; two reads through one snapshot can never mix
+  * transaction boundaries. Time travel: [[snapshotAsOf]] re-serves
+  * any retained catalog version.
+  *
+  * Scale: a catalog version is one KB-sized object regardless of
+  * data volume; the flip is O(1); table data is never copied. The
+  * deployment model is single-writer per CATALOG (racing writers are
+  * detected, the loser's table versions become orphaned history) —
+  * same as the per-table protocol.
+  */
+object Catalog {
+
+  /** One staged table write inside a transaction: `write` must
+    * commit a new version on `root` (any VersionedTable commit path —
+    * commit / commitDelta / appendDelta / DML helpers) and return the
+    * committed version number. */
+  final case class TableWrite(name: String, root: String,
+      write: () => Long)
+
+  /** A pinned, immutable multi-table view: table name →
+    * (tableRoot, tableVersion) as of one catalog version. */
+  final case class Snapshot(version: Long,
+      tables: Map[String, (String, Long)]) {
+    def read(spark: SparkSession, name: String): DataFrame = {
+      val (root, v) = tables.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"table '$name' not in catalog snapshot $version " +
+            s"(has: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+      VersionedTable.readVersion(spark, root, v)
+    }
+  }
+
+  /** Another transaction published this catalog version first. */
+  final class CatalogConflictException(msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause)
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def catDir(catRoot: String) = new Path(s"$catRoot/_catalog")
+
+  /** Highest committed catalog version, if any. */
+  def currentVersion(spark: SparkSession, catRoot: String): Option[Long] = {
+    val fs = fsOf(spark, catRoot)
+    val cd = catDir(catRoot)
+    if (!fs.exists(cd)) None
+    else fs.listStatus(cd).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption).maxOption
+  }
+
+  /** The current snapshot; None before the first transaction. */
+  def current(spark: SparkSession, catRoot: String): Option[Snapshot] =
+    currentVersion(spark, catRoot).map(snapshotAsOf(spark, catRoot, _))
+
+  /** Re-serve a retained catalog version (multi-table time travel). */
+  def snapshotAsOf(spark: SparkSession, catRoot: String,
+      version: Long): Snapshot = {
+    val fs = fsOf(spark, catRoot)
+    val p = new Path(catDir(catRoot), version.toString)
+    require(fs.exists(p),
+      s"catalog version $version of $catRoot does not exist")
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val tables = body.split("\n").toSeq.collect {
+      case line if line.startsWith("t\t") =>
+        line.split("\t") match {
+          case Array(_, name, root, v) => name -> (root, v.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed catalog line in $p: '$line'")
+        }
+    }.toMap
+    Snapshot(version, tables)
+  }
+
+  /** Read one table at its catalog-pinned version (current snapshot).
+    * For several consistent reads, take [[current]] ONCE and read
+    * through the snapshot. */
+  def read(spark: SparkSession, catRoot: String, name: String): DataFrame =
+    current(spark, catRoot).getOrElse(throw new IllegalStateException(
+      s"catalog $catRoot has no committed snapshot")).read(spark, name)
+
+  /** Atomic multi-table transaction. Runs every staged write (each
+    * commits a new version on its own table), then flips the catalog
+    * with one PUT: previous snapshot's tables carry over pinned,
+    * written tables advance. Returns the published snapshot.
+    *
+    * If any write throws, nothing is published — the catalog still
+    * serves the previous snapshot of every table, and versions
+    * committed by earlier writes in the list are invisible orphaned
+    * history (aged out by their tables' own retention). If the
+    * catalog PUT loses a race, throws [[CatalogConflictException]]
+    * with the same orphan semantics. */
+  def commitAll(spark: SparkSession, catRoot: String,
+      writes: Seq[TableWrite]): Snapshot = {
+    require(writes.nonEmpty, "empty transaction")
+    require(writes.map(_.name).distinct.size == writes.size,
+      s"duplicate table names in transaction: ${writes.map(_.name)}")
+    val prev = current(spark, catRoot)
+    val committed = writes.map(w => w.name -> (w.root, w.write()))
+    val nextV = prev.map(_.version + 1).getOrElse(0L)
+    val tables = prev.map(_.tables).getOrElse(Map.empty) ++ committed.toMap
+    publish(spark, catRoot, nextV, tables)
+    Snapshot(nextV, tables)
+  }
+
+  /** Register (or re-pin) tables at their CURRENT versions without
+    * writing data — brings pre-existing tables under the catalog. */
+  def register(spark: SparkSession, catRoot: String,
+      tables: Seq[(String, String)]): Snapshot = {
+    require(tables.nonEmpty, "nothing to register")
+    val pinned = tables.map { case (name, root) =>
+      val v = VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '$name' at $root has no committed version"))
+      name -> (root, v)
+    }
+    val prev = current(spark, catRoot)
+    val nextV = prev.map(_.version + 1).getOrElse(0L)
+    val all = prev.map(_.tables).getOrElse(Map.empty) ++ pinned.toMap
+    publish(spark, catRoot, nextV, all)
+    Snapshot(nextV, all)
+  }
+
+  private def publish(spark: SparkSession, catRoot: String, n: Long,
+      tables: Map[String, (String, Long)]): Unit = {
+    val fs = fsOf(spark, catRoot)
+    fs.mkdirs(catDir(catRoot))
+    val body = tables.toSeq.sortBy(_._1)
+      .map { case (name, (root, v)) => s"t\t$name\t$root\t$v" }
+      .mkString("\n")
+    val out =
+      try fs.create(new Path(catDir(catRoot), n.toString), false)
+      catch {
+        case e: java.io.IOException => throw new CatalogConflictException(
+          s"concurrent transaction detected: catalog version $n of " +
+            s"$catRoot was published by another writer", e)
+      }
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Drop retained catalog versions older than the newest `keep`
+    * (table data is untouched — table retention is per-table). */
+  def prune(spark: SparkSession, catRoot: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "keep at least the current catalog version")
+    val fs = fsOf(spark, catRoot)
+    val cd = catDir(catRoot)
+    if (fs.exists(cd)) {
+      val vs = fs.listStatus(cd).toSeq
+        .flatMap(st => st.getPath.getName.toLongOption).sorted
+      vs.dropRight(keep).foreach(v =>
+        fs.delete(new Path(cd, v.toString), false))
+    }
+  }
+
+  /** The snapshot as a relation — (catalog_version, table, root,
+    * version) — backing the `graft_catalog` TVF. */
+  def asDataFrame(spark: SparkSession, catRoot: String): DataFrame = {
+    val snap = current(spark, catRoot).getOrElse(
+      throw new IllegalStateException(
+        s"catalog $catRoot has no committed snapshot"))
+    import spark.implicits._
+    snap.tables.toSeq.sortBy(_._1)
+      .map { case (name, (root, v)) => (snap.version, name, root, v) }
+      .toDF("catalog_version", "table", "root", "version")
+  }
+}

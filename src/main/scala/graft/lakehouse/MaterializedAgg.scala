@@ -90,6 +90,37 @@ object MaterializedAgg {
     * atomic unit: either the new state AND its id are current, or
     * neither). A re-delivered id folds nothing. Returns whether the
     * batch was folded. */
+  /** [[foldBatch]] for a CALLER-BUILT partial — rows already in the
+    * state's physical shape (`keys…, cnt, dec_<sum>…`). This is the
+    * RETRACTION entry: counts and decimal sums fold NEGATIVE partials
+    * exactly (the CdcAggView argument — integer/decimal arithmetic is
+    * associative and invertible), so a caller that derives the exact
+    * rows a batch once contributed can subtract them and the state is
+    * bit-identical to a from-scratch fold of the surviving batches.
+    * Groups whose merged `cnt` reaches 0 are dropped (by exactness
+    * their sums are 0 too — a fully-retracted key vanishes like it
+    * was never folded). HLL distincts cannot retract — refused.
+    * Same exactly-once ledger as [[foldBatch]]. */
+  def foldPartialBatch(spark: SparkSession, root: String,
+      partialRows: DataFrame, spec: Spec, batchId: Long): Boolean = {
+    require(spec.distincts.isEmpty,
+      "HLL distinct sketches cannot retract; foldPartialBatch maintains " +
+        "counts/sums only")
+    if (lastFoldedBatch(spark, root).exists(_ >= batchId)) return false
+    val cur = if (VersionedTable.currentVersion(spark, root).isDefined)
+      Some(VersionedTable.read(spark, root)) else None
+    val merged = cur.map(_.unionByName(partialRows)).getOrElse(partialRows)
+      .groupBy(spec.keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")): _*)
+      .filter(col("cnt") =!= 0L)
+    VersionedTable.commit(spark, root) { stage =>
+      merged.write.mode("overwrite").parquet(stage)
+      VersionedTable.stampBatch(spark, stage, batchId)
+    }
+    true
+  }
+
   def foldBatch(spark: SparkSession, root: String, batch: DataFrame,
       spec: Spec, batchId: Long): Boolean = {
     if (lastFoldedBatch(spark, root).exists(_ >= batchId)) return false

@@ -133,6 +133,82 @@ object RetrievalView {
     spark.read.parquet(files: _*)
   }
 
+  // ---- document removal: EXACT retraction ------------------------
+
+  private def tombstoneFiles(spark: SparkSession, root: String,
+      maxId: Option[Long]): Seq[String] = {
+    val dir = s"$root/tombstones"
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("batch-") && n.endsWith(".parquet"))
+      .filter(n => maxId.forall(m =>
+        n.stripPrefix("batch-").stripSuffix(".parquet").toLong <= m))
+      .sorted.map(n => s"$dir/$n").toSeq
+  }
+
+  /** Pending-removal doc ids (compaction consumes them; None = none). */
+  private def tombstoneIds(spark: SparkSession, root: String,
+      maxId: Option[Long] = None): Option[DataFrame] = {
+    val fs = tombstoneFiles(spark, root, maxId)
+    if (fs.isEmpty) None
+    else Some(spark.read.parquet(fs: _*).select("doc_id").distinct())
+  }
+
+  private def dropTombstoned(spark: SparkSession, root: String,
+      rows: DataFrame): DataFrame =
+    tombstoneIds(spark, root).fold(rows)(t =>
+      rows.join(broadcast(t), Seq("doc_id"), "left_anti"))
+
+  /** REMOVE documents from the maintained index — the retroactive-
+    * curation path (a decontamination or takedown lands AFTER the
+    * docs were folded): publishes the ids as a tombstone object and
+    * RETRACTS exactly the statistics rows those docs once contributed
+    * (their live postings rows → negative per-term df counts; their
+    * dl rows → negative doc/length totals), folded through
+    * [[MaterializedAgg.foldPartialBatch]] — counts and decimal sums
+    * subtract exactly, so after the fold `search` is BIT-IDENTICAL to
+    * an index that never folded those docs (postings/dl rows
+    * tombstone-filter out of every scan; `compact` later purges them
+    * physically and consumes the tombstones). Idempotent by the SAME
+    * monotonic batch-id ledger as [[update]] (the tot fold is the
+    * completion marker; a re-delivered id retracts nothing), and
+    * already-removed ids in a LATER remove batch contribute nothing
+    * (they are excluded before the retraction is derived, so a doc
+    * can never retract twice). Zero-token docs carry no searchable
+    * trace (no postings, no dl row) — removing one only leaves its
+    * +1 in the untokenized nDocs bucket, documented here. Runs in
+    * the single-maintenance-writer window like compact/vacuum. */
+  def remove(spark: SparkSession, root: String, docIds: DataFrame,
+      batchId: Long, idCol: String = "doc_id"): Boolean = {
+    if (VersionedTable.lastFoldedBatch(spark, s"$root/tot")
+        .exists(_ >= batchId)) return false
+    val want = docIds.select(col(idCol).as("doc_id")).na.drop().distinct()
+    val fresh = tombstoneIds(spark, root, Some(batchId - 1))
+      .fold(want)(p => want.join(p, Seq("doc_id"), "left_anti"))
+    publishObject(spark, fresh, s"$root/tombstones", batchId)
+    // derive the EXACT contributed rows from the published id set (so
+    // a crash replay retracts the identical partial)
+    val ids = spark.read
+      .parquet(s"$root/tombstones/batch-$batchId.parquet")
+    val dec = graft.util.Exact.Dec
+    val negDf = readLive(spark, s"$root/postings")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg((count(lit(1)) * lit(-1L)).as("cnt"))
+    MaterializedAgg.foldPartialBatch(spark, s"$root/df", negDf, dfSpec,
+      batchId)
+    val negTot = readLive(spark, s"$root/dl")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(lit(true).as("hast"))
+      .agg((count(lit(1)) * lit(-1L)).as("cnt"),
+        sum(col("dl").cast(dec) * lit(-1)).cast(
+          org.apache.spark.sql.types.DecimalType(38, 6)).as("dec_dl"))
+    MaterializedAgg.foldPartialBatch(spark, s"$root/tot", negTot, totSpec,
+      batchId)
+    true
+  }
+
   /** COMPACT the per-batch postings/dl objects into range-partitioned
     * sorted object sets — the maintenance pass that keeps `search`
     * linear in data, not in fold count (10k daily folds = 10k tiny
@@ -157,6 +233,12 @@ object RetrievalView {
   def compact(spark: SparkSession, root: String): Boolean = {
     val upTo = VersionedTable.lastFoldedBatch(spark, s"$root/tot")
       .getOrElse(return false)
+    // pending removals PURGE during the rewrite — remove() already
+    // retracted their statistics, so dropping their physical rows
+    // changes no search result; the tombstones are consumed once both
+    // dirs' markers land. Every tombstone id rides the shared tot
+    // ledger, so they are all ≤ upTo by construction.
+    val tIds = tombstoneIds(spark, root, Some(upTo))
     var did = false
     for ((dir, sortCols) <- Seq(
         s"$root/postings" -> Seq("term", "doc_id"),
@@ -172,8 +254,12 @@ object RetrievalView {
           !nm.startsWith("batch-") ||
             nm.stripPrefix("batch-").stripSuffix(".parquet").toLong <= upTo
         }
-        if (files.size > 1) {
-          val df = spark.read.parquet(files: _*)
+        // a single live object still rewrites when tombstones are
+        // pending — the purge IS the point of that pass
+        if (files.size > 1 || (tIds.isDefined && files.nonEmpty)) {
+          val df = tIds.fold(spark.read.parquet(files: _*))(t =>
+            spark.read.parquet(files: _*)
+              .join(broadcast(t), Seq("doc_id"), "left_anti"))
           val bytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
           val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
           val width = math.max(1, math.ceil(bytes.toDouble / maxPart).toInt)
@@ -195,6 +281,17 @@ object RetrievalView {
           did = true
         }
       }
+    }
+    // consume tombstones only once BOTH dirs' upTo markers exist (the
+    // physical rows are then provably purged); a crash before this
+    // point leaves tombstones that keep filtering already-absent rows
+    // (harmless) until the next pass consumes them
+    if (tIds.isDefined &&
+        Seq(s"$root/postings", s"$root/dl").forall(d =>
+          fsOf(spark, d).exists(new Path(d, s"_compact-$upTo")))) {
+      val fs = fsOf(spark, root)
+      tombstoneFiles(spark, root, Some(upTo))
+        .foreach(f => fs.delete(new Path(f), false))
     }
     did
   }
@@ -294,9 +391,9 @@ object RetrievalView {
     val terms = qterms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     graft.operators.TextOps.bm25TopK(
-      readLive(spark, s"$root/postings")
-        .filter(col("term").isin(terms: _*)),
-      readLive(spark, s"$root/dl"),
+      dropTombstoned(spark, root, readLive(spark, s"$root/postings")
+        .filter(col("term").isin(terms: _*))),
+      dropTombstoned(spark, root, readLive(spark, s"$root/dl")),
       df, nDocs, avgdl, qterms, k)
   }
 }

@@ -160,6 +160,39 @@ object SqlRunner {
     val vacuumed = if (did) RetrievalView.vacuumCompacted(s, a(0)) else 0
     oneRow(s, Seq("compacted", "vacuumed"), Seq(did, vacuumed.toLong))
   }
+  // retroactive curation from the console: remove docs from the
+  // maintained BM25 index with exact stat retraction (ids CSV; longs
+  // when all-numeric, else strings — matching the folded id type)
+  registerProc("graft_retrieval_remove") { (s, a) =>
+    require(a.size == 3, "graft_retrieval_remove(root, idsCsv, batchId)")
+    import s.implicits._
+    val raw = a(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    require(raw.nonEmpty, "graft_retrieval_remove: empty id list")
+    val ids =
+      if (raw.forall(_.toLongOption.isDefined))
+        raw.map(_.toLong).toDF("doc_id")
+      else raw.toDF("doc_id")
+    val folded = RetrievalView.remove(s, a(0), ids, a(2).toLong)
+    oneRow(s, Seq("folded", "ids"), Seq(folded, raw.size.toLong))
+  }
+  // re-fit the ANN index's geometry on what it serves today and flip
+  // the new generation live atomically — sourceRoot is the
+  // full-precision vector table (a graft root or a plain parquet
+  // dir); the index's own recorded _params supply k/m/layout
+  registerProc("graft_ann_retrain") { (s, a) =>
+    require(a.size >= 2 && a.size <= 3,
+      "graft_ann_retrain(indexPath, sourceRoot[, vacuumOld])")
+    val src =
+      if (VersionedTable.currentVersion(s, a(1)).isDefined)
+        VersionedTable.read(s, a(1))
+      else s.read.parquet(a(1))
+    val gen = graft.operators.VectorIndex.retrainAuto(s, a(0), src)
+    val vac =
+      if (a.lift(2).forall(_.toBoolean))
+        graft.operators.VectorIndex.vacuumGenerations(s, a(0))
+      else 0L
+    oneRow(s, Seq("generation", "vacuumed_roots"), Seq(gen, vac))
+  }
   registerProc("graft_sync_agg") { (s, a) =>
     require(a.size == 4,
       "graft_sync_agg(srcRoot, viewRoot, keysCsv, sumsCsv)")

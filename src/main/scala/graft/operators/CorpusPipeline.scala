@@ -52,7 +52,11 @@ object CorpusPipeline {
       // LLaMA classifier stage): drop docs the trained
       // [[QualityModel]] at `root` scores below minP; runs with the
       // heuristic quality filter, before dedup
-      modelGate: Option[(String, Double)] = None)
+      modelGate: Option[(String, Double)] = None,
+      // true → the Gopher rule suite (q157: word count, mean word
+      // length, alpha ratio, stopword floor) as a hard drop mask,
+      // with the heuristic quality filter, before dedup
+      gopherGate: Boolean = false)
 
   /** Row counts after each stage (each is one count job over the lazy
     * prefix of the flow). `afterDsir`/`afterMixing` are present only
@@ -62,7 +66,8 @@ object CorpusPipeline {
       afterSampling: Long, bins: Long,
       afterDsir: Option[Long] = None, afterMixing: Option[Long] = None,
       splitCounts: Option[Map[String, Long]] = None,
-      afterModelGate: Option[Long] = None)
+      afterModelGate: Option[Long] = None,
+      afterGopher: Option[Long] = None)
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
@@ -86,6 +91,26 @@ object CorpusPipeline {
     * " CAFÉ ") dedup to one canonical form. */
   def canonicalFingerprint(text: Column): Column =
     md5(graft.functions.GraftFunctions.normalizeText(text).cast("binary"))
+
+  /** q157's Gopher rule suite (Rae et al. 2021, arXiv:2112.11446
+    * Table A1) as ONE boolean column over `text` — map-only, the
+    * pipeline's hard drop mask: word count ∈ [50, 100 000], mean word
+    * length ∈ [3, 10], ≥ 80 % of words contain an alphabetic char,
+    * ≥ 2 distinct stopwords. */
+  def gopherPass(text: Column): Column = {
+    val wf = filter(words(text), w => length(w) > 0)
+    val nWords = size(wf).cast("double")
+    val nws = length(regexp_replace(trim(text), "\\s+", "")).cast("double")
+    val mwl = nws / nWords
+    val alphaFrac =
+      size(filter(wf, x => x.rlike("[A-Za-z]"))).cast("double") / nWords
+    val stopHits = size(array_intersect(
+      array_distinct(transform(wf, w => lower(w))),
+      array(Seq("the", "a", "of", "and", "is", "to", "in").map(lit): _*)))
+    nWords >= 50 && nWords <= 100000 &&
+      mwl >= 3.0 && mwl <= 10.0 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+  }
 
   /** q77's duplicate-trigram fraction as a column over `text` —
     * SELF-repetition (templated/boilerplate docs), which cross-doc
@@ -223,11 +248,16 @@ object CorpusPipeline {
       (if (cfg.maxRepetition < 1.0)
         repetitionScore(col("text")) <= cfg.maxRepetition
       else lit(true)))
+    // Gopher rule suite: a map-only hard mask in the same stage tier
+    // as the heuristic score (content-shape gates before dedup)
+    val ruled =
+      if (cfg.gopherGate) scored.filter(gopherPass(col("text")))
+      else scored
     // model-based gate: broadcast-join scoring (QualityModel.score is
     // scan + broadcast join + one doc-keyed aggregate — linear)
-    val gated = cfg.modelGate.fold(scored) { case (root, minP) =>
-      scored.join(
-        QualityModel.score(scored.sparkSession, root, scored)
+    val gated = cfg.modelGate.fold(ruled) { case (root, minP) =>
+      ruled.join(
+        QualityModel.score(ruled.sparkSession, root, ruled)
           .filter(col("quality_p") >= minP).select("doc_id"),
         Seq("doc_id"), "left_semi")
     }
@@ -265,7 +295,8 @@ object CorpusPipeline {
       afterMixing = cfg.mixAlpha.map(_ => mixed.count()),
       splitCounts = cfg.splitFracs.map(_ => divided.groupBy("split")
         .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap),
-      afterModelGate = cfg.modelGate.map(_ => gated.count()))
+      afterModelGate = cfg.modelGate.map(_ => gated.count()),
+      afterGopher = if (cfg.gopherGate) Some(ruled.count()) else None)
     (packed, report)
   }
 }

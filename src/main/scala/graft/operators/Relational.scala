@@ -2454,7 +2454,249 @@ object Relational {
       |FROM scored JOIN m USING (s_abs)
       |GROUP BY s_abs""".stripMargin
 
+  /** q151: SUPPLIER-CONCENTRATION screen per nation — the
+    * Herfindahl–Hirschman index of lineitem revenue across a nation's
+    * suppliers, the standard market-concentration statistic (≈1/k for
+    * k equal suppliers; → 1 as one supplier dominates). In a data
+    * pipeline this is the "one supplier feeds this whole partition"
+    * alarm. Scale shape: ONE fact-sized shuffle (the (suppkey)
+    * pre-aggregate with map-side partials), dims broadcast; the share
+    * math runs over supplier-count-sized rows. Cross-engine equality:
+    * revenue as exact decimals, each squared share rounded to 12 dp
+    * and accumulated as a decimal (double summation order never
+    * matters), final HHI one fixed IEEE rounding. */
+  private val q151: QFn = (s, d) => {
+    val srev = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Dec)).as("srev"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("srev"))
+    val tot = srev.groupBy("nation")
+      .agg(sum(col("srev")).as("trev"), count(lit(1)).as("n_suppliers"))
+    srev.join(broadcast(tot), Seq("nation"))
+      .select(col("nation"), col("n_suppliers"),
+        round(pow(col("srev").cast("double") / col("trev").cast("double"),
+          2.0), 12).as("sh2"))
+      .groupBy("nation")
+      .agg(first(col("n_suppliers")).as("n_suppliers"),
+        sum(col("sh2").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .as("h"))
+      .select(col("nation"), col("n_suppliers"),
+        round(col("h").cast("double"), 6).as("hhi"))
+  }
+  private val q151Sql =
+    """WITH srev AS (
+      |  SELECT n_name AS nation, l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS srev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT nation, SUM(srev) AS trev,
+      |    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |  FROM srev GROUP BY 1)
+      |SELECT nation, n_suppliers,
+      |  ROUND(CAST(SUM(CAST(ROUND(
+      |    POW(CAST(srev AS DOUBLE) / CAST(trev AS DOUBLE), 2), 12)
+      |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS hhi
+      |FROM srev JOIN tot USING (nation)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q153: THEIL INEQUALITY DECOMPOSITION of customer revenue — the
+    * entropy-based inequality index, whose defining property over
+    * Gini (q125) is EXACT additive decomposition: total inequality =
+    * Σ (nation share) · T_within(nation) + T_between(nations). One
+    * row per nation with its within-nation Theil plus its between
+    * contribution — the screen for "is revenue inequality a
+    * within-market or across-market phenomenon". Scale shape: one
+    * fact-sized (custkey) pre-aggregate; everything after runs on
+    * customer- then nation-sized rows with decimal accumulators; no
+    * windows. Cross-engine: each x·ln(x/μ) term rounded to 6 dp and
+    * decimal-summed (q142's libm discipline), finals fixed IEEE. */
+  private val q153: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val crev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("rev"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("rev"))
+    val nat = crev.groupBy("nation")
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("nrev"))
+    val glob = nat.agg(sum(col("n_customers")).as("gn"),
+      sum(col("nrev")).as("grev"))
+    // within: T_g = (1/n_g) Σ_i (x_i/μ_g) ln(x_i/μ_g)
+    val mu = col("nrev").cast("double") / col("n_customers").cast("double")
+    val r = col("rev").cast("double") / mu
+    val within = crev.join(broadcast(nat), Seq("nation"))
+      .select(col("nation"),
+        round(r * log(r), 6).as("t"))
+      .groupBy("nation")
+      .agg(sum(col("t").cast(dec38)).as("st"))
+    // between: nation g contributes s_g ln(μ_g/μ) with s_g = revenue share
+    nat.join(broadcast(within), Seq("nation")).crossJoin(broadcast(glob))
+      .select(col("nation"), col("n_customers"),
+        round(col("st").cast("double") / col("n_customers").cast("double"),
+          6).as("theil_within"),
+        round((col("nrev").cast("double") / col("grev").cast("double")) *
+          log((col("nrev").cast("double") / col("n_customers").cast("double"))
+            / (col("grev").cast("double") / col("gn").cast("double"))), 6)
+          .as("theil_between_part"))
+  }
+  private val q153Sql =
+    """WITH crev AS (
+      |  SELECT n_name AS nation,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, o_custkey),
+      |nat AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    SUM(rev) AS nrev
+      |  FROM crev GROUP BY 1),
+      |gtot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS gn,
+      |    SUM(nrev) AS grev FROM nat),
+      |w AS (
+      |  SELECT nation, SUM(CAST(ROUND(
+      |      (CAST(rev AS DOUBLE) /
+      |        (CAST(nrev AS DOUBLE) / CAST(n_customers AS DOUBLE))) *
+      |      ln(CAST(rev AS DOUBLE) /
+      |        (CAST(nrev AS DOUBLE) / CAST(n_customers AS DOUBLE))), 6)
+      |    AS DECIMAL(38,6))) AS st
+      |  FROM crev JOIN nat USING (nation) GROUP BY 1)
+      |SELECT nation, n_customers,
+      |  ROUND(CAST(st AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+      |    AS theil_within,
+      |  ROUND((CAST(nrev AS DOUBLE) / CAST(grev AS DOUBLE)) *
+      |    ln((CAST(nrev AS DOUBLE) / CAST(n_customers AS DOUBLE)) /
+      |      (CAST(grev AS DOUBLE) / CAST(gn AS DOUBLE))), 6)
+      |    AS theil_between_part
+      |FROM nat JOIN w USING (nation) CROSS JOIN gtot""".stripMargin
+
+  /** q154: TPC-H Q12 shape (shipping modes and order priority) adapted
+    * to this schema — the dataset carries no l_shipmode, so the mode
+    * dimension is l_linestatus and the "late shipment" predicate is
+    * ship-after-order beyond 60 days (q57's established delay axis):
+    * per line-status, how many LATE-shipped lines belonged to
+    * critical-priority orders vs not. The Q12 plan shape is the point:
+    * fact–fact join on orderkey with the fact-side filter pushed below
+    * the join, then one tiny grouped conditional aggregate — no
+    * windows, no subqueries. Integer counts only; hash-exact. */
+  private val q154: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+  }
+  private val q154Sql =
+    """SELECT l_linestatus AS linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND date_diff('day', CAST(o_orderdate AS DATE),
+      |        CAST(l_shipdate AS DATE)) > 60
+      |GROUP BY 1""".stripMargin
+
+  /** q155: SPEARMAN RANK CORRELATION between line quantity and
+    * extended price — the monotone-association screen that survives
+    * outliers and nonlinearity where q134's Pearson does not. The
+    * whole computation is INTEGER-EXACT until the final ratio:
+    * midranks come from per-distinct-value counts + distributed
+    * prefix sums (`RankOps.withGroupedPrefixSum`, q141's discipline —
+    * no per-row window, a 100-TB fact never serializes through one
+    * task), each row's DOUBLED midrank 2r = 2·cumBefore + count + 1
+    * is an exact integer, and all five regression moments (Σx, Σy,
+    * Σx², Σy², Σxy over the doubled ranks) fold as DECIMAL(38,0) —
+    * n·(2n)² ≈ 4n³ stays inside 38 digits to n ≈ 10¹¹ rows. Spearman
+    * ρ is then ONE fixed IEEE expression over those exact integers;
+    * ties handled exactly by construction (midranks ARE the tie
+    * correction). Scale shape: two tiny distinct-value rank tables
+    * (quantity has ~50 values; price ranks shuffle-join back on
+    * value), one fact-sized moment fold. Hash-exact. */
+  private val q155: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def rankTable(c: String): DataFrame = {
+      val pv = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("one", lit(1))
+      RankOps.withGroupedPrefixSum(pv, Seq("one"), Seq(c),
+          valueCol = "cnt", sumCol = "cum")
+        .select(col(c), (col("cum") * 2 + col("cnt") + 1).as(s"r2_$c"))
+    }
+    val withRanks = base
+      .join(rankTable("x"), Seq("x"))
+      .join(rankTable("y"), Seq("y"))
+      .select(col("r2_x").cast(dec38).as("rx"),
+        col("r2_y").cast(dec38).as("ry"))
+    val m = withRanks.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    val nd = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val cov = nd * dd("sxy") - dd("sx") * dd("sy")
+    val vx = nd * dd("sxx") - dd("sx") * dd("sx")
+    val vy = nd * dd("syy") - dd("sy") * dd("sy")
+    m.select(col("n"), round(cov / sqrt(vx * vy), 6).as("spearman_rho"))
+  }
+  private val q155Sql =
+    """WITH base AS (
+      |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+      |rx AS (
+      |  SELECT x, CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS DECIMAL(38,0)) AS r2_x
+      |  FROM (SELECT x, COUNT(*) AS cnt FROM base GROUP BY 1) t),
+      |ry AS (
+      |  SELECT y, CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS DECIMAL(38,0)) AS r2_y
+      |  FROM (SELECT y, COUNT(*) AS cnt FROM base GROUP BY 1) t),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(r2_x) AS sx, SUM(r2_y) AS sy,
+      |    SUM(r2_x * r2_x) AS sxx, SUM(r2_y * r2_y) AS syy,
+      |    SUM(r2_x * r2_y) AS sxy
+      |  FROM base JOIN rx USING (x) JOIN ry USING (y))
+      |SELECT n,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS spearman_rho
+      |FROM m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q154_priority_class" -> q154,
+    "q155_spearman" -> q155,
+    "q151_hhi" -> q151,
+    "q153_theil" -> q153,
     "q147_seasonality" -> q147,
     "q148_changepoint" -> q148,
     "q145_ab_test" -> q145,
@@ -2526,6 +2768,10 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q154_priority_class" -> q154Sql,
+    "q155_spearman" -> q155Sql,
+    "q151_hhi" -> q151Sql,
+    "q153_theil" -> q153Sql,
     "q147_seasonality" -> q147Sql,
     "q148_changepoint" -> q148Sql,
     "q145_ab_test" -> q145Sql,

@@ -1859,7 +1859,330 @@ object TextOps {
       |    AS sigma
       |FROM m""".stripMargin
 
+  /** q152: HEAPS'-LAW VOCABULARY GROWTH per source — the log–log
+    * regression exponent β of distinct-vocabulary size against
+    * cumulative token count (V ≈ k·N^β; natural text sits near
+    * 0.4–0.6). The corpus-health complement of q142's Zipf slope:
+    * a source whose β collapses stopped contributing new vocabulary
+    * (template/boilerplate flood); β near 1 is id-like junk where
+    * every token is new. Scale shape: "vocabulary so far" is NOT a
+    * distinct-count per prefix — each term charges its FIRST document
+    * (one min-aggregate), so cumV is a plain prefix sum of per-doc
+    * new-term counts; both running sums use [[RankOps]]'
+    * two-pass grouped prefix scheme (no per-source unbounded window
+    * ever serializes a source through one task), and the regression
+    * folds 4 decimal moment sums map-side. Cross-engine: ln rounded
+    * to 6 dp per point, moment products rounded then decimal-summed,
+    * β one fixed IEEE expression (the q142 discipline). */
+  private val q152: QFn = (s, d) => {
+    val dec = graft.util.Exact.Dec
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), words(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // each distinct (source, term) charges the first doc it appears in
+    val firsts = docs
+      .select(col("source"), col("doc_id"), explode(col("toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("source"), col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val perDoc = docs
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .join(firsts, Seq("source", "doc_id"), "left")
+      .na.fill(0L, Seq("n_new"))
+    val cumN = RankOps.withGroupedPrefixSum(perDoc, Seq("source"),
+      Seq("doc_id"), valueCol = "n_tok", sumCol = "pn")
+    val cum = RankOps.withGroupedPrefixSum(cumN, Seq("source"),
+      Seq("doc_id"), valueCol = "n_new", sumCol = "pv")
+      .select(col("source"),
+        (col("pn") + col("n_tok")).as("cum_n"),
+        (col("pv") + col("n_new")).as("cum_v"))
+      .filter(col("cum_v") > 0)
+    val pts = cum.select(col("source"),
+      round(log(col("cum_n").cast("double")), 6).as("x"),
+      round(log(col("cum_v").cast("double")), 6).as("y"))
+    pts.groupBy("source")
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(dec)).as("sxy"),
+        sum(round(col("x") * col("x"), 6).cast(dec)).as("sxx"))
+      .select(col("source"), col("n_points"),
+        round((col("n_points") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_points") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("heaps_beta"))
+  }
+  private val q152Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+      |firsts AS (
+      |  SELECT source, first_doc AS doc_id, COUNT(*) AS n_new
+      |  FROM (SELECT source, term, MIN(doc_id) AS first_doc
+      |    FROM (SELECT source, doc_id, unnest(toks) AS term FROM docs) u
+      |    WHERE len(term) > 0 GROUP BY 1, 2) f
+      |  GROUP BY 1, 2),
+      |per_doc AS (
+      |  SELECT d.source, d.doc_id,
+      |    CAST(len(d.toks) AS BIGINT) AS n_tok,
+      |    COALESCE(n_new, 0) AS n_new
+      |  FROM docs d LEFT JOIN firsts USING (source, doc_id)),
+      |cum AS (
+      |  SELECT source,
+      |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_n,
+      |    SUM(n_new) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_v
+      |  FROM per_doc),
+      |pts AS (
+      |  SELECT source,
+      |    ROUND(ln(CAST(cum_n AS DOUBLE)), 6) AS x,
+      |    ROUND(ln(CAST(cum_v AS DOUBLE)), 6) AS y
+      |  FROM cum WHERE cum_v > 0),
+      |m AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+      |    SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS sxy,
+      |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS sxx
+      |  FROM pts GROUP BY 1)
+      |SELECT source, n_points,
+      |  ROUND((n_points * CAST(sxy AS DOUBLE) -
+      |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (n_points * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS heaps_beta
+      |FROM m""".stripMargin
+
+  /** q156: PER-SOURCE JENSEN–SHANNON DIVERGENCE between the source's
+    * unigram distribution and the whole-corpus distribution — the
+    * bounded, symmetric distribution-drift alarm (0 = identical,
+    * ln 2 = disjoint) that answers "which ingest stream stopped
+    * looking like the corpus" where q142/q152's power-law exponents
+    * answer "stopped looking like language". The key scale identity:
+    * terms ABSENT from a source contribute exactly
+    * 0.5·ln2·(1 − Σ_{t∈S} q_t) in closed form (p=0 ⇒ the term's
+    * mixture is q/2), so the sum runs ONLY over (source, term) pairs
+    * that exist — never |sources| × |vocabulary|. One data-sized
+    * explode+aggregate, a vocabulary-sized join back on term, and
+    * K-row folds; the absent-mass term needs just Σ q_t over present
+    * terms, which is an exact INTEGER sum of corpus counts.
+    * Cross-engine: p and q are long-derived IEEE doubles, each
+    * per-term contribution rounds to 12 dp into a DECIMAL(38,12)
+    * accumulator, the absent-mass expression is fixed IEEE with ln 2
+    * pinned to its 6-dp literal; hash-exact. */
+  private val q156: QFn = (s, d) => {
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+    val corpus = tf.groupBy("term").agg(sum(col("cs")).as("c"))
+    val srcTot = tf.groupBy("source")
+      .agg(sum(col("cs")).as("ns"), count(lit(1)).as("n_terms"))
+    val tot = corpus.agg(sum(col("c")).as("n"))
+    val p = col("cs").cast("double") / col("ns").cast("double")
+    val q = col("c").cast("double") / col("n").cast("double")
+    val contrib = lit(0.5) * p * log(lit(2.0) * p / (p + q)) +
+      lit(0.5) * q * log(lit(2.0) * q / (p + q))
+    val present = tf.join(corpus, Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_terms"), col("n"),
+        round(contrib, 12).cast(dec12).as("t"), col("c"))
+      .groupBy("source")
+      .agg(first(col("n_terms")).as("n_terms"), first(col("n")).as("n"),
+        sum(col("t")).as("pres"), sum(col("c")).as("cpres"))
+    present.select(col("source"), col("n_terms"),
+      round(col("pres").cast("double") + lit(0.5) * lit(0.693147) *
+        (lit(1.0) - col("cpres").cast("double") / col("n").cast("double")),
+        6).as("jsd"))
+  }
+  private val q156Sql =
+    """WITH t AS (SELECT source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS cs
+      |  FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+      |corpus AS (SELECT term, SUM(cs) AS c FROM tf GROUP BY 1),
+      |src AS (SELECT source, SUM(cs) AS ns,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM tf GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS n FROM corpus),
+      |pres AS (
+      |  SELECT source, n_terms, n,
+      |    SUM(CAST(ROUND(
+      |      0.5 * (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)) *
+      |        ln(2.0 * (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)) /
+      |          ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)) +
+      |           (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) +
+      |      0.5 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        ln(2.0 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |          ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)) +
+      |           (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))), 12)
+      |      AS DECIMAL(38,12))) AS pres,
+      |    SUM(c) AS cpres
+      |  FROM tf JOIN corpus USING (term) JOIN src USING (source)
+      |    CROSS JOIN tot
+      |  GROUP BY 1, 2, 3)
+      |SELECT source, n_terms,
+      |  ROUND(CAST(pres AS DOUBLE) + 0.5 * 0.693147 *
+      |    (1.0 - CAST(cpres AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS jsd
+      |FROM pres""".stripMargin
+
+  /** q157: GOPHER-STYLE RULE-BASED QUALITY GATE (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1 — the published heuristic filter suite
+    * every large text pipeline runs before model-based scoring):
+    * per-document pass/fail on four of the classic rules — word count
+    * in [50, 100 000], mean word length in [3, 10], ≥ 80 % of words
+    * containing an alphabetic character, ≥ 2 distinct stopword hits —
+    * rolled up per source as failure counts and the overall pass
+    * rate (the per-SOURCE health view an ingest dashboard wants; the
+    * per-doc verdicts are the pipeline's drop mask). Map-only per-doc
+    * feature math (no explode — word counts and alpha fractions come
+    * from array HOFs on the split column), one K-row rollup;
+    * mean-word-length avoids a per-word aggregate entirely:
+    * non-whitespace chars / word count. Integer counts + one 6-dp
+    * ratio; hash-exact. */
+  private val q157: QFn = (s, d) => {
+    val wf = filter(words(col("text")), w => length(w) > 0)
+    val base = Tables.documents(s, d)
+      .withColumn("wf", wf)
+      .withColumn("n_words", size(col("wf")).cast("long"))
+      .withColumn("nws_chars",
+        length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long"))
+      .withColumn("n_alpha",
+        size(expr("filter(wf, x -> x rlike '[A-Za-z]')")).cast("long"))
+      .withColumn("stop_hits",
+        size(array_intersect(
+          array_distinct(transform(col("wf"), w => lower(w))),
+          array(Seq("the", "a", "of", "and", "is", "to", "in")
+            .map(lit): _*))).cast("long"))
+    val f1 = col("n_words") < 50 || col("n_words") > 100000
+    val mwl = col("nws_chars").cast("double") / col("n_words").cast("double")
+    val f2 = col("n_words") === 0 || mwl < 3.0 || mwl > 10.0
+    val af = col("n_alpha").cast("double") / col("n_words").cast("double")
+    val f3 = col("n_words") === 0 || af < 0.8
+    val f4 = col("stop_hits") < 2
+    base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(f1, 1L).otherwise(0L)).as("fail_word_count"),
+      sum(when(f2, 1L).otherwise(0L)).as("fail_mean_word_len"),
+      sum(when(f3, 1L).otherwise(0L)).as("fail_alpha_ratio"),
+      sum(when(f4, 1L).otherwise(0L)).as("fail_stopwords"),
+      sum(when(!f1 && !f2 && !f3 && !f4, 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs").cast("double"), 6))
+  }
+  private val q157Sql =
+    """WITH base AS (
+      |  SELECT source,
+      |    CAST(len(wf) AS BIGINT) AS n_words,
+      |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+      |      AS BIGINT) AS nws_chars,
+      |    CAST(len(list_filter(wf, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_intersect(
+      |      list_distinct(list_transform(wf, x -> lower(x))),
+      |      ['the','a','of','and','is','to','in'])) AS BIGINT) AS stop_hits
+      |  FROM (SELECT source, text,
+      |      list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> len(x) > 0) AS wf
+      |    FROM documents) t),
+      |flags AS (
+      |  SELECT source,
+      |    (n_words < 50 OR n_words > 100000) AS f1,
+      |    (n_words = 0 OR CAST(nws_chars AS DOUBLE) / n_words < 3.0
+      |      OR CAST(nws_chars AS DOUBLE) / n_words > 10.0) AS f2,
+      |    (n_words = 0 OR CAST(n_alpha AS DOUBLE) / n_words < 0.8) AS f3,
+      |    (stop_hits < 2) AS f4
+      |  FROM base)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS fail_word_count,
+      |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS fail_mean_word_len,
+      |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS fail_alpha_ratio,
+      |  CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS fail_stopwords,
+      |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  ROUND(CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pass_rate
+      |FROM flags GROUP BY 1""".stripMargin
+
+  /** q158: BIGRAM LANGUAGE-MODEL SURPRISAL per document — the CCNet/
+    * CC-MultiLingual move (Wenzek et al. 2020): score every document's
+    * cross-entropy under an n-gram LM and gate on it (high = junk or
+    * off-distribution, suspiciously low = boilerplate); here the LM is
+    * add-one-smoothed bigrams trained on the corpus itself (the
+    * self-perplexity screen), p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) — the
+    * bigram extension of q94's unigram surprisal. Scale shape: ONE
+    * data-sized bigram explode (adjacent-pair zip of the split column
+    * — no self-join), the model is the vocabulary-bounded bigram-count
+    * table joined back by (w₁,w₂), context counts and V are
+    * model-sized folds, per-doc scores one aggregate. Cross-engine:
+    * all counts integer-exact, each bigram's −ln p rounds to 6 dp
+    * (the q94 libm discipline) into the exact decimal accumulator,
+    * final ratio fixed IEEE; hash-exact. */
+  private val q158: QFn = (s, d) => {
+    val wf = filter(words(col("text")), w => length(w) > 0)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), wf.as("l"))
+    val bg = docs.filter(size(col("l")) >= 2)
+      .withColumn("bgs", expr(
+        "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), " +
+          "(x, y) -> named_struct('w1', x, 'w2', y))"))
+      .select(col("doc_id"), explode(col("bgs")).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_b"))
+    val model = bg.groupBy("w1", "w2").agg(sum(col("n_b")).as("c12"))
+    val ctx = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = docs.select(explode(col("l")).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    val nll = round(log((col("c1").cast("double") + col("v")) /
+      (col("c12").cast("double") + lit(1.0))), 6)
+    bg.join(model, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n_b"),
+        (col("n_b") * nll).cast(graft.util.Exact.Dec).as("t"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_b")).as("n_bigrams"),
+        round(sum(col("t")).cast("double") / sum(col("n_b")), 6)
+          .as("avg_nll"))
+  }
+  private val q158Sql =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> len(x) > 0) AS l
+      |  FROM documents),
+      |bg0 AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+      |  FROM w, unnest(range(1, len(l))) AS t(i)
+      |  WHERE len(l) >= 2),
+      |bg AS (SELECT doc_id, w1, w2, COUNT(*) AS n_b
+      |  FROM bg0 GROUP BY 1, 2, 3),
+      |model AS (SELECT w1, w2, SUM(n_b) AS c12 FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, SUM(c12) AS c1 FROM model GROUP BY 1),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+      |  FROM (SELECT unnest(l) AS term FROM w) u)
+      |SELECT doc_id, CAST(SUM(n_b) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(n_b * ROUND(ln(
+      |      (CAST(c1 AS DOUBLE) + v) / (CAST(c12 AS DOUBLE) + 1.0)), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE) / SUM(n_b), 6) AS avg_nll
+      |FROM bg JOIN model USING (w1, w2) JOIN ctx USING (w1)
+      |  CROSS JOIN vocab
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q156_jsd_drift" -> q156,
+    "q157_gopher_rules" -> q157,
+    "q158_bigram_surprisal" -> q158,
+    "q152_heaps_beta" -> q152,
     "q150_length_lognormal" -> q150,
     "q142_zipf_slope" -> q142,
     "q138_epoch_plan" -> q138,
@@ -1898,6 +2221,10 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q156_jsd_drift" -> q156Sql,
+    "q157_gopher_rules" -> q157Sql,
+    "q158_bigram_surprisal" -> q158Sql,
+    "q152_heaps_beta" -> q152Sql,
     "q150_length_lognormal" -> q150Sql,
     "q142_zipf_slope" -> q142Sql,
     "q138_epoch_plan" -> q138Sql,

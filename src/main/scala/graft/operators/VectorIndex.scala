@@ -70,6 +70,9 @@ object VectorIndex {
     val spark = emb.sparkSession
     val cents = KMeansVec.train(emb, k, iters, trainSample)
     buildWith(emb, path, KMeansVec.centroidsDF(spark, cents))
+    writeParams(spark, dataRoot(spark, path), Seq(
+      "kind" -> "ivf", "k" -> k.toString, "iters" -> iters.toString,
+      "trainSample" -> trainSample.toString))
   }
 
   /** Persist an index with PRE-TRAINED centroids (shared by [[build]]
@@ -390,6 +393,67 @@ object VectorIndex {
     next
   }
 
+  /** The index's recorded build parameters ([[build]]/[[buildPQ]]
+    * write a `_params` file beside the data they commit), read from
+    * the LIVE generation. Empty for indexes built before params were
+    * recorded or assembled via the `*With` model-reuse entry points. */
+  def params(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(
+      s"${dataRoot(spark, path)}/_params")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.split("\n").toSeq.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+    }
+  }
+
+  private def writeParams(spark: SparkSession, root: String,
+      kv: Seq[(String, String)]): Unit = {
+    val fs = fsOf(spark, root)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_params"), true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** [[retrain]] driven by the index's OWN recorded `_params` — the
+    * self-describing form: no caller has to remember (or can get
+    * wrong) the k/m/ksub/layout the index was built with. This is
+    * what the `graft_ann_retrain` SQL proc issues. Refuses loudly on
+    * an index with no recorded params. */
+  def retrainAuto(spark: SparkSession, path: String,
+      source: DataFrame): Long = {
+    val ps = params(spark, path)
+    require(ps.nonEmpty,
+      s"no recorded build params at $path (index predates recorded " +
+        "params or was assembled via buildWith/buildPQWith) — call " +
+        "retrain(...) with an explicit build function instead")
+    val k = ps("k").toInt
+    val iters = ps("iters").toInt
+    val ts = ps.getOrElse("trainSample", "0").toInt
+    ps("kind") match {
+      case "ivf" =>
+        retrain(spark, path, source,
+          (df, p) => build(df, p, k, iters, ts))
+      case "ivfpq" =>
+        retrain(spark, path, source, (df, p) =>
+          buildPQ(df, p, k, ps("m").toInt, ps("ksub").toInt, iters,
+            residual = ps("residual").toBoolean,
+            packed = ps("packed").toBoolean,
+            opq = ps("opq").toBoolean, trainSample = ts))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown index kind '$other' recorded at $path")
+    }
+  }
+
   /** Delete SUPERSEDED generation data: every committed `g<M>` below
     * the live one, plus the flat legacy dirs once a generation has
     * taken over. Separate from [[retrain]] so readers mid-scan on the
@@ -406,7 +470,7 @@ object VectorIndex {
     }
     val legacy = Seq("lists", "codes", "centroids", "codebook", "rotation",
       "tombstones", "_residual", "_packed", "_rotation", "_staging",
-      "_vacuum_stage", "_listcompact_stage", "_tombstones_new")
+      "_vacuum_stage", "_listcompact_stage", "_tombstones_new", "_params")
     val hadFlat = legacy.exists(s =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$s")))
     legacy.foreach { s =>
@@ -477,6 +541,11 @@ object VectorIndex {
           m, ksub, iters, n)
       } else VectorPQ.train(table, m, ksub, iters, trainSample)
     buildPQWith(emb, path, cents, codebook, residual, packed, rot)
+    writeParams(spark, dataRoot(spark, path), Seq(
+      "kind" -> "ivfpq", "k" -> k.toString, "m" -> m.toString,
+      "ksub" -> ksub.toString, "iters" -> iters.toString,
+      "residual" -> residual.toString, "packed" -> packed.toString,
+      "opq" -> opq.toString, "trainSample" -> trainSample.toString))
   }
 
   /** (vec_id, embedding = v − its coarse centroid, cent_id): the

@@ -77,6 +77,39 @@ class LakehouseSpec extends SparkSpec {
     assert(!t.isAlive)
   }
 
+  test("automation tick history: one durable metrics row per completed tick") {
+    val root = tmpDir("autohist")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    val cfg = Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/registry", rowsPerDrop = 50,
+      retainEvery = 2, retentionDays = 0, compactEvery = 3,
+      historyDir = Some(s"$root/hist"))
+    val auto = new Automation(spark, cfg)
+    val reports = (1 to 3).map(_ => auto.tick())
+    val hist = VersionedTable.read(spark, s"$root/hist")
+      .orderBy("tick").collect()
+    assert(hist.length == 3)
+    // counters mirror the reports; wall time covers real work
+    reports.zip(hist).foreach { case (r, row) =>
+      assert(row.getAs[Long]("tick") == r.tick)
+      assert(row.getAs[Int]("files_loaded") == r.load.loaded.size)
+      assert(row.getAs[Int]("files_expired") == r.expired.size)
+      assert(row.getAs[Long]("wall_ms") >= 0L)
+    }
+    // NULL = stage not scheduled that tick, distinct from "fired, 0"
+    assert(hist(0).isNullAt(hist(0).fieldIndex("compacted")))
+    assert(!hist(2).isNullAt(hist(2).fieldIndex("compacted")))
+    assert(hist.forall(_.isNullAt(hist(0).fieldIndex("corpus_kept"))))
+    // the SQL surface: trend one-liners over the TVF
+    graft.functions.GraftFunctions.registerTableFunctions(spark)
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS n, sum(files_loaded) AS fl " +
+      s"FROM graft_ticks('$root/hist')").head()
+    assert(viaSql.getLong(0) == 3L)
+    assert(viaSql.getLong(1) == reports.map(_.load.loaded.size).sum)
+  }
+
   test("automation tick maintains the persisted IVF index incrementally") {
     import graft.operators.VectorIndex
     val root = tmpDir("autoidx")
@@ -981,6 +1014,71 @@ class LakehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       RetrievalView.search(spark, tmpDir("retrv-none") + "/ix", qterms)
     }
+  }
+
+  test("RetrievalView.remove: exact retraction — search ≡ an index " +
+      "that never folded the docs; compaction purges and consumes " +
+      "tombstones") {
+    import spark.implicits._
+    val root = tmpDir("retrvrm") + "/ix"
+    val docs = Tables.documents(spark, sfDir)
+    val qterms = graft.operators.TextOps.bm25Queries(spark)
+    assert(RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 2 === 0), 1L))
+    assert(RetrievalView.update(spark, root,
+      docs.filter(col("doc_id") % 2 === 1), 2L))
+    def results(r: String) = RetrievalView.search(spark, r, qterms, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    // victims: two docs currently IN the results, so the removal is
+    // visible, plus one doc outside them (stats-only effect)
+    val hits = RetrievalView.search(spark, root, qterms, k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).distinct
+    val victims = hits.take(2).toSeq :+ 4L
+    assert(RetrievalView.remove(spark, root, victims.toDF("doc_id"), 3L))
+    val after = results(root)
+    assert(victims.take(2).forall(v =>
+      !after.exists(_.contains(s",$v,"))), "removed docs must vanish")
+    // BIT-IDENTICAL to an index that never folded the victims: df,
+    // nDocs, avgdl all retracted exactly, not just rows filtered
+    val ref1 = tmpDir("retrvrm-ref1") + "/ix"
+    assert(RetrievalView.update(spark, ref1,
+      docs.filter(!col("doc_id").isin(victims: _*)), 1L))
+    assert(after == results(ref1))
+    // re-delivered remove id retracts nothing
+    assert(!RetrievalView.remove(spark, root, victims.toDF("doc_id"), 3L))
+    assert(results(root) == after)
+    // a LATER remove repeating an already-removed id must not
+    // double-retract it
+    val more = Seq(victims.head, 6L)
+    assert(RetrievalView.remove(spark, root, more.toDF("doc_id"), 4L))
+    val gone = (victims ++ more).distinct
+    val ref2 = tmpDir("retrvrm-ref2") + "/ix"
+    assert(RetrievalView.update(spark, ref2,
+      docs.filter(!col("doc_id").isin(gone: _*)), 1L))
+    val after2 = results(root)
+    assert(after2 == results(ref2))
+    // compaction PURGES the tombstoned rows physically and consumes
+    // the tombstones; search is unchanged
+    assert(RetrievalView.compact(spark, root))
+    assert(results(root) == after2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val tdir = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    assert(!fs.exists(tdir) || fs.listStatus(tdir)
+      .forall(!_.getPath.getName.startsWith("batch-")),
+      "compaction must consume the tombstones it purged")
+    assert(RetrievalView.vacuumCompacted(spark, root) > 0)
+    assert(spark.read.parquet(s"$root/dl")
+      .filter(col("doc_id").isin(gone: _*)).count() == 0,
+      "purged rows must be physically gone from the compacted objects")
+    // the SQL proc drives the same retraction
+    val (pr, _) = SqlRunner.callProc(spark, "graft_retrieval_remove",
+      Seq(root, "8", "5"))
+    assert(pr.head.getBoolean(0))
+    val ref3 = tmpDir("retrvrm-ref3") + "/ix"
+    assert(RetrievalView.update(spark, ref3,
+      docs.filter(!col("doc_id").isin(gone :+ 8L: _*)), 1L))
+    assert(results(root) == results(ref3))
   }
 
   test("RetrievalView.compact: marker-gated object consolidation — " +

@@ -1064,6 +1064,57 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("vec_id") === victim).count() == 0)
   }
 
+  test("self-describing index: recorded params drive retrainAuto and the SQL proc") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = tmpDir("graft-ivf-auto")
+    VectorIndex.build(emb.filter(col("vec_id") < 60), path, k = 5, iters = 4)
+    assert(VectorIndex.params(spark, path) == Map(
+      "kind" -> "ivf", "k" -> "5", "iters" -> "4", "trainSample" -> "0"))
+    VectorIndex.add(spark, path, emb.filter(col("vec_id") >= 60))
+    // the SQL proc reads the index's OWN recorded knobs — no caller
+    // restates (or mis-states) k/iters; source given as a plain
+    // parquet dir; default vacuums the superseded generation
+    val srcDir = tmpDir("graft-ivf-auto-src")
+    emb.write.mode("overwrite").parquet(srcDir)
+    val (pr, _) = graft.lakehouse.SqlRunner.callProc(spark,
+      "graft_ann_retrain", Seq(path, srcDir))
+    val prRow = pr.head()
+    assert(prRow.getAs[Long]("generation") == 1L)
+    assert(prRow.getAs[Long]("vacuumed_roots") >= 1L)
+    assert(!new java.io.File(s"$path/lists").exists())
+    // refit equals an explicit full-corpus build with the same knobs
+    val twin = tmpDir("graft-ivf-auto-twin")
+    VectorIndex.build(emb, twin, k = 5, iters = 4)
+    val probes = emb.filter(col("vec_id") < 5)
+    def full(p: String) = VectorIndex
+      .search(spark, p, probes, nprobe = 5, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full(path) == full(twin) && full(path).nonEmpty)
+    // params carried into the committed generation → retrain can be
+    // re-issued forever
+    assert(VectorIndex.params(spark, path)("k") == "5")
+    // PQ params round-trip with the full layout flags
+    val pqPath = tmpDir("graft-ivfpq-auto")
+    VectorIndex.buildPQ(emb, pqPath, k = 6, m = 16, ksub = 16, iters = 3,
+      residual = true, packed = true)
+    val ps = VectorIndex.params(spark, pqPath)
+    assert(ps("kind") == "ivfpq" && ps("m") == "16" &&
+      ps("residual") == "true" && ps("packed") == "true" &&
+      ps("opq") == "false")
+    assert(VectorIndex.retrainAuto(spark, pqPath, emb) == 1L)
+    assert(VectorIndex.isPQ(spark, pqPath),
+      "retrainAuto must preserve the PQ layout")
+    // a pre-params index refuses loudly instead of guessing knobs
+    val legacy = tmpDir("graft-ivf-legacy")
+    VectorIndex.build(emb, legacy, k = 5, iters = 3)
+    new java.io.File(s"$legacy/_params").delete()
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.retrainAuto(spark, legacy, emb)
+    }
+    assert(err.getMessage.contains("no recorded build params"))
+  }
+
   test("index retrain: atomic generation flip rebuilds from live content only") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)

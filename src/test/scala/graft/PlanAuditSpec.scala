@@ -182,6 +182,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(f146.forall(_.kind == "single-partition-window"), f146.toString)
   }
 
+  test("PlanLint sweep of q151-q153: concentration/Heaps/Theil scale paths") {
+    import graft.util.PlanLint
+    // q151's share pass joins a nation-count-sized broadcast aggregate
+    // back on its key; q152's running sums go through RankOps'
+    // two-pass prefix scheme — both fully clean
+    assert(PlanLint.check(
+      Relational.queries("q151_hhi")(spark, sfDir)).isEmpty, "q151")
+    assert(PlanLint.check(
+      graft.operators.TextOps.queries("q152_heaps_beta")(spark, sfDir))
+      .isEmpty, "q152")
+    // q153 cross-joins the ONE-ROW grand-total scalar onto the
+    // nation-sized aggregate — multiplies by exactly 1 at any data
+    // size (q137/q140/q144's established shape)
+    val f = PlanLint.check(Relational.queries("q153_theil")(spark, sfDir))
+    assert(f.forall(_.kind == "cartesian"), f.toString)
+  }
+
+  test("PlanLint sweep of q154-q158: Q12/Spearman/JSD/Gopher/bigram-LM " +
+      "scale paths") {
+    import graft.util.PlanLint
+    // q154 is a plain fact-fact join + tiny grouped conditional agg;
+    // q157 is map-only per-doc features + a K-row rollup — fully clean
+    assert(PlanLint.check(
+      Relational.queries("q154_priority_class")(spark, sfDir))
+      .isEmpty, "q154")
+    assert(PlanLint.check(
+      graft.operators.TextOps.queries("q157_gopher_rules")(spark, sfDir))
+      .isEmpty, "q157")
+    // q155's rank tables shuffle-join back on value (no windows over
+    // the fact — midranks ride RankOps' two-pass prefix sums)
+    assert(PlanLint.check(
+      Relational.queries("q155_spearman")(spark, sfDir)).isEmpty, "q155")
+    // q156/q158 cross-join a ONE-ROW broadcast scalar (the corpus
+    // total / vocabulary size) — multiplies by exactly 1 at any data
+    // size (q137/q140/q144/q153's established shape)
+    Seq("q156_jsd_drift", "q158_bigram_surprisal").foreach { q =>
+      val f = PlanLint.check(
+        graft.operators.TextOps.queries(q)(spark, sfDir))
+      assert(f.forall(_.kind == "cartesian"), s"$q: $f")
+    }
+  }
+
   test("session-wired lint rule records findings when enabled") {
     import graft.util.PlanLint
     // the extensions inject LintRule into this session (SparkSpec sets

@@ -1108,6 +1108,64 @@ class PropertySpec extends SparkSpec {
     check(prop, 6)
   }
 
+  test("property: index generation lifecycle tracks a live-id model " +
+      "under random add/remove/vacuum/retrain sequences") {
+    import graft.operators.VectorIndex
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    def batch(i: Int) = emb.filter(col("vec_id") >= 40 + i * 20 &&
+      col("vec_id") < 60 + i * 20)
+    val batchIds = (0 to 2).map(i => (40 + i * 20).toLong until
+      (60 + i * 20).toLong).map(_.toSet)
+    // probe id OUTSIDE the corpus: search excludes self-matches, so a
+    // real vec_id as probe would hide itself from the membership oracle
+    val probe = emb.filter(col("vec_id") === 0L)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    // membership oracle through the PUBLIC search surface: probing
+    // every list with k >> corpus returns exactly the live ids
+    def liveIds(path: String): Set[Long] =
+      VectorIndex.search(spark, path, probe, nprobe = 3, k = 10000)
+        .select("neighbor_id").as[Long].collect().toSet
+    // ops: 0 = add next batch, 1 = remove a live id, 2 = vacuum
+    // tombstones, 3 = retrainAuto (geometry refit + generation flip),
+    // 4 = vacuum superseded generations
+    val genOps = Gen.listOfN(6, Gen.chooseNum(0, 4))
+    var caseId = 0
+    val prop = Prop.forAll(genOps) { ops =>
+      caseId += 1
+      val idx = tmpDir(s"propgen$caseId") + "/idx"
+      VectorIndex.build(emb.filter(col("vec_id") < 40), idx,
+        k = 3, iters = 3)
+      var model = (0L until 40L).toSet
+      var folded = 0
+      var gen = 0L
+      ops.foreach { op =>
+        op match {
+          case 0 if folded < 3 =>
+            VectorIndex.add(spark, idx, batch(folded))
+            model ++= batchIds(folded)
+            folded += 1
+          case 1 if model.nonEmpty =>
+            val victim = model.toSeq.sorted.apply(
+              (caseId * 7 + folded) % model.size)
+            VectorIndex.remove(spark, idx, Seq(victim).toDF("vec_id"))
+            model -= victim
+          case 2 => VectorIndex.vacuumTombstones(spark, idx)
+          case 3 =>
+            val g = VectorIndex.retrainAuto(spark, idx, emb)
+            assert(g == gen + 1, "generations must commit sequentially")
+            gen = g
+          case 4 => VectorIndex.vacuumGenerations(spark, idx)
+          case _ => ()
+        }
+        assert(liveIds(idx) == model,
+          s"live set diverged after ops $ops (gen=$gen folded=$folded)")
+      }
+      true
+    }
+    check(prop, 6)
+  }
+
   test("property: branch lifecycle tracks an in-memory model under " +
       "random op sequences") {
     import graft.lakehouse.VersionedTable
