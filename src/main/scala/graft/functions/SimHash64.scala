@@ -598,49 +598,50 @@ object GraftFunctions {
   private[functions] val graftFilesInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_files")
 
+  /** The ONE list of (identifier, info, builder) table-function
+    * entries. Both registration paths — [[registerTableFunctions]]
+    * (runtime) and [[GraftExtensions]] (session build) — iterate this
+    * Seq, so a TVF added here is automatically present on BOTH SQL
+    * surfaces and the two can never drift (round 6 shipped
+    * graft_ticks/graft_catalog on only one of them). */
+  private[functions] val tableFunctionEntries: Seq[(FunctionIdentifier,
+      ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(
+      (FunctionIdentifier("graft_version"), graftVersionInfo,
+        graftVersionBuilder),
+      (FunctionIdentifier("graft_pruned"), graftPrunedInfo,
+        graftPrunedBuilder),
+      (FunctionIdentifier("graft_changes"), graftChangesInfo,
+        graftChangesBuilder),
+      (FunctionIdentifier("graft_quantiles"), graftQuantilesInfo,
+        graftQuantilesBuilder),
+      (FunctionIdentifier("graft_count_where"), graftCountWhereInfo,
+        graftCountWhereBuilder),
+      (FunctionIdentifier("graft_lookup"), graftLookupInfo,
+        graftLookupBuilder),
+      (FunctionIdentifier("graft_history"), graftHistoryInfo,
+        graftHistoryBuilder),
+      (FunctionIdentifier("graft_files"), graftFilesInfo,
+        graftFilesBuilder),
+      (FunctionIdentifier("graft_constraints"), graftConstraintsInfo,
+        graftConstraintsBuilder),
+      (FunctionIdentifier("graft_branches"), graftBranchesInfo,
+        graftBranchesBuilder),
+      (FunctionIdentifier("graft_bm25"), graftBm25Info,
+        graftBm25Builder),
+      (FunctionIdentifier("graft_ticks"), graftTicksInfo,
+        graftTicksBuilder),
+      (FunctionIdentifier("graft_catalog"), graftCatalogInfo,
+        graftCatalogBuilder))
+
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */
-  def registerTableFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_version"), graftVersionInfo,
-      graftVersionBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_pruned"), graftPrunedInfo,
-      graftPrunedBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_changes"), graftChangesInfo,
-      graftChangesBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_quantiles"), graftQuantilesInfo,
-      graftQuantilesBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_count_where"), graftCountWhereInfo,
-      graftCountWhereBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_lookup"), graftLookupInfo,
-      graftLookupBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_history"), graftHistoryInfo,
-      graftHistoryBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_files"), graftFilesInfo,
-      graftFilesBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_constraints"), graftConstraintsInfo,
-      graftConstraintsBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_branches"), graftBranchesInfo,
-      graftBranchesBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_bm25"), graftBm25Info,
-      graftBm25Builder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_ticks"), graftTicksInfo,
-      graftTicksBuilder)
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      FunctionIdentifier("graft_catalog"), graftCatalogInfo,
-      graftCatalogBuilder)
-  }
+  def registerTableFunctions(spark: SparkSession): Unit =
+    tableFunctionEntries.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        id, info, builder)
+    }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -684,50 +685,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_sub"),
       new ExpressionInfo(classOf[VecSub].getName, "vec_sub"),
       (children: Seq[Expression]) => VecSub(children(0), children(1))))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_version"),
-      GraftFunctions.graftVersionInfo,
-      GraftFunctions.graftVersionBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_pruned"),
-      GraftFunctions.graftPrunedInfo,
-      GraftFunctions.graftPrunedBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_changes"),
-      GraftFunctions.graftChangesInfo,
-      GraftFunctions.graftChangesBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_quantiles"),
-      GraftFunctions.graftQuantilesInfo,
-      GraftFunctions.graftQuantilesBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_count_where"),
-      GraftFunctions.graftCountWhereInfo,
-      GraftFunctions.graftCountWhereBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_lookup"),
-      GraftFunctions.graftLookupInfo,
-      GraftFunctions.graftLookupBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_history"),
-      GraftFunctions.graftHistoryInfo,
-      GraftFunctions.graftHistoryBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_files"),
-      GraftFunctions.graftFilesInfo,
-      GraftFunctions.graftFilesBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_constraints"),
-      GraftFunctions.graftConstraintsInfo,
-      GraftFunctions.graftConstraintsBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_branches"),
-      GraftFunctions.graftBranchesInfo,
-      GraftFunctions.graftBranchesBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier("graft_bm25"),
-      GraftFunctions.graftBm25Info,
-      GraftFunctions.graftBm25Builder))
+    // the SAME entry list as registerTableFunctions — the two SQL
+    // surfaces (build-time extensions, runtime registration) cannot
+    // drift because neither enumerates TVFs on its own
+    GraftFunctions.tableFunctionEntries.foreach(e =>
+      ext.injectTableFunction(e))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectOptimizerRule(session => graft.plans.LintRule(session))

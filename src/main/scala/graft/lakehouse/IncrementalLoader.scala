@@ -264,33 +264,64 @@ object IncrementalLoader {
       .select("path").collect().map(_.getString(0)).toSeq
   }
 
+  /** Split staged registry paths into (already ON MAIN, genuinely
+    * staged). A path lands on main only via a branch publish, so a
+    * staged row whose deterministic published name appears in main's
+    * current file set is the orphan of a publish that crashed before
+    * recording `ok` — its rows are LIVE and must never return to the
+    * fresh pool (a release would double-load them). */
+  private def partitionByPublished(spark: SparkSession, tableDir: String,
+      staged: Seq[String]): (Seq[String], Seq[String]) = {
+    if (staged.isEmpty) return (Nil, Nil)
+    val onMain: Seq[String] =
+      if (VersionedTable.currentVersion(spark, tableDir).isEmpty) Nil
+      else VersionedTable.currentFiles(spark, tableDir)
+    staged.partition(p =>
+      onMain.exists(_.endsWith(s"/${publishedName(p)}")))
+  }
+
   /** PUBLISH the staged branch: the whole audited load flips visible
     * in one commit, then the staged registry rows flip `ok`
     * (publish-then-record — a crash between leaves the paths settled
-    * as staged, which is correct: the data IS in main). */
+    * as staged, which is correct: the data IS in main, and the
+    * orphan reconciliation below flips them `ok` on the next call). */
   def publishStagedBranch(spark: SparkSession, tableDir: String,
       registryDir: String, branch: String = "ingest",
       keepVersions: Int = 1, force: Boolean = false): Long = {
     val staged = stagedPaths(spark, registryDir)
+    // reconcile orphans of a prior crashed publish BEFORE this one:
+    // their rows are already live on main
+    val (orphaned, live) = partitionByPublished(spark, tableDir, staged)
+    if (orphaned.nonEmpty)
+      LoadRegistry.record(spark, registryDir,
+        orphaned.map(p => (p, LoadRegistry.StatusOk, 0L)))
     val v = VersionedTable.publishBranch(spark, tableDir, branch,
       keepVersions, force)
-    if (staged.nonEmpty)
+    if (live.nonEmpty)
       LoadRegistry.record(spark, registryDir,
-        staged.map(p => (p, LoadRegistry.StatusOk, 0L)))
+        live.map(p => (p, LoadRegistry.StatusOk, 0L)))
     v
   }
 
   /** DISCARD the staged branch: record `released` FIRST (a crash
     * before the drop re-stages the already-present files as a no-op
     * next tick — never loses them), then drop the branch. Every
-    * released file returns to the fresh pool. */
+    * released file returns to the fresh pool — EXCEPT orphans of a
+    * publish that crashed before recording `ok`: those rows are live
+    * on main (detected by published name), so they flip `ok` here
+    * instead of being released into a second load. */
   def discardStagedBranch(spark: SparkSession, tableDir: String,
       registryDir: String, branch: String = "ingest"): Seq[String] = {
     val staged = stagedPaths(spark, registryDir)
-    if (staged.nonEmpty)
+    val (orphaned, toRelease) =
+      partitionByPublished(spark, tableDir, staged)
+    if (orphaned.nonEmpty)
       LoadRegistry.record(spark, registryDir,
-        staged.map(p => (p, LoadRegistry.StatusReleased, 0L)))
+        orphaned.map(p => (p, LoadRegistry.StatusOk, 0L)))
+    if (toRelease.nonEmpty)
+      LoadRegistry.record(spark, registryDir,
+        toRelease.map(p => (p, LoadRegistry.StatusReleased, 0L)))
     VersionedTable.dropBranch(spark, tableDir, branch)
-    staged
+    toRelease
   }
 }

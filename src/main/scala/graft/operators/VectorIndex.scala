@@ -122,7 +122,16 @@ object VectorIndex {
     * half-renamed attempt's objects are REPLACED by the rerun (same
     * rows — Structured Streaming re-delivers the same batch), and a
     * marked batch returns false without touching the index. Returns
-    * true when the batch folded. */
+    * true when the batch folded.
+    *
+    * GENERATION-FLIP safety: an `_batches_intent/batch-<id>` object
+    * lands BEFORE any index mutation and clears only after the commit
+    * marker. [[retrain]] refuses while an unmarked intent exists —
+    * otherwise a batch that crashed after renaming its list objects
+    * (but before its marker) would have those rows captured by the
+    * rebuild AND re-folded by the replay against the new generation,
+    * duplicating them. The replay clears the intent, unblocking
+    * retrain. */
   def addIdempotent(spark: SparkSession, path: String,
       newVecs: DataFrame, batchId: Long): Boolean = {
     val fs = fsOf(spark, path)
@@ -130,7 +139,15 @@ object VectorIndex {
     // already contains every folded batch, so replayed ids must keep
     // no-oping against the new generation too
     val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/batch-$batchId")
-    if (fs.exists(marker)) return false
+    val intent =
+      new org.apache.hadoop.fs.Path(s"$path/_batches_intent/batch-$batchId")
+    if (fs.exists(marker)) {
+      // crash window between marker and intent-clear: finish the clear
+      if (fs.exists(intent)) fs.delete(intent, false)
+      return false
+    }
+    fs.mkdirs(intent.getParent)
+    fs.create(intent, true).close() // in-flight: blocks retrain
     val rt = dataRoot(spark, path)
     val centDf = spark.read.parquet(s"$rt/centroids")
     val stage = new org.apache.hadoop.fs.Path(s"$rt/_staging/add-$batchId")
@@ -155,6 +172,7 @@ object VectorIndex {
     unremove(spark, rt, newVecs)
     fs.mkdirs(marker.getParent)
     fs.create(marker).close() // commit point: batch folded exactly once
+    fs.delete(intent, false) // folded: retrain may proceed
     true
   }
 
@@ -211,9 +229,15 @@ object VectorIndex {
     affected.foreach { c =>
       val dst = new org.apache.hadoop.fs.Path(s"$rt/$sub/cent_id=$c")
       val src = new org.apache.hadoop.fs.Path(s"$stage/cent_id=$c")
-      fs.delete(dst, true)
-      if (fs.exists(src)) require(fs.rename(src, dst),
-        s"compact swap failed for partition cent_id=$c")
+      // swap ONLY while the staged src exists: every compacted
+      // partition stages ≥1 row, so a missing src means a prior
+      // (crashed) run already renamed it in — deleting dst then
+      // would destroy the swapped-in consolidated data
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        require(fs.rename(src, dst),
+          s"compact swap failed for partition cent_id=$c")
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     affected.size.toLong
@@ -304,39 +328,59 @@ object VectorIndex {
     val staged = fs.exists(affectedFile)
     val tIds = t.select("vec_id").distinct()
     val n = tIds.count()
-    val affected: Seq[Long] =
+    // worklist lines: "<c>" = staged rows exist (delete+rename swap),
+    // "<c>:empty" = fully-tombstoned partition (deletion IS the
+    // rewrite). The distinction is COMMITTED with the worklist so a
+    // crashed-mid-swap resume can tell "src consumed by a completed
+    // swap — keep dst" apart from "delete-only partition — deleting
+    // dst is idempotent"; without it, resume would re-delete
+    // already-swapped consolidated partitions and lose their rows.
+    val affected: Seq[(Long, Boolean)] =
       if (staged) {
         // crashed mid-swap: resume from the committed worklist
         val in = fs.open(affectedFile)
         val content =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        content.split("\n").toSeq.filter(_.nonEmpty).map(_.toLong)
+        content.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+          val e = l.endsWith(":empty")
+          (l.stripSuffix(":empty").toLong, e)
+        }
       } else {
         val all = spark.read.parquet(s"$rt/$sub")
         // partition-column type inference reads cent_id back as int
         val hit = all.join(broadcast(tIds), Seq("vec_id"), "left_semi")
           .select(col("cent_id").cast("long")).distinct()
           .collect().map(_.getLong(0)).toSeq
-        if (hit.nonEmpty) {
+        if (hit.isEmpty) Nil
+        else {
           fs.delete(new org.apache.hadoop.fs.Path(stage), true)
           all.filter(col("cent_id").isin(hit: _*))
             .join(broadcast(tIds), Seq("vec_id"), "left_anti")
             .write.partitionBy("cent_id").parquet(stage)
+          val stagedDirs = fs.listStatus(
+            new org.apache.hadoop.fs.Path(stage))
+            .filter(_.getPath.getName.startsWith("cent_id="))
+            .map(_.getPath.getName.stripPrefix("cent_id=").toLong).toSet
+          val lines = hit.map(c => (c, !stagedDirs.contains(c)))
           val out = fs.create(affectedFile, true)
-          try out.write(hit.mkString("\n").getBytes("UTF-8"))
+          try out.write(lines.map { case (c, e) =>
+            if (e) s"$c:empty" else s"$c" }.mkString("\n")
+            .getBytes("UTF-8"))
           finally out.close()
+          lines
         }
-        hit
       }
-    affected.foreach { c =>
+    affected.foreach { case (c, empty) =>
       val dst = new org.apache.hadoop.fs.Path(s"$rt/$sub/cent_id=$c")
       val src = new org.apache.hadoop.fs.Path(s"$stage/cent_id=$c")
-      fs.delete(dst, true)
-      // a fully-tombstoned partition has no staged dir — deletion IS
-      // the rewrite; a resumed run finds src already moved and no-ops
-      if (fs.exists(src)) require(fs.rename(src, dst),
-        s"vacuum swap failed for partition cent_id=$c")
+      if (empty) {
+        fs.delete(dst, true) // deletion IS the rewrite; idempotent
+      } else if (fs.exists(src)) {
+        fs.delete(dst, true)
+        require(fs.rename(src, dst),
+          s"vacuum swap failed for partition cent_id=$c")
+      } // else: a prior run's completed swap consumed src — keep dst
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$rt/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
@@ -375,6 +419,23 @@ object VectorIndex {
       build: (DataFrame, String) => Unit): Long = {
     require(exists(spark, path), s"no index at $path to retrain")
     val fs = fsOf(spark, path)
+    // refuse while a streaming add is in flight (unmarked intent): its
+    // renamed-but-unmarked list objects would be captured by this
+    // rebuild AND re-folded by the batch's replay against the new
+    // generation — duplicated rows. Intents whose marker landed are
+    // just a crashed clear; sweep them and continue.
+    val intentsDir = new org.apache.hadoop.fs.Path(s"$path/_batches_intent")
+    if (fs.exists(intentsDir)) {
+      val pending = fs.listStatus(intentsDir).toSeq
+        .map(_.getPath.getName)
+        .filter(b => !fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/_batches/$b")))
+      require(pending.isEmpty,
+        s"retrain refused: in-flight streaming add(s) ${pending.mkString(",")} " +
+          s"at $path — their replay must fold (clearing the intent) before " +
+          "a generation flip, or the rebuild+replay would duplicate their rows")
+      fs.delete(intentsDir, true)
+    }
     val rt = dataRoot(spark, path)
     val sub = if (isPQ(spark, path)) "codes" else "lists"
     val live = dropTombstoned(spark, rt,

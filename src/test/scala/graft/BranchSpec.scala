@@ -214,6 +214,54 @@ class BranchSpec extends SparkSpec {
       "a quarantined drop must never retry")
   }
 
+  test("publish-crash orphans reconcile: a later discard flips them " +
+      "ok instead of releasing them into a second load") {
+    import graft.lakehouse.{IncrementalLoader, LoadRegistry}
+    val root = initTable("brorphan")
+    val dir = tmpDir("brorphan-src")
+    val reg = tmpDir("brorphan-reg") + "/reg"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v BIGINT")
+    def drop(name: String, rows: Seq[(Long, Long)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$name.json"),
+        rows.map { case (k, v) => s"""{"k": $k, "v": $v}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    drop("d1", Seq((10L, 100L)))
+    assert(IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json").loaded.size == 1)
+    // CRASH INJECTION: publishStagedBranch dies AFTER the branch
+    // publish (d1's rows are now live on main) but BEFORE recording
+    // StatusOk — reproduce by publishing the branch directly
+    VersionedTable.publishBranch(spark, root, "ingest")
+    assert(VersionedTable.read(spark, root).count() == 4)
+    assert(LoadRegistry.loadedPaths(spark, reg).count() == 0,
+      "crash window: registry still says staged")
+    // next tick stages a fresh drop on a recreated branch, then its
+    // audit FAILS → discard. d1 is an orphan of the crashed publish:
+    // it must flip ok (its rows are on main), never release
+    drop("d2", Seq((11L, 110L)))
+    assert(IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json").loaded.size == 1)
+    val released = IncrementalLoader.discardStagedBranch(spark, root, reg)
+    assert(released.size == 1 && released.head.endsWith("d2.json"),
+      s"only the unpublished drop may release, got $released")
+    assert(LoadRegistry.loadedPaths(spark, reg).count() == 1,
+      "the orphan reconciles to ok")
+    // the released drop reloads and publishes; the orphan NEVER
+    // reloads — main holds exactly one copy of d1's rows
+    assert(IncrementalLoader.runToBranch(spark, dir, root, reg,
+      schema, format = "json").loaded.size == 1)
+    IncrementalLoader.publishStagedBranch(spark, root, reg)
+    assert(VersionedTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 10L, 11L),
+      "d1 must appear exactly once after the crash-recovery cycle")
+    // publish-side reconciliation too: a staged orphan present when
+    // publishStagedBranch next runs flips ok without re-publishing
+    assert(LoadRegistry.loadedPaths(spark, reg).count() == 2)
+  }
+
   test("daemon branchGate: a tick-level row floor holds the whole " +
       "load back, released drops publish with the next tick's") {
     import graft.lakehouse.{Automation, DataQuality, SurveyGen}
