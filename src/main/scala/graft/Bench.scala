@@ -53,7 +53,10 @@ object Bench {
     "q148_changepoint", "q149_burstiness", "q150_length_lognormal",
     "q151_hhi", "q152_heaps_beta", "q153_theil",
     "q154_priority_class", "q155_spearman", "q156_jsd_drift",
-    "q157_gopher_rules", "q158_bigram_surprisal")
+    "q157_gopher_rules", "q158_bigram_surprisal",
+    "q159_hour_entropy", "q160_cramers_v", "q161_markov_stationary",
+    "q162_mutual_information", "q163_weighted_median", "q164_moments",
+    "q165_pareto_share", "q166_ttr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,15 +95,26 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok, graft.util.PhaseTimer.drain())
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
+    // ARTIFACT ROBUSTNESS: the driver retains only the stdout TAIL,
+    // so (1) every query also gets its own short `BENCHQ name sec`
+    // line — a tail cut loses only the OLDEST of these, each is
+    // independently parseable — and (2) the single JSON line prints
+    // LAST (most tail-protected) with keys SORTED, so a line cut
+    // from the front makes the missing keys identifiable and every
+    // surviving key recoverable.
+    val sorted = results.sortBy(_._1)
+    sorted.foreach { case (k, v, ok, _) =>
+      println(f"BENCHQ $k $v%.3f${if (ok) "" else " FAILED"}")
+    }
+    val qs = sorted.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = sorted.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // per-phase rows for the iterative queries (PageRank rounds,
     // k-means training, CC sweeps): separates per-job fixed overhead —
     // which a loaded driver multiplies — from real compute, so a
     // round-over-round regression names the phase that moved
-    val phases = results.collect { case (k, _, _, ph) if ph.nonEmpty =>
+    val phases = sorted.collect { case (k, _, _, ph) if ph.nonEmpty =>
       "\"" + k + "\":" + ph.map { case (p, s) =>
         "\"" + p + f"""\":$s%.3f""" }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")

@@ -525,6 +525,37 @@ object GraftFunctions {
   private[functions] val graftBm25Info = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_bm25")
 
+  /** Table function `graft_hybrid('root', 'annPath', 'terms', probeId
+    * [, k[, nprobe]])` — the HEADLINE RAG serving path from SQL:
+    * RRF-fuses the maintained BM25 view's lexical top-k with the
+    * persisted ANN index's dense top-k for one query (the dense probe
+    * given by vec_id, resolved from the index's own lists). One row
+    * per (doc_id, rnk, rrf_score). */
+  private[functions] val graftHybridBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size >= 4 && args.size <= 6,
+        "graft_hybrid expects (rootPath, annPath, queryTerms, probeId" +
+          "[, k[, nprobe]])")
+      val spark = SparkSession.active
+      val terms = args(2).eval(null).toString.trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      require(terms.nonEmpty, "graft_hybrid: empty query")
+      val probeId = args(3).eval(null).asInstanceOf[Number].longValue()
+      val k = if (args.size >= 5)
+        args(4).eval(null).toString.toInt else 10
+      val nprobe = if (args.size == 6)
+        args(5).eval(null).toString.toInt else 8
+      graft.lakehouse.RetrievalView.searchHybridById(spark,
+        args(0).eval(null).toString, args(1).eval(null).toString,
+        terms, probeId, k, nprobe)
+        .select("doc_id", "rnk", "rrf_score")
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftHybridInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_hybrid")
+
   /** Table function `graft_files('root')` — the current version's
     * per-file skipping index as a relation: one row per (file,
     * stats column) with rows / min / max / null count, plus the
@@ -630,6 +661,8 @@ object GraftFunctions {
         graftBranchesBuilder),
       (FunctionIdentifier("graft_bm25"), graftBm25Info,
         graftBm25Builder),
+      (FunctionIdentifier("graft_hybrid"), graftHybridInfo,
+        graftHybridBuilder),
       (FunctionIdentifier("graft_ticks"), graftTicksInfo,
         graftTicksBuilder),
       (FunctionIdentifier("graft_catalog"), graftCatalogInfo,

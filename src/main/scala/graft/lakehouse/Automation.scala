@@ -177,16 +177,106 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         c.spec, c.keepVersions))
     val report = Automation.TickReport(ticks, generated, load, expired,
       vecLoad, compacted, corpus, vacuumed, resolved, mirrored, cdcSynced)
-    // durable observability: one row per COMPLETED tick appended to a
-    // versioned history table (O(1-row) delta commit). The row is the
-    // tick's commit record — a crash mid-tick leaves no row, and the
-    // replayed tick's idempotent re-run records once. Written LAST so
-    // wall_ms covers the whole tick's work.
-    cfg.historyDir.foreach { h =>
-      Automation.recordTick(spark, h, report,
-        (System.nanoTime() - tickStartNanos) / 1000000L)
+    val wallMs = (System.nanoTime() - tickStartNanos) / 1000000L
+    cfg.catalog match {
+      // CROSS-ARTIFACT atomic tick: the corpus-table commit, the
+      // retrieval-view state pin, the ANN-generation pin, and the
+      // tick-history row publish under ONE catalog PUT. A crash
+      // anywhere before the PUT leaves catalog readers on the ENTIRE
+      // pre-tick snapshot (the artifact commits that did land are
+      // invisible orphan history to them); the replayed tick's
+      // idempotent re-run converges — its writes find the artifacts
+      // already advanced, pin them, and the PUT publishes all of
+      // them together.
+      case Some(cat) =>
+        val writes = Seq.newBuilder[Catalog.TableWrite]
+        cfg.corpusDedup.foreach { cc =>
+          if (corpusHasObjects(cc) ||
+              VersionedTable.currentVersion(spark, cc.corpusDir).isDefined)
+            writes += Catalog.TableWrite("corpus", cc.corpusDir,
+              () => commitCorpusTable(cc))
+          cc.retrievalDir
+            .filter(rx => VersionedTable
+              .currentVersion(spark, s"$rx/tot").isDefined)
+            .foreach { rx =>
+              // PIN: RetrievalView's commit point is its tot table —
+              // folds already landed exactly-once above; the snapshot
+              // records which state this tick published
+              writes += Catalog.TableWrite("retrieval_tot", s"$rx/tot",
+                () => VersionedTable.currentVersion(spark, s"$rx/tot").get)
+            }
+          cc.annIndexPath
+            .filter(ix => graft.operators.VectorIndex.exists(spark, ix))
+            .foreach { ix =>
+              // PIN: the ANN index's atomic state is its generation;
+              // snapshot readers search
+              // VectorIndex.generationRoot(ix, pinned)
+              writes += Catalog.TableWrite("ann", ix,
+                () => graft.operators.VectorIndex.generation(spark, ix))
+            }
+        }
+        cfg.historyDir.foreach { h =>
+          writes += Catalog.TableWrite("ticks", h,
+            () => Automation.recordTick(spark, h, report, wallMs,
+              keepVersions = cat.keep))
+        }
+        val ws = writes.result()
+        if (ws.nonEmpty) {
+          Catalog.commitAll(spark, cat.catRoot, ws)
+          Catalog.prune(spark, cat.catRoot, cat.keep)
+        }
+      case None =>
+        // per-artifact commits (each individually crash-idempotent):
+        // the corpus table advances over this tick's published
+        // objects, then the tick-history row lands LAST so wall_ms
+        // covers the whole tick's work
+        cfg.corpusDedup.foreach { cc =>
+          if (corpusHasObjects(cc)) commitCorpusTable(cc)
+        }
+        cfg.historyDir.foreach { h =>
+          Automation.recordTick(spark, h, report, wallMs)
+        }
     }
     report
+  }
+
+  /** Whether any published corpus batch objects exist yet. */
+  private def corpusHasObjects(
+      cc: Automation.CorpusDedupConfig): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cc.corpusDir),
+      spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(cc.corpusDataDir)
+    fs.exists(d) && fs.listStatus(d)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Commit the corpus VersionedTable over the published batch
+    * objects: carried refs = every immutable `data/batch-*.parquet`
+    * object, no data copied (the manifest is the only write). The
+    * object set is derived from the DATA DIR each time, so a replay
+    * after any crash converges: objects a crashed tick published but
+    * never referenced get picked up by the next commit; a tick that
+    * published nothing new re-pins the current version. Returns the
+    * version the catalog should pin. */
+  private def commitCorpusTable(
+      cc: Automation.CorpusDedupConfig): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cc.corpusDir),
+      spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(cc.corpusDataDir)
+    val objs: Seq[String] =
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("batch-") && n.endsWith(".parquet"))
+        .sorted.map(n => s"data/$n")
+    val cur = VersionedTable.currentVersion(spark, cc.corpusDir)
+    val have: Set[String] = cur
+      .map(v => VersionedTable.filesAt(spark, cc.corpusDir, v).toSet)
+      .getOrElse(Set.empty)
+    if (cur.isDefined && objs.toSet == have) cur.get // nothing new: pin
+    else VersionedTable.commitDelta(spark, cc.corpusDir, objs,
+      keepVersions = cc.corpusKeepVersions)(_ => ())
   }
 
   /** Training-corpus curation: incremental-load document drops, then
@@ -307,7 +397,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
               .drop("rate")
           }
       }
-      val nKept = publishObject(fs, selected, cc.corpusDir, s"batch-$tag")
+      val nKept = publishObject(fs, selected, cc.corpusDataDir, s"batch-$tag")
       // history postings cover the PUBLISHED set: near-dup history
       // must mirror what is actually in the corpus
       val survivorPostings =
@@ -334,7 +424,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           // drop too — its vector must vanish like a dedup drop's
           val droppedIds = raw
             .select(col("doc_id").cast("long").as("vec_id")).distinct()
-            .join(spark.read.parquet(s"${cc.corpusDir}/batch-$tag.parquet")
+            .join(spark.read.parquet(s"${cc.corpusDataDir}/batch-$tag.parquet")
               .select(col("doc_id").cast("long").as("vec_id"))
               .distinct(), Seq("vec_id"), "left_anti")
           val nd = droppedIds.count()
@@ -369,7 +459,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
             next
           }
         RetrievalView.update(spark, rx,
-          spark.read.parquet(s"${cc.corpusDir}/batch-$tag.parquet"), id)
+          spark.read.parquet(s"${cc.corpusDataDir}/batch-$tag.parquet"), id)
       }
       // marker LAST: its existence = this raw file fully processed
       val out = fs.create(
@@ -397,8 +487,55 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           RetrievalView.compact(spark, rx))
         RetrievalView.vacuumCompacted(spark, rx)
     }
+    // scheduled classifier re-fit: the weak-label slice is rebuilt
+    // from what curation itself decided (positives = hash-lowest
+    // sample of the CURATED corpus, negatives = raw docs curation
+    // dropped), the model re-trains sample-bounded, and the flip is
+    // ONE marker write — in-flight scoring keeps a consistent model
+    // (score resolves its generation once). Runs AFTER this tick's
+    // batches, so a tick's gate decisions all use one model.
+    val modelGen: Option[Long] = cc.modelGate match {
+      case Some((mroot, _)) if cc.modelRetrainEvery > 0 &&
+          ticks % cc.modelRetrainEvery == 0 &&
+          graft.operators.QualityModel.exists(spark, mroot) =>
+        import org.apache.spark.sql.functions.{lit, xxhash64}
+        val dataDir = new org.apache.hadoop.fs.Path(cc.corpusDataDir)
+        val haveCorpus = fs.exists(dataDir) &&
+          fs.listStatus(dataDir).exists(_.getPath.getName.endsWith(".parquet"))
+        if (!haveCorpus) None
+        else {
+          def sampled(df: org.apache.spark.sql.DataFrame) = df
+            .withColumn("h", xxhash64(col("doc_id")))
+            .orderBy(col("h"), col("doc_id"))
+            .limit(cc.modelRetrainSample).drop("h")
+          val corpus = spark.read.parquet(cc.corpusDataDir)
+            .select("doc_id", "text")
+          val raw = spark.read.parquet(rawLive)
+            .select("doc_id", "text")
+          // negatives = everything curation rejected: model-gated,
+          // deduped, decontaminated, resampled-out — the "not in the
+          // trusted slice" class of the weak-label setup
+          val neg = sampled(raw.join(corpus.select("doc_id"),
+            Seq("doc_id"), "left_anti"))
+          val pos = sampled(corpus)
+          // both classes must be present to re-fit; otherwise defer
+          // to a later tick (e.g. nothing dropped yet)
+          if (neg.isEmpty || pos.isEmpty) None
+          else {
+            val labeled = pos.withColumn("label", lit(1.0))
+              .unionByName(neg.withColumn("label", lit(0.0)))
+            val g = graft.operators.QualityModel.retrain(spark, mroot,
+              labeled)
+            // single-maintenance-writer window, like the ANN retrain:
+            // superseded model generations vacuum immediately
+            graft.operators.QualityModel.vacuumGenerations(spark, mroot)
+            Some(g)
+          }
+        }
+      case _ => None
+    }
     Automation.CorpusReport(load, pending.size, kept, dropped,
-      annRemoved, annVacuumed)
+      annRemoved, annVacuumed, modelGen)
   }
 
   /** Stage `df` and publish it as ONE parquet object `<name>.parquet`
@@ -447,9 +584,19 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         // fitted to a 3-vector first drop would freeze a degenerate
         // geometry forever. Below the floor the build DEFERS — the
         // rows are safe in the table, and a later tick bootstraps
-        // from all of them.
-        val all = spark.read.parquet(live)
-        if (all.count() >= math.max(1L, vc.minBootstrapVectors.toLong))
+        // from all of them. The floor check reads the LOAD REGISTRY
+        // (KB of metadata: every published file's recorded n_rows),
+        // not the table — pre-bootstrap ticks would otherwise pay an
+        // O(table) count scan each, for a number the loader already
+        // wrote down.
+        import org.apache.spark.sql.functions.{coalesce, col, lit, max, sum}
+        val loadedRows = LoadRegistry.read(spark, vc.registryDir)
+          .filter(col("status") === LoadRegistry.StatusOk)
+          .groupBy("path").agg(max(col("n_rows")).as("n"))
+          .agg(coalesce(sum(col("n")), lit(0L)).as("t"))
+          .head().getLong(0)
+        if (loadedRows >= math.max(1L, vc.minBootstrapVectors.toLong)) {
+          val all = spark.read.parquet(live)
           vc.pq match {
             case None => graft.operators.VectorIndex.build(
               all, vc.indexPath, vc.k, vc.iters)
@@ -457,6 +604,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
               all, vc.indexPath, vc.k, m, ksub, vc.iters,
               residual = vc.pqResidual, packed = vc.pqPacked, opq = vc.pqOpq)
           }
+        }
       }
       else {
         // dispatch on the layout the index ON DISK actually has, and
@@ -597,6 +745,10 @@ object Automation {
       // rows: negligible storage, and trend queries (tick duration
       // drift, drop-rate spikes) run over it like any other table.
       historyDir: Option[String] = None,
+      // when set, tick-end commits (corpus table, retrieval state pin,
+      // ANN generation pin, tick-history row) flip under ONE atomic
+      // catalog transaction — see [[CatalogConfig]]
+      catalog: Option[CatalogConfig] = None,
       vectorIndex: Option[VectorIndexConfig] = None,
       aggView: Option[AggViewConfig] = None,
       freqSketch: Option[SketchViewConfig] = None,
@@ -721,7 +873,21 @@ object Automation {
       // objects into range-sorted compact generations and vacuum the
       // superseded ones (RetrievalView.compact) — keeps search linear
       // in data instead of fold count (0 = never)
-      retrievalCompactEvery: Int = 0) {
+      retrievalCompactEvery: Int = 0,
+      // every N ticks, RE-FIT the modelGate classifier on the current
+      // weak-label slice (positives = hash-lowest sample of the
+      // curated corpus, negatives = raw docs curation dropped) and
+      // flip it atomically (QualityModel.retrain) — the classifier
+      // twin of VectorIndexConfig.retrainEvery: a model fitted to an
+      // early crawl slice drifts as the corpus shifts (0 = never)
+      modelRetrainEvery: Int = 0,
+      // per-class hash-rank sample bound for the re-fit (model-sized
+      // training by contract, never corpus-sized)
+      modelRetrainSample: Int = 2000,
+      // manifest retention of the versioned corpus table — must cover
+      // the longest catalog-snapshot reader (a snapshot pins a corpus
+      // VERSION; pruning it breaks that snapshot's reads)
+      corpusKeepVersions: Int = 4) {
     /** The incrementally-maintained (gram, df) view feeding the
       * near-dup prefix ranking — a [[MaterializedAgg]] root next to
       * the postings. */
@@ -730,7 +896,22 @@ object Automation {
       * ([[graft.operators.DsirView]]) — present when
       * `dsirTargetLang` enables per-tick importance resampling. */
     def dsirModelDir: String = s"$postingsDir-dsir"
+    /** Where the published batch objects live. `corpusDir` itself is
+      * a [[VersionedTable]] whose delta manifests reference these
+      * immutable objects — a plain dir read of `corpusDataDir` sees
+      * every published object instantly; a catalog snapshot reads a
+      * PINNED version through the manifest. */
+    def corpusDataDir: String = s"$corpusDir/data"
   }
+
+  /** Cross-artifact ATOMIC ticks: when set, each tick's corpus-table
+    * commit, retrieval-view state, ANN-index generation, and
+    * tick-history row publish under ONE [[Catalog.commitAll]] flip —
+    * a reader joining corpus ↔ retrieval ↔ ANN through a
+    * [[Catalog.Snapshot]] can never observe the corpus advanced while
+    * the indexes lag (the gap the per-artifact single-object commits
+    * leave open). `keep` bounds retained catalog versions. */
+  final case class CatalogConfig(catRoot: String, keep: Int = 8)
 
   /** Per-tick corpus curation outcome. `kept`/`dropped` are this
     * tick's processed batches only (a crash-replayed batch whose
@@ -740,7 +921,10 @@ object Automation {
     * vacuum. */
   final case class CorpusReport(load: IncrementalLoader.LoadResult,
       batches: Int, kept: Long, dropped: Long,
-      annRemoved: Long = 0L, annVacuumed: Long = 0L)
+      annRemoved: Long = 0L, annVacuumed: Long = 0L,
+      // Some(g) when this tick re-fit the quality classifier and
+      // flipped generation g live (modelRetrainEvery cadence)
+      modelGen: Option[Long] = None)
 
   final case class TickReport(
       tick: Long,
@@ -768,7 +952,7 @@ object Automation {
       compacted: Option[Int], vec_loaded: Option[Int],
       corpus_batches: Option[Int], corpus_kept: Option[Long],
       corpus_dropped: Option[Long], ann_removed: Option[Long],
-      ann_vacuumed: Option[Long],
+      ann_vacuumed: Option[Long], model_gen: Option[Long],
       orphans_vacuumed: Int, resolved_deletes: Option[Long],
       mirror_from: Option[Long], mirror_to: Option[Long],
       cdc_from: Option[Long], cdc_to: Option[Long])
@@ -776,9 +960,11 @@ object Automation {
   /** Append one [[TickHistoryRow]] for a completed tick to the
     * versioned history table at `dir` (created on first record). An
     * O(1-row) delta commit — the daemon's operations log costs one
-    * tiny object + one manifest per tick regardless of table size. */
+    * tiny object + one manifest per tick regardless of table size.
+    * Returns the committed history-table version (the catalog
+    * transaction pins it). */
   def recordTick(spark: SparkSession, dir: String, r: TickReport,
-      wallMs: Long): Unit = {
+      wallMs: Long, keepVersions: Int = 1): Long = {
     import spark.implicits._
     val row = TickHistoryRow(
       tick = r.tick,
@@ -797,15 +983,16 @@ object Automation {
       corpus_dropped = r.corpus.map(_.dropped),
       ann_removed = r.corpus.map(_.annRemoved),
       ann_vacuumed = r.corpus.map(_.annVacuumed),
+      model_gen = r.corpus.flatMap(_.modelGen),
       orphans_vacuumed = r.vacuumed.size,
       resolved_deletes = r.resolvedDeletes,
       mirror_from = r.mirrored.map(_._1), mirror_to = r.mirrored.map(_._2),
       cdc_from = r.cdcSynced.map(_._1), cdc_to = r.cdcSynced.map(_._2))
     val df = Seq(row).toDF().coalesce(1)
     if (VersionedTable.currentVersion(spark, dir).isEmpty)
-      VersionedTable.initDelta(spark, dir, df)
+      VersionedTable.initDelta(spark, dir, df, keepVersions)
     else
-      VersionedTable.appendDelta(spark, dir) { stage =>
+      VersionedTable.appendDelta(spark, dir, keepVersions) { stage =>
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
       }
   }

@@ -368,6 +368,26 @@ object RetrievalView {
         round(col("rrf"), 6).as("rrf_score"))
   }
 
+  /** [[searchHybrid]] for the SQL console: ONE query whose lexical
+    * half is `terms` and whose dense probe is given BY vec_id — the
+    * embedding resolves from the ANN index's own lists
+    * ([[graft.operators.VectorIndex.probeById]]; raw IVF only). This
+    * is what the `graft_hybrid` TVF serves: the full RAG serving
+    * path — maintained BM25 + partition-pruned ANN + RRF fusion —
+    * from a console, one call. */
+  def searchHybridById(spark: SparkSession, root: String,
+      annPath: String, terms: Seq[String], probeId: Long, k: Int = 10,
+      nprobe: Int = 8, kEach: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty, "searchHybridById: empty term list")
+    val qterms = terms.map(("q", _)).toDF("query_id", "term")
+    val probes = graft.operators.VectorIndex
+      .probeById(spark, annPath, Seq(probeId))
+    val mapping = Seq(("q", probeId)).toDF("query_id", "probe_id")
+    searchHybrid(spark, root, annPath, qterms, probes, mapping,
+      k, nprobe, kEach)
+  }
+
   /** BM25 top-`k` documents per query over everything folded so far.
     * `qterms` is a (query_id, term) frame. */
   def search(spark: SparkSession, root: String, qterms: DataFrame,

@@ -521,8 +521,16 @@ object VersionedTable {
         s"carried ref must be a root-relative <verdir>/<file> path: $r")
     }
     val base = currentVersion(spark, root)
-    require(base.nonEmpty || carried.isEmpty,
-      s"carried refs into an uncommitted table: $root")
+    // carried refs into an UNCOMMITTED table are the adoption
+    // bootstrap (immutable objects published out-of-band — e.g. the
+    // daemon's corpus batch objects — become version 1 by reference,
+    // zero copy); each ref must already exist, so a typo'd root or a
+    // phantom ref still fails loudly instead of committing a
+    // manifest over nothing
+    if (base.isEmpty) carried.foreach { r =>
+      require(fs.exists(new Path(s"$root/$r")),
+        s"carried ref into an uncommitted table must already exist: $root/$r")
+    }
     val next = base.getOrElse(0L) + 1L
     val stage = new Path(s"$root/_v-$next")
     fs.delete(stage, true)

@@ -69,6 +69,16 @@ object BpeTrainer {
     * table is bit-identical between them (spec-pinned). */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
       maxWords: Int = 0): Seq[(String, String)] = {
+    // the unbounded path schedules one distributed job PER MERGE — at
+    // tokenizer-scale merge counts that is hours of pure scheduling.
+    // Refuse loudly instead of silently re-entering the trap; a real
+    // tokenizer training bounds the dictionary (maxWords caps state,
+    // not quality: rare tail words contribute no high-count pairs).
+    require(maxWords > 0 || numMerges <= 200,
+      s"BpeTrainer: $numMerges merges with an UNBOUNDED dictionary " +
+        "runs one distributed job per merge — pass maxWords > 0 " +
+        "(driver-local merge loop, bit-identical result) for " +
+        "tokenizer-scale trainings")
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE corpus-sized pass: the word-frequency dictionary

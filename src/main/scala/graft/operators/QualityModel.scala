@@ -34,6 +34,86 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
+  private def fsOf(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the LIVE model root: the highest committed generation
+    * dir (`root/g<N>` under `_gens/gen-<N>` markers), or `root`
+    * itself for flat/new layouts — the [[VectorIndex]] generation
+    * protocol applied to the classifier, so a periodic re-fit flips
+    * atomically and an in-flight scorer keeps a consistent model. */
+  private def dataRoot(spark: SparkSession, root: String): String = {
+    val fs = fsOf(spark, root)
+    val gens = new org.apache.hadoop.fs.Path(s"$root/_gens")
+    if (!fs.exists(gens)) root
+    else {
+      val ns = fs.listStatus(gens).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+      if (ns.isEmpty) root else s"$root/g${ns.max}"
+    }
+  }
+
+  /** Committed model generation (0 = flat/legacy layout). */
+  def generation(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    val gens = new org.apache.hadoop.fs.Path(s"$root/_gens")
+    if (!fs.exists(gens)) 0L
+    else fs.listStatus(gens).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Whether a trained model exists under `root`. */
+  def exists(spark: SparkSession, root: String): Boolean =
+    fsOf(spark, root).exists(new org.apache.hadoop.fs.Path(
+      s"${dataRoot(spark, root)}/meta/_SUCCESS"))
+
+  /** RE-FIT the classifier on a fresh labeled sample and commit it as
+    * a new generation with ONE marker write — scorers see the old
+    * weights until the flip, the new after, never a mix. The
+    * classifier twin of [[VectorIndex.retrain]]: a model trained on
+    * an early crawl slice drifts as the corpus shifts; the daemon
+    * re-fits on cadence. A crashed attempt's unmarked `g<N>` dir is
+    * invisible and overwritten by the next try. Returns the committed
+    * generation. */
+  def retrain(spark: SparkSession, root: String, sample: DataFrame,
+      labelCol: String = "label", textCol: String = "text",
+      idCol: String = "doc_id", dim: Int = 1 << 18, maxIter: Int = 60,
+      regParam: Double = 1e-4): Long = {
+    val fs = fsOf(spark, root)
+    val next = generation(spark, root) + 1L
+    val stage = s"$root/g$next"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true) // crashed try
+    train(sample, stage, labelCol, textCol, idCol, dim, maxIter, regParam)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$stage/meta/_SUCCESS")),
+      s"retrain left no complete model at $stage")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_gens/gen-$next")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close() // commit point: model flips live
+    next
+  }
+
+  /** Delete superseded generation dirs (and the flat legacy model
+    * once a generation took over). Call on the maintenance cadence so
+    * in-flight scorers get a grace window. Returns roots deleted. */
+  def vacuumGenerations(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    val cur = generation(spark, root)
+    if (cur == 0L) return 0L
+    var n = 0L
+    (1L until cur).foreach { m =>
+      val d = new org.apache.hadoop.fs.Path(s"$root/g$m")
+      if (fs.exists(d)) { fs.delete(d, true); n += 1 }
+    }
+    Seq("weights", "meta").foreach { s =>
+      val d = new org.apache.hadoop.fs.Path(s"$root/$s")
+      if (fs.exists(d)) { fs.delete(d, true); n += 1 }
+    }
+    n
+  }
+
   /** Tokens → hashed buckets, the ONE feature definition train and
     * score share. */
   private def buckets(docs: DataFrame, textCol: String, idCol: String,
@@ -74,10 +154,11 @@ object QualityModel {
       case (v, i) if v != 0.0 => (i, v)
     }.toSeq
     import spark.implicits._
+    val rt = dataRoot(spark, root) // live generation (root when flat)
     rows.toDF("bucket", "weight").repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/weights")
+      .write.mode(SaveMode.Overwrite).parquet(s"$rt/weights")
     Seq((model.intercept, dim)).toDF("intercept", "dim")
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/meta")
+      .write.mode(SaveMode.Overwrite).parquet(s"$rt/meta")
   }
 
   /** Score any document frame against the persisted model: appends
@@ -87,14 +168,22 @@ object QualityModel {
     * `sigmoid(intercept)`. */
   def score(spark: SparkSession, root: String, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val meta = spark.read.parquet(s"$root/meta").head()
+    val rt = dataRoot(spark, root) // resolved ONCE: a concurrent
+    // retrain flip cannot hand this scorer mixed weights/meta
+    val meta = spark.read.parquet(s"$rt/meta").head()
     val (b, dim) = (meta.getDouble(0), meta.getInt(1))
-    val weights = spark.read.parquet(s"$root/weights")
+    val weights = spark.read.parquet(s"$rt/weights")
     val z = buckets(docs.select(col(idCol).as("doc_id"),
         col(textCol).as("text")), "text", "doc_id", dim)
       .join(broadcast(weights), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(sum(col("weight") * col("cnt")).as("wx"))
+      // per-bucket contribution rounded to 6 dp, folded through the
+      // exact decimal accumulator (§4 discipline): a plain double sum
+      // is accumulation-order-dependent, so a doc near the gate
+      // threshold could flip across repartitionings — gate decisions
+      // must be stable under any partition layout
+      .agg(graft.util.Exact.dsum(round(col("weight") * col("cnt"), 6))
+        .as("wx"))
     docs.select(col(idCol).as("doc_id")).distinct()
       .join(z, Seq("doc_id"), "left")
       .select(col("doc_id"),

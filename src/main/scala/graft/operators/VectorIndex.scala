@@ -51,6 +51,21 @@ object VectorIndex {
     }
   }
 
+  /** Committed generation number (0 = flat/legacy layout) — the
+    * index's ATOMIC state pin: a catalog snapshot records it and
+    * serves searches from [[generationRoot]] even after a retrain
+    * flips the live root (until [[vacuumGenerations]] reclaims it —
+    * the same retention contract as table keepVersions). */
+  def generation(spark: SparkSession, path: String): Long =
+    currentGen(spark, path)
+
+  /** The root serving generation `gen`: `path` itself for the flat
+    * layout (gen 0), the generation dir otherwise. Resolution inside
+    * a generation dir is the identity, so every search/read entry
+    * point accepts the returned root directly. */
+  def generationRoot(path: String, gen: Long): String =
+    if (gen == 0L) path else s"$path/g$gen"
+
   /** Committed generation number (0 = flat/legacy layout). */
   private[operators] def currentGen(spark: SparkSession, path: String): Long = {
     val fs = fsOf(spark, path)
@@ -255,6 +270,24 @@ object VectorIndex {
   // delete documents daily; their vectors must vanish from ANN
   // results immediately, while the index rewrite happens on the
   // maintenance schedule.
+
+  /** Fetch probes BY ID from the index's own inverted lists:
+    * (vec_id, embedding) for each LIVE id (tombstoned ids resolve to
+    * nothing). Raw-IVF only — a PQ index's lists store codes, not
+    * embeddings (refused loudly; pass explicit probe vectors there).
+    * The SQL hybrid/dense console surfaces resolve user-given ids
+    * through this; the scan is index-wide but projects two columns
+    * and filters on vec_id row-group stats. */
+  def probeById(spark: SparkSession, path: String,
+      ids: Seq[Long]): DataFrame = {
+    require(!isPQ(spark, path),
+      s"index at $path is PQ — its lists store codes, not embeddings; " +
+        "resolve the probe vector from the full-precision table instead")
+    val rt = dataRoot(spark, path)
+    dropTombstoned(spark, rt, spark.read.parquet(s"$rt/lists")
+      .filter(col("vec_id").isin(ids: _*)))
+      .select(col("vec_id"), col("embedding"))
+  }
 
   /** Logically delete `ids` (a vec_id frame) from the index at
     * `path`: subsequent [[search]]/[[searchPQ]] calls never return

@@ -162,4 +162,105 @@ class CatalogSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSeq == Seq("a", "b"))
     assert(rows.forall(_.getLong(0) == 0L))
   }
+
+  test("automation tick publishes corpus + retrieval + ANN + tick " +
+      "history under ONE catalog flip; a crashed PUT leaves the " +
+      "whole pre-tick snapshot; replay converges") {
+    import graft.lakehouse.Automation
+    import graft.operators.VectorIndex
+    val root = tmpDir("catatick")
+    val cat = s"$root/cat"
+    // a doc-keyed ANN index (vec_id = doc_id) for the curation link
+    val emb = Tables.embeddings(spark, sfDir)
+    val docVecs = emb.filter(col("vec_id") < 20)
+      .join(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 11L), (4L, 12L))
+        .toDF("vec_id", "new_id"), "vec_id")
+      .select(col("new_id").as("vec_id"), col("embedding"), col("label"))
+      .unionByName(emb.filter(col("vec_id") >= 100 && col("vec_id") < 120))
+    val idx = s"$root/idx"
+    VectorIndex.build(docVecs, idx, k = 3, iters = 3)
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      annIndexPath = Some(idx), retrievalDir = Some(s"$root/rx"))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false,
+      corpusDedup = Some(cc), historyDir = Some(s"$root/hist"),
+      catalog = Some(Automation.CatalogConfig(cat))))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/drops/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    drop("d1.json", Seq(
+      s"""{"doc_id": 1, "text": "$textA", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 2, "text": "$textB", "lang": "en", "source": "s"}"""))
+    auto.tick()
+    val snap0 = Catalog.current(spark, cat).get
+    assert(snap0.version == 0L)
+    assert(snap0.tables.keySet ==
+      Set("corpus", "retrieval_tot", "ann", "ticks"))
+    assert(snap0.read(spark, "corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(snap0.read(spark, "ticks").count() == 1L)
+    assert(snap0.tables("ann")._2 == 0L) // flat index = generation 0
+    // ---- CRASH INJECTION: die BETWEEN the corpus commit and the
+    // catalog PUT. The transaction's writes run in order (corpus
+    // first, tick-history last, then the PUT); an unreadable manifest
+    // injected at the history table's next version makes the LAST
+    // write throw — the corpus has already advanced, the PUT never
+    // runs. Exactly the window the catalog closes for readers. ------
+    drop("d2.json", Seq(
+      s"""{"doc_id": 3, "text": "${(1 to 30).map(i => s"g$i").mkString(" ")}", "lang": "en", "source": "s"}"""))
+    val histV = VersionedTable.currentVersion(spark, s"$root/hist").get
+    val poison = java.nio.file.Paths.get(
+      s"$root/hist/_commits/${histV + 1}")
+    java.nio.file.Files.write(poison, Array.empty[Byte])
+    intercept[Exception] { auto.tick() }
+    java.nio.file.Files.delete(poison)
+    // the catalog still serves the ENTIRE pre-tick pin set: the
+    // corpus table advanced underneath (orphan history to catalog
+    // readers), but a snapshot reader sees none of it
+    assert(Catalog.currentVersion(spark, cat) == Some(0L))
+    val mid = Catalog.current(spark, cat).get
+    assert(mid.tables == snap0.tables,
+      "mid-crash pins must be exactly the pre-tick snapshot's")
+    assert(mid.read(spark, "corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L),
+      "mid-crash catalog readers must see the pre-tick corpus")
+    assert(VersionedTable.read(spark, s"$root/corpus").count() == 3L,
+      "the artifact itself DID advance (invisible orphan history)")
+    // ---- replay: idempotent re-run converges ----------------------
+    auto.tick() // nothing pending; pins the advanced artifacts
+    val snap1 = Catalog.current(spark, cat).get
+    assert(snap1.read(spark, "corpus").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "post-replay snapshot sees the advanced corpus")
+    assert(snap1.tables.keySet ==
+      Set("corpus", "retrieval_tot", "ann", "ticks"))
+    assert(snap1.read(spark, "ticks").count() == 2L,
+      "every COMPLETED tick's history row is pinned (the crashed " +
+        "tick left no row — its commit is what the poison killed)")
+    // the PRE-tick snapshot stays consistently readable (retention
+    // covers it): multi-table time travel at tick granularity
+    val back = Catalog.snapshotAsOf(spark, cat, 0L)
+    assert(back.read(spark, "corpus").count() == 2L)
+    // the ANN pin resolves to a searchable root
+    val annRoot = VectorIndex.generationRoot(
+      snap1.tables("ann")._1, snap1.tables("ann")._2)
+    assert(VectorIndex.search(spark, annRoot,
+      docVecs.filter(col("vec_id") === 1L), nprobe = 3, k = 2)
+      .count() == 2L)
+    // graft_catalog reflects the tick boundary
+    graft.functions.GraftFunctions.registerTableFunctions(spark)
+    val tvf = spark.sql(
+      s"SELECT * FROM graft_catalog('$cat') ORDER BY 2").collect()
+    assert(tvf.length == 4 && tvf.forall(_.getLong(0) == 1L))
+  }
 }

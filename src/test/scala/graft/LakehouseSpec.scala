@@ -251,6 +251,48 @@ class LakehouseSpec extends SparkSpec {
       "deferred first-drop vectors must be searchable probes")
   }
 
+  test("bootstrap floor gates on the load registry's recorded row " +
+      "counts — no per-tick table scan") {
+    import graft.operators.VectorIndex
+    val root = tmpDir("autoidxreg")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    new java.io.File(s"$root/varr").mkdirs()
+    val emb = Tables.embeddings(spark, sfDir)
+    def drop(name: String, lo: Int, hi: Int): Unit = {
+      val tmp = s"$root/_tmp_$name"
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$root/varr", s"$name.json").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/reg", generate = false,
+      vectorIndex = Some(Automation.VectorIndexConfig(
+        srcDir = s"$root/varr", tableDir = s"$root/vt",
+        registryDir = s"$root/vreg", indexPath = s"$root/idx",
+        schema = emb.schema, k = 2, minBootstrapVectors = 50))))
+    drop("d1", 0, 3)
+    auto.tick()
+    assert(!VectorIndex.exists(spark, s"$root/idx"))
+    // the floor decision reads the REGISTRY's summed n_rows, never a
+    // table count: a backfill row recorded out of band (47 rows)
+    // pushes the registry total to the floor while the table itself
+    // holds only 4 vectors — bootstrap fires on the next loaded tick
+    LoadRegistry.record(spark, s"$root/vreg",
+      Seq(("manual-backfill", LoadRegistry.StatusOk, 47L)))
+    drop("d2", 3, 4)
+    auto.tick()
+    assert(VectorIndex.exists(spark, s"$root/idx"),
+      "3 + 47 (registry backfill) + 1 >= 50: the registry-derived " +
+        "floor must fire the bootstrap")
+    assert(spark.read.parquet(s"$root/idx/lists").count() == 4L,
+      "the build still reads the real table contents")
+  }
+
   test("vector-index retrain tick: geometry refits and flips atomically, " +
       "vacuumed drops never resurrect") {
     import spark.implicits._
@@ -741,7 +783,7 @@ class LakehouseSpec extends SparkSpec {
       s"""{"doc_id": 14, "text": "$textC yy", "lang": "en", "source": "s"}"""))
     val r2 = auto.tick()
     assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 3)
-    val corpus = spark.read.parquet(s"$root/corpus").select("doc_id")
+    val corpus = spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(corpus == Seq(1L, 2L, 13L))
     // idle tick: nothing new to process
@@ -755,7 +797,7 @@ class LakehouseSpec extends SparkSpec {
     assert(done.delete())
     val r4 = auto.tick()
     assert(r4.corpus.get.batches == 1)
-    val corpus2 = spark.read.parquet(s"$root/corpus").select("doc_id")
+    val corpus2 = spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(corpus2 == corpus)
     // the incrementally-folded (gram, df) view matches a from-scratch
@@ -799,7 +841,7 @@ class LakehouseSpec extends SparkSpec {
       s"""{"doc_id": 3, "text": "${enDoc(3)}", "lang": "en", "source": "s"}"""))
     val r1 = auto.tick()
     assert(r1.corpus.get.kept == 2 && r1.corpus.get.dropped == 1)
-    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+    assert(spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
     // the maintained model folded ALL survivors (pre-resample): both
     // vocabularies count, with ct covering only the en slice
@@ -813,7 +855,7 @@ class LakehouseSpec extends SparkSpec {
       s"""{"doc_id": 12, "text": "${enDoc(12)}", "lang": "en", "source": "s"}"""))
     val r2 = auto.tick()
     assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 1)
-    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+    assert(spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 12L))
     val m2 = graft.operators.DsirView.model(spark, cc.dsirModelDir)
       .agg(org.apache.spark.sql.functions.sum("cr"),
@@ -913,7 +955,7 @@ class LakehouseSpec extends SparkSpec {
     assert(hits2.collect().map(_.toString).sorted.toSeq == hitRows,
       "vacuum must not change search results")
     // the replayed batch reused its published objects: corpus unchanged
-    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+    assert(spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 13L))
   }
 
@@ -951,16 +993,16 @@ class LakehouseSpec extends SparkSpec {
     val r2 = auto.tick()
     assert(r2.corpus.get.kept == 2 && r2.corpus.get.dropped == 0,
       "zero-token survivor must not be silently dropped by the DSIR join")
-    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+    assert(spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     // the guard refuses loudly on a model that only ever folded
     // zero-token batches (sums are null) instead of NPE-ing
     val emptyRoot = s"$root/m0"
     graft.operators.DsirView.update(spark, emptyRoot,
-      spark.read.parquet(s"$root/corpus").filter(col("doc_id") < 0), "en")
+      spark.read.parquet(s"$root/corpus/data").filter(col("doc_id") < 0), "en")
     intercept[IllegalArgumentException] {
       graft.operators.DsirView.score(spark, emptyRoot,
-        spark.read.parquet(s"$root/corpus"))
+        spark.read.parquet(s"$root/corpus/data"))
     }
   }
 
@@ -1252,6 +1294,59 @@ class LakehouseSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.size == 10))
   }
 
+  test("graft_hybrid TVF: the SQL console serves the full hybrid " +
+      "path ≡ the library call, tombstones honored") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val root = tmpDir("hybridsql")
+    val rx = s"$root/rx"; val idx = s"$root/idx"
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(RetrievalView.update(spark, rx, docs, 1L))
+    VectorIndex.build(emb, idx, k = 4, iters = 3)
+    // query: doc 7's own terms, probe = vector 7 (self-retrieval)
+    val terms = docs.filter(col("doc_id") === 7L).head()
+      .getAs[String]("text").trim.split("\\s+").toSeq
+      .filter(_.nonEmpty).distinct.take(6)
+    val want = RetrievalView.searchHybridById(spark, rx, idx, terms,
+      probeId = 7L, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._2).toSeq
+    graft.functions.GraftFunctions.registerTableFunctions(spark)
+    def viaSql(): Seq[(Long, Int, Double)] = spark.sql(
+      s"SELECT * FROM graft_hybrid('$rx', '$idx', " +
+        s"'${terms.mkString(" ")}', 7, 10, 4) ORDER BY rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val got = viaSql()
+    assert(got == want, s"SQL ≠ library:\n got $got\nwant $want")
+    assert(got.size == 10, "full k from a corpus this size")
+    // RRF ties (docs found by exactly one modality at equal rank)
+    // break by doc_id ascending — pinned through the SQL surface
+    val byScore = got.groupBy(_._3).values.filter(_.size > 1)
+    byScore.foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._1) == sorted.map(_._1).sorted,
+        s"tiebreak must be doc_id asc within equal rrf: $grp")
+    }
+    // tombstone exclusion rides through SQL: removing the probed
+    // vector drops it from the DENSE half; probeById refuses it as a
+    // probe too (it is no longer a live vector)
+    VectorIndex.remove(spark, idx, Seq(9L).toDF("vec_id"))
+    val after = spark.sql(
+      s"SELECT * FROM graft_hybrid('$rx', '$idx', " +
+        s"'${terms.mkString(" ")}', 7, 10, 4)").collect()
+    // doc 9 can now only appear through the lexical half; its dense
+    // rank contribution is gone, so its fused score can only shrink
+    val beforeScore = got.find(_._1 == 9L).map(_._3)
+    val afterScore = after.find(_.getLong(0) == 9L).map(_.getDouble(2))
+    (beforeScore, afterScore) match {
+      case (Some(b), Some(a)) => assert(a <= b + 1e-12)
+      case _ => // 9 absent from one/both top-k lists — fine
+    }
+    assert(VectorIndex.probeById(spark, idx, Seq(9L)).count() == 0,
+      "a tombstoned id resolves to no probe")
+  }
+
   test("VectorIndex.compactLists: fragmented streamed partitions " +
       "consolidate; search identical, replay markers intact") {
     import graft.operators.VectorIndex
@@ -1283,6 +1378,156 @@ class LakehouseSpec extends SparkSpec {
     assert(!VectorIndex.addIdempotent(spark, idx,
       emb.filter(col("vec_id") >= 40 && col("vec_id") < 60), 0L))
     assert(hits == want)
+  }
+
+  test("VectorIndex.compactLists: crash between two swaps, resume " +
+      "from the worklist — no rows lost") {
+    import graft.operators.VectorIndex
+    val idx = tmpDir("annlcrash") + "/idx"
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorIndex.build(emb.filter(col("vec_id") < 40), idx, k = 3, iters = 3)
+    (0 until 4).foreach { i =>
+      assert(VectorIndex.addIdempotent(spark, idx,
+        emb.filter(col("vec_id") >= 40 + i * 20 &&
+          col("vec_id") < 60 + i * 20), i.toLong))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    val totalBefore = spark.read.parquet(s"$idx/lists").count()
+    // reproduce the exact on-disk state of a run killed between two
+    // swaps: stage written, worklist committed, FIRST partition's
+    // swap complete (its staged src CONSUMED by the rename)
+    val affected = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/lists")).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cent_id="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) >= 2)
+      .map(_.getPath.getName.stripPrefix("cent_id=").toLong).sorted
+    assert(affected.size >= 2,
+      s"crash window needs >=2 fragmented partitions, got $affected")
+    val stage = s"$idx/_listcompact_stage"
+    spark.read.parquet(s"$idx/lists")
+      .filter(col("cent_id").isin(affected: _*))
+      .repartition(col("cent_id"))
+      .write.partitionBy("cent_id").parquet(stage)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$stage/_affected"), true)
+    out.write(affected.mkString("\n").getBytes("UTF-8")); out.close()
+    val c0 = affected.head
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/lists/cent_id=$c0"), true)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$stage/cent_id=$c0"),
+      new org.apache.hadoop.fs.Path(s"$idx/lists/cent_id=$c0")))
+    // ---- crash here; resume must keep c0's swapped-in data --------
+    assert(VectorIndex.compactLists(spark, idx, minFiles = 2) ==
+      affected.size.toLong)
+    assert(spark.read.parquet(s"$idx/lists").count() == totalBefore,
+      "resume deleted an already-swapped partition's rows")
+    affected.foreach { c =>
+      assert(fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$idx/lists/cent_id=$c"))
+        .count(_.getPath.getName.endsWith(".parquet")) == 1,
+        s"partition $c not consolidated")
+    }
+  }
+
+  test("VectorIndex.vacuumTombstones: crash mid-swap — resume keeps " +
+      "swapped partitions, still empties fully-tombstoned ones") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val idx = tmpDir("annvtcrash") + "/idx"
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 90)
+    VectorIndex.build(emb, idx, k = 3, iters = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    val byCent = spark.read.parquet(s"$idx/lists")
+      .select(col("cent_id").cast("long"), col("vec_id")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rs) => c -> rs.map(_.getLong(1)).sorted.toSeq }
+      .toSeq.sortBy(_._1)
+    assert(byCent.size == 3 && byCent.forall(_._2.nonEmpty))
+    // partition 0: EVERY row tombstoned (delete-only, ":empty" line);
+    // partitions 1 and 2: one row each
+    val (cFull, fullIds) = byCent.head
+    val tombs = fullIds ++ byCent.tail.map(_._2.head)
+    VectorIndex.remove(spark, idx, tombs.toDF("vec_id"))
+    // stage exactly as vacuumTombstones does, commit the worklist
+    val stage = s"$idx/_vacuum_stage"
+    val hit = byCent.map(_._1)
+    spark.read.parquet(s"$idx/lists")
+      .filter(col("cent_id").isin(hit: _*))
+      .join(broadcast(tombs.toDF("vec_id")), Seq("vec_id"), "left_anti")
+      .write.partitionBy("cent_id").parquet(stage)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$stage/_affected"), true)
+    out.write(hit.map(c => if (c == cFull) s"$c:empty" else s"$c")
+      .mkString("\n").getBytes("UTF-8")); out.close()
+    // partition 1's swap completed before the crash (src consumed)
+    val cDone = byCent(1)._1
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/lists/cent_id=$cDone"),
+      true)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$stage/cent_id=$cDone"),
+      new org.apache.hadoop.fs.Path(s"$idx/lists/cent_id=$cDone")))
+    // ---- crash here; resume -----------------------------------------
+    assert(VectorIndex.vacuumTombstones(spark, idx) == tombs.size.toLong)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$idx/lists/cent_id=$cFull")),
+      "fully-tombstoned partition must still delete on resume")
+    val liveAfter = spark.read.parquet(s"$idx/lists")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val wantLive = byCent.flatMap(_._2).filterNot(tombs.contains).sorted
+    assert(liveAfter == wantLive,
+      "resume must keep the already-swapped partition's live rows " +
+        "and drop exactly the tombstoned ids")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+  }
+
+  test("VectorIndex.retrain refuses while a streaming add is in " +
+      "flight; the batch's replay clears the intent and unblocks it") {
+    import graft.operators.VectorIndex
+    val idx = tmpDir("annintent") + "/idx"
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorIndex.build(emb.filter(col("vec_id") < 60), idx, k = 3, iters = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    // a completed add leaves no intent: retrain proceeds
+    assert(VectorIndex.addIdempotent(spark, idx,
+      emb.filter(col("vec_id") >= 60 && col("vec_id") < 80), 1L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/_batches_intent/batch-1")))
+    assert(VectorIndex.retrainAuto(spark, idx, emb) == 1L)
+    // CRASH INJECTION: batch 7 renamed its objects but died before
+    // its marker — exactly the state addIdempotent leaves mid-fold
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_batches_intent"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$idx/_batches_intent/batch-7"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.retrain(spark, idx, emb,
+        (df, p) => VectorIndex.build(df, p, k = 3, iters = 3))
+    }
+    assert(e.getMessage.contains("batch-7"),
+      s"refusal must name the in-flight batch: ${e.getMessage}")
+    // the stream's replay folds the batch, clearing the intent
+    assert(VectorIndex.addIdempotent(spark, idx,
+      emb.filter(col("vec_id") >= 80 && col("vec_id") < 100), 7L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/_batches_intent/batch-7")))
+    val probes = emb.filter(col("vec_id").isin(85L))
+    // the replayed batch's rows are searchable exactly once
+    val got = VectorIndex.search(spark, idx, probes, nprobe = 3, k = 5)
+      .collect()
+    assert(got.map(_.toString).distinct.length == got.length,
+      "no duplicate neighbors after intent-gated replay")
+    assert(VectorIndex.retrainAuto(spark, idx, emb) == 2L)
+    // a marked-but-uncleared intent (crash between marker and clear)
+    // is swept, not refused
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$idx/_batches_intent/batch-7"), true).close()
+    assert(VectorIndex.retrainAuto(spark, idx, emb) == 3L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/_batches_intent")))
   }
 
   test("corpus tick folds published batches into the maintained " +
@@ -1322,7 +1567,7 @@ class LakehouseSpec extends SparkSpec {
     val got = RetrievalView.search(spark, s"$root/rx", qterms, k = 10)
       .collect().map(_.toString).sorted.toSeq
     RetrievalView.update(spark, s"$root/rx-oneshot",
-      spark.read.parquet(s"$root/corpus"), 1L)
+      spark.read.parquet(s"$root/corpus/data"), 1L)
     val want = RetrievalView.search(spark, s"$root/rx-oneshot", qterms,
       k = 10).collect().map(_.toString).sorted.toSeq
     assert(got.nonEmpty && got == want)
@@ -1383,9 +1628,87 @@ class LakehouseSpec extends SparkSpec {
     val r = auto.tick()
     assert(r.corpus.get.kept == 2 && r.corpus.get.dropped == 1,
       r.corpus.toString)
-    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+    assert(spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
       "the gated doc must never reach the corpus")
+  }
+
+  test("quality-model retrain tick: the classifier re-fits on the " +
+      "curation-derived weak labels and flips atomically on cadence") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val root = tmpDir("corpusmrt")
+    val docs = Tables.documents(spark, sfDir)
+    val noiseText = concat_ws(" ", transform(sequence(lit(1), lit(30)),
+      i => concat(lit("nz"), substring(md5(concat(
+        col("doc_id").cast("string"), lit("_"), i.cast("string"))), 1, 6))))
+    val neg0 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      noiseText.as("text"))
+    QualityModel.train(docs.select(col("doc_id"), col("text"))
+      .withColumn("label", lit(1.0))
+      .unionByName(neg0.withColumn("label", lit(0.0))), s"$root/model")
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      modelGate = Some((s"$root/model", 0.5)),
+      modelRetrainEvery = 2)
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false,
+      corpusDedup = Some(cc), historyDir = Some(s"$root/hist")))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def goodText(id: Long) =
+      docs.filter(col("doc_id") === id).head().getAs[String]("text")
+    def junk(seed: Int) =
+      (1 to 30).map(i => s"nz${seed}xq${i * 7}zz").mkString(" ")
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/drops/$name"),
+        rows.map { case (id, t) =>
+          s"""{"doc_id": $id, "text": ${ujsonStr(t)}, "lang": "en", "source": "s"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    drop("d1.json", Seq(1L -> goodText(1L), 2L -> goodText(2L),
+      3L -> junk(3)))
+    val r1 = auto.tick()
+    assert(r1.corpus.get.kept == 2 && r1.corpus.get.dropped == 1)
+    assert(r1.corpus.get.modelGen.isEmpty, "cadence is every 2 ticks")
+    assert(QualityModel.generation(spark, s"$root/model") == 0L)
+    // tick 2: the re-fit fires — positives = curated corpus sample,
+    // negatives = docs curation dropped; one marker flips gen 1 live
+    drop("d2.json", Seq(4L -> goodText(4L), 5L -> junk(5)))
+    val r2 = auto.tick()
+    assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 1)
+    assert(r2.corpus.get.modelGen.contains(1L), r2.corpus.toString)
+    assert(QualityModel.generation(spark, s"$root/model") == 1L)
+    // superseded flat model vacuumed (single-maintenance-writer)
+    assert(!new java.io.File(s"$root/model/weights").exists())
+    // the RETRAINED model still separates: good docs pass, junk gates
+    val probe = Seq((100L, goodText(6L)), (101L, junk(9)))
+      .toDF("doc_id", "text")
+    val p = QualityModel.score(spark, s"$root/model", probe).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p(100L) >= 0.5 && p(101L) < 0.5, p.toString)
+    // tick 3: off-cadence, no re-fit
+    drop("d3.json", Seq(6L -> goodText(6L)))
+    assert(auto.tick().corpus.get.modelGen.isEmpty)
+    // tick 4: cadence again → generation 2
+    drop("d4.json", Seq(7L -> goodText(7L), 8L -> junk(8)))
+    assert(auto.tick().corpus.get.modelGen.contains(2L))
+    assert(QualityModel.generation(spark, s"$root/model") == 2L)
+    // the tick history records which ticks flipped a model generation
+    graft.functions.GraftFunctions.registerTableFunctions(spark)
+    val gens = spark.sql("SELECT tick, model_gen FROM " +
+      s"graft_ticks('$root/hist') ORDER BY tick").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1))))
+    assert(gens.toSeq == Seq(1L -> None, 2L -> Some(1L), 3L -> None,
+      4L -> Some(2L)), gens.mkString(","))
+    // gated docs never reached the corpus through all four ticks
+    assert(spark.read.parquet(s"$root/corpus/data").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L, 6L, 7L))
   }
 
   private def ujsonStr(s: String): String =
@@ -1458,7 +1781,7 @@ class LakehouseSpec extends SparkSpec {
     auto.tick()
     assert(RetrievalView.search(spark, s"$root/rx", qEn, k = 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 12L))
-    assert(spark.read.parquet(s"$root/corpus").select("doc_id")
+    assert(spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 12L))
   }
 

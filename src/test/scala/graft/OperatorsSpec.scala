@@ -1590,6 +1590,12 @@ class OperatorsSpec extends SparkSpec {
       seg.getAs[Long]("n_tokens") >= 1L)
     // the sample bound keeps training runnable on a truncated dict
     assert(BpeTrainer.train(docs, numMerges = 3, maxWords = 2).nonEmpty)
+    // tokenizer-scale merges with an UNBOUNDED dictionary would run
+    // one distributed job per merge — refused loudly, not entered
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.train(docs, numMerges = 30000)
+    }
+    assert(e.getMessage.contains("maxWords"), e.getMessage)
   }
 
   test("BPE driver-local loop: bit-identical to the distributed path, " +
@@ -2032,6 +2038,14 @@ class OperatorsSpec extends SparkSpec {
     assert(scored.collect().map(_.toString).sorted.toSeq ==
       graft.operators.QualityModel.score(spark, root, mixed)
         .collect().map(_.toString).sorted.toSeq)
+    // BIT-identical under any partition layout: the per-doc fold runs
+    // through the exact decimal accumulator, so accumulation order
+    // (which repartitioning scrambles) cannot flip a gate decision
+    assert(graft.operators.QualityModel.score(spark, root,
+        mixed.repartition(7)).collect().map(_.toString).sorted.toSeq ==
+      graft.operators.QualityModel.score(spark, root,
+        mixed.repartition(131)).collect().map(_.toString).sorted.toSeq,
+      "quality_p must be bit-stable across partition layouts")
     // the 100-TB scoring path: broadcast join, no UDFs, no ml classes
     val plan = scored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))

@@ -1221,4 +1221,116 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, 8)
   }
+
+  test("property: catalog commit/read/prune/race interleavings match " +
+      "a serializable in-memory model") {
+    import spark.implicits._
+    import graft.lakehouse.{Catalog, VersionedTable}
+    val names = Seq("a", "b", "c")
+    // ops: 0 = commitAll over a random table subset, 1 = prune,
+    // 2 = snapshotAsOf spot-check, 3 = RACING commitAll pair (two
+    // threads, same catalog — create-exclusive arbitration must
+    // admit one OR serialize both, never corrupt the mapping)
+    val genOp: Gen[(Int, Int, Int)] = for {
+      kind <- Gen.frequency((5, 0), (2, 1), (3, 2), (2, 3))
+      sub <- Gen.chooseNum(1, 7) // bitmask over the 3 tables
+      keep <- Gen.chooseNum(1, 3)
+    } yield (kind, sub, keep)
+    val genCase = Gen.chooseNum(4, 9).flatMap(n => Gen.listOfN(n, genOp))
+    val prop = Prop.forAll(genCase) { ops =>
+      val base = tmpDir("cat-prop")
+      val cat = s"$base/cat"
+      def tw(name: String, rows: Seq[Int]): Catalog.TableWrite =
+        Catalog.TableWrite(name, s"$base/$name", () =>
+          VersionedTable.commit(spark, s"$base/$name",
+            keepVersions = 30) { dir =>
+            rows.toDF("id").coalesce(1).write.parquet(dir)
+          })
+      // MODEL: catalog version → (table → expected id set); prune
+      // trims the low versions
+      var history = Map.empty[Long, Map[String, Set[Int]]]
+      var nextRow = 0
+      var prunedBelow = 0L
+      def fresh(n: Int): Seq[Int] = { nextRow += 1; (1 to n).map(_ + nextRow * 100) }
+      ops.foreach { case (kind, sub, keep) =>
+        val cur: Map[String, Set[Int]] =
+          history.maxByOption(_._1).map(_._2).getOrElse(Map.empty)
+        kind match {
+          case 0 =>
+            val subset = names.zipWithIndex.collect {
+              case (n, i) if (sub & (1 << i)) != 0 => n }
+            val rows = subset.map(n => n -> fresh(2 + (sub % 3))).toMap
+            val snap = Catalog.commitAll(spark, cat,
+              subset.map(n => tw(n, rows(n))))
+            history += snap.version ->
+              (cur ++ rows.map { case (n, r) => n -> r.toSet })
+          case 1 =>
+            Catalog.prune(spark, cat, keep)
+            if (history.nonEmpty) {
+              val vs = history.keys.toSeq.sorted
+              prunedBelow = math.max(prunedBelow,
+                vs.dropRight(keep).lastOption.map(_ + 1).getOrElse(prunedBelow))
+            }
+          case 2 =>
+            val retained = history.keys.filter(_ >= prunedBelow)
+            retained.foreach { v =>
+              val snap = Catalog.snapshotAsOf(spark, cat, v)
+              history(v).foreach { case (n, wantIds) =>
+                val got = snap.read(spark, n).collect()
+                  .map(_.getInt(0)).toSet
+                assert(got == wantIds,
+                  s"asOf($v).$n: $got != $wantIds after $ops")
+              }
+            }
+          case _ =>
+            // RACE: two transactions on distinct tables from two
+            // threads. The create-exclusive PUT admits one (loser
+            // throws CatalogConflictException, its table version
+            // becomes invisible orphan history) or — if timing fully
+            // serialized them — both land, the second carrying the
+            // first's pin. Never both fail, never a torn mapping.
+            val rowsA = fresh(2); val rowsB = fresh(3)
+            val outcomes = new java.util.concurrent.ConcurrentHashMap[
+              String, Either[Throwable, Catalog.Snapshot]]()
+            val threads = Seq(("a", rowsA), ("b", rowsB)).map {
+              case (n, r) => new Thread(() => {
+                val res =
+                  try Right(Catalog.commitAll(spark, cat, Seq(tw(n, r))))
+                  catch {
+                    case e: Catalog.CatalogConflictException => Left(e)
+                  }
+                outcomes.put(n, res)
+              })
+            }
+            threads.foreach(_.start()); threads.foreach(_.join())
+            val wins = Seq("a" -> rowsA, "b" -> rowsB).flatMap {
+              case (n, r) => outcomes.get(n) match {
+                case Right(s) => Some((n, r, s))
+                case Left(_) => None
+              }
+            }.sortBy(_._3.version)
+            assert(wins.nonEmpty, s"both racers failed after $ops")
+            // serializable: apply the winners in version order — each
+            // advanced exactly its own table over the then-current map
+            wins.foreach { case (n, r, s) =>
+              val prev = history.maxByOption(_._1).map(_._2)
+                .getOrElse(Map.empty)
+              history += s.version -> (prev + (n -> r.toSet))
+            }
+        }
+        // invariant after EVERY op: the current snapshot equals the
+        // model's newest retained version
+        history.maxByOption(_._1).foreach { case (v, want) =>
+          val snap = Catalog.current(spark, cat).get
+          assert(snap.version == v, s"version ${snap.version} != $v")
+          want.foreach { case (n, ids) =>
+            assert(snap.read(spark, n).collect().map(_.getInt(0)).toSet
+              == ids, s"table $n diverged after $ops")
+          }
+        }
+      }
+      true
+    }
+    check(prop, 10)
+  }
 }
