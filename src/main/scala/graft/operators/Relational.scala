@@ -2692,7 +2692,178 @@ object Relational {
       |    AS spearman_rho
       |FROM m""".stripMargin
 
+  /** q160: CRAMÉR'S V effect size over the (market segment × order
+    * status) contingency — the "is this association big" companion to
+    * q140's "is it significant" chi-square (χ² grows with n, V does
+    * not). Same scale shape as q140: one cell-count aggregate
+    * (map-side partials), two tiny marginal tables, broadcast joins;
+    * each cell's χ² contribution rounds to 6 dp before the exact
+    * decimal fold, and V = sqrt(χ²/(n·min(r−1,c−1))) is one fixed
+    * IEEE expression over the exact totals. */
+  private val q160: QFn = (s, d) => {
+    val obs = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("seg").agg(sum(col("o")).as("rt"))
+    val colT = obs.groupBy("status").agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).cast("double").as("n"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n")
+    val od = col("o").cast("double")
+    obs.join(rowT, Seq("seg")).join(colT, Seq("status"))
+      .crossJoin(broadcast(n))
+      .select(round((od - e) * (od - e) / e, 6).as("cell"),
+        col("seg"), col("status"), col("n"))
+      .agg(
+        first(col("n")).cast("long").as("n"),
+        least(countDistinct(col("seg")) - 1,
+          countDistinct(col("status")) - 1).as("min_dof"),
+        round(sum(col("cell").cast(Dec)).cast("double"), 6).as("chi2"))
+      .select(col("n"), col("min_dof"), col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n").cast("double") * col("min_dof").cast("double"))), 6)
+          .as("cramers_v"))
+  }
+  private val q160Sql =
+    """WITH obs AS (
+      |  SELECT c_mktsegment AS seg, o_orderstatus AS status,
+      |    COUNT(*) AS o
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT seg, SUM(o) AS rt FROM obs GROUP BY 1),
+      |ct AS (SELECT status, SUM(o) AS ct FROM obs GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+      |cell AS (
+      |  SELECT seg, status,
+      |    ROUND((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM nn))
+      |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM nn))
+      |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM nn)), 6) AS cell
+      |  FROM obs JOIN rt USING (seg) JOIN ct USING (status)),
+      |m AS (
+      |  SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+      |    CAST(LEAST(COUNT(DISTINCT seg) - 1,
+      |      COUNT(DISTINCT status) - 1) AS BIGINT) AS min_dof,
+      |    ROUND(CAST(SUM(CAST(cell AS DECIMAL(28,6))) AS DOUBLE), 6) AS chi2
+      |  FROM cell)
+      |SELECT n, min_dof, chi2,
+      |  ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * CAST(min_dof AS DOUBLE))), 6)
+      |    AS cramers_v
+      |FROM m""".stripMargin
+
+  /** q163: QUANTITY-WEIGHTED MEDIAN of extended price per return
+    * flag — the weighted-quantile shape (each line counts l_quantity
+    * times, the robust "typical price per unit moved"). Scale shape:
+    * aggregate FIRST to per-distinct-price weight totals (tiny —
+    * price×flag cardinality, map-side partials), run the cumulative
+    * weight as a DISTRIBUTED prefix sum over the price-ordered
+    * distinct table (`RankOps.withGroupedPrefixSum` — never a
+    * single-reducer window), then keep the lowest price whose
+    * INCLUSIVE cumulative weight reaches half the total. Weights are
+    * integral by data contract (cast asserts it), so the half-total
+    * comparison is integer-exact: 2·(cum+w) ≥ total in longs. */
+  private val q163: QFn = (s, d) => {
+    val perPrice = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val tot = perPrice.groupBy("flag").agg(sum(col("w")).as("wt"))
+    val cum = graft.operators.RankOps.withGroupedPrefixSum(
+      perPrice, Seq("flag"), Seq("price"), "w", "cum_before")
+    cum.join(tot, Seq("flag"))
+      .filter((col("cum_before") + col("w")) * 2 >= col("wt"))
+      .groupBy(col("flag"))
+      .agg(min(col("price")).as("weighted_median"),
+        first(col("wt")).as("total_weight"))
+  }
+  private val q163Sql =
+    """WITH per_price AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT flag, price, w,
+      |    CAST(COALESCE(SUM(w) OVER (PARTITION BY flag ORDER BY price
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before,
+      |    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS wt
+      |  FROM per_price)
+      |SELECT flag, MIN(price) AS weighted_median,
+      |  CAST(MIN(wt) AS BIGINT) AS total_weight
+      |FROM cum
+      |WHERE (cum_before + w) * 2 >= wt
+      |GROUP BY flag""".stripMargin
+
+  /** q164: SKEWNESS and EXCESS KURTOSIS of order value per priority —
+    * the distribution-shape profile (a heavy right tail shows as
+    * skew > 0, fat tails as kurtosis > 0). TWO-PASS centered moments,
+    * never raw Σx⁴ (whose decimal magnitude would overflow 38 digits
+    * at petabyte row counts): pass 1 pins the 6-dp group mean through
+    * the exact decimal average; pass 2 computes per-row centered
+    * powers in deterministic scalar IEEE (d, d², d³, d⁴ identical in
+    * any engine), rounds each to 6 dp, and folds them through the
+    * decimal accumulator. Final ratios are fixed IEEE expressions
+    * over the exact sums. */
+  private val q164: QFn = (s, d) => {
+    // d³/d⁴ magnitudes need 38-digit headroom (|d| ≈ 1e5 ⇒ d⁴ ≈ 1e20;
+    // the fold stays inside 38 digits to ~1e12 rows)
+    val BigDec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("x"))
+    val mu = o.groupBy("prio")
+      .agg(round(graft.util.Exact.davg(col("x")), 6).as("mu"),
+        count(lit(1)).as("n"))
+    val dd = col("x") - col("mu")
+    o.join(broadcast(mu), Seq("prio"))
+      .select(col("prio"), col("n"),
+        round(dd * dd, 6).as("d2"),
+        round(dd * dd * dd, 6).as("d3"),
+        round(dd * dd * dd * dd, 6).as("d4"))
+      .groupBy("prio")
+      .agg(first(col("n")).as("n"),
+        sum(col("d2").cast(Dec)).cast("double").as("m2s"),
+        sum(col("d3").cast(BigDec)).cast("double").as("m3s"),
+        sum(col("d4").cast(BigDec)).cast("double").as("m4s"))
+      .select(col("prio"), col("n"),
+        round(
+          (col("m3s") / col("n")) /
+            pow(col("m2s") / col("n"), lit(1.5)), 6).as("skewness"),
+        round(
+          (col("m4s") / col("n")) /
+            ((col("m2s") / col("n")) * (col("m2s") / col("n"))) - 3.0,
+          6).as("excess_kurtosis"))
+  }
+  private val q164Sql =
+    s"""WITH mu AS (
+       |  SELECT o_orderpriority AS prio,
+       |    ROUND(${graft.util.Exact.sqlAvg("o_totalprice")}, 6) AS mu,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |ctr AS (
+       |  SELECT prio, n,
+       |    ROUND((o_totalprice - mu) * (o_totalprice - mu), 6) AS d2,
+       |    ROUND((o_totalprice - mu) * (o_totalprice - mu) * (o_totalprice - mu), 6) AS d3,
+       |    ROUND((o_totalprice - mu) * (o_totalprice - mu) * (o_totalprice - mu) * (o_totalprice - mu), 6) AS d4
+       |  FROM orders JOIN mu ON o_orderpriority = prio),
+       |m AS (
+       |  SELECT prio, MIN(n) AS n,
+       |    CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS m2s,
+       |    CAST(SUM(CAST(d3 AS DECIMAL(38,6))) AS DOUBLE) AS m3s,
+       |    CAST(SUM(CAST(d4 AS DECIMAL(38,6))) AS DOUBLE) AS m4s
+       |  FROM ctr GROUP BY 1)
+       |SELECT prio, n,
+       |  ROUND((m3s / n) / POW(m2s / n, 1.5), 6) AS skewness,
+       |  ROUND((m4s / n) / ((m2s / n) * (m2s / n)) - 3.0, 6)
+       |    AS excess_kurtosis
+       |FROM m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q160_cramers_v" -> q160,
+    "q163_weighted_median" -> q163,
+    "q164_moments" -> q164,
     "q154_priority_class" -> q154,
     "q155_spearman" -> q155,
     "q151_hhi" -> q151,
@@ -2768,6 +2939,9 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q160_cramers_v" -> q160Sql,
+    "q163_weighted_median" -> q163Sql,
+    "q164_moments" -> q164Sql,
     "q154_priority_class" -> q154Sql,
     "q155_spearman" -> q155Sql,
     "q151_hhi" -> q151Sql,

@@ -566,7 +566,263 @@ object SessionOps {
       |    (CAST(sx AS DOUBLE) / n_days), 6) AS fano
       |FROM m""".stripMargin
 
+  /** q159: SHANNON ENTROPY of each event type's hour-of-day
+    * distribution (+ perplexity) — the temporal-concentration
+    * profile: a bot-like type hammering one hour scores near 0 bits,
+    * uniform human traffic near log2(24). Timezone-free hour buckets
+    * (epoch-microsecond arithmetic, no session-zone dependence); one
+    * (type, hour) aggregate with map-side partials, a tiny per-type
+    * total broadcast back, per-bucket −p·log2 p rounded to 6 dp and
+    * folded through the exact decimal accumulator. */
+  private val q159: QFn = (s, d) => {
+    val HourUs = 3600L * 1000000L
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        pmod(floor(unix_micros(col("ts")) / HourUs), lit(24L)).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val tot = hourly.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    hourly.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        round(-p * log(2.0, p), 6).as("term"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n_events"),
+        round(sum(col("term").cast(Dec)).cast("double"), 6)
+          .as("entropy_bits"))
+      .select(col("event_type"), col("n_events"), col("entropy_bits"),
+        round(pow(lit(2.0), col("entropy_bits")), 6).as("perplexity"))
+  }
+  private val q159Sql =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS h,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM hourly GROUP BY 1),
+      |terms AS (
+      |  SELECT event_type, n,
+      |    ROUND(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 6)
+      |      AS term
+      |  FROM hourly JOIN tot USING (event_type)),
+      |e AS (
+      |  SELECT event_type, MIN(n) AS n_events,
+      |    ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |      AS entropy_bits
+      |  FROM terms GROUP BY 1)
+      |SELECT event_type, n_events, entropy_bits,
+      |  ROUND(POW(2.0, entropy_bits), 6) AS perplexity
+      |FROM e""".stripMargin
+
+  /** q161: STATIONARY DISTRIBUTION of the user-behavior Markov chain
+    * — 6 power-iteration steps over q103's transition matrix (where
+    * does a long session end up spending its time). The COUNTING is
+    * the distributed work (per-user ordered lead + one pair
+    * aggregate, exactly q103); the matrix itself is model-sized by
+    * contract (|event vocabulary|² cells), so the iteration runs
+    * DRIVER-LOCAL in exact BigDecimal — the BpeTrainer discipline:
+    * model-sized state never schedules per-round jobs. Each step
+    * multiplies exact decimals (π at scale 12 × p at scale 6) and
+    * re-rounds to 12 dp, mirrored digit-for-digit by the oracle's
+    * unrolled decimal CTEs (the q98 fixed-round pattern), so the
+    * result is hash-exact. */
+  private val q161: QFn = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val steps = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy("from_type").agg(sum("n").as("total"))
+    val mat = steps.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        round(col("n").cast("double") / col("total"), 6).as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        new java.math.BigDecimal(String.valueOf(r.getDouble(2)))))
+    val states = (mat.map(_._1) ++ mat.map(_._2)).distinct.sorted.toSeq
+    val init = java.math.BigDecimal.ONE.divide(
+      new java.math.BigDecimal(states.size), 12,
+      java.math.RoundingMode.HALF_UP)
+    var pi: Map[String, java.math.BigDecimal] =
+      states.map(_ -> init).toMap
+    (1 to 6).foreach { _ =>
+      val next = scala.collection.mutable.Map
+        .empty[String, java.math.BigDecimal]
+      mat.foreach { case (f, t, p) =>
+        val add = pi(f).multiply(p) // exact: scale 12 × scale 6
+        next.update(t, next.getOrElse(t, java.math.BigDecimal.ZERO).add(add))
+      }
+      pi = states.map(st => st -> next.getOrElse(st,
+        java.math.BigDecimal.ZERO)
+        .setScale(12, java.math.RoundingMode.HALF_UP)).toMap
+    }
+    states.map(st => (st, pi(st).doubleValue)).toDF("state", "p0")
+      .select(col("state"), round(col("p0"), 6).as("stationary_p"))
+  }
+  private val q161Sql: String = {
+    val iters = (1 to 6).map { i =>
+      s"""i$i AS (
+         |  SELECT t.to_type AS st,
+         |    CAST(ROUND(SUM(CAST(i.pi AS DECIMAL(14,12)) * t.p), 12)
+         |      AS DECIMAL(14,12)) AS pi
+         |  FROM i${i - 1} i JOIN p t ON i.st = t.from_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH stepsrc AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM stepsrc WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS total
+       |  FROM pairs GROUP BY 1),
+       |p AS (
+       |  SELECT from_type, to_type,
+       |    CAST(ROUND(CAST(n AS DOUBLE) / total, 6) AS DECIMAL(8,6)) AS p
+       |  FROM pairs JOIN tot USING (from_type)),
+       |states AS (
+       |  SELECT DISTINCT from_type AS st FROM p
+       |  UNION SELECT DISTINCT to_type FROM p),
+       |i0 AS (
+       |  SELECT st, CAST(ROUND(1.0 / (SELECT COUNT(*) FROM states), 12)
+       |    AS DECIMAL(14,12)) AS pi FROM states),
+       |$iters
+       |SELECT s.st AS state,
+       |  ROUND(CAST(COALESCE(i6.pi, 0) AS DOUBLE), 6) AS stationary_p
+       |FROM states s LEFT JOIN i6 ON s.st = i6.st""".stripMargin
+  }
+
+  /** q162: MUTUAL INFORMATION between event type and (timezone-free)
+    * day-of-week bucket — "does behavior depend on the day", in bits,
+    * with the entropies and min-normalized MI alongside (the feature-
+    * selection screen: NMI near 0 ⇒ the day column carries no signal
+    * about the type). Same scale shape as q140/q160: one joint-cell
+    * aggregate, two tiny marginals broadcast back, per-cell
+    * p·log2(p·n²⁄(cx·cy)) — algebraically c·n⁄(cx·cy) in counts, one
+    * division — rounded to 6 dp into the decimal fold; entropies from
+    * the marginals the same way; NMI one fixed IEEE expression. */
+  private val q162: QFn = (s, d) => {
+    val DayUs = 86400L * 1000000L
+    val base = Tables.events(s, d)
+      .select(col("event_type").as("x"),
+        pmod(floor(unix_micros(col("ts")) / DayUs), lit(7L)).as("y"))
+    val joint = base.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val mx = joint.groupBy("x").agg(sum(col("c")).as("cx"))
+    val my = joint.groupBy("y").agg(sum(col("c")).as("cy"))
+    val nRow = joint.agg(sum(col("c")).cast("double").as("n"))
+    val cd = col("c").cast("double")
+    val mi = joint.join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y")).crossJoin(broadcast(nRow))
+      .select(round((cd / col("n")) * log(2.0,
+        cd * col("n") / (col("cx").cast("double") *
+          col("cy").cast("double"))), 6).as("term"))
+      .agg(round(sum(col("term").cast(Dec)).cast("double"), 6).as("mi"))
+    def entropy(m: DataFrame, cnt: String) = m.crossJoin(broadcast(nRow))
+      .select(round(-(col(cnt).cast("double") / col("n")) *
+        log(2.0, col(cnt).cast("double") / col("n")), 6).as("term"))
+      .agg(round(sum(col("term").cast(Dec)).cast("double"), 6).as("h"))
+    val hx = entropy(mx, "cx").select(col("h").as("h_type"))
+    val hy = entropy(my, "cy").select(col("h").as("h_day"))
+    mi.crossJoin(hx).crossJoin(hy).crossJoin(nRow.select(col("n")))
+      .select(col("n").cast("long").as("n_events"),
+        col("h_type").as("h_type_bits"), col("h_day").as("h_day_bits"),
+        col("mi").as("mi_bits"),
+        round(col("mi") / least(col("h_type"), col("h_day")), 6)
+          .as("nmi_min"))
+  }
+  private val q162Sql =
+    """WITH base AS (
+      |  SELECT event_type AS x,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 7 AS y
+      |  FROM events),
+      |joint AS (SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2),
+      |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM joint GROUP BY 1),
+      |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM joint GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM joint),
+      |mi AS (
+      |  SELECT ROUND(CAST(SUM(CAST(ROUND(
+      |      (CAST(c AS DOUBLE) / (SELECT n FROM nn)) *
+      |      log2(CAST(c AS DOUBLE) * (SELECT n FROM nn) /
+      |        (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS mi
+      |  FROM joint JOIN mx USING (x) JOIN my USING (y)),
+      |hx AS (
+      |  SELECT ROUND(CAST(SUM(CAST(ROUND(
+      |      -(CAST(cx AS DOUBLE) / (SELECT n FROM nn)) *
+      |      log2(CAST(cx AS DOUBLE) / (SELECT n FROM nn)), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS h_type FROM mx),
+      |hy AS (
+      |  SELECT ROUND(CAST(SUM(CAST(ROUND(
+      |      -(CAST(cy AS DOUBLE) / (SELECT n FROM nn)) *
+      |      log2(CAST(cy AS DOUBLE) / (SELECT n FROM nn)), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS h_day FROM my)
+      |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_events,
+      |  h_type AS h_type_bits, h_day AS h_day_bits, mi AS mi_bits,
+      |  ROUND(mi / LEAST(h_type, h_day), 6) AS nmi_min
+      |FROM mi, hx, hy""".stripMargin
+
+  /** q165: PARTICIPATION INEQUALITY — what share of all events the
+    * top-10% and top-20% most active users produce (the 90-9-1 rule
+    * as a measured number). Per-user counts (one map-side-partial
+    * aggregate), then a GLOBAL rank over (count desc, user asc) via
+    * the distributed two-pass `RankOps.withGlobalRank` — a 100-TB
+    * event log's user table never serializes through one window
+    * task — and integer-exact top-k cuts (⌈U/10⌉ via floor((u+9)/10),
+    * identical IEEE in both engines on any realistic U). Shares are
+    * exact-count ratios rounded at the end. */
+  private val q165: QFn = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.RankOps.withGlobalRank(perUser,
+      Seq(col("cnt").desc, col("user_id").asc), "rnk")
+    val tot = perUser.agg(count(lit(1)).as("u"),
+      sum(col("cnt")).as("te"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("u"), col("te"), col("cnt"), col("rnk"),
+        floor((col("u") + 9) / 10.0).cast("long").as("k10"),
+        floor((col("u") + 4) / 5.0).cast("long").as("k20"))
+      .agg(first(col("u")).as("n_users"),
+        first(col("te")).as("total_events"),
+        sum(when(col("rnk") <= col("k10"), col("cnt"))
+          .otherwise(0L)).as("top10_events"),
+        sum(when(col("rnk") <= col("k20"), col("cnt"))
+          .otherwise(0L)).as("top20_events"))
+      .select(col("n_users"), col("total_events"),
+        round(col("top10_events").cast("double") /
+          col("total_events"), 6).as("top10_share"),
+        round(col("top20_events").cast("double") /
+          col("total_events"), 6).as("top20_share"))
+  }
+  private val q165Sql =
+    """WITH per_user AS (
+      |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |ranked AS (
+      |  SELECT cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
+      |  FROM per_user),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS u,
+      |    CAST(SUM(cnt) AS BIGINT) AS te FROM per_user)
+      |SELECT u AS n_users, te AS total_events,
+      |  ROUND(CAST(SUM(CASE WHEN rnk <= CAST(FLOOR((u + 9) / 10.0) AS BIGINT)
+      |    THEN cnt ELSE 0 END) AS DOUBLE) / te, 6) AS top10_share,
+      |  ROUND(CAST(SUM(CASE WHEN rnk <= CAST(FLOOR((u + 4) / 5.0) AS BIGINT)
+      |    THEN cnt ELSE 0 END) AS DOUBLE) / te, 6) AS top20_share
+      |FROM ranked, tot
+      |GROUP BY u, te""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q159_hour_entropy" -> q159,
+    "q161_markov_stationary" -> q161,
+    "q162_mutual_information" -> q162,
+    "q165_pareto_share" -> q165,
     "q149_burstiness" -> q149,
     "q109_ewma" -> q109,
     "q111_conversion_lag" -> q111,
@@ -583,6 +839,10 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q159_hour_entropy" -> q159Sql,
+    "q161_markov_stationary" -> q161Sql,
+    "q162_mutual_information" -> q162Sql,
+    "q165_pareto_share" -> q165Sql,
     "q149_burstiness" -> q149Sql,
     "q109_ewma" -> q109Sql,
     "q111_conversion_lag" -> q111Sql,

@@ -2178,7 +2178,51 @@ object TextOps {
       |  CROSS JOIN vocab
       |GROUP BY doc_id""".stripMargin
 
+  /** q166: LEXICAL DIVERSITY per source — type-token ratio and hapax
+    * share (the vocabulary-health companion to q142's Zipf slope and
+    * q152's Heaps exponent: template-generated or boilerplate-heavy
+    * sources show low TTR and low hapax share; a healthy natural
+    * corpus keeps a long tail of once-seen words). One explode +
+    * (source, term) aggregate with map-side partials — term
+    * frequency within source decides hapax membership — then a tiny
+    * per-source rollup; ratios are exact-count divisions rounded at
+    * the end. */
+  private val q166: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_share"))
+  }
+  private val q166Sql =
+    """WITH tf AS (
+      |  SELECT source, term, COUNT(*) AS tf
+      |  FROM (SELECT source,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS term
+      |        FROM documents) t
+      |  WHERE length(term) > 0
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hapax
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, n_types,
+      |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+      |  ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share
+      |FROM agg""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q166_ttr" -> q166,
     "q156_jsd_drift" -> q156,
     "q157_gopher_rules" -> q157,
     "q158_bigram_surprisal" -> q158,
@@ -2221,6 +2265,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q166_ttr" -> q166Sql,
     "q156_jsd_drift" -> q156Sql,
     "q157_gopher_rules" -> q157Sql,
     "q158_bigram_surprisal" -> q158Sql,
