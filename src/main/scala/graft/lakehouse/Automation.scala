@@ -458,8 +458,12 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
             finally out.close()
             next
           }
+        // with a catalog configured, fold history is retained to the
+        // catalog's keep so snapshot readers can searchAt pinned
+        // retrieval versions (the keepVersions-trails-readers contract)
         RetrievalView.update(spark, rx,
-          spark.read.parquet(s"${cc.corpusDataDir}/batch-$tag.parquet"), id)
+          spark.read.parquet(s"${cc.corpusDataDir}/batch-$tag.parquet"), id,
+          keepVersions = cfg.catalog.map(_.keep).getOrElse(1))
       }
       // marker LAST: its existence = this raw file fully processed
       val out = fs.create(

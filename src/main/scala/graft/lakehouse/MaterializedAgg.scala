@@ -47,7 +47,7 @@ object MaterializedAgg {
   /** Fold one batch into the materialized state at `root`; returns
     * the committed version. */
   def update(spark: SparkSession, root: String, batch: DataFrame,
-      spec: Spec): Long = {
+      spec: Spec, keepVersions: Int = 1): Long = {
     val p = partial(batch, spec)
     val cur = if (VersionedTable.currentVersion(spark, root).isDefined)
       Some(VersionedTable.read(spark, root)) else None
@@ -57,15 +57,28 @@ object MaterializedAgg {
         spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")) ++
         spec.distincts.map(c =>
           hll_union_agg(col(s"hll_$c")).as(s"hll_$c")): _*)
-    VersionedTable.commit(spark, root) { stage =>
+    // keepVersions > 1 retains fold history for catalog-snapshot
+    // readers (readVersion / versionForBatch) — the state is KB-sized,
+    // so retained manifests cost nothing
+    VersionedTable.commit(spark, root, keepVersions) { stage =>
       merged.write.mode("overwrite").parquet(stage)
     }
   }
 
   /** Read the view: keys, cnt, and for each maintained sum the exact
     * double total `sum_<col>` and the derived `avg_<col>`. */
-  def read(spark: SparkSession, root: String, spec: Spec): DataFrame = {
-    val st = VersionedTable.read(spark, root)
+  def read(spark: SparkSession, root: String, spec: Spec): DataFrame =
+    derived(VersionedTable.read(spark, root), spec)
+
+  /** [[read]] at a RETAINED version — the catalog-snapshot form:
+    * serve the view exactly as it stood when the pinned version was
+    * its current state (retention must cover the snapshot reader,
+    * the usual keepVersions contract). */
+  def readVersion(spark: SparkSession, root: String, spec: Spec,
+      version: Long): DataFrame =
+    derived(VersionedTable.readVersion(spark, root, version), spec)
+
+  private def derived(st: DataFrame, spec: Spec): DataFrame = {
     val cols = spec.keys.map(col) ++ Seq(col("cnt")) ++
       spec.sums.flatMap(c => Seq(
         col(s"dec_$c").cast("double").as(s"sum_$c"),
@@ -102,7 +115,8 @@ object MaterializedAgg {
     * was never folded). HLL distincts cannot retract — refused.
     * Same exactly-once ledger as [[foldBatch]]. */
   def foldPartialBatch(spark: SparkSession, root: String,
-      partialRows: DataFrame, spec: Spec, batchId: Long): Boolean = {
+      partialRows: DataFrame, spec: Spec, batchId: Long,
+      keepVersions: Int = 1): Boolean = {
     require(spec.distincts.isEmpty,
       "HLL distinct sketches cannot retract; foldPartialBatch maintains " +
         "counts/sums only")
@@ -114,7 +128,7 @@ object MaterializedAgg {
       .agg(sum(col("cnt")).as("cnt"),
         spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")): _*)
       .filter(col("cnt") =!= 0L)
-    VersionedTable.commit(spark, root) { stage =>
+    VersionedTable.commit(spark, root, keepVersions) { stage =>
       merged.write.mode("overwrite").parquet(stage)
       VersionedTable.stampBatch(spark, stage, batchId)
     }
@@ -122,7 +136,7 @@ object MaterializedAgg {
   }
 
   def foldBatch(spark: SparkSession, root: String, batch: DataFrame,
-      spec: Spec, batchId: Long): Boolean = {
+      spec: Spec, batchId: Long, keepVersions: Int = 1): Boolean = {
     if (lastFoldedBatch(spark, root).exists(_ >= batchId)) return false
     val p = partial(batch, spec)
     val cur = if (VersionedTable.currentVersion(spark, root).isDefined)
@@ -133,7 +147,10 @@ object MaterializedAgg {
         spec.sums.map(c => sum(col(s"dec_$c")).as(s"dec_$c")) ++
         spec.distincts.map(c =>
           hll_union_agg(col(s"hll_$c")).as(s"hll_$c")): _*)
-    VersionedTable.commit(spark, root) { stage =>
+    // keepVersions > 1 retains fold history for catalog-snapshot
+    // readers (readVersion / versionForBatch) — the state is KB-sized,
+    // so retained manifests cost nothing
+    VersionedTable.commit(spark, root, keepVersions) { stage =>
       merged.write.mode("overwrite").parquet(stage)
       VersionedTable.stampBatch(spark, stage, batchId)
     }

@@ -66,7 +66,7 @@ object RetrievalView {
     * when `batchId` was already fully folded (re-delivery). */
   def update(spark: SparkSession, root: String, docsBatch: DataFrame,
       batchId: Long, textCol: String = "text",
-      idCol: String = "doc_id"): Boolean = {
+      idCol: String = "doc_id", keepVersions: Int = 1): Boolean = {
     // tot folds LAST, so its recorded id == "this batch is complete"
     if (VersionedTable.lastFoldedBatch(spark, s"$root/tot")
         .exists(_ >= batchId)) return false
@@ -84,7 +84,7 @@ object RetrievalView {
     // rows, so the keyed count folds the per-term document frequency
     MaterializedAgg.foldBatch(spark, s"$root/df",
       spark.read.parquet(s"$root/postings/batch-$batchId.parquet")
-        .select("term"), dfSpec, batchId)
+        .select("term"), dfSpec, batchId, keepVersions)
     // doc totals keyed by has-tokens: nDocs = Σ cnt over both keys,
     // avgdl = the true-key sum/count (matching q132, whose dl frame
     // excludes zero-token docs while nDocs counts every doc)
@@ -93,7 +93,8 @@ object RetrievalView {
         Seq("doc_id"), "left")
       .select(col("dl").isNotNull.as("hast"),
         coalesce(col("dl"), lit(0L)).as("dl"))
-    MaterializedAgg.foldBatch(spark, s"$root/tot", perDoc, totSpec, batchId)
+    MaterializedAgg.foldBatch(spark, s"$root/tot", perDoc, totSpec,
+      batchId, keepVersions)
     true
   }
 
@@ -181,7 +182,8 @@ object RetrievalView {
     * +1 in the untokenized nDocs bucket, documented here. Runs in
     * the single-maintenance-writer window like compact/vacuum. */
   def remove(spark: SparkSession, root: String, docIds: DataFrame,
-      batchId: Long, idCol: String = "doc_id"): Boolean = {
+      batchId: Long, idCol: String = "doc_id",
+      keepVersions: Int = 1): Boolean = {
     if (VersionedTable.lastFoldedBatch(spark, s"$root/tot")
         .exists(_ >= batchId)) return false
     val want = docIds.select(col(idCol).as("doc_id")).na.drop().distinct()
@@ -197,7 +199,7 @@ object RetrievalView {
       .join(ids, Seq("doc_id"), "left_semi")
       .groupBy("term").agg((count(lit(1)) * lit(-1L)).as("cnt"))
     MaterializedAgg.foldPartialBatch(spark, s"$root/df", negDf, dfSpec,
-      batchId)
+      batchId, keepVersions)
     val negTot = readLive(spark, s"$root/dl")
       .join(ids, Seq("doc_id"), "left_semi")
       .groupBy(lit(true).as("hast"))
@@ -205,7 +207,7 @@ object RetrievalView {
         sum(col("dl").cast(dec) * lit(-1)).cast(
           org.apache.spark.sql.types.DecimalType(38, 6)).as("dec_dl"))
     MaterializedAgg.foldPartialBatch(spark, s"$root/tot", negTot, totSpec,
-      batchId)
+      batchId, keepVersions)
     true
   }
 
@@ -415,5 +417,92 @@ object RetrievalView {
         .filter(col("term").isin(terms: _*))),
       dropTombstoned(spark, root, readLive(spark, s"$root/dl")),
       df, nDocs, avgdl, qterms, k)
+  }
+
+  /** BM25 top-`k` AT A PINNED STATE — the catalog-snapshot serving
+    * path. `totVersion` is a RETAINED version of `$root/tot` (what a
+    * [[Catalog.Snapshot]] pins as "retrieval_tot"); the search serves
+    * EXACTLY the folds that version had seen, even while new batches
+    * keep landing. The pinned version's stamped fold point b selects
+    * the postings/dl objects (compact base + per-batch objects with
+    * id ≤ b) and the tombstone set (ids ≤ b); the companion df state
+    * resolves through the shared batch-id coordinate
+    * ([[VersionedTable.versionForBatch]]).
+    *
+    * RETENTION CONTRACT — refused loudly, never served misaligned:
+    * (1) the tot/df versions must still be retained (fold with a
+    * keepVersions that covers the snapshot window — the daemon uses
+    * the catalog's `keep`); (2) no `_compact-<id>` marker with
+    * id > b may exist (a later compaction consumed tombstones and
+    * supersedes batch objects the pin still needs) — run compaction
+    * on a cadence that trails the catalog retention, exactly like
+    * table keepVersions trails the longest reader. */
+  def searchAt(spark: SparkSession, root: String, totVersion: Long,
+      qterms: DataFrame, k: Int = 10): DataFrame = {
+    val b = VersionedTable
+      .lastFoldedBatchAt(spark, s"$root/tot", totVersion)
+      .getOrElse(throw new IllegalStateException(
+        s"tot version $totVersion of $root is not retained or carries " +
+          "no fold marker — widen the fold keepVersions to cover " +
+          "snapshot readers"))
+    val tot = MaterializedAgg
+      .readVersion(spark, s"$root/tot", totSpec, totVersion)
+      .select(col("hast"), col("cnt"), col("sum_dl")).collect()
+    val nDocs = tot.map(_.getLong(1)).sum
+    val withTok = tot.find(_.getBoolean(0))
+    require(withTok.isDefined && nDocs > 0,
+      s"pinned retrieval state at $root@$totVersion has no tokenized docs")
+    val avgdl = withTok.get.getDouble(2) / withTok.get.getLong(1)
+    val dfV = VersionedTable.versionForBatch(spark, s"$root/df", b)
+      .getOrElse(throw new IllegalStateException(
+        s"no retained df version at fold point $b under $root — " +
+          "widen the fold keepVersions to cover snapshot readers"))
+    val df = MaterializedAgg
+      .readVersion(spark, s"$root/df", dfSpec, dfV)
+      .select(col("term"), col("cnt").as("df"))
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    def pinnedTombstones(rows: DataFrame): DataFrame =
+      tombstoneIds(spark, root, Some(b)).fold(rows)(t =>
+        rows.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    graft.operators.TextOps.bm25TopK(
+      pinnedTombstones(readLiveAt(spark, s"$root/postings", b)
+        .filter(col("term").isin(terms: _*))),
+      pinnedTombstones(readLiveAt(spark, s"$root/dl", b)),
+      df, nDocs, avgdl, qterms, k)
+  }
+
+  /** [[readLive]] restricted to the pinned fold point: refuses when a
+    * LATER compaction superseded the pin (its marker claims batches
+    * past b and consumed tombstones ≤ its id — serving from the old
+    * base would silently resurrect removed docs or drop folds). */
+  private def readLiveAt(spark: SparkSession, dir: String,
+      b: Long): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    require(fs.exists(p), s"no retrieval objects under $dir")
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    val markers = names.collect {
+      case n if n.startsWith("_compact-") =>
+        n.stripPrefix("_compact-").toLong
+    }.sorted
+    require(markers.forall(_ <= b),
+      s"compaction ${markers.max} superseded the pinned fold point $b " +
+        s"under $dir — snapshot readers need a compaction cadence " +
+        "that trails catalog retention")
+    val base = markers.lastOption
+    val live = names.filter { n =>
+      val isBatch = n.startsWith("batch-") && n.endsWith(".parquet")
+      val id = if (isBatch)
+        n.stripPrefix("batch-").stripSuffix(".parquet").toLong else -1L
+      base match {
+        case None => isBatch && id <= b
+        case Some(c) =>
+          (isBatch && id > c && id <= b) ||
+            (n.startsWith(s"compact-$c-p") && n.endsWith(".parquet"))
+      }
+    }
+    require(live.nonEmpty, s"no live retrieval objects ≤ $b under $dir")
+    spark.read.parquet(live.sorted.map(n => s"$dir/$n").toSeq: _*)
   }
 }

@@ -2252,12 +2252,41 @@ object VersionedTable {
   /** Highest micro-batch id stamped into the CURRENT version. */
   def lastFoldedBatch(spark: SparkSession, root: String): Option[Long] = {
     if (currentVersion(spark, root).isEmpty) return None
-    val dir = new Path(currentPath(spark, root))
-    val fs = fsOf(spark, dir.toString)
+    lastFoldedBatchAt(spark, root,
+      currentVersion(spark, root).get)
+  }
+
+  /** [[lastFoldedBatch]] at an arbitrary RETAINED version — the
+    * snapshot-pinned FOLD POINT: each fold stamps its batch marker
+    * inside its own version dir, so resolving which batches a pinned
+    * view version contains is one listing (catalog snapshot readers
+    * use this to serve time-travel searches over maintained views). */
+  def lastFoldedBatchAt(spark: SparkSession, root: String,
+      version: Long): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(dataDirOf(fs, root, version))
+    if (!fs.exists(dir)) return None
     fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
       case BatchMarker(n) => Some(n.toLong)
       case _ => None
     }).maxOption
+  }
+
+  /** The newest RETAINED version whose stamped fold point is ≤
+    * `batchId` — how a snapshot reader finds the companion view
+    * version matching a pinned one (two maintained views sharing the
+    * monotonic batch-id coordinate, e.g. RetrievalView's df beside
+    * its pinned tot). None when retention no longer covers the pin —
+    * callers refuse loudly rather than serve a misaligned state. */
+  def versionForBatch(spark: SparkSession, root: String,
+      batchId: Long): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) return None
+    fs.listStatus(cd).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .sorted(Ordering[Long].reverse)
+      .find(v => lastFoldedBatchAt(spark, root, v).exists(_ <= batchId))
   }
 
   /** Stamp a micro-batch id into a version dir mid-commit (call from

@@ -2772,7 +2772,9 @@ object Relational {
     val tot = perPrice.groupBy("flag").agg(sum(col("w")).as("wt"))
     val cum = graft.operators.RankOps.withGroupedPrefixSum(
       perPrice, Seq("flag"), Seq("price"), "w", "cum_before")
-    cum.join(tot, Seq("flag"))
+    // per-flag totals are |flags| rows — broadcast, or the 3-key join
+    // serializes the whole distinct-price table through 3 tasks
+    cum.join(broadcast(tot), Seq("flag"))
       .filter((col("cum_before") + col("w")) * 2 >= col("wt"))
       .groupBy(col("flag"))
       .agg(min(col("price")).as("weighted_median"),

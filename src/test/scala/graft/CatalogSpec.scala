@@ -251,6 +251,19 @@ class CatalogSpec extends SparkSpec {
     // covers it): multi-table time travel at tick granularity
     val back = Catalog.snapshotAsOf(spark, cat, 0L)
     assert(back.read(spark, "corpus").count() == 2L)
+    // the retrieval pin is SERVEABLE, not just observational: a
+    // pre-tick snapshot's pinned tot version searches exactly the
+    // tick-1 corpus, even though the live index has folded tick 2's
+    import graft.lakehouse.RetrievalView
+    val q = Seq(("q", "alpha1"), ("q", "g3")).toDF("query_id", "term")
+    assert(RetrievalView.searchAt(spark, s"$root/rx",
+      snap0.tables("retrieval_tot")._2, q, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
+      "the pre-tick pin must not see the crashed tick's fold")
+    assert(RetrievalView.searchAt(spark, s"$root/rx",
+      snap1.tables("retrieval_tot")._2, q, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L), "the post-tick pin serves both folds")
     // the ANN pin resolves to a searchable root
     val annRoot = VectorIndex.generationRoot(
       snap1.tables("ann")._1, snap1.tables("ann")._2)

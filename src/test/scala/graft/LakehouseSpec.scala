@@ -1294,6 +1294,46 @@ class LakehouseSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.size == 10))
   }
 
+  test("RetrievalView.searchAt: a pinned tot version serves exactly " +
+      "the folds it had seen; compaction past the pin refuses") {
+    import spark.implicits._
+    val rx = tmpDir("rxat") + "/rx"
+    val docs = Tables.documents(spark, sfDir)
+    assert(RetrievalView.update(spark, rx,
+      docs.filter(col("doc_id") < 200), 1L, keepVersions = 8))
+    val v1 = VersionedTable.currentVersion(spark, s"$rx/tot").get
+    val qterms = graft.operators.TextOps.bm25Queries(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val wantAt1 = rows(RetrievalView.search(spark, rx, qterms, 10))
+    assert(RetrievalView.update(spark, rx,
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 400), 2L,
+      keepVersions = 8))
+    val nowBoth = rows(RetrievalView.search(spark, rx, qterms, 10))
+    assert(nowBoth != wantAt1, "batch 2 must change the live results")
+    // the pin time-travels: BIT-identical to the single-batch state,
+    // even while the live index keeps folding
+    assert(rows(RetrievalView.searchAt(spark, rx, v1, qterms, 10))
+      == wantAt1)
+    // a removal AFTER the pin (tombstone batch 3) must not leak into
+    // the pinned state either — its tombstones carry a later id
+    val victim = docs.filter(col("doc_id") < 200)
+      .select("doc_id").limit(1).head().getLong(0)
+    assert(RetrievalView.remove(spark, rx, Seq(victim).toDF("doc_id"),
+      3L, keepVersions = 8))
+    assert(rows(RetrievalView.searchAt(spark, rx, v1, qterms, 10))
+      == wantAt1,
+      "a post-pin removal must not rewrite snapshot history")
+    // compaction past the pin consumed tombstones / supersedes batch
+    // objects the pin needs — refused loudly, never served misaligned
+    assert(RetrievalView.compact(spark, rx))
+    intercept[IllegalArgumentException] {
+      RetrievalView.searchAt(spark, rx, v1, qterms, 10).collect()
+    }
+    // the live search is unaffected by the refusal
+    assert(RetrievalView.search(spark, rx, qterms, 10).count() > 0)
+  }
+
   test("graft_hybrid TVF: the SQL console serves the full hybrid " +
       "path ≡ the library call, tombstones honored") {
     import spark.implicits._
