@@ -423,18 +423,23 @@ object GraftFunctions {
   private[functions] val graftTicksInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_ticks")
 
-  /** Table function `graft_catalog('catRoot')` — the multi-table
-    * catalog's CURRENT snapshot as a relation: one row per
-    * (catalog_version, table, root, version). Metadata-only (one
-    * catalog-object read) — the audit surface for "which table
-    * versions does this transaction boundary pin". */
+  /** Table function `graft_catalog('catRoot'[, version])` — the
+    * multi-table catalog's CURRENT (or a retained older) snapshot as
+    * a relation: one row per (catalog_version, table, root, version).
+    * Metadata-only (one catalog-object read) — the audit surface for
+    * "which table versions does this transaction boundary pin", and
+    * with the second argument, multi-table TIME TRAVEL from SQL. */
   private[functions] val graftCatalogBuilder
       : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     (args: Seq[Expression]) => {
-      require(args.size == 1, "graft_catalog expects (catalogRoot)")
+      require(args.size >= 1 && args.size <= 2,
+        "graft_catalog expects (catalogRoot[, version])")
       val spark = SparkSession.active
+      val asOf = if (args.size == 2)
+        Some(args(1).eval(null).asInstanceOf[Number].longValue())
+      else None
       graft.lakehouse.Catalog
-        .asDataFrame(spark, args.head.eval(null).toString)
+        .asDataFrame(spark, args.head.eval(null).toString, asOf)
         .queryExecution.analyzed
     }
 
@@ -524,6 +529,36 @@ object GraftFunctions {
 
   private[functions] val graftBm25Info = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_bm25")
+
+  /** Table function `graft_bm25_at('root', totVersion, 'terms'[, k])`
+    * — [[graftBm25Builder]]'s TIME-TRAVEL twin: BM25 over the
+    * maintained retrieval index AS IT STOOD at the pinned tot version
+    * (what `graft_catalog` shows as "retrieval_tot"), served while
+    * the live index keeps folding — `RetrievalView.searchAt`'s
+    * retention contract applies (unretained pins and
+    * compaction-superseded pins refuse loudly). */
+  private[functions] val graftBm25AtBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size >= 3 && args.size <= 4,
+        "graft_bm25_at expects (rootPath, totVersion, queryTerms[, k])")
+      val spark = SparkSession.active
+      import spark.implicits._
+      val totV = args(1).eval(null).asInstanceOf[Number].longValue()
+      val terms = args(2).eval(null).toString.trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      require(terms.nonEmpty, "graft_bm25_at: empty query")
+      val k = if (args.size == 4)
+        args(3).eval(null).toString.toInt else 10
+      val qterms = terms.map(("q", _)).toDF("query_id", "term")
+      graft.lakehouse.RetrievalView
+        .searchAt(spark, args.head.eval(null).toString, totV, qterms, k)
+        .select("doc_id", "rnk", "score")
+        .queryExecution.analyzed
+    }
+
+  private[functions] val graftBm25AtInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_bm25_at")
 
   /** Table function `graft_hybrid('root', 'annPath', 'terms', probeId
     * [, k[, nprobe]])` — the HEADLINE RAG serving path from SQL:
@@ -661,6 +696,8 @@ object GraftFunctions {
         graftBranchesBuilder),
       (FunctionIdentifier("graft_bm25"), graftBm25Info,
         graftBm25Builder),
+      (FunctionIdentifier("graft_bm25_at"), graftBm25AtInfo,
+        graftBm25AtBuilder),
       (FunctionIdentifier("graft_hybrid"), graftHybridInfo,
         graftHybridBuilder),
       (FunctionIdentifier("graft_ticks"), graftTicksInfo,

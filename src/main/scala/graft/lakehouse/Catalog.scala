@@ -196,9 +196,13 @@ object Catalog {
   }
 
   /** The snapshot as a relation — (catalog_version, table, root,
-    * version) — backing the `graft_catalog` TVF. */
-  def asDataFrame(spark: SparkSession, catRoot: String): DataFrame = {
-    val snap = current(spark, catRoot).getOrElse(
+    * version) — backing the `graft_catalog` TVF. Pass `asOf` to serve
+    * a RETAINED older catalog version (multi-table time travel from
+    * SQL). */
+  def asDataFrame(spark: SparkSession, catRoot: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = asOf.map(snapshotAsOf(spark, catRoot, _))
+      .orElse(current(spark, catRoot)).getOrElse(
       throw new IllegalStateException(
         s"catalog $catRoot has no committed snapshot"))
     import spark.implicits._

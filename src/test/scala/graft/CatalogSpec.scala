@@ -161,6 +161,17 @@ class CatalogSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows.map(_.getString(1)).toSeq == Seq("a", "b"))
     assert(rows.forall(_.getLong(0) == 0L))
+    // second transaction advances only `a`; the optional version arg
+    // time-travels the whole pin set from SQL
+    Catalog.commitAll(spark, cat, Seq(
+      Catalog.TableWrite("a", ta, () => writeVersion(ta, Seq(7, 8, 9)))))
+    val v0 = spark.sql(
+      s"SELECT * FROM graft_catalog('$cat', 0) ORDER BY 2").collect()
+    assert(v0.map(r => (r.getString(1), r.getLong(3))).toSeq ==
+      spark.sql(s"SELECT * FROM graft_catalog('$cat') ORDER BY 2")
+        .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
+        .map { case ("a", v) => ("a", v - 1); case other => other },
+      "the pinned v0 must show table a one version behind current")
   }
 
   test("automation tick publishes corpus + retrieval + ANN + tick " +

@@ -1324,6 +1324,19 @@ class LakehouseSpec extends SparkSpec {
     assert(rows(RetrievalView.searchAt(spark, rx, v1, qterms, 10))
       == wantAt1,
       "a post-pin removal must not rewrite snapshot history")
+    // the SQL twin serves the same pinned state
+    graft.functions.GraftFunctions.registerTableFunctions(spark)
+    val oneQ = qterms.filter(col("query_id") ===
+      qterms.select("query_id").head().getString(0))
+    val qTermStr = oneQ.select("term").collect()
+      .map(_.getString(0)).mkString(" ")
+    assert(spark.sql(s"SELECT * FROM graft_bm25_at('$rx', $v1, " +
+        s"'$qTermStr', 10)").collect().map(_.toString).sorted.toSeq ==
+      RetrievalView.searchAt(spark, rx, v1,
+        oneQ.select(lit("q").as("query_id"), col("term")), 10)
+        .select("doc_id", "rnk", "score").collect()
+        .map(_.toString).sorted.toSeq,
+      "graft_bm25_at must equal the library searchAt")
     // compaction past the pin consumed tombstones / supersedes batch
     // objects the pin needs — refused loudly, never served misaligned
     assert(RetrievalView.compact(spark, rx))

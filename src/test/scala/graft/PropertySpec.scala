@@ -1333,4 +1333,79 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, 10)
   }
+
+  test("property: pinned retrieval reads equal a from-scratch fold " +
+      "of the pinned live set; compaction-superseded pins refuse") {
+    import spark.implicits._
+    import graft.lakehouse.{RetrievalView, VersionedTable}
+    def text(i: Long) = s"w${i % 7} common t$i x${i % 3}"
+    // ops: fold n new docs / remove the smallest live doc / compact
+    // (+vacuum) / PIN the current tot version
+    val genOp: Gen[(String, Int)] = Gen.frequency(
+      (5, Gen.chooseNum(1, 4).map(n => ("fold", n))),
+      (2, Gen.const(("remove", 0))),
+      (2, Gen.const(("compact", 0))),
+      (4, Gen.const(("pin", 0))))
+    val genCase = Gen.chooseNum(4, 8).flatMap(n => Gen.listOfN(n, genOp))
+    val prop = Prop.forAll(genCase) { ops =>
+      val rx = tmpDir("rxprop") + "/rx"
+      val qterms = Seq(("q", "common"), ("q", "w1"), ("q", "t3"))
+        .toDF("query_id", "term")
+      var nextDoc = 0L; var nextBatch = 0L; var maxMarker = 0L
+      var live = Set.empty[Long]; var anyFold = false
+      // pins: (totVersion, live set at pin, fold point at pin)
+      var pins = List.empty[(Long, Set[Long], Long)]
+      ops.foreach {
+        case ("fold", n) =>
+          val ids = (1 to n).map(_ => { nextDoc += 1; nextDoc })
+          nextBatch += 1
+          assert(RetrievalView.update(spark, rx,
+            ids.map(i => (i, text(i))).toDF("doc_id", "text"),
+            nextBatch, keepVersions = 32))
+          live ++= ids; anyFold = true
+        case ("remove", _) if live.nonEmpty =>
+          val victim = live.min
+          nextBatch += 1
+          assert(RetrievalView.remove(spark, rx,
+            Seq(victim).toDF("doc_id"), nextBatch, keepVersions = 32))
+          live -= victim
+        case ("compact", _) if anyFold =>
+          if (RetrievalView.compact(spark, rx)) {
+            RetrievalView.vacuumCompacted(spark, rx)
+            maxMarker = nextBatch
+          }
+        case ("pin", _) if anyFold =>
+          pins ::= ((VersionedTable
+            .currentVersion(spark, s"$rx/tot").get, live, nextBatch))
+        case _ => ()
+      }
+      pins.foreach { case (v, liveAtPin, pinB) =>
+        if (maxMarker > pinB) {
+          // a later compaction consumed tombstones / superseded batch
+          // objects the pin needs — must refuse, never serve wrong
+          val refused =
+            try { RetrievalView.searchAt(spark, rx, v, qterms, 10)
+              .collect(); false }
+            catch { case _: IllegalArgumentException |
+                         _: IllegalStateException => true }
+          assert(refused,
+            s"pin $pinB superseded by compaction $maxMarker must refuse")
+        } else if (liveAtPin.nonEmpty) {
+          val twin = tmpDir("rxtwin") + "/rx"
+          assert(RetrievalView.update(spark, twin,
+            liveAtPin.toSeq.sorted.map(i => (i, text(i)))
+              .toDF("doc_id", "text"), 1L))
+          val got = RetrievalView.searchAt(spark, rx, v, qterms, 10)
+            .collect().map(_.toString).sorted.toSeq
+          val want = RetrievalView.search(spark, twin, qterms, 10)
+            .collect().map(_.toString).sorted.toSeq
+          assert(got == want,
+            s"pin@$v (docs $liveAtPin) diverged from the from-scratch " +
+              s"twin after ops $ops:\n got $got\nwant $want")
+        }
+      }
+      true
+    }
+    check(prop, 8)
+  }
 }
