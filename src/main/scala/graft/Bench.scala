@@ -56,7 +56,8 @@ object Bench {
     "q157_gopher_rules", "q158_bigram_surprisal",
     "q159_hour_entropy", "q160_cramers_v", "q161_markov_stationary",
     "q162_mutual_information", "q163_weighted_median", "q164_moments",
-    "q165_pareto_share", "q166_ttr")
+    "q165_pareto_share", "q166_ttr", "q167_decile_migration",
+    "q168_survival_curve", "q169_ols_loglog", "q170_basket_jaccard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

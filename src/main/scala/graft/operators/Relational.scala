@@ -2862,7 +2862,216 @@ object Relational {
        |    AS excess_kurtosis
        |FROM m""".stripMargin
 
+  /** q167: CUSTOMER VALUE-QUINTILE MIGRATION 1996 → 1997 — the
+    * cohort-movement matrix behind churn/upsell analysis ("how many
+    * top-quintile customers slid to the bottom"). Per-year revenue
+    * quintiles come from the two-pass GLOBAL rank
+    * (`RankOps.withGlobalRank` + the NTILE-exact `ntileFromRank` —
+    * a 100-TB customer table never serializes through one window
+    * task), customers present in both years join on the key, and the
+    * matrix is one tiny grouped count. Quintile boundaries match
+    * SQL NTILE in both engines by construction. */
+  private val q167: QFn = (s, d) => {
+    def quintiles(year: Int, out: String) = {
+      val rev = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(Dec)).as("rev"))
+      val n = rev.count()
+      RankOps.withGlobalRank(rev,
+        Seq(col("rev").desc, col("o_custkey").asc), "rk")
+        .select(col("o_custkey"),
+          RankOps.ntileFromRank(col("rk"), n, 5).as(out))
+    }
+    quintiles(1996, "q_1996").join(quintiles(1997, "q_1997"), "o_custkey")
+      .groupBy("q_1996", "q_1997")
+      .agg(count(lit(1)).as("n_cust"))
+  }
+  private val q167Sql =
+    """WITH r96 AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1),
+      |r97 AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1),
+      |d96 AS (
+      |  SELECT o_custkey,
+      |    CAST(NTILE(5) OVER (ORDER BY rev DESC, o_custkey ASC) AS INT)
+      |      AS q_1996
+      |  FROM r96),
+      |d97 AS (
+      |  SELECT o_custkey,
+      |    CAST(NTILE(5) OVER (ORDER BY rev DESC, o_custkey ASC) AS INT)
+      |      AS q_1997
+      |  FROM r97)
+      |SELECT q_1996, q_1997, CAST(COUNT(*) AS BIGINT) AS n_cust
+      |FROM d96 JOIN d97 USING (o_custkey)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q168: CUSTOMER LIFETIME SURVIVAL CURVE — the fraction of
+    * customers whose ordering lifetime (first → last order) reaches
+    * each threshold, the discrete survival function behind retention
+    * dashboards. One per-customer min/max aggregate (map-side
+    * partials), lifetimes in exact integer days, then a 6-row
+    * threshold explode and one tiny count — never a per-customer
+    * window. */
+  private val q168: QFn = (s, d) => {
+    val life = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+        .cast("long").as("life_days"))
+    val n = life.count()
+    life.select(explode(array(
+        lit(30L), lit(90L), lit(180L), lit(365L), lit(730L), lit(1460L)))
+        .as("k_days"), col("life_days"))
+      .groupBy("k_days")
+      .agg(sum(when(col("life_days") >= col("k_days"), 1L).otherwise(0L))
+        .as("n_surviving"))
+      .select(col("k_days"), col("n_surviving"),
+        round(col("n_surviving").cast("double") / lit(n.toDouble), 6)
+          .as("survival"))
+  }
+  private val q168Sql =
+    """WITH life AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+      |      CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS life_days
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM life),
+      |k AS (SELECT unnest([30, 90, 180, 365, 730, 1460]) AS k_days)
+      |SELECT CAST(k_days AS BIGINT) AS k_days,
+      |  CAST(SUM(CASE WHEN life_days >= k_days THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_surviving,
+      |  ROUND(CAST(SUM(CASE WHEN life_days >= k_days THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / (SELECT n FROM n), 6) AS survival
+      |FROM life, k
+      |GROUP BY 1""".stripMargin
+
+  /** q169: LOG-LOG OLS of extended price on quantity — the price-
+    * elasticity regression shape (a slope near 1 on this schema just
+    * says price ≈ unit price × quantity; the point is the FULL OLS
+    * output: slope, intercept, R², residual σ — q134's correlation
+    * upgraded to the fitted model). Per-row ln() rounds to 6 dp
+    * (deterministic scalar IEEE; the q59 libm discipline) and all
+    * five moments fold through the exact decimal accumulator; the
+    * closed-form estimates are fixed IEEE expressions over those
+    * exact sums. One map-side-partial aggregate over the fact table —
+    * no shuffle beyond the single 1-row reduce. */
+  private val q169: QFn = (s, d) => {
+    val BigDec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val base = Tables.lineitem(s, d)
+      .select(round(log(col("l_quantity")), 6).as("x"),
+        round(log(col("l_extendedprice")), 6).as("y"))
+    val m = base.select(
+      round(col("x") * col("x"), 6).as("xx"),
+      round(col("y") * col("y"), 6).as("yy"),
+      round(col("x") * col("y"), 6).as("xy"),
+      col("x"), col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(Dec)).cast("double").as("sx"),
+        sum(col("y").cast(Dec)).cast("double").as("sy"),
+        sum(col("xx").cast(BigDec)).cast("double").as("sxx"),
+        sum(col("yy").cast(BigDec)).cast("double").as("syy"),
+        sum(col("xy").cast(BigDec)).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy") - col("sx") * col("sy")
+    val varX = nD * col("sxx") - col("sx") * col("sx")
+    val varY = nD * col("syy") - col("sy") * col("sy")
+    m.select(col("n"),
+      round(covN / varX, 6).as("slope"),
+      round((col("sy") - (covN / varX) * col("sx")) / nD, 6)
+        .as("intercept"),
+      round((covN * covN) / (varX * varY), 6).as("r2"),
+      round(sqrt((varY - covN * covN / varX) / (nD * nD)), 6)
+        .as("resid_sigma"))
+  }
+  private val q169Sql =
+    """WITH base AS (
+      |  SELECT ROUND(ln(l_quantity), 6) AS x,
+      |    ROUND(ln(l_extendedprice), 6) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      |  FROM base)
+      |SELECT n,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+      |    / n, 6) AS intercept,
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+      |  ROUND(SQRT(((n * syy - sy * sy)
+      |      - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |        / (n * sxx - sx * sx))
+      |    / (CAST(n AS DOUBLE) * n)), 6) AS resid_sigma
+      |FROM m""".stripMargin
+
+  /** q170: BASKET JACCARD — co-purchase similarity for part pairs
+    * co-ordered ≥ 2 times: |A∩B| / |A∪B| over the order sets, the
+    * set-overlap complement of q102's confidence/lift (lift is
+    * independence-relative; Jaccard is size-normalized and symmetric).
+    * Same bounded pair machinery: distinct (order, part), pairs
+    * self-join ON the order key (Σ basket² output, linear for bounded
+    * baskets), per-part order counts join back key-partitioned; top
+    * 20 by the ROUNDED score with a pair tiebreak so both engines
+    * rank identically. */
+  private val q170: QFn = (s, d) => {
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val cnt = b.groupBy("p").agg(count(lit(1)).as("n_p"))
+    val pairs = b.select(col("o"), col("p").as("part_a"))
+      .join(b.select(col("o"), col("p").as("part_b")), Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(cnt.select(col("p").as("part_a"), col("n_p").as("n_a")),
+        Seq("part_a"))
+      .join(cnt.select(col("p").as("part_b"), col("n_p").as("n_b")),
+        Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+  private val q170Sql =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM b GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS part_a, b2.p AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, n_ab,
+      |  ROUND(CAST(n_ab AS DOUBLE) / (ca.n_p + cb.n_p - n_ab), 6)
+      |    AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON ca.p = part_a
+      |JOIN cnt cb ON cb.p = part_b
+      |ORDER BY jaccard DESC, part_a ASC, part_b ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q167_decile_migration" -> q167,
+    "q168_survival_curve" -> q168,
+    "q169_ols_loglog" -> q169,
+    "q170_basket_jaccard" -> q170,
     "q160_cramers_v" -> q160,
     "q163_weighted_median" -> q163,
     "q164_moments" -> q164,
@@ -2941,6 +3150,10 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q167_decile_migration" -> q167Sql,
+    "q168_survival_curve" -> q168Sql,
+    "q169_ols_loglog" -> q169Sql,
+    "q170_basket_jaccard" -> q170Sql,
     "q160_cramers_v" -> q160Sql,
     "q163_weighted_median" -> q163Sql,
     "q164_moments" -> q164Sql,
