@@ -349,13 +349,24 @@ object RetrievalView {
     * size. */
   def searchHybrid(spark: SparkSession, root: String, annPath: String,
       qterms: DataFrame, probes: DataFrame, mapping: DataFrame,
-      k: Int = 10, nprobe: Int = 8, kEach: Int = 10): DataFrame = {
+      k: Int = 10, nprobe: Int = 8, kEach: Int = 10): DataFrame =
+    fuseRrf(
+      search(spark, root, qterms, kEach),
+      graft.operators.VectorIndex
+        .search(spark, annPath, probes, nprobe, kEach)
+        .join(broadcast(mapping), Seq("probe_id")), k)
+
+  /** The ONE RRF fusion both hybrid entry points share: lexical
+    * (query_id, doc_id, rnk) ⊕ dense (query_id, neighbor_id, rnk) →
+    * top-k per query by RRF(d) = Σ 1/(60 + rank), doc_id tiebreaks,
+    * full-outer so single-modality docs still score; both inputs are
+    * top-k-bounded, so fusion touches ≤ 2·kEach rows per query. */
+  private def fuseRrf(lexRaw: DataFrame, denseRaw: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = search(spark, root, qterms, kEach)
+    val lex = lexRaw
       .select(col("query_id"), col("doc_id"), col("rnk").as("rt"))
-    val dense = graft.operators.VectorIndex
-      .search(spark, annPath, probes, nprobe, kEach)
-      .join(broadcast(mapping), Seq("probe_id"))
+    val dense = denseRaw
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("rv"))
     val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
@@ -389,6 +400,27 @@ object RetrievalView {
     searchHybrid(spark, root, annPath, qterms, probes, mapping,
       k, nprobe, kEach)
   }
+
+  /** [[searchHybrid]] AT A CATALOG SNAPSHOT — the pinned form of the
+    * headline RAG serving call: the lexical half serves through
+    * [[searchAt]] (the pinned tot version, with its retention
+    * refusals), the dense half searches `annRootPinned` — pass
+    * `VectorIndex.generationRoot(path, snapshot.tables("ann")._2)`,
+    * the generation the snapshot pinned (generation dirs persist
+    * until `vacuumGenerations`, the same retention contract).
+    * Tombstones WITHIN an ANN generation are not versioned — a
+    * mid-tick `remove` is visible to pinned dense readers (documented:
+    * tombstones only ever shrink results, the monotone-curation
+    * direction). */
+  def searchHybridAt(spark: SparkSession, root: String,
+      totVersion: Long, annRootPinned: String, qterms: DataFrame,
+      probes: DataFrame, mapping: DataFrame, k: Int = 10,
+      nprobe: Int = 8, kEach: Int = 10): DataFrame =
+    fuseRrf(
+      searchAt(spark, root, totVersion, qterms, kEach),
+      graft.operators.VectorIndex
+        .search(spark, annRootPinned, probes, nprobe, kEach)
+        .join(broadcast(mapping), Seq("probe_id")), k)
 
   /** BM25 top-`k` documents per query over everything folded so far.
     * `qterms` is a (query_id, term) frame. */

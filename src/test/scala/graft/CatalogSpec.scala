@@ -281,6 +281,19 @@ class CatalogSpec extends SparkSpec {
     assert(VectorIndex.search(spark, annRoot,
       docVecs.filter(col("vec_id") === 1L), nprobe = 3, k = 2)
       .count() == 2L)
+    // the PINNED hybrid serving call: lexical at the pinned tot +
+    // dense at the pinned generation ≡ the live call while no tick
+    // is in flight (both halves resolve the same state)
+    val probes = docVecs.filter(col("vec_id") === 1L)
+    val mapping = Seq(("q", 1L)).toDF("query_id", "probe_id")
+    val pinnedHy = RetrievalView.searchHybridAt(spark, s"$root/rx",
+      snap1.tables("retrieval_tot")._2, annRoot, q, probes, mapping,
+      k = 5, nprobe = 3).collect().map(_.toString).sorted.toSeq
+    assert(pinnedHy.nonEmpty)
+    assert(pinnedHy == RetrievalView.searchHybrid(spark, s"$root/rx",
+      idx, q, probes, mapping, k = 5, nprobe = 3)
+      .collect().map(_.toString).sorted.toSeq,
+      "pinned hybrid ≡ live hybrid at a quiescent tick boundary")
     // graft_catalog reflects the tick boundary
     graft.functions.GraftFunctions.registerTableFunctions(spark)
     val tvf = spark.sql(

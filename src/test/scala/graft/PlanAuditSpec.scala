@@ -224,6 +224,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PlanLint sweep of q159-q170: the round-7 statistics suite " +
+      "scale paths") {
+    import graft.util.PlanLint
+    // fully clean: grouped/broadcast aggregates (q159 hour entropy,
+    // q161 matrix build, q163 prefix-sum weighted median, q164
+    // two-pass moments, q166 TTR, q167 double global rank, q168
+    // survival explode, q169 one-aggregate OLS, q170 bounded pair
+    // join + top-k)
+    Seq("q163_weighted_median", "q164_moments", "q167_decile_migration",
+      "q168_survival_curve", "q169_ols_loglog", "q170_basket_jaccard")
+      .foreach { q =>
+        assert(PlanLint.check(Relational.queries(q)(spark, sfDir))
+          .isEmpty, q)
+      }
+    Seq("q159_hour_entropy", "q161_markov_stationary").foreach { q =>
+      assert(PlanLint.check(
+        graft.operators.SessionOps.queries(q)(spark, sfDir)).isEmpty, q)
+    }
+    assert(PlanLint.check(
+      graft.operators.TextOps.queries("q166_ttr")(spark, sfDir))
+      .isEmpty, "q166")
+    // q160/q162/q165 cross-join ONE-ROW broadcast scalars (grand
+    // totals / entropies) — multiplies by exactly 1 at any data size
+    // (q137/q140/q144's established shape)
+    assert(PlanLint.check(
+      Relational.queries("q160_cramers_v")(spark, sfDir))
+      .forall(_.kind == "cartesian"), "q160")
+    Seq("q162_mutual_information", "q165_pareto_share").foreach { q =>
+      val f = PlanLint.check(
+        graft.operators.SessionOps.queries(q)(spark, sfDir))
+      assert(f.forall(_.kind == "cartesian"), s"$q: $f")
+    }
+  }
+
   test("session-wired lint rule records findings when enabled") {
     import graft.util.PlanLint
     // the extensions inject LintRule into this session (SparkSpec sets
