@@ -321,12 +321,82 @@ object GraphOps {
       |SELECT deg.u AS part, deg.deg, reach.reach_2hop
       |FROM deg JOIN reach ON reach.u = deg.u""".stripMargin
 
+  /** q171: DEGREE ASSORTATIVITY (Newman 2002, Phys. Rev. Lett. 89) —
+    * the Pearson correlation of endpoint degrees over the co-purchase
+    * projection's edges: positive r = hubs link to hubs (a "rich
+    * club"), negative = hub-and-spoke. The fourth graph shape next to
+    * q98 (iterative), q105 (oriented 2-join), q107 (neighborhood
+    * expansion): degrees are one V-sized aggregate, each directed
+    * edge picks up its endpoint degrees via two key-partitioned joins
+    * (the edge list is already keyed on `u` from the projection, and
+    * `sym` contains BOTH orientations so the marginal sums are
+    * symmetric and plain Pearson over directed edges IS the
+    * undirected coefficient), and the statistic folds as SIX
+    * integer-exact decimal(38) sums — degree products reach deg² ≈
+    * 1e12 per edge and Σ over 1e12 edges ≈ 1e24, past int64 but
+    * inside decimal(38) — with ONE fixed IEEE expression at the end
+    * (the q141/q155 discipline). Exact, hash-checked. */
+  private val q171: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sym = coPurchaseEdges(s, d)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val e = sym
+      .join(deg.select(col("u"), col("deg").as("dj")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dk")), Seq("v"))
+    val t = e.agg(
+      count(lit(1)).as("m"),
+      countDistinct(col("u")).as("n_nodes"),
+      sum(col("dj").cast(dec38)).as("sj"),
+      sum(col("dk").cast(dec38)).as("sk"),
+      sum((col("dj") * col("dk")).cast(dec38)).as("sjk"),
+      sum((col("dj") * col("dj")).cast(dec38)).as("sjj"),
+      sum((col("dk") * col("dk")).cast(dec38)).as("skk"))
+    val md = col("m").cast("double")
+    val r = (md * col("sjk").cast("double") -
+        col("sj").cast("double") * col("sk").cast("double")) /
+      sqrt((md * col("sjj").cast("double") -
+          col("sj").cast("double") * col("sj").cast("double")) *
+        (md * col("skk").cast("double") -
+          col("sk").cast("double") * col("sk").cast("double")))
+    t.select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+      round(col("sj").cast("double") / md, 6).as("mean_edge_deg"),
+      round(r, 6).as("assortativity"))
+  }
+  private val q171Sql = coPurchaseCte +
+    """,
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+      |  GROUP BY u),
+      |e AS (
+      |  SELECT s.u, a.deg AS dj, b.deg AS dk FROM sym s
+      |  JOIN deg a ON a.u = s.u JOIN deg b ON b.u = s.v),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+      |    SUM(CAST(dj AS DECIMAL(38,0))) AS sj,
+      |    SUM(CAST(dk AS DECIMAL(38,0))) AS sk,
+      |    SUM(CAST(dj * dk AS DECIMAL(38,0))) AS sjk,
+      |    SUM(CAST(dj * dj AS DECIMAL(38,0))) AS sjj,
+      |    SUM(CAST(dk * dk AS DECIMAL(38,0))) AS skk
+      |  FROM e)
+      |SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
+      |  ROUND(CAST(sj AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mean_edge_deg,
+      |  ROUND((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+      |      - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+      |    / SQRT((CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+      |        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+      |      * (CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+      |        - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))), 6)
+      |    AS assortativity
+      |FROM t""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q98_pagerank" -> q98,
     "q105_triangles" -> q105,
-    "q107_khop_reach" -> q107)
+    "q107_khop_reach" -> q107,
+    "q171_assortativity" -> q171)
   val oracleSql: Map[String, String] = Map(
     "q98_pagerank" -> q98Sql,
     "q105_triangles" -> q105Sql,
-    "q107_khop_reach" -> q107Sql)
+    "q107_khop_reach" -> q107Sql,
+    "q171_assortativity" -> q171Sql)
 }

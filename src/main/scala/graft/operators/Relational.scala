@@ -3067,7 +3067,207 @@ object Relational {
       |ORDER BY jaccard DESC, part_a ASC, part_b ASC
       |LIMIT 20""".stripMargin
 
+  /** q172: COCHRAN–ARMITAGE TREND TEST — is the return rate
+    * MONOTONICALLY associated with order quantity? q140's chi-square
+    * asks "any association"; CA weights the 2×k table by ordered
+    * dose scores (quantity decade 1..5), so it has power against the
+    * trend alternative specifically (Armitage 1955, Biometrics 11).
+    * Scale shape: one map-side-partial aggregate to the k-row
+    * (level, n, returned) table, the score sums Σt·n / Σt·r / Σt²·n
+    * fold integer-exact through decimal(38) (t ≤ 5, so Σt²n ≈ 25·rows
+    * — past int64 only near 1e18 rows, but the discipline is uniform),
+    * and T = Σt·r − p·Σt·n, Var T = p(1−p)(Σt²n − (Σtn)²/N), z =
+    * T/√Var are ONE fixed IEEE expression over the exact totals.
+    * Exact, hash-checked. */
+  private val q172: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lvl = (floor((col("l_quantity") - lit(1.0)) / 10) + 1)
+      .cast("long")
+    val byLvl = Tables.lineitem(s, d)
+      .select(lvl.as("t"), (col("l_returnflag") === "R").as("ret"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), count(when(col("ret"), 1)).as("r"))
+    val tot = byLvl.agg(
+      count(lit(1)).as("n_levels"),
+      sum(col("n").cast(dec38)).as("nn"),
+      sum(col("r").cast(dec38)).as("rr"),
+      sum((col("t") * col("n")).cast(dec38)).as("stn"),
+      sum((col("t") * col("r")).cast(dec38)).as("str"),
+      sum((col("t") * col("t") * col("n")).cast(dec38)).as("st2n"))
+    val nD = col("nn").cast("double")
+    val p = col("rr").cast("double") / nD
+    val tStat = col("str").cast("double") - p * col("stn").cast("double")
+    val varT = p * (lit(1.0) - p) *
+      (col("st2n").cast("double") -
+        col("stn").cast("double") * col("stn").cast("double") / nD)
+    tot.select(col("n_levels"),
+      col("nn").cast("long").as("n"), col("rr").cast("long").as("n_returned"),
+      round(tStat, 6).as("ca_t"),
+      round(tStat / sqrt(varT), 6).as("ca_z"))
+  }
+  private val q172Sql =
+    """WITH byl AS (
+      |  SELECT CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) + 1 AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS r
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_levels,
+      |    SUM(CAST(n AS DECIMAL(38,0))) AS nn,
+      |    SUM(CAST(r AS DECIMAL(38,0))) AS rr,
+      |    SUM(CAST(t * n AS DECIMAL(38,0))) AS stn,
+      |    SUM(CAST(t * r AS DECIMAL(38,0))) AS str,
+      |    SUM(CAST(t * t * n AS DECIMAL(38,0))) AS st2n
+      |  FROM byl)
+      |SELECT n_levels, CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS n_returned,
+      |  ROUND(CAST(str AS DOUBLE)
+      |    - (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(stn AS DOUBLE), 6) AS ca_t,
+      |  ROUND((CAST(str AS DOUBLE)
+      |      - (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(stn AS DOUBLE))
+      |    / SQRT((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (1 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (CAST(st2n AS DOUBLE)
+      |        - CAST(stn AS DOUBLE) * CAST(stn AS DOUBLE) / CAST(nn AS DOUBLE))), 6)
+      |    AS ca_z
+      |FROM tot""".stripMargin
+
+  /** q173: KENDALL'S τ-b per nation between monthly order count and
+    * monthly revenue — the rank-concordance complement of q155's
+    * Spearman (τ counts PAIRWISE order inversions, so it is robust
+    * to the monotone-transform family and has a direct
+    * probability-of-concordance reading). The pairwise self-join is
+    * CALENDAR-BOUNDED (months per nation ≤ the date span, ~84 here —
+    * q170's bounded-pair argument: the quadratic is in the GROUP
+    * size, which does not grow with data volume; a per-row pairwise
+    * τ would be dispatch-guarded instead). Concordance tests compare
+    * an exact integer count x and an exact DECIMAL(28,2) revenue y,
+    * so tie classification is bit-identical across engines; C/D/tie
+    * counts are integers and τ-b = (C−D)/√((n₀−tx)(n₀−ty)) is one
+    * fixed IEEE expression. Exact, hash-checked. */
+  private val q173: QFn = (s, d) => {
+    val dec2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    val pm = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(countDistinct(col("o_orderkey")).as("x"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .cast(dec2)).as("y"))
+    val a = pm.select(col("nation"), col("month").as("ma"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = pm.select(col("nation"), col("month").as("mb"),
+      col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(b, Seq("nation")).filter(col("ma") < col("mb"))
+    val agg = pairs.groupBy("nation").agg(
+      count(lit(1)).as("n0"),
+      count(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+        (col("xa") > col("xb") && col("ya") > col("yb")), 1)).as("c"),
+      count(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+        (col("xa") > col("xb") && col("ya") < col("yb")), 1)).as("dd"),
+      count(when(col("xa") === col("xb"), 1)).as("tx"),
+      count(when(col("ya") === col("yb"), 1)).as("ty"))
+    val m = pm.groupBy("nation").agg(count(lit(1)).as("n_months"))
+    m.join(agg, Seq("nation"))
+      .select(col("nation"), col("n_months"),
+        col("c").as("concordant"), col("dd").as("discordant"),
+        round((col("c") - col("dd")).cast("double") /
+          sqrt((col("n0") - col("tx")).cast("double") *
+            (col("n0") - col("ty")).cast("double")), 6).as("tau_b"))
+  }
+  private val q173Sql =
+    """WITH pm AS (
+      |  SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS x,
+      |    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
+      |      AS DECIMAL(28,2))) AS y
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.nation,
+      |    CAST(COUNT(*) AS BIGINT) AS n0,
+      |    CAST(COUNT(CASE WHEN (a.x < b.x AND a.y < b.y)
+      |      OR (a.x > b.x AND a.y > b.y) THEN 1 END) AS BIGINT) AS c,
+      |    CAST(COUNT(CASE WHEN (a.x < b.x AND a.y > b.y)
+      |      OR (a.x > b.x AND a.y < b.y) THEN 1 END) AS BIGINT) AS dd,
+      |    CAST(COUNT(CASE WHEN a.x = b.x THEN 1 END) AS BIGINT) AS tx,
+      |    CAST(COUNT(CASE WHEN a.y = b.y THEN 1 END) AS BIGINT) AS ty
+      |  FROM pm a JOIN pm b ON a.nation = b.nation AND a.month < b.month
+      |  GROUP BY 1),
+      |m AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+      |  FROM pm GROUP BY 1)
+      |SELECT m.nation, m.n_months, c AS concordant, dd AS discordant,
+      |  ROUND(CAST(c - dd AS DOUBLE)
+      |    / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)
+      |    AS tau_b
+      |FROM m JOIN pairs ON pairs.nation = m.nation""".stripMargin
+
+  /** q174: PEAK CONCURRENT OPEN ORDERS — interval-stabbing via the
+    * classic boundary-delta trick: each order is an interval
+    * [o_orderdate, max(l_shipdate)], emits +1 at its start day and −1
+    * the day AFTER its end, and the open count is the running sum of
+    * per-day deltas. The step function only changes at boundary days,
+    * so ranking event days by count ranks ALL days (any non-event
+    * day's count equals the latest event day's). Scale shape: the
+    * interval build is one per-order aggregate (max over the order's
+    * lines, map-side partial), the delta table collapses to
+    * CALENDAR-sized rows (one per distinct day — thousands,
+    * regardless of data volume), and only that day-grain table runs
+    * through the running-sum window (the q07/q28 documented day-grain
+    * shape) before a top-20. Exact integer counts, hash-checked. */
+  private val q174: QFn = (s, d) => {
+    val spans = Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("end_ts"))
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+    val deltas = spans
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        lit(1L).as("dlt"))
+      .union(spans.select(
+        date_format(date_add(to_date(col("end_ts")), 1), "yyyy-MM-dd")
+          .as("day"),
+        lit(-1L).as("dlt")))
+      .groupBy("day").agg(sum(col("dlt")).as("dlt"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open_orders", sum(col("dlt")).over(w))
+      .select("day", "open_orders")
+      .orderBy(col("open_orders").desc, col("day").asc)
+      .limit(20)
+  }
+  private val q174Sql =
+    """WITH spans AS (
+      |  SELECT o_orderdate, CAST(MAX(l_shipdate) AS DATE) AS end_d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_orderkey, o_orderdate),
+      |deltas AS (
+      |  SELECT day, CAST(SUM(dlt) AS BIGINT) AS dlt FROM (
+      |    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, 1 AS dlt
+      |    FROM spans
+      |    UNION ALL
+      |    SELECT strftime(end_d + 1, '%Y-%m-%d') AS day, -1 AS dlt
+      |    FROM spans) u
+      |  GROUP BY 1)
+      |SELECT day,
+      |  CAST(SUM(dlt) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open_orders
+      |FROM deltas
+      |ORDER BY open_orders DESC, day ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q172_ca_trend" -> q172,
+    "q173_kendall_tau" -> q173,
+    "q174_open_orders" -> q174,
     "q167_decile_migration" -> q167,
     "q168_survival_curve" -> q168,
     "q169_ols_loglog" -> q169,
@@ -3150,6 +3350,9 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q172_ca_trend" -> q172Sql,
+    "q173_kendall_tau" -> q173Sql,
+    "q174_open_orders" -> q174Sql,
     "q167_decile_migration" -> q167Sql,
     "q168_survival_curve" -> q168Sql,
     "q169_ols_loglog" -> q169Sql,
