@@ -389,14 +389,72 @@ object GraphOps {
       |    AS assortativity
       |FROM t""".stripMargin
 
+  /** q177: NEWMAN MODULARITY of the BRAND partition over the
+    * co-purchase projection (Newman & Girvan 2004, Phys. Rev. E 69):
+    * Q = Σ_c (e_c − a_c²), e_c = the fraction of edge ENDS inside
+    * community c, a_c = the fraction of ends attached to c — does the
+    * catalog's brand structure explain who is bought with whom
+    * (Q > 0), or do purchases cut across brands (Q ≈ 0)? The
+    * community-structure complement to q171's degree mixing. Scale
+    * shape: the community map is a DIM (part → brand, broadcast onto
+    * both endpoints of the already-derived edge relation), the two
+    * community aggregates are brand-sized, m comes from sym's count
+    * (both orientations = edge ends — exactly the 2m the formula
+    * wants), and the K-community sum folds 12-dp-rounded terms
+    * through the exact decimal accumulator (the q151 discipline —
+    * double summation order never matters). Exact, hash-checked. */
+  private val q177: QFn = (s, d) => {
+    val sym = coPurchaseEdges(s, d)
+    val bu = broadcast(Tables.part(s, d)
+      .select(col("p_partkey").as("u"), col("p_brand").as("cu")))
+    val bv = broadcast(Tables.part(s, d)
+      .select(col("p_partkey").as("v"), col("p_brand").as("cv")))
+    val e = sym.join(bu, Seq("u")).join(bv, Seq("v"))
+    val byC = e.groupBy(col("cu").as("community")).agg(
+      count(lit(1)).as("ends"),
+      count(when(col("cu") === col("cv"), 1)).as("within"))
+    val m = e.agg(count(lit(1)).as("m2"))
+    val term = round(
+      col("within").cast("double") / col("m2").cast("double") -
+        (col("ends").cast("double") / col("m2").cast("double")) *
+          (col("ends").cast("double") / col("m2").cast("double")), 12)
+    byC.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        (max(col("m2")) / 2).cast("long").as("n_edges"),
+        round(sum(term.cast(
+          org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double"), 6).as("modularity"))
+  }
+  private val q177Sql = coPurchaseCte +
+    """,
+      |e AS (
+      |  SELECT pa.p_brand AS cu, pb.p_brand AS cv FROM sym
+      |  JOIN part pa ON pa.p_partkey = sym.u
+      |  JOIN part pb ON pb.p_partkey = sym.v),
+      |byc AS (
+      |  SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS ends,
+      |    CAST(COUNT(CASE WHEN cu = cv THEN 1 END) AS BIGINT) AS within
+      |  FROM e GROUP BY 1),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+      |  CAST(MAX(m2) / 2 AS BIGINT) AS n_edges,
+      |  ROUND(CAST(SUM(CAST(ROUND(
+      |    CAST(within AS DOUBLE) / CAST(m2 AS DOUBLE)
+      |      - (CAST(ends AS DOUBLE) / CAST(m2 AS DOUBLE))
+      |        * (CAST(ends AS DOUBLE) / CAST(m2 AS DOUBLE)), 12)
+      |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS modularity
+      |FROM byc, m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q98_pagerank" -> q98,
     "q105_triangles" -> q105,
     "q107_khop_reach" -> q107,
-    "q171_assortativity" -> q171)
+    "q171_assortativity" -> q171,
+    "q177_brand_modularity" -> q177)
   val oracleSql: Map[String, String] = Map(
     "q98_pagerank" -> q98Sql,
     "q105_triangles" -> q105Sql,
     "q107_khop_reach" -> q107Sql,
-    "q171_assortativity" -> q171Sql)
+    "q171_assortativity" -> q171Sql,
+    "q177_brand_modularity" -> q177Sql)
 }

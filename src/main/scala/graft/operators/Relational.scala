@@ -3145,7 +3145,7 @@ object Relational {
     * counts are integers and τ-b = (C−D)/√((n₀−tx)(n₀−ty)) is one
     * fixed IEEE expression. Exact, hash-checked. */
   private val q173: QFn = (s, d) => {
-    val dec2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
     val pm = Tables.lineitem(s, d)
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
@@ -3156,9 +3156,14 @@ object Relational {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      // revenue folds as CAST(expr AS DECIMAL(28,6)) — never
+      // ROUND(expr, 2): 2-dp rounding of ~4-decimal products hits
+      // .xx5 half-cases where the engines' double rounding disagrees
+      // by a cent; the 6-dp cast of identical doubles agrees (the
+      // dsum discipline)
       .agg(countDistinct(col("o_orderkey")).as("x"),
-        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
-          .cast(dec2)).as("y"))
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec6)).as("y"))
     val a = pm.select(col("nation"), col("month").as("ma"),
       col("x").as("xa"), col("y").as("ya"))
     val b = pm.select(col("nation"), col("month").as("mb"),
@@ -3184,8 +3189,8 @@ object Relational {
     """WITH pm AS (
       |  SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
       |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS x,
-      |    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
-      |      AS DECIMAL(28,2))) AS y
+      |    SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,6))) AS y
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
@@ -3264,10 +3269,189 @@ object Relational {
       |ORDER BY open_orders DESC, day ASC
       |LIMIT 20""".stripMargin
 
+  /** q175: WALD–WOLFOWITZ RUNS TEST on the daily order-count series —
+    * are above-mean and below-mean days RANDOMLY interleaved, or do
+    * they clump (trend/regime) or alternate (overcorrection)? The
+    * nonparametric randomness screen that complements q135's
+    * parametric autocorrelation. Sign classification is INTEGER-exact
+    * (c·D vs N in int64 — never a float mean comparison; exact-mean
+    * days drop, the standard treatment), the run count is a lag over
+    * the CALENDAR-sized day-grain table (the q174 documented shape),
+    * and E[R] = 1 + 2n₁n₂/n, Var R, z are ONE fixed IEEE expression
+    * over exact integer counts. Exact, hash-checked. */
+  private val q175: QFn = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.agg(sum(col("c")).as("nn"), count(lit(1)).as("dd"))
+    val signed = daily.crossJoin(broadcast(tot))
+      .filter(col("c") * col("dd") =!= col("nn"))
+      .select(col("day"),
+        (col("c") * col("dd") > col("nn")).cast("int").as("sgn"))
+    val w = Window.orderBy("day")
+    val agg = signed
+      .withColumn("prev", lag(col("sgn"), 1).over(w))
+      .agg(
+        count(when(col("prev").isNull || col("prev") =!= col("sgn"), 1))
+          .as("runs"),
+        sum(col("sgn")).as("n1"),
+        count(when(col("sgn") === 0, 1)).as("n2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    val er = lit(1.0) + lit(2.0) * n1 * n2 / n
+    val vr = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) /
+      (n * n * (n - lit(1.0)))
+    agg.select(col("n1"), col("n2"), col("runs"),
+      round(er, 6).as("expected_runs"),
+      round((col("runs").cast("double") - er) / sqrt(vr), 6).as("z"))
+  }
+  private val q175Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+      |  CAST(COUNT(*) AS BIGINT) AS dd FROM daily),
+      |signed AS (
+      |  SELECT day, CAST(c * dd > nn AS INT) AS sgn
+      |  FROM daily, tot WHERE c * dd <> nn),
+      |lagged AS (
+      |  SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM signed),
+      |agg AS (
+      |  SELECT CAST(COUNT(CASE WHEN prev IS NULL OR prev <> sgn
+      |      THEN 1 END) AS BIGINT) AS runs,
+      |    CAST(SUM(sgn) AS BIGINT) AS n1,
+      |    CAST(COUNT(CASE WHEN sgn = 0 THEN 1 END) AS BIGINT) AS n2
+      |  FROM lagged)
+      |SELECT n1, n2, runs,
+      |  ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+      |  ROUND((CAST(runs AS DOUBLE) - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+      |    / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+      |      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) AS z
+      |FROM agg""".stripMargin
+
+  /** q176: THEIL–SEN ROBUST SLOPE of monthly revenue per nation — the
+    * median of all pairwise month-to-month slopes (Sen 1968), the
+    * outlier-proof complement to q169's least-squares fit (one crazy
+    * month moves OLS, not the pairwise median). Scale shape: the fact
+    * reduces FIRST to (nation, month) decimal revenue, the pairwise
+    * self-join is CALENDAR-BOUNDED (the q173 argument — months², not
+    * data volume), each slope is exact-decimal Δy over integer Δt
+    * rounded once at 6 dp, and the median is the k-th order statistic
+    * (k = ⌈n₀/2⌉, lower median — tie-safe: the k-th value under a
+    * value sort is well-defined regardless of tie order) via a
+    * nation-partitioned rank. Exact, hash-checked. */
+  private val q176: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val pm = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("t"))
+      // 6-dp decimal cast, never 2-dp round (see q173's note)
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec6)).as("y"))
+    val a = pm.select(col("nation"), col("t").as("ta"), col("y").as("ya"))
+    val b = pm.select(col("nation"), col("t").as("tb"), col("y").as("yb"))
+    // rank on the RAW IEEE slope — one division over bit-identical
+    // exact inputs is bit-identical across engines, so the k-th
+    // element matches; rounding 77k slopes BEFORE selection would let
+    // a single engine-rounding disagreement shift the median element
+    val slopes = a.join(b, Seq("nation")).filter(col("ta") < col("tb"))
+      .select(col("nation"),
+        ((col("yb") - col("ya")).cast("double") /
+          (col("tb") - col("ta")).cast("double")).as("slope"))
+    val n0 = slopes.groupBy("nation").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy("nation").orderBy("slope")
+    slopes.withColumn("rk", row_number().over(w))
+      .join(n0, Seq("nation"))
+      // integer div (Column./ on longs is TRUE division → double)
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("nation"), col("n_pairs"),
+        round(col("slope"), 6).as("sen_slope"))
+  }
+  private val q176Sql =
+    """WITH pm AS (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+      |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS t,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,6))) AS y
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.nation,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+      |  FROM pm a JOIN pm b ON a.nation = b.nation AND a.t < b.t),
+      |n0 AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM slopes GROUP BY 1),
+      |rk AS (
+      |  SELECT nation, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY slope) AS rk
+      |  FROM slopes)
+      |SELECT rk.nation, n_pairs, ROUND(slope, 6) AS sen_slope
+      |FROM rk JOIN n0 ON n0.nation = rk.nation
+      |WHERE rk = (n_pairs + 1) // 2""".stripMargin
+
+  /** q178: RECORD-BREAKING DAYS per year — how many days set a new
+    * all-time daily-revenue high (for a stationary series the expected
+    * count decays as ~1/t; a flat-or-rising record rate = growth or
+    * drift — the "records" nonparametric trend screen, complementing
+    * q175's runs test and q148's CUSUM). The fact reduces FIRST to the
+    * day-grain exact-decimal series; the prior-peak is a running max
+    * over the CALENDAR-sized table (the q174 documented shape), record
+    * classification compares exact decimals, and the per-year rollup
+    * is a tiny grouped count. Exact, hash-checked. */
+  private val q178: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      // 6-dp decimal cast, never 2-dp round (see q173's note)
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec6)).as("rev"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily.withColumn("prevmax", max(col("rev")).over(w))
+      .groupBy(year(col("day")).as("yr"))
+      .agg(count(lit(1)).as("days"),
+        count(when(col("prevmax").isNull || col("rev") > col("prevmax"), 1))
+          .as("record_days"))
+      .select(col("yr").cast("long").as("yr"), col("days"),
+        col("record_days"))
+  }
+  private val q178Sql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,6))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |rec AS (
+      |  SELECT day, rev, MAX(rev) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM daily)
+      |SELECT CAST(EXTRACT(YEAR FROM day) AS BIGINT) AS yr,
+      |  CAST(COUNT(*) AS BIGINT) AS days,
+      |  CAST(COUNT(CASE WHEN prevmax IS NULL OR rev > prevmax THEN 1 END)
+      |    AS BIGINT) AS record_days
+      |FROM rec GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q172_ca_trend" -> q172,
     "q173_kendall_tau" -> q173,
     "q174_open_orders" -> q174,
+    "q175_runs_test" -> q175,
+    "q176_theil_sen" -> q176,
+    "q178_record_days" -> q178,
     "q167_decile_migration" -> q167,
     "q168_survival_curve" -> q168,
     "q169_ols_loglog" -> q169,
@@ -3353,6 +3537,9 @@ object Relational {
     "q172_ca_trend" -> q172Sql,
     "q173_kendall_tau" -> q173Sql,
     "q174_open_orders" -> q174Sql,
+    "q175_runs_test" -> q175Sql,
+    "q176_theil_sen" -> q176Sql,
+    "q178_record_days" -> q178Sql,
     "q167_decile_migration" -> q167Sql,
     "q168_survival_curve" -> q168Sql,
     "q169_ols_loglog" -> q169Sql,

@@ -258,6 +258,51 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PlanLint sweep of q171-q174: assortativity/trend/tau/intervals " +
+      "scale paths") {
+    import graft.util.PlanLint
+    // fully clean: q171 two key-partitioned degree joins + one
+    // aggregate; q172 grouped aggregate to the k-row dose table;
+    // q173 calendar-bounded pair join (quadratic in months-per-
+    // nation, not data volume)
+    assert(PlanLint.check(
+      graft.operators.GraphOps.queries("q171_assortativity")(spark, sfDir))
+      .isEmpty, "q171")
+    Seq("q172_ca_trend", "q173_kendall_tau").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir))
+        .isEmpty, q)
+    }
+    // q174's running sum windows the CALENDAR-sized day-grain delta
+    // table (thousands of rows at any data volume — the q07/q28
+    // documented day-grain shape): the single-partition window is the
+    // deliberate, bounded exception, and must be the ONLY finding
+    val f174 = PlanLint.check(
+      Relational.queries("q174_open_orders")(spark, sfDir))
+    assert(f174.forall(_.kind == "single-partition-window"),
+      s"q174: $f174")
+  }
+
+  test("PlanLint sweep of q175-q178: runs/Theil-Sen/modularity/records " +
+      "scale paths") {
+    import graft.util.PlanLint
+    // q176 is fully clean: calendar-bounded pair join (equi on
+    // nation), nation-PARTITIONED median rank — no global window
+    assert(PlanLint.check(
+      Relational.queries("q176_theil_sen")(spark, sfDir)).isEmpty, "q176")
+    // q177 crosses ONE broadcast scalar row (2m) into the brand-sized
+    // table — the q137/q151 documented shape; nothing else flags
+    assert(PlanLint.check(
+      graft.operators.GraphOps.queries("q177_brand_modularity")(spark, sfDir))
+      .forall(_.kind == "cartesian"), "q177")
+    // q175/q178 window the CALENDAR-sized day-grain series (q174's
+    // documented exception); q175 also crosses the one-row total
+    Seq("q175_runs_test", "q178_record_days").foreach { q =>
+      val f = PlanLint.check(Relational.queries(q)(spark, sfDir))
+      assert(f.forall(x => x.kind == "single-partition-window" ||
+        x.kind == "cartesian"), s"$q: $f")
+    }
+  }
+
   test("session-wired lint rule records findings when enabled") {
     import graft.util.PlanLint
     // the extensions inject LintRule into this session (SparkSpec sets
