@@ -57,7 +57,10 @@ object Bench {
     "q159_hour_entropy", "q160_cramers_v", "q161_markov_stationary",
     "q162_mutual_information", "q163_weighted_median", "q164_moments",
     "q165_pareto_share", "q166_ttr", "q167_decile_migration",
-    "q168_survival_curve", "q169_ols_loglog", "q170_basket_jaccard")
+    "q168_survival_curve", "q169_ols_loglog", "q170_basket_jaccard",
+    "q171_assortativity", "q172_ca_trend", "q173_kendall_tau",
+    "q174_open_orders", "q175_runs_test", "q176_theil_sen",
+    "q177_brand_modularity", "q178_record_days")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -244,4 +244,125 @@ object BpeTrainer {
         when(col("n_words") > 0,
           col("n_tokens").cast("double") / col("n_words")))
   }
+
+  /** Reserved id for symbols unseen at vocabulary-build time (a
+    * character the training slice never produced — encode maps it
+    * here instead of failing, and reports the per-doc count). */
+  val UnkId = 0
+
+  /** Deterministic token→id VOCABULARY for a learned merge table:
+    * id 0 = `<unk>`, then the corpus' base symbols (each character,
+    * plus its end-of-word form — exactly [[initSymbols]]' alphabet)
+    * in lexicographic order, then each merge's product in MERGE
+    * ORDER (first occurrence wins when two merge paths produce the
+    * same string). The base alphabet comes from ONE distributed
+    * distinct over a character-sized value set — the result is
+    * model-sized by construction (|alphabet| + |merges| rows).
+    * Columns: (token string, id int). */
+  def vocab(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): Array[(String, Int)] = {
+    val base = docs.select(col(textCol)).na.drop().rdd
+      .mapPartitions { it =>
+        val s = scala.collection.mutable.Set.empty[String]
+        it.foreach { r =>
+          r.getString(0).trim.split("\\s+").filter(_.nonEmpty)
+            .foreach(w => initSymbols(w).foreach(s += _))
+        }
+        Iterator.single(s.toSet)
+      }
+      .fold(Set.empty[String])(_ union _)
+      .toArray.sorted
+    val seen = scala.collection.mutable.Set[String](base: _*)
+    val merged = merges.iterator.map { case (a, b) => a + b }
+      .filter(seen.add).toArray
+    (("<unk>", UnkId) +:
+      (base ++ merged).zipWithIndex.map { case (t, i) => (t, i + 1) })
+  }
+
+  /** ENCODE each doc to its subword TOKEN-ID SEQUENCE — [[segment]]'s
+    * counting upgraded to the actual ids a training pipeline feeds a
+    * model. Pure map-side: the merge table and vocabulary broadcast
+    * (both model-sized), nothing shuffles but the per-doc output.
+    * Unknown symbols map to [[UnkId]] and count in `n_oov`.
+    * Columns: (doc_id, ids array<int>, n_tokens, n_oov). */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      vocabTable: Array[(String, Int)], textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast((merges.toVector,
+      vocabTable.toMap))
+    val rdd = docs.select(col(idCol).cast("long"), col(textCol)).rdd
+      .mapPartitions { it =>
+        val (ms, vm) = bc.value
+        it.map { r =>
+          val id = r.getLong(0)
+          val ws = Option(r.getString(1)).getOrElse("")
+            .trim.split("\\s+").filter(_.nonEmpty)
+          val ids = Array.newBuilder[Int]
+          var oov = 0L
+          ws.foreach { w =>
+            var sym = initSymbols(w)
+            ms.foreach { case (a, b) => sym = applyMerge(sym, a, b) }
+            sym.foreach { t =>
+              val i = vm.getOrElse(t, UnkId)
+              if (i == UnkId) oov += 1L
+              ids += i
+            }
+          }
+          val arr = ids.result()
+          Row(id, arr, arr.length.toLong, oov)
+        }
+      }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ids", ArrayType(IntegerType, containsNull = false)),
+      StructField("n_tokens", LongType),
+      StructField("n_oov", LongType))))
+  }
+
+  /** PACK encoded docs into FIXED-LENGTH training sequences — the
+    * step between tokenization and the data loader: concatenate all
+    * docs' ids in doc_id order and cut every `seqLen` tokens (docs
+    * span sequence boundaries; the final sequence may be short).
+    *
+    * Scale shape — NO single-task pass anywhere: each doc's global
+    * start offset is a DISTRIBUTED prefix sum
+    * ([[RankOps.withGroupedPrefixSum]], the q62 machinery), the doc →
+    * sequence fan-out is a bounded `sequence()` explode (a doc
+    * touches ⌈n/L⌉+1 sequences), per-sequence chunks are
+    * `slice`-projected map-side, and reassembly groups by seq_id —
+    * every group is ≤ `seqLen` TOKENS by construction, so
+    * collect_list holds one training sequence, never a corpus.
+    * Deterministic for any partition layout (offsets are a total
+    * order on doc_id). Columns: (seq_id, ids, n_tokens, n_docs). */
+  def packSequences(encoded: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be positive ($seqLen)")
+    val off = RankOps.withGroupedPrefixSum(
+      encoded.select(col("doc_id"), col("ids"), col("n_tokens"))
+        .withColumn("one", lit(1)),
+      Seq("one"), Seq("doc_id"), "n_tokens", "start")
+    val L = lit(seqLen.toLong)
+    val chunks = off.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("ids"), col("start"), col("n_tokens"),
+        explode(sequence(
+          expr(s"start div ${seqLen}L"),
+          expr(s"(start + n_tokens - 1) div ${seqLen}L"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(col("seq_id") * L, col("start")).as("from_glob"),
+        (least((col("seq_id") + 1) * L, col("start") + col("n_tokens")) -
+          greatest(col("seq_id") * L, col("start"))).as("len"),
+        col("ids"), col("start"))
+      .select(col("seq_id"), col("from_glob"),
+        slice(col("ids"),
+          (col("from_glob") - col("start") + 1).cast("int"),
+          col("len").cast("int")).as("chunk"))
+    chunks.groupBy("seq_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("from_glob"), col("chunk")))),
+        x => x.getField("chunk"))).as("ids"),
+        count(lit(1)).as("n_docs"))
+      .select(col("seq_id"), col("ids"),
+        size(col("ids")).cast("long").as("n_tokens"), col("n_docs"))
+  }
 }

@@ -1647,6 +1647,77 @@ class OperatorsSpec extends SparkSpec {
     assert(j12 <= j4 + 1, s"j4=$j4 j12=$j12: job count grew with merges")
   }
 
+  test("BPE encode + packSequences: ids match segment counts, OOV maps " +
+      "to unk, packing conserves the token stream at every boundary") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text), (2L, "low lower new"), (3L, "widest low"))
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, numMerges = 6, maxWords = 1000)
+    val vt = BpeTrainer.vocab(docs, merges)
+    // vocabulary shape: unk id 0, ids contiguous, merge products
+    // present, first-occurrence dedup keeps it a bijection
+    assert(vt.head == ("<unk>", 0))
+    assert(vt.map(_._2).toSeq == (0 until vt.length))
+    assert(vt.map(_._1).distinct.length == vt.length)
+    val vm = vt.toMap
+    merges.foreach { case (a, b) => assert(vm.contains(a + b), a + b) }
+    // encode's token counts agree with segment's (same merge walk)
+    val enc = BpeTrainer.encode(docs, merges, vt)
+    val segN = BpeTrainer.segment(docs, merges)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val encRows = enc.collect().map(r => (r.getLong(0),
+      r.getSeq[Int](1), r.getLong(2), r.getLong(3)))
+    encRows.foreach { case (id, ids, n, oov) =>
+      assert(ids.length.toLong == n && n == segN(id), s"doc $id")
+      assert(oov == 0L, s"doc $id oov")
+      assert(ids.forall(i => i > 0 && i < vt.length))
+    }
+    // an unseen character maps to unk and is counted
+    val probe = Seq((9L, "low élow")).toDF("doc_id", "text")
+    val pe = BpeTrainer.encode(probe, merges, vt).head
+    assert(pe.getAs[Long]("n_oov") >= 1L)
+    assert(pe.getSeq[Int](1).contains(BpeTrainer.UnkId))
+    // packing: the concatenated stream in doc_id order, cut every L —
+    // exact conservation, full sequences exactly L, one short tail
+    val flat = encRows.sortBy(_._1).flatMap(_._2)
+    for (l <- Seq(3, 7, 16)) {
+      val packed = BpeTrainer.packSequences(enc, l)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(3)))
+        .sortBy(_._1)
+      assert(packed.flatMap(_._2).toSeq == flat.toSeq, s"L=$l stream")
+      val sizes = packed.map(_._2.length)
+      assert(sizes.init.forall(_ == l) &&
+        sizes.last == (if (flat.length % l == 0) l else flat.length % l),
+        s"L=$l sizes=${sizes.toSeq}")
+      assert(packed.map(_._1).toSeq ==
+        (0L until packed.length.toLong), s"L=$l seq ids")
+    }
+    // layout-independence: a different partitioning packs identically
+    val p7 = BpeTrainer.packSequences(enc.repartition(7), 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+    val p1 = BpeTrainer.packSequences(enc.coalesce(1), 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+    assert(p7.toSeq == p1.toSeq)
+    // n_docs: a sequence spanning a doc boundary credits both docs
+    val packedAll = BpeTrainer.packSequences(enc, flat.length)
+      .collect()
+    assert(packedAll.length == 1 && packedAll.head.getLong(3) == 3L)
+    // empty docs are skipped, not crashed on
+    val withEmpty = BpeTrainer.encode(
+      Seq((1L, "low low"), (2L, "")).toDF("doc_id", "text"), merges, vt)
+    assert(BpeTrainer.packSequences(withEmpty, 4)
+      .agg(sum(size(col("ids")))).head.getLong(0) ==
+      withEmpty.agg(sum("n_tokens")).head.getLong(0))
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.packSequences(enc, 0)
+    }
+    assert(e.getMessage.contains("seqLen"))
+  }
+
   test("multimodal near-dup videos: frame-hash Jaccard finds the re-upload") {
     import spark.implicits._
     // A = 4 frames; B = A plus one appended frame (a trailing-card
