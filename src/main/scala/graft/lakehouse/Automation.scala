@@ -528,11 +528,14 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           else {
             val labeled = pos.withColumn("label", lit(1.0))
               .unionByName(neg.withColumn("label", lit(0.0)))
+            // vacuum BEFORE the flip: generations superseded at the
+            // PREVIOUS retrain have had one full cadence of grace for
+            // out-of-daemon scorers that resolved them mid-flip (the
+            // vacuumGenerations contract); the generation this retrain
+            // supersedes survives until the next retrain tick
+            graft.operators.QualityModel.vacuumGenerations(spark, mroot)
             val g = graft.operators.QualityModel.retrain(spark, mroot,
               labeled)
-            // single-maintenance-writer window, like the ANN retrain:
-            // superseded model generations vacuum immediately
-            graft.operators.QualityModel.vacuumGenerations(spark, mroot)
             Some(g)
           }
         }
@@ -634,8 +637,12 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     // ids the index serves today (retrain semi-joins them against the
     // loaded table — vacuumed curation drops never resurrect) and
     // flip the new generation live with one marker write. The daemon
-    // is the single maintenance writer, so superseded generations
-    // vacuum immediately.
+    // is the single maintenance writer; superseded generations vacuum
+    // DOWN TO the catalog's retention floor — a retained snapshot may
+    // pin an old generation for searchHybridAt serving, and deleting
+    // it would break the pinned-reader contract the retrieval twin
+    // keeps via keepVersions (without a catalog, only the live
+    // generation survives, the original single-writer behavior).
     if (vc.retrainEvery > 0 && ticks % vc.retrainEvery == 0 &&
         graft.operators.VectorIndex.exists(spark, vc.indexPath)) {
       val table = spark.read.parquet(
@@ -649,7 +656,12 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
               vc.iters, residual = vc.pqResidual, packed = vc.pqPacked,
               opq = vc.pqOpq)
         })
-      graft.operators.VectorIndex.vacuumGenerations(spark, vc.indexPath)
+      val keepFrom = cfg.catalog
+        .flatMap(cat => Catalog.minPinnedVersion(spark, cat.catRoot,
+          vc.indexPath))
+        .getOrElse(Long.MaxValue)
+      graft.operators.VectorIndex.vacuumGenerations(spark, vc.indexPath,
+        keepFrom)
     }
     r
   }

@@ -93,6 +93,28 @@ object Catalog {
   def current(spark: SparkSession, catRoot: String): Option[Snapshot] =
     currentVersion(spark, catRoot).map(snapshotAsOf(spark, catRoot, _))
 
+  /** Every RETAINED catalog version, ascending — what [[prune]] has
+    * left. Maintenance that deletes artifact state an old snapshot
+    * pins (e.g. ANN generation vacuum) must sweep this list first:
+    * anything a retained version still references is not garbage. */
+  def retainedVersions(spark: SparkSession, catRoot: String): Seq[Long] = {
+    val fs = fsOf(spark, catRoot)
+    val cd = catDir(catRoot)
+    if (!fs.exists(cd)) Nil
+    else fs.listStatus(cd).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption).sorted
+  }
+
+  /** The minimum version a RETAINED snapshot pins for the table rooted
+    * at `tableRoot` (by root, not name — robust to renames). None when
+    * no retained snapshot pins it: nothing constrains vacuum. */
+  def minPinnedVersion(spark: SparkSession, catRoot: String,
+      tableRoot: String): Option[Long] =
+    retainedVersions(spark, catRoot)
+      .flatMap(v => snapshotAsOf(spark, catRoot, v).tables.values
+        .collect { case (root, ver) if root == tableRoot => ver })
+      .minOption
+
   /** Re-serve a retained catalog version (multi-table time travel). */
   def snapshotAsOf(spark: SparkSession, catRoot: String,
       version: Long): Snapshot = {

@@ -553,15 +553,24 @@ object VectorIndex {
     * taken over. Separate from [[retrain]] so readers mid-scan on the
     * old geometry get a grace window (call it on the maintenance
     * cadence, like tombstone vacuum). Returns roots deleted. */
-  def vacuumGenerations(spark: SparkSession, path: String): Long = {
+  def vacuumGenerations(spark: SparkSession, path: String,
+      keepFrom: Long = Long.MaxValue): Long = {
     val fs = fsOf(spark, path)
     val cur = currentGen(spark, path)
     if (cur == 0L) return 0L
+    // retention floor: generations >= keepFrom stay even though
+    // superseded — a retained CATALOG snapshot may pin them for
+    // searchHybridAt/generationRoot serving (pass
+    // Catalog.minPinnedVersion; the default keeps only the current
+    // generation, the single-writer no-catalog behavior)
+    val below = math.min(cur, keepFrom)
     var n = 0L
-    (1L until cur).foreach { m =>
+    (1L until below).foreach { m =>
       val d = new org.apache.hadoop.fs.Path(s"$path/g$m")
       if (fs.exists(d)) { fs.delete(d, true); n += 1 }
     }
+    // generation 0 IS the flat legacy layout — pinned means kept
+    if (below < 1L) return n
     val legacy = Seq("lists", "codes", "centroids", "codebook", "rotation",
       "tombstones", "_residual", "_packed", "_rotation", "_staging",
       "_vacuum_stage", "_listcompact_stage", "_tombstones_new", "_params")

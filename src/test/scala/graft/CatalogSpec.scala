@@ -300,4 +300,126 @@ class CatalogSpec extends SparkSpec {
       s"SELECT * FROM graft_catalog('$cat') ORDER BY 2").collect()
     assert(tvf.length == 4 && tvf.forall(_.getLong(0) == 1L))
   }
+
+  test("ANN generation vacuum respects the catalog retention floor: " +
+      "a retained snapshot's pinned generation survives retrain; it " +
+      "vacuums only after its pinning snapshots prune out") {
+    import graft.operators.VectorIndex
+    val root = tmpDir("genfloor")
+    val cat = s"$root/cat"
+    val idx = s"$root/idx"
+    val vecs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 80)
+    VectorIndex.build(vecs, idx, k = 3, iters = 3)
+    val probes = vecs.filter(col("vec_id") === 1L)
+    // snapshot v0 pins the FLAT layout (generation 0)
+    Catalog.commitAll(spark, cat, Seq(Catalog.TableWrite("ann", idx,
+      () => VectorIndex.generation(spark, idx))))
+    assert(Catalog.current(spark, cat).get.tables("ann")._2 == 0L)
+    // retrain flips generation 1; vacuum AT THE FLOOR keeps the
+    // pinned flat layout fully searchable
+    VectorIndex.retrain(spark, idx, vecs,
+      (df, p) => VectorIndex.build(df, p, k = 3, iters = 3))
+    val floor0 = Catalog.minPinnedVersion(spark, cat, idx)
+    assert(floor0 == Some(0L))
+    assert(VectorIndex.vacuumGenerations(spark, idx, floor0.get) == 0L)
+    val g0root = VectorIndex.generationRoot(idx, 0L)
+    assert(VectorIndex.search(spark, g0root, probes, nprobe = 3, k = 2)
+      .count() == 2L, "the pinned flat generation must stay searchable")
+    // new snapshot pins generation 1; pruning to keep=1 drops v0 —
+    // the floor advances and the flat layout becomes garbage
+    Catalog.commitAll(spark, cat, Seq(Catalog.TableWrite("ann", idx,
+      () => VectorIndex.generation(spark, idx))))
+    Catalog.prune(spark, cat, keep = 1)
+    val floor1 = Catalog.minPinnedVersion(spark, cat, idx)
+    assert(floor1 == Some(1L))
+    assert(VectorIndex.vacuumGenerations(spark, idx, floor1.get) >= 1L)
+    val lfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(!lfs.exists(new org.apache.hadoop.fs.Path(s"$idx/lists")),
+      "unpinned flat layout vacuums once no snapshot needs it")
+    assert(VectorIndex.search(spark,
+      VectorIndex.generationRoot(idx, 1L), probes, nprobe = 3, k = 2)
+      .count() == 2L)
+    // a root the catalog never pinned is unconstrained
+    assert(Catalog.minPinnedVersion(spark, cat, s"$root/other").isEmpty)
+  }
+
+  test("daemon retrain under a catalog keeps snapshot-pinned ANN " +
+      "generations serveable (searchHybridAt over the old snapshot)") {
+    import graft.lakehouse.{Automation, RetrievalView}
+    import graft.operators.VectorIndex
+    val root = tmpDir("genfloortick")
+    val cat = s"$root/cat"
+    val idx = s"$root/idx"
+    // vector drops: vec_id doubles as doc_id for the curation link
+    val emb = Tables.embeddings(spark, sfDir)
+    new java.io.File(s"$root/varr").mkdirs()
+    def vdrop(name: String, lo: Int, hi: Int): Unit = {
+      val tmp = s"$root/_tmp_$name"
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$root/varr", s"$name.json").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      annIndexPath = Some(idx), retrievalDir = Some(s"$root/rx"))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false,
+      corpusDedup = Some(cc), historyDir = Some(s"$root/hist"),
+      vectorIndex = Some(Automation.VectorIndexConfig(
+        srcDir = s"$root/varr", tableDir = s"$root/vt",
+        registryDir = s"$root/vreg", indexPath = idx,
+        schema = emb.schema, k = 3, iters = 3, retrainEvery = 2)),
+      catalog = Some(Automation.CatalogConfig(cat, keep = 8))))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/drops/d1.json"),
+      s"""{"doc_id": 1, "text": "$textA", "lang": "en", "source": "s"}"""
+        .getBytes("UTF-8"))
+    vdrop("v1", 0, 60)
+    auto.tick() // tick 1: bootstrap (flat = generation 0), pin it
+    val snap0 = Catalog.current(spark, cat).get
+    assert(snap0.tables("ann")._2 == 0L)
+    vdrop("v2", 60, 120)
+    auto.tick() // tick 2: retrainEvery fires → generation 1
+    assert(VectorIndex.generation(spark, idx) == 1L)
+    val snap1 = Catalog.current(spark, cat).get
+    assert(snap1.tables("ann")._2 == 1L)
+    // the OLD snapshot's pinned generation was NOT vacuumed (the
+    // catalog still retains v0) and the full pinned hybrid call
+    // serves through it
+    val probes = emb.filter(col("vec_id") === 1L)
+    val q = Seq(("q", "alpha1")).toDF("query_id", "term")
+    val mapping = Seq(("q", 1L)).toDF("query_id", "probe_id")
+    val oldAnnRoot = VectorIndex.generationRoot(
+      snap0.tables("ann")._1, snap0.tables("ann")._2)
+    val hy = RetrievalView.searchHybridAt(spark, s"$root/rx",
+      snap0.tables("retrieval_tot")._2, oldAnnRoot, q, probes, mapping,
+      k = 5, nprobe = 3)
+    assert(hy.count() > 0,
+      "snapshot-pinned hybrid serving must survive a daemon retrain")
+    // once the pinning snapshots prune out, the next retrain's vacuum
+    // collects the old generation
+    Catalog.prune(spark, cat, keep = 1)
+    vdrop("v3", 120, 180)
+    auto.tick() // tick 3: no retrain
+    vdrop("v4", 180, 240)
+    auto.tick() // tick 4: retrain → generation 2; floor is now 1
+    val lfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(!lfs.exists(new org.apache.hadoop.fs.Path(s"$idx/lists")),
+      "flat generation 0 vacuums once unpinned")
+    assert(lfs.exists(new org.apache.hadoop.fs.Path(s"$idx/g1")) ||
+      Catalog.minPinnedVersion(spark, cat, idx).exists(_ >= 2L),
+      "generation 1 survives while a retained snapshot pins it")
+  }
 }

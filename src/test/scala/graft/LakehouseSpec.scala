@@ -1735,8 +1735,11 @@ class LakehouseSpec extends SparkSpec {
     assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 1)
     assert(r2.corpus.get.modelGen.contains(1L), r2.corpus.toString)
     assert(QualityModel.generation(spark, s"$root/model") == 1L)
-    // superseded flat model vacuumed (single-maintenance-writer)
-    assert(!new java.io.File(s"$root/model/weights").exists())
+    // the superseded flat model is NOT vacuumed at its own flip — an
+    // out-of-daemon scorer that resolved it mid-flip gets one full
+    // retrain cadence of grace; the NEXT retrain tick collects it
+    assert(new java.io.File(s"$root/model/weights").exists(),
+      "grace window: the just-superseded model survives its flip")
     // the RETRAINED model still separates: good docs pass, junk gates
     val probe = Seq((100L, goodText(6L)), (101L, junk(9)))
       .toDF("doc_id", "text")
@@ -1746,10 +1749,16 @@ class LakehouseSpec extends SparkSpec {
     // tick 3: off-cadence, no re-fit
     drop("d3.json", Seq(6L -> goodText(6L)))
     assert(auto.tick().corpus.get.modelGen.isEmpty)
-    // tick 4: cadence again → generation 2
+    // tick 4: cadence again → generation 2; the PREVIOUS retrain's
+    // superseded state (the flat model) has had its grace window and
+    // vacuums before this flip — generation 1 now starts its own
     drop("d4.json", Seq(7L -> goodText(7L), 8L -> junk(8)))
     assert(auto.tick().corpus.get.modelGen.contains(2L))
     assert(QualityModel.generation(spark, s"$root/model") == 2L)
+    assert(!new java.io.File(s"$root/model/weights").exists(),
+      "the next retrain collects the generation superseded last time")
+    assert(new java.io.File(s"$root/model/g1").exists(),
+      "the generation THIS retrain superseded keeps its grace window")
     // the tick history records which ticks flipped a model generation
     graft.functions.GraftFunctions.registerTableFunctions(spark)
     val gens = spark.sql("SELECT tick, model_gen FROM " +
