@@ -484,12 +484,22 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     }
     // scheduled retrieval-index consolidation: the per-batch postings
     // objects merge into a range-sorted compact generation and the
-    // superseded objects vacuum — search cost tracks data, not ticks
+    // superseded objects vacuum — search cost tracks data, not ticks.
+    // With a catalog, the claim is CAPPED at the minimum retained
+    // pin's fold point (the ANN generation floor's retrieval twin):
+    // an uncapped claim would turn every retained snapshot's searchAt
+    // into a loud refusal. The floor advances as prune retires old
+    // snapshots, so consolidation trails retention, never starves.
     cc.retrievalDir.foreach { rx =>
       if (cc.retrievalCompactEvery > 0 &&
-          ticks % cc.retrievalCompactEvery == 0 &&
-          RetrievalView.compact(spark, rx))
-        RetrievalView.vacuumCompacted(spark, rx)
+          ticks % cc.retrievalCompactEvery == 0) {
+        val floor = cfg.catalog.flatMap(cat =>
+          Catalog.minPinnedVersion(spark, cat.catRoot, s"$rx/tot")
+            .map(v => VersionedTable
+              .lastFoldedBatchAt(spark, s"$rx/tot", v).getOrElse(0L)))
+        if (RetrievalView.compact(spark, rx, floor))
+          RetrievalView.vacuumCompacted(spark, rx)
+      }
     }
     // scheduled classifier re-fit: the weak-label slice is rebuilt
     // from what curation itself decided (positives = hash-lowest

@@ -232,9 +232,21 @@ object RetrievalView {
     * false). Folds may continue after compaction — new `batch-i`
     * objects (i > id) ride alongside the compact set until the next
     * pass. */
-  def compact(spark: SparkSession, root: String): Boolean = {
-    val upTo = VersionedTable.lastFoldedBatch(spark, s"$root/tot")
-      .getOrElse(return false)
+  def compact(spark: SparkSession, root: String,
+      upToMax: Option[Long] = None): Boolean = {
+    // `upToMax` CAPS the claim: a catalog-pinned reader serves batch
+    // objects and tombstones at its pinned fold point b, and a
+    // compact marker with id > b makes searchAt refuse (the marker's
+    // claim supersedes objects the pin still needs) — so the daemon
+    // passes the MINIMUM pinned fold point and compaction trails the
+    // catalog retention instead of breaking it. Consistency for pins
+    // ABOVE the claim is free: every tombstone the claim consumes has
+    // ledger id ≤ the claim ≤ the pin, so the pin already saw its
+    // retraction; the purged rows were invisible to it anyway.
+    val upTo = upToMax.foldLeft(
+      VersionedTable.lastFoldedBatch(spark, s"$root/tot")
+        .getOrElse(return false))(math.min)
+    if (upTo <= 0L) return false // pinned state predates every fold
     // pending removals PURGE during the rewrite — remove() already
     // retracted their statistics, so dropping their physical rows
     // changes no search result; the tombstones are consumed once both
@@ -246,7 +258,15 @@ object RetrievalView {
         s"$root/postings" -> Seq("term", "doc_id"),
         s"$root/dl" -> Seq("doc_id"))) {
       val fs = fsOf(spark, dir)
-      if (!fs.exists(new Path(dir, s"_compact-$upTo"))) {
+      // an equal-or-newer claim already covers this dir (a capped
+      // re-run after an uncapped pass must not rewrite backwards)
+      val claimed = fs.exists(new Path(dir)) &&
+        fs.listStatus(new Path(dir)).exists { st =>
+          val nm = st.getPath.getName
+          nm.startsWith("_compact-") &&
+            nm.stripPrefix("_compact-").toLong >= upTo
+        }
+      if (!claimed) {
         // claim only ids ≤ upTo: a fold landing batch-(upTo+1) while
         // this pass runs must stay OUTSIDE the marker's claim or its
         // rows would count twice (once compacted, once as the live

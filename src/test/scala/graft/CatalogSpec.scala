@@ -368,7 +368,10 @@ class CatalogSpec extends SparkSpec {
       srcDir = s"$root/drops", rawTableDir = s"$root/raw",
       registryDir = s"$root/reg", corpusDir = s"$root/corpus",
       postingsDir = s"$root/postings",
-      annIndexPath = Some(idx), retrievalDir = Some(s"$root/rx"))
+      annIndexPath = Some(idx), retrievalDir = Some(s"$root/rx"),
+      // compaction fires the same tick the retrain does: its claim
+      // must trail the catalog floor or snap0's lexical half refuses
+      retrievalCompactEvery = 2)
     val auto = new Automation(spark, Automation.Config(
       srcDir = s"$root/arrivals", tableDir = s"$root/survey",
       registryDir = s"$root/sreg", generate = false,

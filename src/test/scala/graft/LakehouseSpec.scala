@@ -1337,13 +1337,28 @@ class LakehouseSpec extends SparkSpec {
         .select("doc_id", "rnk", "score").collect()
         .map(_.toString).sorted.toSeq,
       "graft_bm25_at must equal the library searchAt")
+    // CAPPED compaction (the daemon's catalog floor): claiming only
+    // up to batch 2 leaves every pin at fold point >= 2 serveable —
+    // the pinned results are BIT-identical reading the compact base
+    val v2 = VersionedTable.versionForBatch(spark, s"$rx/tot", 2L).get
+    val wantAt2 = rows(RetrievalView.searchAt(spark, rx, v2, qterms, 10))
+    assert(RetrievalView.compact(spark, rx, upToMax = Some(2L)))
+    assert(rows(RetrievalView.searchAt(spark, rx, v2, qterms, 10))
+      == wantAt2,
+      "a pin at the claim's fold point must survive capped compaction")
+    // re-running with a LOWER cap is a no-op (never rewrites backwards)
+    assert(!RetrievalView.compact(spark, rx, upToMax = Some(1L)))
+    // a pin BELOW the claim is the refusal case the floor prevents
+    intercept[IllegalArgumentException] {
+      RetrievalView.searchAt(spark, rx, v1, qterms, 10).collect()
+    }
     // compaction past the pin consumed tombstones / supersedes batch
     // objects the pin needs — refused loudly, never served misaligned
     assert(RetrievalView.compact(spark, rx))
     intercept[IllegalArgumentException] {
-      RetrievalView.searchAt(spark, rx, v1, qterms, 10).collect()
+      RetrievalView.searchAt(spark, rx, v2, qterms, 10).collect()
     }
-    // the live search is unaffected by the refusal
+    // the live search is unaffected by the refusals
     assert(RetrievalView.search(spark, rx, qterms, 10).count() > 0)
   }
 
