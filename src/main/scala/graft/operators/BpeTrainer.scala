@@ -335,34 +335,41 @@ object BpeTrainer {
     * every group is ≤ `seqLen` TOKENS by construction, so
     * collect_list holds one training sequence, never a corpus.
     * Deterministic for any partition layout (offsets are a total
-    * order on doc_id). Columns: (seq_id, ids, n_tokens, n_docs). */
-  def packSequences(encoded: DataFrame, seqLen: Int): DataFrame = {
+    * order on doc_id). `groupCols` packs each stream independently
+    * (the CorpusPipeline per-(source, split) contract: a sequence
+    * never straddles a split). Columns: (groupCols..., seq_id, ids,
+    * n_tokens, n_docs). */
+  def packSequences(encoded: DataFrame, seqLen: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, s"packSequences: seqLen must be positive ($seqLen)")
+    val gs = if (groupCols.isEmpty) Seq("one") else groupCols
     val off = RankOps.withGroupedPrefixSum(
-      encoded.select(col("doc_id"), col("ids"), col("n_tokens"))
+      encoded.select((groupCols.map(col) ++
+        Seq(col("doc_id"), col("ids"), col("n_tokens"))): _*)
         .withColumn("one", lit(1)),
-      Seq("one"), Seq("doc_id"), "n_tokens", "start")
+      gs, Seq("doc_id"), "n_tokens", "start")
     val L = lit(seqLen.toLong)
     val chunks = off.filter(col("n_tokens") > 0)
-      .select(col("doc_id"), col("ids"), col("start"), col("n_tokens"),
+      .select(groupCols.map(col) ++ Seq(col("doc_id"), col("ids"),
+        col("start"), col("n_tokens"),
         explode(sequence(
           expr(s"start div ${seqLen}L"),
-          expr(s"(start + n_tokens - 1) div ${seqLen}L"))).as("seq_id"))
-      .select(col("seq_id"), col("doc_id"),
+          expr(s"(start + n_tokens - 1) div ${seqLen}L"))).as("seq_id")): _*)
+      .select(groupCols.map(col) ++ Seq(col("seq_id"),
         greatest(col("seq_id") * L, col("start")).as("from_glob"),
         (least((col("seq_id") + 1) * L, col("start") + col("n_tokens")) -
           greatest(col("seq_id") * L, col("start"))).as("len"),
-        col("ids"), col("start"))
-      .select(col("seq_id"), col("from_glob"),
+        col("ids"), col("start")): _*)
+      .select(groupCols.map(col) ++ Seq(col("seq_id"), col("from_glob"),
         slice(col("ids"),
           (col("from_glob") - col("start") + 1).cast("int"),
-          col("len").cast("int")).as("chunk"))
-    chunks.groupBy("seq_id")
+          col("len").cast("int")).as("chunk")): _*)
+    chunks.groupBy((groupCols :+ "seq_id").map(col): _*)
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("from_glob"), col("chunk")))),
         x => x.getField("chunk"))).as("ids"),
         count(lit(1)).as("n_docs"))
-      .select(col("seq_id"), col("ids"),
-        size(col("ids")).cast("long").as("n_tokens"), col("n_docs"))
+      .select(groupCols.map(col) ++ Seq(col("seq_id"), col("ids"),
+        size(col("ids")).cast("long").as("n_tokens"), col("n_docs")): _*)
   }
 }

@@ -237,6 +237,36 @@ object CorpusPipeline {
       .withColumn("bin_id", floor(col("offset") / binTokens).cast("long"))
   }
 
+  /** TOKENIZE the curated corpus and PACK fixed-length training
+    * sequences — the step after [[run]]'s selection: takes the
+    * selected (doc_id, text, source[, split]) frame, trains a
+    * sample-bounded BPE table ON THE TRAIN SPLIT ONLY (when a split
+    * column exists — an eval split must not shape the tokenizer, the
+    * same leakage hygiene splitByCluster gives documents), builds the
+    * deterministic vocabulary from the same slice (unseen eval-side
+    * characters map to `<unk>` and are counted, the honest OOV
+    * treatment), encodes every doc map-side, and packs per
+    * (source[, split]) so a sequence never straddles a split
+    * ([[BpeTrainer.packSequences]] — distributed prefix sums, no
+    * single-task pass). Returns (merges, vocab, sequences). */
+  def tokenizeAndPack(selected: DataFrame, numMerges: Int = 200,
+      maxWords: Int = 20000, seqLen: Long = 2048L):
+      (Seq[(String, String)], Array[(String, Int)], DataFrame) = {
+    val hasSplit = selected.columns.contains("split")
+    val trainSlice =
+      if (hasSplit) selected.filter(col("split") === "train")
+      else selected
+    val merges = BpeTrainer.train(trainSlice, numMerges,
+      maxWords = maxWords)
+    val vt = BpeTrainer.vocab(trainSlice, merges)
+    val groupCols = if (hasSplit) Seq("source", "split") else Seq("source")
+    val enc = BpeTrainer.encode(selected, merges, vt)
+      .join(selected.select(Seq("doc_id").map(col) ++
+        groupCols.map(col): _*), Seq("doc_id"))
+    val seqs = BpeTrainer.packSequences(enc, seqLen.toInt, groupCols)
+    (merges, vt, seqs)
+  }
+
   /** Run the full pipeline; returns the packed corpus and the
     * per-stage row counts. `benchmark` (an eval set to decontaminate
     * against) is optional; the repetition filter engages when

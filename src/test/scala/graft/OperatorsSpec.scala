@@ -1718,6 +1718,56 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("seqLen"))
   }
 
+  test("tokenizeAndPack: BPE trains on the train split only, packing " +
+      "never straddles a split, grouped conservation holds") {
+    import spark.implicits._
+    import graft.operators.{BpeTrainer, CorpusPipeline}
+    // 'q' appears ONLY in the val split — the tokenizer must not have
+    // seen it (trained on train only), so it encodes as <unk>
+    val rows = (1L to 8L).map(i =>
+      (i, s"low lower newest widest tok$i", "s1", "train")) ++
+      Seq((20L, "low qqq newest", "s1", "val"),
+        (21L, "widest lower", "s2", "train"),
+        (22L, "newest low low", "s2", "val"))
+    val docs = rows.toDF("doc_id", "text", "source", "split")
+    val (merges, vt, seqs) = CorpusPipeline.tokenizeAndPack(
+      docs, numMerges = 6, maxWords = 1000, seqLen = 5L)
+    assert(merges.nonEmpty && vt.head == ("<unk>", 0))
+    assert(!vt.exists(_._1.startsWith("q")),
+      "an eval-only character must not enter the vocabulary")
+    val collected = seqs.collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getSeq[Int](3), r.getLong(4)))
+    // per-(source, split) streams: contiguous seq ids from 0, all
+    // full except each stream's tail
+    collected.groupBy(t => (t._1, t._2)).foreach { case (g, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (0L until ss.length.toLong), s"$g")
+      assert(sorted.init.forall(_._4.length == 5), s"$g sizes")
+    }
+    // grouped conservation: each stream's sequence tokens equal its
+    // docs' encoded tokens in doc_id order
+    val enc = BpeTrainer.encode(docs, merges, vt)
+      .join(docs.select("doc_id", "source", "split"), Seq("doc_id"))
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[String]("split"), r.getLong(0), r.getSeq[Int](1)))
+    collected.groupBy(t => (t._1, t._2)).foreach { case (g, ss) =>
+      val want = enc.filter(e => (e._1, e._2) == g)
+        .sortBy(_._3).flatMap(_._4).toSeq
+      val got = ss.sortBy(_._3).flatMap(_._4).toSeq
+      assert(got == want, s"stream $g token stream diverged")
+    }
+    // the val-only 'qqq' word encoded through <unk>
+    val valEnc = BpeTrainer.encode(
+      docs.filter(col("doc_id") === 20L), merges, vt).head
+    assert(valEnc.getAs[Long]("n_oov") >= 1L)
+    // splitless frame: packs per source alone
+    val noSplit = CorpusPipeline.tokenizeAndPack(
+      docs.drop("split"), numMerges = 4, maxWords = 1000, seqLen = 7L)._3
+    assert(noSplit.columns.toSeq ==
+      Seq("source", "seq_id", "ids", "n_tokens", "n_docs"))
+    assert(noSplit.count() > 0)
+  }
+
   test("multimodal near-dup videos: frame-hash Jaccard finds the re-upload") {
     import spark.implicits._
     // A = 4 frames; B = A plus one appended frame (a trailing-card

@@ -1345,6 +1345,10 @@ class PropertySpec extends SparkSpec {
       (5, Gen.chooseNum(1, 4).map(n => ("fold", n))),
       (2, Gen.const(("remove", 0))),
       (2, Gen.const(("compact", 0))),
+      // the daemon's catalog-floor form: claim capped at a random
+      // fraction of the ledger — pins at/above the cap must keep
+      // serving bit-identically, pins below must refuse
+      (2, Gen.chooseNum(0, 100).map(pct => ("compactcap", pct))),
       (4, Gen.const(("pin", 0))))
     val genCase = Gen.chooseNum(4, 8).flatMap(n => Gen.listOfN(n, genOp))
     val prop = Prop.forAll(genCase) { ops =>
@@ -1373,6 +1377,12 @@ class PropertySpec extends SparkSpec {
           if (RetrievalView.compact(spark, rx)) {
             RetrievalView.vacuumCompacted(spark, rx)
             maxMarker = nextBatch
+          }
+        case ("compactcap", pct) if anyFold =>
+          val cap = nextBatch * pct / 100
+          if (RetrievalView.compact(spark, rx, upToMax = Some(cap))) {
+            RetrievalView.vacuumCompacted(spark, rx)
+            maxMarker = math.max(maxMarker, cap)
           }
         case ("pin", _) if anyFold =>
           pins ::= ((VersionedTable
