@@ -445,16 +445,66 @@ object GraphOps {
       |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS modularity
       |FROM byc, m""".stripMargin
 
+  /** q181: FIXED-ROUND k-CORE PRUNING (k=3, 4 rounds) over the
+    * co-purchase projection — the standard dense-subgraph screen
+    * (Seidman 1983): repeatedly drop nodes of degree < k; what
+    * survives is the interaction core spam/fringe parts fall out of.
+    * FIXED rounds, not run-to-convergence: deterministic,
+    * oracle-unrollable (the q98/q161 fixed-iteration discipline), and
+    * each round is one V-sized degree aggregate + two key-partitioned
+    * semi-joins over a SHRINKING edge set — the plan is 4 unrolled
+    * join-aggregate blocks, constant-size at any data volume. Output:
+    * survivor count, edges, min degree (≥ k once converged — the
+    * convergence INDICATOR is part of the result). Exact,
+    * hash-checked. */
+  private val q181: QFn = (s, d) => {
+    val k = 3
+    var e = coPurchaseEdges(s, d)
+    (1 to 4).foreach { _ =>
+      val keep = e.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select("u")
+      e = e.join(keep, Seq("u"))
+        .join(keep.select(col("u").as("v")), Seq("v"))
+        .select("u", "v")
+    }
+    val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("dg")) / 2).cast("long").as("n_edges"),
+      min(col("dg")).as("min_deg"))
+  }
+  private val q181Sql = coPurchaseCte +
+    """,
+      |k1 AS (SELECT u FROM sym GROUP BY u HAVING COUNT(*) >= 3),
+      |e1 AS (SELECT s.u, s.v FROM sym s
+      |  JOIN k1 a ON a.u = s.u JOIN k1 b ON b.u = s.v),
+      |k2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 3),
+      |e2 AS (SELECT s.u, s.v FROM e1 s
+      |  JOIN k2 a ON a.u = s.u JOIN k2 b ON b.u = s.v),
+      |k3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 3),
+      |e3 AS (SELECT s.u, s.v FROM e2 s
+      |  JOIN k3 a ON a.u = s.u JOIN k3 b ON b.u = s.v),
+      |k4 AS (SELECT u FROM e3 GROUP BY u HAVING COUNT(*) >= 3),
+      |e4 AS (SELECT s.u, s.v FROM e3 s
+      |  JOIN k4 a ON a.u = s.u JOIN k4 b ON b.u = s.v),
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg
+      |  FROM e4 GROUP BY u)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(dg) / 2 AS BIGINT) AS n_edges,
+      |  MIN(dg) AS min_deg
+      |FROM deg""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q98_pagerank" -> q98,
     "q105_triangles" -> q105,
     "q107_khop_reach" -> q107,
     "q171_assortativity" -> q171,
-    "q177_brand_modularity" -> q177)
+    "q177_brand_modularity" -> q177,
+    "q181_kcore" -> q181)
   val oracleSql: Map[String, String] = Map(
     "q98_pagerank" -> q98Sql,
     "q105_triangles" -> q105Sql,
     "q107_khop_reach" -> q107Sql,
     "q171_assortativity" -> q171Sql,
-    "q177_brand_modularity" -> q177Sql)
+    "q177_brand_modularity" -> q177Sql,
+    "q181_kcore" -> q181Sql)
 }

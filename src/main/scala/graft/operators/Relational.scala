@@ -3445,6 +3445,71 @@ object Relational {
       |    AS BIGINT) AS record_days
       |FROM rec GROUP BY 1""".stripMargin
 
+  /** q180: GUMBEL FIT OF MONTHLY PEAK DAILY REVENUE — extreme-value
+    * theory's block-maxima method (Gumbel 1958; the EVT complement to
+    * q150's log-normal body fit): the max daily revenue within each
+    * month block follows a Gumbel law for light-tailed daily sums,
+    * and the method-of-moments fit β̂ = σ√6/π, μ̂ = x̄ − γβ̂ is the
+    * capacity-planning number ("what peak should next month expect").
+    * Scale shape: the fact reduces to the day-grain exact-decimal
+    * series (map-side partials), block maxima are ONE tiny grouped
+    * max (decimal-exact), and the moment sums over the BLOCK-COUNT-
+    * sized maxima fold as exact decimals — Σx at (28,6), Σx² via a
+    * (18,6)×(18,6) → (37,12) decimal product, EXACT in both engines
+    * (never a rounded double square); μ̂/β̂ one fixed IEEE expression.
+    * Exact, hash-checked. */
+  private val q180: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec6)).as("rev"))
+    val maxima = daily
+      .groupBy((year(col("day")) * 12 + month(col("day"))).as("blk"))
+      .agg(max(col("rev")).cast(dec18).as("x"))
+    val t = maxima.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec6)).as("sx"),
+      sum((col("x") * col("x")).cast(dec38)).as("sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val variance = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) /
+      (nD - lit(1.0))
+    val beta = sqrt(variance * lit(6.0)) / lit(math.Pi)
+    t.select(col("n").as("n_blocks"),
+      round(mean, 6).as("mean_max"),
+      round(beta, 6).as("gumbel_beta"),
+      round(mean - lit(0.5772156649015329) * beta, 6).as("gumbel_mu"))
+  }
+  private val q180Sql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,6))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |maxima AS (
+      |  SELECT EXTRACT(YEAR FROM day) * 12 + EXTRACT(MONTH FROM day)
+      |      AS blk,
+      |    CAST(MAX(rev) AS DECIMAL(19,6)) AS x
+      |  FROM daily GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      |  FROM maxima)
+      |SELECT n AS n_blocks,
+      |  ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_max,
+      |  ROUND(SQRT(((CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1.0))
+      |    * 6.0) / PI(), 6) AS gumbel_beta,
+      |  ROUND(CAST(sx AS DOUBLE) / n - 0.5772156649015329
+      |    * (SQRT(((CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1.0))
+      |    * 6.0) / PI()), 6) AS gumbel_mu
+      |FROM t""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q172_ca_trend" -> q172,
     "q173_kendall_tau" -> q173,
@@ -3452,6 +3517,7 @@ object Relational {
     "q175_runs_test" -> q175,
     "q176_theil_sen" -> q176,
     "q178_record_days" -> q178,
+    "q180_gumbel_maxima" -> q180,
     "q167_decile_migration" -> q167,
     "q168_survival_curve" -> q168,
     "q169_ols_loglog" -> q169,
@@ -3540,6 +3606,7 @@ object Relational {
     "q175_runs_test" -> q175Sql,
     "q176_theil_sen" -> q176Sql,
     "q178_record_days" -> q178Sql,
+    "q180_gumbel_maxima" -> q180Sql,
     "q167_decile_migration" -> q167Sql,
     "q168_survival_curve" -> q168Sql,
     "q169_ols_loglog" -> q169Sql,

@@ -818,7 +818,61 @@ object SessionOps {
       |FROM ranked, tot
       |GROUP BY u, te""".stripMargin
 
+  /** q179: DAU/WAU STICKINESS per 7-day window — the engagement
+    * ratio product dashboards track (mean daily actives over weekly
+    * actives; 1.0 = every weekly user shows up daily, 1/7 = each
+    * appears once). Timezone-free integer day/week arithmetic
+    * (epoch-microsecond floor division — the q159 discipline); two
+    * distinct-count aggregates ((day, user) then (week, user) — both
+    * map-side-partial distincts, never a window), a 7-row-bounded
+    * per-week rollup, ratios ONE fixed IEEE expression over exact
+    * counts. Exact, hash-checked. */
+  private val q179: QFn = (s, d) => {
+    val DayUs = 86400L * 1000000L
+    val du = Tables.events(s, d)
+      .select(floor(unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val daily = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      .withColumn("week", expr("day div 7"))
+    val weekly = du.withColumn("week", expr("day div 7"))
+      .groupBy("week")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    daily.groupBy("week")
+      .agg(count(lit(1)).as("active_days"), sum(col("dau")).as("sdau"))
+      .join(weekly, Seq("week"))
+      .select(col("week"), col("active_days"), col("wau"),
+        round(col("sdau").cast("double") / col("active_days"), 6)
+          .as("mean_dau"),
+        round(col("sdau").cast("double") /
+          (col("active_days") * col("wau")).cast("double"), 6)
+          .as("stickiness"))
+  }
+  private val q179Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |    user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT day, day // 7 AS week, CAST(COUNT(*) AS BIGINT) AS dau
+      |  FROM du GROUP BY 1, 2),
+      |weekly AS (
+      |  SELECT day // 7 AS week,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM du GROUP BY 1),
+      |wk AS (
+      |  SELECT week, CAST(COUNT(*) AS BIGINT) AS active_days,
+      |    CAST(SUM(dau) AS BIGINT) AS sdau
+      |  FROM daily GROUP BY 1)
+      |SELECT wk.week, active_days, wau,
+      |  ROUND(CAST(sdau AS DOUBLE) / active_days, 6) AS mean_dau,
+      |  ROUND(CAST(sdau AS DOUBLE) / (active_days * wau), 6)
+      |    AS stickiness
+      |FROM wk JOIN weekly ON weekly.week = wk.week""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q179_stickiness" -> q179,
     "q159_hour_entropy" -> q159,
     "q161_markov_stationary" -> q161,
     "q162_mutual_information" -> q162,
@@ -839,6 +893,7 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q179_stickiness" -> q179Sql,
     "q159_hour_entropy" -> q159Sql,
     "q161_markov_stationary" -> q161Sql,
     "q162_mutual_information" -> q162Sql,

@@ -2221,6 +2221,72 @@ object TextOps {
       |  ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share
       |FROM agg""".stripMargin
 
+  /** q182: SOURCE VOCABULARY-OVERLAP MATRIX — pairwise Jaccard of the
+    * top-300 term sets across sources (the corpus-mixing diagnostic:
+    * near-duplicate crawls show overlap ≈ 1, a code source against
+    * prose ≈ 0 — which streams actually add vocabulary?). Scale
+    * shape: one map-side-partial (source, term) frequency aggregate,
+    * the per-source top-300 plans a WindowGroupLimit (q142's
+    * partial-top-k — a 10-billion-term vocabulary never serializes
+    * through one task), and the pair join runs over K·300 rows (K =
+    * source count — model-sized, quadratic only in K). All-integer
+    * counts, (freq desc, term) total-order tiebreak, 6-dp ratio;
+    * hash-exact. */
+  private val q182: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("freq").desc, col("term").asc)
+    val top = tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 300).select("source", "term")
+    val k = top.groupBy("source").agg(count(lit(1)).as("k"))
+    val inter = top.select(col("source").as("source_a"), col("term"))
+      .join(top.select(col("source").as("source_b"), col("term")),
+        Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("overlap"))
+    inter
+      .join(k.select(col("source").as("source_a"), col("k").as("k_a")),
+        Seq("source_a"))
+      .join(k.select(col("source").as("source_b"), col("k").as("k_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("k_a"), col("k_b"),
+        col("overlap"),
+        round(col("overlap").cast("double") /
+          (col("k_a") + col("k_b") - col("overlap")).cast("double"), 6)
+          .as("jaccard"))
+  }
+  private val q182Sql =
+    """WITH t AS (SELECT source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS freq
+      |  FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, term FROM (
+      |    SELECT source, term,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY freq DESC, term ASC) AS rk
+      |    FROM tf) WHERE rk <= 300),
+      |k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM top GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(COUNT(*) AS BIGINT) AS overlap
+      |  FROM top a JOIN top b
+      |    ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, ka.k AS k_a, kb.k AS k_b, overlap,
+      |  ROUND(CAST(overlap AS DOUBLE)
+      |    / (ka.k + kb.k - overlap), 6) AS jaccard
+      |FROM inter
+      |JOIN k ka ON ka.source = source_a
+      |JOIN k kb ON kb.source = source_b""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q166_ttr" -> q166,
     "q156_jsd_drift" -> q156,
@@ -2229,6 +2295,7 @@ object TextOps {
     "q152_heaps_beta" -> q152,
     "q150_length_lognormal" -> q150,
     "q142_zipf_slope" -> q142,
+    "q182_vocab_overlap" -> q182,
     "q138_epoch_plan" -> q138,
     "q132_bm25" -> q132,
     "q133_contamination" -> q133,
@@ -2272,6 +2339,7 @@ object TextOps {
     "q152_heaps_beta" -> q152Sql,
     "q150_length_lognormal" -> q150Sql,
     "q142_zipf_slope" -> q142Sql,
+    "q182_vocab_overlap" -> q182Sql,
     "q138_epoch_plan" -> q138Sql,
     "q132_bm25" -> q132Sql,
     "q133_contamination" -> q133Sql,

@@ -303,6 +303,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PlanLint sweep of q179-q182: stickiness/Gumbel/kcore/overlap " +
+      "scale paths") {
+    import graft.util.PlanLint
+    // fully clean: q179 two distinct aggregates + weekly rollup; q180
+    // day-grain reduce + tiny max + one moment aggregate; q181 four
+    // unrolled degree-prune blocks (keyed semi-joins, no windows);
+    // q182 grouped top-k (WindowGroupLimit is PARTITIONED) + pair join
+    assert(PlanLint.check(graft.operators.SessionOps
+      .queries("q179_stickiness")(spark, sfDir)).isEmpty, "q179")
+    assert(PlanLint.check(
+      Relational.queries("q180_gumbel_maxima")(spark, sfDir))
+      .isEmpty, "q180")
+    assert(PlanLint.check(graft.operators.GraphOps
+      .queries("q181_kcore")(spark, sfDir)).isEmpty, "q181")
+    assert(PlanLint.check(graft.operators.TextOps
+      .queries("q182_vocab_overlap")(spark, sfDir)).isEmpty, "q182")
+    // q182's top-k must plan the rank-limit pushdown, not a full sort
+    val p182 = graft.operators.TextOps
+      .queries("q182_vocab_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p182.contains("WindowGroupLimit"),
+      "q182 lost the partial top-k plan")
+  }
+
   test("session-wired lint rule records findings when enabled") {
     import graft.util.PlanLint
     // the extensions inject LintRule into this session (SparkSpec sets
