@@ -446,6 +446,29 @@ object GraftFunctions {
   private[functions] val graftCatalogInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_catalog")
 
+  /** Table function `graft_lint('SELECT ...')` — the library's
+    * 100-TB plan-design rules ([[graft.util.PlanLint]]) served from
+    * SQL: one row per (kind, detail) finding in the GIVEN query's
+    * optimized plan — `single-partition-window` (every row through
+    * ONE task) and `cartesian` (a join multiplying its inputs).
+    * Nothing executes: the statement is analyzed and optimized only,
+    * so linting a petabyte scan costs metadata. Zero rows = the plan
+    * passes the same rules PlanAuditSpec holds the library to. */
+  private[functions] val graftLintBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_lint expects (sqlText)")
+      val spark = SparkSession.active
+      import spark.implicits._
+      val findings = graft.util.PlanLint
+        .check(spark.sql(args.head.eval(null).toString))
+        .map(f => (f.kind, f.detail))
+      findings.toDF("kind", "detail").queryExecution.analyzed
+    }
+
+  private[functions] val graftLintInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "graft_lint")
+
   /** Table function `graft_constraints('root')` — the table's
     * declared CHECK constraints as a relation: one row per
     * (name, predicate). Metadata-only (one manifest read) — the
@@ -703,7 +726,9 @@ object GraftFunctions {
       (FunctionIdentifier("graft_ticks"), graftTicksInfo,
         graftTicksBuilder),
       (FunctionIdentifier("graft_catalog"), graftCatalogInfo,
-        graftCatalogBuilder))
+        graftCatalogBuilder),
+      (FunctionIdentifier("graft_lint"), graftLintInfo,
+        graftLintBuilder))
 
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */

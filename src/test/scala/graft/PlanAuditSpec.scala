@@ -327,6 +327,28 @@ class PlanAuditSpec extends SparkSpec {
       "q182 lost the partial top-k plan")
   }
 
+  test("graft_lint TVF: the plan rules from SQL — findings for the " +
+      "single-task window and the cartesian, zero rows for clean plans") {
+    graft.functions.GraftFunctions.registerTableFunctions(spark)
+    val li = s"parquet.`$sfDir/lineitem.parquet`"
+    // a global (unpartitioned) window: flagged, nothing executed
+    val winSql = s"SELECT sum(l_quantity) OVER (ORDER BY l_orderkey) " +
+      s"FROM $li"
+    val f1 = spark.sql(
+      s"""SELECT * FROM graft_lint("$winSql")""").collect()
+    assert(f1.exists(_.getString(0) == "single-partition-window"),
+      f1.mkString(","))
+    // a joinless cartesian: flagged
+    val crossSql = s"SELECT * FROM $li a CROSS JOIN $li b"
+    assert(spark.sql(s"""SELECT * FROM graft_lint("$crossSql")""")
+      .collect().exists(_.getString(0) == "cartesian"))
+    // the clean grouped-aggregate shape: zero findings, typed schema
+    val okSql = s"SELECT l_returnflag, sum(l_quantity) FROM $li GROUP BY 1"
+    val ok = spark.sql(s"""SELECT * FROM graft_lint("$okSql")""")
+    assert(ok.columns.toSeq == Seq("kind", "detail"))
+    assert(ok.count() == 0L)
+  }
+
   test("session-wired lint rule records findings when enabled") {
     import graft.util.PlanLint
     // the extensions inject LintRule into this session (SparkSpec sets
