@@ -61,7 +61,8 @@ object Bench {
     "q171_assortativity", "q172_ca_trend", "q173_kendall_tau",
     "q174_open_orders", "q175_runs_test", "q176_theil_sen",
     "q177_brand_modularity", "q178_record_days", "q179_stickiness",
-    "q180_gumbel_maxima", "q181_kcore", "q182_vocab_overlap")
+    "q180_gumbel_maxima", "q181_kcore", "q182_vocab_overlap",
+    "q183_price_dispersion", "q184_sign_test", "q185_brand_elasticity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3510,6 +3510,185 @@ object Relational {
       |    * 6.0) / PI()), 6) AS gumbel_mu
       |FROM t""".stripMargin
 
+  /** q183: SUPPLIER PRICE DISPERSION per part — the coefficient of
+    * variation of per-supplier unit prices (commodity parts price
+    * tightly, differentiated or gamed parts spread; the procurement
+    * "is this part worth re-bidding" screen). Scale shape: ONE
+    * fact-sized (part, supplier) aggregate with map-side partials —
+    * unit price = exact-decimal Σ price / Σ qty, ONE IEEE division
+    * rounded at 6 dp (arbitrary-mantissa ratios never sit on 6-dp
+    * half-boundaries, unlike 2-dp money — the q173 lesson) — then
+    * supplier-count-sized decimal moments per part (6-dp terms,
+    * (37,12)-exact squares, the q164 discipline), k ≥ 3 floor,
+    * top-20 by CV with part tiebreak. Exact, hash-checked. */
+  private val q183: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val usp = Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_extendedprice").cast(dec6)).as("sp"),
+        sum(col("l_quantity").cast(dec6)).as("sq"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("sp").cast("double") / col("sq").cast("double"), 6)
+          .as("up"))
+    val m = usp.groupBy("l_partkey").agg(
+      count(lit(1)).as("n_suppliers"),
+      sum(col("up").cast(dec6)).as("su"),
+      sum((col("up").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+        col("up").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast(dec38)).as("suu"))
+      .filter(col("n_suppliers") >= 3)
+    val nD = col("n_suppliers").cast("double")
+    val mean = col("su").cast("double") / nD
+    val variance = (col("suu").cast("double") -
+      col("su").cast("double") * col("su").cast("double") / nD) /
+      (nD - lit(1.0))
+    m.select(col("l_partkey").as("partkey"), col("n_suppliers"),
+      round(mean, 6).as("mean_unit_price"),
+      round(sqrt(variance) / mean, 6).as("cv"))
+      .orderBy(col("cv").desc, col("partkey").asc)
+      .limit(20)
+  }
+  private val q183Sql =
+    """WITH usp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+      |        AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |      AS up
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_partkey AS partkey,
+      |    CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |    SUM(CAST(up AS DECIMAL(28,6))) AS su,
+      |    SUM(CAST(CAST(up AS DECIMAL(19,6)) * CAST(up AS DECIMAL(19,6))
+      |      AS DECIMAL(38,12))) AS suu
+      |  FROM usp GROUP BY 1 HAVING COUNT(*) >= 3)
+      |SELECT partkey, n_suppliers,
+      |  ROUND(CAST(su AS DOUBLE) / n_suppliers, 6) AS mean_unit_price,
+      |  ROUND(SQRT((CAST(suu AS DOUBLE)
+      |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) / n_suppliers)
+      |    / (n_suppliers - 1.0))
+      |    / (CAST(su AS DOUBLE) / n_suppliers), 6) AS cv
+      |FROM m
+      |ORDER BY cv DESC, partkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** q184: PAIRED SIGN TEST — did per-customer order value RISE from
+    * 1996 to 1997? Each both-years customer contributes one sign
+    * (exact DECIMAL comparison of the two yearly sums — ties drop,
+    * the standard treatment), and under H₀ the positives are
+    * Binomial(n, ½): z = (n₊ − n/2)/√(n/4). The PAIRED complement to
+    * q136's two-sample Welch (each customer is their own control, so
+    * between-customer variance cancels). One fact-sized (customer,
+    * year) aggregate, one customer-sized pivot join, one tiny count;
+    * z one fixed IEEE expression over exact integers. Exact,
+    * hash-checked. */
+  private val q184: QFn = (s, d) => {
+    val yearly = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("v"))
+    val a = yearly.filter(col("yr") === 1996)
+      .select(col("o_custkey"), col("v").as("v96"))
+    val b = yearly.filter(col("yr") === 1997)
+      .select(col("o_custkey"), col("v").as("v97"))
+    val t = a.join(b, Seq("o_custkey"))
+      .filter(col("v97") =!= col("v96"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("v97") > col("v96"), 1)).as("n_up"))
+    val nD = col("n").cast("double")
+    t.select(col("n").as("n_customers"), col("n_up"),
+      round(col("n_up").cast("double") / nD, 6).as("frac_up"),
+      round((col("n_up").cast("double") - nD / 2) / sqrt(nD / 4), 6)
+        .as("sign_z"))
+  }
+  private val q184Sql =
+    """WITH yearly AS (
+      |  SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS v
+      |  FROM orders
+      |  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(CASE WHEN b.v > a.v THEN 1 END) AS BIGINT) AS n_up
+      |  FROM yearly a JOIN yearly b
+      |    ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+      |  WHERE a.v <> b.v)
+      |SELECT n AS n_customers, n_up,
+      |  ROUND(CAST(n_up AS DOUBLE) / n, 6) AS frac_up,
+      |  ROUND((CAST(n_up AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+      |    / SQRT(CAST(n AS DOUBLE) / 4), 6) AS sign_z
+      |FROM t""".stripMargin
+
+  /** q185: PER-BRAND PRICE ELASTICITY — q169's log-log OLS GROUPED by
+    * brand: slope of ln(price) on ln(quantity) per brand plus R²,
+    * the "which product lines discount by volume" sweep. The grouped
+    * form changes nothing about the scale shape: per-row 6-dp ln
+    * (deterministic scalar IEEE), all five moments fold map-side as
+    * exact decimals PER GROUP in ONE aggregate, closed-form fits
+    * fixed IEEE over brand-count rows. Exact, hash-checked. */
+  private val q185: QFn = (s, d) => {
+    val dec = Dec
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val pts = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(col("p_brand").as("brand"),
+        round(log(col("l_quantity")), 6).as("x"),
+        round(log(col("l_extendedprice")), 6).as("y"))
+    val m = pts.groupBy("brand").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(round(col("x") * col("y"), 6).cast(dec38)).as("sxy"),
+      sum(round(col("x") * col("x"), 6).cast(dec38)).as("sxx"),
+      sum(round(col("y") * col("y"), 6).cast(dec38)).as("syy"))
+    val nD = col("n").cast("double")
+    val cxy = col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nD
+    val cxx = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD
+    val cyy = col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / nD
+    m.select(col("brand"), col("n"),
+      round(cxy / cxx, 6).as("elasticity"),
+      round((col("sy").cast("double") -
+        (cxy / cxx) * col("sx").cast("double")) / nD, 6).as("intercept"),
+      round(cxy * cxy / (cxx * cyy), 6).as("r2"))
+  }
+  private val q185Sql =
+    """WITH pts AS (
+      |  SELECT p_brand AS brand,
+      |    ROUND(ln(l_quantity), 6) AS x,
+      |    ROUND(ln(l_extendedprice), 6) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_quantity > 0 AND l_extendedprice > 0),
+      |m AS (
+      |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+      |    SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,12))) AS sxy,
+      |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,12))) AS sxx,
+      |    SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,12))) AS syy
+      |  FROM pts GROUP BY 1)
+      |SELECT brand, n,
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6)
+      |    AS elasticity,
+      |  ROUND((CAST(sy AS DOUBLE)
+      |    - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+      |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |    * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |    / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6)
+      |    AS r2
+      |FROM m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q172_ca_trend" -> q172,
     "q173_kendall_tau" -> q173,
@@ -3518,6 +3697,9 @@ object Relational {
     "q176_theil_sen" -> q176,
     "q178_record_days" -> q178,
     "q180_gumbel_maxima" -> q180,
+    "q183_price_dispersion" -> q183,
+    "q184_sign_test" -> q184,
+    "q185_brand_elasticity" -> q185,
     "q167_decile_migration" -> q167,
     "q168_survival_curve" -> q168,
     "q169_ols_loglog" -> q169,
@@ -3607,6 +3789,9 @@ object Relational {
     "q176_theil_sen" -> q176Sql,
     "q178_record_days" -> q178Sql,
     "q180_gumbel_maxima" -> q180Sql,
+    "q183_price_dispersion" -> q183Sql,
+    "q184_sign_test" -> q184Sql,
+    "q185_brand_elasticity" -> q185Sql,
     "q167_decile_migration" -> q167Sql,
     "q168_survival_curve" -> q168Sql,
     "q169_ols_loglog" -> q169Sql,

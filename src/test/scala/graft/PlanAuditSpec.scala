@@ -325,6 +325,12 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p182.contains("WindowGroupLimit"),
       "q182 lost the partial top-k plan")
+    // q183/q184/q185: grouped-aggregate / pivot-join shapes, clean
+    Seq("q183_price_dispersion", "q184_sign_test",
+      "q185_brand_elasticity").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir))
+        .isEmpty, q)
+    }
   }
 
   test("graft_lint TVF: the plan rules from SQL — findings for the " +
