@@ -62,7 +62,9 @@ object Bench {
     "q174_open_orders", "q175_runs_test", "q176_theil_sen",
     "q177_brand_modularity", "q178_record_days", "q179_stickiness",
     "q180_gumbel_maxima", "q181_kcore", "q182_vocab_overlap",
-    "q183_price_dispersion", "q184_sign_test", "q185_brand_elasticity")
+    "q183_price_dispersion", "q184_sign_test", "q185_brand_elasticity",
+    "q186_anova_f", "q187_brown_forsythe", "q188_overdispersion",
+    "q189_nbinom_fit", "q190_entropy_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3689,7 +3689,237 @@ object Relational {
       |    AS r2
       |FROM m""".stripMargin
 
+  /** Shared one-way ANOVA F machinery over (g, z) rows with z an
+    * EXACT decimal: per-group Σz/Σz²/n in ONE map-side-partial
+    * aggregate (squares via the width-safe (18,6)² → (37,12) decimal
+    * product — exact in both engines), then the K-group folds
+    * Σ S_g²/n_g ride 12-dp-rounded terms through the exact decimal
+    * accumulator (the q151 discipline — a plain double sum over
+    * groups would be order-dependent), F one fixed IEEE expression.
+    * Columns out: k, n, f_stat. */
+  private def anovaF(zByG: DataFrame): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec37 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val g = zByG.groupBy("g").agg(
+      count(lit(1)).as("ng"),
+      sum(col("z").cast(dec6)).as("sg"),
+      sum((col("z").cast(dec18) * col("z").cast(dec18)).cast(dec37))
+        .as("sgg"))
+    val term = round(col("sg").cast("double") * col("sg").cast("double") /
+      col("ng").cast("double"), 12)
+    val t = g.agg(count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"),
+      sum(col("sgg")).as("ss"),
+      sum(term.cast(dec37)).as("sb"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("sb").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD
+    val ssw = col("ss").cast("double") - col("sb").cast("double")
+    t.select(col("k"), col("n"),
+      round((ssb / (kD - 1)) / (ssw / (nD - kD)), 6).as("f_stat"))
+  }
+
+  /** The DuckDB mirror of [[anovaF]] given a `zg(g, z)` CTE. */
+  private def anovaFSql(prefix: String): String = prefix +
+    """,
+      |gr AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+      |    SUM(CAST(z AS DECIMAL(28,6))) AS sg,
+      |    SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))
+      |      AS DECIMAL(38,12))) AS sgg
+      |  FROM zg GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(ng) AS BIGINT) AS n,
+      |    SUM(sg) AS s, SUM(sgg) AS ss,
+      |    SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 12)
+      |      AS DECIMAL(38,12))) AS sb
+      |  FROM gr)
+      |SELECT k, n,
+      |  ROUND(((CAST(sb AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1.0))
+      |    / ((CAST(ss AS DOUBLE) - CAST(sb AS DOUBLE)) / (n - k)), 6)
+      |    AS f_stat
+      |FROM t""".stripMargin
+
+  /** q186: ONE-WAY ANOVA F across market segments on order value —
+    * the parametric twin of q144's Kruskal–Wallis (same question,
+    * mean-based instead of rank-based; read together they separate
+    * "means differ" from "distributions differ"). Money enters as
+    * exact DECIMAL; see [[anovaF]] for the fold discipline. Exact,
+    * hash-checked. */
+  private val q186: QFn = (s, d) => {
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"),
+        col("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(28, 6)).as("z"))
+    anovaF(base)
+  }
+  private val q186Sql = anovaFSql(
+    """WITH zg AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(o_totalprice AS DECIMAL(28,6)) AS z
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)""".stripMargin)
+
+  /** q187: BROWN–FORSYTHE variance-homogeneity test — q186's ANOVA F
+    * applied to |x − median_g| (Brown & Forsythe 1974, the
+    * median-centered Levene: robust to non-normality): do the
+    * SEGMENTS' SPREADS differ, the assumption q186/q136 lean on? The
+    * group median is the weighted-median machinery of q163 — per-
+    * distinct-value counts, cumulative weight as a DISTRIBUTED
+    * grouped prefix sum, INTEGER-exact 2·(cum+c) ≥ n selection —
+    * then |x − med| is an exact decimal difference and the F fold is
+    * [[anovaF]]. Exact, hash-checked. */
+  private val q187: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"),
+        col("o_totalprice").cast(dec6).as("x"))
+    val pv = base.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val cum = RankOps.withGroupedPrefixSum(pv, Seq("g"), Seq("x"),
+      valueCol = "c", sumCol = "cumBefore")
+    val tot = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val med = cum.join(tot, Seq("g"))
+      .filter(lit(2) * (col("cumBefore") + col("c")) >= col("n"))
+      .groupBy("g").agg(min(col("x")).as("med"))
+    anovaF(base.join(med, Seq("g"))
+      .select(col("g"), abs(col("x") - col("med")).as("z")))
+  }
+  private val q187Sql = anovaFSql(
+    """WITH base AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(o_totalprice AS DECIMAL(28,6)) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |pv AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, x, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cumBefore
+      |  FROM pv),
+      |tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1),
+      |med AS (
+      |  SELECT cum.g, MIN(x) AS med
+      |  FROM cum JOIN tot ON tot.g = cum.g
+      |  WHERE 2 * (cumBefore + c) >= n GROUP BY 1),
+      |zg AS (
+      |  SELECT base.g, ABS(x - med) AS z
+      |  FROM base JOIN med ON med.g = base.g)""".stripMargin)
+
+  /** q188: POISSON OVERDISPERSION of daily order counts — the
+    * index of dispersion D = s²/x̄ (D ≈ 1 for a Poisson arrival
+    * process, D ≫ 1 = clumped demand; the "is a Poisson model even
+    * admissible" gate before any queueing math), with the classic
+    * chi-square form (n−1)·D. Day-grain integer counts, Σc/Σc²
+    * INTEGER-exact in decimal(38), D and (n−1)D one fixed IEEE
+    * expression. Exact, hash-checked. */
+  private val q188: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val t = daily.agg(count(lit(1)).as("n"),
+      sum(col("c").cast(dec38)).as("sc"),
+      sum((col("c") * col("c")).cast(dec38)).as("scc"))
+    val nD = col("n").cast("double")
+    val mean = col("sc").cast("double") / nD
+    val variance = (col("scc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / nD) /
+      (nD - lit(1.0))
+    t.select(col("n").as("n_days"),
+      round(mean, 6).as("mean_daily"),
+      round(variance, 6).as("var_daily"),
+      round(variance / mean, 6).as("dispersion"),
+      round((nD - 1) * variance / mean, 6).as("chi2"))
+  }
+  private val q188Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(c AS DECIMAL(38,0))) AS sc,
+      |    SUM(CAST(c * c AS DECIMAL(38,0))) AS scc
+      |  FROM daily)
+      |SELECT n AS n_days,
+      |  ROUND(CAST(sc AS DOUBLE) / n, 6) AS mean_daily,
+      |  ROUND((CAST(scc AS DOUBLE)
+      |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1.0), 6)
+      |    AS var_daily,
+      |  ROUND(((CAST(scc AS DOUBLE)
+      |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1.0))
+      |    / (CAST(sc AS DOUBLE) / n), 6) AS dispersion,
+      |  ROUND((n - 1.0) * ((CAST(scc AS DOUBLE)
+      |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1.0))
+      |    / (CAST(sc AS DOUBLE) / n), 6) AS chi2
+      |FROM t""".stripMargin
+
+  /** q189: NEGATIVE-BINOMIAL FIT of per-customer order counts —
+    * method-of-moments r̂ = m²/(s²−m), p̂ = m/s² (the standard
+    * heterogeneous-demand model: NB = Poisson with gamma-distributed
+    * customer rates; r̂ is the heterogeneity dial marketing's
+    * buy-till-you-die models start from). One fact-sized customer
+    * aggregate, INTEGER-exact Σc/Σc², estimates one fixed IEEE
+    * expression. Exact, hash-checked. */
+  private val q189: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("c"))
+    val t = per.agg(count(lit(1)).as("n"),
+      sum(col("c").cast(dec38)).as("sc"),
+      sum((col("c") * col("c")).cast(dec38)).as("scc"))
+    val nD = col("n").cast("double")
+    val mean = col("sc").cast("double") / nD
+    val variance = (col("scc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / nD) /
+      (nD - lit(1.0))
+    t.select(col("n").as("n_customers"),
+      round(mean, 6).as("mean_orders"),
+      round(variance, 6).as("var_orders"),
+      round(mean * mean / (variance - mean), 6).as("nb_r"),
+      round(mean / variance, 6).as("nb_p"))
+  }
+  private val q189Sql =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(c AS DECIMAL(38,0))) AS sc,
+      |    SUM(CAST(c * c AS DECIMAL(38,0))) AS scc
+      |  FROM per)
+      |SELECT n AS n_customers,
+      |  ROUND(CAST(sc AS DOUBLE) / n, 6) AS mean_orders,
+      |  ROUND((CAST(scc AS DOUBLE)
+      |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1.0), 6)
+      |    AS var_orders,
+      |  ROUND((CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)
+      |    / (((CAST(scc AS DOUBLE)
+      |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1.0))
+      |      - CAST(sc AS DOUBLE) / n), 6) AS nb_r,
+      |  ROUND((CAST(sc AS DOUBLE) / n)
+      |    / ((CAST(scc AS DOUBLE)
+      |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1.0)), 6)
+      |    AS nb_p
+      |FROM t""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q186_anova_f" -> q186,
+    "q187_brown_forsythe" -> q187,
+    "q188_overdispersion" -> q188,
+    "q189_nbinom_fit" -> q189,
     "q172_ca_trend" -> q172,
     "q173_kendall_tau" -> q173,
     "q174_open_orders" -> q174,
@@ -3782,6 +4012,10 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q186_anova_f" -> q186Sql,
+    "q187_brown_forsythe" -> q187Sql,
+    "q188_overdispersion" -> q188Sql,
+    "q189_nbinom_fit" -> q189Sql,
     "q172_ca_trend" -> q172Sql,
     "q173_kendall_tau" -> q173Sql,
     "q174_open_orders" -> q174Sql,

@@ -871,7 +871,62 @@ object SessionOps {
       |    AS stickiness
       |FROM wk JOIN weekly ON weekly.week = wk.week""".stripMargin
 
+  /** q190: ENTROPY RATE of the user-behavior process — the
+    * conditional entropy H(next | current) over q103's transition
+    * counts, next to the joint bigram entropy H(pair) (their gap is
+    * the marginal H: how much does knowing the current event compress
+    * the next? ≈ log2|types| = memoryless, → 0 = scripted flows; the
+    * sequence-predictability number session-model work starts from).
+    * The COUNTING is the distributed work (per-user ordered lead +
+    * one pair aggregate, the q103 shape); both entropies fold
+    * 6-dp-rounded per-CELL terms through the exact decimal
+    * accumulator over the |types|²-bounded cell table (the q159
+    * discipline). Exact, hash-checked. */
+  private val q190: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("to_type").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val rowTot = pairs.groupBy("a").agg(sum(col("c")).as("ra"))
+    val tot = pairs.agg(sum(col("c")).as("n"))
+    val cell = pairs.join(broadcast(rowTot), Seq("a"))
+      .crossJoin(broadcast(tot))
+    val pij = col("c").cast("double") / col("n").cast("double")
+    val hc = round(-pij * log(2.0,
+      col("c").cast("double") / col("ra").cast("double")), 6)
+    val hj = round(-pij * log(2.0, pij), 6)
+    cell.agg(max(col("n")).as("n_transitions"),
+      round(sum(hc.cast(Dec)).cast("double"), 6).as("h_cond_bits"),
+      round(sum(hj.cast(Dec)).cast("double"), 6).as("h_joint_bits"))
+  }
+  private val q190Sql =
+    """WITH steps AS (
+      |  SELECT event_type AS a,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS b
+      |  FROM events),
+      |pairs AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM steps WHERE b IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra
+      |  FROM pairs GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pairs),
+      |cell AS (
+      |  SELECT c, ra, n FROM pairs JOIN rt USING (a), tot)
+      |SELECT MAX(n) AS n_transitions,
+      |  ROUND(CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+      |    * log2(CAST(c AS DOUBLE) / ra), 6) AS DECIMAL(28,6)))
+      |    AS DOUBLE), 6) AS h_cond_bits,
+      |  ROUND(CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+      |    * log2(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(28,6)))
+      |    AS DOUBLE), 6) AS h_joint_bits
+      |FROM cell""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q190_entropy_rate" -> q190,
     "q179_stickiness" -> q179,
     "q159_hour_entropy" -> q159,
     "q161_markov_stationary" -> q161,
@@ -893,6 +948,7 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q190_entropy_rate" -> q190Sql,
     "q179_stickiness" -> q179Sql,
     "q159_hour_entropy" -> q159Sql,
     "q161_markov_stationary" -> q161Sql,

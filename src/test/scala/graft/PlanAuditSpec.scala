@@ -331,6 +331,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(PlanLint.check(Relational.queries(q)(spark, sfDir))
         .isEmpty, q)
     }
+    // q186-q189: grouped moments / prefix-sum medians, fully clean
+    Seq("q186_anova_f", "q187_brown_forsythe", "q188_overdispersion",
+      "q189_nbinom_fit").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir))
+        .isEmpty, q)
+    }
+    // q190 crosses the ONE-ROW broadcast total (the q137/q159 shape);
+    // the lead window is user-partitioned, so nothing else flags
+    val f190 = PlanLint.check(graft.operators.SessionOps
+      .queries("q190_entropy_rate")(spark, sfDir))
+    assert(f190.forall(_.kind == "cartesian"), s"q190: $f190")
   }
 
   test("graft_lint TVF: the plan rules from SQL — findings for the " +
