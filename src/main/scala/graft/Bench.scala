@@ -64,7 +64,8 @@ object Bench {
     "q180_gumbel_maxima", "q181_kcore", "q182_vocab_overlap",
     "q183_price_dispersion", "q184_sign_test", "q185_brand_elasticity",
     "q186_anova_f", "q187_brown_forsythe", "q188_overdispersion",
-    "q189_nbinom_fit", "q190_entropy_rate")
+    "q189_nbinom_fit", "q190_entropy_rate", "q191_scd2_ranges",
+    "q192_token_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

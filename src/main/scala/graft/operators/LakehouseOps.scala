@@ -153,17 +153,88 @@ object LakehouseOps {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
   }
 
+  /** q191: SCD-2 RANGE RECONSTRUCTION — collapse each user's event
+    * stream into TYPE-RUN validity ranges (effective_from = run
+    * start, effective_to = next run's start, NULL = current) and
+    * profile them: the slowly-changing-dimension history a CDC
+    * mirror materializes, rebuilt from the raw change log (the
+    * dimension-versioning complement to q21's latest-per-key
+    * compaction). Scale shape: run boundaries are one lag + one
+    * conditional prefix count per user (user-PARTITIONED windows —
+    * partition-parallel at any user count), ranges are a
+    * (user, run) aggregate with map-side partials, the profile is a
+    * tiny per-type rollup; durations are exact microsecond integers.
+    * Exact, hash-checked. */
+  private val q191: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val marked = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranges = marked.groupBy("user_id", "run")
+      // all types inside a run are equal by construction; min is the
+      // aggregate both engines compute identically
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("us")).as("from_us"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("run"))
+    val withTo = ranges
+      .withColumn("to_us", lead(col("from_us"), 1).over(w2))
+    withTo.groupBy("event_type")
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(col("n_events")).as("n_events"),
+        count(when(col("to_us").isNull, 1)).as("n_open"),
+        sum(when(col("to_us").isNotNull,
+          col("to_us") - col("from_us"))).as("closed_dur_us"))
+  }
+  private val q191Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |      OR LAG(event_type) OVER w <> event_type
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM marked),
+      |ranges AS (
+      |  SELECT user_id, run, MIN(event_type) AS event_type,
+      |    MIN(us) AS from_us, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM runs GROUP BY 1, 2),
+      |witho AS (
+      |  SELECT *, LEAD(from_us) OVER (PARTITION BY user_id
+      |    ORDER BY run) AS to_us
+      |  FROM ranges)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ranges,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  CAST(COUNT(CASE WHEN to_us IS NULL THEN 1 END) AS BIGINT)
+      |    AS n_open,
+      |  CAST(SUM(CASE WHEN to_us IS NOT NULL
+      |    THEN to_us - from_us END) AS BIGINT) AS closed_dur_us
+      |FROM witho GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
     "q23_dq_profile" -> q23,
     "q24_asof_join" -> q24,
-    "q48_asof_native" -> q48)
+    "q48_asof_native" -> q48,
+    "q191_scd2_ranges" -> q191)
 
   val oracleSql: Map[String, String] = Map(
     "q21_cdc_latest" -> q21Sql,
     "q22_merge_upsert" -> q22Sql,
     "q23_dq_profile" -> q23Sql,
     "q24_asof_join" -> q24Sql,
-    "q48_asof_native" -> q24Sql)
+    "q48_asof_native" -> q24Sql,
+    "q191_scd2_ranges" -> q191Sql)
 }

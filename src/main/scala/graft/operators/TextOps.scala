@@ -2287,7 +2287,32 @@ object TextOps {
       |JOIN k ka ON ka.source = source_a
       |JOIN k kb ON kb.source = source_b""".stripMargin
 
+  /** q192: TOKEN-SEQUENCE PACKING profile — the tokenize→pack stage
+    * run end to end on the corpus (BpeTrainer.train bounded → vocab →
+    * map-side encode → packSequences per source) and profiled per
+    * source: sequences produced, tokens, how many are exactly full
+    * (all but each stream's tail, by construction), OOV count (zero
+    * when the vocabulary trained on the same corpus). Rows-only: BPE
+    * is not SQL-expressible; conservation/boundary semantics are
+    * spec-pinned on BpeTrainer/tokenizeAndPack. */
+  private val q192: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = BpeTrainer.train(docs, numMerges = 40, maxWords = 2000)
+    val vt = BpeTrainer.vocab(docs, merges)
+    val L = 2048
+    val enc = BpeTrainer.encode(docs, merges, vt)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val oov = enc.groupBy("source").agg(sum(col("n_oov")).as("n_oov"))
+    BpeTrainer.packSequences(enc, L, Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sequences"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(when(col("n_tokens") === L, 1)).as("n_full"))
+      .join(oov, Seq("source"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q192_token_sequences" -> q192,
     "q166_ttr" -> q166,
     "q156_jsd_drift" -> q156,
     "q157_gopher_rules" -> q157,

@@ -342,6 +342,12 @@ class PlanAuditSpec extends SparkSpec {
     val f190 = PlanLint.check(graft.operators.SessionOps
       .queries("q190_entropy_rate")(spark, sfDir))
     assert(f190.forall(_.kind == "cartesian"), s"q190: $f190")
+    // q191/q192: user-partitioned run windows / RDD prefix-sum
+    // packing — no global window, no cartesian
+    assert(PlanLint.check(graft.operators.LakehouseOps
+      .queries("q191_scd2_ranges")(spark, sfDir)).isEmpty, "q191")
+    assert(PlanLint.check(graft.operators.TextOps
+      .queries("q192_token_sequences")(spark, sfDir)).isEmpty, "q192")
   }
 
   test("graft_lint TVF: the plan rules from SQL — findings for the " +
