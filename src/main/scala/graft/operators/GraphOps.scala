@@ -459,13 +459,20 @@ object GraphOps {
     * hash-checked. */
   private val q181: QFn = (s, d) => {
     val k = 3
-    var e = coPurchaseEdges(s, d)
+    // MATERIALIZE each round (the q98 lineage discipline): round r's
+    // edge set feeds BOTH the degree aggregate and round r+1's joins —
+    // left lazy, every consumer recomputes its whole prefix and the
+    // base projection runs 2^rounds times (measured: 9.0 s lazy vs
+    // ~3.5 s materialized at sf0.1); the edge set only shrinks, so
+    // each checkpoint is at most projection-sized
+    var e = coPurchaseEdges(s, d).localCheckpoint(true)
     (1 to 4).foreach { _ =>
       val keep = e.groupBy("u").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select("u")
       e = e.join(keep, Seq("u"))
         .join(keep.select(col("u").as("v")), Seq("v"))
         .select("u", "v")
+        .localCheckpoint(true)
     }
     val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
     deg.agg(count(lit(1)).as("n_nodes"),

@@ -1418,4 +1418,48 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, 8)
   }
+
+  test("property: packSequences equals the in-memory concatenate-and-cut " +
+      "model for any docs, lengths, groups, seqLen, and layout") {
+    import spark.implicits._
+    // adversarial structure: empty docs, single-token docs, docs
+    // longer than several sequences, multiple groups, random
+    // partitioning — the model is the obvious serial algorithm:
+    // per group, concatenate ids in doc_id order, cut every L
+    val genDoc = for {
+      n <- Gen.frequency((1, Gen.const(0)), (6, Gen.chooseNum(1, 23)))
+      g <- Gen.oneOf("s1", "s2", "s3")
+    } yield (n, g)
+    val genCase = for {
+      docs <- Gen.chooseNum(1, 14).flatMap(k => Gen.listOfN(k, genDoc))
+      l <- Gen.chooseNum(1, 9)
+      parts <- Gen.chooseNum(1, 5)
+    } yield (docs, l, parts)
+    val prop = Prop.forAll(genCase) { case (docSpecs, l, parts) =>
+      val rows = docSpecs.zipWithIndex.map { case ((n, g), i) =>
+        val ids = Array.tabulate(n)(j => (i * 100 + j + 1))
+        (i.toLong, ids, n.toLong, g)
+      }
+      val enc = rows.toDF("doc_id", "ids", "n_tokens", "source")
+        .repartition(parts)
+      val got = BpeTrainer.packSequences(enc, l, Seq("source"))
+        .collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getSeq[Int](2).toList, r.getLong(4))))
+        .toMap
+      // the serial model
+      val want = rows.groupBy(_._4).flatMap { case (g, ds) =>
+        val stream = ds.sortBy(_._1).flatMap { case (id, ids, _, _) =>
+          ids.map(x => (id, x)) }
+        stream.grouped(l).zipWithIndex.map { case (chunk, k) =>
+          ((g, k.toLong),
+            (chunk.map(_._2).toList, chunk.map(_._1).distinct.size.toLong))
+        }
+      }
+      assert(got == want,
+        s"specs=$docSpecs L=$l parts=$parts\n got $got\nwant $want")
+      true
+    }
+    check(prop, 12)
+  }
 }
