@@ -3915,7 +3915,77 @@ object Relational {
       |    AS nb_p
       |FROM t""".stripMargin
 
+  /** q193: JARQUE–BERA NORMALITY TEST of order value per market
+    * segment — JB = n/6·(S² + K²/4) from the sample skewness and
+    * excess kurtosis (Jarque & Bera 1980): the gate on the normality
+    * assumption q186's F and q136's t lean on, completing the
+    * segment-distribution triptych (means q186, spreads q187, SHAPE
+    * here). Same two-pass centered-moment discipline as q164 —
+    * never raw Σx⁴ — with JB one fixed IEEE expression over the
+    * moment ratios. Exact, hash-checked. */
+  private val q193: QFn = (s, d) => {
+    val BigDec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("o_totalprice").as("x"))
+    val mu = o.groupBy("g")
+      .agg(round(graft.util.Exact.davg(col("x")), 6).as("mu"),
+        count(lit(1)).as("n"))
+    val dd = col("x") - col("mu")
+    val m = o.join(broadcast(mu), Seq("g"))
+      .select(col("g"), col("n"),
+        round(dd * dd, 6).as("d2"),
+        round(dd * dd * dd, 6).as("d3"),
+        round(dd * dd * dd * dd, 6).as("d4"))
+      .groupBy("g")
+      .agg(first(col("n")).as("n"),
+        sum(col("d2").cast(Dec)).cast("double").as("m2s"),
+        sum(col("d3").cast(BigDec)).cast("double").as("m3s"),
+        sum(col("d4").cast(BigDec)).cast("double").as("m4s"))
+    val nD = col("n").cast("double")
+    val sk = (col("m3s") / nD) / pow(col("m2s") / nD, lit(1.5))
+    val ku = (col("m4s") / nD) /
+      ((col("m2s") / nD) * (col("m2s") / nD)) - lit(3.0)
+    m.select(col("g").as("segment"), col("n"),
+      round(sk, 6).as("skewness"),
+      round(ku, 6).as("excess_kurtosis"),
+      round(nD / 6 * (sk * sk + ku * ku / 4), 6).as("jb_stat"))
+  }
+  private val q193Sql =
+    s"""WITH base AS (
+       |  SELECT c_mktsegment AS g, o_totalprice AS x
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |mu AS (
+       |  SELECT g, ROUND(${graft.util.Exact.sqlAvg("x")}, 6) AS mu,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM base GROUP BY 1),
+       |ctr AS (
+       |  SELECT base.g, n,
+       |    ROUND((x - mu) * (x - mu), 6) AS d2,
+       |    ROUND((x - mu) * (x - mu) * (x - mu), 6) AS d3,
+       |    ROUND((x - mu) * (x - mu) * (x - mu) * (x - mu), 6) AS d4
+       |  FROM base JOIN mu ON mu.g = base.g),
+       |m AS (
+       |  SELECT g, MIN(n) AS n,
+       |    CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS m2s,
+       |    CAST(SUM(CAST(d3 AS DECIMAL(38,6))) AS DOUBLE) AS m3s,
+       |    CAST(SUM(CAST(d4 AS DECIMAL(38,6))) AS DOUBLE) AS m4s
+       |  FROM ctr GROUP BY 1)
+       |SELECT g AS segment, n,
+       |  ROUND((m3s / n) / POW(m2s / n, 1.5), 6) AS skewness,
+       |  ROUND((m4s / n) / ((m2s / n) * (m2s / n)) - 3.0, 6)
+       |    AS excess_kurtosis,
+       |  ROUND(n / 6.0 * ((m3s / n) / POW(m2s / n, 1.5)
+       |      * ((m3s / n) / POW(m2s / n, 1.5))
+       |    + ((m4s / n) / ((m2s / n) * (m2s / n)) - 3.0)
+       |      * ((m4s / n) / ((m2s / n) * (m2s / n)) - 3.0) / 4.0), 6)
+       |    AS jb_stat
+       |FROM m""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q193_jarque_bera" -> q193,
     "q186_anova_f" -> q186,
     "q187_brown_forsythe" -> q187,
     "q188_overdispersion" -> q188,
@@ -4012,6 +4082,7 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q193_jarque_bera" -> q193Sql,
     "q186_anova_f" -> q186Sql,
     "q187_brown_forsythe" -> q187Sql,
     "q188_overdispersion" -> q188Sql,

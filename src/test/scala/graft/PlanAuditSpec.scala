@@ -331,9 +331,9 @@ class PlanAuditSpec extends SparkSpec {
       assert(PlanLint.check(Relational.queries(q)(spark, sfDir))
         .isEmpty, q)
     }
-    // q186-q189: grouped moments / prefix-sum medians, fully clean
+    // q186-q189 + q193: grouped moments / prefix-sum medians, clean
     Seq("q186_anova_f", "q187_brown_forsythe", "q188_overdispersion",
-      "q189_nbinom_fit").foreach { q =>
+      "q189_nbinom_fit", "q193_jarque_bera").foreach { q =>
       assert(PlanLint.check(Relational.queries(q)(spark, sfDir))
         .isEmpty, q)
     }
