@@ -65,7 +65,8 @@ object Bench {
     "q183_price_dispersion", "q184_sign_test", "q185_brand_elasticity",
     "q186_anova_f", "q187_brown_forsythe", "q188_overdispersion",
     "q189_nbinom_fit", "q190_entropy_rate", "q191_scd2_ranges",
-    "q192_token_sequences", "q193_jarque_bera")
+    "q192_token_sequences", "q193_jarque_bera", "q194_transitivity",
+    "q195_degree_powerlaw")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

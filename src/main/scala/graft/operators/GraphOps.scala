@@ -500,18 +500,113 @@ object GraphOps {
       |  MIN(dg) AS min_deg
       |FROM deg""".stripMargin
 
+  /** q194: GLOBAL TRANSITIVITY — 3·triangles / wedges, the one-number
+    * closure probability ("a friend of a friend is a friend") that
+    * complements q105's per-node coefficients (transitivity weights
+    * hubs by their wedge count; the mean local coefficient doesn't):
+    * triangle count via q105's degree-oriented closure join (each
+    * triangle once from its smallest corner — bounded fanout), wedge
+    * count = Σ deg·(deg−1)/2 is integer-exact in decimal(38) off the
+    * V-sized degree table (deg ≈ 1e6 ⇒ deg² ≈ 1e12 per node, Σ well
+    * past int64 at scale), ratio one fixed IEEE expression. Exact,
+    * hash-checked. */
+  private val q194: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sym = coPurchaseEdges(s, d)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val dir = sym
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select("u", "v")
+    val wedges = dir.select(col("u").as("a"), col("v").as("b"))
+      .join(dir.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+    val tri = wedges.join(
+      dir.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_tri"))
+    val wed = deg.agg(
+      sum((col("deg") * (col("deg") - 1) / 2).cast(dec38)).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    wed.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_wedges").cast("long").as("n_wedges"),
+        col("n_tri"),
+        round(lit(3.0) * col("n_tri").cast("double") /
+          col("n_wedges").cast("double"), 6).as("transitivity"))
+  }
+  private val q194Sql = coPurchaseCte +
+    """,
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+      |  GROUP BY u),
+      |dir AS (
+      |  SELECT s.u, s.v FROM sym s
+      |  JOIN deg a ON a.u = s.u JOIN deg b ON b.u = s.v
+      |  WHERE a.deg < b.deg OR (a.deg = b.deg AND s.u < s.v)),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+      |  FROM dir e1 JOIN dir e2 ON e2.u = e1.v
+      |  JOIN dir e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |wed AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    SUM(CAST(deg * (deg - 1) / 2 AS DECIMAL(38,0))) AS n_wedges
+      |  FROM deg)
+      |SELECT n_nodes, CAST(n_wedges AS BIGINT) AS n_wedges, n_tri,
+      |  ROUND(3.0 * CAST(n_tri AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+      |    AS transitivity
+      |FROM wed, tri""".stripMargin
+
+  /** q195: DEGREE POWER-LAW MLE — the continuous-approximation
+    * Clauset–Shalizi–Newman exponent α̂ = 1 + n/Σ ln(d/(dmin−½)) over
+    * the co-purchase degree distribution (α ≈ 2–3 = scale-free hubs,
+    * larger = homogeneous — with q171's mixing and q194's closure,
+    * the third one-number graph-shape summary). Degrees are one
+    * V-sized aggregate, dmin one tiny min, each ln term rounds at
+    * 6 dp into the exact decimal accumulator (the q142 libm
+    * discipline — V-sized double sums are order-dependent), α̂ one
+    * fixed IEEE expression. Exact, hash-checked. */
+  private val q195: QFn = (s, d) => {
+    val sym = coPurchaseEdges(s, d)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val dmin = deg.agg(min(col("deg")).as("dmin"))
+    val terms = deg.crossJoin(broadcast(dmin))
+      .select(round(log(col("deg").cast("double") /
+        (col("dmin").cast("double") - lit(0.5))), 6).as("t"))
+    terms.agg(count(lit(1)).as("n_nodes"),
+      sum(col("t").cast(graft.util.Exact.Dec)).as("st"))
+      .select(col("n_nodes"),
+        round(lit(1.0) + col("n_nodes").cast("double") /
+          col("st").cast("double"), 6).as("alpha_hat"))
+  }
+  private val q195Sql = coPurchaseCte +
+    """,
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+      |  GROUP BY u),
+      |dm AS (SELECT MIN(deg) AS dmin FROM deg),
+      |terms AS (
+      |  SELECT ROUND(ln(CAST(deg AS DOUBLE)
+      |    / (CAST(dmin AS DOUBLE) - 0.5)), 6) AS t
+      |  FROM deg, dm)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  ROUND(1.0 + COUNT(*) / CAST(SUM(CAST(t AS DECIMAL(28,6)))
+      |    AS DOUBLE), 6) AS alpha_hat
+      |FROM terms""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q98_pagerank" -> q98,
     "q105_triangles" -> q105,
     "q107_khop_reach" -> q107,
     "q171_assortativity" -> q171,
     "q177_brand_modularity" -> q177,
-    "q181_kcore" -> q181)
+    "q181_kcore" -> q181,
+    "q194_transitivity" -> q194,
+    "q195_degree_powerlaw" -> q195)
   val oracleSql: Map[String, String] = Map(
     "q98_pagerank" -> q98Sql,
     "q105_triangles" -> q105Sql,
     "q107_khop_reach" -> q107Sql,
     "q171_assortativity" -> q171Sql,
     "q177_brand_modularity" -> q177Sql,
-    "q181_kcore" -> q181Sql)
+    "q181_kcore" -> q181Sql,
+    "q194_transitivity" -> q194Sql,
+    "q195_degree_powerlaw" -> q195Sql)
 }

@@ -348,6 +348,13 @@ class PlanAuditSpec extends SparkSpec {
       .queries("q191_scd2_ranges")(spark, sfDir)).isEmpty, "q191")
     assert(PlanLint.check(graft.operators.TextOps
       .queries("q192_token_sequences")(spark, sfDir)).isEmpty, "q192")
+    // q194/q195 cross ONE-ROW broadcast scalars (triangle total /
+    // dmin) — the q137 documented shape; everything else keyed
+    Seq("q194_transitivity", "q195_degree_powerlaw").foreach { q =>
+      val f = PlanLint.check(
+        graft.operators.GraphOps.queries(q)(spark, sfDir))
+      assert(f.forall(_.kind == "cartesian"), s"$q: $f")
+    }
   }
 
   test("graft_lint TVF: the plan rules from SQL — findings for the " +
