@@ -2311,8 +2311,59 @@ object TextOps {
       .join(oov, Seq("source"))
   }
 
+  /** q196: CHARACTER-TRIGRAM ENTROPY per language — the
+    * script-complexity profile (logographic scripts carry more bits
+    * per character window than alphabetic ones; a language whose
+    * entropy drifts = mislabeled or templated stream — the
+    * character-level complement to q36/q117's classification and
+    * q159's event entropy). Scale shape: the trigram explode is
+    * map-side and linear in characters (the q152 explode class), one
+    * (lang, gram) frequency aggregate with map-side partials, and the
+    * per-language entropy folds 6-dp-rounded −p·log2 p terms through
+    * the exact decimal accumulator over vocabulary-sized gram rows
+    * (the q159 discipline). Exact, hash-checked. */
+  private val q196: QFn = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("lang"), col("text"))
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, i, 3))")).as("gram"))
+    val tf = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("lang").agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_grams"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    tf.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("n"), col("n_grams"),
+        round(-p * log(2.0, p), 6).as("term"))
+      .groupBy("lang")
+      .agg(first(col("n")).as("n_windows"),
+        first(col("n_grams")).as("n_distinct_grams"),
+        round(sum(col("term").cast(graft.util.Exact.Dec)).cast("double"), 6)
+          .as("entropy_bits"))
+  }
+  private val q196Sql =
+    """WITH grams AS (
+      |  SELECT lang, substr(text, CAST(i AS INT), 3) AS gram
+      |  FROM (SELECT lang, text,
+      |      unnest(range(1, len(text) - 1)) AS i
+      |    FROM documents WHERE len(text) >= 3)),
+      |tf AS (SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM grams GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_grams
+      |  FROM tf GROUP BY 1)
+      |SELECT tf.lang, MIN(n) AS n_windows,
+      |  MIN(n_grams) AS n_distinct_grams,
+      |  ROUND(CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+      |    * log2(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(28,6)))
+      |    AS DOUBLE), 6) AS entropy_bits
+      |FROM tf JOIN tot ON tot.lang = tf.lang
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q192_token_sequences" -> q192,
+    "q196_char_entropy" -> q196,
     "q166_ttr" -> q166,
     "q156_jsd_drift" -> q156,
     "q157_gopher_rules" -> q157,
@@ -2365,6 +2416,7 @@ object TextOps {
     "q150_length_lognormal" -> q150Sql,
     "q142_zipf_slope" -> q142Sql,
     "q182_vocab_overlap" -> q182Sql,
+    "q196_char_entropy" -> q196Sql,
     "q138_epoch_plan" -> q138Sql,
     "q132_bm25" -> q132Sql,
     "q133_contamination" -> q133Sql,

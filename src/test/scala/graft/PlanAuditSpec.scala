@@ -355,6 +355,9 @@ class PlanAuditSpec extends SparkSpec {
         graft.operators.GraphOps.queries(q)(spark, sfDir))
       assert(f.forall(_.kind == "cartesian"), s"$q: $f")
     }
+    // q196: map-side explode + grouped entropy folds, fully clean
+    assert(PlanLint.check(graft.operators.TextOps
+      .queries("q196_char_entropy")(spark, sfDir)).isEmpty, "q196")
   }
 
   test("graft_lint TVF: the plan rules from SQL — findings for the " +
