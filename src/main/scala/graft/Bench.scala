@@ -66,7 +66,8 @@ object Bench {
     "q186_anova_f", "q187_brown_forsythe", "q188_overdispersion",
     "q189_nbinom_fit", "q190_entropy_rate", "q191_scd2_ranges",
     "q192_token_sequences", "q193_jarque_bera", "q194_transitivity",
-    "q195_degree_powerlaw", "q196_char_entropy")
+    "q195_degree_powerlaw", "q196_char_entropy", "q197_weekly_volatility",
+    "q198_purchase_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3984,7 +3984,119 @@ object Relational {
        |    AS jb_stat
        |FROM m""".stripMargin
 
+  /** q197: WEEKLY REVENUE VOLATILITY — the rolling 4-week standard
+    * deviation of weekly revenue, top-5 most volatile weeks (the
+    * demand-stability screen capacity planning reads next to q180's
+    * peak fit and q147's seasonal split). The fact reduces FIRST to
+    * the WEEK-grain exact-decimal series (calendar-sized at any
+    * volume); the 4-row rolling frame runs over that tiny series (the
+    * q174 documented single-partition exception), with Σx and Σx²
+    * inside the frame as EXACT decimals (width-safe squares) and the
+    * sample std one fixed IEEE expression per row. Exact,
+    * hash-checked. */
+  private val q197: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val weekly = Tables.lineitem(s, d)
+      .groupBy(expr(
+        "cast(datediff(to_date(l_shipdate), date'1992-01-01') div 7 " +
+          "as bigint)").as("week"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec6)).as("rev"))
+      .select(col("week"), col("rev").cast(dec18).as("rev"))
+    val w = Window.orderBy("week").rowsBetween(-3, 0)
+    weekly
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("rev").cast(dec6)).over(w))
+      .withColumn("sxx",
+        sum((col("rev") * col("rev")).cast(dec38)).over(w))
+      .filter(col("cnt") === 4)
+      .select(col("week"),
+        round((col("sx").cast("double") / 4), 6).as("mean_rev"),
+        round(sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / 4) / 3), 6)
+          .as("rolling_sd"))
+      .orderBy(col("rolling_sd").desc, col("week").asc)
+      .limit(5)
+  }
+  private val q197Sql =
+    """WITH weekly AS (
+      |  SELECT CAST((CAST(l_shipdate AS DATE) - DATE '1992-01-01') // 7
+      |      AS BIGINT) AS week,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,6))) AS DECIMAL(19,6)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |roll AS (
+      |  SELECT week,
+      |    COUNT(*) OVER w AS cnt,
+      |    SUM(CAST(rev AS DECIMAL(28,6))) OVER w AS sx,
+      |    SUM(CAST(rev * rev AS DECIMAL(38,12))) OVER w AS sxx
+      |  FROM weekly
+      |  WINDOW w AS (ORDER BY week
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+      |SELECT week,
+      |  ROUND(CAST(sx AS DOUBLE) / 4, 6) AS mean_rev,
+      |  ROUND(SQRT((CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 4) / 3), 6)
+      |    AS rolling_sd
+      |FROM roll WHERE cnt = 4
+      |ORDER BY rolling_sd DESC, week ASC
+      |LIMIT 5""".stripMargin
+
+  /** q198: INTER-PURCHASE EXPONENTIAL RATE per market segment — the
+    * MLE λ̂ = 1/mean-gap of consecutive-order day gaps (the renewal-
+    * process rate behind replenishment forecasts; with q189's NB
+    * heterogeneity and q188's overdispersion it completes the
+    * purchase-process triptych). Gaps are a per-customer lag window
+    * (customer-PARTITIONED — partition-parallel at any customer
+    * count), integer-exact day differences fold per segment in
+    * decimal(38), λ̂/mean one fixed IEEE expression. Exact,
+    * hash-checked. */
+  private val q198: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)))
+      .filter(col("gap").isNotNull && col("gap") > 0)
+    gaps.join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(dec38)).as("sg"))
+      .select(col("segment"), col("n_gaps"),
+        round(col("sg").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("mean_gap_days"),
+        round(col("n_gaps").cast("double") / col("sg").cast("double"), 6)
+          .as("lambda_hat"))
+  }
+  private val q198Sql =
+    """WITH gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(o_orderdate AS DATE)
+      |      - LAG(CAST(o_orderdate AS DATE)) OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS gap
+      |  FROM orders),
+      |seg AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    SUM(CAST(gap AS DECIMAL(38,0))) AS sg
+      |  FROM gaps JOIN customer ON o_custkey = c_custkey
+      |  WHERE gap IS NOT NULL AND gap > 0
+      |  GROUP BY 1)
+      |SELECT segment, n_gaps,
+      |  ROUND(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_days,
+      |  ROUND(n_gaps / CAST(sg AS DOUBLE), 6) AS lambda_hat
+      |FROM seg""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q197_weekly_volatility" -> q197,
+    "q198_purchase_rate" -> q198,
     "q193_jarque_bera" -> q193,
     "q186_anova_f" -> q186,
     "q187_brown_forsythe" -> q187,
@@ -4082,6 +4194,8 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q197_weekly_volatility" -> q197Sql,
+    "q198_purchase_rate" -> q198Sql,
     "q193_jarque_bera" -> q193Sql,
     "q186_anova_f" -> q186Sql,
     "q187_brown_forsythe" -> q187Sql,

@@ -358,6 +358,14 @@ class PlanAuditSpec extends SparkSpec {
     // q196: map-side explode + grouped entropy folds, fully clean
     assert(PlanLint.check(graft.operators.TextOps
       .queries("q196_char_entropy")(spark, sfDir)).isEmpty, "q196")
+    // q197 windows the WEEK-grain series (q174's documented
+    // exception); q198's lag is customer-partitioned — clean
+    assert(PlanLint.check(
+      Relational.queries("q197_weekly_volatility")(spark, sfDir))
+      .forall(_.kind == "single-partition-window"), "q197")
+    assert(PlanLint.check(
+      Relational.queries("q198_purchase_rate")(spark, sfDir))
+      .isEmpty, "q198")
   }
 
   test("graft_lint TVF: the plan rules from SQL — findings for the " +
