@@ -67,7 +67,7 @@ object Bench {
     "q189_nbinom_fit", "q190_entropy_rate", "q191_scd2_ranges",
     "q192_token_sequences", "q193_jarque_bera", "q194_transitivity",
     "q195_degree_powerlaw", "q196_char_entropy", "q197_weekly_volatility",
-    "q198_purchase_rate")
+    "q198_purchase_rate", "q199_wilson_returns", "q200_token_gini")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4094,9 +4094,61 @@ object Relational {
       |  ROUND(n_gaps / CAST(sg AS DOUBLE), 6) AS lambda_hat
       |FROM seg""".stripMargin
 
+  /** q199: RETURN-RATE RANKING BY WILSON LOWER BOUND per brand —
+    * the "sort by rating" correction (Wilson 1927; rank by the 95%
+    * lower confidence bound, not the raw rate, so a 2/2 brand cannot
+    * outrank a 480/500 one): top-10 worst brands by confidently-high
+    * return rate, the procurement escalation list. One fact-sized
+    * brand aggregate with map-side partials (dims broadcast),
+    * integer-exact (returned, total) counts, the Wilson bound
+    * ( p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²) ) / (1 + z²/n) one fixed
+    * IEEE expression, rate tiebreak then brand. Exact, hash-checked. */
+  private val q199: QFn = (s, d) => {
+    val z = 1.959963984540054 // two-sided 95%
+    val br = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_returnflag") === "R", 1)).as("r"))
+    val nD = col("n").cast("double")
+    val p = col("r").cast("double") / nD
+    val z2 = lit(z * z)
+    val lower = (p + z2 / (nD * 2) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / nD + z2 / (nD * nD * 4))) /
+      (lit(1.0) + z2 / nD)
+    br.select(col("brand"), col("n"), col("r"),
+      round(p, 6).as("return_rate"),
+      round(lower, 6).as("wilson_lower"))
+      .orderBy(col("wilson_lower").desc, col("brand").asc)
+      .limit(10)
+  }
+  private val q199Sql =
+    """WITH br AS (
+      |  SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+      |      AS r
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT brand, n, r,
+      |  ROUND(CAST(r AS DOUBLE) / n, 6) AS return_rate,
+      |  ROUND((CAST(r AS DOUBLE) / n
+      |      + 1.959963984540054 * 1.959963984540054 / (2 * CAST(n AS DOUBLE))
+      |      - 1.959963984540054 * SQRT(
+      |        (CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+      |          / CAST(n AS DOUBLE)
+      |        + 1.959963984540054 * 1.959963984540054
+      |          / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + 1.959963984540054 * 1.959963984540054
+      |      / CAST(n AS DOUBLE)), 6) AS wilson_lower
+      |FROM br
+      |ORDER BY wilson_lower DESC, brand ASC
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q197_weekly_volatility" -> q197,
     "q198_purchase_rate" -> q198,
+    "q199_wilson_returns" -> q199,
     "q193_jarque_bera" -> q193,
     "q186_anova_f" -> q186,
     "q187_brown_forsythe" -> q187,
@@ -4196,6 +4248,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q197_weekly_volatility" -> q197Sql,
     "q198_purchase_rate" -> q198Sql,
+    "q199_wilson_returns" -> q199Sql,
     "q193_jarque_bera" -> q193Sql,
     "q186_anova_f" -> q186Sql,
     "q187_brown_forsythe" -> q187Sql,

@@ -2361,9 +2361,58 @@ object TextOps {
       |FROM tf JOIN tot ON tot.lang = tf.lang
       |GROUP BY 1""".stripMargin
 
+  /** q200: TOKEN-FREQUENCY GINI per source — vocabulary inequality
+    * (a few tokens carrying most of the mass = templated/boilerplate
+    * stream; with q142's Zipf slope and q166's TTR, the third
+    * vocabulary-health lens, and the q125 income-Gini machinery
+    * applied to term counts): one (source, term) frequency aggregate
+    * with map-side partials, frequencies rank ascending per source
+    * via the DISTRIBUTED grouped prefix sum (term tiebreak — never a
+    * single-task window over a 10-billion-term vocabulary), Σi·f_i
+    * folds integer-exact in decimal(38), G one fixed IEEE expression.
+    * Exact, hash-checked. */
+  private val q200: QFn = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      .withColumn("one", lit(1L))
+    val ranked = RankOps.withGroupedPrefixSum(tf, Seq("source"),
+      Seq("f", "term"), valueCol = "one", sumCol = "rank0")
+      .withColumn("i", col("rank0") + 1L)
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum((col("i") * col("f")).cast(dec38)).as("sif"),
+        sum(col("f").cast(dec38)).as("sf"))
+      .select(col("source"), col("n_terms"),
+        round((lit(2.0) * col("sif").cast("double") -
+          (col("n_terms") + 1).cast("double") * col("sf").cast("double"))
+          / (col("n_terms").cast("double") * col("sf").cast("double")),
+          6).as("token_gini"))
+  }
+  private val q200Sql =
+    """WITH t AS (SELECT source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, f, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY f, term) AS BIGINT) AS i
+      |  FROM tf)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  ROUND((2.0 * CAST(SUM(CAST(i * f AS DECIMAL(38,0))) AS DOUBLE)
+      |    - (COUNT(*) + 1.0) * CAST(SUM(CAST(f AS DECIMAL(38,0))) AS DOUBLE))
+      |    / (CAST(COUNT(*) AS DOUBLE)
+      |      * CAST(SUM(CAST(f AS DECIMAL(38,0))) AS DOUBLE)), 6)
+      |    AS token_gini
+      |FROM ranked GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q192_token_sequences" -> q192,
     "q196_char_entropy" -> q196,
+    "q200_token_gini" -> q200,
     "q166_ttr" -> q166,
     "q156_jsd_drift" -> q156,
     "q157_gopher_rules" -> q157,
@@ -2417,6 +2466,7 @@ object TextOps {
     "q142_zipf_slope" -> q142Sql,
     "q182_vocab_overlap" -> q182Sql,
     "q196_char_entropy" -> q196Sql,
+    "q200_token_gini" -> q200Sql,
     "q138_epoch_plan" -> q138Sql,
     "q132_bm25" -> q132Sql,
     "q133_contamination" -> q133Sql,

@@ -366,6 +366,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanLint.check(
       Relational.queries("q198_purchase_rate")(spark, sfDir))
       .isEmpty, "q198")
+    // q199 one brand aggregate + top-k; q200 grouped prefix-sum Gini
+    assert(PlanLint.check(
+      Relational.queries("q199_wilson_returns")(spark, sfDir))
+      .isEmpty, "q199")
+    assert(PlanLint.check(graft.operators.TextOps
+      .queries("q200_token_gini")(spark, sfDir)).isEmpty, "q200")
   }
 
   test("graft_lint TVF: the plan rules from SQL — findings for the " +
