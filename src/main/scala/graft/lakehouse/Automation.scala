@@ -240,9 +240,44 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     report
   }
 
+  /** Adopt batch objects published by the pre-`data/` layout (they
+    * lived directly under `corpusDir/batch-*.parquet`): one atomic
+    * rename each into `corpusDataDir`, so the versioned commit, the
+    * model-retrain label reads, and the retrieval fold all see them
+    * again after an upgrade — without this they silently vanish while
+    * the near-dup history postings still claim their docs exist.
+    * Idempotent across crashes: objects are immutable and tag-named
+    * (same tag ⇒ same content by the publish protocol), so a replay
+    * that finds the target already present just drops the leftover
+    * source. */
+  private def adoptLegacyCorpusObjects(
+      cc: Automation.CorpusDedupConfig): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cc.corpusDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(cc.corpusDir)
+    if (!fs.exists(root)) return
+    val legacy = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("batch-") && n.endsWith(".parquet")
+      }
+    if (legacy.nonEmpty) {
+      val dd = new org.apache.hadoop.fs.Path(cc.corpusDataDir)
+      fs.mkdirs(dd)
+      legacy.foreach { src =>
+        val dst = new org.apache.hadoop.fs.Path(dd, src.getName)
+        if (fs.exists(dst)) fs.delete(src, true)
+        else require(fs.rename(src, dst),
+          s"legacy corpus object adoption failed: $src -> $dst")
+      }
+    }
+  }
+
   /** Whether any published corpus batch objects exist yet. */
   private def corpusHasObjects(
       cc: Automation.CorpusDedupConfig): Boolean = {
+    adoptLegacyCorpusObjects(cc)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(cc.corpusDir),
       spark.sparkContext.hadoopConfiguration)
@@ -261,6 +296,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
     * version the catalog should pin. */
   private def commitCorpusTable(
       cc: Automation.CorpusDedupConfig): Long = {
+    adoptLegacyCorpusObjects(cc)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(cc.corpusDir),
       spark.sparkContext.hadoopConfiguration)
@@ -301,6 +337,7 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       cc: Automation.CorpusDedupConfig): Automation.CorpusReport = {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.functions.col
+    adoptLegacyCorpusObjects(cc)
     val load = IncrementalLoader.run(spark, cc.srcDir, cc.rawTableDir,
       cc.registryDir, cc.schema, cc.format)
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -445,18 +482,21 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
         val seqDir = new org.apache.hadoop.fs.Path(s"$rx/_seq")
         rfs.mkdirs(seqDir)
         val tagFile = new org.apache.hadoop.fs.Path(seqDir, tag)
+        def readSeq(): Long = {
+          val in = rfs.open(tagFile)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong
+          finally in.close()
+        }
         val id =
-          if (rfs.exists(tagFile)) {
-            val in = rfs.open(tagFile)
-            try scala.io.Source.fromInputStream(in, "UTF-8")
-              .mkString.trim.toLong
-            finally in.close()
-          } else {
+          if (rfs.exists(tagFile)) readSeq()
+          else {
             val next = rfs.listStatus(seqDir).length + 1L
-            val out = rfs.create(tagFile, false)
-            try out.write(next.toString.getBytes("UTF-8"))
-            finally out.close()
-            next
+            // atomic arbitration: a racing writer's value wins whole
+            try {
+              graft.util.AtomicPut.putIfAbsent(rfs, tagFile, next.toString)
+              next
+            } catch { case _: java.io.IOException => readSeq() }
           }
         // with a catalog configured, fold history is retained to the
         // catalog's keep so snapshot readers can searchAt pinned
@@ -465,10 +505,11 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
           spark.read.parquet(s"${cc.corpusDataDir}/batch-$tag.parquet"), id,
           keepVersions = cfg.catalog.map(_.keep).getOrElse(1))
       }
-      // marker LAST: its existence = this raw file fully processed
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(doneDir, s"done-$tag"), false)
-      out.close()
+      // marker LAST: its existence = this raw file fully processed;
+      // atomic create-if-absent so a racing second daemon fails loudly
+      graft.util.AtomicPut.putIfAbsent(fs,
+        new org.apache.hadoop.fs.Path(doneDir, s"done-$tag"), "")
+
       kept += nKept
       dropped += nFresh - nKept
     }

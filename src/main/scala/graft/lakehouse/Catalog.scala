@@ -16,9 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout: `catRoot/_catalog/<N>` — one text object per catalog
   * version, lines `t\t<name>\t<tableRoot>\t<tableVersion>`. The
   * object's EXISTENCE is the commit (the VersionedTable manifest
-  * discipline applied one level up); `create(overwrite = false)` is
-  * the arbitration, so two racing transactions can never both
-  * publish the same catalog version.
+  * discipline applied one level up); [[graft.util.AtomicPut]] is the
+  * arbitration — genuinely atomic create-if-absent per scheme (local
+  * link(2), HDFS namenode create-exclusive, object-store conditional
+  * PUT) — so two racing transactions can never both publish the same
+  * catalog version, and readers never observe a torn mapping.
   *
   * Transaction protocol ([[commitAll]]):
   *   1. every staged write commits a NEW VERSION on its own table —
@@ -193,14 +195,16 @@ object Catalog {
     val body = tables.toSeq.sortBy(_._1)
       .map { case (name, (root, v)) => s"t\t$name\t$root\t$v" }
       .mkString("\n")
-    val out =
-      try fs.create(new Path(catDir(catRoot), n.toString), false)
-      catch {
-        case e: java.io.IOException => throw new CatalogConflictException(
-          s"concurrent transaction detected: catalog version $n of " +
-            s"$catRoot was published by another writer", e)
-      }
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // the catalog object's CONTENT is the commit (unlike the manifest,
+    // whose existence alone commits), so the PUT must be atomic in
+    // both arbitration AND content — AtomicPut guarantees exactly that
+    try graft.util.AtomicPut.putIfAbsent(
+      fs, new Path(catDir(catRoot), n.toString), body)
+    catch {
+      case e: java.io.IOException => throw new CatalogConflictException(
+        s"concurrent transaction detected: catalog version $n of " +
+          s"$catRoot was published by another writer", e)
+    }
   }
 
   /** Drop retained catalog versions older than the newest `keep`

@@ -280,6 +280,22 @@ object IncrementalLoader {
       onMain.exists(_.endsWith(s"/${publishedName(p)}")))
   }
 
+  /** The row counts the staged rows recorded, per path — carried
+    * forward when a path flips `ok`, so the registry invariant
+    * (`status = ok` rows carry the load's true n_rows, consumers read
+    * max(n_rows) per path) holds across BOTH load flows, direct run()
+    * and branch publish, instead of branch-published paths reading 0. */
+  private def stagedRowCounts(spark: SparkSession, registryDir: String,
+      paths: Seq[String]): Map[String, Long] = {
+    if (paths.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, max}
+    LoadRegistry.read(spark, registryDir)
+      .filter(col("status") === LoadRegistry.StatusStaged &&
+        col("path").isin(paths: _*))
+      .groupBy("path").agg(max(col("n_rows")).as("n_rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** PUBLISH the staged branch: the whole audited load flips visible
     * in one commit, then the staged registry rows flip `ok`
     * (publish-then-record — a crash between leaves the paths settled
@@ -292,14 +308,15 @@ object IncrementalLoader {
     // reconcile orphans of a prior crashed publish BEFORE this one:
     // their rows are already live on main
     val (orphaned, live) = partitionByPublished(spark, tableDir, staged)
+    val counts = stagedRowCounts(spark, registryDir, staged)
     if (orphaned.nonEmpty)
       LoadRegistry.record(spark, registryDir,
-        orphaned.map(p => (p, LoadRegistry.StatusOk, 0L)))
+        orphaned.map(p => (p, LoadRegistry.StatusOk, counts.getOrElse(p, 0L))))
     val v = VersionedTable.publishBranch(spark, tableDir, branch,
       keepVersions, force)
     if (live.nonEmpty)
       LoadRegistry.record(spark, registryDir,
-        live.map(p => (p, LoadRegistry.StatusOk, 0L)))
+        live.map(p => (p, LoadRegistry.StatusOk, counts.getOrElse(p, 0L))))
     v
   }
 
@@ -315,9 +332,10 @@ object IncrementalLoader {
     val staged = stagedPaths(spark, registryDir)
     val (orphaned, toRelease) =
       partitionByPublished(spark, tableDir, staged)
+    val counts = stagedRowCounts(spark, registryDir, staged)
     if (orphaned.nonEmpty)
       LoadRegistry.record(spark, registryDir,
-        orphaned.map(p => (p, LoadRegistry.StatusOk, 0L)))
+        orphaned.map(p => (p, LoadRegistry.StatusOk, counts.getOrElse(p, 0L))))
     if (toRelease.nonEmpty)
       LoadRegistry.record(spark, registryDir,
         toRelease.map(p => (p, LoadRegistry.StatusReleased, 0L)))

@@ -1251,13 +1251,18 @@ object VersionedTable {
     require(fs.exists(new Path(commitsDir(root), v.toString)),
       s"version $v of $root is not retained — nothing to pin")
     fs.mkdirs(tagsDir(root))
-    val out =
-      try fs.create(new Path(tagsDir(root), name), replace)
+    if (replace) {
+      // replace is a deliberate single-writer move, not an arbitration
+      val out = fs.create(new Path(tagsDir(root), name), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } else {
+      try graft.util.AtomicPut.putIfAbsent(
+        fs, new Path(tagsDir(root), name), v.toString)
       catch {
         case e: java.io.IOException => throw new IllegalStateException(
           s"tag '$name' already exists on $root (pass replace=true to move it)", e)
       }
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
     v
   }
 
@@ -1359,14 +1364,13 @@ object VersionedTable {
     fs.mkdirs(bd)
     val payload = (s"base\t$base" +: files.sorted.map(f => s"f\t${esc(f)}"))
       .mkString("\n")
-    val out =
-      try fs.create(new Path(bd, seq.toString), false)
-      catch {
-        case e: java.io.IOException => throw new CommitConflictException(
-          s"branch '$name' seq $seq on $root already exists — " +
-            "a concurrent branch writer won", e)
-      }
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    try graft.util.AtomicPut.putIfAbsent(fs, new Path(bd, seq.toString),
+      payload)
+    catch {
+      case e: java.io.IOException => throw new CommitConflictException(
+        s"branch '$name' seq $seq on $root already exists — " +
+          "a concurrent branch writer won", e)
+    }
   }
 
   /** Create branch `name` from main's current version: a zero-copy
@@ -2112,16 +2116,15 @@ object VersionedTable {
     * computes the next version. */
   private def publishManifest(fs: FileSystem, root: String, n: Long,
       payload: String = "", dataDirName: Option[String] = None): Unit = {
-    val out =
-      try fs.create(new Path(commitsDir(root), n.toString), false)
-      catch {
-        case e: java.io.IOException => throw new CommitConflictException(
-          s"concurrent commit detected: version $n of $root was published " +
-            "by another writer", e)
-      }
     val body = (Seq(n.toString) ++ dataDirName.map(d => s"d\t$d") ++
       Option(payload).filter(_.nonEmpty)).mkString("\n")
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try graft.util.AtomicPut.putIfAbsent(
+      fs, new Path(commitsDir(root), n.toString), body)
+    catch {
+      case e: java.io.IOException => throw new CommitConflictException(
+        s"concurrent commit detected: version $n of $root was published " +
+          "by another writer", e)
+    }
   }
 
   /** OPTIMISTIC-CONCURRENCY commit: the multi-writer form. Each

@@ -3999,8 +3999,13 @@ object Relational {
     val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
     val weekly = Tables.lineitem(s, d)
+      // FLOOR division, not `div` (truncate-toward-zero): the DuckDB
+      // oracle's `//` floors, and the two diverge for shipdates before
+      // the 1992-01-01 epoch — pin floor on both sides instead of
+      // depending on the dataset's date range (day counts are small,
+      // so the double division is exact)
       .groupBy(expr(
-        "cast(datediff(to_date(l_shipdate), date'1992-01-01') div 7 " +
+        "cast(floor(datediff(to_date(l_shipdate), date'1992-01-01') / 7) " +
           "as bigint)").as("week"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast(dec6)).as("rev"))

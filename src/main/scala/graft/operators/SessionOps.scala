@@ -595,7 +595,7 @@ object SessionOps {
   private val q159Sql =
     """WITH hourly AS (
       |  SELECT event_type,
-      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS h,
+      |    ((CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24) + 24) % 24 AS h,
       |    COUNT(*) AS c
       |  FROM events GROUP BY 1, 2),
       |tot AS (
@@ -740,7 +740,7 @@ object SessionOps {
   private val q162Sql =
     """WITH base AS (
       |  SELECT event_type AS x,
-      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 7 AS y
+      |    ((CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 7) + 7) % 7 AS y
       |  FROM events),
       |joint AS (SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2),
       |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM joint GROUP BY 1),
@@ -833,9 +833,11 @@ object SessionOps {
       .select(floor(unix_micros(col("ts")) / DayUs).cast("long").as("day"),
         col("user_id"))
       .distinct()
+    // floor division (`div` truncates toward zero; the oracle's `//`
+    // floors — they diverge for pre-1970 days, so pin floor here)
     val daily = du.groupBy("day").agg(count(lit(1)).as("dau"))
-      .withColumn("week", expr("day div 7"))
-    val weekly = du.withColumn("week", expr("day div 7"))
+      .withColumn("week", floor(col("day") / 7).cast("long"))
+    val weekly = du.withColumn("week", floor(col("day") / 7).cast("long"))
       .groupBy("week")
       .agg(countDistinct(col("user_id")).as("wau"))
     daily.groupBy("week")

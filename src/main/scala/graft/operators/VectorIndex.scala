@@ -459,15 +459,21 @@ object VectorIndex {
     // just a crashed clear; sweep them and continue.
     val intentsDir = new org.apache.hadoop.fs.Path(s"$path/_batches_intent")
     if (fs.exists(intentsDir)) {
-      val pending = fs.listStatus(intentsDir).toSeq
-        .map(_.getPath.getName)
-        .filter(b => !fs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/_batches/$b")))
+      val listed = fs.listStatus(intentsDir).toSeq.map(_.getPath)
+      val (swept, pending) = listed.partition(p => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/_batches/${p.getName}")))
       require(pending.isEmpty,
-        s"retrain refused: in-flight streaming add(s) ${pending.mkString(",")} " +
-          s"at $path — their replay must fold (clearing the intent) before " +
-          "a generation flip, or the rebuild+replay would duplicate their rows")
-      fs.delete(intentsDir, true)
+        s"retrain refused: in-flight streaming add(s) " +
+          s"${pending.map(_.getName).mkString(",")} at $path — their replay " +
+          "must fold (clearing the intent) before a generation flip, or the " +
+          "rebuild+replay would duplicate their rows")
+      // sweep ONLY the individually listed marker-completed intents —
+      // never the directory: a concurrent addIdempotent may create its
+      // intent between this listing and the delete, and that intent
+      // must survive so the NEXT retrain attempt still sees the
+      // in-flight add (streamed adds are explicitly concurrent with
+      // maintenance; deleting the dir re-opened the duplication window)
+      swept.foreach(p => fs.delete(p, false))
     }
     val rt = dataRoot(spark, path)
     val sub = if (isPQ(spark, path)) "codes" else "lists"

@@ -1,0 +1,198 @@
+package graft
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CyclicBarrier}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import graft.lakehouse.VersionedTable
+import graft.util.AtomicPut
+
+/** Real-thread races on the single-object arbitration primitive and
+  * every protocol that rides it (manifest, tag, branch, catalog,
+  * optimistic commit). These are the tests the round-7 verdict asked
+  * for: the old `fs.create(path, overwrite = false)` on the local
+  * filesystem was CHECK-THEN-CREATE and lost one writer's content
+  * under a microsecond-wide window; AtomicPut must close it for real,
+  * demonstrated with tight two-to-four-thread loops, not
+  * deterministic injection. */
+class AtomicPutSpec extends SparkSpec {
+
+  private def fs: FileSystem =
+    FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+
+  test("putIfAbsent: exactly one of 4 racing writers wins each of " +
+      "300 rounds, and the stored content is the winner's whole body") {
+    val dir = tmpDir("atomic-put")
+    val writers = 4
+    (0 until 300).foreach { round =>
+      val p = new Path(s"$dir/obj-$round")
+      val barrier = new CyclicBarrier(writers)
+      val won = new ConcurrentLinkedQueue[Int]()
+      val lost = new ConcurrentLinkedQueue[Int]()
+      val threads = (0 until writers).map { i =>
+        new Thread(() => {
+          barrier.await()
+          try { AtomicPut.putIfAbsent(fs, p, s"writer-$i-" * 50); won.add(i) }
+          catch { case _: java.io.IOException => lost.add(i) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(won.size == 1, s"round $round: winners=${won.size}")
+      assert(lost.size == writers - 1)
+      val w = won.peek()
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(body == s"writer-$w-" * 50,
+        s"round $round: torn or foreign content (winner $w, " +
+          s"got ${body.take(40)}… len ${body.length})")
+    }
+  }
+
+  test("putIfAbsent: a polling reader never observes a partial object " +
+      "(content is atomic with the name on local fs)") {
+    val dir = tmpDir("atomic-put-read")
+    val body = "x" * 262144 // 256 KiB — wide enough to catch a torn write
+    (0 until 30).foreach { round =>
+      val p = new Path(s"$dir/obj-$round")
+      val nio = java.nio.file.Paths.get(s"$dir/obj-$round")
+      @volatile var seen: Option[Long] = None
+      val reader = new Thread(() => {
+        while (seen.isEmpty) {
+          if (java.nio.file.Files.exists(nio))
+            seen = Some(java.nio.file.Files.size(nio))
+        }
+      })
+      reader.start()
+      AtomicPut.putIfAbsent(fs, p, body)
+      reader.join(5000)
+      assert(seen.contains(body.length.toLong),
+        s"round $round: reader saw size $seen != ${body.length}")
+    }
+  }
+
+  test("putIfAbsent is idempotence-hostile by design: a retry against " +
+      "an existing object throws, content stays the first write's") {
+    val dir = tmpDir("atomic-put-retry")
+    val p = new Path(s"$dir/obj")
+    AtomicPut.putIfAbsent(fs, p, "first")
+    intercept[java.io.IOException] { AtomicPut.putIfAbsent(fs, p, "second") }
+    val in = fs.open(p)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(got == "first")
+    // and no temp litter is left behind
+    assert(fs.listStatus(new Path(dir)).map(_.getPath.getName).toSeq == Seq("obj"))
+  }
+
+  test("tag create: two real threads race the same tag name 40 times — " +
+      "exactly one wins, the pin is the winner's version, intact") {
+    import spark.implicits._
+    (0 until 40).foreach { round =>
+      val root = tmpDir("tag-race") + "/t"
+      VersionedTable.commit(spark, root, keepVersions = 4) { d =>
+        Seq(1).toDF("id").coalesce(1).write.parquet(d) }
+      VersionedTable.commit(spark, root, keepVersions = 4) { d =>
+        Seq(2).toDF("id").coalesce(1).write.parquet(d) }
+      val barrier = new CyclicBarrier(2)
+      val won = new ConcurrentLinkedQueue[Long]()
+      val threads = Seq(1L, 2L).map { v =>
+        new Thread(() => {
+          barrier.await()
+          try { VersionedTable.tag(spark, root, "pin", Some(v)); won.add(v) }
+          catch { case _: IllegalStateException => () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(won.size == 1, s"round $round: ${won.size} tag winners")
+      assert(VersionedTable.tagVersion(spark, root, "pin")
+        .contains(won.peek()), s"round $round: pin != winner")
+    }
+  }
+
+  test("branch create: two real threads race createBranch — exactly one " +
+      "wins (the pin tag arbitrates), the branch manifest is whole") {
+    import spark.implicits._
+    (0 until 25).foreach { round =>
+      val root = tmpDir("branch-race") + "/t"
+      VersionedTable.commit(spark, root, keepVersions = 4) { d =>
+        Seq(1, 2, 3).toDF("id").coalesce(1).write.parquet(d) }
+      val barrier = new CyclicBarrier(2)
+      val won = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 2).map { _ =>
+        new Thread(() => {
+          barrier.await()
+          try { VersionedTable.createBranch(spark, root, "dev"); won.incrementAndGet() }
+          catch { case _: Exception => () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(won.get == 1, s"round $round: ${won.get} branch winners")
+      assert(VersionedTable.readBranch(spark, root, "dev")
+        .collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    }
+  }
+
+  test("commitOptimistic: two real threads appending disjoint rows both " +
+      "land via rebase — serial version chain, no lost update") {
+    import spark.implicits._
+    (0 until 10).foreach { round =>
+      val root = tmpDir("opt-race") + "/t"
+      VersionedTable.commit(spark, root, keepVersions = 16) { d =>
+        Seq(0).toDF("id").coalesce(1).write.parquet(d) }
+      val barrier = new CyclicBarrier(2)
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(100, 200).map { base =>
+        new Thread(() => {
+          barrier.await()
+          try VersionedTable.commitOptimistic(spark, root,
+            keepVersions = 16) { cur =>
+            cur.get.unionByName(Seq(base + round).toDF("id"))
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"round $round: $errs")
+      assert(VersionedTable.read(spark, root).collect()
+        .map(_.getInt(0)).toSet == Set(0, 100 + round, 200 + round),
+        s"round $round: lost update")
+      assert(VersionedTable.currentVersion(spark, root).contains(3L),
+        s"round $round: version chain not serial")
+    }
+  }
+
+  test("catalog publish: two real threads, same next version, 60 tight " +
+      "rounds — one wins whole or both serialize; never a torn mapping") {
+    import spark.implicits._
+    import graft.lakehouse.Catalog
+    (0 until 60).foreach { round =>
+      val base = tmpDir("cat-race")
+      val cat = s"$base/cat"
+      def tw(name: String, rows: Seq[Int]) =
+        Catalog.TableWrite(name, s"$base/$name", () =>
+          VersionedTable.commit(spark, s"$base/$name", keepVersions = 8) {
+            d => rows.toDF("id").coalesce(1).write.parquet(d) })
+      Catalog.commitAll(spark, cat, Seq(tw("a", Seq(1)), tw("b", Seq(2))))
+      val barrier = new CyclicBarrier(2)
+      val oks = new ConcurrentLinkedQueue[Catalog.Snapshot]()
+      val threads = Seq(("a", Seq(11, 12)), ("b", Seq(21, 22))).map {
+        case (n, rows) => new Thread(() => {
+          barrier.await()
+          try oks.add(Catalog.commitAll(spark, cat, Seq(tw(n, rows))))
+          catch { case _: Catalog.CatalogConflictException => () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(!oks.isEmpty, s"round $round: both racers failed")
+      // whoever won: the CURRENT snapshot must be internally whole —
+      // both tables present, each readable at its pinned version
+      val snap = Catalog.current(spark, cat).get
+      assert(snap.tables.keySet == Set("a", "b"),
+        s"round $round: torn mapping ${snap.tables.keySet}")
+      Seq("a", "b").foreach { n =>
+        val got = snap.read(spark, n).collect().map(_.getInt(0)).toSet
+        assert(got.nonEmpty, s"round $round: $n unreadable")
+      }
+    }
+  }
+}

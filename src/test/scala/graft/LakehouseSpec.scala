@@ -3130,4 +3130,125 @@ class LakehouseSpec extends SparkSpec {
     assert(e.getMessage.contains("not retained"))
     assert(VersionedTable.read(spark, root).count() == 2)
   }
+
+  test("retrain intent sweep deletes only the LISTED marker-completed " +
+      "intents — an intent created mid-retrain survives and guards " +
+      "the next attempt") {
+    import graft.operators.VectorIndex
+    import org.apache.spark.sql.functions.col
+    val idx = tmpDir("annintent") + "/idx"
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorIndex.build(emb.filter(col("vec_id") < 40), idx, k = 3, iters = 3)
+    assert(VectorIndex.addIdempotent(spark, idx,
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 60), 0L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    // simulate the marker-landed-but-intent-clear-crashed window for
+    // batch 0: its intent exists AND its marker exists
+    val intent0 = new org.apache.hadoop.fs.Path(s"$idx/_batches_intent/batch-0")
+    fs.mkdirs(intent0.getParent)
+    fs.create(intent0, true).close()
+    val lateIntent =
+      new org.apache.hadoop.fs.Path(s"$idx/_batches_intent/batch-99")
+    // retrain sweeps intent0 (marker-completed), then runs build —
+    // during which a concurrent addIdempotent lands ITS intent; the
+    // old dir-delete sweep would have erased it had it landed between
+    // the listing and the delete, re-opening the duplication window
+    VectorIndex.retrain(spark, idx, emb.filter(col("vec_id") < 60),
+      (src, stage) => {
+        fs.create(lateIntent, true).close()
+        VectorIndex.build(src, stage, k = 3, iters = 3)
+      })
+    assert(!fs.exists(intent0), "marker-completed intent not swept")
+    assert(fs.exists(lateIntent),
+      "an intent created after the sweep listing must survive the sweep")
+    // and it still guards: the next retrain refuses while it is pending
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.retrain(spark, idx, emb.filter(col("vec_id") < 60),
+        (src, stage) => VectorIndex.build(src, stage, k = 3, iters = 3))
+    }
+    assert(e.getMessage.contains("batch-99"))
+  }
+
+  test("legacy root-level corpus batch objects are adopted into data/ " +
+      "and stay visible to the versioned commit after an upgrade") {
+    import spark.implicits._
+    val root = tmpDir("corpuslegacy")
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings")
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false,
+      corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    // a batch object published by the PREVIOUS layout: directly under
+    // corpusDir, no data/ subdir — plus the done marker that claims
+    // its raw file was fully processed
+    new java.io.File(s"$root/corpus").mkdirs()
+    Seq((100L, (1 to 30).map(i => s"legacy$i").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$root/corpus/_legacy_stage")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$root/corpus"),
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/corpus/_legacy_stage"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(part,
+      new org.apache.hadoop.fs.Path(s"$root/corpus/batch-1.parquet")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/corpus/_legacy_stage"),
+      true)
+    // a fresh drop arrives; the tick must adopt the legacy object AND
+    // process the new one — both visible through data/ afterwards
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/drops/d9.json"),
+      s"""{"doc_id": 200, "text": "${(1 to 30).map(i => s"fresh$i")
+        .mkString(" ")}", "lang": "en", "source": "s"}"""
+        .getBytes("UTF-8"))
+    auto.tick()
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/corpus/batch-1.parquet")),
+      "legacy object not migrated")
+    val ids = spark.read.parquet(s"$root/corpus/data").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(100L, 200L), s"corpus after adoption: $ids")
+  }
+
+  test("branch publish/discard carry the staged rows' n_rows into the " +
+      "ok/orphan registry records instead of 0") {
+    import org.apache.spark.sql.functions.{col, max}
+    import spark.implicits._
+    val root = tmpDir("brnrows")
+    val src = s"$root/src"; val tbl = s"$root/t"; val reg = s"$root/reg"
+    new java.io.File(src).mkdirs()
+    VersionedTable.commit(spark, tbl, keepVersions = 8) { d =>
+      Seq(0L).toDF("id").coalesce(1).write.parquet(d) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.json"),
+      Seq("""{"id": 1}""", """{"id": 2}""", """{"id": 3}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    IncrementalLoader.runToBranch(spark, src, tbl, reg, schema, "json")
+    IncrementalLoader.publishStagedBranch(spark, tbl, reg)
+    val okRows = LoadRegistry.read(spark, reg)
+      .filter(col("status") === LoadRegistry.StatusOk)
+      .agg(max("n_rows")).collect()(0).getLong(0)
+    assert(okRows == 3L,
+      s"publish must carry the staged row count forward, got $okRows")
+    // discard path: stage a second file, discard — if a crashed
+    // publish left orphans they flip ok with the true count (here the
+    // released row keeps 0, but the max-per-path invariant holds)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/b.json"),
+      Seq("""{"id": 4}""").mkString("\n").getBytes("UTF-8"))
+    IncrementalLoader.runToBranch(spark, src, tbl, reg, schema, "json")
+    IncrementalLoader.discardStagedBranch(spark, tbl, reg)
+    val perPath = LoadRegistry.read(spark, reg)
+      .filter(col("status") === LoadRegistry.StatusOk)
+      .groupBy("path").agg(max("n_rows").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perPath.values.forall(_ > 0L),
+      s"every ok path must carry its true row count: $perPath")
+  }
 }
