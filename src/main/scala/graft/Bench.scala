@@ -67,7 +67,9 @@ object Bench {
     "q189_nbinom_fit", "q190_entropy_rate", "q191_scd2_ranges",
     "q192_token_sequences", "q193_jarque_bera", "q194_transitivity",
     "q195_degree_powerlaw", "q196_char_entropy", "q197_weekly_volatility",
-    "q198_purchase_rate", "q199_wilson_returns", "q200_token_gini")
+    "q198_purchase_rate", "q199_wilson_returns", "q200_token_gini",
+    "q201_unigram_fertility", "q202_trade_balance", "q203_bounce_rate",
+    "q204_cohens_kappa", "q205_new_vs_returning", "q206_hill_tail")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,17 +108,32 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok, graft.util.PhaseTimer.drain())
     }
+    // measured ANN quality telemetry: recall@10 of q91's production
+    // search config (the prebuilt IVF-PQ index, nprobe=4) against the
+    // exact brute-force top-10 — a geometry/retrain regression now
+    // shows up as a NUMBER in the round artifact, not only in
+    // test-scale spec floors
+    val recall10 = measuredPqRecall(spark, sfDir, 10)
+    val recall3 = measuredPqRecall(spark, sfDir, 3) // q91's literal k
+    // the knob row: widening the probe set must buy recall — if this
+    // stops dominating recall@10(nprobe=4), routing itself regressed
+    val recall10w = measuredPqRecall(spark, sfDir, 10, nprobe = 8)
+
     // ARTIFACT ROBUSTNESS: the driver retains only the stdout TAIL,
     // so (1) every query also gets its own short `BENCHQ name sec`
     // line — a tail cut loses only the OLDEST of these, each is
-    // independently parseable — and (2) the single JSON line prints
-    // LAST (most tail-protected) with keys SORTED, so a line cut
-    // from the front makes the missing keys identifiable and every
-    // surviving key recoverable.
+    // independently parseable — (2) the single JSON line prints
+    // LAST (most tail-protected) with keys SORTED, and (3) the FULL
+    // per-query rows are also written to their own compact artifact
+    // file (one sorted line per query), immune to the tail cap, so
+    // round-over-round per-query regression diffs never go blind.
     val sorted = results.sortBy(_._1)
     sorted.foreach { case (k, v, ok, _) =>
       println(f"BENCHQ $k $v%.3f${if (ok) "" else " FAILED"}")
     }
+    def phaseJson(ph: Seq[(String, Double)]): String =
+      ph.map { case (p, s) => "\"" + p + f"""\":$s%.3f""" }
+        .mkString("{", ",", "}")
     val qs = sorted.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val failed = sorted.collect { case (k, _, false, _) => "\"" + k + "\"" }
@@ -126,11 +143,58 @@ object Bench {
     // which a loaded driver multiplies — from real compute, so a
     // round-over-round regression names the phase that moved
     val phases = sorted.collect { case (k, _, _, ph) if ph.nonEmpty =>
-      "\"" + k + "\":" + ph.map { case (p, s) =>
-        "\"" + p + f"""\":$s%.3f""" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + phaseJson(ph)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"phases":$phases,"sf":"$sfDir"}""")
+    val recallJson = f"""{"q91_ann_pq_search_recall_at_3":$recall3%.4f,"q91_ann_pq_search_recall_at_10":$recall10%.4f,"q91_ann_pq_search_recall_at_10_nprobe8":$recall10w%.4f}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_artifacts/bench_queries.jsonl")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val lines = sorted.map { case (k, v, ok, ph) =>
+        f"""{"q":"$k","sec":$v%.3f,"ok":$ok""" +
+          (if (ph.nonEmpty) s""","phases":${phaseJson(ph)}""" else "") + "}"
+      } :+ f"""{"q":"_total","sec":$total%.3f,"sf":"$sfDir","n":${sorted.size},"recall":$recallJson}"""
+      java.nio.file.Files.write(p,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      println(s"BENCH_ARTIFACT $outFile")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"phases":$phases,"recall":$recallJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** recall@10 of the persisted IVF-PQ index's search path (q91's
+    * exact config) vs the brute-force exact top-10 over the same
+    * probes. Probes = the 32 lowest vec_ids — deterministic, so the
+    * number is comparable across rounds; ties at the boundary can
+    * shave a hit, which is fine for regression telemetry. */
+  private def measuredPqRecall(spark: SparkSession, sfDir: String,
+      k: Int, nprobe: Int = 4): Double = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val path = graft.operators.ScaleOps.ensurePqIndex(spark, sfDir)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 32)
+    val got = graft.operators.VectorIndex
+      .searchPQ(spark, path, probes, emb, nprobe = nprobe, k = k)
+      .select("probe_id", "neighbor_id")
+    val scored = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pe"))), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.cosineSim(col("pe"), col("ne"))
+          .as("c"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    val exact = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k).select("probe_id", "neighbor_id")
+    val denom = exact.count()
+    if (denom == 0) 0.0
+    else got.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .count().toDouble / denom
   }
 }

@@ -32,10 +32,40 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
   private val stopRequested = new AtomicBoolean(false)
   private var ticks = 0L
 
+  /** Stable identity for this daemon instance in lease contention. */
+  private val daemonId =
+    s"${java.net.InetAddress.getLocalHost.getHostName}-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+
   /** One scheduler cycle. Generate is first (mirroring the separate
     * datagen process) so a tick's own drop is picked up by its load
-    * pass, like the reference's minute-aligned schedules. */
+    * pass, like the reference's minute-aligned schedules.
+    *
+    * With `Config.lease` set, the whole cycle runs under a TTL writer
+    * lease ([[Lease]]): a second daemon's concurrent tick SKIPS
+    * (`leaseSkipped = true`, nothing written, no history row) instead
+    * of tripping the commit protocol's loud conflict detection — both
+    * daemons' loads still land exactly once, each under its own held
+    * tick, because the registry dedups paths across holders. */
   def tick(): Automation.TickReport = {
+    cfg.lease match {
+      case None => tickHeld()
+      case Some(l) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(l.leaseDir),
+          spark.sparkContext.hadoopConfiguration)
+        val lp = new org.apache.hadoop.fs.Path(l.leaseDir, "_tick_lease")
+        if (!Lease.acquire(fs, lp, daemonId, l.ttlMs)) {
+          ticks += 1 // cadences stay wall-clock-aligned across skips
+          Automation.TickReport(ticks, None,
+            IncrementalLoader.LoadResult(Nil, Nil, Nil), Nil,
+            leaseSkipped = true)
+        } else try tickHeld() finally Lease.release(fs, lp, daemonId)
+    }
+  }
+
+  private def tickHeld(): Automation.TickReport = {
     ticks += 1
     val tickStartNanos = System.nanoTime()
     val generated = if (cfg.generate) {
@@ -823,7 +853,16 @@ object Automation {
       setSketch: Option[SetSketchConfig] = None,
       corpusDedup: Option[CorpusDedupConfig] = None,
       mirror: Option[MirrorConfig] = None,
-      cdcAgg: Option[CdcAggConfig] = None)
+      cdcAgg: Option[CdcAggConfig] = None,
+      // multi-daemon cooperation: run each tick under a TTL writer
+      // lease so a second daemon skips instead of conflicting
+      lease: Option[LeaseConfig] = None)
+
+  /** Tick-lease config: where the lease object lives and how long a
+    * crashed holder blocks takeover. Size `ttlMs` at several multiples
+    * of the longest observed tick. */
+  final case class LeaseConfig(leaseDir: String,
+      ttlMs: Long = 15L * 60 * 1000)
 
   /** Downstream-mirror maintenance: every `every` ticks, drain the
     * main table's CDC and apply the net changes to a keyed mirror at
@@ -1004,7 +1043,10 @@ object Automation {
       vacuumed: Seq[String] = Seq.empty,
       resolvedDeletes: Option[Long] = None,
       mirrored: Option[(Long, Long)] = None,
-      cdcSynced: Option[(Long, Long)] = None)
+      cdcSynced: Option[(Long, Long)] = None,
+      // true = another daemon held the tick lease; this cycle did
+      // nothing (no loads, no maintenance, no history row)
+      leaseSkipped: Boolean = false)
 
   /** One row of the persisted tick-history table (`Config.historyDir`)
     * — the flattened [[TickReport]] plus wall time and commit

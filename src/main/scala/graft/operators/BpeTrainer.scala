@@ -338,7 +338,17 @@ object BpeTrainer {
     * order on doc_id). `groupCols` packs each stream independently
     * (the CorpusPipeline per-(source, split) contract: a sequence
     * never straddles a split). Columns: (groupCols..., seq_id, ids,
-    * n_tokens, n_docs). */
+    * n_tokens, n_docs, doc_starts, doc_ids).
+    *
+    * LOADER PARITY: `doc_starts` carries the 0-based offset WITHIN the
+    * sequence where each document's chunk begins (sorted ascending,
+    * first element 0 unless the sequence opens mid-doc — then it is
+    * still 0, the continuation chunk starts the sequence), and
+    * `doc_ids` is the aligned source document per chunk. Together they
+    * are attention-mask-ready: a loader builds the block-diagonal
+    * document mask (or per-doc loss boundaries) directly from
+    * consecutive starts, with `n_tokens` closing the final block —
+    * no second pass over `ids` required. */
   def packSequences(encoded: DataFrame, seqLen: Int,
       groupCols: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, s"packSequences: seqLen must be positive ($seqLen)")
@@ -355,21 +365,34 @@ object BpeTrainer {
         explode(sequence(
           expr(s"start div ${seqLen}L"),
           expr(s"(start + n_tokens - 1) div ${seqLen}L"))).as("seq_id")): _*)
-      .select(groupCols.map(col) ++ Seq(col("seq_id"),
+      .select(groupCols.map(col) ++ Seq(col("seq_id"), col("doc_id"),
         greatest(col("seq_id") * L, col("start")).as("from_glob"),
         (least((col("seq_id") + 1) * L, col("start") + col("n_tokens")) -
           greatest(col("seq_id") * L, col("start"))).as("len"),
         col("ids"), col("start")): _*)
       .select(groupCols.map(col) ++ Seq(col("seq_id"), col("from_glob"),
+        col("doc_id"),
         slice(col("ids"),
           (col("from_glob") - col("start") + 1).cast("int"),
           col("len").cast("int")).as("chunk")): _*)
+    // chunks tile the global stream, so from_glob is strictly
+    // increasing within a sequence — array_sort on it is the total
+    // order, and per-chunk (start offset, doc) read straight off it
     chunks.groupBy((groupCols :+ "seq_id").map(col): _*)
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("from_glob"), col("chunk")))),
-        x => x.getField("chunk"))).as("ids"),
+      .agg(array_sort(collect_list(struct(
+        col("from_glob"), col("chunk"), col("doc_id")))).as("sorted"),
         count(lit(1)).as("n_docs"))
+      .select(groupCols.map(col) ++ Seq(col("seq_id"),
+        flatten(transform(col("sorted"), x => x.getField("chunk")))
+          .as("ids"),
+        col("n_docs"),
+        transform(col("sorted"),
+          x => (x.getField("from_glob") - col("seq_id") * L).cast("int"))
+          .as("doc_starts"),
+        transform(col("sorted"), x => x.getField("doc_id"))
+          .as("doc_ids")): _*)
       .select(groupCols.map(col) ++ Seq(col("seq_id"), col("ids"),
-        size(col("ids")).cast("long").as("n_tokens"), col("n_docs")): _*)
+        size(col("ids")).cast("long").as("n_tokens"), col("n_docs"),
+        col("doc_starts"), col("doc_ids")): _*)
   }
 }

@@ -4150,7 +4150,246 @@ object Relational {
       |ORDER BY wilson_lower DESC, brand ASC
       |LIMIT 10""".stripMargin
 
+  /** q202: NATION TRADE BALANCE — the same dimension joined from two
+    * fact paths: supplier-side export revenue (lineitem⋈supplier) vs
+    * customer-side demand spend (orders⋈customer), FULL OUTER on the
+    * nation, balance and ratio. Scale shape: two independent
+    * fact-sized aggregates with every dim broadcast, then a 25-row
+    * outer join — the dual-role-dimension pattern (how much does each
+    * geography produce vs consume). Revenue folds exact-decimal (the
+    * q197 discipline); the ratio is one IEEE divide at 6 dp. */
+  private val q202: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val nat = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name").as("nation")))
+    val exports = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("nation")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec6)).as("er"))
+    val demand = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("nation")
+      .agg(sum(col("o_totalprice").cast(dec6)).as("ds"))
+    exports.join(demand, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        coalesce(col("er"), lit(0).cast(dec6)).cast(dec18)
+          .as("export_rev"),
+        coalesce(col("ds"), lit(0).cast(dec6)).cast(dec18)
+          .as("demand_spend"))
+      .withColumn("balance",
+        (col("export_rev") - col("demand_spend")).cast(dec18))
+      .withColumn("export_ratio",
+        when(col("demand_spend") > 0, round(
+          col("export_rev").cast("double") /
+            col("demand_spend").cast("double"), 6)))
+  }
+  private val q202Sql =
+    """WITH exports AS (
+      |  SELECT n_name AS nation,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+      |      AS er
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |demand AS (
+      |  SELECT n_name AS nation,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS ds
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1)
+      |SELECT nation,
+      |  CAST(COALESCE(er, 0) AS DECIMAL(18,6)) AS export_rev,
+      |  CAST(COALESCE(ds, 0) AS DECIMAL(18,6)) AS demand_spend,
+      |  CAST(CAST(COALESCE(er, 0) AS DECIMAL(18,6))
+      |    - CAST(COALESCE(ds, 0) AS DECIMAL(18,6)) AS DECIMAL(18,6))
+      |    AS balance,
+      |  CASE WHEN COALESCE(ds, 0) > 0 THEN
+      |    ROUND(CAST(CAST(COALESCE(er, 0) AS DECIMAL(18,6)) AS DOUBLE)
+      |      / CAST(CAST(COALESCE(ds, 0) AS DECIMAL(18,6)) AS DOUBLE), 6)
+      |  END AS export_ratio
+      |FROM exports FULL OUTER JOIN demand USING (nation)""".stripMargin
+
+  /** q204: COHEN'S KAPPA per ship year between two binary labelings
+    * of line items — "deep discount" (l_discount ≥ 0.05) vs "returned"
+    * (l_returnflag = 'R'): chance-corrected agreement, the inter-rater
+    * machinery (label-vs-label QA on a 100 TB labeled corpus runs
+    * exactly this). One grouped integer-count aggregate (n, both,
+    * discount-only, return-only), po/pe/kappa one fixed IEEE
+    * expression over exact counts, 6 dp; hash-exact. */
+  private val q204: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      year(to_date(col("l_shipdate"))).as("ship_year"),
+      (col("l_discount") >= 0.05).cast("long").as("a"),
+      (col("l_returnflag") === "R").cast("long").as("b"))
+    val g = li.groupBy("ship_year").agg(
+      count(lit(1)).as("n"),
+      sum(col("a") * col("b")).as("n11"),
+      sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+      sum((lit(1L) - col("a")) * col("b")).as("n01"))
+    val nD = col("n").cast("double")
+    val n00 = col("n") - col("n11") - col("n10") - col("n01")
+    val po = (col("n11") + n00).cast("double") / nD
+    val pa = (col("n11") + col("n10")).cast("double") / nD
+    val pb = (col("n11") + col("n01")).cast("double") / nD
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    g.select(col("ship_year"), col("n"), col("n11"), col("n10"),
+      col("n01"),
+      round(po, 6).as("p_observed"),
+      round(pe, 6).as("p_expected"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+      .orderBy("ship_year")
+  }
+  private val q204Sql =
+    """WITH g AS (
+      |  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)
+      |      AS ship_year,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n01
+      |  FROM lineitem GROUP BY 1)
+      |SELECT ship_year, n, n11, n10, n01,
+      |  ROUND(CAST(n11 + (n - n11 - n10 - n01) AS DOUBLE)
+      |    / CAST(n AS DOUBLE), 6) AS p_observed,
+      |  ROUND((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS p_expected,
+      |  CASE WHEN (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) < 1.0
+      |  THEN ROUND(
+      |    (CAST(n11 + (n - n11 - n10 - n01) AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))))
+      |    / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+      |  END AS kappa
+      |FROM g ORDER BY ship_year""".stripMargin
+
+  /** q205: NEW vs RETURNING customers per month — an order is "new"
+    * iff its date is its customer's first order date (ties: several
+    * same-day firsts all count new, deterministic). The classic
+    * growth-accounting split. Scale shape: one customer-keyed min
+    * aggregate (key-sized) shuffle-joined back to orders on the same
+    * key, one month rollup; counts exact, revenue split exact-decimal,
+    * share one IEEE divide at 6 dp. */
+  private val q205: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice"))
+    val firstOrd = o.groupBy("o_custkey")
+      .agg(min(col("od")).as("first_date"))
+    o.join(firstOrd, Seq("o_custkey"))
+      .withColumn("is_new", (col("od") === col("first_date")).cast("long"))
+      .groupBy(date_format(col("od"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("is_new")).as("n_new"),
+        sum(when(col("is_new") === 1L, col("o_totalprice"))
+          .otherwise(lit(0)).cast(dec6)).as("nr"),
+        sum(when(col("is_new") === 0L, col("o_totalprice"))
+          .otherwise(lit(0)).cast(dec6)).as("rr"))
+      .select(col("month"), col("n_orders"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_orders").cast("double"),
+          6).as("new_share"),
+        col("nr").cast(dec18).as("new_rev"),
+        col("rr").cast(dec18).as("returning_rev"))
+      .orderBy("month")
+  }
+  private val q205Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+      |  FROM orders),
+      |f AS (SELECT o_custkey, MIN(od) AS first_date FROM o GROUP BY 1),
+      |j AS (
+      |  SELECT strftime(od, '%Y-%m') AS month,
+      |    CASE WHEN od = first_date THEN 1 ELSE 0 END AS is_new,
+      |    o_totalprice
+      |  FROM o JOIN f USING (o_custkey))
+      |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(is_new) AS BIGINT) AS n_new,
+      |  ROUND(CAST(SUM(is_new) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS new_share,
+      |  CAST(SUM(CAST(CASE WHEN is_new = 1 THEN o_totalprice ELSE 0 END
+      |    AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS new_rev,
+      |  CAST(SUM(CAST(CASE WHEN is_new = 0 THEN o_totalprice ELSE 0 END
+      |    AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS returning_rev
+      |FROM j GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** q206: HILL TAIL-INDEX ESTIMATOR over order values — the
+    * continuous-data heavy-tail twin of q195's discrete power-law MLE:
+    * H = mean ln(x_(i)/x_(k+1)) over the k = 200 largest totals,
+    * alpha = 1/H. Scale shape: a global top-(k+1) is one
+    * TakeOrdered (no full sort, no single-reducer window on data);
+    * everything after runs on 201 rows. Ties at the cut are
+    * value-interchangeable, so the term multiset — and the hash — is
+    * deterministic; terms round to 6 dp and fold through the exact
+    * decimal accumulator (the q156 discipline). */
+  private val q206: QFn = (s, d) => {
+    val k = 200
+    val top = Tables.orders(s, d)
+      .select(col("o_totalprice").cast("double").as("x"))
+      .orderBy(col("x").desc).limit(k + 1)
+    val w = Window.orderBy(col("x").desc)
+    val ranked = top.withColumn("r", row_number().over(w))
+    val xref = ranked.filter(col("r") === k + 1)
+      .select(col("x").as("x_ref"))
+    ranked.filter(col("r") <= k).crossJoin(broadcast(xref))
+      .select(col("x_ref"),
+        round(log(col("x") / col("x_ref")), 6).as("term"))
+      .groupBy("x_ref")
+      .agg(count(lit(1)).as("k"),
+        sum(col("term").cast(graft.util.Exact.Dec)).as("hsum"))
+      .select(col("k"), round(col("x_ref"), 6).as("x_ref"),
+        round(col("hsum").cast("double") / col("k"), 6).as("hill_h"),
+        round(col("k").cast("double") / col("hsum").cast("double"), 6)
+          .as("alpha"))
+  }
+  private val q206Sql =
+    """WITH top AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders ORDER BY x DESC LIMIT 201),
+      |ranked AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC) AS r FROM top),
+      |xr AS (SELECT x AS x_ref FROM ranked WHERE r = 201),
+      |terms AS (
+      |  SELECT x_ref, ROUND(LN(x / x_ref), 6) AS term
+      |  FROM ranked CROSS JOIN xr WHERE r <= 200)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |  ROUND(x_ref, 6) AS x_ref,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)
+      |    / COUNT(*), 6) AS hill_h,
+      |  ROUND(COUNT(*) / CAST(SUM(CAST(term AS DECIMAL(28,6)))
+      |    AS DOUBLE), 6) AS alpha
+      |FROM terms GROUP BY x_ref""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q202_trade_balance" -> q202,
+    "q204_cohens_kappa" -> q204,
+    "q205_new_vs_returning" -> q205,
+    "q206_hill_tail" -> q206,
     "q197_weekly_volatility" -> q197,
     "q198_purchase_rate" -> q198,
     "q199_wilson_returns" -> q199,
@@ -4251,6 +4490,10 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q202_trade_balance" -> q202Sql,
+    "q204_cohens_kappa" -> q204Sql,
+    "q205_new_vs_returning" -> q205Sql,
+    "q206_hill_tail" -> q206Sql,
     "q197_weekly_volatility" -> q197Sql,
     "q198_purchase_rate" -> q198Sql,
     "q199_wilson_returns" -> q199Sql,

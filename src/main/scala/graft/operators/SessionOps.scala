@@ -927,7 +927,58 @@ object SessionOps {
       |    AS DOUBLE), 6) AS h_joint_bits
       |FROM cell""".stripMargin
 
+  /** q203: BOUNCE RATE per user — sessionize exactly as q50 (30-min
+    * inactivity gap), then the share of single-event sessions: the
+    * engagement-quality number next to q113's session stats. Scale
+    * shape: the per-user window is the q50 machinery (keyed, never
+    * global), both rollups are map-side-partial counts, the rate is
+    * one IEEE divide over exact longs at 6 dp; hash-exact. */
+  private val q203: QFn = (s, d) => {
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounces"))
+      .select(col("user_id"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") /
+          col("n_sessions").cast("double"), 6).as("bounce_rate"))
+  }
+  private val q203Sql =
+    s"""WITH sess AS (
+       |  SELECT user_id, session_id, COUNT(*) AS n_events
+       |  FROM (
+       |    SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS session_id
+       |    FROM (
+       |      SELECT *, CASE WHEN prev_us IS NULL
+       |          OR epoch_us(ts) - prev_us > ${GapUs} THEN 1 ELSE 0 END
+       |        AS is_new
+       |      FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+       |              ORDER BY ts, event_id) AS prev_us
+       |            FROM events) a) b) c
+       |  GROUP BY 1, 2)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bounces,
+       |  ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+       |FROM sess GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q203_bounce_rate" -> q203,
     "q190_entropy_rate" -> q190,
     "q179_stickiness" -> q179,
     "q159_hour_entropy" -> q159,
@@ -950,6 +1001,7 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q203_bounce_rate" -> q203Sql,
     "q190_entropy_rate" -> q190Sql,
     "q179_stickiness" -> q179Sql,
     "q159_hour_entropy" -> q159Sql,

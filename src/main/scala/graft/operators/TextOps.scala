@@ -1397,6 +1397,28 @@ object TextOps {
           .as("fertility"))
   }
 
+  /** q201: q116's fertility rollup under the UNIGRAM-LM tokenizer
+    * ([[UnigramTrainer]], Kudo 2018) — the SentencePiece-style twin
+    * next to BPE, the vocab-sweep comparison a tokenizer choice runs.
+    * Training-dependent (EM over a sampled dictionary) ⇒ rows-only;
+    * the UnigramTrainer spec pins determinism, coverage, and
+    * fertility sanity vs BPE. Scale shape: ONE corpus pass builds the
+    * bounded dictionary, EM is driver-local over it, segmentation is
+    * pure map-side with the KB-sized piece table broadcast. */
+  private val q201: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val model = UnigramTrainer.train(docs, vocabSize = 400,
+      maxWords = 2000)
+    UnigramTrainer.segment(docs, model)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") / sum(col("n_words")), 6)
+          .as("fertility"))
+  }
+
   /** q117: language ID by RANKED N-GRAM PROFILES (Cavnar & Trenkle
     * 1994 — the classic "out-of-place" text categorizer), self-trained
     * and self-evaluated: per-language top-30 term profiles rank by
@@ -2425,6 +2447,7 @@ object TextOps {
     "q132_bm25" -> q132,
     "q133_contamination" -> q133,
     "q116_bpe_fertility" -> q116,
+    "q201_unigram_fertility" -> q201,
     "q117_langid_profiles" -> q117,
     "q123_pmi_collocations" -> q123,
     "q30_dedup_exact" -> q30,

@@ -1594,8 +1594,14 @@ class LakehouseSpec extends SparkSpec {
     fs.create(new org.apache.hadoop.fs.Path(
       s"$idx/_batches_intent/batch-7"), true).close()
     assert(VectorIndex.retrainAuto(spark, idx, emb) == 3L)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$idx/_batches_intent")))
+    // the sweep deletes each marker-completed intent INDIVIDUALLY
+    // (never the directory — a concurrent add's fresh intent must
+    // survive it), so the dir may remain, empty
+    val intentsDir = new org.apache.hadoop.fs.Path(
+      s"$idx/_batches_intent")
+    assert(!fs.exists(intentsDir) ||
+      fs.listStatus(intentsDir).isEmpty,
+      "marker-completed intents must be swept")
   }
 
   test("corpus tick folds published batches into the maintained " +
@@ -3215,6 +3221,91 @@ class LakehouseSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$root/corpus/data").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(100L, 200L), s"corpus after adoption: $ids")
+  }
+
+  test("Lease: tight-loop mutual exclusion, wrong-owner release refused, " +
+      "TTL breaks a stale holder") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val dir = tmpDir("lease")
+    (0 until 100).foreach { round =>
+      val lp = new Path(s"$dir/l-$round")
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val won = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val ts = (0 until 4).map { i =>
+        new Thread(() => {
+          barrier.await()
+          if (Lease.acquire(fs, lp, s"d$i", ttlMs = 60000)) won.add(i)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(won.size == 1, s"round $round: ${won.size} lease holders")
+      val w = won.peek()
+      // wrong owner cannot release; right owner can
+      assert(!Lease.release(fs, lp, s"d${(w + 1) % 4}"))
+      assert(Lease.holder(fs, lp).exists(_._1 == s"d$w"))
+      assert(Lease.release(fs, lp, s"d$w"))
+      assert(Lease.holder(fs, lp).isEmpty)
+    }
+    // stale-break: a holder past TTL is usurped; a live one is not
+    val lp = new Path(s"$dir/stale")
+    assert(Lease.acquire(fs, lp, "dead", ttlMs = 60000))
+    assert(!Lease.acquire(fs, lp, "challenger", ttlMs = 60000),
+      "a live lease must hold")
+    Thread.sleep(30)
+    assert(Lease.acquire(fs, lp, "challenger", ttlMs = 20),
+      "an expired lease must break")
+    assert(Lease.holder(fs, lp).exists(_._1 == "challenger"))
+  }
+
+  test("two daemons under a tick lease: concurrent ticks cooperate — " +
+      "every drop loads exactly once, skipped ticks report leaseSkipped") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("twodaemon")
+    new java.io.File(s"$root/arrivals").mkdirs()
+    val cfg = Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/t",
+      registryDir = s"$root/reg", generate = false,
+      lease = Some(Automation.LeaseConfig(s"$root/lease",
+        ttlMs = 60000)))
+    val d1 = new Automation(spark, cfg)
+    val d2 = new Automation(spark, cfg)
+    // tick() loads with SurveyGen.schema — drop valid survey CSVs
+    def surveyDrop(name: String, ids: Seq[Int]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/arrivals/$name.csv"),
+        ("answer_id,member_id,survey_id,answer,reg_date" +:
+          ids.map(i => s"$i,${i % 7},${i % 3},${i % 5},2024-01-0${i % 9 + 1}"))
+          .mkString("\n").getBytes("UTF-8"))
+    surveyDrop("a", 1 to 40)
+    surveyDrop("b", 41 to 70)
+    val reports =
+      new java.util.concurrent.ConcurrentLinkedQueue[Automation.TickReport]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = Seq(d1, d2).map { d =>
+      new Thread(() => {
+        barrier.await()
+        (0 until 3).foreach(_ => reports.add(d.tick()))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = reports.asScala.toSeq
+    // exactly-once: 70 rows total, one ok registry row per path
+    assert(spark.read.parquet(s"$root/t").count() == 70L,
+      "rows lost or duplicated across daemons")
+    val okPerPath = LoadRegistry.read(spark, s"$root/reg")
+      .filter(col("status") === LoadRegistry.StatusOk)
+      .groupBy("path").count().collect().map(_.getLong(1))
+    assert(okPerPath.nonEmpty && okPerPath.forall(_ == 1L),
+      s"registry not exactly-once: ${okPerPath.toSeq}")
+    // each drop loaded by exactly one held tick
+    assert(rs.flatMap(_.load.loaded).size == 2,
+      s"loads: ${rs.map(_.load.loaded)}")
+    // concurrency actually exercised the lease at least once, OR the
+    // interleaving fully serialized (both legal; never both load)
+    assert(rs.count(_.leaseSkipped) + rs.count(!_.leaseSkipped) == 6)
   }
 
   test("branch publish/discard carry the staged rows' n_rows into the " +

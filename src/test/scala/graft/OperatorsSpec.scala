@@ -1647,6 +1647,77 @@ class OperatorsSpec extends SparkSpec {
     assert(j12 <= j4 + 1, s"j4=$j4 j12=$j12: job count grew with merges")
   }
 
+  test("unigram-LM trainer: deterministic across layouts, Viterbi picks " +
+      "the highest-probability segmentation, coverage floor holds, " +
+      "encode shares packSequences with BPE") {
+    import spark.implicits._
+    import graft.operators.{BpeTrainer, UnigramTrainer}
+    val text = (Seq.fill(8)("lowest") ++ Seq.fill(6)("lower") ++
+      Seq.fill(7)("newest") ++ Seq.fill(5)("widest") ++
+      Seq.fill(4)("news")).mkString(" ")
+    val docs = Seq((1L, text), (2L, "lowest news wide"),
+      (3L, "newest lower est")).toDF("doc_id", "text")
+    val model = UnigramTrainer.train(docs, vocabSize = 30, maxWords = 1000)
+    // vocab-size contract: at most vocabSize pieces (the char floor
+    // can exceed it only when the alphabet itself does)
+    val chars = docs.collect().flatMap(_.getString(1).split("\\s+"))
+      .flatMap(_.toSeq).map(_.toString).toSet
+    assert(model.length <= math.max(30, chars.size))
+    // coverage floor: every training character is a piece
+    val pieceSet = model.map(_._1).toSet
+    assert(chars.subsetOf(pieceSet), s"missing chars: ${chars -- pieceSet}")
+    // multi-char pieces survive EM (the common suffix 'est' family)
+    assert(model.exists(_._1.length > 1), "no multi-char pieces learned")
+    // determinism: layout never changes the learned model
+    val m7 = UnigramTrainer.train(docs.repartition(7), vocabSize = 30,
+      maxWords = 1000)
+    val m1 = UnigramTrainer.train(docs.coalesce(1), vocabSize = 30,
+      maxWords = 1000)
+    assert(m7.toSeq == m1.toSeq && m7.toSeq == model.toSeq)
+    // Viterbi against a hand model: "abc" as one piece beats "ab"+"c"
+    val hand = Map("abc" -> -1.0, "ab" -> -1.0, "c" -> -1.0,
+      "a" -> -3.0, "b" -> -3.0)
+    assert(UnigramTrainer.viterbi("abc", hand, 8) == Vector("abc"))
+    assert(UnigramTrainer.viterbi("abca", hand, 8) ==
+      Vector("abc", "a"))
+    // encode: zero OOV on the training corpus; unseen char -> unk
+    val vt = UnigramTrainer.vocab(model)
+    assert(vt.head == ("<unk>", 0))
+    assert(vt.map(_._2).toSeq == (0 until vt.length))
+    val enc = UnigramTrainer.encode(docs, model, vt)
+    val encRows = enc.collect().map(r =>
+      (r.getLong(0), r.getSeq[Int](1), r.getLong(2), r.getLong(3)))
+    encRows.foreach { case (id, ids, n, oov) =>
+      assert(ids.length.toLong == n && oov == 0L, s"doc $id")
+      assert(ids.forall(i => i > 0 && i < vt.length))
+    }
+    val probe = Seq((9L, "low élow")).toDF("doc_id", "text")
+    val pe = UnigramTrainer.encode(probe, model, vt).head
+    assert(pe.getAs[Long]("n_oov") >= 1L)
+    assert(pe.getSeq[Int](1).contains(UnigramTrainer.UnkId))
+    // fertility sanity: at most character-level, and not above BPE's
+    // by more than 2x on this corpus (both learn the 'est' family)
+    val seg = UnigramTrainer.segment(docs, model)
+      .agg(sum("n_tokens"), sum("n_words")).head
+    val fert = seg.getLong(0).toDouble / seg.getLong(1)
+    val merges = BpeTrainer.train(docs, numMerges = 12, maxWords = 1000)
+    val bseg = BpeTrainer.segment(docs, merges)
+      .agg(sum("n_tokens"), sum("n_words")).head
+    val bfert = bseg.getLong(0).toDouble / bseg.getLong(1)
+    val charFert = docs.collect().flatMap(_.getString(1).split("\\s+"))
+      .map(_.length).sum.toDouble /
+      docs.collect().flatMap(_.getString(1).split("\\s+")).length
+    assert(fert < charFert, s"unigram fertility $fert not below char level")
+    assert(fert <= bfert * 2.0 + 1e-9,
+      s"unigram fertility $fert way off BPE's $bfert")
+    // SAME encode schema as BPE ⇒ packSequences packs it unchanged,
+    // conservation holds
+    val packed = BpeTrainer.packSequences(enc, 7)
+    val flatIds = encRows.sortBy(_._1).flatMap(_._2).toSeq
+    assert(packed.collect().sortBy(_.getLong(0))
+      .flatMap(_.getSeq[Int](1)).toSeq == flatIds)
+  }
+
   test("BPE encode + packSequences: ids match segment counts, OOV maps " +
       "to unk, packing conserves the token stream at every boundary") {
     import spark.implicits._
@@ -1684,9 +1755,16 @@ class OperatorsSpec extends SparkSpec {
     // packing: the concatenated stream in doc_id order, cut every L —
     // exact conservation, full sequences exactly L, one short tail
     val flat = encRows.sortBy(_._1).flatMap(_._2)
+    // serial model for the doc-boundary columns: each doc's global
+    // start in doc_id order; a sequence's expected (start-offset,
+    // doc_id) chunks are the docs overlapping its [sL, (s+1)L) window
+    val docSpans = encRows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, ids, _, _)) =>
+        (id, acc, acc + ids.length) }.drop(1).filter(s => s._3 > s._2)
     for (l <- Seq(3, 7, 16)) {
       val packed = BpeTrainer.packSequences(enc, l)
-        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(3)))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(3),
+          r.getSeq[Int](4), r.getSeq[Long](5)))
         .sortBy(_._1)
       assert(packed.flatMap(_._2).toSeq == flat.toSeq, s"L=$l stream")
       val sizes = packed.map(_._2.length)
@@ -1695,6 +1773,17 @@ class OperatorsSpec extends SparkSpec {
         s"L=$l sizes=${sizes.toSeq}")
       assert(packed.map(_._1).toSeq ==
         (0L until packed.length.toLong), s"L=$l seq ids")
+      // doc_starts/doc_ids ≡ the serial model, per sequence
+      packed.foreach { case (s, _, nDocs, starts, dids) =>
+        val lo = s * l; val hi = lo + l
+        val want = docSpans.filter(d => d._2 < hi && d._3 > lo)
+          .map(d => ((math.max(d._2, lo) - lo).toInt, d._1))
+        assert(starts.zip(dids).toSeq == want.toSeq,
+          s"L=$l seq $s boundaries: got ${starts.zip(dids)} want $want")
+        assert(nDocs == want.length.toLong, s"L=$l seq $s n_docs")
+        assert(starts.headOption.forall(_ == 0),
+          s"L=$l seq $s first chunk must start the sequence")
+      }
     }
     // layout-independence: a different partitioning packs identically
     val p7 = BpeTrainer.packSequences(enc.repartition(7), 7)
@@ -1764,7 +1853,8 @@ class OperatorsSpec extends SparkSpec {
     val noSplit = CorpusPipeline.tokenizeAndPack(
       docs.drop("split"), numMerges = 4, maxWords = 1000, seqLen = 7L)._3
     assert(noSplit.columns.toSeq ==
-      Seq("source", "seq_id", "ids", "n_tokens", "n_docs"))
+      Seq("source", "seq_id", "ids", "n_tokens", "n_docs",
+        "doc_starts", "doc_ids"))
     assert(noSplit.count() > 0)
   }
 
