@@ -69,7 +69,9 @@ object Bench {
     "q195_degree_powerlaw", "q196_char_entropy", "q197_weekly_volatility",
     "q198_purchase_rate", "q199_wilson_returns", "q200_token_gini",
     "q201_unigram_fertility", "q202_trade_balance", "q203_bounce_rate",
-    "q204_cohens_kappa", "q205_new_vs_returning", "q206_hill_tail")
+    "q204_cohens_kappa", "q205_new_vs_returning", "q206_hill_tail",
+    "q207_lang_source_residuals", "q208_cycle_time",
+    "q209_shrunk_reliability", "q210_cluster_sizes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4385,7 +4385,135 @@ object Relational {
       |    AS DOUBLE), 6) AS alpha
       |FROM terms GROUP BY x_ref""".stripMargin
 
+  /** q208: ORDER CYCLE TIME per priority — days from order placement
+    * to its LAST line shipment: one order-keyed max aggregate joined
+    * back on the same key (key-sized, no window), then a 5-row
+    * priority rollup with exact-integer day sums and the q16
+    * exact-percentile pair. The ops-SLA readout: does URGENT actually
+    * ship faster, at the median and the tail? Hash-exact. */
+  private val q208: QFn = (s, d) => {
+    val lastShip = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+      .join(lastShip, Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("last_ship"), col("od")).cast("long")
+          .as("cycle_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("cycle_days")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_days"),
+        round(expr("percentile(cycle_days, 0.5)"), 6).as("p50_days"),
+        round(expr("percentile(cycle_days, 0.9)"), 6).as("p90_days"))
+      .orderBy("o_orderpriority")
+  }
+  private val q208Sql =
+    """WITH ls AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    MAX(CAST(l_shipdate AS DATE)) AS last_ship
+      |  FROM lineitem GROUP BY 1),
+      |cyc AS (
+      |  SELECT o_orderpriority,
+      |    CAST(last_ship - CAST(o_orderdate AS DATE) AS BIGINT)
+      |      AS cycle_days
+      |  FROM orders JOIN ls USING (o_orderkey))
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  ROUND(CAST(SUM(cycle_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+      |    6) AS avg_days,
+      |  ROUND(quantile_cont(cycle_days, 0.5), 6) AS p50_days,
+      |  ROUND(quantile_cont(cycle_days, 0.9), 6) AS p90_days
+      |FROM cyc GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** q209: EMPIRICAL-BAYES SHRUNK late-ship ranking per supplier —
+    * the small-n ranking fix next to q199's Wilson bound, as
+    * estimation rather than a confidence bound: per-supplier late
+    * rates (ship > 90 days after order) shrink toward the population
+    * under a beta-binomial prior fitted by method of moments across
+    * suppliers. Scale shape: one fact aggregate keyed by supplier,
+    * the prior from two supplier-sized decimal folds (rates rounded
+    * 6 dp into the exact accumulator — cross-engine stable — and a
+    * one-row broadcast back), shrunk rate one fixed IEEE expression;
+    * top-10 with tiebreaks. Hash-exact. */
+  private val q209: QFn = (s, d) => {
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val perSupp = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("supplier"))
+      .agg(count(lit(1)).as("n"),
+        count(when(datediff(to_date(col("l_shipdate")), col("od")) > 90,
+          1)).as("late"))
+      .withColumn("rate",
+        round(col("late").cast("double") / col("n").cast("double"), 6))
+    val prior = perSupp.agg(
+      count(lit(1)).as("k"),
+      sum(col("rate").cast(graft.util.Exact.Dec)).as("sr"),
+      sum((col("rate") * col("rate")).cast(dec12)).as("sr2"))
+    val kD = col("k").cast("double")
+    val m = col("sr").cast("double") / kD
+    val v = (col("sr2").cast("double") - kD * m * m) / (kD - 1)
+    val a = m * (m * (lit(1.0) - m) / v - 1)
+    val b = a * (lit(1.0) - m) / m
+    val ab = prior.select(col("k"),
+      round(m, 6).as("prior_mean"),
+      when(v > 0 && m * (lit(1.0) - m) > v, round(a, 6)).as("alpha"),
+      when(v > 0 && m * (lit(1.0) - m) > v, round(b, 6)).as("beta"))
+    perSupp.crossJoin(broadcast(ab))
+      .select(col("supplier"), col("n"), col("late"), col("rate"),
+        col("prior_mean"), col("alpha"), col("beta"),
+        round((col("alpha") + col("late").cast("double")) /
+          (col("alpha") + col("beta") + col("n").cast("double")), 6)
+          .as("shrunk_rate"))
+      .orderBy(col("shrunk_rate").desc, col("supplier").asc)
+      .limit(10)
+  }
+  private val q209Sql =
+    """WITH ps AS (
+      |  SELECT l_suppkey AS supplier, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(CASE WHEN CAST(l_shipdate AS DATE)
+      |        - CAST(o_orderdate AS DATE) > 90 THEN 1 END) AS BIGINT)
+      |      AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |pr AS (
+      |  SELECT supplier, n, late,
+      |    ROUND(CAST(late AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate
+      |  FROM ps),
+      |mom AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(CAST(rate AS DECIMAL(28,6))) AS DOUBLE) AS sr,
+      |    CAST(SUM(CAST(rate * rate AS DECIMAL(38,12))) AS DOUBLE) AS sr2
+      |  FROM pr),
+      |ab AS (
+      |  SELECT k, ROUND(sr / k, 6) AS prior_mean,
+      |    CASE WHEN (sr2 - k * (sr / k) * (sr / k)) / (k - 1) > 0
+      |      AND (sr / k) * (1.0 - sr / k)
+      |        > (sr2 - k * (sr / k) * (sr / k)) / (k - 1)
+      |    THEN ROUND((sr / k) * ((sr / k) * (1.0 - sr / k)
+      |      / ((sr2 - k * (sr / k) * (sr / k)) / (k - 1)) - 1), 6)
+      |    END AS alpha,
+      |    CASE WHEN (sr2 - k * (sr / k) * (sr / k)) / (k - 1) > 0
+      |      AND (sr / k) * (1.0 - sr / k)
+      |        > (sr2 - k * (sr / k) * (sr / k)) / (k - 1)
+      |    THEN ROUND(((sr / k) * ((sr / k) * (1.0 - sr / k)
+      |      / ((sr2 - k * (sr / k) * (sr / k)) / (k - 1)) - 1))
+      |      * (1.0 - sr / k) / (sr / k), 6)
+      |    END AS beta
+      |  FROM mom)
+      |SELECT supplier, n, late, rate, prior_mean, alpha, beta,
+      |  ROUND((alpha + CAST(late AS DOUBLE))
+      |    / (alpha + beta + CAST(n AS DOUBLE)), 6) AS shrunk_rate
+      |FROM pr CROSS JOIN ab
+      |ORDER BY shrunk_rate DESC, supplier ASC
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q208_cycle_time" -> q208,
+    "q209_shrunk_reliability" -> q209,
     "q202_trade_balance" -> q202,
     "q204_cohens_kappa" -> q204,
     "q205_new_vs_returning" -> q205,
@@ -4490,6 +4618,8 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q208_cycle_time" -> q208Sql,
+    "q209_shrunk_reliability" -> q209Sql,
     "q202_trade_balance" -> q202Sql,
     "q204_cohens_kappa" -> q204Sql,
     "q205_new_vs_returning" -> q205Sql,

@@ -570,6 +570,81 @@ object TextOps {
       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
       |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
+  /** q207: LANG × SOURCE standardized residuals — the per-cell view
+    * q140's chi-square collapses into one number: Pearson residual
+    * (obs − exp)/√exp per contingency cell, flagging WHICH stream is
+    * over/under-delivering which language (the corpus-intake QA
+    * board). One joint aggregate, two broadcast margins, one
+    * broadcast scalar; residual one fixed IEEE expression at 6 dp;
+    * hash-exact. */
+  private val q207: QFn = (s, d) => {
+    val joint = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val ml = joint.groupBy("lang").agg(sum(col("c")).as("cl"))
+    val ms = joint.groupBy("source").agg(sum(col("c")).as("cs"))
+    val nRow = joint.agg(sum(col("c")).cast("double").as("n"))
+    val e = col("cl").cast("double") * col("cs").cast("double") / col("n")
+    joint.join(broadcast(ml), Seq("lang"))
+      .join(broadcast(ms), Seq("source"))
+      .crossJoin(broadcast(nRow))
+      .select(col("lang"), col("source"), col("c").as("observed"),
+        round(e, 6).as("expected"),
+        round((col("c").cast("double") - e) / sqrt(e), 6)
+          .as("residual"))
+  }
+  private val q207Sql =
+    """WITH joint AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |ml AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl
+      |  FROM joint GROUP BY 1),
+      |ms AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs
+      |  FROM joint GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM joint)
+      |SELECT lang, source, c AS observed,
+      |  ROUND(CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE) / n, 6)
+      |    AS expected,
+      |  ROUND((CAST(c AS DOUBLE)
+      |      - CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE) / n)
+      |    / SQRT(CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE) / n), 6)
+      |    AS residual
+      |FROM joint JOIN ml USING (lang) JOIN ms USING (source)
+      |CROSS JOIN nn""".stripMargin
+
+  /** q210: NEAR-DUP CLUSTER-SIZE DISTRIBUTION — the curation health
+    * histogram over q66's connected components (how much of the
+    * corpus sits in 2-doc near-pairs vs 50-doc crawl storms —
+    * dedup's impact report). Reuses [[clusterLabels]] (hash-min CC
+    * over the PPJoin pair set, O(E)-sized rounds); the histogram is
+    * two tiny aggregates over labels. Hash-exact via q66's
+    * recursive-CTE oracle extended with the same rollup. */
+  private val q210: QFn = (s, d) =>
+    clusterLabels(Tables.documents(s, d), q31(s, d))
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+      .orderBy("cluster_size")
+  private val q210Sql =
+    s"""WITH RECURSIVE
+      |pairs AS ($q31Sql),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |labels AS (
+      |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      |sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM labels GROUP BY 1)
+      |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs
+      |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   /** Weighted deterministic sampling — the data-mixing knob: each
     * language keeps a target fraction of its documents, decided by a
     * hash threshold instead of RAND() (md5 is identical in every
@@ -2448,6 +2523,8 @@ object TextOps {
     "q133_contamination" -> q133,
     "q116_bpe_fertility" -> q116,
     "q201_unigram_fertility" -> q201,
+    "q207_lang_source_residuals" -> q207,
+    "q210_cluster_sizes" -> q210,
     "q117_langid_profiles" -> q117,
     "q123_pmi_collocations" -> q123,
     "q30_dedup_exact" -> q30,
@@ -2480,6 +2557,8 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q207_lang_source_residuals" -> q207Sql,
+    "q210_cluster_sizes" -> q210Sql,
     "q166_ttr" -> q166Sql,
     "q156_jsd_drift" -> q156Sql,
     "q157_gopher_rules" -> q157Sql,
