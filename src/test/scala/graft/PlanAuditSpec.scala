@@ -539,4 +539,37 @@ class PlanAuditSpec extends SparkSpec {
       s"checkpoint lost?\n$plan")
     assert(!plan.contains("Join"), s"q98 iteration lineage leaked\n$plan")
   }
+
+  test("round-8 queries lint clean or cross only documented shapes") {
+    import graft.util.PlanLint
+    import graft.operators.{SessionOps, TextOps}
+    // q201 map-side segment + one key join; q204/q208 aggregates;
+    // q205 customer-keyed min joined back; q203 user-keyed windows —
+    // all fully clean
+    Seq("q201_unigram_fertility" -> TextOps.queries,
+        "q210_cluster_sizes" -> TextOps.queries).foreach { case (q, m) =>
+      assert(PlanLint.check(m(q)(spark, sfDir)).isEmpty, q)
+    }
+    assert(PlanLint.check(
+      SessionOps.queries("q203_bounce_rate")(spark, sfDir)).isEmpty,
+      "q203")
+    Seq("q204_cohens_kappa", "q205_new_vs_returning", "q208_cycle_time",
+      "q202_trade_balance").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
+    }
+    // q207/q209 cross ONE-ROW broadcast scalars (margins total /
+    // method-of-moments prior) — the documented q137/q159 shape
+    assert(PlanLint.check(TextOps
+      .queries("q207_lang_source_residuals")(spark, sfDir))
+      .forall(_.kind == "cartesian"), "q207")
+    assert(PlanLint.check(Relational
+      .queries("q209_shrunk_reliability")(spark, sfDir))
+      .forall(_.kind == "cartesian"), "q209")
+    // q206 runs entirely on a bounded 201-row top-k set: its global
+    // window and its one-row xref cross are both size-capped by
+    // construction (the documented bounded-set exceptions)
+    assert(PlanLint.check(Relational.queries("q206_hill_tail")(spark, sfDir))
+      .forall(f => f.kind == "cartesian" ||
+        f.kind == "single-partition-window"), "q206")
+  }
 }
