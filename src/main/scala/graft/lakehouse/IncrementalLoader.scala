@@ -73,7 +73,8 @@ object IncrementalLoader {
           registryDir: String, schema: StructType,
           format: String = "csv",
           audit: Option[DataFrame => Seq[String]] = None,
-          keepVersions: Int = 1): LoadResult = {
+          keepVersions: Int = 1,
+          optimistic: Boolean = false): LoadResult = {
     val all = discover(spark, srcDir, suffix = s".$format")
     val settled = LoadRegistry.settledPaths(spark, registryDir)
       .collect().map(_.getString(0)).toSet
@@ -117,16 +118,26 @@ object IncrementalLoader {
           // this source's deterministic file name → no second append
           val already = VersionedTable.currentFiles(spark, tableDir)
             .exists(_.endsWith(s"/${publishedName(f)}"))
-          if (!already)
-            VersionedTable.appendDelta(spark, tableDir, keepVersions) { stage =>
-              df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-              val part = fs.listStatus(new Path(stage))
-                .find(_.getPath.getName.startsWith("part-"))
-                .getOrElse(throw new IllegalStateException(
-                  s"no part file under $stage")).getPath
-              require(fs.rename(part, new Path(stage, publishedName(f))),
-                s"rename $part -> ${publishedName(f)} failed")
-            }
+          def writeBatch(stage: String): Unit = {
+            df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+            val part = fs.listStatus(new Path(stage))
+              .find(_.getPath.getName.startsWith("part-"))
+              .getOrElse(throw new IllegalStateException(
+                s"no part file under $stage")).getPath
+            require(fs.rename(part, new Path(stage, publishedName(f))),
+              s"rename $part -> ${publishedName(f)} failed")
+          }
+          if (!already) {
+            // optimistic: multi-writer cooperation — a racing loader's
+            // commit rebases this one (staged bytes reused), and a race
+            // on the SAME source file no-ops by deterministic name
+            if (optimistic)
+              VersionedTable.appendDeltaOptimistic(spark, tableDir,
+                keepVersions, dedupeNewByName = true)(writeBatch)
+            else
+              VersionedTable.appendDelta(spark, tableDir,
+                keepVersions)(writeBatch)
+          }
           (f, LoadRegistry.StatusOk, n, Nil)
         } else {
         val stage = new Path(s"$tableDir/_staging/$tag")

@@ -42,14 +42,34 @@ object LoadRegistry {
     }
   }
 
-  /** Append load attempts. */
+  /** Append load attempts. MULTI-WRITER SAFE: a bare parquet
+    * `mode(Append)` shares ONE `_temporary` committer dir across
+    * concurrent writers — two racing recorders (optimistic loaders, a
+    * second daemon between lease ticks) delete each other's task
+    * files mid-commit. Each record therefore stages under a
+    * writer-unique hidden dir and publishes as ONE object move —
+    * concurrent recorders never touch shared paths, and a crash
+    * leaves only an invisible underscore dir. */
   def record(spark: SparkSession, registryDir: String,
              entries: Seq[(String, String, Long)]): Unit = {
     import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(registryDir), spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(s"$registryDir/_rec-$tag")
     entries.toDF("path", "status", "n_rows")
       .withColumn("loaded_at", current_timestamp())
       .select("path", "status", "loaded_at", "n_rows")
-      .write.mode(SaveMode.Append).parquet(registryDir)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val part = fs.listStatus(stage)
+      .find(_.getPath.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part file under $stage")).getPath
+    require(fs.rename(part,
+      new org.apache.hadoop.fs.Path(registryDir, s"rec-$tag.parquet")),
+      s"registry record publish failed: $part")
+    fs.delete(stage, true)
   }
 
   /** Paths already loaded successfully (distinct, as a DataFrame so

@@ -548,6 +548,28 @@ object VersionedTable {
     val all = carried ++ newRefs
     require(all.nonEmpty,
       "empty delta commit: nothing carried and nothing written")
+    publishDelta(spark, fs, root, base, next, stage, None, newNames,
+      carried, all, statsCols, bloomCols, bloomBits, bloomHashes,
+      statsFrom, dv, edOverride, schemaOverride, constraintsOverride,
+      keepVersions)
+  }
+
+  /** The shared tail of [[commitDelta]] and [[appendDeltaOptimistic]]:
+    * constraint gate on the staged batch, manifest payload assembly
+    * (carried stats/blooms/dv/ed/schema), the arbitration PUT, and the
+    * retention sweep. `dataDirName` names a non-default staging dir
+    * (the optimistic path's attempt-unique dir) via the manifest's `d`
+    * pointer. */
+  private def publishDelta(spark: SparkSession, fs: FileSystem,
+      root: String, base: Option[Long], next: Long, stage: Path,
+      dataDirName: Option[String], newNames: Seq[String],
+      carried: Seq[String], all: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int, bloomHashes: Int,
+      statsFrom: Option[Long], dv: Seq[(String, String, Long)],
+      edOverride: Option[Seq[EqDelete]],
+      schemaOverride: Option[(StructType, Seq[String])],
+      constraintsOverride: Option[Seq[(String, String)]],
+      keepVersions: Int): Long = {
 
     // CHECK constraints: carried forward (or replaced by add/drop);
     // enforced on the NEW files only — carried files passed when they
@@ -677,7 +699,7 @@ object VersionedTable {
     val payload = Seq(hLine, constraintLines(cs), statsPayload,
       bloomPayload, dvLines, edLines,
       fLines).filter(_.nonEmpty).mkString("\n")
-    publishManifest(fs, root, next, payload)
+    publishManifest(fs, root, next, payload, dataDirName)
     prune(fs, root, next - math.max(1, keepVersions))
     next
   }
@@ -691,6 +713,98 @@ object VersionedTable {
       (writer: String => Unit): Long =
     commitDelta(spark, root, currentFiles(spark, root), keepVersions,
       statsCols, bloomCols)(writer)
+
+  /** OPTIMISTIC append — [[appendDelta]]'s multi-writer form, the
+    * append twin of [[commitOptimistic]]: the batch stages ONCE in an
+    * attempt-UNIQUE hidden dir (racing appenders can never touch each
+    * other's bytes — the shared `_v-<next>` stage dir is exactly what
+    * makes plain concurrent appendDelta unsafe), then races the
+    * manifest PUT; the LOSER rebases by recomputing the carried file
+    * set from the NEW current version — the staged bytes are reused,
+    * so a retry costs one manifest assembly, not a rewrite. Committed
+    * history is a serial chain of appends: with N racing appenders,
+    * all N batches land, each exactly once.
+    *
+    * REFUSES while the current version carries equality deletes:
+    * their version-seq scoping cannot order a file staged before the
+    * winning version number was known (the delete could wrongly mask
+    * the concurrent append's rows) — `resolveEqualityDeletes` first.
+    * Deletion vectors are unaffected (they scope to their own files,
+    * carried by ref).
+    *
+    * `dedupeNewByName = true` adds the loader's idempotence guard AT
+    * THE ARBITRATION: when a rebase finds every staged file's NAME
+    * already referenced by the new current version (deterministic
+    * published names ⇒ same name = same batch, the IncrementalLoader
+    * contract), the append no-ops and returns the current version —
+    * two daemons racing the SAME source file land it exactly once
+    * instead of twice under different dirs. */
+  def appendDeltaOptimistic(spark: SparkSession, root: String,
+      keepVersions: Int = 1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, maxRetries: Int = 5,
+      dedupeNewByName: Boolean = false)
+      (writer: String => Unit): Long = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    val cd = commitsDir(root)
+    if (!fs.exists(cd)) legacyVersion(fs, root) match {
+      case Some(n) =>
+        // a racing writer may bootstrap the same legacy version first
+        try publishManifest(fs, root, n)
+        catch { case _: CommitConflictException => () }
+      case None => fs.mkdirs(cd)
+    }
+    var staged: Option[(Path, Seq[String])] = None
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(spark, root)
+      base.foreach { v =>
+        require(equalityDeletes(spark, root, v).isEmpty,
+          s"appendDeltaOptimistic refuses on $root: version $v carries " +
+            "equality deletes, whose version-seq scoping cannot order a " +
+            "concurrently staged append — resolveEqualityDeletes first")
+      }
+      val next = base.getOrElse(0L) + 1L
+      val (stage, newNames) = staged.getOrElse {
+        val dn =
+          s"_v-$next-w${java.util.UUID.randomUUID().toString.take(8)}"
+        val sp = new Path(s"$root/$dn")
+        writer(sp.toString)
+        fs.mkdirs(sp) // write-nothing deltas still need the dir
+        val names = fs.listStatus(sp).toSeq
+          .filter(st => st.isFile && isDataFile(st.getPath.getName))
+          .map(_.getPath.getName).sorted
+        if (names.nonEmpty)
+          require(fs.exists(new Path(sp, "_SUCCESS")),
+            s"writer did not complete a parquet commit under $sp")
+        val t = (sp, names)
+        staged = Some(t)
+        t
+      }
+      val carried = base.map(_ => currentFiles(spark, root)).getOrElse(Nil)
+      if (dedupeNewByName && newNames.nonEmpty &&
+          newNames.forall(n => carried.exists(_.endsWith(s"/$n")))) {
+        // a racing appender already landed this exact batch (same
+        // deterministic names) — idempotent no-op, stage reclaimed
+        fs.delete(stage, true)
+        return currentVersion(spark, root).getOrElse(next - 1)
+      }
+      val newRefs = newNames.map(n => s"${stage.getName}/$n")
+      val all = carried ++ newRefs
+      require(all.nonEmpty,
+        "empty delta commit: nothing carried and nothing written")
+      try
+        return publishDelta(spark, fs, root, base, next, stage,
+          Some(stage.getName), newNames, carried, all, statsCols,
+          bloomCols, 8192, 4, None, Nil, None, None, None, keepVersions)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) { fs.delete(stage, true); throw e }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** The f-line refs of a manifest, fs-level (no SparkSession). */
   private def manifestFileRefs(fs: FileSystem, root: String,
