@@ -71,7 +71,9 @@ object Bench {
     "q201_unigram_fertility", "q202_trade_balance", "q203_bounce_rate",
     "q204_cohens_kappa", "q205_new_vs_returning", "q206_hill_tail",
     "q207_lang_source_residuals", "q208_cycle_time",
-    "q209_shrunk_reliability", "q210_cluster_sizes")
+    "q209_shrunk_reliability", "q210_cluster_sizes",
+    "q211_outlier_days", "q212_cohens_d", "q213_dup_rate_by_source",
+    "q214_nation_flow", "q215_psi_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4511,7 +4511,269 @@ object Relational {
       |ORDER BY shrunk_rate DESC, supplier ASC
       |LIMIT 10""".stripMargin
 
+  /** q211: OUTLIER DAYS per month — daily revenue against the month's
+    * own exact median + 1.5·IQR fence (the Tukey rule on the day
+    * grain; the ops anomaly count). Scale shape: one day-grain
+    * exact-decimal aggregate (≤ date-range rows), per-month exact
+    * percentiles over ≤31 values, fence check via a month-sized
+    * broadcast back. Hash-exact. */
+  private val q211: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(dec6)).as("revd"))
+      .select(date_format(col("day"), "yyyy-MM").as("month"),
+        col("revd").cast("double").as("rev"))
+    val stats = daily.groupBy("month").agg(
+      count(lit(1)).as("n_days"),
+      expr("percentile(rev, 0.25)").as("p25"),
+      expr("percentile(rev, 0.5)").as("p50"),
+      expr("percentile(rev, 0.75)").as("p75"))
+    daily.join(broadcast(stats), Seq("month"))
+      .groupBy(col("month"))
+      .agg(first(col("n_days")).as("n_days"),
+        round(first(col("p50")), 6).as("median_rev"),
+        round(first(col("p75")) - first(col("p25")), 6).as("iqr"),
+        sum(when(col("rev") > col("p50") +
+          lit(1.5) * (col("p75") - col("p25")), 1L).otherwise(0L))
+          .as("n_outlier_days"))
+      .orderBy("month")
+  }
+  private val q211Sql =
+    """WITH daily AS (
+      |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS rev
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE),
+      |    strftime(CAST(o_orderdate AS DATE), '%Y-%m')),
+      |st AS (
+      |  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    quantile_cont(rev, 0.25) AS p25,
+      |    quantile_cont(rev, 0.5) AS p50,
+      |    quantile_cont(rev, 0.75) AS p75
+      |  FROM daily GROUP BY 1)
+      |SELECT month, MIN(n_days) AS n_days,
+      |  ROUND(MIN(p50), 6) AS median_rev,
+      |  ROUND(MIN(p75) - MIN(p25), 6) AS iqr,
+      |  CAST(SUM(CASE WHEN rev > p50 + 1.5 * (p75 - p25)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
+      |FROM daily JOIN st USING (month)
+      |GROUP BY month ORDER BY month""".stripMargin
+
+  /** q212: COHEN'S D per brand between deep-discounted and full-price
+    * line revenues — the EFFECT-SIZE companion to q136's Welch t
+    * (significance says "real", d says "big enough to care"). One
+    * grouped conditional aggregate; revenues rounded 6 dp into the
+    * exact decimal first/second-moment folds (cross-engine-stable);
+    * pooled SD + d one fixed IEEE expression. Hash-exact. */
+  private val q212: QFn = (s, d) => {
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val xr = round(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+    val g = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_discount") >= 0.05).cast("int").as("disc"), xr.as("x"))
+      .groupBy("brand")
+      .agg(
+        sum(col("disc").cast("long")).as("n1"),
+        sum(when(col("disc") === 1, col("x")).otherwise(lit(0.0))
+          .cast(graft.util.Exact.Dec)).as("sx1"),
+        sum(when(col("disc") === 1, col("x") * col("x"))
+          .otherwise(lit(0.0)).cast(dec12)).as("sxx1"),
+        sum(lit(1L) - col("disc").cast("long")).as("n0"),
+        sum(when(col("disc") === 0, col("x")).otherwise(lit(0.0))
+          .cast(graft.util.Exact.Dec)).as("sx0"),
+        sum(when(col("disc") === 0, col("x") * col("x"))
+          .otherwise(lit(0.0)).cast(dec12)).as("sxx0"))
+    val n1 = col("n1").cast("double"); val n0 = col("n0").cast("double")
+    val m1 = col("sx1").cast("double") / n1
+    val m0 = col("sx0").cast("double") / n0
+    val v1 = (col("sxx1").cast("double") - n1 * m1 * m1) / (n1 - 1)
+    val v0 = (col("sxx0").cast("double") - n0 * m0 * m0) / (n0 - 1)
+    val sp = sqrt(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2))
+    g.filter(col("n1") > 1 && col("n0") > 1)
+      .select(col("brand"), col("n1"), col("n0"),
+        round(m1, 6).as("mean_disc"), round(m0, 6).as("mean_full"),
+        round((m1 - m0) / sp, 6).as("cohens_d"))
+      .orderBy("brand")
+  }
+  private val q212Sql =
+    """WITH g AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    SUM(CAST(CASE WHEN l_discount >= 0.05
+      |      THEN ROUND(l_extendedprice * (1 - l_discount), 6)
+      |      ELSE 0.0 END AS DECIMAL(28,6))) AS sx1,
+      |    SUM(CAST(CASE WHEN l_discount >= 0.05
+      |      THEN ROUND(l_extendedprice * (1 - l_discount), 6)
+      |        * ROUND(l_extendedprice * (1 - l_discount), 6)
+      |      ELSE 0.0 END AS DECIMAL(38,12))) AS sxx1,
+      |    CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n0,
+      |    SUM(CAST(CASE WHEN l_discount < 0.05
+      |      THEN ROUND(l_extendedprice * (1 - l_discount), 6)
+      |      ELSE 0.0 END AS DECIMAL(28,6))) AS sx0,
+      |    SUM(CAST(CASE WHEN l_discount < 0.05
+      |      THEN ROUND(l_extendedprice * (1 - l_discount), 6)
+      |        * ROUND(l_extendedprice * (1 - l_discount), 6)
+      |      ELSE 0.0 END AS DECIMAL(38,12))) AS sxx0
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT brand, n1, n0,
+      |  ROUND(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean_disc,
+      |  ROUND(CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS mean_full,
+      |  ROUND((CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |    / SQRT(((CAST(n1 AS DOUBLE) - 1)
+      |        * ((CAST(sxx1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+      |          * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |          * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+      |          / (CAST(n1 AS DOUBLE) - 1))
+      |      + (CAST(n0 AS DOUBLE) - 1)
+      |        * ((CAST(sxx0 AS DOUBLE) - CAST(n0 AS DOUBLE)
+      |          * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |          * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+      |          / (CAST(n0 AS DOUBLE) - 1)))
+      |      / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2)), 6)
+      |    AS cohens_d
+      |FROM g WHERE n1 > 1 AND n0 > 1
+      |ORDER BY brand""".stripMargin
+
+  /** q214: NATION-TO-NATION TRADE FLOW matrix — revenue by (supplier
+    * nation → customer nation), top-20 corridors: q202's balance
+    * decomposed into its off-diagonal flows. Scale shape: ONE
+    * fact-fact co-partitioned join (lineitem⋈orders on the order
+    * key — the natural co-location key), every dim broadcast, then a
+    * ≤625-cell aggregate and a bounded top-k. Exact-decimal revenue;
+    * hash-exact. */
+  private val q214: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val sup = broadcast(Tables.supplier(s, d)
+      .join(Tables.nation(s, d),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cus = broadcast(Tables.customer(s, d)
+      .join(Tables.nation(s, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cus, col("o_custkey") === col("c_custkey"))
+      .groupBy("supp_nation", "cust_nation")
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec6)).as("fr"))
+      .select(col("supp_nation"), col("cust_nation"), col("n_lines"),
+        col("fr").cast(dec18).as("flow_rev"))
+      .orderBy(col("flow_rev").desc, col("supp_nation").asc,
+        col("cust_nation").asc)
+      .limit(20)
+  }
+  private val q214Sql =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS flow_rev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY flow_rev DESC, supp_nation ASC, cust_nation ASC
+      |LIMIT 20""".stripMargin
+
+  /** q215: POPULATION STABILITY INDEX of order values across eras —
+    * the ML-ops drift gauge (PSI > 0.25 = retrain the model): decile
+    * bins CUT ON THE BASE ERA (pre-1996), both eras histogrammed into
+    * them, PSI = Σ (p_cur − p_base)·ln(p_cur/p_base) with the
+    * standard 1e-6 floor. Scale shape: one exact-percentile aggregate
+    * on the base era (9 cuts, one row, broadcast), bin assignment a
+    * fixed 9-comparison expression per row, two 10-cell histograms;
+    * per-bin terms 6-dp into the exact decimal fold. Hash-exact. */
+  private val q215: QFn = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      col("o_totalprice").cast("double").as("x"),
+      (to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date"))
+        .cast("int").as("era"))
+    val cutCols = (1 to 9).map(i =>
+      expr(s"percentile(x, 0.$i)").as(s"c$i"))
+    val cuts = o.filter(col("era") === 0)
+      .agg(cutCols.head, cutCols.tail: _*)
+    val bin = (1 to 9).map(i => when(col("x") > col(s"c$i"), 1)
+      .otherwise(0)).reduce(_ + _) + lit(1)
+    val hist = o.crossJoin(broadcast(cuts))
+      .select(col("era"), bin.as("bin"))
+      .groupBy("bin")
+      .agg(sum(when(col("era") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("era") === 1, 1L).otherwise(0L)).as("c"))
+    val tot = hist.agg(sum(col("b")).as("nb"), sum(col("c")).as("nc"))
+    val p0 = greatest(col("b").cast("double") / col("nb").cast("double"),
+      lit(1e-6))
+    val p1 = greatest(col("c").cast("double") / col("nc").cast("double"),
+      lit(1e-6))
+    hist.crossJoin(broadcast(tot))
+      .select(col("nb"), col("nc"),
+        round((p1 - p0) * log(p1 / p0), 6).as("term"))
+      .groupBy("nb", "nc")
+      .agg(round(sum(col("term").cast(graft.util.Exact.Dec))
+        .cast("double"), 6).as("psi"))
+      .select(col("nb").as("n_base"), col("nc").as("n_current"),
+        col("psi"))
+  }
+  private val q215Sql =
+    """WITH o AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS x,
+      |    CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |      THEN 1 ELSE 0 END AS era
+      |  FROM orders),
+      |cuts AS (
+      |  SELECT quantile_cont(x, 0.1) AS c1, quantile_cont(x, 0.2) AS c2,
+      |    quantile_cont(x, 0.3) AS c3, quantile_cont(x, 0.4) AS c4,
+      |    quantile_cont(x, 0.5) AS c5, quantile_cont(x, 0.6) AS c6,
+      |    quantile_cont(x, 0.7) AS c7, quantile_cont(x, 0.8) AS c8,
+      |    quantile_cont(x, 0.9) AS c9
+      |  FROM o WHERE era = 0),
+      |hist AS (
+      |  SELECT 1 + (CASE WHEN x > c1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x > c2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x > c3 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x > c4 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x > c5 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x > c6 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x > c7 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x > c8 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x > c9 THEN 1 ELSE 0 END) AS bin,
+      |    CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM o CROSS JOIN cuts
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(b) AS BIGINT) AS nb,
+      |  CAST(SUM(c) AS BIGINT) AS nc FROM hist),
+      |terms AS (
+      |  SELECT nb, nc,
+      |    ROUND((GREATEST(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE), 1e-6)
+      |        - GREATEST(CAST(b AS DOUBLE) / CAST(nb AS DOUBLE), 1e-6))
+      |      * LN(GREATEST(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE), 1e-6)
+      |        / GREATEST(CAST(b AS DOUBLE) / CAST(nb AS DOUBLE), 1e-6)),
+      |      6) AS term
+      |  FROM hist CROSS JOIN tot)
+      |SELECT nb AS n_base, nc AS n_current,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |    AS psi
+      |FROM terms GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q211_outlier_days" -> q211,
+    "q212_cohens_d" -> q212,
+    "q214_nation_flow" -> q214,
+    "q215_psi_drift" -> q215,
     "q208_cycle_time" -> q208,
     "q209_shrunk_reliability" -> q209,
     "q202_trade_balance" -> q202,
@@ -4620,6 +4882,10 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q208_cycle_time" -> q208Sql,
     "q209_shrunk_reliability" -> q209Sql,
+    "q211_outlier_days" -> q211Sql,
+    "q212_cohens_d" -> q212Sql,
+    "q214_nation_flow" -> q214Sql,
+    "q215_psi_drift" -> q215Sql,
     "q202_trade_balance" -> q202Sql,
     "q204_cohens_kappa" -> q204Sql,
     "q205_new_vs_returning" -> q205Sql,

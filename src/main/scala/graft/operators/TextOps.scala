@@ -645,6 +645,55 @@ object TextOps {
       |  CAST(SUM(sz) AS BIGINT) AS n_docs
       |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  /** q213: NEAR-DUP RATE per source — which stream is re-crawling
+    * itself: docs in non-singleton q66 clusters as a share of each
+    * source's docs (q210's histogram projected onto the intake
+    * dimension; together they answer "how big" and "whose fault").
+    * Labels + sizes reuse [[clusterLabels]]; the rollup is one
+    * source-keyed aggregate after a doc-keyed join. Hash-exact via
+    * the recursive-CTE oracle. */
+  private val q213: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val labels = clusterLabels(docs, q31(s, d))
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"))
+    docs.select("doc_id", "source")
+      .join(labels, Seq("doc_id"))
+      .join(sizes, Seq("cluster_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sz") > 1L, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"),
+          6).as("dup_rate"))
+      .orderBy("source")
+  }
+  private val q213Sql =
+    s"""WITH RECURSIVE
+      |pairs AS ($q31Sql),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |labels AS (
+      |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      |sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM labels GROUP BY 1)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup,
+      |  ROUND(CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+      |FROM documents
+      |JOIN labels USING (doc_id)
+      |JOIN sizes USING (cluster_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Weighted deterministic sampling — the data-mixing knob: each
     * language keeps a target fraction of its documents, decided by a
     * hash threshold instead of RAND() (md5 is identical in every
@@ -2525,6 +2574,7 @@ object TextOps {
     "q201_unigram_fertility" -> q201,
     "q207_lang_source_residuals" -> q207,
     "q210_cluster_sizes" -> q210,
+    "q213_dup_rate_by_source" -> q213,
     "q117_langid_profiles" -> q117,
     "q123_pmi_collocations" -> q123,
     "q30_dedup_exact" -> q30,
@@ -2559,6 +2609,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "q207_lang_source_residuals" -> q207Sql,
     "q210_cluster_sizes" -> q210Sql,
+    "q213_dup_rate_by_source" -> q213Sql,
     "q166_ttr" -> q166Sql,
     "q156_jsd_drift" -> q156Sql,
     "q157_gopher_rules" -> q157Sql,
