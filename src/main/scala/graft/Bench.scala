@@ -73,7 +73,9 @@ object Bench {
     "q207_lang_source_residuals", "q208_cycle_time",
     "q209_shrunk_reliability", "q210_cluster_sizes",
     "q211_outlier_days", "q212_cohens_d", "q213_dup_rate_by_source",
-    "q214_nation_flow", "q215_psi_drift")
+    "q214_nation_flow", "q215_psi_drift", "q216_mann_kendall",
+    "q217_readability", "q218_price_index", "q219_vocab_growth",
+    "q220_eta_seasonality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4769,7 +4769,201 @@ object Relational {
       |    AS psi
       |FROM terms GROUP BY 1, 2""".stripMargin
 
+  /** q216: MANN–KENDALL trend test on monthly revenue — the
+    * nonparametric "is it actually trending" answer (no linearity or
+    * normality assumed; the stats sweep's trend chapter next to q169's
+    * OLS slope and q176's Theil–Sen): S = Σ sign(x_j − x_i) over
+    * ordered month pairs, Var(S) = n(n−1)(2n+5)/18 (continuous
+    * revenue ⇒ no ties), Z with the ±1 continuity correction. Scale
+    * shape: the series is month-grain (≤ date-range rows) — the pair
+    * self-join is |months|², model-sized; everything upstream is one
+    * exact-decimal aggregate. Hash-exact. */
+  private val q216: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM")
+        .as("month"))
+      .agg(sum(col("o_totalprice").cast(dec6)).as("revd"))
+      .select(col("month"), col("revd").cast("double").as("rev"))
+    val a = monthly.select(col("month").as("m1"), col("rev").as("x1"))
+    val b = monthly.select(col("month").as("m2"), col("rev").as("x2"))
+    val pairs = a.join(b, col("m1") < col("m2"))
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+    val n = monthly.agg(count(lit(1)).as("n_months"))
+    val nD = col("n_months").cast("double")
+    val sD = col("s_stat").cast("double")
+    val varS = nD * (nD - 1) * (nD * 2 + 5) / 18
+    pairs.crossJoin(broadcast(n))
+      .select(col("n_months"), col("s_stat"),
+        round(when(col("s_stat") > 0, (sD - 1) / sqrt(varS))
+          .when(col("s_stat") < 0, (sD + 1) / sqrt(varS))
+          .otherwise(lit(0.0)), 6).as("z"))
+  }
+  private val q216Sql =
+    """WITH monthly AS (
+      |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(SUM(CAST(SIGN(b.rev - a.rev) AS BIGINT)) AS BIGINT)
+      |    AS s_stat
+      |  FROM monthly a JOIN monthly b ON a.month < b.month),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly)
+      |SELECT n_months, s_stat,
+      |  ROUND(CASE
+      |    WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)
+      |      / SQRT(CAST(n_months AS DOUBLE) * (n_months - 1)
+      |        * (2 * n_months + 5) / 18)
+      |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)
+      |      / SQRT(CAST(n_months AS DOUBLE) * (n_months - 1)
+      |        * (2 * n_months + 5) / 18)
+      |    ELSE 0.0 END, 6) AS z
+      |FROM s CROSS JOIN n""".stripMargin
+
+  /** q218: LASPEYRES PRICE INDEX per month — unit prices weighted by
+    * the 1995 base-year basket — the dataset's first full year —
+    * (Σ p_t·q₀ / Σ p₀·q₀ over parts traded
+    * in both), the econ-style inflation readout over the catalog.
+    * Scale shape: per-(part, month) and per-part-base exact-decimal
+    * price/qty aggregates (part-sized), one part-keyed join, and
+    * per-month folds of 6-dp-rounded p·q₀ terms through the exact
+    * decimal accumulator (a raw double Σ over parts would be
+    * partition-order-dependent). Hash-exact. */
+  private val q218: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      to_date(col("l_shipdate")).as("sd"),
+      col("l_extendedprice"), col("l_quantity"))
+    val base = li.filter(year(col("sd")) === 1995)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast(dec6)).as("e0"),
+        sum(col("l_quantity").cast(dec6)).as("q0"))
+      .select(col("l_partkey"),
+        (col("e0").cast("double") / col("q0").cast("double")).as("p0"),
+        col("q0").cast("double").as("q0d"))
+    val cur = li.groupBy(col("l_partkey"),
+        date_format(col("sd"), "yyyy-MM").as("month"))
+      .agg(sum(col("l_extendedprice").cast(dec6)).as("et"),
+        sum(col("l_quantity").cast(dec6)).as("qt"))
+      .select(col("l_partkey"), col("month"),
+        (col("et").cast("double") / col("qt").cast("double")).as("pt"))
+    cur.join(base, Seq("l_partkey"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(round(col("pt") * col("q0d"), 6)
+          .cast(graft.util.Exact.Dec)).as("num"),
+        sum(round(col("p0") * col("q0d"), 6)
+          .cast(graft.util.Exact.Dec)).as("den"))
+      .select(col("month"), col("n_parts"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("laspeyres_index"))
+      .orderBy("month")
+  }
+  private val q218Sql =
+    """WITH base AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS p0,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q0d
+      |  FROM lineitem
+      |  WHERE EXTRACT(year FROM CAST(l_shipdate AS DATE)) = 1995
+      |  GROUP BY 1),
+      |cur AS (
+      |  SELECT l_partkey,
+      |    strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS pt
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  ROUND(CAST(SUM(CAST(ROUND(pt * q0d, 6) AS DECIMAL(28,6)))
+      |      AS DOUBLE)
+      |    / CAST(SUM(CAST(ROUND(p0 * q0d, 6) AS DECIMAL(28,6)))
+      |      AS DOUBLE), 6) AS laspeyres_index
+      |FROM cur JOIN base USING (l_partkey)
+      |GROUP BY month ORDER BY month""".stripMargin
+
+  /** q220: SEASONALITY STRENGTH per nation — η² of the month-of-year
+    * factor over the nation's monthly revenue series (variance share
+    * the calendar explains; q147's effect turned into one comparable
+    * number per geography). Scale shape: month-grain series per
+    * nation (date-range-sized), all moments 6-dp-rounded into exact
+    * decimal folds, η² = SSB/SST one fixed IEEE expression over the
+    * ≤12 group terms. Hash-exact. */
+  private val q220: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val monthly = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("ym"),
+        month(to_date(col("o_orderdate"))).as("moy"))
+      .agg(sum(col("o_totalprice").cast(dec6)).as("revd"))
+      .select(col("nation"), col("moy"),
+        col("revd").cast("double").as("x"))
+    val byMoy = monthly.groupBy("nation", "moy")
+      .agg(count(lit(1)).as("nj"),
+        sum(round(col("x"), 6).cast(graft.util.Exact.Dec)).as("sxj"))
+      .select(col("nation"),
+        round((col("sxj").cast("double") * col("sxj").cast("double")) /
+          col("nj").cast("double"), 6).as("grp_term"))
+      .groupBy("nation")
+      .agg(sum(col("grp_term").cast(graft.util.Exact.Dec)).as("ssb_raw"))
+    val tot = monthly.groupBy("nation")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 6).cast(graft.util.Exact.Dec)).as("sx"),
+        sum(round(col("x") * col("x"), 6).cast(dec12)).as("sxx"))
+    val nD = col("n").cast("double")
+    val cm = col("sx").cast("double") * col("sx").cast("double") / nD
+    tot.join(byMoy, Seq("nation"))
+      .select(col("nation"), col("n").as("n_months"),
+        round((col("ssb_raw").cast("double") - cm) /
+          (col("sxx").cast("double") - cm), 6).as("eta_sq"))
+      .orderBy("nation")
+  }
+  private val q220Sql =
+    """WITH monthly AS (
+      |  SELECT n_name AS nation,
+      |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+      |    EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS moy,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS x
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3),
+      |bym AS (
+      |  SELECT nation,
+      |    SUM(CAST(grp_term AS DECIMAL(28,6))) AS ssb_raw
+      |  FROM (
+      |    SELECT nation,
+      |      ROUND((CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6)))
+      |          AS DOUBLE)
+      |        * CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE))
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS grp_term
+      |    FROM monthly GROUP BY nation, moy) t
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,12))) AS DOUBLE)
+      |      AS sxx
+      |  FROM monthly GROUP BY 1)
+      |SELECT nation, n AS n_months,
+      |  ROUND((CAST(ssb_raw AS DOUBLE) - sx * sx / CAST(n AS DOUBLE))
+      |    / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS eta_sq
+      |FROM tot JOIN bym USING (nation)
+      |ORDER BY nation""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q216_mann_kendall" -> q216,
+    "q218_price_index" -> q218,
+    "q220_eta_seasonality" -> q220,
     "q211_outlier_days" -> q211,
     "q212_cohens_d" -> q212,
     "q214_nation_flow" -> q214,
@@ -4882,6 +5076,9 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q208_cycle_time" -> q208Sql,
     "q209_shrunk_reliability" -> q209Sql,
+    "q216_mann_kendall" -> q216Sql,
+    "q218_price_index" -> q218Sql,
+    "q220_eta_seasonality" -> q220Sql,
     "q211_outlier_days" -> q211Sql,
     "q212_cohens_d" -> q212Sql,
     "q214_nation_flow" -> q214Sql,

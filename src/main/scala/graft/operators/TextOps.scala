@@ -694,6 +694,97 @@ object TextOps {
       |JOIN sizes USING (cluster_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q217: FLESCH-STYLE READABILITY per source — 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with the
+    * standard proxies (sentences = terminator runs, floored at 1 per
+    * doc; syllables = vowel groups): the classic text-quality lens
+    * q37's heuristics and q157's Gopher rules don't carry. Pure
+    * map-side integer counts per doc, per-source exact sums, one
+    * fixed IEEE expression at 6 dp. Hash-exact. */
+  private val q217: QFn = (s, d) => {
+    val doc = Tables.documents(s, d).select(col("source"),
+      size(filter(words(col("text")), w => length(w) > 0))
+        .cast("long").as("n_words"),
+      greatest(size(regexp_extract_all(col("text"),
+        lit("[.!?]+"), lit(0))).cast("long"), lit(1L)).as("n_sents"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))).cast("long").as("n_syll"))
+    doc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_sents")).as("sentences"),
+        sum(col("n_syll")).as("syllables"))
+      .select(col("source"), col("n_docs"), col("words"),
+        col("sentences"), col("syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("words").cast("double") /
+            col("sentences").cast("double")) -
+          lit(84.6) * (col("syllables").cast("double") /
+            col("words").cast("double")), 6).as("flesch"))
+      .orderBy("source")
+  }
+  private val q217Sql =
+    """WITH doc AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      w -> len(w) > 0)) AS BIGINT) AS n_words,
+      |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT), 1) AS n_sents,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS n_syll
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS words,
+      |  CAST(SUM(n_sents) AS BIGINT) AS sentences,
+      |  CAST(SUM(n_syll) AS BIGINT) AS syllables,
+      |  ROUND(206.835
+      |    - 1.015 * (CAST(SUM(n_words) AS DOUBLE)
+      |      / CAST(SUM(n_sents) AS DOUBLE))
+      |    - 84.6 * (CAST(SUM(n_syll) AS DOUBLE)
+      |      / CAST(SUM(n_words) AS DOUBLE)), 6) AS flesch
+      |FROM doc GROUP BY source ORDER BY source""".stripMargin
+
+  /** q219: VOCABULARY GROWTH CURVE — distinct terms accumulated at
+    * 10%,…,100% of the corpus in doc_id order (the empirical Heaps
+    * curve q152 fits a β to; the "is more crawl still buying new
+    * vocabulary" planning readout). Scale shape: first occurrence =
+    * one (term → min doc_id) aggregate (vocabulary-sized), the
+    * checkpoint grid is 10 broadcast rows, the curve = one 10-way
+    * fanout of the first-occurrence table. Hash-exact. */
+  private val q219: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val first = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+    val grid = docs.agg(max(col("doc_id")).as("max_id"))
+      .select(explode(sequence(lit(1), lit(10))).as("decile"),
+        col("max_id"))
+      .select(col("decile"),
+        floor(col("max_id") * col("decile") / 10).as("ceiling_doc"))
+    first.crossJoin(broadcast(grid))
+      .filter(col("first_doc") <= col("ceiling_doc"))
+      .groupBy("decile", "ceiling_doc")
+      .agg(count(lit(1)).as("vocab"))
+      .orderBy("decile")
+  }
+  private val q219Sql =
+    """WITH first AS (
+      |  SELECT term, MIN(doc_id) AS first_doc
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS term
+      |        FROM documents) t
+      |  WHERE len(term) > 0 GROUP BY 1),
+      |grid AS (
+      |  SELECT CAST(i AS BIGINT) AS decile,
+      |    CAST(FLOOR(m.max_id * i / 10) AS BIGINT) AS ceiling_doc
+      |  FROM range(1, 11) r(i)
+      |  CROSS JOIN (SELECT MAX(doc_id) AS max_id FROM documents) m)
+      |SELECT decile, ceiling_doc, CAST(COUNT(*) AS BIGINT) AS vocab
+      |FROM first CROSS JOIN grid
+      |WHERE first_doc <= ceiling_doc
+      |GROUP BY 1, 2 ORDER BY decile""".stripMargin
+
   /** Weighted deterministic sampling — the data-mixing knob: each
     * language keeps a target fraction of its documents, decided by a
     * hash threshold instead of RAND() (md5 is identical in every
@@ -2575,6 +2666,8 @@ object TextOps {
     "q207_lang_source_residuals" -> q207,
     "q210_cluster_sizes" -> q210,
     "q213_dup_rate_by_source" -> q213,
+    "q217_readability" -> q217,
+    "q219_vocab_growth" -> q219,
     "q117_langid_profiles" -> q117,
     "q123_pmi_collocations" -> q123,
     "q30_dedup_exact" -> q30,
@@ -2610,6 +2703,8 @@ object TextOps {
     "q207_lang_source_residuals" -> q207Sql,
     "q210_cluster_sizes" -> q210Sql,
     "q213_dup_rate_by_source" -> q213Sql,
+    "q217_readability" -> q217Sql,
+    "q219_vocab_growth" -> q219Sql,
     "q166_ttr" -> q166Sql,
     "q156_jsd_drift" -> q156Sql,
     "q157_gopher_rules" -> q157Sql,
