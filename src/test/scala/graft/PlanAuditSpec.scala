@@ -571,5 +571,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanLint.check(Relational.queries("q206_hill_tail")(spark, sfDir))
       .forall(f => f.kind == "cartesian" ||
         f.kind == "single-partition-window"), "q206")
+    // q211/q212/q213/q214/q217/q218/q220: keyed aggregates/joins only
+    Seq("q211_outlier_days", "q212_cohens_d", "q214_nation_flow",
+      "q218_price_index", "q220_eta_seasonality").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
+    }
+    Seq("q213_dup_rate_by_source", "q217_readability").foreach { q =>
+      assert(PlanLint.check(TextOps.queries(q)(spark, sfDir)).isEmpty, q)
+    }
+    // q215/q219 cross ONE-ROW broadcast grids (decile cuts /
+    // checkpoint grid); q216's month-pair self-join + one-row n cross
+    // run on a model-sized month series — documented bounded shapes
+    Seq("q215_psi_drift" -> Relational.queries,
+        "q216_mann_kendall" -> Relational.queries).foreach { case (q, m) =>
+      assert(PlanLint.check(m(q)(spark, sfDir))
+        .forall(_.kind == "cartesian"), q)
+    }
+    assert(PlanLint.check(TextOps.queries("q219_vocab_growth")(spark, sfDir))
+      .forall(_.kind == "cartesian"), "q219")
   }
 }
