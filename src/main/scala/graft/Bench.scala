@@ -75,7 +75,8 @@ object Bench {
     "q211_outlier_days", "q212_cohens_d", "q213_dup_rate_by_source",
     "q214_nation_flow", "q215_psi_drift", "q216_mann_kendall",
     "q217_readability", "q218_price_index", "q219_vocab_growth",
-    "q220_eta_seasonality")
+    "q220_eta_seasonality", "q221_region_share_trend",
+    "q222_quantity_mode", "q223_growth_streak")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4960,7 +4960,198 @@ object Relational {
       |FROM tot JOIN bym USING (nation)
       |ORDER BY nation""".stripMargin
 
+  /** q221: REGION REVENUE-SHARE TREND — yearly revenue share per
+    * region plus the exact OLS slope of that share over the years
+    * (which geography is structurally gaining): the q169 regression
+    * machinery applied per-group to a years-long series. Scale shape:
+    * one fact aggregate with dims broadcast (region × year cells),
+    * shares + slope fixed IEEE over exact decimal sums — the series
+    * is ≤10 points per region, so Σxy folds over rounded 6-dp terms.
+    * Hash-exact. */
+  private val q221: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val yearly = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"),
+        year(to_date(col("o_orderdate"))).as("yr"))
+      .agg(sum(col("o_totalprice").cast(dec6)).as("revd"))
+    val tot = yearly.groupBy("yr")
+      .agg(sum(col("revd")).as("trev"))
+    val shares = yearly.join(broadcast(tot), Seq("yr"))
+      .select(col("region"), col("yr").cast("double").as("x"),
+        round(col("revd").cast("double") / col("trev").cast("double"),
+          6).as("share"))
+    shares.groupBy("region")
+      .agg(count(lit(1)).as("n_years"),
+        sum(col("x").cast(graft.util.Exact.Dec)).as("sx"),
+        sum(col("share").cast(graft.util.Exact.Dec)).as("sy"),
+        sum(round(col("x") * col("share"), 6)
+          .cast(graft.util.Exact.Dec)).as("sxy"),
+        sum(round(col("x") * col("x"), 6)
+          .cast(graft.util.Exact.Dec)).as("sxx"))
+      .select(col("region"), col("n_years"),
+        round(col("sy").cast("double") / col("n_years").cast("double"),
+          6).as("mean_share"),
+        round((col("n_years").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_years").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("share_slope_per_year"))
+      .orderBy("region")
+  }
+  private val q221Sql =
+    """WITH yearly AS (
+      |  SELECT r_name AS region,
+      |    EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS revd
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT yr, SUM(revd) AS trev FROM yearly GROUP BY 1),
+      |shares AS (
+      |  SELECT region, CAST(yr AS DOUBLE) AS x,
+      |    ROUND(CAST(revd AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS share
+      |  FROM yearly JOIN tot USING (yr)),
+      |g AS (
+      |  SELECT region, CAST(COUNT(*) AS BIGINT) AS n_years,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(share AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * share, 6) AS DECIMAL(28,6)))
+      |      AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS sxx
+      |  FROM shares GROUP BY 1)
+      |SELECT region, n_years,
+      |  ROUND(sy / CAST(n_years AS DOUBLE), 6) AS mean_share,
+      |  ROUND((CAST(n_years AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n_years AS DOUBLE) * sxx - sx * sx), 6)
+      |    AS share_slope_per_year
+      |FROM g ORDER BY region""".stripMargin
+
+  /** q222: EXACT MODE of line quantity per brand (deterministic
+    * tiebreak: highest count, then smallest quantity) with its
+    * frequency share — the one basic descriptive aggregate the sweep
+    * lacked. One (brand, qty) aggregate, per-brand argmax via a
+    * keyed WindowGroupLimit-able row_number, share one IEEE divide.
+    * Hash-exact. */
+  private val q222: QFn = (s, d) => {
+    val cnt = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        col("l_quantity").cast("long").as("qty"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("brand").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("brand")
+      .orderBy(col("c").desc, col("qty").asc)
+    cnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(broadcast(tot), Seq("brand"))
+      .select(col("brand"), col("qty").as("mode_qty"),
+        col("c").as("mode_count"), col("n").as("n_lines"),
+        round(col("c").cast("double") / col("n").cast("double"), 6)
+          .as("mode_share"))
+      .orderBy("brand")
+  }
+  private val q222Sql =
+    """WITH cnt AS (
+      |  SELECT p_brand AS brand, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT brand, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM cnt GROUP BY 1),
+      |rk AS (
+      |  SELECT brand, qty, c,
+      |    ROW_NUMBER() OVER (PARTITION BY brand ORDER BY c DESC, qty ASC)
+      |      AS rk
+      |  FROM cnt)
+      |SELECT brand, qty AS mode_qty, c AS mode_count, n AS n_lines,
+      |  ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mode_share
+      |FROM rk JOIN tot USING (brand)
+      |WHERE rk = 1 ORDER BY brand""".stripMargin
+
+  /** q223: LONGEST MONTHLY GROWTH STREAK per nation — gaps-and-islands
+    * (q95's machinery) on the month-grain revenue series: consecutive
+    * months of strictly increasing revenue, longest run + its end.
+    * Scale shape: the series is month-grain per nation (date-range ×
+    * 25 rows); windows are nation-keyed. Hash-exact. */
+  private val q223: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val monthly = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast(dec6)).as("revd"))
+      .select(col("nation"), col("month"),
+        col("revd").cast("double").as("rev"))
+    val wOrd = Window.partitionBy("nation").orderBy("month")
+    val runs = monthly
+      .withColumn("up",
+        when(col("rev") > lag(col("rev"), 1).over(wOrd), 1L)
+          .otherwise(0L))
+      .withColumn("brk", (lit(1L) - col("up")))
+      .withColumn("grp", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy("nation", "grp")
+      .agg(count(lit(1)).as("len"), max(col("month")).as("run_end"))
+      .withColumn("rk", row_number().over(Window.partitionBy("nation")
+        .orderBy(col("len").desc, col("run_end").asc)))
+      .filter(col("rk") === 1)
+      .select(col("nation"), col("len").as("longest_growth_months"),
+        col("run_end").as("streak_end"))
+      .orderBy("nation")
+  }
+  private val q223Sql =
+    """WITH monthly AS (
+      |  SELECT n_name AS nation,
+      |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |brks AS (
+      |  SELECT nation, month,
+      |    CASE WHEN rev > LAG(rev) OVER (PARTITION BY nation
+      |      ORDER BY month) THEN 0 ELSE 1 END AS brk
+      |  FROM monthly),
+      |runs AS (
+      |  SELECT nation, month,
+      |    CAST(SUM(brk) OVER (PARTITION BY nation ORDER BY month
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS grp
+      |  FROM brks),
+      |islands AS (
+      |  SELECT nation, grp, CAST(COUNT(*) AS BIGINT) AS len,
+      |    MAX(month) AS run_end
+      |  FROM runs GROUP BY 1, 2),
+      |best AS (
+      |  SELECT nation, len, run_end,
+      |    ROW_NUMBER() OVER (PARTITION BY nation
+      |      ORDER BY len DESC, run_end ASC) AS rk
+      |  FROM islands)
+      |SELECT nation, len AS longest_growth_months,
+      |  run_end AS streak_end
+      |FROM best WHERE rk = 1 ORDER BY nation""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q221_region_share_trend" -> q221,
+    "q222_quantity_mode" -> q222,
+    "q223_growth_streak" -> q223,
     "q216_mann_kendall" -> q216,
     "q218_price_index" -> q218,
     "q220_eta_seasonality" -> q220,
@@ -5076,6 +5267,9 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q208_cycle_time" -> q208Sql,
     "q209_shrunk_reliability" -> q209Sql,
+    "q221_region_share_trend" -> q221Sql,
+    "q222_quantity_mode" -> q222Sql,
+    "q223_growth_streak" -> q223Sql,
     "q216_mann_kendall" -> q216Sql,
     "q218_price_index" -> q218Sql,
     "q220_eta_seasonality" -> q220Sql,
