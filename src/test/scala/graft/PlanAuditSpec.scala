@@ -589,5 +589,10 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(PlanLint.check(TextOps.queries("q219_vocab_growth")(spark, sfDir))
       .forall(_.kind == "cartesian"), "q219")
+    // q221/q222/q223: broadcast dims + keyed windows only
+    Seq("q221_region_share_trend", "q222_quantity_mode",
+      "q223_growth_streak").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
+    }
   }
 }
