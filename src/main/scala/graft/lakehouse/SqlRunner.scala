@@ -136,6 +136,24 @@ object SqlRunner {
     val deleted = VersionedTable.vacuum(s, a(0), a(1).toLong)
     oneRow(s, Seq("deleted"), Seq(deleted.size.toLong))
   }
+  // the reference's core loop — poll a drop dir, load fresh files,
+  // record every attempt (check_lakehouse.py:139-160 drives it from
+  // SQL stored procedures) — callable from the SQL console: one
+  // registry-deduped incremental load pass, schema given as DDL.
+  // `optimistic = true` routes appends through the multi-writer
+  // rebase path (appendDeltaOptimistic) on delta tables.
+  registerProc("graft_load") { (s, a) =>
+    require(a.size >= 4 && a.size <= 6,
+      "graft_load(srcDir, tableDir, registryDir, schemaDdl" +
+        "[, format[, optimistic]])")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(a(3))
+    val r = IncrementalLoader.run(s, a(0), a(1), a(2), schema,
+      format = a.lift(4).getOrElse("csv"),
+      optimistic = a.lift(5).exists(_.toBoolean))
+    oneRow(s, Seq("loaded", "skipped", "failed", "quarantined"),
+      Seq(r.loaded.size.toLong, r.skipped.size.toLong,
+        r.failed.size.toLong, r.quarantined.size.toLong))
+  }
   // write–audit–publish branch lifecycle from the SQL console
   registerProc("graft_create_branch") { (s, a) =>
     require(a.size == 2, "graft_create_branch(root, name)")

@@ -1888,6 +1888,29 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("graft_load proc: one registry-deduped load pass from the SQL " +
+      "console, idempotent on the second call") {
+    val root = tmpDir("loadproc")
+    new java.io.File(s"$root/src").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/src/a.json"),
+      Seq("""{"id": 1}""", """{"id": 2}""").mkString("\n")
+        .getBytes("UTF-8"))
+    val r1 = SqlRunner.callProc(spark, "graft_load",
+      Seq(s"$root/src", s"$root/t", s"$root/reg", "id BIGINT", "json"))
+      ._1.collect()(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(2) == 0L,
+      s"first pass: $r1")
+    assert(spark.read.parquet(s"$root/t").count() == 2L)
+    // second call skips the settled file — the check_files twin
+    val r2 = SqlRunner.callProc(spark, "graft_load",
+      Seq(s"$root/src", s"$root/t", s"$root/reg", "id BIGINT", "json"))
+      ._1.collect()(0)
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 1L,
+      s"second pass: $r2")
+    assert(spark.read.parquet(s"$root/t").count() == 2L)
+  }
+
   test("graft_audit proc runs a DQ spec over the current version") {
     import spark.implicits._
     val root = tmpDir("auditproc") + "/t"
