@@ -76,7 +76,9 @@ object Bench {
     "q214_nation_flow", "q215_psi_drift", "q216_mann_kendall",
     "q217_readability", "q218_price_index", "q219_vocab_growth",
     "q220_eta_seasonality", "q221_region_share_trend",
-    "q222_quantity_mode", "q223_growth_streak")
+    "q222_quantity_mode", "q223_growth_streak", "q224_repeat_lag",
+    "q225_peak_hour", "q226_penetration_curve",
+    "q227_priority_transitions", "q228_reactivation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5148,7 +5148,193 @@ object Relational {
       |  run_end AS streak_end
       |FROM best WHERE rk = 1 ORDER BY nation""".stripMargin
 
+  /** q224: ACTIVATION LAG — days from a customer's FIRST to SECOND
+    * order, rolled up per market segment (n, mean, exact p50/p90):
+    * how fast a new account converts into a repeat account, the
+    * retention planning number next to q198's steady-state rate.
+    * Keyed window rank per customer (never global), exact-integer day
+    * sums, the q16 percentile pair. Hash-exact. */
+  private val q224: QFn = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od").asc, col("o_orderkey").asc)
+    val lag2 = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        datediff(max(col("od")), min(col("od"))).cast("long").as("lag"))
+      .filter(col("n") === 2)
+    lag2.join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_repeat"),
+        round(sum(col("lag")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_days"),
+        round(expr("percentile(lag, 0.5)"), 6).as("p50_days"),
+        round(expr("percentile(lag, 0.9)"), 6).as("p90_days"))
+      .orderBy("segment")
+  }
+  private val q224Sql =
+    """WITH rk AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk
+      |  FROM orders),
+      |lag2 AS (
+      |  SELECT o_custkey, COUNT(*) AS n,
+      |    CAST(MAX(od) - MIN(od) AS BIGINT) AS lag
+      |  FROM rk WHERE rk <= 2 GROUP BY 1 HAVING COUNT(*) = 2)
+      |SELECT c_mktsegment AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_repeat,
+      |  ROUND(CAST(SUM(lag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS mean_days,
+      |  ROUND(quantile_cont(lag, 0.5), 6) AS p50_days,
+      |  ROUND(quantile_cont(lag, 0.9), 6) AS p90_days
+      |FROM lag2 JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** q227: ORDER-PRIORITY TRANSITION MATRIX — q103's Markov counting
+    * on the ORDER history: for consecutive orders of the same
+    * customer, P(next priority | this priority), row-normalized with
+    * exact counts (does URGENT beget URGENT — the escalation
+    * diagnosis). Customer-keyed lead window, one pair aggregate, a
+    * 25-cell matrix; probability one IEEE divide at 6 dp. Hash-exact. */
+  private val q227: QFn = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od").asc, col("o_orderkey").asc)
+    val pairs = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority").as("p_from"))
+      .withColumn("p_to", lead(col("p_from"), 1).over(w))
+      .filter(col("p_to").isNotNull)
+      .groupBy("p_from", "p_to").agg(count(lit(1)).as("c"))
+    val tot = pairs.groupBy("p_from").agg(sum(col("c")).as("n"))
+    pairs.join(broadcast(tot), Seq("p_from"))
+      .select(col("p_from"), col("p_to"), col("c"),
+        round(col("c").cast("double") / col("n").cast("double"), 6)
+          .as("p"))
+      .orderBy("p_from", "p_to")
+  }
+  private val q227Sql =
+    """WITH seq AS (
+      |  SELECT o_orderpriority AS p_from,
+      |    LEAD(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS p_to
+      |  FROM orders),
+      |pairs AS (
+      |  SELECT p_from, p_to, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM seq WHERE p_to IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT p_from, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM pairs GROUP BY 1)
+      |SELECT p_from, p_to, c,
+      |  ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p
+      |FROM pairs JOIN tot USING (p_from)
+      |ORDER BY p_from, p_to""".stripMargin
+
+  /** q228: DORMANCY REACTIVATION per nation — customers who went
+    * quiet ≥ 180 days between consecutive orders and came back, vs
+    * all repeat customers (the win-back base rate). Customer-keyed
+    * lag only; two exact-count rollups; rate one IEEE divide.
+    * Hash-exact. */
+  private val q228: QFn = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("gap",
+        datediff(col("od"), lag(col("od"), 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull)
+      .groupBy("o_custkey")
+      .agg(max(when(col("gap") >= 180L, 1L).otherwise(0L))
+        .as("reactivated"))
+    gaps.join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_repeat_customers"),
+        sum(col("reactivated")).as("n_reactivated"))
+      .select(col("nation"), col("n_repeat_customers"),
+        col("n_reactivated"),
+        round(col("n_reactivated").cast("double") /
+          col("n_repeat_customers").cast("double"), 6)
+          .as("reactivation_rate"))
+      .orderBy("nation")
+  }
+  private val q228Sql =
+    """WITH gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_orderdate AS DATE)
+      |      - LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+      |      AS BIGINT) AS gap
+      |  FROM orders),
+      |cust AS (
+      |  SELECT o_custkey,
+      |    CAST(MAX(CASE WHEN gap >= 180 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS reactivated
+      |  FROM gaps WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT n_name AS nation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+      |  CAST(SUM(reactivated) AS BIGINT) AS n_reactivated,
+      |  ROUND(CAST(SUM(reactivated) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS reactivation_rate
+      |FROM cust
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
+  /** q226: MARKET PENETRATION CURVE per nation — cumulative distinct
+    * customers acquired by each year (q219's first-occurrence trick on
+    * the customer domain: is the geography still acquiring?). One
+    * (customer → first order year) key-sized aggregate, a years-grid
+    * fanout bounded by |years|·|nations|; exact counts. Hash-exact. */
+  private val q226: QFn = (s, d) => {
+    val first = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(min(year(to_date(col("o_orderdate")))).as("first_yr"))
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("first_yr"))
+    val years = Tables.orders(s, d)
+      .select(year(to_date(col("o_orderdate"))).as("yr")).distinct()
+    first.crossJoin(broadcast(years))
+      .filter(col("first_yr") <= col("yr"))
+      .groupBy("nation", "yr")
+      .agg(count(lit(1)).as("customers_acquired"))
+      .orderBy("nation", "yr")
+  }
+  private val q226Sql =
+    """WITH first AS (
+      |  SELECT n_name AS nation,
+      |    MIN(EXTRACT(year FROM CAST(o_orderdate AS DATE))) AS first_yr
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY o_custkey, n_name),
+      |years AS (
+      |  SELECT DISTINCT EXTRACT(year FROM CAST(o_orderdate AS DATE))
+      |    AS yr FROM orders)
+      |SELECT nation, CAST(yr AS INT) AS yr,
+      |  CAST(COUNT(*) AS BIGINT) AS customers_acquired
+      |FROM first CROSS JOIN years
+      |WHERE first_yr <= yr
+      |GROUP BY 1, 2 ORDER BY nation, yr""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q226_penetration_curve" -> q226,
+    "q224_repeat_lag" -> q224,
+    "q227_priority_transitions" -> q227,
+    "q228_reactivation" -> q228,
     "q221_region_share_trend" -> q221,
     "q222_quantity_mode" -> q222,
     "q223_growth_streak" -> q223,
@@ -5267,6 +5453,10 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q208_cycle_time" -> q208Sql,
     "q209_shrunk_reliability" -> q209Sql,
+    "q226_penetration_curve" -> q226Sql,
+    "q224_repeat_lag" -> q224Sql,
+    "q227_priority_transitions" -> q227Sql,
+    "q228_reactivation" -> q228Sql,
     "q221_region_share_trend" -> q221Sql,
     "q222_quantity_mode" -> q222Sql,
     "q223_growth_streak" -> q223Sql,

@@ -977,7 +977,51 @@ object SessionOps {
        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
        |FROM sess GROUP BY 1""".stripMargin
 
+  /** q225: PEAK HOUR per event type — the mode of the hour-of-day
+    * distribution with its traffic share (q159's entropy says "how
+    * spread"; this says "where the spike is" — the capacity-planning
+    * pair). Epoch-microsecond floor + non-negative mod (the q159
+    * discipline), one (type, hour) aggregate, keyed argmax row_number
+    * with (count desc, hour asc) tiebreak. Hash-exact. */
+  private val q225: QFn = (s, d) => {
+    val HourUs = 3600L * 1000000L
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        pmod(floor(unix_micros(col("ts")) / HourUs), lit(24L)).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val tot = hourly.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("c").desc, col("h").asc)
+    hourly.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("h").cast("long").as("peak_hour"),
+        col("c").as("peak_count"), col("n").as("n_events"),
+        round(col("c").cast("double") / col("n").cast("double"), 6)
+          .as("peak_share"))
+      .orderBy("event_type")
+  }
+  private val q225Sql =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    ((CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24) + 24)
+      |      % 24 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM hourly GROUP BY 1),
+      |rk AS (
+      |  SELECT event_type, h, c,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY c DESC, h ASC) AS rk
+      |  FROM hourly)
+      |SELECT event_type, h AS peak_hour, c AS peak_count, n AS n_events,
+      |  ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS peak_share
+      |FROM rk JOIN tot USING (event_type)
+      |WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q225_peak_hour" -> q225,
     "q203_bounce_rate" -> q203,
     "q190_entropy_rate" -> q190,
     "q179_stickiness" -> q179,
@@ -1002,6 +1046,7 @@ object SessionOps {
 
   val oracleSql: Map[String, String] = Map(
     "q203_bounce_rate" -> q203Sql,
+    "q225_peak_hour" -> q225Sql,
     "q190_entropy_rate" -> q190Sql,
     "q179_stickiness" -> q179Sql,
     "q159_hour_entropy" -> q159Sql,

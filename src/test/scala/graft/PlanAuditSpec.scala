@@ -594,5 +594,16 @@ class PlanAuditSpec extends SparkSpec {
       "q223_growth_streak").foreach { q =>
       assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
     }
+    // q224/q227/q228 customer-keyed windows; q225 keyed argmax —
+    // clean; q226 crosses the |years| one-row-ish broadcast grid
+    Seq("q224_repeat_lag", "q227_priority_transitions",
+      "q228_reactivation").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
+    }
+    assert(PlanLint.check(
+      SessionOps.queries("q225_peak_hour")(spark, sfDir)).isEmpty, "q225")
+    assert(PlanLint.check(
+      Relational.queries("q226_penetration_curve")(spark, sfDir))
+      .forall(_.kind == "cartesian"), "q226")
   }
 }
