@@ -78,7 +78,9 @@ object Bench {
     "q220_eta_seasonality", "q221_region_share_trend",
     "q222_quantity_mode", "q223_growth_streak", "q224_repeat_lag",
     "q225_peak_hour", "q226_penetration_curve",
-    "q227_priority_transitions", "q228_reactivation")
+    "q227_priority_transitions", "q228_reactivation",
+    "q229_trimmed_mean", "q230_expected_shortfall",
+    "q231_annual_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5330,7 +5330,139 @@ object Relational {
       |WHERE first_yr <= yr
       |GROUP BY 1, 2 ORDER BY nation, yr""".stripMargin
 
+  /** q229: 10% TRIMMED MEAN of order value per segment vs the plain
+    * mean — the robust-location estimator (how much do the tails
+    * distort the average a dashboard shows). Exact percentile cuts
+    * per segment (broadcast back), conditional exact-decimal mean of
+    * the inner 80%. Hash-exact. */
+  private val q229: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_totalprice").cast("double").as("x"))
+    val cuts = o.groupBy("segment").agg(
+      expr("percentile(x, 0.1)").as("lo"),
+      expr("percentile(x, 0.9)").as("hi"))
+    o.join(broadcast(cuts), Seq("segment"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x").cast(dec6)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean"),
+        sum(when(col("x") >= col("lo") && col("x") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        round(sum(when(col("x") >= col("lo") && col("x") <= col("hi"),
+          col("x")).otherwise(lit(0.0)).cast(dec6)).cast("double") /
+          sum(when(col("x") >= col("lo") && col("x") <= col("hi"), 1L)
+            .otherwise(0L)).cast("double"), 6).as("trimmed_mean"))
+      .orderBy("segment")
+  }
+  private val q229Sql =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cuts AS (
+      |  SELECT segment, quantile_cont(x, 0.1) AS lo,
+      |    quantile_cont(x, 0.9) AS hi
+      |  FROM o GROUP BY 1)
+      |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean,
+      |  CAST(SUM(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  ROUND(CAST(SUM(CAST(CASE WHEN x >= lo AND x <= hi THEN x
+      |      ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END)
+      |      AS DOUBLE), 6) AS trimmed_mean
+      |FROM o JOIN cuts USING (segment)
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
+  /** q230: EXPECTED SHORTFALL (CVaR) of daily revenue — the mean of
+    * the worst 5% of days below the exact p5 cut (the risk number a
+    * sup-statistic like q137's KS can't give): how bad is a bad day,
+    * not just how often. Day-grain exact-decimal series, one-row cut
+    * broadcast, conditional decimal mean. Hash-exact. */
+  private val q230: QFn = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(dec6)).as("revd"))
+      .select(col("revd").cast("double").as("rev"))
+    val cut = daily.agg(expr("percentile(rev, 0.05)").as("var5"),
+      count(lit(1)).as("n_days"))
+    daily.crossJoin(broadcast(cut))
+      .select(col("n_days"), col("var5"),
+        when(col("rev") <= col("var5"), col("rev")).as("tail"))
+      .groupBy("n_days")
+      .agg(round(first(col("var5")), 6).as("var_5pct"),
+        count(col("tail")).as("n_tail_days"),
+        round(sum(col("tail").cast(dec6)).cast("double") /
+          count(col("tail")).cast("double"), 6).as("cvar_5pct"))
+  }
+  private val q230Sql =
+    """WITH daily AS (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS rev
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+      |cut AS (
+      |  SELECT quantile_cont(rev, 0.05) AS var5,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM daily)
+      |SELECT n_days, ROUND(MIN(var5), 6) AS var_5pct,
+      |  CAST(COUNT(CASE WHEN rev <= var5 THEN 1 END) AS BIGINT)
+      |    AS n_tail_days,
+      |  ROUND(CAST(SUM(CAST(CASE WHEN rev <= var5 THEN rev END
+      |      AS DECIMAL(28,6))) AS DOUBLE)
+      |    / COUNT(CASE WHEN rev <= var5 THEN 1 END), 6) AS cvar_5pct
+      |FROM daily CROSS JOIN cut
+      |GROUP BY n_days""".stripMargin
+
+  /** q231: ANNUAL RETENTION matrix — of the customers active in year
+    * Y, the share still active in Y+1 (the order-history twin of
+    * q89's event cohorts, at the planning grain). Two key-sized
+    * distinct sets self-joined on customer; exact counts. */
+  private val q231: QFn = (s, d) => {
+    val active = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("yr"))
+      .distinct()
+    // disjoint names on the probe side: a self-join sharing lineage
+    // trips Spark's ambiguous-attribute resolution otherwise
+    val nxt = active.select(col("o_custkey").as("c2"),
+      (col("yr") - 1).as("yr2"))
+    active.join(nxt,
+        col("yr") === col("yr2") && col("o_custkey") === col("c2"),
+        "left")
+      .groupBy(col("yr").as("year"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("c2")).as("n_retained"))
+      .select(col("year"), col("n_active"), col("n_retained"),
+        round(col("n_retained").cast("double") /
+          col("n_active").cast("double"), 6).as("retention"))
+      .orderBy("year")
+  }
+  private val q231Sql =
+    """WITH active AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)
+      |      AS yr
+      |  FROM orders)
+      |SELECT a.yr AS year, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(COUNT(b.o_custkey) AS BIGINT) AS n_retained,
+      |  ROUND(CAST(COUNT(b.o_custkey) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+      |FROM active a
+      |LEFT JOIN active b
+      |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+      |GROUP BY 1 ORDER BY year""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q229_trimmed_mean" -> q229,
+    "q230_expected_shortfall" -> q230,
+    "q231_annual_retention" -> q231,
     "q226_penetration_curve" -> q226,
     "q224_repeat_lag" -> q224,
     "q227_priority_transitions" -> q227,
@@ -5453,6 +5585,9 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q208_cycle_time" -> q208Sql,
     "q209_shrunk_reliability" -> q209Sql,
+    "q229_trimmed_mean" -> q229Sql,
+    "q230_expected_shortfall" -> q230Sql,
+    "q231_annual_retention" -> q231Sql,
     "q226_penetration_curve" -> q226Sql,
     "q224_repeat_lag" -> q224Sql,
     "q227_priority_transitions" -> q227Sql,

@@ -605,5 +605,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanLint.check(
       Relational.queries("q226_penetration_curve")(spark, sfDir))
       .forall(_.kind == "cartesian"), "q226")
+    // q229 segment-keyed cuts broadcast; q231 key-sized self-join —
+    // clean; q230 crosses the ONE-ROW p5 cut
+    Seq("q229_trimmed_mean", "q231_annual_retention").foreach { q =>
+      assert(PlanLint.check(Relational.queries(q)(spark, sfDir)).isEmpty, q)
+    }
+    assert(PlanLint.check(
+      Relational.queries("q230_expected_shortfall")(spark, sfDir))
+      .forall(_.kind == "cartesian"), "q230")
   }
 }
