@@ -298,8 +298,19 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       legacy.foreach { src =>
         val dst = new org.apache.hadoop.fs.Path(dd, src.getName)
         if (fs.exists(dst)) fs.delete(src, true)
-        else require(fs.rename(src, dst),
-          s"legacy corpus object adoption failed: $src -> $dst")
+        else {
+          // Two adopters can both pass the !exists probe (unleased run
+          // or a lease-TTL edge); rename arbitrates — the loser must
+          // TREAT already-adopted as success (same tag ⇒ same content
+          // by the publish protocol), not crash the tick.
+          val renamed = try fs.rename(src, dst)
+            catch { case _: java.io.IOException => false }
+          if (!renamed) {
+            require(fs.exists(dst),
+              s"legacy corpus object adoption failed: $src -> $dst")
+            if (fs.exists(src)) fs.delete(src, true)
+          }
+        }
       }
     }
   }

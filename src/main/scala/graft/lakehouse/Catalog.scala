@@ -117,26 +117,65 @@ object Catalog {
         .collect { case (root, ver) if root == tableRoot => ver })
       .minOption
 
-  /** Re-serve a retained catalog version (multi-table time travel). */
+  /** Re-serve a retained catalog version (multi-table time travel).
+    *
+    * Torn objects are RETRYABLE, not authoritative: on filesystems
+    * where AtomicPut falls back to write-after-create (no hard links),
+    * a reader can catch the object mid-write. Every published object
+    * carries a `h\t<tableCount>` header, so a truncation — whether
+    * mid-line (parse failure) or at a line boundary (silently fewer
+    * tables) — is detected and re-read briefly before failing loudly.
+    * Headerless objects from earlier layouts parse as before. */
   def snapshotAsOf(spark: SparkSession, catRoot: String,
       version: Long): Snapshot = {
     val fs = fsOf(spark, catRoot)
     val p = new Path(catDir(catRoot), version.toString)
     require(fs.exists(p),
       s"catalog version $version of $catRoot does not exist")
-    val in = fs.open(p)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val tables = body.split("\n").toSeq.collect {
-      case line if line.startsWith("t\t") =>
-        line.split("\t") match {
-          case Array(_, name, root, v) => name -> (root, v.toLong)
-          case _ => throw new IllegalStateException(
-            s"malformed catalog line in $p: '$line'")
+    var lastErr = "unreadable"
+    (0 until 20).foreach { _ =>
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      parseCatalog(body) match {
+        case Right(tables) => return Snapshot(version, tables)
+        case Left(err) => lastErr = err; Thread.sleep(25)
+      }
+    }
+    throw new IllegalStateException(
+      s"catalog object $p stayed torn across retries ($lastErr) — " +
+        "the writer likely crashed mid-PUT on a no-hardlink filesystem")
+  }
+
+  /** Right(tables) for a whole object; Left(reason) for a torn one. */
+  private def parseCatalog(
+      body: String): Either[String, Map[String, (String, Long)]] = {
+    val lines = body.split("\n").toSeq
+    val expected = lines.headOption match {
+      case Some(h) if h.startsWith("h\t") => h.split("\t") match {
+        case Array(_, n) => n.toIntOption match {
+          case Some(c) => Some(c)
+          case None => return Left(s"torn header '$h'")
         }
-    }.toMap
-    Snapshot(version, tables)
+        case _ => return Left(s"torn header '$h'")
+      }
+      case _ => None // legacy headerless object
+    }
+    val parsed = lines.filter(_.startsWith("t\t")).map { line =>
+      line.split("\t") match {
+        case Array(_, name, root, v) => v.toLongOption match {
+          case Some(ver) => name -> (root, ver)
+          case None => return Left(s"torn line '$line'")
+        }
+        case _ => return Left(s"torn line '$line'")
+      }
+    }
+    expected match {
+      case Some(c) if parsed.size != c =>
+        Left(s"header says $c tables, object carries ${parsed.size}")
+      case _ => Right(parsed.toMap)
+    }
   }
 
   /** Read one table at its catalog-pinned version (current snapshot).
@@ -192,8 +231,11 @@ object Catalog {
       tables: Map[String, (String, Long)]): Unit = {
     val fs = fsOf(spark, catRoot)
     fs.mkdirs(catDir(catRoot))
-    val body = tables.toSeq.sortBy(_._1)
-      .map { case (name, (root, v)) => s"t\t$name\t$root\t$v" }
+    // `h\t<count>` header lets readers detect a torn object (see
+    // snapshotAsOf) — truncation at any point breaks header arity,
+    // line arity, or the count
+    val body = (s"h\t${tables.size}" +: tables.toSeq.sortBy(_._1)
+      .map { case (name, (root, v)) => s"t\t$name\t$root\t$v" })
       .mkString("\n")
     // the catalog object's CONTENT is the commit (unlike the manifest,
     // whose existence alone commits), so the PUT must be atomic in

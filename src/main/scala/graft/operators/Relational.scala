@@ -600,36 +600,53 @@ object Relational {
       .select(col("o_orderstatus"),
         col("o_totalprice").cast("double").as("v"), col("o_orderkey"))
       .filter(col("v").isNotNull)
-      .withColumn("one", lit(1L))
-    val ranked = RankOps.withGroupedPrefixSum(base, Seq("o_orderstatus"),
-      Seq("v", "o_orderkey"), valueCol = "one", sumCol = "rank0")
     val ps = Seq(0.25, 0.5, 0.75, 0.9)
-    val probes = ranked.groupBy(col("o_orderstatus").as("st"))
+    groupedPercentiles(base, "o_orderstatus", "v", Seq("o_orderkey"), ps)
+      .withColumn("pv", round(col("pv"), 6))
+      .groupBy(col("g"))
+      .pivot("p", ps)
+      .agg(first(col("pv")))
+      .select(col("g").as("o_orderstatus"), col("`0.25`").as("p25"),
+        col("`0.5`").as("p50"), col("`0.75`").as("p75"),
+        col("`0.9`").as("p90"))
+  }
+
+  /** Exact interpolated per-group percentiles WITHOUT `percentile()`'s
+    * per-group value buffering — the q85 machinery factored for reuse
+    * (q85, q104): grouped prefix-sum ranks (`RankOps
+    * .withGroupedPrefixSum`, distributed two-pass), a broadcast probe
+    * table of the lo/hi ranks each (group, p) needs, and
+    * `v_lo + (v_hi − v_lo)·frac` reproducing the aggregate's double
+    * arithmetic bit-for-bit. No group ever buffers its values in one
+    * reducer, so a group outgrowing executor memory cannot OOM the
+    * plan. Returns (g, p, pv) with pv UNROUNDED. */
+  private def groupedPercentiles(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String, tieCols: Seq[String],
+      ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    val ranked = RankOps.withGroupedPrefixSum(
+      df.withColumn("one", lit(1L)), Seq(groupCol),
+      valueCol +: tieCols, valueCol = "one", sumCol = "rank0")
+    val probes = ranked.groupBy(col(groupCol).as("gp"))
       .agg(count(lit(1)).as("n"))
-      .select(col("st"), explode(array(ps.map(lit): _*)).as("p"), col("n"))
+      .select(col("gp"), explode(array(ps.map(lit): _*)).as("p"), col("n"))
       .withColumn("h", (col("n") - 1).cast("double") * col("p"))
       .withColumn("frac", col("h") - floor(col("h")).cast("double"))
-      .select(col("st"), col("p"), col("frac"), explode(array(
+      .select(col("gp"), col("p"), col("frac"), explode(array(
         struct(floor(col("h")).cast("long").as("want"), lit("lo").as("role")),
         struct(ceil(col("h")).cast("long").as("want"), lit("hi").as("role"))))
         .as("w"))
-      .select(col("st"), col("p"), col("frac"),
+      .select(col("gp"), col("p"), col("frac"),
         col("w.want").as("want"), col("w.role").as("role"))
-    val hits = ranked.select(col("o_orderstatus").as("g"),
-        col("rank0"), col("v"))
+    ranked.select(col(groupCol).as("g"), col("rank0"),
+        col(valueCol).as("v"))
       .join(broadcast(probes),
-        col("g") === col("st") && col("rank0") === col("want"))
-      .groupBy("st", "p", "frac")
+        col("g") === col("gp") && col("rank0") === col("want"))
+      .groupBy("g", "p", "frac")
       .agg(max(when(col("role") === "lo", col("v"))).as("v_lo"),
         max(when(col("role") === "hi", col("v"))).as("v_hi"))
-      .withColumn("pv",
-        round(col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"), 6))
-    hits.groupBy(col("st"))
-      .pivot("p", ps)
-      .agg(first(col("pv")))
-      .select(col("st").as("o_orderstatus"), col("`0.25`").as("p25"),
-        col("`0.5`").as("p50"), col("`0.75`").as("p75"),
-        col("`0.9`").as("p90"))
+      .select(col("g"), col("p"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
+          .as("pv"))
   }
 
   /** q15's anti-join with the Bloom pre-filter (JoinOps.bloomAntiJoin):
@@ -1138,23 +1155,28 @@ object Relational {
     * the heavy-tail-safe screen a quality pipeline runs where mean/
     * stddev would be dragged by the very outliers it hunts.
     *
-    * Two grouped exact medians (`percentile`, interpolated — DuckDB
-    * `quantile_cont` parity is the q16 precedent) with the medians
-    * broadcast back between passes; the group count is model-sized.
-    * Like q16, the per-group value buffering is the SMALL-GROUP form;
-    * q85's RankOps prefix-sum machinery is the declared scale path
-    * for groups too large to buffer. */
+    * Two grouped exact medians on the SCALE path (round 9, was
+    * `percentile()` per-group value buffering): each pass runs
+    * [[groupedPercentiles]] — RankOps prefix-sum ranks + broadcast
+    * lo/hi probes, the q85 machinery — so no event type ever buffers
+    * its values in one reducer; the K-row median tables broadcast back
+    * between passes. Interpolation arithmetic is bit-identical to the
+    * aggregate's (the q85/q16 shared-oracle precedent), so the oracle
+    * hash is unchanged. */
   private val q104: QFn = (s, d) => {
     val ev = Tables.events(s, d)
-      .select(col("event_type"), col("value").cast("double").as("v"))
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("double").as("v"))
       .filter(col("v").isNotNull)
-    val med = ev.groupBy("event_type")
-      .agg(expr("percentile(v, 0.5)").as("med"))
+    val med = groupedPercentiles(ev, "event_type", "v",
+        Seq("event_id"), Seq(0.5))
+      .select(col("g").as("event_type"), col("pv").as("med"))
     val dev = ev.join(broadcast(med), Seq("event_type"))
-    val mad = dev
-      .select(col("event_type"), abs(col("v") - col("med")).as("ad"))
-      .groupBy("event_type")
-      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    val mad = groupedPercentiles(
+        dev.select(col("event_id"), col("event_type"),
+          abs(col("v") - col("med")).as("ad")),
+        "event_type", "ad", Seq("event_id"), Seq(0.5))
+      .select(col("g").as("event_type"), col("pv").as("mad"))
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy(col("event_type"), col("med"), col("mad"))
       .agg(count(lit(1)).as("n"),
@@ -4160,7 +4182,6 @@ object Relational {
     * q197 discipline); the ratio is one IEEE divide at 6 dp. */
   private val q202: QFn = (s, d) => {
     val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
-    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
     val nat = broadcast(Tables.nation(s, d)
       .select(col("n_nationkey"), col("n_name").as("nation")))
     val exports = Tables.lineitem(s, d)
@@ -4178,18 +4199,21 @@ object Relational {
       .join(nat, col("c_nationkey") === col("n_nationkey"))
       .groupBy("nation")
       .agg(sum(col("o_totalprice").cast(dec6)).as("ds"))
+    // Final money columns follow the Exact.dsum discipline: exact
+    // decimal sums cast to DOUBLE at the boundary (a DECIMAL(18,6)
+    // output stringifies "x.640000" while the oracle's pandas view
+    // coerces to float64 "x.64" — the r8 hash-fail class).
     exports.join(demand, Seq("nation"), "full_outer")
       .select(col("nation"),
-        coalesce(col("er"), lit(0).cast(dec6)).cast(dec18)
-          .as("export_rev"),
-        coalesce(col("ds"), lit(0).cast(dec6)).cast(dec18)
-          .as("demand_spend"))
-      .withColumn("balance",
-        (col("export_rev") - col("demand_spend")).cast(dec18))
-      .withColumn("export_ratio",
-        when(col("demand_spend") > 0, round(
-          col("export_rev").cast("double") /
-            col("demand_spend").cast("double"), 6)))
+        coalesce(col("er"), lit(0).cast(dec6)).as("erx"),
+        coalesce(col("ds"), lit(0).cast(dec6)).as("dsx"))
+      .select(col("nation"),
+        col("erx").cast("double").as("export_rev"),
+        col("dsx").cast("double").as("demand_spend"),
+        (col("erx") - col("dsx")).cast("double").as("balance"),
+        when(col("dsx") > 0, round(
+          col("erx").cast("double") /
+            col("dsx").cast("double"), 6)).as("export_ratio"))
   }
   private val q202Sql =
     """WITH exports AS (
@@ -4208,14 +4232,12 @@ object Relational {
       |  JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY 1)
       |SELECT nation,
-      |  CAST(COALESCE(er, 0) AS DECIMAL(18,6)) AS export_rev,
-      |  CAST(COALESCE(ds, 0) AS DECIMAL(18,6)) AS demand_spend,
-      |  CAST(CAST(COALESCE(er, 0) AS DECIMAL(18,6))
-      |    - CAST(COALESCE(ds, 0) AS DECIMAL(18,6)) AS DECIMAL(18,6))
-      |    AS balance,
+      |  CAST(COALESCE(er, 0) AS DOUBLE) AS export_rev,
+      |  CAST(COALESCE(ds, 0) AS DOUBLE) AS demand_spend,
+      |  CAST(COALESCE(er, 0) - COALESCE(ds, 0) AS DOUBLE) AS balance,
       |  CASE WHEN COALESCE(ds, 0) > 0 THEN
-      |    ROUND(CAST(CAST(COALESCE(er, 0) AS DECIMAL(18,6)) AS DOUBLE)
-      |      / CAST(CAST(COALESCE(ds, 0) AS DECIMAL(18,6)) AS DOUBLE), 6)
+      |    ROUND(CAST(COALESCE(er, 0) AS DOUBLE)
+      |      / CAST(COALESCE(ds, 0) AS DOUBLE), 6)
       |  END AS export_ratio
       |FROM exports FULL OUTER JOIN demand USING (nation)""".stripMargin
 
@@ -4296,7 +4318,6 @@ object Relational {
     * share one IEEE divide at 6 dp. */
   private val q205: QFn = (s, d) => {
     val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
-    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
     val o = Tables.orders(s, d)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
         col("o_totalprice"))
@@ -4314,8 +4335,8 @@ object Relational {
       .select(col("month"), col("n_orders"), col("n_new"),
         round(col("n_new").cast("double") / col("n_orders").cast("double"),
           6).as("new_share"),
-        col("nr").cast(dec18).as("new_rev"),
-        col("rr").cast(dec18).as("returning_rev"))
+        col("nr").cast("double").as("new_rev"),
+        col("rr").cast("double").as("returning_rev"))
       .orderBy("month")
   }
   private val q205Sql =
@@ -4333,9 +4354,9 @@ object Relational {
       |  ROUND(CAST(SUM(is_new) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
       |    AS new_share,
       |  CAST(SUM(CAST(CASE WHEN is_new = 1 THEN o_totalprice ELSE 0 END
-      |    AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS new_rev,
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS new_rev,
       |  CAST(SUM(CAST(CASE WHEN is_new = 0 THEN o_totalprice ELSE 0 END
-      |    AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS returning_rev
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS returning_rev
       |FROM j GROUP BY 1 ORDER BY month""".stripMargin
 
   /** q206: HILL TAIL-INDEX ESTIMATOR over order values — the
@@ -4650,7 +4671,6 @@ object Relational {
     * hash-exact. */
   private val q214: QFn = (s, d) => {
     val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
-    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
     val sup = broadcast(Tables.supplier(s, d)
       .join(Tables.nation(s, d),
         col("s_nationkey") === col("n_nationkey"))
@@ -4669,7 +4689,7 @@ object Relational {
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(dec6)).as("fr"))
       .select(col("supp_nation"), col("cust_nation"), col("n_lines"),
-        col("fr").cast(dec18).as("flow_rev"))
+        col("fr").cast("double").as("flow_rev"))
       .orderBy(col("flow_rev").desc, col("supp_nation").asc,
         col("cust_nation").asc)
       .limit(20)
@@ -4678,7 +4698,7 @@ object Relational {
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-      |    AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS flow_rev
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS flow_rev
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey

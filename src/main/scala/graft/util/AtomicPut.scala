@@ -5,6 +5,21 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOpti
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
+/** Conditional-PUT capability for object stores: atomically create the
+  * object iff absent (the `If-None-Match: *` contract of S3 / GCS /
+  * ABFS), with WHOLE-CONTENT visibility — a reader sees either nothing
+  * or the complete body, never a prefix. Implementations wrap the
+  * store's native conditional write (e.g. an S3 client's
+  * `putObject(..., ifNoneMatch = "*")`); the library ships the seam
+  * and its race semantics (spec-pinned on a mock store), deployments
+  * plug their client. */
+trait ConditionalPut {
+  /** True = created (this caller won); false = an object already
+    * exists at `path`. Must be atomic under concurrent callers:
+    * exactly one of N racing puts returns true. */
+  def putIfNoneMatch(path: Path, bytes: Array[Byte]): Boolean
+}
+
 /** THE single-object arbitration primitive the whole commit protocol
   * rides: atomically create `path` with `bytes` iff it does not
   * already exist. Exactly one of N racing writers succeeds; every
@@ -26,26 +41,71 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    object, and arbitration is a single atomic syscall. The parent
   *    directory is fsync'd best-effort so the name itself is durable.
   *    Filesystems without hard links fall back to `CREATE_NEW`
-  *    (O_CREAT|O_EXCL) — still atomic arbitration; content atomicity
-  *    then matches HDFS semantics below.
-  *  - `hdfs:` (and other Hadoop FSes with real namenode-arbitrated
-  *    creates) — `fs.create(path, overwrite = false)`, which IS atomic
-  *    there; content becomes visible at close.
-  *  - object stores — same call; the FileSystem adapter is expected to
-  *    map it to a conditional PUT (`If-None-Match: *`), the documented
-  *    S3/GCS/ABFS contract for exactly this arbitration.
+  *    (O_CREAT|O_EXCL): arbitration stays atomic, but content becomes
+  *    visible write-then-close (HDFS semantics) — a reader in that
+  *    window can observe a present-but-partial object, which is why
+  *    catalog/manifest READERS treat torn objects as retryable, never
+  *    authoritative.
+  *  - `hdfs:`/`viewfs:` (real namenode-arbitrated creates) —
+  *    `fs.create(path, overwrite = false)` IS atomic there; content
+  *    becomes visible at close.
+  *  - object stores (`s3a:`, `gs:`, `abfs:`, …) — `create(false)` on
+  *    most FileSystem adapters is an exists-probe then a plain PUT:
+  *    the exact check-then-create race this class exists to close. So
+  *    the object-store path is NOT trusted by default: register a
+  *    [[ConditionalPut]] backend for the scheme (the store-native
+  *    `If-None-Match` write), or explicitly opt in to the adapter's
+  *    `create(false)` via the Hadoop conf flag
+  *    `graft.atomicput.trustCreateExclusive` when the deployment has
+  *    verified its adapter maps it to a conditional PUT. Anything else
+  *    fails loudly rather than silently racing.
   */
 object AtomicPut {
+
+  /** Hadoop conf key: set true to trust `fs.create(overwrite=false)`
+    * to be atomic on schemes outside the known-safe set. */
+  val TrustCreateExclusiveKey = "graft.atomicput.trustCreateExclusive"
+
+  /** Schemes whose `create(overwrite=false)` is arbitrated by a real
+    * metadata service and safe as-is. */
+  private val NamenodeArbitrated = Set("hdfs", "viewfs")
+
+  private val backends =
+    new java.util.concurrent.ConcurrentHashMap[String, ConditionalPut]()
+
+  /** Register the conditional-PUT backend serving `scheme` (e.g.
+    * "s3a"). Subsequent [[putIfAbsent]] calls on that scheme route
+    * through it. Returns any previously registered backend. */
+  def register(scheme: String, backend: ConditionalPut): Option[ConditionalPut] =
+    Option(backends.put(scheme, backend))
+
+  def unregister(scheme: String): Unit = backends.remove(scheme)
 
   def putIfAbsent(fs: FileSystem, path: Path, body: String): Unit =
     putIfAbsent(fs, path, body.getBytes(StandardCharsets.UTF_8))
 
-  def putIfAbsent(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit =
-    if (fs.getScheme == "file") putIfAbsentLocal(fs, path, bytes)
-    else {
-      val out = fs.create(path, false) // atomic at the namenode / store
-      try out.write(bytes) finally out.close()
+  def putIfAbsent(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
+    val scheme = fs.getScheme
+    if (scheme == "file") putIfAbsentLocal(fs, path, bytes)
+    else Option(backends.get(scheme)) match {
+      case Some(backend) =>
+        if (!backend.putIfNoneMatch(path, bytes))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$path already exists (conditional PUT lost)")
+      case None if NamenodeArbitrated(scheme) ||
+          fs.getConf.getBoolean(TrustCreateExclusiveKey, false) =>
+        val out = fs.create(path, false) // atomic at the namenode / store
+        try out.write(bytes) finally out.close()
+      case None =>
+        throw new UnsupportedOperationException(
+          s"AtomicPut has no atomic arbitration for scheme '$scheme': " +
+            s"create(overwrite=false) is check-then-create on most " +
+            s"object-store adapters. Register a ConditionalPut backend " +
+            s"for '$scheme' (store-native If-None-Match) or set " +
+            s"$TrustCreateExclusiveKey=true if the adapter is verified " +
+            s"to map create(false) to a conditional PUT.")
     }
+  }
 
   private def putIfAbsentLocal(fs: FileSystem, path: Path,
       bytes: Array[Byte]): Unit = {
@@ -67,6 +127,7 @@ object AtomicPut {
         case _: UnsupportedOperationException =>
           // no-hardlink filesystem: O_CREAT|O_EXCL still arbitrates
           // atomically; content visibility reverts to write-then-close
+          // (readers must treat torn objects as retryable — see class doc)
           val c2 = java.nio.channels.FileChannel.open(target,
             StandardOpenOption.WRITE, StandardOpenOption.CREATE_NEW)
           try {

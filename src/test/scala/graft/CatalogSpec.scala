@@ -148,6 +148,43 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("torn catalog objects are retryable, never authoritative: " +
+      "truncated bodies fail loudly after retries; legacy headerless " +
+      "objects still parse") {
+    val cat = tmpDir("cat-torn")
+    val t1 = tmpDir("cat-torn-t1")
+    writeVersion(t1, 1 to 5)
+    val snap = Catalog.commitAll(spark, cat,
+      Seq(Catalog.TableWrite("a", t1, () => writeVersion(t1, 6 to 9))))
+    // the published object carries the h-header and round-trips
+    assert(Catalog.snapshotAsOf(spark, cat, snap.version)
+      .tables.contains("a"))
+    val dir = java.nio.file.Paths.get(s"$cat/_catalog")
+    val obj = dir.resolve(snap.version.toString)
+    val whole = new String(java.nio.file.Files.readAllBytes(obj), "UTF-8")
+    assert(whole.startsWith("h\t1\n"), s"header missing: $whole")
+    // torn mid-line: header says 1 table, body truncated inside the line
+    java.nio.file.Files.write(dir.resolve("7"),
+      whole.take(whole.length - 4).getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException] {
+      Catalog.snapshotAsOf(spark, cat, 7L)
+    }
+    assert(e1.getMessage.contains("torn"), e1.getMessage)
+    // torn at a line boundary: count mismatch is caught even though
+    // every surviving line parses
+    java.nio.file.Files.write(dir.resolve("8"),
+      "h\t2\nt\tonly\t/r\t3".getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException] {
+      Catalog.snapshotAsOf(spark, cat, 8L)
+    }
+    assert(e2.getMessage.contains("torn"), e2.getMessage)
+    // legacy headerless object (pre-header layout) parses as before
+    java.nio.file.Files.write(dir.resolve("9"),
+      s"t\tlegacy\t$t1\t1".getBytes("UTF-8"))
+    assert(Catalog.snapshotAsOf(spark, cat, 9L).tables
+      .get("legacy").exists(_._2 == 1L))
+  }
+
   test("graft_catalog TVF serves the snapshot as SQL") {
     val base = tmpDir("cat-tvf")
     val cat = s"$base/cat"

@@ -3282,6 +3282,37 @@ class LakehouseSpec extends SparkSpec {
     assert(Lease.holder(fs, lp).exists(_._1 == "challenger"))
   }
 
+  test("Lease stale-break is exclusive on file://: challengers that " +
+      "observe the same expired lease never both acquire") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val dir = tmpDir("lease-break")
+    (0 until 100).foreach { round =>
+      val lp = new Path(s"$dir/stale-$round")
+      graft.util.AtomicPut.putIfAbsent(fs, lp,
+        s"dead\t${System.currentTimeMillis() - 100000}")
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val won = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val ts = (0 until 4).map { i =>
+        new Thread(() => {
+          barrier.await()
+          if (Lease.acquire(fs, lp, s"c$i", ttlMs = 50)) won.add(i)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      // the round-8 unconditional delete-then-create pair let B's
+      // delete remove A's fresh lease → both held; the rename-
+      // arbitrated break admits at most one
+      assert(won.size <= 1,
+        s"round $round: ${won.size} challengers hold after a stale break")
+      won.forEach { i =>
+        assert(Lease.holder(fs, lp).exists(_._1 == s"c$i"),
+          s"round $round: lease object does not name the winner")
+      }
+    }
+  }
+
   test("two daemons under a tick lease: concurrent ticks cooperate — " +
       "every drop loads exactly once, skipped ticks report leaseSkipped") {
     import org.apache.spark.sql.functions.col

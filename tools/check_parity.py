@@ -15,14 +15,25 @@ back as a Python int there) and passed queries the driver failed.
 Likewise pandas `sort_values` raises on array-valued (ndarray) cells —
 the driver reports those as ERR, and so do we.
 
+ASYMMETRY IS THE POINT (round-8 lesson): the driver reads the SPARK
+result parquet directly with pyarrow — DECIMAL(18,6) survives as
+decimal.Decimal objects stringifying "x.640000" — while the ORACLE
+side goes through DuckDB `.df()`, which coerces DECIMAL to float64
+"x.64". Round 8 read BOTH sides through `.df()`, so both coerced and
+three driver hash-fails (q202/q205/q214) sailed through locally. The
+Spark side must therefore come from pyarrow.read_table().to_pandas()
+with decimals preserved, and only the oracle via `.df()`.
+
 Usage: check_parity.py <sfDir> <verifyOutDir>
 """
+import glob
 import hashlib
 import json
 import os
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -53,8 +64,15 @@ def main(sf_dir, out_dir):
                    if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
         try:
-            mine = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            # pyarrow, NOT duckdb .df(): preserves decimal dtypes the
+            # way the driver sees them (see module docstring).
+            parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            if not parts:
+                raise FileNotFoundError(f"no parquet under {out_dir}/{name}")
+            import pandas as pd
+            mine = pd.concat(
+                [pq.read_table(p).to_pandas() for p in parts],
+                ignore_index=True)
         except Exception as e:
             print(f"FAIL {name}: cannot read result: {e}")
             n_fail += 1
