@@ -80,7 +80,54 @@ object Bench {
     "q225_peak_hour", "q226_penetration_curve",
     "q227_priority_transitions", "q228_reactivation",
     "q229_trimmed_mean", "q230_expected_shortfall",
-    "q231_annual_retention")
+    "q231_annual_retention", "q232_relational_division",
+    "q233_orphan_check", "q234_drawdown", "q235_ltv_curve",
+    "q236_interarrival", "q237_abc_classes",
+    "q238_embedding_norm_outliers", "q239_bigram_phrases")
+
+  /** Expected PlanLint findings per headline query — every entry is a
+    * DELIBERATE model-sized shape, not an oversight: `cartesian` rows
+    * are the documented 1-row scalar-broadcast cross (q137's
+    * established pattern: a global aggregate broadcast against the
+    * small aggregated side — DuckDB's scalar subquery) or bounded
+    * pair tables (months², event-types²); `single-partition-window`
+    * rows are the documented day-/calendar-grain convention (the
+    * window runs on thousands of rows at ANY data size — the heavy
+    * fact aggregation below it is distributed). Strict equality: a NEW
+    * finding anywhere — or a VANISHED expected one — fails the bench
+    * run loudly, so a plan regression (or an unrecorded improvement)
+    * can never ship silently as a slow row. */
+  private val expectedLint: Map[String, Seq[String]] = {
+    val cart = Seq("cartesian"); val win = Seq("single-partition-window")
+    Map(
+      "q07_running_total" -> win, "q100_gapfill_interp" -> (win ++ win),
+      "q102_association_rules" -> cart, "q108_semantic_dedup" -> cart,
+      "q117_langid_profiles" -> cart, "q131_important_parts" -> cart,
+      "q135_autocorr" -> cart, "q136_welch_ttest" -> cart,
+      "q137_ks_test" -> cart, "q138_epoch_plan" -> cart,
+      "q140_chi_square" -> cart, "q144_kruskal_wallis" -> cart,
+      "q146_revenue_lift" -> win, "q147_seasonality" -> cart,
+      "q148_changepoint" -> (cart ++ cart), "q153_theil" -> cart,
+      "q156_jsd_drift" -> cart, "q158_bigram_surprisal" -> cart,
+      "q160_cramers_v" -> cart, "q162_mutual_information" -> cart,
+      "q165_pareto_share" -> cart, "q174_open_orders" -> win,
+      "q175_runs_test" -> (win ++ cart), "q177_brand_modularity" -> cart,
+      "q178_record_days" -> win, "q190_entropy_rate" -> cart,
+      "q194_transitivity" -> cart, "q195_degree_powerlaw" -> cart,
+      "q197_weekly_volatility" -> (win ++ win ++ win),
+      "q206_hill_tail" -> (cart ++ win),
+      "q207_lang_source_residuals" -> cart,
+      "q209_shrunk_reliability" -> cart, "q215_psi_drift" -> cart,
+      "q216_mann_kendall" -> (cart ++ cart), "q219_vocab_growth" -> cart,
+      "q226_penetration_curve" -> cart,
+      "q230_expected_shortfall" -> cart,
+      // round-9 additions: q233's four 1-row count crosses collapse to
+      // one lint row; q234's running peak + struct argmax share the
+      // month-grain convention; q237/q238 broadcast 1-row scalars
+      "q233_orphan_check" -> cart, "q234_drawdown" -> (win ++ win),
+      "q237_abc_classes" -> cart,
+      "q238_embedding_norm_outliers" -> cart)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,18 +164,35 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok, graft.util.PhaseTimer.drain())
+      val sec = (System.nanoTime() - t0) / 1e9
+      // UNTIMED plan lint on a fresh plan: strict equality against the
+      // expected-findings map — a plan regression fails the run loudly
+      val lint = try {
+        val got = graft.util.PlanLint.check(fn(spark, sfDir))
+          .map(_.kind).sorted
+        val want = expectedLint.getOrElse(name, Nil).sorted
+        if (got == want) { if (got.isEmpty) "clean" else "expected" }
+        else {
+          System.err.println(s"[bench] $name LINT DRIFT: expected " +
+            s"$want, got $got")
+          "DRIFT"
+        }
+      } catch { case _: Throwable => if (ok) "DRIFT" else "skipped" }
+      (name, sec, ok && lint != "DRIFT", lint,
+        graft.util.PhaseTimer.drain())
     }
-    // measured ANN quality telemetry: recall@10 of q91's production
-    // search config (the prebuilt IVF-PQ index, nprobe=4) against the
-    // exact brute-force top-10 — a geometry/retrain regression now
-    // shows up as a NUMBER in the round artifact, not only in
-    // test-scale spec floors
+    // measured ANN quality telemetry: recall of q91's production
+    // search config (prebuilt IVF-PQ, nprobe=8, rerankFactor=32)
+    // against the exact brute-force top-k — a geometry/retrain
+    // regression now shows up as a NUMBER in the round artifact, not
+    // only in test-scale spec floors
     val recall10 = measuredPqRecall(spark, sfDir, 10)
     val recall3 = measuredPqRecall(spark, sfDir, 3) // q91's literal k
-    // the knob row: widening the probe set must buy recall — if this
-    // stops dominating recall@10(nprobe=4), routing itself regressed
-    val recall10w = measuredPqRecall(spark, sfDir, 10, nprobe = 8)
+    // knob rows separating the two loss sources: narrowing the probe
+    // set isolates ROUTING loss; shrinking the rerank pool isolates
+    // quantization-ORDERING loss (the r8 regression was the latter)
+    val recall10routing = measuredPqRecall(spark, sfDir, 10, nprobe = 4)
+    val recall10rerank = measuredPqRecall(spark, sfDir, 10, rf = 4)
 
     // ARTIFACT ROBUSTNESS: the driver retains only the stdout TAIL,
     // so (1) every query also gets its own short `BENCHQ name sec`
@@ -139,32 +203,34 @@ object Bench {
     // file (one sorted line per query), immune to the tail cap, so
     // round-over-round per-query regression diffs never go blind.
     val sorted = results.sortBy(_._1)
-    sorted.foreach { case (k, v, ok, _) =>
+    sorted.foreach { case (k, v, ok, _, _) =>
       println(f"BENCHQ $k $v%.3f${if (ok) "" else " FAILED"}")
     }
     def phaseJson(ph: Seq[(String, Double)]): String =
       ph.map { case (p, s) => "\"" + p + f"""\":$s%.3f""" }
         .mkString("{", ",", "}")
-    val qs = sorted.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = sorted.map { case (k, v, _, _, _) =>
+      "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val failed = sorted.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = sorted.collect { case (k, _, false, _, _) =>
+      "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // per-phase rows for the iterative queries (PageRank rounds,
     // k-means training, CC sweeps): separates per-job fixed overhead —
     // which a loaded driver multiplies — from real compute, so a
     // round-over-round regression names the phase that moved
-    val phases = sorted.collect { case (k, _, _, ph) if ph.nonEmpty =>
+    val phases = sorted.collect { case (k, _, _, _, ph) if ph.nonEmpty =>
       "\"" + k + "\":" + phaseJson(ph)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val recallJson = f"""{"q91_ann_pq_search_recall_at_3":$recall3%.4f,"q91_ann_pq_search_recall_at_10":$recall10%.4f,"q91_ann_pq_search_recall_at_10_nprobe8":$recall10w%.4f}"""
+    val recallJson = f"""{"q91_ann_pq_search_recall_at_3":$recall3%.4f,"q91_ann_pq_search_recall_at_10":$recall10%.4f,"q91_recall_at_10_nprobe4":$recall10routing%.4f,"q91_recall_at_10_rf4":$recall10rerank%.4f}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_artifacts/bench_queries.jsonl")
     try {
       val p = java.nio.file.Paths.get(outFile)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      val lines = sorted.map { case (k, v, ok, ph) =>
-        f"""{"q":"$k","sec":$v%.3f,"ok":$ok""" +
+      val lines = sorted.map { case (k, v, ok, lint, ph) =>
+        f"""{"q":"$k","sec":$v%.3f,"ok":$ok,"lint":"$lint"""" +
           (if (ph.nonEmpty) s""","phases":${phaseJson(ph)}""" else "") + "}"
       } :+ f"""{"q":"_total","sec":$total%.3f,"sf":"$sfDir","n":${sorted.size},"recall":$recallJson}"""
       java.nio.file.Files.write(p,
@@ -183,14 +249,15 @@ object Bench {
     * number is comparable across rounds; ties at the boundary can
     * shave a hit, which is fine for regression telemetry. */
   private def measuredPqRecall(spark: SparkSession, sfDir: String,
-      k: Int, nprobe: Int = 4): Double = {
+      k: Int, nprobe: Int = 8, rf: Int = 32): Double = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val path = graft.operators.ScaleOps.ensurePqIndex(spark, sfDir)
     val emb = graft.Tables.embeddings(spark, sfDir)
     val probes = emb.filter(col("vec_id") < 32)
     val got = graft.operators.VectorIndex
-      .searchPQ(spark, path, probes, emb, nprobe = nprobe, k = k)
+      .searchPQ(spark, path, probes, emb, nprobe = nprobe, k = k,
+        rerankFactor = rf)
       .select("probe_id", "neighbor_id")
     val scored = emb
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))

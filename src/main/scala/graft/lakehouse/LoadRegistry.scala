@@ -49,27 +49,58 @@ object LoadRegistry {
     * files mid-commit. Each record therefore stages under a
     * writer-unique hidden dir and publishes as ONE object move —
     * concurrent recorders never touch shared paths, and a crash
-    * leaves only an invisible underscore dir. */
+    * leaves only an invisible underscore dir.
+    *
+    * `ok` rows are additionally EXACTLY-ONCE PER PATH by
+    * construction (round 9): each publishes as its own object under a
+    * path-DETERMINISTIC name (`rec-ok-<md5(path)>.parquet`), so two
+    * actors that both legitimately processed the same file — an
+    * unleased optimistic loader racing a branch publish flip, the
+    * composition the registry-consistency property drives — converge
+    * on ONE object and the registry can never carry two `ok` rows for
+    * one path. (The racers' contents are equivalent — same file ⇒
+    * same true n_rows — so which single write survives is
+    * immaterial; the first existing object is kept.) Attempt-ledger
+    * statuses (failed/staged/released/quarantined) stay uuid-named:
+    * multiple attempts are real history. */
   def record(spark: SparkSession, registryDir: String,
              entries: Seq[(String, String, Long)]): Unit = {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(registryDir), spark.sparkContext.hadoopConfiguration)
-    val tag = java.util.UUID.randomUUID().toString
-    val stage = new org.apache.hadoop.fs.Path(s"$registryDir/_rec-$tag")
-    entries.toDF("path", "status", "n_rows")
-      .withColumn("loaded_at", current_timestamp())
-      .select("path", "status", "loaded_at", "n_rows")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    val part = fs.listStatus(stage)
-      .find(_.getPath.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(
-        s"no part file under $stage")).getPath
-    require(fs.rename(part,
-      new org.apache.hadoop.fs.Path(registryDir, s"rec-$tag.parquet")),
-      s"registry record publish failed: $part")
-    fs.delete(stage, true)
+    def publishOne(rows: Seq[(String, String, Long)],
+        objName: String, keepExisting: Boolean): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(registryDir, objName)
+      if (keepExisting && fs.exists(dst)) return
+      val tag = java.util.UUID.randomUUID().toString
+      val stage = new org.apache.hadoop.fs.Path(s"$registryDir/_rec-$tag")
+      rows.toDF("path", "status", "n_rows")
+        .withColumn("loaded_at", current_timestamp())
+        .select("path", "status", "loaded_at", "n_rows")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val part = fs.listStatus(stage)
+        .find(_.getPath.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file under $stage")).getPath
+      val renamed = try fs.rename(part, dst)
+        catch { case _: java.io.IOException => false }
+      // a lost rename on a no-overwrite filesystem means the racer's
+      // equivalent object landed first — success either way for the
+      // deterministic names; uuid names cannot collide
+      require(renamed || (keepExisting && fs.exists(dst)),
+        s"registry record publish failed: $part -> $dst")
+      fs.delete(stage, true)
+    }
+    val (oks, others) = entries.partition(_._2 == StatusOk)
+    if (others.nonEmpty)
+      publishOne(others, s"rec-${java.util.UUID.randomUUID()}.parquet",
+        keepExisting = false)
+    oks.foreach { e =>
+      publishOne(Seq(e),
+        s"rec-ok-${IncrementalLoader.publishedTag(e._1)}.parquet",
+        keepExisting = true)
+    }
   }
 
   /** Paths already loaded successfully (distinct, as a DataFrame so

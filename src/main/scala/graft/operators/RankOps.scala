@@ -123,4 +123,45 @@ object RankOps {
       .otherwise(lit(rem) + ((rank - 1 - big) / qSmall).cast("long") + 1)
       .cast("int")
   }
+
+  /** Exact interpolated per-group percentiles WITHOUT `percentile()`'s
+    * per-group value buffering (q85/q104/q236's engine): grouped
+    * prefix-sum ranks ([[withGroupedPrefixSum]], distributed
+    * two-pass), a broadcast probe table of the lo/hi ranks each
+    * (group, p) needs, and `v_lo + (v_hi − v_lo)·frac` reproducing
+    * the `percentile()` aggregate's (and DuckDB `quantile_cont`'s)
+    * double arithmetic bit-for-bit. No group ever buffers its values
+    * in one reducer, so a group outgrowing executor memory cannot OOM
+    * the plan. `tieCols` must complete a total order within the group
+    * for deterministic ranks (ties in `valueCol` itself are
+    * value-interchangeable, so the percentile is deterministic either
+    * way). Returns (g, p, pv) with pv UNROUNDED double. */
+  def groupedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, tieCols: Seq[String],
+      ps: Seq[Double]): DataFrame = {
+    val ranked = withGroupedPrefixSum(
+      df.withColumn("one", lit(1L)), Seq(groupCol),
+      valueCol +: tieCols, valueCol = "one", sumCol = "rank0")
+    val probes = ranked.groupBy(col(groupCol).as("gp"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("gp"), explode(array(ps.map(lit): _*)).as("p"), col("n"))
+      .withColumn("h", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("frac", col("h") - floor(col("h")).cast("double"))
+      .select(col("gp"), col("p"), col("frac"), explode(array(
+        struct(floor(col("h")).cast("long").as("want"), lit("lo").as("role")),
+        struct(ceil(col("h")).cast("long").as("want"), lit("hi").as("role"))))
+        .as("w"))
+      .select(col("gp"), col("p"), col("frac"),
+        col("w.want").as("want"), col("w.role").as("role"))
+    ranked.select(col(groupCol).as("g"), col("rank0"),
+        col(valueCol).as("v"))
+      .join(broadcast(probes),
+        col("g") === col("gp") && col("rank0") === col("want"))
+      .groupBy("g", "p", "frac")
+      .agg(max(when(col("role") === "lo", col("v"))).as("v_lo"),
+        max(when(col("role") === "hi", col("v"))).as("v_hi"))
+      .select(col("g"), col("p"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
+          .as("pv"))
+  }
 }

@@ -611,43 +611,12 @@ object Relational {
         col("`0.9`").as("p90"))
   }
 
-  /** Exact interpolated per-group percentiles WITHOUT `percentile()`'s
-    * per-group value buffering — the q85 machinery factored for reuse
-    * (q85, q104): grouped prefix-sum ranks (`RankOps
-    * .withGroupedPrefixSum`, distributed two-pass), a broadcast probe
-    * table of the lo/hi ranks each (group, p) needs, and
-    * `v_lo + (v_hi − v_lo)·frac` reproducing the aggregate's double
-    * arithmetic bit-for-bit. No group ever buffers its values in one
-    * reducer, so a group outgrowing executor memory cannot OOM the
-    * plan. Returns (g, p, pv) with pv UNROUNDED. */
+  /** Moved to [[RankOps.groupedPercentiles]] (round 9) — kept as a
+    * local alias so the q85/q104 call sites read the same. */
   private def groupedPercentiles(df: org.apache.spark.sql.DataFrame,
       groupCol: String, valueCol: String, tieCols: Seq[String],
-      ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
-    val ranked = RankOps.withGroupedPrefixSum(
-      df.withColumn("one", lit(1L)), Seq(groupCol),
-      valueCol +: tieCols, valueCol = "one", sumCol = "rank0")
-    val probes = ranked.groupBy(col(groupCol).as("gp"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("gp"), explode(array(ps.map(lit): _*)).as("p"), col("n"))
-      .withColumn("h", (col("n") - 1).cast("double") * col("p"))
-      .withColumn("frac", col("h") - floor(col("h")).cast("double"))
-      .select(col("gp"), col("p"), col("frac"), explode(array(
-        struct(floor(col("h")).cast("long").as("want"), lit("lo").as("role")),
-        struct(ceil(col("h")).cast("long").as("want"), lit("hi").as("role"))))
-        .as("w"))
-      .select(col("gp"), col("p"), col("frac"),
-        col("w.want").as("want"), col("w.role").as("role"))
-    ranked.select(col(groupCol).as("g"), col("rank0"),
-        col(valueCol).as("v"))
-      .join(broadcast(probes),
-        col("g") === col("gp") && col("rank0") === col("want"))
-      .groupBy("g", "p", "frac")
-      .agg(max(when(col("role") === "lo", col("v"))).as("v_lo"),
-        max(when(col("role") === "hi", col("v"))).as("v_hi"))
-      .select(col("g"), col("p"),
-        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
-          .as("pv"))
-  }
+      ps: Seq[Double]): org.apache.spark.sql.DataFrame =
+    RankOps.groupedPercentiles(df, groupCol, valueCol, tieCols, ps)
 
   /** q15's anti-join with the Bloom pre-filter (JoinOps.bloomAntiJoin):
     * bloom-negative customers skip the join, only the sketch-positive
@@ -5479,7 +5448,293 @@ object Relational {
       |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
       |GROUP BY 1 ORDER BY year""".stripMargin
 
+  /** q232: RELATIONAL DIVISION — customers with at least one order in
+    * EVERY quarter of 1995 ("for all" over a finite divisor set), the
+    * classic Codd division the sweep lacked, plus their 1995 spend.
+    * Scale shape: one year-filtered fact aggregate with map-side
+    * partials (count-distinct over 4 quarter values expands cheaply),
+    * the HAVING on the key-sized aggregate, dims broadcast on last.
+    * Exact-decimal spend → double at the boundary; hash-exact. */
+  private val q232: QFn = (s, d) => {
+    val o = Tables.orders(s, d)
+      .withColumn("od", to_date(col("o_orderdate")))
+      .filter(year(col("od")) === 1995)
+    val per = o.groupBy("o_custkey")
+      .agg(countDistinct(quarter(col("od"))).as("nq"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("spend_95"))
+      .filter(col("nq") === 4)
+    per.join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("nation"), col("n_orders"),
+        col("spend_95"))
+  }
+  private val q232Sql =
+    s"""SELECT c_custkey, n_name AS nation,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS spend_95
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995
+       |GROUP BY 1, 2
+       |HAVING COUNT(DISTINCT
+       |  EXTRACT(quarter FROM CAST(o_orderdate AS DATE))) = 4""".stripMargin
+
+  /** q233: REFERENTIAL-INTEGRITY AUDIT — orphan counts across the
+    * schema's FK edges (lineitem→orders, lineitem→part,
+    * lineitem→supplier, orders→customer): the DQ check every
+    * ingestion pipeline runs before trusting a join. Each edge is one
+    * LEFT ANTI join — dims broadcast, the fact-fact edge
+    * co-partitioned on the order key — then a 1-row count; the four
+    * rows union. Exact integers + one 6-dp rate; hash-exact. */
+  private val q233: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(parentKey))
+      val orphans = child.join(if (bcast) broadcast(p) else p,
+        col(childKey) === col(parentKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+          round(col("n_orphans").cast("double") /
+            col("n_child").cast("double"), 6).as("orphan_rate"))
+    }
+    edge("lineitem->orders", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", bcast = false)
+      .unionAll(edge("lineitem->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey", bcast = true))
+      .unionAll(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", bcast = true))
+      .unionAll(edge("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", bcast = true))
+  }
+  private val q233Sql =
+    """SELECT 'lineitem->orders' AS edge,
+      |  (SELECT COUNT(*) FROM lineitem) AS n_child,
+      |  (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+      |    AS n_orphans,
+      |  ROUND(CAST((SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+      |    AS DOUBLE) / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE),
+      |    6) AS orphan_rate
+      |UNION ALL
+      |SELECT 'lineitem->part',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM part WHERE p_partkey = l_partkey)),
+      |  ROUND(CAST((SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS DOUBLE)
+      |    / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
+      |UNION ALL
+      |SELECT 'lineitem->supplier',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)),
+      |  ROUND(CAST((SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+      |    AS DOUBLE) / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE),
+      |    6)
+      |UNION ALL
+      |SELECT 'orders->customer',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+      |  ROUND(CAST((SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      |    AS DOUBLE) / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE),
+      |    6)""".stripMargin
+
+  /** q234: MAXIMUM DRAWDOWN of the monthly revenue series — running
+    * peak, per-month drawdown (peak−v)/peak, and the worst trough with
+    * its peak month (the risk lens the volatility rows q197/q230 don't
+    * give: DEPTH of decline, not spread). Scale shape: the fact
+    * reduces FIRST to the month-grain decimal series (map-side
+    * partials); the running max and argmax run on the ≤100-row
+    * calendar table — the documented day-grain window convention.
+    * Peak/value stay exact decimal; the ratio is one IEEE divide at
+    * 6 dp; trough argmax tiebreaks on month. Hash-exact. */
+  private val q234: QFn = (s, d) => {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM")
+        .as("month"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(Dec)).as("rev"))
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeak = monthly
+      .withColumn("peak", max(col("rev")).over(w))
+      .withColumn("peak_month",
+        max(struct(col("rev"), col("month"))).over(w).getField("month"))
+      .withColumn("dd",
+        round((col("peak") - col("rev")).cast("double") /
+          col("peak").cast("double"), 6))
+    wPeak.orderBy(col("dd").desc, col("month").asc)
+      .limit(1)
+      .select(col("month").as("trough_month"), col("peak_month"),
+        col("rev").cast("double").as("trough_rev"),
+        col("peak").cast("double").as("peak_rev"),
+        col("dd").as("max_drawdown"))
+  }
+  private val q234Sql =
+    """WITH monthly AS (
+      |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |peaks AS (
+      |  SELECT month, rev,
+      |    MAX(rev) OVER w AS peak,
+      |    MAX({'rev': rev, 'month': month}) OVER w AS peak_row
+      |  FROM monthly
+      |  WINDOW w AS (ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT month AS trough_month,
+      |  peak_row.month AS peak_month,
+      |  CAST(rev AS DOUBLE) AS trough_rev,
+      |  CAST(peak AS DOUBLE) AS peak_rev,
+      |  ROUND(CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE), 6)
+      |    AS max_drawdown
+      |FROM peaks
+      |ORDER BY ROUND(CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE),
+      |  6) DESC, month ASC
+      |LIMIT 1""".stripMargin
+
+  /** q235: COHORT LTV CURVE — average cumulative revenue per customer
+    * by months-since-first-order, per acquisition cohort (the growth
+    * metric next to q89's retention counts: how much VALUE a cohort
+    * accrues as it ages). Scale shape: one customer-keyed min
+    * aggregate (cohort assignment) shuffle-joined back on the same
+    * key, one (cohort, offset) decimal aggregate with map-side
+    * partials, then the cumulative sum runs on the cohort-keyed
+    * calendar-bounded table (≤ months² rows at any data size). Month
+    * arithmetic on exact ints (y·12+m); cum revenue exact decimal →
+    * double; LTV one IEEE divide at 6 dp. Hash-exact. */
+  private val q235: QFn = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(to_date(col("o_orderdate"))) * 12 +
+        month(to_date(col("o_orderdate"))) - 1).as("mnum"),
+      col("o_totalprice"))
+    val cohort = o.groupBy("o_custkey").agg(min(col("mnum")).as("c0"))
+    val cohortSize = cohort.groupBy(col("c0")).agg(
+      count(lit(1)).as("n_customers"))
+    val cell = o.join(cohort, Seq("o_custkey"))
+      .groupBy(col("c0"), (col("mnum") - col("c0")).as("offset"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("rev"))
+    val wCum = Window.partitionBy("c0").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.join(broadcast(cohortSize), Seq("c0"))
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .select(
+        format_string("%04d-%02d", expr("c0 div 12"),
+          col("c0") % 12 + 1).as("cohort"),
+        col("offset"), col("n_customers"),
+        col("rev").cast("double").as("rev"),
+        col("cum_rev").cast("double").as("cum_rev"),
+        round(col("cum_rev").cast("double") /
+          col("n_customers").cast("double"), 6).as("ltv"))
+  }
+  private val q235Sql =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12
+      |      + EXTRACT(month FROM CAST(o_orderdate AS DATE)) - 1 AS INT)
+      |      AS mnum,
+      |    o_totalprice
+      |  FROM orders),
+      |cohort AS (
+      |  SELECT o_custkey, MIN(mnum) AS c0 FROM o GROUP BY 1),
+      |sz AS (
+      |  SELECT c0, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |  FROM cohort GROUP BY 1),
+      |cell AS (
+      |  SELECT c0, mnum - c0 AS "offset",
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      |  FROM o JOIN cohort USING (o_custkey)
+      |  GROUP BY 1, 2)
+      |SELECT printf('%04d-%02d', c0 // 12, c0 % 12 + 1) AS cohort,
+      |  "offset", n_customers,
+      |  CAST(rev AS DOUBLE) AS rev,
+      |  CAST(SUM(rev) OVER (PARTITION BY c0 ORDER BY "offset"
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS cum_rev,
+      |  ROUND(CAST(SUM(rev) OVER (PARTITION BY c0 ORDER BY "offset"
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(n_customers AS DOUBLE), 6) AS ltv
+      |FROM cell JOIN sz USING (c0)""".stripMargin
+
+  /** q237: ABC CLASSIFICATION of parts by traded value (A = parts
+    * covering the first 80% of cumulative revenue, B = next 15%,
+    * C = tail — the inventory-control standard): per-class part
+    * count, revenue, and share. Scale shape: the per-part aggregate
+    * is map-side-partial; the global revenue ORDERING runs through
+    * `RankOps.withGlobalRank` (range-repartition + two-pass
+    * zipWithIndex — the q63 discipline, no single-reducer window) and
+    * the cumulative revenue through `RankOps.withGroupedPrefixSum`
+    * on exact integer micros (headroom to ~9·10¹⁸ µ$ ≈ $9T per
+    * class boundary check — a decimal(38) prefix fold is the declared
+    * upgrade past that); class boundaries compare exact integers
+    * (20·cum ≤ 16·total, 20·cum ≤ 19·total), never float shares.
+    * Hash-exact. */
+  private val q237: QFn = (s, d) => {
+    val per = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(Dec)).as("rev"))
+      .withColumn("rev_u", (col("rev") * 1000000L).cast("long"))
+    val ranked = RankOps.withGlobalRank(per,
+      Seq(col("rev").desc, col("l_partkey").asc), "rk")
+    val withCum = RankOps.withGroupedPrefixSum(
+        ranked.withColumn("g", lit(1)), Seq("g"), Seq("rk"),
+        valueCol = "rev_u", sumCol = "cum0")
+      .withColumn("cum_u", col("cum0") + col("rev_u"))
+    val total = per.agg(sum(col("rev_u")).as("total_u"))
+    withCum.crossJoin(broadcast(total))
+      .withColumn("cls",
+        when(col("cum_u") * 20 <= col("total_u") * 16, "A")
+          .when(col("cum_u") * 20 <= col("total_u") * 19, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("double").as("revenue"),
+        round((sum(col("rev_u")).cast("double") /
+          min(col("total_u")).cast("double")), 6).as("rev_share"))
+      .orderBy("cls")
+  }
+  private val q237Sql =
+    """WITH per AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT rev, CAST(rev * 1000000 AS BIGINT) AS rev_u,
+      |    SUM(CAST(rev * 1000000 AS BIGINT)) OVER (
+      |      ORDER BY rev DESC, l_partkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+      |  FROM per),
+      |tot AS (SELECT SUM(rev_u) AS total_u FROM ranked)
+      |SELECT CASE WHEN cum_u * 20 <= total_u * 16 THEN 'A'
+      |  WHEN cum_u * 20 <= total_u * 19 THEN 'B' ELSE 'C' END AS cls,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+      |  ROUND(CAST(SUM(rev_u) AS DOUBLE) / CAST(MIN(total_u) AS DOUBLE),
+      |    6) AS rev_share
+      |FROM ranked, tot
+      |GROUP BY 1 ORDER BY cls""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q232_relational_division" -> q232,
+    "q233_orphan_check" -> q233,
+    "q234_drawdown" -> q234,
+    "q235_ltv_curve" -> q235,
+    "q237_abc_classes" -> q237,
     "q229_trimmed_mean" -> q229,
     "q230_expected_shortfall" -> q230,
     "q231_annual_retention" -> q231,
@@ -5603,6 +5858,11 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q232_relational_division" -> q232Sql,
+    "q233_orphan_check" -> q233Sql,
+    "q234_drawdown" -> q234Sql,
+    "q235_ltv_curve" -> q235Sql,
+    "q237_abc_classes" -> q237Sql,
     "q208_cycle_time" -> q208Sql,
     "q209_shrunk_reliability" -> q209Sql,
     "q229_trimmed_mean" -> q229Sql,

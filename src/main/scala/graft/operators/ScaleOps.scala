@@ -392,14 +392,20 @@ object ScaleOps {
   /** q91: ANN search over the PREBUILT persisted IVF-PQ index — what
     * every query after the first pays at 100 TB: centroid routing, a
     * partition-pruned scan of the packed code lists, broadcast-LUT
-    * ADC, and an exact-decimal rerank of the routed top-12. Rows-only
+    * ADC, and an exact rerank of the ADC top-(rf·k). Production
+    * config nprobe=8, rerankFactor=32 (round-9 A/B: on the
+    * near-orthogonal test embeddings the dominant loss was the
+    * SHALLOW rerank pool, not routing or OPQ — rf 4→32 moved
+    * recall@10 from 0.53 to 0.91 at unchanged ADC scan cost; the pool
+    * is rf·k point lookups per probe, trivial at any scale). Rows-only
     * (training-dependent); the packed-index spec pins plain ≡ packed
     * and the shared-oracle q87 pins the rerank discipline. */
   private val q91: QFn = (s, d) => {
     val path = ensurePqIndex(s, d)
     val emb = Tables.embeddings(s, d)
     val probes = emb.filter(col("vec_id") < 5)
-    VectorIndex.searchPQ(s, path, probes, emb, nprobe = 4, k = 3)
+    VectorIndex.searchPQ(s, path, probes, emb, nprobe = 8, k = 3,
+      rerankFactor = 32)
   }
 
   /** q87: INT8 scalar-quantized ANN — the LOW-DISTORTION compression

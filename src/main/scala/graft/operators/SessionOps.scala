@@ -1020,7 +1020,61 @@ object SessionOps {
       |FROM rk JOIN tot USING (event_type)
       |WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  /** q236: INTER-ARRIVAL TIME profile per event type — median and p90
+    * of the gap (seconds) between a user's consecutive events of that
+    * type, plus mean and event count: the event-granular cadence lens
+    * next to q149's day-granular burstiness (a bot that fires every
+    * 500 ms and a weekly digest both hide inside daily counts).
+    * Scale shape: the lag runs keyed on (user, type) — partition-
+    * parallel at any user count — and the grouped percentiles run
+    * through `RankOps.groupedPercentiles` (prefix-sum ranks +
+    * broadcast probes; no per-type value buffering). Gaps are exact
+    * integer micros → seconds as one IEEE divide; the percentile
+    * interpolation is the engine-identical q16 arithmetic; mean via
+    * the exact integer-micro sum. Hash-exact. */
+  private val q236: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gaps = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        ((col("us") - col("prev_us")).cast("double") / 1000000.0)
+          .as("gap_s"))
+    val pct = RankOps.groupedPercentiles(gaps, "event_type", "gap_s",
+        Seq("event_id"), Seq(0.5, 0.9))
+      .groupBy(col("g").as("event_type"))
+      .agg(round(max(when(col("p") === 0.5, col("pv"))), 6).as("p50_s"),
+        round(max(when(col("p") === 0.9, col("pv"))), 6).as("p90_s"))
+    val mean = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(davg(col("gap_s")), 6).as("mean_s"))
+    pct.join(mean, Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"), col("mean_s"),
+        col("p50_s"), col("p90_s"))
+      .orderBy("event_type")
+  }
+  private val q236Sql =
+    """WITH gaps AS (
+      |  SELECT event_type,
+      |    CAST(us - prev_us AS DOUBLE) / 1000000.0 AS gap_s
+      |  FROM (
+      |    SELECT event_type, epoch_us(ts) AS us,
+      |      LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts, event_id) AS prev_us
+      |    FROM events) t
+      |  WHERE prev_us IS NOT NULL)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  ROUND(CAST(SUM(CAST(gap_s AS DECIMAL(28,6))) AS DOUBLE)
+      |    / COUNT(gap_s), 6) AS mean_s,
+      |  ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+      |  ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s
+      |FROM gaps GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q236_interarrival" -> q236,
     "q225_peak_hour" -> q225,
     "q203_bounce_rate" -> q203,
     "q190_entropy_rate" -> q190,
@@ -1066,5 +1120,6 @@ object SessionOps {
     "q78_hopping_counts" -> q78Sql,
     "q88_funnel" -> q88Sql,
     "q89_cohort_retention" -> q89Sql,
-    "q95_gaps_islands" -> q95Sql)
+    "q95_gaps_islands" -> q95Sql,
+    "q236_interarrival" -> q236Sql)
 }

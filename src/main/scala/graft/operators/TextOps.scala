@@ -2646,7 +2646,47 @@ object TextOps {
       |    AS token_gini
       |FROM ranked GROUP BY 1""".stripMargin
 
+  /** q239: TOP PHRASE BIGRAMS — the most frequent ADJACENT word pairs
+    * across the corpus with their document reach (total occurrences +
+    * containing docs): the phrase-mining complement to q123's PMI
+    * (which scores doc-level co-occurrence anywhere in the document;
+    * this demands adjacency — "machine learning" vs "machine … and …
+    * learning"). Scale shape: bigrams build MAP-SIDE from the token
+    * array (`zip_with` over two slices — no positions join, no
+    * shuffle before the aggregate), one (bigram) hash aggregate with
+    * map-side partials, bounded top-15 via TakeOrdered. Exact
+    * integers; deterministic bigram tiebreak; hash-exact. */
+  private val q239: QFn = (s, d) => {
+    val arr = words(col("text"))
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), arr.as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => concat_ws(" ", x, y))).as("bigram"))
+    bi.groupBy("bigram")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("bigram").asc)
+      .limit(15)
+  }
+  private val q239Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(a[1:len(a)-1]) || ' ' || unnest(a[2:len(a)]) AS bigram
+      |  FROM toks WHERE len(a) >= 2)
+      |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM bi GROUP BY 1
+      |ORDER BY n_total DESC, bigram ASC
+      |LIMIT 15""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q239_bigram_phrases" -> q239,
     "q192_token_sequences" -> q192,
     "q196_char_entropy" -> q196,
     "q200_token_gini" -> q200,
@@ -2700,6 +2740,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q239_bigram_phrases" -> q239Sql,
     "q207_lang_source_residuals" -> q207Sql,
     "q210_cluster_sizes" -> q210Sql,
     "q213_dup_rate_by_source" -> q213Sql,

@@ -409,17 +409,70 @@ object VectorOps {
        |FROM fused
        |QUALIFY rnk <= 10""".stripMargin
 
+  /** q238: EMBEDDING-NORM OUTLIER screen — the defective-vector DQ
+    * gate a 100 TB embedding pipeline runs before indexing (a
+    * truncated read or an all-zeros encode shows up as a norm far off
+    * the population): global median + MAD of the vector norms, count
+    * of modified-z outliers (0.6745·|x−med|/MAD > 3.5, the q104
+    * screen pointed at vectors), min/max norm. Scale shape: norms are
+    * one map-side-partial aggregate per vector (q40's exact-decimal
+    * discipline); median/MAD run through `RankOps.groupedPercentiles`
+    * (single synthetic group — prefix-sum ranks, never a value
+    * buffer); the final pass is one broadcast of two scalars +
+    * a 1-row aggregate. Hash-exact. */
+  private val q238: QFn = (s, d) => {
+    val nrm = norms(Tables.embeddings(s, d))
+      .withColumn("grp", lit(1))
+    val med = RankOps.groupedPercentiles(nrm, "grp", "nrm",
+        Seq("vec_id"), Seq(0.5))
+      .select(col("pv").as("med"))
+    val dev = nrm.crossJoin(broadcast(med))
+      .withColumn("ad", abs(col("nrm") - col("med")))
+    val mad = RankOps.groupedPercentiles(dev, "grp", "ad",
+        Seq("vec_id"), Seq(0.5))
+      .select(col("pv").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(min(col("med")), 6).as("median_norm"),
+        round(min(col("mad")), 6).as("mad_norm"),
+        sum(when(lit(0.6745) * col("ad") / col("mad") > 3.5, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+  }
+  private val q238Sql =
+    """WITH nrm AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(CAST(
+      |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+      |      AS DOUBLE)) AS nrm
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+      |  GROUP BY vec_id),
+      |med AS (SELECT quantile_cont(nrm, 0.5) AS med FROM nrm),
+      |dev AS (
+      |  SELECT nrm, ABS(nrm - med) AS ad, med FROM nrm, med),
+      |mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |  ROUND(MIN(med), 6) AS median_norm,
+      |  ROUND(MIN(mad), 6) AS mad_norm,
+      |  CAST(SUM(CASE WHEN 0.6745 * ad / mad > 3.5 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  ROUND(MIN(nrm), 6) AS min_norm,
+      |  ROUND(MAX(nrm), 6) AS max_norm
+      |FROM dev, mad""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q34_ann_cosine" -> q34,
     "q40_embedding_stats" -> q40,
     "q46_cosine_pairs" -> q46,
     "q93_ann_filtered" -> q93,
-    "q143_hybrid_rrf" -> q143)
+    "q143_hybrid_rrf" -> q143,
+    "q238_embedding_norm_outliers" -> q238)
 
   val oracleSql: Map[String, String] = Map(
     "q34_ann_cosine" -> q34Sql,
     "q40_embedding_stats" -> q40Sql,
     "q46_cosine_pairs" -> q46Sql,
     "q93_ann_filtered" -> q93Sql,
-    "q143_hybrid_rrf" -> q143Sql)
+    "q143_hybrid_rrf" -> q143Sql,
+    "q238_embedding_norm_outliers" -> q238Sql)
 }
