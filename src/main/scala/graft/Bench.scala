@@ -83,7 +83,9 @@ object Bench {
     "q231_annual_retention", "q232_relational_division",
     "q233_orphan_check", "q234_drawdown", "q235_ltv_curve",
     "q236_interarrival", "q237_abc_classes",
-    "q238_embedding_norm_outliers", "q239_bigram_phrases")
+    "q238_embedding_norm_outliers", "q239_bigram_phrases",
+    "q240_price_jumps", "q241_sentence_length",
+    "q242_audience_overlap", "q243_asof_forward")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows
@@ -126,7 +128,15 @@ object Bench {
       // month-grain convention; q237/q238 broadcast 1-row scalars
       "q233_orphan_check" -> cart, "q234_drawdown" -> (win ++ win),
       "q237_abc_classes" -> cart,
-      "q238_embedding_norm_outliers" -> cart)
+      "q238_embedding_norm_outliers" -> cart,
+      // sf0.1-shape rows (these queries size-dispatch; at bench scale
+      // the plan carries a deliberate model-sized broadcast cross —
+      // trained centroids / temperature rates joined conditionlessly
+      // onto the data side — and q81's trailing-RANGE window runs on
+      // the day-grain series by the documented convention)
+      "q45_ann_ivf" -> cart, "q49_ann_ivf_kmeans" -> cart,
+      "q81_range_frame" -> win, "q91_ann_pq_search" -> cart,
+      "q92_semantic_mix" -> cart, "q99_temperature_mix" -> cart)
   }
 
   def main(args: Array[String]): Unit = {

@@ -222,12 +222,55 @@ object LakehouseOps {
       |    THEN to_us - from_us END) AS BIGINT) AS closed_dur_us
       |FROM witho GROUP BY 1""".stripMargin
 
+  /** q243: FORWARD as-of join WITH TOLERANCE through the native
+    * streaming-merge operator (round 9 — the pandas `merge_asof`
+    * direction/tolerance surface): for every event, the customer's
+    * NEXT order at-or-after the event, but only within 60 days —
+    * "did this engagement convert, and to which order?" — the
+    * attribution twin of q48's backward "state as of". Same O(n+m)
+    * merge, one exchange per side, ONE peeked right row of state;
+    * the oracle is the composable window form (LEFT range join +
+    * row_number), so the hash pins direction, tiebreak (smallest
+    * (date, orderkey)), tolerance cutoff, and null extension. */
+  private val q243: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val tolMicros = 60L * 86400L * 1000000L // 60 days
+    graft.plans.AsOf.join(ev, o,
+        col("user_id"), col("o_custkey"), col("ts"),
+        col("o_orderdate").cast("timestamp"),
+        tiebreak = Some(col("o_orderkey")),
+        forward = true, tolerance = Some(tolMicros))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("o_orderkey").as("next_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("next_orderdate"))
+  }
+  private val q243Sql =
+    """SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      |  o_orderkey AS next_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS next_orderdate
+      |FROM (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id
+      |    AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts
+      |    AND epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts)
+      |      <= 5184000000000
+      |) t WHERE rn = 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
     "q23_dq_profile" -> q23,
     "q24_asof_join" -> q24,
     "q48_asof_native" -> q48,
+    "q243_asof_forward" -> q243,
     "q191_scd2_ranges" -> q191)
 
   val oracleSql: Map[String, String] = Map(
@@ -236,5 +279,6 @@ object LakehouseOps {
     "q23_dq_profile" -> q23Sql,
     "q24_asof_join" -> q24Sql,
     "q48_asof_native" -> q24Sql,
+    "q243_asof_forward" -> q243Sql,
     "q191_scd2_ranges" -> q191Sql)
 }

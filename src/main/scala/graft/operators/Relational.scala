@@ -5729,7 +5729,69 @@ object Relational {
       |FROM ranked, tot
       |GROUP BY 1 ORDER BY cls""".stripMargin
 
+  /** q240: PRICE-JUMP DETECTION — parts whose average monthly unit
+    * price moved > 25% month-over-month (the pricing-anomaly /
+    * catalog-error screen): per (part, month) average unit price,
+    * lag against the part's PREVIOUS OBSERVED month, top-20 jumps.
+    * Scale shape: one fact-sized (part, month) aggregate with
+    * map-side partials, then the lag window keyed on l_partkey —
+    * partition-parallel at any part count — and a bounded top-k.
+    * Unit price = exact-decimal net revenue / exact-decimal quantity
+    * as ONE IEEE divide (never decimal/decimal division — engines
+    * disagree on result scale); jump likewise one IEEE expression
+    * over those doubles; rounding only at the output. Hash-exact. */
+  private val q240: QFn = (s, d) => {
+    val pm = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"),
+        date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(Dec)).as("net"),
+        sum(col("l_quantity").cast(Dec)).as("qty"))
+      .withColumn("ap", col("net").cast("double") / col("qty").cast("double"))
+    val w = Window.partitionBy("l_partkey").orderBy("month")
+    pm.withColumn("prev_month", lag(col("month"), 1).over(w))
+      .withColumn("prev_ap", lag(col("ap"), 1).over(w))
+      .filter(col("prev_ap").isNotNull && col("prev_ap") > 0)
+      .withColumn("jump",
+        (col("ap") - col("prev_ap")) / col("prev_ap"))
+      .filter(abs(col("jump")) > 0.25)
+      .select(col("l_partkey"), col("prev_month"), col("month"),
+        round(col("prev_ap"), 6).as("prev_price"),
+        round(col("ap"), 6).as("price"),
+        round(col("jump"), 6).as("jump"))
+      .orderBy(abs(col("jump")).desc, col("l_partkey").asc,
+        col("month").asc)
+      .limit(20)
+  }
+  private val q240Sql =
+    """WITH pm AS (
+      |  SELECT l_partkey,
+      |    strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS ap
+      |  FROM lineitem GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT l_partkey, month, ap,
+      |    LAG(month) OVER (PARTITION BY l_partkey ORDER BY month)
+      |      AS prev_month,
+      |    LAG(ap) OVER (PARTITION BY l_partkey ORDER BY month)
+      |      AS prev_ap
+      |  FROM pm)
+      |SELECT l_partkey, prev_month, month,
+      |  ROUND(prev_ap, 6) AS prev_price,
+      |  ROUND(ap, 6) AS price,
+      |  ROUND((ap - prev_ap) / prev_ap, 6) AS jump
+      |FROM lagged
+      |WHERE prev_ap IS NOT NULL AND prev_ap > 0
+      |  AND ABS((ap - prev_ap) / prev_ap) > 0.25
+      |ORDER BY ABS((ap - prev_ap) / prev_ap) DESC, l_partkey ASC,
+      |  month ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q240_price_jumps" -> q240,
     "q232_relational_division" -> q232,
     "q233_orphan_check" -> q233,
     "q234_drawdown" -> q234,
@@ -5858,6 +5920,7 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q240_price_jumps" -> q240Sql,
     "q232_relational_division" -> q232Sql,
     "q233_orphan_check" -> q233Sql,
     "q234_drawdown" -> q234Sql,

@@ -1073,7 +1073,61 @@ object SessionOps {
       |  ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s
       |FROM gaps GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q242: AUDIENCE OVERLAP matrix — exact Jaccard between the user
+    * sets of every event-type pair (do 'click' users and 'purchase'
+    * users overlap, or are they disjoint populations? — the audience
+    * lens next to q162's event-level mutual information). Scale
+    * shape: ONE distinct (type, user) pass (map-side partial
+    * distinct), per-type counts are a K-row aggregate, the
+    * intersection self-join keys on user_id (co-partitioned, output
+    * bounded by |types|² per user), and the pair matrix is
+    * model-sized. Exact integer counts; one IEEE divide at 6 dp.
+    * Hash-exact. */
+  private val q242: QFn = (s, d) => {
+    val tu = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val inter = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("t").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("t").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+  private val q242Sql =
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |sizes AS (
+      |  SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tu GROUP BY 1),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+      |  ROUND(CAST(n_both AS DOUBLE)
+      |    / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.t = type_a
+      |JOIN sizes sb ON sb.t = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q242_audience_overlap" -> q242,
     "q236_interarrival" -> q236,
     "q225_peak_hour" -> q225,
     "q203_bounce_rate" -> q203,
@@ -1121,5 +1175,6 @@ object SessionOps {
     "q88_funnel" -> q88Sql,
     "q89_cohort_retention" -> q89Sql,
     "q95_gaps_islands" -> q95Sql,
-    "q236_interarrival" -> q236Sql)
+    "q236_interarrival" -> q236Sql,
+    "q242_audience_overlap" -> q242Sql)
 }

@@ -2685,7 +2685,48 @@ object TextOps {
       |ORDER BY n_total DESC, bigram ASC
       |LIMIT 15""".stripMargin
 
+  /** q241: SENTENCE-LENGTH profile per source — sentences via
+    * [.!?]+ segmentation, words per sentence, then per-source
+    * sentence count, mean length, and max (the readability-adjacent
+    * SEGMENTATION lens: q217 scores whole documents; this exposes
+    * run-on-sentence sources a char-level metric hides). Scale shape:
+    * segmentation and word counting are MAP-SIDE array ops on each
+    * document; one (source) aggregate with map-side partials. Counts
+    * exact ints; mean via the exact integer-sum / count divide at
+    * 6 dp. Hash-exact (tokenizer parity: the same split regexes on
+    * both engines — the q123 convention). */
+  private val q241: QFn = (s, d) => {
+    val sentences = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(col("text"), "[.!?]+")).as("sent"))
+      .select(col("source"), trim(col("sent")).as("sent"))
+      .filter(length(col("sent")) > 0)
+      .select(col("source"), size(words(col("sent"))).as("n_words"))
+    sentences.groupBy("source")
+      .agg(count(lit(1)).as("n_sentences"),
+        round(sum(col("n_words").cast("long")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_words"),
+        max(col("n_words")).as("max_words"))
+      .orderBy("source")
+  }
+  private val q241Sql =
+    """WITH sent AS (
+      |  SELECT source, trim(s) AS sent FROM (
+      |    SELECT source, unnest(string_split_regex(text, '[.!?]+')) AS s
+      |    FROM documents) t
+      |  WHERE len(trim(s)) > 0),
+      |sw AS (
+      |  SELECT source,
+      |    len(string_split_regex(trim(sent), '\s+')) AS n_words
+      |  FROM sent)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+      |  ROUND(CAST(SUM(CAST(n_words AS BIGINT)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_words,
+      |  CAST(MAX(n_words) AS INT) AS max_words
+      |FROM sw GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q241_sentence_length" -> q241,
     "q239_bigram_phrases" -> q239,
     "q192_token_sequences" -> q192,
     "q196_char_entropy" -> q196,
@@ -2740,6 +2781,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q241_sentence_length" -> q241Sql,
     "q239_bigram_phrases" -> q239Sql,
     "q207_lang_source_residuals" -> q207Sql,
     "q210_cluster_sizes" -> q210Sql,

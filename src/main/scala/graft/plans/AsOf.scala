@@ -12,18 +12,49 @@ import org.apache.spark.sql.graftbridge.Bridge
   * fixed by reference containment. Time expressions must side
   * correctly — the inequality's direction defines the semantics. */
 object AsOfJoinStrategy extends SparkStrategy {
+  import org.apache.spark.sql.types._
+
+  /** Time types whose InternalRow values are integer-backed — the
+    * ones tolerance arithmetic is defined over (timestamps = micros,
+    * dates = days, integrals as themselves). */
+  private val TolerableTimeTypes: Set[DataType] = Set(
+    TimestampType, TimestampNTZType, DateType, LongType, IntegerType,
+    ShortType, ByteType)
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd0, tol) =>
       val (lk2, rk2) =
         if (lk.references.subsetOf(l.outputSet)) (lk, rk) else (rk, lk)
-      if (!lt.references.subsetOf(l.outputSet) ||
-          !rt.references.subsetOf(r.outputSet)) {
+      // The SQL form writes one inequality; the parser records it as
+      // (leftTime, rightTime) assuming `rightTime <= leftTime`. If the
+      // sides resolve SWAPPED (the user wrote `leftTime <= rightTime`),
+      // swapping the expressions flips the bound's direction — the
+      // SQL spelling of a FORWARD as-of join.
+      val (lt2, rt2, fwd) =
+        if (lt.references.subsetOf(l.outputSet) &&
+            rt.references.subsetOf(r.outputSet)) (lt, rt, fwd0)
+        else if (lt.references.subsetOf(r.outputSet) &&
+            rt.references.subsetOf(l.outputSet)) (rt, lt, !fwd0)
+        else throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            ("ASOF JOIN time bound must compare one left-side time " +
+              "with one right-side time")))
+      if (tol.isDefined && !TolerableTimeTypes.contains(lt2.dataType)) {
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "_LEGACY_ERROR_TEMP_3100",
           messageParameters = Map("message" ->
-            "ASOF JOIN time bound must be <rightTime> <= <leftTime>"))
+            (s"ASOF JOIN tolerance requires an integer-backed time " +
+              s"type (timestamp/date/integral), got ${lt2.dataType}")))
       }
-      AsOfJoinExec(lk2, rk2, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      if (tol.exists(_ < 0)) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            "ASOF JOIN tolerance must be non-negative"))
+      }
+      AsOfJoinExec(lk2, rk2, lt2, rt2, tb, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -57,11 +88,18 @@ object AsOf {
 
   /** `left ASOF JOIN right ON leftKey = rightKey AND rightTime <=
     * leftTime` keeping, per left row, the right row with the greatest
-    * (rightTime, tiebreak); unmatched left rows null-extend. */
+    * (rightTime, tiebreak); unmatched left rows null-extend.
+    * `forward = true` flips the bound to `rightTime >= leftTime` and
+    * keeps the SMALLEST (rightTime, tiebreak). `tolerance` (in the
+    * time column's native integer units — micros for timestamps, days
+    * for dates) null-extends matches farther than the bound instead —
+    * pandas `merge_asof`'s direction/tolerance surface. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      tiebreak: Option[Column] = None): DataFrame = {
+      tiebreak: Option[Column] = None,
+      forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     // Spark 4 Columns are lazily-analyzed column nodes; a custom node
@@ -85,6 +123,6 @@ object AsOf {
       lPlan, rPlan,
       resolve(lPlan, leftKey), resolve(rPlan, rightKey),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime),
-      tiebreak.map(resolve(rPlan, _))))
+      tiebreak.map(resolve(rPlan, _)), forward, tolerance))
   }
 }

@@ -11,10 +11,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
 /** AS-OF join as a first-class Catalyst operator.
   *
-  * Semantics: for every left row, append the single right row with the
-  * same key and the greatest `rightTime <= leftTime` (ties broken by
-  * the greatest `tiebreak`); left rows with no qualifying right row
-  * keep the left-outer null extension.
+  * Semantics (BACKWARD, the default): for every left row, append the
+  * single right row with the same key and the greatest `rightTime <=
+  * leftTime` (ties broken by the greatest `tiebreak`); left rows with
+  * no qualifying right row keep the left-outer null extension.
+  * FORWARD (`forward = true`): the single right row with the same key
+  * and the SMALLEST `rightTime >= leftTime` (ties broken by the
+  * smallest `tiebreak`). An optional TOLERANCE (round 9) bounds the
+  * match distance in the time column's native integer units
+  * (microseconds for timestamps, days for dates): a candidate farther
+  * than `tolerance` null-extends instead — pandas `merge_asof`'s
+  * direction/tolerance surface.
   *
   * Spark has no native as-of join; the composable workaround (range
   * join + per-left-row row_number, see LakehouseOps q24) materializes
@@ -24,8 +31,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * hash-clustered on the key and sorted by (key, time), then runs a
   * single O(n+m) streaming merge per partition: the planner inserts
   * exactly one exchange per side (none if the data is already
-  * bucketed), and peak memory per partition is ONE buffered right row.
-  * That is the shape that survives 100 TB.
+  * bucketed), and peak memory per partition is ONE buffered right row
+  * in either direction. That is the shape that survives 100 TB.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -34,7 +41,9 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    tiebreak: Option[Expression]) extends BinaryNode {
+    tiebreak: Option[Expression],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -59,6 +68,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     tiebreak: Option[Expression],
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -69,6 +80,9 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    // ascending works for BOTH directions: backward consumes
+    // qualifying rights (keeping the latest), forward peeks at the
+    // first not-yet-qualifying one
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
       tiebreak.map(SortOrder(_, Ascending)))
@@ -85,6 +99,8 @@ case class AsOfJoinExec(
     val rKeyExpr = rightKey
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val fwd = forward
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = BindReferences.bindReference(lKeyExpr, leftOut)
       val lTime = BindReferences.bindReference(lTimeExpr, leftOut)
@@ -94,16 +110,23 @@ case class AsOfJoinExec(
       val timeOrd = TypeUtils.getInterpretedOrdering(lTimeExpr.dataType)
       val nullRight = new GenericInternalRow(rightOut.length)
       val joined = new JoinedRow
+      // tolerance arithmetic: time values are integer-backed in
+      // InternalRow land (timestamps = Long micros, dates = Int days,
+      // integrals as themselves) — the strategy rejects anything else
+      def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+      def withinTol(earlier: Any, later: Any): Boolean =
+        tol.forall(t => asLong(later) - asLong(earlier) <= t)
       // bind against nullable-marked right attrs: the projection must
       // null-check right fields (unmatched rows carry the null row)
       val outProj = UnsafeProjection.create(
         outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
 
-      // Streaming state: the next unconsumed right row, plus the best
-      // (latest-so-far) right row for the key currently being merged.
+      // Streaming state: the next unconsumed right row, plus (backward
+      // only) the best (latest-so-far) right row for the current key.
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var bestMatch: InternalRow = null // copied — outlives rHead reuse
       var bestKey: Any = null
+      var bestTime: Any = null
 
       lIter.map { l =>
         val lk = lKey.eval(l)
@@ -111,31 +134,63 @@ case class AsOfJoinExec(
           outProj(joined(l, nullRight))
         } else {
           val lt = lTime.eval(l)
-          // Consume right rows that can no longer serve a later left
-          // row better than they serve this one: key strictly behind,
-          // or same key with time at-or-before this left row's time.
-          var advancing = true
-          while (advancing && rHead != null) {
-            val rk = rKey.eval(rHead)
-            if (rk == null) {
-              rHead = if (rIter.hasNext) rIter.next() else null
-            } else {
-              val c = keyOrd.compare(rk, lk)
-              if (c < 0) {
-                rHead = if (rIter.hasNext) rIter.next() else null
-              } else if (c == 0 && timeOrd.compare(rTime.eval(rHead), lt) <= 0) {
-                bestMatch = rHead.copy() // sorted asc → later rows win
-                bestKey = rKey.eval(bestMatch)
+          if (!fwd) {
+            // BACKWARD: consume right rows that can no longer serve a
+            // later left row better than they serve this one — key
+            // strictly behind, or same key with time at-or-before lt.
+            var advancing = true
+            while (advancing && rHead != null) {
+              val rk = rKey.eval(rHead)
+              if (rk == null) {
                 rHead = if (rIter.hasNext) rIter.next() else null
               } else {
-                advancing = false
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0) {
+                  rHead = if (rIter.hasNext) rIter.next() else null
+                } else if (c == 0 && timeOrd.compare(rTime.eval(rHead), lt) <= 0) {
+                  bestMatch = rHead.copy() // sorted asc → later rows win
+                  bestKey = rKey.eval(bestMatch)
+                  bestTime = rTime.eval(bestMatch)
+                  rHead = if (rIter.hasNext) rIter.next() else null
+                } else {
+                  advancing = false
+                }
               }
             }
+            val m =
+              if (bestMatch != null && keyOrd.compare(bestKey, lk) == 0 &&
+                  withinTol(bestTime, lt)) bestMatch
+              else nullRight
+            outProj(joined(l, m))
+          } else {
+            // FORWARD: consume right rows that can serve NO left row
+            // from here on — key strictly behind, or same key with
+            // time strictly before lt (left times only grow within a
+            // key, so nothing later can want them either). The first
+            // surviving row with this key is the match: smallest
+            // (time, tiebreak) at-or-after lt, and it is NOT consumed
+            // (the next left row of this key may match it too).
+            var advancing = true
+            while (advancing && rHead != null) {
+              val rk = rKey.eval(rHead)
+              if (rk == null) {
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0 ||
+                    (c == 0 && timeOrd.compare(rTime.eval(rHead), lt) < 0)) {
+                  rHead = if (rIter.hasNext) rIter.next() else null
+                } else {
+                  advancing = false
+                }
+              }
+            }
+            val m =
+              if (rHead != null && keyOrd.compare(rKey.eval(rHead), lk) == 0 &&
+                  withinTol(lt, rTime.eval(rHead))) rHead
+              else nullRight
+            outProj(joined(l, m))
           }
-          val m =
-            if (bestMatch != null && keyOrd.compare(bestKey, lk) == 0) bestMatch
-            else nullRight
-          outProj(joined(l, m))
         }
       }
     }

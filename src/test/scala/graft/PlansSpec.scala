@@ -112,4 +112,39 @@ class PlansSpec extends SparkSpec {
       Some(col("tb"))).select("tb").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("FORWARD as-of: smallest (time, tiebreak) at-or-after; tolerance " +
+      "null-extends far matches; SQL side-swap spells forward") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 30L), (2L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 7L), (1L, 10L, 4L), (1L, 15L, 9L), (2L, 50L, 1L))
+      .toDF("rk", "rt", "tb")
+    // forward: k=1,t=10 → rt=10 smallest tiebreak (4); k=1,t=30 → none
+    // at-or-after; k=2,t=5 → rt=50
+    val fwd = AsOf.join(l, r, col("k"), col("rk"), col("t"), col("rt"),
+      Some(col("tb")), forward = true)
+      .select("k", "t", "tb").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(fwd == Set((1L, 10L, 4L), (1L, 30L, -1L), (2L, 5L, 1L)), fwd)
+    // tolerance 20: k=2,t=5 → rt=50 is 45 away → null-extends
+    val tol = AsOf.join(l, r, col("k"), col("rk"), col("t"), col("rt"),
+      Some(col("tb")), forward = true, tolerance = Some(20L))
+      .select("k", "t", "tb").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(tol == Set((1L, 10L, 4L), (1L, 30L, -1L), (2L, 5L, -1L)), tol)
+    // SQL: writing `leftTime <= rightTime` (sides swapped vs the
+    // backward form) resolves to a FORWARD as-of join
+    l.createOrReplaceTempView("asof_fwd_l")
+    r.createOrReplaceTempView("asof_fwd_r")
+    val viaSql = spark.sql(
+      """SELECT k, t, rt FROM asof_fwd_l
+        |ASOF JOIN asof_fwd_r ON k = rk AND t <= rt
+        |""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(viaSql == Set((1L, 10L, 10L), (1L, 30L, -1L), (2L, 5L, 50L)),
+      viaSql)
+  }
 }

@@ -633,6 +633,49 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 15)
   }
 
+  test("property: FORWARD as-of with TOLERANCE equals the reference " +
+      "rule across random directions, tolerances, and duplicate " +
+      "timestamps") {
+    import spark.implicits._
+    val genCase = for {
+      nl <- Gen.chooseNum(1, 20)
+      nr <- Gen.chooseNum(0, 20)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 8L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 8L)))
+      fwd <- Gen.oneOf(true, false)
+      tol <- Gen.frequency((2, Gen.const(Option.empty[Long])),
+        (3, Gen.chooseNum(0L, 6L).map(Option(_))))
+    } yield (ls, rs, fwd, tol)
+    val prop = Prop.forAll(genCase) { case (ls, rs, fwd, tol) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "lk", "lt")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "rk", "rt")
+      val got = graft.plans.AsOf.join(left, right,
+        col("lk"), col("rk"), col("lt"), col("rt"),
+        tiebreak = Some(col("rid")), forward = fwd, tolerance = tol)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // reference: backward = greatest (rt, rid) with rt <= lt and
+      // lt - rt <= tol; forward = smallest (rt, rid) with rt >= lt
+      // and rt - lt <= tol; none → null
+      val want = ls.zipWithIndex.map { case ((lk, lt), li) =>
+        val cand = rs.zipWithIndex.filter { case ((rk, rt), _) =>
+          rk == lk &&
+            (if (fwd) rt >= lt && tol.forall(rt - lt <= _)
+             else rt <= lt && tol.forall(lt - rt <= _))
+        }.sortBy { case ((_, rt), ri) => (rt, ri) }
+        val m =
+          if (fwd) cand.headOption.map(_._2.toLong).getOrElse(-1L)
+          else cand.lastOption.map(_._2.toLong).getOrElse(-1L)
+        (li.toLong, m)
+      }.toSet
+      got == want
+    }
+    check(prop, cases = 25)
+  }
+
   test("property: LSH pair mining is sound; every high-cosine pair is found") {
     import spark.implicits._
     // Soundness is deterministic (the exact verify runs on every
