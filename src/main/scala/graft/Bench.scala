@@ -85,7 +85,9 @@ object Bench {
     "q236_interarrival", "q237_abc_classes",
     "q238_embedding_norm_outliers", "q239_bigram_phrases",
     "q240_price_jumps", "q241_sentence_length",
-    "q242_audience_overlap", "q243_asof_forward")
+    "q242_audience_overlap", "q243_asof_forward",
+    "q244_yoy_growth", "q245_fill_rate", "q246_first_touch",
+    "q247_seasonal_mape")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows

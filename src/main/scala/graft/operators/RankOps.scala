@@ -129,8 +129,13 @@ object RankOps {
     * prefix-sum ranks ([[withGroupedPrefixSum]], distributed
     * two-pass), a broadcast probe table of the lo/hi ranks each
     * (group, p) needs, and `v_lo + (v_hi − v_lo)·frac` reproducing
-    * the `percentile()` aggregate's (and DuckDB `quantile_cont`'s)
-    * double arithmetic bit-for-bit. No group ever buffers its values
+    * DuckDB `quantile_cont`'s double arithmetic BIT-FOR-BIT — the
+    * oracle contract (property-pinned). Spark's own `percentile()`
+    * interpolates as `lo·(1−f) + hi·f`, which can differ from this
+    * form by one ULP on adversarial values (found by the property);
+    * on the oracle-checked data the two agree, which is why q16's
+    * `percentile()` form shares oracles with this one. No group ever
+    * buffers its values
     * in one reducer, so a group outgrowing executor memory cannot OOM
     * the plan. `tieCols` must complete a total order within the group
     * for deterministic ranks (ties in `valueCol` itself are

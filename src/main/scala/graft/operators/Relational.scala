@@ -5790,7 +5790,158 @@ object Relational {
       |  month ASC
       |LIMIT 20""".stripMargin
 
+  /** q244: YEAR-OVER-YEAR GROWTH screen — top-20 parts by revenue
+    * growth ratio between 1996 and 1997 (the "trending items" lens
+    * none of the trend tests give: per-ENTITY growth ranking, not a
+    * series statistic). Scale shape: one (part, year) map-side-partial
+    * aggregate, the two year slices self-join CO-PARTITIONED on the
+    * part key (no broadcast assumption — both sides are part-sized),
+    * one IEEE ratio, bounded top-k with part tiebreak. A 50-unit
+    * decimal revenue floor on the base year keeps noise ratios out
+    * (and the floor compares EXACT decimals, not floats). Hash-exact. */
+  private val q244: QFn = (s, d) => {
+    val py = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"),
+        year(to_date(col("l_shipdate"))).as("yr"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(Dec)).as("rev"))
+    val a = py.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("rev").as("rev_a"))
+    val b = py.filter(col("yr") === 1997)
+      .select(col("l_partkey"), col("rev").as("rev_b"))
+    a.join(b, Seq("l_partkey"))
+      .filter(col("rev_a") >= lit(50).cast(Dec))
+      .select(col("l_partkey"),
+        col("rev_a").cast("double").as("rev_1996"),
+        col("rev_b").cast("double").as("rev_1997"),
+        round(col("rev_b").cast("double") / col("rev_a").cast("double"),
+          6).as("growth"))
+      .orderBy(col("growth").desc, col("l_partkey").asc)
+      .limit(20)
+  }
+  private val q244Sql =
+    """WITH py AS (
+      |  SELECT l_partkey,
+      |    CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)
+      |      AS yr,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT a.l_partkey,
+      |  CAST(a.rev AS DOUBLE) AS rev_1996,
+      |  CAST(b.rev AS DOUBLE) AS rev_1997,
+      |  ROUND(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE), 6)
+      |    AS growth
+      |FROM py a JOIN py b ON a.l_partkey = b.l_partkey
+      |WHERE a.yr = 1996 AND b.yr = 1997
+      |  AND a.rev >= CAST(50 AS DECIMAL(28,6))
+      |ORDER BY growth DESC, a.l_partkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** q245: ORDER FILL RATE — per order priority, the share of orders
+    * whose EVERY line shipped within 30 days of the order date (the
+    * "for all lines" SLA next to q208's last-line cycle time and
+    * q232's quarter division). Scale shape: one order-keyed max
+    * aggregate over the fact-fact join (co-partitioned on the order
+    * key), then a priority-sized conditional rollup. Exact integer
+    * day arithmetic; one IEEE rate at 6 dp. Hash-exact. */
+  private val q245: QFn = (s, d) => {
+    val per = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(max(datediff(to_date(col("l_shipdate")),
+        to_date(col("o_orderdate")))).as("worst_delay"))
+    per.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("worst_delay") <= 30, 1L).otherwise(0L))
+          .as("n_filled_30d"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_filled_30d"),
+        round(col("n_filled_30d").cast("double") /
+          col("n_orders").cast("double"), 6).as("fill_rate"))
+      .orderBy("o_orderpriority")
+  }
+  private val q245Sql =
+    """WITH per AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    MAX(datediff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE))) AS worst_delay
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN worst_delay <= 30 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_filled_30d,
+      |  ROUND(CAST(SUM(CASE WHEN worst_delay <= 30 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS fill_rate
+      |FROM per GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** q247: SEASONAL-NAIVE FORECAST BACKTEST — score the standard
+    * baseline forecaster (predict month m with the value at m−12) on
+    * monthly revenue per nation, reporting MAPE and bias (the
+    * forecast-quality category none of the trend/seasonality tests
+    * cover; every real forecaster must beat exactly this number).
+    * Scale shape: fact reduces FIRST to the (nation, month) decimal
+    * series; the prediction join is a CALENDAR-BOUNDED self-join on
+    * (nation, month−12); per-month absolute percentage errors round
+    * to 6 dp and fold through the exact decimal accumulator. One
+    * IEEE divide per output. Hash-exact. */
+  private val q247: QFn = (s, d) => {
+    val nm = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"),
+        (year(to_date(col("l_shipdate"))) * 12 +
+          month(to_date(col("l_shipdate"))) - 1).as("mnum"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(Dec)).as("rev"))
+    val pred = nm.select(col("nation"),
+      (col("mnum") + 12).as("mnum"), col("rev").as("pred"))
+    nm.join(pred, Seq("nation", "mnum"))
+      .filter(col("rev") > 0)
+      .select(col("nation"),
+        round(abs(col("rev") - col("pred")).cast("double") /
+          col("rev").cast("double"), 6).as("ape"),
+        ((col("pred") - col("rev")).cast("double")).as("err"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_months"),
+        round(dsum(col("ape")) / count(lit(1)), 6).as("mape"),
+        round(dsum(col("err")) / count(lit(1)), 6).as("mean_bias"))
+      .orderBy("nation")
+  }
+  private val q247Sql =
+    s"""WITH nm AS (
+       |  SELECT n_name AS nation,
+       |    CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 12
+       |      + EXTRACT(month FROM CAST(l_shipdate AS DATE)) - 1 AS INT)
+       |      AS mnum,
+       |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+       |      AS rev
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a.nation,
+       |    ROUND(CAST(ABS(a.rev - p.rev) AS DOUBLE)
+       |      / CAST(a.rev AS DOUBLE), 6) AS ape,
+       |    CAST(p.rev - a.rev AS DOUBLE) AS err
+       |  FROM nm a JOIN nm p
+       |    ON a.nation = p.nation AND p.mnum = a.mnum - 12
+       |  WHERE a.rev > 0)
+       |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months,
+       |  ROUND(${sqlSum("ape")} / COUNT(*), 6) AS mape,
+       |  ROUND(${sqlSum("err")} / COUNT(*), 6) AS mean_bias
+       |FROM j GROUP BY 1 ORDER BY nation""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q244_yoy_growth" -> q244,
+    "q245_fill_rate" -> q245,
+    "q247_seasonal_mape" -> q247,
     "q240_price_jumps" -> q240,
     "q232_relational_division" -> q232,
     "q233_orphan_check" -> q233,
@@ -5920,6 +6071,9 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q244_yoy_growth" -> q244Sql,
+    "q245_fill_rate" -> q245Sql,
+    "q247_seasonal_mape" -> q247Sql,
     "q240_price_jumps" -> q240Sql,
     "q232_relational_division" -> q232Sql,
     "q233_orphan_check" -> q233Sql,

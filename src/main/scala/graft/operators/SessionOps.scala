@@ -1126,7 +1126,60 @@ object SessionOps {
       |JOIN sizes sb ON sb.t = type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** q246: FIRST-TOUCH CONVERSION — users grouped by the event type
+    * of their FIRST EVER event, with the share that went on to place
+    * an order at-or-after that moment (the acquisition-channel
+    * attribution next to q72's click-level window attribution and
+    * q111's lag). Scale shape: the first touch is one user-keyed
+    * struct-min aggregate (never a window over raw events), orders
+    * reduce to a customer-keyed max, the two key-sized tables join on
+    * the user key, and the rollup is event-type-sized. Deterministic
+    * first touch via the (ts, event_id) total order; exact integers;
+    * one IEEE rate. Hash-exact. */
+  private val q246: QFn = (s, d) => {
+    val ft = Tables.events(s, d)
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).as("st"))
+      .groupBy("user_id")
+      .agg(min(col("st")).as("st"))
+      .select(col("user_id"), col("st.event_type").as("first_touch"),
+        col("st.us").as("us"))
+    val ou = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
+        .as("last_od"))
+    ft.join(ou, col("user_id") === col("o_custkey"), "left")
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("last_od") >= col("us"), 1L).otherwise(0L))
+          .as("n_converted"))
+      .select(col("first_touch"), col("n_users"), col("n_converted"),
+        round(col("n_converted").cast("double") /
+          col("n_users").cast("double"), 6).as("conversion"))
+      .orderBy("first_touch")
+  }
+  private val q246Sql =
+    """WITH ft AS (
+      |  SELECT user_id, event_type AS first_touch, epoch_us(ts) AS us
+      |  FROM (
+      |    SELECT user_id, event_type, ts, event_id,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS rn
+      |    FROM events) t WHERE rn = 1),
+      |ou AS (
+      |  SELECT o_custkey,
+      |    MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_od
+      |  FROM orders GROUP BY 1)
+      |SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN last_od >= us THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_converted,
+      |  ROUND(CAST(SUM(CASE WHEN last_od >= us THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion
+      |FROM ft LEFT JOIN ou ON o_custkey = user_id
+      |GROUP BY 1 ORDER BY first_touch""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q246_first_touch" -> q246,
     "q242_audience_overlap" -> q242,
     "q236_interarrival" -> q236,
     "q225_peak_hour" -> q225,
@@ -1176,5 +1229,6 @@ object SessionOps {
     "q89_cohort_retention" -> q89Sql,
     "q95_gaps_islands" -> q95Sql,
     "q236_interarrival" -> q236Sql,
-    "q242_audience_overlap" -> q242Sql)
+    "q242_audience_overlap" -> q242Sql,
+    "q246_first_touch" -> q246Sql)
 }

@@ -633,6 +633,59 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 15)
   }
 
+  test("property: RankOps.groupedPercentiles implements the documented " +
+      "v_lo + (v_hi - v_lo)*frac contract bit-for-bit (the DuckDB " +
+      "quantile_cont form) and agrees with percentile() to the ULP") {
+    import spark.implicits._
+    // NOTE (found BY this property): Spark's percentile() aggregate
+    // interpolates as lo*(1-f) + hi*f, which can differ from the
+    // lo + (hi-lo)*f form by one ULP on adversarial values. The
+    // library's parity target is the ORACLE (DuckDB quantile_cont,
+    // the lo + (hi-lo)*f form) — q16/q85/q104/q236/q238 pin that
+    // hash-exactly — so the bit-for-bit assertion here is against a
+    // hand-rolled reference of the documented contract, and the
+    // percentile() comparison allows 1-ULP-scale drift.
+    val genCase = for {
+      n <- Gen.chooseNum(1, 80)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(1, 4),
+        Gen.chooseNum(-10000, 10000)))
+      ps <- Gen.someOf(Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+        .suchThat(_.nonEmpty)
+    } yield (rows, ps.toSeq.sorted)
+    val prop = Prop.forAll(genCase) { case (rows, ps) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (s"g$g", v / 100.0, i.toLong) }
+        .toDF("grp", "v", "id")
+      val got = graft.operators.RankOps
+        .groupedPercentiles(df, "grp", "v", Seq("id"), ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          r.getDouble(2)).toMap
+      val ref: Map[(String, Double), Double] = rows.groupBy(_._1)
+        .flatMap { case (g, grp) =>
+          val sorted = grp.map(_._2 / 100.0).sorted
+          ps.map { p =>
+            val h = (sorted.size - 1).toDouble * p
+            val lo = sorted(h.toInt)
+            val hi = sorted(math.ceil(h).toInt)
+            val frac = h - math.floor(h)
+            (s"g$g", p) -> (lo + (hi - lo) * frac)
+          }
+        }
+      val aggs = ps.map(p => expr(s"percentile(v, $p)").as(s"p$p"))
+      val spk = df.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+        .collect().flatMap { r =>
+          ps.zipWithIndex.map { case (p, i) =>
+            (r.getString(0), p) -> r.getDouble(i + 1) }
+        }.toMap
+      got == ref && got.forall { case (k, v) =>
+        val s = spk(k)
+        v == s || math.abs(v - s) <= 4 * math.ulp(math.max(
+          math.abs(v), math.abs(s)))
+      }
+    }
+    check(prop, cases = 20)
+  }
+
   test("property: FORWARD as-of with TOLERANCE equals the reference " +
       "rule across random directions, tolerances, and duplicate " +
       "timestamps") {
