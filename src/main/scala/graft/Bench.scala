@@ -87,7 +87,7 @@ object Bench {
     "q240_price_jumps", "q241_sentence_length",
     "q242_audience_overlap", "q243_asof_forward",
     "q244_yoy_growth", "q245_fill_rate", "q246_first_touch",
-    "q247_seasonal_mape")
+    "q247_seasonal_mape", "q248_anomaly_days")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows
@@ -138,7 +138,10 @@ object Bench {
       // the day-grain series by the documented convention)
       "q45_ann_ivf" -> cart, "q49_ann_ivf_kmeans" -> cart,
       "q81_range_frame" -> win, "q91_ann_pq_search" -> cart,
-      "q92_semantic_mix" -> cart, "q99_temperature_mix" -> cart)
+      "q92_semantic_mix" -> cart, "q99_temperature_mix" -> cart,
+      // q248's trailing-28-day count/sum/sumsq windows run on the
+      // day-grain series (documented convention)
+      "q248_anomaly_days" -> (win ++ win))
   }
 
   def main(args: Array[String]): Unit = {

@@ -226,7 +226,17 @@ object VersionedTable {
     * removes; pair with `Bucketing.writeRangePartitioned`/
     * `writeZOrdered` inside `writer` so file ranges are actually
     * tight. The manifest's EXISTENCE is still the commit; stats are
-    * payload (legacy empty manifests stay valid). */
+    * payload (legacy empty manifests stay valid).
+    *
+    * SINGLE-WRITER path: two RACING plain commits are detected at the
+    * manifest PUT (the loser throws), but both stage into the SAME
+    * hidden `_v-<next>` dir first — on local/HDFS the second writer's
+    * ErrorIfExists probe fails fast, while on OBJECT STORES
+    * directories are implicit, so the probes can both pass and the
+    * winner's version can carry the loser's part files (caught by the
+    * mock-store catalog race spec). Racing writers on one table must
+    * use [[commitOptimistic]]/[[appendDeltaOptimistic]], whose
+    * attempt-unique staging closes exactly this. */
   def commit(spark: SparkSession, root: String, keepVersions: Int = 1,
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
              bloomBits: Int = 8192, bloomHashes: Int = 4)

@@ -5938,7 +5938,84 @@ object Relational {
        |  ROUND(${sqlSum("err")} / COUNT(*), 6) AS mean_bias
        |FROM j GROUP BY 1 ORDER BY nation""".stripMargin
 
+  /** q248: ROLLING-BASELINE ANOMALY DAYS — top-5 days by |z| of daily
+    * revenue against the TRAILING 28-day mean/std (excluding the day
+    * itself): the ops-monitoring shape next to q211's in-month Tukey
+    * fence (a fixed-window robust fence) and q104's global MAD — this
+    * one scores each day against its own recent past, so a slow drift
+    * never poisons the baseline. Scale shape: the fact reduces FIRST
+    * to the day-grain series; the rolling window runs on the
+    * calendar-sized table (documented day-grain convention). All
+    * window inputs are EXACT integers (revenue micros as long; squares
+    * in DECIMAL(38,0) micro² — rev² passes 2⁶³): mean/var/z are then
+    * fixed IEEE expressions over identical exact operands in both
+    * engines. ≥14 prior days and positive variance required;
+    * deterministic day tiebreak. Hash-exact. */
+  private val q248: QFn = (s, d) => {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM-dd")
+        .as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(Dec)) * 1000000L).cast("long").as("rev_u"))
+    val w = Window.orderBy("day").rowsBetween(-28, -1)
+    val scored = daily
+      .withColumn("n_prior", count(col("rev_u")).over(w))
+      .withColumn("sum_u", sum(col("rev_u")).over(w))
+      .withColumn("sumsq",
+        sum(col("rev_u").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("rev_u")).over(w))
+      .filter(col("n_prior") >= 14)
+      .withColumn("mean_u", col("sum_u").cast("double") /
+        col("n_prior").cast("double"))
+      .withColumn("var_u",
+        (col("sumsq").cast("double") - col("n_prior").cast("double") *
+          col("mean_u") * col("mean_u")) /
+          (col("n_prior").cast("double") - 1.0))
+      .filter(col("var_u") > 0)
+      .withColumn("z",
+        (col("rev_u").cast("double") - col("mean_u")) / sqrt(col("var_u")))
+    // order on the UNROUNDED z (matching the oracle's ORDER BY), round
+    // only the output columns
+    scored.orderBy(abs(col("z")).desc, col("day").asc)
+      .limit(5)
+      .select(col("day"),
+        round(col("rev_u").cast("double") / 1e6, 6).as("revenue"),
+        round(col("mean_u") / 1e6, 6).as("mean_28d"),
+        round(col("z"), 6).as("z"))
+  }
+  private val q248Sql =
+    """WITH daily AS (
+      |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS rev_u
+      |  FROM lineitem GROUP BY 1),
+      |rolled AS (
+      |  SELECT day, rev_u,
+      |    COUNT(rev_u) OVER w AS n_prior,
+      |    CAST(SUM(rev_u) OVER w AS BIGINT) AS sum_u,
+      |    SUM(CAST(rev_u AS DECIMAL(38,0)) * rev_u) OVER w AS sumsq
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING
+      |    AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT day, rev_u,
+      |    CAST(sum_u AS DOUBLE) / CAST(n_prior AS DOUBLE) AS mean_u,
+      |    (CAST(sumsq AS DOUBLE) - CAST(n_prior AS DOUBLE)
+      |      * (CAST(sum_u AS DOUBLE) / CAST(n_prior AS DOUBLE))
+      |      * (CAST(sum_u AS DOUBLE) / CAST(n_prior AS DOUBLE)))
+      |      / (CAST(n_prior AS DOUBLE) - 1.0) AS var_u
+      |  FROM rolled WHERE n_prior >= 14)
+      |SELECT day,
+      |  ROUND(CAST(rev_u AS DOUBLE) / 1e6, 6) AS revenue,
+      |  ROUND(mean_u / 1e6, 6) AS mean_28d,
+      |  ROUND((CAST(rev_u AS DOUBLE) - mean_u) / SQRT(var_u), 6) AS z
+      |FROM scored WHERE var_u > 0
+      |ORDER BY ABS((CAST(rev_u AS DOUBLE) - mean_u) / SQRT(var_u)) DESC,
+      |  day ASC
+      |LIMIT 5""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q248_anomaly_days" -> q248,
     "q244_yoy_growth" -> q244,
     "q245_fill_rate" -> q245,
     "q247_seasonal_mape" -> q247,
@@ -6071,6 +6148,7 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q248_anomaly_days" -> q248Sql,
     "q244_yoy_growth" -> q244Sql,
     "q245_fill_rate" -> q245Sql,
     "q247_seasonal_mape" -> q247Sql,

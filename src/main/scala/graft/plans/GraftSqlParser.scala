@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedTable}
@@ -32,13 +32,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(delegate: ParserInterface)
   extends ParserInterface with PredicateHelper {
 
-  private val asofPattern = "(?is)\\bASOF\\s+JOIN\\s+(.+?)\\s+ON\\s+".r
+  // `ASOF JOIN t [TOLERANCE <n>] ON …` — the optional TOLERANCE
+  // literal (time-column native units: micros for timestamps, days
+  // for dates) rides through the marker function's argument
+  private val asofPattern =
+    "(?is)\\bASOF\\s+JOIN\\s+(.+?)\\s+(?:TOLERANCE\\s+(\\d+)\\s+)?ON\\s+".r
   private val Marker = "__graft_asof"
 
   private def preprocess(sqlText: String): String =
-    asofPattern.replaceAllIn(sqlText, m =>
+    asofPattern.replaceAllIn(sqlText, m => {
+      val tol = Option(m.group(2)).getOrElse("")
       scala.util.matching.Regex.quoteReplacement(
-        s"JOIN ${m.group(1)} ON $Marker() AND "))
+        s"JOIN ${m.group(1)} ON $Marker($tol) AND ")
+    })
 
   private def isMarker(e: Expression): Boolean = e match {
     case f: UnresolvedFunction =>
@@ -46,11 +52,21 @@ class GraftSqlParser(delegate: ParserInterface)
     case _ => false
   }
 
+  private def markerTolerance(e: Expression): Option[Long] = e match {
+    case f: UnresolvedFunction => f.arguments.headOption.collect {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+    }
+    case _ => None
+  }
+
   private def rewriteAsOf(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case Join(l, r, Inner, Some(cond), _)
           if splitConjunctivePredicates(cond).exists(isMarker) =>
         val preds = splitConjunctivePredicates(cond).filterNot(isMarker)
+        val tolerance = splitConjunctivePredicates(cond).find(isMarker)
+          .flatMap(markerTolerance)
         val (eqs, rest) = preds.partition(_.isInstanceOf[EqualTo])
         val times = rest.collect {
           case LessThanOrEqual(rt, lt) => (lt, rt) // rightTime <= leftTime
@@ -65,7 +81,9 @@ class GraftSqlParser(delegate: ParserInterface)
         }
         val EqualTo(k1, k2) = eqs.head: @unchecked
         val (lt, rt) = times.head
-        AsOfJoin(l, r, k1, k2, lt, rt, None)
+        // direction resolves in the strategy (a side-swapped time bound
+        // flips it to FORWARD); tolerance passes through here
+        AsOfJoin(l, r, k1, k2, lt, rt, None, tolerance = tolerance)
     }
 
   /** DML statements targeting `graft.<root>` become [[GraftDml]]

@@ -126,6 +126,72 @@ class MockStoreSpec extends SparkSpec {
     assert(Lease.release(fs, lp, "usurper"))
   }
 
+  test("catalog multi-table transactions on the mock object store: " +
+      "commitAll flips atomically through the conditional PUT, racing " +
+      "transactions serialize or conflict, snapshots time-travel") {
+    AtomicPut.register("mock3a", MockObjectStore.conditionalPut)
+    mockFs("cat")
+    import org.apache.spark.sql.functions.lit
+    import graft.lakehouse.{Catalog, VersionedTable}
+    val cat = "mock3a://cat/warehouse"
+    val t1 = "mock3a://cat/t1"; val t2 = "mock3a://cat/t2"
+    def write(root: String, n: Int): Long =
+      VersionedTable.commit(spark, root, keepVersions = 8) { dir =>
+        spark.range(n).withColumn("v", lit(n))
+          .coalesce(1).write.parquet(dir)
+      }
+    val s0 = Catalog.commitAll(spark, cat, Seq(
+      Catalog.TableWrite("a", t1, () => write(t1, 3)),
+      Catalog.TableWrite("b", t2, () => write(t2, 5))))
+    assert(s0.read(spark, "a").count() == 3)
+    assert(s0.read(spark, "b").count() == 5)
+    // second transaction advances ONE table; the other carries over
+    val s1 = Catalog.commitAll(spark, cat, Seq(
+      Catalog.TableWrite("a", t1, () => write(t1, 7))))
+    assert(s1.read(spark, "a").count() == 7)
+    assert(s1.read(spark, "b").count() == 5)
+    // the held snapshot still serves the OLD consistent view
+    assert(s0.read(spark, "a").count() == 3)
+    // time travel re-serves it from the store
+    assert(Catalog.snapshotAsOf(spark, cat, s0.version)
+      .read(spark, "a").count() == 3)
+    // racing transactions: RACING writers must use the attempt-unique
+    // commitOptimistic path on a shared table — on an object store,
+    // racing PLAIN commits can interleave part files in the shared
+    // `_v-<next>` stage dir because directories are implicit and
+    // ErrorIfExists is an exists-probe (the exact hazard
+    // commitOptimistic's attempt-unique staging closes; this spec
+    // originally raced plain commits and CAUGHT the 10+11-row merge).
+    // The conditional PUT then serializes the transactions or the
+    // loser gets a conflict — never a torn/lost mapping.
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val barrier = new CyclicBarrier(2)
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try Catalog.commitAll(spark, cat, Seq(
+          Catalog.TableWrite("a", t1, () =>
+            VersionedTable.commitOptimistic(spark, t1, keepVersions = 8) {
+              _ => spark.range(10 + i).withColumn("v", lit(10 + i))
+                .coalesce(1)
+            })))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.size <= 1, s"at most one loser: ${errs.size}")
+    // the loser may lose at either arbitration layer — the TABLE
+    // manifest PUT (inside write()) or the CATALOG PUT — both leave
+    // the loser unpublished and the catalog consistent
+    errs.forEach(e => assert(
+      e.isInstanceOf[Catalog.CatalogConflictException] ||
+        e.isInstanceOf[VersionedTable.CommitConflictException],
+      e.toString))
+    val cur = Catalog.current(spark, cat).get
+    val n = cur.read(spark, "a").count()
+    assert(n == 10L || n == 11L, s"current 'a' must be a winner's: $n")
+  }
+
   test("two daemons over the mock store: concurrent leased ticks load " +
       "every drop exactly once into a versioned table on mock3a://") {
     AtomicPut.register("mock3a", MockObjectStore.conditionalPut)

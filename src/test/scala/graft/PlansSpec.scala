@@ -146,5 +146,26 @@ class PlansSpec extends SparkSpec {
         if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
     assert(viaSql == Set((1L, 10L, 10L), (1L, 30L, -1L), (2L, 5L, 50L)),
       viaSql)
+    // SQL TOLERANCE keyword: the 20-unit bound null-extends k=2's
+    // 45-away match, exactly like the DataFrame tolerance
+    val viaTol = spark.sql(
+      """SELECT k, t, rt FROM asof_fwd_l
+        |ASOF JOIN asof_fwd_r TOLERANCE 20 ON k = rk AND t <= rt
+        |""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(viaTol == Set((1L, 10L, 10L), (1L, 30L, -1L), (2L, 5L, -1L)),
+      viaTol)
+    // and on the BACKWARD spelling too
+    val viaTolBack = spark.sql(
+      """SELECT k, t, rt FROM asof_fwd_l
+        |ASOF JOIN asof_fwd_r TOLERANCE 4 ON k = rk AND rt <= t
+        |""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    // k=1,t=10 → rt=10 within 4; k=1,t=30 → rt=15 is 15 away → null;
+    // k=2,t=5 → nothing at-or-before
+    assert(viaTolBack == Set((1L, 10L, 10L), (1L, 30L, -1L),
+      (2L, 5L, -1L)), viaTolBack)
   }
 }
