@@ -87,7 +87,8 @@ object Bench {
     "q240_price_jumps", "q241_sentence_length",
     "q242_audience_overlap", "q243_asof_forward",
     "q244_yoy_growth", "q245_fill_rate", "q246_first_touch",
-    "q247_seasonal_mape", "q248_anomaly_days")
+    "q247_seasonal_mape", "q248_anomaly_days",
+    "q249_ratio_to_parent", "q250_first_last_ratio")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows
@@ -140,8 +141,10 @@ object Bench {
       "q81_range_frame" -> win, "q91_ann_pq_search" -> cart,
       "q92_semantic_mix" -> cart, "q99_temperature_mix" -> cart,
       // q248's trailing-28-day count/sum/sumsq windows run on the
-      // day-grain series (documented convention)
-      "q248_anomaly_days" -> (win ++ win))
+      // day-grain series (documented convention); q249's world total
+      // is a 1-row broadcast cross
+      "q248_anomaly_days" -> (win ++ win),
+      "q249_ratio_to_parent" -> cart)
   }
 
   def main(args: Array[String]): Unit = {

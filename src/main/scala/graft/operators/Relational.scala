@@ -6014,7 +6014,118 @@ object Relational {
       |  day ASC
       |LIMIT 5""".stripMargin
 
+  /** q249: RATIO-TO-PARENT rollup — each nation's revenue as a share
+    * of its region and of the world (the percent-of-total BI shape —
+    * `RATIO_TO_REPORT` in warehouse dialects — that q221's time-trend
+    * and q119's single-market share don't give). Scale shape: ONE
+    * fact-sized (nationkey) aggregate with map-side partials; region
+    * and grand totals re-aggregate the 25-row nation table and join
+    * back broadcast. Exact-decimal revenue everywhere; two IEEE
+    * ratios at 6 dp. Hash-exact. */
+  private val q249: QFn = (s, d) => {
+    val byNation = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(Dec)).as("rev"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("rev"))
+    val regTot = byNation.groupBy("region")
+      .agg(sum(col("rev")).as("reg_rev"))
+    val world = byNation.agg(sum(col("rev")).as("world_rev"))
+    byNation.join(broadcast(regTot), Seq("region"))
+      .crossJoin(broadcast(world))
+      .select(col("region"), col("nation"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          col("reg_rev").cast("double"), 6).as("share_of_region"),
+        round(col("rev").cast("double") /
+          col("world_rev").cast("double"), 6).as("share_of_world"))
+      .orderBy("region", "nation")
+  }
+  private val q249Sql =
+    """WITH bn AS (
+      |  SELECT r_name AS region, n_name AS nation,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+      |      AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT region, SUM(rev) AS reg_rev FROM bn GROUP BY 1),
+      |w AS (SELECT SUM(rev) AS world_rev FROM bn)
+      |SELECT region, nation, CAST(rev AS DOUBLE) AS revenue,
+      |  ROUND(CAST(rev AS DOUBLE) / CAST(reg_rev AS DOUBLE), 6)
+      |    AS share_of_region,
+      |  ROUND(CAST(rev AS DOUBLE) / CAST(world_rev AS DOUBLE), 6)
+      |    AS share_of_world
+      |FROM bn JOIN rt USING (region), w
+      |ORDER BY region, nation""".stripMargin
+
+  /** q250: FIRST-vs-LAST ORDER TRAJECTORY per market segment — for
+    * every repeat customer, the ratio of their LAST order's value to
+    * their FIRST's (deterministic argmin/argmax via (date, orderkey)
+    * struct extrema — no per-customer window), rolled up per segment
+    * as mean ratio and the share of customers trading up (the
+    * growth-vs-churn trajectory lens next to q228's reactivation and
+    * q110's RFM snapshot). Scale shape: one customer-keyed struct
+    * min/max aggregate, segment dim broadcast, segment-sized rollup;
+    * ratios 6-dp into the exact decimal fold. Hash-exact. */
+  private val q250: QFn = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      struct(to_date(col("o_orderdate")).as("od"),
+        col("o_orderkey").as("ok"),
+        col("o_totalprice").as("v")).as("st"))
+    val per = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("st")).as("first"), max(col("st")).as("last"))
+      .filter(col("n_orders") >= 2)
+      .select(col("o_custkey"),
+        round(col("last.v").cast("double") /
+          col("first.v").cast("double"), 6).as("ratio"))
+    per.join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_repeat_customers"),
+        round(dsum(col("ratio")) / count(lit(1)), 6).as("mean_ratio"),
+        round(sum(when(col("ratio") > 1.0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("share_trading_up"))
+      .orderBy("c_mktsegment")
+  }
+  private val q250Sql =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    COUNT(*) AS n_orders,
+       |    MIN({'od': CAST(o_orderdate AS DATE), 'ok': o_orderkey,
+       |      'v': o_totalprice}) AS fst,
+       |    MAX({'od': CAST(o_orderdate AS DATE), 'ok': o_orderkey,
+       |      'v': o_totalprice}) AS lst
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT o_custkey,
+       |    ROUND(CAST(lst.v AS DOUBLE) / CAST(fst.v AS DOUBLE), 6)
+       |      AS ratio
+       |  FROM per WHERE n_orders >= 2)
+       |SELECT c_mktsegment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+       |  ROUND(${sqlSum("ratio")} / COUNT(*), 6) AS mean_ratio,
+       |  ROUND(CAST(SUM(CASE WHEN ratio > 1.0 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS share_trading_up
+       |FROM r JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q249_ratio_to_parent" -> q249,
+    "q250_first_last_ratio" -> q250,
     "q248_anomaly_days" -> q248,
     "q244_yoy_growth" -> q244,
     "q245_fill_rate" -> q245,
@@ -6148,6 +6259,8 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q249_ratio_to_parent" -> q249Sql,
+    "q250_first_last_ratio" -> q250Sql,
     "q248_anomaly_days" -> q248Sql,
     "q244_yoy_growth" -> q244Sql,
     "q245_fill_rate" -> q245Sql,
