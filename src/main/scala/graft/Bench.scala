@@ -88,7 +88,8 @@ object Bench {
     "q242_audience_overlap", "q243_asof_forward",
     "q244_yoy_growth", "q245_fill_rate", "q246_first_touch",
     "q247_seasonal_mape", "q248_anomaly_days",
-    "q249_ratio_to_parent", "q250_first_last_ratio")
+    "q249_ratio_to_parent", "q250_first_last_ratio",
+    "q251_dedup_survivorship")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows

@@ -2725,7 +2725,50 @@ object TextOps {
       |  CAST(MAX(n_words) AS INT) AS max_words
       |FROM sw GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q251: DEDUP SURVIVORSHIP attribution — when exact duplicates
+    * collapse (q30's min-doc_id rule), which SOURCE keeps the copy and
+    * which sources lose theirs: (source_kept, source_dropped, n_dropped)
+    * — the provenance question a corpus audit asks after dedup ("is
+    * crawl-B just a mirror of crawl-A?"), complementing q213's
+    * per-source dup rate (which says HOW MUCH, not TO WHOM). Scale
+    * shape: one fingerprint groupBy (map-side partial min/count), the
+    * survivor table joins the duplicates CO-PARTITIONED on the
+    * fingerprint, output is |sources|²-bounded. Exact integers;
+    * hash-exact. */
+  private val q251: QFn = (s, d) => {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("fp"))
+    val survivor = fp.groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val kept = fp.select(col("doc_id").as("keep_id"),
+      col("source").as("source_kept"))
+    fp.join(survivor, Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .join(kept, Seq("keep_id"))
+      .groupBy(col("source_kept"), col("source").as("source_dropped"))
+      .agg(count(lit(1)).as("n_dropped"))
+      .orderBy("source_kept", "source_dropped")
+  }
+  private val q251Sql =
+    """WITH fp AS (
+      |  SELECT doc_id, source, md5(text) AS fp FROM documents),
+      |survivor AS (
+      |  SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n
+      |  FROM fp GROUP BY 1 HAVING COUNT(*) > 1),
+      |kept AS (
+      |  SELECT doc_id AS keep_id, source AS source_kept FROM fp)
+      |SELECT source_kept, d.source AS source_dropped,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dropped
+      |FROM fp d
+      |JOIN survivor USING (fp)
+      |JOIN kept USING (keep_id)
+      |WHERE d.doc_id <> keep_id
+      |GROUP BY 1, 2 ORDER BY source_kept, source_dropped""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q251_dedup_survivorship" -> q251,
     "q241_sentence_length" -> q241,
     "q239_bigram_phrases" -> q239,
     "q192_token_sequences" -> q192,
@@ -2781,6 +2824,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q251_dedup_survivorship" -> q251Sql,
     "q241_sentence_length" -> q241Sql,
     "q239_bigram_phrases" -> q239Sql,
     "q207_lang_source_residuals" -> q207Sql,
