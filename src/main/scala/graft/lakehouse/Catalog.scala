@@ -133,22 +133,38 @@ object Catalog {
     require(fs.exists(p),
       s"catalog version $version of $catRoot does not exist")
     var lastErr = "unreadable"
+    var allEmpty = true
     (0 until 20).foreach { _ =>
       val in = fs.open(p)
       val body =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+      if (body.nonEmpty) allEmpty = false
       parseCatalog(body) match {
         case Right(tables) => return Snapshot(version, tables)
         case Left(err) => lastErr = err; Thread.sleep(25)
       }
     }
+    // A body that stayed EXACTLY "" across every retry is a truly-empty
+    // legacy (headerless, zero-table) catalog, which must stay
+    // readable. It is accepted only HERE — after the retry loop — so a
+    // created-but-unwritten object mid-PUT (the torn-prefix window on
+    // no-hardlink filesystems) is never served as an authoritative
+    // empty snapshot on first read.
+    if (allEmpty) return Snapshot(version, Map.empty)
     throw new IllegalStateException(
       s"catalog object $p stayed torn across retries ($lastErr) — " +
         "the writer likely crashed mid-PUT on a no-hardlink filesystem")
   }
 
-  /** Right(tables) for a whole object; Left(reason) for a torn one. */
+  /** Right(tables) for a whole object; Left(reason) for a torn one.
+    * A body whose first line carries neither the `h\t` header nor a
+    * `t\t` table line — including "" and a truncated header prefix
+    * like "h" — is TORN, not a legacy empty object: the
+    * created-but-unwritten window on filesystems without hard links
+    * looks exactly like that, and serving it as an authoritative
+    * empty snapshot would erase every table from readers' view.
+    * ([[snapshotAsOf]] accepts a stable "" after retries exhaust.) */
   private def parseCatalog(
       body: String): Either[String, Map[String, (String, Long)]] = {
     val lines = body.split("\n").toSeq
@@ -160,7 +176,9 @@ object Catalog {
         }
         case _ => return Left(s"torn header '$h'")
       }
-      case _ => None // legacy headerless object
+      case Some(t) if t.startsWith("t\t") => None // legacy headerless object
+      case _ => return Left(
+        s"torn prefix '${body.take(16)}' — first line is neither 'h\\t' nor 't\\t'")
     }
     val parsed = lines.filter(_.startsWith("t\t")).map { line =>
       line.split("\t") match {

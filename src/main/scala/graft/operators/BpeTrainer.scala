@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.CutRddOps
 
 /** Distributed BPE tokenizer training (Sennrich, Haddow & Birch, ACL
   * 2016 — public): learn `numMerges` byte-pair merges from a corpus,
@@ -135,7 +136,7 @@ object BpeTrainer {
         }.cache()
         round += 1
         if (round % 16 == 0) {
-          words.localCheckpoint()
+          words.cutLineage()
           words.count()
         }
       }

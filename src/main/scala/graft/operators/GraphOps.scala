@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoints.CutOps
 
 /** Distributed graph-authority scoring (PageRank, Brin & Page 1998) —
   * the link-graph quality signal large-crawl curation pipelines use
@@ -12,11 +13,15 @@ import graft.Tables
   * the same way).
   *
   * Scale shape (100 TB of edges):
-  *  - the edge list is hash-partitioned by `src` ONCE and
-  *    `localCheckpoint`ed — `Dataset.localCheckpoint` preserves the
-  *    physical partitioning in the resulting `LogicalRDD`, so every
-  *    iteration's edges⋈ranks join re-shuffles only the V-sized rank
-  *    state, never the E-sized edge list.
+  *  - the edge list is hash-partitioned by `src` ONCE and lineage-cut
+  *    ([[graft.util.Checkpoints.cut]]: executor-local by default —
+  *    zero I/O on one JVM — or a RELIABLE `Dataset.checkpoint` when
+  *    `spark.graft.checkpointDir` is set, so an executor loss during
+  *    an hours-long iteration re-reads the cut state instead of
+  *    failing the job). Both paths preserve the physical partitioning
+  *    in the resulting `LogicalRDD`, so every iteration's edges⋈ranks
+  *    join re-shuffles only the V-sized rank state, never the E-sized
+  *    edge list.
   *  - per iteration: one join (edges ⋈ ranks, co-partitioned big
   *    side) + one aggregation (contributions by dst, map-side partial
   *    agg bounds the shuffle at O(V) per partition). No collect — the
@@ -89,16 +94,16 @@ object GraphOps {
     val (e, deg, n) = graft.util.PhaseTimer.time("pr_edges") {
       withoutAqe(spark) {
         val e0 = edges.select(col("src"), col("dst"))
-          .repartition(col("src")).localCheckpoint(true)
+          .repartition(col("src")).cutLineage()
         val d0 = e0.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+          .agg(count(lit(1)).as("deg")).cutLineage()
         val cnt = d0.count() // scalar to the driver — the model, not the data
         require(cnt > 0, "pagerank on an empty edge list")
         // re-lay the V-sized state at its size-derived width so every
         // round's aggregate + rank join schedule O(N/64k) tasks, not
         // the ambient shuffle width
         (e0, d0.repartition(rankStateParts(spark, cnt), col("node"))
-          .localCheckpoint(true), cnt)
+          .cutLineage(), cnt)
       }
     }
     graft.util.PhaseTimer.time("pr_rounds") {
@@ -124,12 +129,12 @@ object GraphOps {
           // iteration in driver round-trips. Cut the lineage every 4
           // rounds instead: depth stays bounded for long runs while a
           // typical 5-20 round PageRank executes as a handful of jobs.
-          if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+          if (i % 4 == 0 && i < iters) ranks = ranks.cutLineage()
         }
         // materialize the tail rounds HERE, inside the scoped shuffle
         // width (a lazy return would run them later under the ambient
         // conf) — and hand the caller a V-sized checkpointed result
-        ranks.select("node", "rank").localCheckpoint(true)
+        ranks.select("node", "rank").cutLineage()
       } finally spark.conf.set(spKey, prevSp)
     }
   }
@@ -295,7 +300,7 @@ object GraphOps {
     * count is a second, V-sized aggregate. Exact, hash-checked:
     * output (part, deg, reach_2hop). */
   private val q107: QFn = (s, d) => {
-    val sym = coPurchaseEdges(s, d).localCheckpoint(true)
+    val sym = coPurchaseEdges(s, d).cutLineage()
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val two = sym.select(col("u"), col("v").as("m"))
       .join(sym.select(col("u").as("m"), col("v").as("w")), Seq("m"))
@@ -465,14 +470,14 @@ object GraphOps {
     // base projection runs 2^rounds times (measured: 9.0 s lazy vs
     // ~3.5 s materialized at sf0.1); the edge set only shrinks, so
     // each checkpoint is at most projection-sized
-    var e = coPurchaseEdges(s, d).localCheckpoint(true)
+    var e = coPurchaseEdges(s, d).cutLineage()
     (1 to 4).foreach { _ =>
       val keep = e.groupBy("u").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select("u")
       e = e.join(keep, Seq("u"))
         .join(keep.select(col("u").as("v")), Seq("v"))
         .select("u", "v")
-        .localCheckpoint(true)
+        .cutLineage()
     }
     val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
     deg.agg(count(lit(1)).as("n_nodes"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.util.Checkpoints.CutOps
 
 /** Multimodal-column plumbing: image/audio/video payloads ride through
   * the engine as opaque `binary` columns with a typed metadata struct;
@@ -186,7 +187,7 @@ object Multimodal {
     * composition here keeps the exact form. */
   def nearDupVideoPairs(blobs: DataFrame, t: Double,
       frameBytes: Int = 64, everyN: Int = 4): DataFrame = {
-    val fh = frameHashes(blobs, frameBytes, everyN).localCheckpoint(true)
+    val fh = frameHashes(blobs, frameBytes, everyN).cutLineage()
     val nf = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     fh.select(col("doc_id").as("a"), col("fh"))
       .join(fh.select(col("doc_id").as("b"), col("fh")), Seq("fh"))

@@ -26,6 +26,19 @@ object RankOps {
     if (partitions > 0) partitions
     else df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Group-cardinality bound for [[withGroupedPrefixSum]]'s driver
+    * offset map (per partition AND total). The operator's contract is
+    * K-SIZED GROUPS (nations, segments, event types, distinct measure
+    * values): pass 1 collects one (group → total) entry per group per
+    * overlapping partition, so a high-cardinality group key (e.g.
+    * group = doc_id over a billion docs) would OOM the DRIVER — the
+    * silent failure mode this guard converts into a loud refusal at
+    * task time, before anything is collected. Raise deliberately via
+    * the conf when a caller has certified the cardinality. */
+  val MaxGroupsKey = "spark.graft.rankops.maxGroupsPerPartition"
+  private def maxGroups(df: DataFrame): Int =
+    df.sparkSession.conf.get(MaxGroupsKey, "100000").toInt
+
   /** Append a 1-based global rank in `sortCols` order. `sortCols`
     * must be a total order (add a unique tiebreak) for the rank to be
     * deterministic. (The rank pass itself runs through `df.rdd` —
@@ -71,16 +84,46 @@ object RankOps {
     val gIdx = groupCols.map(schema.fieldIndex)
     val vIdx = schema.fieldIndex(valueCol)
     val rdd = sorted.rdd // one lineage → both passes see identical partitioning
-    // pass 1: per-partition per-group totals, in partition order
+    val limit = maxGroups(df)
+    // pass 1: per-partition per-group totals, in partition order. Each
+    // task refuses LOUDLY past the group-cardinality bound — range
+    // partitioning on (group, order) lays G groups over P partitions
+    // at ~G/P distinct groups per partition, so the hazardous caller
+    // (group cardinality ~ row count) trips this long before the
+    // driver materializes anything.
     val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
       it.foreach { r =>
         val k = gIdx.map(r.get)
         val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
-        m.update(k, m.getOrElse(k, 0L) + v)
+        m.get(k) match {
+          case Some(cur) => m.update(k, cur + v)
+          case None =>
+            if (m.size >= limit) throw new IllegalStateException(
+              s"withGroupedPrefixSum(group=${groupCols.mkString(",")}) " +
+                s"exceeded $limit distinct groups in partition $pid — the " +
+                "driver offset map would scale with data, not the model. " +
+                "This operator's contract is K-sized group cardinality " +
+                "(nations/segments/distinct measure values); for per-entity " +
+                "prefix sums use a window keyed on the entity instead, or " +
+                s"raise $MaxGroupsKey deliberately after certifying the " +
+                "cardinality")
+            m.update(k, v)
+        }
       }
       Iterator.single((pid, m.toList))
     }.collect()
+    // belt-and-braces: the SUM across partitions is what the driver
+    // actually holds. Contiguous range partitioning gives ≈ G + (P−1)
+    // entries (one extra per group spanning a partition boundary), so
+    // the honest total bound is limit + P — NOT limit·P, which the
+    // per-partition check already implies.
+    val totalEntries = partTotals.iterator.map(_._2.size.toLong).sum
+    require(totalEntries <= limit.toLong + partTotals.length,
+      s"withGroupedPrefixSum offset map has $totalEntries entries across " +
+        s"${partTotals.length} partitions — over the $MaxGroupsKey bound " +
+        s"($limit); the group key's cardinality scales with data, not the " +
+        "model. Use an entity-keyed window or raise the conf deliberately")
     val running = scala.collection.mutable.Map.empty[Seq[Any], Long]
     val offsets: Map[(Int, Seq[Any]), Long] =
       partTotals.sortBy(_._1).iterator.flatMap { case (pid, groups) =>
@@ -144,9 +187,16 @@ object RankOps {
   def groupedPercentiles(df: DataFrame, groupCol: String,
       valueCol: String, tieCols: Seq[String],
       ps: Seq[Double]): DataFrame = {
+    // synthetic count/rank columns use generated names so an input
+    // column literally named "one"/"rank0" is never clobbered (a
+    // collision would silently rank over the constant 1L)
+    val oneCol = "__gp_one"
+    val rankCol = "__gp_rank0"
+    require(!df.columns.contains(oneCol) && !df.columns.contains(rankCol),
+      s"groupedPercentiles reserves the column names $oneCol/$rankCol")
     val ranked = withGroupedPrefixSum(
-      df.withColumn("one", lit(1L)), Seq(groupCol),
-      valueCol +: tieCols, valueCol = "one", sumCol = "rank0")
+      df.withColumn(oneCol, lit(1L)), Seq(groupCol),
+      valueCol +: tieCols, valueCol = oneCol, sumCol = rankCol)
     val probes = ranked.groupBy(col(groupCol).as("gp"))
       .agg(count(lit(1)).as("n"))
       .select(col("gp"), explode(array(ps.map(lit): _*)).as("p"), col("n"))
@@ -158,10 +208,10 @@ object RankOps {
         .as("w"))
       .select(col("gp"), col("p"), col("frac"),
         col("w.want").as("want"), col("w.role").as("role"))
-    ranked.select(col(groupCol).as("g"), col("rank0"),
+    ranked.select(col(groupCol).as("g"), col(rankCol),
         col(valueCol).as("v"))
       .join(broadcast(probes),
-        col("g") === col("gp") && col("rank0") === col("want"))
+        col("g") === col("gp") && col(rankCol) === col("want"))
       .groupBy("g", "p", "frac")
       .agg(max(when(col("role") === "lo", col("v"))).as("v_lo"),
         max(when(col("role") === "hi", col("v"))).as("v_hi"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoints.CutOps
 
 /** Text-analysis operators for a training-data pipeline over the
   * `documents` table: exact dedup, n-gram near-dup detection,
@@ -520,7 +521,7 @@ object TextOps {
     // cheap to materialize.
     val edges = pairs.toDF("src", "dst")
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .localCheckpoint(true)
+      .cutLineage()
     pairs.unpersist()
     // Only edge-touched docs can ever leave their own label — iterate
     // over the edge-INDUCED vertex set (near-dup pairs are a sliver of
@@ -534,7 +535,7 @@ object TextOps {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
+      .select(col("doc_id"), col("doc_id").as("lbl")).cutLineage()
     var prevSum = lblSum(labels)
     var converged = prevSum == null // no edges → nothing to propagate
     var rounds = 0
@@ -545,7 +546,7 @@ object TextOps {
           .select(col("dst").as("doc_id"), col("lbl"))
         // localCheckpoint, not cache: constant-size plan every round
         val next = labels.union(prop)
-          .groupBy("doc_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+          .groupBy("doc_id").agg(min("lbl").as("lbl")).cutLineage()
         val s = lblSum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -883,7 +884,7 @@ object TextOps {
       pairs
         .select(greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct().cutLineage()
     }
     var converged = edges.isEmpty
     var rounds = 0
@@ -894,7 +895,7 @@ object TextOps {
       val minsL = bidir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val large = bidir.filter(col("v") > col("u")).join(minsL, "u")
         .select(col("v").as("u"), col("m").as("v")).distinct()
-        .localCheckpoint(true) // feeds minsS AND the small-star join
+        .cutLineage() // feeds minsS AND the small-star join
       // small-star: around each center c (over the child→parent
       // edges, so Γ⁻(c) = its parents, all < c), hook the parents and
       // c itself to m = min(Γ⁻(c)); u > v holds in `large`, so
@@ -905,7 +906,7 @@ object TextOps {
         .union(minsS.select(col("u").as("a"), col("m").as("b")))
         .toDF("u", "v")
         .filter(col("u") =!= col("v")) // (m, m) self-hooks
-        .distinct().localCheckpoint(true)
+        .distinct().cutLineage()
       converged = small.count() == edges.count() &&
         small.exceptAll(edges).isEmpty
       edges = small

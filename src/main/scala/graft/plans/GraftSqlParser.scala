@@ -52,10 +52,22 @@ class GraftSqlParser(delegate: ParserInterface)
     case _ => false
   }
 
+  // The marker's argument is the TOLERANCE digits verbatim; beyond
+  // Long range the delegate parses them as a Decimal literal, which
+  // must still resolve or FAIL — silently dropping the user's
+  // tolerance would unbounded the match window.
   private def markerTolerance(e: Expression): Option[Long] = e match {
-    case f: UnresolvedFunction => f.arguments.headOption.collect {
+    case f: UnresolvedFunction => f.arguments.headOption.map {
       case Literal(v: Int, _) => v.toLong
       case Literal(v: Long, _) => v
+      case Literal(d: org.apache.spark.sql.types.Decimal, _)
+          if d.toBigDecimal.isValidLong && d.toBigDecimal >= 0 =>
+        d.toBigDecimal.toLongExact
+      case other => throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3100",
+        messageParameters = Map("message" ->
+          ("ASOF JOIN TOLERANCE must be a non-negative integer that " +
+            s"fits in a 64-bit long; got: ${other.sql}")))
     }
     case _ => None
   }

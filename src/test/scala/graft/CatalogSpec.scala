@@ -185,6 +185,52 @@ class CatalogSpec extends SparkSpec {
       .get("legacy").exists(_._2 == 1L))
   }
 
+  test("created-but-unwritten catalog objects are TORN, not an " +
+      "authoritative empty snapshot (ADVICE r9): header prefixes fail " +
+      "loudly; only a STABLE zero-byte body is legacy-empty") {
+    val cat = tmpDir("cat-prefix")
+    val t1 = tmpDir("cat-prefix-t1")
+    writeVersion(t1, 1 to 3)
+    Catalog.commitAll(spark, cat,
+      Seq(Catalog.TableWrite("a", t1, () => writeVersion(t1, 4 to 6))))
+    val dir = java.nio.file.Paths.get(s"$cat/_catalog")
+    // "h" — truncation before the header's tab, exactly the
+    // created-but-unwritten window on no-hardlink filesystems. Before
+    // the fix this parsed as a legacy object with ZERO tables and
+    // silently erased every table from the reader's view.
+    java.nio.file.Files.write(dir.resolve("5"), "h".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException] {
+      Catalog.snapshotAsOf(spark, cat, 5L)
+    }
+    assert(e1.getMessage.contains("torn"), e1.getMessage)
+    // arbitrary garbage first line is torn too
+    java.nio.file.Files.write(dir.resolve("6"), "x\ty".getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException] {
+      Catalog.snapshotAsOf(spark, cat, 6L)
+    }
+    assert(e2.getMessage.contains("torn"), e2.getMessage)
+    // a zero-byte body that STAYS zero-byte across the retry loop is a
+    // truly-empty legacy catalog — readable, zero tables (accepted
+    // only after retries exhaust, never on first read)
+    java.nio.file.Files.write(dir.resolve("7"), Array.emptyByteArray)
+    val snap = Catalog.snapshotAsOf(spark, cat, 7L)
+    assert(snap.tables.isEmpty)
+    // ...and a writer finishing the PUT mid-retry wins: start a
+    // reader against "h", complete the object concurrently, the
+    // reader returns the completed snapshot instead of failing
+    java.nio.file.Files.write(dir.resolve("8"), "h".getBytes("UTF-8"))
+    val done = new java.util.concurrent.atomic.AtomicReference[Catalog.Snapshot]
+    val reader = new Thread(() =>
+      done.set(Catalog.snapshotAsOf(spark, cat, 8L)))
+    reader.start()
+    Thread.sleep(120) // a few 25ms retry beats
+    java.nio.file.Files.write(dir.resolve("8"),
+      s"h\t1\nt\tlate\t$t1\t1".getBytes("UTF-8"))
+    reader.join(10000)
+    assert(done.get != null && done.get.tables.get("late")
+      .exists(_._2 == 1L), s"got ${done.get}")
+  }
+
   test("graft_catalog TVF serves the snapshot as SQL") {
     val base = tmpDir("cat-tvf")
     val cat = s"$base/cat"

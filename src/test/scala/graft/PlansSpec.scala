@@ -167,5 +167,21 @@ class PlansSpec extends SparkSpec {
     // k=2,t=5 → nothing at-or-before
     assert(viaTolBack == Set((1L, 10L, 10L), (1L, 30L, -1L),
       (2L, 5L, -1L)), viaTolBack)
+    // a TOLERANCE beyond Long range parses as a Decimal literal —
+    // it must FAIL LOUDLY, never silently drop the bound (ADVICE r9)
+    val eTol = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT k, t, rt FROM asof_fwd_l
+          |ASOF JOIN asof_fwd_r TOLERANCE 99999999999999999999999 ON
+          |  k = rk AND t <= rt
+          |""".stripMargin).collect()
+    }
+    assert(eTol.getMessage.contains("TOLERANCE"), eTol.getMessage)
+    // while a Long-ranged value above Int.MaxValue still resolves
+    val viaBig = spark.sql(
+      """SELECT k, t, rt FROM asof_fwd_l
+        |ASOF JOIN asof_fwd_r TOLERANCE 9999999999 ON k = rk AND t <= rt
+        |""".stripMargin).collect()
+    assert(viaBig.length == 3)
   }
 }
