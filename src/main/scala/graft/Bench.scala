@@ -148,8 +148,28 @@ object Bench {
       "q249_ratio_to_parent" -> cart)
   }
 
+  /** BENCH_FREEZE: per-round artifacts (…_rNN.jsonl) are write-once.
+    * The r9 judge caught bench_queries_r08.jsonl silently overwritten by
+    * a post-close re-run — round-over-round regression detection reads
+    * these files, so a closed round's numbers must stay reproducible
+    * from git history alone. Scratch names (no _rNN suffix) remain
+    * freely overwritable for iteration. Checked BEFORE any query runs
+    * (an hour of bench must not die on the final write) and again at
+    * write time outside the best-effort catch. */
+  private[graft] def assertNotFrozen(outFile: String): Unit = {
+    val p = java.nio.file.Paths.get(outFile)
+    if (p.getFileName.toString.matches(".*_r\\d+\\.jsonl$") &&
+        java.nio.file.Files.exists(p))
+      throw new IllegalStateException(
+        s"BENCH_FREEZE: $outFile is a closed-round artifact and already " +
+        "exists; write-once by policy. Pick the next round's suffix or " +
+        "a scratch name without _rNN.")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    assertNotFrozen(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_artifacts/bench_queries.jsonl"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -245,6 +265,7 @@ object Bench {
     val recallJson = f"""{"q91_ann_pq_search_recall_at_3":$recall3%.4f,"q91_ann_pq_search_recall_at_10":$recall10%.4f,"q91_recall_at_10_nprobe4":$recall10routing%.4f,"q91_recall_at_10_rf4":$recall10rerank%.4f}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_artifacts/bench_queries.jsonl")
+    assertNotFrozen(outFile) // loud, OUTSIDE the best-effort write catch
     try {
       val p = java.nio.file.Paths.get(outFile)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

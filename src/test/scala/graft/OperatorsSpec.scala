@@ -1559,6 +1559,63 @@ class OperatorsSpec extends SparkSpec {
     assert(dupMean < popMean / 2, s"dupMean=$dupMean popMean=$popMean")
   }
 
+  test("q43_simhash_pairs equals the brute-force hamming<=3 pair set " +
+      "(4-band pigeonhole is exact, not just a candidate filter)") {
+    // at hamming <= 3, 3 differing bits cannot touch all 4 16-bit
+    // bands, so every qualifying pair shares an identical band and the
+    // band join loses NOTHING; the first-collision filter then keeps
+    // exactly one copy. So q43's output must EQUAL the all-pairs scan.
+    val fp = ScaleOps.queries("q33_simhash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      h = java.lang.Long.bitCount(fp(ids(i)) ^ fp(ids(j))) if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    val got = ScaleOps.queries("q43_simhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"q43=${got.size} brute=${brute.size}")
+    got.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+  }
+
+  test("q116_bpe_fertility: per-source fertility >= 1, token/word sums " +
+      "reconcile, deterministic, and merges only lower fertility") {
+    import graft.operators.BpeTrainer
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.queries("q116_bpe_fertility")(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("fertility"))).sortBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (src, nd, nw, nt, f) =>
+      assert(nd > 0 && nw > 0, src)
+      // a word is at least one token and fertility is its mean ratio
+      assert(nt >= nw, s"$src: n_tokens $nt < n_words $nw")
+      assert(f >= 1.0, s"$src: fertility $f < 1")
+      assert(math.abs(f - nt.toDouble / nw) < 1e-5, src)
+    }
+    assert(out.map(_._2).sum == docs.count())
+    // deterministic: training + segmentation re-run bit-identically
+    val again = TextOps.queries("q116_bpe_fertility")(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("fertility"))).sortBy(_._1)
+    assert(again.sameElements(out))
+    // monotone in vocab: q116's 40-merge fertility is <= the 0-merge
+    // (pure character) fertility for every source — merges only join
+    val merges = BpeTrainer.train(docs, numMerges = 40, maxWords = 2000)
+    def fert(ms: Seq[(String, String)]) = BpeTrainer.segment(docs, ms)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg((sum(col("n_tokens")).cast("double") / sum(col("n_words")))
+        .as("f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val f40 = fert(merges); val f0 = fert(Nil)
+    f40.foreach { case (src, f) =>
+      assert(f <= f0(src) + 1e-12, s"$src: 40-merge $f > 0-merge ${f0(src)}")
+    }
+  }
+
   test("BPE trainer: classic corpus learns the canonical merges, " +
       "deterministic, fertility falls with vocab") {
     import spark.implicits._
