@@ -6123,7 +6123,207 @@ object Relational {
        |FROM r JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  /** q252: MEDIAN INTER-ORDER GAP per market segment — the repeat-
+    * purchase cadence lens (q236 profiles event interarrivals
+    * globally; this is the exact grouped median of a PER-CUSTOMER
+    * derived series). Scale shape: the lag window partitions by
+    * customer (bounded by orders-per-customer), then the grouped
+    * exact median runs on the RankOps prefix-sum path — no segment
+    * ever buffers its gaps in one reducer — with interpolation
+    * arithmetic bit-identical to `quantile_cont`. Hash-exact. */
+  private val q252: QFn = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("prev", lag(col("od"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", datediff(col("od"), col("prev")).cast("double"))
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val med = RankOps.groupedPercentiles(gaps, "c_mktsegment", "gap",
+      Seq("o_custkey", "o_orderkey"), Seq(0.5))
+    val counts = gaps.groupBy(col("c_mktsegment").as("g"))
+      .agg(count(lit(1)).as("n_gaps"))
+    med.join(counts, Seq("g"))
+      .select(col("g").as("c_mktsegment"),
+        round(col("pv"), 6).as("median_gap_days"), col("n_gaps"))
+      .orderBy("c_mktsegment")
+  }
+  private val q252Sql =
+    """WITH gaps AS (
+      |  SELECT c_mktsegment,
+      |    date_diff('day',
+      |      LAG(CAST(o_orderdate AS DATE)) OVER
+      |        (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment,
+      |  ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.5), 6)
+      |    AS median_gap_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_gaps
+      |FROM gaps WHERE gap IS NOT NULL
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** q254: SHIP-DELAY QUINTILE BANDS — global exact P20/P40/P60/P80
+    * breaks of the order→ship delay, then per-band volume and value
+    * (the "histogram by quantile breaks" profile a latency SLA review
+    * reads; fixed-width bins would hide the tail). Scale shape: one
+    * fact-fact shuffle join, breaks via the ungrouped RankOps
+    * prefix-sum percentiles (no single-reducer sort), banding is a
+    * 1-row broadcast cross + CASE, rollup is 5 rows. Hash-exact. */
+  private val q254: QFn = (s, d) => {
+    val dl = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), to_date(col("l_shipdate")).as("sd"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay", datediff(col("sd"), col("od")).cast("double"))
+      .withColumn("g0", lit(1))
+    val breaks = RankOps.groupedPercentiles(dl, "g0", "delay",
+        Seq("l_orderkey", "l_linenumber"), Seq(0.2, 0.4, 0.6, 0.8))
+      .groupBy("g")
+      .agg(max(when(col("p") === 0.2, col("pv"))).as("b20"),
+        max(when(col("p") === 0.4, col("pv"))).as("b40"),
+        max(when(col("p") === 0.6, col("pv"))).as("b60"),
+        max(when(col("p") === 0.8, col("pv"))).as("b80"))
+    dl.crossJoin(broadcast(breaks.drop("g")))
+      .withColumn("band",
+        when(col("delay") <= col("b20"), "1_fastest")
+          .when(col("delay") <= col("b40"), "2_fast")
+          .when(col("delay") <= col("b60"), "3_mid")
+          .when(col("delay") <= col("b80"), "4_slow")
+          .otherwise("5_slowest"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_lines"),
+        round(davg(col("delay")), 6).as("mean_delay_days"),
+        round(davg(col("l_extendedprice")), 6).as("mean_price"))
+      .orderBy("band")
+  }
+  private val q254Sql =
+    s"""WITH dl AS (
+       |  SELECT l_extendedprice,
+       |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) AS DOUBLE) AS delay
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |b AS (
+       |  SELECT quantile_cont(delay, 0.2) AS b20,
+       |    quantile_cont(delay, 0.4) AS b40,
+       |    quantile_cont(delay, 0.6) AS b60,
+       |    quantile_cont(delay, 0.8) AS b80
+       |  FROM dl)
+       |SELECT CASE
+       |    WHEN delay <= b20 THEN '1_fastest'
+       |    WHEN delay <= b40 THEN '2_fast'
+       |    WHEN delay <= b60 THEN '3_mid'
+       |    WHEN delay <= b80 THEN '4_slow'
+       |    ELSE '5_slowest' END AS band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  ROUND(${sqlAvg("delay")}, 6) AS mean_delay_days,
+       |  ROUND(${sqlAvg("l_extendedprice")}, 6) AS mean_price
+       |FROM dl, b
+       |GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** q255: TOP-3 SUPPLIERS PER NATION WITH TIES — `rank()` (not
+    * row_number) so co-leaders all surface: the tie-inclusive top-k
+    * every league table needs, next to q96's arbitrary-tiebreak
+    * top-k. Scale shape: one fact-sized aggregate to (nation,
+    * supplier) grain, then the window partitions by nation over the
+    * supplier-sized aggregate (bounded per nation); revenue is the
+    * exact decimal fold so rank order is engine-identical. */
+  private val q255: QFn = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+    rev.withColumn("rnk", rank().over(
+        Window.partitionBy("n_name").orderBy(col("revenue").desc)))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name").as("nation"), col("s_name").as("supplier"),
+        col("revenue"), col("rnk").cast("int").as("rnk"))
+  }
+  private val q255Sql =
+    s"""WITH rev AS (
+       |  SELECT n_name AS nation, s_name AS supplier,
+       |    ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT nation, supplier, revenue,
+       |  CAST(rnk AS INT) AS rnk
+       |FROM (SELECT *, RANK() OVER (PARTITION BY nation
+       |    ORDER BY revenue DESC) AS rnk FROM rev)
+       |WHERE rnk <= 3""".stripMargin
+
+  /** q256: POWER-OF-TWO VALUE HISTOGRAM of order totals — the log2
+    * bucket profile (latency/size histogram convention at scale:
+    * exponentially wider bins, constant relative resolution).
+    * Bucket = floor(log2(v)) computed EXACTLY as the bit length of
+    * the integer part (`length(bin(x)) - 1`) — never floating log,
+    * whose boundary rounding differs across engines. Map-side bucket
+    * + one tiny aggregate. Hash-exact. */
+  private val q256: QFn = (s, d) => {
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        (length(bin(floor(col("o_totalprice")).cast("long"))) - 1)
+          .cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_value"),
+        min(col("o_totalprice")).as("min_value"),
+        max(col("o_totalprice")).as("max_value"))
+      .orderBy("bucket")
+  }
+  private val q256Sql =
+    s"""SELECT CAST(LENGTH(bin(CAST(FLOOR(o_totalprice) AS BIGINT))) - 1
+       |    AS INT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS total_value,
+       |  MIN(o_totalprice) AS min_value,
+       |  MAX(o_totalprice) AS max_value
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q257: DISTINCT-COUNT ROLLUP — daily distinct active users per
+    * event type WITH the per-day and grand subtotals in one pass
+    * (GROUP BY ROLLUP + COUNT(DISTINCT): the Expand + two-phase
+    * distinct aggregate plan, a shape none of the other grouping-set
+    * queries exercise because q08/q12/q26/q60 all roll up ALGEBRAIC
+    * measures — distinct counts don't re-aggregate, the engine must
+    * carry the dedup through the expand). grouping_id disambiguates
+    * subtotal rows. Calendar × type grain output. Hash-exact. */
+  private val q257: QFn = (s, d) => {
+    Tables.events(s, d)
+      .select(floor(unix_micros(col("ts")) / (86400L * 1000000L))
+        .cast("long").as("day"), col("event_type"), col("user_id"))
+      .rollup("day", "event_type")
+      .agg(grouping_id().as("gid"),
+        countDistinct(col("user_id")).as("users"))
+  }
+  private val q257Sql =
+    """SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |  event_type,
+      |  CAST(GROUPING(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT),
+      |    event_type) AS BIGINT) AS gid,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+      |FROM events
+      |GROUP BY ROLLUP(1, event_type)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q252_median_gap_by_segment" -> q252,
+    "q254_delay_quantile_bands" -> q254,
+    "q255_topk_with_ties" -> q255,
+    "q256_value_histogram_log2" -> q256,
+    "q257_distinct_rollup" -> q257,
     "q249_ratio_to_parent" -> q249,
     "q250_first_last_ratio" -> q250,
     "q248_anomaly_days" -> q248,
@@ -6259,6 +6459,11 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q252_median_gap_by_segment" -> q252Sql,
+    "q254_delay_quantile_bands" -> q254Sql,
+    "q255_topk_with_ties" -> q255Sql,
+    "q256_value_histogram_log2" -> q256Sql,
+    "q257_distinct_rollup" -> q257Sql,
     "q249_ratio_to_parent" -> q249Sql,
     "q250_first_last_ratio" -> q250Sql,
     "q248_anomaly_days" -> q248Sql,

@@ -1178,7 +1178,97 @@ object SessionOps {
       |FROM ft LEFT JOIN ou ON o_custkey = user_id
       |GROUP BY 1 ORDER BY first_touch""".stripMargin
 
+  /** q253: CART ABANDONMENT per day — clicks with NO purchase by the
+    * same user within the next 24 h (the e-commerce loss metric, the
+    * complement of q72's attribution join and q88's conversion
+    * funnel). Scale shape: the time-windowed NOT EXISTS runs as a
+    * LEFT ANTI join with a user_id EQUI conjunct + the range filter
+    * inside the join stage — co-partitioned on user after one
+    * exchange each side, never a nested loop; both day rollups are
+    * calendar-sized. Exact integer microsecond arithmetic;
+    * zero-purchase days keep their click denominator via the left
+    * join. Hash-exact. */
+  private val q253: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val abandoned = clicks.join(buys,
+        clicks("user_id") === buys("user_id") &&
+          col("p_us") >= col("c_us") &&
+          col("p_us") <= col("c_us") + 86400L * 1000000L,
+        "left_anti")
+    val day = floor(col("c_us") / (86400L * 1000000L)).cast("long")
+    val tot = clicks.groupBy(day.as("click_day"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val ab = abandoned.groupBy(day.as("click_day"))
+      .agg(count(lit(1)).as("n_abandoned"))
+    tot.join(ab, Seq("click_day"), "left")
+      .select(col("click_day"), col("n_clicks"),
+        coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
+        round(coalesce(col("n_abandoned"), lit(0L)).cast("double") /
+          col("n_clicks").cast("double"), 6).as("abandon_rate"))
+  }
+  private val q253Sql =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS c_us FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+      |  WHERE event_type = 'purchase'),
+      |ab AS (
+      |  SELECT c.* FROM c WHERE NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+      |      AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 86400000000)),
+      |tot AS (
+      |  SELECT CAST(FLOOR(c_us / 86400000000) AS BIGINT) AS click_day,
+      |    COUNT(*) AS n_clicks
+      |  FROM c GROUP BY 1),
+      |abd AS (
+      |  SELECT CAST(FLOOR(c_us / 86400000000) AS BIGINT) AS click_day,
+      |    COUNT(*) AS n_abandoned
+      |  FROM ab GROUP BY 1)
+      |SELECT tot.click_day, n_clicks,
+      |  COALESCE(n_abandoned, 0) AS n_abandoned,
+      |  ROUND(CAST(COALESCE(n_abandoned, 0) AS DOUBLE)
+      |    / CAST(n_clicks AS DOUBLE), 6) AS abandon_rate
+      |FROM tot LEFT JOIN abd ON tot.click_day = abd.click_day""".stripMargin
+
+  /** q259: ROLLING 7-DAY ACTIVE USERS (WAU) per day — the
+    * rolling-distinct metric every activity dashboard carries, which
+    * plain windows can't express (no COUNT(DISTINCT) over a frame).
+    * Scale shape: dedup to (day, user) pairs first (one fact-sized
+    * exchange, the row count collapses to active-pairs), then join
+    * the pairs against the CALENDAR-sized day spine with a 7-day band
+    * — a deliberate broadcast cross bounded at |pairs|×7 — and one
+    * distinct count per day. At any corpus size the blowup factor is
+    * the window length, never the data. Hash-exact. */
+  private val q259: QFn = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(floor(unix_micros(col("ts")) / (86400L * 1000000L))
+        .cast("long").as("day"), col("user_id"))
+      .distinct()
+    val spine = du.select(col("day").as("asof_day")).distinct()
+    du.join(broadcast(spine),
+        col("day") >= col("asof_day") - 6 && col("day") <= col("asof_day"))
+      .groupBy("asof_day")
+      .agg(countDistinct(col("user_id")).as("wau7"))
+  }
+  private val q259Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+      |    AS day, user_id
+      |  FROM events),
+      |spine AS (SELECT DISTINCT day AS asof_day FROM du)
+      |SELECT asof_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+      |FROM du JOIN spine
+      |  ON day >= asof_day - 6 AND day <= asof_day
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q253_cart_abandonment" -> q253,
+    "q259_rolling_wau" -> q259,
     "q246_first_touch" -> q246,
     "q242_audience_overlap" -> q242,
     "q236_interarrival" -> q236,
@@ -1206,6 +1296,8 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q253_cart_abandonment" -> q253Sql,
+    "q259_rolling_wau" -> q259Sql,
     "q203_bounce_rate" -> q203Sql,
     "q225_peak_hour" -> q225Sql,
     "q190_entropy_rate" -> q190Sql,

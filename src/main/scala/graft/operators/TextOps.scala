@@ -2768,7 +2768,56 @@ object TextOps {
       |WHERE d.doc_id <> keep_id
       |GROUP BY 1, 2 ORDER BY source_kept, source_dropped""".stripMargin
 
+  /** q258: PREFIX-KEY DUPLICATE GROUPS per source — docs sharing
+    * their first 60 characters (the cheap URL-prefix/boilerplate
+    * dedup screen run BEFORE shingling: one exact groupBy on a fixed
+    * 60-byte key vs q31's posting join; catches head-duplication the
+    * whole-text hash of q30 misses when tails diverge). Scale shape:
+    * one key-sized exchange builds the dup-key set, a semi join tags
+    * members, per-source rollup is dimension-sized. Hash-exact. */
+  private val q258: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 60).as("pfx"))
+    val dupKeys = docs.groupBy("pfx")
+      .agg(count(lit(1)).as("grp"))
+      .filter(col("grp") > 1)
+    val members = docs.join(dupKeys, Seq("pfx"), "left_semi")
+    val perSource = members.groupBy("source")
+      .agg(count(lit(1)).as("n_dup_docs"),
+        countDistinct(col("pfx")).as("n_groups"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(perSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+  private val q258Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, source, substr(text, 1, 60) AS pfx
+      |  FROM documents),
+      |dup AS (
+      |  SELECT pfx FROM docs GROUP BY 1 HAVING COUNT(*) > 1),
+      |members AS (
+      |  SELECT source, pfx FROM docs
+      |  WHERE pfx IN (SELECT pfx FROM dup)),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_dup_docs,
+      |    COUNT(DISTINCT pfx) AS n_groups
+      |  FROM members GROUP BY 1)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(MAX(per.n_dup_docs), 0) AS BIGINT) AS n_dup_docs,
+      |  CAST(COALESCE(MAX(per.n_groups), 0) AS BIGINT) AS n_groups,
+      |  ROUND(CAST(COALESCE(MAX(per.n_dup_docs), 0) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+      |FROM docs d LEFT JOIN per ON d.source = per.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q258_prefix_dup_groups" -> q258,
     "q251_dedup_survivorship" -> q251,
     "q241_sentence_length" -> q241,
     "q239_bigram_phrases" -> q239,
@@ -2825,6 +2874,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q258_prefix_dup_groups" -> q258Sql,
     "q251_dedup_survivorship" -> q251Sql,
     "q241_sentence_length" -> q241Sql,
     "q239_bigram_phrases" -> q239Sql,
