@@ -89,7 +89,11 @@ object Bench {
     "q244_yoy_growth", "q245_fill_rate", "q246_first_touch",
     "q247_seasonal_mape", "q248_anomaly_days",
     "q249_ratio_to_parent", "q250_first_last_ratio",
-    "q251_dedup_survivorship")
+    "q251_dedup_survivorship",
+    "q252_median_gap_by_segment", "q253_cart_abandonment",
+    "q254_delay_quantile_bands", "q255_topk_with_ties",
+    "q256_value_histogram_log2", "q257_distinct_rollup",
+    "q258_prefix_dup_groups", "q259_rolling_wau")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows
@@ -145,7 +149,12 @@ object Bench {
       // day-grain series (documented convention); q249's world total
       // is a 1-row broadcast cross
       "q248_anomaly_days" -> (win ++ win),
-      "q249_ratio_to_parent" -> cart)
+      "q249_ratio_to_parent" -> cart,
+      // round-10 additions: q254's quantile breaks are a 1-row
+      // broadcast cross; q259's day spine is the calendar-sized
+      // band-join cross (bounded at |pairs|×7 by construction)
+      "q254_delay_quantile_bands" -> cart,
+      "q259_rolling_wau" -> cart)
   }
 
   /** BENCH_FREEZE: per-round artifacts (…_rNN.jsonl) are write-once.

@@ -25,6 +25,18 @@ object Explain {
       SparkEntry.queries(n)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    if (name == "LINT") {
+      // lint-only: plans, never executes — cheap at any data size.
+      // usage: runMain graft.Explain LINT <sfDir> <q1> [q2 …]
+      args.drop(2).foreach { n =>
+        val findings = graft.util.PlanLint
+          .check(SparkEntry.queries(n)(spark, sfDir))
+        println(s"LINT $n " +
+          (if (findings.isEmpty) "clean"
+           else findings.map(_.kind).sorted.mkString(",")))
+      }
+      spark.stop(); return
+    }
     if (name == "PIECES") {
       import org.apache.spark.sql.functions._
       def t(label: String)(body: => Any): Unit = {

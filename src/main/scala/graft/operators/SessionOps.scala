@@ -1193,9 +1193,9 @@ object SessionOps {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
     val buys = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
     val abandoned = clicks.join(buys,
-        clicks("user_id") === buys("user_id") &&
+        col("user_id") === col("p_user") &&
           col("p_us") >= col("c_us") &&
           col("p_us") <= col("c_us") + 86400L * 1000000L,
         "left_anti")
