@@ -169,12 +169,20 @@ object SessionOps {
       .filter(col("us") >= col("c_us") &&
         col("us") <= col("c_us") + FunnelWindowUs)
       .groupBy("user_id").agg(min(col("us")).as("p_us"))
-    v.agg(count(lit(1)).as("users")).withColumn("stage", lit("view"))
-      .unionByName(
-        c.agg(count(lit(1)).as("users")).withColumn("stage", lit("click")))
-      .unionByName(
-        p.agg(count(lit(1)).as("users")).withColumn("stage", lit("purchase")))
-      .select("stage", "users")
+    // ONE aggregate over the left-join chain + stack, instead of a
+    // union of three aggregates: the union re-embedded the whole
+    // v→c→p chain as duplicate subtrees (v planned 3×, c 2×), and the
+    // resulting plan paid a ~2.7 s one-time planning/codegen bill —
+    // 5× its event-query siblings' — that read as an unexplained
+    // bench regression whenever the JIT was cold (r9 verdict item 4,
+    // root-caused via QuietAB). Same rows, same oracle.
+    val flags = v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+    flags.agg(count(lit(1)).as("n_view"),
+        count(col("c_us")).as("n_click"),
+        count(col("p_us")).as("n_purchase"))
+      .select(expr("stack(3, 'view', n_view, 'click', n_click, " +
+        "'purchase', n_purchase) as (stage, users)"))
   }
   private val q88Sql =
     s"""WITH v AS (
