@@ -93,7 +93,9 @@ object Bench {
     "q252_median_gap_by_segment", "q253_cart_abandonment",
     "q254_delay_quantile_bands", "q255_topk_with_ties",
     "q256_value_histogram_log2", "q257_distinct_rollup",
-    "q258_prefix_dup_groups", "q259_rolling_wau")
+    "q258_prefix_dup_groups", "q259_rolling_wau",
+    "q260_journey_trigrams", "q261_price_band_mix",
+    "q262_tail_ratio", "q263_cross_source_dups")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows

@@ -6318,7 +6318,93 @@ object Relational {
       |FROM events
       |GROUP BY ROLLUP(1, event_type)""".stripMargin
 
+  /** q261: PRICE-BAND MIX SHIFT — monthly revenue share of fixed
+    * price bands plus the month-over-month share delta per band (the
+    * mix-shift detector: a flat total can hide the catalog sliding
+    * up- or down-market; q221 tracks regions, this tracks the price
+    * structure itself). Scale shape: one fact-sized aggregate to
+    * (month, band) grain, month totals re-aggregate the tiny grain
+    * table, the lag window partitions by band over the calendar-sized
+    * series. Fixed thresholds (not quantiles) so band edges are
+    * engine-exact; shares rounded BEFORE differencing so the delta is
+    * IEEE-deterministic. Hash-exact. */
+  private val q261: QFn = (s, d) => {
+    val bands = Tables.lineitem(s, d)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        when(col("l_extendedprice") < 10000.0, "1_lt10k")
+          .when(col("l_extendedprice") < 50000.0, "2_10k_50k")
+          .otherwise("3_ge50k").as("band"),
+        col("l_extendedprice"))
+      .groupBy("month", "band")
+      .agg(dsum(col("l_extendedprice")).as("rev"))
+    val tot = bands.groupBy("month").agg(dsum(col("rev")).as("mrev"))
+    val w = Window.partitionBy("band").orderBy(col("month").asc)
+    bands.join(tot, Seq("month"))
+      .withColumn("share", round(col("rev") / col("mrev"), 6))
+      .withColumn("mom_delta",
+        round(col("share") - lag(col("share"), 1).over(w), 6))
+      .select("month", "band", "share", "mom_delta")
+      .orderBy("month", "band")
+  }
+  private val q261Sql =
+    s"""WITH bands AS (
+       |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       |    CASE WHEN l_extendedprice < 10000.0 THEN '1_lt10k'
+       |         WHEN l_extendedprice < 50000.0 THEN '2_10k_50k'
+       |         ELSE '3_ge50k' END AS band,
+       |    ${sqlSum("l_extendedprice")} AS rev
+       |  FROM lineitem GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT month, ${sqlSum("rev")} AS mrev FROM bands GROUP BY 1),
+       |sh AS (
+       |  SELECT bands.month, band, ROUND(rev / mrev, 6) AS share
+       |  FROM bands JOIN tot ON bands.month = tot.month)
+       |SELECT month, band, share,
+       |  ROUND(share - LAG(share, 1) OVER
+       |    (PARTITION BY band ORDER BY month), 6) AS mom_delta
+       |FROM sh ORDER BY month, band""".stripMargin
+
+  /** q262: TAIL RATIO per market segment — P99/P50 of order value
+    * (tail amplification: how many medians the big orders are worth;
+    * the capacity/risk lens next to q230's expected shortfall and
+    * q16's plain percentiles). Scale shape: both exact percentiles
+    * ride the RankOps grouped prefix-sum path (no segment buffers its
+    * values), interpolation bit-identical to quantile_cont.
+    * Hash-exact. */
+  private val q262: QFn = (s, d) => {
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        col("o_totalprice"))
+    val ps = RankOps.groupedPercentiles(o, "c_mktsegment",
+        "o_totalprice", Seq("o_orderkey"), Seq(0.5, 0.99))
+      .groupBy("g")
+      .agg(max(when(col("p") === 0.5, col("pv"))).as("p50"),
+        max(when(col("p") === 0.99, col("pv"))).as("p99"))
+    val counts = o.groupBy(col("c_mktsegment").as("g"))
+      .agg(count(lit(1)).as("n_orders"))
+    ps.join(counts, Seq("g"))
+      .select(col("g").as("c_mktsegment"), col("n_orders"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p99"), 6).as("p99"),
+        round(col("p99") / col("p50"), 6).as("tail_ratio"))
+      .orderBy("c_mktsegment")
+  }
+  private val q262Sql =
+    """SELECT c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+      |  ROUND(quantile_cont(o_totalprice, 0.99)
+      |    / quantile_cont(o_totalprice, 0.5), 6) AS tail_ratio
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q261_price_band_mix" -> q261,
+    "q262_tail_ratio" -> q262,
     "q252_median_gap_by_segment" -> q252,
     "q254_delay_quantile_bands" -> q254,
     "q255_topk_with_ties" -> q255,
@@ -6459,6 +6545,8 @@ object Relational {
     "q104_mad_outliers" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q261_price_band_mix" -> q261Sql,
+    "q262_tail_ratio" -> q262Sql,
     "q252_median_gap_by_segment" -> q252Sql,
     "q254_delay_quantile_bands" -> q254Sql,
     "q255_topk_with_ties" -> q255Sql,

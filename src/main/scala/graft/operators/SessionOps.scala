@@ -1274,7 +1274,42 @@ object SessionOps {
       |  ON day >= asof_day - 6 AND day <= asof_day
       |GROUP BY 1""".stripMargin
 
+  /** q260: TOP EVENT-TYPE TRIGRAMS — the 10 most common consecutive
+    * 3-step journeys across all users (journey mining one level above
+    * q103's pair transition matrix: the paths a UX review reads).
+    * Scale shape: two leads over the per-user window (bounded by
+    * events-per-user), one path-sized aggregate, top-10 via
+    * TakeOrderedAndProject with a deterministic (count desc, path
+    * asc) tiebreak. Hash-exact. */
+  private val q260: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+  private val q260Sql =
+    """WITH steps AS (
+      |  SELECT event_type AS t1,
+      |    LEAD(event_type, 1) OVER w AS t2,
+      |    LEAD(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM steps WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q260_journey_trigrams" -> q260,
     "q253_cart_abandonment" -> q253,
     "q259_rolling_wau" -> q259,
     "q246_first_touch" -> q246,
@@ -1304,6 +1339,7 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q260_journey_trigrams" -> q260Sql,
     "q253_cart_abandonment" -> q253Sql,
     "q259_rolling_wau" -> q259Sql,
     "q203_bounce_rate" -> q203Sql,

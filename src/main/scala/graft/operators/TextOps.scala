@@ -2816,7 +2816,38 @@ object TextOps {
       |FROM docs d LEFT JOIN per ON d.source = per.source
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q263: CROSS-SOURCE NEAR-DUP MATRIX — q31's exact trigram-Jaccard
+    * pair set rolled up by UNORDERED source pair (which feeds are
+    * mirroring which: the contamination-flow view q213's per-source
+    * rate hides — a source can have a low dup rate yet be the sink of
+    * one specific mirror). Scale shape: the pair set is the PPJoin
+    * output (never n²), two dimension-sized source joins, a
+    * sources²-bounded rollup. Hash-exact (shares q31's oracle CTE). */
+  private val q263: QFn = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    q31(s, d).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_lo", "source_hi")
+  }
+  private val q263Sql =
+    s"""WITH pairs AS ($q31Sql),
+       |sp AS (
+       |  SELECT LEAST(da.source, db.source) AS source_lo,
+       |    GREATEST(da.source, db.source) AS source_hi
+       |  FROM pairs p
+       |  JOIN documents da ON p.doc_a = da.doc_id
+       |  JOIN documents db ON p.doc_b = db.doc_id)
+       |SELECT source_lo, source_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q263_cross_source_dups" -> q263,
     "q258_prefix_dup_groups" -> q258,
     "q251_dedup_survivorship" -> q251,
     "q241_sentence_length" -> q241,
@@ -2874,6 +2905,7 @@ object TextOps {
     "q112_dsir_resample" -> q112)
 
   val oracleSql: Map[String, String] = Map(
+    "q263_cross_source_dups" -> q263Sql,
     "q258_prefix_dup_groups" -> q258Sql,
     "q251_dedup_survivorship" -> q251Sql,
     "q241_sentence_length" -> q241Sql,
