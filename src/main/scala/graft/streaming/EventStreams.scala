@@ -102,6 +102,27 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Sliding-window active users — the streaming twin of q259's
+    * rolling 7-day WAU. EXACT distinct over a sliding frame is
+    * unsupported in streaming (the per-window distinct set would be
+    * unbounded state); `approx_count_distinct`'s HLL sketch is the
+    * scale-correct substitute — each event updates the KB-sized
+    * sketches of the covering windows map-side, sketches MERGE in
+    * window state, and the watermark evicts a window once it can no
+    * longer change. State = O(open windows × sketch size) at any
+    * input rate. `rsd` trades sketch size vs error (0.01 ≈ ±1 %; at
+    * small cardinalities the sparse HLL is exact, which the spec pins
+    * against the batch plan bit-for-bit). */
+  def slidingActiveUsers(events: DataFrame, windowLen: String = "7 days",
+      slide: String = "1 day", horizon: String = "1 day",
+      rsd: Double = 0.01): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("active_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("active_users"))
+
   case class FunnelEv(us: Long, tpe: String)
   case class FunnelBuf(evs: List[FunnelEv], lastMs: Long)
   case class FunnelOut(user_id: Long, stage: String, reached_us: Long)

@@ -40,6 +40,57 @@ class StreamingSpec extends SparkSpec {
     assert(sess.session_end == ts("2024-01-01 10:05:00"))
   }
 
+  test("sliding active users: finalized windows equal the batch plan " +
+      "bit-for-bit and the exact rolling distinct at small cardinality") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // 10 days, overlapping user sets per day (users d..d+14)
+    val evs = for {
+      d <- 1 to 10; u <- d to (d + 14)
+    } yield Event(d * 100L + u, ts(f"2024-01-$d%02d 12:00:00"),
+      u.toLong, "view", 1.0)
+    val input = MemoryStream[Event]
+    val query = EventStreams.slidingActiveUsers(input.toDF(),
+        windowLen = "3 days", slide = "1 day", horizon = "1 day")
+      .writeStream.format("memory").queryName("sau")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(evs: _*)
+    query.processAllAvailable()
+    // sentinel far ahead advances the watermark → all real windows close
+    input.addData(Event(-1L, ts("2024-02-01 00:00:00"), -1L, "noop", 0.0))
+    query.processAllAvailable()
+    val got = spark.table("sau")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    query.stop()
+
+    // batch twin over the same rows: identical HLL ⇒ identical counts
+    val batch = evs.toDF()
+      .groupBy(window(col("ts"), "3 days", "1 day"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n"))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getLong(1)))
+      .toMap
+    assert(got.nonEmpty && got.size >= 10)
+    got.foreach { case (w, n) =>
+      assert(batch(w) == n, s"window $w: stream $n vs batch ${batch(w)}")
+    }
+    // and at these cardinalities (≤ 45 per window) the sparse HLL is
+    // exact vs the true rolling distinct
+    val exact = evs.groupBy(e => e.ts).map { case (t, es) =>
+      t -> es.map(_.user_id).toSet
+    }
+    got.foreach { case (wStart, n) =>
+      val trueSet = exact.collect {
+        case (t, us) if !t.before(wStart) &&
+          t.before(new Timestamp(wStart.getTime + 3L * 86400000L)) => us
+      }.flatten.toSet
+      if (trueSet.nonEmpty)
+        assert(n == trueSet.size, s"window $wStart: $n vs ${trueSet.size}")
+    }
+  }
+
   test("streaming funnel equals batch q88 stage counts across restarts") {
     implicit val s = spark
     import spark.implicits._
