@@ -677,10 +677,19 @@ class PropertySpec extends SparkSpec {
           ps.zipWithIndex.map { case (p, i) =>
             (r.getString(0), p) -> r.getDouble(i + 1) }
         }.toMap
-      got == ref && got.forall { case (k, v) =>
+      // drift bound between the two algebraically-equal interpolation
+      // forms must scale with the INPUT magnitude, not the result's:
+      // lo + (hi-lo)*f vs lo*(1-f) + hi*f each accumulate ≲3 roundings
+      // of input-sized intermediates, and cancellation can make the
+      // result arbitrarily smaller than the inputs (observed: 5 ULP of
+      // a 0.38 result from 3.7-sized inputs — a correct outcome that a
+      // result-relative 4-ULP bound flagged, r10 suite flake)
+      val inMax = rows.groupBy(_._1).map { case (g, grp) =>
+        s"g$g" -> grp.map(r => math.abs(r._2 / 100.0)).max
+      }
+      got == ref && got.forall { case (k @ (g, _), v) =>
         val s = spk(k)
-        v == s || math.abs(v - s) <= 4 * math.ulp(math.max(
-          math.abs(v), math.abs(s)))
+        v == s || math.abs(v - s) <= 8 * math.ulp(inMax(g) max 1e-300)
       }
     }
     check(prop, cases = 20)
