@@ -95,7 +95,8 @@ object Bench {
     "q256_value_histogram_log2", "q257_distinct_rollup",
     "q258_prefix_dup_groups", "q259_rolling_wau",
     "q260_journey_trigrams", "q261_price_band_mix",
-    "q262_tail_ratio", "q263_cross_source_dups")
+    "q262_tail_ratio", "q263_cross_source_dups",
+    "q264_asof_nearest", "q265_session_conversion")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows

@@ -264,7 +264,75 @@ object LakehouseOps {
       |      <= 5184000000000
       |) t WHERE rn = 1""".stripMargin
 
+  /** q264: NEAREST as-of join — for each event, the customer's order
+    * CLOSEST in time in EITHER direction, ties to the backward side
+    * (pandas merge_asof direction='nearest', completing the
+    * backward/forward/tolerance surface of q24/q48/q243). COMPOSED
+    * from two native streaming-merge as-of joins (backward + forward,
+    * each O(n+m) with one peeked row of state) and a row-wise argmin
+    * — no new physical operator, no |events|×|orders| pair
+    * materialization; the two merges share the events exchange. The
+    * oracle is the window form over the full left join, so the hash
+    * pins distance, the backward tie rule, each side's key tiebreak
+    * (backward largest, forward smallest — the q24/q243 conventions),
+    * and null extension. */
+  private val q264: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val back = graft.plans.AsOf.join(ev, o,
+        col("user_id"), col("o_custkey"), col("ts"),
+        col("o_orderdate").cast("timestamp"),
+        tiebreak = Some(col("o_orderkey")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("b_key"),
+        col("o_orderdate").cast("timestamp").as("b_ts"))
+    val fwd = graft.plans.AsOf.join(ev, o,
+        col("user_id"), col("o_custkey"), col("ts"),
+        col("o_orderdate").cast("timestamp"),
+        tiebreak = Some(col("o_orderkey")), forward = true)
+      .select(col("event_id").as("f_event_id"),
+        col("o_orderkey").as("f_key"),
+        col("o_orderdate").cast("timestamp").as("f_ts"))
+    val bd = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+    val fd = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+    val useB = col("f_key").isNull ||
+      (col("b_key").isNotNull && bd <= fd)
+    back.join(fwd, col("event_id") === col("f_event_id"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        when(useB, col("b_key")).otherwise(col("f_key"))
+          .as("nearest_orderkey"),
+        date_format(when(useB, col("b_ts")).otherwise(col("f_ts")),
+          "yyyy-MM-dd").as("nearest_orderdate"),
+        when(col("b_key").isNull && col("f_key").isNull,
+            lit(null).cast("string"))
+          .when(useB, lit("backward")).otherwise(lit("forward"))
+          .as("direction"))
+  }
+  private val q264Sql =
+    """SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      |  o_orderkey AS nearest_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS nearest_orderdate,
+      |  CASE WHEN o_orderkey IS NULL THEN NULL
+      |       WHEN CAST(o_orderdate AS TIMESTAMP) > ts THEN 'forward'
+      |       ELSE 'backward' END AS direction
+      |FROM (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY
+      |      abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+      |        - epoch_us(e.ts)) ASC,
+      |      CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) > e.ts
+      |        THEN 1 ELSE 0 END ASC,
+      |      CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) > e.ts
+      |        THEN o.o_orderkey ELSE -o.o_orderkey END ASC) AS rn
+      |  FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id) t
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q264_asof_nearest" -> q264,
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
     "q23_dq_profile" -> q23,
@@ -274,6 +342,7 @@ object LakehouseOps {
     "q191_scd2_ranges" -> q191)
 
   val oracleSql: Map[String, String] = Map(
+    "q264_asof_nearest" -> q264Sql,
     "q21_cdc_latest" -> q21Sql,
     "q22_merge_upsert" -> q22Sql,
     "q23_dq_profile" -> q23Sql,

@@ -1308,7 +1308,75 @@ object SessionOps {
       |FROM steps WHERE t2 IS NOT NULL AND t3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin
 
+  /** q265: SESSION CONVERSION by session size — do longer sessions
+    * convert? q50's gap sessionization rolled up one level: each
+    * session's event count and whether it contains a purchase, then
+    * conversion rate per size bucket (the engagement-depth curve next
+    * to q88's user-level funnel). Scale shape: the same user-
+    * partitioned session windows, one (user, session) aggregate, a
+    * 4-row bucket rollup. Hash-exact via the q50 CTE extended with
+    * the outcome rollup. */
+  private val q265: QFn = (s, d) => {
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sess
+      .withColumn("bucket",
+        when(col("n_events") === 1, "1")
+          .when(col("n_events") <= 4, "2_4")
+          .when(col("n_events") <= 9, "5_9")
+          .otherwise("10_plus"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converting"),
+        round(sum(col("converted")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("conversion_rate"))
+      .orderBy("bucket")
+  }
+  private val q265Sql =
+    s"""WITH sess AS (
+       |  SELECT user_id, session_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS converted
+       |  FROM (
+       |    SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        AS BIGINT) AS session_id
+       |    FROM (
+       |      SELECT *, CASE WHEN prev_us IS NULL
+       |          OR epoch_us(ts) - prev_us > ${GapUs} THEN 1 ELSE 0 END
+       |          AS is_new
+       |      FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+       |              ORDER BY ts, event_id) AS prev_us
+       |            FROM events) a) b) c
+       |  GROUP BY user_id, session_id),
+       |bk AS (
+       |  SELECT CASE WHEN n_events = 1 THEN '1'
+       |       WHEN n_events <= 4 THEN '2_4'
+       |       WHEN n_events <= 9 THEN '5_9'
+       |       ELSE '10_plus' END AS bucket, converted
+       |  FROM sess)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(SUM(converted) AS BIGINT) AS n_converting,
+       |  ROUND(CAST(SUM(converted) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+       |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q265_session_conversion" -> q265,
     "q260_journey_trigrams" -> q260,
     "q253_cart_abandonment" -> q253,
     "q259_rolling_wau" -> q259,
@@ -1339,6 +1407,7 @@ object SessionOps {
     "q78_hopping_counts" -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q265_session_conversion" -> q265Sql,
     "q260_journey_trigrams" -> q260Sql,
     "q253_cart_abandonment" -> q253Sql,
     "q259_rolling_wau" -> q259Sql,
