@@ -738,6 +738,66 @@ class PropertySpec extends SparkSpec {
     check(prop, cases = 25)
   }
 
+  test("property: NEAREST as-of (the q264 two-merge composition) " +
+      "equals the reference rule across duplicate timestamps and ties") {
+    import spark.implicits._
+    val genCase = for {
+      nl <- Gen.chooseNum(1, 20)
+      nr <- Gen.chooseNum(0, 20)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 8L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 8L)))
+    } yield (ls, rs)
+    val prop = Prop.forAll(genCase) { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "lk", "lt")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "rk", "rt")
+      // the q264 composition: backward merge + forward merge + argmin
+      // with ties to the backward side
+      val back = graft.plans.AsOf.join(left, right,
+          col("lk"), col("rk"), col("lt"), col("rt"),
+          tiebreak = Some(col("rid")))
+        .select(col("lid"), col("lt"), col("rid").as("b_rid"),
+          col("rt").as("b_rt"))
+      val fwd = graft.plans.AsOf.join(left, right,
+          col("lk"), col("rk"), col("lt"), col("rt"),
+          tiebreak = Some(col("rid")), forward = true)
+        .select(col("lid").as("f_lid"), col("rid").as("f_rid"),
+          col("rt").as("f_rt"))
+      val useB = col("f_rid").isNull || (col("b_rid").isNotNull &&
+        (col("lt") - col("b_rt")) <= (col("f_rt") - col("lt")))
+      val got = back.join(fwd, col("lid") === col("f_lid"))
+        .select(col("lid"),
+          when(useB, col("b_rid")).otherwise(col("f_rid")).as("rid"))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // reference: nearest |rt - lt| over all same-key rows; distance
+      // tie → the backward side (rt <= lt); within backward greatest
+      // (rt, rid), within forward smallest (rt, rid); none → null
+      val want = ls.zipWithIndex.map { case ((lk, lt), li) =>
+        val cand = rs.zipWithIndex.filter { case ((rk, _), _) => rk == lk }
+        val m =
+          if (cand.isEmpty) -1L
+          else {
+            val best = cand.map { case ((_, rt), ri) =>
+              val fwdSide = rt > lt
+              val dist = math.abs(rt - lt)
+              // order: distance, then backward-preferred, then the
+              // side's own key rule (backward largest = -rid asc;
+              // forward smallest = rid asc)
+              ((dist, if (fwdSide) 1 else 0,
+                if (fwdSide) ri.toLong else -ri.toLong), ri.toLong)
+            }.minBy(_._1)
+            best._2
+          }
+        (li.toLong, m)
+      }.toSet
+      got == want
+    }
+    check(prop, cases = 25)
+  }
+
   test("property: LSH pair mining is sound; every high-cosine pair is found") {
     import spark.implicits._
     // Soundness is deterministic (the exact verify runs on every

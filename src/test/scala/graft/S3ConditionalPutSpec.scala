@@ -46,6 +46,49 @@ class S3ConditionalPutSpec extends AnyFunSuite {
       "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
   }
 
+  test("SigV4 matches an independent implementation of the published " +
+      "algorithm across methods, encodings, unicode and token headers") {
+    // expected values computed by a from-scratch Python hmac/hashlib
+    // implementation of the same AWS-documented algorithm — a
+    // cross-implementation check, so a Scala-side bug in encoding,
+    // header sorting, or the HMAC chain can't self-confirm
+    def sig(m: String, p: String, q: Seq[(String, String)],
+        h: Seq[(String, String)], body: Array[Byte], d: String,
+        r: String, svc: String): String =
+      SigV4.authorization(m, p, q, h, SigV4.sha256Hex(body), d, r,
+        svc, AK, SK)
+    val bodySha = SigV4.sha256Hex("body".getBytes("UTF-8"))
+    assert(sig("PUT", "/bkt/warehouse/_catalog/000042", Nil,
+      Seq("host" -> "s3.local:9000", "if-none-match" -> "*",
+        "x-amz-content-sha256" -> bodySha,
+        "x-amz-date" -> "20260816T040000Z"),
+      "body".getBytes("UTF-8"), "20260816T040000Z", "us-east-1", "s3")
+      .endsWith("Signature=9879bd94b49cdbc5451101e1ff015931cb5992bf166996894a6ab1b0090a1809"))
+    assert(sig("GET", "/bkt/key with spaces+plus",
+      Seq("list-type" -> "2", "prefix" -> "a/b c"),
+      Seq("host" -> "example.com", "x-amz-date" -> "20260101T000000Z"),
+      Array.emptyByteArray, "20260101T000000Z", "eu-west-1", "s3")
+      .endsWith("Signature=4827f3de68615693ae94911cd49300954a70cbe19372a1892e9a373736506dc5"))
+    assert(sig("POST", "/",
+      Seq("Action" -> "Test", "Zed" -> "last", "aaa" -> "first"),
+      Seq("host" -> "svc.amazonaws.com",
+        "content-type" -> "application/json",
+        "x-amz-date" -> "20250630T235959Z"),
+      """{"k":1}""".getBytes("UTF-8"), "20250630T235959Z",
+      "ap-southeast-2", "sts")
+      .endsWith("Signature=6bdfe37ba44f07938f42d20aaeaaac13f96ea8cfb24ac2edbfe93b0ad29e2300"))
+    assert(sig("PUT", "/b/unicode-é中", Nil,
+      Seq("host" -> "h", "x-amz-date" -> "20260816T000000Z"),
+      Array.tabulate(256)(_.toByte), "20260816T000000Z",
+      "us-west-2", "s3")
+      .endsWith("Signature=ae3419c08b6759ec58c72526a48dec7ea7aeb36208277d7f830b1e781ab158ae"))
+    assert(sig("DELETE", "/b/k~tilde-._", Seq("versionId" -> "abc%3D"),
+      Seq("host" -> "h:8443", "x-amz-date" -> "20260201T120000Z",
+        "x-amz-security-token" -> "tok/+="),
+      Array.emptyByteArray, "20260201T120000Z", "us-east-2", "s3")
+      .endsWith("Signature=be6ed30f9255464286d48a780b43c2606cda7b14d612ac260e002d0caaabf48f"))
+  }
+
   test("uriEncode follows the AWS rules") {
     assert(SigV4.uriEncode("a/b c+d~e", encodeSlash = false) ==
       "a/b%20c%2Bd~e")
