@@ -154,10 +154,9 @@ object Bench {
       "q248_anomaly_days" -> (win ++ win),
       "q249_ratio_to_parent" -> cart,
       // round-10 additions: q254's quantile breaks are a 1-row
-      // broadcast cross; q259's day spine is the calendar-sized
-      // band-join cross (bounded at |pairs|×7 by construction)
-      "q254_delay_quantile_bands" -> cart,
-      "q259_rolling_wau" -> cart)
+      // broadcast cross (q259's former band-join cross became a
+      // map-side explode + semi-join in round 11 — clean lint now)
+      "q254_delay_quantile_bands" -> cart)
   }
 
   /** BENCH_FREEZE: per-round artifacts (…_rNN.jsonl) are write-once.

@@ -1247,19 +1247,24 @@ object SessionOps {
     * rolling-distinct metric every activity dashboard carries, which
     * plain windows can't express (no COUNT(DISTINCT) over a frame).
     * Scale shape: dedup to (day, user) pairs first (one fact-sized
-    * exchange, the row count collapses to active-pairs), then join
-    * the pairs against the CALENDAR-sized day spine with a 7-day band
-    * — a deliberate broadcast cross bounded at |pairs|×7 — and one
-    * distinct count per day. At any corpus size the blowup factor is
-    * the window length, never the data. Hash-exact. */
+    * exchange, the row count collapses to active-pairs), then emit
+    * each pair's exactly-7 contributing windows MAP-SIDE via
+    * `explode(sequence(day, day+6))` and broadcast-semi-join the
+    * observed-day spine (drops windows anchored on days with no
+    * events, matching the oracle's observed-days-only output), then
+    * one distinct count per day. Replaces the round-10 BNLJ band
+    * join, whose comparison cost scaled with the spine length
+    * (|pairs|×|days| predicate evaluations at years of history); the
+    * explode is |pairs|×7 at ANY spine length. Hash-exact. */
   private val q259: QFn = (s, d) => {
     val du = Tables.events(s, d)
       .select(floor(unix_micros(col("ts")) / (86400L * 1000000L))
         .cast("long").as("day"), col("user_id"))
       .distinct()
     val spine = du.select(col("day").as("asof_day")).distinct()
-    du.join(broadcast(spine),
-        col("day") >= col("asof_day") - 6 && col("day") <= col("asof_day"))
+    du.select(explode(sequence(col("day"), col("day") + 6))
+        .as("asof_day"), col("user_id"))
+      .join(broadcast(spine), Seq("asof_day"), "left_semi")
       .groupBy("asof_day")
       .agg(countDistinct(col("user_id")).as("wau7"))
   }

@@ -63,8 +63,14 @@ final class S3ConditionalPut(endpoint: String, region: String,
       fmt.format(new java.util.Date(clock()))
     }
     val hostHeader = {
+      // JDK HttpURLConnection omits the scheme's DEFAULT port from the
+      // Host header it actually sends, so signing "host:443" for an
+      // https endpoint would 403 every PUT — drop it to match the wire
       val p = base.getPort
-      if (p == -1) base.getHost else s"${base.getHost}:$p"
+      val defaultPort =
+        if (base.getScheme == "https") 443 else 80
+      if (p == -1 || p == defaultPort) base.getHost
+      else s"${base.getHost}:$p"
     }
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     try {
@@ -100,7 +106,15 @@ final class S3ConditionalPut(endpoint: String, region: String,
       } catch { case _: Exception => () }
       code match {
         case 200 | 201 => true
-        case 412 | 409 => false // object exists / conditional loss
+        // 412: the object definitively exists. 409 is AWS's
+        // ConditionalRequestConflict — a CONCURRENT conditional write
+        // was in flight and the outcome is UNKNOWN (the competing
+        // write may itself fail, leaving no object at the key). Both
+        // map to false here because every caller's contract is to
+        // RE-READ the key's state before re-arbitrating (Lease /
+        // AtomicPut do); `false` means "you did not win", never
+        // "an object provably exists".
+        case 412 | 409 => false
         case other => throw new java.io.IOException(
           s"conditional PUT $url failed: HTTP $other (neither created " +
             "nor a precondition loss — NOT retrying blindly, see class doc)")

@@ -74,10 +74,18 @@ object SigV4 {
       .sorted
       .map { case (k, v) => s"$k=$v" }
       .mkString("&")
-    val sortedHeaders = headers
+    val lowered = headers
       .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT),
         v.trim.replaceAll("  +", " ")) }
-      .sortBy(_._1)
+    // AWS requires repeated header names comma-joined into ONE
+    // canonical line; silently emitting two lines would sign a request
+    // the service canonicalizes differently (guaranteed 403)
+    require(lowered.map(_._1).distinct.size == lowered.size,
+      s"duplicate header names in SigV4 signing set: " +
+        lowered.map(_._1).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k }.mkString(", ") +
+        " — comma-join repeated values into one entry")
+    val sortedHeaders = lowered.sortBy(_._1)
     val canonicalHeaders =
       sortedHeaders.map { case (k, v) => s"$k:$v\n" }.mkString
     val signedHeaders = sortedHeaders.map(_._1).mkString(";")

@@ -89,6 +89,20 @@ class S3ConditionalPutSpec extends AnyFunSuite {
       .endsWith("Signature=be6ed30f9255464286d48a780b43c2606cda7b14d612ac260e002d0caaabf48f"))
   }
 
+  test("duplicate header names are rejected, not silently mis-signed " +
+      "(AWS canonicalizes repeats into ONE comma-joined line)") {
+    val ex = intercept[IllegalArgumentException] {
+      SigV4.authorization(
+        method = "GET", path = "/", query = Nil,
+        headers = Seq("host" -> "a.example", "Host" -> "b.example",
+          "x-amz-date" -> "20150830T123600Z"),
+        payloadSha256 = SigV4.sha256Hex(Array.emptyByteArray),
+        amzDate = "20150830T123600Z", region = REGION,
+        service = "s3", accessKey = AK, secretKey = SK)
+    }
+    assert(ex.getMessage.contains("host"))
+  }
+
   test("uriEncode follows the AWS rules") {
     assert(SigV4.uriEncode("a/b c+d~e", encodeSlash = false) ==
       "a/b%20c%2Bd~e")
