@@ -1,0 +1,340 @@
+package graft.fuzz
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Exact
+
+/** DIFFERENTIAL QUERY FUZZER (r10 verdict item 2): a seeded generator
+  * of random small query shapes over the star schema that emits each
+  * shape TWICE — as the DataFrame plan this library would build, and
+  * as the equivalent ANSI SQL for the DuckDB oracle — so the existing
+  * Verify/check_parity machinery can hash-compare them. The 265
+  * hand-written queries pin shapes the builder thought of; this finds
+  * the decimal/tie/type-coercion edge cases nobody writes by hand
+  * (the r8 DECIMAL boundary bug is exactly the class it catches).
+  *
+  * Grammar (deliberately inside the cross-engine-exact envelope the
+  * library already guarantees — the fuzzer probes OUR plan-building
+  * and the engines' shared semantics, not known representational
+  * differences):
+  *   src    := base table | FK inner join (7 pairs)
+  *   preds  := 0..2 of {money cmp int-literal, cat =/IN, date <=,
+  *             key % k = r}
+  *   form   := group-agg (count / count-distinct / Exact.dsum /
+  *             Exact.davg / min / max, optional HAVING on count)
+  *           | project (raw cols + IEEE-deterministic computed col)
+  *           | distinct | window top-k per group (rn tiebroken on pk)
+  *
+  * Double aggregation goes through [[Exact]] (decimal accumulator) on
+  * both sides — the library's own discipline; raw double projections
+  * and min/max are order-independent and bit-identical in both
+  * engines; window ranks carry a unique-key tiebreak.
+  *
+  * Every shape is reproducible from (seed, index): the spec prints
+  * the seed on failure and `gen(spark, sfDir, seed, i)` replays one
+  * shape exactly.
+  */
+object QueryFuzz {
+
+  final case class Shape(name: String, df: DataFrame, sql: String)
+
+  private sealed trait Kind
+  private case object KeyI extends Kind
+  private final case class Money(literals: Seq[Int]) extends Kind
+  private final case class Cat(values: Seq[String]) extends Kind
+  private case object DateK extends Kind
+
+  private final case class Col(name: String, kind: Kind)
+
+  private final case class Src(
+      from: String,                      // SQL FROM clause body
+      build: (SparkSession, String) => DataFrame,
+      cols: Seq[Col],
+      pk: String,                        // tiebreak key
+      pkUnique: Boolean = true)          // false: pk repeats (lineitem)
+
+  // ---- schema model (matches /root/testdata parquet exactly) ----
+
+  private val prices = Seq(5000, 20000, 50000, 90000)
+  private val lineitem = Src("lineitem", Tables.lineitem, Seq(
+    Col("l_orderkey", KeyI), Col("l_partkey", KeyI), Col("l_suppkey", KeyI),
+    Col("l_quantity", Money(Seq(5, 15, 25, 45))),
+    Col("l_extendedprice", Money(prices)),
+    Col("l_returnflag", Cat(Seq("A", "N", "R"))),
+    Col("l_linestatus", Cat(Seq("F", "O"))),
+    Col("l_shipdate", DateK)), pk = "l_orderkey", pkUnique = false)
+  private val orders = Src("orders", Tables.orders, Seq(
+    Col("o_orderkey", KeyI), Col("o_custkey", KeyI),
+    Col("o_totalprice", Money(Seq(20000, 100000, 250000, 400000))),
+    Col("o_orderstatus", Cat(Seq("F", "O", "P"))),
+    Col("o_orderpriority", Cat(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW"))),
+    Col("o_orderdate", DateK)), pk = "o_orderkey")
+  private val customer = Src("customer", Tables.customer, Seq(
+    Col("c_custkey", KeyI), Col("c_nationkey", KeyI),
+    Col("c_acctbal", Money(Seq(-500, 0, 3000, 9000))),
+    Col("c_mktsegment", Cat(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")))), pk = "c_custkey")
+  private val supplier = Src("supplier", Tables.supplier, Seq(
+    Col("s_suppkey", KeyI), Col("s_nationkey", KeyI),
+    Col("s_acctbal", Money(Seq(-500, 0, 3000, 9000)))), pk = "s_suppkey")
+  private val part = Src("part", Tables.part, Seq(
+    Col("p_partkey", KeyI),
+    Col("p_size", Money(Seq(10, 25, 40))),
+    Col("p_retailprice", Money(Seq(920, 950, 990))),
+    Col("p_brand", Cat(Seq("Brand#1", "Brand#7", "Brand#13", "Brand#20",
+      "Brand#25")))), pk = "p_partkey")
+  private val nation = Src("nation", Tables.nation, Seq(
+    Col("n_nationkey", KeyI), Col("n_regionkey", KeyI),
+    Col("n_name", Cat(Seq.empty))), pk = "n_nationkey")
+  private val region = Src("region", Tables.region, Seq(
+    Col("r_regionkey", KeyI),
+    Col("r_name", Cat(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+      "MIDDLE EAST")))), pk = "r_regionkey")
+
+  private val bases = Seq(lineitem, orders, customer, supplier, part,
+    nation, region)
+
+  /** FK inner-join pairs; the joined Src exposes both sides' columns
+    * (TPC-H prefixes keep names unique) and the fact side's pk. */
+  private def joined(a: Src, b: Src, ak: String, bk: String): Src = Src(
+    s"${a.from} JOIN ${b.from} ON $ak = $bk",
+    (s, d) => a.build(s, d).join(b.build(s, d), col(ak) === col(bk)),
+    a.cols ++ b.cols, a.pk, a.pkUnique)
+  private val joins = Seq(
+    joined(lineitem, orders, "l_orderkey", "o_orderkey"),
+    joined(orders, customer, "o_custkey", "c_custkey"),
+    joined(customer, nation, "c_nationkey", "n_nationkey"),
+    joined(lineitem, part, "l_partkey", "p_partkey"),
+    joined(lineitem, supplier, "l_suppkey", "s_suppkey"),
+    joined(supplier, nation, "s_nationkey", "n_nationkey"),
+    joined(nation, region, "n_regionkey", "r_regionkey"))
+
+  private val dates = Seq("1996-03-01", "1997-07-15", "1998-12-31",
+    "2000-06-30", "2001-01-01")
+
+  private def pick[A](rng: Random, xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+
+  // ---- predicate generation: (DataFrame condition, SQL text) ----
+
+  private def genPred(rng: Random, cols: Seq[Col]): Option[(Column, String)] = {
+    val usable = cols.filter {
+      case Col(_, Cat(vs)) => vs.nonEmpty
+      case _ => true
+    }
+    if (usable.isEmpty) return None
+    val c = pick(rng, usable)
+    c.kind match {
+      case Money(lits) =>
+        val v = pick(rng, lits)
+        if (rng.nextBoolean())
+          Some((col(c.name) >= lit(v), s"${c.name} >= $v"))
+        else Some((col(c.name) <= lit(v), s"${c.name} <= $v"))
+      case Cat(vs) =>
+        if (rng.nextBoolean() || vs.length < 2) {
+          val v = pick(rng, vs)
+          Some((col(c.name) === lit(v), s"${c.name} = '$v'"))
+        } else {
+          val picked = rng.shuffle(vs).take(2).sorted
+          Some((col(c.name).isin(picked: _*),
+            s"${c.name} IN (${picked.map(v => s"'$v'").mkString(", ")})"))
+        }
+      case DateK =>
+        val v = pick(rng, dates)
+        Some((col(c.name) <= lit(v).cast("timestamp"),
+          s"${c.name} <= TIMESTAMP '$v'"))
+      case KeyI =>
+        val k = 2 + rng.nextInt(9); val r = rng.nextInt(k)
+        Some((col(c.name) % lit(k) === lit(r), s"${c.name} % $k = $r"))
+    }
+  }
+
+  // ---- aggregate generation ----
+
+  private def genAgg(rng: Random, cols: Seq[Col], i: Int)
+      : (Column, String, String) = {
+    val money = cols.collect { case c @ Col(_, Money(_)) => c }
+    val keys = cols.collect { case c @ Col(_, KeyI) => c }
+    val alias = s"a$i"
+    rng.nextInt(6) match {
+      case 0 => (count(lit(1)).as(alias),
+        s"CAST(COUNT(*) AS BIGINT) AS $alias", alias)
+      case 1 =>
+        val k = pick(rng, keys)
+        (countDistinct(col(k.name)).as(alias),
+          s"CAST(COUNT(DISTINCT ${k.name}) AS BIGINT) AS $alias", alias)
+      case 2 if money.nonEmpty =>
+        val m = pick(rng, money)
+        (Exact.dsum(col(m.name)).as(alias),
+          s"${Exact.sqlSum(m.name)} AS $alias", alias)
+      case 3 if money.nonEmpty =>
+        val m = pick(rng, money)
+        (Exact.davg(col(m.name)).as(alias),
+          s"${Exact.sqlAvg(m.name)} AS $alias", alias)
+      case 4 if money.nonEmpty =>
+        val m = pick(rng, money)
+        (min(col(m.name)).as(alias), s"MIN(${m.name}) AS $alias", alias)
+      case 5 if money.nonEmpty =>
+        val m = pick(rng, money)
+        (max(col(m.name)).as(alias), s"MAX(${m.name}) AS $alias", alias)
+      case _ => (count(lit(1)).as(alias),
+        s"CAST(COUNT(*) AS BIGINT) AS $alias", alias)
+    }
+  }
+
+  /** Group keys: a categorical column, or a key-modulo bucket (cast to
+    * BIGINT on both sides so int32 sources don't differ in dtype). */
+  private def genGroupKey(rng: Random, cols: Seq[Col], i: Int)
+      : (Column, Column, String, String) = {
+    val cats = cols.collect { case c @ Col(_, Cat(vs)) => c }
+    val keys = cols.collect { case c @ Col(_, KeyI) => c }
+    if (cats.nonEmpty && rng.nextBoolean()) {
+      val c = pick(rng, cats)
+      (col(c.name), col(c.name), c.name, c.name)
+    } else {
+      val c = pick(rng, keys)
+      val k = 2 + rng.nextInt(9)
+      val alias = s"g$i"
+      ((col(c.name) % lit(k)).cast("long").as(alias), col(alias),
+        s"CAST(${c.name} % $k AS BIGINT) AS $alias", alias)
+    }
+  }
+
+  // ---- one shape ----
+
+  def gen(spark: SparkSession, sfDir: String, seed: Long, index: Int): Shape = {
+    val rng = new Random(seed * 1000003L + index)
+    val src = if (rng.nextInt(100) < 40) pick(rng, joins) else pick(rng, bases)
+    val name = f"fuzz_$index%04d"
+    var df = src.build(spark, sfDir)
+    val preds = (0 until rng.nextInt(3)).flatMap(_ => genPred(rng, src.cols))
+    preds.foreach { case (c, _) => df = df.filter(c) }
+    val where = if (preds.isEmpty) ""
+      else " WHERE " + preds.map(_._2).mkString(" AND ")
+    val from = s" FROM ${src.from}$where"
+
+    rng.nextInt(100) match {
+      case f if f < 45 =>
+        // group-agg, optional HAVING on an always-included count
+        val nKeys = 1 + rng.nextInt(2)
+        val keys = (0 until nKeys).map(i => genGroupKey(rng, src.cols, i))
+          .distinctBy(_._4)  // two draws can hit the same column
+        val nAggs = 1 + rng.nextInt(3)
+        val aggs = (0 until nAggs).map(i => genAgg(rng, src.cols, i))
+        val having = rng.nextInt(100) < 30
+        val aggCols = (if (having) Seq((count(lit(1)).as("cnt"),
+          "CAST(COUNT(*) AS BIGINT) AS cnt", "cnt")) else Nil) ++ aggs
+        var out = df.groupBy(keys.map(_._1): _*)
+          .agg(aggCols.head._1, aggCols.tail.map(_._1): _*)
+        val hv = 2 + rng.nextInt(5)
+        if (having) out = out.filter(col("cnt") >= lit(hv))
+        val sql = s"SELECT ${(keys.map(_._3) ++ aggCols.map(_._2)).mkString(", ")}" +
+          from + s" GROUP BY ${keys.map(_._4).mkString(", ")}" +
+          (if (having) s" HAVING CAST(COUNT(*) AS BIGINT) >= $hv" else "")
+        Shape(name, out, sql)
+
+      case f if f < 70 =>
+        // projection: raw cols (no dates) + one IEEE-deterministic
+        // computed column when two money cols exist
+        val projectable = src.cols.filter {
+          case Col(_, DateK) => false
+          case Col(_, Cat(vs)) => true
+          case _ => true
+        }
+        val chosen = rng.shuffle(projectable).take(2 + rng.nextInt(3))
+        val money = src.cols.collect { case c @ Col(_, Money(_)) => c }
+        val computed = if (money.size >= 2 && rng.nextBoolean()) {
+          val a = pick(rng, money); val b = pick(rng, money)
+          Seq(((col(a.name) * (lit(1) - col(b.name))).as("x0"),
+            s"${a.name} * (1 - ${b.name}) AS x0"))
+        } else Nil
+        val out = df.select(chosen.map(c => col(c.name)) ++
+          computed.map(_._1): _*)
+        val sql = s"SELECT ${(chosen.map(_.name) ++
+          computed.map(_._2)).mkString(", ")}" + from
+        Shape(name, out, sql)
+
+      case f if f < 85 =>
+        // distinct over low-cardinality projections
+        val lowCard = src.cols.filter {
+          case Col(_, Cat(vs)) => vs.nonEmpty
+          case _ => false
+        }
+        if (lowCard.isEmpty) {
+          val k = pick(rng, src.cols.collect { case c @ Col(_, KeyI) => c })
+          val out = df.select((col(k.name) % lit(7)).cast("long").as("b"))
+            .distinct()
+          Shape(name, out,
+            s"SELECT DISTINCT CAST(${k.name} % 7 AS BIGINT) AS b" + from)
+        } else {
+          val chosen = rng.shuffle(lowCard).take(1 + rng.nextInt(2))
+          val out = df.select(chosen.map(c => col(c.name)): _*).distinct()
+          Shape(name, out,
+            s"SELECT DISTINCT ${chosen.map(_.name).mkString(", ")}" + from)
+        }
+
+      case _ =>
+        // window top-k per group with pk tiebreak (sources with a
+        // money col and a category; fall back to orders)
+        val cats = src.cols.collect {
+          case c @ Col(_, Cat(vs)) if vs.nonEmpty => c }
+        val money = src.cols.collect { case c @ Col(_, Money(_)) => c }
+        if (cats.isEmpty || money.isEmpty || !src.pkUnique) {
+          val out = df.groupBy().agg(count(lit(1)).as("cnt"))
+          Shape(name, out, s"SELECT CAST(COUNT(*) AS BIGINT) AS cnt" + from)
+        } else {
+          val g = pick(rng, cats); val m = pick(rng, money)
+          val desc = rng.nextBoolean()
+          val k = 1 + rng.nextInt(4)
+          val ord = if (desc) Seq(col(m.name).desc, col(src.pk).asc)
+            else Seq(col(m.name).asc, col(src.pk).asc)
+          val w = Window.partitionBy(col(g.name)).orderBy(ord: _*)
+          val out = df
+            .select(col(g.name), col(src.pk), col(m.name))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= lit(k))
+          val dir = if (desc) "DESC" else "ASC"
+          val sql =
+            s"SELECT ${g.name}, ${src.pk}, ${m.name}, rn FROM (" +
+              s"SELECT ${g.name}, ${src.pk}, ${m.name}, " +
+              s"CAST(ROW_NUMBER() OVER (PARTITION BY ${g.name} " +
+              s"ORDER BY ${m.name} $dir, ${src.pk}) AS INT) AS rn" + from +
+              s") WHERE rn <= $k"
+          Shape(name, out, sql)
+        }
+    }
+  }
+
+  /** Generate n shapes for a seed. */
+  def shapes(spark: SparkSession, sfDir: String, seed: Long, n: Int)
+      : Seq[Shape] = (0 until n).map(gen(spark, sfDir, seed, _))
+
+  /** Dump shapes in the exact format `tools/check_parity.py` consumes
+    * (per-query parquet dir + oracle_sql.json) — the same contract as
+    * graft.Verify. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      seed: Long, n: Int): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val ss = shapes(spark, sfDir, seed, n)
+    ss.foreach { s =>
+      s.df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/${s.name}")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = ss.map(s => s"${q(s.name)}: ${q(s.sql)}").mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+}

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * code/vec_id tiebreaks everywhere.
   *
   * On unit-norm embeddings (the corpus convention — Multimodal
-  * `embedStub` emits unit vectors) euclidean PQ ranking is exactly
+  * `embedImages` emits unit vectors) euclidean PQ ranking is exactly
   * cosine ranking: |q−x|² = 2 − 2·cos(q,x).
   */
 object VectorPQ {

@@ -1915,70 +1915,91 @@ class OperatorsSpec extends SparkSpec {
     assert(noSplit.count() > 0)
   }
 
-  test("multimodal near-dup videos: frame-hash Jaccard finds the re-upload") {
+  test("multimodal near-dup videos: perceptual frame-hash Jaccard finds the re-upload") {
     import spark.implicits._
-    // A = 4 frames; B = A plus one appended frame (a trailing-card
-    // re-upload: jaccard 4/5); C = unrelated
-    val fb = 64
-    def frame(seed: Int): Array[Byte] =
-      Array.tabulate(fb)(i => ((seed * 31 + i * 7) % 251).toByte)
-    val a = (0 until 4).flatMap(frame).toArray
-    val b = a ++ frame(99)
-    val c = (10 until 14).flatMap(frame).toArray
+    // A = 4 real PNG frames; B = A plus one appended frame (a
+    // trailing-card re-upload: jaccard 4/5); C = unrelated frames
+    def frame(seed: Long): Array[Byte] =
+      operators.ImageCodec.encodePng(seed, 12, 10)
+    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      out.flush(); bos.toByteArray
+    }
+    val aF = (0 until 4).map(i => frame(1000L + i))
+    val a = container(aF)
+    val b = container(aF :+ frame(9900L))
+    val c = container((10 until 14).map(i => frame(2000L + i)))
     val blobs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "payload")
     val pairs = operators.Multimodal
-      .nearDupVideoPairs(blobs, t = 0.7, frameBytes = fb, everyN = 1)
+      .nearDupVideoPairs(blobs, t = 0.7, everyN = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getLong(2), r.getDouble(3)))
     assert(pairs.toSeq == Seq((1L, 2L, 4L, 0.8)),
       pairs.mkString(","))
     val kept = operators.Multimodal
-      .dropNearDupVideos(blobs, t = 0.7, frameBytes = fb, everyN = 1)
+      .dropNearDupVideos(blobs, t = 0.7, everyN = 1)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L)) // B dropped: smaller near-dup A exists
     // below the threshold nothing pairs and everything survives
     assert(operators.Multimodal
-      .nearDupVideoPairs(blobs, t = 0.9, frameBytes = fb, everyN = 1)
+      .nearDupVideoPairs(blobs, t = 0.9, everyN = 1)
       .count() == 0)
-    // and the real blob table runs end to end deterministically
-    val real = operators.Multimodal.blobTable(spark, sfDir).limit(50)
-    val p1 = operators.Multimodal.nearDupVideoPairs(real, 0.5).collect()
-    val p2 = operators.Multimodal.nearDupVideoPairs(real, 0.5).collect()
-    assert(p1.map(_.toString).sorted.sameElements(p2.map(_.toString).sorted))
+    // perceptual, not byte-level: a RE-ENCODE of A's pixels (decode →
+    // re-encode PNG) hashes identically, so the pair still surfaces
+    val reenc = container(aF.map(f => operators.ImageCodec.toPng(
+      operators.ImageCodec.decode(f))))
+    val blobs2 = Seq((1L, a), (4L, reenc)).toDF("doc_id", "payload")
+    assert(operators.Multimodal.nearDupVideoPairs(blobs2, t = 0.99, everyN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+    // the corpus video table: planted re-uploads (doc_id % 10 == 7)
+    // pair with their predecessor at jaccard 1, deterministically
+    val vids = operators.Multimodal.videoTable(spark, sfDir)
+    val p1 = operators.Multimodal.nearDupVideoPairs(vids, 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = vids.select("doc_id").collect().map(_.getLong(0)).toSet
+      .filter(b => b % 10 == 7).map(b => (b - 1, b)).toSeq.sorted
+    assert(p1 == want, s"got $p1 want $want")
+    val p2 = operators.Multimodal.nearDupVideoPairs(vids, 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(p1 == p2)
   }
 
-  test("multimodal resize + frame-sample: deterministic, partition-invariant, 1->N") {
-    val blobs = operators.Multimodal.blobTable(spark, sfDir)
-    val r1 = operators.Multimodal.resizeStub(blobs, 32, 24)
+  test("multimodal resize: real bilinear, decodes back to target dims, partition-invariant") {
+    val blobs = operators.Multimodal.imageTable(spark, sfDir)
+    val r1 = operators.Multimodal.resizeImages(blobs, 32, 24)
       .orderBy("doc_id").collect()
-    val r2 = operators.Multimodal.resizeStub(blobs.repartition(5), 32, 24)
+    val r2 = operators.Multimodal.resizeImages(blobs.repartition(5), 32, 24)
       .orderBy("doc_id").collect()
     assert(r1.length == blobs.count())
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq)
     assert(r1.map(key).toSeq == r2.map(key).toSeq)
     r1.foreach { r =>
-      assert(r.getAs[Array[Byte]]("payload").length == 32 * 24)
-      assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 24)
+      // the resized payload is a REAL PNG: decode it and check dims
+      val img = operators.ImageCodec.decode(r.getAs[Array[Byte]]("payload"))
+      assert(img.getWidth == 32 && img.getHeight == 24)
     }
-    val frames = operators.Multimodal.frameSampleStub(blobs, frameBytes = 64,
-      everyN = 4).collect()
+    // real demux 1->N with frame sampling: indices stride everyN
+    val vids = operators.Multimodal.videoTable(spark, sfDir)
+    val frames = operators.Multimodal.demuxFrames(vids, everyN = 2).collect()
     assert(frames.nonEmpty)
-    // 1->N: at least one blob yields multiple frames, indices stride 4
     val byDoc = frames.groupBy(_.getLong(0))
     assert(byDoc.values.exists(_.length > 1))
     frames.foreach { f =>
-      assert(f.getInt(1) % 4 == 0)
-      assert(f.getAs[Array[Byte]](2).length == 64)
+      assert(f.getInt(1) % 2 == 0)
+      // every sampled frame is a decodable PNG
+      operators.ImageCodec.decode(f.getAs[Array[Byte]](2))
     }
   }
 
-  test("multimodal embed stub feeds the vector stack unchanged") {
-    val blobs = Multimodal.blobTable(spark, sfDir).limit(100)
-    val emb = Multimodal.embedStub(blobs, dim = 16)
+  test("multimodal image embeddings feed the vector stack unchanged") {
+    val blobs = Multimodal.imageTable(spark, sfDir).limit(100)
+    val emb = Multimodal.embedImages(blobs)
     // deterministic + partition-invariant
     val a = emb.collect().map(_.toString).sorted.toSeq
-    val b = Multimodal.embedStub(blobs.repartition(7), dim = 16)
+    val b = Multimodal.embedImages(blobs.repartition(7))
       .collect().map(_.toString).sorted.toSeq
     assert(a == b && a.nonEmpty)
     // unit-L2-normalized
@@ -1993,18 +2014,37 @@ class OperatorsSpec extends SparkSpec {
     val hits = VectorIndex.search(spark, dir,
       emb.filter(col("vec_id") < 3), nprobe = 2, k = 3)
     assert(hits.groupBy("probe_id").count().collect().forall(_.getLong(1) == 3))
+    // planted byte-identical near-dups land at cosine 1 with their
+    // original — the real content feature separates dup from non-dup
+    val byId = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    byId.keys.filter(id => id % 10 == 7 && byId.contains(id - 1)).foreach { id =>
+      val d = byId(id).zip(byId(id - 1)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - 1.0) < 1e-6, s"planted dup $id cosine $d")
+    }
   }
 
-  test("multimodal decode stub: deterministic, right shape, partition-invariant") {
-    val blobs = operators.Multimodal.blobTable(spark, sfDir)
-    val f1 = operators.Multimodal.decodeStub(blobs).orderBy("doc_id").collect()
-    val f2 = operators.Multimodal.decodeStub(blobs.repartition(7)).orderBy("doc_id").collect()
+  test("multimodal real decode: dims/channels match the corpus contract") {
+    val blobs = operators.Multimodal.imageTable(spark, sfDir)
+    val f1 = operators.Multimodal.decodeImages(blobs).orderBy("doc_id").collect()
+    val f2 = operators.Multimodal.decodeImages(blobs.repartition(7))
+      .orderBy("doc_id").collect()
     assert(f1.length == blobs.count())
     assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
     f1.foreach { r =>
-      assert(r.getSeq[Double](r.fieldIndex("feature")).length == 8)
-      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
+      val seed = operators.Multimodal.imageSeed(r.getLong(0))
+      assert(r.getAs[Int]("width") == operators.Multimodal.imgW(seed))
+      assert(r.getAs[Int]("height") == operators.Multimodal.imgH(seed))
+      assert(r.getAs[Int]("channels") == 3)
     }
+    // q268's pair set IS the planted set at this sf too (the oracle
+    // pins sf0.01; this pins the tiny-sf shape the thresholds can miss)
+    val pairs = Multimodal.queries("q268_phash_dups")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ids = blobs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = ids.filter(b => b % 10 == 7 && ids.contains(b - 1))
+      .map(b => (b - 1, b)).toSeq.sorted
+    assert(pairs == want)
   }
 
   test("q99: temperature mixing is deterministic and boosts the tail sources") {
