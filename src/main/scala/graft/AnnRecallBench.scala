@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN RECALL vs CORPUS SCALE (r10 verdict item 5): recall@3/@10 of
+  * the persisted IVF-PQ search path at ScaleGen sf0.1 / sf1 / sf10
+  * (2 k / 20 k / 200 k vectors) with nlist scaled ≈ √n, measured on
+  * TWO corpora per scale:
+  *
+  *  - the ScaleGen `embeddings` table — by design UNSTRUCTURED
+  *    (i.i.d. Gaussian unit vectors, mirroring the driver data where
+  *    within-label cosine ≈ cross-label ≈ 0). On such data IVF
+  *    routing carries no signal for non-dup neighbors, so recall
+  *    tracks the COVERED FRACTION nprobe/nlist — the documented
+  *    information-theoretic behavior of cell-probe indexes on
+  *    near-orthogonal vectors, not an implementation defect. The
+  *    separating rows (fixed nprobe=8 decaying as nlist grows; a
+  *    constant-coverage nprobe ≈ 0.8·nlist holding recall flat)
+  *    are the evidence.
+  *  - a CLUSTERED corpus (√n true centers + 0.25σ noise, generated
+  *    deterministically the ScaleGen way) — real corpora cluster,
+  *    and here the published sizing rule (nlist ≈ √n,
+  *    nprobe ≈ √nlist) must hold recall@10 ≥ 0.85 at every scale.
+  *
+  * Knob rule this measures (documented in SURVEY §2.3): scale
+  * nlist ≈ √n; scale nprobe ≈ √nlist on clustered corpora; on
+  * unstructured corpora hold nprobe/nlist constant (recall ≈
+  * coverage) or use the exact-recall SQ8 path (q87).
+  *
+  *   SPARK_GRAFT_ANN_OUT=bench_artifacts/ann_recall_r11.jsonl \
+  *     sbt "runMain graft.AnnRecallBench scaledata/sf0.1 scaledata/sf1 scaledata/sf10"
+  */
+object AnnRecallBench {
+
+  // deterministic hash-derived uniforms/gaussians (ScaleGen's
+  // generation discipline — same tags give the same corpus forever)
+  private def u(tag: String, cols: Column*): Column =
+    pmod(xxhash64((lit(tag) +: cols): _*), lit(1000000000L))
+      .cast("double") / 1e9
+  private def gauss(tag: String, cols: Column*): Column = {
+    val u1 = u(tag + ":u1", cols: _*) + lit(1e-12)
+    val u2 = u(tag + ":u2", cols: _*)
+    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  /** Clustered corpus: √n true centers, vectors = center + 0.25σ
+    * noise, unit-normalized — the structure real embedding corpora
+    * have and the ScaleGen table deliberately lacks. */
+  def clusteredEmbeddings(s: SparkSession, n: Long, dim: Int = 64): DataFrame = {
+    val k = math.max(4L, math.round(math.sqrt(n.toDouble)))
+    val cid = pmod(xxhash64(lit("cl_c"), col("id")), lit(k))
+    val raw = transform(sequence(lit(0), lit(dim - 1)), j =>
+      gauss("cl_cent", cid, j) + gauss("cl_n", col("id"), j) * lit(0.25))
+    val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+    s.range(n).select(
+      col("id").as("vec_id"),
+      transform(raw, x => (x / norm).cast("float")).as("embedding"),
+      cid.cast("int").as("label"))
+  }
+
+  /** recall@k of searchPQ on `path` vs brute-force exact top-k for
+    * the 32 lowest vec_ids (deterministic probe set — comparable
+    * across corpora and rounds). Mirrors Bench.measuredPqRecall. */
+  def recallAt(spark: SparkSession, path: String, emb: DataFrame,
+      k: Int, nprobe: Int, rf: Int): Double = {
+    val probes = emb.filter(col("vec_id") < 32)
+    val got = graft.operators.VectorIndex
+      .searchPQ(spark, path, probes, emb, nprobe = nprobe, k = k,
+        rerankFactor = rf)
+      .select("probe_id", "neighbor_id")
+    val scored = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pe"))), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.cosineSim(col("pe"), col("ne"))
+          .as("c"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    val exact = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k).select("probe_id", "neighbor_id")
+    val denom = exact.count()
+    if (denom == 0) 0.0
+    else got.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .count().toDouble / denom
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AnnRecallBench <sfDir> [<sfDir> ...]")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_ANN_OUT",
+      "bench_artifacts/ann_recall.jsonl")
+    Bench.assertNotFrozen(outFile)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rows = args.toSeq.flatMap { dir =>
+      val unstructured = Tables.embeddings(spark, dir)
+      val n = unstructured.count()
+      // the published IVF sizing rule: nlist ≈ √n keeps list count
+      // and per-list scan cost balanced as the corpus grows
+      val nlist = math.max(10, math.round(math.sqrt(n.toDouble)).toInt)
+      // training stays sample-bounded (the 100-TB discipline): cap
+      // the auto 128·k sample so index build cost grows ~√n, not n
+      val trainSample = math.max(1024, math.min(128 * nlist, 25000))
+      val npSqrt = math.max(8, math.round(math.sqrt(nlist.toDouble)).toInt)
+      val npCover = math.max(8, math.ceil(0.8 * nlist).toInt)
+      val corpora = Seq(
+        ("unstructured", unstructured,
+          Seq(("prod", 8), ("sqrt_nlist", npSqrt), ("coverage80", npCover))),
+        ("clustered", clusteredEmbeddings(spark, n),
+          Seq(("prod", 8), ("sqrt_nlist", npSqrt))))
+      corpora.flatMap { case (corpus, emb, knobs) =>
+        val path = s"$dir/ann_recall_${corpus}_nlist$nlist"
+        val t0 = System.nanoTime()
+        if (!graft.operators.VectorIndex.isPQ(spark, path))
+          graft.operators.VectorIndex.buildPQ(emb, path, k = nlist,
+            m = 16, ksub = 16, iters = 5, residual = true, packed = true,
+            opq = true, trainSample = trainSample)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        knobs.map { case (tag, np) =>
+          val r3 = recallAt(spark, path, emb, 3, np, rf = 32)
+          val r10 = recallAt(spark, path, emb, 10, np, rf = 32)
+          val row = f"""{"dir":"$dir","corpus":"$corpus","n_vectors":$n,""" +
+            f""""nlist":$nlist,"knobs":"$tag","nprobe":$np,""" +
+            f""""rerank_factor":32,"build_sec":$buildSec%.1f,""" +
+            f""""recall_at_3":$r3%.4f,"recall_at_10":$r10%.4f}"""
+          println(s"ANN_RECALL $row")
+          row
+        }
+      }
+    }
+    Bench.assertNotFrozen(outFile)
+    val p = java.nio.file.Paths.get(outFile)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+    println(s"ANN_RECALL_ARTIFACT $outFile")
+    spark.stop()
+  }
+}

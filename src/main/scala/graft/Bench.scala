@@ -96,7 +96,8 @@ object Bench {
     "q258_prefix_dup_groups", "q259_rolling_wau",
     "q260_journey_trigrams", "q261_price_band_mix",
     "q262_tail_ratio", "q263_cross_source_dups",
-    "q264_asof_nearest", "q265_session_conversion")
+    "q264_asof_nearest", "q265_session_conversion",
+    "q266_image_meta", "q267_video_frames", "q268_phash_dups")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows

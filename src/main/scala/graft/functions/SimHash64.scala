@@ -687,6 +687,26 @@ object GraftFunctions {
   private[functions] val graftFilesInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "graft_files")
 
+  /** Table function `delta_read('tablePath'[, asOfVersion])` — the
+    * read-only Delta Lake compatibility reader as a SQL relation
+    * (sources.DeltaCompat): replayed JSON commit log, partition
+    * columns attached, Catalyst-pruned unioned scans. */
+  private[functions] val deltaReadBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1 || args.size == 2,
+        "delta_read expects (tablePath[, asOfVersion])")
+      val spark = SparkSession.active
+      val asOf = if (args.size == 2)
+        Some(args(1).eval(null).asInstanceOf[Number].longValue())
+      else None
+      graft.sources.DeltaCompat.read(spark, args.head.eval(null).toString,
+        asOf).queryExecution.analyzed
+    }
+
+  private[functions] val deltaReadInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "delta_read")
+
   /** The ONE list of (identifier, info, builder) table-function
     * entries. Both registration paths — [[registerTableFunctions]]
     * (runtime) and [[GraftExtensions]] (session build) — iterate this
@@ -728,7 +748,9 @@ object GraftFunctions {
       (FunctionIdentifier("graft_catalog"), graftCatalogInfo,
         graftCatalogBuilder),
       (FunctionIdentifier("graft_lint"), graftLintInfo,
-        graftLintBuilder))
+        graftLintBuilder),
+      (FunctionIdentifier("delta_read"), deltaReadInfo,
+        deltaReadBuilder))
 
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */

@@ -29,7 +29,17 @@ import org.apache.spark.sql.Dataset
 object Checkpoints {
 
   /** When set (non-empty), every [[cut]] is a reliable checkpoint
-    * into this directory; unset → executor-local (fast, single-node). */
+    * into this directory; unset → executor-local (fast, single-node).
+    *
+    * MULTI-SESSION CAVEAT (r10 verdict finding 4): the underlying
+    * `SparkContext.setCheckpointDir` is PROCESS-GLOBAL, and the
+    * `setFor` cache below is last-writer-wins — two SparkSessions in
+    * one JVM configured with DIFFERENT checkpoint dirs would thrash
+    * the context-level dir (each cut re-pointing it). Results stay
+    * correct (every checkpoint still lands under whichever dir was
+    * set when it ran), but files interleave across the two dirs. If
+    * this library is ever embedded in a multi-session server, key the
+    * cache per SparkContext; every current caller is single-session. */
   val DirKey = "spark.graft.checkpointDir"
 
   /** Cut the lineage of `ds`, eagerly materializing it. */
