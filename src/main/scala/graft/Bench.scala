@@ -97,7 +97,8 @@ object Bench {
     "q260_journey_trigrams", "q261_price_band_mix",
     "q262_tail_ratio", "q263_cross_source_dups",
     "q264_asof_nearest", "q265_session_conversion",
-    "q266_image_meta", "q267_video_frames", "q268_phash_dups")
+    "q266_image_meta", "q267_video_frames", "q268_phash_dups",
+    "q269_delta_roundtrip")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows

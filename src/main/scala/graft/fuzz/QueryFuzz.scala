@@ -205,6 +205,24 @@ object QueryFuzz {
     }
   }
 
+  /** Left-join shapes: fact LEFT JOIN (dim WHERE pred) — the filtered
+    * right side makes the null path REAL (TPC-H FKs always match, so
+    * an unfiltered left join degenerates to inner). Outputs stay
+    * null-free: count(*) vs null-skipping count(dim key) vs
+    * Exact-summed COALESCE(dim money, 0). */
+  private final case class LeftJoin(fact: Src, dim: Src, fk: String,
+      dk: String, factGroup: Col)
+  private val leftJoins = Seq(
+    LeftJoin(orders, customer, "o_custkey", "c_custkey",
+      Col("o_orderstatus", Cat(Seq("F", "O", "P")))),
+    LeftJoin(lineitem, part, "l_partkey", "p_partkey",
+      Col("l_returnflag", Cat(Seq("A", "N", "R")))),
+    LeftJoin(lineitem, orders, "l_orderkey", "o_orderkey",
+      Col("l_linestatus", Cat(Seq("F", "O")))),
+    LeftJoin(customer, supplier, "c_nationkey", "s_nationkey",
+      Col("c_mktsegment", Cat(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")))))
+
   // ---- one shape ----
 
   def gen(spark: SparkSession, sfDir: String, seed: Long, index: Int): Shape = {
@@ -219,7 +237,71 @@ object QueryFuzz {
     val from = s" FROM ${src.from}$where"
 
     rng.nextInt(100) match {
-      case f if f < 45 =>
+      case f if f >= 90 =>
+        // set operations: two filtered variants of one table,
+        // projected to low-card columns — INTERSECT / EXCEPT / UNION
+        // are set-semantic (dedup) in BOTH engines
+        val s2 = pick(rng, Seq(lineitem, orders, customer, part, region))
+        val cats = s2.cols.collect {
+          case c @ Col(_, Cat(vs)) if vs.nonEmpty => c }
+        val proj = rng.shuffle(cats).take(1 + rng.nextInt(2)).map(_.name)
+        val Some((c1, s1sql)) = genPred(rng, s2.cols)
+        val Some((c2, s2sql)) = genPred(rng, s2.cols)
+        val a = s2.build(spark, sfDir).filter(c1)
+          .select(proj.map(col): _*)
+        val b = s2.build(spark, sfDir).filter(c2)
+          .select(proj.map(col): _*)
+        val (out, op) = rng.nextInt(3) match {
+          case 0 => (a.intersect(b), "INTERSECT")
+          case 1 => (a.except(b), "EXCEPT")
+          case _ => (a.union(b).distinct(), "UNION")
+        }
+        val sel = proj.mkString(", ")
+        Shape(name, out,
+          s"SELECT $sel FROM ${s2.from} WHERE $s1sql $op " +
+            s"SELECT $sel FROM ${s2.from} WHERE $s2sql")
+
+      case f if f >= 78 =>
+        // fact LEFT JOIN (dim WHERE pred): real null rows (TPC-H FKs
+        // always match, so the dim filter is what makes misses);
+        // outputs null-free via count/COALESCE
+        val lj = pick(rng, leftJoins)
+        val dimCats = lj.dim.cols.collect {
+          case c @ Col(_, Cat(vs)) if vs.nonEmpty => c }
+        val (dimPred, dimPredSql) =
+          if (dimCats.nonEmpty) {
+            val c = dimCats(rng.nextInt(dimCats.length))
+            val vs = c.kind.asInstanceOf[Cat].values
+            val v = pick(rng, vs)
+            (col(c.name) === lit(v), s"${c.name} = '$v'")
+          } else {
+            val k = pick(rng, lj.dim.cols.collect {
+              case c @ Col(_, KeyI) => c })
+            (col(k.name) % lit(2) === lit(0), s"${k.name} % 2 = 0")
+          }
+        val dimMoney = lj.dim.cols.collect { case c @ Col(_, Money(_)) => c }
+        val msel = if (dimMoney.nonEmpty && rng.nextBoolean())
+          Some(pick(rng, dimMoney)) else None
+        val fact = lj.fact.build(spark, sfDir)
+        val dimDf = lj.dim.build(spark, sfDir).filter(dimPred)
+        val aggs = Seq(count(lit(1)).as("total"),
+          count(col(lj.dk)).as("matched")) ++
+          msel.map(c => Exact.dsum(coalesce(col(c.name), lit(0)))
+            .as("msum"))
+        val out = fact.join(dimDf, col(lj.fk) === col(lj.dk), "left")
+          .groupBy(col(lj.factGroup.name))
+          .agg(aggs.head, aggs.tail: _*)
+        val msql = msel.map(c =>
+          s", ${Exact.sqlSum(s"COALESCE(${c.name}, 0)")} AS msum")
+          .getOrElse("")
+        Shape(name, out,
+          s"SELECT ${lj.factGroup.name}, CAST(COUNT(*) AS BIGINT) AS " +
+            s"total, CAST(COUNT(${lj.dk}) AS BIGINT) AS matched$msql " +
+            s"FROM ${lj.fact.from} LEFT JOIN (SELECT * FROM " +
+            s"${lj.dim.from} WHERE $dimPredSql) dd ON " +
+            s"${lj.fk} = ${lj.dk} GROUP BY ${lj.factGroup.name}")
+
+      case f if f < 40 =>
         // group-agg, optional HAVING on an always-included count
         val nKeys = 1 + rng.nextInt(2)
         val keys = (0 until nKeys).map(i => genGroupKey(rng, src.cols, i))
@@ -238,7 +320,7 @@ object QueryFuzz {
           (if (having) s" HAVING CAST(COUNT(*) AS BIGINT) >= $hv" else "")
         Shape(name, out, sql)
 
-      case f if f < 70 =>
+      case f if f < 60 =>
         // projection: raw cols (no dates) + one IEEE-deterministic
         // computed column when two money cols exist
         val projectable = src.cols.filter {
@@ -259,7 +341,7 @@ object QueryFuzz {
           computed.map(_._2)).mkString(", ")}" + from
         Shape(name, out, sql)
 
-      case f if f < 85 =>
+      case f if f < 72 =>
         // distinct over low-cardinality projections
         val lowCard = src.cols.filter {
           case Col(_, Cat(vs)) => vs.nonEmpty

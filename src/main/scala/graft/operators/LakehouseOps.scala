@@ -331,7 +331,44 @@ object LakehouseOps {
       |  FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id) t
       |WHERE rn = 1""".stripMargin
 
+  /** q269: DELTA-LAKE ROUND TRIP on real data — materialize a slice
+    * of lineitem as a protocol-valid Delta table (Spark parquet files
+    * partitioned by return flag + a hand-built v0 `_delta_log`), read
+    * it back through `sources.DeltaCompat` (the published-protocol
+    * JSON-log replay, partition values re-attached from the log), and
+    * aggregate; the oracle computes the same aggregate straight from
+    * the source parquet. Hash-green ⇔ the Delta reader loses nothing:
+    * file enumeration, partition reattachment, and schema all exact.
+    * The fixture writes once per (sf, slice-version) under /tmp and
+    * re-reads on later runs — the read path is what the query times. */
+  private val q269: QFn = (s, d) => {
+    val slice = Tables.lineitem(s, d)
+      .filter(col("l_quantity") < 10)
+      .select("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag")
+    val dir = "/tmp/graft_delta_rt_v1_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_delta_log")))
+      graft.sources.DeltaCompat.writeTable(slice, dir,
+        partitionBy = Seq("l_returnflag"))
+    graft.sources.DeltaCompat.read(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("qty"))
+  }
+  private val q269Sql =
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ${sqlSum("l_extendedprice")} AS revenue,
+      |  ${sqlSum("l_quantity")} AS qty
+      |FROM lineitem WHERE l_quantity < 10
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q269_delta_roundtrip" -> q269,
     "q264_asof_nearest" -> q264,
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
@@ -342,6 +379,7 @@ object LakehouseOps {
     "q191_scd2_ranges" -> q191)
 
   val oracleSql: Map[String, String] = Map(
+    "q269_delta_roundtrip" -> q269Sql,
     "q264_asof_nearest" -> q264Sql,
     "q21_cdc_latest" -> q21Sql,
     "q22_merge_upsert" -> q22Sql,

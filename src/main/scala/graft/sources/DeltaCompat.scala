@@ -189,4 +189,55 @@ object DeltaCompat {
     }
     parts.reduce(_ unionAll _)
   }
+
+  /** Materialize a DataFrame as a MINIMAL protocol-valid Delta table:
+    * Spark writes the parquet data files (partitioned layout if
+    * `partitionBy` is set — Spark's `k=v/` dir convention is Delta's),
+    * then one version-0 commit (protocol + metaData + adds) describes
+    * them. Reader-version-1 only, single snapshot — an export/fixture
+    * writer (real Delta readers can open the result), NOT a
+    * transactional writer: no appends, no concurrent-commit
+    * arbitration (that is `VersionedTable`'s job on its own format). */
+  def writeTable(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // enumerate data files; partition values parse from the k=v dirs
+    val it = fs.listFiles(root, true)
+    val adds = mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_")) {
+        val rel = st.getPath.toString
+          .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+        val pv = rel.split('/').dropRight(1).collect {
+          case seg if seg.contains('=') =>
+            val Array(k, v) = seg.split("=", 2)
+            // Spark's partition-dir escaping is URL-style; values here
+            // are plain category strings, but decode for safety
+            s""""$k":"${java.net.URLDecoder.decode(v, "UTF-8")}""""
+        }.mkString(",")
+        adds += s"""{"add":{"path":"$rel","partitionValues":{$pv},""" +
+          s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+          """"dataChange":true}}"""
+      }
+    }
+    require(adds.nonEmpty, s"no data files written under $tablePath")
+    val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val partJson = partitionBy.map(c => s""""$c"""").mkString(",")
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"graft-${math.abs(tablePath.hashCode)}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[$partJson],"configuration":{},"createdTime":0}}""") ++ adds
+    val logDir = new Path(root, "_delta_log")
+    fs.mkdirs(logDir)
+    val out = fs.create(new Path(logDir, f"${0L}%020d.json"), true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // Spark's own _SUCCESS marker is harmless but not a Delta file
+  }
 }
