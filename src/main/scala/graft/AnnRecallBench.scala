@@ -113,11 +113,21 @@ object AnnRecallBench {
       val trainSample = math.max(1024, math.min(128 * nlist, 25000))
       val npSqrt = math.max(8, math.round(math.sqrt(nlist.toDouble)).toInt)
       val npCover = math.max(8, math.ceil(0.8 * nlist).toInt)
+      // rerank-pool rule: at nlist ~ sqrt(n) the expected cell holds
+      // sqrt(n) vectors; a FIXED rf*k ADC pool gets EVICTED by
+      // quantization-noise competitors as cells grow (measured:
+      // recall non-monotone in nprobe at sf1 with rf=32), so scale
+      // the pool to ~3 cells' worth: rf ~ 3*(n/nlist)/k. Rerank cost
+      // stays rf*k exact dots per probe (~3*sqrt(n)) - trivial.
+      val rfScaled = math.max(32, math.ceil(3.0 * n / nlist / 10.0).toInt)
       val corpora = Seq(
         ("unstructured", unstructured,
-          Seq(("prod", 8), ("sqrt_nlist", npSqrt), ("coverage80", npCover))),
+          Seq(("prod", 8, 32), ("sqrt_nlist", npSqrt, 32),
+            ("coverage80", npCover, 32), ("coverage80_rf", npCover, rfScaled))),
         ("clustered", clusteredEmbeddings(spark, n),
-          Seq(("prod", 8), ("sqrt_nlist", npSqrt))))
+          Seq(("prod", 8, 32), ("sqrt_nlist", npSqrt, 32),
+            ("prod_rf_scaled", 8, rfScaled),
+            ("sqrt_rf_scaled", npSqrt, rfScaled))))
       corpora.flatMap { case (corpus, emb, knobs) =>
         val path = s"$dir/ann_recall_${corpus}_nlist$nlist"
         val t0 = System.nanoTime()
@@ -126,12 +136,12 @@ object AnnRecallBench {
             m = 16, ksub = 16, iters = 5, residual = true, packed = true,
             opq = true, trainSample = trainSample)
         val buildSec = (System.nanoTime() - t0) / 1e9
-        knobs.map { case (tag, np) =>
-          val r3 = recallAt(spark, path, emb, 3, np, rf = 32)
-          val r10 = recallAt(spark, path, emb, 10, np, rf = 32)
+        knobs.map { case (tag, np, rf) =>
+          val r3 = recallAt(spark, path, emb, 3, np, rf)
+          val r10 = recallAt(spark, path, emb, 10, np, rf)
           val row = f"""{"dir":"$dir","corpus":"$corpus","n_vectors":$n,""" +
             f""""nlist":$nlist,"knobs":"$tag","nprobe":$np,""" +
-            f""""rerank_factor":32,"build_sec":$buildSec%.1f,""" +
+            f""""rerank_factor":$rf,"build_sec":$buildSec%.1f,""" +
             f""""recall_at_3":$r3%.4f,"recall_at_10":$r10%.4f}"""
           println(s"ANN_RECALL $row")
           row

@@ -302,21 +302,37 @@ object QueryFuzz {
             s"${lj.fk} = ${lj.dk} GROUP BY ${lj.factGroup.name}")
 
       case f if f < 40 =>
-        // group-agg, optional HAVING on an always-included count
+        // group-agg, optional HAVING on an always-included count;
+        // sometimes as ROLLUP (null group keys exercise the
+        // cross-engine null-stringification path nothing else does)
         val nKeys = 1 + rng.nextInt(2)
         val keys = (0 until nKeys).map(i => genGroupKey(rng, src.cols, i))
           .distinctBy(_._4)  // two draws can hit the same column
+        val rollup = keys.length == 2 && rng.nextInt(100) < 25
         val nAggs = 1 + rng.nextInt(3)
         val aggs = (0 until nAggs).map(i => genAgg(rng, src.cols, i))
-        val having = rng.nextInt(100) < 30
+        val having = !rollup && rng.nextInt(100) < 30
         val aggCols = (if (having) Seq((count(lit(1)).as("cnt"),
           "CAST(COUNT(*) AS BIGINT) AS cnt", "cnt")) else Nil) ++ aggs
-        var out = df.groupBy(keys.map(_._1): _*)
-          .agg(aggCols.head._1, aggCols.tail.map(_._1): _*)
+        val grouped = if (rollup) df.rollup(keys.map(_._1): _*)
+          else df.groupBy(keys.map(_._1): _*)
+        var out = grouped.agg(aggCols.head._1, aggCols.tail.map(_._1): _*)
         val hv = 2 + rng.nextInt(5)
         if (having) out = out.filter(col("cnt") >= lit(hv))
+        // FUZZER FIND (seed 424242, shapes 61/218): on EMPTY input
+        // Spark's ROLLUP emits 0 rows — both DataFrame and SQL
+        // surfaces — while DuckDB (and the standard: ROLLUP includes
+        // the () grouping set, a global aggregate) emits the
+        // grand-total row with count 0. The oracle mirrors Spark's
+        // observable semantics with HAVING COUNT(*) > 0, which is
+        // exact on every non-empty input (every real group has ≥1
+        // contributing row). Pinned in FuzzParitySpec.
+        val groupSql = if (rollup)
+          s" GROUP BY ROLLUP (${keys.map(_._4).mkString(", ")})" +
+            " HAVING COUNT(*) > 0"
+          else s" GROUP BY ${keys.map(_._4).mkString(", ")}"
         val sql = s"SELECT ${(keys.map(_._3) ++ aggCols.map(_._2)).mkString(", ")}" +
-          from + s" GROUP BY ${keys.map(_._4).mkString(", ")}" +
+          from + groupSql +
           (if (having) s" HAVING CAST(COUNT(*) AS BIGINT) >= $hv" else "")
         Shape(name, out, sql)
 

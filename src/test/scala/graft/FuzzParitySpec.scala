@@ -46,6 +46,29 @@ class FuzzParitySpec extends SparkSpec {
       s"got $passes:\n${log.takeRight(500)}")
   }
 
+  test("fuzzer find, pinned: Spark ROLLUP on empty input omits the " +
+      "grand-total row (seed 424242, shapes 61/218)") {
+    import spark.implicits._
+    // DuckDB / the SQL standard emit the () grouping-set row with
+    // count 0 on empty input; Spark emits nothing — on BOTH the
+    // DataFrame and SQL surfaces — while its plain global aggregate
+    // does emit the 1 row. The fuzz grammar mirrors this with a
+    // HAVING COUNT(*) > 0 guard on rollup oracles.
+    val empty = Seq(("a", 1)).toDF("k", "v").filter(col("v") > 99)
+    assert(empty.rollup(col("k")).agg(count(lit(1)).as("c"))
+      .collect().isEmpty)
+    empty.createOrReplaceTempView("fuzz_rollup_probe")
+    assert(spark.sql(
+      "SELECT k, count(*) FROM fuzz_rollup_probe GROUP BY ROLLUP(k)")
+      .collect().isEmpty)
+    assert(spark.sql("SELECT count(*) FROM fuzz_rollup_probe")
+      .collect().length == 1)
+    // and the guarded seed replays green end to end
+    val sf = "/root/testdata/sf0.001"
+    val shape61 = QueryFuzz.gen(spark, sf, 424242L, 61)
+    assert(shape61.sql.contains("HAVING COUNT(*) > 0"))
+  }
+
   test("fuzz shapes are reproducible from (seed, index)") {
     val a = QueryFuzz.gen(spark, sfDir, seed = 12345L, index = 7)
     val b = QueryFuzz.gen(spark, sfDir, seed = 12345L, index = 7)
