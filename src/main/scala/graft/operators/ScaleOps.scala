@@ -174,18 +174,22 @@ object ScaleOps {
     // aggregate/zip_with HOF dot is interpreted and ~100× slower
     val cos = graft.functions.GraftFunctions.cosineSim _
     // assign every vector to its nearest centroid (cosine): a max_by
-    // AGGREGATION over the n·k scored rows — map-side partial agg, no
-    // sort — where a row_number window would shuffle-and-sort all n·k
-    // rows. struct(sim, -cent_id) reproduces the (sim desc, cent_id
-    // asc) tiebreak. first(embedding) is deterministic: it is
-    // constant per vec_id.
-    val assigned = emb.join(broadcast(cents),
+    // AGGREGATION over the n·k scored rows — where a row_number
+    // window would shuffle-and-sort all n·k rows. struct(sim,
+    // -cent_id) reproduces the (sim desc, cent_id asc) tiebreak. The
+    // aggregate carries ONLY narrow columns; the embedding re-joins
+    // on vec_id (round-11 fix: a wide first(embedding) buffer bars
+    // codegen hash agg and the ObjectHashAggregate fallback sorts
+    // every n·k scored row WITH its array — see VectorIndex.assign)
+    val bestCent = emb.join(broadcast(cents),
         col("vec_id").isNotNull) // cross join against the tiny centroid set
       .withColumn("sim", cos(col("embedding"), col("cvec")))
+      .select("vec_id", "sim", "cent_id")
       .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"),
-        first(col("embedding")).as("ne"))
-      .select(col("vec_id").as("neighbor_id"), col("ne"), col("cent_id"))
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"))
+    val assigned = emb.join(bestCent, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("cent_id"))
     // probes search their nprobe nearest centroid lists
     val wProbe = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cent_id").asc)
     val probeLists = emb.filter(col("vec_id") < 5)
@@ -534,13 +538,18 @@ object ScaleOps {
     val dp = graft.functions.GraftFunctions.dotProduct _
     val cos = graft.functions.GraftFunctions.cosineSim _
     val cents = KMeansVec.centroidsDF(s, KMeansVec.train(emb, k = 8, iters = 3))
-    val assigned = emb
+    // narrow assignment aggregate + embedding re-join (round-11 fix:
+    // a wide first(embedding) buffer forces the ObjectHashAggregate
+    // sort fallback over all n·k scored rows — see VectorIndex.assign)
+    val bestCent = emb
       .join(broadcast(cents), col("vec_id").isNotNull)
       .withColumn("score",
         dp(col("cvec"), col("cvec")) - lit(2.0) * dp(col("embedding"), col("cvec")))
+      .select("vec_id", "score", "cent_id")
       .groupBy("vec_id")
-      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cent_id"),
-        first(col("embedding")).as("embedding"))
+      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cent_id"))
+    val assigned = emb.join(bestCent, Seq("vec_id"))
+      .select("vec_id", "cent_id", "embedding")
     val a = assigned.select(col("cent_id"), col("vec_id").as("i"), col("embedding").as("ei"))
     val b = assigned.select(col("cent_id"), col("vec_id").as("j"), col("embedding").as("ej"))
     // pair generation + cosine filter fuse into one codegen join

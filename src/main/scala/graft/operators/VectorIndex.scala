@@ -592,19 +592,32 @@ object VectorIndex {
 
   /** Nearest-centroid assignment (cosine, index tiebreak) — the
     * shared inverted-list builder. max_by aggregation over the n·k
-    * scored rows (map-side partial agg) instead of a row_number
-    * window (which would shuffle-and-sort all n·k rows);
-    * struct(sim, -cent_id) reproduces the (sim desc, cent_id asc)
-    * tiebreak, and first(embedding/label) is deterministic because
-    * both are constant per vec_id. */
-  private def assign(emb: DataFrame, centDf: DataFrame): DataFrame =
-    emb.join(broadcast(centDf), col("vec_id").isNotNull)
+    * scored rows instead of a row_number window (which would
+    * shuffle-and-sort all n·k rows); struct(sim, -cent_id) reproduces
+    * the (sim desc, cent_id asc) tiebreak.
+    *
+    * The aggregate carries ONLY narrow columns — the wide embedding/
+    * label columns re-join on vec_id afterwards (one linear
+    * sort-merge join on n rows). Round-11 100-TB-shape fix: carrying
+    * `first(embedding)` through the n·k aggregate put an ARRAY in the
+    * aggregation buffer, which bars codegen HashAggregate; the
+    * ObjectHashAggregate fallback sort-aggregates once a partition
+    * passes 128 keys, so every n·k scored row — embedding array
+    * included — went through a sorter (measured: an 81-minute single
+    * task at n=200 k, nlist=447; invisible at the old nlist=10 test
+    * scale). Narrow buffers keep the fallback sort to ~24-byte rows
+    * when it fires at all. */
+  private def assign(emb: DataFrame, centDf: DataFrame): DataFrame = {
+    val best = emb.select("vec_id", "embedding")
+      .join(broadcast(centDf), col("vec_id").isNotNull)
       .withColumn("sim",
         graft.functions.GraftFunctions.cosineSim(col("embedding"), col("cvec")))
+      .select("vec_id", "sim", "cent_id")
       .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"),
-        first(col("embedding")).as("embedding"), first(col("label")).as("label"))
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"))
+    emb.join(best, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"))
+  }
 
   // ---- IVF-PQ: code-compressed inverted lists ----------------------
 
