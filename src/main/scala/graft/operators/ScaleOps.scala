@@ -181,7 +181,8 @@ object ScaleOps {
     // on vec_id (round-11 fix: a wide first(embedding) buffer bars
     // codegen hash agg and the ObjectHashAggregate fallback sorts
     // every n·k scored row WITH its array — see VectorIndex.assign)
-    val bestCent = emb.join(broadcast(cents),
+    val bestCent = graft.util.Partitioning.widenForExplosion(emb)
+      .join(broadcast(cents),
         col("vec_id").isNotNull) // cross join against the tiny centroid set
       .withColumn("sim", cos(col("embedding"), col("cvec")))
       .select("vec_id", "sim", "cent_id")
@@ -541,7 +542,7 @@ object ScaleOps {
     // narrow assignment aggregate + embedding re-join (round-11 fix:
     // a wide first(embedding) buffer forces the ObjectHashAggregate
     // sort fallback over all n·k scored rows — see VectorIndex.assign)
-    val bestCent = emb
+    val bestCent = graft.util.Partitioning.widenForExplosion(emb)
       .join(broadcast(cents), col("vec_id").isNotNull)
       .withColumn("score",
         dp(col("cvec"), col("cvec")) - lit(2.0) * dp(col("embedding"), col("cvec")))

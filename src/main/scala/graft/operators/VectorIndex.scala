@@ -608,7 +608,10 @@ object VectorIndex {
     * scale). Narrow buffers keep the fallback sort to ~24-byte rows
     * when it fires at all. */
   private def assign(emb: DataFrame, centDf: DataFrame): DataFrame = {
-    val best = emb.select("vec_id", "embedding")
+    // widen BEFORE the k-way fan-out: scan-sized input splits are k×
+    // too coarse for the scored pass (util.Partitioning doc)
+    val best = graft.util.Partitioning
+      .widenForExplosion(emb.select("vec_id", "embedding"))
       .join(broadcast(centDf), col("vec_id").isNotNull)
       .withColumn("sim",
         graft.functions.GraftFunctions.cosineSim(col("embedding"), col("cvec")))

@@ -167,7 +167,10 @@ object VectorPQ {
   def encode(emb: DataFrame, codebook: DataFrame): DataFrame = {
     val m = codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
     val dsub = codebook.select(size(col("cvec"))).head.getInt(0)
-    assign(subvectors(emb, m, dsub), codebook)
+    // widen BEFORE the m-way posexplode × ksub scoring fan-out:
+    // scan-sized splits are m·ksub× too coarse (util.Partitioning)
+    assign(subvectors(
+        graft.util.Partitioning.widenForExplosion(emb), m, dsub), codebook)
       .groupBy("vec_id")
       .agg(transform(
         array_sort(collect_list(struct(col("sub_id"), col("code_id")))),
