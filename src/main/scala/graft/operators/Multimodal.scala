@@ -302,6 +302,68 @@ object Multimodal {
     blobs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  // ---- audio: RIFF/WAVE PCM-16 ----
+
+  def audioRate(seed: Long): Int = (8000 + 1000 * (seed % 5)).toInt
+  def audioFrames(seed: Long): Int = (1300 + seed % 700).toInt
+  def audioChannels(seed: Long): Int = (1 + seed % 2).toInt
+
+  /** The synthetic audio corpus: one deterministic WAV per document
+    * (rate/frames/channels pure functions of the seed; same planted
+    * re-upload rule as images — doc_id ≡ 7 mod 10 reuses the previous
+    * doc's seed). */
+  def audioTable(s: SparkSession, d: String): DataFrame = {
+    val rdd = Tables.documents(s, d).select("doc_id", "source").rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val seed = imageSeed(r.getLong(0))
+          Row(r.getLong(0), r.getString(1),
+            AudioCodec.encodeWav(seed, audioRate(seed),
+              audioFrames(seed), audioChannels(seed)))
+        }
+      }
+    s.createDataFrame(rdd, imageTableSchema)
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** REAL audio decode: parse the RIFF chunk walk, return actual
+    * header facts from actual bytes. */
+  def decodeAudio(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select("doc_id", "source", "payload").rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val w = AudioCodec.decodeWav(r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), r.getString(1), w.sampleRate, w.channels,
+            w.nFrames)
+        }
+      }
+    spark.createDataFrame(rdd, audioMetaSchema)
+  }
+
+  /** 64-bit perceptual fingerprint per audio blob (gain-invariant
+    * energy-delta signs — AudioCodec.fingerprint64). Only (id, fp)
+    * longs leave the executor. */
+  def audioFingerprints(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = false)))
+    val rdd = blobs.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), AudioCodec.fingerprint64(
+          AudioCodec.decodeWav(r.getAs[Array[Byte]](1)).samples))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   // ---- oracle-checked queries ----
 
   /** Oracle-checkable slice of the blob pipeline: metadata projection
@@ -406,14 +468,59 @@ object Multimodal {
       |WHERE d.doc_id % 10 = 7
       |  AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1)""".stripMargin
 
+  /** q270: REAL-DECODE audio profile per source — Spark renders +
+    * RIFF-encodes + DECODES every WAV (chunk walk, not fixed offsets)
+    * and aggregates the decoded header facts; DuckDB predicts the
+    * same numbers arithmetically from the corpus contract. */
+  val q270: (SparkSession, String) => DataFrame = (s, d) =>
+    decodeAudio(audioTable(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("sample_rate").cast("long")).as("sum_rate"),
+        sum(col("n_frames").cast("long")).as("sum_frames"),
+        sum(col("channels").cast("long")).as("sum_ch"))
+
+  val q270Sql: String =
+    """WITH a AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS seed
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
+      |  CAST(SUM(8000 + 1000 * (seed % 5)) AS BIGINT) AS sum_rate,
+      |  CAST(SUM(1300 + seed % 700) AS BIGINT) AS sum_frames,
+      |  CAST(SUM(1 + seed % 2) AS BIGINT) AS sum_ch
+      |FROM a GROUP BY source""".stripMargin
+
+  /** q271: PERCEPTUAL audio near-dup pairs — the gain-invariant
+    * energy-delta fingerprint over real decoded samples, self-joined
+    * on the fingerprint (postings shape); the planted re-uploads are
+    * the exact answer, predicted by DuckDB from the contract. */
+  val q271: (SparkSession, String) => DataFrame = (s, d) => {
+    val fp = audioFingerprints(audioTable(s, d)).cutLineage()
+    fp.select(col("doc_id").as("a_id"), col("afp"))
+      .join(fp.select(col("doc_id").as("b_id"), col("afp")), Seq("afp"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+  }
+
+  val q271Sql: String =
+    """SELECT CAST(d.doc_id - 1 AS BIGINT) AS a_id, d.doc_id AS b_id
+      |FROM documents d
+      |WHERE d.doc_id % 10 = 7
+      |  AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_blob_meta" -> q41,
     "q266_image_meta" -> q266,
     "q267_video_frames" -> q267,
-    "q268_phash_dups" -> q268)
+    "q268_phash_dups" -> q268,
+    "q270_audio_meta" -> q270,
+    "q271_audio_dups" -> q271)
   val oracleSql: Map[String, String] = Map(
     "q41_blob_meta" -> q41Sql,
     "q266_image_meta" -> q266Sql,
     "q267_video_frames" -> q267Sql,
-    "q268_phash_dups" -> q268Sql)
+    "q268_phash_dups" -> q268Sql,
+    "q270_audio_meta" -> q270Sql,
+    "q271_audio_dups" -> q271Sql)
 }

@@ -30,5 +30,13 @@ object ImageFixtureGen {
         yield rs.getRGB(x, y) & 0xffffff
       println(s"  resized4x3=${px.map(p => f"0x$p%06x").mkString(", ")}")
     }
+    // audio fixture: seed 5, 9000 Hz, 1305 frames, mono
+    val wav = graft.operators.AudioCodec.encodeWav(5L, 9000, 1305, 1)
+    val wf = dir.resolve("wav_seed5_9000x1305x1.wav")
+    Files.write(wf, wav)
+    val dec = graft.operators.AudioCodec.decodeWav(wav)
+    println(s"$wf bytes=${wav.length} rate=${dec.sampleRate} " +
+      s"ch=${dec.channels} frames=${dec.nFrames}")
+    println(f"  afp=0x${graft.operators.AudioCodec.fingerprint64(dec.samples)}%016x")
   }
 }
