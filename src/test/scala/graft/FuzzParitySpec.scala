@@ -69,6 +69,30 @@ class FuzzParitySpec extends SparkSpec {
     assert(shape61.sql.contains("HAVING COUNT(*) > 0"))
   }
 
+  test("three-way differential: the generated SQL also runs on SPARK " +
+      "and matches the DataFrame plan row for row") {
+    // the oracle SQL is ANSI enough for two engines: DuckDB (via
+    // check_parity) AND Spark's own SQL surface. DataFrame ≡ spark.sql
+    // closes the triangle — a mismatch here is a Spark-internal
+    // DataFrame-vs-SQL divergence (the empty-ROLLUP find's class) or
+    // a fuzzer SQL-rendering bug; either is worth a loud name.
+    val sf = "/root/testdata/sf0.01"
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+    }
+    val seed = sys.props.get("graft.sc.seed").map(_.toLong)
+      .getOrElse(new java.util.Random().nextLong())
+    info(s"[graft.sc.seed=$seed] 120 shapes through both Spark surfaces")
+    (0 until 120).foreach { i =>
+      val sh = QueryFuzz.gen(spark, sf, seed, i)
+      val a = sh.df.collect().map(_.toString).sorted.toSeq
+      val b = spark.sql(sh.sql).collect().map(_.toString).sorted.toSeq
+      assert(a == b,
+        s"[graft.sc.seed=$seed index=$i] DataFrame != spark.sql for:\n${sh.sql}")
+    }
+  }
+
   test("fuzz shapes are reproducible from (seed, index)") {
     val a = QueryFuzz.gen(spark, sfDir, seed = 12345L, index = 7)
     val b = QueryFuzz.gen(spark, sfDir, seed = 12345L, index = 7)
