@@ -69,7 +69,10 @@ object AudioCodec {
     while (pos + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = buf.getInt(pos + 4)
-      require(len >= 0 && pos + 8 + len <= bytes.length,
+      // long arithmetic: a hostile length near Int.MaxValue would wrap
+      // `pos + 8 + len` negative and sail past an int-typed guard,
+      // failing later as a negative allocation instead of loudly here
+      require(len >= 0 && pos.toLong + 8L + len <= bytes.length,
         s"truncated $id chunk in WAV")
       id match {
         case "fmt " =>

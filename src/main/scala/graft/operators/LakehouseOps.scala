@@ -341,18 +341,34 @@ object LakehouseOps {
     * file enumeration, partition reattachment, and schema all exact.
     * The fixture writes once per (sf, slice-version) under /tmp and
     * re-reads on later runs — the read path is what the query times. */
-  private val q269: QFn = (s, d) => {
-    val slice = Tables.lineitem(s, d)
+  /** Fixture cache key: MD5 of the source-dir path PLUS a content
+    * fingerprint of the lineitem parquet files (name:len:mtime) — a
+    * regenerated dataset at the same path gets a fresh fixture
+    * instead of silently reusing the stale slice (r11 ADVICE item:
+    * the path-only key turned dataset regeneration into a confusing
+    * false gate failure). */
+  private def deltaFixtureKey(s: SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val fs = src.getFileSystem(s.sessionState.newHadoopConf())
+    val sig = fs.listStatus(src).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def deltaSlice(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .filter(col("l_quantity") < 10)
       .select("l_orderkey", "l_quantity", "l_extendedprice",
         "l_returnflag")
-    val dir = "/tmp/graft_delta_rt_v1_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val q269: QFn = (s, d) => {
+    val dir = "/tmp/graft_delta_rt_v2_" + deltaFixtureKey(s, d)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       s.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_delta_log")))
-      graft.sources.DeltaCompat.writeTable(slice, dir,
+      graft.sources.DeltaCompat.writeTable(deltaSlice(s, d), dir,
         partitionBy = Seq("l_returnflag"))
     graft.sources.DeltaCompat.read(s, dir)
       .groupBy("l_returnflag")
@@ -367,8 +383,57 @@ object LakehouseOps {
       |FROM lineitem WHERE l_quantity < 10
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q272: DELTA CHECKPOINT-TRUNCATED READ on real data (r11 verdict
+    * item 1) — the fixture is what a MATURE Delta table looks like
+    * after log cleanup: a classic checkpoint parquet + only the JSON
+    * commits after it (the version-0 JSON is deleted). Version 1 is a
+    * hand-written commit that `remove`s every file of the
+    * `l_returnflag = 'R'` partition, so a hash-green result proves
+    * the full chain: `_last_checkpoint` discovery → checkpoint-parquet
+    * state reconstruction → JSON replay (removes) on top of it. The
+    * oracle computes the same aggregate from the source parquet with
+    * the 'R' slice excluded. */
+  private val q272: QFn = (s, d) => {
+    val dir = "/tmp/graft_delta_cp_v1_" + deltaFixtureKey(s, d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint"))) {
+      graft.sources.DeltaCompat.writeTable(deltaSlice(s, d), dir,
+        partitionBy = Seq("l_returnflag"))
+      // v1: tombstone the 'R' partition (paths are writeTable's own
+      // URI-encoded ASCII — safe to interpolate into JSON verbatim)
+      val snap = graft.sources.DeltaCompat.snapshot(s, dir)
+      val lines = snap.files
+        .filter(_.partitionValues.get("l_returnflag").contains("R"))
+        .map(f => s"""{"remove":{"path":"${f.path}",""" +
+          """"deletionTimestamp":1,"dataChange":true}}""")
+      require(lines.nonEmpty, s"fixture $dir has no 'R' partition files")
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.json"), true)
+      try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      // checkpoint version 0, then truncate its JSON — log cleanup
+      graft.sources.DeltaCompat.checkpoint(s, dir, Some(0L))
+      fs.delete(
+        new org.apache.hadoop.fs.Path(logDir, f"${0L}%020d.json"), false)
+    }
+    graft.sources.DeltaCompat.read(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("qty"))
+  }
+  private val q272Sql =
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ${sqlSum("l_extendedprice")} AS revenue,
+      |  ${sqlSum("l_quantity")} AS qty
+      |FROM lineitem WHERE l_quantity < 10 AND l_returnflag <> 'R'
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q269_delta_roundtrip" -> q269,
+    "q272_delta_checkpoint" -> q272,
     "q264_asof_nearest" -> q264,
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
@@ -380,6 +445,7 @@ object LakehouseOps {
 
   val oracleSql: Map[String, String] = Map(
     "q269_delta_roundtrip" -> q269Sql,
+    "q272_delta_checkpoint" -> q272Sql,
     "q264_asof_nearest" -> q264Sql,
     "q21_cdc_latest" -> q21Sql,
     "q22_merge_upsert" -> q22Sql,

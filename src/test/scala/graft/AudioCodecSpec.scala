@@ -79,5 +79,15 @@ class AudioCodecSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException] {
       AudioCodec.decodeWav("not audio at all".getBytes("US-ASCII")) }
     assert(e3.getMessage.contains("RIFF"))
+    // hostile chunk length near Int.MaxValue: int arithmetic would
+    // wrap `pos + 8 + len` negative, pass the guard, and die later as
+    // a negative-size allocation — must be the loud truncation error
+    val hostile = good.clone()
+    java.nio.ByteBuffer.wrap(hostile)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 4) // fmt chunk claims ~2 GiB
+    val e4 = intercept[IllegalArgumentException] {
+      AudioCodec.decodeWav(hostile) }
+    assert(e4.getMessage.toLowerCase.contains("trunc"))
   }
 }
