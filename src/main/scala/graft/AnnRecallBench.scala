@@ -120,6 +120,9 @@ object AnnRecallBench {
       // the pool to ~3 cells' worth: rf ~ 3*(n/nlist)/k. Rerank cost
       // stays rf*k exact dots per probe (~3*sqrt(n)) - trivial.
       val rfScaled = math.max(32, math.ceil(3.0 * n / nlist / 10.0).toInt)
+      // rf = 0 rows exercise searchPQ's DEFAULT (pool-scaled from the
+      // index's own n/nlist — r11 verdict item 3): the done-bar is
+      // recall@10 ≥ 0.85 clustered at every scale with no caller knobs
       val corpora = Seq(
         ("unstructured", unstructured,
           Seq(("prod", 8, 32), ("sqrt_nlist", npSqrt, 32),
@@ -127,11 +130,16 @@ object AnnRecallBench {
         ("clustered", clusteredEmbeddings(spark, n),
           Seq(("prod", 8, 32), ("sqrt_nlist", npSqrt, 32),
             ("prod_rf_scaled", 8, rfScaled),
-            ("sqrt_rf_scaled", npSqrt, rfScaled))))
+            ("sqrt_rf_scaled", npSqrt, rfScaled),
+            ("prod_default", 8, 0),
+            ("sqrt_default", npSqrt, 0))))
       corpora.flatMap { case (corpus, emb, knobs) =>
         val path = s"$dir/ann_recall_${corpus}_nlist$nlist"
+        // label reused on-disk builds explicitly — a build_sec of 0.0
+        // on a reused index read as "instant build" (r11 what's-wrong 5)
+        val reused = graft.operators.VectorIndex.isPQ(spark, path)
         val t0 = System.nanoTime()
-        if (!graft.operators.VectorIndex.isPQ(spark, path))
+        if (!reused)
           graft.operators.VectorIndex.buildPQ(emb, path, k = nlist,
             m = 16, ksub = 16, iters = 5, residual = true, packed = true,
             opq = true, trainSample = trainSample)
@@ -142,6 +150,7 @@ object AnnRecallBench {
           val row = f"""{"dir":"$dir","corpus":"$corpus","n_vectors":$n,""" +
             f""""nlist":$nlist,"knobs":"$tag","nprobe":$np,""" +
             f""""rerank_factor":$rf,"build_sec":$buildSec%.1f,""" +
+            f""""build_reused":$reused,""" +
             f""""recall_at_3":$r3%.4f,"recall_at_10":$r10%.4f}"""
           println(s"ANN_RECALL $row")
           row

@@ -57,6 +57,28 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** JPEG-encode (the MJPEG-AVI frame payload — JPEG is what the
+    * 'MJPG' handler means). Lossy: anything derived from DECODED
+    * pixels must be computed on the post-JPEG pixels on BOTH sides of
+    * a comparison; dims and planted byte-identical dups are exact. */
+  def toJpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "jpg", bos), "no JPEG writer in this JRE")
+    bos.toByteArray
+  }
+
+  /** Render + JPEG-encode the synthetic image for `seed` at w×h. */
+  def encodeJpeg(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(seed, x, y)); x += 1 }
+      y += 1
+    }
+    toJpeg(img)
+  }
+
   /** REAL decode: bytes → pixels via the JDK codec (PNG/JPEG/BMP/GIF —
     * whatever readers the JRE ships). Throws on undecodable bytes. */
   def decode(bytes: Array[Byte]): BufferedImage = {

@@ -293,9 +293,12 @@ object VectorIndex {
     * `path`: subsequent [[search]]/[[searchPQ]] calls never return
     * them. O(ids) — no list partition is touched. Re-[[add]]ing a
     * removed vec_id un-removes it. */
-  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit =
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val rt = dataRoot(spark, path)
     ids.select(col("vec_id")).na.drop().distinct()
-      .write.mode("append").parquet(s"${dataRoot(spark, path)}/tombstones")
+      .write.mode("append").parquet(s"$rt/tombstones")
+    invalidateLiveCount(spark, rt)
+  }
 
   private def fsOf(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
@@ -340,6 +343,7 @@ object VectorIndex {
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dir),
           s"tombstone rewrite swap failed for $root")
       }
+      invalidateLiveCount(spark, root)
     }
 
   /** Materialize tombstones: rewrite ONLY the cent_id partitions that
@@ -497,10 +501,14 @@ object VectorIndex {
     * write a `_params` file beside the data they commit), read from
     * the LIVE generation. Empty for indexes built before params were
     * recorded or assembled via the `*With` model-reuse entry points. */
-  def params(spark: SparkSession, path: String): Map[String, String] = {
-    val fs = fsOf(spark, path)
-    val p = new org.apache.hadoop.fs.Path(
-      s"${dataRoot(spark, path)}/_params")
+  def params(spark: SparkSession, path: String): Map[String, String] =
+    paramsAt(spark, dataRoot(spark, path))
+
+  /** [[params]] against an already-resolved generation root. */
+  private def paramsAt(spark: SparkSession,
+      root: String): Map[String, String] = {
+    val fs = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_params")
     if (!fs.exists(p)) Map.empty
     else {
       val in = fs.open(p)
@@ -511,6 +519,46 @@ object VectorIndex {
         .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
         .toMap
     }
+  }
+
+  /** Drop the cached live-vector count after any index mutation —
+    * the next default-pool search re-derives and re-records it. */
+  private def invalidateLiveCount(spark: SparkSession, root: String): Unit = {
+    val ps = paramsAt(spark, root)
+    if (ps.contains("n_live")) writeParams(spark, root,
+      (ps - "n_live").toSeq)
+  }
+
+  /** POOL-SCALED default rerank factor (r11 verdict item 3). The
+    * AnnRecallBench headline: the exact-rerank pool must track the
+    * expected CELL population — rf·k ≈ 3·n/nlist — because as cells
+    * grow, quantization-noise competitors EVICT true neighbors from
+    * a fixed-size ADC pool (measured: at 200 k vectors even rf=32
+    * collapsed clustered recall@10 to 0.40; the scaled pool restores
+    * 0.97). The index knows n and nlist at search time, so the
+    * DEFAULT derives them: nlist from the centroid table, n from the
+    * `n_live` param (lazily counted from the live code lists on
+    * first use and re-derived after any add/remove/rebuild). The
+    * pool is capped at 8192 candidates per probe for rerank latency;
+    * callers that pass an explicit `rerankFactor` OWN the recall
+    * consequences — an undersized fixed pool is the documented
+    * silent-recall-collapse trap this default exists to close. */
+  def poolScaledRerankFactor(spark: SparkSession, path: String,
+      k: Int, nlist: Long): Int = {
+    require(k > 0, s"k must be positive, got $k")
+    val rt = dataRoot(spark, path)
+    val ps = paramsAt(spark, rt)
+    val n = ps.get("n_live").map(_.toLong).getOrElse {
+      val c = dropTombstoned(spark, rt,
+        spark.read.parquet(s"$rt/codes").select("vec_id")).count()
+      writeParams(spark, rt, (paramsAt(spark, rt) +
+        ("n_live" -> c.toString)).toSeq)
+      c
+    }
+    val targetPool = math.ceil(3.0 * n / math.max(nlist, 1L)).toLong
+    val rf = math.ceil(targetPool.toDouble / k).toLong
+    val capRf = math.max(4L, 8192L / k)
+    math.max(4L, math.min(rf, capRf)).toInt
   }
 
   private def writeParams(spark: SparkSession, root: String,
@@ -531,7 +579,10 @@ object VectorIndex {
   def retrainAuto(spark: SparkSession, path: String,
       source: DataFrame): Long = {
     val ps = params(spark, path)
-    require(ps.nonEmpty,
+    // `contains("kind")`, not nonEmpty: a default-pool search records
+    // the derived `n_live` count into _params, which must not make a
+    // buildWith-assembled index look retrainable
+    require(ps.contains("kind"),
       s"no recorded build params at $path (index predates recorded " +
         "params or was assembled via buildWith/buildPQWith) — call " +
         "retrain(...) with an explicit build function instead")
@@ -725,6 +776,7 @@ object VectorIndex {
           VectorPQ.packCodes(col("codes"), m).as("codes"), col("cent_id"))
       } else plain.select("vec_id", "codes", "cent_id")
     coded.write.mode(mode).partitionBy("cent_id").parquet(s"$root/codes")
+    invalidateLiveCount(emb.sparkSession, root)
   }
 
   /** [[buildPQ]] with pre-trained models (shared by incremental adds
@@ -802,13 +854,23 @@ object VectorIndex {
     * stream BEFORE ADC ranking (pre-filter, not post-filter: a
     * selective predicate cannot silently empty the top-k), so its cost
     * rides the routed scan. With a very selective filter, widen
-    * `nprobe` — the allowed vectors may concentrate in few cells. */
+    * `nprobe` — the allowed vectors may concentrate in few cells.
+    *
+    * `rerankFactor = 0` (the DEFAULT) derives the exact-rerank pool
+    * from the index via [[poolScaledRerankFactor]] — rf·k ≈ 3·n/nlist,
+    * the measured rule that holds recall across corpus scale. Pass an
+    * explicit value only when you own the recall/latency trade (a
+    * fixed pool that undershoots the cell size is a SILENT recall
+    * collapse at scale, not an error). */
   def searchPQ(spark: SparkSession, path: String, probes: DataFrame,
-      emb: DataFrame, nprobe: Int, k: Int, rerankFactor: Int = 4,
+      emb: DataFrame, nprobe: Int, k: Int, rerankFactor: Int = 0,
       allowed: Option[DataFrame] = None): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosineSim _
     val rt = dataRoot(spark, path)
     val cents = spark.read.parquet(s"$rt/centroids")
+    val rfEff =
+      if (rerankFactor > 0) rerankFactor
+      else poolScaledRerankFactor(spark, path, k, cents.count())
     val codebook = spark.read.parquet(s"$rt/codebook")
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("cent_id").asc)
@@ -853,10 +915,10 @@ object VectorIndex {
           Seq("probe_id", "cent_id"), codebook)
         VectorPQ.adcTopKWith(lut,
           codes.select("probe_id", "cent_id", "vec_id", "codes"),
-          Seq("probe_id", "cent_id"), k * rerankFactor, packedM)
+          Seq("probe_id", "cent_id"), k * rfEff, packedM)
       } else VectorPQ.adcTopK(probesEff,
         codes.select("probe_id", "vec_id", "codes"), codebook,
-        k * rerankFactor, packedM)
+        k * rfEff, packedM)
     VectorOps.exactTopK(emb, cand, k)
   }
 

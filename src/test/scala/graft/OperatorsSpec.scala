@@ -1182,6 +1182,42 @@ class OperatorsSpec extends SparkSpec {
     assert(gotPQ == fullPQ(pqRef) && gotPQ.nonEmpty)
   }
 
+  test("searchPQ DEFAULT rerank pool derives from the index (rf·k ≈ 3·n/nlist, " +
+      "floor 4, 8192-candidate cap, re-derived after mutations)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val nlist = 10L
+    val path = tmpDir("graft-ivfpq-poolrule")
+    VectorIndex.buildPQ(emb, path, k = nlist.toInt, m = 16, ksub = 16,
+      iters = 3)
+    val k = 3
+    val rfD = VectorIndex.poolScaledRerankFactor(spark, path, k, nlist)
+    val expected = math.max(4L, math.min(
+      math.ceil(math.ceil(3.0 * n / nlist) / k).toLong,
+      math.max(4L, 8192L / k))).toInt
+    assert(rfD == expected, s"derived $rfD, rule says $expected (n=$n)")
+    // the lazy count is recorded on the index for later searches
+    assert(VectorIndex.params(spark, path)
+      .get("n_live").map(_.toLong).contains(n))
+    // default-pool search ≡ the same factor passed explicitly
+    val probes = emb.filter(col("vec_id") < 5)
+    def run(rf: Int) = VectorIndex
+      .searchPQ(spark, path, probes, emb, nprobe = 4, k = k,
+        rerankFactor = rf)
+      .collect().map(_.toString).sorted.toSeq
+    val viaDefault = run(0)
+    assert(viaDefault == run(rfD) && viaDefault.nonEmpty)
+    // latency cap: a pool request beyond 8192 candidates clamps
+    assert(VectorIndex.poolScaledRerankFactor(spark, path, 8192, nlist) == 4)
+    // mutations invalidate the recorded count — remove half the
+    // corpus and the derived pool shrinks accordingly
+    VectorIndex.remove(spark, path,
+      emb.filter(col("vec_id") % 2 === 0).select("vec_id"))
+    val rfAfter = VectorIndex.poolScaledRerankFactor(spark, path, k, nlist)
+    assert(rfAfter < rfD,
+      s"pool did not shrink after removals: $rfAfter vs $rfD")
+  }
+
   test("IVF-PQ index: pruned compressed lists, rerank recall, incremental add") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = tmpDir("graft-ivfpq")
@@ -1918,15 +1954,15 @@ class OperatorsSpec extends SparkSpec {
   test("multimodal near-dup videos: perceptual frame-hash Jaccard finds the re-upload") {
     import spark.implicits._
     // A = 4 real PNG frames; B = A plus one appended frame (a
-    // trailing-card re-upload: jaccard 4/5); C = unrelated frames
+    // trailing-card re-upload: jaccard 4/5); C = unrelated frames.
+    // Containers are real AVIs; the frame payloads stay PNG here so
+    // the decode→re-encode identity assertion below is exact (the
+    // demuxer hands payloads to the codec verbatim — ImageIO decodes
+    // either; the corpus videoTable carries proper MJPEG/JPEG frames)
     def frame(seed: Long): Array[Byte] =
       operators.ImageCodec.encodePng(seed, 12, 10)
-    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val out = new java.io.DataOutputStream(bos)
-      frames.foreach { f => out.writeInt(f.length); out.write(f) }
-      out.flush(); bos.toByteArray
-    }
+    def container(frames: Seq[Array[Byte]]): Array[Byte] =
+      operators.AviCodec.encodeAvi(frames, 12, 10)
     val aF = (0 until 4).map(i => frame(1000L + i))
     val a = container(aF)
     val b = container(aF :+ frame(9900L))
