@@ -23,12 +23,20 @@ import graft.util.Exact
   * and the engines' shared semantics, not known representational
   * differences):
   *   src    := base table | FK inner join (7 pairs)
+  *           | 3-table FK chain (4 — round 12)
   *   preds  := 0..2 of {money cmp int-literal, cat =/IN, date <=,
   *             key % k = r}
   *   form   := group-agg (count / count-distinct / Exact.dsum /
-  *             Exact.davg / min / max, optional HAVING on count)
+  *             Exact.davg / min / max, optional HAVING on count,
+  *             sometimes GROUP BY ROLLUP or CUBE)
   *           | project (raw cols + IEEE-deterministic computed col)
   *           | distinct | window top-k per group (rn tiebroken on pk)
+  *           | RANGE-frame running aggregate (peers share the value,
+  *             so tied order keys need no row tiebreak — round 12)
+  *           | as-of join via the NATIVE plans.AsOf operator vs the
+  *             composable row_number oracle: direction × tolerance ×
+  *             probe predicate (round 12)
+  *           | set op | filtered-dim LEFT JOIN
   *
   * Double aggregation goes through [[Exact]] (decimal accumulator) on
   * both sides — the library's own discipline; raw double projections
@@ -114,6 +122,20 @@ object QueryFuzz {
     joined(lineitem, supplier, "l_suppkey", "s_suppkey"),
     joined(supplier, nation, "s_nationkey", "n_nationkey"),
     joined(nation, region, "n_regionkey", "r_regionkey"))
+
+  /** 3-table FK chains (round 12 — r11 verdict item 5: the grammar
+    * stopped at one join): `joined` composes, so a chain is just a
+    * joined Src re-joined — predicates/aggs then draw from all three
+    * tables' columns. */
+  private val chains = Seq(
+    joined(joined(lineitem, orders, "l_orderkey", "o_orderkey"),
+      customer, "o_custkey", "c_custkey"),
+    joined(joined(orders, customer, "o_custkey", "c_custkey"),
+      nation, "c_nationkey", "n_nationkey"),
+    joined(joined(customer, nation, "c_nationkey", "n_nationkey"),
+      region, "n_regionkey", "r_regionkey"),
+    joined(joined(lineitem, part, "l_partkey", "p_partkey"),
+      supplier, "l_suppkey", "s_suppkey"))
 
   private val dates = Seq("1996-03-01", "1997-07-15", "1998-12-31",
     "2000-06-30", "2001-01-01")
@@ -227,7 +249,10 @@ object QueryFuzz {
 
   def gen(spark: SparkSession, sfDir: String, seed: Long, index: Int): Shape = {
     val rng = new Random(seed * 1000003L + index)
-    val src = if (rng.nextInt(100) < 40) pick(rng, joins) else pick(rng, bases)
+    val srcRoll = rng.nextInt(100)
+    val src = if (srcRoll < 30) pick(rng, joins)
+      else if (srcRoll < 42) pick(rng, chains)
+      else pick(rng, bases)
     val name = f"fuzz_$index%04d"
     var df = src.build(spark, sfDir)
     val preds = (0 until rng.nextInt(3)).flatMap(_ => genPred(rng, src.cols))
@@ -237,7 +262,7 @@ object QueryFuzz {
     val from = s" FROM ${src.from}$where"
 
     rng.nextInt(100) match {
-      case f if f >= 90 =>
+      case f if f >= 92 =>
         // set operations: two filtered variants of one table,
         // projected to low-card columns — INTERSECT / EXCEPT / UNION
         // are set-semantic (dedup) in BOTH engines
@@ -261,7 +286,7 @@ object QueryFuzz {
           s"SELECT $sel FROM ${s2.from} WHERE $s1sql $op " +
             s"SELECT $sel FROM ${s2.from} WHERE $s2sql")
 
-      case f if f >= 78 =>
+      case f if f >= 84 =>
         // fact LEFT JOIN (dim WHERE pred): real null rows (TPC-H FKs
         // always match, so the dim filter is what makes misses);
         // outputs null-free via count/COALESCE
@@ -301,20 +326,105 @@ object QueryFuzz {
             s"${lj.dim.from} WHERE $dimPredSql) dd ON " +
             s"${lj.fk} = ${lj.dk} GROUP BY ${lj.factGroup.name}")
 
-      case f if f < 40 =>
+      case f if f >= 76 =>
+        // AS-OF JOIN through the NATIVE operator (plans.AsOf) vs the
+        // composable LEFT-range-join + ROW_NUMBER oracle (q243's
+        // form): for each order, the first shipment at-or-after /
+        // last at-or-before its order date, optional tolerance and
+        // probe-side predicate. Output = (orderkey, yyyymmdd of the
+        // picked time) — ties on the time column collapse to the
+        // same output, so the shape needs no row tiebreak, and the
+        // ymd integer sidesteps engine timestamp rendering
+        val forward = rng.nextBoolean()
+        val tolDays = pick(rng, Seq(0, 30, 90, 365))
+        val oPred = if (rng.nextBoolean()) genPred(rng, orders.cols) else None
+        var probe = orders.build(spark, sfDir)
+        oPred.foreach { case (c, _) => probe = probe.filter(c) }
+        val res = graft.plans.AsOf.join(
+          probe.select(col("o_orderkey"),
+            col("o_orderdate").cast("timestamp").as("ot")),
+          lineitem.build(spark, sfDir).select(col("l_orderkey"),
+            col("l_shipdate").cast("timestamp").as("st")),
+          col("o_orderkey"), col("l_orderkey"), col("ot"), col("st"),
+          tiebreak = Some(col("st")), forward = forward,
+          tolerance =
+            if (tolDays == 0) None
+            else Some(tolDays.toLong * 86400L * 1000000L))
+        val out = res.select(col("o_orderkey"),
+          (year(col("st")) * 10000 + month(col("st")) * 100 +
+            dayofmonth(col("st"))).cast("long").as("asof_ymd"))
+        val dirCmp = if (forward) ">=" else "<="
+        val ord = if (forward) "ASC" else "DESC"
+        val tolSql =
+          if (tolDays == 0) ""
+          else if (forward) s" AND l.st <= o.ot + INTERVAL $tolDays DAY"
+          else s" AND l.st >= o.ot - INTERVAL $tolDays DAY"
+        val pw = oPred.map(p => s" WHERE ${p._2}").getOrElse("")
+        Shape(name, out,
+          "SELECT o_orderkey, CAST(YEAR(st) * 10000 + MONTH(st) * 100 " +
+            "+ DAY(st) AS BIGINT) AS asof_ymd FROM (" +
+            "SELECT o.o_orderkey, l.st, ROW_NUMBER() OVER (" +
+            s"PARTITION BY o.o_orderkey ORDER BY l.st $ord) AS rn " +
+            "FROM (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) " +
+            s"AS ot FROM orders$pw) o LEFT JOIN (SELECT l_orderkey, " +
+            "CAST(l_shipdate AS TIMESTAMP) AS st FROM lineitem) l ON " +
+            s"l.l_orderkey = o.o_orderkey AND l.st $dirCmp o.ot$tolSql" +
+            ") t WHERE rn = 1")
+
+      case f if f >= 68 =>
+        // RANGE-frame running aggregate: in RANGE mode all PEERS of
+        // the current row share the cumulative value, so ordering by
+        // a tied (double) money column stays deterministic with no
+        // unique-key tiebreak; the summed operand is an integer key
+        // cast BIGINT (associative — no IEEE order sensitivity)
+        val cats = src.cols.collect {
+          case c @ Col(_, Cat(vs)) if vs.nonEmpty => c }
+        val money = src.cols.collect { case c @ Col(_, Money(_)) => c }
+        val keys = src.cols.collect { case c @ Col(_, KeyI) => c }
+        if (cats.isEmpty || money.isEmpty || keys.isEmpty) {
+          val out = df.groupBy().agg(count(lit(1)).as("cnt"))
+          Shape(name, out, s"SELECT CAST(COUNT(*) AS BIGINT) AS cnt" + from)
+        } else {
+          val g = pick(rng, cats); val m = pick(rng, money)
+          val k = pick(rng, keys)
+          val doCount = rng.nextBoolean()
+          val w = Window.partitionBy(col(g.name)).orderBy(col(m.name))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          val overSql = s"OVER (PARTITION BY ${g.name} ORDER BY " +
+            s"${m.name} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          val (agg, aggSql) =
+            if (doCount) (count(lit(1)).over(w).cast("long"),
+              s"CAST(COUNT(*) $overSql AS BIGINT)")
+            else (sum(col(k.name).cast("long")).over(w),
+              // outer CAST: DuckDB's windowed SUM(BIGINT) widens to
+              // HUGEINT (int128), which hash-mismatches int64 on
+              // identical values
+              s"CAST(SUM(CAST(${k.name} AS BIGINT)) $overSql AS BIGINT)")
+          val out = df.select(col(g.name), col(k.name), col(m.name))
+            .withColumn("racc", agg)
+          Shape(name, out,
+            s"SELECT ${g.name}, ${k.name}, ${m.name}, $aggSql AS racc" +
+              from)
+        }
+
+      case f if f < 36 =>
         // group-agg, optional HAVING on an always-included count;
-        // sometimes as ROLLUP (null group keys exercise the
-        // cross-engine null-stringification path nothing else does)
+        // sometimes as ROLLUP or CUBE (null group keys exercise the
+        // cross-engine null-stringification path nothing else does;
+        // CUBE adds the cross-subtotal grouping sets)
         val nKeys = 1 + rng.nextInt(2)
         val keys = (0 until nKeys).map(i => genGroupKey(rng, src.cols, i))
           .distinctBy(_._4)  // two draws can hit the same column
-        val rollup = keys.length == 2 && rng.nextInt(100) < 25
+        val setsRoll = if (keys.length == 2) rng.nextInt(100) else 100
+        val rollup = setsRoll < 25
+        val cube = setsRoll >= 25 && setsRoll < 40
         val nAggs = 1 + rng.nextInt(3)
         val aggs = (0 until nAggs).map(i => genAgg(rng, src.cols, i))
-        val having = !rollup && rng.nextInt(100) < 30
+        val having = !rollup && !cube && rng.nextInt(100) < 30
         val aggCols = (if (having) Seq((count(lit(1)).as("cnt"),
           "CAST(COUNT(*) AS BIGINT) AS cnt", "cnt")) else Nil) ++ aggs
         val grouped = if (rollup) df.rollup(keys.map(_._1): _*)
+          else if (cube) df.cube(keys.map(_._1): _*)
           else df.groupBy(keys.map(_._1): _*)
         var out = grouped.agg(aggCols.head._1, aggCols.tail.map(_._1): _*)
         val hv = 2 + rng.nextInt(5)
@@ -327,16 +437,23 @@ object QueryFuzz {
         // observable semantics with HAVING COUNT(*) > 0, which is
         // exact on every non-empty input (every real group has ≥1
         // contributing row). Pinned in FuzzParitySpec.
+        // ROLLUP and CUBE both carry the empty-input guard: Spark
+        // omits every grouping-set row on empty input (the pinned
+        // seed-424242 find); on non-empty input every grouping-set
+        // row aggregates ≥ 1 source row, so the guard is exact
         val groupSql = if (rollup)
           s" GROUP BY ROLLUP (${keys.map(_._4).mkString(", ")})" +
             " HAVING COUNT(*) > 0"
+          else if (cube)
+            s" GROUP BY CUBE (${keys.map(_._4).mkString(", ")})" +
+              " HAVING COUNT(*) > 0"
           else s" GROUP BY ${keys.map(_._4).mkString(", ")}"
         val sql = s"SELECT ${(keys.map(_._3) ++ aggCols.map(_._2)).mkString(", ")}" +
           from + groupSql +
           (if (having) s" HAVING CAST(COUNT(*) AS BIGINT) >= $hv" else "")
         Shape(name, out, sql)
 
-      case f if f < 60 =>
+      case f if f < 52 =>
         // projection: raw cols (no dates) + one IEEE-deterministic
         // computed column when two money cols exist
         val projectable = src.cols.filter {
@@ -357,7 +474,7 @@ object QueryFuzz {
           computed.map(_._2)).mkString(", ")}" + from
         Shape(name, out, sql)
 
-      case f if f < 72 =>
+      case f if f < 62 =>
         // distinct over low-cardinality projections
         val lowCard = src.cols.filter {
           case Col(_, Cat(vs)) => vs.nonEmpty

@@ -475,12 +475,44 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
               .drop("rate")
           }
       }
-      val nKept = publishObject(fs, selected, cc.corpusDataDir, s"batch-$tag")
+      // blob-fingerprint dedup LAST among the drop stages: perceptual
+      // 64-bit fingerprints of the batch's media column, smaller-id
+      // winner within the batch, bloom-anti-joined against the
+      // maintained fingerprint history (the text stages' crawl-vs-
+      // corpus shape on (doc_id, long) rows — re-uploads AND
+      // re-encodes collide because the fp is over DECODED content)
+      val curated = cc.blobDedup.fold(selected) { bc =>
+        val fps = graft.operators.Multimodal
+          .fingerprintBlobs(selected, bc.column, bc.modality)
+        val winners = fps.groupBy(col("bfp"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id"))
+            .as("doc_id"))
+          .select("doc_id", "bfp")
+        val haveFps = fs.exists(
+          new org.apache.hadoop.fs.Path(bc.fpDir)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(bc.fpDir))
+            .exists(_.getPath.getName.endsWith(".parquet"))
+        val keep =
+          if (!haveFps) winners
+          else graft.operators.JoinOps.bloomAntiJoin(winners,
+            spark.read.parquet(bc.fpDir)
+              .select(col("bfp").as("bfp_hist")),
+            "bfp", "bfp_hist")
+        selected.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      }
+      val nKept = publishObject(fs, curated, cc.corpusDataDir, s"batch-$tag")
       // history postings cover the PUBLISHED set: near-dup history
       // must mirror what is actually in the corpus
       val survivorPostings =
-        graft.operators.TextOps.historyPostings(selected)
+        graft.operators.TextOps.historyPostings(curated)
       publishObject(fs, survivorPostings, cc.postingsDir, s"batch-$tag")
+      // fingerprint history mirrors the corpus too: published
+      // survivors' fps append per batch (crash replay reuses the
+      // published object — at most one fp object per tag)
+      cc.blobDedup.foreach { bc =>
+        publishObject(fs, graft.operators.Multimodal.fingerprintBlobs(
+          curated, bc.column, bc.modality), bc.fpDir, s"batch-$tag")
+      }
       MaterializedAgg.update(spark, cc.gramDfDir,
         survivorPostings.select(col("gram")),
         MaterializedAgg.Spec(Seq("gram"), Nil))
@@ -1004,7 +1036,15 @@ object Automation {
       // manifest retention of the versioned corpus table — must cover
       // the longest catalog-snapshot reader (a snapshot pins a corpus
       // VERSION; pruning it breaks that snapshot's reads)
-      corpusKeepVersions: Int = 4) {
+      corpusKeepVersions: Int = 4,
+      // when the ingest schema carries a BINARY media column, drop
+      // blobs whose 64-bit PERCEPTUAL fingerprint (image dHash64 /
+      // gain-invariant audio fp) matches a smaller-id twin in the
+      // batch or the maintained fingerprint history — the image/audio
+      // re-upload twin of the text near-dup stage (round 12 — r11
+      // verdict item 6); survivors' fingerprints append to
+      // `fpDir` per batch, incremental like the text postings
+      blobDedup: Option[BlobDedupConfig] = None) {
     /** The incrementally-maintained (gram, df) view feeding the
       * near-dup prefix ranking — a [[MaterializedAgg]] root next to
       * the postings. */
@@ -1020,6 +1060,13 @@ object Automation {
       * PINNED version through the manifest. */
     def corpusDataDir: String = s"$corpusDir/data"
   }
+
+  /** Blob-dedup stage config: the binary `column` to fingerprint,
+    * its `modality` ("image" | "audio" — picks dHash64 vs the audio
+    * energy-delta fp), and the dir holding the maintained history of
+    * published survivors' fingerprints. */
+  final case class BlobDedupConfig(column: String, modality: String,
+      fpDir: String)
 
   /** Cross-artifact ATOMIC ticks: when set, each tick's corpus-table
     * commit, retrieval-view state, ANN-index generation, and

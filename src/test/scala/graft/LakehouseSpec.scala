@@ -813,6 +813,81 @@ class LakehouseSpec extends SparkSpec {
     assert(viewDf == recount && viewDf.nonEmpty)
   }
 
+  test("curation blob dedup: re-uploaded and re-encoded images drop " +
+      "against the fingerprint history; crash replay idempotent") {
+    import spark.implicits._
+    val root = tmpDir("blobdedup")
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "payload BINARY"),
+      format = "parquet",
+      blobDedup = Some(Automation.BlobDedupConfig(
+        column = "payload", modality = "image", fpDir = s"$root/blobfp")))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false,
+      corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def png(seed: Long): Array[Byte] =
+      operators.ImageCodec.encodePng(seed, 12, 10)
+    // DISTINCT texts everywhere: the text stages must keep every doc,
+    // so any drop below is the blob stage's alone
+    def text(tag: String): String =
+      (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def drop(name: String,
+        rows: Seq[(Long, String, Array[Byte])]): Unit = {
+      val staging = s"$root/stage"
+      rows.toDF("doc_id", "text", "payload")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .select("doc_id", "text", "lang", "source", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$root/drops/$name"))
+    }
+    drop("d1.parquet", Seq(
+      (1L, text("alpha"), png(100)), (2L, text("beta"), png(200))))
+    val r1 = auto.tick()
+    assert(r1.corpus.get.kept == 2 && r1.corpus.get.dropped == 0)
+    // tick 2, all-new texts: a BYTE-IDENTICAL re-upload of image 100,
+    // a RE-ENCODE of image 200 (decode → re-encode: new bytes, same
+    // pixels — only a PERCEPTUAL fingerprint catches it), a fresh
+    // image, and a same-batch twin of the fresh image (within-batch
+    // case: the larger id loses)
+    val reenc = operators.ImageCodec.toPng(
+      operators.ImageCodec.decode(png(200)))
+    drop("d2.parquet", Seq(
+      (11L, text("gamma"), png(100)),
+      (12L, text("delta"), reenc),
+      (13L, text("epsil"), png(300)),
+      (14L, text("zetaa"), png(300))))
+    val r2 = auto.tick()
+    assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 3,
+      r2.corpus.toString)
+    def corpusIds() = spark.read.parquet(s"$root/corpus/data")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpusIds() == Seq(1L, 2L, 13L))
+    // the fingerprint history mirrors the published corpus exactly
+    val fps = spark.read.parquet(s"$root/blobfp")
+      .select("bfp").collect().map(_.getLong(0)).toSeq
+    assert(fps.length == 3 && fps.distinct.length == 3)
+    // crash replay: lose the tick-2 done marker — the batch
+    // reprocesses, published objects are reused, nothing doubles
+    val done = new java.io.File(s"$root/corpus/_done").listFiles()
+      .filter(_.getName.startsWith("done-")).maxBy(_.getName)
+    assert(done.delete())
+    val r3 = auto.tick()
+    assert(r3.corpus.get.batches == 1)
+    assert(corpusIds() == Seq(1L, 2L, 13L))
+    assert(spark.read.parquet(s"$root/blobfp").count() == 3L)
+  }
+
   test("automation tick resamples the corpus by maintained DSIR weights") {
     import org.apache.spark.sql.functions.col
     val root = tmpDir("corpusdsir")
