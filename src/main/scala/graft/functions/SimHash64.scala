@@ -707,6 +707,26 @@ object GraftFunctions {
   private[functions] val deltaReadInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "delta_read")
 
+  /** Table function `iceberg_read('tablePath'[, snapshotId])` — the
+    * read-only Apache Iceberg compatibility reader as a SQL relation
+    * (sources.IcebergCompat): metadata.json → Avro manifests → one
+    * manifest-backed pruned parquet relation. */
+  private[functions] val icebergReadBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (args: Seq[Expression]) => {
+      require(args.size == 1 || args.size == 2,
+        "iceberg_read expects (tablePath[, snapshotId])")
+      val spark = SparkSession.active
+      val asOf = if (args.size == 2)
+        Some(args(1).eval(null).asInstanceOf[Number].longValue())
+      else None
+      graft.sources.IcebergCompat.read(spark,
+        args.head.eval(null).toString, asOf).queryExecution.analyzed
+    }
+
+  private[functions] val icebergReadInfo = new ExpressionInfo(
+    GraftFunctions.getClass.getName, "iceberg_read")
+
   /** The ONE list of (identifier, info, builder) table-function
     * entries. Both registration paths — [[registerTableFunctions]]
     * (runtime) and [[GraftExtensions]] (session build) — iterate this
@@ -750,7 +770,9 @@ object GraftFunctions {
       (FunctionIdentifier("graft_lint"), graftLintInfo,
         graftLintBuilder),
       (FunctionIdentifier("delta_read"), deltaReadInfo,
-        deltaReadBuilder))
+        deltaReadBuilder),
+      (FunctionIdentifier("iceberg_read"), icebergReadInfo,
+        icebergReadBuilder))
 
   /** Register the table functions into an existing session (the
     * runtime path; GraftExtensions covers session build time). */

@@ -431,9 +431,35 @@ object LakehouseOps {
       |FROM lineitem WHERE l_quantity < 10 AND l_returnflag <> 'R'
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q273: ICEBERG ROUND TRIP on real data (round 12 — the r11
+    * "missing 3" interop stretch): materialize a lineitem slice as a
+    * spec-valid Iceberg table (`IcebergCompat.writeTable` — parquet
+    * data + Avro manifest/manifest-list + metadata.json +
+    * version-hint), read it back through the manifest-backed
+    * single-relation reader, and aggregate; the oracle computes the
+    * same aggregate from the source parquet. Hash-green ⇔ metadata
+    * resolution, manifest parsing, identity-partition reattachment,
+    * and schema are all exact. */
+  private val q273: QFn = (s, d) => {
+    val dir = "/tmp/graft_ice_rt_v1_" + deltaFixtureKey(s, d)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        dir, "metadata/version-hint.text")))
+      graft.sources.IcebergCompat.writeTable(deltaSlice(s, d), dir,
+        partitionBy = Seq("l_returnflag"))
+    graft.sources.IcebergCompat.read(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("qty"))
+  }
+  private val q273Sql = q269Sql
+
   val queries: Map[String, QFn] = Map(
     "q269_delta_roundtrip" -> q269,
     "q272_delta_checkpoint" -> q272,
+    "q273_iceberg_roundtrip" -> q273,
     "q264_asof_nearest" -> q264,
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
@@ -446,6 +472,7 @@ object LakehouseOps {
   val oracleSql: Map[String, String] = Map(
     "q269_delta_roundtrip" -> q269Sql,
     "q272_delta_checkpoint" -> q272Sql,
+    "q273_iceberg_roundtrip" -> q273Sql,
     "q264_asof_nearest" -> q264Sql,
     "q21_cdc_latest" -> q21Sql,
     "q22_merge_upsert" -> q22Sql,

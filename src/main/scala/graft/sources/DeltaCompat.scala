@@ -3,15 +3,13 @@ package graft.sources
 import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** READ-ONLY Delta Lake compatibility reader (r10 verdict item 6 —
   * the single most user-visible interop gap: a user adopting this
@@ -298,78 +296,16 @@ object DeltaCompat {
     val partitionSchema = StructType(
       snap.partitionColumns.map(c => snap.schema(c)))
     val root = new Path(tablePath)
-    val index = new DeltaFileIndex(spark, root, partitionSchema, snap)
+    val qualified = root.getFileSystem(
+      spark.sessionState.newHadoopConf()).makeQualified(root)
+    val metaFiles = snap.files.map(f => MetaDataFile(
+      resolvePath(qualified, f.path), f.size, f.modificationTime,
+      f.partitionValues))
+    val index = new MetaFileIndex(spark, root, partitionSchema, metaFiles)
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)
       .select(snap.schema.map(f => col(f.name)): _*)
-  }
-
-  /** Log-backed [[FileIndex]]: file statuses come from the replayed
-    * snapshot (size/mtime are required `add` fields — no per-file
-    * RPCs), partition values are typed via `Cast` from the protocol's
-    * string serialization, and `listFiles` evaluates pushed
-    * partition predicates the same way Spark's own
-    * `PartitioningAwareFileIndex.prunePartitions` does. */
-  private final class DeltaFileIndex(spark: SparkSession, root: Path,
-      override val partitionSchema: StructType, snap: Snapshot)
-      extends FileIndex {
-    private val tz = spark.sessionState.conf.sessionLocalTimeZone
-
-    private def typedPartVal(raw: String, dt: DataType): Any =
-      if (raw == null) null
-      else Cast(Literal.create(raw, StringType), dt, Option(tz)).eval(null)
-
-    private val dirs: Seq[PartitionDirectory] = {
-      val qualified = root.getFileSystem(
-        spark.sessionState.newHadoopConf()).makeQualified(root)
-      snap.files.groupBy(_.partitionValues).toSeq
-        .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-        .map { case (pv, fsOfPart) =>
-          val values = InternalRow.fromSeq(partitionSchema.map(f =>
-            typedPartVal(pv.getOrElse(f.name, null), f.dataType)))
-          val statuses = fsOfPart.map { f =>
-            val p = resolvePath(qualified, f.path)
-            // size < 0 only on spec-violating logs: one RPC fallback
-            val len = if (f.size >= 0) f.size
-              else p.getFileSystem(
-                spark.sessionState.newHadoopConf()).getFileStatus(p).getLen
-            new FileStatus(len, false, 1, 128L * 1024 * 1024,
-              f.modificationTime, p)
-          }.toArray
-          PartitionDirectory(values, statuses)
-        }
-    }
-
-    override def rootPaths: Seq[Path] = Seq(root)
-
-    override def listFiles(partitionFilters: Seq[Expression],
-        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) dirs
-      else try {
-        val bound = partitionFilters.reduce(And).transform {
-          case a: AttributeReference =>
-            val i = partitionSchema.fieldNames.indexWhere(
-              _.equalsIgnoreCase(a.name))
-            require(i >= 0, s"unbound partition attribute ${a.name}")
-            BoundReference(i, partitionSchema(i).dataType, nullable = true)
-        }
-        val pred = Predicate.createInterpreted(bound.asInstanceOf[Expression])
-        pred.initialize(0)
-        dirs.filter(d => pred.eval(d.values))
-      } catch {
-        // an un-evaluable pushed predicate (e.g. a runtime subquery
-        // this index cannot bind) must never lose rows: fall back to
-        // the full listing and let the scan's data filters handle it
-        case scala.util.control.NonFatal(_) => dirs
-      }
-    }
-
-    override def inputFiles: Array[String] =
-      dirs.flatMap(_.files.map(_.getPath.toString)).toArray
-    override def refresh(): Unit = ()
-    override def sizeInBytes: Long =
-      math.max(1L, snap.files.map(f => math.max(f.size, 0L)).sum)
   }
 
   /** Materialize a DataFrame as a MINIMAL protocol-valid Delta table:

@@ -1,0 +1,280 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+import graft.sources.IcebergCompat
+
+/** Read-only Apache Iceberg compatibility: fixtures are written to
+  * the PUBLISHED table spec (metadata.json + Avro manifest list +
+  * Avro manifests + parquet data) — partly by our own fixture writer,
+  * partly BY HAND — so these tests pin our reading of the spec:
+  * snapshot resolution, live-file reconstruction across
+  * ADDED/EXISTING/DELETED manifest entries, identity partition
+  * re-attachment, single-relation pruning, snapshot time travel,
+  * hint-fallback, and loud rejection of the documented-unsupported
+  * features. */
+class IcebergCompatSpec extends SparkSpec {
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.FileSourceScanExec = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(find)
+    }
+    val scans = find(df.queryExecution.executedPlan)
+    assert(scans.size == 1, df.queryExecution.executedPlan.toString)
+    scans.head
+  }
+
+
+  /** Rewrite a file the fixture writer created through the Hadoop
+    * local FS: drop the stale .crc sibling or the next read fails
+    * ChecksumException instead of exercising the reader. */
+  private def rewrite(path: String, content: String): Unit = {
+    Files.writeString(Paths.get(path), content)
+    val f = new java.io.File(path)
+    Files.deleteIfExists(Paths.get(f.getParent, "." + f.getName + ".crc"))
+  }
+  test("writeTable round-trip: partitioned table reads back exactly " +
+      "through ONE pruned relation") {
+    import spark.implicits._
+    val d = tmpDir("icefix") + "/tbl"
+    val src = Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"),
+      (4L, 40.0, "c")).toDF("id", "v", "k").coalesce(1)
+    IcebergCompat.writeTable(src, d, partitionBy = Seq("k"))
+    val back = IcebergCompat.read(spark, d)
+    assert(back.columns.toSeq == Seq("id", "v", "k"))
+    assert(back.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq ==
+      Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"),
+        (4L, 40.0, "c")))
+    def rels(p: LogicalPlan): Int =
+      p.collect { case r: LogicalRelation => r }.size
+    assert(rels(back.queryExecution.optimizedPlan) == 1)
+    val pruned = IcebergCompat.read(spark, d)
+      .filter(col("k") === "a").select("id")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(scanOf(pruned).metrics("numFiles").value == 1L,
+      scanOf(pruned).metadata.toString)
+    // snapshot facts from the metadata, not the filesystem
+    val snap = IcebergCompat.snapshot(spark, d)
+    assert(snap.snapshotId == 1L && snap.partitionColumns == Seq("k") &&
+      snap.files.size == 3)
+  }
+
+  test("unpartitioned tables and the stale version-hint fallback") {
+    import spark.implicits._
+    val d = tmpDir("icenp") + "/tbl"
+    IcebergCompat.writeTable(
+      Seq((1L, "p"), (2L, "q")).toDF("id", "s"), d)
+    assert(IcebergCompat.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "p"), (2L, "q")))
+    // a STALE hint (names a missing metadata version) must fall back
+    // to the directory scan, not fail the read
+    rewrite(s"$d/metadata/version-hint.text", "99")
+    assert(IcebergCompat.read(spark, d).count() == 2L)
+    // no metadata dir at all: loud
+    val e = intercept[IllegalArgumentException] {
+      IcebergCompat.snapshot(spark, tmpDir("notice")) }
+    assert(e.getMessage.contains("metadata"))
+  }
+
+  test("snapshot time travel across ADDED/EXISTING/DELETED manifest " +
+      "entries (hand-written second snapshot)") {
+    import spark.implicits._
+    val d = tmpDir("icett") + "/tbl"
+    // snapshot 1 via the fixture writer: files for partitions a, b
+    IcebergCompat.writeTable(Seq((1L, "a"), (2L, "b")).toDF("id", "k"),
+      d, partitionBy = Seq("k"))
+    val snap1 = IcebergCompat.snapshot(spark, d)
+    assert(snap1.files.size == 2)
+    val fileA = snap1.files.find(_.partitionValues("k") == "a").get
+    val fileB = snap1.files.find(_.partitionValues("k") == "b").get
+    // a new data file for partition c, written as plain parquet
+    val staging = tmpDir("icett-stage")
+    Seq(3L).toDF("id").coalesce(1).write.mode("overwrite").parquet(staging)
+    val cSrc = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(s"$d/k=c"))
+    Files.move(cSrc.toPath, Paths.get(s"$d/k=c/f2c.parquet"))
+    // snapshot 2 BY HAND: manifest with DELETED(a) + EXISTING(b) +
+    // ADDED(c), its manifest list, a v2.metadata.json with both
+    // snapshots, and the advanced hint
+    val entrySchema = IcebergCompat.manifestEntrySchema(
+      Seq("k" -> org.apache.spark.sql.types.StringType))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    def entry(status: Int, path: String, k: String,
+        size: Long): GenericRecord = {
+      val pr = new GenericData.Record(partSchema)
+      pr.put("k", k)
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", Integer.valueOf(0))
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", pr)
+      dfr.put("record_count", java.lang.Long.valueOf(-1L))
+      dfr.put("file_size_in_bytes", java.lang.Long.valueOf(size))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Integer.valueOf(status))
+      e.put("snapshot_id", java.lang.Long.valueOf(2L))
+      e.put("data_file", dfr)
+      e
+    }
+    val cLen = Files.size(Paths.get(s"$d/k=c/f2c.parquet"))
+    def writeAvroFile(p: String, schema: org.apache.avro.Schema,
+        recs: Seq[GenericRecord]): Long = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      try {
+        w.create(schema, new java.io.File(p))
+        recs.foreach(w.append)
+      } finally w.close()
+      Files.size(Paths.get(p))
+    }
+    val m2 = s"$d/metadata/manifest-2.avro"
+    val m2Len = writeAvroFile(m2, entrySchema, Seq(
+      entry(2, fileA.path, "a", fileA.size),   // DELETED
+      entry(0, fileB.path, "b", fileB.size),   // EXISTING
+      entry(1, s"k=c/f2c.parquet", "c", cLen)))// ADDED
+    val ml = new GenericData.Record(IcebergCompat.manifestListSchema)
+    ml.put("manifest_path", m2)
+    ml.put("manifest_length", java.lang.Long.valueOf(m2Len))
+    ml.put("partition_spec_id", Integer.valueOf(0))
+    ml.put("content", Integer.valueOf(0))
+    ml.put("added_snapshot_id", java.lang.Long.valueOf(2L))
+    writeAvroFile(s"$d/metadata/snap-2.avro",
+      IcebergCompat.manifestListSchema, Seq(ml))
+    val v1 = Files.readString(Paths.get(s"$d/metadata/v1.metadata.json"))
+    val snapsBlock = v1.split("\"snapshots\":\\[")(1).stripSuffix("]}")
+    val v2 = v1
+      .replace("\"current-snapshot-id\":1", "\"current-snapshot-id\":2")
+      .replace(s""""snapshots":[$snapsBlock]}""",
+        s""""snapshots":[$snapsBlock,
+          |{"snapshot-id":2,"timestamp-ms":1,"sequence-number":2,
+          |"summary":{"operation":"overwrite"},
+          |"manifest-list":"$d/metadata/snap-2.avro","schema-id":0}]}"""
+          .stripMargin)
+    assert(v2 != v1, "metadata rewrite failed to apply")
+    rewrite(s"$d/metadata/v2.metadata.json", v2)
+    rewrite(s"$d/metadata/version-hint.text", "2")
+
+    val cur = IcebergCompat.read(spark, d)
+    assert(cur.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L)) // a deleted, b existing, c added
+    assert(cur.filter(col("k") === "c").count() == 1L)
+    val asOf1 = IcebergCompat.read(spark, d, asOfSnapshotId = Some(1L))
+    assert(asOf1.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      IcebergCompat.snapshot(spark, d, asOfSnapshotId = Some(99L)) }
+    assert(e.getMessage.contains("snapshot 99"))
+  }
+
+  test("iceberg_read TVF exposes the reader on the SQL surface") {
+    import spark.implicits._
+    val d = tmpDir("icetvf") + "/tbl"
+    IcebergCompat.writeTable(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k"), d,
+      partitionBy = Seq("k"))
+    val rows = spark.sql(
+      s"SELECT id, k FROM iceberg_read('$d') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM iceberg_read('$d', 1)")
+      .head.getLong(0) == 3L)
+  }
+
+  test("documented-unsupported tables are rejected loudly") {
+    import spark.implicits._
+    val d = tmpDir("icebad") + "/tbl"
+    IcebergCompat.writeTable(Seq((1L, "a")).toDF("id", "k"), d,
+      partitionBy = Seq("k"))
+    val metaPath = Paths.get(s"$d/metadata/v1.metadata.json")
+    val good = Files.readString(metaPath)
+    // non-identity partition transform
+    rewrite(metaPath.toString,
+      good.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\""))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergCompat.snapshot(spark, d) }
+    assert(e1.getMessage.contains("bucket[4]"))
+    // nested type in the schema
+    rewrite(metaPath.toString, good.replace("\"type\":\"string\"",
+      """"type":{"type":"struct","fields":[]}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergCompat.snapshot(spark, d) }
+    assert(e2.getMessage.contains("nested"))
+    // future format version
+    rewrite(metaPath.toString,
+      good.replace("\"format-version\":2", "\"format-version\":3"))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergCompat.snapshot(spark, d) }
+    assert(e3.getMessage.contains("format-version 3"))
+    // a delete manifest in the manifest list (content=1)
+    rewrite(metaPath.toString, good)
+    val mlRecs = {
+      val ml = new GenericData.Record(IcebergCompat.manifestListSchema)
+      ml.put("manifest_path", s"$d/metadata/manifest-1.avro")
+      ml.put("manifest_length", java.lang.Long.valueOf(1L))
+      ml.put("partition_spec_id", Integer.valueOf(0))
+      ml.put("content", Integer.valueOf(1))
+      ml.put("added_snapshot_id", java.lang.Long.valueOf(1L))
+      Seq(ml)
+    }
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](
+        IcebergCompat.manifestListSchema))
+    try {
+      w.create(IcebergCompat.manifestListSchema,
+        new java.io.File(s"$d/metadata/snap-1.avro"))
+      mlRecs.foreach(w.append)
+    } finally w.close()
+    Files.deleteIfExists(Paths.get(s"$d/metadata/.snap-1.avro.crc"))
+    val e4 = intercept[IllegalArgumentException] {
+      IcebergCompat.snapshot(spark, d) }
+    assert(e4.getMessage.contains("delete manifests"))
+  }
+
+  test("v1 metadata: legacy schema/partition-spec fields and inline " +
+      "manifests read correctly") {
+    import spark.implicits._
+    val d = tmpDir("icev1") + "/tbl"
+    // data + manifest via the fixture writer, then REWRITE the
+    // metadata in the v1 legacy dialect: "schema", "partition-spec",
+    // and the snapshot's inline "manifests" array
+    IcebergCompat.writeTable(Seq((1L, "a"), (2L, "b")).toDF("id", "k"),
+      d, partitionBy = Seq("k"))
+    val fieldsJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"k","required":false,"type":"string"}"""
+        .stripMargin
+    val v1Legacy =
+      s"""{"format-version":1,
+        |"table-uuid":"legacy","location":"$d",
+        |"last-updated-ms":0,"last-column-id":2,
+        |"schema":{"type":"struct","fields":[$fieldsJson]},
+        |"partition-spec":[{"name":"k","transform":"identity",
+        |"source-id":2,"field-id":1000}],
+        |"current-snapshot-id":1,
+        |"snapshots":[{"snapshot-id":1,"timestamp-ms":0,
+        |"manifests":["$d/metadata/manifest-1.avro"]}]}""".stripMargin
+    rewrite(s"$d/metadata/v1.metadata.json", v1Legacy)
+    val back = IcebergCompat.read(spark, d)
+    assert(back.columns.toSeq == Seq("id", "k"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+}
