@@ -453,7 +453,37 @@ object QueryFuzz {
           (if (having) s" HAVING CAST(COUNT(*) AS BIGINT) >= $hv" else "")
         Shape(name, out, sql)
 
-      case f if f < 52 =>
+      case f if f >= 44 && f < 52 =>
+        // semi/anti-join via correlated [NOT] EXISTS: the DataFrame
+        // side is the left_semi/left_anti join a Spark user writes;
+        // both engines plan the correlated EXISTS as the same
+        // semi/anti join. TPC-H FK keys are non-null, so EXISTS ≡
+        // IN here with none of NOT IN's null-semantics trap — which
+        // is why the grammar emits EXISTS, not IN
+        val lj = pick(rng, leftJoins)
+        val anti = rng.nextBoolean()
+        val dimPred = genPred(rng, lj.dim.cols)
+        val factPred = if (rng.nextBoolean()) genPred(rng, lj.fact.cols)
+          else None
+        var fact = lj.fact.build(spark, sfDir)
+        factPred.foreach { case (c, _) => fact = fact.filter(c) }
+        var dim = lj.dim.build(spark, sfDir)
+        dimPred.foreach { case (c, _) => dim = dim.filter(c) }
+        val out = fact
+          .join(dim.select(col(lj.dk)), col(lj.fk) === col(lj.dk),
+            if (anti) "left_anti" else "left_semi")
+          .groupBy(col(lj.factGroup.name))
+          .agg(count(lit(1)).as("n"))
+        val ex = if (anti) "NOT EXISTS" else "EXISTS"
+        val dimWhere = dimPred.map(p => s" AND ${p._2}").getOrElse("")
+        val factWhere = factPred.map(p => s"${p._2} AND ").getOrElse("")
+        Shape(name, out,
+          s"SELECT ${lj.factGroup.name}, CAST(COUNT(*) AS BIGINT) AS n " +
+            s"FROM ${lj.fact.from} WHERE $factWhere$ex (SELECT 1 FROM " +
+            s"${lj.dim.from} WHERE ${lj.dk} = ${lj.fk}$dimWhere) " +
+            s"GROUP BY ${lj.factGroup.name}")
+
+      case f if f < 44 =>
         // projection: raw cols (no dates) + one IEEE-deterministic
         // computed column when two money cols exist
         val projectable = src.cols.filter {
