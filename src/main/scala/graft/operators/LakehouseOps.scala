@@ -456,10 +456,38 @@ object LakehouseOps {
   }
   private val q273Sql = q269Sql
 
+  /** q274: ICEBERG v2 MERGE-ON-READ on real data — the fixture is a
+    * MoR table: base snapshot of the slice, then a POSITIONAL-delete
+    * snapshot removing every `l_returnflag = 'R'` row
+    * (`IcebergCompat.deletePositional` — no data file rewritten; the
+    * read side anti-joins the delete set on the scan's `_metadata`
+    * columns). The oracle computes the aggregate with the 'R' rows
+    * excluded — hash-green ⇔ the delete file, its manifest, the new
+    * snapshot, and the positional application are all exact. */
+  private val q274: QFn = (s, d) => {
+    val dir = "/tmp/graft_ice_mor_v1_" + deltaFixtureKey(s, d)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        dir, "metadata/v2.metadata.json"))) {
+      graft.sources.IcebergCompat.writeTable(deltaSlice(s, d), dir,
+        partitionBy = Seq("l_returnflag"))
+      graft.sources.IcebergCompat.deletePositional(s, dir,
+        col("l_returnflag") === "R")
+    }
+    graft.sources.IcebergCompat.read(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("qty"))
+  }
+  private val q274Sql = q272Sql
+
   val queries: Map[String, QFn] = Map(
     "q269_delta_roundtrip" -> q269,
     "q272_delta_checkpoint" -> q272,
     "q273_iceberg_roundtrip" -> q273,
+    "q274_iceberg_mor" -> q274,
     "q264_asof_nearest" -> q264,
     "q21_cdc_latest" -> q21,
     "q22_merge_upsert" -> q22,
@@ -473,6 +501,7 @@ object LakehouseOps {
     "q269_delta_roundtrip" -> q269Sql,
     "q272_delta_checkpoint" -> q272Sql,
     "q273_iceberg_roundtrip" -> q273Sql,
+    "q274_iceberg_mor" -> q274Sql,
     "q264_asof_nearest" -> q264Sql,
     "q21_cdc_latest" -> q21Sql,
     "q22_merge_upsert" -> q22Sql,

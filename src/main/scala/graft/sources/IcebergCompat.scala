@@ -43,15 +43,21 @@ import org.apache.spark.sql.types._
   * and reads only the non-partition columns from parquet, so both
   * layouts read identically.
   *
-  * Supported: format-version 1 and 2 DATA tables, flat schemas of
-  * the primitive types, identity (and void) partition transforms,
+  * Supported: format-version 1 and 2 tables, flat schemas of the
+  * primitive types, identity (and void) partition transforms,
   * `asOfSnapshotId` time travel across the metadata's snapshot list,
-  * v1 inline `manifests` arrays and v2 `manifest-list` files.
-  * NOT supported, rejected loudly: delete manifests / positional or
-  * equality deletes (`content != 0`), non-identity partition
-  * transforms (bucket/truncate/day/…), nested types, column-mapping
-  * by field id (columns match by NAME — renamed-column histories
-  * would need id mapping), non-parquet data files.
+  * v1 inline `manifests` arrays and v2 `manifest-list` files, and v2
+  * merge-on-read POSITIONAL deletes — delete manifests (content=1)
+  * contribute (file_path, pos) parquet delete files that apply as an
+  * anti-join on the scan's `_metadata` columns (see [[read]]), and
+  * [[deletePositional]] writes that MoR shape.
+  * NOT supported, rejected loudly: EQUALITY deletes (content=2 —
+  * their correct application needs sequence-number ordering;
+  * positional deletes name files explicitly and are order-safe),
+  * non-identity partition transforms (bucket/truncate/day/…), nested
+  * types, column-mapping by field id (columns match by NAME —
+  * renamed-column histories would need id mapping), non-parquet
+  * files.
   */
 object IcebergCompat {
 
@@ -60,8 +66,13 @@ object IcebergCompat {
   final case class IceFile(path: String, size: Long,
       partitionValues: Map[String, String])
 
+  /** A POSITIONAL delete file (v2 MoR): parquet of (file_path, pos)
+    * rows naming data-file rows removed from the snapshot. */
+  final case class IceDelete(path: String, size: Long)
+
   final case class Snapshot(snapshotId: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[IceFile])
+      partitionColumns: Seq[String], files: Seq[IceFile],
+      deletes: Seq[IceDelete] = Seq.empty)
 
   // ---- metadata.json ----
 
@@ -209,63 +220,67 @@ object IcebergCompat {
             s"${snaps.map(_.get("snapshot-id").asLong).mkString("[", ",", "]")})"))
     }
     val files = mutable.ArrayBuffer[IceFile]()
+    val deletes = mutable.ArrayBuffer[IceDelete]()
     snapNode.foreach { sn =>
       val root = new Path(tablePath)
-      val manifestPaths: Seq[Path] =
+      // (manifest path, content): 0 = data manifest, 1 = deletes
+      val manifestPaths: Seq[(Path, Long)] =
         if (sn.has("manifest-list")) {
           val mlPath = DeltaCompat.resolvePath(root,
             sn.get("manifest-list").asText)
           avroRecords(spark, mlPath).map { mf =>
-            val content = lng(mf, "content", 0L)
-            require(content == 0L,
-              "delete manifests are not supported by this reader " +
-                "(class doc): content=" + content)
-            DeltaCompat.resolvePath(root, str(mf, "manifest_path"))
+            (DeltaCompat.resolvePath(root, str(mf, "manifest_path")),
+              lng(mf, "content", 0L))
           }
         } else {
           val arr = sn.get("manifests")
           require(arr != null,
             "snapshot carries neither manifest-list nor manifests")
           (0 until arr.size).map(i =>
-            DeltaCompat.resolvePath(root, arr.get(i).asText))
+            (DeltaCompat.resolvePath(root, arr.get(i).asText), 0L))
         }
-      manifestPaths.foreach { mp =>
+      manifestPaths.foreach { case (mp, manifestContent) =>
         avroRecords(spark, mp).foreach { entry =>
           val status = lng(entry, "status", 1L)
           if (status != 2L) { // 2 = DELETED: not part of the snapshot
             val dfr = entry.get("data_file").asInstanceOf[GenericRecord]
-            require(lng(dfr, "content", 0L) == 0L,
-              "delete files are not supported by this reader (class doc)")
             val fmt = str(dfr, "file_format")
             require(fmt != null && fmt.equalsIgnoreCase("parquet"),
               s"unsupported data file format: $fmt")
-            val pv: Map[String, String] =
-              Option(dfr.get("partition")) match {
-                case Some(pr: GenericRecord) =>
-                  partCols.map { c =>
-                    c -> Option(pr.get(c)).map(_.toString).orNull
-                  }.toMap
-                case _ => Map.empty
-              }
-            files += IceFile(str(dfr, "file_path"),
-              lng(dfr, "file_size_in_bytes", -1L), pv)
+            val content = math.max(lng(dfr, "content", 0L),
+              manifestContent)
+            content match {
+              case 0L =>
+                val pv: Map[String, String] =
+                  Option(dfr.get("partition")) match {
+                    case Some(pr: GenericRecord) =>
+                      partCols.map { c =>
+                        c -> Option(pr.get(c)).map(_.toString).orNull
+                      }.toMap
+                    case _ => Map.empty
+                  }
+                files += IceFile(str(dfr, "file_path"),
+                  lng(dfr, "file_size_in_bytes", -1L), pv)
+              case 1L =>
+                deletes += IceDelete(str(dfr, "file_path"),
+                  lng(dfr, "file_size_in_bytes", -1L))
+              case other => throw new IllegalArgumentException(
+                "equality delete files are not supported by this " +
+                  s"reader (class doc): content=$other")
+            }
           }
         }
       }
     }
-    Snapshot(wantedId.getOrElse(-1L), schema, partCols, files.toVector)
+    Snapshot(wantedId.getOrElse(-1L), schema, partCols, files.toVector,
+      deletes.toVector)
   }
 
-  /** Read the table as a DataFrame — ONE parquet relation over the
-    * manifest-backed [[MetaFileIndex]], partition pruning inside the
-    * single scan node (the [[DeltaCompat.read]] shape). */
-  def read(spark: SparkSession, tablePath: String,
-      asOfSnapshotId: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, asOfSnapshotId)
-    if (snap.files.isEmpty) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], snap.schema)
-    }
+  /** The relation over a snapshot's data files, columns in declared
+    * order — `_metadata` (file_path, row_index) still resolvable on
+    * the result for the MoR delete join. */
+  private def relationFor(spark: SparkSession, tablePath: String,
+      snap: Snapshot): DataFrame = {
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val partitionSchema = StructType(
@@ -280,7 +295,56 @@ object IcebergCompat {
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)
-      .select(snap.schema.map(f => col(f.name)): _*)
+  }
+
+  /** Read the table as a DataFrame — ONE parquet relation over the
+    * manifest-backed [[MetaFileIndex]], partition pruning inside the
+    * single scan node (the [[DeltaCompat.read]] shape). A v2 MoR
+    * snapshot's POSITIONAL deletes apply as an anti-join on Spark's
+    * own `_metadata.(file_path, row_index)` scan columns — the
+    * standard merge-on-read shape: the delete set is a parquet scan
+    * of (file_path, pos) rows, translated from the writer's
+    * manifest-path form to the scan's resolved-URI form through a
+    * files-sized broadcast map (positional deletes name files
+    * explicitly, so application is sequence-number-safe by
+    * construction — a path can never be re-added in Iceberg). */
+  def read(spark: SparkSession, tablePath: String,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, asOfSnapshotId)
+    if (snap.files.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], snap.schema)
+    }
+    val base = relationFor(spark, tablePath, snap)
+    val outCols = snap.schema.map(f => col(f.name))
+    if (snap.deletes.isEmpty) base.select(outCols: _*)
+    else {
+      import spark.implicits._
+      val root = new Path(tablePath)
+      val qualified = root.getFileSystem(
+        spark.sessionState.newHadoopConf()).makeQualified(root)
+      // writer-form manifest path -> the exact string the scan's
+      // _metadata.file_path yields (the SparkPath url form)
+      val trans = snap.files.map { f =>
+        val resolved = DeltaCompat.resolvePath(qualified, f.path)
+        (f.path,
+          org.apache.spark.paths.SparkPath.fromPath(resolved).urlEncoded)
+      }.toDF("file_path", "_ice_resolved")
+      val delPaths = snap.deletes.map(d =>
+        DeltaCompat.resolvePath(qualified, d.path).toString)
+      val dels = spark.read
+        .schema("file_path STRING, pos BIGINT")
+        .parquet(delPaths: _*)
+        .join(broadcast(trans), Seq("file_path"), "left")
+        .select(coalesce(col("_ice_resolved"), col("file_path"))
+          .as("_ice_del_fp"), col("pos").as("_ice_del_pos"))
+      base
+        .withColumn("_ice_fp", col("_metadata.file_path"))
+        .withColumn("_ice_pos", col("_metadata.row_index"))
+        .join(dels, col("_ice_fp") === col("_ice_del_fp") &&
+          col("_ice_pos") === col("_ice_del_pos"), "left_anti")
+        .select(outCols: _*)
+    }
   }
 
   // ---- fixture/export writer ----
@@ -348,6 +412,118 @@ object IcebergCompat {
       records.foreach(w.append)
     } finally w.close()
     fs.getFileStatus(p).getLen
+  }
+
+  /** MINIMAL merge-on-read DELETE: mark every current row matching
+    * `predicate` as deleted via a POSITIONAL delete file — the v2 MoR
+    * write path (no data file is rewritten). Positions come from the
+    * same `_metadata.(file_path, row_index)` scan columns the read
+    * side joins on; the delete parquet is the spec's (file_path, pos)
+    * layout with file_path in the scan's resolved form, a new delete
+    * manifest (content=1) joins the existing manifests in a new
+    * manifest list, and a new metadata version + snapshot + hint
+    * publish it. Returns the new snapshot id (rows may match zero
+    * files; the snapshot still advances, like a real engine's
+    * no-op-guarded DELETE). Fixture/export grade, like
+    * [[writeTable]]: single-writer, no concurrent-commit arbitration. */
+  def deletePositional(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val metaPath = currentMetadataPath(spark, tablePath)
+    val meta = readJson(spark, metaPath)
+    val snap = snapshot(spark, tablePath)
+    val newSnapId = snap.snapshotId + 1
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // positions of the matching rows, from the scan's own metadata
+    val delRows = relationFor(spark, tablePath, snap)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val delDir = new Path(root, s"delete-$newSnapId.parquet")
+    delRows.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delFile = fs.listStatus(delDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no delete parquet under $delDir"))
+    // delete manifest (content=1 at both levels, per the spec)
+    val entrySchema = manifestEntrySchema(Seq.empty)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val dfr = new GenericData.Record(dfSchema)
+    dfr.put("content", Integer.valueOf(1))
+    dfr.put("file_path", delFile.toString)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("partition", new GenericData.Record(partSchema))
+    dfr.put("record_count", java.lang.Long.valueOf(-1L))
+    dfr.put("file_size_in_bytes",
+      java.lang.Long.valueOf(fs.getFileStatus(delFile).getLen))
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", Integer.valueOf(1))
+    e.put("snapshot_id", java.lang.Long.valueOf(newSnapId))
+    e.put("data_file", dfr)
+    val metaDir = new Path(root, "metadata")
+    val delManifest = new Path(metaDir, s"manifest-del-$newSnapId.avro")
+    val dmLen = writeAvro(spark, delManifest, entrySchema, Seq(e))
+    // new manifest list = the current snapshot's manifests + the
+    // delete manifest
+    val curSnaps = meta.get("snapshots")
+    val curSnap = (0 until curSnaps.size).map(curSnaps.get)
+      .find(_.get("snapshot-id").asLong == snap.snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current snapshot ${snap.snapshotId} missing from metadata"))
+    val prior: Seq[GenericRecord] =
+      if (curSnap.has("manifest-list"))
+        avroRecords(spark, DeltaCompat.resolvePath(root,
+          curSnap.get("manifest-list").asText))
+      else Seq.empty
+    val mlRecs = prior.map { r =>
+      // re-project into OUR list schema (a prior list may carry more
+      // optional fields than the fixture schema declares)
+      val ml = new GenericData.Record(manifestListSchema)
+      ml.put("manifest_path", str(r, "manifest_path"))
+      ml.put("manifest_length",
+        java.lang.Long.valueOf(lng(r, "manifest_length", -1L)))
+      ml.put("partition_spec_id",
+        Integer.valueOf(lng(r, "partition_spec_id", 0L).toInt))
+      ml.put("content", Integer.valueOf(lng(r, "content", 0L).toInt))
+      ml.put("added_snapshot_id",
+        java.lang.Long.valueOf(lng(r, "added_snapshot_id", 0L)))
+      ml
+    } :+ {
+      val ml = new GenericData.Record(manifestListSchema)
+      ml.put("manifest_path", delManifest.toString)
+      ml.put("manifest_length", java.lang.Long.valueOf(dmLen))
+      ml.put("partition_spec_id", Integer.valueOf(0))
+      ml.put("content", Integer.valueOf(1))
+      ml.put("added_snapshot_id", java.lang.Long.valueOf(newSnapId))
+      ml
+    }
+    val mlPath = new Path(metaDir, s"snap-$newSnapId.avro")
+    writeAvro(spark, mlPath, manifestListSchema, mlRecs)
+    // new metadata version: same everything, one more snapshot
+    val metaTxt = {
+      val in = fs.open(metaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val node = mapper.readTree(metaTxt)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("current-snapshot-id", newSnapId)
+    val snapNode = node.withArray("snapshots").addObject()
+    snapNode.put("snapshot-id", newSnapId)
+    snapNode.put("timestamp-ms", 0L)
+    snapNode.put("sequence-number", newSnapId)
+    snapNode.putObject("summary").put("operation", "delete")
+    snapNode.put("manifest-list", mlPath.toString)
+    snapNode.put("schema-id", 0)
+    val versionRe = """v(\d+)\.metadata\.json""".r
+    val curV = metaPath.getName match { case versionRe(v) => v.toLong }
+    val out = fs.create(
+      new Path(metaDir, s"v${curV + 1}.metadata.json"), true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(s"${curV + 1}".getBytes("UTF-8")) finally hint.close()
+    newSnapId
   }
 
   /** Materialize a DataFrame as a MINIMAL spec-valid Iceberg table

@@ -223,29 +223,86 @@ class IcebergCompatSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException] {
       IcebergCompat.snapshot(spark, d) }
     assert(e3.getMessage.contains("format-version 3"))
-    // a delete manifest in the manifest list (content=1)
+    // an EQUALITY delete file (content=2) in a delete manifest:
+    // rejected loudly — positional deletes are the supported MoR form
     rewrite(metaPath.toString, good)
+    val entrySchema2 = IcebergCompat.manifestEntrySchema(Seq.empty)
+    val dfSchema2 = entrySchema2.getField("data_file").schema()
+    val eqDfr = new GenericData.Record(dfSchema2)
+    eqDfr.put("content", Integer.valueOf(2))
+    eqDfr.put("file_path", s"$d/eqdel.parquet")
+    eqDfr.put("file_format", "PARQUET")
+    eqDfr.put("partition", new GenericData.Record(
+      dfSchema2.getField("partition").schema()))
+    eqDfr.put("record_count", java.lang.Long.valueOf(-1L))
+    eqDfr.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
+    val eqEntry = new GenericData.Record(entrySchema2)
+    eqEntry.put("status", Integer.valueOf(1))
+    eqEntry.put("snapshot_id", java.lang.Long.valueOf(1L))
+    eqEntry.put("data_file", eqDfr)
+    def writeAvroAt(path: String, schema: org.apache.avro.Schema,
+        recs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      try { w.create(schema, new java.io.File(path)); recs.foreach(w.append) }
+      finally w.close()
+      val f = new java.io.File(path)
+      Files.deleteIfExists(Paths.get(f.getParent, "." + f.getName + ".crc"))
+    }
+    writeAvroAt(s"$d/metadata/manifest-eq.avro", entrySchema2, Seq(eqEntry))
     val mlRecs = {
+      val keep = new GenericData.Record(IcebergCompat.manifestListSchema)
+      keep.put("manifest_path", s"$d/metadata/manifest-1.avro")
+      keep.put("manifest_length", java.lang.Long.valueOf(1L))
+      keep.put("partition_spec_id", Integer.valueOf(0))
+      keep.put("content", Integer.valueOf(0))
+      keep.put("added_snapshot_id", java.lang.Long.valueOf(1L))
       val ml = new GenericData.Record(IcebergCompat.manifestListSchema)
-      ml.put("manifest_path", s"$d/metadata/manifest-1.avro")
+      ml.put("manifest_path", s"$d/metadata/manifest-eq.avro")
       ml.put("manifest_length", java.lang.Long.valueOf(1L))
       ml.put("partition_spec_id", Integer.valueOf(0))
       ml.put("content", Integer.valueOf(1))
       ml.put("added_snapshot_id", java.lang.Long.valueOf(1L))
-      Seq(ml)
+      Seq(keep, ml)
     }
-    val w = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](
-        IcebergCompat.manifestListSchema))
-    try {
-      w.create(IcebergCompat.manifestListSchema,
-        new java.io.File(s"$d/metadata/snap-1.avro"))
-      mlRecs.foreach(w.append)
-    } finally w.close()
-    Files.deleteIfExists(Paths.get(s"$d/metadata/.snap-1.avro.crc"))
+    writeAvroAt(s"$d/metadata/snap-1.avro",
+      IcebergCompat.manifestListSchema, mlRecs)
     val e4 = intercept[IllegalArgumentException] {
       IcebergCompat.snapshot(spark, d) }
-    assert(e4.getMessage.contains("delete manifests"))
+    assert(e4.getMessage.contains("equality delete"), e4.getMessage)
+  }
+
+  test("v2 merge-on-read: positional deletes apply on the _metadata " +
+      "anti-join; deletePositional writes the MoR shape") {
+    import spark.implicits._
+    val d = tmpDir("icemor") + "/tbl"
+    val src = (1L to 40L).map(i =>
+      (i, i * 1.5, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "v", "k").coalesce(1)
+    IcebergCompat.writeTable(src, d, partitionBy = Seq("k"))
+    // MoR DELETE of a predicate that spans both partitions
+    val s2 = IcebergCompat.deletePositional(spark, d,
+      col("id") % 10 === 3 || col("id") === 2L)
+    assert(s2 == 2L)
+    val back = IcebergCompat.read(spark, d)
+    val expect = (1L to 40L).filterNot(i => i % 10 == 3 || i == 2L)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      expect)
+    // partition values still attach, and pruning still works under
+    // the anti-join
+    assert(back.filter(col("k") === "odd").count() ==
+      expect.count(_ % 2 == 1))
+    // time travel to the pre-delete snapshot still sees every row
+    assert(IcebergCompat.read(spark, d, asOfSnapshotId = Some(1L))
+      .count() == 40L)
+    // a second MoR delete stacks on the first
+    val s3 = IcebergCompat.deletePositional(spark, d, col("id") === 40L)
+    assert(s3 == 3L)
+    assert(IcebergCompat.read(spark, d).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == expect.filterNot(_ == 40L))
+    // the SQL surface reads the MoR snapshot too
+    assert(spark.sql(s"SELECT count(*) AS c FROM iceberg_read('$d')")
+      .head.getLong(0) == expect.size - 1L)
   }
 
   test("v1 metadata: legacy schema/partition-spec fields and inline " +
