@@ -51,11 +51,14 @@ import org.apache.spark.sql.types._
   * contribute (file_path, pos) parquet delete files that apply as an
   * anti-join on the scan's `_metadata` columns (see [[read]]), and
   * [[deletePositional]] writes that MoR shape.
+  * Non-identity partition transforms (bucket/truncate/day/…) READ
+  * correctly — their derived tuples are metadata, not table columns,
+  * and Iceberg data files always carry the full row — but contribute
+  * no manifest-level pruning here (identity fields do).
   * NOT supported, rejected loudly: EQUALITY deletes (content=2 —
   * their correct application needs sequence-number ordering;
   * positional deletes name files explicitly and are order-safe),
-  * non-identity partition transforms (bucket/truncate/day/…), nested
-  * types, column-mapping by field id (columns match by NAME —
+  * nested types, column-mapping by field id (columns match by NAME —
   * renamed-column histories would need id mapping), non-parquet
   * files.
   */
@@ -198,13 +201,16 @@ object IcebergCompat {
         val fs = meta.get("partition-spec")
         (0 until fs.size).map(fs.get)
       } else Seq.empty
+    // identity fields re-attach from the manifest; NON-identity
+    // transforms (bucket/truncate/day/…) derive EXTRA metadata
+    // columns that are not table columns at all — Iceberg data files
+    // always carry the full row, so such tables READ correctly by
+    // simply ignoring the derived tuple (manifest-level partition
+    // pruning for them is the documented loss, not correctness)
     val partCols = specFields.flatMap { f =>
       f.get("transform").asText match {
         case "identity" => Some(f.get("name").asText)
-        case "void" => None
-        case other => throw new IllegalArgumentException(
-          s"unsupported partition transform '$other' (identity only —" +
-            " see class doc)")
+        case _ => None
       }
     }
     // snapshot selection

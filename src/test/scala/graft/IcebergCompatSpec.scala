@@ -205,12 +205,6 @@ class IcebergCompatSpec extends SparkSpec {
       partitionBy = Seq("k"))
     val metaPath = Paths.get(s"$d/metadata/v1.metadata.json")
     val good = Files.readString(metaPath)
-    // non-identity partition transform
-    rewrite(metaPath.toString,
-      good.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\""))
-    val e1 = intercept[IllegalArgumentException] {
-      IcebergCompat.snapshot(spark, d) }
-    assert(e1.getMessage.contains("bucket[4]"))
     // nested type in the schema
     rewrite(metaPath.toString, good.replace("\"type\":\"string\"",
       """"type":{"type":"struct","fields":[]}"""))
@@ -303,6 +297,29 @@ class IcebergCompatSpec extends SparkSpec {
     // the SQL surface reads the MoR snapshot too
     assert(spark.sql(s"SELECT count(*) AS c FROM iceberg_read('$d')")
       .head.getLong(0) == expect.size - 1L)
+  }
+
+  test("non-identity transforms (bucket) read correctly: derived " +
+      "tuples are metadata, the data files carry the full row") {
+    import spark.implicits._
+    val d = tmpDir("icebkt") + "/tbl"
+    // UNPARTITIONED write = data files contain every column (exactly
+    // what a bucket-partitioned Iceberg writer also produces)
+    IcebergCompat.writeTable(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s"), d)
+    // claim a bucket[4] spec over id in the metadata, the way a real
+    // bucket-partitioned table's metadata reads
+    val metaPath = Paths.get(s"$d/metadata/v1.metadata.json")
+    val good = Files.readString(metaPath)
+    rewrite(metaPath.toString, good.replace(
+      """"partition-specs":[{"spec-id":0,"fields":[]}]""",
+      """"partition-specs":[{"spec-id":0,"fields":[{"name":"id_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]}]"""))
+    val back = IcebergCompat.read(spark, d)
+    assert(back.columns.toSeq == Seq("id", "s"))
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 10L))
+    // and the snapshot exposes NO identity partition columns for it
+    assert(IcebergCompat.snapshot(spark, d).partitionColumns.isEmpty)
   }
 
   test("v1 metadata: legacy schema/partition-spec fields and inline " +
