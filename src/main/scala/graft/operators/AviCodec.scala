@@ -180,6 +180,11 @@ object AviCodec {
               val sp = p + 12
               if (sp + 8 <= end &&
                   new String(bytes, sp, 4, "US-ASCII") == "strh") {
+                // the fccType read spans sp+8..sp+11 — bound it against
+                // the VALIDATED list end before constructing the String
+                // (hostile/truncated input must hit the documented loud
+                // require, not StringIndexOutOfBoundsException)
+                require(sp + 12 <= end, "truncated strh chunk in AVI hdrl")
                 val fccType = new String(bytes, sp + 8, 4, "US-ASCII")
                 require(fccType == "vids",
                   s"stream 0 is '$fccType', not video ('vids')")

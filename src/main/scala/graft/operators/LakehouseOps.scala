@@ -441,7 +441,7 @@ object LakehouseOps {
     * resolution, manifest parsing, identity-partition reattachment,
     * and schema are all exact. */
   private val q273: QFn = (s, d) => {
-    val dir = "/tmp/graft_ice_rt_v1_" + deltaFixtureKey(s, d)
+    val dir = "/tmp/graft_ice_rt_v2_" + deltaFixtureKey(s, d)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       s.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(
@@ -465,7 +465,7 @@ object LakehouseOps {
     * excluded — hash-green ⇔ the delete file, its manifest, the new
     * snapshot, and the positional application are all exact. */
   private val q274: QFn = (s, d) => {
-    val dir = "/tmp/graft_ice_mor_v1_" + deltaFixtureKey(s, d)
+    val dir = "/tmp/graft_ice_mor_v2_" + deltaFixtureKey(s, d)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       s.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(

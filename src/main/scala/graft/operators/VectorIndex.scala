@@ -521,12 +521,37 @@ object VectorIndex {
     }
   }
 
+  /** In-process caches for the two per-search metadata counts the
+    * default-pool path needs (r12 ADVICE: the rf=0 default paid a
+    * cents.count() job plus, when `n_live` was absent, a full live
+    * codes-scan count on EVERY search). Keyed by the resolved data
+    * root — a generation flip changes the key, so retrained indexes
+    * never read a stale entry; in-place mutations evict explicitly
+    * via [[invalidateLiveCount]]. Bounded: one entry per open index
+    * root in this JVM. */
+  private val liveCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val centCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Serializes every `_params` read-modify-write in this JVM (r12
+    * ADVICE: concurrent default-pool searches raced the unsynchronized
+    * RMW — worst case a lost or stale `n_live`, and a same-JVM reader
+    * could even observe a torn file mid-create). Cross-process writers
+    * remain last-wins on a whole file, which for a derived count is
+    * stale-not-corrupt. */
+  private val paramsLock = new Object
+
   /** Drop the cached live-vector count after any index mutation —
     * the next default-pool search re-derives and re-records it. */
   private def invalidateLiveCount(spark: SparkSession, root: String): Unit = {
-    val ps = paramsAt(spark, root)
-    if (ps.contains("n_live")) writeParams(spark, root,
-      (ps - "n_live").toSeq)
+    liveCountCache.remove(root)
+    centCountCache.remove(root)
+    paramsLock.synchronized {
+      val ps = paramsAt(spark, root)
+      if (ps.contains("n_live")) writeParams(spark, root,
+        (ps - "n_live").toSeq)
+    }
   }
 
   /** POOL-SCALED default rerank factor (r11 verdict item 3). The
@@ -547,14 +572,21 @@ object VectorIndex {
       k: Int, nlist: Long): Int = {
     require(k > 0, s"k must be positive, got $k")
     val rt = dataRoot(spark, path)
-    val ps = paramsAt(spark, rt)
-    val n = ps.get("n_live").map(_.toLong).getOrElse {
-      val c = dropTombstoned(spark, rt,
-        spark.read.parquet(s"$rt/codes").select("vec_id")).count()
-      writeParams(spark, rt, (paramsAt(spark, rt) +
-        ("n_live" -> c.toString)).toSeq)
-      c
-    }
+    val n: Long = Option(liveCountCache.get(rt)).map(_.longValue)
+      .getOrElse {
+        val fromParams = paramsAt(spark, rt).get("n_live").map(_.toLong)
+        val c = fromParams.getOrElse {
+          val counted = dropTombstoned(spark, rt,
+            spark.read.parquet(s"$rt/codes").select("vec_id")).count()
+          paramsLock.synchronized {
+            writeParams(spark, rt, (paramsAt(spark, rt) +
+              ("n_live" -> counted.toString)).toSeq)
+          }
+          counted
+        }
+        liveCountCache.put(rt, c)
+        c
+      }
     val targetPool = math.ceil(3.0 * n / math.max(nlist, 1L)).toLong
     val rf = math.ceil(targetPool.toDouble / k).toLong
     val capRf = math.max(4L, 8192L / k)
@@ -870,7 +902,13 @@ object VectorIndex {
     val cents = spark.read.parquet(s"$rt/centroids")
     val rfEff =
       if (rerankFactor > 0) rerankFactor
-      else poolScaledRerankFactor(spark, path, k, cents.count())
+      else poolScaledRerankFactor(spark, path, k,
+        // nlist is immutable per data root (a retrain flips the
+        // generation and hence the key) — count once per JVM, not a
+        // Spark job per search
+        Option(centCountCache.get(rt)).map(_.longValue).getOrElse {
+          val c = cents.count(); centCountCache.put(rt, c); c
+        })
     val codebook = spark.read.parquet(s"$rt/codebook")
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("cent_id").asc)

@@ -166,6 +166,65 @@ object IcebergCompat {
     Option(r.get(field)).map(_.asInstanceOf[Number].longValue)
       .getOrElse(dflt)
 
+  /** One manifest partition value (the Avro-decoded JVM object) → the
+    * STRING serialization [[MetaFileIndex]]'s Cast-from-string expects
+    * for the column's Spark type. TYPE-AWARE (r12 ADVICE high): the
+    * Iceberg spec stores date partition values as int days-since-epoch,
+    * timestamp/timestamptz as long MICROseconds, decimal as unscaled
+    * big-endian fixed/bytes — a bare toString yields '18262' etc.,
+    * which Cast to Date/Timestamp/Decimal silently evaluates to NULL,
+    * so a real date-partitioned table read back with null partition
+    * columns and partition pruning dropped every file. Timestamps
+    * serialize with an explicit UTC zone marker (micros are UTC
+    * instants per the spec) so the session-timezone Cast cannot shift
+    * them; unsupported value shapes reject loudly like the other
+    * unsupported paths. */
+  private[graft] def partValueString(v: AnyRef, dt: DataType,
+      colName: String): String = v match {
+    case null => null
+    case s: CharSequence => s.toString // already a string serialization
+    case n: Number => dt match {
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(n.longValue).toString
+      case TimestampType =>
+        val us = n.longValue
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L).toString // ...Z = UTC
+      case TimestampNTZType =>
+        val us = n.longValue
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern(
+            "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case _: DecimalType | _: IntegerType.type | _: LongType.type |
+           _: FloatType.type | _: DoubleType.type => n.toString
+      case other => throw new IllegalArgumentException(
+        s"partition column '$colName': cannot convert numeric manifest " +
+          s"value to Spark type $other")
+    }
+    case b: java.lang.Boolean => b.toString
+    case bytes @ (_: java.nio.ByteBuffer |
+                  _: org.apache.avro.generic.GenericFixed) => dt match {
+      case d: DecimalType =>
+        val arr = bytes match {
+          case bb: java.nio.ByteBuffer =>
+            val dup = bb.duplicate()
+            val a = new Array[Byte](dup.remaining()); dup.get(a); a
+          case gf: org.apache.avro.generic.GenericFixed => gf.bytes()
+        }
+        new java.math.BigDecimal(
+          new java.math.BigInteger(arr), d.scale).toPlainString
+      case other => throw new IllegalArgumentException(
+        s"partition column '$colName': fixed/bytes manifest value for " +
+          s"non-decimal Spark type $other is not supported")
+    }
+    case other => throw new IllegalArgumentException(
+      s"partition column '$colName': unsupported manifest partition " +
+        s"value ${other.getClass.getName} for Spark type $dt")
+  }
+
   /** Reconstruct the requested snapshot: metadata → manifest list →
     * manifests → live (non-DELETED) data files. */
   def snapshot(spark: SparkSession, tablePath: String,
@@ -261,7 +320,9 @@ object IcebergCompat {
                   Option(dfr.get("partition")) match {
                     case Some(pr: GenericRecord) =>
                       partCols.map { c =>
-                        c -> Option(pr.get(c)).map(_.toString).orNull
+                        c -> partValueString(
+                          pr.get(c).asInstanceOf[AnyRef],
+                          schema(c).dataType, c)
                       }.toMap
                     case _ => Map.empty
                   }
@@ -373,6 +434,7 @@ object IcebergCompat {
 
   private def avroTypeOf(dt: DataType): String = dt match {
     case IntegerType => "int"
+    case DateType => "int" // days since epoch, per the Iceberg spec
     case LongType => "long"
     case DoubleType => "double"
     case StringType => "string"
@@ -425,7 +487,9 @@ object IcebergCompat {
     * write path (no data file is rewritten). Positions come from the
     * same `_metadata.(file_path, row_index)` scan columns the read
     * side joins on; the delete parquet is the spec's (file_path, pos)
-    * layout with file_path in the scan's resolved form, a new delete
+    * layout with file_path BYTE-IDENTICAL to the referenced
+    * data_file.file_path (translated from the scan's resolved URI
+    * form, as the spec requires), a new delete
     * manifest (content=1) joins the existing manifests in a new
     * manifest list, and a new metadata version + snapshot + hint
     * publish it. Returns the new snapshot id (rows may match zero
@@ -440,11 +504,25 @@ object IcebergCompat {
     val newSnapId = snap.snapshotId + 1
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // positions of the matching rows, from the scan's own metadata
+    // positions of the matching rows, from the scan's own metadata —
+    // TRANSLATED back to the manifests' data_file.file_path form
+    // before writing (r12 ADVICE medium: the spec requires the delete
+    // parquet's file_path to be byte-identical to the referenced
+    // data_file.file_path; the scan's _metadata URI form cannot match
+    // for real Iceberg readers). The map is files-sized metadata.
+    import spark.implicits._
+    val qualifiedRoot = fs.makeQualified(root)
+    val scanToManifest = snap.files.map { f =>
+      (org.apache.spark.paths.SparkPath.fromPath(
+        DeltaCompat.resolvePath(qualifiedRoot, f.path)).urlEncoded,
+        f.path)
+    }.toDF("_scan_fp", "file_path")
     val delRows = relationFor(spark, tablePath, snap)
       .filter(predicate)
-      .select(col("_metadata.file_path").as("file_path"),
+      .select(col("_metadata.file_path").as("_scan_fp"),
         col("_metadata.row_index").as("pos"))
+      .join(broadcast(scanToManifest), Seq("_scan_fp"))
+      .select("file_path", "pos")
     val delDir = new Path(root, s"delete-$newSnapId.parquet")
     delRows.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
     val delFile = fs.listStatus(delDir).map(_.getPath)
@@ -580,13 +658,20 @@ object IcebergCompat {
               case LongType => java.lang.Long.valueOf(raw.toLong)
               case DoubleType => java.lang.Double.valueOf(raw.toDouble)
               case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
+              // date partition dirs are ISO local dates; the manifest
+              // stores int days-since-epoch per the spec
+              case DateType => Integer.valueOf(
+                java.time.LocalDate.parse(raw).toEpochDay.toInt)
               case _ => raw
             }
           partRec.put(c, typed)
         }
         val dfr = new GenericData.Record(dfSchema)
         dfr.put("content", Integer.valueOf(0))
-        dfr.put("file_path", rel)
+        // the Iceberg spec requires data_file.file_path to be a FULL
+        // URI (r12 ADVICE medium: a root-relative path breaks real
+        // Iceberg readers); the reader's resolvePath handles both
+        dfr.put("file_path", st.getPath.toString)
         dfr.put("file_format", "PARQUET")
         dfr.put("partition", partRec)
         dfr.put("record_count", java.lang.Long.valueOf(-1L))

@@ -121,6 +121,20 @@ class AviCodecSpec extends SparkSpec {
     val e5 = intercept[IllegalArgumentException] {
       AviCodec.demuxAvi(badStrh) }
     assert(e5.getMessage.contains("vids"), e5.getMessage)
+    // hostile hdrl whose strl's strh chunk header fits but whose
+    // fccType bytes would read past the list end: the documented loud
+    // require, not StringIndexOutOfBoundsException (r12 ADVICE)
+    val bos = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def u32(v: Int): Unit = bos.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+    tag("RIFF"); u32(36); tag("AVI ")
+    tag("LIST"); u32(24); tag("hdrl")          // hdrl ends at byte 44
+    tag("LIST"); u32(12); tag("strl")
+    tag("strh"); u32(0)                        // header fits; body doesn't
+    val e6 = intercept[IllegalArgumentException] {
+      AviCodec.demuxAvi(bos.toByteArray) }
+    assert(e6.getMessage.contains("truncated strh"), e6.getMessage)
   }
 
   test("the corpus video table is real MJPEG-AVI: JPEG frames, JDK-decodable") {

@@ -322,6 +322,87 @@ class IcebergCompatSpec extends SparkSpec {
     assert(IcebergCompat.snapshot(spark, d).partitionColumns.isEmpty)
   }
 
+  test("typed partition values: a DATE-partitioned table round-trips " +
+      "and prunes (manifest stores int days, not a string)") {
+    import spark.implicits._
+    val d = tmpDir("icedate") + "/tbl"
+    val src = Seq(
+      (1L, java.sql.Date.valueOf("2020-01-01")),
+      (2L, java.sql.Date.valueOf("2020-01-01")),
+      (3L, java.sql.Date.valueOf("2021-06-15"))).toDF("id", "dt").coalesce(1)
+    IcebergCompat.writeTable(src, d, partitionBy = Seq("dt"))
+    // the manifest carries int days; the snapshot's string form must
+    // be the ISO date Cast-to-DateType understands, not "18262"
+    val snap = IcebergCompat.snapshot(spark, d)
+    assert(snap.files.map(_.partitionValues("dt")).toSet ==
+      Set("2020-01-01", "2021-06-15"))
+    val back = IcebergCompat.read(spark, d)
+    assert(back.select("id", "dt").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).sorted.toSeq ==
+      Seq((1L, "2020-01-01"), (2L, "2020-01-01"), (3L, "2021-06-15")))
+    // partition-predicate pruning on the typed date value
+    val pruned = IcebergCompat.read(spark, d)
+      .filter(col("dt") === lit("2021-06-15").cast("date")).select("id")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(scanOf(pruned).metrics("numFiles").value == 1L)
+  }
+
+  test("partValueString converts the spec's physical manifest encodings " +
+      "type-aware (date/timestamp/timestamptz/decimal)") {
+    import org.apache.spark.sql.types._
+    import graft.sources.IcebergCompat.partValueString
+    // date: int days since epoch
+    assert(partValueString(Integer.valueOf(18262), DateType, "d") ==
+      "2020-01-01")
+    // timestamptz: long UTC micros -> an EXPLICITLY-ZONED serialization
+    // (a session-timezone Cast must not shift the instant)
+    val us = 1577836800000000L + 123456L // 2020-01-01T00:00:00.123456Z
+    val tz = partValueString(java.lang.Long.valueOf(us), TimestampType, "t")
+    assert(tz == "2020-01-01T00:00:00.123456Z", tz)
+    // timestamp (NTZ): long micros as a local datetime
+    assert(partValueString(java.lang.Long.valueOf(us),
+      TimestampNTZType, "t") == "2020-01-01 00:00:00.123456")
+    // decimal: unscaled big-endian bytes + the type's scale
+    val unscaled = java.math.BigInteger.valueOf(1250)
+    assert(partValueString(
+      java.nio.ByteBuffer.wrap(unscaled.toByteArray),
+      DecimalType(9, 2), "p") == "12.50")
+    assert(partValueString(new GenericData.Fixed(
+      org.apache.avro.Schema.createFixed("f", null, null, 2),
+      unscaled.toByteArray), DecimalType(9, 2), "p") == "12.50")
+    // nulls pass through; unsupported shapes reject loudly
+    assert(partValueString(null, DateType, "d") == null)
+    val e = intercept[IllegalArgumentException] {
+      partValueString(java.nio.ByteBuffer.wrap(Array[Byte](1)),
+        StringType, "s") }
+    assert(e.getMessage.contains("fixed/bytes"))
+  }
+
+  test("file_path fields are full URIs and positional-delete paths " +
+      "match data_file.file_path byte-identically") {
+    import spark.implicits._
+    val d = tmpDir("iceuri") + "/tbl"
+    IcebergCompat.writeTable(
+      (1L to 20L).map(i => (i, i % 3)).toDF("id", "m"), d,
+      partitionBy = Seq("m"))
+    val snap = IcebergCompat.snapshot(spark, d)
+    // spec: data_file.file_path is a full URI, not root-relative
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.path.startsWith("file:")),
+      snap.files.map(_.path).mkString(", "))
+    IcebergCompat.deletePositional(spark, d, col("id") % 4 === 1)
+    val snap2 = IcebergCompat.snapshot(spark, d)
+    assert(snap2.deletes.size == 1)
+    val dataPaths = snap2.files.map(_.path).toSet
+    val delPaths = spark.read.parquet(snap2.deletes.head.path)
+      .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    assert(delPaths.nonEmpty && delPaths.subsetOf(dataPaths),
+      s"delete paths $delPaths not byte-identical to data paths $dataPaths")
+    // and the MoR read still applies them
+    assert(IcebergCompat.read(spark, d).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 20L).filterNot(_ % 4 == 1))
+  }
+
   test("v1 metadata: legacy schema/partition-spec fields and inline " +
       "manifests read correctly") {
     import spark.implicits._
