@@ -53,32 +53,87 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * commitInfo/txn), partitioned or not, schema evolution across
   * commits, `asOfVersion` time travel (at, before, and after a
   * checkpoint), classic single- and multi-part checkpoints,
-  * checkpoint-truncated JSON history.
-  * NOT supported (throws loudly rather than mis-reading): deletion
-  * vectors, column mapping, v2 checkpoints / sidecars and other
-  * reader version ≥ 3 feature tables (v2Checkpoint, timestampNtz, …).
+  * checkpoint-truncated JSON history; and of the reader-version-3
+  * feature set (r12 verdict items 1-2 — Databricks-written tables
+  * have had these on by default for years): DELETION VECTORS
+  * (inline / UUID-relative / absolute storage, RoaringBitmapArray
+  * portable bitmaps decoded on executors, applied as a `_metadata`
+  * (file_path, row_index) anti-join — the [[IcebergCompat]] MoR
+  * shape), COLUMN MAPPING in both `name` and `id` modes (physical-
+  * name scan projected back to logical names; id-mode files carry
+  * physical names too, per the protocol), and TIMESTAMPNTZ columns.
+  * NOT supported (throws loudly rather than mis-reading): v2
+  * checkpoints / sidecars and any other unimplemented reader feature.
   */
 object DeltaCompat {
 
   private val mapper = new ObjectMapper()
 
+  /** A deletion-vector descriptor exactly as the protocol's
+    * `add.deletionVector` struct carries it: `storageType` `u` (file
+    * under the table root named by a z85 UUID, optional random
+    * prefix), `i` (the DV bytes inline, z85), or `p` (absolute path);
+    * `offset` locates the DV inside an on-disk file; `sizeInBytes` is
+    * the serialized bitmap length; `cardinality` the deleted-row
+    * count. */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long) {
+    /** The protocol's unique DV id — the add/remove pairing key
+      * component (a file whose DV is rewritten is removed under the
+      * OLD id and re-added under the NEW one, in the same commit). */
+    def uniqueId: String =
+      offset.fold(storageType + pathOrInlineDv)(o =>
+        s"$storageType$pathOrInlineDv@$o")
+  }
+
   final case class AddFile(path: String, partitionValues: Map[String, String],
-      size: Long, modificationTime: Long)
+      size: Long, modificationTime: Long,
+      dv: Option[DvDescriptor] = None)
+
+  /** The base protocol line [[writeTable]] emits and [[checkpoint]]
+    * falls back to for pre-feature tables. */
+  private val BaseProtocolLine =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   final case class Snapshot(version: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[AddFile])
+      partitionColumns: Seq[String], files: Seq[AddFile],
+      configuration: Map[String, String] = Map.empty,
+      protocolJson: String = BaseProtocolLine)
 
   /** Mutable log-replay state shared by the checkpoint and JSON
     * paths: one action interpreter, two transports. */
   private final class ReplayState {
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
-    // keyed by the RAW path string exactly as written in the log —
-    // decode happens only at Path-resolution time, so add/remove
-    // pairing is byte-exact regardless of how the writer encoded
-    val files: mutable.LinkedHashMap[String, AddFile] =
-      mutable.LinkedHashMap[String, AddFile]()
+    var configuration: Map[String, String] = Map.empty
+    // the latest protocol action, verbatim — a checkpoint of this
+    // snapshot must re-emit it (writing the base version-1 line for a
+    // DV/column-mapped table would downgrade the table's contract)
+    var protocolJson: String = BaseProtocolLine
+    // keyed by (RAW path string exactly as written in the log,
+    // deletion-vector uniqueId) — the protocol's file identity. A
+    // DV rewrite emits remove(path, oldDv) + add(path, newDv) in ONE
+    // commit; keying on the pair makes replay order-independent
+    // within it (path-only keying would let the remove kill the new
+    // add). Decode happens only at Path-resolution time, so pairing
+    // is byte-exact regardless of how the writer encoded.
+    val files: mutable.LinkedHashMap[(String, String), AddFile] =
+      mutable.LinkedHashMap[(String, String), AddFile]()
   }
+
+  /** Parse an `add.deletionVector` / `remove.deletionVector` struct;
+    * None when the field is absent or JSON-null. */
+  private def parseDv(parent: JsonNode): Option[DvDescriptor] =
+    Option(parent.get("deletionVector")).filterNot(_.isNull).map { d =>
+      val st = d.get("storageType").asText
+      require(st == "u" || st == "i" || st == "p",
+        s"unknown deletionVector storageType '$st'")
+      DvDescriptor(st, d.get("pathOrInlineDv").asText,
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+        d.get("sizeInBytes").asInt,
+        Option(d.get("cardinality")).filterNot(_.isNull)
+          .map(_.asLong).getOrElse(-1L))
+    }
 
   /** Apply one action (a parsed JSON-log line, or a checkpoint row
     * re-serialized to JSON). `fromCheckpoint` skips `remove`: a
@@ -86,17 +141,33 @@ object DeltaCompat {
     * not state transitions. */
   private def applyAction(node: JsonNode, st: ReplayState,
       fromCheckpoint: Boolean): Unit = {
-    if (node.has("protocol")) checkProtocol(node.get("protocol"))
+    if (node.has("protocol")) {
+      checkProtocol(node.get("protocol"))
+      val pn = mapper.createObjectNode()
+      pn.set[JsonNode]("protocol", node.get("protocol"))
+      st.protocolJson = mapper.writeValueAsString(pn)
+    }
     if (node.has("metaData")) {
       val md = node.get("metaData")
       val fmt = Option(md.get("format")).flatMap(f =>
         Option(f.get("provider"))).map(_.asText).getOrElse("parquet")
       require(fmt == "parquet", s"unsupported data format: $fmt")
-      val mapping = Option(md.get("configuration"))
-        .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-        .map(_.asText).getOrElse("none")
-      require(mapping == "none",
-        s"column mapping mode '$mapping' is not supported (class doc)")
+      st.configuration = Option(md.get("configuration")).map { c =>
+        val it = c.fieldNames()
+        val m = mutable.LinkedHashMap[String, String]()
+        while (it.hasNext) {
+          val k = it.next()
+          m += k -> (if (c.get(k).isNull) null else c.get(k).asText)
+        }
+        m.toMap
+      }.getOrElse(Map.empty)
+      val mapping =
+        st.configuration.getOrElse("delta.columnMapping.mode", "none")
+      // name and id mapped tables both REQUIRE physicalName per field
+      // (the protocol), and Delta's id-mode files carry the physical
+      // names too — so both modes read via physical-name projection
+      require(mapping == "none" || mapping == "name" || mapping == "id",
+        s"unknown column mapping mode '$mapping'")
       st.schema = DataType.fromJson(md.get("schemaString").asText)
         .asInstanceOf[StructType]
       st.partCols = Option(md.get("partitionColumns")).map(pc =>
@@ -104,8 +175,7 @@ object DeltaCompat {
     }
     if (node.has("add")) {
       val a = node.get("add")
-      require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-        "deletion vectors are not supported by this reader (class doc)")
+      val dv = parseDv(a)
       val pv = Option(a.get("partitionValues")).map { o =>
         val it = o.fieldNames()
         val m = mutable.LinkedHashMap[String, String]()
@@ -122,10 +192,13 @@ object DeltaCompat {
         .map(_.asLong).getOrElse(-1L)
       val mtime = Option(a.get("modificationTime")).filterNot(_.isNull)
         .map(_.asLong).getOrElse(0L)
-      st.files += path -> AddFile(path, pv, size, mtime)
+      st.files += (path, dv.fold("")(_.uniqueId)) ->
+        AddFile(path, pv, size, mtime, dv)
     }
-    if (node.has("remove") && !fromCheckpoint)
-      st.files -= node.get("remove").get("path").asText
+    if (node.has("remove") && !fromCheckpoint) {
+      val r = node.get("remove")
+      st.files -= ((r.get("path").asText, parseDv(r).fold("")(_.uniqueId)))
+    }
   }
 
   /** Replay the log (latest usable checkpoint + JSON commits) up to
@@ -163,8 +236,12 @@ object DeltaCompat {
         case _ => ()
       }
     }
+    // completeness = every index 1..total PRESENT, not a size match:
+    // a malformed set with the right count but wrong part indices
+    // (e.g. parts 1 and 3 of 2) is unusable and must be SKIPPED like
+    // a stale pointer, not crash the whole snapshot
     val checkpoints: Map[Long, Seq[Path]] = cpParts.toMap.collect {
-      case (v, parts) if parts.size == cpTotal(v) =>
+      case (v, parts) if (1 to cpTotal(v)).forall(parts.contains) =>
         v -> (1 to cpTotal(v)).map(parts(_))
     }
     // `_last_checkpoint` is a pointer the protocol allows to be stale
@@ -234,24 +311,29 @@ object DeltaCompat {
       }
     }
     require(st.schema != null, s"no metaData action in the log of $tablePath")
-    Snapshot(target, st.schema, st.partCols, st.files.values.toSeq)
+    Snapshot(target, st.schema, st.partCols, st.files.values.toSeq,
+      st.configuration, st.protocolJson)
   }
+
+  /** Reader features this reader actually implements; anything else
+    * in a reader-version-3 table's `readerFeatures` rejects loudly. */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz")
 
   private def checkProtocol(p: JsonNode): Unit = {
     val reader = Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1)
     if (reader >= 3) {
       val feats = Option(p.get("readerFeatures")).map(f =>
         (0 until f.size).map(f.get(_).asText).toSet).getOrElse(Set.empty)
-      // no reader feature (deletionVectors, columnMapping,
-      // v2Checkpoint, timestampNtz, …) is implemented here
-      require(feats.isEmpty,
-        s"unsupported Delta reader features: ${feats.mkString(", ")}" +
-          " (this reader supports the base reader-version-1 protocol only)")
+      val unsupported = feats -- SupportedReaderFeatures
+      // v2Checkpoint / sidecars and future features stay rejected
+      require(unsupported.isEmpty,
+        s"unsupported Delta reader features: ${unsupported.mkString(", ")}" +
+          s" (implemented: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
     } else require(reader <= 2,
       s"unsupported minReaderVersion $reader")
-    // reader version 2 tables are column-mapping CAPABLE; they only
-    // break this reader if mapping is actually on, which the metaData
-    // handler checks via delta.columnMapping.mode
+    // reader version 2 tables are column-mapping CAPABLE; mapping is
+    // handled by physical-name projection either way
   }
 
   /** Resolve an add/remove `path` against the table root. Per
@@ -277,24 +359,39 @@ object DeltaCompat {
     }
   }
 
-  /** Read the table as a DataFrame: ONE parquet relation over a
-    * log-backed FileIndex carrying the partition spec; partition-
-    * column predicates prune file listings inside the single scan
-    * node (plan size independent of partition count). */
-  def read(spark: SparkSession, tablePath: String,
-      asOfVersion: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, asOfVersion)
-    require(snap.files.nonEmpty || snap.schema.nonEmpty,
-      s"empty snapshot for $tablePath")
-    if (snap.files.isEmpty) {
-      // empty table: zero-row frame with the declared schema
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], snap.schema)
+  /** The PHYSICAL column name of a schema field under the snapshot's
+    * column mapping mode. Both `name` and `id` mapped tables carry
+    * `delta.columnMapping.physicalName` on every field (the protocol
+    * requires it), and Delta's id-mode parquet files store the
+    * physical names too — so one physical-name projection serves both
+    * modes. */
+  private def physName(snap: Snapshot)(f: org.apache.spark.sql.types.StructField): String = {
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mode == "none") f.name
+    else {
+      require(f.metadata.contains("delta.columnMapping.physicalName"),
+        s"column-mapped table ('$mode') but field '${f.name}' carries no " +
+          "delta.columnMapping.physicalName metadata (protocol violation)")
+      f.metadata.getString("delta.columnMapping.physicalName")
     }
+  }
+
+  /** The single-scan relation over a snapshot's data files, columns
+    * under their PHYSICAL names, `_metadata` still resolvable (the DV
+    * anti-join and the MoR delete writer both key on it). */
+  private def baseRelation(spark: SparkSession, tablePath: String,
+      snap: Snapshot): DataFrame = {
+    val pn = physName(snap) _
+    val partSet = snap.partitionColumns.toSet
     val dataSchema = StructType(
-      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val partitionSchema = StructType(
-      snap.partitionColumns.map(c => snap.schema(c)))
+      snap.schema.filterNot(f => partSet(f.name))
+        .map(f => org.apache.spark.sql.types.StructField(
+          pn(f), f.dataType, f.nullable)))
+    // add.partitionValues keys are PHYSICAL names under column mapping
+    val partitionSchema = StructType(snap.partitionColumns.map { c =>
+      val f = snap.schema(c)
+      org.apache.spark.sql.types.StructField(pn(f), f.dataType, f.nullable)
+    })
     val root = new Path(tablePath)
     val qualified = root.getFileSystem(
       spark.sessionState.newHadoopConf()).makeQualified(root)
@@ -305,7 +402,116 @@ object DeltaCompat {
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)
-      .select(snap.schema.map(f => col(f.name)): _*)
+  }
+
+  /** Resolve a DV descriptor to what the decode task needs: for `i`
+    * the payload IS the z85 bytes; for `u` the file is
+    * `[prefix/]deletion_vector_<uuid>.bin` under the table root (the
+    * descriptor's last 20 chars are the z85 UUID, anything before is
+    * the random prefix); `p` is an absolute path. */
+  private def dvFileOrInline(qualifiedRoot: Path, d: DvDescriptor): String =
+    d.storageType match {
+      case "i" => d.pathOrInlineDv
+      case "p" => d.pathOrInlineDv
+      case "u" =>
+        require(d.pathOrInlineDv.length >= 20,
+          s"malformed 'u' deletionVector path '${d.pathOrInlineDv}'")
+        val (prefix, uuidZ) =
+          d.pathOrInlineDv.splitAt(d.pathOrInlineDv.length - 20)
+        val ub = graft.util.Z85.decode(uuidZ, 16)
+        val bb = java.nio.ByteBuffer.wrap(ub)
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        val dir = if (prefix.isEmpty) qualifiedRoot
+          else new Path(qualifiedRoot, prefix)
+        new Path(dir, s"deletion_vector_$uuid.bin").toString
+    }
+
+  /** Read one DV's bitmap bytes out of an on-disk DV file: version
+    * byte 1 at offset 0, then at `offset` a 4-byte BIG-endian data
+    * size (must equal the descriptor's sizeInBytes), the bitmap
+    * bytes, and a 4-byte big-endian CRC-32 of them — verified, so a
+    * torn vector can never read as "fewer deleted rows". Runs on
+    * EXECUTORS (one task per DV). */
+  private[sources] def readDvBytes(conf: org.apache.hadoop.conf.Configuration,
+      file: String, offset: Int, sizeInBytes: Int): Array[Byte] = {
+    val p = new Path(file)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val ver = in.read()
+      require(ver == 1, s"unsupported DV file format version $ver in $file")
+      in.seek(offset.toLong)
+      val dataSize = in.readInt() // big-endian, like the spec's writer
+      require(dataSize == sizeInBytes,
+        s"DV at $file@$offset declares $dataSize bytes, descriptor says " +
+          s"$sizeInBytes")
+      val bytes = new Array[Byte](dataSize)
+      in.readFully(bytes)
+      val crc = in.readInt()
+      val c = new java.util.zip.CRC32(); c.update(bytes)
+      require(crc == c.getValue.toInt,
+        s"DV checksum mismatch at $file@$offset")
+      bytes
+    } finally in.close()
+  }
+
+  /** Read the table as a DataFrame: ONE parquet relation over a
+    * log-backed FileIndex carrying the partition spec; partition-
+    * column predicates prune file listings inside the single scan
+    * node (plan size independent of partition count). Deletion
+    * vectors apply as an anti-join on Spark's own
+    * `_metadata.(file_path, row_index)` scan columns — the same MoR
+    * shape as [[IcebergCompat.read]]'s positional deletes, with the
+    * per-file bitmaps DECODED ON EXECUTORS (one flatMap task per DV,
+    * so a 100-TB table's millions of deleted positions never
+    * materialize on the driver). Column-mapped tables scan under
+    * physical names and project back to logical ones. */
+  def read(spark: SparkSession, tablePath: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, asOfVersion)
+    require(snap.files.nonEmpty || snap.schema.nonEmpty,
+      s"empty snapshot for $tablePath")
+    if (snap.files.isEmpty) {
+      // empty table: zero-row frame with the declared schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], snap.schema)
+    }
+    val pn = physName(snap) _
+    val base = baseRelation(spark, tablePath, snap)
+    val outCols = snap.schema.map(f => col(pn(f)).as(f.name))
+    val dvFiles = snap.files.filter(_.dv.isDefined)
+    if (dvFiles.isEmpty) base.select(outCols: _*)
+    else {
+      import spark.implicits._
+      val root = new Path(tablePath)
+      val qualified = root.getFileSystem(
+        spark.sessionState.newHadoopConf()).makeQualified(root)
+      // one spec row per DV: the scan's _metadata.file_path form of
+      // the data file + where its bitmap lives
+      val specs: Seq[(String, String, String, Int, Int)] =
+        dvFiles.map { f =>
+          val d = f.dv.get
+          (org.apache.spark.paths.SparkPath.fromPath(
+            resolvePath(qualified, f.path)).urlEncoded,
+            d.storageType, dvFileOrInline(qualified, d),
+            d.offset.getOrElse(-1), d.sizeInBytes)
+        }
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val dels = spark.createDataset(specs)
+        .flatMap { case (fp, st, payload, off, size) =>
+          val bytes =
+            if (st == "i") graft.util.Z85.decode(payload, size)
+            else readDvBytes(hconf.value, payload, off, size)
+          graft.util.RoaringBitmapArray.decode(bytes).map(pos => (fp, pos))
+        }
+        .toDF("_dv_del_fp", "_dv_del_pos")
+      base
+        .withColumn("_dv_fp", col("_metadata.file_path"))
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+        .join(dels, col("_dv_fp") === col("_dv_del_fp") &&
+          col("_dv_pos") === col("_dv_del_pos"), "left_anti")
+        .select(outCols: _*)
+    }
   }
 
   /** Materialize a DataFrame as a MINIMAL protocol-valid Delta table:
@@ -320,10 +526,21 @@ object DeltaCompat {
     * (URLDecoder would corrupt a literal '+' to a space); emitted
     * `add.path` fields are URI-encoded per the protocol. */
   def writeTable(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, columnMapping: Boolean = false): Unit = {
     val spark = df.sparkSession
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    // name-mode column mapping: parquet files (and partition dirs)
+    // carry PHYSICAL names; the metaData schema keeps the logical
+    // names with the protocol's physicalName/id metadata per field
+    val physOf: Map[String, String] =
+      if (!columnMapping) df.columns.map(c => c -> c).toMap
+      else df.columns.zipWithIndex.map { case (c, i) =>
+        c -> s"col-${i + 1}" }.toMap
+    val physDf =
+      if (!columnMapping) df
+      else df.toDF(df.columns.map(physOf): _*)
+    val physPartBy = partitionBy.map(physOf)
+    val w = physDf.write.mode("overwrite")
+    (if (physPartBy.nonEmpty) w.partitionBy(physPartBy: _*) else w)
       .parquet(tablePath)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -353,17 +570,187 @@ object DeltaCompat {
       }
     }
     require(adds.nonEmpty, s"no data files written under $tablePath")
-    val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val metaSchema =
+      if (!columnMapping) df.schema
+      else StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", physOf(f.name))
+          .putLong("delta.columnMapping.id", i + 1L)
+          .build())
+      })
+    val hasNtz = df.schema.exists(_.dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // the protocol line the TABLE needs: base v1, reader-2 for column
+    // mapping, reader-3 + named features when timestampNtz is present
+    val protoLine =
+      if (hasNtz) {
+        val feats = (if (columnMapping) Seq("columnMapping") else Nil) :+
+          "timestampNtz"
+        val fj = feats.map(f => s""""$f"""").mkString(",")
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[$fj],"writerFeatures":[$fj]}}"""
+      } else if (columnMapping)
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else BaseProtocolLine
+    val cfgJson =
+      if (!columnMapping) "{}"
+      else s"""{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"${df.schema.size}"}"""
+    val schemaJson = metaSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    // metaData.partitionColumns lists LOGICAL names; the adds'
+    // partitionValues keys parsed from the dirs are physical already
     val partJson = partitionBy.map(c => s""""$c"""").mkString(",")
     val lines = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"graft-${math.abs(tablePath.hashCode)}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[$partJson],"configuration":{},"createdTime":0}}""") ++ adds
+      protoLine,
+      s"""{"metaData":{"id":"graft-${math.abs(tablePath.hashCode)}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[$partJson],"configuration":$cfgJson,"createdTime":0}}""") ++ adds
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
     val out = fs.create(new Path(logDir, f"${0L}%020d.json"), true)
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     // Spark's own _SUCCESS marker is harmless but not a Delta file
+  }
+
+  private def dvNode(d: DvDescriptor)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("storageType", d.storageType)
+    n.put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(o => n.put("offset", o))
+    n.put("sizeInBytes", d.sizeInBytes)
+    n.put("cardinality", d.cardinality)
+    n
+  }
+
+  /** MINIMAL merge-on-read DELETE via DELETION VECTORS — no data file
+    * is rewritten: every current row matching `predicate` joins the
+    * per-file deleted-position bitmaps, each affected file is
+    * `remove`d under its OLD DV id and re-`add`ed with the NEW one
+    * (positions are CUMULATIVE — a superseding DV carries the union,
+    * per the protocol: one vector per file, vectors do not stack),
+    * and one new JSON commit publishes it with the deletionVectors
+    * reader/writer feature protocol. Small vectors inline
+    * (storageType `i`), larger ones pack into ONE
+    * `deletion_vector_<uuid>.bin` under the table root (storageType
+    * `u`, multiple DVs per file at their offsets — the spec layout:
+    * version byte, then per DV a 4-byte big-endian size, the bitmap,
+    * and a CRC-32). Fixture/export grade like [[writeTable]]:
+    * single-writer, no concurrent-commit arbitration. Returns the new
+    * version. */
+  def writeDeletionVectors(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      inlineThreshold: Int = 64): Long = {
+    val snap = snapshot(spark, tablePath)
+    val pn = physName(snap) _
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(root)
+    // scan-form file_path -> the RAW add.path key of the log
+    val scanToRaw: Map[String, String] = snap.files.map { f =>
+      org.apache.spark.paths.SparkPath.fromPath(
+        resolvePath(qualified, f.path)).urlEncoded -> f.path
+    }.toMap
+    val base = baseRelation(spark, tablePath, snap)
+    val outCols = snap.schema.map(f => col(pn(f)).as(f.name))
+    // positions of every matching row (already-deleted rows included:
+    // the new vector is the union either way)
+    val matches = base
+      .withColumn("_dv_fp", col("_metadata.file_path"))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .select((outCols :+ col("_dv_fp") :+ col("_dv_pos")): _*)
+      .filter(predicate)
+      .select("_dv_fp", "_dv_pos")
+      .collect() // fixture-grade: O(matched rows) on the driver
+      .groupBy(r => scanToRaw(r.getString(0)))
+      .view.mapValues(_.map(_.getLong(1))).toMap
+    val hconf = spark.sessionState.newHadoopConf()
+    // per affected file: union with the existing vector, re-encode;
+    // files whose union equals their current vector are NO-OPS (every
+    // matched row was already deleted) and are left untouched — a
+    // rewrite would churn a new DV id for identical content
+    val newVectors: Seq[(AddFile, Array[Byte])] =
+      snap.files.filter(f => matches.contains(f.path)).flatMap { f =>
+        val old: Array[Long] = f.dv.fold(Array.empty[Long]) { d =>
+          val bytes =
+            if (d.storageType == "i")
+              graft.util.Z85.decode(d.pathOrInlineDv, d.sizeInBytes)
+            else readDvBytes(hconf, dvFileOrInline(qualified, d),
+              d.offset.getOrElse(-1), d.sizeInBytes)
+          graft.util.RoaringBitmapArray.decode(bytes)
+        }
+        val union = (old ++ matches(f.path)).distinct.sorted
+        if (union.length == old.length) None
+        else Some(f -> graft.util.RoaringBitmapArray.encode(union))
+      }
+    require(newVectors.nonEmpty,
+      s"predicate matched no live rows of $tablePath — nothing to delete")
+    // pack every over-threshold vector into one on-disk DV file
+    val fileBacked = newVectors.filter(_._2.length > inlineThreshold)
+    val fileDescriptors: Map[String, DvDescriptor] =
+      if (fileBacked.isEmpty) Map.empty
+      else {
+        // deterministic UUID from the packed content (reproducible fixtures)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        fileBacked.foreach { case (f, b) =>
+          digest.update(f.path.getBytes("UTF-8")); digest.update(b) }
+        val uuid = java.util.UUID.nameUUIDFromBytes(digest.digest())
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(bos)
+        dos.writeByte(1) // DV file format version
+        val descs = fileBacked.map { case (f, bytes) =>
+          val off = bos.size()
+          dos.writeInt(bytes.length) // big-endian
+          dos.write(bytes)
+          val c = new java.util.zip.CRC32(); c.update(bytes)
+          dos.writeInt(c.getValue.toInt)
+          val ub = java.nio.ByteBuffer.allocate(16)
+            .putLong(uuid.getMostSignificantBits)
+            .putLong(uuid.getLeastSignificantBits).array()
+          f.path -> DvDescriptor("u", graft.util.Z85.encode(ub),
+            Some(off), bytes.length, -1L)
+        }
+        dos.flush()
+        val out = fs.create(
+          new Path(qualified, s"deletion_vector_$uuid.bin"), true)
+        try out.write(bos.toByteArray) finally out.close()
+        descs.toMap
+      }
+    val commitLines = newVectors.flatMap { case (f, bytes) =>
+      val nDel = graft.util.RoaringBitmapArray.decode(bytes).length.toLong
+      val desc = fileDescriptors.getOrElse(f.path,
+        DvDescriptor("i", graft.util.Z85.encode(bytes), None,
+          bytes.length, nDel)).copy(cardinality = nDel)
+      val rm = mapper.createObjectNode()
+      val rmo = rm.putObject("remove")
+      rmo.put("path", f.path)
+      rmo.put("deletionTimestamp", 1L)
+      rmo.put("dataChange", true)
+      f.dv.foreach(d => rmo.set[JsonNode]("deletionVector", dvNode(d)))
+      val ad = mapper.createObjectNode()
+      val ado = ad.putObject("add")
+      ado.put("path", f.path)
+      val pvo = ado.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvo.putNull(k) else pvo.put(k, v)
+      }
+      ado.put("size", f.size)
+      ado.put("modificationTime", f.modificationTime)
+      ado.put("dataChange", true)
+      ado.set[JsonNode]("deletionVector", dvNode(desc))
+      Seq(mapper.writeValueAsString(rm), mapper.writeValueAsString(ad))
+    }
+    val protoLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}"""
+    val newV = snap.version + 1
+    val out = fs.create(
+      new Path(new Path(root, "_delta_log"), f"$newV%020d.json"), true)
+    try out.write((protoLine +: commitLines)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    newV
   }
 
   /** Write a classic single-part checkpoint parquet for `version`
@@ -379,8 +766,9 @@ object DeltaCompat {
     import spark.implicits._
     val snap = snapshot(spark, tablePath, version)
     val schemaJson = snap.schema.json
-    val protoLine =
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // re-emit the table's OWN protocol (a DV/column-mapped table must
+    // not be downgraded to the base version by its checkpoint)
+    val protoLine = snap.protocolJson
     val mdNode = mapper.createObjectNode()
     val md = mdNode.putObject("metaData")
     md.put("id", s"graft-${math.abs(tablePath.hashCode)}")
@@ -389,7 +777,10 @@ object DeltaCompat {
     md.put("schemaString", schemaJson)
     val pcArr = md.putArray("partitionColumns")
     snap.partitionColumns.foreach(pcArr.add)
-    md.putObject("configuration")
+    val cfgNode = md.putObject("configuration")
+    snap.configuration.foreach { case (k, v) =>
+      if (v == null) cfgNode.putNull(k) else cfgNode.put(k, v)
+    }
     md.put("createdTime", 0L)
     val addLines = snap.files.map { f =>
       val n = mapper.createObjectNode()
@@ -402,6 +793,7 @@ object DeltaCompat {
       a.put("size", f.size)
       a.put("modificationTime", f.modificationTime)
       a.put("dataChange", true)
+      f.dv.foreach(d => a.set[JsonNode]("deletionVector", dvNode(d)))
       mapper.writeValueAsString(n)
     }
     val actionLines = Seq(protoLine, mapper.writeValueAsString(mdNode)) ++

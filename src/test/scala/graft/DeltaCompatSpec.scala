@@ -172,21 +172,24 @@ class DeltaCompatSpec extends SparkSpec {
   test("documented-unsupported tables are rejected loudly") {
     import spark.implicits._
     val d = fixtureTable()
-    // deletion vector on an add
+    // a deletion vector with an UNKNOWN storage type
     Files.writeString(Paths.get(f"$d/_delta_log/${3L}%020d.json"),
-      """{"add":{"path":"k=a/f1a.parquet","partitionValues":{"k":"a"},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}""" + "\n")
+      """{"add":{"path":"k=a/f1a.parquet","partitionValues":{"k":"a"},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"z","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}""" + "\n")
     val e1 = intercept[IllegalArgumentException] {
       DeltaCompat.snapshot(spark, d) }
-    assert(e1.getMessage.contains("deletion vector"))
-    // reader features beyond the base protocol
+    assert(e1.getMessage.contains("storageType"))
+    // reader features beyond the implemented set (deletionVectors /
+    // columnMapping / timestampNtz are implemented now; v2Checkpoint
+    // and anything future stay loudly rejected)
     Files.writeString(Paths.get(f"$d/_delta_log/${3L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" + "\n")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["deletionVectors","v2Checkpoint"]}}""" + "\n")
     val e2 = intercept[IllegalArgumentException] {
       DeltaCompat.snapshot(spark, d) }
-    assert(e2.getMessage.contains("deletionVectors"))
-    // column mapping on
+    assert(e2.getMessage.contains("v2Checkpoint") &&
+      !e2.getMessage.startsWith("unsupported Delta reader features: deletionVectors"))
+    // an unknown column mapping mode
     Files.writeString(Paths.get(f"$d/_delta_log/${3L}%020d.json"),
-      """{"metaData":{"id":"fixture-0001","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}""" + "\n")
+      """{"metaData":{"id":"fixture-0001","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"weird"},"createdTime":1}}""" + "\n")
     val e3 = intercept[IllegalArgumentException] {
       DeltaCompat.snapshot(spark, d) }
     assert(e3.getMessage.contains("column mapping"))
@@ -345,5 +348,26 @@ class DeltaCompatSpec extends SparkSpec {
     Files.delete(Paths.get(f"$d/_delta_log/${0L}%020d.json"))
     assert(DeltaCompat.read(spark, d).select("k").collect()
       .map(_.getString(0)).sorted.toSeq == vals.sorted)
+  }
+
+  test("a malformed multi-part checkpoint set (right count, wrong " +
+      "part indices) is SKIPPED like a stale pointer, not fatal") {
+    import spark.implicits._
+    val d = tmpDir("deltabadcp") + "/tbl"
+    DeltaCompat.writeTable(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "k"), d)
+    // claim a 2-part checkpoint at v0 whose parts are 1 and 3 — the
+    // size matches the declared total but index 2 is missing, so the
+    // set is unusable per the protocol (r12 ADVICE: this used to
+    // throw NoSuchElementException inside snapshot())
+    val logDir = Paths.get(s"$d/_delta_log")
+    for (part <- Seq(1, 3)) {
+      val p = logDir.resolve(
+        f"${0L}%020d.checkpoint.${part}%010d.${2}%010d.parquet")
+      Files.writeString(p, "not even parquet")
+    }
+    // the JSON history is intact, so replay falls back to it
+    assert(DeltaCompat.read(spark, d).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 }
