@@ -441,7 +441,7 @@ object LakehouseOps {
     * resolution, manifest parsing, identity-partition reattachment,
     * and schema are all exact. */
   private val q273: QFn = (s, d) => {
-    val dir = "/tmp/graft_ice_rt_v2_" + deltaFixtureKey(s, d)
+    val dir = "/tmp/graft_ice_rt_v3_" + deltaFixtureKey(s, d)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       s.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(
@@ -465,7 +465,7 @@ object LakehouseOps {
     * excluded — hash-green ⇔ the delete file, its manifest, the new
     * snapshot, and the positional application are all exact. */
   private val q274: QFn = (s, d) => {
-    val dir = "/tmp/graft_ice_mor_v2_" + deltaFixtureKey(s, d)
+    val dir = "/tmp/graft_ice_mor_v3_" + deltaFixtureKey(s, d)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       s.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(
@@ -562,7 +562,55 @@ object LakehouseOps {
       |FROM lineitem WHERE l_quantity < 10
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q277: ICEBERG EQUALITY DELETES + FIELD-ID RENAME on real data
+    * (r12 verdict item 3) — the fixture stacks the full Flink/CDC
+    * shape: v1 writes the partitioned slice, v2 RENAMES
+    * `l_returnflag`→`flag` (metadata-only; old data files keep the
+    * old parquet column name and resolve BY FIELD ID), v3 is an
+    * equality DELETE of `flag='R'` (content=2, sequence number 2),
+    * and v4 RE-INSERTS the `l_quantity=5` R rows via `appendTable`
+    * (sequence number 3 — STRICTLY ABOVE the delete, so per the
+    * spec's ordering rule they must SURVIVE it). The oracle computes
+    * the same aggregate from source parquet: everything but R, plus
+    * the re-inserted R slice. Hash-green ⇔ field-id resolution,
+    * spec-field→source-id partition mapping, null-safe equality
+    * application, AND sequence ordering are all exact. */
+  private val q277: QFn = (s, d) => {
+    val dir = "/tmp/graft_ice_eq_v1_" + deltaFixtureKey(s, d)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        dir, "metadata/v4.metadata.json"))) {
+      import s.implicits._
+      graft.sources.IcebergCompat.writeTable(deltaSlice(s, d), dir,
+        partitionBy = Seq("l_returnflag"))
+      graft.sources.IcebergCompat.renameColumn(s, dir,
+        "l_returnflag", "flag")
+      graft.sources.IcebergCompat.deleteEquality(s, dir, Seq("flag"),
+        Seq("R").toDF("flag"))
+      graft.sources.IcebergCompat.appendTable(
+        deltaSlice(s, d)
+          .filter(col("l_returnflag") === "R" && col("l_quantity") === 5)
+          .withColumnRenamed("l_returnflag", "flag"),
+        dir, partitionBy = Seq("flag"))
+    }
+    graft.sources.IcebergCompat.read(s, dir)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("qty"))
+  }
+  private val q277Sql =
+    s"""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ${sqlSum("l_extendedprice")} AS revenue,
+      |  ${sqlSum("l_quantity")} AS qty
+      |FROM lineitem
+      |WHERE l_quantity < 10
+      |  AND (l_returnflag <> 'R' OR l_quantity = 5)
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q277_iceberg_eqdelete" -> q277,
     "q275_delta_dv" -> q275,
     "q276_delta_colmap" -> q276,
     "q269_delta_roundtrip" -> q269,
@@ -579,6 +627,7 @@ object LakehouseOps {
     "q191_scd2_ranges" -> q191)
 
   val oracleSql: Map[String, String] = Map(
+    "q277_iceberg_eqdelete" -> q277Sql,
     "q275_delta_dv" -> q275Sql,
     "q276_delta_colmap" -> q276Sql,
     "q269_delta_roundtrip" -> q269Sql,

@@ -55,23 +55,37 @@ import org.apache.spark.sql.types._
   * correctly — their derived tuples are metadata, not table columns,
   * and Iceberg data files always carry the full row — but contribute
   * no manifest-level pruning here (identity fields do).
-  * NOT supported, rejected loudly: EQUALITY deletes (content=2 —
-  * their correct application needs sequence-number ordering;
-  * positional deletes name files explicitly and are order-safe),
-  * nested types, column-mapping by field id (columns match by NAME —
-  * renamed-column histories would need id mapping), non-parquet
-  * files.
+  *
+  * Round 13 (r12 verdict item 3): EQUALITY deletes (content=2) now
+  * apply with the spec's SEQUENCE-NUMBER ordering — per-file data
+  * sequence numbers come from the manifest entries (inheriting the
+  * manifest-list row's on ADDED entries), and each (seq,
+  * equality_ids) delete group anti-joins null-safely against only
+  * the data rows with a STRICTLY LOWER sequence number, so a row
+  * re-inserted after the delete survives it (the Flink/CDC upsert
+  * pattern). Columns resolve BY FIELD ID (`parquet.field.id`
+  * metadata on the scan schema + Spark's fieldId read conf), so
+  * renamed-column histories read correctly — [[renameColumn]] is the
+  * matching metadata-only evolution writer, [[deleteEquality]] the
+  * matching MoR writer.
+  * NOT supported, rejected loudly: nested types, non-parquet files,
+  * format-version ≥ 3.
   */
 object IcebergCompat {
 
   private val mapper = new ObjectMapper()
 
   final case class IceFile(path: String, size: Long,
-      partitionValues: Map[String, String])
+      partitionValues: Map[String, String], seq: Long = 0L)
 
-  /** A POSITIONAL delete file (v2 MoR): parquet of (file_path, pos)
-    * rows naming data-file rows removed from the snapshot. */
-  final case class IceDelete(path: String, size: Long)
+  /** A v2 MoR delete file: `content` 1 = POSITIONAL (parquet of
+    * (file_path, pos) rows), 2 = EQUALITY (parquet of values for the
+    * `equalityIds` columns; deletes every row of any data file with a
+    * STRICTLY LOWER data sequence number whose values match
+    * null-safely — the spec's ordering rule, which is what lets a row
+    * re-inserted after the delete survive it). */
+  final case class IceDelete(path: String, size: Long,
+      content: Long = 1L, seq: Long = 0L, equalityIds: Seq[Int] = Seq.empty)
 
   final case class Snapshot(snapshotId: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[IceFile],
@@ -137,6 +151,13 @@ object IcebergCompat {
         " — see class doc)")
   }
 
+  /** The StructField metadata key Spark's parquet reader resolves
+    * columns BY FIELD ID through (`spark.sql.parquet.fieldId.read
+    * .enabled`) — the Iceberg spec's required column-resolution rule,
+    * which is what makes renamed-column histories read correctly
+    * (old data files carry old names but the SAME ids). */
+  private val FieldIdKey = "parquet.field.id"
+
   private def schemaOf(node: JsonNode): StructType = {
     val fields = node.get("fields")
     StructType((0 until fields.size).map { i =>
@@ -144,10 +165,21 @@ object IcebergCompat {
       val t = f.get("type")
       require(t.isTextual,
         s"unsupported nested Iceberg type at field '${f.get("name").asText}'")
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(f.get("id")).filterNot(_.isNull)
+        .foreach(id => md.putLong(FieldIdKey, id.asLong))
       StructField(f.get("name").asText, toSparkType(t.asText),
-        nullable = !f.get("required").asBoolean(false))
+        nullable = !f.get("required").asBoolean(false),
+        metadata = md.build())
     })
   }
+
+  /** field id -> current column name, from the schema's metadata. */
+  private def idToName(schema: StructType): Map[Long, String] =
+    schema.fields.flatMap(f =>
+      if (f.metadata.contains(FieldIdKey))
+        Some(f.metadata.getLong(FieldIdKey) -> f.name)
+      else None).toMap
 
   // ---- avro manifest parsing (driver-side, KB–MB metadata) ----
 
@@ -159,11 +191,17 @@ object IcebergCompat {
     try rd.iterator().asScala.toVector finally { rd.close() }
   }
 
+  // schema-safe accessors: a record written under an OLDER schema
+  // (e.g. a pre-round-13 manifest list without sequence_number) has
+  // no such field at all, and GenericData.Record.get THROWS on
+  // unknown names rather than returning null
   private def str(r: GenericRecord, field: String): String =
-    Option(r.get(field)).map(_.toString).orNull
+    if (r.getSchema.getField(field) == null) null
+    else Option(r.get(field)).map(_.toString).orNull
 
   private def lng(r: GenericRecord, field: String, dflt: Long): Long =
-    Option(r.get(field)).map(_.asInstanceOf[Number].longValue)
+    if (r.getSchema.getField(field) == null) dflt
+    else Option(r.get(field)).map(_.asInstanceOf[Number].longValue)
       .getOrElse(dflt)
 
   /** One manifest partition value (the Avro-decoded JVM object) → the
@@ -225,10 +263,20 @@ object IcebergCompat {
         s"value ${other.getClass.getName} for Spark type $dt")
   }
 
-  /** Reconstruct the requested snapshot: metadata → manifest list →
-    * manifests → live (non-DELETED) data files. */
-  def snapshot(spark: SparkSession, tablePath: String,
-      asOfSnapshotId: Option[Long] = None): Snapshot = {
+  /** Diagnostics: how many MANIFEST files this JVM has actually
+    * opened and parsed — the number summary pruning exists to keep
+    * small (spec-pinned on the many-manifest fixture). */
+  private[graft] val manifestsOpened =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Everything the metadata.json tells us before any manifest is
+    * opened. */
+  private final case class TableMeta(schema: StructType,
+      partPairs: Seq[(String, String)], snapNode: Option[JsonNode],
+      wantedId: Long, totalFilesSize: Option[Long])
+
+  private def tableMeta(spark: SparkSession, tablePath: String,
+      asOfSnapshotId: Option[Long]): TableMeta = {
     val meta = readJson(spark, currentMetadataPath(spark, tablePath))
     val fv = Option(meta.get("format-version")).map(_.asInt).getOrElse(1)
     require(fv <= 2, s"unsupported Iceberg format-version $fv")
@@ -265,10 +313,18 @@ object IcebergCompat {
     // columns that are not table columns at all — Iceberg data files
     // always carry the full row, so such tables READ correctly by
     // simply ignoring the derived tuple (manifest-level partition
-    // pruning for them is the documented loss, not correctness)
-    val partCols = specFields.flatMap { f =>
+    // pruning for them is the documented loss, not correctness).
+    // The SOURCE COLUMN resolves by source-id (spec rule): a renamed
+    // column keeps the OLD spec-field name in the partition tuples,
+    // so we track (spec field name, current column name) pairs.
+    val idNames = idToName(schema)
+    val partPairs: Seq[(String, String)] = specFields.flatMap { f =>
       f.get("transform").asText match {
-        case "identity" => Some(f.get("name").asText)
+        case "identity" =>
+          val specName = f.get("name").asText
+          val colName = Option(f.get("source-id")).filterNot(_.isNull)
+            .map(_.asLong).flatMap(idNames.get).getOrElse(specName)
+          Some(specName -> colName)
         case _ => None
       }
     }
@@ -284,63 +340,171 @@ object IcebergCompat {
           s"snapshot $id not in the metadata of $tablePath (have " +
             s"${snaps.map(_.get("snapshot-id").asLong).mkString("[", ",", "]")})"))
     }
+    val totalSize = snapNode.flatMap(sn =>
+      Option(sn.get("summary")).flatMap(s =>
+        Option(s.get("total-files-size"))).filterNot(_.isNull)
+        .flatMap(n => scala.util.Try(n.asText.toLong).toOption)
+        .filter(_ > 0))
+    TableMeta(schema, partPairs, snapNode, wantedId.getOrElse(-1L),
+      totalSize)
+  }
+
+  /** The snapshot's manifests, from ONE manifest-list read: lazy
+    * refs (path, sequence number, field summaries) + content flag.
+    * No data manifest is opened here. */
+  private def manifestRefs(spark: SparkSession, root: Path,
+      snapNode: Option[JsonNode]): Seq[(IceManifestRef, Long)] =
+    snapNode.toSeq.flatMap { sn =>
+      val snapSeq = Option(sn.get("sequence-number"))
+        .filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+      if (sn.has("manifest-list")) {
+        val mlPath = DeltaCompat.resolvePath(root,
+          sn.get("manifest-list").asText)
+        avroRecords(spark, mlPath).map { mf =>
+          val sums: Option[Seq[IceFieldSummary]] =
+            (if (mf.getSchema.getField("partitions") == null) None
+             else Option(mf.get("partitions"))).collect {
+              case arr: java.util.Collection[_] =>
+                arr.asScala.toSeq.map { s0 =>
+                  val s = s0.asInstanceOf[GenericRecord]
+                  def bytesOf(f: String): Option[Array[Byte]] =
+                    if (s.getSchema.getField(f) == null) None
+                    else Option(s.get(f)).map {
+                      case bb: java.nio.ByteBuffer =>
+                        val d = bb.duplicate()
+                        val a = new Array[Byte](d.remaining()); d.get(a); a
+                      case gf: org.apache.avro.generic.GenericFixed =>
+                        gf.bytes()
+                      case other => other.toString.getBytes("UTF-8")
+                    }
+                  IceFieldSummary(
+                    Option(s.get("contains_null"))
+                      .exists(_.asInstanceOf[Boolean]),
+                    bytesOf("lower_bound"), bytesOf("upper_bound"))
+                }
+            }
+          (IceManifestRef(
+            DeltaCompat.resolvePath(root, str(mf, "manifest_path")),
+            lng(mf, "sequence_number", snapSeq), sums),
+            lng(mf, "content", 0L))
+        }
+      } else {
+        val arr = sn.get("manifests")
+        require(arr != null,
+          "snapshot carries neither manifest-list nor manifests")
+        (0 until arr.size).map(i =>
+          (IceManifestRef(
+            DeltaCompat.resolvePath(root, arr.get(i).asText), 0L, None),
+            0L))
+      }
+    }
+
+  /** Parse ONE manifest into its live (non-DELETED) files/deletes.
+    * Thread-safe; counts into [[manifestsOpened]]. */
+  private def parseManifest(spark: SparkSession, mp: Path,
+      manifestContent: Long, listSeq: Long, schema: StructType,
+      partPairs: Seq[(String, String)])
+      : (Seq[IceFile], Seq[IceDelete]) = {
+    manifestsOpened.incrementAndGet()
     val files = mutable.ArrayBuffer[IceFile]()
     val deletes = mutable.ArrayBuffer[IceDelete]()
-    snapNode.foreach { sn =>
-      val root = new Path(tablePath)
-      // (manifest path, content): 0 = data manifest, 1 = deletes
-      val manifestPaths: Seq[(Path, Long)] =
-        if (sn.has("manifest-list")) {
-          val mlPath = DeltaCompat.resolvePath(root,
-            sn.get("manifest-list").asText)
-          avroRecords(spark, mlPath).map { mf =>
-            (DeltaCompat.resolvePath(root, str(mf, "manifest_path")),
-              lng(mf, "content", 0L))
-          }
-        } else {
-          val arr = sn.get("manifests")
-          require(arr != null,
-            "snapshot carries neither manifest-list nor manifests")
-          (0 until arr.size).map(i =>
-            (DeltaCompat.resolvePath(root, arr.get(i).asText), 0L))
-        }
-      manifestPaths.foreach { case (mp, manifestContent) =>
-        avroRecords(spark, mp).foreach { entry =>
-          val status = lng(entry, "status", 1L)
-          if (status != 2L) { // 2 = DELETED: not part of the snapshot
-            val dfr = entry.get("data_file").asInstanceOf[GenericRecord]
-            val fmt = str(dfr, "file_format")
-            require(fmt != null && fmt.equalsIgnoreCase("parquet"),
-              s"unsupported data file format: $fmt")
-            val content = math.max(lng(dfr, "content", 0L),
-              manifestContent)
-            content match {
-              case 0L =>
-                val pv: Map[String, String] =
-                  Option(dfr.get("partition")) match {
-                    case Some(pr: GenericRecord) =>
-                      partCols.map { c =>
-                        c -> partValueString(
-                          pr.get(c).asInstanceOf[AnyRef],
-                          schema(c).dataType, c)
-                      }.toMap
-                    case _ => Map.empty
-                  }
-                files += IceFile(str(dfr, "file_path"),
-                  lng(dfr, "file_size_in_bytes", -1L), pv)
-              case 1L =>
-                deletes += IceDelete(str(dfr, "file_path"),
-                  lng(dfr, "file_size_in_bytes", -1L))
-              case other => throw new IllegalArgumentException(
-                "equality delete files are not supported by this " +
-                  s"reader (class doc): content=$other")
+    avroRecords(spark, mp).foreach { entry =>
+      val status = lng(entry, "status", 1L)
+      if (status != 2L) { // 2 = DELETED: not part of the snapshot
+        val dfr = entry.get("data_file").asInstanceOf[GenericRecord]
+        val fmt = str(dfr, "file_format")
+        require(fmt != null && fmt.equalsIgnoreCase("parquet"),
+          s"unsupported data file format: $fmt")
+        val content = math.max(lng(dfr, "content", 0L), manifestContent)
+        val entrySeq = lng(entry, "sequence_number", listSeq)
+        content match {
+          case 0L =>
+            val pv: Map[String, String] =
+              Option(dfr.get("partition")) match {
+                case Some(pr: GenericRecord) =>
+                  partPairs.map { case (specName, c) =>
+                    // the tuple's field carries the SPEC name; fall
+                    // back to the current column name for writers
+                    // that used it directly
+                    val raw: AnyRef =
+                      if (pr.getSchema.getField(specName) != null)
+                        pr.get(specName)
+                      else if (pr.getSchema.getField(c) != null)
+                        pr.get(c)
+                      else null
+                    c -> partValueString(raw, schema(c).dataType, c)
+                  }.toMap
+                case _ => Map.empty
+              }
+            files += IceFile(str(dfr, "file_path"),
+              lng(dfr, "file_size_in_bytes", -1L), pv, entrySeq)
+          case 1L =>
+            deletes += IceDelete(str(dfr, "file_path"),
+              lng(dfr, "file_size_in_bytes", -1L), 1L, entrySeq)
+          case 2L =>
+            val eqIds: Seq[Int] = Option(dfr.get("equality_ids")) match {
+              case Some(arr: java.util.Collection[_]) =>
+                arr.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
+              case _ => Seq.empty
             }
-          }
+            require(eqIds.nonEmpty,
+              s"equality delete file ${str(dfr, "file_path")} " +
+                "carries no equality_ids")
+            deletes += IceDelete(str(dfr, "file_path"),
+              lng(dfr, "file_size_in_bytes", -1L), 2L, entrySeq, eqIds)
+          case other => throw new IllegalArgumentException(
+            s"unknown data_file content=$other in $mp")
         }
       }
     }
-    Snapshot(wantedId.getOrElse(-1L), schema, partCols, files.toVector,
-      deletes.toVector)
+    (files.toSeq, deletes.toSeq)
+  }
+
+  /** Parse `refs` IN PARALLEL on a bounded pool (r12 verdict item 5:
+    * the serialized per-manifest driver loop was the declared 100×
+    * soft spot — manifests are independent metadata, and Iceberg's
+    * own client reads them on a worker pool). Merge order follows
+    * `refs`, so results are deterministic. */
+  private def parseManifestsParallel(spark: SparkSession,
+      refs: Seq[(IceManifestRef, Long)], schema: StructType,
+      partPairs: Seq[(String, String)])
+      : (Seq[IceFile], Seq[IceDelete]) = {
+    if (refs.isEmpty) return (Seq.empty, Seq.empty)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, Runtime.getRuntime.availableProcessors)))
+    try {
+      val futures = refs.map { case (ref, content) =>
+        pool.submit(new java.util.concurrent.Callable[
+            (Seq[IceFile], Seq[IceDelete])] {
+          def call(): (Seq[IceFile], Seq[IceDelete]) =
+            parseManifest(spark, ref.path, content, ref.seq, schema,
+              partPairs)
+        })
+      }
+      // in refs order; re-throw the ORIGINAL loud error, not the
+      // pool's ExecutionException wrapper
+      val parts = futures.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+      (parts.flatMap(_._1), parts.flatMap(_._2))
+    } finally pool.shutdown()
+  }
+
+  /** Reconstruct the requested snapshot: metadata → manifest list →
+    * manifests (parsed in parallel) → live (non-DELETED) data
+    * files. */
+  def snapshot(spark: SparkSession, tablePath: String,
+      asOfSnapshotId: Option[Long] = None): Snapshot = {
+    val tm = tableMeta(spark, tablePath, asOfSnapshotId)
+    val refs = manifestRefs(spark, new Path(tablePath), tm.snapNode)
+    val (files, deletes) = parseManifestsParallel(spark, refs,
+      tm.schema, tm.partPairs)
+    Snapshot(tm.wantedId, tm.schema, tm.partPairs.map(_._2),
+      files.toVector, deletes.toVector)
   }
 
   /** The relation over a snapshot's data files, columns in declared
@@ -348,6 +512,13 @@ object IcebergCompat {
     * the result for the MoR delete join. */
   private def relationFor(spark: SparkSession, tablePath: String,
       snap: Snapshot): DataFrame = {
+    // resolve parquet columns BY FIELD ID (the Iceberg spec's rule):
+    // the data schema's fields carry parquet.field.id metadata, and
+    // this session conf makes Spark's parquet reader honor it — a
+    // renamed column's OLD files (old name, same id) read correctly.
+    // Only schemas that CARRY id metadata are affected (this
+    // relation's); scans of id-less schemas are untouched by the conf.
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataSchema = StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val partitionSchema = StructType(
@@ -377,41 +548,145 @@ object IcebergCompat {
     * construction — a path can never be re-added in Iceberg). */
   def read(spark: SparkSession, tablePath: String,
       asOfSnapshotId: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, asOfSnapshotId)
+    val tm = tableMeta(spark, tablePath, asOfSnapshotId)
+    val root = new Path(tablePath)
+    val refs = manifestRefs(spark, root, tm.snapNode)
+    if (refs.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], tm.schema)
+    }
+    // DELETE manifests (content=1 list rows) are few and decide the
+    // plan's shape — parse them eagerly, in parallel; DATA manifests
+    // stay LAZY behind the IceManifestIndex unless equality deletes
+    // force per-file sequence numbers
+    val (_, deletes) = parseManifestsParallel(spark,
+      refs.filter(_._2 == 1L), tm.schema, tm.partPairs)
+    if (deletes.exists(_.content == 2L))
+      return readWithDeletes(spark, tablePath,
+        snapshot(spark, tablePath, asOfSnapshotId))
+    val partCols = tm.partPairs.map(_._2)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val dataSchema = StructType(
+      tm.schema.filterNot(f => partCols.contains(f.name)))
+    val partitionSchema = StructType(partCols.map(c => tm.schema(c)))
+    val qualified = root.getFileSystem(
+      spark.sessionState.newHadoopConf()).makeQualified(root)
+    val dataRefs = refs.filter(_._2 == 0L).map(_._1)
+    val parseFn: IceManifestRef => Seq[MetaDataFile] = ref => {
+      val (files, extraDels) = parseManifest(spark, ref.path, 0L,
+        ref.seq, tm.schema, tm.partPairs)
+      require(extraDels.isEmpty,
+        s"delete files inside a DATA manifest ${ref.path} (spec violation)")
+      files.map(f => MetaDataFile(
+        DeltaCompat.resolvePath(qualified, f.path), f.size, 0L,
+        f.partitionValues))
+    }
+    val index = new IceManifestIndex(spark, root, partitionSchema,
+      dataRefs, parseFn, tm.totalFilesSize)
+    val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
+      None, new ParquetFileFormat(), Map.empty[String, String])(spark)
+    val base = spark.baseRelationToDataFrame(relation)
+    val outCols = tm.schema.map(f => col(f.name))
+    val posDels = deletes.filter(_.content == 1L)
+    if (posDels.isEmpty) return base.select(outCols: _*)
+    // positional deletes: translate the delete rows' manifest-form
+    // file_path to the scan's _metadata form DIRECTLY (pure string/URI
+    // work on executors — no need to enumerate the data files)
+    import spark.implicits._
+    val rootStr = qualified.toString
+    val delPaths = posDels.map(d =>
+      DeltaCompat.resolvePath(qualified, d.path).toString)
+    val dels = spark.read
+      .schema("file_path STRING, pos BIGINT")
+      .parquet(delPaths: _*)
+      .as[(String, Long)]
+      .map { case (fp, pos) =>
+        (org.apache.spark.paths.SparkPath.fromPath(
+          DeltaCompat.resolvePath(new Path(rootStr), fp)).urlEncoded, pos)
+      }
+      .toDF("_ice_del_fp", "_ice_del_pos")
+    base
+      .withColumn("_ice_fp", col("_metadata.file_path"))
+      .withColumn("_ice_pos", col("_metadata.row_index"))
+      .join(dels, col("_ice_fp") === col("_ice_del_fp") &&
+        col("_ice_pos") === col("_ice_del_pos"), "left_anti")
+      .select(outCols: _*)
+  }
+
+  /** The EAGER read shape for snapshots with EQUALITY deletes: their
+    * application needs every data file's sequence number, so the full
+    * snapshot materializes (still a parallel manifest parse) and the
+    * relation rides the eager [[MetaFileIndex]]. */
+  private def readWithDeletes(spark: SparkSession, tablePath: String,
+      snap: Snapshot): DataFrame = {
     if (snap.files.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], snap.schema)
     }
     val base = relationFor(spark, tablePath, snap)
     val outCols = snap.schema.map(f => col(f.name))
-    if (snap.deletes.isEmpty) base.select(outCols: _*)
-    else {
-      import spark.implicits._
-      val root = new Path(tablePath)
-      val qualified = root.getFileSystem(
-        spark.sessionState.newHadoopConf()).makeQualified(root)
-      // writer-form manifest path -> the exact string the scan's
-      // _metadata.file_path yields (the SparkPath url form)
-      val trans = snap.files.map { f =>
-        val resolved = DeltaCompat.resolvePath(qualified, f.path)
-        (f.path,
-          org.apache.spark.paths.SparkPath.fromPath(resolved).urlEncoded)
-      }.toDF("file_path", "_ice_resolved")
-      val delPaths = snap.deletes.map(d =>
+    if (snap.deletes.isEmpty) return base.select(outCols: _*)
+    import spark.implicits._
+    val root = new Path(tablePath)
+    val qualified = root.getFileSystem(
+      spark.sessionState.newHadoopConf()).makeQualified(root)
+    // writer-form manifest path -> the exact string the scan's
+    // _metadata.file_path yields (the SparkPath url form) + the data
+    // file's sequence number (the equality-delete ordering key)
+    val trans = snap.files.map { f =>
+      val resolved = DeltaCompat.resolvePath(qualified, f.path)
+      (f.path,
+        org.apache.spark.paths.SparkPath.fromPath(resolved).urlEncoded,
+        f.seq)
+    }.toDF("file_path", "_ice_resolved", "_ice_seq")
+    var cur = base
+      .withColumn("_ice_fp", col("_metadata.file_path"))
+      .withColumn("_ice_pos", col("_metadata.row_index"))
+    val posDels = snap.deletes.filter(_.content == 1L)
+    if (posDels.nonEmpty) {
+      val delPaths = posDels.map(d =>
         DeltaCompat.resolvePath(qualified, d.path).toString)
       val dels = spark.read
         .schema("file_path STRING, pos BIGINT")
         .parquet(delPaths: _*)
-        .join(broadcast(trans), Seq("file_path"), "left")
+        .join(broadcast(trans.select("file_path", "_ice_resolved")),
+          Seq("file_path"), "left")
         .select(coalesce(col("_ice_resolved"), col("file_path"))
           .as("_ice_del_fp"), col("pos").as("_ice_del_pos"))
-      base
-        .withColumn("_ice_fp", col("_metadata.file_path"))
-        .withColumn("_ice_pos", col("_metadata.row_index"))
-        .join(dels, col("_ice_fp") === col("_ice_del_fp") &&
-          col("_ice_pos") === col("_ice_del_pos"), "left_anti")
-        .select(outCols: _*)
+      cur = cur.join(dels, col("_ice_fp") === col("_ice_del_fp") &&
+        col("_ice_pos") === col("_ice_del_pos"), "left_anti")
     }
+    val eqDels = snap.deletes.filter(_.content == 2L)
+    if (eqDels.nonEmpty) {
+      // a row is deleted by an equality delete with a STRICTLY HIGHER
+      // sequence number than its data file's — attach the per-file
+      // seq (a files-sized broadcast), then one null-safe anti-join
+      // per (seq, equality_ids) delete group. The delete parquet is
+      // read under the id-carrying schema, so deletes written before
+      // a rename still resolve.
+      cur = cur.join(
+        broadcast(trans.select(col("_ice_resolved").as("_ice_fp"),
+          col("_ice_seq"))), Seq("_ice_fp"), "left")
+      val names = idToName(snap.schema)
+      eqDels.groupBy(d => (d.seq, d.equalityIds)).foreach {
+        case ((dseq, ids), group) =>
+          val cols = ids.map { id =>
+            names.getOrElse(id.toLong, throw new IllegalArgumentException(
+              s"equality_ids field $id not in the current schema " +
+                s"(have ids ${names.keys.toSeq.sorted.mkString(",")})"))
+          }
+          val delSchema = StructType(cols.map(c => snap.schema(c)))
+          val paths = group.map(d =>
+            DeltaCompat.resolvePath(qualified, d.path).toString)
+          val delRows = spark.read.schema(delSchema).parquet(paths: _*)
+            .select(cols.map(c => col(c).as(s"_ice_eq_$c")): _*)
+            .distinct()
+          val cond = cols.map(c => col(c) <=> col(s"_ice_eq_$c"))
+            .reduce(_ && _) && lit(dseq) > col("_ice_seq")
+          cur = cur.join(delRows, cond, "left_anti")
+      }
+    }
+    cur.select(outCols: _*)
   }
 
   // ---- fixture/export writer ----
@@ -449,7 +724,14 @@ object IcebergCompat {
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int","default":0},
-      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+      |{"name":"sequence_number","type":"long","default":0},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"partitions","type":["null",{"type":"array","items":
+      |{"type":"record","name":"field_summary","fields":[
+      |{"name":"contains_null","type":"boolean"},
+      |{"name":"lower_bound","type":["null","bytes"],"default":null},
+      |{"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+      |"default":null}]}""".stripMargin)
 
   private[graft] def manifestEntrySchema(
       partFields: Seq[(String, DataType)]): Schema = {
@@ -466,7 +748,73 @@ object IcebergCompat {
         |{"name":"file_format","type":"string"},
         |{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]}},
         |{"name":"record_count","type":"long"},
-        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+  }
+
+  /** The spec's single-value binary serialization of a partition
+    * bound (int/date 4B LE, long 8B LE, double 8B LE, boolean 1B,
+    * string UTF-8) — what field summaries carry. */
+  private def boundBytes(v: AnyRef): Array[Byte] = v match {
+    case i: Integer => java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    case l: java.lang.Long => java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+    case d: java.lang.Double => java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d).array()
+    case b: java.lang.Boolean => Array[Byte](if (b) 1 else 0)
+    case s => s.toString.getBytes("UTF-8")
+  }
+
+  private val fieldSummarySchema: Schema = {
+    val union = manifestListSchema.getField("partitions").schema()
+    union.getTypes.get(1).getElementType
+  }
+
+  /** Per-partition-field value summaries over a manifest's entries —
+    * the manifest-list metadata [[IceManifestIndex]] prunes with. */
+  private def fieldSummaries(entries: Seq[GenericRecord],
+      partTypes: Seq[(String, DataType)])
+      : Option[java.util.List[GenericRecord]] = {
+    if (partTypes.isEmpty) return None
+    val arr = new java.util.ArrayList[GenericRecord](partTypes.size)
+    partTypes.foreach { case (name, _) =>
+      val vals = entries.map { e =>
+        e.get("data_file").asInstanceOf[GenericRecord]
+          .get("partition").asInstanceOf[GenericRecord].get(name)
+      }
+      val nonNull = vals.filter(_ != null)
+      val rec = new GenericData.Record(fieldSummarySchema)
+      rec.put("contains_null",
+        java.lang.Boolean.valueOf(vals.exists(_ == null)))
+      if (nonNull.nonEmpty) {
+        implicit val ord: Ordering[AnyRef] = new Ordering[AnyRef] {
+          def compare(a: AnyRef, b: AnyRef): Int = (a, b) match {
+            case (x: Integer, y: Integer) => x.compareTo(y)
+            case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+            case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+            case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+            case (x, y) =>
+              // strings order as UNSIGNED UTF-8 bytes — the same
+              // ordering the read-side range check uses (Java String
+              // order diverges for non-BMP chars)
+              val (a, b) = (boundBytes(x), boundBytes(y))
+              val n = math.min(a.length, b.length)
+              var i = 0; var c = 0
+              while (i < n && c == 0) {
+                c = Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1
+              }
+              if (c != 0) c else Integer.compare(a.length, b.length)
+          }
+        }
+        rec.put("lower_bound",
+          java.nio.ByteBuffer.wrap(boundBytes(nonNull.min)))
+        rec.put("upper_bound",
+          java.nio.ByteBuffer.wrap(boundBytes(nonNull.max)))
+      }
+      arr.add(rec)
+    }
+    Some(arr)
   }
 
   private[graft] def writeAvro(spark: SparkSession, p: Path, schema: Schema,
@@ -528,18 +876,76 @@ object IcebergCompat {
     val delFile = fs.listStatus(delDir).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no delete parquet under $delDir"))
-    // delete manifest (content=1 at both levels, per the spec)
+    publishDeleteSnapshot(spark, tablePath, metaPath, meta,
+      snap.snapshotId, newSnapId, delFile, eqIds = Seq.empty)
+  }
+
+  /** MINIMAL merge-on-read EQUALITY DELETE (content=2): write the
+    * distinct values of `eqCols` from `rows` as an equality-delete
+    * parquet (columns carry their field ids, so the delete still
+    * resolves after a later rename), publish it in a content=1 delete
+    * manifest whose data_file names the matching `equality_ids`, and
+    * advance the snapshot/sequence number. Per the spec the delete
+    * applies only to data files with a STRICTLY LOWER sequence number
+    * — rows (re-)written AFTER this commit survive it, which is the
+    * Flink/CDC upsert pattern this exists for. Fixture/export grade,
+    * like [[deletePositional]]. Returns the new snapshot id. */
+  def deleteEquality(spark: SparkSession, tablePath: String,
+      eqCols: Seq[String], rows: DataFrame): Long = {
+    require(eqCols.nonEmpty, "eqCols must be non-empty")
+    val metaPath = currentMetadataPath(spark, tablePath)
+    val meta = readJson(spark, metaPath)
+    val snap = snapshot(spark, tablePath)
+    val newSnapId = snap.snapshotId + 1
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = idToName(snap.schema)
+    val eqIds = eqCols.map { c =>
+      val f = snap.schema(c)
+      require(f.metadata.contains(FieldIdKey),
+        s"column '$c' carries no field id in the table schema")
+      f.metadata.getLong(FieldIdKey).toInt
+    }
+    require(eqIds.forall(id => names.contains(id.toLong)),
+      s"equality ids $eqIds not all resolvable")
+    // the delete rows, under the current names WITH their field ids
+    val delDf = rows.select(eqCols.map { c =>
+      val f = snap.schema(c)
+      rows(c).cast(f.dataType).as(c, f.metadata)
+    }: _*).distinct()
+    val delDir = new Path(root, s"eqdelete-$newSnapId.parquet")
+    delDf.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delFile = fs.listStatus(delDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no delete parquet under $delDir"))
+    publishDeleteSnapshot(spark, tablePath, metaPath, meta,
+      snap.snapshotId, newSnapId, delFile, eqIds)
+  }
+
+  /** Shared publish step of the two MoR delete writers: a delete
+    * manifest (content 1 or 2 at the data_file level per `eqIds`),
+    * then [[publishSnapshot]]. */
+  private def publishDeleteSnapshot(spark: SparkSession, tablePath: String,
+      metaPath: Path, meta: JsonNode, curSnapId: Long, newSnapId: Long,
+      delFile: Path, eqIds: Seq[Int]): Long = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val entrySchema = manifestEntrySchema(Seq.empty)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val dfr = new GenericData.Record(dfSchema)
-    dfr.put("content", Integer.valueOf(1))
+    dfr.put("content", Integer.valueOf(if (eqIds.isEmpty) 1 else 2))
     dfr.put("file_path", delFile.toString)
     dfr.put("file_format", "PARQUET")
     dfr.put("partition", new GenericData.Record(partSchema))
     dfr.put("record_count", java.lang.Long.valueOf(-1L))
     dfr.put("file_size_in_bytes",
       java.lang.Long.valueOf(fs.getFileStatus(delFile).getLen))
+    if (eqIds.nonEmpty) {
+      val arr = new java.util.ArrayList[Integer](eqIds.size)
+      eqIds.foreach(id => arr.add(Integer.valueOf(id)))
+      dfr.put("equality_ids", arr)
+    }
     val e = new GenericData.Record(entrySchema)
     e.put("status", Integer.valueOf(1))
     e.put("snapshot_id", java.lang.Long.valueOf(newSnapId))
@@ -547,13 +953,32 @@ object IcebergCompat {
     val metaDir = new Path(root, "metadata")
     val delManifest = new Path(metaDir, s"manifest-del-$newSnapId.avro")
     val dmLen = writeAvro(spark, delManifest, entrySchema, Seq(e))
-    // new manifest list = the current snapshot's manifests + the
-    // delete manifest
+    publishSnapshot(spark, tablePath, metaPath, meta, curSnapId,
+      newSnapId, delManifest, dmLen, manifestContent = 1,
+      operation = "delete")
+  }
+
+  /** The snapshot-COMMIT step shared by every incremental writer
+    * ([[deletePositional]], [[deleteEquality]], [[appendTable]]): a
+    * new manifest list carrying every prior manifest (sequence
+    * numbers PRESERVED — they are the equality-delete ordering key)
+    * plus the new manifest at the new sequence number, then a new
+    * metadata version + snapshot + hint swap. */
+  private def publishSnapshot(spark: SparkSession, tablePath: String,
+      metaPath: Path, meta: JsonNode, curSnapId: Long, newSnapId: Long,
+      newManifest: Path, manifestLen: Long, manifestContent: Int,
+      operation: String,
+      partitions: Option[java.util.List[GenericRecord]] = None,
+      addedDataSize: Long = 0L): Long = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(root, "metadata")
+    // new manifest list = the current snapshot's manifests + the new one
     val curSnaps = meta.get("snapshots")
     val curSnap = (0 until curSnaps.size).map(curSnaps.get)
-      .find(_.get("snapshot-id").asLong == snap.snapshotId)
+      .find(_.get("snapshot-id").asLong == curSnapId)
       .getOrElse(throw new IllegalArgumentException(
-        s"current snapshot ${snap.snapshotId} missing from metadata"))
+        s"current snapshot $curSnapId missing from metadata"))
     val prior: Seq[GenericRecord] =
       if (curSnap.has("manifest-list"))
         avroRecords(spark, DeltaCompat.resolvePath(root,
@@ -561,7 +986,8 @@ object IcebergCompat {
       else Seq.empty
     val mlRecs = prior.map { r =>
       // re-project into OUR list schema (a prior list may carry more
-      // optional fields than the fixture schema declares)
+      // optional fields than the fixture schema declares); sequence
+      // numbers PRESERVED — they are the equality-delete ordering key
       val ml = new GenericData.Record(manifestListSchema)
       ml.put("manifest_path", str(r, "manifest_path"))
       ml.put("manifest_length",
@@ -569,16 +995,41 @@ object IcebergCompat {
       ml.put("partition_spec_id",
         Integer.valueOf(lng(r, "partition_spec_id", 0L).toInt))
       ml.put("content", Integer.valueOf(lng(r, "content", 0L).toInt))
+      ml.put("sequence_number",
+        java.lang.Long.valueOf(lng(r, "sequence_number", 0L)))
       ml.put("added_snapshot_id",
         java.lang.Long.valueOf(lng(r, "added_snapshot_id", 0L)))
+      // carry the pruning summaries through commits (defensively
+      // re-projected; dropping them is correctness-neutral)
+      if (r.getSchema.getField("partitions") != null)
+        try Option(r.get("partitions")).foreach {
+          case arr: java.util.Collection[_] =>
+            val out = new java.util.ArrayList[GenericRecord](arr.size)
+            arr.asScala.foreach { s0 =>
+              val s = s0.asInstanceOf[GenericRecord]
+              val rec = new GenericData.Record(fieldSummarySchema)
+              rec.put("contains_null", java.lang.Boolean.valueOf(
+                Option(s.get("contains_null"))
+                  .exists(_.asInstanceOf[Boolean])))
+              Seq("lower_bound", "upper_bound").foreach { f =>
+                if (s.getSchema.getField(f) != null)
+                  rec.put(f, s.get(f))
+              }
+              out.add(rec)
+            }
+            ml.put("partitions", out)
+          case _ => ()
+        } catch { case scala.util.control.NonFatal(_) => () }
       ml
     } :+ {
       val ml = new GenericData.Record(manifestListSchema)
-      ml.put("manifest_path", delManifest.toString)
-      ml.put("manifest_length", java.lang.Long.valueOf(dmLen))
+      ml.put("manifest_path", newManifest.toString)
+      ml.put("manifest_length", java.lang.Long.valueOf(manifestLen))
       ml.put("partition_spec_id", Integer.valueOf(0))
-      ml.put("content", Integer.valueOf(1))
+      ml.put("content", Integer.valueOf(manifestContent))
+      ml.put("sequence_number", java.lang.Long.valueOf(newSnapId))
       ml.put("added_snapshot_id", java.lang.Long.valueOf(newSnapId))
+      partitions.foreach(p => ml.put("partitions", p))
       ml
     }
     val mlPath = new Path(metaDir, s"snap-$newSnapId.avro")
@@ -592,11 +1043,21 @@ object IcebergCompat {
     val node = mapper.readTree(metaTxt)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     node.put("current-snapshot-id", newSnapId)
+    node.put("last-sequence-number", newSnapId)
     val snapNode = node.withArray("snapshots").addObject()
     snapNode.put("snapshot-id", newSnapId)
     snapNode.put("timestamp-ms", 0L)
     snapNode.put("sequence-number", newSnapId)
-    snapNode.putObject("summary").put("operation", "delete")
+    val sumNode = snapNode.putObject("summary")
+    sumNode.put("operation", operation)
+    // maintain total-files-size (what sizeInBytes answers from
+    // without parsing any manifest): prior snapshot's value + what
+    // this commit added; deletes are MoR, data bytes unchanged
+    Option(curSnap.get("summary")).flatMap(s =>
+      Option(s.get("total-files-size"))).filterNot(_.isNull)
+      .flatMap(n => scala.util.Try(n.asText.toLong).toOption)
+      .foreach(prior =>
+        sumNode.put("total-files-size", (prior + addedDataSize).toString))
     snapNode.put("manifest-list", mlPath.toString)
     snapNode.put("schema-id", 0)
     val versionRe = """v(\d+)\.metadata\.json""".r
@@ -610,6 +1071,53 @@ object IcebergCompat {
     newSnapId
   }
 
+  /** Metadata-only column RENAME: append a new schema (same field
+    * ids, one name changed) to the `schemas` list, point
+    * `current-schema-id` at it, and publish a new metadata version +
+    * hint. No data file changes — old files keep the old parquet
+    * column name and resolve BY FIELD ID, which is exactly what the
+    * reader's id-based column resolution exists for. */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Unit = {
+    val metaPath = currentMetadataPath(spark, tablePath)
+    val meta = readJson(spark, metaPath)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    require(meta.has("schemas"),
+      "renameColumn needs the modern 'schemas' metadata form")
+    val curId = meta.get("current-schema-id").asInt
+    val arr = meta.withArray("schemas")
+    val cur = (0 until arr.size).map(arr.get)
+      .find(_.get("schema-id").asInt == curId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current-schema-id $curId not in schemas"))
+    val maxId = (0 until arr.size).map(arr.get(_).get("schema-id").asInt).max
+    val next = cur.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    next.put("schema-id", maxId + 1)
+    val fields = next.withArray("fields")
+    var hit = false
+    (0 until fields.size).map(fields.get).foreach { f =>
+      if (f.get("name").asText == from) {
+        f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("name", to)
+        hit = true
+      }
+    }
+    require(hit, s"no column '$from' in the current schema")
+    arr.add(next)
+    meta.put("current-schema-id", maxId + 1)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(root, "metadata")
+    val versionRe = """v(\d+)\.metadata\.json""".r
+    val curV = metaPath.getName match { case versionRe(v) => v.toLong }
+    val out = fs.create(
+      new Path(metaDir, s"v${curV + 1}.metadata.json"), true)
+    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(s"${curV + 1}".getBytes("UTF-8")) finally hint.close()
+  }
+
   /** Materialize a DataFrame as a MINIMAL spec-valid Iceberg table
     * (format-version 2, one snapshot): Spark writes the parquet data
     * files (Hive layout when `partitionBy` is set; the reader takes
@@ -618,29 +1126,25 @@ object IcebergCompat {
     * `v1.metadata.json` + `version-hint.text` describe them. A
     * fixture/export writer, not a transactional one — same contract
     * as [[DeltaCompat.writeTable]]. */
-  def writeTable(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tablePath)
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val partTypes = partitionBy.map(c => c -> df.schema(c).dataType)
-    val entrySchema = manifestEntrySchema(partTypes)
+  /** Enumerate the parquet data files under `scanRoot` (skipping
+    * `metadata/` and `_`-prefixed names) into ADDED manifest entries:
+    * full-URI file paths, partition values parsed from the Hive
+    * `k=v/` dirs into the spec's typed manifest encodings. */
+  private def dataManifestEntries(spark: SparkSession, scanRoot: Path,
+      partTypes: Seq[(String, DataType)], entrySchema: Schema,
+      snapshotId: Long): Seq[GenericRecord] = {
+    val fs = scanRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
-    // enumerate data files; partition values parse from the k=v dirs
-    val it = fs.listFiles(root, true)
+    val it = fs.listFiles(scanRoot, true)
     val entries = mutable.ArrayBuffer[GenericRecord]()
-    var nFiles = 0
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
       if (name.endsWith(".parquet") && !name.startsWith("_") &&
           !st.getPath.toString.contains("/metadata/")) {
         val rel = st.getPath.toString
-          .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+          .stripPrefix(fs.makeQualified(scanRoot).toString).stripPrefix("/")
         val pvals: Map[String, String] = rel.split('/').dropRight(1)
           .collect {
             case seg if seg.contains('=') =>
@@ -678,23 +1182,93 @@ object IcebergCompat {
         dfr.put("file_size_in_bytes", java.lang.Long.valueOf(st.getLen))
         val e = new GenericData.Record(entrySchema)
         e.put("status", Integer.valueOf(1)) // ADDED
-        e.put("snapshot_id", java.lang.Long.valueOf(1L))
+        e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
         e.put("data_file", dfr)
         entries += e
-        nFiles += 1
       }
     }
-    require(nFiles > 0, s"no data files written under $tablePath")
+    entries.toSeq
+  }
+
+  /** APPEND a new data snapshot to an existing table — the
+    * snapshot-commit write path (r12 verdict stretch item 8): the new
+    * rows land as parquet under a fresh `data-<snapshot>` subdir
+    * (Hive layout when `partitionBy` is set), one new data manifest
+    * describes them, and [[publishSnapshot]] commits manifest list +
+    * metadata + hint. Columns are written with the TABLE's field ids
+    * (resolved by name against the current schema), and the new files
+    * carry the new SEQUENCE NUMBER — so rows re-inserted after an
+    * equality delete survive it, per the spec. Returns the new
+    * snapshot id. Fixture/export grade: single-writer, no
+    * concurrent-commit arbitration. */
+  def appendTable(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val metaPath = currentMetadataPath(spark, tablePath)
+    val meta = readJson(spark, metaPath)
+    val snap = snapshot(spark, tablePath)
+    val newSnapId = snap.snapshotId + 1
+    val root = new Path(tablePath)
+    val withIds = df.select(df.columns.toSeq.map { c =>
+      val f = snap.schema(c) // loud if the column is not in the schema
+      df(c).cast(f.dataType).as(c, f.metadata)
+    }: _*)
+    val dataDir = new Path(root, s"data-$newSnapId")
+    val w = withIds.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dataDir.toString)
+    val partTypes = partitionBy.map(c => c -> snap.schema(c).dataType)
+    val entrySchema = manifestEntrySchema(partTypes)
+    val entries = dataManifestEntries(spark, dataDir, partTypes,
+      entrySchema, newSnapId)
+    require(entries.nonEmpty, s"no data files written under $dataDir")
+    val metaDir = new Path(root, "metadata")
+    val manifest = new Path(metaDir, s"manifest-$newSnapId.avro")
+    val mLen = writeAvro(spark, manifest, entrySchema, entries)
+    val addedSize = entries.map(e => lng(
+      e.get("data_file").asInstanceOf[GenericRecord],
+      "file_size_in_bytes", 0L)).sum
+    publishSnapshot(spark, tablePath, metaPath, meta, snap.snapshotId,
+      newSnapId, manifest, mLen, manifestContent = 0,
+      operation = "append",
+      partitions = fieldSummaries(entries, partTypes),
+      addedDataSize = addedSize)
+  }
+
+  def writeTable(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // stamp field ids into the parquet files (Spark writes them when
+    // the schema carries parquet.field.id metadata) — the spec
+    // REQUIRES data files to carry ids, and the reader resolves by id
+    val withIds = df.select(df.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        df(f.name).as(f.name,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, i + 1L).build())
+    }: _*)
+    val w = withIds.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val partTypes = partitionBy.map(c => c -> df.schema(c).dataType)
+    val entrySchema = manifestEntrySchema(partTypes)
+    val entries = dataManifestEntries(spark, root, partTypes,
+      entrySchema, snapshotId = 1L)
+    require(entries.nonEmpty, s"no data files written under $tablePath")
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
     val manifestPath = new Path(metaDir, "manifest-1.avro")
-    val mLen = writeAvro(spark, manifestPath, entrySchema, entries.toSeq)
+    val mLen = writeAvro(spark, manifestPath, entrySchema, entries)
     val ml = new GenericData.Record(manifestListSchema)
     ml.put("manifest_path", manifestPath.toString)
     ml.put("manifest_length", java.lang.Long.valueOf(mLen))
     ml.put("partition_spec_id", Integer.valueOf(0))
     ml.put("content", Integer.valueOf(0))
+    ml.put("sequence_number", java.lang.Long.valueOf(1L))
     ml.put("added_snapshot_id", java.lang.Long.valueOf(1L))
+    fieldSummaries(entries, partTypes).foreach(p => ml.put("partitions", p))
     val mlPath = new Path(metaDir, "snap-1.avro")
     writeAvro(spark, mlPath, manifestListSchema, Seq(ml))
     val fieldsJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -719,7 +1293,9 @@ object IcebergCompat {
         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
         |"current-snapshot-id":1,
         |"snapshots":[{"snapshot-id":1,"timestamp-ms":0,"sequence-number":1,
-        |"summary":{"operation":"append"},
+        |"summary":{"operation":"append","total-files-size":"${
+          entries.map(e => lng(e.get("data_file")
+            .asInstanceOf[GenericRecord], "file_size_in_bytes", 0L)).sum}"},
         |"manifest-list":"${mlPath.toString}","schema-id":0}]}""".stripMargin
     val out = fs.create(new Path(metaDir, "v1.metadata.json"), true)
     try out.write(metaJson.getBytes("UTF-8")) finally out.close()

@@ -102,9 +102,15 @@ class IcebergCompatSpec extends SparkSpec {
     assert(snap1.files.size == 2)
     val fileA = snap1.files.find(_.partitionValues("k") == "a").get
     val fileB = snap1.files.find(_.partitionValues("k") == "b").get
-    // a new data file for partition c, written as plain parquet
+    // a new data file for partition c, written as plain parquet WITH
+    // the table's field id (the spec requires ids in data files; the
+    // reader resolves columns by id)
     val staging = tmpDir("icett-stage")
-    Seq(3L).toDF("id").coalesce(1).write.mode("overwrite").parquet(staging)
+    Seq(3L).toDF("id")
+      .select(col("id").as("id",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
     val cSrc = new java.io.File(staging).listFiles()
       .find(_.getName.endsWith(".parquet")).get
     Files.createDirectories(Paths.get(s"$d/k=c"))
@@ -154,6 +160,7 @@ class IcebergCompatSpec extends SparkSpec {
     ml.put("manifest_length", java.lang.Long.valueOf(m2Len))
     ml.put("partition_spec_id", Integer.valueOf(0))
     ml.put("content", Integer.valueOf(0))
+    ml.put("sequence_number", java.lang.Long.valueOf(2L))
     ml.put("added_snapshot_id", java.lang.Long.valueOf(2L))
     writeAvroFile(s"$d/metadata/snap-2.avro",
       IcebergCompat.manifestListSchema, Seq(ml))
@@ -217,8 +224,9 @@ class IcebergCompatSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException] {
       IcebergCompat.snapshot(spark, d) }
     assert(e3.getMessage.contains("format-version 3"))
-    // an EQUALITY delete file (content=2) in a delete manifest:
-    // rejected loudly — positional deletes are the supported MoR form
+    // an EQUALITY delete file whose manifest names NO equality_ids:
+    // spec-violating, rejected loudly (valid eq-deletes read — see
+    // the equality-delete tests)
     rewrite(metaPath.toString, good)
     val entrySchema2 = IcebergCompat.manifestEntrySchema(Seq.empty)
     val dfSchema2 = entrySchema2.getField("data_file").schema()
@@ -250,12 +258,14 @@ class IcebergCompatSpec extends SparkSpec {
       keep.put("manifest_length", java.lang.Long.valueOf(1L))
       keep.put("partition_spec_id", Integer.valueOf(0))
       keep.put("content", Integer.valueOf(0))
+      keep.put("sequence_number", java.lang.Long.valueOf(1L))
       keep.put("added_snapshot_id", java.lang.Long.valueOf(1L))
       val ml = new GenericData.Record(IcebergCompat.manifestListSchema)
       ml.put("manifest_path", s"$d/metadata/manifest-eq.avro")
       ml.put("manifest_length", java.lang.Long.valueOf(1L))
       ml.put("partition_spec_id", Integer.valueOf(0))
       ml.put("content", Integer.valueOf(1))
+      ml.put("sequence_number", java.lang.Long.valueOf(1L))
       ml.put("added_snapshot_id", java.lang.Long.valueOf(1L))
       Seq(keep, ml)
     }
@@ -263,7 +273,7 @@ class IcebergCompatSpec extends SparkSpec {
       IcebergCompat.manifestListSchema, mlRecs)
     val e4 = intercept[IllegalArgumentException] {
       IcebergCompat.snapshot(spark, d) }
-    assert(e4.getMessage.contains("equality delete"), e4.getMessage)
+    assert(e4.getMessage.contains("equality_ids"), e4.getMessage)
   }
 
   test("v2 merge-on-read: positional deletes apply on the _metadata " +
