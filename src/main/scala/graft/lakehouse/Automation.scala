@@ -484,20 +484,40 @@ class Automation(spark: SparkSession, cfg: Automation.Config) {
       val curated = cc.blobDedup.fold(selected) { bc =>
         val fps = graft.operators.Multimodal
           .fingerprintBlobs(selected, bc.column, bc.modality)
-        val winners = fps.groupBy(col("bfp"))
-          .agg(org.apache.spark.sql.functions.min(col("doc_id"))
-            .as("doc_id"))
-          .select("doc_id", "bfp")
+        // within-batch: exact mode keeps the min-id per identical fp;
+        // hamming mode drops every doc with a smaller-id neighbor
+        // within maxHamming bits (banded join — same winner on exact
+        // twins, plus the re-encoded 1–3-bit class)
+        val winners =
+          if (bc.maxHamming <= 0)
+            fps.groupBy(col("bfp"))
+              .agg(org.apache.spark.sql.functions.min(col("doc_id"))
+                .as("doc_id"))
+              .select("doc_id", "bfp")
+          else {
+            val losers = graft.operators.Multimodal
+              .hammingNearDupPairs(fps, "doc_id", "bfp", bc.maxHamming)
+              .select(col("b_id").as("doc_id")).distinct()
+            fps.join(losers, Seq("doc_id"), "left_anti")
+              .select("doc_id", "bfp")
+          }
         val haveFps = fs.exists(
           new org.apache.hadoop.fs.Path(bc.fpDir)) &&
           fs.listStatus(new org.apache.hadoop.fs.Path(bc.fpDir))
             .exists(_.getPath.getName.endsWith(".parquet"))
         val keep =
           if (!haveFps) winners
-          else graft.operators.JoinOps.bloomAntiJoin(winners,
-            spark.read.parquet(bc.fpDir)
-              .select(col("bfp").as("bfp_hist")),
-            "bfp", "bfp_hist")
+          else if (bc.maxHamming <= 0)
+            graft.operators.JoinOps.bloomAntiJoin(winners,
+              spark.read.parquet(bc.fpDir)
+                .select(col("bfp").as("bfp_hist")),
+              "bfp", "bfp_hist")
+          else winners.join(
+            graft.operators.Multimodal.hammingHistoryMatches(winners,
+              spark.read.parquet(bc.fpDir)
+                .select(col("bfp").as("bfp_hist")),
+              "bfp", "bfp_hist", bc.maxHamming),
+            Seq("doc_id"), "left_anti")
         selected.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
       }
       val nKept = publishObject(fs, curated, cc.corpusDataDir, s"batch-$tag")
@@ -1064,9 +1084,20 @@ object Automation {
   /** Blob-dedup stage config: the binary `column` to fingerprint,
     * its `modality` ("image" | "audio" — picks dHash64 vs the audio
     * energy-delta fp), and the dir holding the maintained history of
-    * published survivors' fingerprints. */
+    * published survivors' fingerprints. `maxHamming` > 0 (≤ 3) makes
+    * the stage HAMMING-TOLERANT (round 13 — r12 verdict item 4): a
+    * re-encoded/cropped re-upload that flips 1–3 fingerprint bits
+    * still drops, via the 4×16-band pigeonhole joins
+    * ([[graft.operators.Multimodal.hammingNearDupPairs]] within the
+    * batch, [[graft.operators.Multimodal.hammingHistoryMatches]]
+    * against the history); 0 keeps the exact-equality fast path
+    * (groupBy + bloom anti-join). */
   final case class BlobDedupConfig(column: String, modality: String,
-      fpDir: String)
+      fpDir: String, maxHamming: Int = 0) {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0,3] (4-band pigeonhole exactness), " +
+        s"got $maxHamming")
+  }
 
   /** Cross-artifact ATOMIC ticks: when set, each tick's corpus-table
     * commit, retrieval-view state, ANN-index generation, and

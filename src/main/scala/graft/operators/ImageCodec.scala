@@ -87,6 +87,61 @@ object ImageCodec {
     img
   }
 
+  /** Render the synthetic "perturbed re-encode" of the (baseSeed,
+    * w, h) image: a 9×8 gray PNG whose dHash64 differs from the base
+    * image's by EXACTLY `flips` bits (1 ≤ flips ≤ 8) — the planted
+    * near-dup a Hamming-banded perceptual dedup must find and an
+    * exact-equality one must miss.
+    *
+    * Construction: the base image's 9×8 dHash grid is remapped
+    * RANK-PRESERVINGLY to integer grays (so every one of the 64
+    * comparisons — order AND ties — survives exactly; a 9×8 image's
+    * grid cells are single pixels, and an (v,v,v) pixel's BT.601
+    * gray is exactly v), then for flip i the row-i comparison
+    * (cell 0 vs cell 1) is inverted by moving cell 0 across cell 1 —
+    * cell (0,y) participates in NO other comparison, so each flip is
+    * independent. The result is verified against the real decoded
+    * dHash before returning, so the planted contract can never drift
+    * from the construction. */
+  def encodePngReencoded(baseSeed: Long, w: Int, h: Int,
+      flips: Int): Array[Byte] = {
+    require(flips >= 1 && flips <= 8, s"flips must be in [1,8], got $flips")
+    val base = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { base.setRGB(x, y, pixel(baseSeed, x, y)); x += 1 }
+      y += 1
+    }
+    val g = grayGrid(base, 9, 8)
+    // rank-preserving integer remap, spaced ×3 so a +1 nudge cannot
+    // collide with the next rank (72 ranks × 3 = 213 ≤ 255)
+    val rankOf = g.distinct.sorted.zipWithIndex.toMap
+    val v = g.map(d => rankOf(d) * 3)
+    var i = 0
+    while (i < flips) {
+      val c0 = v(i * 9); val c1 = v(i * 9 + 1)
+      v(i * 9) = if (c0 > c1) c1 else c1 + 1 // invert bit (i, 0)
+      i += 1
+    }
+    val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val p = v(y * 9 + x)
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val png = toPng(img)
+    val got = java.lang.Long.bitCount(dHash64(decode(png)) ^ dHash64(base))
+    require(got == flips,
+      s"re-encode construction drifted: wanted $flips flipped bits, got $got")
+    png
+  }
+
   /** Integer luminance in [0,255]: the ITU-R BT.601 weights scaled to
     * integers (77/151/28, summing to 256) — exact, no float rounding. */
   def gray(rgb: Int): Int = {

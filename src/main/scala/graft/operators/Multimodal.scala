@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -146,6 +146,99 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Planted PERTURBED-RE-ENCODE rule (round 13 — r12 verdict item
+    * 4): doc_id ≡ 3 (mod 10) carries a re-encoded upload of the
+    * PREVIOUS doc's image whose dHash differs by EXACTLY
+    * `reencodeFlips(doc_id)` ∈ {1,2,3} bits — the crop/re-compress
+    * class an exact-fingerprint dedup is blind to, and the reason
+    * the near-dup stages band on Hamming distance. */
+  def reencodeFlips(docId: Long): Int = (1 + docId % 3).toInt
+
+  /** The image corpus WITH perturbed re-uploads: the byte-identical
+    * doc_id≡7 twins of [[imageTable]] plus flipped-bit re-encodes at
+    * doc_id≡3 per the contract above. */
+  def imageTableR(s: SparkSession, d: String): DataFrame = {
+    val rdd = Tables.documents(s, d).select("doc_id", "source").rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (id % 10 == 3) {
+              val bs = imageSeed(id - 1)
+              ImageCodec.encodePngReencoded(bs, imgW(bs), imgH(bs),
+                reencodeFlips(id))
+            } else {
+              val seed = imageSeed(id)
+              ImageCodec.encodePng(seed, imgW(seed), imgH(seed))
+            }
+          Row(id, r.getString(1), payload)
+        }
+      }
+    s.createDataFrame(rdd, imageTableSchema)
+  }
+
+  private def bandedFp(df: DataFrame, idCol: Option[String],
+      fpCol: String, idAs: String, fpAs: String): DataFrame = {
+    val base = idCol match {
+      case Some(c) => df.select(col(c).as(idAs),
+        col(fpCol).cast("long").as(fpAs))
+      case None => df.select(col(fpCol).cast("long").as(fpAs))
+    }
+    base.select(base.columns.map(col) :+
+        posexplode(expr(s"transform(sequence(0, 3), " +
+          s"b -> shiftright($fpAs, b * 16) & 65535)")): _*)
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** Evaluate each colliding pair ONLY at its first colliding band
+    * (q43's trick): earlier 16-bit xor groups must all be nonzero —
+    * no duplicate hamming evaluations, no distinct exchange. */
+  private def firstCollision(xor: Column): Column =
+    (col("band") < 1 || xor.bitwiseAND(lit(65535L)) =!= 0) &&
+      (col("band") < 2 ||
+        shiftright(xor, 16).bitwiseAND(lit(65535L)) =!= 0) &&
+      (col("band") < 3 ||
+        shiftright(xor, 32).bitwiseAND(lit(65535L)) =!= 0)
+
+  /** HAMMING-BANDED perceptual near-dup pairs over a (doc_id, fp)
+    * frame of 64-bit fingerprints: 4×16-bit band join + popcount
+    * verify — EXACT for `maxHamming` ≤ 3 by pigeonhole (3 differing
+    * bits cannot touch all 4 bands), and the same banded-bucket scale
+    * shape as the text SimHash stage (`ScaleOps`, q43): candidates
+    * follow shared-band buckets, never |blobs|². Output
+    * (a_id, b_id, hamming), a_id < b_id. */
+  def hammingNearDupPairs(fp: DataFrame, idCol: String = "doc_id",
+      fpCol: String = "phash", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-band pigeonhole is exact only for hamming <= 3, got $maxHamming")
+    val bx = bandedFp(fp, Some(idCol), fpCol, "a_id", "fpa")
+    val by = bandedFp(fp, Some(idCol), fpCol, "b_id", "fpb")
+    val xor = col("fpa").bitwiseXOR(col("fpb"))
+    bx.join(by, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(firstCollision(xor) && bit_count(xor) <= maxHamming)
+      .select(col("a_id"), col("b_id"),
+        bit_count(xor).cast("int").as("hamming"))
+  }
+
+  /** The batch doc_ids whose fingerprint lies within `maxHamming`
+    * bits of ANY history fingerprint — the crawl-vs-corpus twin of
+    * [[hammingNearDupPairs]] (same banded shape; the history side
+    * carries no ids). */
+  def hammingHistoryMatches(batch: DataFrame, hist: DataFrame,
+      fpCol: String = "bfp", histCol: String = "bfp_hist",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-band pigeonhole is exact only for hamming <= 3, got $maxHamming")
+    val bb = bandedFp(batch, Some("doc_id"), fpCol, "doc_id", "fpa")
+    val hb = bandedFp(hist, None, histCol, "", "fpb")
+    val xor = col("fpa").bitwiseXOR(col("fpb"))
+    bb.join(hb, Seq("band", "bucket"))
+      .filter(firstCollision(xor) && bit_count(xor) <= maxHamming)
+      .select("doc_id").distinct()
   }
 
   val embedSchema: StructType = StructType(Seq(
@@ -472,6 +565,28 @@ object Multimodal {
       |WHERE d.doc_id % 10 = 7
       |  AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1)""".stripMargin
 
+  /** q278: HAMMING-BANDED perceptual near-dup pairs (r12 verdict
+    * item 4) — the corpus plants BOTH dup classes: byte-identical
+    * re-uploads (doc_id ≡ 7 mod 10, Hamming 0) AND flipped-bit
+    * re-encodes (doc_id ≡ 3 mod 10, Hamming 1–3 per the
+    * [[reencodeFlips]] contract). Spark must decode + dHash every
+    * image and band-join at Hamming ≤ 3; DuckDB predicts the exact
+    * pair set AND each pair's hamming arithmetically — a missed
+    * perturbed dup (what q268's exact join is blind to), a spurious
+    * band pair, or a wrong distance breaks the hash match. */
+  val q278: (SparkSession, String) => DataFrame = (s, d) => {
+    val ph = imageHashes(imageTableR(s, d)).cutLineage()
+    hammingNearDupPairs(ph, maxHamming = 3)
+  }
+
+  val q278Sql: String =
+    """SELECT CAST(d.doc_id - 1 AS BIGINT) AS a_id, d.doc_id AS b_id,
+      |  CAST(CASE WHEN d.doc_id % 10 = 7 THEN 0
+      |            ELSE 1 + d.doc_id % 3 END AS INT) AS hamming
+      |FROM documents d
+      |WHERE d.doc_id % 10 IN (3, 7)
+      |  AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1)""".stripMargin
+
   /** q270: REAL-DECODE audio profile per source — Spark renders +
     * RIFF-encodes + DECODES every WAV (chunk walk, not fixed offsets)
     * and aggregates the decoded header facts; DuckDB predicts the
@@ -519,12 +634,14 @@ object Multimodal {
     "q267_video_frames" -> q267,
     "q268_phash_dups" -> q268,
     "q270_audio_meta" -> q270,
-    "q271_audio_dups" -> q271)
+    "q271_audio_dups" -> q271,
+    "q278_phash_near_dups" -> q278)
   val oracleSql: Map[String, String] = Map(
     "q41_blob_meta" -> q41Sql,
     "q266_image_meta" -> q266Sql,
     "q267_video_frames" -> q267Sql,
     "q268_phash_dups" -> q268Sql,
     "q270_audio_meta" -> q270Sql,
-    "q271_audio_dups" -> q271Sql)
+    "q271_audio_dups" -> q271Sql,
+    "q278_phash_near_dups" -> q278Sql)
 }

@@ -888,6 +888,82 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/blobfp").count() == 3L)
   }
 
+  test("curation blob dedup maxHamming=3: flipped-bit re-encodes drop " +
+      "against history AND within-batch; exact twins still drop") {
+    import spark.implicits._
+    val root = tmpDir("blobdeduphamming")
+    val cc = Automation.CorpusDedupConfig(
+      srcDir = s"$root/drops", rawTableDir = s"$root/raw",
+      registryDir = s"$root/reg", corpusDir = s"$root/corpus",
+      postingsDir = s"$root/postings",
+      schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "payload BINARY"),
+      format = "parquet",
+      blobDedup = Some(Automation.BlobDedupConfig(
+        column = "payload", modality = "image", fpDir = s"$root/blobfp",
+        maxHamming = 3)))
+    val auto = new Automation(spark, Automation.Config(
+      srcDir = s"$root/arrivals", tableDir = s"$root/survey",
+      registryDir = s"$root/sreg", generate = false,
+      corpusDedup = Some(cc)))
+    new java.io.File(s"$root/drops").mkdirs()
+    new java.io.File(s"$root/arrivals").mkdirs()
+    def png(seed: Long): Array[Byte] =
+      operators.ImageCodec.encodePng(seed, 12, 10)
+    // the perturbed re-encode: same perceptual content, dHash exactly
+    // `flips` bits away — the class the exact (maxHamming=0) stage is
+    // blind to (pinned by the sibling test's reenc case being
+    // byte-new but pixel-identical; here the PIXELS change too)
+    def perturbed(seed: Long, flips: Int): Array[Byte] =
+      operators.ImageCodec.encodePngReencoded(seed, 12, 10, flips)
+    def text(tag: String): String =
+      (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def drop(name: String,
+        rows: Seq[(Long, String, Array[Byte])]): Unit = {
+      val staging = s"$root/stage"
+      rows.toDF("doc_id", "text", "payload")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .select("doc_id", "text", "lang", "source", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$root/drops/$name"))
+    }
+    drop("d1.parquet", Seq(
+      (1L, text("alpha"), png(100)), (2L, text("beta"), png(200))))
+    val r1 = auto.tick()
+    assert(r1.corpus.get.kept == 2 && r1.corpus.get.dropped == 0)
+    // tick 2, all-new texts: a 2-bit-flipped RE-ENCODED upload of
+    // image 100 (history hamming case — exact equality misses it), a
+    // byte-identical re-upload of 200 (hamming 0 must still drop), a
+    // fresh image, and a 1-bit-flipped re-encode of the fresh image
+    // in the SAME batch (within-batch hamming case: larger id loses)
+    drop("d2.parquet", Seq(
+      (11L, text("gamma"), perturbed(100, 2)),
+      (12L, text("delta"), png(200)),
+      (13L, text("epsil"), png(300)),
+      (14L, text("zetaa"), perturbed(300, 1))))
+    val r2 = auto.tick()
+    assert(r2.corpus.get.kept == 1 && r2.corpus.get.dropped == 3,
+      r2.corpus.toString)
+    def corpusIds() = spark.read.parquet(s"$root/corpus/data")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpusIds() == Seq(1L, 2L, 13L))
+    val fps = spark.read.parquet(s"$root/blobfp")
+      .select("bfp").collect().map(_.getLong(0)).toSeq
+    assert(fps.length == 3 && fps.distinct.length == 3)
+    // crash replay stays idempotent on the hamming path
+    val done = new java.io.File(s"$root/corpus/_done").listFiles()
+      .filter(_.getName.startsWith("done-")).maxBy(_.getName)
+    assert(done.delete())
+    val r3 = auto.tick()
+    assert(r3.corpus.get.batches == 1)
+    assert(corpusIds() == Seq(1L, 2L, 13L))
+    assert(spark.read.parquet(s"$root/blobfp").count() == 3L)
+  }
+
   test("automation tick resamples the corpus by maintained DSIR weights") {
     import org.apache.spark.sql.functions.col
     val root = tmpDir("corpusdsir")

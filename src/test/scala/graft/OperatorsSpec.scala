@@ -2083,6 +2083,65 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == want)
   }
 
+  test("encodePngReencoded: dHash differs from the base by exactly the " +
+      "requested bit count, independently recomputed") {
+    for (seed <- Seq(3L, 41L, 777L); flips <- 1 to 3) {
+      val w = operators.Multimodal.imgW(seed)
+      val h = operators.Multimodal.imgH(seed)
+      val base = operators.ImageCodec.decode(
+        operators.ImageCodec.encodePng(seed, w, h))
+      val re = operators.ImageCodec.decode(
+        operators.ImageCodec.encodePngReencoded(seed, w, h, flips))
+      val d = java.lang.Long.bitCount(
+        operators.ImageCodec.dHash64(base) ^ operators.ImageCodec.dHash64(re))
+      assert(d == flips, s"seed=$seed flips=$flips got hamming $d")
+      assert(re.getWidth == 9 && re.getHeight == 8)
+    }
+  }
+
+  test("q278: hamming-banded pair set equals brute force AND the " +
+      "planted contract (both dup classes) at this sf") {
+    val ph = operators.Multimodal.imageHashes(
+      operators.Multimodal.imageTableR(spark, sfDir))
+    val hs = ph.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force reference over all pairs
+    val brute = (for {
+      (a, fa) <- hs; (b, fb) <- hs if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (a, b, d)).sorted.toSeq
+    val got = operators.Multimodal.hammingNearDupPairs(ph)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    assert(got == brute, "banded join must equal brute force exactly")
+    // ...and brute force IS the planted contract: ≡7 exact twins at
+    // hamming 0, ≡3 perturbed re-encodes at reencodeFlips(id)
+    val ids = hs.map(_._1).toSet
+    val want = ids.filter(b => b % 10 == 7 && ids.contains(b - 1))
+      .map(b => (b - 1, b, 0)) ++
+      ids.filter(b => b % 10 == 3 && ids.contains(b - 1))
+        .map(b => (b - 1, b, operators.Multimodal.reencodeFlips(b)))
+    assert(got == want.toSeq.sorted, "pair set must be exactly the plant")
+    assert(got.exists(_._3 == 0) && got.exists(_._3 > 0),
+      "both dup classes must be present for the test to mean anything")
+  }
+
+  test("hammingHistoryMatches: flipped-bit re-uploads match history " +
+      "within the band radius; 4-bit strangers do not") {
+    import spark.implicits._
+    val hist = Seq(0x0123456789abcdefL, 0x7777000011112222L)
+      .toDF("bfp_hist")
+    // flip k low bits of the first history fp: k<=3 matches, k=4 not
+    // (0xf flips 4 bits of ...ef -> ...e0)
+    val batch = Seq(
+      (1L, 0x0123456789abcdefL ^ 1L), (2L, 0x0123456789abcdefL ^ 3L),
+      (3L, 0x0123456789abcdefL ^ 7L), (4L, 0x0123456789abcdefL ^ 15L),
+      (5L, 0x5555aaaa5555aaaaL)).toDF("doc_id", "bfp")
+    val got = operators.Multimodal
+      .hammingHistoryMatches(batch, hist)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("q99: temperature mixing is deterministic and boosts the tail sources") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.TextOps.queries("q99_temperature_mix")(spark, sfDir)
