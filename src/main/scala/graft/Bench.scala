@@ -101,7 +101,7 @@ object Bench {
     "q269_delta_roundtrip", "q270_audio_meta", "q271_audio_dups",
     "q272_delta_checkpoint", "q273_iceberg_roundtrip",
     "q274_iceberg_mor", "q275_delta_dv", "q276_delta_colmap",
-    "q277_iceberg_eqdelete")
+    "q277_iceberg_eqdelete", "q278_phash_near_dups")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows
@@ -208,18 +208,35 @@ object Bench {
     // path alone — the one-time build cost is what q86's row measures
     graft.operators.ScaleOps.ensurePqIndex(spark, sfDir)
 
+    // MIN-OF-2 (round 13 — r12 verdict item 6): one cold run per query
+    // made first-run JIT/page-cache outliers (q31's documented 394%
+    // spread) read as regressions and cost a builder/judge round trip
+    // each. The headline row is now min over `benchRuns` cache-isolated
+    // runs (ScaleBench's protocol) with EVERY sample recorded in the
+    // artifact, so both the steady-state number and the cold-start
+    // spread stay visible. SPARK_GRAFT_BENCH_RUNS=1 restores the old
+    // single-cold-run mode for quick iteration.
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2")
+      .toInt.max(1)
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
-      graft.util.PhaseTimer.drain() // discard any stale phase records
-      val t0 = System.nanoTime()
-      // a crashed query must NOT read as a fast success — record it
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      val samples = (1 to benchRuns).map { _ =>
+        spark.catalog.clearCache() // isolate runs: no cross-run cache reuse
+        graft.util.PhaseTimer.drain() // discard any stale phase records
+        val t0 = System.nanoTime()
+        // a crashed query must NOT read as a fast success — record it
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok, graft.util.PhaseTimer.drain())
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val ok = samples.forall(_._2)
+      // headline sec = fastest successful run; phases from that run
+      val best = samples.filter(_._2).sortBy(_._1).headOption
+        .getOrElse(samples.head)
+      val sec = best._1
       // UNTIMED plan lint on a fresh plan: strict equality against the
       // expected-findings map — a plan regression fails the run loudly
       val lint = try {
@@ -233,8 +250,8 @@ object Bench {
           "DRIFT"
         }
       } catch { case _: Throwable => if (ok) "DRIFT" else "skipped" }
-      (name, sec, ok && lint != "DRIFT", lint,
-        graft.util.PhaseTimer.drain())
+      (name, sec, ok && lint != "DRIFT", lint, best._3,
+        samples.map(_._1))
     }
     // measured ANN quality telemetry: recall of q91's production
     // search config (prebuilt IVF-PQ, nprobe=8, rerankFactor=32)
@@ -258,23 +275,23 @@ object Bench {
     // file (one sorted line per query), immune to the tail cap, so
     // round-over-round per-query regression diffs never go blind.
     val sorted = results.sortBy(_._1)
-    sorted.foreach { case (k, v, ok, _, _) =>
+    sorted.foreach { case (k, v, ok, _, _, _) =>
       println(f"BENCHQ $k $v%.3f${if (ok) "" else " FAILED"}")
     }
     def phaseJson(ph: Seq[(String, Double)]): String =
       ph.map { case (p, s) => "\"" + p + f"""\":$s%.3f""" }
         .mkString("{", ",", "}")
-    val qs = sorted.map { case (k, v, _, _, _) =>
+    val qs = sorted.map { case (k, v, _, _, _, _) =>
       "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val failed = sorted.collect { case (k, _, false, _, _) =>
+    val failed = sorted.collect { case (k, _, false, _, _, _) =>
       "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // per-phase rows for the iterative queries (PageRank rounds,
     // k-means training, CC sweeps): separates per-job fixed overhead —
     // which a loaded driver multiplies — from real compute, so a
     // round-over-round regression names the phase that moved
-    val phases = sorted.collect { case (k, _, _, _, ph) if ph.nonEmpty =>
+    val phases = sorted.collect { case (k, _, _, _, ph, _) if ph.nonEmpty =>
       "\"" + k + "\":" + phaseJson(ph)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -285,10 +302,11 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get(outFile)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      val lines = sorted.map { case (k, v, ok, lint, ph) =>
-        f"""{"q":"$k","sec":$v%.3f,"ok":$ok,"lint":"$lint"""" +
+      val lines = sorted.map { case (k, v, ok, lint, ph, runs) =>
+        val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
+        f"""{"q":"$k","sec":$v%.3f,"ok":$ok,"lint":"$lint","runs":$runsJson""" +
           (if (ph.nonEmpty) s""","phases":${phaseJson(ph)}""" else "") + "}"
-      } :+ f"""{"q":"_total","sec":$total%.3f,"sf":"$sfDir","n":${sorted.size},"recall":$recallJson}"""
+      } :+ f"""{"q":"_total","sec":$total%.3f,"sf":"$sfDir","n":${sorted.size},"runs_per_q":$benchRuns,"recall":$recallJson}"""
       java.nio.file.Files.write(p,
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))
       println(s"BENCH_ARTIFACT $outFile")
