@@ -516,4 +516,139 @@ object EventStreams {
           }
       }
   }
+
+  /** One versioned dimension row arriving on the CDC side of
+    * [[asOfEnrich]]: `ts` is the version's effective time, `dim_id`
+    * breaks ties among same-instant versions (highest wins — the
+    * batch AsOfJoin's (ts, id)-max tiebreak), `dim_value` is the
+    * enrichment payload. */
+  case class DimUpdate(key: Long, ts: Timestamp, dim_id: Long,
+                       dim_value: Double)
+
+  private[streaming] case class AsOfEv(us: Long, eventId: Long,
+                                       value: Double)
+  private[streaming] case class AsOfDim(us: Long, dimId: Long,
+                                        value: Double)
+  private[streaming] case class AsOfIn(key: Long, ts: Timestamp,
+      us: Long, isDim: Boolean, eventId: Long, evValue: Double,
+      dimId: Long, dimValue: Double)
+  private[streaming] case class AsOfBuf(events: List[AsOfEv],
+                                        dims: List[AsOfDim])
+  case class AsOfOut(key: Long, event_id: Long, event_us: Long,
+      ev_value: Double, dim_us: Option[Long], dim_id: Option[Long],
+      dim_value: Option[Double])
+
+  /** Streaming AS-OF enrichment (round 13 — r12 verdict item 7): the
+    * streaming twin of the native batch [[graft.plans.AsOfJoin]]
+    * (q24/q48's shape — each event LEFT-joined to the LATEST dim
+    * version at or before its timestamp), against a dim that arrives
+    * as a CDC stream of versioned rows (`VersionedTable.changes` /
+    * `graft_changes` mirrored into [[DimUpdate]]s) instead of a
+    * static table — the classic "enrich clicks against a slowly
+    * changing profile" shape [[enrich]] cannot express and
+    * [[intervalJoin]] only approximates within a bounded interval.
+    *
+    * Shape: both sides watermark, union under a side tag, group by
+    * the join key, flatMapGroupsWithState. An event FINALIZES — emits
+    * exactly one row — once the watermark passes its timestamp: at
+    * that point no admissible dim version (dim ts ≤ event ts) can
+    * still arrive, so the backward match is provably final; an event
+    * whose key never saw a dim version at or below it emits
+    * null-extended (LEFT semantics), never silently drops.
+    * Finalize-time evaluation makes out-of-order arrival safe on BOTH
+    * sides, exactly like [[funnel]]: a late-but-in-watermark dim
+    * version re-decides every pending event it beats.
+    *
+    * State is bounded per key: pending events drain as the watermark
+    * advances, and dim versions prune to the (ts, dim_id)-DOMINANT
+    * one at or below the watermark (every future event matches the
+    * dominant version or a newer one; versions above the watermark
+    * are kept until they dominate in turn). The steady-state cost is
+    * ONE dim row per key — the same O(keys) a CDC mirror table costs,
+    * which is what this replaces. At 100 TB the key space shards
+    * across executors by the groupByKey hash, state lives in the
+    * store (RocksDB on a real cluster), and nothing driver-side ever
+    * sees a row.
+    *
+    * The timeout clock is the WATERMARK, not an idle gap: pending
+    * events must drain even if their key never speaks again, so each
+    * invocation with pending events re-arms at watermark+1 (fires on
+    * the next watermark advance). Keys with only dim state sit
+    * passively without a timeout — a dim version is valid forever.
+    * Spec pins equality with the batch native AsOfJoin over the real
+    * events×orders tables across checkpoint restarts, including the
+    * (ts, id) tiebreak and null-extension classes. */
+  def asOfEnrich(events: Dataset[Event], dims: Dataset[DimUpdate],
+      watermarkDelay: String = "1 day")
+      (implicit spark: SparkSession): Dataset[AsOfOut] = {
+    import spark.implicits._
+
+    def us(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    // the watermark rides the UNION's own ts column — it must reach
+    // the stateful operator, and a per-side watermark before the map
+    // to AsOfIn would be lost with the mapped-away column
+    val evIn = events
+      .map(e => AsOfIn(e.user_id, e.ts, us(e.ts), isDim = false,
+        e.event_id, e.value, 0L, 0.0))
+    val dimIn = dims
+      .map(d => AsOfIn(d.key, d.ts, us(d.ts), isDim = true,
+        0L, 0.0, d.dim_id, d.dim_value))
+
+    // the backward as-of match: latest (us, dimId) at or below the
+    // event — the exact batch-AsOfJoin ordering, so ties at the same
+    // instant resolve identically
+    def matchOf(dims: List[AsOfDim], evUs: Long): Option[AsOfDim] =
+      dims.filter(_.us <= evUs) match {
+        case Nil => None
+        case ds => Some(ds.maxBy(d => (d.us, d.dimId)))
+      }
+
+    // emit every event the watermark finalized; prune dims to the
+    // dominant version at-or-below the watermark plus all newer ones
+    def settle(key: Long, buf: AsOfBuf, wmUs: Long)
+        : (AsOfBuf, List[AsOfOut]) = {
+      val (ripe, pending) = buf.events.partition(_.us < wmUs)
+      val outs = ripe.sortBy(e => (e.us, e.eventId)).map { e =>
+        val m = matchOf(buf.dims, e.us)
+        AsOfOut(key, e.eventId, e.us, e.value,
+          m.map(_.us), m.map(_.dimId), m.map(_.value))
+      }
+      val (old, fresh) = buf.dims.partition(_.us <= wmUs)
+      val kept = (if (old.isEmpty) fresh
+        else old.maxBy(d => (d.us, d.dimId)) :: fresh)
+      (AsOfBuf(pending, kept), outs)
+    }
+
+    evIn.union(dimIn)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, batch: Iterator[AsOfIn], state: GroupState[AsOfBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf0 = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val buf1 =
+            if (state.hasTimedOut) buf0
+            else {
+              val rows = batch.toList
+              AsOfBuf(
+                buf0.events ++ rows.filterNot(_.isDim)
+                  .map(r => AsOfEv(r.us, r.eventId, r.evValue)),
+                buf0.dims ++ rows.filter(_.isDim)
+                  .map(r => AsOfDim(r.us, r.dimId, r.dimValue)))
+            }
+          val (buf2, outs) = settle(key, buf1, wmUs)
+          if (buf2.events.isEmpty && buf2.dims.isEmpty) state.remove()
+          else {
+            state.update(buf2)
+            // pending events drain on watermark advances; dim-only
+            // state sits passively (valid forever, no timeout)
+            if (buf2.events.nonEmpty)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          }
+          outs.iterator
+      }
+  }
 }

@@ -578,4 +578,116 @@ class StreamingSpec extends SparkSpec {
     query.stop()
     assert(ids.sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("streaming as-of enrichment equals the batch native AsOfJoin " +
+      "over the real tables across restarts") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch reference: q48's native AsOfJoin (events LEFT as-of
+    // orders on user at (o_orderdate, o_orderkey) desc) — compare
+    // event_id → matched orderkey INCLUDING the null-extended class
+    val batch = graft.SparkEntry.queries("q48_asof_native")(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }.toMap
+    val price = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val evSrc = tmpDir("asof-ev-src"); val dimSrc = tmpDir("asof-dim-src")
+    val chk = tmpDir("asof-chk"); val outDir = tmpDir("asof-out")
+    val evN = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dimN = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("key"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_orderkey").as("dim_id"),
+        col("o_totalprice").as("dim_value"))
+    val bounds = evN.agg(min(col("ts")), max(col("ts"))).head
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val mid = new Timestamp((lo.getTime + hi.getTime) / 2)
+    // sentinels on BOTH sources: the union's watermark is the MIN of
+    // the two sides', so each must advance for events to finalize
+    def sentinelEv(daysAfter: Long) = Seq((
+      -1L, new Timestamp(hi.getTime + daysAfter * 86400000L),
+      -1L, "noop", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def sentinelDim(daysAfter: Long) = Seq((
+      -1L, new Timestamp(hi.getTime + daysAfter * 86400000L), -1L, 0.0))
+      .toDF("key", "ts", "dim_id", "dim_value")
+    def run(): Unit = {
+      val dims = spark.readStream
+        .schema("key BIGINT, ts TIMESTAMP, dim_id BIGINT, " +
+          "dim_value DOUBLE")
+        .parquet(dimSrc).as[EventStreams.DimUpdate]
+      val q = EventStreams.asOfEnrich(
+        EventStreams.readEventStream(spark, evSrc).as[Event], dims)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // restart-boundary mid-stream on BOTH sides: dim versions loaded
+    // before the restart must enrich events arriving after it (the
+    // CDC-mirror state survives the checkpoint)
+    // a planted NO-ORDERS user pins the null-extension (LEFT) class,
+    // which the real tables don't produce at this sf — every event
+    // user has an earlier order here
+    val orphan = Seq((900001L, mid, 999999999L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    evN.filter(col("ts") <= lit(mid)).repartition(2)
+      .write.mode("append").parquet(evSrc)
+    orphan.write.mode("append").parquet(evSrc)
+    dimN.filter(col("ts") <= lit(mid)).repartition(2)
+      .write.mode("append").parquet(dimSrc)
+    run()
+    evN.filter(col("ts") > lit(mid)).repartition(2)
+      .write.mode("append").parquet(evSrc)
+    dimN.filter(col("ts") > lit(mid)).repartition(2)
+      .write.mode("append").parquet(dimSrc)
+    run()
+    sentinelEv(500).write.mode("append").parquet(evSrc)
+    sentinelDim(500).write.mode("append").parquet(dimSrc)
+    run()
+    sentinelEv(600).write.mode("append").parquet(evSrc)
+    sentinelDim(600).write.mode("append").parquet(dimSrc)
+    run()
+
+    // the planted no-orders user emits exactly one NULL-extended row
+    val orphanRows = spark.read.parquet(outDir)
+      .filter(col("key") === 999999999L).collect()
+    assert(orphanRows.length == 1 && orphanRows.head.isNullAt(
+      orphanRows.head.fieldIndex("dim_id")),
+      s"orphan user: ${orphanRows.mkString(";")}")
+    val got = spark.read.parquet(outDir)
+      .filter(col("key") >= 0 && col("key") =!= 999999999L)
+      .collect().map { r =>
+        r.getAs[Long]("event_id") ->
+          (Option(r.getAs[java.lang.Long]("dim_id")).map(_.longValue()),
+            Option(r.getAs[java.lang.Double]("dim_value"))
+              .map(_.doubleValue()))
+      }
+    // exactly one output row per event (exactly-once finalization
+    // across four runs), matches = the batch as-of pairs, AND the
+    // enrichment payload rides along correctly
+    assert(got.length == batch.size,
+      s"rows: streaming=${got.length} batch=${batch.size}")
+    val gotMap = got.toMap
+    assert(gotMap.size == got.length, "duplicate event emissions")
+    assert(gotMap.keySet == batch.keySet)
+    val wrong = batch.collect {
+      case (ev, want) if gotMap(ev)._1 != want =>
+        s"$ev: got ${gotMap(ev)._1}, want $want"
+    }
+    assert(wrong.isEmpty, wrong.take(5).mkString("; "))
+    gotMap.foreach { case (ev, (oid, oval)) =>
+      oid.foreach(id => assert(oval.contains(price(id)),
+        s"event $ev: dim_value ${oval} != o_totalprice ${price(id)}"))
+    }
+    assert(batch.values.exists(_.nonEmpty),
+      "the matched class must occur for the test to mean anything")
+  }
 }
