@@ -562,6 +562,45 @@ object LakehouseOps {
       |FROM lineitem WHERE l_quantity < 10
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q279: DELTA V2 CHECKPOINT on real data (round 13 — the last
+    * default-on reader-3 feature after q275/q276): the fixture is a
+    * partitioned slice + a deletion-vector MoR DELETE, then a V2
+    * CHECKPOINT (UUID-named parquet top-level, checkpointMetadata,
+    * file actions fanned out into TWO `_sidecars/` parquet files)
+    * with ALL prior JSON history deleted — the log-cleanup state of a
+    * modern Databricks table — and a SECOND DV commit written ON TOP
+    * of the truncated log (so the writer, too, must reconstruct
+    * through the v2 checkpoint). Hash-green ⇔ sidecar discovery +
+    * replay, DV descriptors riding through the checkpoint, the
+    * v2Checkpoint protocol feature gate, and post-checkpoint JSON
+    * replay are ALL exact; the oracle computes the aggregate from
+    * source parquet with both delete predicates excluded (q275's
+    * SQL, by construction the same surviving set). */
+  private val q279: QFn = (s, d) => {
+    val dir = "/tmp/graft_delta_v2cp_v1_" + deltaFixtureKey(s, d)
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = logDir.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        logDir, f"${2L}%020d.json"))) {
+      graft.sources.DeltaCompat.writeTable(deltaSlice(s, d), dir,
+        partitionBy = Seq("l_returnflag"))
+      graft.sources.DeltaCompat.writeDeletionVectors(s, dir,
+        col("l_quantity") === 5)
+      graft.sources.DeltaCompat.checkpointV2(s, dir, numSidecars = 2)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        logDir, f"${0L}%020d.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        logDir, f"${1L}%020d.json"), false)
+      graft.sources.DeltaCompat.writeDeletionVectors(s, dir,
+        col("l_quantity") < 3)
+    }
+    graft.sources.DeltaCompat.read(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("qty"))
+  }
+
   /** q277: ICEBERG EQUALITY DELETES + FIELD-ID RENAME on real data
     * (r12 verdict item 3) — the fixture stacks the full Flink/CDC
     * shape: v1 writes the partitioned slice, v2 RENAMES
@@ -613,6 +652,7 @@ object LakehouseOps {
     "q277_iceberg_eqdelete" -> q277,
     "q275_delta_dv" -> q275,
     "q276_delta_colmap" -> q276,
+    "q279_delta_v2checkpoint" -> q279,
     "q269_delta_roundtrip" -> q269,
     "q272_delta_checkpoint" -> q272,
     "q273_iceberg_roundtrip" -> q273,
@@ -630,6 +670,7 @@ object LakehouseOps {
     "q277_iceberg_eqdelete" -> q277Sql,
     "q275_delta_dv" -> q275Sql,
     "q276_delta_colmap" -> q276Sql,
+    "q279_delta_v2checkpoint" -> q275Sql,
     "q269_delta_roundtrip" -> q269Sql,
     "q272_delta_checkpoint" -> q272Sql,
     "q273_iceberg_roundtrip" -> q273Sql,

@@ -61,9 +61,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (file_path, row_index) anti-join — the [[IcebergCompat]] MoR
   * shape), COLUMN MAPPING in both `name` and `id` modes (physical-
   * name scan projected back to logical names; id-mode files carry
-  * physical names too, per the protocol), and TIMESTAMPNTZ columns.
-  * NOT supported (throws loudly rather than mis-reading): v2
-  * checkpoints / sidecars and any other unimplemented reader feature.
+  * physical names too, per the protocol), TIMESTAMPNTZ columns, and
+  * V2 CHECKPOINTS (round 13 — the last reader-3 default-on feature:
+  * UUID-named json/parquet top-level file with checkpointMetadata,
+  * file actions inline or fanned out into `_sidecars/` parquet files;
+  * a referenced-but-missing sidecar is a loud torn-checkpoint error,
+  * and a classic checkpoint at the same version is preferred when
+  * both exist). NOT supported (throws loudly rather than
+  * mis-reading): any other unimplemented reader feature.
   */
 object DeltaCompat {
 
@@ -99,6 +104,13 @@ object DeltaCompat {
       partitionColumns: Seq[String], files: Seq[AddFile],
       configuration: Map[String, String] = Map.empty,
       protocolJson: String = BaseProtocolLine)
+
+  /** A usable checkpoint at one version: a COMPLETE classic part set,
+    * or a v2 UUID-named top-level file (json or parquet) whose file
+    * actions may live inline or in `_sidecars/` parquet files. */
+  private sealed trait CpRef
+  private final case class ClassicCp(parts: Seq[Path]) extends CpRef
+  private final case class V2Cp(path: Path, isJson: Boolean) extends CpRef
 
   /** Mutable log-replay state shared by the checkpoint and JSON
     * paths: one action interpreter, two transports. */
@@ -213,6 +225,10 @@ object DeltaCompat {
     val versionRe = """(\d{20})\.json""".r
     val cpSingleRe = """(\d{20})\.checkpoint\.parquet""".r
     val cpMultiRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    // v2 checkpoints (the v2Checkpoint reader feature): UUID-named
+    // top-level file, json or parquet, with file actions inline or in
+    // _sidecars/ parquet files
+    val cpV2Re = """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(json|parquet)""".r
     val listing = fs.listStatus(logDir).toSeq
     val jsons = listing.flatMap { s =>
       s.getPath.getName match {
@@ -224,6 +240,7 @@ object DeltaCompat {
     // a multi-part checkpoint is unusable unless all N parts exist)
     val cpParts = mutable.Map[Long, mutable.Map[Int, Path]]()
     val cpTotal = mutable.Map[Long, Int]()
+    val cpV2 = mutable.Map[Long, (Path, Boolean)]() // path, isJson
     listing.foreach { s =>
       s.getPath.getName match {
         case cpSingleRe(v) =>
@@ -233,17 +250,30 @@ object DeltaCompat {
           cpParts.getOrElseUpdate(v.toLong, mutable.Map()) +=
             part.toInt -> s.getPath
           cpTotal(v.toLong) = total.toInt
+        case cpV2Re(v, _, fmt) =>
+          // multiple writers may race UUID checkpoints at one version;
+          // all are complete by construction — pick deterministically
+          val cand = (s.getPath, fmt == "json")
+          cpV2.get(v.toLong) match {
+            case Some((p, _)) if p.getName >= s.getPath.getName => ()
+            case _ => cpV2(v.toLong) = cand
+          }
         case _ => ()
       }
     }
     // completeness = every index 1..total PRESENT, not a size match:
     // a malformed set with the right count but wrong part indices
     // (e.g. parts 1 and 3 of 2) is unusable and must be SKIPPED like
-    // a stale pointer, not crash the whole snapshot
-    val checkpoints: Map[Long, Seq[Path]] = cpParts.toMap.collect {
+    // a stale pointer, not crash the whole snapshot. A classic set and
+    // a v2 file at the same version are both valid per the spec —
+    // prefer the classic one (one read, no sidecar fan-out).
+    val checkpoints: Map[Long, CpRef] = (cpParts.toMap.collect {
       case (v, parts) if (1 to cpTotal(v)).forall(parts.contains) =>
-        v -> (1 to cpTotal(v)).map(parts(_))
-    }
+        v -> (ClassicCp((1 to cpTotal(v)).map(parts(_))): CpRef)
+    }: Map[Long, CpRef]) ++
+      cpV2.view.filterKeys(v => !cpParts.get(v).exists(p =>
+        cpTotal.get(v).exists(t => (1 to t).forall(p.contains))))
+        .mapValues { case (p, isJson) => V2Cp(p, isJson): CpRef }.toMap
     // `_last_checkpoint` is a pointer the protocol allows to be stale
     // or to name a checkpoint mid-write; parse it (it is the fast
     // path on object stores where LIST is expensive) but trust only
@@ -283,16 +313,70 @@ object DeltaCompat {
 
     val st = new ReplayState
     base.foreach { cpV =>
-      // one parquet read; each row is one action struct — re-serialize
-      // to JSON (toJSON omits null fields) and reuse the interpreter.
-      // Driver-side collect is O(#live files), the replay state's own
-      // bound. Reject v2-checkpoint layouts loudly.
-      val cp = spark.read.parquet(checkpoints(cpV).map(_.toString): _*)
-      require(!cp.columns.contains("checkpointMetadata") &&
-        !cp.columns.contains("sidecar"),
-        "v2 checkpoints (sidecar layout) are not supported (class doc)")
-      cp.toJSON.collect().foreach { line =>
-        applyAction(mapper.readTree(line), st, fromCheckpoint = true)
+      checkpoints(cpV) match {
+        case ClassicCp(parts) =>
+          // one parquet read; each row is one action struct —
+          // re-serialize to JSON (toJSON omits null fields) and reuse
+          // the interpreter. Driver-side collect is O(#live files),
+          // the replay state's own bound. A classic-NAMED file must
+          // not smuggle v2 columns (the spec ties layout to naming).
+          val cp = spark.read.parquet(parts.map(_.toString): _*)
+          require(!cp.columns.contains("checkpointMetadata") &&
+            !cp.columns.contains("sidecar"),
+            s"classic-named checkpoint $cpV carries v2 action columns " +
+              "(protocol violation)")
+          cp.toJSON.collect().foreach { line =>
+            applyAction(mapper.readTree(line), st, fromCheckpoint = true)
+          }
+        case V2Cp(path, isJson) =>
+          // v2: the top-level file carries protocol/metaData/
+          // checkpointMetadata plus either inline file actions or
+          // `sidecar` references; sidecars are parquet under
+          // `_delta_log/_sidecars/` holding the add/remove actions.
+          // A missing sidecar is a TORN checkpoint — loud, like a
+          // missing JSON commit (unlike an incomplete classic part
+          // set, nothing in the naming reveals it up front).
+          val topLines: Seq[String] =
+            if (isJson) {
+              val in = fs.open(path)
+              val content = try scala.io.Source
+                .fromInputStream(in, "UTF-8").mkString finally in.close()
+              content.linesIterator.filter(_.trim.nonEmpty).toSeq
+            } else spark.read.parquet(path.toString).toJSON.collect().toSeq
+          var sawCpMeta = false
+          val sidecars = mutable.ArrayBuffer[Path]()
+          val sidecarDir = new Path(logDir, "_sidecars")
+          topLines.foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("checkpointMetadata") &&
+                !node.get("checkpointMetadata").isNull) {
+              val declared = node.get("checkpointMetadata").get("version")
+              require(declared != null && declared.asLong == cpV,
+                s"v2 checkpoint $path declares version " +
+                  s"${Option(declared).map(_.asLong).orNull}, name says $cpV")
+              sawCpMeta = true
+            } else if (node.has("sidecar") && !node.get("sidecar").isNull) {
+              sidecars += resolvePath(sidecarDir,
+                node.get("sidecar").get("path").asText)
+            } else applyAction(node, st, fromCheckpoint = true)
+          }
+          require(sawCpMeta,
+            s"v2 checkpoint $path has no checkpointMetadata action " +
+              "(protocol violation)")
+          sidecars.foreach { sc =>
+            require(fs.exists(sc),
+              s"v2 checkpoint $path references missing sidecar $sc " +
+                "(torn checkpoint)")
+          }
+          // mergeSchema: sidecars are written independently, so one
+          // without (say) any file-backed DV lacks the offset field —
+          // first-file schema would silently null it out of the rest
+          if (sidecars.nonEmpty)
+            spark.read.option("mergeSchema", "true")
+              .parquet(sidecars.toSeq.map(_.toString): _*)
+              .toJSON.collect().foreach { line =>
+                applyAction(mapper.readTree(line), st, fromCheckpoint = true)
+              }
       }
       require(st.schema != null,
         s"checkpoint $cpV of $tablePath has no metaData row")
@@ -318,7 +402,8 @@ object DeltaCompat {
   /** Reader features this reader actually implements; anything else
     * in a reader-version-3 table's `readerFeatures` rejects loudly. */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz",
+      "v2Checkpoint")
 
   private def checkProtocol(p: JsonNode): Unit = {
     val reader = Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1)
@@ -765,16 +850,37 @@ object DeltaCompat {
       version: Option[Long] = None): Long = {
     import spark.implicits._
     val snap = snapshot(spark, tablePath, version)
-    val schemaJson = snap.schema.json
-    // re-emit the table's OWN protocol (a DV/column-mapped table must
-    // not be downgraded to the base version by its checkpoint)
-    val protoLine = snap.protocolJson
+    val (headLines, addLines) = snapshotActionLines(snap, tablePath)
+    val actionLines = headLines ++ addLines
+    // JSON-lines → one struct row per action, written as ONE parquet
+    // file (a checkpoint must be self-consistent; one part suffices
+    // for the file counts this writer targets)
+    val df = spark.read.json(actionLines.toDS())
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dest = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
+    writeOneParquet(spark, df, dest,
+      new Path(logDir, s".cp_staging_${snap.version}"))
+    val ptr = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try ptr.write(
+      s"""{"version":${snap.version},"size":${actionLines.size}}"""
+        .getBytes("UTF-8"))
+    finally ptr.close()
+    snap.version
+  }
+
+  /** The checkpoint action lines of a snapshot: (protocol + metaData,
+    * one `add` per live file). The protocol is the table's OWN (a
+    * DV/column-mapped table must not be downgraded to the base
+    * version by its checkpoint). */
+  private def snapshotActionLines(snap: Snapshot, tablePath: String)
+      : (Seq[String], Seq[String]) = {
     val mdNode = mapper.createObjectNode()
     val md = mdNode.putObject("metaData")
     md.put("id", s"graft-${math.abs(tablePath.hashCode)}")
     md.putObject("format").put("provider", "parquet")
       .putObject("options")
-    md.put("schemaString", schemaJson)
+    md.put("schemaString", snap.schema.json)
     val pcArr = md.putArray("partitionColumns")
     snap.partitionColumns.foreach(pcArr.add)
     val cfgNode = md.putObject("configuration")
@@ -796,27 +902,99 @@ object DeltaCompat {
       f.dv.foreach(d => a.set[JsonNode]("deletionVector", dvNode(d)))
       mapper.writeValueAsString(n)
     }
-    val actionLines = Seq(protoLine, mapper.writeValueAsString(mdNode)) ++
-      addLines
-    // JSON-lines → one struct row per action, written as ONE parquet
-    // file (a checkpoint must be self-consistent; one part suffices
-    // for the file counts this writer targets)
-    val df = spark.read.json(actionLines.toDS())
-    val logDir = new Path(tablePath, "_delta_log")
-    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val staging = new Path(logDir, s".cp_staging_${snap.version}")
+    (Seq(snap.protocolJson, mapper.writeValueAsString(mdNode)), addLines)
+  }
+
+  /** Stage-and-rename a DataFrame into exactly one parquet file. */
+  private def writeOneParquet(spark: SparkSession, df: DataFrame,
+      dest: Path, staging: Path): Unit = {
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val part = fs.listStatus(staging).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"checkpoint staging produced no parquet: $staging"))
-    val dest = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
+      .getOrElse(sys.error(s"staging produced no parquet: $staging"))
     fs.delete(dest, false)
     require(fs.rename(part, dest), s"rename $part -> $dest failed")
     fs.delete(staging, true)
+  }
+
+  /** The table's protocol line upgraded to carry the `v2Checkpoint`
+    * reader/writer feature (a table may only HAVE a v2 checkpoint if
+    * its protocol declares the feature): reader-3 feature lists union
+    * the existing ones; legacy reader-2 maps to its implied
+    * columnMapping capability. */
+  private def protocolWithV2Cp(protocolJson: String): String = {
+    val p = mapper.readTree(protocolJson).get("protocol")
+    val reader = Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1)
+    val existing: Seq[String] =
+      if (reader >= 3)
+        Option(p.get("readerFeatures")).map(f =>
+          (0 until f.size).map(f.get(_).asText)).getOrElse(Nil)
+      else if (reader == 2) Seq("columnMapping")
+      else Nil
+    val feats = (existing :+ "v2Checkpoint").distinct
+    val fj = feats.map(f => s""""$f"""").mkString(",")
+    s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      s""""readerFeatures":[$fj],"writerFeatures":[$fj]}}"""
+  }
+
+  /** Write a V2 CHECKPOINT for `version` (default: latest): a
+    * UUID-named top-level file (`json` or `parquet` per `format`)
+    * carrying protocol + metaData + checkpointMetadata, with the file
+    * actions fanned out into `numSidecars` parquet files under
+    * `_delta_log/_sidecars/` (0 = inline in the top-level file — both
+    * layouts are spec-valid), plus the `_last_checkpoint` pointer.
+    * The emitted protocol is upgraded to declare the `v2Checkpoint`
+    * feature, as the spec requires of any table that has one. The
+    * UUID derives from the content so fixtures reproduce. */
+  def checkpointV2(spark: SparkSession, tablePath: String,
+      version: Option[Long] = None, numSidecars: Int = 1,
+      format: String = "parquet"): Long = {
+    import spark.implicits._
+    require(format == "parquet" || format == "json",
+      s"v2 checkpoint format must be json or parquet, got $format")
+    require(numSidecars >= 0, s"numSidecars must be >= 0, got $numSidecars")
+    val snap = snapshot(spark, tablePath, version)
+    val (headLines0, addLines) = snapshotActionLines(snap, tablePath)
+    val headLines = protocolWithV2Cp(snap.protocolJson) +: headLines0.tail
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (headLines ++ addLines).foreach(l => digest.update(l.getBytes("UTF-8")))
+    val uuid = java.util.UUID.nameUUIDFromBytes(digest.digest())
+    val cpMetaLine =
+      s"""{"checkpointMetadata":{"version":${snap.version}}}"""
+    val sidecarLines: Seq[String] =
+      if (numSidecars == 0 || addLines.isEmpty) Nil
+      else {
+        val scDir = new Path(logDir, "_sidecars")
+        fs.mkdirs(scDir)
+        val groups = addLines.zipWithIndex
+          .groupBy(_._2 % numSidecars).toSeq.sortBy(_._1)
+          .map(_._2.map(_._1))
+        groups.zipWithIndex.map { case (lines, i) =>
+          val dest = new Path(scDir, s"$uuid-$i.parquet")
+          writeOneParquet(spark, spark.read.json(lines.toDS()), dest,
+            new Path(scDir, s".sc_staging_$uuid-$i"))
+          val len = fs.getFileStatus(dest).getLen
+          s"""{"sidecar":{"path":"$uuid-$i.parquet","sizeInBytes":$len,""" +
+            s""""modificationTime":0}}"""
+        }
+      }
+    val inlineAdds = if (numSidecars == 0) addLines else Nil
+    val topLines = headLines ++ Seq(cpMetaLine) ++ sidecarLines ++ inlineAdds
+    val dest = new Path(logDir,
+      f"${snap.version}%020d.checkpoint.$uuid.$format")
+    if (format == "json") {
+      val out = fs.create(dest, true)
+      try out.write(topLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    } else writeOneParquet(spark, spark.read.json(topLines.toDS()), dest,
+      new Path(logDir, s".cpv2_staging_$uuid"))
     val ptr = fs.create(new Path(logDir, "_last_checkpoint"), true)
     try ptr.write(
-      s"""{"version":${snap.version},"size":${actionLines.size}}"""
-        .getBytes("UTF-8"))
+      s"""{"version":${snap.version},"size":${topLines.size +
+        addLines.size}}""".getBytes("UTF-8"))
     finally ptr.close()
     snap.version
   }
