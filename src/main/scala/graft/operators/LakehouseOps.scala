@@ -648,11 +648,59 @@ object LakehouseOps {
       |  AND (l_returnflag <> 'R' OR l_quantity = 5)
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q280: ICEBERG NESTED TYPES on real data (round 13) — the fixture
+    * reshapes the lineitem slice into the three nested kinds the spec
+    * defines: a STRUCT of the measures, a LIST of the part/supp keys,
+    * and a MAP keyed by linestatus; `writeTable` exports it with
+    * spec-compliant nested field ids (element-id/key-id/value-id,
+    * DFS last-column-id) and the reader parses the nested schema JSON
+    * back. The aggregate reads THROUGH every nesting kind
+    * (struct-field dot paths, element_at on the list, map_values on
+    * the map), so hash-green ⇔ nested schema round-trip, nested
+    * field-id stamping, and nested column pruning are all exact —
+    * the oracle computes the same numbers from the flat source
+    * parquet. */
+  private val q280: QFn = (s, d) => {
+    val dir = "/tmp/graft_ice_nested_v1_" + deltaFixtureKey(s, d)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        dir, "metadata/version-hint.text"))) {
+      val src = Tables.lineitem(s, d).filter(col("l_quantity") < 10)
+        .select(col("l_orderkey"),
+          struct(col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price")).as("meas"),
+          array(col("l_partkey"), col("l_suppkey")).as("keys"),
+          map(col("l_linestatus"), col("l_discount"))
+            .as("disc_by_status"),
+          col("l_returnflag"))
+      graft.sources.IcebergCompat.writeTable(src, dir,
+        partitionBy = Seq("l_returnflag"))
+    }
+    graft.sources.IcebergCompat.read(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("meas.qty")).as("qty"),
+        dsum(col("meas.price")).as("revenue"),
+        sum(element_at(col("keys"), 1)).as("partkeys"),
+        dsum(element_at(map_values(col("disc_by_status")), 1))
+          .as("disc"))
+  }
+  private val q280Sql =
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ${sqlSum("l_quantity")} AS qty,
+      |  ${sqlSum("l_extendedprice")} AS revenue,
+      |  CAST(SUM(l_partkey) AS BIGINT) AS partkeys,
+      |  ${sqlSum("l_discount")} AS disc
+      |FROM lineitem WHERE l_quantity < 10
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q277_iceberg_eqdelete" -> q277,
     "q275_delta_dv" -> q275,
     "q276_delta_colmap" -> q276,
     "q279_delta_v2checkpoint" -> q279,
+    "q280_iceberg_nested" -> q280,
     "q269_delta_roundtrip" -> q269,
     "q272_delta_checkpoint" -> q272,
     "q273_iceberg_roundtrip" -> q273,
@@ -671,6 +719,7 @@ object LakehouseOps {
     "q275_delta_dv" -> q275Sql,
     "q276_delta_colmap" -> q276Sql,
     "q279_delta_v2checkpoint" -> q275Sql,
+    "q280_iceberg_nested" -> q280Sql,
     "q269_delta_roundtrip" -> q269Sql,
     "q272_delta_checkpoint" -> q272Sql,
     "q273_iceberg_roundtrip" -> q273Sql,

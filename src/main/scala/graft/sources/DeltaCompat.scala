@@ -401,9 +401,14 @@ object DeltaCompat {
 
   /** Reader features this reader actually implements; anything else
     * in a reader-version-3 table's `readerFeatures` rejects loudly. */
+  /** `vacuumProtocolCheck` exists to force VACUUM implementations to
+    * honor the writer protocol before deleting files; the published
+    * spec requires nothing of pure readers, so a read-only engine
+    * supports it by construction (Databricks enables it by default —
+    * rejecting it would refuse real tables for no reason). */
   private val SupportedReaderFeatures =
     Set("deletionVectors", "columnMapping", "timestampNtz",
-      "v2Checkpoint")
+      "v2Checkpoint", "vacuumProtocolCheck")
 
   private def checkProtocol(p: JsonNode): Unit = {
     val reader = Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1)

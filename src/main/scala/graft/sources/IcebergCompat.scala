@@ -68,7 +68,15 @@ import org.apache.spark.sql.types._
   * renamed-column histories read correctly — [[renameColumn]] is the
   * matching metadata-only evolution writer, [[deleteEquality]] the
   * matching MoR writer.
-  * NOT supported, rejected loudly: nested types, non-parquet files,
+  * Round 13 also adds NESTED TYPES: struct/list/map schema-JSON
+  * parses recursively to the Spark type, nested struct fields keep
+  * their field-id metadata (so renamed NESTED fields resolve by id,
+  * same as top level — list element / map key+value levels resolve
+  * structurally, matching parquet's physical layout), and the export
+  * writer allocates spec-compliant ids for every nested field
+  * (element-id / key-id / value-id, `last-column-id` = the DFS
+  * maximum) while stamping the same ids into the parquet files.
+  * NOT supported, rejected loudly: non-parquet files,
   * format-version ≥ 3.
   */
 object IcebergCompat {
@@ -147,9 +155,33 @@ object IcebergCompat {
         .split(",").map(_.trim.toInt)
       DecimalType(p, s)
     case other => throw new IllegalArgumentException(
-      s"unsupported Iceberg type '$other' (flat primitive types only" +
-        " — see class doc)")
+      s"unsupported Iceberg primitive type '$other' — see class doc")
   }
+
+  /** An Iceberg schema `type` node — a primitive string or a NESTED
+    * struct/list/map object (round 13) — to the Spark type. Nested
+    * struct fields keep their field-id metadata, so Spark's
+    * field-id-based parquet resolution works at ANY depth (renamed
+    * nested fields in old data files resolve by id, same as top
+    * level); list element / map key+value ids have no StructField
+    * metadata slot — those levels resolve structurally, which is
+    * exact for parquet's list/map physical layout. */
+  private def toSparkTypeNode(t: JsonNode): DataType =
+    if (t.isTextual) toSparkType(t.asText)
+    else t.get("type").asText match {
+      case "struct" => schemaOf(t)
+      case "list" =>
+        ArrayType(toSparkTypeNode(t.get("element")),
+          containsNull = !Option(t.get("element-required"))
+            .exists(_.asBoolean(false)))
+      case "map" =>
+        MapType(toSparkTypeNode(t.get("key")),
+          toSparkTypeNode(t.get("value")),
+          valueContainsNull = !Option(t.get("value-required"))
+            .exists(_.asBoolean(false)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg nested type kind '$other'")
+    }
 
   /** The StructField metadata key Spark's parquet reader resolves
     * columns BY FIELD ID through (`spark.sql.parquet.fieldId.read
@@ -162,13 +194,10 @@ object IcebergCompat {
     val fields = node.get("fields")
     StructType((0 until fields.size).map { i =>
       val f = fields.get(i)
-      val t = f.get("type")
-      require(t.isTextual,
-        s"unsupported nested Iceberg type at field '${f.get("name").asText}'")
       val md = new org.apache.spark.sql.types.MetadataBuilder()
       Option(f.get("id")).filterNot(_.isNull)
         .foreach(id => md.putLong(FieldIdKey, id.asLong))
-      StructField(f.get("name").asText, toSparkType(t.asText),
+      StructField(f.get("name").asText, toSparkTypeNode(f.get("type")),
         nullable = !f.get("required").asBoolean(false),
         metadata = md.build())
     })
@@ -704,7 +733,56 @@ object IcebergCompat {
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
-      s"cannot export Spark type $other to Iceberg (flat primitives)")
+      s"cannot export Spark type $other as an Iceberg primitive")
+  }
+
+  /** DFS field-id assignment over a Spark schema (round 13 — NESTED
+    * export): returns (the schema with `parquet.field.id` stamped on
+    * every struct field at every depth — Spark's parquet writer
+    * persists those ids, so nested renames resolve by id on read —
+    * the Iceberg schema-JSON `fields` array body with
+    * element-id/key-id/value-id allocated per the spec, and the last
+    * id used for `last-column-id`). A field's id precedes its
+    * children's, so FLAT schemas keep the historical 1..N ids.
+    * Parquet has no metadata slot for list-element / map-key/value
+    * ids — those levels resolve structurally on read, which matches
+    * parquet's physical list/map layout exactly. */
+  private def annotateIds(schema: StructType): (StructType, String, Int) = {
+    var next = 0
+    def alloc(): Int = { next += 1; next }
+    def walkType(dt: DataType): (DataType, String) = dt match {
+      case st: StructType =>
+        val (fs, js) = st.fields.map(walkField).unzip
+        (StructType(fs.toSeq),
+          s"""{"type":"struct","fields":[${js.mkString(",")}]}""")
+      case at: ArrayType =>
+        val eid = alloc()
+        val (et, ej) = walkType(at.elementType)
+        (ArrayType(et, at.containsNull),
+          s"""{"type":"list","element-id":$eid,""" +
+            s""""element-required":${!at.containsNull},"element":$ej}""")
+      case mt: MapType =>
+        val kid = alloc()
+        val (kt, kj) = walkType(mt.keyType)
+        val vid = alloc()
+        val (vt, vj) = walkType(mt.valueType)
+        (MapType(kt, vt, mt.valueContainsNull),
+          s"""{"type":"map","key-id":$kid,"key":$kj,""" +
+            s""""value-id":$vid,""" +
+            s""""value-required":${!mt.valueContainsNull},"value":$vj}""")
+      case p => (p, "\"" + icebergTypeOf(p) + "\"")
+    }
+    def walkField(f: StructField): (StructField, String) = {
+      val id = alloc()
+      val (t, tj) = walkType(f.dataType)
+      (f.copy(dataType = t,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build()),
+        s"""{"id":$id,"name":"${f.name}","required":${!f.nullable},""" +
+          s""""type":$tj}""")
+    }
+    val (fs, js) = schema.fields.map(walkField).unzip
+    (StructType(fs.toSeq), js.mkString(","), next)
   }
 
   private def avroTypeOf(dt: DataType): String = dt match {
@@ -1240,13 +1318,18 @@ object IcebergCompat {
     val spark = df.sparkSession
     // stamp field ids into the parquet files (Spark writes them when
     // the schema carries parquet.field.id metadata) — the spec
-    // REQUIRES data files to carry ids, and the reader resolves by id
-    val withIds = df.select(df.schema.fields.zipWithIndex.map {
-      case (f, i) =>
-        df(f.name).as(f.name,
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putLong(FieldIdKey, i + 1L).build())
-    }: _*)
+    // REQUIRES data files to carry ids, and the reader resolves by id;
+    // annotateIds walks NESTED structs too, allocating the same ids
+    // the metadata.json below declares
+    val (annSchema, fieldsJson, lastColId) = annotateIds(df.schema)
+    // Dataset.to() drops the metadata — select with the annotated
+    // alias (top-level ids) and a cast to the annotated type (whose
+    // nested StructFields carry theirs; metadata differences keep the
+    // cast from simplifying away)
+    val withIds = df.select(df.schema.fields.map { f =>
+      val af = annSchema(f.name)
+      df(f.name).cast(af.dataType).as(f.name, af.metadata)
+    }.toSeq: _*)
     val w = withIds.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tablePath)
@@ -1271,12 +1354,10 @@ object IcebergCompat {
     fieldSummaries(entries, partTypes).foreach(p => ml.put("partitions", p))
     val mlPath = new Path(metaDir, "snap-1.avro")
     writeAvro(spark, mlPath, manifestListSchema, Seq(ml))
-    val fieldsJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
-        s""""type":"${icebergTypeOf(f.dataType)}"}"""
-    }.mkString(",")
     val specJson = partitionBy.zipWithIndex.map { case (c, i) =>
-      val srcId = df.schema.fieldIndex(c) + 1
+      // partition sources resolve by the ANNOTATED id (nested fields
+      // shift later top-level ids away from position+1)
+      val srcId = annSchema(c).metadata.getLong(FieldIdKey)
       s"""{"name":"$c","transform":"identity","source-id":$srcId,""" +
         s""""field-id":${1000 + i}}"""
     }.mkString(",")
@@ -1284,7 +1365,7 @@ object IcebergCompat {
       s"""{"format-version":2,
         |"table-uuid":"graft-${math.abs(tablePath.hashCode)}",
         |"location":"$tablePath",
-        |"last-sequence-number":1,"last-updated-ms":0,"last-column-id":${df.schema.size},
+        |"last-sequence-number":1,"last-updated-ms":0,"last-column-id":$lastColId,
         |"current-schema-id":0,
         |"schemas":[{"type":"struct","schema-id":0,"fields":[$fieldsJson]}],
         |"default-spec-id":0,

@@ -179,13 +179,14 @@ class DeltaCompatSpec extends SparkSpec {
       DeltaCompat.snapshot(spark, d) }
     assert(e1.getMessage.contains("storageType"))
     // reader features beyond the implemented set (deletionVectors /
-    // columnMapping / timestampNtz are implemented now; v2Checkpoint
-    // and anything future stay loudly rejected)
+    // columnMapping / timestampNtz / v2Checkpoint /
+    // vacuumProtocolCheck are implemented now; anything future stays
+    // loudly rejected, and the message names only the UNKNOWN one)
     Files.writeString(Paths.get(f"$d/_delta_log/${3L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["deletionVectors","v2Checkpoint"]}}""" + "\n")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","futureMagicFeature"],"writerFeatures":["deletionVectors","futureMagicFeature"]}}""" + "\n")
     val e2 = intercept[IllegalArgumentException] {
       DeltaCompat.snapshot(spark, d) }
-    assert(e2.getMessage.contains("v2Checkpoint") &&
+    assert(e2.getMessage.contains("futureMagicFeature") &&
       !e2.getMessage.startsWith("unsupported Delta reader features: deletionVectors"))
     // an unknown column mapping mode
     Files.writeString(Paths.get(f"$d/_delta_log/${3L}%020d.json"),

@@ -212,12 +212,13 @@ class IcebergCompatSpec extends SparkSpec {
       partitionBy = Seq("k"))
     val metaPath = Paths.get(s"$d/metadata/v1.metadata.json")
     val good = Files.readString(metaPath)
-    // nested type in the schema
+    // an unknown nested type KIND (structs/lists/maps parse since
+    // round 13 — variant and future kinds still reject loudly)
     rewrite(metaPath.toString, good.replace("\"type\":\"string\"",
-      """"type":{"type":"struct","fields":[]}"""))
+      """"type":{"type":"variant"}"""))
     val e2 = intercept[IllegalArgumentException] {
       IcebergCompat.snapshot(spark, d) }
-    assert(e2.getMessage.contains("nested"))
+    assert(e2.getMessage.contains("nested type kind 'variant'"))
     // future format version
     rewrite(metaPath.toString,
       good.replace("\"format-version\":2", "\"format-version\":3"))
@@ -441,5 +442,51 @@ class IcebergCompatSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "k"))
     assert(back.collect().map(r => (r.getLong(0), r.getString(1)))
       .sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("nested types round-trip (struct/list/map) and a RENAMED " +
+      "nested struct field resolves by field id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = tmpDir("icenested") + "/tbl"
+    val src = Seq((1L, 2.0, 5.0, "x", 0.1), (2L, 3.0, 7.0, "y", 0.2))
+      .toDF("id", "q", "p", "s", "disc")
+      .select(col("id"),
+        struct(col("q").as("qty"), col("p").as("price")).as("meas"),
+        array(col("id") * 10, col("id") * 100).as("keys"),
+        map(col("s"), col("disc")).as("m"))
+      .coalesce(1)
+    IcebergCompat.writeTable(src, d)
+    // the declared schema JSON allocates DFS ids: id=1, meas=2
+    // (qty=3, price=4), keys=5 (element-id=6), m=7 (key-id=8,
+    // value-id=9) — last-column-id must be the DFS max
+    val metaTxt = Files.readString(
+      Paths.get(s"$d/metadata/v1.metadata.json"))
+    assert(metaTxt.contains("\"last-column-id\":9"), metaTxt)
+    assert(metaTxt.contains("\"element-id\":6") &&
+      metaTxt.contains("\"key-id\":8") &&
+      metaTxt.contains("\"value-id\":9"), metaTxt)
+    val back = IcebergCompat.read(spark, d)
+    assert(back.schema("meas").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    val rows = back.select(col("id"), col("meas.qty"),
+      col("meas.price"), element_at(col("keys"), 2),
+      element_at(map_values(col("m")), 1))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).sorted.toSeq
+    assert(rows == Seq((1L, 2.0, 5.0, 100L, 0.1),
+      (2L, 3.0, 7.0, 200L, 0.2)))
+    // rename the NESTED field qty -> quantity in the schema JSON only
+    // (same id 3): the parquet files still carry 'qty', so a correct
+    // reader must resolve the nested column BY ID, not by name
+    rewrite(s"$d/metadata/v1.metadata.json",
+      metaTxt.replace("\"name\":\"qty\"", "\"name\":\"quantity\""))
+    val renamed = IcebergCompat.read(spark, d)
+    val meas = renamed.schema("meas").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meas.fieldNames.toSeq == Seq("quantity", "price"))
+    assert(renamed.select(col("meas.quantity")).collect()
+      .map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0),
+      "renamed nested field must read the old files' values by id")
   }
 }
