@@ -37,6 +37,14 @@ import graft.util.Exact
   *             composable row_number oracle: direction × tolerance ×
   *             probe predicate (round 12)
   *           | set op | filtered-dim LEFT JOIN
+  *           | FULL OUTER join of two differently-filtered slices
+  *             (null-extended both sides, COUNT/COALESCE-visible —
+  *             round 13)
+  *           | NOT IN (subquery) with the three-valued-logic trap:
+  *             the roll decides whether the list carries NULLs (NOT
+  *             IN returns nothing — Spark's null-aware anti join vs
+  *             DuckDB) or is null-free (≡ anti join); runs through
+  *             the SQL surface on BOTH engines (round 13)
   *
   * Double aggregation goes through [[Exact]] (decimal accumulator) on
   * both sides — the library's own discipline; raw double projections
@@ -458,8 +466,8 @@ object QueryFuzz {
         // side is the left_semi/left_anti join a Spark user writes;
         // both engines plan the correlated EXISTS as the same
         // semi/anti join. TPC-H FK keys are non-null, so EXISTS ≡
-        // IN here with none of NOT IN's null-semantics trap — which
-        // is why the grammar emits EXISTS, not IN
+        // IN here with none of NOT IN's null-semantics trap — the
+        // 52-54 shape covers NOT IN's 3VL deliberately, via SQL
         val lj = pick(rng, leftJoins)
         val anti = rng.nextBoolean()
         val dimPred = genPred(rng, lj.dim.cols)
@@ -503,6 +511,67 @@ object QueryFuzz {
         val sql = s"SELECT ${(chosen.map(_.name) ++
           computed.map(_._2)).mkString(", ")}" + from
         Shape(name, out, sql)
+
+      case f if f >= 52 && f < 55 =>
+        // NOT IN (subquery) with the 3-VALUED-LOGIC trap (round 13 —
+        // r12 verdict item 9): a NULL in the list makes NOT IN return
+        // NOTHING, which the left_anti join a DataFrame user writes
+        // does NOT replicate — so this shape goes through the SQL
+        // surface on BOTH engines (Spark plans the null-aware anti
+        // join) and the roll decides whether the list carries NULLs
+        // (empty result, both engines must agree) or is null-free
+        // (≡ anti join). The list is CASE-projected from a dim key.
+        val lj = pick(rng, leftJoins)
+        val withNulls = rng.nextBoolean()
+        val m = 2 + rng.nextInt(3)
+        // null-free form still excludes SOME keys (dk % m != 0 rows
+        // drop out of the list, their fact rows survive NOT IN)
+        val listSql =
+          if (withNulls)
+            s"SELECT CASE WHEN ${lj.dk} % $m = 0 THEN ${lj.dk} END " +
+              s"AS v FROM ${lj.dim.from}"
+          else s"SELECT ${lj.dk} AS v FROM ${lj.dim.from} " +
+            s"WHERE ${lj.dk} % $m = 0"
+        val factPred = if (rng.nextBoolean()) genPred(rng, lj.fact.cols)
+          else None
+        val fw = factPred.map(p => s"${p._2} AND ").getOrElse("")
+        val body =
+          s"SELECT ${lj.factGroup.name}, CAST(COUNT(*) AS BIGINT) AS n " +
+            s"FROM ${lj.fact.from} WHERE $fw${lj.fk} NOT IN ($listSql) " +
+            s"GROUP BY ${lj.factGroup.name}"
+        // Spark runs the SAME SQL over temp views of the same tables
+        lj.fact.build(spark, sfDir).createOrReplaceTempView(
+          lj.fact.from)
+        if (lj.dim.from != lj.fact.from)
+          lj.dim.build(spark, sfDir).createOrReplaceTempView(lj.dim.from)
+        Shape(name, spark.sql(body), body)
+
+      case f if f >= 62 && f < 65 =>
+        // FULL OUTER join (round 13 — r12 verdict item 9): two
+        // DIFFERENTLY-filtered slices of one pk-unique table joined
+        // full-outer on the pk — each side contributes unmatched
+        // null-extended rows; COUNT(side-col) and COALESCE sums make
+        // the null pattern hash-visible without rendering nulls
+        val s2 = pick(rng, Seq(orders, customer, part, region))
+        val Some((c1, p1)) = genPred(rng, s2.cols)
+        val Some((c2, p2)) = genPred(rng, s2.cols)
+        val a = s2.build(spark, sfDir).filter(c1)
+          .select(col(s2.pk).as("ka"))
+        val b = s2.build(spark, sfDir).filter(c2)
+          .select(col(s2.pk).as("kb"))
+        val out = a.join(b, col("ka") === col("kb"), "full")
+          .agg(count(lit(1)).as("total"),
+            count(col("ka")).as("na"), count(col("kb")).as("nb"),
+            sum(coalesce(col("ka"), lit(0L)) +
+              coalesce(col("kb"), lit(0L))).cast("long").as("ksum"))
+        Shape(name, out,
+          "SELECT CAST(COUNT(*) AS BIGINT) AS total, " +
+            "CAST(COUNT(ka) AS BIGINT) AS na, " +
+            "CAST(COUNT(kb) AS BIGINT) AS nb, " +
+            "CAST(SUM(COALESCE(ka, 0) + COALESCE(kb, 0)) AS BIGINT) " +
+            s"AS ksum FROM (SELECT ${s2.pk} AS ka FROM ${s2.from} " +
+            s"WHERE $p1) a FULL JOIN (SELECT ${s2.pk} AS kb FROM " +
+            s"${s2.from} WHERE $p2) b ON ka = kb")
 
       case f if f < 62 =>
         // distinct over low-cardinality projections
