@@ -830,10 +830,11 @@ object DeltaCompat {
       ado.set[JsonNode]("deletionVector", dvNode(desc))
       Seq(mapper.writeValueAsString(rm), mapper.writeValueAsString(ad))
     }
-    val protoLine =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}"""
+    // UNION the feature into the table's own protocol — emitting only
+    // ["deletionVectors"] on a column-mapped/NTZ table would strip
+    // those capabilities from the protocol other readers honor
+    val protoLine = protocolWithFeatures(snap.protocolJson,
+      Seq("deletionVectors"))
     val newV = snap.version + 1
     val out = fs.create(
       new Path(new Path(root, "_delta_log"), f"$newV%020d.json"), true)
@@ -923,12 +924,14 @@ object DeltaCompat {
     fs.delete(staging, true)
   }
 
-  /** The table's protocol line upgraded to carry the `v2Checkpoint`
-    * reader/writer feature (a table may only HAVE a v2 checkpoint if
-    * its protocol declares the feature): reader-3 feature lists union
-    * the existing ones; legacy reader-2 maps to its implied
-    * columnMapping capability. */
-  private def protocolWithV2Cp(protocolJson: String): String = {
+  /** The table's protocol line upgraded to reader-3 with `add`ed
+    * features UNIONED into the existing set — NEVER replacing it: a
+    * DV commit on a column-mapped table that emitted only
+    * ["deletionVectors"] would strip the mapping capability other
+    * readers key off (round-13 composition find). Legacy reader-2
+    * maps to its implied columnMapping capability. */
+  private def protocolWithFeatures(protocolJson: String,
+      add: Seq[String]): String = {
     val p = mapper.readTree(protocolJson).get("protocol")
     val reader = Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1)
     val existing: Seq[String] =
@@ -937,7 +940,7 @@ object DeltaCompat {
           (0 until f.size).map(f.get(_).asText)).getOrElse(Nil)
       else if (reader == 2) Seq("columnMapping")
       else Nil
-    val feats = (existing :+ "v2Checkpoint").distinct
+    val feats = (existing ++ add).distinct
     val fj = feats.map(f => s""""$f"""").mkString(",")
     s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       s""""readerFeatures":[$fj],"writerFeatures":[$fj]}}"""
@@ -961,7 +964,8 @@ object DeltaCompat {
     require(numSidecars >= 0, s"numSidecars must be >= 0, got $numSidecars")
     val snap = snapshot(spark, tablePath, version)
     val (headLines0, addLines) = snapshotActionLines(snap, tablePath)
-    val headLines = protocolWithV2Cp(snap.protocolJson) +: headLines0.tail
+    val headLines = protocolWithFeatures(snap.protocolJson,
+      Seq("v2Checkpoint")) +: headLines0.tail
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     val digest = java.security.MessageDigest.getInstance("MD5")

@@ -120,6 +120,28 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     assert(e.getMessage.contains("declares version"), e.getMessage)
   }
 
+  test("feature COMPOSITION: a column-mapped table with deletion " +
+      "vectors reads through a v2 checkpoint after log truncation") {
+    import spark.implicits._
+    val d = tmpDir("v2cpcombo") + "/tbl"
+    val rows = (1L to 80L).map(i => (i, if (i % 2 == 0) "e" else "o"))
+    DeltaCompat.writeTable(rows.toDF("id", "k").repartition(1), d,
+      partitionBy = Seq("k"), columnMapping = true)
+    DeltaCompat.writeDeletionVectors(spark, d, col("id") % 5 === 0)
+    DeltaCompat.checkpointV2(spark, d, numSidecars = 2)
+    deleteJson(d, 0L); deleteJson(d, 1L)
+    val want = (1L to 80L).filterNot(_ % 5 == 0)
+    assert(DeltaCompat.read(spark, d).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == want,
+      "mapped physical->logical projection + DVs must survive the " +
+        "v2 checkpoint round-trip")
+    // the upgraded protocol keeps BOTH prior features next to
+    // v2Checkpoint (a downgrade would break other readers)
+    val proto = DeltaCompat.snapshot(spark, d).protocolJson
+    Seq("deletionVectors", "columnMapping", "v2Checkpoint").foreach(f =>
+      assert(proto.contains(f), s"$f missing from $proto"))
+  }
+
   test("a complete classic checkpoint at the same version is " +
       "preferred over the v2 one") {
     val (d, all) = mkTable("v2cppref")
