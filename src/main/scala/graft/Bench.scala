@@ -102,7 +102,8 @@ object Bench {
     "q272_delta_checkpoint", "q273_iceberg_roundtrip",
     "q274_iceberg_mor", "q275_delta_dv", "q276_delta_colmap",
     "q277_iceberg_eqdelete", "q278_phash_near_dups",
-    "q279_delta_v2checkpoint", "q280_iceberg_nested")
+    "q279_delta_v2checkpoint", "q280_iceberg_nested",
+    "q281_iceberg_dv")
 
   /** Expected PlanLint findings per headline query — every entry is a
     * DELIBERATE model-sized shape, not an oversight: `cartesian` rows

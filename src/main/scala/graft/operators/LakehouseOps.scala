@@ -695,12 +695,43 @@ object LakehouseOps {
       |FROM lineitem WHERE l_quantity < 10
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q281: ICEBERG v3 DELETION VECTORS on real data (round 13) — the
+    * Iceberg twin of q275: the partitioned slice takes TWO
+    * `deleteVectors` MoR commits (`l_quantity=5`, then `l_quantity<3`
+    * whose replacement vectors carry the union at a higher sequence),
+    * each packing per-file RoaringBitmapArray blobs into a spec-layout
+    * puffin file referenced from content=1 delete manifests and
+    * upgrading the table to format-version 3. Hash-green ⇔ puffin
+    * blob decode (magic/CRC), referenced-file resolution,
+    * newest-DV-per-file supersession, and the v3 metadata gate are
+    * all exact — the oracle (q275's SQL) computes the aggregate with
+    * both predicates excluded. */
+  private val q281: QFn = (s, d) => {
+    val dir = "/tmp/graft_ice_dv_v1_" + deltaFixtureKey(s, d)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "dv-3.puffin"))) {
+      graft.sources.IcebergCompat.writeTable(deltaSlice(s, d), dir,
+        partitionBy = Seq("l_returnflag"))
+      graft.sources.IcebergCompat.deleteVectors(s, dir,
+        col("l_quantity") === 5)
+      graft.sources.IcebergCompat.deleteVectors(s, dir,
+        col("l_quantity") < 3)
+    }
+    graft.sources.IcebergCompat.read(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("qty"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q277_iceberg_eqdelete" -> q277,
     "q275_delta_dv" -> q275,
     "q276_delta_colmap" -> q276,
     "q279_delta_v2checkpoint" -> q279,
     "q280_iceberg_nested" -> q280,
+    "q281_iceberg_dv" -> q281,
     "q269_delta_roundtrip" -> q269,
     "q272_delta_checkpoint" -> q272,
     "q273_iceberg_roundtrip" -> q273,
@@ -720,6 +751,7 @@ object LakehouseOps {
     "q276_delta_colmap" -> q276Sql,
     "q279_delta_v2checkpoint" -> q275Sql,
     "q280_iceberg_nested" -> q280Sql,
+    "q281_iceberg_dv" -> q275Sql,
     "q269_delta_roundtrip" -> q269Sql,
     "q272_delta_checkpoint" -> q272Sql,
     "q273_iceberg_roundtrip" -> q273Sql,

@@ -86,14 +86,21 @@ object IcebergCompat {
   final case class IceFile(path: String, size: Long,
       partitionValues: Map[String, String], seq: Long = 0L)
 
-  /** A v2 MoR delete file: `content` 1 = POSITIONAL (parquet of
-    * (file_path, pos) rows), 2 = EQUALITY (parquet of values for the
-    * `equalityIds` columns; deletes every row of any data file with a
-    * STRICTLY LOWER data sequence number whose values match
-    * null-safely — the spec's ordering rule, which is what lets a row
-    * re-inserted after the delete survive it). */
+  /** A MoR delete file: `content` 1 = POSITIONAL (a parquet of
+    * (file_path, pos) rows, or — format-version 3 — a PUFFIN
+    * deletion-vector blob addressed by `dvRef`/`dvOffset`/`dvLength`),
+    * 2 = EQUALITY (parquet of values for the `equalityIds` columns;
+    * deletes every row of any data file with a STRICTLY LOWER data
+    * sequence number whose values match null-safely — the spec's
+    * ordering rule, which is what lets a row re-inserted after the
+    * delete survive it). A v3 DV names exactly ONE data file
+    * (`referenced_data_file`); when several snapshots carry DVs for
+    * the same file, the HIGHEST-sequence one is the file's vector
+    * (a replacement DV carries the union, per the spec). */
   final case class IceDelete(path: String, size: Long,
-      content: Long = 1L, seq: Long = 0L, equalityIds: Seq[Int] = Seq.empty)
+      content: Long = 1L, seq: Long = 0L, equalityIds: Seq[Int] = Seq.empty,
+      dvRef: Option[String] = None, dvOffset: Option[Long] = None,
+      dvLength: Option[Long] = None)
 
   final case class Snapshot(snapshotId: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[IceFile],
@@ -194,6 +201,11 @@ object IcebergCompat {
     val fields = node.get("fields")
     StructType((0 until fields.size).map { i =>
       val f = fields.get(i)
+      // a v3 initial-default fills the column for rows written BEFORE
+      // it was added — ignoring it would silently read nulls
+      require(!f.has("initial-default") || f.get("initial-default").isNull,
+        s"field '${f.get("name").asText}' carries a v3 initial-default; " +
+          "default-value fill is not implemented (would mis-read as null)")
       val md = new org.apache.spark.sql.types.MetadataBuilder()
       Option(f.get("id")).filterNot(_.isNull)
         .foreach(id => md.putLong(FieldIdKey, id.asLong))
@@ -308,7 +320,11 @@ object IcebergCompat {
       asOfSnapshotId: Option[Long]): TableMeta = {
     val meta = readJson(spark, currentMetadataPath(spark, tablePath))
     val fv = Option(meta.get("format-version")).map(_.asInt).getOrElse(1)
-    require(fv <= 2, s"unsupported Iceberg format-version $fv")
+    // v3 accepted for its DELETION-VECTOR feature (round 13); the v3
+    // features a reader cannot silently ignore stay guarded —
+    // initial-default rejects in schemaOf, unknown type kinds reject
+    // in toSparkTypeNode, and row-lineage fields are pure metadata
+    require(fv <= 3, s"unsupported Iceberg format-version $fv")
     // schema: the schemas list keyed by current-schema-id, or the
     // legacy single "schema" field (v1 tables)
     val schema: StructType =
@@ -442,9 +458,13 @@ object IcebergCompat {
       if (status != 2L) { // 2 = DELETED: not part of the snapshot
         val dfr = entry.get("data_file").asInstanceOf[GenericRecord]
         val fmt = str(dfr, "file_format")
-        require(fmt != null && fmt.equalsIgnoreCase("parquet"),
-          s"unsupported data file format: $fmt")
         val content = math.max(lng(dfr, "content", 0L), manifestContent)
+        // puffin is legal ONLY for v3 deletion vectors (content=1 with
+        // a referenced data file); everything else must be parquet
+        val isPuffin = fmt != null && fmt.equalsIgnoreCase("puffin")
+        require(fmt != null && (fmt.equalsIgnoreCase("parquet") ||
+            (isPuffin && content == 1L)),
+          s"unsupported data file format: $fmt (content=$content)")
         val entrySeq = lng(entry, "sequence_number", listSeq)
         content match {
           case 0L =>
@@ -467,6 +487,18 @@ object IcebergCompat {
               }
             files += IceFile(str(dfr, "file_path"),
               lng(dfr, "file_size_in_bytes", -1L), pv, entrySeq)
+          case 1L if isPuffin =>
+            // v3 DELETION VECTOR: one blob per referenced data file,
+            // addressed inside the puffin file by offset + length
+            val ref = str(dfr, "referenced_data_file")
+            val off = lng(dfr, "content_offset", -1L)
+            val len = lng(dfr, "content_size_in_bytes", -1L)
+            require(ref != null && off >= 0 && len > 0,
+              s"puffin deletion vector in $mp lacks " +
+                "referenced_data_file/content_offset/content_size_in_bytes")
+            deletes += IceDelete(str(dfr, "file_path"),
+              lng(dfr, "file_size_in_bytes", -1L), 1L, entrySeq,
+              Seq.empty, Some(ref), Some(off), Some(len))
           case 1L =>
             deletes += IceDelete(str(dfr, "file_path"),
               lng(dfr, "file_size_in_bytes", -1L), 1L, entrySeq)
@@ -564,6 +596,65 @@ object IcebergCompat {
     spark.baseRelationToDataFrame(relation)
   }
 
+  /** Iceberg v3 DELETION-VECTOR blob (the spec's "Deletion vectors"
+    * layout) at `offset` in a puffin file: a 4-byte BIG-endian length
+    * of (magic + vector), the 4-byte magic D1 D3 39 64, the vector in
+    * the 64-bit RoaringBitmapArray portable serialization — the SAME
+    * format Delta DVs ride, decoded by [[graft.util.RoaringBitmapArray]]
+    * — and a 4-byte big-endian CRC-32 of (magic + vector), verified so
+    * a torn vector can never read as "fewer deleted rows". Runs on
+    * EXECUTORS (one task per DV). The enclosing puffin footer is NOT
+    * consulted: the manifest's content_offset/content_size_in_bytes
+    * address the blob directly, per the spec. */
+  private[sources] def readPuffinDv(
+      conf: org.apache.hadoop.conf.Configuration, file: String,
+      offset: Long, length: Long): Array[Long] = {
+    val p = new Path(file)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      in.seek(offset)
+      val len = in.readInt() // big-endian
+      require(len.toLong == length - 8L,
+        s"DV blob at $file@$offset declares $len magic+vector bytes; " +
+          s"content_size_in_bytes $length wants ${length - 8}")
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(magic(0) == 0xD1.toByte && magic(1) == 0xD3.toByte &&
+        magic(2) == 0x39.toByte && magic(3) == 0x64.toByte,
+        s"bad DV magic at $file@$offset: ${magic.mkString(",")}")
+      val vec = new Array[Byte](len - 4); in.readFully(vec)
+      val crc = in.readInt()
+      val c = new java.util.zip.CRC32(); c.update(magic); c.update(vec)
+      require(crc == c.getValue.toInt,
+        s"DV checksum mismatch at $file@$offset")
+      graft.util.RoaringBitmapArray.decode(vec)
+    } finally in.close()
+  }
+
+  /** (scan-form data file path, deleted position) rows for v3 DV
+    * deletes: per referenced data file the HIGHEST-sequence DV wins
+    * (a replacement vector carries the union, per the spec — older
+    * snapshots' vectors for the same file are superseded, not
+    * stacked); each surviving DV decodes as one executor task. */
+  private def dvDeleteRows(spark: SparkSession, rootStr: String,
+      dvDels: Seq[IceDelete]): DataFrame = {
+    import spark.implicits._
+    val newest = dvDels.groupBy(_.dvRef.get)
+      .map { case (_, ds) => ds.maxBy(_.seq) }.toSeq
+    val specs = newest.map { d =>
+      (d.dvRef.get,
+        DeltaCompat.resolvePath(new Path(rootStr), d.path).toString,
+        d.dvOffset.get, d.dvLength.get)
+    }
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    spark.createDataset(specs)
+      .flatMap { case (ref, pf, off, len) =>
+        val fp = org.apache.spark.paths.SparkPath.fromPath(
+          DeltaCompat.resolvePath(new Path(rootStr), ref)).urlEncoded
+        readPuffinDv(hconf.value, pf, off, len).map(pos => (fp, pos))
+      }.toDF("_ice_del_fp", "_ice_del_pos")
+  }
+
   /** Read the table as a DataFrame — ONE parquet relation over the
     * manifest-backed [[MetaFileIndex]], partition pruning inside the
     * single scan node (the [[DeltaCompat.read]] shape). A v2 MoR
@@ -620,20 +711,31 @@ object IcebergCompat {
     if (posDels.isEmpty) return base.select(outCols: _*)
     // positional deletes: translate the delete rows' manifest-form
     // file_path to the scan's _metadata form DIRECTLY (pure string/URI
-    // work on executors — no need to enumerate the data files)
+    // work on executors — no need to enumerate the data files); v3
+    // deletion vectors decode per-blob and union in
     import spark.implicits._
     val rootStr = qualified.toString
-    val delPaths = posDels.map(d =>
-      DeltaCompat.resolvePath(qualified, d.path).toString)
-    val dels = spark.read
-      .schema("file_path STRING, pos BIGINT")
-      .parquet(delPaths: _*)
-      .as[(String, Long)]
-      .map { case (fp, pos) =>
-        (org.apache.spark.paths.SparkPath.fromPath(
-          DeltaCompat.resolvePath(new Path(rootStr), fp)).urlEncoded, pos)
+    val (dvDels, pqDels) = posDels.partition(_.dvRef.isDefined)
+    val pqRows =
+      if (pqDels.isEmpty) None
+      else Some {
+        val delPaths = pqDels.map(d =>
+          DeltaCompat.resolvePath(qualified, d.path).toString)
+        spark.read
+          .schema("file_path STRING, pos BIGINT")
+          .parquet(delPaths: _*)
+          .as[(String, Long)]
+          .map { case (fp, pos) =>
+            (org.apache.spark.paths.SparkPath.fromPath(
+              DeltaCompat.resolvePath(new Path(rootStr), fp)).urlEncoded,
+              pos)
+          }
+          .toDF("_ice_del_fp", "_ice_del_pos")
       }
-      .toDF("_ice_del_fp", "_ice_del_pos")
+    val dvRows =
+      if (dvDels.isEmpty) None
+      else Some(dvDeleteRows(spark, rootStr, dvDels))
+    val dels = (pqRows.toSeq ++ dvRows.toSeq).reduce(_ union _)
     base
       .withColumn("_ice_fp", col("_metadata.file_path"))
       .withColumn("_ice_pos", col("_metadata.row_index"))
@@ -671,7 +773,8 @@ object IcebergCompat {
     var cur = base
       .withColumn("_ice_fp", col("_metadata.file_path"))
       .withColumn("_ice_pos", col("_metadata.row_index"))
-    val posDels = snap.deletes.filter(_.content == 1L)
+    val (dvDels, posDels) = snap.deletes.filter(_.content == 1L)
+      .partition(_.dvRef.isDefined)
     if (posDels.nonEmpty) {
       val delPaths = posDels.map(d =>
         DeltaCompat.resolvePath(qualified, d.path).toString)
@@ -682,6 +785,11 @@ object IcebergCompat {
           Seq("file_path"), "left")
         .select(coalesce(col("_ice_resolved"), col("file_path"))
           .as("_ice_del_fp"), col("pos").as("_ice_del_pos"))
+      cur = cur.join(dels, col("_ice_fp") === col("_ice_del_fp") &&
+        col("_ice_pos") === col("_ice_del_pos"), "left_anti")
+    }
+    if (dvDels.nonEmpty) {
+      val dels = dvDeleteRows(spark, qualified.toString, dvDels)
       cur = cur.join(dels, col("_ice_fp") === col("_ice_del_fp") &&
         col("_ice_pos") === col("_ice_del_pos"), "left_anti")
     }
@@ -827,7 +935,10 @@ object IcebergCompat {
         |{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]}},
         |{"name":"record_count","type":"long"},
         |{"name":"file_size_in_bytes","type":"long"},
-        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+        |{"name":"referenced_data_file","type":["null","string"],"default":null},
+        |{"name":"content_offset","type":["null","long"],"default":null},
+        |{"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}]}""".stripMargin)
   }
 
   /** The spec's single-value binary serialization of a partition
@@ -1000,6 +1111,124 @@ object IcebergCompat {
       snap.snapshotId, newSnapId, delFile, eqIds)
   }
 
+  /** MERGE-ON-READ DELETE via format-version 3 DELETION VECTORS
+    * (round 13): every current row matching `predicate` folds into a
+    * per-data-file position bitmap; each affected file's vector is
+    * the UNION of its existing vector (superseded by sequence, never
+    * stacked) and the new positions; all vectors pack into ONE puffin
+    * file (spec layout: "PFA1" magic, blobs back-to-back, footer with
+    * JSON blob metadata + payload size + flags + trailing magic) and
+    * publish through a content=1 delete manifest whose entries carry
+    * `file_format=PUFFIN` + `referenced_data_file` +
+    * `content_offset`/`content_size_in_bytes`, upgrading the table's
+    * declared format-version to 3. Fixture/export grade like the
+    * other writers: single-writer, driver memory O(matched rows).
+    * Returns the new snapshot id. */
+  def deleteVectors(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val metaPath = currentMetadataPath(spark, tablePath)
+    val meta = readJson(spark, metaPath)
+    val snap = snapshot(spark, tablePath)
+    val newSnapId = snap.snapshotId + 1
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(root)
+    import spark.implicits._
+    val scanToManifest = snap.files.map { f =>
+      (org.apache.spark.paths.SparkPath.fromPath(
+        DeltaCompat.resolvePath(qualified, f.path)).urlEncoded,
+        f.path)
+    }.toMap
+    val matched: Map[String, Array[Long]] =
+      relationFor(spark, tablePath, snap)
+        .filter(predicate)
+        .select(col("_metadata.file_path").as("_scan_fp"),
+          col("_metadata.row_index").as("pos"))
+        .as[(String, Long)].collect() // fixture-grade, O(matched rows)
+        .groupBy(r => scanToManifest(r._1))
+        .view.mapValues(_.map(_._2)).toMap
+    require(matched.nonEmpty,
+      s"predicate matched no live rows of $tablePath — nothing to delete")
+    // existing newest DV per referenced file (the vector to union)
+    val hconf = spark.sessionState.newHadoopConf()
+    val priorDv: Map[String, IceDelete] = snap.deletes
+      .filter(d => d.content == 1L && d.dvRef.isDefined)
+      .groupBy(_.dvRef.get).view.mapValues(_.maxBy(_.seq)).toMap
+    val vectors: Seq[(String, Array[Byte])] = matched.toSeq.sortBy(_._1)
+      .map { case (rawPath, positions) =>
+        val old: Array[Long] = priorDv.get(rawPath).fold(Array.empty[Long]) {
+          d => readPuffinDv(hconf,
+            DeltaCompat.resolvePath(qualified, d.path).toString,
+            d.dvOffset.get, d.dvLength.get)
+        }
+        rawPath -> graft.util.RoaringBitmapArray.encode(
+          (old ++ positions).distinct.sorted)
+      }
+    // ---- one puffin file: magic, blobs, footer ----
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.write("PFA1".getBytes("UTF-8"))
+    val placed: Seq[(String, Long, Long)] = vectors.map { case (raw, vec) =>
+      val off = bos.size().toLong
+      dos.writeInt(vec.length + 4) // BE length of magic+vector
+      dos.write(Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64))
+      dos.write(vec)
+      val c = new java.util.zip.CRC32()
+      c.update(Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64))
+      c.update(vec)
+      dos.writeInt(c.getValue.toInt) // BE CRC of magic+vector
+      (raw, off, bos.size().toLong - off)
+    }
+    val blobsJson = placed.map { case (_, off, len) =>
+      s"""{"type":"deletion-vector-v1","fields":[],""" +
+        s""""snapshot-id":$newSnapId,"sequence-number":$newSnapId,""" +
+        s""""offset":$off,"length":$len}"""
+    }.mkString(",")
+    val payload =
+      s"""{"blobs":[$blobsJson],"properties":{}}""".getBytes("UTF-8")
+    dos.write("PFA1".getBytes("UTF-8"))
+    dos.write(payload)
+    // footer payload size: 4 bytes LITTLE-endian, then 4 flag bytes
+    // (all zero: uncompressed payload), then the trailing magic
+    dos.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(payload.length)
+      .array())
+    dos.write(Array[Byte](0, 0, 0, 0))
+    dos.write("PFA1".getBytes("UTF-8"))
+    dos.flush()
+    val puffinPath = new Path(qualified, s"dv-$newSnapId.puffin")
+    val out = fs.create(puffinPath, true)
+    try out.write(bos.toByteArray) finally out.close()
+    // ---- delete manifest: one puffin entry per referenced file ----
+    val entrySchema = manifestEntrySchema(Seq.empty)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val entries = placed.map { case (raw, off, len) =>
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", Integer.valueOf(1))
+      dfr.put("file_path", puffinPath.toString)
+      dfr.put("file_format", "PUFFIN")
+      dfr.put("partition", new GenericData.Record(partSchema))
+      dfr.put("record_count", java.lang.Long.valueOf(-1L))
+      dfr.put("file_size_in_bytes",
+        java.lang.Long.valueOf(fs.getFileStatus(puffinPath).getLen))
+      dfr.put("referenced_data_file", raw)
+      dfr.put("content_offset", java.lang.Long.valueOf(off))
+      dfr.put("content_size_in_bytes", java.lang.Long.valueOf(len))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Integer.valueOf(1))
+      e.put("snapshot_id", java.lang.Long.valueOf(newSnapId))
+      e.put("data_file", dfr)
+      e
+    }
+    val metaDir = new Path(root, "metadata")
+    val delManifest = new Path(metaDir, s"manifest-dv-$newSnapId.avro")
+    val dmLen = writeAvro(spark, delManifest, entrySchema, entries)
+    publishSnapshot(spark, tablePath, metaPath, meta, snap.snapshotId,
+      newSnapId, delManifest, dmLen, manifestContent = 1,
+      operation = "delete", formatVersion = Some(3))
+  }
+
   /** Shared publish step of the two MoR delete writers: a delete
     * manifest (content 1 or 2 at the data_file level per `eqIds`),
     * then [[publishSnapshot]]. */
@@ -1047,7 +1276,8 @@ object IcebergCompat {
       newManifest: Path, manifestLen: Long, manifestContent: Int,
       operation: String,
       partitions: Option[java.util.List[GenericRecord]] = None,
-      addedDataSize: Long = 0L): Long = {
+      addedDataSize: Long = 0L,
+      formatVersion: Option[Int] = None): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = new Path(root, "metadata")
@@ -1122,6 +1352,12 @@ object IcebergCompat {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     node.put("current-snapshot-id", newSnapId)
     node.put("last-sequence-number", newSnapId)
+    // a v3 feature writer (deletion vectors) upgrades the table's
+    // declared format version; downgrades are never emitted
+    formatVersion.foreach { v =>
+      val cur = Option(node.get("format-version")).map(_.asInt).getOrElse(1)
+      if (v > cur) node.put("format-version", v)
+    }
     val snapNode = node.withArray("snapshots").addObject()
     snapNode.put("snapshot-id", newSnapId)
     snapNode.put("timestamp-ms", 0L)
