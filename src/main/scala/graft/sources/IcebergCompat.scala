@@ -317,7 +317,10 @@ object IcebergCompat {
       wantedId: Long, totalFilesSize: Option[Long])
 
   private def tableMeta(spark: SparkSession, tablePath: String,
-      asOfSnapshotId: Option[Long]): TableMeta = {
+      asOfSnapshotId: Option[Long], ref: Option[String] = None)
+      : TableMeta = {
+    require(asOfSnapshotId.isEmpty || ref.isEmpty,
+      "pass asOfSnapshotId OR ref, not both")
     val meta = readJson(spark, currentMetadataPath(spark, tablePath))
     val fv = Option(meta.get("format-version")).map(_.asInt).getOrElse(1)
     // v3 accepted for its DELETION-VECTOR feature (round 13); the v3
@@ -373,10 +376,22 @@ object IcebergCompat {
         case _ => None
       }
     }
-    // snapshot selection
+    // snapshot selection: a NAMED REF (the spec's refs map — branches
+    // and tags) resolves first, then an explicit snapshot id, then
+    // the current snapshot
+    val refId: Option[Long] = ref.map { r =>
+      val refsNode = Option(meta.get("refs")).filterNot(_.isNull)
+        .getOrElse(throw new IllegalArgumentException(
+          s"table $tablePath has no refs; cannot resolve '$r'"))
+      val node = Option(refsNode.get(r)).filterNot(_.isNull)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown ref '$r' in $tablePath (have " +
+            refsNode.fieldNames.asScala.mkString("[", ",", "]") + ")"))
+      node.get("snapshot-id").asLong
+    }
     val snaps = Option(meta.get("snapshots")).map(arr =>
       (0 until arr.size).map(arr.get)).getOrElse(Seq.empty)
-    val wantedId = asOfSnapshotId.orElse(
+    val wantedId = refId.orElse(asOfSnapshotId).orElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong)
         .filter(_ != -1L))
     val snapNode = wantedId.map { id =>
@@ -559,8 +574,9 @@ object IcebergCompat {
     * manifests (parsed in parallel) → live (non-DELETED) data
     * files. */
   def snapshot(spark: SparkSession, tablePath: String,
-      asOfSnapshotId: Option[Long] = None): Snapshot = {
-    val tm = tableMeta(spark, tablePath, asOfSnapshotId)
+      asOfSnapshotId: Option[Long] = None,
+      ref: Option[String] = None): Snapshot = {
+    val tm = tableMeta(spark, tablePath, asOfSnapshotId, ref)
     val refs = manifestRefs(spark, new Path(tablePath), tm.snapNode)
     val (files, deletes) = parseManifestsParallel(spark, refs,
       tm.schema, tm.partPairs)
@@ -667,8 +683,9 @@ object IcebergCompat {
     * explicitly, so application is sequence-number-safe by
     * construction — a path can never be re-added in Iceberg). */
   def read(spark: SparkSession, tablePath: String,
-      asOfSnapshotId: Option[Long] = None): DataFrame = {
-    val tm = tableMeta(spark, tablePath, asOfSnapshotId)
+      asOfSnapshotId: Option[Long] = None,
+      ref: Option[String] = None): DataFrame = {
+    val tm = tableMeta(spark, tablePath, asOfSnapshotId, ref)
     val root = new Path(tablePath)
     val refs = manifestRefs(spark, root, tm.snapNode)
     if (refs.isEmpty) {
@@ -683,7 +700,7 @@ object IcebergCompat {
       refs.filter(_._2 == 1L), tm.schema, tm.partPairs)
     if (deletes.exists(_.content == 2L))
       return readWithDeletes(spark, tablePath,
-        snapshot(spark, tablePath, asOfSnapshotId))
+        snapshot(spark, tablePath, asOfSnapshotId, ref))
     val partCols = tm.partPairs.map(_._2)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataSchema = StructType(
@@ -1419,6 +1436,45 @@ object IcebergCompat {
     require(hit, s"no column '$from' in the current schema")
     arr.add(next)
     meta.put("current-schema-id", maxId + 1)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(root, "metadata")
+    val versionRe = """v(\d+)\.metadata\.json""".r
+    val curV = metaPath.getName match { case versionRe(v) => v.toLong }
+    val out = fs.create(
+      new Path(metaDir, s"v${curV + 1}.metadata.json"), true)
+    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(s"${curV + 1}".getBytes("UTF-8")) finally hint.close()
+  }
+
+  /** Set (or retarget) a NAMED REF — the spec's `refs` map: a `tag`
+    * pins a snapshot forever, a `branch` is a movable head. Publishes
+    * a new metadata version + hint; the ref is readable via
+    * `read(..., ref = Some(name))`. Fixture/export grade like the
+    * other writers. */
+  def setRef(spark: SparkSession, tablePath: String, name: String,
+      snapshotId: Long, refType: String = "tag"): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"refType must be tag or branch, got $refType")
+    val metaPath = currentMetadataPath(spark, tablePath)
+    val meta = readJson(spark, metaPath)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = Option(meta.get("snapshots")).map(arr =>
+      (0 until arr.size).map(arr.get(_).get("snapshot-id").asLong))
+      .getOrElse(Seq.empty)
+    require(snaps.contains(snapshotId),
+      s"snapshot $snapshotId not in $tablePath (have " +
+        snaps.mkString("[", ",", "]") + ")")
+    val refs =
+      if (meta.has("refs") && !meta.get("refs").isNull)
+        meta.get("refs")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else meta.putObject("refs")
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId)
+    r.put("type", refType)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = new Path(root, "metadata")

@@ -219,12 +219,13 @@ class IcebergCompatSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       IcebergCompat.snapshot(spark, d) }
     assert(e2.getMessage.contains("nested type kind 'variant'"))
-    // future format version
+    // future format version (v3 is supported since round 13 for its
+    // deletion-vector feature; v4 stays loud)
     rewrite(metaPath.toString,
-      good.replace("\"format-version\":2", "\"format-version\":3"))
+      good.replace("\"format-version\":2", "\"format-version\":4"))
     val e3 = intercept[IllegalArgumentException] {
       IcebergCompat.snapshot(spark, d) }
-    assert(e3.getMessage.contains("format-version 3"))
+    assert(e3.getMessage.contains("format-version 4"))
     // an EQUALITY delete file whose manifest names NO equality_ids:
     // spec-violating, rejected loudly (valid eq-deletes read — see
     // the equality-delete tests)
@@ -442,6 +443,36 @@ class IcebergCompatSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "k"))
     assert(back.collect().map(r => (r.getLong(0), r.getString(1)))
       .sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("named refs: tags pin snapshots, branches read their head, " +
+      "unknown refs and ref+snapshotId reject loudly") {
+    import spark.implicits._
+    val d = tmpDir("icerefs") + "/tbl"
+    IcebergCompat.writeTable(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "k"), d)
+    IcebergCompat.appendTable(Seq((3L, "c")).toDF("id", "k"), d)
+    IcebergCompat.setRef(spark, d, "v1", 1L) // tag the initial snapshot
+    IcebergCompat.setRef(spark, d, "audit", 2L, refType = "branch")
+    def idsOf(ref: String) = IcebergCompat
+      .read(spark, d, ref = Some(ref))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsOf("v1") == Seq(1L, 2L))
+    assert(idsOf("audit") == Seq(1L, 2L, 3L))
+    // unnamed read is unaffected by refs
+    assert(IcebergCompat.read(spark, d).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergCompat.read(spark, d, ref = Some("nope")).count() }
+    assert(e1.getMessage.contains("unknown ref 'nope'") &&
+      e1.getMessage.contains("v1"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergCompat.read(spark, d, asOfSnapshotId = Some(1L),
+        ref = Some("v1")).count() }
+    assert(e2.getMessage.contains("not both"))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergCompat.setRef(spark, d, "bad", 99L) }
+    assert(e3.getMessage.contains("snapshot 99"))
   }
 
   test("nested types round-trip (struct/list/map) and a RENAMED " +
