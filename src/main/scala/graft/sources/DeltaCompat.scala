@@ -1000,10 +1000,15 @@ object DeltaCompat {
       finally out.close()
     } else writeOneParquet(spark, spark.read.json(topLines.toDS()), dest,
       new Path(logDir, s".cpv2_staging_$uuid"))
+    // size = total ACTIONS in the checkpoint: the top-level lines plus
+    // the sidecar-resident file actions (inline layouts already carry
+    // them in topLines — counting both would double-report)
+    val sizeActions = topLines.size +
+      (if (sidecarLines.nonEmpty) addLines.size else 0)
     val ptr = fs.create(new Path(logDir, "_last_checkpoint"), true)
     try ptr.write(
-      s"""{"version":${snap.version},"size":${topLines.size +
-        addLines.size}}""".getBytes("UTF-8"))
+      s"""{"version":${snap.version},"size":$sizeActions}"""
+        .getBytes("UTF-8"))
     finally ptr.close()
     snap.version
   }

@@ -630,9 +630,10 @@ object IcebergCompat {
     try {
       in.seek(offset)
       val len = in.readInt() // big-endian
-      require(len.toLong == length - 8L,
+      require(len.toLong == length - 8L && len >= 4,
         s"DV blob at $file@$offset declares $len magic+vector bytes; " +
-          s"content_size_in_bytes $length wants ${length - 8}")
+          s"content_size_in_bytes $length wants ${length - 8} (>= 4)" +
+          " — torn or hostile vector")
       val magic = new Array[Byte](4); in.readFully(magic)
       require(magic(0) == 0xD1.toByte && magic(1) == 0xD3.toByte &&
         magic(2) == 0x39.toByte && magic(3) == 0x64.toByte,
