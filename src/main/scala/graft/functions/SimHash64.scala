@@ -707,21 +707,27 @@ object GraftFunctions {
   private[functions] val deltaReadInfo = new ExpressionInfo(
     GraftFunctions.getClass.getName, "delta_read")
 
-  /** Table function `iceberg_read('tablePath'[, snapshotId])` — the
-    * read-only Apache Iceberg compatibility reader as a SQL relation
-    * (sources.IcebergCompat): metadata.json → Avro manifests → one
-    * manifest-backed pruned parquet relation. */
+  /** Table function `iceberg_read('tablePath'[, snapshotId | 'ref'])`
+    * — the read-only Apache Iceberg compatibility reader as a SQL
+    * relation (sources.IcebergCompat): metadata.json → Avro manifests
+    * → one manifest-backed pruned parquet relation. A NUMERIC second
+    * argument is a snapshot id; a STRING one resolves through the
+    * spec's refs map (tag or branch — round 13). */
   private[functions] val icebergReadBuilder
       : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     (args: Seq[Expression]) => {
       require(args.size == 1 || args.size == 2,
-        "iceberg_read expects (tablePath[, snapshotId])")
+        "iceberg_read expects (tablePath[, snapshotId | ref])")
       val spark = SparkSession.active
-      val asOf = if (args.size == 2)
-        Some(args(1).eval(null).asInstanceOf[Number].longValue())
-      else None
+      val (asOf, ref) =
+        if (args.size < 2) (None, None)
+        else args(1).eval(null) match {
+          case n: Number => (Some(n.longValue()), None)
+          case other => (None, Some(other.toString))
+        }
       graft.sources.IcebergCompat.read(spark,
-        args.head.eval(null).toString, asOf).queryExecution.analyzed
+        args.head.eval(null).toString, asOf, ref)
+        .queryExecution.analyzed
     }
 
   private[functions] val icebergReadInfo = new ExpressionInfo(

@@ -473,6 +473,13 @@ class IcebergCompatSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException] {
       IcebergCompat.setRef(spark, d, "bad", 99L) }
     assert(e3.getMessage.contains("snapshot 99"))
+    // the TVF routes a STRING second argument through the refs map
+    // (a numeric one stays a snapshot id)
+    graft.functions.GraftFunctions.registerTableFunctions(spark)
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_read('$d', 'v1')")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_read('$d', 2)")
+      .head.getLong(0) == 3L)
   }
 
   test("nested types round-trip (struct/list/map) and a RENAMED " +
