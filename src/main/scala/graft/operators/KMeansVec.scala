@@ -11,9 +11,12 @@ import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType,
   * pair IN-ROW against the broadcast k×d centroid matrix with the
   * native codegen `dot_product` (n·k rows, no exploded join), then
   * recomputes per-(cluster, pos) means over the exploded view with
-  * map-side partial aggregation. Only the k×d centroid matrix ever
-  * reaches the driver (k≈2¹⁰ even at scale ⇒ KB), which is what makes
-  * the loop legitimate: the DATA never collects, the model does.
+  * map-side partial aggregation. Training fits a k×d model from a
+  * BOUNDED deterministic sample (≤128·k vectors — model-sized at any
+  * data scale), so the Lloyd loop itself runs on the DRIVER over the
+  * collected sample ([[train]] → trainLocal, bit-identical to the
+  * cluster loop and ~10 Spark jobs cheaper); the corpus-sized
+  * assignment/encode passes downstream stay fully distributed.
   *
   * Deterministic end-to-end: hash-ranked init, fixed iteration count,
   * index tiebreaks — and, crucially, the two float-sensitive steps are
@@ -55,10 +58,107 @@ object KMeansVec {
   def train(emb: DataFrame, k: Int, iters: Int,
       trainSample: Int = 0): Array[Array[Double]] =
     graft.util.PhaseTimer.time("kmeans_train") {
-      trainImpl(emb, k, iters, trainSample)
+      trainLocal(emb, k, iters, trainSample)
     }
 
-  private def trainImpl(emb: DataFrame, k: Int, iters: Int,
+  /** Driver-side Lloyd loop over the SAME bounded deterministic
+    * sample — bit-identical to [[trainDistributed]] (spec-pinned
+    * element-wise): the sample is collected ONCE (one TakeOrdered
+    * job — it is model-sized by construction: ≤128·k vectors, the
+    * same bound that already made the iteration legitimate), and the
+    * `iters` Lloyd rounds run as plain loops. The distributed loop
+    * paid ~2 jobs per iteration over ≤1280 rows — at ANY data scale
+    * that is pure job-scheduling overhead, because the per-iteration
+    * inputs are the bounded sample, never the corpus (guide §1.2:
+    * fix the algorithm's pass structure first). Bit-identity:
+    *  - assignment scores accumulate in index order exactly like the
+    *    codegen `dot_product` (score = |c|² − 2·v·c, strict-less
+    *    argmin with cent_id ascending = min_by struct tiebreak);
+    *  - means replicate `sum(cast(x as decimal(28,12)))` exactly:
+    *    each element rounds to scale 12 HALF_UP (Spark's
+    *    double→decimal cast), sums exactly in BigDecimal, converts
+    *    via doubleValue (= Decimal.toDouble), divides by the count
+    *    as IEEE double — order-independent, so ANY iteration order
+    *    matches the cluster's merge order. */
+  private def trainLocal(emb: DataFrame, k: Int, iters: Int,
+      trainSample: Int): Array[Array[Double]] = {
+    val n = if (trainSample > 0) trainSample else 128 * k
+    require(n >= k,
+      s"trainSample=$n < k=$k would silently train fewer centroids; " +
+        "raise the sample bound")
+    // one job: the deterministic hash-rank sample, already sorted by
+    // (xxhash64(vec_id), vec_id) — its prefix is the init seed
+    val sample: Array[Array[Double]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(n).collect()
+      .map(_.getSeq[Number](1) // float embeddings OR rotated doubles
+        .map(_.doubleValue()).toArray)
+    require(sample.nonEmpty, "k-means train on an empty embedding table")
+    val d = sample.head.length
+    // driver-memory guard: the sample is model-sized (≤128·k·d
+    // doubles); a caller-forced oversized trainSample fails loudly
+    // instead of silently ballooning the driver
+    require(sample.length.toLong * d <= (1L << 24),
+      s"trainSample=$n × dim=$d exceeds the driver sample bound " +
+        "(2^24 doubles); lower trainSample or use the distributed path")
+    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
+    (1 to iters).foreach { _ =>
+      // |c|² once per centroid (the distributed plan recomputes it
+      // per row — same value, same index-order accumulation)
+      val cn2 = cents.map(c => dot(c, c))
+      val sums = Array.fill(k, d)(java.math.BigDecimal.ZERO)
+      val cnt = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestScore = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          val score = cn2(j) - 2.0 * dot(v, cents(j))
+          if (score < bestScore) { bestScore = score; best = j }
+          j += 1
+        }
+        cnt(best) += 1
+        var p = 0
+        while (p < d) {
+          sums(best)(p) = sums(best)(p).add(new java.math.BigDecimal(v(p))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          p += 1
+        }
+      }
+      val updated = cents.map(_.clone())
+      var j = 0
+      while (j < k) {
+        if (cnt(j) > 0) {
+          var p = 0
+          while (p < d) {
+            updated(j)(p) = sums(j)(p).doubleValue() / cnt(j).toDouble
+            p += 1
+          }
+        }
+        j += 1
+      }
+      cents = updated
+    }
+    cents
+  }
+
+  /** Index-order dot product — the codegen `dot_product`'s exact
+    * accumulation order (see VectorExprs doc). */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The original cluster-side Lloyd loop, kept as the bit-identity
+    * witness for [[trainLocal]] (spec cross-checks them element-wise)
+    * and as the escape hatch for a sample deliberately sized past
+    * driver memory. */
+  private[graft] def trainDistributed(emb: DataFrame, k: Int, iters: Int,
       trainSample: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession
     val n = if (trainSample > 0) trainSample else 128 * k

@@ -106,6 +106,101 @@ object VectorPQ {
   def train(emb: DataFrame, m: Int, ksub: Int, iters: Int = 5,
       trainSample: Int = 0): DataFrame = {
     val spark = emb.sparkSession
+    val n = sampleSize(ksub, trainSample)
+    require(n >= ksub,
+      s"trainSample=$n < ksub=$ksub would silently train a smaller " +
+        "codebook; raise the sample bound")
+    // one job: the deterministic hash-rank sample (sorted by
+    // (xxhash64(vec_id), vec_id) — its ksub-prefix is the init seed).
+    // Model-sized by construction (≤max(64·ksub,1024) vectors), so
+    // the Lloyd rounds run on the DRIVER — the cluster loop paid ~2
+    // jobs/iteration over ≤1024 rows, pure scheduling overhead at any
+    // data scale. Bit-identical to [[trainDistributed]] (spec-pinned):
+    // same index-order dot accumulation, same strict-less argmin with
+    // code_id-ascending tiebreak, same decimal(28,12) HALF_UP mean.
+    val sample: Array[Array[Double]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(n).collect()
+      .map(_.getSeq[Number](1)
+        .map(_.doubleValue()).toArray)
+    require(sample.nonEmpty, "PQ train on an empty embedding table")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    require(sample.length.toLong * d <= (1L << 24),
+      s"trainSample=$n × dim=$d exceeds the driver sample bound " +
+        "(2^24 doubles); lower trainSample or use the distributed path")
+    val dsub = d / m
+    // cb[sub][code][dim]; seed: code j of EVERY subspace = the j-th
+    // sample vector's j-th subvector slice
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m) { s =>
+        sample.take(ksub).map(_.slice(s * dsub, (s + 1) * dsub))
+      }
+    (1 to iters).foreach { _ =>
+      val sums =
+        Array.fill(m, ksub, dsub)(java.math.BigDecimal.ZERO)
+      val cnt = Array.ofDim[Long](m, ksub)
+      sample.foreach { v =>
+        var s = 0
+        while (s < m) {
+          val codes = cb(s)
+          var best = 0
+          var bestScore = Double.PositiveInfinity
+          var j = 0
+          while (j < ksub) {
+            val c = codes(j)
+            // |c|² − 2·s·c, each dot in index order (codegen order)
+            var cn2 = 0.0; var dotSC = 0.0; var p = 0
+            while (p < dsub) {
+              cn2 += c(p) * c(p)
+              dotSC += v(s * dsub + p) * c(p)
+              p += 1
+            }
+            val score = cn2 - 2.0 * dotSC
+            if (score < bestScore) { bestScore = score; best = j }
+            j += 1
+          }
+          cnt(s)(best) += 1
+          var p = 0
+          while (p < dsub) {
+            sums(s)(best)(p) = sums(s)(best)(p).add(
+              new java.math.BigDecimal(v(s * dsub + p))
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+            p += 1
+          }
+          s += 1
+        }
+      }
+      val updated = cb.map(_.map(_.clone()))
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < ksub) {
+          if (cnt(s)(j) > 0) {
+            var p = 0
+            while (p < dsub) {
+              updated(s)(j)(p) = sums(s)(j)(p).doubleValue() /
+                cnt(s)(j).toDouble
+              p += 1
+            }
+          }
+          j += 1
+        }
+        s += 1
+      }
+      cb = updated
+    }
+    codebookDF(spark, cb)
+  }
+
+  /** The original cluster-side PQ Lloyd loop — kept as the
+    * bit-identity witness for [[train]]'s driver loop (spec
+    * cross-checks the codebooks element-wise). */
+  private[graft] def trainDistributed(emb: DataFrame, m: Int, ksub: Int,
+      iters: Int = 5, trainSample: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
     val d = emb.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m

@@ -950,6 +950,26 @@ class OperatorsSpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c3.map(_.toSeq).toSeq)
   }
 
+  test("driver-loop trainers are BIT-IDENTICAL to the distributed Lloyd loop") {
+    // r13 optimization: train() runs Lloyd's on the driver over the
+    // same bounded hash-rank sample (one job instead of ~2/iteration).
+    // This pins element-wise bit-identity against the original
+    // cluster-side loop — q49's oracle hash rides on these doubles.
+    val emb = Tables.embeddings(spark, sfDir)
+    val local = KMeansVec.train(emb, k = 10, iters = 5)
+    val dist = KMeansVec.trainDistributed(emb, k = 10, iters = 5,
+      trainSample = 0)
+    assert(local.length == dist.length)
+    local.zip(dist).foreach { case (l, r) =>
+      assert(java.util.Arrays.equals(l, r)) }
+    // PQ codebooks: same contract, every (sub, code) row identical
+    val cbL = VectorPQ.train(emb, m = 16, ksub = 16, iters = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val cbD = VectorPQ.trainDistributed(emb, m = 16, ksub = 16, iters = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(cbL == cbD)
+  }
+
   test("packed 4-bit PQ codes: half the bytes, identical ADC ranking") {
     val emb = Tables.embeddings(spark, sfDir)
     val cb = VectorPQ.train(emb, m = 16, ksub = 16, iters = 3)
