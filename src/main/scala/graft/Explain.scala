@@ -82,8 +82,22 @@ object Explain {
       df.count()
       val tExec = (System.nanoTime() - t1) / 1e9
       df.explain("formatted")
+      graft.util.PhaseTimer.drain() // cold-run phases: discard
+      // min-of-N reruns (SPARK_GRAFT_EXPLAIN_RUNS, default 3): single
+      // warm runs of job-heavy queries swing 2x with ambient load —
+      // the min is the comparable steady-state number (bench protocol)
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_RUNS", "3").toInt
+      val reruns = (1 to nRuns).map { _ =>
+        spark.catalog.clearCache()
+        val t = time(name)
+        (t, graft.util.PhaseTimer.drain())
+      }
+      val (tRerun, phases) = reruns.minBy(_._1)
+      phases.foreach { case (p, sec) =>
+        println(f"[phase] $p%-24s $sec%7.3f s")
+      }
       println(f"[explain] $name: build=$tBuild%.3f s exec=$tExec%.3f s " +
-        f"rerun=${time(name)}%.3f s")
+        f"rerun=$tRerun%.3f s all=[${reruns.map(r => f"${r._1}%.2f").mkString(",")}]")
     }
     spark.stop()
   }

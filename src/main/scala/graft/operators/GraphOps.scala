@@ -108,8 +108,17 @@ object GraphOps {
     }
     graft.util.PhaseTimer.time("pr_rounds") {
       val spKey = "spark.sql.shuffle.partitions"
+      val smjKey = "spark.sql.join.preferSortMergeJoin"
       val prevSp = spark.conf.get(spKey)
+      val prevSmj = spark.conf.get(smjKey, "true")
       spark.conf.set(spKey, rankStateParts(spark, n).toString)
+      // shuffled-hash, not sort-merge, for the round joins (guide
+      // §3.1): SMJ re-sorts the E-sized edge stream EVERY round; SHJ
+      // builds a hash table of the V-sized rank/degree state per
+      // partition instead (≤64k rows by rankStateParts construction —
+      // bounded regardless of data scale) and streams the edges
+      // unsorted. Same rows, same decimal sums — plan-shape only.
+      spark.conf.set(smjKey, "false")
       try {
         val base = lit((1.0 - damping) / n)
         var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"), col("deg"))
@@ -135,7 +144,10 @@ object GraphOps {
         // width (a lazy return would run them later under the ambient
         // conf) — and hand the caller a V-sized checkpointed result
         ranks.select("node", "rank").cutLineage()
-      } finally spark.conf.set(spKey, prevSp)
+      } finally {
+        spark.conf.set(spKey, prevSp)
+        spark.conf.set(smjKey, prevSmj)
+      }
     }
   }
 
