@@ -162,8 +162,13 @@ object Bench {
       "q249_ratio_to_parent" -> cart,
       // round-10 additions: q254's quantile breaks are a 1-row
       // broadcast cross (q259's former band-join cross became a
-      // map-side explode + semi-join in round 11 — clean lint now)
-      "q254_delay_quantile_bands" -> cart)
+      // map-side explode + semi-join in round 11 — clean lint now).
+      // r13 (optimization): q254 now folds the fact join into a
+      // delay-grain histogram first — the breaks cross joins against
+      // the HISTOGRAM (calendar-bounded rows), its rank-range probe
+      // join is a second broadcast nested-loop, and the cumulative
+      // count runs a delay-grain window (the day-grain convention)
+      "q254_delay_quantile_bands" -> (cart ++ cart ++ win))
   }
 
   /** BENCH_FREEZE: per-round artifacts (…_rNN.jsonl) are write-once.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoints.CutOps
 import graft.util.Exact._
 
 /** Relational analytics surface — the Spark-native equivalent of the
@@ -6177,21 +6178,60 @@ object Relational {
     * 1-row broadcast cross + CASE, rollup is 5 rows. Hash-exact. */
   private val q254: QFn = (s, d) => {
     val dl = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_orderkey"),
         col("l_extendedprice"), to_date(col("l_shipdate")).as("sd"))
       .join(Tables.orders(s, d)
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("delay", datediff(col("sd"), col("od")).cast("double"))
-      .withColumn("g0", lit(1))
-    val breaks = RankOps.groupedPercentiles(dl, "g0", "delay",
-        Seq("l_orderkey", "l_linenumber"), Seq(0.2, 0.4, 0.6, 0.8))
-      .groupBy("g")
+    // r13 rewrite: delay is WHOLE DAYS, so its distinct-value count is
+    // calendar-bounded (≈120 here, never data-scaled) — ONE fact pass
+    // folds the join into a delay-grain histogram carrying exactly the
+    // decimal sums davg needs, and both the quantile breaks AND the
+    // band rollup read the tiny histogram. The previous shape ran the
+    // fact-fact join TWICE (once under the prefix-sum percentile
+    // machinery, once under the banding cross) — 2 full passes + 2 RDD
+    // rank passes at any scale. Value-identical (oracle-proven):
+    // decimal sums re-associate exactly, and the interpolation below
+    // reproduces groupedPercentiles' (v_lo + (v_hi−v_lo)·frac) doubles
+    // bit-for-bit from the same order statistics.
+    val hist = dl.groupBy("delay").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("delay").cast(Dec)).as("dsum"),
+        sum(col("l_extendedprice").cast(Dec)).as("psum"))
+      .cutLineage()
+    // exclusive cumulative count per distinct delay: the 0-based rank
+    // range [cumb, cumb+cnt) this value occupies in the sorted
+    // multiset (delay-grain window — the day-grain lint convention)
+    val wofs = Window.orderBy(col("delay"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumh = hist.withColumn("cumb",
+      coalesce(sum(col("cnt")).over(wofs), lit(0L)))
+    // quantile_cont probes: h=(n−1)·p, lo=floor(h), hi=ceil(h) — the
+    // exact probe table groupedPercentiles builds, on the histogram
+    val probes = hist.agg(sum(col("cnt")).as("n"))
+      .select(explode(array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)).as("p"),
+        col("n"))
+      .withColumn("h", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("frac", col("h") - floor(col("h")).cast("double"))
+      .select(col("p"), col("frac"), explode(array(
+        struct(floor(col("h")).cast("long").as("want"), lit("lo").as("role")),
+        struct(ceil(col("h")).cast("long").as("want"), lit("hi").as("role"))))
+        .as("wt"))
+      .select(col("p"), col("frac"),
+        col("wt.want").as("want"), col("wt.role").as("role"))
+    val breaks = cumh.join(broadcast(probes),
+        col("want") >= col("cumb") && col("want") < col("cumb") + col("cnt"))
+      .groupBy("p", "frac")
+      .agg(max(when(col("role") === "lo", col("delay"))).as("v_lo"),
+        max(when(col("role") === "hi", col("delay"))).as("v_hi"))
+      .select(col("p"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac")).as("pv"))
       .agg(max(when(col("p") === 0.2, col("pv"))).as("b20"),
         max(when(col("p") === 0.4, col("pv"))).as("b40"),
         max(when(col("p") === 0.6, col("pv"))).as("b60"),
         max(when(col("p") === 0.8, col("pv"))).as("b80"))
-    dl.crossJoin(broadcast(breaks.drop("g")))
+    hist.crossJoin(broadcast(breaks))
       .withColumn("band",
         when(col("delay") <= col("b20"), "1_fastest")
           .when(col("delay") <= col("b40"), "2_fast")
@@ -6199,9 +6239,11 @@ object Relational {
           .when(col("delay") <= col("b80"), "4_slow")
           .otherwise("5_slowest"))
       .groupBy("band")
-      .agg(count(lit(1)).as("n_lines"),
-        round(davg(col("delay")), 6).as("mean_delay_days"),
-        round(davg(col("l_extendedprice")), 6).as("mean_price"))
+      .agg(sum(col("cnt")).as("n_lines"),
+        round((sum(col("dsum")).cast("double") / sum(col("cnt")))
+          .cast("double"), 6).as("mean_delay_days"),
+        round((sum(col("psum")).cast("double") / sum(col("cnt")))
+          .cast("double"), 6).as("mean_price"))
       .orderBy("band")
   }
   private val q254Sql =
