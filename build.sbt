@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default heap sized to the 128 GiB bench sandbox (r13: the 8g
+  // default put the multimodal codec queries into GC storms once
+  // their render/decode work ran 32-wide — q267 swung 1.7–15 s run to
+  // run at 8g and settled at 1.7 s here; still overridable per env)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // a 38-query run compiles a lot of whole-stage-codegen classes;
   // the JVM default 240m code cache can fill near the end of the run
   // and silently de-optimize the tail queries to the interpreter

@@ -24,6 +24,14 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO's default useCache=true routes EVERY encode/decode through
+  // a temp FILE (FileCache streams) — 32 concurrent codec tasks turned
+  // into disk-churn contention (r13: q267/q268 swung 1.2–15 s run to
+  // run). Memory-cached streams are transport-only: identical bytes,
+  // no disk. Set once per JVM (executor classloads this object before
+  // first use; the flag is process-global and idempotent).
+  ImageIO.setUseCache(false)
+
   /** splitmix64 finalizer — the per-pixel PRN for synthetic images. */
   def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

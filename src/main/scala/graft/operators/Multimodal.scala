@@ -72,9 +72,19 @@ object Multimodal {
   /** The synthetic image corpus: one deterministic PNG per document
     * (seed/dims per the contract above), rendered + encoded
     * executor-side. Stands in for `spark.read.format("binaryFile")`
-    * over an image bucket — same downstream shape: (id, bytes). */
+    * over an image bucket — same downstream shape: (id, bytes).
+    *
+    * All four corpus builders WIDEN the id projection before the
+    * per-row codec work (r13): input splits are sized for scanning,
+    * so the KB-sized documents projection arrives as ONE split and
+    * every render/encode/decode downstream would run in ONE task —
+    * the widenForExplosion class (per-row cost multiplier, not row
+    * multiplier). The shuffle moves (id, source) rows only; the heavy
+    * bytes are created AFTER the exchange (guide §8: move payloads
+    * zero times) and flow map-side into demux/decode/hash consumers. */
   def imageTable(s: SparkSession, d: String): DataFrame = {
-    val rdd = Tables.documents(s, d).select("doc_id", "source").rdd
+    val rdd = graft.util.Partitioning.widenForExplosion(
+        Tables.documents(s, d).select("doc_id", "source")).rdd
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -160,7 +170,8 @@ object Multimodal {
     * doc_id≡7 twins of [[imageTable]] plus flipped-bit re-encodes at
     * doc_id≡3 per the contract above. */
   def imageTableR(s: SparkSession, d: String): DataFrame = {
-    val rdd = Tables.documents(s, d).select("doc_id", "source").rdd
+    val rdd = graft.util.Partitioning.widenForExplosion(
+        Tables.documents(s, d).select("doc_id", "source")).rdd
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -282,7 +293,8 @@ object Multimodal {
   /** The synthetic video corpus: one deterministic container per doc
     * (same planted-dup seed rule as images). */
   def videoTable(s: SparkSession, d: String): DataFrame = {
-    val rdd = Tables.documents(s, d).select("doc_id", "source").rdd
+    val rdd = graft.util.Partitioning.widenForExplosion(
+        Tables.documents(s, d).select("doc_id", "source")).rdd
       .mapPartitions { it =>
         it.map { r =>
           Row(r.getLong(0), r.getString(1), encodeVideo(imageSeed(r.getLong(0))))
@@ -383,7 +395,8 @@ object Multimodal {
     * re-upload rule as images — doc_id ≡ 7 mod 10 reuses the previous
     * doc's seed). */
   def audioTable(s: SparkSession, d: String): DataFrame = {
-    val rdd = Tables.documents(s, d).select("doc_id", "source").rdd
+    val rdd = graft.util.Partitioning.widenForExplosion(
+        Tables.documents(s, d).select("doc_id", "source")).rdd
       .mapPartitions { it =>
         it.map { r =>
           val seed = imageSeed(r.getLong(0))
