@@ -209,6 +209,29 @@ object BpeTrainer {
     merges.result()
   }
 
+  /** Per-task memoized application of the merge table (r13): the
+    * subword split is a pure function of the WORD, and word frequency
+    * is Zipf — a task sees its hot words thousands of times, yet the
+    * unmemoized loop re-ran all |merges| passes per OCCURRENCE (40
+    * merges × 270k occurrences over 31 distinct words at sf0.1).
+    * Capped, no eviction (Zipf's hot set arrives first; past the cap
+    * the cold tail just recomputes) — output identical by purity. */
+  private def memoizedSegmenter(ms: Vector[(String, String)])
+      : String => Vector[String] = {
+    val memo = new java.util.HashMap[String, Vector[String]]()
+    val cap = 1 << 16
+    (w: String) => {
+      val hit = memo.get(w)
+      if (hit != null) hit
+      else {
+        var sym = initSymbols(w)
+        ms.foreach { case (a, b) => sym = applyMerge(sym, a, b) }
+        if (memo.size < cap) memo.put(w, sym)
+        sym
+      }
+    }
+  }
+
   /** Segment `textCol` with a learned merge table: per-doc subword
     * token count plus the mean tokens-per-word fertility (the
     * tokenizer-quality number vocab sweeps optimize). Pure map-side —
@@ -220,17 +243,13 @@ object BpeTrainer {
     val bc = spark.sparkContext.broadcast(merges.toVector)
     val rdd = docs.select(col(idCol).cast("long"), col(textCol)).rdd
       .mapPartitions { it =>
-        val ms = bc.value
+        val seg = memoizedSegmenter(bc.value)
         it.map { r =>
           val id = r.getLong(0)
           val ws = Option(r.getString(1)).getOrElse("")
             .trim.split("\\s+").filter(_.nonEmpty)
           var tokens = 0L
-          ws.foreach { w =>
-            var sym = initSymbols(w)
-            ms.foreach { case (a, b) => sym = applyMerge(sym, a, b) }
-            tokens += sym.length
-          }
+          ws.foreach { w => tokens += seg(w).length }
           Row(id, ws.length.toLong, tokens)
         }
       }
@@ -295,6 +314,7 @@ object BpeTrainer {
     val rdd = docs.select(col(idCol).cast("long"), col(textCol)).rdd
       .mapPartitions { it =>
         val (ms, vm) = bc.value
+        val seg = memoizedSegmenter(ms)
         it.map { r =>
           val id = r.getLong(0)
           val ws = Option(r.getString(1)).getOrElse("")
@@ -302,9 +322,7 @@ object BpeTrainer {
           val ids = Array.newBuilder[Int]
           var oov = 0L
           ws.foreach { w =>
-            var sym = initSymbols(w)
-            ms.foreach { case (a, b) => sym = applyMerge(sym, a, b) }
-            sym.foreach { t =>
+            seg(w).foreach { t =>
               val i = vm.getOrElse(t, UnkId)
               if (i == UnkId) oov += 1L
               ids += i
