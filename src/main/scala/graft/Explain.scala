@@ -86,7 +86,8 @@ object Explain {
       // min-of-N reruns (SPARK_GRAFT_EXPLAIN_RUNS, default 3): single
       // warm runs of job-heavy queries swing 2x with ambient load —
       // the min is the comparable steady-state number (bench protocol)
-      val nRuns = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_RUNS", "3").toInt
+      val nRuns =
+        math.max(1, sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_RUNS", "3").toInt)
       val reruns = (1 to nRuns).map { _ =>
         spark.catalog.clearCache()
         val t = time(name)

@@ -98,11 +98,11 @@ object KMeansVec {
     require(sample.nonEmpty, "k-means train on an empty embedding table")
     val d = sample.head.length
     // driver-memory guard: the sample is model-sized (≤128·k·d
-    // doubles); a caller-forced oversized trainSample fails loudly
-    // instead of silently ballooning the driver
-    require(sample.length.toLong * d <= (1L << 24),
-      s"trainSample=$n × dim=$d exceeds the driver sample bound " +
-        "(2^24 doubles); lower trainSample or use the distributed path")
+    // doubles); a caller-forced oversized trainSample dispatches to
+    // the distributed witness loop (bit-identical) instead of keeping
+    // the oversized sample resident through `iters` driver rounds
+    if (sample.length.toLong * d > (1L << 24))
+      return trainDistributed(emb, k, iters, trainSample)
     var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
     (1 to iters).foreach { _ =>
       // |c|² once per centroid (the distributed plan recomputes it
@@ -122,7 +122,13 @@ object KMeansVec {
         cnt(best) += 1
         var p = 0
         while (p < d) {
-          sums(best)(p) = sums(best)(p).add(new java.math.BigDecimal(v(p))
+          // valueOf = Double.toString shortest-repr — the SAME
+          // conversion Spark's double→decimal cast performs
+          // (Decimal.set(d) → scala BigDecimal(d) → valueOf); the
+          // exact-binary `new BigDecimal(d)` constructor disagrees
+          // with it ~1/54k roundings at scale 12 and silently broke
+          // the trainDistributed bit-identity contract
+          sums(best)(p) = sums(best)(p).add(java.math.BigDecimal.valueOf(v(p))
             .setScale(12, java.math.RoundingMode.HALF_UP))
           p += 1
         }

@@ -128,9 +128,10 @@ object VectorPQ {
     require(sample.nonEmpty, "PQ train on an empty embedding table")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
-    require(sample.length.toLong * d <= (1L << 24),
-      s"trainSample=$n × dim=$d exceeds the driver sample bound " +
-        "(2^24 doubles); lower trainSample or use the distributed path")
+    // oversized trainSample → distributed witness loop (bit-identical)
+    // rather than holding the oversized sample on the driver
+    if (sample.length.toLong * d > (1L << 24))
+      return trainDistributed(emb, m, ksub, iters, trainSample)
     val dsub = d / m
     // cb[sub][code][dim]; seed: code j of EVERY subspace = the j-th
     // sample vector's j-th subvector slice
@@ -165,8 +166,11 @@ object VectorPQ {
           cnt(s)(best) += 1
           var p = 0
           while (p < dsub) {
+            // valueOf matches Spark's Decimal(double) toString-based
+            // conversion; the exact-binary constructor does not (see
+            // KMeansVec.trainLocal)
             sums(s)(best)(p) = sums(s)(best)(p).add(
-              new java.math.BigDecimal(v(s * dsub + p))
+              java.math.BigDecimal.valueOf(v(s * dsub + p))
                 .setScale(12, java.math.RoundingMode.HALF_UP))
             p += 1
           }
