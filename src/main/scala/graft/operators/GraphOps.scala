@@ -41,11 +41,35 @@ object GraphOps {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Decimal contribution accumulator: per-term rounding error ≤5e-19
-    * against rank masses ~1/V — far below any reported digit. (Not
-    * [[graft.util.Exact.Dec]]: scale 6 is price-grained; rank
-    * contributions need the full 18.) */
-  private val DecR = org.apache.spark.sql.types.DecimalType(38, 18)
+  /** The contribution accumulator is semantically DECIMAL(38,18):
+    * per-term rounding error ≤5e-19 against rank masses ~1/V — far
+    * below any reported digit (not [[graft.util.Exact.Dec]]: scale 6
+    * is price-grained; rank contributions need the full 18). It is
+    * EVALUATED as exact fixed-point integer sums — see the round loop.
+    *
+    * `cast(c as decimal(38,18))` as a scale-18 unscaled long — the
+    * SAME value Spark's double→decimal cast produces (Decimal(d) parses
+    * Double.toString = BigDecimal.valueOf, changePrecision rounds
+    * HALF_UP to scale 18), so downstream integer sums of these are
+    * bit-equal to the decimal sum. Restricted to |c| < ~9.2 (unscaled
+    * fits one long) — rank/outdeg contributions are ≤ total rank mass
+    * = 1 by construction; longValueExact fails LOUDLY if a caller ever
+    * feeds a value outside that domain instead of corrupting the sum. */
+  private val unscaled18 = udf((c: Double) =>
+    java.math.BigDecimal.valueOf(c)
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact())
+
+  /** Reassemble the three-way digit-split sums (see the round loop)
+    * into the exact 128-bit unscaled total and convert EXACTLY like
+    * `cast(decimal(38,18) as double)` (BigDecimal.doubleValue). */
+  private val splitSumToDouble = udf((s2: Long, s1: Long, s0: Long) =>
+    new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(s2)
+        .multiply(java.math.BigInteger.valueOf(1000000000000L))
+        .add(java.math.BigInteger.valueOf(s1)
+          .multiply(java.math.BigInteger.valueOf(1000000L)))
+        .add(java.math.BigInteger.valueOf(s0)), 18).doubleValue())
 
   /** Run `body` with AQE disabled — checkpoints taken inside report a
     * concrete outputPartitioning instead of adaptive-unknown. */
@@ -66,7 +90,13 @@ object GraphOps {
   private[graft] def rankStateParts(spark: SparkSession, n: Long): Int = {
     val rowsPer = 1L << 16
     val maxP = math.max(1, spark.sparkContext.defaultParallelism).toLong
-    math.max(1L, math.min(maxP, (n + rowsPer - 1) / rowsPer)).toInt
+    // floor at min(maxP, 8): the per-round final aggregate merges up to
+    // mapWidth×V partial rows — at width 1 that merge is a SERIAL
+    // ~0.3 s/round bottleneck for a small V on a wide edge layout,
+    // while 8 small reduce tasks are negligible scheduling at any
+    // cluster size (the cap keeps the big-cluster tiny-state posture)
+    math.max(math.min(maxP, 8L),
+      math.min(maxP, (n + rowsPer - 1) / rowsPer)).toInt
   }
 
   /** Damped PageRank over a directed edge list `(src, dst)`.
@@ -82,7 +112,7 @@ object GraphOps {
     * edge layout + degree state, `pr_rounds` = all rank rounds), not
     * at the caller's first action. */
   def pagerank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, dedupEdges: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     // E-sized side partitioned by the join key once, lineage cut; every
     // iteration reuses this layout and shuffles only the rank state.
@@ -93,8 +123,15 @@ object GraphOps {
     // shuffles in the 5-round plan; 0 after this).
     val (e, deg, n) = graft.util.PhaseTimer.time("pr_edges") {
       withoutAqe(spark) {
-        val e0 = edges.select(col("src"), col("dst"))
-          .repartition(col("src")).cutLineage()
+        // dedupEdges folds the caller's DISTINCT into THIS exchange:
+        // hashpartitioning(src) satisfies the (src,dst) clustering the
+        // dedup aggregate needs, so it runs partition-local here — one
+        // full edge shuffle instead of the caller's distinct exchange
+        // PLUS this repartition (r14; same row set either way)
+        val ePart = edges.select(col("src"), col("dst"))
+          .repartition(col("src"))
+        val e0 = (if (dedupEdges) ePart.dropDuplicates("src", "dst")
+                  else ePart).cutLineage()
         val d0 = e0.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg")).cutLineage()
         val cnt = d0.count() // scalar to the driver — the model, not the data
@@ -109,8 +146,10 @@ object GraphOps {
     graft.util.PhaseTimer.time("pr_rounds") {
       val spKey = "spark.sql.shuffle.partitions"
       val smjKey = "spark.sql.join.preferSortMergeJoin"
+      val abtKey = "spark.sql.autoBroadcastJoinThreshold"
       val prevSp = spark.conf.get(spKey)
       val prevSmj = spark.conf.get(smjKey, "true")
+      val prevAbt = spark.conf.get(abtKey, "10485760")
       spark.conf.set(spKey, rankStateParts(spark, n).toString)
       // shuffled-hash, not sort-merge, for the round joins (guide
       // §3.1): SMJ re-sorts the E-sized edge stream EVERY round; SHJ
@@ -118,27 +157,62 @@ object GraphOps {
       // partition instead (≤64k rows by rankStateParts construction —
       // bounded regardless of data scale) and streams the edges
       // unsorted. Same rows, same decimal sums — plan-shape only.
+      // Auto-broadcast is OFF here too (r14): a small rank state gets
+      // broadcast-planned otherwise, which re-collects V rows to the
+      // driver and rebroadcasts them EVERY round — per-round driver
+      // round-trips the SHJ exchange avoids (and the r13 broadcast
+      // A/B already measured slower with 2-3x the variance).
       spark.conf.set(smjKey, "false")
+      spark.conf.set(abtKey, "-1")
       try {
         val base = lit((1.0 - damping) / n)
         var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"), col("deg"))
         (1 to iters).foreach { i =>
+          // The contribution sum is semantically
+          //   sum(cast(rank/deg as decimal(38,18))).cast("double")
+          // but evaluated per EDGE that form pays a boxed decimal cast
+          // + BigDecimal add per row. rank/deg is per-NODE: convert it
+          // to the exact scale-18 unscaled long ONCE per node (V-sized
+          // work), digit-split it into three ≤1e6 components so the
+          // per-edge aggregation is three plain long sums in
+          // whole-stage codegen (t = t2·1e12 + t1·1e6 + t0 holds
+          // exactly; each component sum stays far from long overflow
+          // for any in-degree < 1e12), then reassemble the 128-bit
+          // total per node. Bit-identical by construction: same
+          // rounding per term (unscaled18 doc), exact integer sums,
+          // same final BigDecimal→double conversion.
+          val contribSrc = ranks.select(col("node").as("src"),
+              unscaled18(col("rank") / col("deg")).as("t"))
+            .select(col("src"), expr("t div 1000000000000").as("t2"),
+              expr("(t div 1000000) % 1000000").as("t1"),
+              expr("t % 1000000").as("t0"))
           val contribs = e
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+            .join(contribSrc.hint("shuffle_hash"), "src")
+            .select(col("dst").as("node"), col("t2"), col("t1"), col("t0"))
             .groupBy("node")
-            .agg(sum(col("c").cast(DecR)).cast("double").as("in"))
+            .agg(sum("t2").as("s2"), sum("t1").as("s1"), sum("t0").as("s0"))
+            .select(col("node"),
+              splitSumToDouble(col("s2"), col("s1"), col("s0")).as("in"))
           ranks = deg
-            .join(contribs, Seq("node"), "left")
+            .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
             .select(col("node"),
               (base + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"),
               col("deg"))
-          // each round references the previous ONCE, so the plan grows
-          // linearly — an eager per-round cut would cost a full job per
-          // iteration in driver round-trips. Cut the lineage every 4
-          // rounds instead: depth stays bounded for long runs while a
-          // typical 5-20 round PageRank executes as a handful of jobs.
-          if (i % 4 == 0 && i < iters) ranks = ranks.cutLineage()
+          if (sys.env.contains("SPARK_GRAFT_PR_DEBUG") && i <= 3)
+            ranks.explain("formatted")
+          // cut the lineage EVERY round (r14; was every 4th): a
+          // multi-round lazy chain makes every round's operators
+          // distinct codegen stages (codegenStageId is embedded in the
+          // generated source, so NOTHING is reused — each round pays
+          // class-load + JIT warmup over the E-sized stream, measured
+          // as 3-10x the round's real work) and grows the task binary
+          // per round (measured: executorDeserializeTime 0.2→1.1 s
+          // across rounds 1-4). With a cut per round every iteration
+          // is the SAME two-stage query — identical generated source,
+          // one hot class set — at the cost of one ~50 ms driver
+          // round-trip per iteration, which the reuse repays several
+          // times over at any scale.
+          if (i < iters) ranks = ranks.cutLineage()
         }
         // materialize the tail rounds HERE, inside the scoped shuffle
         // width (a lazy return would run them later under the ambient
@@ -147,6 +221,7 @@ object GraphOps {
       } finally {
         spark.conf.set(spKey, prevSp)
         spark.conf.set(smjKey, prevSmj)
+        spark.conf.set(abtKey, prevAbt)
       }
     }
   }
@@ -157,13 +232,18 @@ object GraphOps {
     * Top 25 by rounded rank, node tiebreak, so the cutoff is
     * deterministic in both engines. */
   private val q98: QFn = (s, d) => {
+    // raw (undeduped) pair stream: the DISTINCT runs inside pagerank's
+    // single edge exchange (dedupEdges) instead of paying its own
+    // (src,dst) exchange first — distinct(union(raw, raw.rev)) ≡
+    // union(distinct(raw), distinct(raw).rev) here because src is
+    // always even and dst odd (no symmetric duplicates possible)
     val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
-    pagerank(e0.union(e0.select(col("dst"), col("src"))), iters = 5)
+    pagerank(e0.union(e0.select(col("dst"), col("src"))), iters = 5,
+      dedupEdges = true)
       .select(col("node").as("node_id"), round(col("rank"), 9).as("pr"))
       .orderBy(col("pr").desc, col("node_id"))
       .limit(25)

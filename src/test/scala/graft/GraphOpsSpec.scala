@@ -98,11 +98,15 @@ class GraphOpsSpec extends SparkSpec {
       s"j4=$j4 j8=$j8 j12=$j12: per-round job cost is not constant")
     assert(j8 - j4 <= 6, s"marginal jobs per 4 rounds = ${j8 - j4}")
     // 5 nodes << 64k rows/partition ⇒ the V-sized rank state (and the
-    // returned result) lives in ONE partition, not the ambient width
-    assert(GraphOps.rankStateParts(spark, 5L) == 1)
-    assert(p4 == 1, s"rank state landed in $p4 partitions")
+    // returned result) lands at the min(maxP, 8) reduce floor (r14:
+    // the per-round final aggregate merges mapWidth×V partial rows —
+    // width 1 made that merge a serial per-round bottleneck), never
+    // the ambient width
+    val floor = math.min(spark.sparkContext.defaultParallelism, 8)
+    assert(GraphOps.rankStateParts(spark, 5L) == floor)
+    assert(p4 == floor, s"rank state landed in $p4 partitions")
     assert(GraphOps.rankStateParts(spark, 1L << 20) ==
-      math.min(16, spark.sparkContext.defaultParallelism))
+      math.min(16, spark.sparkContext.defaultParallelism).max(floor))
   }
 
   test("q98 emits a deterministic top-25 of bipartite authorities") {
