@@ -107,6 +107,13 @@ object GraftFunctions {
       DotProduct(org.apache.spark.sql.graftbridge.Bridge.expression(a),
         org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
+  /** `dot_product_dec12(a, b)` as a Column — exact-decimal dot (see
+    * [[DotProductDec12]]). */
+  def dotProductDec12(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DotProductDec12(org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
   /** `cosine_sim(a, b)` as a Column. */
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(

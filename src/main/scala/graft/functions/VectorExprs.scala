@@ -188,6 +188,95 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The shared evaluator for [[DotProductDec12]] — one ordinary JVM
+  * method (not generated source), so every plan instance shares one
+  * JIT-hot body. */
+object DecDot {
+  /** Exact-decimal dot product at scale 12:
+    * Σ round_halfup_12(a(i)·b(i)) summed EXACTLY, converted to double
+    * via BigDecimal.doubleValue — bit-identical to
+    * `sum(cast(a(i)*b(i) as decimal(28,12))).cast("double")` over the
+    * exploded products (valueOf = the toString-shortest-repr
+    * conversion Spark's double→decimal cast performs; HALF_UP is the
+    * cast's rounding; the exact integer sum re-associates freely).
+    * Element pairs where either side is null are skipped (a null
+    * product never reaches a decimal sum). Returns NaN when no element
+    * contributed — the exploded form emits NO group for that pair, so
+    * callers must (and do) sit behind a `>=` filter both forms fail.
+    * tag: 0 = double, 1 = float, 2 = byte element reads. */
+  def dot12(x: ArrayData, y: ArrayData, tagA: Int, tagB: Int): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    def rd(arr: ArrayData, i: Int, tag: Int): Double = tag match {
+      case 1 => arr.getFloat(i).toDouble
+      case 2 => arr.getByte(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+    var acc = 0L          // unscaled sum at scale 12
+    var any = false
+    var slow: java.math.BigDecimal = null // exact fallback on overflow
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        any = true
+        val t = java.math.BigDecimal.valueOf(rd(x, i, tagA) * rd(y, i, tagB))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        if (slow ne null) slow = slow.add(t)
+        else {
+          // common case: the scale-12 unscaled value fits a long and
+          // so does the running sum; any overflow falls back to exact
+          // BigDecimal accumulation for the REMAINDER (still exact —
+          // integer sums re-associate)
+          try acc = java.lang.Math.addExact(acc,
+            t.unscaledValue().longValueExact())
+          catch { case _: ArithmeticException =>
+            slow = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(acc), 12).add(t)
+          }
+        }
+      }
+      i += 1
+    }
+    if (!any) Double.NaN
+    else if (slow ne null) slow.doubleValue()
+    else new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(acc), 12).doubleValue()
+  }
+
+  def tagOf(side: Expression): Int =
+    side.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => 1
+      case ByteType  => 2
+      case _         => 0
+    }
+}
+
+/** `dot_product_dec12(a, b)` — the exact-decimal dot product used by
+  * the oracle-pinned cosine paths: per-element products rounded to
+  * scale 12 (Spark's double→decimal(28,12) cast semantics), summed
+  * exactly, converted once to double. Replaces the
+  * posexplode→cast→decimal-sum pipeline (per-element generic rows, a
+  * pair-keyed aggregate exchange, BigDecimal buffer churn) with one
+  * in-row loop. */
+case class DotProductDec12(left: Expression, right: Expression)
+  extends VectorBinaryExpr {
+
+  override def prettyName: String = "dot_product_dec12"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecDot.dot12(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      DecDot.tagOf(left), DecDot.tagOf(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.DecDot.dot12(
+         |  $a, $b, ${DecDot.tagOf(left)}, ${DecDot.tagOf(right)});
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDec12 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `vec_sub(a, b)` = per-element a(i) − b(i) over min(len) elements,
   * as `array<double>` — the RESIDUAL builder for IVF-PQ (v − coarse
   * centroid) and any delta-vs-model computation, kept codegen so the

@@ -291,21 +291,37 @@ object ScaleOps {
     // packed signature. cached: both sides of the self-join read
     // these numBands·n rows. Memoized per (session, cacheKey).
     val bands = graft.util.DfCache.getOrBuild(s, cacheKey) {
-      val b = emb
+      // widen first (r14): the embeddings table arrives as ONE scan
+      // split at bench scale, so the cached band table landed in ONE
+      // partition — and a single-partition side satisfies any
+      // distribution, so the band self-join, collision filter, AND
+      // cosine scoring all fused into ONE serial task (profiled: q47 =
+      // one 2.1 s single-task stage). The widen costs one narrow
+      // (vec_id, embedding) exchange and parallelizes the whole
+      // collision pipeline at session width.
+      // LIGHT rows only (r14): the band table used to carry the full
+      // embedding so the cosine filter could run inside the band join
+      // — which shipped every embedding ×numBands through BOTH sides
+      // of the join exchange (the dim-scaled payload shuffle flagged
+      // in r13). Candidates now leave the band join as id pairs and
+      // re-attach embeddings by id inside verifyCosine (the shape
+      // every other verify path already uses), so the ×numBands
+      // exchange moves 4 longs per row.
+      val b = graft.util.Partitioning.widenForExplosion(emb)
         .withColumn("sig", graft.functions.GraftFunctions
           .hyperplaneBits(col("embedding"), seedBase, planes))
-        .select(col("vec_id"), col("embedding"), col("sig"), posexplode(expr(
+        .select(col("vec_id"), col("sig"), posexplode(expr(
           s"transform(sequence(0, ${numBands - 1}), " +
             s"b -> shiftright(sig, b * $bandBits) & $bucketMask)")))
-        .select(col("vec_id"), col("embedding"), col("sig"),
+        .select(col("vec_id"), col("sig"),
           col("pos").as("band"), col("col").as("bucket"))
         .cache()
       b.count()
       b
     }
-    val x = bands.select(col("vec_id").as("vec_a"), col("embedding").as("fa"),
+    val x = bands.select(col("vec_id").as("vec_a"),
       col("sig").as("sa"), col("band"), col("bucket"))
-    val y = bands.select(col("vec_id").as("vec_b"), col("embedding").as("fb"),
+    val y = bands.select(col("vec_id").as("vec_b"),
       col("sig").as("sb"), col("band"), col("bucket"))
     // Each colliding pair is evaluated ONLY in its first colliding
     // band: band b' collides ⇔ the bandBits-wide group b' of
@@ -325,11 +341,13 @@ object ScaleOps {
     val firstCollision = expr(
       s"(($folded) & ${groupLowBits}L" +
         s" & (shiftleft(cast(1 as bigint), band * $bandBits) - 1)) = 0")
-    val survivors = x.join(y, Seq("band", "bucket"))
-      .filter(col("vec_a") < col("vec_b") && firstCollision &&
-        graft.functions.GraftFunctions.cosineSim(col("fa"), col("fb")) >= t - 1e-6)
+    // the in-band cosine pre-filter moved into verifyCosine's phase 1
+    // (same t − 1e-6 bound over the re-attached embeddings): identical
+    // survivor set, one filter instead of the same filter twice
+    val cand = x.join(y, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b") && firstCollision)
       .select("vec_a", "vec_b")
-    VectorOps.verifyCosine(emb, survivors, t)
+    VectorOps.verifyCosine(emb, cand, t)
   }
 
   /** Approximate quantiles (Greenwald-Khanna sketch): the 100-TB

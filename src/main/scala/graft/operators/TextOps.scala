@@ -130,6 +130,12 @@ object TextOps {
       // positional filter below
       .select(col("doc_id"), col("n_grams"), (col("pos") + 1).as("p"),
         col("col.gram").as("gram"))
+      // materialize ONCE (r14): the a/b branches of the self-join each
+      // re-ran the whole df-rank prefix build (profiled: the prefix
+      // exchange executed twice per query — ReuseExchange does not
+      // collapse the two aliased branches here); the checkpoint is
+      // prefix-sized (≈half the postings) and read by both sides
+      .cutLineage()
     val a = prefix.select(col("doc_id").as("doc_a"), col("n_grams").as("na"),
       col("p").as("pa"), col("gram"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"),
@@ -1787,13 +1793,21 @@ object TextOps {
     * tf = per-(doc, term) counts, dl = per-doc token counts. */
   private[graft] def bm25Index(docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+      idCol: String = "doc_id",
+      cutTf: Boolean = false): (DataFrame, DataFrame) = {
     val toks = docs
       .select(col(idCol).as("doc_id"),
         explode(words(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-    (toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
-      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    // dl derives FROM tf (r14): Σ tf per doc = the doc's token count,
+    // exactly — so the regex tokenize + explode (the CPU-heavy pass)
+    // runs once instead of once per index frame. cutTf additionally
+    // materializes tf so consumers in SEPARATE actions (q132's avgdl
+    // scalar, then the scoring job) share one tokenize instead of
+    // re-running the subtree per action.
+    val tf0 = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = if (cutTf) tf0.cutLineage() else tf0
+    (tf, tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
   }
 
   /** Okapi BM25 top-k over prepared index frames — the ONE scoring
@@ -1843,10 +1857,14 @@ object TextOps {
   }
 
   private val q132: QFn = (s, d) => {
-    val (tf, dl) = bm25Index(Tables.documents(s, d))
-    val nDocs = Tables.documents(s, d).count()
-    val avgdl = dl.agg((sum(col("dl").cast(graft.util.Exact.Dec))
-      .cast("double") / count(lit(1))).as("a")).head.getDouble(0)
+    val (tf, dl) = bm25Index(Tables.documents(s, d), cutTf = true)
+    // one driver action for BOTH scalars (was two serial actions: a
+    // documents count, then the avgdl head — each a full stage chain)
+    val st = dl.agg((sum(col("dl").cast(graft.util.Exact.Dec))
+        .cast("double") / count(lit(1))).as("a"))
+      .crossJoin(Tables.documents(s, d).agg(count(lit(1)).as("n")))
+      .head
+    val (avgdl, nDocs) = (st.getDouble(0), st.getLong(1))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     bm25TopK(tf, dl, df, nDocs, avgdl, bm25Queries(s), k = 10)
   }

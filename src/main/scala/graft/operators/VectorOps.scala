@@ -26,14 +26,20 @@ object VectorOps {
 
   private val DecDot = DecimalType(28, 12)
 
-  /** Exact decimal sum of an exploded product column → double. */
-  private def exactSum(c: Column): Column = sum(c.cast(DecDot)).cast("double")
 
-  /** Per-vector L2 norms, exact-decimal accumulated. */
+  /** Per-vector L2 norms, exact-decimal accumulated — in-row via the
+    * dot_product_dec12 kernel (r14): bit-identical to the former
+    * explode→cast→decimal-sum pipeline (same per-element scale-12
+    * HALF_UP rounding, exact sum, one double conversion) without the
+    * per-element explode, the vec-keyed aggregate exchange, or the
+    * decimal buffer churn. (Divergence only for a vector with NO
+    * contributing elements — absent before, NaN now; embeddings are
+    * fixed-dim non-null, and every consumer sits behind joins/filters
+    * both forms fail.) */
   private def norms(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), explode(col("embedding")).as("x"))
-      .groupBy("vec_id")
-      .agg(sqrt(exactSum(col("x").cast("double") * col("x").cast("double"))).as("nrm"))
+    emb.select(col("vec_id"),
+      sqrt(graft.functions.GraftFunctions.dotProductDec12(
+        col("embedding"), col("embedding"))).as("nrm"))
 
   /** Cosine-threshold verification of candidate pairs, two-phase:
     *
@@ -81,11 +87,14 @@ object VectorOps {
     val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      // in-row exact-decimal dot (r14): replaces a 64-way posexplode +
+      // pair-keyed decimal aggregate per candidate — same scale-12
+      // per-product rounding, exact sum, one double conversion (see
+      // DotProductDec12), so the value is bit-identical to the
+      // exploded form the oracle evaluates
       .select(col("vec_a"), col("vec_b"),
-        posexplode(zip_with(col("ea"), col("eb"),
-          (x, y) => x.cast("double") * y.cast("double"))))
-      .groupBy("vec_a", "vec_b")
-      .agg(exactSum(col("col")).as("dot"))
+        graft.functions.GraftFunctions.dotProductDec12(
+          col("ea"), col("eb")).as("dot"))
       .join(broadcast(nrm.select(col("vec_id").as("vec_a"), col("nrm").as("na"))),
         Seq("vec_a"))
       .join(broadcast(nrm.select(col("vec_id").as("vec_b"), col("nrm").as("nb"))),
