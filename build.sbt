@@ -11,6 +11,37 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+
+// r14 (r13 verdict item 1): the serial single-JVM ScalaTest run
+// outgrew the verify harness's test budget (measured 35:06 on 32
+// cores — suites share one local[4] session, so the box idles).
+// Suites share NOTHING across JVMs (each forked group builds its own
+// SparkSession, tmp dirs are per-test, /root/testdata is read-only),
+// so the suite now runs as SPARK_GRAFT_TEST_GROUPS (default 8)
+// parallel forked JVMs, round-robin over suites sorted by name.
+// SPARK_GRAFT_TEST_GROUPS=1 restores the serial run. Per-group heap
+// is SPARK_GRAFT_TEST_MEM (default 8g — the pre-r13 default; tests
+// run local[4] on sf0.001, never the 32-wide codec benches the 32g
+// driver default exists for).
+val testGroupCount =
+  sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "8").toInt.max(1)
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector :+
+    s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "8g")}"
+  (Test / definedTests).value.sortBy(_.name).zipWithIndex
+    .groupBy(_._2 % testGroupCount).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"group$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+// sbt's default concurrentRestrictions cap forked test groups at 1
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.limitAll(math.max(testGroupCount,
+    java.lang.Runtime.getRuntime.availableProcessors())))
+// per-test durations in the log: the budget fix needs the data
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

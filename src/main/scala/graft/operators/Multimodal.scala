@@ -83,8 +83,9 @@ object Multimodal {
     * bytes are created AFTER the exchange (guide §8: move payloads
     * zero times) and flow map-side into demux/decode/hash consumers. */
   def imageTable(s: SparkSession, d: String): DataFrame = {
-    val rdd = graft.util.Partitioning.widenForExplosion(
-        Tables.documents(s, d).select("doc_id", "source")).rdd
+    val rdd = graft.util.Partitioning.widenIfSingleSplit(
+        Tables.documents(s, d).select("doc_id", "source"),
+        s"$d/documents.parquet").rdd
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -170,8 +171,9 @@ object Multimodal {
     * doc_id≡7 twins of [[imageTable]] plus flipped-bit re-encodes at
     * doc_id≡3 per the contract above. */
   def imageTableR(s: SparkSession, d: String): DataFrame = {
-    val rdd = graft.util.Partitioning.widenForExplosion(
-        Tables.documents(s, d).select("doc_id", "source")).rdd
+    val rdd = graft.util.Partitioning.widenIfSingleSplit(
+        Tables.documents(s, d).select("doc_id", "source"),
+        s"$d/documents.parquet").rdd
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -293,8 +295,9 @@ object Multimodal {
   /** The synthetic video corpus: one deterministic container per doc
     * (same planted-dup seed rule as images). */
   def videoTable(s: SparkSession, d: String): DataFrame = {
-    val rdd = graft.util.Partitioning.widenForExplosion(
-        Tables.documents(s, d).select("doc_id", "source")).rdd
+    val rdd = graft.util.Partitioning.widenIfSingleSplit(
+        Tables.documents(s, d).select("doc_id", "source"),
+        s"$d/documents.parquet").rdd
       .mapPartitions { it =>
         it.map { r =>
           Row(r.getLong(0), r.getString(1), encodeVideo(imageSeed(r.getLong(0))))
@@ -395,8 +398,14 @@ object Multimodal {
     * re-upload rule as images — doc_id ≡ 7 mod 10 reuses the previous
     * doc's seed). */
   def audioTable(s: SparkSession, d: String): DataFrame = {
-    val rdd = graft.util.Partitioning.widenForExplosion(
-        Tables.documents(s, d).select("doc_id", "source")).rdd
+    // NO widen here (r14, verdict item 5 of r13's regressions): WAV
+    // synthesis + RIFF decode are ~100x cheaper per row than the
+    // image/video codecs, so the id-row exchange cost the widen adds
+    // exceeds the serial codec work it parallelizes at ANY input size
+    // that still arrives as one split (measured: q271 0.23 -> 0.51 s
+    // from the r13 widen); a corpus big enough for the work to matter
+    // is multi-split and parallel without it.
+    val rdd = Tables.documents(s, d).select("doc_id", "source").rdd
       .mapPartitions { it =>
         it.map { r =>
           val seed = imageSeed(r.getLong(0))

@@ -542,7 +542,15 @@ object Relational {
       |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** Decile segmentation: ntile(10) over account balance (unique
-    * tiebreak → deterministic assignment), per-decile stats. */
+    * tiebreak → deterministic assignment), per-decile stats.
+    *
+    * GLOBAL-WINDOW AUDIT (r14): this is the ONE deliberately
+    * data-scaled `Window.orderBy` in the query surface — the declared
+    * NAIVE baseline whose scalable twin q63 (RankOps global ranks,
+    * spec-pinned output-equal, same oracle) is the shape production
+    * paths use. Every other partition-less window site is provably
+    * bounded (calendar/decile/top-k/delay grain; see
+    * OPTIMIZATION_r14.md §window audit). */
   private val q29: QFn = (s, d) => {
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     Tables.customer(s, d)

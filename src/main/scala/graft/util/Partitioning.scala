@@ -25,4 +25,23 @@ object Partitioning {
   def widenForExplosion(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt)
+
+  /** Size-dispatched widen (r14): widen `df` ONLY when its backing
+    * parquet file/dir is small enough to arrive as a single scan
+    * split. A multi-split input is already parallel — there the
+    * repartition is a pure extra exchange of every row (data-scaled
+    * waste at 100 TB); a single-split input is the case the widen
+    * exists for. The probe is filesystem METADATA only (no Spark job,
+    * no AQE finalization — the reason widenForExplosion itself stays
+    * probe-free): total bytes vs `spark.sql.files.maxPartitionBytes`. */
+  def widenIfSingleSplit(df: DataFrame, backingPath: String): DataFrame = {
+    val s = df.sparkSession
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(backingPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case _: Exception => 0L } // unknown → treat as small
+    if (bytes > s.sessionState.conf.filesMaxPartitionBytes) df
+    else widenForExplosion(df)
+  }
 }
