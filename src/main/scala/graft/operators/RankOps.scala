@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact global ranking WITHOUT a single-reducer window.
   *
@@ -51,10 +54,19 @@ object RankOps {
         sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(ranked, schema)
+    // InternalRow passes (r14): `df.rdd` deserialized every field into
+    // a boxed GenericRow and rebuilt a Row per output row — measured
+    // ~30 µs/row across the RankOps family. toRdd keeps UnsafeRows;
+    // the copy() is one buffer memcpy (the sorter reuses row buffers,
+    // so rows held past the iterator step MUST be copied), and the
+    // appended rank rides a JoinedRow.
+    val ranked = org.apache.spark.sql.graftbridge.Bridge
+      .internalRows(sorted).zipWithIndex().map { case (r, i) =>
+        new JoinedRow(r.copy(),
+          new GenericInternalRow(Array[Any](i + 1L))): InternalRow
+      }
+    org.apache.spark.sql.graftbridge.Bridge
+      .fromInternalRows(spark, ranked, schema)
   }
 
   /** Append the EXCLUSIVE running sum of `valueCol` (long) within each
@@ -81,9 +93,32 @@ object RankOps {
         sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
-    val gIdx = groupCols.map(schema.fieldIndex)
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val gTypes: Array[DataType] = gIdx.map(schema(_).dataType)
     val vIdx = schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd // one lineage → both passes see identical partitioning
+    // InternalRow passes (r14): `df.rdd` boxed every field of every
+    // row into a GenericRow — measured ~30 µs/row across the RankOps
+    // family, dwarfing the actual prefix arithmetic. toRdd keeps the
+    // physical UnsafeRows; group-key fields are extracted (strings
+    // copied out of the reused row buffer), the long value reads
+    // primitive. One lineage → both passes see identical partitioning.
+    val rdd = org.apache.spark.sql.graftbridge.Bridge.internalRows(sorted)
+    // a group key materialized OFF the reused row buffer (UTF8String
+    // contents are copied via toString; primitives box once)
+    def keyOf(r: InternalRow): Seq[Any] = {
+      val k = new Array[Any](gIdx.length)
+      var i = 0
+      while (i < gIdx.length) {
+        k(i) =
+          if (r.isNullAt(gIdx(i))) null
+          else gTypes(i) match {
+            case StringType => r.getUTF8String(gIdx(i)).toString
+            case dt => r.get(gIdx(i), dt)
+          }
+        i += 1
+      }
+      k.toSeq
+    }
     val limit = maxGroups(df)
     // pass 1: per-partition per-group totals, in partition order. Each
     // task refuses LOUDLY past the group-cardinality bound — range
@@ -94,7 +129,7 @@ object RankOps {
     val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
       it.foreach { r =>
-        val k = gIdx.map(r.get)
+        val k = keyOf(r)
         val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
         m.get(k) match {
           case Some(cur) => m.update(k, cur + v)
@@ -134,18 +169,22 @@ object RankOps {
         }
       }.toMap
     val bc = spark.sparkContext.broadcast(offsets)
-    // pass 2: local running sums seeded by the partition offsets
+    // pass 2: local running sums seeded by the partition offsets; the
+    // appended sum rides a JoinedRow over a copy() of the (reused)
+    // physical row — one buffer memcpy instead of full re-boxing
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       val cum = scala.collection.mutable.Map.empty[Seq[Any], Long]
       it.map { r =>
-        val k = gIdx.map(r.get)
+        val k = keyOf(r)
         val cur = cum.getOrElse(k, bc.value.getOrElse((pid, k), 0L))
         val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
         cum.update(k, cur + v)
-        Row.fromSeq(r.toSeq :+ cur)
+        new JoinedRow(r.copy(),
+          new GenericInternalRow(Array[Any](cur))): InternalRow
       }
     }
-    spark.createDataFrame(out, schema.add(sumCol, LongType, nullable = false))
+    org.apache.spark.sql.graftbridge.Bridge.fromInternalRows(
+      spark, out, schema.add(sumCol, LongType, nullable = false))
   }
 
   /** SQL NTILE(k) bucket from a 1-based global rank over n rows:

@@ -3027,9 +3027,13 @@ object Relational {
     * 20 by the ROUNDED score with a pair tiebreak so both engines
     * rank identically. */
   private val q170: QFn = (s, d) => {
+    // materialize the distinct basket relation ONCE (r14): the two
+    // self-join branches each re-ran the lineitem scan + distinct
+    // (profiled: two concurrent 0.5 s stages writing the same 6.2 MB)
     val b = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .cutLineage()
     val cnt = b.groupBy("p").agg(count(lit(1)).as("n_p"))
     val pairs = b.select(col("o"), col("p").as("part_a"))
       .join(b.select(col("o"), col("p").as("part_b")), Seq("o"))

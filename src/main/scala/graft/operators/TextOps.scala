@@ -2388,7 +2388,13 @@ object TextOps {
     * final ratio fixed IEEE; hash-exact. */
   private val q158: QFn = (s, d) => {
     val wf = filter(words(col("text")), w => length(w) > 0)
-    val docs = Tables.documents(s, d)
+    // widen the single-split scan before the tokenize+bigram explode
+    // (heavy per-row work) and materialize bg ONCE (r14): the model
+    // branch and the scoring join each re-ran the whole explode+agg —
+    // profiled as concurrent 0.8-1.1 s single-task stages
+    val docs = graft.util.Partitioning.widenIfSingleSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        s"$d/documents.parquet")
       .select(col("doc_id"), wf.as("l"))
     val bg = docs.filter(size(col("l")) >= 2)
       .withColumn("bgs", expr(
@@ -2397,6 +2403,7 @@ object TextOps {
       .select(col("doc_id"), explode(col("bgs")).as("p"))
       .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_b"))
+      .cutLineage()
     val model = bg.groupBy("w1", "w2").agg(sum(col("n_b")).as("c12"))
     val ctx = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(col("l")).as("term"))
@@ -2579,13 +2586,20 @@ object TextOps {
     * the exact decimal accumulator over vocabulary-sized gram rows
     * (the q159 discipline). Exact, hash-checked. */
   private val q196: QFn = (s, d) => {
-    val grams = Tables.documents(s, d)
-      .select(col("lang"), col("text"))
+    // widen the single-split documents scan before the per-character
+    // explode (heavy per-row work, width-bounded consumers below) and
+    // materialize tf ONCE (r14): the tot broadcast branch re-ran the
+    // whole explode+aggregate — profiled as two concurrent 1.7 s
+    // single-task stages
+    val grams = graft.util.Partitioning.widenIfSingleSplit(
+        Tables.documents(s, d).select(col("lang"), col("text")),
+        s"$d/documents.parquet")
       .filter(length(col("text")) >= 3)
       .select(col("lang"),
         explode(expr("transform(sequence(1, length(text) - 2), " +
           "i -> substring(text, i, 3))")).as("gram"))
     val tf = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+      .cutLineage()
     val tot = tf.groupBy("lang").agg(sum(col("c")).as("n"),
       count(lit(1)).as("n_grams"))
     val p = col("c").cast("double") / col("n").cast("double")
